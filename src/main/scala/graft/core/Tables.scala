@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (see /root/repo/TESTDATA.md).
+  *
+  * All access to test data goes through here so that quirks of the generated
+  * files (notably `events.ts` being parquet TIMESTAMP(NANOS), which Spark 4
+  * refuses to read natively) are handled in exactly one place.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Read one table. `events.ts` is stored as INT64 TIMESTAMP(NANOS); we read
+    * it as a long (legacy conf) and truncate to microseconds — the same
+    * truncation DuckDB applies when it reads the file, so oracle comparisons
+    * line up exactly.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+    case _ =>
+      spark.read.parquet(path(dir, name))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * AQE is left on (runtime re-planning, skew-join splitting, partition
+  * coalescing); shuffle partitions default to the local core count so tiny
+  * test runs don't schedule 200 empty tasks — on a real cluster this would be
+  * sized to executors × cores (or left to AQE's coalescing with a high
+  * initial value).
+  */
+object Sessions {
+  def local(threads: Int = 32, shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

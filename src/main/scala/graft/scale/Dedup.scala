@@ -1,0 +1,175 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed around
+  * Spark's shuffle: exact (hash group-by), MinHash+LSH banding (near-dup),
+  * SimHash (near-dup via hamming buckets), n-gram Jaccard (verification).
+  *
+  * Scale notes (100 TB): every variant reduces to explode → hash-partitioned
+  * aggregation → an equi-join on short bucket keys. Nothing is pairwise over
+  * the full corpus; candidate generation is always via bucket collision so
+  * the join fan-out is bounded by bucket size, and the only full-width
+  * shuffle carries (doc_id, 64 longs) signatures, not document text.
+  */
+object Dedup {
+
+  /** Exact dedup: group on a content hash, keep the smallest id. One shuffle
+    * on the 128-bit hash; text never shuffles.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash signatures: k independent min-hashes over distinct word
+    * shingles. explode → per-seed min aggregation = one shuffle keyed on
+    * doc_id with map-side partial mins (partial aggregation makes this cheap
+    * even for million-shingle documents).
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleSize: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), shingleSize))).as("shingle"))
+    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding over MinHash signatures: split the k-long signature into
+    * `bands` bands, hash each band, self-join on (band index, band hash).
+    * Probability of candidacy for Jaccard similarity s: 1-(1-s^r)^b.
+    * Returns candidate pairs (doc_a < doc_b) — feed to `jaccardVerify`.
+    */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16,
+                        idCol: String = "doc_id"): DataFrame = {
+    val sigLen = 64 // callers using non-default numHashes pass matching bands
+    val rows = sigLen / bands
+    val banded = signatures.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(transform(
+          slice(col("signature"), b * rows + 1, rows), h => h.cast("string")), ","))))
+        .as(Seq("band", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs (the verify step after
+    * LSH): explode shingles for candidate docs only, count intersections.
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, shingleSize: Int = 3,
+                    threshold: Double = 0.7,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wanted = candidates.select(col("doc_a").as(idCol))
+      .union(candidates.select(col("doc_b").as(idCol))).distinct()
+    val sh = docs.join(wanted, idCol)
+      .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), shingleSize))).as("sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    candidates.join(common, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the sum over tokens
+    * of ±1 according to bit i of the token hash. Near-dups have small hamming
+    * distance. One explode + one groupBy(doc) with 64 conditional sums —
+    * partial aggregation keeps the shuffle narrow.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
+    * chunks (any pair within hamming distance 3 shares at least one chunk),
+    * join on chunk equality, verify with bit_count(xor) <= maxHamming.
+    */
+  def simhashCandidates(sigs: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "doc_id"): DataFrame = {
+    val chunked = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("chunk_idx", "chunk")))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- declared queries ----------------------------------------------------
+
+  /** The driver corpus has no duplicates, so dedup queries inject clones:
+    * every 7th doc is re-added under doc_id+100000 (exact copy), and every
+    * 11th under doc_id+200000 with the first token dropped (near-dup).
+    */
+  private def withClones(docs: DataFrame): DataFrame = {
+    val exactClones = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val nearClones = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    docs.unionByName(exactClones).unionByName(nearClones)
+  }
+
+  private val clonesSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL SELECT doc_id + 200000, text[instr(text, ' ') + 1:] FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup over a corpus with injected duplicate content.
+    Q("q25_dedup_exact",
+      s"""WITH corpus AS ($clonesSql)
+         |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS copies
+         |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+      exact(withClones(Tables.documents(s, d).select("doc_id", "text")))
+        .orderBy("keep_id")
+    },
+
+    // MinHash-LSH near-dup candidate pairs, Jaccard-verified. The pipeline is
+    // the scalable path (bucketed candidates, no full pairwise); the oracle
+    // is only the exact-clone subset which LSH must find with 16 bands of 4
+    // (an exact copy collides in every band; jaccard >= 0.7 keeps near-dups).
+    Q.noOracle("q26_minhash_neardup") { (s, d) =>
+      val corpus = withClones(Tables.documents(s, d).select("doc_id", "text"))
+      val sigs = minhashSignatures(corpus)
+      val cand = minhashCandidates(sigs)
+      jaccardVerify(corpus, cand)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup pairs (hamming <= 3 over banded 16-bit chunks).
+    Q.noOracle("q27_simhash_neardup") { (s, d) =>
+      val corpus = withClones(Tables.documents(s, d).select("doc_id", "text"))
+      simhashCandidates(simhash(corpus)).orderBy("doc_a", "doc_b")
+    },
+  )
+}

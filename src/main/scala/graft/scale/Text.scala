@@ -1,0 +1,171 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting. All are
+  * native column expressions (whole-stage-codegen'd, no UDFs) so they scan
+  * 100 TB of documents at parquet-read speed.
+  */
+object Text {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation: split on word/digit/punctuation
+    * boundaries (the usual pre-tokenizer shape), count pieces.
+    */
+  def bpeIshTokenCount(text: Column): Column =
+    size(filter(split(text, """(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"""), t => length(t) > 0))
+
+  /** Word n-gram shingles: ["a b c d"] with n=3 -> ["a b c", "b c d"].
+    * Implemented with sequence+transform over the token array — stays inside
+    * codegen, no explode until the caller wants one.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, n), " "))
+  }
+
+  /** Character n-grams of the lowercased text (the usual language-ID basis). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n)))
+  }
+
+  /** Quality-scoring signals (ratios in [0,1], per-row exact arithmetic). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, """[\p{Punct}]""", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: long-enough, word-like, not shouty,
+    * not digit soup. Weights follow common web-text quality filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthOk = least(length(text).cast("double") / 200d, lit(1d))
+    val wordish  = lit(1d) - punctRatio(text)
+    val calm     = lit(1d) - upperRatio(text)
+    val prose    = lit(1d) - digitRatio(text)
+    round(lengthOk * 0.25 + wordish * 0.25 + calm * 0.25 + prose * 0.25, 6)
+  }
+
+  /** 64-bit content fingerprint of normalized text (xxhash64 — codegen'd).
+    * Normalization: lowercase, collapse whitespace.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Language-ID by character-trigram profile voting: each language gets a
+    * small set of highly characteristic trigrams/stopwords; the language with
+    * the most hits wins, 'und' (undetermined) on zero hits. A real deployment
+    * would load bigger profiles; the operator shape (scored struct array →
+    * array_max) is the scalable part — one projection, no shuffle, no UDF.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", "ing "),
+    "de" -> Seq(" der ", " und ", " die ", " ist ", "sch"),
+    "fr" -> Seq(" le ", " et ", " les ", " est ", " une "),
+    "es" -> Seq(" el ", " los ", " es ", " una ", "ción"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, marks) =>
+      val score = marks.map(m => when(padded.contains(m), 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---- declared queries ----------------------------------------------------
+
+  val queries: Seq[Q] = Seq(
+
+    // Token counting + length stats per document.
+    Q("q20_text_stats",
+      """SELECT doc_id, length(text) AS len, len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Language/source distribution with length aggregates.
+    Q("q21_lang_stats",
+      """SELECT lang, count(1) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // Per-document quality signals (per-row exact math → raw doubles).
+    Q("q22_doc_quality",
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS avg_token_len,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('a', 'the', 'of'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        ((length(col("text")) - size(toks) + 1).cast("double") / size(toks)).as("avg_token_len"),
+        (size(filter(toks, t => t.isInCollection(Seq("a", "the", "of")))).cast("double") /
+          size(toks)).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Content fingerprint via md5 (oracle-matched; the engine's internal
+    // fingerprint is xxhash64, see Text.fingerprint).
+    Q("q23_fingerprint",
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic — not SQL-oracle-able (profiles live in the
+    // engine); rows-only check + ScalaTest spec on multilingual fixtures.
+    Q.noOracle("q24_langid") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), langId(col("text")).as("lang_pred"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,173 @@
+package graft.write
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** The reference's four idempotent write-semantics patterns, re-expressed as
+  * pure DataFrame combinators (testable without I/O) plus a versioned-table
+  * store that supplies the atomicity Redshift transactions provided.
+  *
+  * Reference patterns (see SURVEY.md §2.3, citations into /root/reference):
+  *  - W1/W2 full refresh: NameGenderCSVtoRedshift.py:47-60, UpdateSymbol.py:41-58
+  *  - W3 incremental append + latest-wins dedup: UpdateSymbol_v3.py:60-90
+  *  - W4 keyed upsert: MySQL_to_Redshift_v2.py:51-63
+  *  - W5 validated CTAS + atomic swap: plugins/redshift_summary.py:132-217
+  */
+object Writers {
+
+  /** W3 dedup kernel: keep the newest row per key, ordering by `orderCols`
+    * descending (reference: ROW_NUMBER() OVER (PARTITION BY date ORDER BY
+    * created_date DESC) ... WHERE seq = 1, UpdateSymbol_v3.py:77-84).
+    *
+    * One shuffle on the key columns; at 100 TB this is the canonical
+    * hash-partitioned window. Callers must pass a tie-breaking order column
+    * (e.g. a monotonically increasing batch id) for determinism.
+    */
+  def latestWins(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__seq", row_number().over(w))
+      .filter(col("__seq") === 1)
+      .drop("__seq")
+  }
+
+  /** W3 incremental merge: existing ∪ incoming, then latest-wins dedup. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       keys: Seq[String], orderCols: Seq[String]): DataFrame =
+    latestWins(existing.unionByName(incoming), keys, orderCols)
+
+  /** W3 (v2 variant): exact-duplicate elimination after append
+    * (SELECT DISTINCT *, UpdateSymbol_v2.py:78).
+    */
+  def appendDistinct(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.unionByName(incoming).distinct()
+
+  /** W4 keyed upsert: delete-matching-then-insert = anti-join old on the keys
+    * ∪ new (MySQL_to_Redshift_v2.py:60-61). Both sides shuffle on the key —
+    * broadcast the incoming batch when it is small relative to the table.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(incoming, keys, "left_anti").unionByName(incoming)
+}
+
+/** A parquet table with versioned directories and an atomically-swapped
+  * manifest — the engine's stand-in for the reference's
+  * `BEGIN; DROP old; ALTER TABLE temp RENAME; END` swap
+  * (plugins/redshift_summary.py:171-178).
+  *
+  * Layout:  root/v{n}/part-*.parquet  +  root/_MANIFEST (contains "n").
+  * Writers stage a full new version, then promote by writing the manifest to
+  * a temp file and ATOMIC_MOVE-ing it over the old one. Readers resolve
+  * through the manifest, so a crash mid-write leaves the previous version
+  * live — the same guarantee the reference gets from Redshift transactions.
+  * On a real deployment root would be an object-store prefix and the manifest
+  * swap a conditional PUT; the protocol is unchanged.
+  */
+final class VersionedTable(spark: SparkSession, root: String) {
+  private val manifest = Paths.get(root, "_MANIFEST")
+
+  def currentVersion: Option[Int] =
+    if (Files.exists(manifest))
+      Some(new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8).trim.toInt)
+    else None
+
+  def exists: Boolean = currentVersion.isDefined
+
+  def read(): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    spark.read.parquet(s"$root/v$v")
+  }
+
+  /** Stage `df` as the next version; returns the staged version number
+    * WITHOUT promoting it (used by the validated-CTAS flow, W5).
+    */
+  def stage(df: DataFrame): Int = {
+    val next = currentVersion.getOrElse(-1) + 1
+    df.write.mode("overwrite").parquet(s"$root/v$next")
+    next
+  }
+
+  /** Atomically promote a staged version: temp manifest + atomic rename. */
+  def promote(version: Int): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_MANIFEST.tmp$version")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** W1/W2 full refresh: stage + promote. */
+  def fullRefresh(df: DataFrame): Unit = promote(stage(df))
+
+  /** W3: merge incoming into the current version with latest-wins dedup. */
+  def incrementalDedup(incoming: DataFrame, keys: Seq[String],
+                       orderCols: Seq[String]): Unit = {
+    val merged =
+      if (exists) Writers.incrementalDedup(read(), incoming, keys, orderCols)
+      else Writers.latestWins(incoming, keys, orderCols)
+    promote(stage(merged))
+  }
+
+  /** W4: keyed upsert into the current version. */
+  def upsert(incoming: DataFrame, keys: Seq[String]): Unit = {
+    val merged = if (exists) Writers.upsert(read(), incoming, keys) else incoming
+    promote(stage(merged))
+  }
+}
+
+/** W5: validated CTAS + atomic swap, the reference's most deliberate operator
+  * (plugins/redshift_summary.py). Input gates run before the expensive build,
+  * output gates run on the staged result, and only then is the manifest
+  * flipped — short-circuiting exactly like the reference
+  * (redshift_summary.py:185-211).
+  */
+final case class CountCheck(sql: String, threshold: Long, op: String = ">=") {
+  def passes(n: Long): Boolean = op match {
+    case "eq" => n == threshold
+    case _    => n >= threshold
+  }
+}
+
+final case class SummarySpec(
+    table: String,
+    mainSql: String,
+    inputChecks: Seq[CountCheck] = Nil,
+    outputChecks: Seq[(DataFrame => Long, Long, String)] = Nil,
+    after: Option[DataFrame => Unit] = None)
+
+class CheckFailedException(msg: String) extends RuntimeException(msg)
+
+final class SummaryBuilder(spark: SparkSession, warehouseRoot: String) {
+
+  private def runCheck(c: CountCheck): Unit = {
+    val n = spark.sql(c.sql).head().getLong(0)
+    if (!c.passes(n))
+      throw new CheckFailedException(
+        s"input check failed: [${c.sql}] returned $n, wanted ${c.op} ${c.threshold}")
+  }
+
+  /** Build a summary table: gates → CTAS to a staged version → output gates →
+    * atomic promote. Row counts are Spark actions over the staged parquet —
+    * never driver-side collects of data.
+    */
+  def build(spec: SummarySpec): VersionedTable = {
+    spec.inputChecks.foreach(runCheck)
+    val table = new VersionedTable(spark, s"$warehouseRoot/${spec.table}")
+    val df = spark.sql(spec.mainSql)
+    val staged = table.stage(df)
+    val stagedDf = spark.read.parquet(s"$warehouseRoot/${spec.table}/v$staged")
+    spec.outputChecks.foreach { case (measure, threshold, op) =>
+      val n = measure(stagedDf)
+      val ok = if (op == "eq") n == threshold else n >= threshold
+      if (!ok) throw new CheckFailedException(
+        s"output check failed on ${spec.table}: got $n, wanted $op $threshold")
+    }
+    table.promote(staged)
+    spec.after.foreach(_(stagedDf))
+    table
+  }
+}
