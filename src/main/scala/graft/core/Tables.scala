@@ -24,8 +24,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer division: epoch-nanos exceed double's 2^53 exact range, so
+      // `/ 1000` via double could round across a microsecond boundary and
+      // diverge from DuckDB's exact truncation
       spark.read.parquet(path(dir, name))
-        .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     case _ =>
       spark.read.parquet(path(dir, name))
   }

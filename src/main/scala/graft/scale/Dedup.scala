@@ -43,15 +43,15 @@ object Dedup {
     * Probability of candidacy for Jaccard similarity s: 1-(1-s^r)^b.
     * Returns candidate pairs (doc_a < doc_b) — feed to `jaccardVerify`.
     */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 16,
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16, sigLen: Int = 64,
                         idCol: String = "doc_id"): DataFrame = {
-    val sigLen = 64 // callers using non-default numHashes pass matching bands
+    require(sigLen % bands == 0, s"sigLen=$sigLen must be divisible by bands=$bands")
     val rows = sigLen / bands
     val banded = signatures.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, array_join(transform(
-          slice(col("signature"), b * rows + 1, rows), h => h.cast("string")), ","))))
+          slice(col("signature"), b * rows + 1, lit(rows)), h => h.cast("string")), ","))))
         .as(Seq("band", "band_hash")))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -73,9 +73,15 @@ object Dedup {
     val sh = docs.join(wanted, idCol)
       .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), shingleSize))).as("sh"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+    // Scope the shingle join to the candidate pairs BEFORE counting: joining
+    // all shingles pairwise on shingle equality is quadratic on hot shingles
+    // (a shingle shared by 10k docs => ~5e7 rows); joining candidates to
+    // doc_a's shingles and then matching doc_b's bounds the fan-out by
+    // |candidates| x shingles-per-doc.
+    val shA = sh.select(col(idCol).as("doc_a"), col("sh"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("sh"))
+    val common = candidates.join(shA, "doc_a").join(shB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     candidates.join(common, Seq("doc_a", "doc_b"))
       .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")

@@ -63,7 +63,7 @@ object Multimodal {
   def sampleChunks(assetsDf: DataFrame, n: Int): DataFrame =
     assetsDf.select(col("asset_id"),
       posexplode(transform(sequence(lit(0), lit(n - 1)),
-        i => substring(col("content"), (i * (col("n_bytes") / n)).cast("int") + 1, 64)))
+        i => col("content").substr((i * (col("n_bytes") / n)).cast("int") + 1, lit(64))))
         .as(Seq("chunk_idx", "chunk")))
 
   val queries: Seq[Q] = Seq(

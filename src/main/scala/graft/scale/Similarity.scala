@@ -83,16 +83,22 @@ object Similarity {
 
   /** Random-hyperplane signature: `planes` sign bits packed into a long.
     * Hyperplane components are seeded-deterministic. Returns the input plus a
-    * `bucket` column.
+    * `bucket` column. `dim` defaults to -1 = derived from the data (one
+    * cheap head() at plan time) — a wrong hard-coded dim would silently
+    * truncate the dot products.
     */
-  def hyperplaneBuckets(df: DataFrame, planes: Int = 12, dim: Int = 64, seed: Long = 42,
+  def hyperplaneBuckets(df: DataFrame, planes: Int = 12, dim: Int = -1, seed: Long = 42,
                         vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim
+            else df.select(size(col(vecCol)).as("d")).head().getInt(0)
     val rnd = new scala.util.Random(seed)
-    val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hyperplanes = Array.fill(planes, d)(rnd.nextGaussian())
     val vd = col(vecCol).cast("array<double>")
     val bits = (0 until planes).map { p =>
-      val dot = (0 until dim).map(i => element_at(vd, i + 1) * lit(hyperplanes(p)(i)))
-        .reduce(_ + _)
+      // zip_with against the plane literal: length-safe (no element_at past
+      // the end -> null -> all-zero buckets) and stays in codegen
+      val plane = typedLit(hyperplanes(p).toSeq)
+      val dot = aggregate(zip_with(vd, plane, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
@@ -104,16 +110,17 @@ object Similarity {
     * bit of the query bucket.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 12, dim: Int = 64, probes: Int = 1,
+              planes: Int = 12, dim: Int = -1, probes: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = hyperplaneBuckets(corpus, planes, dim, vecCol = vecCol)
       .select(col(idCol).as("nid"), col(vecCol).as("cv"), col("bucket"))
     val qb = hyperplaneBuckets(queries, planes, dim, vecCol = vecCol)
     val probeBuckets: Column = {
       val base = array(col("bucket"))
+      // planes is a compile-time Int, so the probe masks are built driver-side
       if (probes >= 1)
-        concat(base, transform(sequence(lit(0), lit(planes - 1)),
-          i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i))))
+        concat(base, array((0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*))
       else base
     }
     val q = broadcast(qb.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -132,7 +139,7 @@ object Similarity {
     * the corpus): candidates from shared hyperplane bucket, verified by
     * exact cosine >= threshold.
     */
-  def cosineNearDup(corpus: DataFrame, threshold: Double, planes: Int = 8, dim: Int = 64,
+  def cosineNearDup(corpus: DataFrame, threshold: Double, planes: Int = 8, dim: Int = -1,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = hyperplaneBuckets(corpus, planes, dim, vecCol = vecCol)
       .select(col(idCol), col(vecCol), col("bucket"))
@@ -163,8 +170,10 @@ object Similarity {
         | ranked AS (SELECT qid, nid,
         |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM scored)
         |SELECT qid, rnk, nid FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      // the partial form: per-partition bounded heaps shrink the shuffle to
+      // partitions x |queries| x k rows — the plan that survives a large corpus
       val emb = Tables.embeddings(s, d)
-      bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      bruteForceTopKPartial(emb, emb.filter(col("vec_id") < 5), 10)
         .select("qid", "rnk", "nid")
         .orderBy("qid", "rnk")
     },
@@ -178,10 +187,17 @@ object Similarity {
         .orderBy("qid", "rnk")
     },
 
-    // Embedding near-dup pairs above a cosine threshold.
+    // Embedding near-dup pairs above a cosine threshold. The driver corpus is
+    // random vectors (no near-dups: pairwise cosine ~ N(0, 1/dim)), so every
+    // 10th vector is re-added slightly perturbed under vec_id+100000; the
+    // operator must find exactly those planted pairs via bucket collision.
     Q.noOracle("q32_embedding_neardup") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      cosineNearDup(emb, threshold = 0.95)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      cosineNearDup(emb.unionByName(clones), threshold = 0.95)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")
     },

@@ -30,7 +30,7 @@ object Text {
     val toks = tokens(text)
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, n), " "))
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
   }
 
   /** Character n-grams of the lowercased text (the usual language-ID basis). */

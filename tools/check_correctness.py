@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare with the Spark result parquet.
+Usage: check_correctness.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df
+
+def values_match(a, b):
+    if a.shape != b.shape:
+        return False, f"shape {a.shape} vs {b.shape}"
+    for c in a.columns:
+        x, y = a[c], b[c]
+        for i in range(len(x)):
+            vx, vy = x.iloc[i], y.iloc[i]
+            if pd.isna(vx) and pd.isna(vy):
+                continue
+            if isinstance(vx, float) or isinstance(vy, float):
+                try:
+                    fx, fy = float(vx), float(vy)
+                except (TypeError, ValueError):
+                    return False, f"col {c} row {i}: {vx!r} vs {vy!r}"
+                if math.isnan(fx) and math.isnan(fy):
+                    continue
+                if fx != fy:
+                    return False, f"col {c} row {i}: {vx!r} vs {vy!r}"
+            elif str(vx) != str(vy):
+                return False, f"col {c} row {i}: {vx!r} vs {vy!r}"
+    return True, ""
+
+results = {}
+for name in sorted(oracles):
+    path = f"{out_dir}/{name}"
+    files = glob.glob(f"{path}/*.parquet")
+    entry = {}
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) if files else None
+        if spark_df is None:
+            entry["error"] = "no spark output"
+            results[name] = entry
+            continue
+        duck_df = con.execute(oracles[name]).df()
+        s, d = canon(spark_df), canon(duck_df)
+        entry["rows_spark"] = len(s)
+        entry["rows_duck"] = len(d)
+        entry["rows_match"] = len(s) == len(d)
+        entry["schema_spark"] = list(s.columns)
+        entry["schema_duck"] = list(d.columns)
+        entry["schema_match"] = list(s.columns) == list(d.columns)
+        if entry["rows_match"] and entry["schema_match"]:
+            ok, why = values_match(s, d)
+            entry["hash_match"] = ok
+            if not ok:
+                entry["mismatch"] = why
+        else:
+            entry["hash_match"] = False
+    except Exception as e:
+        entry["error"] = str(e)[:500]
+    results[name] = entry
+
+# no-oracle queries: rows>0 check
+all_qs = sorted(set(x.split("/")[-1] for x in glob.glob(f"{out_dir}/q*")))
+for name in all_qs:
+    if name in results:
+        continue
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+    results[name] = {"rows_spark": n, "rows_only": True, "nonempty": n > 0}
+
+n_pass = sum(1 for r in results.values() if r.get("hash_match") or r.get("nonempty"))
+print(json.dumps(results, indent=1, default=str))
+print(f"\nPASS {n_pass}/{len(results)}", file=sys.stderr)
+for name, r in results.items():
+    if not (r.get("hash_match") or r.get("nonempty")):
+        print(f"FAIL {name}: {json.dumps(r, default=str)[:300]}", file=sys.stderr)
