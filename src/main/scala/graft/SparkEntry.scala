@@ -15,6 +15,8 @@ object SparkEntry {
   val registry: Seq[Q] =
     ops.Relational.queries ++
     functions.Cleaning.queries ++
+    sources.SourceQueries.queries ++
+    summary.Golden.queries ++
     scale.Text.queries ++
     scale.Dedup.queries ++
     scale.Similarity.queries ++

@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Declared queries that exercise the ingestion surface end-to-end with a
+  * DuckDB oracle: each writes driver-table data out through a sink format,
+  * reads it back through the engine's source reader, and must reproduce the
+  * oracle computed straight from the parquet. Staging is a per-run temp dir
+  * (the landing-zone convention, S7).
+  */
+object SourceQueries {
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val queries: Seq[Q] = Seq(
+
+    // S1/S6/P5/F9/K6 — CSV roundtrip: nation → header CSV in the landing
+    // zone → explicit-schema distributed CSV scan (header skip replaces the
+    // reference's lines[1:]).
+    Q("q19_csv_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val landing = Landing.newDir("graft-q19").toString
+      Export.toCsvDir(Tables.nation(s, d), landing)
+      CsvSource.read(s, landing, nationSchema)
+        .orderBy("n_nationkey")
+    },
+
+    // S2/F10/P2 — JSON roundtrip with nested structure: nation → one JSON
+    // object per line ({"name":{"official":…},"key":…,"region":…}) → explicit
+    // nested-schema read → dotted-path field extraction
+    // (UpdateCountry.py:43-48's d["name"]["official"] shape).
+    Q("q28_json_roundtrip",
+      """SELECT n_name AS official, n_nationkey AS key, n_regionkey AS region
+        |FROM nation ORDER BY key""".stripMargin) { (s, d) =>
+      val landing = Landing.newDir("graft-q28").toString
+      Tables.nation(s, d)
+        .select(to_json(struct(
+          struct(col("n_name").as("official")).as("name"),
+          col("n_nationkey").as("key"),
+          col("n_regionkey").as("region"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(landing)
+      val schema = StructType(Seq(
+        StructField("name", StructType(Seq(StructField("official", StringType)))),
+        StructField("key", IntegerType),
+        StructField("region", IntegerType)))
+      JsonSource.read(s, landing, schema)
+        .select(col("name.official").as("official"), col("key"), col("region"))
+        .orderBy("key")
+    },
+
+    // S5/F11 — sheet-shaped ingestion + cleaning: a synthetic sheet (header
+    // row + string cells with $/,-polluted numerics and percent strings) goes
+    // through SheetSource and the native cleaning expressions; the oracle
+    // generates the identical data relationally.
+    Q("q29_sheet_clean",
+      """SELECT 'name_' || CAST(i AS VARCHAR) AS item,
+        | CAST(i * 1000 + 500 AS DOUBLE) AS amount,
+        | CAST(i AS DOUBLE) / 100 AS frac
+        |FROM range(100) t(i) ORDER BY item""".stripMargin) { (s, _) =>
+      val sheet = Seq(Seq("item", "amount", "pct")) ++
+        (0 until 100).map(i => Seq(s"name_$i", s"$$$i,500", s"$i%"))
+      SheetSource.toDf(s, sheet)
+        .select(col("item"),
+          graft.functions.Cleaning.stripDollarComma(col("amount")).as("amount"),
+          graft.functions.Cleaning.percentToFraction(col("pct")).as("frac"))
+        .orderBy("item")
+    },
+
+    // S4/K4 — JDBC roundtrip through embedded Derby: nation is bulk-written
+    // to a real database table, read back via spark.read.jdbc with a filter
+    // that Catalyst pushes into the remote query (check PushedFilters in the
+    // scan node), and must match the oracle over parquet.
+    Q("q41_jdbc_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val db = Files.createTempDirectory("graft-derby").resolve("db").toString
+      val url = s"jdbc:derby:$db;create=true"
+      Tables.nation(s, d).write.mode("overwrite").jdbc(url, "nation", new java.util.Properties)
+      JdbcSource.full(s, url, "nation")
+        .filter(col("n_regionkey") === 2)
+        .orderBy("n_nationkey")
+    },
+
+    // K6/F12/S8 — export sink roundtrip: a summary query result exported as a
+    // single header CSV (the SQL_to_Sheet.py:26-35 flow, NULLs blanked), read
+    // back and compared to the summary computed directly.
+    Q("q42_export_roundtrip",
+      """SELECT strftime(ts, '%Y-%m') AS month, count(DISTINCT user_id) AS mau
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val out = Landing.newDir("graft-q42").toString
+      val mau = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(countDistinct("user_id").as("mau"))
+      Export.toCsvDir(mau, out)
+      CsvSource.read(s, out, StructType(Seq(
+        StructField("month", StringType), StructField("mau", LongType))))
+        .orderBy("month")
+    },
+  )
+}

@@ -51,6 +51,14 @@ object Writers {
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(incoming, keys, "left_anti").unionByName(incoming)
+
+  /** F6: audit column stamped at write time — the reference's
+    * `created_date timestamp default GETDATE()` (UpdateSymbol_v3.py:56,
+    * Weather_to_Redshift_v2.py:51). W3's latest-wins ordering keys on
+    * exactly this column in the reference.
+    */
+  def withAudit(df: DataFrame, colName: String = "created_date"): DataFrame =
+    df.withColumn(colName, current_timestamp())
 }
 
 /** A parquet table with versioned directories and an atomically-swapped

@@ -1,0 +1,77 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operators find planted duplicates, and candidate generation is
+  * bucket-bounded (the hot-shingle case must not blow up).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "a completely different document about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (4L, "quick brown fox jumps over the lazy dog near the river bank today"),     // near dup of 1
+    (5L, "unrelated text with numbers 1 2 3 4 5 6 7 8 9 and letters a b c d e")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(corpus).collect()
+    val dupGroup = out.find(_.getAs[Long]("copies") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keep_id") === 1L)
+    assert(out.length === 4) // 5 docs, one pair collapses
+  }
+
+  test("minhash LSH surfaces the exact and near pair; jaccard verifies") {
+    val sigs = Dedup.minhashSignatures(corpus)
+    val cands = Dedup.minhashCandidates(sigs)
+    val verified = Dedup.jaccardVerify(corpus, cands, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((1L, 3L))) // exact dup: jaccard 1.0
+    assert(verified.contains((1L, 4L)) || verified.contains((3L, 4L))) // near dup
+    assert(!verified.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
+  }
+
+  test("minhashSignatures length tracks numHashes; candidates reject bad banding") {
+    val sigs = Dedup.minhashSignatures(corpus, numHashes = 32)
+    assert(sigs.select(size(col("signature"))).as[Int].head() === 32)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(sigs, bands = 10, sigLen = 32) // 32 % 10 != 0
+    }
+    // correct parameterization works
+    assert(Dedup.minhashCandidates(sigs, bands = 8, sigLen = 32).columns.toSeq
+      === Seq("doc_a", "doc_b"))
+  }
+
+  test("jaccardVerify stays candidate-bounded under a hot shingle") {
+    // 60 docs share one hot phrase; only ONE candidate pair is requested.
+    // The count stays exact and small — the fan-out guard in jaccardVerify.
+    val hot = (1L to 60L).map(i => (i, s"shared hot phrase common to all docs plus unique token u$i"))
+    val docs = hot.toDF("doc_id", "text")
+    val oneCand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccardVerify(docs, oneCand, threshold = 0.1).collect()
+    assert(out.length === 1)
+    val j = out.head.getAs[Double]("jaccard")
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("simhash near-dup: exact copies have hamming 0, near copies small hamming") {
+    // SimHash needs enough tokens for per-bit sums to be stable: on a ~15
+    // token doc a one-word edit flips many near-zero bit sums. Use prose-
+    // length docs with a one-token edit — the regime the operator targets.
+    val longText = (1 to 60).map(i => s"token$i").mkString(" ")
+    val edited = (1 to 60).map(i => if (i == 30) "EDITED" else s"token$i").mkString(" ")
+    val docs = Seq((1L, longText), (2L, longText), (3L, edited),
+      (4L, "totally different short document about something else entirely"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs)
+    val pairs = Dedup.simhashCandidates(sigs, maxHamming = 10)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.get((1L, 2L)).contains(0L)) // identical docs
+    assert(pairs.contains((1L, 3L))) // one-token edit stays within 10 bits
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
+  }
+}

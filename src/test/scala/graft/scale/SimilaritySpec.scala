@@ -1,0 +1,94 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Similarity search: the partial-top-k form agrees exactly with the naive
+  * window form, and ANN recall vs brute force clears 0.9 (VERDICT item 7).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("bruteForceTopKPartial == bruteForceTopK (same ids and ranks)") {
+    val full = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("qid", "rnk", "nid").collect().map(_.toSeq).toSet
+    val part = Similarity.bruteForceTopKPartial(emb, queries, 10)
+      .select("qid", "rnk", "nid").collect().map(_.toSeq).toSet
+    assert(part === full)
+    assert(full.nonEmpty)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val one = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val sim = one.select(Similarity.cosine(col("a"), col("b")).as("s")).as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("IVF with full probe == brute force (rank-exact); half probe stays close") {
+    val exact = Similarity.bruteForceTopKPartial(emb, queries, 10)
+      .select("qid", "rnk", "nid").collect().map(_.toSeq).toSet
+    // nProbe == nCentroids scans everything: must equal brute force exactly
+    val full = Similarity.ivfTopK(emb, queries, 10, nCentroids = 16, nProbe = 16)
+      .select("qid", "rnk", "nid").collect().map(_.toSeq).toSet
+    assert(full === exact)
+    // the driver corpus is uniform random (top-10 cosine ~ 0.3, no gap), so
+    // partial probing trades recall for scan fraction; it must still return
+    // full result sets and clear a floor well above random
+    val halfPairs = Similarity.ivfTopK(emb, queries, 10, nCentroids = 16, nProbe = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(s => (s(0).asInstanceOf[Long], s(2).asInstanceOf[Long]))
+    assert(halfPairs.size === exactPairs.size) // k results per query regardless
+    val recall = (exactPairs intersect halfPairs).size.toDouble / exactPairs.size
+    info(f"IVF recall at half scan on structureless data: $recall%.3f")
+    assert(recall >= 0.3)
+  }
+
+  test("ANN recall >= 0.9 vs brute force on planted near neighbors") {
+    import spark.implicits._
+    // Plant a genuinely-near neighbor (the situation ANN exists for): each
+    // query is a perturbed clone of a corpus vector; brute-force rank 1 is
+    // the clone source, and LSH multi-probe must recover >= 90% of them
+    // from bucket collisions alone.
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      .cache()
+    val nQueries = planted.count()
+    val exactTop1 = Similarity.bruteForceTopKPartial(emb.unionByName(planted), planted, 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    // sanity: brute-force says the clone source is the nearest neighbor
+    assert(exactTop1.count { case (q, n) => n == q - 100000 } >= (nQueries * 0.9).toInt)
+    val annTop1 = Similarity.annTopK(emb.unionByName(planted), planted, 1, planes = 12)
+      .filter(col("rnk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val recall = exactTop1.count { case (q, n) => annTop1.get(q).contains(n) }.toDouble / nQueries
+    info(f"LSH ANN recall@1 on planted neighbors: $recall%.3f ($nQueries queries)")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9")
+  }
+
+  test("hyperplaneBuckets derives dim from the data (no silent truncation)") {
+    val b = Similarity.hyperplaneBuckets(emb, planes = 4)
+    assert(b.columns.contains("bucket"))
+    // all 16 possible 4-plane buckets should not collapse to one value
+    assert(b.select(countDistinct("bucket")).head().getLong(0) > 1)
+  }
+
+  test("cosineNearDup finds planted perturbed clones") {
+    import spark.implicits._
+    val base = emb.select("vec_id", "embedding")
+    val clones = base.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+    val nClones = clones.count()
+    val found = Similarity.cosineNearDup(base.unionByName(clones), threshold = 0.95)
+      .filter(col("id_b") === col("id_a") + 100000).count()
+    // bucket collision is probabilistic per pair; planted pairs are near-identical
+    // so nearly all must collide in at least one arrangement
+    assert(found >= (nClones * 0.9).toLong,
+      s"found only $found of $nClones planted near-dup pairs")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles produce n-gram windows over tokens") {
+    val out = Seq("a b c d").toDF("t")
+      .select(Text.shingles(col("t"), 3).as("s")).as[Seq[String]].head()
+    assert(out === Seq("a b c", "b c d"))
+  }
+
+  test("shingles on short text yield a single (padded) shingle") {
+    val out = Seq("a b").toDF("t")
+      .select(Text.shingles(col("t"), 3).as("s")).as[Seq[String]].head()
+    assert(out === Seq("a b"))
+  }
+
+  test("charNgrams slide over characters") {
+    val out = Seq("abcd").toDF("t")
+      .select(Text.charNgrams(col("t"), 2).as("s")).as[Seq[String]].head()
+    assert(out === Seq("ab", "bc", "cd"))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! It's 42 degrees.").toDF("t")
+    assert(df.select(Text.tokenCount(col("t"))).as[Int].head() === 5)
+    // BPE-ish splits punctuation/digits apart: more pieces than words
+    assert(df.select(Text.bpeIshTokenCount(col("t"))).as[Int].head() > 5)
+  }
+
+  test("ratios are bounded [0,1] and exact on known input") {
+    val df = Seq("AB cd 12.").toDF("t") // 9 chars: 2 upper, 2 digit, 1 punct
+    val (p, d, u) = df.select(
+      Text.punctRatio(col("t")), Text.digitRatio(col("t")), Text.upperRatio(col("t")))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(p - 1.0 / 9) < 1e-9)
+    assert(math.abs(d - 2.0 / 9) < 1e-9)
+    assert(math.abs(u - 2.0 / 9) < 1e-9)
+  }
+
+  test("stopwordRatio counts lowercase stopword tokens") {
+    val r = Seq("The cat and the dog").toDF("t")
+      .select(Text.stopwordRatio(col("t"), Seq("the", "and"))).as[Double].head()
+    assert(math.abs(r - 3.0 / 5) < 1e-9)
+  }
+
+  test("langId votes by characteristic trigrams; und on no hits") {
+    val preds = Seq(
+      ("the house is on the hill and the tree is green", "en"),
+      ("der hund und die katze ist schnell", "de"),
+      ("le chat et les chiens est une famille", "fr"),
+      ("el perro y los gatos es una familia", "es"),
+      ("我是在了的", "zh"),
+      ("zzz qqq xxx", "und")
+    ).toDF("t", "expected")
+      .select(col("expected"), Text.langId(col("t")).as("got"))
+      .as[(String, String)].collect()
+    preds.foreach { case (expected, got) => assert(got === expected) }
+  }
+
+  test("fingerprint is whitespace/case normalized") {
+    val fps = Seq("Hello   World", "hello world", "different").toDF("t")
+      .select(Text.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("qualityScore favors prose over noise") {
+    val scores = Seq(
+      "This is a well formed English sentence of a reasonable length that continues long enough to look like prose in every way.",
+      "!!! ### $$$ 111 222 333 !!!"
+    ).toDF("t").select(Text.qualityScore(col("t"))).as[Double].collect()
+    assert(scores(0) > scores(1))
+    assert(scores.forall(s => s >= 0 && s <= 1))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.write
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** W5 atomicity: readers see the old version until promote; a failed output
+  * gate aborts before the swap (the reference's redshift_summary.py:185-211
+  * short-circuit).
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-vt").toString
+
+  test("fullRefresh then read round-trips") {
+    val t = new VersionedTable(spark, tmp())
+    t.fullRefresh(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+  }
+
+  test("stage without promote leaves the old version live (crash-safety)") {
+    val t = new VersionedTable(spark, tmp())
+    t.fullRefresh(Seq((1, "old")).toDF("id", "v"))
+    t.stage(Seq((1, "new")).toDF("id", "v")) // crash before promote
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "old")))
+  }
+
+  test("promote flips the reader to the staged version") {
+    val t = new VersionedTable(spark, tmp())
+    t.fullRefresh(Seq((1, "old")).toDF("id", "v"))
+    val v = t.stage(Seq((1, "new")).toDF("id", "v"))
+    t.promote(v)
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "new")))
+  }
+
+  test("incrementalDedup through the table keeps newest per key") {
+    val t = new VersionedTable(spark, tmp())
+    t.incrementalDedup(Seq((1, 1, "a"), (2, 1, "b")).toDF("k", "ver", "v"),
+      Seq("k"), Seq("ver"))
+    t.incrementalDedup(Seq((1, 2, "a2"), (3, 1, "c")).toDF("k", "ver", "v"),
+      Seq("k"), Seq("ver"))
+    assert(t.read().as[(Int, Int, String)].collect().toSet ===
+      Set((1, 2, "a2"), (2, 1, "b"), (3, 1, "c")))
+  }
+
+  test("SummaryBuilder aborts pre-swap when the output gate fails") {
+    val wh = tmp()
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("gate_input")
+    val spec = SummarySpec(
+      table = "gated",
+      mainSql = "SELECT id, v FROM gate_input",
+      inputChecks = Seq(CountCheck("SELECT count(1) FROM gate_input", 1)),
+      outputChecks = Seq((_.count(), 100L, ">="))) // impossible gate
+    val builder = new SummaryBuilder(spark, wh)
+    intercept[CheckFailedException] { builder.build(spec) }
+    // nothing promoted: the table must not be readable
+    intercept[IllegalStateException] { new VersionedTable(spark, s"$wh/gated").read() }
+  }
+
+  test("SummaryBuilder input gate short-circuits before the build") {
+    val wh = tmp()
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("short_input")
+    val spec = SummarySpec(
+      table = "gated2",
+      mainSql = "SELECT missing_column FROM nonexistent_table", // would explode if built
+      inputChecks = Seq(CountCheck("SELECT count(1) FROM short_input", 1000)))
+    intercept[CheckFailedException] { new SummaryBuilder(spark, wh).build(spec) }
+  }
+
+  test("SummaryBuilder eq gate requires exact count") {
+    val wh = tmp()
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("eq_input")
+    val ok = SummarySpec("eq_ok", "SELECT * FROM eq_input",
+      outputChecks = Seq((_.count(), 2L, "eq")))
+    new SummaryBuilder(spark, wh).build(ok)
+    assert(new VersionedTable(spark, s"$wh/eq_ok").read().count() === 2)
+    val bad = SummarySpec("eq_bad", "SELECT * FROM eq_input",
+      outputChecks = Seq((_.count(), 3L, "eq")))
+    intercept[CheckFailedException] { new SummaryBuilder(spark, wh).build(bad) }
+  }
+}

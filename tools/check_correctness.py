@@ -45,7 +45,7 @@ def values_match(a, b):
 
 results = {}
 for name in sorted(oracles):
-    path = f"{out_dir}/{name}"
+    path = f"{out_dir}/{name}.parquet"
     files = glob.glob(f"{path}/*.parquet")
     entry = {}
     try:
@@ -74,11 +74,12 @@ for name in sorted(oracles):
     results[name] = entry
 
 # no-oracle queries: rows>0 check
-all_qs = sorted(set(x.split("/")[-1] for x in glob.glob(f"{out_dir}/q*")))
+all_qs = sorted(set(x.split("/")[-1].removesuffix(".parquet")
+                    for x in glob.glob(f"{out_dir}/q*.parquet")))
 for name in all_qs:
     if name in results:
         continue
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
     n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
     results[name] = {"rows_spark": n, "rows_only": True, "nonempty": n > 0}
 
