@@ -23,7 +23,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.registry.map { q =>
+    // SPARK_GRAFT_ONLY=q26,q27 filters to matching query names (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.registry.filter(q =>
+      only.forall(_.exists(q.name.startsWith)))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).queryExecution.toRdd.count(); true }

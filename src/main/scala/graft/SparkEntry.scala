@@ -17,6 +17,7 @@ object SparkEntry {
     functions.Cleaning.queries ++
     sources.SourceQueries.queries ++
     summary.Golden.queries ++
+    pipelines.PipelineQueries.queries ++
     scale.Text.queries ++
     scale.Dedup.queries ++
     scale.Similarity.queries ++

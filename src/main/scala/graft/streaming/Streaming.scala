@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.write.{VersionedTable, Writers}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming forms of the engine's incremental semantics. The reference has
+  * no streaming (SURVEY §2.10 — cron + incremental batch); these are the
+  * north-star extensions: the same W3 merge as a foreachBatch sink, watermark
+  * + windowed aggregation, session windows, and custom keyed state.
+  *
+  * Scale notes: every operator here is keyed (user_id / event_type / merge
+  * keys), so state partitions across executors; watermarks bound state size;
+  * the foreachBatch sink reuses the exact batch merge, so batch and stream
+  * stay semantically identical (the Kappa-style guarantee).
+  */
+object Streaming {
+
+  /** W3 as a streaming sink: each micro-batch is merged into the versioned
+    * table with latest-wins dedup — identical semantics to the batch
+    * pipeline, so a stream restart or duplicate delivery is absorbed the
+    * same way the reference's re-run was.
+    */
+  def incrementalDedupSink(stream: DataFrame, table: VersionedTable,
+                           keys: Seq[String], orderCols: Seq[String],
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.incrementalDedup(batch, keys, orderCols)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Watermarked tumbling-window counts per event type: late events beyond
+    * the watermark are dropped, window state is evicted once the watermark
+    * passes — bounded state at any scale.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Session windows (gap-based), the streaming twin of the batch q16
+    * sessionization: a session closes after `gap` of inactivity per user.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class UserRunning(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user profile
+    * (event count, purchase count) maintained incrementally — the
+    * KeyValueGroupedDataset state API the built-in aggregations can't
+    * express. Production deployments pass ProcessingTimeTimeout (+
+    * state.setTimeoutDuration) to keep abandoned keys evictable; note that
+    * with a timeout the stream schedules continuous timeout-check batches.
+    */
+  def runningUserProfile(events: Dataset[UserEvent],
+                         timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](timeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          batch.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+          }
+          val next = UserRunning(uid, n, p)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Read the events table shape as a file stream (parquet), the
+    * readStream entry point for the driver tables. Same nanos handling as
+    * graft.core.Tables.load: the file stores TIMESTAMP(NANOS), which Spark 4
+    * only reads as long under the legacy conf; truncate to micros exactly.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the driver table is a single file; stream its parent dir with a glob
+    // (FileStreamSource requires a directory basePath)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

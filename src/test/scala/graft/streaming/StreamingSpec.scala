@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.write.VersionedTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("incrementalDedupSink merges micro-batches with latest-wins (streaming W3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val wh = Files.createTempDirectory("graft-stream").toString
+    val table = new VersionedTable(spark, s"$wh/t")
+    val stream = input.toDF().toDF("event_id", "ts", "value")
+
+    // AvailableNow latches offsets at start: add data BEFORE starting
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:01:00"), 2.0))
+    val q = Streaming.incrementalDedupSink(stream, table,
+      keys = Seq("event_id"), orderCols = Seq("ts"),
+      checkpoint = s"$wh/ckpt")
+    q.awaitTermination()
+    assert(table.read().count() === 2)
+
+    // redelivery of event 1 with newer ts must win, not duplicate
+    input.addData((1L, ts("2024-01-01 11:00:00"), 10.0))
+    val q2 = Streaming.incrementalDedupSink(stream, table,
+      keys = Seq("event_id"), orderCols = Seq("ts"), checkpoint = s"$wh/ckpt")
+    q2.awaitTermination()
+    val rows = table.read().as[(Long, Timestamp, Double)].collect().sortBy(_._1)
+    assert(rows.length === 2)
+    assert(rows.head === ((1L, ts("2024-01-01 11:00:00"), 10.0)))
+  }
+
+  test("windowedCounts: tumbling windows with watermark (complete over memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.windowedCounts(
+      input.toDF().toDF("ts", "event_type"), "1 hour", "1 hour")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:55:00"), "click"),
+      (ts("2024-01-01 11:05:00"), "click"), (ts("2024-01-01 10:30:00"), "view"))
+    q.processAllAvailable()
+    val got = spark.table("wc")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 11:00:00", "click", 1L),
+      ("2024-01-01 10:00:00", "view", 1L)))
+  }
+
+  test("sessionCounts: gap-based session windows per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = Streaming.sessionCounts(
+      input.toDF().toDF("ts", "user_id"), gap = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sc")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L), // session 1
+      (ts("2024-01-01 12:00:00"), 1L),                                   // session 2
+      (ts("2024-01-01 10:00:00"), 2L))
+    q.processAllAvailable()
+    val got = spark.table("sc").select("user_id", "n_events")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(got === Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
+  }
+
+  test("runningUserProfile: custom keyed state accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.runningUserProfile(input.toDS())
+      .writeStream.format("memory").queryName("up")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(
+      Streaming.UserEvent(1L, ts("2024-01-01 10:00:00"), "click"),
+      Streaming.UserEvent(1L, ts("2024-01-01 10:01:00"), "purchase"))
+    q.processAllAvailable()
+    input.addData(Streaming.UserEvent(1L, ts("2024-01-01 10:02:00"), "purchase"))
+    q.processAllAvailable()
+    val last = spark.table("up").as[Streaming.UserRunning].collect()
+      .filter(_.user_id == 1L).maxBy(_.n_events)
+    q.stop()
+    assert(last === Streaming.UserRunning(1L, 3L, 2L))
+  }
+
+  test("eventsStream reads the driver events table as a file stream") {
+    val stream = Streaming.eventsStream(spark, sfDir)
+    assert(stream.isStreaming)
+    val wh = Files.createTempDirectory("graft-es").toString
+    val q = stream.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("es")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$wh/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("es").count() > 0)
+  }
+}
