@@ -1,0 +1,41 @@
+package graft
+
+import graft.core.Tables
+import graft.scale.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Microbenchmark for the native CosineSimilarity expression vs the
+  * higher-order-function fold: scores |corpus|² pairs (cross join), prints
+  * one JSON line. Run: sbt "runMain graft.MicroBench".
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").cache()
+    emb.count()
+    val pairs = emb.select(col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")))
+    def time(label: String, c: org.apache.spark.sql.Column): (String, Double, Double) = {
+      // warmup then 3 timed runs, keep the best
+      pairs.select(sum(c)).head()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val s = pairs.select(sum(c)).head().getDouble(0)
+        ((System.nanoTime() - t0) / 1e9, s)
+      }
+      (label, runs.map(_._1).min, runs.head._2)
+    }
+    val n = emb.count()
+    val native = time("native", Similarity.cosine(col("a"), col("b")))
+    val hof = time("hof", Similarity.cosineHof(col("a"), col("b")))
+    println(s"""{"pairs":${n * n},"native_sec":${f"${native._2}%.3f"},"hof_sec":${f"${hof._2}%.3f"},"speedup":${f"${hof._2 / native._2}%.2f"},"checksum_equal":${native._3 == hof._3}}""")
+    spark.stop()
+  }
+}

@@ -110,12 +110,17 @@ object Pipelines {
   // ---- Run-date incremental (P4/C8) ---------------------------------------
 
   /** The reference's templated run-date predicate
-    * (MySQL_to_Redshift_v2.py:36) as a typed parameter: only the run's
-    * date-slice of the source is read (Catalyst pushes the filter into the
-    * scan), then upserted by key — the per-run idempotent increment.
+    * (MySQL_to_Redshift_v2.py:36) as a typed parameter. Expressed as a
+    * half-open timestamp range, NOT `to_date(col) = d`: a function over the
+    * column defeats predicate pushdown, while plain bounds reach the parquet
+    * scan as PushedFilters (asserted in PlanSpec) — at 100 TB that is the
+    * difference between scanning one day and scanning the table.
     */
-  def runDateSlice(df: DataFrame, dateCol: String, runDate: LocalDate): DataFrame =
-    df.filter(to_date(col(dateCol)) === lit(java.sql.Date.valueOf(runDate)))
+  def runDateSlice(df: DataFrame, dateCol: String, runDate: LocalDate): DataFrame = {
+    val start = java.sql.Timestamp.valueOf(runDate.atStartOfDay)
+    val end = java.sql.Timestamp.valueOf(runDate.plusDays(1).atStartOfDay)
+    df.filter(col(dateCol) >= lit(start) && col(dateCol) < lit(end))
+  }
 
   def incrementalByRunDate(source: DataFrame, table: VersionedTable,
                            dateCol: String, keys: Seq[String], ctx: RunContext): Unit =

@@ -21,9 +21,20 @@ object Similarity {
 
   /** Cosine similarity between two float-array columns, accumulated in
     * double, strictly left-to-right (matches a sequential fold, so results
-    * are bit-reproducible).
+    * are bit-reproducible). Backed by the native codegen'd
+    * [[graft.expressions.CosineSimilarity]] expression; `cosineHof` is the
+    * built-in-functions form it is verified against.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.GraftColumnBridge.expression(a.cast("array<double>")),
+        org.apache.spark.sql.GraftColumnBridge.expression(b.cast("array<double>"))))
+
+  /** The same fold via built-in higher-order functions (interpreted lambdas;
+    * kept as the semantic reference for the native expression).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     def dot(x: Column, y: Column): Column =

@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.Tables
+import graft.pipelines.Pipelines
+import graft.scale.Similarity
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100x scale-up — pushdown reaching the scan, dimensions broadcast, column
+  * pruning, no full-corpus shuffles where a partial form exists. Asserted on
+  * `explain(formatted)` text so a regression in plan shape fails the build,
+  * not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("runDateSlice pushes range bounds into the parquet scan (P4 at scale)") {
+    val plan = planOf(Pipelines.runDateSlice(
+      Tables.orders(spark, sfDir), "o_orderdate", LocalDate.of(1995, 6, 1)))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"o_orderdate bounds not pushed:\n$plan")
+  }
+
+  test("q09 region revenue: dimension joins are broadcast, not shuffled") {
+    val plan = planOf(SparkEntry.queries("q09_region_revenue")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val plan = planOf(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads more columns than the projection needs: $readSchema")
+  }
+
+  test("filter on a scanned column reaches PushedFilters (predicate pushdown)") {
+    val plan = planOf(Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 30).select("l_orderkey"))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"), plan)
+  }
+
+  test("q30 brute-force top-k uses the partial (per-partition heap) form") {
+    val plan = planOf(SparkEntry.queries("q30_knn_cosine")(spark, sfDir))
+    // the mapPartitions pre-top-k appears as a SerializeFromObject/MapPartitions
+    // stage; the naive form has none
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
+  test("whole-stage codegen covers the relational aggregation path") {
+    // AQE shows codegen spans only on the executed plan
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a "*(n)" stage prefix
+    assert(executed.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(executed).isDefined,
+      executed)
+    // and the aggregation is two-phase (map-side partial before the shuffle)
+    assert(planOf(df).contains("partial_sum"), planOf(df))
+  }
+
+  test("broadcast query side in similarity search (no corpus-side shuffle for candidates)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = planOf(Similarity.bruteForceTopKPartial(emb, emb.limit(3), 5))
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("exact dedup aggregates on the hash, never shuffling text twice") {
+    val plan = planOf(graft.scale.Dedup.exact(Tables.documents(spark, sfDir)))
+    // partial then final HashAggregate around a single Exchange
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected at most one shuffle, plan:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+}

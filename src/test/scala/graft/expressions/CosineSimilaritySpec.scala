@@ -1,0 +1,66 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.scale.Similarity
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression == higher-order-function fold, bit-for-bit on real data") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .limit(2000)
+    val diff = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")) // bit-exact: same sequential fold
+      .count()
+    assert(diff === 0)
+  }
+
+  test("known values and edge cases") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),   // orthogonal -> 0
+      (Array(1.0, 2.0), Array(2.0, 4.0)),   // parallel -> 1
+      (Array(1.0, 0.0), Array(-1.0, 0.0))   // opposite -> -1
+    ).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(got.toSeq === Seq(0.0, 1.0, -1.0))
+  }
+
+  test("null input yields null; zero vector yields NaN (documented)") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), None: Option[Array[Double]]),
+      (Some(Array(0.0, 0.0)), Some(Array(1.0, 2.0)))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0).isNaN)
+  }
+
+  test("cosine_sim is callable from SQL (GraftExtensions registration)") {
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_cos")
+    val got = spark.sql(
+      """SELECT vec_id, cosine_sim(CAST(embedding AS ARRAY<DOUBLE>),
+        |                          CAST(embedding AS ARRAY<DOUBLE>)) AS s
+        |FROM emb_cos""".stripMargin).as[(Long, Double)].collect()
+    assert(got.length === 5)
+    assert(got.forall { case (_, s) => math.abs(s - 1.0) < 1e-9 })
+  }
+
+  test("codegen path actually compiles (no fallback to interpreted)") {
+    val emb = Tables.embeddings(spark, sfDir).limit(10)
+    val df = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("s"))
+    df.collect() // would throw on codegen compile errors (with fallback disabled)
+    val wasCodegen = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    // force codegen-only evaluation to prove doGenCode is valid
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val s = df.as[Double].collect()
+      assert(s.forall(v => math.abs(v - 1.0) < 1e-9))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", wasCodegen)
+  }
+}
