@@ -14,6 +14,7 @@ object SparkEntry {
 
   val registry: Seq[Q] =
     ops.Relational.queries ++
+    ops.Scale.queries ++
     functions.Cleaning.queries ++
     sources.SourceQueries.queries ++
     summary.Golden.queries ++

@@ -127,6 +127,41 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 }
 
+/** The 100 TB form of the incremental write: a date-partitioned parquet table
+  * where each run overwrites ONLY its run-date partition (dynamic partition
+  * overwrite). The reference's W3/W4 merge patterns rewrite the whole table —
+  * fine at reference scale, ruinous at 100 TB where a day is 1/365th of the
+  * data. Combined with runDateSlice ingestion this makes every daily run
+  * touch O(day) bytes, and re-runs are idempotent by construction (the
+  * partition is replaced wholesale).
+  */
+final class DatePartitionedTable(spark: SparkSession, root: String,
+                                 dateCol: String = "run_date") {
+
+  /** Overwrite the partitions present in `df` (and only those). */
+  def overwritePartitions(df: DataFrame): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(dateCol).parquet(root)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Write one run's slice: stamps the partition column from the run date. */
+  def writeRun(df: DataFrame, runDate: java.time.LocalDate): Unit =
+    overwritePartitions(df.withColumn(dateCol, lit(java.sql.Date.valueOf(runDate))))
+
+  def read(): DataFrame = spark.read.parquet(root)
+
+  /** Partition-pruned read of one day (the filter prunes directories, not
+    * files — check PartitionFilters in the scan).
+    */
+  def readDay(runDate: java.time.LocalDate): DataFrame =
+    read().filter(col(dateCol) === lit(java.sql.Date.valueOf(runDate)))
+}
+
 /** W5: validated CTAS + atomic swap, the reference's most deliberate operator
   * (plugins/redshift_summary.py). Input gates run before the expensive build,
   * output gates run on the staged result, and only then is the manifest

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedCountSum == direct groupBy on a skewed key (exactness law)") {
+    // one hot key carrying 90% of rows
+    val skewed = ((1 to 9000).map(_ => ("hot", 1.5)) ++ (1 to 1000).map(i => (s"k${i % 7}", 2.0)))
+      .toDF("k", "v")
+    val direct = skewed.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .as[(String, Long, Double)].collect().toSet
+    val salted = Scale.saltedCountSum(skewed, Seq("k"), "v", salts = 8)
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted === direct)
+  }
+
+  test("saltedJoin == plain join, with the fact side spread over salts") {
+    val fact = ((1 to 5000).map(_ => (1, "hot")) ++ (1 to 100).map(i => (i % 10 + 2, "cold")))
+      .toDF("k", "tag")
+    val dim = (1 to 12).map(i => (i, s"dim_$i")).toDF("k", "name")
+    val plain = fact.join(dim, "k").groupBy("name").count()
+      .as[(String, Long)].collect().toSet
+    val salted = Scale.saltedJoin(fact, dim, "k", salts = 8).groupBy("name").count()
+      .as[(String, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without an Exchange (co-located join)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+      val lineitem = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      Scale.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+      Scale.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // sanity: the join actually produces rows
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("approx MAU is within the advertised error of exact (HLL++ rsd=0.01)") {
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(countDistinct("user_id").as("mau"))
+      .as[(String, Long)].collect().toMap
+    val approx = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(approx_count_distinct("user_id", 0.01).as("mau"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (m, a) =>
+      val e = exact(m)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"month $m: approx $a vs exact $e")
+    }
+  }
+}
