@@ -19,6 +19,7 @@ object SparkEntry {
     sources.SourceQueries.queries ++
     summary.Golden.queries ++
     pipelines.PipelineQueries.queries ++
+    streaming.StreamingQueries.queries ++
     scale.Text.queries ++
     scale.Dedup.queries ++
     scale.Similarity.queries ++

@@ -32,17 +32,24 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleSize: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // explode + groupBy(doc) with 64 codegen'd min aggregates. This beats a
+    // explode + groupBy(doc) with k codegen'd min aggregates. This beats a
     // higher-order-function projection ~4x measured: HOFs (transform/
-    // aggregate lambdas) are interpreted, while xxhash64 + min here stay in
-    // whole-stage codegen. The shuffle is NOT |shingles| rows: a document's
-    // exploded shingles stay in its input partition, so map-side partial
-    // aggregation collapses them to one 64-long row per doc per partition
-    // before anything moves — at any scale the shuffle carries |docs|·64
-    // longs, never text.
+    // aggregate lambdas) are interpreted, while the hashing + min here stay
+    // in whole-stage codegen. Each shingle string is hashed ONCE; the k
+    // "permutations" re-hash that fixed-width 64-bit value with k seeds —
+    // constant cost per permutation instead of k string traversals (a·h+b
+    // universal hashing would be cheaper still, but Spark 4's ANSI mode
+    // faults on the intentional long wraparound). The shuffle is NOT
+    // |shingles| rows: a document's exploded shingles stay in its input
+    // partition, so map-side partial aggregation collapses them to one
+    // k-long row per doc per partition before anything moves — at any scale
+    // the shuffle carries |docs|·k longs, never text.
     val exploded = docs
       .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), shingleSize))).as("shingle"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val minCols = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i")
+    }
     exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))

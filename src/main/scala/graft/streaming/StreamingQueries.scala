@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.core.Q
+import graft.write.VersionedTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+object StreamingQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // The full streaming W3 path, end-to-end inside the correctness gate:
+    // events flows through readStream (AvailableNow) -> foreachBatch
+    // latest-wins merge -> versioned promote; the promoted table must equal
+    // the batch answer (event_id is unique, so the merged table is the
+    // events table itself). This certifies batch/stream semantic parity.
+    Q("q49_streaming_w3",
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val wh = Files.createTempDirectory("graft-q49").toString
+      val table = new VersionedTable(s, s"$wh/events_merged")
+      val stream = Streaming.eventsStream(s, d)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      val q = Streaming.incrementalDedupSink(stream, table,
+        keys = Seq("event_id"), orderCols = Seq("ts"),
+        checkpoint = s"$wh/ckpt")
+      q.awaitTermination()
+      table.read()
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // Streaming windowed aggregation (watermark + tumbling window) drained
+    // with AvailableNow — must match the equivalent batch window query.
+    Q("q50_streaming_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(1) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val wh = Files.createTempDirectory("graft-q50").toString
+      val counts = Streaming.windowedCounts(
+        Streaming.eventsStream(s, d), windowLen = "1 hour", watermark = "1 hour")
+      val sinkName = s"q50_sink_${System.nanoTime()}"
+      val q = counts.writeStream.format("memory").queryName(sinkName)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("window_start", "event_type")
+    },
+  )
+}
