@@ -15,6 +15,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     ops.Relational.queries ++
     ops.Scale.queries ++
+    ops.Extended.queries ++
     functions.Cleaning.queries ++
     sources.SourceQueries.queries ++
     summary.Golden.queries ++

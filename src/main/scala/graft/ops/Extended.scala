@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators beyond the reference's declared surface that any analytics user
+  * expects from a complete engine: set operations, semi/anti joins, rollup,
+  * pivot, ranking/offset window functions, exact percentiles. Each is a thin
+  * declaration over Catalyst built-ins with a DuckDB oracle.
+  */
+object Extended {
+
+  val queries: Seq[Q] = Seq(
+
+    // Set operations: customers with orders INTERSECT/EXCEPT suppliers' keys.
+    Q("q51_set_ops",
+      """WITH c AS (SELECT c_nationkey AS k FROM customer),
+        | s AS (SELECT s_nationkey AS k FROM supplier)
+        |SELECT 'both' AS src, k FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+        |UNION ALL
+        |SELECT 'cust_only' AS src, k FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+        |ORDER BY src, k""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      c.intersect(sup).select(lit("both").as("src"), col("k"))
+        .unionByName(c.except(sup).select(lit("cust_only").as("src"), col("k")))
+        .orderBy("src", "k")
+    },
+
+    // Semi and anti joins: customers with / without any order.
+    Q("q52_semi_anti",
+      """SELECT 'with_orders' AS src, count(1) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS src, count(1) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY src""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt")).select(lit("with_orders").as("src"), col("cnt"))
+      val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")).select(lit("no_orders").as("src"), col("cnt"))
+      noO.unionByName(withO).orderBy("src")
+    },
+
+    // ROLLUP: order counts by (status, priority) with subtotals and grand
+    // total; grouping keys coalesced so the oracle's NULL handling matches.
+    Q("q53_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(1) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("revenue"))
+        .orderBy("status", "priority")
+    },
+
+    // CUBE over the same keys (all four grouping combinations).
+    Q("q54_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        | count(1) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, EXTRACT(year FROM o_orderdate))
+        |ORDER BY status, yr""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("yr0", year(col("o_orderdate")))
+        .cube("o_orderstatus", "yr0")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("yr0").cast("string"), lit("ALL")).as("yr"),
+          col("cnt"))
+        .orderBy("status", "yr")
+    },
+
+    // Pivot: event counts per user pivoted by event type (dynamic columns
+    // fixed by sorted distinct values; oracle via conditional aggregation).
+    Q("q55_pivot",
+      """SELECT user_id,
+        | count(1) FILTER (WHERE event_type = 'click') AS click,
+        | count(1) FILTER (WHERE event_type = 'error') AS error,
+        | count(1) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(1) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(1) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1 LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+        .limit(100)
+    },
+
+    // Offset window functions: lag/lead over each user's event sequence.
+    Q("q56_lag_lead",
+      """SELECT user_id, event_id,
+        | lag(event_type) OVER w AS prev_et,
+        | lead(event_type) OVER w AS next_et
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id LIMIT 1000""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          lag("event_type", 1).over(w).as("prev_et"),
+          lead("event_type", 1).over(w).as("next_et"))
+        .orderBy("user_id", "event_id")
+        .limit(1000)
+    },
+
+    // Ranking family: rank/dense_rank/ntile over order values per segment.
+    Q("q57_ranking",
+      """SELECT c_mktsegment, o_orderkey,
+        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY c_mktsegment, rnk, o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+        .limit(500)
+    },
+
+    // Exact interpolated percentiles (Spark percentile == DuckDB
+    // quantile_cont by definition: linear interpolation).
+    Q("q58_percentiles",
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
+    // Scalar subquery: orders above their segment's average value.
+    Q("q59_above_avg",
+      """WITH seg AS (
+        |  SELECT c_mktsegment, avg(o_totalprice) AS avg_price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT c_mktsegment, count(1) AS n_above
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN seg USING (c_mktsegment)
+        |WHERE o_totalprice > avg_price
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val oc = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      val seg = oc.groupBy("c_mktsegment").agg(avg("o_totalprice").as("avg_price"))
+      oc.join(broadcast(seg), "c_mktsegment")
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_above"))
+        .orderBy("c_mktsegment")
+    },
+  )
+}
