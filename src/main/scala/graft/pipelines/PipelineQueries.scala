@@ -12,6 +12,28 @@ object PipelineQueries {
 
   val queries: Seq[Q] = Seq(
 
+    // The 100 TB daily-run shape end-to-end: two run-dates sliced from
+    // events, each landed via dynamic partition overwrite (day 2 re-run to
+    // prove partition-scoped idempotency), read back through the partitioned
+    // table. Oracle = the same two days straight from the source.
+    Q("q60_partitioned_daily",
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-10' OR CAST(ts AS DATE) = DATE '2024-01-11'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val root = Files.createTempDirectory("graft-q60").toString
+      val t = new graft.write.DatePartitionedTable(s, root)
+      val events = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      def run(day: LocalDate): Unit =
+        t.writeRun(Pipelines.runDateSlice(events, "ts", day).drop("ts"), day)
+      run(LocalDate.of(2024, 1, 10))
+      run(LocalDate.of(2024, 1, 11))
+      run(LocalDate.of(2024, 1, 11)) // idempotent re-run of day 2
+      t.read()
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
     // P4/C8 — the parameterized run-date predicate as a declared operator:
     // one day's slice of the events stream (the filter reaches the parquet
     // scan as a pushed predicate on the nanos column's derived date).

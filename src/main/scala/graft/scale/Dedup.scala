@@ -176,7 +176,9 @@ object Dedup {
     // is only the exact-clone subset which LSH must find with 16 bands of 4
     // (an exact copy collides in every band; jaccard >= 0.7 keeps near-dups).
     Q.noOracle("q26_minhash_neardup") { (s, d) =>
-      val corpus = withClones(Tables.documents(s, d).select("doc_id", "text"))
+      // corpus is consumed twice (signatures + verify); cache it so the
+      // parquet read + clone synthesis runs once
+      val corpus = withClones(Tables.documents(s, d).select("doc_id", "text")).cache()
       val sigs = minhashSignatures(corpus)
       val cand = minhashCandidates(sigs)
       jaccardVerify(corpus, cand)
