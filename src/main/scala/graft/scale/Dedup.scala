@@ -24,11 +24,7 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
   /** MinHash signatures: k independent min-hashes over distinct word
-    * shingles — computed as a pure projection (array_min over the per-seed
-    * hash of the shingle array), so signature generation is shuffle-free and
-    * whole-stage-codegen'd: at 100 TB the only cost is the scan itself.
-    * (The explode → groupBy(doc) formulation shuffles |docs|·|shingles| rows
-    * for the identical result.)
+    * shingles, via explode + partial-aggregated groupBy (details below).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleSize: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -80,12 +76,15 @@ object Dedup {
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (the verify step after
-    * LSH). The candidate list is orders of magnitude smaller than the corpus,
-    * so it is semi-joined against the docs twice (per side) and the Jaccard
-    * is a per-row array_intersect over the two shingle sets — the work is
-    * bounded by |candidates|, never by shingle frequency (a hot shingle
-    * shared by 10k docs adds zero join rows here, vs ~5·10⁷ in the naive
-    * shingle-equality self-join).
+    * LSH): join the pair list to per-doc shingle arrays (one per side), then
+    * the Jaccard is a per-row array_intersect — join fan-out is bounded by
+    * |candidates|, never by shingle frequency (a hot shingle shared by 10k
+    * docs adds zero join rows here, vs ~5·10⁷ in the naive shingle-equality
+    * self-join). The shingle pass over docs is the same linear cost class as
+    * signature generation itself; restricting it to candidate docs with a
+    * pre-join measured SLOWER end-to-end here (extra join topology beats the
+    * saved projection only when candidates ≪ corpus AND the corpus isn't
+    * already being scanned — revisit with a profiler before "optimizing").
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, shingleSize: Int = 3,
                     threshold: Double = 0.7,
