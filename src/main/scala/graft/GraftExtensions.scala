@@ -1,14 +1,22 @@
 package graft
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, DistinctShingles, MinHashSignature, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extensions registering the engine's native expressions with the
   * SQL function registry (`spark.sql.extensions=graft.GraftExtensions`), so
-  * `SELECT cosine_sim(a, b)` works from SQL as well as the Column API.
+  * `SELECT cosine_sim(a, b)` etc. work from SQL as well as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
@@ -16,6 +24,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => {
         require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      exprs => {
+        require(exprs.length == 3,
+          s"minhash_signature(text, numHashes, shingleSize) expects 3 arguments, got ${exprs.length}")
+        MinHashSignature(exprs.head,
+          intArg(exprs(1), "minhash_signature"), intArg(exprs(2), "minhash_signature"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "distinct_shingles"),
+      exprs => {
+        require(exprs.length == 2,
+          s"distinct_shingles(text, shingleSize) expects 2 arguments, got ${exprs.length}")
+        DistinctShingles(exprs.head, intArg(exprs(1), "distinct_shingles"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      exprs => {
+        require(exprs.length == 1, s"simhash64(text) expects 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
       }))
   }
 }

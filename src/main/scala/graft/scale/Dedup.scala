@@ -94,22 +94,15 @@ object Dedup {
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over tokens
     * of ±1 according to bit i of the token hash. Near-dups have small hamming
-    * distance. explode + groupBy(doc) with 64 conditional sums — fully
-    * codegen'd (measured ~3x faster than an interpreted higher-order-function
-    * projection); map-side partial aggregation shrinks the shuffle to
-    * |docs|·64 ints (see minhashSignatures for why).
+    * distance. One native kernel call per row
+    * ([[graft.expressions.SimHash64]]) — no explode, no shuffle, codegen
+    * preserved.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col(idCol), sig.as("simhash"))
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol))))
+    docs.select(col(idCol), sig.as("simhash"))
   }
 
   /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit

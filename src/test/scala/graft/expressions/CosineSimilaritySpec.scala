@@ -51,6 +51,31 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(got.forall { case (_, s) => math.abs(s - 1.0) < 1e-9 })
   }
 
+  test("minhash_signature / distinct_shingles / simhash64 callable from SQL") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "t").createOrReplaceTempView("sql_exprs")
+    val row = spark.sql(
+      """SELECT size(minhash_signature(t, 16, 3)) AS sig_len,
+        |       size(distinct_shingles(t, 3)) AS n_shingles,
+        |       simhash64(t) AS sh
+        |FROM sql_exprs""".stripMargin).head()
+    assert(row.getInt(0) === 16)
+    assert(row.getInt(1) === 7) // 9 tokens -> 7 trigram shingles, all distinct
+    assert(row.getLong(2) !== 0L)
+  }
+
+  test("DistinctShingles matches the composable Text.shingles semantics") {
+    import graft.scale.Text
+    val df = Seq("a b c d e", "a b", "x").toDF("t")
+    val native = df.select(org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("t")), 3)))
+      .as[Seq[String]].collect()
+    val composed = df.select(array_distinct(Text.shingles(col("t"), 3)))
+      .as[Seq[String]].collect()
+    assert(native.toSeq === composed.toSeq)
+  }
+
   test("codegen path actually compiles (no fallback to interpreted)") {
     val emb = Tables.embeddings(spark, sfDir).limit(10)
     val df = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("s"))
