@@ -141,12 +141,15 @@ object Extended {
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // one array-form aggregate: a single value-map pass serves all three
+      // quantiles (three separate percentile aggs triple the work)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"),
+          round(element_at(col("ps"), 3), 4).as("p99"))
         .orderBy("l_returnflag")
     },
 

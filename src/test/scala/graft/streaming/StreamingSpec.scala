@@ -95,6 +95,27 @@ class StreamingSpec extends SparkSpec {
     assert(last === Streaming.UserRunning(1L, 3L, 2L))
   }
 
+  test("streaming session windows == batch sessionization (gap semantics parity)") {
+    // Same 30-minute gap, same events: the session count and per-session
+    // event counts must agree between session_window (streaming) and the
+    // batch lag/running-sum sessionizer (q16's form).
+    val wh = Files.createTempDirectory("graft-sess-parity").toString
+    val q = Streaming.sessionCounts(Streaming.eventsStream(spark, sfDir), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$wh/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_parity")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val batch = graft.SparkEntry.queries("q16_sessionize")(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("eventsStream reads the driver events table as a file stream") {
     val stream = Streaming.eventsStream(spark, sfDir)
     assert(stream.isStreaming)
