@@ -137,11 +137,15 @@ object Similarity {
               seed: Long = 42,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val d = resolveDim(corpus, vecCol, dim)
+    // Bucket relation stays NARROW — (nid, tid, bucket) longs only. The
+    // vector column must not ride through the tables-x explode and the
+    // collision join: at scale that multiplies shuffle volume by `tables`
+    // x vector width. Vectors are re-joined by id for candidates only.
     val cBuckets = array((0 until tables).map(t =>
       struct(lit(t).as("tid"), bucketExpr(planes, d, seed + t, vecCol).as("bucket"))): _*)
     val c = corpus
-      .select(col(idCol).as("nid"), col(vecCol).as("cv"), explode(cBuckets).as("tb"))
-      .select(col("nid"), col("cv"), col("tb.tid").as("tid"), col("tb.bucket").as("bucket"))
+      .select(col(idCol).as("nid"), explode(cBuckets).as("tb"))
+      .select(col("nid"), col("tb.tid").as("tid"), col("tb.bucket").as("bucket"))
     val qWithB = (0 until tables).foldLeft(queries) { (df, t) =>
       df.withColumn(s"__b$t", bucketExpr(planes, d, seed + t, vecCol))
     }
@@ -154,12 +158,15 @@ object Similarity {
       base +: flips
     }: _*)
     val q = broadcast(qWithB
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"), explode(qProbes).as("tb"))
-      .select(col("qid"), col("qv"), col("tb.tid").as("tid"), col("tb.bucket").as("bucket")))
-    c.join(q, Seq("tid", "bucket"))
+      .select(col(idCol).as("qid"), explode(qProbes).as("tb"))
+      .select(col("qid"), col("tb.tid").as("tid"), col("tb.bucket").as("bucket")))
+    val pairs = c.join(q, Seq("tid", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("cv"))
-      .dropDuplicates("qid", "nid") // collapse multi-table hits before rerank
+      .select("qid", "nid")
+      .distinct() // collapse multi-table/multi-probe hits before rerank
+    val qv = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    pairs.join(qv, "qid").join(cv, "nid")
       .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
@@ -227,16 +234,21 @@ object Similarity {
     */
   def cosineNearDup(corpus: DataFrame, threshold: Double, planes: Int = 8, dim: Int = -1,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Narrow collision join — (id, bucket) longs only; the multi-probe
+    // explode multiplies rows by planes+1, which must not multiply vector
+    // bytes through the shuffle. Vectors re-join by id for candidate pairs.
     val b = hyperplaneBuckets(corpus, planes, dim, vecCol = vecCol)
-      .select(col(idCol), col(vecCol), col("bucket"))
+      .select(col(idCol), col("bucket"))
     val probed = b.withColumn("bucket", explode(concat(
         array(col("bucket")),
         array((0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))))
-    probed.as("a").join(b.as("b"),
+    val pairs = probed.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$vecCol").as("va"), col(s"b.$vecCol").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
