@@ -153,6 +153,21 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
+    // The 100 TB percentile path: approx_percentile (t-digest-like sketch,
+    // bounded state per group) — q58's exact form keeps every distinct value
+    // in memory per group and does not survive scale. Rows-only (sketch
+    // estimates are engine-specific); ScaleSpec bounds the error vs exact.
+    Q.noOracle("q63_percentiles_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 2).as("p50"),
+          round(element_at(col("ps"), 2), 2).as("p90"),
+          round(element_at(col("ps"), 3), 2).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // Scalar subquery: orders above their segment's average value.
     Q("q59_above_avg",
       """WITH seg AS (

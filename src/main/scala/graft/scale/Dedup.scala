@@ -8,11 +8,10 @@ import org.apache.spark.sql.functions._
   * Spark's shuffle: exact (hash group-by), MinHash+LSH banding (near-dup),
   * SimHash (near-dup via hamming buckets), n-gram Jaccard (verification).
   *
-  * Scale notes (100 TB): every variant reduces to explode → hash-partitioned
-  * aggregation → an equi-join on short bucket keys. Nothing is pairwise over
-  * the full corpus; candidate generation is always via bucket collision so
-  * the join fan-out is bounded by bucket size, and the only full-width
-  * shuffle carries (doc_id, 64 longs) signatures, not document text.
+  * Scale notes (100 TB): signatures are pure projections (native kernel
+  * expressions — zero shuffle); candidate generation is always an equi-join
+  * on short bucket keys over narrow (id, bucket) relations, so join fan-out
+  * is bounded by bucket size and no shuffle ever carries document text.
   */
 object Dedup {
 

@@ -50,13 +50,18 @@ object Landing {
   * `lines[1:]` slice.
   */
 object CsvSource {
+  /** `mode`: PERMISSIVE (default — malformed fields null out), DROPMALFORMED
+    * (skip bad rows), or FAILFAST (abort the job on the first bad row —
+    * use for sources where silent data loss is worse than a failed run).
+    */
   def read(spark: SparkSession, path: String, schema: StructType,
-           header: Boolean = true): DataFrame =
-    spark.read.option("header", header.toString).schema(schema).csv(path)
+           header: Boolean = true, mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.option("header", header.toString).option("mode", mode)
+      .schema(schema).csv(path)
 
   def fromText(spark: SparkSession, csvText: String, schema: StructType,
-               header: Boolean = true): DataFrame =
-    read(spark, Landing.writeText(csvText, "payload.csv"), schema, header)
+               header: Boolean = true, mode: String = "PERMISSIVE"): DataFrame =
+    read(spark, Landing.writeText(csvText, "payload.csv"), schema, header, mode)
 
   def fromUrl(spark: SparkSession, url: String, schema: StructType,
               fetcher: Fetcher = HttpFetcher, header: Boolean = true): DataFrame =
@@ -68,11 +73,13 @@ object CsvSource {
   * are selected with dotted paths (P2).
   */
 object JsonSource {
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  def read(spark: SparkSession, path: String, schema: StructType,
+           mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.option("mode", mode).schema(schema).json(path)
 
-  def fromText(spark: SparkSession, jsonText: String, schema: StructType): DataFrame =
-    read(spark, Landing.writeText(jsonText, "payload.json"), schema)
+  def fromText(spark: SparkSession, jsonText: String, schema: StructType,
+               mode: String = "PERMISSIVE"): DataFrame =
+    read(spark, Landing.writeText(jsonText, "payload.json"), schema, mode)
 
   def fromUrl(spark: SparkSession, url: String, schema: StructType,
               fetcher: Fetcher = HttpFetcher): DataFrame =

@@ -51,6 +51,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles within 1% of exact at accuracy=10000") {
+    val exact = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .select(col("l_returnflag"), col("ps")).as[(String, Seq[Double])].collect().toMap
+    val approx = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+      .select(col("l_returnflag"), col("ps")).as[(String, Seq[Double])].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, ap) <- approx; (a, e) <- ap.zip(exact(k)))
+      assert(math.abs(a - e) / e < 0.01, s"group $k: approx $a vs exact $e")
+  }
+
   test("approx MAU is within the advertised error of exact (HLL++ rsd=0.01)") {
     val exact = Tables.events(spark, sfDir)
       .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))

@@ -79,6 +79,22 @@ class SourcesSpec extends SparkSpec {
     assert(got === Set(2, 3))
   }
 
+  test("JSON malformed-row modes: DROPMALFORMED skips, FAILFAST aborts") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("n", IntegerType)))
+    // middle line is not valid JSON (CSV's parser pads/truncates tokens, so
+    // mode semantics are demonstrated on the JSON reader where a broken
+    // record is unambiguous)
+    val bad = """{"name":"ok","n":1}
+                |{"name": BROKEN
+                |{"name":"ok2","n":2}""".stripMargin
+    val dropped = JsonSource.fromText(spark, bad, schema, mode = "DROPMALFORMED")
+    assert(dropped.count() === 2)
+    val failing = JsonSource.fromText(spark, bad, schema, mode = "FAILFAST")
+    intercept[org.apache.spark.SparkException] { failing.collect() }
+  }
+
   test("Export.toCsvDir writes one header CSV with NULLs blanked (K6/F12)") {
     val out = java.nio.file.Files.createTempDirectory("graft-export").toString
     Export.toCsvDir(Seq(("a", Some("x")), ("b", None)).toDF("k", "v"), out)
