@@ -77,6 +77,26 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // The SURVEY §4 scale rewrite of q03: first/last channel per user as
+    // min_by/max_by aggregation — ONE shuffle (partial-aggregated groupBy)
+    // instead of window + DISTINCT's two. Identical results (same oracle
+    // shape as q03); PlanSpec asserts the single-exchange plan.
+    Q("q64_channel_minby",
+      """SELECT DISTINCT user_id,
+        | first_value(event_type) OVER w AS first_et,
+        | last_value(event_type) OVER w AS last_et
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_et"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_et"))
+        .orderBy("user_id")
+    },
+
     // A2/F2-F5 — NPS summary shape (config/nps_summary.py:4-11): CASE with no
     // ELSE (NULL ignored by SUM), ::float cast, ROUND(x, 2).
     Q("q04_nps_summary",

@@ -113,9 +113,15 @@ object JdbcSource {
 
   def incremental(spark: SparkSession, url: String, table: String,
                   dateCol: String, runDate: LocalDate,
-                  props: java.util.Properties = new java.util.Properties): DataFrame =
+                  props: java.util.Properties = new java.util.Properties): DataFrame = {
+    // half-open range, not to_date(col) = d: plain column comparisons push
+    // into the remote WHERE clause (JDBC V1 can't push function filters, so
+    // the DATE() form would pull the whole table and filter locally)
+    val start = java.sql.Timestamp.valueOf(runDate.atStartOfDay)
+    val end = java.sql.Timestamp.valueOf(runDate.plusDays(1).atStartOfDay)
     full(spark, url, table, props)
-      .filter(to_date(col(dateCol)) === lit(java.sql.Date.valueOf(runDate)))
+      .filter(col(dateCol) >= lit(start) && col(dateCol) < lit(end))
+  }
 }
 
 /** S5: sheet-shaped ingestion — a header row + string cells

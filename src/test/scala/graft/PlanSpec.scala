@@ -44,6 +44,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"), plan)
   }
 
+  test("q64 min_by rewrite: one aggregation shuffle with map-side partials") {
+    val plan = planOf(SparkEntry.queries("q64_channel_minby")(spark, sfDir))
+    // exactly two exchanges: the hash exchange of the partial-aggregated
+    // groupBy and the range exchange of the output sort — no window, no
+    // distinct re-shuffle (q03's literal-parity form pays those)
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 2, s"plan:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("partial_min"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q30 brute-force top-k uses the partial (per-partition heap) form") {
     val plan = planOf(SparkEntry.queries("q30_knn_cosine")(spark, sfDir))
     // the mapPartitions pre-top-k appears as a SerializeFromObject/MapPartitions
@@ -72,8 +84,9 @@ class PlanSpec extends SparkSpec {
   test("exact dedup aggregates on the hash, never shuffling text twice") {
     val plan = planOf(graft.scale.Dedup.exact(Tables.documents(spark, sfDir)))
     // partial then final HashAggregate around a single Exchange
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, s"expected at most one shuffle, plan:\n$plan")
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 1, s"expected exactly one shuffle, plan:\n$plan")
     assert(plan.contains("HashAggregate"), plan)
   }
 }

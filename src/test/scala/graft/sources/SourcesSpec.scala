@@ -72,6 +72,7 @@ class SourcesSpec extends SparkSpec {
     val url = s"jdbc:derby:$db;create=true"
     Seq(("2026-01-01 10:00:00", 1), ("2026-01-02 11:00:00", 2), ("2026-01-02 12:00:00", 3))
       .toDF("created_at", "id")
+      .withColumn("created_at", to_timestamp(col("created_at")))
       .write.mode("overwrite").jdbc(url, "t", new java.util.Properties)
     val got = JdbcSource.incremental(spark, url, "t", "created_at",
         java.time.LocalDate.of(2026, 1, 2))
