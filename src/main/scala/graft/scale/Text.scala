@@ -79,6 +79,18 @@ object Text {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Rolling-hash content-defined chunk fingerprints (Rabin–Karp window +
+    * boundary mask) — the fuzzy-dedup primitive: shared fingerprints between
+    * docs witness shared content regions even after insertions/deletions.
+    * Native kernel ([[graft.expressions.RollingChunks]]).
+    */
+  def rollingChunks(text: Column, window: Int = 16, boundaryBits: Int = 6,
+                    maxChunk: Int = 512): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.RollingChunks(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        window, boundaryBits, maxChunk))
+
   /** Language-ID by character-trigram profile voting: each language gets a
     * small set of highly characteristic trigrams/stopwords; the language with
     * the most hits wins, 'und' (undetermined) on zero hits. A real deployment
@@ -168,6 +180,43 @@ object Text {
       Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // F9-adjacent — token counting two ways, both oracled: whitespace words
+    // and alphanumeric-run tokens (the BPE-ish pre-tokenizer's run count).
+    Q("q65_token_counts",
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS n_words,
+        | length(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g')) AS n_alnum_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_words"),
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9]+", "")).as("n_alnum_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling-hash fuzzy dedup: chunk-fingerprint overlap between the corpus
+    // and planted mutated copies (a token dropped mid-document). Whole-doc
+    // hashing finds nothing here; shared content-defined chunks do. The
+    // pipeline is explode -> groupBy fingerprint -> pair count — short keys
+    // only, text never shuffles. Rows-only; the spec asserts overlap
+    // properties exactly.
+    Q.noOracle("q66_rolling_neardup") { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val mutated = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text",
+          expr("concat(substring(text, 1, 200), substring(text, 230))"))
+      val corpus = docs.unionByName(mutated)
+      val chunks = corpus.select(col("doc_id"),
+        explode(rollingChunks(col("text"))).as("fp"))
+      val pairs = chunks.as("a").join(chunks.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_chunks"))
+        .filter(col("shared_chunks") >= 3)
+      pairs.orderBy("doc_a", "doc_b")
     },
 
     // Language-ID heuristic — not SQL-oracle-able (profiles live in the

@@ -68,6 +68,24 @@ class TextSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("rollingChunks: mutation changes only the touched chunks (CDC property)") {
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    // drop a few tokens from the middle: prefix and suffix chunks must
+    // re-synchronize and keep identical fingerprints
+    val mutated = ((1 to 190) ++ (196 to 400)).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, mutated), (3L, "entirely different material")).toDF("id", "t")
+    val chunks = df.select(col("id"), Text.rollingChunks(col("t")).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val shared = chunks(1L).toSet intersect chunks(2L).toSet
+    assert(chunks(1L).size > 3, s"expected several chunks, got ${chunks(1L).size}")
+    assert(shared.size >= (chunks(1L).size * 0.5).toInt,
+      s"mutation destroyed re-synchronization: ${shared.size} of ${chunks(1L).size} shared")
+    assert((chunks(1L).toSet intersect chunks(3L).toSet).isEmpty)
+    // deterministic
+    assert(df.select(Text.rollingChunks(col("t"))).collect().toSeq ===
+      df.select(Text.rollingChunks(col("t"))).collect().toSeq)
+  }
+
   test("qualityScore favors prose over noise") {
     val scores = Seq(
       "This is a well formed English sentence of a reasonable length that continues long enough to look like prose in every way.",
