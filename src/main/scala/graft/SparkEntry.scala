@@ -16,6 +16,7 @@ object SparkEntry {
     ops.Relational.queries ++
     ops.Scale.queries ++
     ops.Extended.queries ++
+    ops.Temporal.queries ++
     functions.Cleaning.queries ++
     sources.SourceQueries.queries ++
     summary.Golden.queries ++

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: latest right at-or-before each left; null when none") {
+    val quotes = Seq( // (key, ts, price)
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("B", ts("2024-01-01 10:02:00"), 50.0)
+    ).toDF("sym", "qts", "price")
+    val trades = Seq( // (key, ts, qty)
+      ("A", ts("2024-01-01 10:00:00"), 1L), // tie: equal ts is visible (<=)
+      ("A", ts("2024-01-01 10:04:59"), 2L), // between quotes -> 100.0
+      ("A", ts("2024-01-01 11:00:00"), 3L), // after last -> 101.0
+      ("B", ts("2024-01-01 10:00:00"), 4L), // before any quote -> null
+      ("C", ts("2024-01-01 10:00:00"), 5L)  // key never quoted -> null
+    ).toDF("sym", "tts", "qty")
+    val out = Temporal.asofJoin(trades, quotes, "sym", "tts", "qts", Seq("price"))
+      .select("qty", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      1L -> Some(100.0), 2L -> Some(100.0), 3L -> Some(101.0),
+      4L -> None, 5L -> None))
+  }
+
+  test("asofJoin keeps every left row exactly once") {
+    val left = (1 to 100).map(i => ("k", ts(f"2024-01-01 10:${i % 60}%02d:00"), i)).toDF("k", "lts", "id")
+    val right = Seq(("k", ts("2024-01-01 10:30:00"), "x")).toDF("k", "rts", "v")
+    val out = Temporal.asofJoin(left, right, "k", "lts", "rts", Seq("v"))
+    assert(out.count() === 100)
+    assert(out.select("id").distinct().count() === 100)
+  }
+}
