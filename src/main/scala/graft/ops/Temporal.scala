@@ -40,7 +40,52 @@ object Temporal {
     carried.filter(col("__tag") === 1).drop("__tag", "__ts")
   }
 
+  /** Range (point-in-interval) join without the cross product: Spark plans a
+    * raw `ts BETWEEN start AND end` join as BroadcastNestedLoop — quadratic.
+    * Instead both sides are bucketed into fixed time bins (points to their
+    * bin, intervals to every bin they cover), equi-joined on (key, bin), and
+    * exact containment filtered after. A point lives in exactly one bin, so
+    * no pair duplicates. Join fan-out is bounded by rows-per-bin; pick
+    * `binSeconds` near the typical interval length so intervals explode to
+    * O(1) bins.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                tsCol: String, startCol: String, endCol: String,
+                binSeconds: Long = 3600L): DataFrame = {
+    val p = points.withColumn("__bin", floor(unix_seconds(col(tsCol)) / binSeconds))
+    val i = intervals.withColumn("__bin", explode(sequence(
+      floor(unix_seconds(col(startCol)) / binSeconds),
+      floor(unix_seconds(col(endCol)) / binSeconds))))
+    p.join(i, Seq(key, "__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // Bin-bucketed range join oracled against DuckDB's plain inequality
+    // join: clicks inside the hour before each user's first purchase.
+    Q("q68_range_join",
+      """WITH fp AS (SELECT user_id, min(ts) AS end_ts
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | win AS (SELECT user_id, end_ts - INTERVAL 1 HOUR AS start_ts, end_ts FROM fp)
+        |SELECT w.user_id, count(c.event_id) AS n_clicks
+        |FROM win w LEFT JOIN events c
+        |  ON c.user_id = w.user_id AND c.event_type = 'click'
+        |  AND c.ts >= w.start_ts AND c.ts <= w.end_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val win = events.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("end_ts"))
+        .withColumn("start_ts", col("end_ts") - expr("INTERVAL 1 HOUR"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val matched = rangeJoin(clicks, win, "user_id", "ts", "start_ts", "end_ts")
+        .groupBy("user_id").agg(count("event_id").as("n_clicks"))
+      win.select("user_id").join(matched, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy("user_id")
+    },
 
     // As-of join oracled against DuckDB's native ASOF JOIN: each purchase
     // event gets the user's latest click at or before it. The right side is

@@ -29,6 +29,23 @@ class TemporalSpec extends SparkSpec {
       4L -> None, 5L -> None))
   }
 
+  test("rangeJoin == naive inequality join (containment, bin boundaries)") {
+    val points = (0 until 500).map(i =>
+      ("k" + i % 3, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"), i)).toDF("k", "pts", "id")
+    val intervals = Seq(
+      ("k0", ts("2024-01-01 05:30:00"), ts("2024-01-01 09:15:00"), "i1"), // spans bins
+      ("k1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:59:59"), "i2"), // within one bin
+      ("k2", ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00"), "i3")  // crosses midnight
+    ).toDF("k", "s", "e", "iv")
+    val naive = points.join(intervals,
+        points("k") === intervals("k") && col("pts") >= col("s") && col("pts") <= col("e"))
+      .select("id", "iv").as[(Int, String)].collect().toSet
+    val bucketed = Temporal.rangeJoin(points, intervals, "k", "pts", "s", "e")
+      .select("id", "iv").as[(Int, String)].collect().toSet
+    assert(bucketed === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = (1 to 100).map(i => ("k", ts(f"2024-01-01 10:${i % 60}%02d:00"), i)).toDF("k", "lts", "id")
     val right = Seq(("k", ts("2024-01-01 10:30:00"), "x")).toDF("k", "rts", "v")
