@@ -16,6 +16,10 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Verify dual-keys every oracle ("qNN_x" and "qNN_x.parquet") for driver
+# compatibility; collapse to the bare form here so paths resolve once.
+oracles = {k: v for k, v in oracles.items()
+           if not (k.endswith(".parquet") and k.removesuffix(".parquet") in oracles)}
 
 def canon(df):
     df = df[sorted(df.columns)]
