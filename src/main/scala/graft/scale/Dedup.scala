@@ -2,6 +2,7 @@ package graft.scale
 
 import graft.core.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed around
@@ -45,7 +46,7 @@ object Dedup {
     * Returns candidate pairs (doc_a < doc_b) — feed to `jaccardVerify`.
     */
   def minhashCandidates(signatures: DataFrame, bands: Int = 16, sigLen: Int = 64,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
     require(sigLen % bands == 0, s"sigLen=$sigLen must be divisible by bands=$bands")
     val rows = sigLen / bands
     val banded = signatures.select(
@@ -54,13 +55,24 @@ object Dedup {
         b => xxhash64(b, array_join(transform(
           slice(col("signature"), b * rows + 1, lit(rows)), h => h.cast("string")), ","))))
         .as(Seq("band", "band_hash")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+    // Hot-bucket bound: a band value shared by m docs (web boilerplate is
+    // duplicated 10^6 times) would alone yield m(m-1)/2 pairwise rows. Buckets
+    // over maxBucket instead star-link every member to the bucket's min-id
+    // representative: m-1 rows, and dedup connectivity is preserved (every
+    // member still reaches the group through the representative). The window
+    // shuffles on the same (band, band_hash) key the join needs anyway.
+    val w = Window.partitionBy("band", "band_hash")
+    val sized = banded
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(col(idCol)).over(w))
+    val cold = sized.filter(col("__n") <= maxBucket)
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    val hotPairs = sized.filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
+    coldPairs.unionByName(hotPairs).distinct()
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (the verify step after
@@ -109,16 +121,30 @@ object Dedup {
     * join on chunk equality, verify with bit_count(xor) <= maxHamming.
     */
   def simhashCandidates(sigs: DataFrame, maxHamming: Int = 3,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
     val chunked = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("chunk_idx", "chunk")))
-    chunked.as("a").join(chunked.as("b"),
+    // Hot-bucket bound (same rationale as minhashCandidates): a 16-bit chunk
+    // has only 65,536 values per index, so at corpus scale every bucket is
+    // huge — buckets over maxBucket star-link to the min-id representative
+    // (carried with its signature so the hamming verify still runs) instead
+    // of the full pairwise join.
+    val w = Window.partitionBy("chunk_idx", "chunk")
+    val sized = chunked
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(struct(col(idCol), col("simhash"))).over(w))
+    val cold = sized.filter(col("__n") <= maxBucket)
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+    val hotPairs = sized
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__rep").getField(idCol))
+      .select(col("__rep").getField(idCol).as("doc_a"), col(idCol).as("doc_b"),
+        bit_count(col("__rep").getField("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    coldPairs.unionByName(hotPairs).distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -158,12 +184,16 @@ object Dedup {
     // is only the exact-clone subset which LSH must find with 16 bands of 4
     // (an exact copy collides in every band; jaccard >= 0.7 keeps near-dups).
     Q.noOracle("q26_minhash_neardup") { (s, d) =>
-      // corpus is consumed twice (signatures + verify); cache it so the
+      // corpus is consumed twice (signatures + verify); materialize it so the
       // parquet read + clone synthesis runs once. Signatures are consumed by
-      // both sides of the banding self-join — caching the tiny (id, 64-long)
+      // both sides of the banding self-join — reusing the tiny (id, 64-long)
       // relation halves candidate generation (profiled 4.0s -> 1.2s).
-      val corpus = withClones(Tables.documents(s, d).select("doc_id", "text")).cache()
-      val sigs = minhashSignatures(corpus).cache()
+      // localCheckpoint, not cache: checkpoint blocks are freed by the
+      // ContextCleaner once the query's DataFrames are GC'd, so the
+      // materialization can't outlive this query in a 65-query session
+      // (a .cache() here stays pinned until explicit unpersist).
+      val corpus = withClones(Tables.documents(s, d).select("doc_id", "text")).localCheckpoint()
+      val sigs = minhashSignatures(corpus).localCheckpoint()
       val cand = minhashCandidates(sigs)
       jaccardVerify(corpus, cand)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -31,12 +31,14 @@ object PipelineQueries {
         .drop("__padded")
         .filter(col("lang_pred") =!= "und")
       val keepers = Dedup.exact(withLang).select(col("keep_id").as("doc_id"))
-      // cache at the widest reuse point: everything downstream (signatures,
-      // both jaccard sides, the anti-join, the final stats) re-reads this
-      // relation, and the quality/langid regex chain above it is the
-      // expensive part — cache here so it runs once
-      val exactDeduped = withLang.join(keepers, "doc_id").cache()
-      val sigs = Dedup.minhashSignatures(exactDeduped).cache()
+      // materialize at the widest reuse point: everything downstream
+      // (signatures, both jaccard sides, the anti-join, the final stats)
+      // re-reads this relation, and the quality/langid regex chain above it
+      // is the expensive part — run it once. localCheckpoint, not cache, so
+      // the blocks are GC-freed after the query instead of staying pinned
+      // for the rest of the 65-query session.
+      val exactDeduped = withLang.join(keepers, "doc_id").localCheckpoint()
+      val sigs = Dedup.minhashSignatures(exactDeduped).localCheckpoint()
       val nearDupLosers = Dedup.jaccardVerify(exactDeduped,
           Dedup.minhashCandidates(sigs), threshold = 0.8)
         .select(col("doc_b").as("doc_id")).distinct()

@@ -91,6 +91,30 @@ object Text {
         org.apache.spark.sql.GraftColumnBridge.expression(text),
         window, boundaryBits, maxChunk))
 
+  /** Chunk-overlap near-dup pairs: explode each doc's rolling-hash chunk
+    * fingerprints, self-join on fingerprint equality, keep pairs sharing at
+    * least `minShared` chunks. Hot-fingerprint bound: a boilerplate chunk
+    * (license header, nav bar) shared by m docs would alone contribute
+    * m(m-1)/2 join rows, and a ubiquitous chunk carries no near-dup signal
+    * anyway — it is the chunk-level analogue of a stopword. Fingerprints
+    * with frequency above `maxDf` are dropped before pairing; the window
+    * shuffles on the same fp key the join needs anyway.
+    */
+  def chunkOverlapPairs(corpus: DataFrame, minShared: Int = 3, maxDf: Int = 50,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = corpus.select(col(idCol),
+      explode(rollingChunks(col(textCol))).as("fp"))
+    val bounded = chunks
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   /** Language-ID by character-trigram profile voting: each language gets a
     * small set of highly characteristic trigrams/stopwords; the language with
     * the most hits wins, 'und' (undetermined) on zero hits. A real deployment
@@ -209,14 +233,7 @@ object Text {
         .withColumn("text",
           expr("concat(substring(text, 1, 200), substring(text, 230))"))
       val corpus = docs.unionByName(mutated)
-      val chunks = corpus.select(col("doc_id"),
-        explode(rollingChunks(col("text"))).as("fp"))
-      val pairs = chunks.as("a").join(chunks.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared_chunks"))
-        .filter(col("shared_chunks") >= 3)
-      pairs.orderBy("doc_a", "doc_b")
+      chunkOverlapPairs(corpus).orderBy("doc_a", "doc_b")
     },
 
     // Language-ID heuristic — not SQL-oracle-able (profiles live in the

@@ -58,6 +58,32 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.5 && j < 1.0)
   }
 
+  test("minhash candidates stay linear under a hot bucket (mass duplicate)") {
+    // 1,000 exact copies of one document: every band bucket is hot, so the
+    // uncapped pairwise join would emit ~m^2/2 = 499,500 candidate rows.
+    // With the bucket cap the hot path star-links to the min-id
+    // representative: exactly m-1 = 999 pairs, all reaching doc 1 — dedup
+    // connectivity preserved, fan-out linear.
+    val mass = (1L to 1000L)
+      .map(i => (i, "the same boilerplate document repeated verbatim across the corpus"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(Dedup.minhashSignatures(mass), maxBucket = 20)
+      .as[(Long, Long)].collect()
+    assert(cands.length === 999)
+    assert(cands.forall(_._1 == 1L))
+    assert(cands.map(_._2).toSet === (2L to 1000L).toSet)
+  }
+
+  test("simhash candidates stay linear under a hot bucket (mass duplicate)") {
+    val mass = (1L to 1000L)
+      .map(i => (i, "the same boilerplate document repeated verbatim across the corpus"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidates(Dedup.simhash(mass), maxBucket = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length === 999)
+    assert(pairs.forall(p => p._1 == 1L && p._3 == 0L)) // all to rep, hamming 0
+  }
+
   test("simhash near-dup: exact copies have hamming 0, near copies small hamming") {
     // SimHash needs enough tokens for per-bit sums to be stable: on a ~15
     // token doc a one-word edit flips many near-zero bit sums. Use prose-

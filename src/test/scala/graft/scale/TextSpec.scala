@@ -86,6 +86,25 @@ class TextSpec extends SparkSpec {
       df.select(Text.rollingChunks(col("t"))).collect().toSeq)
   }
 
+  test("chunkOverlapPairs: finds near-dups, stays bounded under hot boilerplate") {
+    // 200 docs share an identical long boilerplate block (chunk frequency
+    // 200 > maxDf, so those fingerprints are dropped — they carry no
+    // near-dup signal) plus unique tails; docs 1/2 additionally share a
+    // genuinely rare long block. The uncapped join would emit ~200^2/2 rows
+    // from the boilerplate alone; capped, only the planted rare pair
+    // survives.
+    val boiler = (1 to 300).map(i => s"nav$i").mkString(" ")
+    val rare = (1 to 300).map(i => s"rare$i").mkString(" ")
+    val docs = (1L to 200L).map { i =>
+      val tail = (1 to 80).map(j => s"u${i}x$j").mkString(" ")
+      val body = if (i <= 2) s"$boiler $rare $tail" else s"$boiler $tail"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val pairs = Text.chunkOverlapPairs(docs, minShared = 3, maxDf = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
   test("qualityScore favors prose over noise") {
     val scores = Seq(
       "This is a well formed English sentence of a reasonable length that continues long enough to look like prose in every way.",
