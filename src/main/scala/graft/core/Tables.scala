@@ -16,6 +16,19 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  val NanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** events.parquet is TIMESTAMP(NANOS): readable only under the legacy
+    * nanosAsLong conf. Every graft session factory sets it at build time
+    * (Sessions.local, Verify, Bench, the test session); this guard exists
+    * solely for externally-created sessions (a harness driving SparkEntry
+    * with its own SparkSession), where the alternative to setting it is a
+    * hard read failure on every events query — not a cleaner plan.
+    */
+  private[graft] def ensureNanosConf(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(NanosConfKey).contains("true"))
+      spark.conf.set(NanosConfKey, "true")
+
   /** Read one table. `events.ts` is stored as INT64 TIMESTAMP(NANOS); we read
     * it as a long (legacy conf) and truncate to microseconds — the same
     * truncation DuckDB applies when it reads the file, so oracle comparisons
@@ -23,7 +36,7 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ensureNanosConf(spark)
       // integer division: epoch-nanos exceed double's 2^53 exact range, so
       // `/ 1000` via double could round across a microsecond boundary and
       // diverge from DuckDB's exact truncation
@@ -61,6 +74,7 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(Tables.NanosConfKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

@@ -23,8 +23,17 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                rightCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__ts", "__tag")
+    val collisions = (reserved ++ rightCols).filter(left.columns.contains) ++
+      rightCols.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"asofJoin: left columns collide with reserved/right names: ${collisions.mkString(", ")}")
     val lTagged = left.withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))
+    // NULL right timestamps would sort first (Spark default nulls-first asc)
+    // and their payload would carry into every left row — ASOF `<=` has no
+    // match semantics for them (DuckDB likewise excludes NULL-ts rows).
     val rTagged = right
+      .filter(col(rightTs).isNotNull)
       .select((col(key) +: col(rightTs).as("__ts") +: rightCols.map(col)): _*)
       .withColumn("__tag", lit(0))
     // allowMissingColumns nulls out left-only columns on right rows and

@@ -15,9 +15,24 @@ trait Notifier { def notifyFailure(job: String, error: Throwable): Unit }
 object Notifier {
   val noop: Notifier = (_, _) => ()
 
+  // JSON string escape: quotes/backslashes/control chars in an exception
+  // message (SQL fragments, file paths, newlines) would otherwise produce an
+  // invalid payload — on exactly the failure path the notifier exists for.
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   final class Webhook(post: String => Unit) extends Notifier {
-    def notifyFailure(job: String, error: Throwable): Unit =
-      post(s"""{"text": "task failed: $job - ${Option(error.getMessage).getOrElse(error.getClass.getSimpleName)}"}""")
+    def notifyFailure(job: String, error: Throwable): Unit = {
+      val msg = Option(error.getMessage).getOrElse(error.getClass.getSimpleName)
+      post(s"""{"text": "${jsonEscape(s"task failed: $job - $msg")}"}""")
+    }
   }
 }
 
@@ -69,7 +84,10 @@ final class JobRunner(
   }
 
   /** Retry loop: attempts = retries + 1; delay between attempts; the
-    * failure callback fires once, on final failure, then rethrows.
+    * failure callback fires once, on final failure, then rethrows. Only
+    * NonFatal errors are retried: an OutOfMemoryError means a possibly
+    * corrupted JVM (rerunning in it is worse than dying), and retrying
+    * InterruptedException would defeat cancellation.
     */
   private def runOne(ctx: RunContext, job: Job): Unit = {
     var attempt = 0
@@ -77,7 +95,7 @@ final class JobRunner(
     while (!done) {
       try { job.run(ctx); done = true }
       catch {
-        case e: Throwable if attempt < retry.retries =>
+        case scala.util.control.NonFatal(_) if attempt < retry.retries =>
           attempt += 1
           sleep(retry.delayMillis)
         case e: Throwable =>

@@ -17,7 +17,11 @@ import java.time.LocalDate
   * stay hermetic; the live implementation is a plain HTTPS GET exactly like
   * the reference's `requests.get(url).text`.
   */
-trait Fetcher { def fetch(url: String): String }
+/** Serializable because [[HttpSource.parallel]] ships the fetcher inside a
+  * mapPartitions closure to executors; a non-serializable implementation
+  * would fail the whole job at submit time with Task not serializable.
+  */
+trait Fetcher extends Serializable { def fetch(url: String): String }
 
 /** Live HTTP fetch (S1/S2 production path — NameGenderCSVtoRedshift.py:24-28,
   * UpdateCountry.py:27-35). Driver-side by design: the reference fetches one

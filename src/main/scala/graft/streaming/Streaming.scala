@@ -46,6 +46,28 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Windowed counts as a distributed sink: Update-mode rows from
+    * [[windowedCounts]] are merged latest-wins into the versioned table
+    * keyed by (window_start, event_type) — n_events is monotone within a
+    * key, so ordering by it keeps the freshest count. This is the declared
+    * 100 TB form: executors write parquet directly; nothing is ever
+    * materialized on the driver (a memory sink + Complete mode re-collects
+    * the whole result every micro-batch), and unlike a file sink in Append
+    * mode it does not lose the trailing windows a finite source's watermark
+    * never passes.
+    */
+  def windowedCountsSink(counts: DataFrame, table: VersionedTable,
+                         checkpoint: String): StreamingQuery =
+    counts.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.incrementalDedup(batch, keys = Seq("window_start", "event_type"),
+          orderCols = Seq("n_events"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Session windows (gap-based), the streaming twin of the batch q16
     * sessionization: a session closes after `gap` of inactivity per user.
     */
@@ -95,7 +117,7 @@ object Streaming {
     * only reads as long under the legacy conf; truncate to micros exactly.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.Tables.ensureNanosConf(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the driver table is a single file; stream its parent dir with a glob
     // (FileStreamSource requires a directory basePath)

@@ -32,21 +32,20 @@ object StreamingQueries {
 
     // Streaming windowed aggregation (watermark + tumbling window) drained
     // with AvailableNow — must match the equivalent batch window query.
+    // Declared with the distributed sink (foreachBatch latest-wins merge into
+    // a parquet-backed table): executors write directly, nothing lands on the
+    // driver. The memory-sink/Complete form lives only in StreamingSpec.
     Q("q50_streaming_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(1) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val wh = Files.createTempDirectory("graft-q50").toString
+      val table = new VersionedTable(s, s"$wh/window_counts")
       val counts = Streaming.windowedCounts(
         Streaming.eventsStream(s, d), windowLen = "1 hour", watermark = "1 hour")
-      val sinkName = s"q50_sink_${System.nanoTime()}"
-      val q = counts.writeStream.format("memory").queryName(sinkName)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .option("checkpointLocation", s"$wh/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = Streaming.windowedCountsSink(counts, table, s"$wh/ckpt")
       q.awaitTermination()
-      s.table(sinkName)
+      table.read()
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"))
         .orderBy("window_start", "event_type")

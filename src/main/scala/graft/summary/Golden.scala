@@ -64,9 +64,12 @@ object Golden {
   }
 
   private def buildOne(s: SparkSession, d: String, spec: SummarySpec) = {
-    Tables.events(s, d).createOrReplaceTempView("events")
     val wh = Files.createTempDirectory("graft-wh").toString
-    new SummaryBuilder(s, wh).build(spec).read()
+    // the events view is scoped to the build (registered by the builder,
+    // dropped after) — no session-global name leaks into later queries
+    new SummaryBuilder(s, wh)
+      .build(spec.copy(inputs = Map("events" -> Tables.events(s, d))))
+      .read()
   }
 
   val queries: Seq[Q] = Seq(

@@ -175,12 +175,22 @@ final case class CountCheck(sql: String, threshold: Long, op: String = ">=") {
   }
 }
 
+/** @param inputs   source relations the spec's SQL refers to by name; the
+  *                 builder registers them as temp views for the duration of
+  *                 the build only (dropped in a finally), so specs never leak
+  *                 session-global view names.
+  * @param preSql   statements run after the input gates and before the main
+  *                 CTAS (reference: redshift_summary.py:132-137's pre_sql) —
+  *                 typically staging DDL/temp views the main query reads.
+  */
 final case class SummarySpec(
     table: String,
     mainSql: String,
     inputChecks: Seq[CountCheck] = Nil,
     outputChecks: Seq[(DataFrame => Long, Long, String)] = Nil,
-    after: Option[DataFrame => Unit] = None)
+    after: Option[DataFrame => Unit] = None,
+    inputs: Map[String, DataFrame] = Map.empty,
+    preSql: Seq[String] = Nil)
 
 class CheckFailedException(msg: String) extends RuntimeException(msg)
 
@@ -198,19 +208,25 @@ final class SummaryBuilder(spark: SparkSession, warehouseRoot: String) {
     * never driver-side collects of data.
     */
   def build(spec: SummarySpec): VersionedTable = {
-    spec.inputChecks.foreach(runCheck)
-    val table = new VersionedTable(spark, s"$warehouseRoot/${spec.table}")
-    val df = spark.sql(spec.mainSql)
-    val staged = table.stage(df)
-    val stagedDf = spark.read.parquet(s"$warehouseRoot/${spec.table}/v$staged")
-    spec.outputChecks.foreach { case (measure, threshold, op) =>
-      val n = measure(stagedDf)
-      val ok = if (op == "eq") n == threshold else n >= threshold
-      if (!ok) throw new CheckFailedException(
-        s"output check failed on ${spec.table}: got $n, wanted $op $threshold")
-    }
-    table.promote(staged)
-    spec.after.foreach(_(stagedDf))
-    table
+    spec.inputs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    try {
+      spec.inputChecks.foreach(runCheck)
+      // pre-SQL runs between the gates and the CTAS (commands execute
+      // eagerly on spark.sql; a bare SELECT here would be a lazy no-op)
+      spec.preSql.foreach(spark.sql(_))
+      val table = new VersionedTable(spark, s"$warehouseRoot/${spec.table}")
+      val df = spark.sql(spec.mainSql)
+      val staged = table.stage(df)
+      val stagedDf = spark.read.parquet(s"$warehouseRoot/${spec.table}/v$staged")
+      spec.outputChecks.foreach { case (measure, threshold, op) =>
+        val n = measure(stagedDf)
+        val ok = if (op == "eq") n == threshold else n >= threshold
+        if (!ok) throw new CheckFailedException(
+          s"output check failed on ${spec.table}: got $n, wanted $op $threshold")
+      }
+      table.promote(staged)
+      spec.after.foreach(_(stagedDf))
+      table
+    } finally spec.inputs.keys.foreach(spark.catalog.dropTempView)
   }
 }

@@ -46,6 +46,27 @@ class TemporalSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("asofJoin ignores NULL right timestamps and rejects column collisions") {
+    // a NULL-ts quote would sort nulls-first and carry its payload into
+    // every trade; ASOF `<=` semantics (and the DuckDB oracle) exclude it
+    val quotes = Seq(
+      ("A", Option.empty[Timestamp], 999.0),
+      ("A", Some(ts("2024-01-01 10:00:00")), 100.0)
+    ).toDF("sym", "qts", "price")
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1L), // before any real quote -> null
+      ("A", ts("2024-01-01 10:30:00"), 2L)
+    ).toDF("sym", "tts", "qty")
+    val out = Temporal.asofJoin(trades, quotes, "sym", "tts", "qts", Seq("price"))
+      .select("qty", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(1L -> None, 2L -> Some(100.0)))
+    // rightCols colliding with a left column is an error, not silent clobber
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, quotes.withColumnRenamed("price", "qty"),
+        "sym", "tts", "qts", Seq("qty"))
+    }
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = (1 to 100).map(i => ("k", ts(f"2024-01-01 10:${i % 60}%02d:00"), i)).toDF("k", "lts", "id")
     val right = Seq(("k", ts("2024-01-01 10:30:00"), "x")).toDF("k", "rts", "v")

@@ -61,6 +61,32 @@ class RunnerSpec extends SparkSpec {
     assert(posts.head.contains("oops"))
   }
 
+  test("Webhook payload stays valid JSON when the error message has quotes/newlines") {
+    val posts = ListBuffer.empty[String]
+    new Notifier.Webhook(p => posts += p)
+      .notifyFailure("job_y", new RuntimeException("bad \"query\":\nline2\tend\\"))
+    // a JSON parser must accept the payload produced on the failure path
+    val parsed = spark.read.json(
+      spark.createDataset(posts.toList)(org.apache.spark.sql.Encoders.STRING))
+    val text = parsed.select("text").head().getString(0)
+    assert(text === "task failed: job_y - bad \"query\":\nline2\tend\\")
+  }
+
+  test("fatal errors are not retried (no sleep, immediate propagation)") {
+    var attempts = 0
+    val slept = ListBuffer.empty[Long]
+    val runner = new JobRunner(RetryPolicy(retries = 3, delayMillis = 999),
+      sleep = d => slept += d)
+    intercept[OutOfMemoryError] {
+      runner.runChain(ctx, Job("fatal", _ => {
+        attempts += 1
+        throw new OutOfMemoryError("simulated")
+      }))
+    }
+    assert(attempts === 1) // never rerun in a possibly corrupted JVM
+    assert(slept.isEmpty)
+  }
+
   test("PipelineLock rejects a concurrent second run and releases after") {
     val started = new java.util.concurrent.CountDownLatch(1)
     val release = new java.util.concurrent.CountDownLatch(1)

@@ -96,6 +96,17 @@ class SourcesSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { failing.collect() }
   }
 
+  test("HttpSource.parallel ships the fetcher to executors (Fetcher is Serializable)") {
+    // a SAM-lambda fetcher rides the mapPartitions closure; this fails with
+    // Task not serializable if Fetcher ever stops extending Serializable
+    val fetcher: Fetcher = url => s"body-of:$url"
+    val urls = (1 to 20).map(i => s"http://x/page$i")
+    val out = HttpSource.parallel(spark, urls, fetcher)
+      .as[(String, String)].collect().toMap
+    assert(out.size === 20)
+    assert(out("http://x/page7") === "body-of:http://x/page7")
+  }
+
   test("Export.toCsvDir writes one header CSV with NULLs blanked (K6/F12)") {
     val out = java.nio.file.Files.createTempDirectory("graft-export").toString
     Export.toCsvDir(Seq(("a", Some("x")), ("b", None)).toDF("k", "v"), out)

@@ -67,6 +67,23 @@ class VersionedTableSpec extends SparkSpec {
     intercept[CheckFailedException] { new SummaryBuilder(spark, wh).build(spec) }
   }
 
+  test("SummaryBuilder runs preSql before the CTAS; inputs views are build-scoped") {
+    val wh = tmp()
+    val spec = SummarySpec(
+      table = "pre_hooked",
+      // the staging view only exists if preSql ran first
+      mainSql = "SELECT id, v FROM pre_staged",
+      preSql = Seq(
+        "CREATE OR REPLACE TEMPORARY VIEW pre_staged AS SELECT id, v FROM pre_raw WHERE id > 1"),
+      inputs = Map("pre_raw" -> Seq((1, "drop"), (2, "keep"), (3, "keep")).toDF("id", "v")),
+      inputChecks = Seq(CountCheck("SELECT count(1) FROM pre_raw", 3, "eq")))
+    val out = new SummaryBuilder(spark, wh).build(spec).read()
+    assert(out.as[(Int, String)].collect().toSet === Set((2, "keep"), (3, "keep")))
+    // the builder-registered input view must not outlive the build
+    assert(!spark.catalog.tableExists("pre_raw"))
+    spark.catalog.dropTempView("pre_staged") // preSql views are the spec's own business
+  }
+
   test("SummaryBuilder eq gate requires exact count") {
     val wh = tmp()
     Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("eq_input")
