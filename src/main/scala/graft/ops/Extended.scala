@@ -79,6 +79,27 @@ object Extended {
         .orderBy("status", "yr")
     },
 
+    // Arbitrary GROUPING SETS — an asymmetric set list neither ROLLUP nor
+    // CUBE can express: (status, priority), (priority), ().
+    Q("q69_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(1) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("revenue"))
+        .orderBy("status", "priority")
+    },
+
     // Pivot: event counts per user pivoted by event type (dynamic columns
     // fixed by sorted distinct values; oracle via conditional aggregation).
     Q("q55_pivot",

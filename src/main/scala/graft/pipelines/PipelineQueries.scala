@@ -10,6 +10,42 @@ import java.time.LocalDate
 
 object PipelineQueries {
 
+  /** q44's oracle: the fixture bars are pure deterministic Scala, so the
+    * expected table is computed here (same code path the query runs) and
+    * embedded as a VALUES relation in the DuckDB SQL — upgrading q44 from a
+    * rows-only check to a full value-level compare. CASTs pin DuckDB's
+    * literal types (a bare 107.77 would bind as DECIMAL) to the Spark
+    * output's DOUBLE/BIGINT.
+    */
+  private def stockOracleSql: String = {
+    val api = new FixtureStockApi(days = 30)
+    val bars = Seq("AAPL", "MSFT", "GOOG").flatMap(api.history)
+    val values = bars.map(b =>
+      s"('${b.symbol}', '${b.date}', ${b.open}, ${b.high}, ${b.low}, ${b.close}, ${b.volume})")
+      .mkString(",\n")
+    s"""SELECT symbol, "date", CAST(open AS DOUBLE) AS open, CAST(high AS DOUBLE) AS high,
+       | CAST(low AS DOUBLE) AS low, CAST(close AS DOUBLE) AS close,
+       | CAST(volume AS BIGINT) AS volume
+       |FROM (VALUES
+       |$values) t(symbol, "date", open, high, low, close, volume)
+       |ORDER BY symbol, "date"""".stripMargin
+  }
+
+  /** q45's oracle: same idea — the synthetic 8-day weather payload below is
+    * deterministic, so the expected rows are literal.
+    */
+  private def weatherOracleSql: String = {
+    val values = (0 until 8).map { i =>
+      val date = LocalDate.of(2024, 1, 1).plusDays(i)
+      s"('$date', ${10 + i}.5, $i.0, ${20 + i}.0)"
+    }.mkString(",\n")
+    s"""SELECT "date", CAST(temp AS DOUBLE) AS temp, CAST(min_temp AS DOUBLE) AS min_temp,
+       | CAST(max_temp AS DOUBLE) AS max_temp
+       |FROM (VALUES
+       |$values) t("date", temp, min_temp, max_temp)
+       |ORDER BY "date"""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
     // The 100 TB daily-run shape end-to-end: two run-dates sliced from
@@ -49,7 +85,7 @@ object PipelineQueries {
     // idempotency: fixture bars → audit column → latest-wins by (symbol,
     // date) → versioned promote; the result is the promoted table, which
     // must hold exactly one row per (symbol, date).
-    Q.noOracle("q44_pipeline_stock") { (s, _) =>
+    Q("q44_pipeline_stock", stockOracleSql) { (s, _) =>
       val wh = Files.createTempDirectory("graft-q44").toString
       val table = new VersionedTable(s, s"$wh/stock_info_v3")
       val api = new FixtureStockApi(days = 30)
@@ -57,14 +93,15 @@ object PipelineQueries {
       Pipelines.stockV3(s, api, symbols, table)
       Pipelines.stockV3(s, api, symbols, table) // rerun: latest-wins keeps one
       table.read()
-        .select("symbol", "date", "open", "high", "low", "close", "volume")
+        .select(col("symbol"), col("date").cast("string").as("date"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
         .orderBy("symbol", "date")
     },
 
     // S2/P2/F8/W3/C1/C5 — the weather pipeline end-to-end through the
     // JobRunner with a retry: the fetcher fails once (transient), the runner
     // retries, nested JSON becomes per-day rows, latest-wins on re-delivery.
-    Q.noOracle("q45_pipeline_weather") { (s, _) =>
+    Q("q45_pipeline_weather", weatherOracleSql) { (s, _) =>
       val wh = Files.createTempDirectory("graft-q45").toString
       val table = new VersionedTable(s, s"$wh/weather")
       val days = (0 until 8).map { i =>

@@ -37,8 +37,12 @@ object Multimodal {
 
   /** STUB decode: in production this calls the image codec on each payload.
     * Here it derives deterministic fake dimensions/checksum from the bytes so
-    * the pipeline is testable end-to-end. Batch shape: one iterator pass per
-    * partition, constant memory beyond the current record.
+    * the pipeline is testable end-to-end. The fake is a position-weighted
+    * byte sum — overflow-free (≤ 255·n²/2, far under Long.Max for any real
+    * payload) and re-expressible in the DuckDB oracle, so the declared q34
+    * gets a full value-level correctness check, not just rows>0. Batch
+    * shape: one iterator pass per partition, constant memory beyond the
+    * current record.
     */
   def decodeStub(in: Dataset[Asset]): Dataset[AssetFeatures] = {
     val spark = in.sparkSession
@@ -46,12 +50,12 @@ object Multimodal {
     in.mapPartitions { assets =>
       assets.map { a =>
         // ??? <- real codec call goes here; deterministic fake below
-        var h = 1125899906842597L
+        var h = 0L
         var i = 0
-        while (i < a.content.length) { h = 31 * h + a.content(i); i += 1 }
+        while (i < a.content.length) { h += (a.content(i) & 0xff).toLong * (i + 1); i += 1 }
         AssetFeatures(a.asset_id, a.format, a.n_bytes,
-          width = 16 + (math.abs(h) % 1024).toInt,
-          height = 16 + (math.abs(h >> 10) % 1024).toInt,
+          width = 16 + (h % 1024).toInt,
+          height = 16 + ((h / 1024) % 1024).toInt,
           checksum = h)
       }
     }
@@ -87,10 +91,25 @@ object Multimodal {
     },
 
     // Full stubbed decode pipeline (binary → features) — fake dims, real
-    // partition-parallel plumbing; rows-only check + spec.
-    Q.noOracle("q34_multimodal_decode") { (s, d) =>
+    // partition-parallel plumbing. Oracled: the stub's position-weighted
+    // byte sum is re-derived in SQL (documents are ASCII, so unicode(char)
+    // == utf-8 byte; list_sum of an empty text is NULL, hence coalesce).
+    Q("q34_multimodal_decode",
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    coalesce(list_sum(list_transform(range(1, length(text)+1),
+        |      i -> unicode(text[i]) * i)), 0) AS hsum
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |      ELSE 'webp' END AS format,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(16 + (hsum % 1024) AS INT) AS width,
+        | CAST(16 + ((hsum // 1024) % 1024) AS INT) AS height,
+        | CAST(hsum AS BIGINT) AS checksum
+        |FROM h ORDER BY asset_id""".stripMargin) { (s, d) =>
       decodeStub(assets(Tables.documents(s, d))).toDF()
-        .select("asset_id", "format", "n_bytes", "width", "height")
+        .select("asset_id", "format", "n_bytes", "width", "height", "checksum")
         .orderBy("asset_id")
     },
   )
