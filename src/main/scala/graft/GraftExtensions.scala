@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DistinctShingles, MinHashSignature, SimHash64}
+import graft.expressions.{CosineSimilarity, DistinctShingles, LangIdNative, MinHashSignature, QualityScoreNative, SimHash64, TokenStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -48,6 +48,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => {
         require(exprs.length == 1, s"simhash64(text) expects 1 argument, got ${exprs.length}")
         SimHash64(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdNative].getName, "lang_id"),
+      exprs => {
+        require(exprs.length == 1, s"lang_id(text) expects 1 argument, got ${exprs.length}")
+        LangIdNative(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScoreNative].getName, "quality_score"),
+      exprs => {
+        require(exprs.length == 1, s"quality_score(text) expects 1 argument, got ${exprs.length}")
+        QualityScoreNative(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      exprs => {
+        require(exprs.length == 1, s"token_stats(text) expects 1 argument, got ${exprs.length}")
+        TokenStats(exprs.head)
       }))
   }
 }

@@ -24,11 +24,9 @@ object PipelineQueries {
       val quality = docs
         .filter(length(col("text")) >= 100)
         .filter(Text.tokenCount(col("text")) >= 20)
-        .filter(Text.qualityScore(col("text")) >= 0.5)
+        .filter(Text.qualityScoreNative(col("text")) >= 0.5)
       val withLang = quality
-        .withColumn("__padded", Text.langPad(col("text")))
-        .withColumn("lang_pred", Text.langIdFrom(col("__padded")))
-        .drop("__padded")
+        .withColumn("lang_pred", Text.langIdNative(col("text")))
         .filter(col("lang_pred") =!= "und")
       val keepers = Dedup.exact(withLang).select(col("keep_id").as("doc_id"))
       // materialize at the widest reuse point: everything downstream
@@ -46,7 +44,7 @@ object PipelineQueries {
       cleaned.groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"),
           round(avg(length(col("text"))), 2).as("avg_chars"),
-          round(avg(Text.qualityScore(col("text"))), 4).as("avg_quality"))
+          round(avg(Text.qualityScoreNative(col("text"))), 4).as("avg_quality"))
         .orderBy("lang_pred")
     },
 

@@ -148,6 +148,25 @@ object Text {
 
   def langId(text: Column): Column = langIdFrom(langPad(text))
 
+  /** Native single-pass forms of [[langId]] / [[qualityScore]] and q22's
+    * token statistics (see [[graft.expressions.TextKernels]]); the column
+    * forms above remain the semantic reference the specs compare against.
+    */
+  def langIdNative(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.LangIdNative(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  def qualityScoreNative(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.QualityScoreNative(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  def tokenStats(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.TokenStats(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -187,13 +206,13 @@ object Text {
         |        t -> t IN ('a', 'the', 'of'))) AS DOUBLE)
         |   / len(string_split(text, ' ')) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = split(col("text"), " ")
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        ((length(col("text")) - size(toks) + 1).cast("double") / size(toks)).as("avg_token_len"),
-        (size(filter(toks, t => t.isInCollection(Seq("a", "the", "of")))).cast("double") /
-          size(toks)).as("stopword_ratio"))
+      // one native pass computes all three stats (the split-based column
+      // form repeated the tokenization four times; see TextKernels)
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokenStats(col("text")).as("__st"))
+        .select(col("doc_id"), col("__st.n_tokens").as("n_tokens"),
+          col("__st.avg_token_len").as("avg_token_len"),
+          col("__st.stopword_ratio").as("stopword_ratio"))
         .orderBy("doc_id")
     },
 
@@ -240,9 +259,8 @@ object Text {
     // engine); rows-only check + ScalaTest spec on multilingual fixtures.
     Q.noOracle("q24_langid") { (s, d) =>
       Tables.documents(s, d)
-        .withColumn("__padded", langPad(col("text")))
-        .select(col("doc_id"), langIdFrom(col("__padded")).as("lang_pred"),
-          qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), langIdNative(col("text")).as("lang_pred"),
+          qualityScoreNative(col("text")).as("quality"))
         .orderBy("doc_id")
     },
   )

@@ -105,6 +105,38 @@ class TextSpec extends SparkSpec {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("native kernels agree with the composable reference forms on the corpus") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    // langId: 25-probe column form vs single-pass byte kernel
+    val langDiff = docs.select(
+        Text.langId(col("text")).as("ref"), Text.langIdNative(col("text")).as("native"))
+      .filter(col("ref") =!= col("native")).count()
+    assert(langDiff === 0)
+    // qualityScore: 4-regexp column form vs one-pass kernel (bit-exact)
+    val qDiff = docs.select(
+        Text.qualityScore(col("text")).as("ref"), Text.qualityScoreNative(col("text")).as("native"))
+      .filter(col("ref") =!= col("native")).count()
+    assert(qDiff === 0)
+    // tokenStats: split-based forms vs one-pass kernel (bit-exact)
+    val toks = split(col("text"), " ")
+    val tDiff = docs.select(
+        size(toks).as("rn"),
+        ((length(col("text")) - size(toks) + 1).cast("double") / size(toks)).as("ra"),
+        (size(filter(toks, t => t.isInCollection(Seq("a", "the", "of")))).cast("double") /
+          size(toks)).as("rs"),
+        Text.tokenStats(col("text")).as("st"))
+      .filter(col("rn") =!= col("st.n_tokens") || col("ra") =!= col("st.avg_token_len") ||
+        col("rs") =!= col("st.stopword_ratio")).count()
+    assert(tDiff === 0)
+    // edge cases through the SQL registration path
+    val edge = Seq("", " ", "a", "the of a", "ALL CAPS!!! 123", "  double  spaces  ")
+      .toDF("t").createOrReplaceTempView("edge_texts")
+    val sqlOut = spark.sql(
+      "SELECT lang_id(t), quality_score(t), token_stats(t).n_tokens FROM edge_texts")
+    assert(sqlOut.count() === 6) // evaluates without error via the registry
+    spark.catalog.dropTempView("edge_texts")
+  }
+
   test("qualityScore favors prose over noise") {
     val scores = Seq(
       "This is a well formed English sentence of a reasonable length that continues long enough to look like prose in every way.",
