@@ -174,30 +174,92 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
   }
 
+  /** Deterministic hash-ordered sample of corpus vectors, collected to the
+    * driver. The collect is bounded by `n` regardless of corpus size (2,048
+    * × dim doubles ≈ 1 MB at dim 64) — centroid TRAINING data is
+    * metadata-sized by design; the corpus itself never leaves executors.
+    */
+  private def sampleVectors(corpus: DataFrame, n: Int,
+                            idCol: String, vecCol: String): Array[Array[Double]] =
+    corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col(idCol).cast("string")))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0d
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0d) v else v.map(_ / n)
+  }
+
+  /** Spherical k-means over a bounded sample: unit-normalize the sample,
+    * init from its hash-order head (the previous sampled-centroid stand-in),
+    * then `iters` Lloyd rounds of argmax-dot assignment + mean +
+    * renormalize. Empty clusters keep their previous centroid. Training cost
+    * is O(sampleN · k · dim · iters) driver-local flops — milliseconds —
+    * and the result broadcasts into the same codegen'd assignment
+    * expression; recall at equal nProbe improves because probes now follow
+    * the data's density rather than arbitrary sample points.
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 4,
+                     sampleN: Int = 2048,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Seq[Double])] = {
+    val sample = sampleVectors(corpus, sampleN, idCol, vecCol).map(normalize)
+    require(sample.length >= nCentroids,
+      s"need at least $nCentroids sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    var cents = sample.take(nCentroids).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](nCentroids, dim)
+      val counts = new Array[Int](nCentroids)
+      sample.foreach { v =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < nCentroids) {
+          var dot = 0d
+          var i = 0
+          while (i < dim) { dot += cents(c)(i) * v(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else normalize(sums(c))
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+  }
+
   /** IVF top-k — the scale path for exhaustive-quality ANN: corpus vectors are
-    * assigned to their nearest of `nCentroids` sampled centroids (one scan with
-    * the tiny centroid table broadcast as literals, fully codegen'd); a query
+    * assigned to their nearest of `nCentroids` centroids (one scan with the
+    * tiny centroid table broadcast as literals, fully codegen'd); a query
     * probes its `nProbe` nearest centroids and reranks exactly within them.
     * Scan fraction ≈ nProbe/nCentroids; on clustered data (the usual case for
-    * real embeddings) recall concentrates in few probes. Centroids here are a
-    * deterministic hash-ordered sample — a production deployment would swap in
-    * k-means trained centroids, the operator shape is identical.
+    * real embeddings) recall concentrates in few probes. Centroids are
+    * k-means trained over a bounded sample ([[trainCentroids]]); pass
+    * `trainIters = 0` for the raw hash-ordered sample (the recall baseline
+    * the spec compares against).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 8,
+              nCentroids: Int = 16, nProbe: Int = 8, trainIters: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // centroid table: nCentroids × dim doubles — metadata-sized, broadcast as
     // literals into the assignment expression (no join, no shuffle)
-    val cents: Array[(Int, Seq[Double])] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"))
-      .orderBy(xxhash64(col(idCol).cast("string")))
-      .limit(nCentroids)
-      .collect().zipWithIndex
-      .map { case (r, i) =>
-        val v = r.getSeq[Double](0)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        (i, v.map(_ / n))
-      }
+    val cents: Array[(Int, Seq[Double])] =
+      if (trainIters > 0)
+        trainCentroids(corpus, nCentroids, trainIters, idCol = idCol, vecCol = vecCol)
+      else
+        sampleVectors(corpus, nCentroids, idCol, vecCol).map(normalize)
+          .zipWithIndex.map { case (v, i) => (i, v.toSeq) }
     // top-n centroid ids by dot product (argmax cosine: |v| is constant per
     // row, centroids are unit-norm, so dot order == cosine order)
     def nearestCids(vec: Column, topN: Int): Column = {

@@ -47,6 +47,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("k-means-trained IVF centroids beat the sampled baseline on clustered data") {
+    import spark.implicits._
+    // 16 well-separated clusters of 60 vectors each: the regime where probe
+    // placement matters. A raw hash-ordered sample of 16 points typically
+    // double-covers some clusters and misses others; Lloyd iterations must
+    // recover coverage and with it recall at nProbe=1.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until 16).flatMap { c =>
+      (0 until 60).map { i =>
+        val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+        (c * 1000L + i, v.toSeq)
+      }
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") % 1000 < 2) // 2 queries per cluster
+    val exact = Similarity.bruteForceTopKPartial(corpus, qs, 10)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(trainIters: Int): Double = {
+      val got = Similarity.ivfTopK(corpus, qs, 10, nCentroids = 16, nProbe = 1,
+        trainIters = trainIters).select("qid", "nid").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val sampled = recallOf(0)
+    val trained = recallOf(4)
+    info(f"IVF recall@10, nProbe=1/16: sampled=$sampled%.3f trained=$trained%.3f")
+    assert(trained >= sampled)
+    assert(trained >= 0.8, f"trained recall $trained%.3f below 0.8")
+  }
+
   test("ANN recall >= 0.9 vs brute force on planted near neighbors") {
     import spark.implicits._
     // Plant a genuinely-near neighbor (the situation ANN exists for): each
