@@ -36,24 +36,37 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.registry.filter(q =>
       only.forall(_.exists(q.name.startsWith)))
+    // Each query runs twice: the cold time (first run — plan + codegen +
+    // footer reads + execution) keeps cross-round comparability; the warm
+    // time (second run, JIT/codegen/page caches hot) is the plan-level
+    // signal — the ~0.5-1s per-query cold floor otherwise swamps real
+    // deltas between query forms at sf0.1.
+    def timeOne(q: graft.core.Q): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).queryExecution.toRdd.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          None
+      }
     val results = selected.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            failed += q.name
-            false
-        }
-      q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      val cold = timeOne(q)
+      if (cold.isEmpty) failed += q.name
+      val warm = if (cold.isDefined) timeOne(q) else None
+      (q.name, cold, warm)
     }
-    val qs = results.collect { case (k, Some(v)) => s""""$k":${f"$v%.3f"}""" }
-      .mkString("{", ",", "}")
+    def toJson(sel: ((String, Option[Double], Option[Double])) => Option[(String, Double)]) =
+      results.flatMap(r => sel(r)).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+        .mkString("{", ",", "}")
+    val qs = toJson { case (k, cold, _) => cold.map(k -> _) }
+    val qsWarm = toJson { case (k, _, warm) => warm.map(k -> _) }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    val totalWarm = results.flatMap(_._3).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_warm":$qsWarm,"total_warm":${f"$totalWarm%.3f"},"failed":$failedJson,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }
