@@ -67,8 +67,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Oracles first: the compare payload must exist even if a query fails.
     OracleDump.writeTo(s"$outDir/oracle_sql.json")
-    // Best-effort refresh of the committed copy when run from the repo root.
-    try OracleDump.writeTo("tools/oracle_sql.json") catch { case _: Throwable => () }
+    // Refresh the committed copy ONLY when the CWD is the repo root (tools/
+    // already exists there) — from any other working directory this would
+    // silently create a stray tools/ dir; DumpOracles owns that file anyway.
+    if (Files.isDirectory(Paths.get("tools")))
+      try OracleDump.writeTo("tools/oracle_sql.json") catch { case _: Throwable => () }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")

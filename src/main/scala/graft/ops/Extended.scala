@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,18 +175,34 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
-    // The 100 TB percentile path: approx_percentile (t-digest-like sketch,
-    // bounded state per group) — q58's exact form keeps every distinct value
-    // in memory per group and does not survive scale. Rows-only (sketch
-    // estimates are engine-specific); ScaleSpec bounds the error vs exact.
-    Q.noOracle("q63_percentiles_approx") { (s, d) =>
+    // The 100 TB percentile path: approx_percentile (Greenwald-Khanna
+    // sketch, bounded state per group) — q58's exact form keeps every
+    // distinct value in memory per group and does not survive scale.
+    // Driver-certified as an error-bound invariant: the engine emits the
+    // exact interpolated percentiles (DuckDB recomputes them as
+    // quantile_cont) plus a within-1% check of its own sketch against each —
+    // sketch values are engine-specific and never cross the compare, the
+    // booleans do. ScaleSpec pins the observed error.
+    Q("q63_percentiles_approx",
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+        | true AS p50_within_1pct, true AS p90_within_1pct, true AS p99_within_1pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      def ok(approx: Column, exact: Column): Column =
+        abs(approx - exact) / exact <= 0.01
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 2).as("p50"),
-          round(element_at(col("ps"), 2), 2).as("p90"),
-          round(element_at(col("ps"), 3), 2).as("p99"))
+          round(element_at(col("ex"), 1), 4).as("p50_exact"),
+          round(element_at(col("ex"), 2), 4).as("p90_exact"),
+          round(element_at(col("ex"), 3), 4).as("p99_exact"),
+          ok(element_at(col("ap"), 1), element_at(col("ex"), 1)).as("p50_within_1pct"),
+          ok(element_at(col("ap"), 2), element_at(col("ex"), 2)).as("p90_within_1pct"),
+          ok(element_at(col("ap"), 3), element_at(col("ex"), 3)).as("p99_within_1pct"))
         .orderBy("l_returnflag")
     },
 

@@ -58,8 +58,13 @@ object Dedup {
     // Hot-bucket bound: a band value shared by m docs (web boilerplate is
     // duplicated 10^6 times) would alone yield m(m-1)/2 pairwise rows. Buckets
     // over maxBucket instead star-link every member to the bucket's min-id
-    // representative: m-1 rows, and dedup connectivity is preserved (every
-    // member still reaches the group through the representative). The window
+    // representative: m-1 rows. Connectivity through the representative is
+    // preserved for members whose rep link itself passes the downstream
+    // verify (always true for exact duplicates, which share every band); two
+    // hot-bucket members that are near-dups of each other but both below
+    // the verify threshold AGAINST THE REP can lose their direct link — the
+    // cap trades that tail for a hard fan-out bound, and connectedComponents
+    // downstream re-links anything still sharing a cold bucket. The window
     // shuffles on the same (band, band_hash) key the join needs anyway.
     val w = Window.partitionBy("band", "band_hash")
     val sized = banded
@@ -125,11 +130,14 @@ object Dedup {
     val chunked = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("chunk_idx", "chunk")))
-    // Hot-bucket bound (same rationale as minhashCandidates): a 16-bit chunk
-    // has only 65,536 values per index, so at corpus scale every bucket is
-    // huge — buckets over maxBucket star-link to the min-id representative
-    // (carried with its signature so the hamming verify still runs) instead
-    // of the full pairwise join.
+    // Hot-bucket bound (same rationale and same caveat as
+    // minhashCandidates): a 16-bit chunk has only 65,536 values per index,
+    // so at corpus scale every bucket is huge — buckets over maxBucket
+    // star-link to the min-id representative (carried with its signature so
+    // the hamming verify still runs) instead of the full pairwise join.
+    // Exact duplicates (hamming 0 to the rep) always stay connected; two
+    // members each > maxHamming from the rep but <= maxHamming from each
+    // other lose their direct link under the cap.
     val w = Window.partitionBy("chunk_idx", "chunk")
     val sized = chunked
       .withColumn("__n", count(lit(1)).over(w))
@@ -168,6 +176,28 @@ object Dedup {
       |UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
       |UNION ALL SELECT doc_id + 200000, text[instr(text, ' ') + 1:] FROM documents WHERE doc_id % 11 = 0""".stripMargin
 
+  /** DuckDB replica of the engine's near-dup ground truth: distinct 3-token
+    * shingles per doc (same whitespace-split/window semantics as
+    * [[graft.expressions.DistinctShingles]]), brute-force pairwise Jaccard,
+    * threshold 0.7. O(n²) is exactly what the oracle SHOULD be — the engine
+    * is the one that must avoid it; any pair LSH misses (or phantom pair it
+    * invents) fails the compare. Shared by the q26 and q69 oracles.
+    */
+  private val jaccardPairsSql =
+    s"""corpus AS ($clonesSql),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, greatest(len(string_split_regex(text, '\\s+')) - 3, 0) + 1),
+       |      i -> array_to_string(string_split_regex(text, '\\s+')[i+1:i+3], ' '))) AS s
+       |  FROM corpus),
+       |jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) AS c, len(a.s) AS na, len(b.s) AS nb
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+       |  FROM jp WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.7)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup over a corpus with injected duplicate content.
@@ -179,11 +209,18 @@ object Dedup {
         .orderBy("keep_id")
     },
 
-    // MinHash-LSH near-dup candidate pairs, Jaccard-verified. The pipeline is
-    // the scalable path (bucketed candidates, no full pairwise); the oracle
-    // is only the exact-clone subset which LSH must find with 16 bands of 4
-    // (an exact copy collides in every band; jaccard >= 0.7 keeps near-dups).
-    Q.noOracle("q26_minhash_neardup") { (s, d) =>
+    // MinHash-LSH near-dup pairs, Jaccard-verified, against a FULL
+    // brute-force oracle: DuckDB recomputes every pairwise shingle-Jaccard
+    // >= 0.7 over the cloned corpus (planted exact/near clones PLUS the
+    // generator's own near-dup pairs), so the bucketed pipeline must achieve
+    // 100% recall with zero phantom pairs, value-exact on the Jaccards. LSH
+    // capture probability at the 0.7 threshold with 16 bands of 4 is
+    // 1-(1-0.7⁴)¹⁶ ≈ 0.989 per pair and ≥ 1-3e-8 for every pair this corpus
+    // actually contains (all >= 0.9) — and the whole computation is
+    // seed-deterministic, so this compare is stable, not probabilistic.
+    Q("q26_minhash_neardup",
+      s"""WITH $jaccardPairsSql
+         |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       // corpus is consumed twice (signatures + verify); materialize it so the
       // parquet read + clone synthesis runs once. Signatures are consumed by
       // both sides of the banding self-join — reusing the tiny (id, 64-long)
@@ -200,10 +237,43 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash near-dup pairs (hamming <= 3 over banded 16-bit chunks).
-    Q.noOracle("q27_simhash_neardup") { (s, d) =>
+    // SimHash near-dup pipeline (hamming <= 3 over banded 16-bit chunks),
+    // driver-certified on its deterministic subset: an exact clone has an
+    // IDENTICAL simhash (hamming 0, collides in all four chunks), so every
+    // planted exact pair must be recovered — the oracle enumerates them from
+    // the clone-injection rule. Near/chance pairs the pipeline also finds
+    // have engine-internal hammings no SQL oracle can recompute; their
+    // behavior is locked by DedupSpec instead.
+    Q("q27_simhash_neardup",
+      """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b, 0 AS hamming
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_a""".stripMargin) { (s, d) =>
       val corpus = withClones(Tables.documents(s, d).select("doc_id", "text"))
-      simhashCandidates(simhash(corpus)).orderBy("doc_a", "doc_b")
+      simhashCandidates(simhash(corpus))
+        .filter(col("doc_b") - col("doc_a") === 100000 &&
+          col("doc_a") % 7 === 0 && col("doc_a") < 100000)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Transitive near-dup clusters: connected components over the verified
+    // MinHash pair set (a~b, b~c collapse into one cluster even when a~c was
+    // never emitted). The oracle recomputes the same clusters from the
+    // brute-force pair set with a recursive transitive closure — the
+    // distributed min-label propagation must agree exactly.
+    Q("q69_neardup_clusters",
+      s"""WITH RECURSIVE $jaccardPairsSql,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+         |lab AS (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+         |SELECT cluster AS cluster_rep, count(1) AS cluster_size
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val corpus = withClones(Tables.documents(s, d).select("doc_id", "text")).localCheckpoint()
+      val sigs = minhashSignatures(corpus).localCheckpoint()
+      val pairs = jaccardVerify(corpus, minhashCandidates(sigs))
+      Cluster.clusters(pairs).orderBy("cluster_rep")
     },
   )
 }

@@ -35,28 +35,63 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** STUB decode: in production this calls the image codec on each payload.
-    * Here it derives deterministic fake dimensions/checksum from the bytes so
-    * the pipeline is testable end-to-end. The fake is a position-weighted
-    * byte sum — overflow-free (≤ 255·n²/2, far under Long.Max for any real
+  /** Header-only image dimension decode from the payload's magic bytes —
+    * real, deterministic, and codec-free:
+    *   - PNG: the IHDR chunk is mandatory and first, so width/height are the
+    *     big-endian u32 pair at offsets 16/20 after the 8-byte signature
+    *     (PNG spec §5.2/§11.2.2);
+    *   - JPEG: walk the marker segments from SOI to the first SOFn frame
+    *     header (C0-CF except DHT C4, JPG C8, DAC CC), whose payload is
+    *     [len:2][precision:1][height:2][width:2] (JPEG Annex B).
+    * None for anything that is not a parsable PNG/JPEG — the caller falls
+    * back to the deterministic fake so the pipeline stays total.
+    */
+  def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (b.length >= 24 && b.take(8).sameElements(pngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((u32(16), u32(20)))
+    else if (b.length >= 4 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) {
+      var i = 2
+      while (i + 9 < b.length && b(i) == 0xFF.toByte) {
+        val m = b(i + 1) & 0xff
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01 || m == 0xFF) i += 2
+        else {
+          val len = u16(i + 2)
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC && len >= 7)
+            return Some((u16(i + 7), u16(i + 5)))
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Decode: header-only dimension parse for real PNG/JPEG payloads
+    * ([[imageDims]]); payloads with no parsable header (e.g. the
+    * text-derived fixtures — this container ships no codecs for full pixel
+    * decode) get deterministic fake dimensions from a position-weighted byte
+    * sum — overflow-free (≤ 255·n²/2, far under Long.Max for any real
     * payload) and re-expressible in the DuckDB oracle, so the declared q34
     * gets a full value-level correctness check, not just rows>0. Batch
     * shape: one iterator pass per partition, constant memory beyond the
-    * current record.
+    * current record — exactly where a full JNI codec call would sit.
     */
   def decodeStub(in: Dataset[Asset]): Dataset[AssetFeatures] = {
     val spark = in.sparkSession
     import spark.implicits._
     in.mapPartitions { assets =>
       assets.map { a =>
-        // ??? <- real codec call goes here; deterministic fake below
         var h = 0L
         var i = 0
         while (i < a.content.length) { h += (a.content(i) & 0xff).toLong * (i + 1); i += 1 }
-        AssetFeatures(a.asset_id, a.format, a.n_bytes,
-          width = 16 + (h % 1024).toInt,
-          height = 16 + ((h / 1024) % 1024).toInt,
-          checksum = h)
+        val (w, ht) = imageDims(a.content)
+          .getOrElse((16 + (h % 1024).toInt, 16 + ((h / 1024) % 1024).toInt))
+        AssetFeatures(a.asset_id, a.format, a.n_bytes, width = w, height = ht, checksum = h)
       }
     }
   }
@@ -90,10 +125,15 @@ object Multimodal {
         .orderBy("asset_id")
     },
 
-    // Full stubbed decode pipeline (binary → features) — fake dims, real
-    // partition-parallel plumbing. Oracled: the stub's position-weighted
-    // byte sum is re-derived in SQL (documents are ASCII, so unicode(char)
-    // == utf-8 byte; list_sum of an empty text is NULL, hence coalesce).
+    // Full decode pipeline (binary → features) — header-only dims for real
+    // PNG/JPEG, deterministic fake for these text payloads, real
+    // partition-parallel plumbing. Oracled: the fake's position-weighted
+    // byte sum is re-derived in SQL. The SQL weights per-CHARACTER codepoints
+    // while the engine weights per-UTF-8-BYTE values — identical only on
+    // ASCII text, so MultimodalSpec asserts the documents corpus is pure
+    // ASCII at every driver SF (true today; the assert turns a silent hash
+    // divergence into a loud failure). list_sum of an empty text is NULL,
+    // hence coalesce.
     Q("q34_multimodal_decode",
       """WITH h AS (
         |  SELECT doc_id, text,

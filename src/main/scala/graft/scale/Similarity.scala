@@ -249,27 +249,70 @@ object Similarity {
     * `trainIters = 0` for the raw hash-ordered sample (the recall baseline
     * the spec compares against).
     */
+  /** Centroid table: nCentroids × dim doubles — metadata-sized, broadcast as
+    * literals into the assignment expression (no join, no shuffle).
+    */
+  private def centroidsFor(corpus: DataFrame, nCents: Int, trainIters: Int,
+                           idCol: String, vecCol: String): Array[(Int, Seq[Double])] =
+    if (trainIters > 0)
+      trainCentroids(corpus, nCents, trainIters, idCol = idCol, vecCol = vecCol)
+    else
+      sampleVectors(corpus, nCents, idCol, vecCol).map(normalize)
+        .zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+
+  /** Top-n centroid ids by dot product (argmax cosine: |v| is constant per
+    * row, centroids are unit-norm, so dot order == cosine order).
+    */
+  private def nearestCidsExpr(cents: Array[(Int, Seq[Double])], vec: Column, topN: Int): Column = {
+    val scored = array(cents.map { case (cid, cv) =>
+      val dot = aggregate(zip_with(vec, typedLit(cv), (x, y) => x * y),
+        lit(0d), (acc, v) => acc + v)
+      struct(dot.as("sim"), lit(cid).as("cid"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, topN), s => s.getField("cid"))
+  }
+
+  /** Fraction of the corpus an average query scans under IVF with these
+    * parameters (sum of probed-cell sizes / n, averaged over queries) — the
+    * SimilaritySpec asserts this stays a small constant, i.e. that declared
+    * parameters never degenerate into a linear scan in disguise.
+    */
+  def ivfScanFraction(corpus: DataFrame, queries: DataFrame,
+                      nCentroids: Int = -1, nProbe: Int = 3, trainIters: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val nCents = resolveNCentroids(corpus, nCentroids)
+    val cents = centroidsFor(corpus, nCents, trainIters, idCol, vecCol)
+    val n = corpus.count().toDouble
+    val cellSizes = corpus
+      .withColumn("cid", element_at(
+        nearestCidsExpr(cents, col(vecCol).cast("array<double>"), 1), 1))
+      .groupBy("cid").count()
+    val probed = queries
+      .withColumn("cid", explode(
+        nearestCidsExpr(cents, col(vecCol).cast("array<double>"), nProbe)))
+      .select(col(idCol).as("qid"), col("cid"))
+    val perQuery = probed.join(cellSizes, Seq("cid"), "left")
+      .groupBy("qid").agg(sum(coalesce(col("count"), lit(0L))).as("scanned"))
+    val avgScanned = perQuery.agg(avg("scanned")).head().getDouble(0)
+    avgScanned / n
+  }
+
+  /** nCentroids <= 0 resolves to ceil(sqrt(n)) — the standard IVF sizing:
+    * cells hold ~sqrt(n) vectors, so probe cost per query is
+    * nProbe·sqrt(n) and the scan fraction ≈ nProbe/sqrt(n) SHRINKS as the
+    * corpus grows (fixed nCentroids=16/nProbe=8 was a half-corpus scan in
+    * disguise — the round-3 finding this replaces).
+    */
+  def resolveNCentroids(corpus: DataFrame, nCentroids: Int): Int =
+    if (nCentroids > 0) nCentroids
+    else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 8, trainIters: Int = 4,
+              nCentroids: Int = -1, nProbe: Int = 3, trainIters: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // centroid table: nCentroids × dim doubles — metadata-sized, broadcast as
-    // literals into the assignment expression (no join, no shuffle)
-    val cents: Array[(Int, Seq[Double])] =
-      if (trainIters > 0)
-        trainCentroids(corpus, nCentroids, trainIters, idCol = idCol, vecCol = vecCol)
-      else
-        sampleVectors(corpus, nCentroids, idCol, vecCol).map(normalize)
-          .zipWithIndex.map { case (v, i) => (i, v.toSeq) }
-    // top-n centroid ids by dot product (argmax cosine: |v| is constant per
-    // row, centroids are unit-norm, so dot order == cosine order)
-    def nearestCids(vec: Column, topN: Int): Column = {
-      val scored = array(cents.map { case (cid, cv) =>
-        val dot = aggregate(zip_with(vec, typedLit(cv), (x, y) => x * y),
-          lit(0d), (acc, v) => acc + v)
-        struct(dot.as("sim"), lit(cid).as("cid"))
-      }: _*)
-      transform(slice(reverse(array_sort(scored)), 1, topN), s => s.getField("cid"))
-    }
+    val nCents = resolveNCentroids(corpus, nCentroids)
+    val cents = centroidsFor(corpus, nCents, trainIters, idCol, vecCol)
+    def nearestCids(vec: Column, topN: Int): Column = nearestCidsExpr(cents, vec, topN)
     val c = corpus.withColumn("cid",
         element_at(nearestCids(col(vecCol).cast("array<double>"), 1), 1))
       .select(col(idCol).as("nid"), col(vecCol).as("cv"), col("cid"))
@@ -287,27 +330,66 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via bucket collision (both sides
-    * the corpus): candidates from shared hyperplane bucket, verified by
-    * exact cosine >= threshold. One side is multi-probed with single-bit
-    * flips, so any pair whose signatures differ in <= 1 of `planes` bits is a
-    * candidate — for a truly-near pair (per-plane agreement p ≈ 1 - θ/π ≈
-    * 0.99) that lifts capture from p^8 ≈ 0.89 to ≈ 0.99.
+  /** Embedding-cosine near-duplicate pairs via multi-table bucket collision
+    * (both sides the corpus): candidates from a shared hyperplane bucket in
+    * ANY of `tables` independent tables, verified by exact cosine >=
+    * threshold. One side is multi-probed with single-bit flips, so per table
+    * a pair is captured when its sign bits differ in <= 1 of `planes`
+    * positions; L tables lift recall to 1-(miss_1)^L (for sim 0.95 pairs,
+    * flip prob ≈ arccos(.95)/π ≈ 0.1: miss_1 ≈ 0.19 at planes=8, 4 tables
+    * → ≈ 1.3e-3 miss — vs 19% for the single-table form).
+    *
+    * Scale bounds (the two knobs that keep this sane at 10⁹ vectors):
+    *  - `planes` grows with the corpus (auto: log₂(n/64), so ~64 expected
+    *    members per bucket) — a fixed plane count would concentrate the
+    *    corpus into a constant number of bucket values;
+    *  - buckets over `maxBucket` members star-link to the bucket's min-id
+    *    representative (m-1 rows, not m²/2) exactly like
+    *    [[graft.scale.Dedup.minhashCandidates]]; probes never join into a
+    *    hot bucket. Star links keep verify-passing members connected through
+    *    the representative; member↔member pairs whose BOTH endpoints are far
+    *    from the representative can be lost — the cap trades that tail for
+    *    a hard fan-out bound, and transitive grouping downstream
+    *    ([[graft.scale.Cluster.connectedComponents]]) re-links anything
+    *    that still shares a cold bucket elsewhere.
     */
-  def cosineNearDup(corpus: DataFrame, threshold: Double, planes: Int = 8, dim: Int = -1,
+  def cosineNearDup(corpus: DataFrame, threshold: Double, planes: Int = -1, dim: Int = -1,
+                    tables: Int = 4, maxBucket: Int = 100, seed: Long = 42,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Narrow collision join — (id, bucket) longs only; the multi-probe
-    // explode multiplies rows by planes+1, which must not multiply vector
-    // bytes through the shuffle. Vectors re-join by id for candidate pairs.
-    val b = hyperplaneBuckets(corpus, planes, dim, vecCol = vecCol)
-      .select(col(idCol), col("bucket"))
-    val probed = b.withColumn("bucket", explode(concat(
+    val d = resolveDim(corpus, vecCol, dim)
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = corpus.count()
+        math.max(8, math.ceil(math.log(math.max(n, 64L) / 64.0) / math.log(2)).toInt)
+      }
+    // Narrow collision relation — (id, tid, bucket) longs only; the probe
+    // explode multiplies rows by tables*(planes+1), which must not multiply
+    // vector bytes through the shuffle. Vectors re-join by id at the end.
+    val allBuckets = array((0 until tables).map(t =>
+      struct(lit(t).as("tid"), bucketExpr(nPlanes, d, seed + t, vecCol).as("bucket"))): _*)
+    val base = corpus
+      .select(col(idCol), explode(allBuckets).as("tb"))
+      .select(col(idCol), col("tb.tid").as("tid"), col("tb.bucket").as("bucket"))
+    // Hot-bucket bound on the BASE relation: members of a bucket over
+    // maxBucket star-link to its min-id representative and leave the
+    // pairwise join entirely (probes equi-join against cold buckets only,
+    // so a probe flipping into a hot bucket contributes nothing).
+    val w = Window.partitionBy("tid", "bucket")
+    val sized = base
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(col(idCol)).over(w))
+    val cold = sized.filter(col("__n") <= maxBucket).select(col(idCol), col("tid"), col("bucket"))
+    val hotPairs = sized.filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val probed = cold.withColumn("bucket", explode(concat(
         array(col("bucket")),
-        array((0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))))
-    val pairs = probed.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+        array((0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))))
+    val coldPairs = probed.as("a").join(cold.as("b"),
+        col("a.tid") === col("b.tid") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    val pairs = coldPairs.unionByName(hotPairs).distinct()
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     pairs.join(va, "id_a").join(vb, "id_b")
@@ -343,22 +425,65 @@ object Similarity {
         .orderBy("qid", "rnk")
     },
 
-    // IVF-bucketed ANN — approximate by construction, so rows-only here; the
-    // ScalaTest spec measures recall against the brute-force baseline (on
-    // planted near neighbors the hyperplane-LSH variant is also tested).
-    // nProbe=8 of 16 centroids ≈ half the corpus scanned per query.
-    Q.noOracle("q31_knn_ann") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
-        .select("qid", "rnk", "nid")
-        .orderBy("qid", "rnk")
+    // IVF ANN with a driver-checkable invariant: each query vector gets a
+    // planted near-identical twin (same +0.02f perturbation as q32) under
+    // qid+100000; the twin is the UNIQUE true nearest neighbor (sim ≈ 0.99
+    // vs ≤ 0.52 for every random pair at any tested SF), so the oracle
+    // computes rank-1 exactly by brute force while the engine must reach it
+    // through the probed cells (the twin's nearest centroid is by
+    // construction inside the query's nProbe set). Auto parameters:
+    // nCentroids = ceil(sqrt(n)), nProbe = 3 → ~13% scan fraction here,
+    // shrinking as 3/sqrt(n) at scale. Recall/scan tradeoffs beyond rank-1
+    // are SimilaritySpec territory (the full top-k is approximate by
+    // construction and belongs to no oracle).
+    Q("q31_knn_ann",
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |       UNION ALL
+        |       SELECT vec_id + 100000,
+        |         CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |       FROM embeddings WHERE vec_id < 5),
+        | scored AS (
+        |   SELECT qid, nid,
+        |     list_dot_product(qv, cv) /
+        |       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, round(sim, 4) AS sim,
+        |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM scored)
+        |SELECT qid, nid, sim FROM ranked WHERE rnk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5)
+      val twins = queries
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      ivfTopK(emb.unionByName(twins), queries, k = 1)
+        .filter(col("rnk") === 1)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid")
     },
 
     // Embedding near-dup pairs above a cosine threshold. The driver corpus is
-    // random vectors (no near-dups: pairwise cosine ~ N(0, 1/dim)), so every
-    // 10th vector is re-added slightly perturbed under vec_id+100000; the
-    // operator must find exactly those planted pairs via bucket collision.
-    Q.noOracle("q32_embedding_neardup") { (s, d) =>
+    // random vectors (no near-dups: pairwise cosine ~ N(0, 1/dim), max ≈
+    // 0.52 at the tested SFs), so every 10th vector is re-added slightly
+    // perturbed under vec_id+100000; the operator must find exactly those
+    // planted pairs via capped multi-table bucket collision — and the oracle
+    // recomputes the full expected pair set (ids AND exact cosine) by brute
+    // force, so recall below 1.0 or any phantom pair fails the gate.
+    Q("q32_embedding_neardup",
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           UNION ALL
+        |           SELECT vec_id + 100000,
+        |             CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        | pairs AS (
+        |   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |     list_dot_product(a.v, b.v) /
+        |       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |   FROM c a, c b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM pairs WHERE sim >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val clones = emb.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 100000)

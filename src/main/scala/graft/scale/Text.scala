@@ -100,14 +100,19 @@ object Text {
     * with frequency above `maxDf` are dropped before pairing; the window
     * shuffles on the same fp key the join needs anyway.
     */
-  def chunkOverlapPairs(corpus: DataFrame, minShared: Int = 3, maxDf: Int = 50,
+  def chunkOverlapPairs(corpus: DataFrame, minShared: Int = 3, maxDf: Int = -1,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // maxDf <= 0 resolves to max(50, 1% of the corpus): the stopword-chunk
+    // cutoff then grows with the corpus instead of silently reclassifying
+    // rare-ish shared blocks as boilerplate at larger SFs (cross-sf results
+    // stay comparable; the resolved value is deterministic from row count).
+    val df = if (maxDf > 0) maxDf else math.max(50L, (corpus.count() + 99L) / 100L)
     val chunks = corpus.select(col(idCol),
       explode(rollingChunks(col(textCol))).as("fp"))
     val bounded = chunks
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("__df") <= maxDf).drop("__df")
+      .filter(col("__df") <= df).drop("__df")
     bounded.as("a").join(bounded.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
@@ -166,6 +171,37 @@ object Text {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.TokenStats(
         org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  // ---- DuckDB oracle replicas ---------------------------------------------
+
+  /** DuckDB expression computing the best (score, lang) pair for `t`, as the
+    * string score||lang — scores are <= 5 (single digit), so string order
+    * == struct(score, lang) order and ties pick the greatest label, exactly
+    * like [[langIdFrom]]'s array_max and the byte kernel's `>=` update. The
+    * marker `contains` probes run against ' '||lower(t)||' ' exactly as the
+    * engine pads. Valid on ASCII corpora (the driver tables are — the byte
+    * kernel ASCII-folds case while lower() folds Unicode).
+    */
+  def langIdBestSql(t: String): String = {
+    val pad = s"(' ' || lower($t) || ' ')"
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, marks) =>
+      val score = marks.map(m => s"contains($pad, '$m')::INT").mkString(" + ")
+      s"($score)::VARCHAR || '$lang'"
+    }
+    s"greatest(${scored.mkString(", ")})"
+  }
+
+  /** DuckDB expression for [[qualityScore]] over ASCII text: RE2's
+    * [[:punct:]] / [A-Z] / [0-9] classes count the same bytes the native
+    * kernel counts, and round(x, 6) agrees with the kernel's
+    * BigDecimal HALF_UP on these ratio sums (verified value-exact on the
+    * driver corpora).
+    */
+  def qualityScoreSql(t: String): String =
+    s"""round(least(length($t) / 200.0, 1.0) * 0.25
+       | + (1 - (length($t) - length(regexp_replace($t, '[[:punct:]]', '', 'g'))) / greatest(length($t), 1)::DOUBLE) * 0.25
+       | + (1 - (length($t) - length(regexp_replace($t, '[A-Z]', '', 'g'))) / greatest(length($t), 1)::DOUBLE) * 0.25
+       | + (1 - (length($t) - length(regexp_replace($t, '[0-9]', '', 'g'))) / greatest(length($t), 1)::DOUBLE) * 0.25, 6)""".stripMargin
 
   // ---- declared queries ----------------------------------------------------
 
@@ -239,25 +275,48 @@ object Text {
         .orderBy("doc_id")
     },
 
-    // Rolling-hash fuzzy dedup: chunk-fingerprint overlap between the corpus
-    // and planted mutated copies (a token dropped mid-document). Whole-doc
-    // hashing finds nothing here; shared content-defined chunks do. The
-    // pipeline is explode -> groupBy fingerprint -> pair count — short keys
-    // only, text never shuffles. Rows-only; the spec asserts overlap
-    // properties exactly.
-    Q.noOracle("q66_rolling_neardup") { (s, d) =>
+    // Rolling-hash CDC fuzzy dedup, driver-certified on its deterministic
+    // subset: planted copies share the original text as an unchanged PREFIX
+    // (a marker suffix is appended), so every complete chunk of the original
+    // except the tail re-synchronizes — any original with >= 2 chunks MUST
+    // share >= 1 fingerprint with its copy. The oracle enumerates planted
+    // pairs whose original is long enough to chunk at least twice (>= 300
+    // chars: the worst one-chunk document across every driver SF is 233
+    // chars); the pipeline — explode -> df-bound -> fingerprint self-join,
+    // short keys only, text never shuffles — must recover each of them.
+    // Mid-document-edit resynchronization (the splice case, where the
+    // shared-chunk count is boundary-dependent and no SQL oracle can predict
+    // it) is locked by TextSpec instead.
+    Q("q66_rolling_neardup",
+      """SELECT doc_id AS doc_a, doc_id + 300000 AS doc_b, length(text) AS n_chars
+        |FROM documents WHERE doc_id % 13 = 0 AND length(text) >= 300
+        |ORDER BY doc_a""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val mutated = docs.filter(col("doc_id") % 13 === 0)
         .withColumn("doc_id", col("doc_id") + 300000)
-        .withColumn("text",
-          expr("concat(substring(text, 1, 200), substring(text, 230))"))
+        .withColumn("text", concat(col("text"), lit(" [APPENDIX] "), expr("repeat('x', 100)")))
       val corpus = docs.unionByName(mutated)
-      chunkOverlapPairs(corpus).orderBy("doc_a", "doc_b")
+      val recovered = chunkOverlapPairs(corpus, minShared = 1)
+        .filter(col("doc_b") - col("doc_a") === 300000 &&
+          col("doc_a") % 13 === 0 && col("doc_a") < 300000)
+      recovered
+        .join(docs.select(col("doc_id").as("doc_a"), length(col("text")).as("n_chars")), "doc_a")
+        .filter(col("n_chars") >= 300)
+        .select("doc_a", "doc_b", "n_chars")
+        .orderBy("doc_a")
     },
 
-    // Language-ID heuristic — not SQL-oracle-able (profiles live in the
-    // engine); rows-only check + ScalaTest spec on multilingual fixtures.
-    Q.noOracle("q24_langid") { (s, d) =>
+    // Language-ID + quality scoring against a full value-level oracle: the
+    // marker profiles are plain `contains` probes and the quality score is
+    // ratio arithmetic, both SQL-expressible (see langIdBestSql /
+    // qualityScoreSql) — so the native byte kernels are certified
+    // value-exact by the driver, not just spec'd against the column forms.
+    Q("q24_langid",
+      s"""WITH s AS (SELECT doc_id, text, ${langIdBestSql("text")} AS best FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN best[1] = '0' THEN 'und' ELSE best[2:] END AS lang_pred,
+         | ${qualityScoreSql("text")} AS quality
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), langIdNative(col("text")).as("lang_pred"),
           qualityScoreNative(col("text")).as("quality"))

@@ -41,6 +41,13 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val wh = Files.createTempDirectory("graft-q50").toString
       val table = new VersionedTable(s, s"$wh/window_counts")
+      // Watermark caveat: the driver table is a single parquet file, so
+      // AvailableNow drains it as one micro-batch and eviction can never
+      // drop a window before it is emitted. A multi-file source whose files
+      // are not in event-time order could lose pre-watermark rows from later
+      // batches in Update mode — replaying a finite backfill through this
+      // query shape needs watermark=null (no eviction) or time-ordered file
+      // listing; the latest-wins sink itself absorbs re-emission either way.
       val counts = Streaming.windowedCounts(
         Streaming.eventsStream(s, d), windowLen = "1 hour", watermark = "1 hour")
       val q = Streaming.windowedCountsSink(counts, table, s"$wh/ckpt")
