@@ -72,7 +72,12 @@ object Verify {
     // silently create a stray tools/ dir; DumpOracles owns that file anyway.
     if (Files.isDirectory(Paths.get("tools")))
       try OracleDump.writeTo("tools/oracle_sql.json") catch { case _: Throwable => () }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q26,q61 restricts to matching names (iteration aid;
+    // the driver never sets it, so its runs always dump every query)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>

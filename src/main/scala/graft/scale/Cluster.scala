@@ -8,25 +8,35 @@ import org.apache.spark.sql.functions._
   * Every near-dup generator in this engine (MinHash/SimHash/chunk-overlap/
   * embedding LSH) emits verified PAIRS; dedup survivorship needs CLUSTERS —
   * a~b and b~c must collapse to one survivor even when a~c itself was never
-  * emitted (LSH miss, or the star-link cap rewired a hot bucket). This is
-  * iterative min-label propagation to fixpoint:
+  * emitted (LSH miss, or the star-link cap rewired a hot bucket).
   *
-  *   label(v) := min(label(v), min over neighbours u of label(u))
+  * Algorithm: min-label propagation with pointer doubling (path compression).
+  * Each round does
   *
-  * Each round is one equi-join + one aggregation on narrow (long, long)
-  * relations, so a round shuffles O(|E|) longs; rounds needed = graph
-  * diameter, and near-dup graphs are unions of small cliques/stars
-  * (diameter 2-3) — at 100 TB this is a handful of bounded shuffles, never
-  * a driver-side traversal. `localCheckpoint` truncates the lineage each
-  * round so the plan does not grow with the iteration count. (For
-  * adversarially long chain graphs the doubling "large-star/small-star"
-  * variant converges in O(log d) rounds; near-dup clusters do not need it.)
+  *   label(v) := min(label(v), min over neighbours u of label(u))   — hop
+  *   label(v) := min(label(v), label(label(v)))                     — double
+  *
+  * The hop step alone needs rounds equal to each component's eccentricity
+  * from its min-id vertex (a length-d chain takes d rounds — a crash-by-
+  * require at 25 in the earlier form); the doubling step halves the distance
+  * to the representative each round, so convergence is O(log d) — 25 rounds
+  * cover diameters past 10^7 — and the adversarial chain degrades from
+  * "throws" to "two dozen cheap rounds". Every step is an equi-join + agg on
+  * narrow (long, long) relations: a round shuffles O(|E|) longs and nothing
+  * else; no driver-side traversal at any scale. `localCheckpoint` truncates
+  * lineage each round so the plan does not grow with the iteration count,
+  * and the convergence test reads the just-materialized blocks (no second
+  * plan execution).
   */
 object Cluster {
 
-  /** (id, cluster) for every vertex that appears in `pairs`; cluster is the
-    * minimum id reachable through the pair graph. Vertices not mentioned in
-    * any pair are their own singleton cluster by definition (not emitted).
+  /** (doc_id, cluster) for every vertex that appears in `pairs`; cluster is
+    * the minimum id reachable through the pair graph. Vertices not mentioned
+    * in any pair are their own singleton cluster by definition (not emitted).
+    * If `maxIters` is exhausted (cannot happen below diameter ~2^maxIters),
+    * the current — still valid, possibly under-merged — labels are returned
+    * with a loud warning rather than an exception: a correctness query must
+    * not crash on an adversarial chain.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                           maxIters: Int = 25): DataFrame = {
@@ -40,18 +50,27 @@ object Cluster {
     while (!converged && it < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("lbl"))
+      // pointer doubling: follow the new label to ITS new label. Labels are
+      // always vertex ids, so the self-join hits; left join keeps roots.
+      val compressed = hopped.as("u")
+        .join(hopped.select(col("id").as("pid"), col("lbl").as("plbl")).as("p"),
+          col("u.lbl") === col("p.pid"), "left")
+        .select(col("u.id").as("id"), col("u.old").as("old"),
+          least(col("u.lbl"), coalesce(col("p.plbl"), col("u.lbl"))).as("label"))
+        .withColumn("__changed", col("label") =!= col("old"))
         .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      converged = changed == 0
-      labels = updated
+      converged = compressed.filter(col("__changed")).limit(1).count() == 0
+      labels = compressed.select("id", "label")
       it += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents: labels still moving after $maxIters rounds " +
+          s"(diameter beyond 2^$maxIters?) — returning current labels")
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 

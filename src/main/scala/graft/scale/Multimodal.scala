@@ -58,7 +58,12 @@ object Multimodal {
       var i = 2
       while (i + 9 < b.length && b(i) == 0xFF.toByte) {
         val m = b(i + 1) & 0xff
-        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01 || m == 0xFF) i += 2
+        // 0xFF is a fill byte before a marker, not a 2-byte marker itself:
+        // advance one so FF FF C0 parses as fill + SOF0. D9 (EOI) ends the
+        // stream with no length field — no frame header was found.
+        if (m == 0xFF) i += 1
+        else if (m == 0xD9) return None
+        else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2
         else {
           val len = u16(i + 2)
           if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC && len >= 7)

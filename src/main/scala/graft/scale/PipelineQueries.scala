@@ -52,7 +52,10 @@ object PipelineQueries {
     // transitive clusters: q69; full composition incl. cluster-based
     // removal: cleanCorpus + PipelinesSpec). avg-quality is emitted as an
     // exact integer micro-unit sum — a float avg's value depends on Spark vs
-    // DuckDB accumulation order; integer sums don't.
+    // DuckDB accumulation order; integer sums don't. The aggregate itself is
+    // wrapped in CAST(... AS BIGINT): DuckDB widens sum(BIGINT) to HUGEINT,
+    // which the driver's type-sensitive compare rejects against Spark's long
+    // even when the values are identical.
     Q("q61_clean_pipeline",
       s"""WITH q AS (
          |  SELECT doc_id, text FROM documents
@@ -68,7 +71,7 @@ object PipelineQueries {
          |surv AS (SELECT lf.* FROM lf JOIN k ON lf.doc_id = k.keep)
          |SELECT lang_pred, count(1) AS n_docs,
          | round(avg(length(text)), 2) AS avg_chars,
-         | sum(CAST(round(${Text.qualityScoreSql("text")} * 1000000) AS BIGINT)) AS quality_micro_sum
+         | CAST(sum(CAST(round(${Text.qualityScoreSql("text")} * 1000000) AS BIGINT)) AS BIGINT) AS quality_micro_sum
          |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val quality = docs

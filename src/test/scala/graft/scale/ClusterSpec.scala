@@ -29,6 +29,14 @@ class ClusterSpec extends SparkSpec {
       === Map(1L -> 6L, 100L -> 2L))
   }
 
+  test("adversarial 60-node chain (eccentricity 59) converges via pointer doubling") {
+    // hop-only min-label propagation needs 59 rounds here and the earlier
+    // implementation threw require(converged) at 25; doubling needs ~O(log d)
+    val pairs = (1L to 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Cluster.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 60L).forall(cc(_) == 1L))
+  }
+
   test("dropNearDups keeps exactly one survivor per chain, untouched docs pass through") {
     val docs = Seq(1L, 2L, 3L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")

@@ -28,6 +28,16 @@ def canon(df):
 def values_match(a, b):
     if a.shape != b.shape:
         return False, f"shape {a.shape} vs {b.shape}"
+    # the driver's compare is TYPE-sensitive: an int64 Spark column vs a
+    # HUGEINT->float64 DuckDB column hash-mismatches even when every value is
+    # equal (bit us on q61 in round 4). Compare dtype families so that class
+    # of bug fails locally too; width differences (int32 vs int64) stay fine.
+    def family(k):
+        return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, k)
+    for c in a.columns:
+        fa, fb = family(a[c].dtype.kind), family(b[c].dtype.kind)
+        if fa != fb:
+            return False, f"col {c} dtype family {a[c].dtype} vs {b[c].dtype}"
     for c in a.columns:
         x, y = a[c], b[c]
         for i in range(len(x)):
