@@ -175,34 +175,40 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
-    // The 100 TB percentile path: approx_percentile (Greenwald-Khanna
-    // sketch, bounded state per group) — q58's exact form keeps every
-    // distinct value in memory per group and does not survive scale.
-    // Driver-certified as an error-bound invariant: the engine emits the
-    // exact interpolated percentiles (DuckDB recomputes them as
-    // quantile_cont) plus a within-1% check of its own sketch against each —
-    // sketch values are engine-specific and never cross the compare, the
-    // booleans do. ScaleSpec pins the observed error.
+    // The 100 TB percentile path: quantiles over a deterministic bounded
+    // sample — Scale.kmvSample keeps the 1024 rows with the smallest content
+    // hash per group (per-partition bounded heaps, then one window over
+    // partitions×k survivors; the full relation is never sorted and state is
+    // O(k) per group), and the exact interpolated quantile runs on the
+    // sample. "k smallest hashes" is a uniform sample any engine reproduces
+    // bit-for-bit, so DuckDB recomputes the identical estimate and the
+    // driver gate compares real values. The earlier form computed the exact
+    // full-data percentiles in the same plan just to emit within-1%
+    // booleans, making the "bounded state" variant slower than exact q58 —
+    // the round-4 finding this replaces. The O(1/eps)-state GK sketch
+    // (approx_percentile) remains the production operator; its error bound
+    // stays certified in ScaleSpec, where sketch internals belong.
     Q("q63_percentiles_approx",
-      """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
-        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
-        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
-        | true AS p50_within_1pct, true AS p90_within_1pct, true AS p99_within_1pct
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      def ok(approx: Column, exact: Column): Column =
-        abs(approx - exact) / exact <= 0.01
-      Tables.lineitem(s, d)
+      """WITH s AS (
+        |  SELECT l_returnflag, l_extendedprice FROM lineitem
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |                 CAST(l_linenumber AS VARCHAR)), l_extendedprice) <= 1024)
+        |SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_est,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_est,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_est
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val key = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))
+      graft.ops.Scale.kmvSample(Tables.lineitem(s, d), "l_returnflag",
+          md5(key), col("l_extendedprice"), k = 1024)
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ex"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+        .agg(expr("percentile(sample_value, array(0.5, 0.9, 0.99))").as("ps"))
         .select(col("l_returnflag"),
-          round(element_at(col("ex"), 1), 4).as("p50_exact"),
-          round(element_at(col("ex"), 2), 4).as("p90_exact"),
-          round(element_at(col("ex"), 3), 4).as("p99_exact"),
-          ok(element_at(col("ap"), 1), element_at(col("ex"), 1)).as("p50_within_1pct"),
-          ok(element_at(col("ap"), 2), element_at(col("ex"), 2)).as("p90_within_1pct"),
-          ok(element_at(col("ap"), 3), element_at(col("ex"), 3)).as("p99_within_1pct"))
+          round(element_at(col("ps"), 1), 4).as("p50_est"),
+          round(element_at(col("ps"), 2), 4).as("p90_est"),
+          round(element_at(col("ps"), 3), 4).as("p99_est"))
         .orderBy("l_returnflag")
     },
 

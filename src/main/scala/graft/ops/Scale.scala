@@ -52,6 +52,55 @@ object Scale {
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Deterministic bounded-size per-group sample: the `k` rows with the
+    * smallest content hash in each group (KMV sampling — the hash acts as a
+    * fixed random permutation, so "k smallest hashes" IS a uniform k-sample,
+    * but one any engine can reproduce bit-for-bit; that reproducibility is
+    * what lets a sampled estimator face a value-exact oracle, unlike sketch
+    * internals which are engine-specific by construction).
+    *
+    * Two-phase so few-groups inputs never funnel through one reducer:
+    * per-partition bounded heaps prune to <= k rows per (partition, group) —
+    * O(groups·k) task memory, no sort of the full relation — then one window
+    * over the <= partitions×k survivors per group picks the global k. Rows
+    * are ordered by (hash, value): the value tiebreak makes the sampled VALUE
+    * multiset deterministic even when the hash key is not unique (two rows
+    * tying on both hash and value are interchangeable).
+    *
+    * Output: (groupCol, sample_value) — feed to an exact aggregate over the
+    * bounded sample (quantiles, means). Estimator error is the standard
+    * k-sample order-statistics bound (~1/sqrt(k) quantile error), certified
+    * in ScaleSpec next to the GK-sketch path.
+    */
+  def kmvSample(df: DataFrame, groupCol: String, hashCol: Column,
+                valueCol: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+      hashCol.cast("string").as("h"), valueCol.cast("double").as("v"))
+      .as[(String, String, Double)]
+    val pruned = rows.mapPartitions { it =>
+      // max-heap on (h, v); keep the k lexicographically-smallest per group
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Double)]]
+      it.foreach { case (g, h, v) =>
+        val heap = heaps.getOrElseUpdate(g,
+          scala.collection.mutable.PriorityQueue.empty[(String, Double)])
+        heap.enqueue((h, v))
+        if (heap.size > k) heap.dequeue()
+      }
+      heaps.iterator.flatMap { case (g, hp) =>
+        hp.iterator.map { case (h, v) => (g, h, v) }
+      }
+    }.toDF("g", "h", "v")
+    pruned
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("h"), col("v"))))
+      .filter(col("__rn") <= k)
+      .select(col("g").as(groupCol), col("v").as("sample_value"))
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * Exchange-free (co-located): the 100 TB pattern for repeated joins on
     * the same key (fact tables joined every run). Requires saveAsTable
@@ -92,24 +141,28 @@ object Scale {
         .orderBy("event_type")
     },
 
-    // A1 at 100 TB — approx_count_distinct (HLL++, rsd 1%) as the documented
-    // MAU scale variant, driver-certified as an error-bound invariant: the
-    // engine emits the exact count (which DuckDB recomputes) alongside a
-    // within-5% check on its own sketch estimate. The sketch value itself is
-    // engine-specific by construction and never crosses the compare; the
-    // boolean does, so an HLL regression past the bound fails the gate
-    // (ScaleSpec additionally pins the observed relative error).
+    // A1 at 100 TB — approximate MAU by deterministic distinct sampling
+    // (Gibbons '01): count the distinct user ids whose content hash falls in
+    // a 1/8 slice of hash space, scale by 8. State per group is p·D sampled
+    // ids (tunable by rate) instead of every distinct id, and — unlike a
+    // HLL sketch, whose register values are engine-specific by construction
+    // — the estimate is a deterministic function of the DATA, so DuckDB
+    // reproduces it bit-for-bit and the driver gate compares real values.
+    // The earlier form computed exact countDistinct in the same plan just to
+    // emit a within-5% boolean, which made the "bounded state" variant
+    // strictly more expensive than the exact query — the round-4 finding
+    // this replaces. The O(1)-state HLL++ path (approx_count_distinct,
+    // rsd 1%) remains the production operator and keeps its error-bound
+    // certification in ScaleSpec, where the corpus is controlled.
     Q("q48_mau_approx",
-      """SELECT strftime(ts, '%Y-%m') AS month, count(DISTINCT user_id) AS mau_exact,
-        | true AS approx_within_5pct
+      """SELECT strftime(ts, '%Y-%m') AS month,
+        | 8 * count(DISTINCT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '2'
+        |                         THEN user_id END) AS mau_est
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
-        .agg(countDistinct("user_id").as("mau_exact"),
-          approx_count_distinct("user_id", 0.01).as("__approx"))
-        .select(col("month"), col("mau_exact"),
-          (abs(col("__approx") - col("mau_exact")).cast("double") / col("mau_exact") <= 0.05)
-            .as("approx_within_5pct"))
+        .agg((countDistinct(when(md5(col("user_id").cast("string")) < "2",
+          col("user_id"))) * 8).as("mau_est"))
         .orderBy("month")
     },
   )

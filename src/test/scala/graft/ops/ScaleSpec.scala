@@ -63,6 +63,57 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.01, s"group $k: approx $a vs exact $e")
   }
 
+  test("kmvSample is partitioning-invariant and bounded at k per group") {
+    val li = Tables.lineitem(spark, sfDir)
+    val key = concat(col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Scale.kmvSample(df, "l_returnflag", md5(key), col("l_extendedprice"), k = 256)
+        .as[(String, Double)].collect().groupBy(_._1)
+        .map { case (g, vs) => g -> vs.map(_._2).sorted.toSeq }
+    val a = sample(li)
+    val b = sample(li.repartition(7)) // physical layout must not change the sample
+    assert(a === b)
+    assert(a.values.forall(_.size <= 256))
+  }
+
+  test("kmv-sample quantile estimator tracks exact within the k-sample error bound") {
+    val li = Tables.lineitem(spark, sfDir)
+    val key = concat(col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"))
+    val est = Scale.kmvSample(li, "l_returnflag", md5(key), col("l_extendedprice"), k = 1024)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(sample_value, array(0.5, 0.9))").as("ps"))
+      .as[(String, Seq[Double])].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+      .as[(String, Seq[Double])].collect().toMap
+    // order-statistics error for a 1024-sample is ~1/sqrt(k) in rank space;
+    // 10% relative headroom on these distributions is comfortable
+    for ((g, ps) <- est; (a, e) <- ps.zip(exact(g)))
+      assert(math.abs(a - e) / e < 0.10, s"group $g: sample $a vs exact $e")
+  }
+
+  test("sampled distinct-count MAU tracks exact within the 1/sqrt(pD) bound") {
+    val est = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg((countDistinct(when(md5(col("user_id").cast("string")) < "2",
+        col("user_id"))) * 8).as("mau_est"))
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(countDistinct("user_id").as("mau"))
+      .as[(String, Long)].collect().toMap
+    // binomial std of the estimate is ~sqrt((1-p)/(p·D)) relative (~22% at
+    // D=150, p=1/8); assert 3 sigma so the law, not luck, is what's tested
+    est.foreach { case (m, a) =>
+      val e = exact(m)
+      val bound = 3 * math.sqrt(7.0 / e) // 3·sqrt((1-p)/(p·D)), p = 1/8
+      assert(math.abs(a - e).toDouble / e < math.max(bound, 0.05),
+        s"month $m: est $a vs exact $e (bound $bound)")
+    }
+  }
+
   test("approx MAU is within the advertised error of exact (HLL++ rsd=0.01)") {
     val exact = Tables.events(spark, sfDir)
       .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
