@@ -284,6 +284,12 @@ object Text {
     // chars: the worst one-chunk document across every driver SF is 233
     // chars); the pipeline — explode -> df-bound -> fingerprint self-join,
     // short keys only, text never shuffles — must recover each of them.
+    // Unlike the LSH gates this capture is content-determined, not
+    // probabilistic: chunk boundaries are a pure function of the bytes. The
+    // one interaction to watch is the maxDf stopword-chunk bound — planted
+    // copies duplicate each fingerprint exactly twice, far under the
+    // resolved cutoff (>= 50), so the bound can only bite if the BASE corpus
+    // itself mass-duplicates a chunk, which the driver generator does not.
     // Mid-document-edit resynchronization (the splice case, where the
     // shared-chunk count is boundary-dependent and no SQL oracle can predict
     // it) is locked by TextSpec instead.

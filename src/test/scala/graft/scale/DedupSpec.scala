@@ -84,6 +84,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 == 1L && p._3 == 0L)) // all to rep, hamming 0
   }
 
+  test("LSH pipeline == brute-force shingle Jaccard on a cloned real corpus (full-parity law)") {
+    // The law the retired q26 full oracle expressed, now held where the
+    // corpus is controlled: over sf0.001 documents + planted exact/near
+    // clones, the bucketed pipeline must emit EXACTLY the pairs a brute-force
+    // pairwise Jaccard >= 0.7 finds — no misses, no phantoms, equal values.
+    val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val near = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val corpus = docs.unionByName(clones).unionByName(near).localCheckpoint()
+    val ids = corpus.select("doc_id")
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    def pairSet(cands: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardVerify(corpus, cands, threshold = 0.7)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4))
+        .as[(Long, Long, Double)].collect().toSet
+    val truth = pairSet(allPairs) // O(n²) is exactly what the ORACLE should be
+    val lsh = pairSet(Dedup.minhashCandidates(Dedup.minhashSignatures(corpus)))
+    assert(truth.nonEmpty)
+    assert(lsh === truth)
+  }
+
   test("simhash near-dup: exact copies have hamming 0, near copies small hamming") {
     // SimHash needs enough tokens for per-bit sums to be stable: on a ~15
     // token doc a one-word edit flips many near-zero bit sums. Use prose-
