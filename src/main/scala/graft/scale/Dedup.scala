@@ -40,39 +40,22 @@ object Dedup {
     docs.select(col(idCol), sigExpr.as("signature"))
   }
 
-  /** Pairs of rows whose `key` expression is IDENTICAL — the deterministic
-    * candidate path every LSH generator unions in: identical content (text,
-    * signature, vector) is the overwhelmingly common duplicate case in a real
-    * corpus, and its capture should never depend on bucket luck or be lost to
-    * a hot-bucket star-link through a third-party representative (the round-4
-    * finding: a planted pair could vanish when BOTH endpoints sat in hot
-    * buckets whose min-id was some other doc). Groups of size <= cap emit all
-    * pairs (complete clique — bounded by cap²/2); larger groups star-link to
-    * the group's min id (m-1 rows), which keeps every member connected for
-    * downstream transitive grouping because identical keys verify against
-    * anything their representative verifies against.
-    */
-  def identicalKeyPairs(df: DataFrame, key: org.apache.spark.sql.Column,
-                        idCol: String = "doc_id", cap: Int = 100): DataFrame = {
-    val keyed = df.select(col(idCol), key.as("__k"))
-    val w = Window.partitionBy("__k")
-    val sized = keyed
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rep", min(col(idCol)).over(w))
-      .filter(col("__n") > 1)
-    val small = sized.filter(col("__n") <= cap)
-    val smallPairs = small.as("a").join(small.as("b"),
-        col("a.__k") === col("b.__k") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-    val hotPairs = sized.filter(col("__n") > cap && col(idCol) =!= col("__rep"))
-      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
-    smallPairs.unionByName(hotPairs)
-  }
-
   /** LSH banding over MinHash signatures: split the k-long signature into
     * `bands` bands, hash each band, self-join on (band index, band hash).
     * Probability of candidacy for Jaccard similarity s: 1-(1-s^r)^b.
     * Returns candidate pairs (doc_a < doc_b) — feed to `jaccardVerify`.
+    *
+    * Band index `bands` is the IDENTITY pseudo-band: a hash of the whole
+    * signature. Identical content (identical text, hence identical
+    * signature) is thereby a candidate BY CONSTRUCTION — the overwhelmingly
+    * common duplicate case must not depend on sharing a cold bucket, which
+    * stops holding once real-band buckets go hot and star-link through a
+    * third-party representative (the round-4 finding). Folding identity into
+    * the same (band, band_hash) keyspace reuses the one existing shuffle —
+    * a separate identical-signature pass measured ~2x the candidate cost.
+    * In a hot identity bucket the min-id representative shares the full
+    * signature, so star links still verify downstream (up to a 2^-64
+    * xxhash64 collision mixing two signature groups in one bucket).
     */
   def minhashCandidates(signatures: DataFrame, bands: Int = 16, sigLen: Int = 64,
                         idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
@@ -80,9 +63,11 @@ object Dedup {
     val rows = sigLen / bands
     val banded = signatures.select(
       col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, array_join(transform(
-          slice(col("signature"), b * rows + 1, lit(rows)), h => h.cast("string")), ","))))
+      posexplode(concat(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, array_join(transform(
+            slice(col("signature"), b * rows + 1, lit(rows)), h => h.cast("string")), ","))),
+        array(xxhash64(lit("__identity"), col("signature")))))
         .as(Seq("band", "band_hash")))
     // Hot-bucket bound: a band value shared by m docs (web boilerplate is
     // duplicated 10^6 times) would alone yield m(m-1)/2 pairwise rows. Buckets
@@ -106,11 +91,7 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
     val hotPairs = sized.filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
       .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
-    // identical full signatures (exact duplicates, modulo minhash collisions)
-    // are candidates by construction, not by bucket luck — see
-    // [[identicalKeyPairs]] for why this survives hot-bucket star-linking
-    val identPairs = identicalKeyPairs(signatures, col("signature"), idCol, maxBucket)
-    coldPairs.unionByName(hotPairs).unionByName(identPairs).distinct()
+    coldPairs.unionByName(hotPairs).distinct()
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (the verify step after
@@ -157,12 +138,22 @@ object Dedup {
   /** SimHash near-dup candidates: band the 64-bit signature into four 16-bit
     * chunks (any pair within hamming distance 3 shares at least one chunk),
     * join on chunk equality, verify with bit_count(xor) <= maxHamming.
+    *
+    * Chunk index 4 is the IDENTITY pseudo-chunk — the full 64-bit signature
+    * itself (collision-free, unlike a hash). Identical signatures are
+    * thereby candidates by construction even when all four 16-bit chunk
+    * buckets are hot (the NORM at corpus scale: only 65,536 values per
+    * index) and the per-chunk star-link would otherwise route both planted
+    * endpoints through a third-party representative. In a hot identity
+    * bucket the representative's signature is identical, so hamming to the
+    * rep is 0 and the star link always survives the verify.
     */
   def simhashCandidates(sigs: DataFrame, maxHamming: Int = 3,
                         idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
     val chunked = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("chunk_idx", "chunk")))
+      posexplode(array(((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)) :+ col("simhash")): _*))
+        .as(Seq("chunk_idx", "chunk")))
     // Hot-bucket bound (same rationale and same caveat as
     // minhashCandidates): a 16-bit chunk has only 65,536 values per index,
     // so at corpus scale every bucket is huge — buckets over maxBucket
@@ -185,12 +176,7 @@ object Dedup {
       .filter(col("__n") > maxBucket && col(idCol) =!= col("__rep").getField(idCol))
       .select(col("__rep").getField(idCol).as("doc_a"), col(idCol).as("doc_b"),
         bit_count(col("__rep").getField("simhash").bitwiseXOR(col("simhash"))).as("hamming"))
-    // identical 64-bit signatures (hamming 0) are candidates by construction
-    // — immune to every chunk bucket of both endpoints going hot, which at
-    // corpus scale is the NORM (only 65,536 bucket values per chunk index)
-    val identPairs = identicalKeyPairs(sigs, col("simhash"), idCol, maxBucket)
-      .withColumn("hamming", lit(0))
-    coldPairs.unionByName(hotPairs).unionByName(identPairs).distinct()
+    coldPairs.unionByName(hotPairs).distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -366,8 +366,15 @@ object Similarity {
     // Narrow collision relation — (id, tid, bucket) longs only; the probe
     // explode multiplies rows by tables*(planes+1), which must not multiply
     // vector bytes through the shuffle. Vectors re-join by id at the end.
-    val allBuckets = array((0 until tables).map(t =>
-      struct(lit(t).as("tid"), bucketExpr(nPlanes, d, seed + t, vecCol).as("bucket"))): _*)
+    // Table `tables` is the IDENTITY pseudo-table (bucket = hash of the
+    // whole vector): identical embeddings — the exact-dup fast path — are
+    // candidates by construction, never by bucket luck or by surviving a
+    // hot-bucket star-link through a third doc (the round-4 finding). It
+    // rides the same (tid, bucket) shuffle; bit-flip probes skip it (a
+    // flipped exact hash means nothing).
+    val allBuckets = array(((0 until tables).map(t =>
+      struct(lit(t).as("tid"), bucketExpr(nPlanes, d, seed + t, vecCol).as("bucket"))) :+
+      struct(lit(tables).as("tid"), xxhash64(col(vecCol)).as("bucket"))): _*)
     val base = corpus
       .select(col(idCol), explode(allBuckets).as("tb"))
       .select(col(idCol), col("tb.tid").as("tid"), col("tb.bucket").as("bucket"))
@@ -382,19 +389,16 @@ object Similarity {
     val cold = sized.filter(col("__n") <= maxBucket).select(col(idCol), col("tid"), col("bucket"))
     val hotPairs = sized.filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
-    val probed = cold.withColumn("bucket", explode(concat(
+    val probed = cold.withColumn("bucket", explode(
+      when(col("tid") < tables, concat(
         array(col("bucket")),
-        array((0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))))
+        array((0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+        .otherwise(array(col("bucket")))))
     val coldPairs = probed.as("a").join(cold.as("b"),
         col("a.tid") === col("b.tid") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    // identical embeddings are candidates by construction (the exact-dup
-    // fast path): capture must not depend on bucket luck or survive-the-
-    // star-link luck — see Dedup.identicalKeyPairs
-    val identPairs = Dedup.identicalKeyPairs(corpus, col(vecCol), idCol, maxBucket)
-      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    val pairs = coldPairs.unionByName(hotPairs).unionByName(identPairs).distinct()
+    val pairs = coldPairs.unionByName(hotPairs).distinct()
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     pairs.join(va, "id_a").join(vb, "id_b")
