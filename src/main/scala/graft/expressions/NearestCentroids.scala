@@ -1,0 +1,104 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Top-`topN` centroid ids by dot product for an `array<double>` vector —
+  * the IVF assignment/probe kernel. `centroids` is the row-major flattened
+  * (nCentroids × dim) matrix, shipped once per task as a reference object
+  * (metadata-sized: 100s of centroids × dim doubles), never per row.
+  *
+  * Replaces the composable form `transform(slice(reverse(array_sort(array(
+  * struct(aggregate(zip_with(...)))))), ...)` whose lambdas are interpreted
+  * per centroid per row (Spark's higher-order functions never reach codegen)
+  * — one fused primitive loop instead of nCentroids interpreted folds.
+  * Order matches that form exactly: dot desc, centroid id desc on ties.
+  * Selection is repeated argmax — O(nCentroids · topN) with topN <= probes,
+  * cheaper than a full sort for the small topN IVF uses.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Double],
+                            nCentroids: Int, dim: Int, topN: Int)
+  extends UnaryExpression {
+
+  require(centroids.length == nCentroids * dim,
+    s"centroids length ${centroids.length} != $nCentroids x $dim")
+  require(topN >= 1 && topN <= nCentroids, s"topN=$topN out of range [1, $nCentroids]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids expects array<double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(NearestCentroids.topIds(
+      input.asInstanceOf[ArrayData], centroids, nCentroids, dim, topN)
+      .asInstanceOf[Array[Int]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.NearestCentroids.topIds($c, $centsRef, $nCentroids, $dim, $topN));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroids {
+
+  /** Kernel (public static for generated code): ids of the topN centroids by
+    * dot product, ordered (dot desc, id desc) to match the array_sort-based
+    * reference form. The vector is consumed up to min(dim, len).
+    */
+  def topIds(vec: ArrayData, cents: Array[Double], nCentroids: Int,
+             dim: Int, topN: Int): Array[Int] = {
+    val n = math.min(dim, vec.numElements())
+    val dots = new Array[Double](nCentroids)
+    var c = 0
+    while (c < nCentroids) {
+      var dot = 0d
+      val base = c * dim
+      var i = 0
+      while (i < n) { dot += cents(base + i) * vec.getDouble(i); i += 1 }
+      dots(c) = dot
+      c += 1
+    }
+    val out = new Array[Int](topN)
+    val taken = new Array[Boolean](nCentroids)
+    var k = 0
+    while (k < topN) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nCentroids) {
+        // ties prefer the LARGER id — reverse(array_sort) order of the
+        // struct(sim, cid) reference form
+        if (!taken(c2) && (dots(c2) > bestDot || (dots(c2) == bestDot && c2 > best))) {
+          best = c2
+          bestDot = dots(c2)
+        }
+        c2 += 1
+      }
+      if (best < 0) {
+        // all remaining dots are NaN (degenerate input); fall back to the
+        // first untaken id so the kernel stays total
+        var c3 = 0
+        while (c3 < nCentroids && best < 0) { if (!taken(c3)) best = c3; c3 += 1 }
+      }
+      taken(best) = true
+      out(k) = best
+      k += 1
+    }
+    out
+  }
+}

@@ -261,9 +261,31 @@ object Similarity {
         .zipWithIndex.map { case (v, i) => (i, v.toSeq) }
 
   /** Top-n centroid ids by dot product (argmax cosine: |v| is constant per
-    * row, centroids are unit-norm, so dot order == cosine order).
+    * row, centroids are unit-norm, so dot order == cosine order). Native
+    * kernel ([[graft.expressions.NearestCentroids]]): one fused loop with
+    * the centroid matrix shipped once per task as a reference object — the
+    * HOF form below runs nCentroids interpreted folds per row and was the
+    * whole cost of q31 (~3x end-to-end on the declared query).
     */
-  private def nearestCidsExpr(cents: Array[(Int, Seq[Double])], vec: Column, topN: Int): Column = {
+  private[scale] def nearestCidsExpr(cents: Array[(Int, Seq[Double])], vec: Column, topN: Int): Column = {
+    val dim = cents.head._2.length
+    // cents carry ids 0..n-1 in order (trainCentroids/centroidsFor build
+    // them with zipWithIndex), so row-major flattening preserves id == row
+    val flat = new Array[Double](cents.length * dim)
+    cents.foreach { case (cid, cv) =>
+      var i = 0
+      cv.foreach { x => flat(cid * dim + i) = x; i += 1 }
+    }
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.NearestCentroids(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        flat, cents.length, dim, topN))
+  }
+
+  /** The composable reference form of [[nearestCidsExpr]] (interpreted HOF
+    * lambdas) — kept for the spec parity law.
+    */
+  private[scale] def nearestCidsHof(cents: Array[(Int, Seq[Double])], vec: Column, topN: Int): Column = {
     val scored = array(cents.map { case (cid, cv) =>
       val dot = aggregate(zip_with(vec, typedLit(cv), (x, y) => x * y),
         lit(0d), (acc, v) => acc + v)

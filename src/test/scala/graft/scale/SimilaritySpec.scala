@@ -108,6 +108,20 @@ class SimilaritySpec extends SparkSpec {
     assert(b.select(countDistinct("bucket")).head().getLong(0) > 1)
   }
 
+  test("native nearest_centroids == HOF reference (ids, order, both topN=1 and 3)") {
+    import spark.implicits._
+    val cents = Similarity.trainCentroids(emb, nCentroids = 16, iters = 2)
+    val vec = col("embedding").cast("array<double>")
+    for (topN <- Seq(1, 3)) {
+      val both = emb.select(
+        Similarity.nearestCidsExpr(cents, vec, topN).as("native"),
+        Similarity.nearestCidsHof(cents, vec, topN).as("hof"))
+        .as[(Seq[Int], Seq[Int])].collect()
+      assert(both.nonEmpty)
+      both.foreach { case (n, h) => assert(n === h) }
+    }
+  }
+
   test("cosineNearDup finds planted perturbed clones") {
     import spark.implicits._
     val base = emb.select("vec_id", "embedding")
