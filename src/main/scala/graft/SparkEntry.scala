@@ -26,7 +26,8 @@ object SparkEntry {
     scale.Dedup.queries ++
     scale.PipelineQueries.queries ++
     scale.Similarity.queries ++
-    scale.Multimodal.queries
+    scale.Multimodal.queries ++
+    scale.Curation.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The reference's MAU-style join+agg over the star schema.)

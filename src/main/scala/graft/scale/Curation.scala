@@ -1,0 +1,183 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, PII scrubbing, and per-stratum mix sampling — the three
+  * cleaning steps that sit between raw dedup and tokenization in a real LLM
+  * data pipeline. All three are deterministic functions of the data (no
+  * sketches, no LSH), so every declared query carries a full value-level
+  * DuckDB oracle.
+  */
+object Curation {
+
+  /** Benchmark decontamination: corpus docs sharing at least `minShared`
+    * distinct `n`-token shingles with ANY eval/benchmark doc. n = 13 follows
+    * the GPT-3 appendix-C convention: a 13-gram from a ~40-word vocabulary
+    * has no chance collisions, so a hit means real contamination.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs) —
+    * its distinct shingle set broadcasts; the corpus side is one projection
+    * + explode with NO shuffle of text (the broadcast hash join consumes
+    * shingle keys in place, and only (doc_id, gram) survivors reach the
+    * count aggregation). `hashKeys` (default) joins on xxhash64(gram)
+    * longs instead of gram strings — 8 bytes per key in the broadcast
+    * regardless of n.
+    */
+  def contaminatedDocs(corpus: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                       minShared: Int = 1, hashKeys: Boolean = true,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def key(g: Column): Column = if (hashKeys) xxhash64(g) else g
+    val evalSh = evalDocs
+      .select(explode(Text.shingles(col(textCol), n)).as("g"))
+      .select(key(col("g")).as("g")).distinct()
+    val corpusSh = corpus
+      .select(col(idCol), explode(Text.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), key(col("g")).as("g")).dropDuplicates(idCol, "g")
+    corpusSh.join(broadcast(evalSh), "g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** PII scrubbing: redact emails and phone numbers with fixed placeholder
+    * tokens, reporting per-doc redaction counts. Pure regexp projection —
+    * codegen'd, zero shuffle, scans at parquet-read speed; patterns are kept
+    * RE2-compatible (no backreferences/lookaround) so the same semantics
+    * run on any regex engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"))
+
+  /** Per-stratum deterministic mix sampling — the "domain weights" step of
+    * assembling a training mix: each stratum keeps a rate of `k/16` chosen
+    * by comparing the row's content hash against a hex-prefix threshold.
+    * Deterministic (same rows at every run, on any engine — md5 is the
+    * cross-engine random permutation), exactly reproducible by the oracle,
+    * and embarrassingly parallel: one codegen'd filter, no shuffle, no
+    * state. Rates are sixteenths so the threshold is a single hex char;
+    * 16 means keep-all, 0 drops the stratum.
+    */
+  def stratifiedMix(df: DataFrame, stratumCol: String, rates16: Map[String, Int],
+                    default16: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    require((rates16.values ++ Seq(default16)).forall(r => r >= 0 && r <= 16),
+      s"rates must be in [0, 16]: $rates16 / $default16")
+    val h = md5(col(idCol).cast("string"))
+    def keep(r: Int): Column =
+      if (r >= 16) lit(true) else if (r <= 0) lit(false)
+      else h < lit(r.toHexString) // md5 hex is uniform per nibble
+    val cond = rates16.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (s, r)) => acc.when(col(stratumCol) === s, keep(r))
+    }.otherwise(keep(default16))
+    df.filter(cond)
+  }
+
+  // ---- declared queries ----------------------------------------------------
+
+  val queries: Seq[Q] = Seq(
+
+    // Decontamination with planted contamination: docs with doc_id % 50 == 0
+    // are the "benchmark set"; every corpus doc with doc_id % 17 == 0 gets
+    // the text of its floor-of-50 benchmark doc appended (when that
+    // benchmark doc is >= 13 tokens, so it contributes at least one full
+    // 13-gram). The oracle rebuilds the same contaminated corpus and
+    // recomputes the shared-distinct-13-gram counts by brute force; the
+    // engine must flag exactly the planted docs with exactly the right
+    // counts (chance 13-gram collisions between random docs are ~40^-13 —
+    // this gate is deterministic, not probabilistic; the engine's xxhash64
+    // key join differs only under a 2^-64 in-doc hash collision).
+    Q("q70_decontaminate",
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        | corp AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 17 = 0 AND e.doc_id IS NOT NULL
+        |              AND len(string_split_regex(e.text, '\s+')) >= 13
+        |         THEN d.text || ' [CONT] ' || e.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN ev e ON e.doc_id = d.doc_id - (d.doc_id % 50)
+        |  WHERE d.doc_id % 50 <> 0),
+        | shc AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split_regex(text, '\s+')) - 13, 0) + 1),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+13], ' ')))) AS g
+        |  FROM corp),
+        | she AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    range(0, greatest(len(string_split_regex(text, '\s+')) - 13, 0) + 1),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+13], ' '))) AS g
+        |  FROM ev)
+        |SELECT doc_id, count(1) AS n_shared FROM shc JOIN she USING (g)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ev = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(ev.select(col("doc_id").as("__eid"), col("text").as("__etext"))),
+          col("__eid") === col("doc_id") - (col("doc_id") % 50), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0 && col("__eid").isNotNull &&
+               size(split(col("__etext"), "\\s+")) >= 13,
+            concat(col("text"), lit(" [CONT] "), col("__etext")))
+            .otherwise(col("text")).as("text"))
+      contaminatedDocs(corpus, ev).orderBy("doc_id")
+    },
+
+    // PII scrubbing with planted PII: every 5th doc gets a deterministic
+    // email + phone appended; the scrubbed text and per-doc redaction
+    // counts are recomputed end-to-end by the oracle (RE2 and Java agree on
+    // these patterns by construction).
+    Q("q71_pii_scrub",
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' contact user' || doc_id ||
+         |           '@example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         | len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         | regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+         |                '$PhoneRe', '[PHONE]', 'g') AS text
+         |FROM seeded ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      scrubPii(seeded)
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"), col("text"))
+        .orderBy("doc_id")
+    },
+
+    // Training-mix assembly: language-weighted deterministic sampling (en
+    // keep-all, de 1/2, fr 1/4, es+zh 1/8), reported as per-language kept
+    // doc counts and char volume. The oracle applies the identical md5
+    // thresholds, so the compare is value-exact at any SF.
+    Q("q72_training_mix",
+      """SELECT lang, count(1) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE CASE lang WHEN 'en' THEN true
+        |                WHEN 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '8'
+        |                WHEN 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '4'
+        |                ELSE md5(CAST(doc_id AS VARCHAR)) < '2' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      stratifiedMix(Tables.documents(s, d),
+        "lang", Map("en" -> 16, "de" -> 8, "fr" -> 4), default16 = 2)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("lang")
+    },
+  )
+}
