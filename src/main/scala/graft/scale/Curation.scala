@@ -30,12 +30,19 @@ object Curation {
                        minShared: Int = 1, hashKeys: Boolean = true,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def key(g: Column): Column = if (hashKeys) xxhash64(g) else g
+    // native DistinctShingles: one static kernel call per doc, already
+    // distinct per doc (no dropDuplicates shuffle) — the transform/slice/
+    // array_join composable form runs interpreted lambdas per position and
+    // measured ~4x slower end-to-end on the declared query
+    def sh(df: DataFrame) = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(df(textCol)), n))
     val evalSh = evalDocs
-      .select(explode(Text.shingles(col(textCol), n)).as("g"))
+      .select(explode(sh(evalDocs)).as("g"))
       .select(key(col("g")).as("g")).distinct()
     val corpusSh = corpus
-      .select(col(idCol), explode(Text.shingles(col(textCol), n)).as("g"))
-      .select(col(idCol), key(col("g")).as("g")).dropDuplicates(idCol, "g")
+      .select(col(idCol), explode(sh(corpus)).as("g"))
+      .select(col(idCol), key(col("g")).as("g"))
     corpusSh.join(broadcast(evalSh), "g")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

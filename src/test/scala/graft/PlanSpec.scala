@@ -81,6 +81,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("decontamination broadcasts the benchmark shingles, never shuffling corpus text") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val plan = planOf(graft.scale.Curation.contaminatedDocs(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("stratifiedMix is a pure filter: the only shuffle is the downstream agg") {
+    val mixed = graft.scale.Curation.stratifiedMix(
+      Tables.documents(spark, sfDir), "lang", Map("en" -> 16, "de" -> 8), default16 = 2)
+    val plan = planOf(mixed)
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 0, s"sampling itself must not shuffle, plan:\n$plan")
+  }
+
+  test("kmvSample prunes per-partition before its only wide stage") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val plan = planOf(graft.ops.Scale.kmvSample(li, "l_returnflag",
+      md5(concat(col("l_orderkey").cast("string"), lit("-"), col("l_linenumber").cast("string"))),
+      col("l_extendedprice"), k = 64))
+    // bounded heaps run as a MapPartitions stage ahead of the window sort
+    assert(plan.contains("MapPartitions"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("exact dedup aggregates on the hash, never shuffling text twice") {
     val plan = planOf(graft.scale.Dedup.exact(Tables.documents(spark, sfDir)))
     // partial then final HashAggregate around a single Exchange
