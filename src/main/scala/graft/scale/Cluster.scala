@@ -43,8 +43,10 @@ object Cluster {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // no checkpoint here: round 1's checkpoint materializes the whole chain,
+    // and the two uses inside round 1 share the shuffled distinct output
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id"))
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
