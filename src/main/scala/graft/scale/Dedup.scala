@@ -231,7 +231,8 @@ object Dedup {
     // DedupSpec ("LSH pipeline == brute force"), where the corpus is
     // controlled; identical shingle sets make jaccard exactly 1.0 here.
     Q("q26_minhash_neardup",
-      """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b, 1.0 AS jaccard
+      """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
+        | CAST(1.0 AS DOUBLE) AS jaccard
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_a""".stripMargin) { (s, d) =>
       // corpus is consumed twice (signatures + verify); materialize it so the
       // parquet read + clone synthesis runs once. Signatures are consumed by

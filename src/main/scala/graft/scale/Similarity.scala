@@ -511,7 +511,8 @@ object Similarity {
     // the corpus is controlled. cosine(v, v) = dot/(sqrt·sqrt) lands within
     // 1 ulp of 1.0 in both engines, so round(.., 4) compares exactly.
     Q("q32_embedding_neardup",
-      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS sim
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+        | CAST(1.0 AS DOUBLE) AS sim
         |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val clones = emb.filter(col("vec_id") % 10 === 0)
