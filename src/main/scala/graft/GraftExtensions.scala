@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DistinctShingles, LangIdNative, MinHashSignature, QualityScoreNative, SimHash64, TokenStats}
+import graft.expressions.{CosineSimilarity, DistinctShingles, LangIdNative, MinHashSignature, QualityScoreNative, RepetitionStats, SimHash64, TokenStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -69,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => {
         require(exprs.length == 1, s"token_stats(text) expects 1 argument, got ${exprs.length}")
         TokenStats(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      exprs => {
+        require(exprs.length == 1, s"repetition_stats(text) expects 1 argument, got ${exprs.length}")
+        RepetitionStats(exprs.head)
       }))
   }
 }

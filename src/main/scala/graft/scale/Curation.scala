@@ -88,6 +88,59 @@ object Curation {
     df.filter(cond)
   }
 
+  /** Per-document repetition statistics (native [[graft.expressions.RepetitionStats]]
+    * kernel: one pass, no explode, text never leaves the scan task) appended
+    * as four int columns: n_words, n_distinct, top_word, top_bigram.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val r = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.RepetitionStats(
+        org.apache.spark.sql.GraftColumnBridge.expression(docs(textCol))))
+    docs.withColumn("__r", r)
+      .withColumn("n_words", col("__r.n_words"))
+      .withColumn("n_distinct", col("__r.n_distinct"))
+      .withColumn("top_word", col("__r.top_word"))
+      .withColumn("top_bigram", col("__r.top_bigram"))
+      .drop("__r")
+  }
+
+  /** Gopher-rule repetition filter: drop documents whose most frequent
+    * adjacent bigram covers >= fracNum/fracDen of bigram positions.
+    * Integer comparison only — reproducible on any engine.
+    */
+  def dropRepetitive(docs: DataFrame, fracNum: Int = 1, fracDen: Int = 5,
+                     textCol: String = "text"): DataFrame =
+    repetitionStats(docs, textCol)
+      .filter(!(col("n_words") >= 2 &&
+        col("top_bigram") * fracDen >= (col("n_words") - 1) * fracNum))
+      .drop("n_words", "n_distinct", "top_word", "top_bigram")
+
+  /** Training-sequence packing (concat-and-chunk): shard-local greedy
+    * assignment of documents to fixed-token-budget sequences. Each doc goes
+    * to the sequence bin its cumulative-token start position falls in —
+    * the standard "concatenate then cut every `budget` tokens" scheme.
+    *
+    * Scale shape: ONE hash shuffle by shard, then a shard-local running sum
+    * (window ORDER BY doc_id inside each shard) — no global sort, no driver
+    * state. nShards is the parallelism unit: at 100 TB set it to
+    * executors x cores; each shard packs independently.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048, nShards: Int = 64,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // token proxy = whitespace word count; the RepetitionStats kernel already
+    // computes it in one native pass (tokenizer-exact counts would slot in
+    // the same way via a released tokenizer's vocab)
+    repetitionStats(docs, textCol)
+      .select(col(idCol), (col(idCol) % nShards).as("shard"),
+        coalesce(col("n_words").cast("long"), lit(0L)).as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("seq",
+        floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -185,6 +238,77 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("n_chars"))
         .orderBy("lang")
+    },
+
+    // Gopher/MassiveText repetition signals, reduced to exact integer sums
+    // per language so the compare is value-exact at any SF (per-doc ratios
+    // would hash-diverge on float rounding; sums of ints cannot). The
+    // engine runs the single-pass native kernel (no explode, no per-word
+    // shuffle); the oracle recomputes by brute-force word/bigram unnesting.
+    // n_repetitive applies the Gopher-style "top bigram covers >= 20% of
+    // bigram positions" rule as an integer cross-multiplication.
+    Q("q73_repetition",
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        | wc AS (
+        |  SELECT doc_id, count(1) AS n_distinct, max(c) AS top_word FROM (
+        |    SELECT doc_id, g, count(1) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        | bc AS (
+        |  SELECT doc_id, max(c) AS top_bigram FROM (
+        |    SELECT doc_id, g, count(1) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1])) AS g
+        |      FROM w WHERE len(ws) >= 2) GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(len(ws)) AS BIGINT) AS sum_words,
+        |  CAST(sum(coalesce(n_distinct, 0)) AS BIGINT) AS sum_distinct,
+        |  CAST(sum(coalesce(top_word, 0)) AS BIGINT) AS sum_top_word,
+        |  CAST(sum(coalesce(top_bigram, 0)) AS BIGINT) AS sum_top_bigram,
+        |  CAST(sum(CASE WHEN len(ws) >= 2 AND coalesce(top_bigram, 0) * 5 >= len(ws) - 1
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        |FROM w LEFT JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      repetitionStats(Tables.documents(s, d).select("doc_id", "lang", "text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("sum_words"),
+          sum("n_distinct").cast("long").as("sum_distinct"),
+          sum("top_word").cast("long").as("sum_top_word"),
+          sum("top_bigram").cast("long").as("sum_top_bigram"),
+          sum(when(col("n_words") >= 2 &&
+                   col("top_bigram") * 5 >= col("n_words") - 1, 1L)
+            .otherwise(0L)).as("n_repetitive"))
+        .orderBy("lang")
+    },
+
+    // Training-sequence packing: per-shard doc counts, token totals, and
+    // sequence counts under a 2048-token budget. The window running sum is
+    // shard-local (PARTITION BY shard), so both engines compute the same
+    // deterministic packing with no global order.
+    Q("q74_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 64 AS shard,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        | c AS (
+        |  SELECT shard, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT shard, count(1) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(max(CAST(floor((cum - toks) / 2048.0) AS BIGINT)) + 1 AS BIGINT) AS n_seqs
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      packSequences(Tables.documents(s, d).select("doc_id", "text"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("n_tokens"),
+          (max("seq") + 1).as("n_seqs"))
+        .orderBy("shard")
     },
   )
 }

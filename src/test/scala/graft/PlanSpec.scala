@@ -99,6 +99,31 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 0, s"sampling itself must not shuffle, plan:\n$plan")
   }
 
+  test("repetition stats: kernel runs in the scan stage, one agg shuffle, no explode") {
+    import org.apache.spark.sql.functions._
+    val stats = graft.scale.Curation.repetitionStats(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "text"))
+      .groupBy("lang").agg(sum("top_bigram"))
+    val plan = planOf(stats)
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 1, s"per-doc kernel + one agg shuffle expected, plan:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode in the native path:\n$plan")
+  }
+
+  test("sequence packing shuffles once (by shard) and text never rides the exchange") {
+    val plan = planOf(graft.scale.Curation.packSequences(
+      Tables.documents(spark, sfDir).select("doc_id", "text")))
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 1, s"one hash shuffle by shard expected, plan:\n$plan")
+    // only (doc_id, shard, toks) reach the exchange — the text column is
+    // reduced to its word count inside the scan-side projection
+    val exchangeLine = plan.linesIterator.find(_.contains("Exchange")).get
+    assert(!plan.contains("text#") ||
+      !exchangeLine.contains("text"), s"text must not shuffle:\n$plan")
+  }
+
   test("kmvSample prunes per-partition before its only wide stage") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sfDir)

@@ -61,6 +61,83 @@ class CurationSpec extends SparkSpec {
     assert(twice.select("doc_id", "text").exceptAll(once.select("doc_id", "text")).count() === 0)
   }
 
+  test("repetitionStats kernel == explode-based string counting on the corpus") {
+    // expected via brute force: explode words / adjacent bigrams, count by
+    // STRING value (the kernel counts 64-bit hashes — parity means no
+    // collision broke the counts)
+    val sample = docs.limit(200).cache()
+    val ws = sample.withColumn("ws",
+      filter(split(col("text"), "\\s+"), w => w =!= ""))
+    val words = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("e_distinct"), max("count").as("e_top_word"))
+    val bigrams = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(max("count").as("e_top_bigram"))
+    val expected = ws.select(col("doc_id"), size(col("ws")).as("e_words"))
+      .join(words, Seq("doc_id"), "left").join(bigrams, Seq("doc_id"), "left")
+      .na.fill(0)
+    val got = Curation.repetitionStats(sample)
+    val mismatches = got.join(expected, "doc_id")
+      .filter(col("n_words") =!= col("e_words") ||
+        col("n_distinct") =!= col("e_distinct") ||
+        col("top_word") =!= col("e_top_word") ||
+        col("top_bigram") =!= col("e_top_bigram"))
+    assert(mismatches.count() === 0)
+    sample.unpersist()
+  }
+
+  test("repetitionStats unit cases: empty, single word, pure repetition, tabs") {
+    val cases = Seq(
+      ("", (0, 0, 0, 0)),
+      ("   ", (0, 0, 0, 0)),
+      ("hello", (1, 1, 1, 0)),
+      ("a a a a", (4, 1, 4, 3)),        // bigram "a a" at 3 positions
+      ("x y x y x", (5, 2, 3, 2)),      // bigrams [x y][y x][x y][y x] -> top 2
+      ("one\ttwo\n one", (3, 2, 2, 1)))
+    val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionStats(df)
+      .select("doc_id", "n_words", "n_distinct", "top_word", "top_bigram")
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    for (((_, (w, d, tw, tb)), (_, gw, gd, gtw, gtb)) <- cases.zip(got)) {
+      assert((gw, gd, gtw, gtb) === ((w, d, tw, tb)))
+    }
+  }
+
+  test("dropRepetitive drops a planted degenerate doc and keeps organic text") {
+    val planted = docs.limit(50).withColumn("text",
+      when(col("doc_id") === docs.limit(50).select(min("doc_id")).as[Long].head(),
+        lit("spam ham spam ham spam ham spam ham spam ham"))
+        .otherwise(col("text")))
+    val kept = Curation.dropRepetitive(planted).select("doc_id").as[Long].collect().toSet
+    val minId = docs.limit(50).select(min("doc_id")).as[Long].head()
+    assert(!kept.contains(minId))
+    assert(kept.size >= 40) // word-salad corpus is not repetitive at 20%
+  }
+
+  test("packSequences: layout-invariant, bins respect the budget arithmetic") {
+    val budget = 512
+    val a = Curation.packSequences(docs, budget = budget, nShards = 8)
+    val b = Curation.packSequences(docs.repartition(13), budget = budget, nShards = 8)
+    assert(a.orderBy("doc_id").collect() === b.orderBy("doc_id").collect())
+    // every doc's bin is exactly floor(start / budget), and the shard-local
+    // cumulative sum really is a running sum in doc_id order
+    val rows = a.select("shard", "doc_id", "toks", "cum", "seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    for ((_, _, toks, cum, seq) <- rows)
+      assert(seq === (cum - toks) / budget)
+    for ((_, rs) <- rows.groupBy(_._1)) {
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._3).scanLeft(0L)(_ + _).tail.sameElements(ordered.map(_._4)))
+    }
+  }
+
   test("stratifiedMix is deterministic, keeps all of rate-16 strata, tracks rates") {
     val all = Tables.documents(spark, sfDir)
     val rates = Map("en" -> 16, "de" -> 8, "fr" -> 4)
