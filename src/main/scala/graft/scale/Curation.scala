@@ -141,6 +141,39 @@ object Curation {
         floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
   }
 
+  /** CCNet-style unigram-LM surprisal scoring: pass 1 builds the corpus
+    * word-frequency table (the canonical word-count job — map-side partial
+    * aggregation, one shuffle on the word); pass 2 broadcasts the vocabulary
+    * back over the token stream and sums per-document surprisal.
+    *
+    * Surprisal is the INTEGER floor-log2 form: bits(total) - bits(cnt)
+    * where bits(x) = length of the binary representation — an exact
+    * integer approximation of -log2 p(word) that is reproducible on any
+    * engine (no transcendental functions, no float rounding at compare
+    * time). Docs full of common words score low; rare-word salad scores
+    * high — the same signal CCNet uses KenLM perplexity for.
+    *
+    * At 100 TB the vocabulary is capped to the top-K words + an OOV bucket
+    * before the broadcast (a bounded top-K agg); the declared query runs
+    * the uncapped exact form the oracle can recompute.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val ws = docs.select(col(idCol),
+      explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("__w"))
+    val vocab = ws.groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    val tot = vocab.agg(sum("__cnt").cast("long").as("__total"))
+    val scored = ws.join(broadcast(vocab), "__w")
+      .join(broadcast(tot))
+      .select(col(idCol),
+        (length(bin(col("__total"))) - length(bin(col("__cnt")))).cast("long").as("__surp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__surp").as("surprisal"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("surprisal", coalesce(col("surprisal"), lit(0L)))
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -309,6 +342,38 @@ object Curation {
           sum("toks").as("n_tokens"),
           (max("seq") + 1).as("n_seqs"))
         .orderBy("shard")
+    },
+
+    // Unigram-LM surprisal quality scoring (the CCNet perplexity-filter
+    // idea with an integer-exact surprisal so the compare is hash-safe on
+    // any engine). n_fluent counts docs averaging <= 8 bits/token, as an
+    // integer cross-multiplication.
+    Q("q75_unigram_surprisal",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> '')) AS g
+        |  FROM documents),
+        | v AS (SELECT g, count(1) AS cnt FROM w GROUP BY 1),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        | s AS (
+        |  SELECT doc_id, count(1) AS n_tok,
+        |         CAST(sum(length(bin(total)) - length(bin(cnt))) AS BIGINT) AS surp
+        |  FROM w JOIN v USING (g) CROSS JOIN tot GROUP BY 1)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(coalesce(n_tok, 0)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(surp, 0)) AS BIGINT) AS sum_surprisal,
+        |  CAST(sum(CASE WHEN coalesce(surp, 0) <= 8 * coalesce(n_tok, 0)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent
+        |FROM documents LEFT JOIN s USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      unigramSurprisal(Tables.documents(s, d).select("doc_id", "lang", "text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("surprisal").as("sum_surprisal"),
+          sum(when(col("surprisal") <= col("n_tokens") * 8, 1L).otherwise(0L))
+            .as("n_fluent"))
+        .orderBy("lang")
     },
   )
 }

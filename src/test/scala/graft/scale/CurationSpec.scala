@@ -138,6 +138,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("unigramSurprisal: hand-computed corpus, docs with no words score zero") {
+    // corpus "a a a b" + "b c" + "": vocab a:3 b:2 c:1, total 6 (bits=3)
+    // surp(a)=3-2=1, surp(b)=3-2=1, surp(c)=3-1=2
+    val df = Seq((1L, "a a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = Curation.unigramSurprisal(df)
+      .select("doc_id", "n_tokens", "surprisal")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((1L, 4L, 4L), (2L, 2L, 3L), (3L, 0L, 0L)))
+  }
+
+  test("unigramSurprisal is layout-invariant and monotone in word rarity") {
+    val sample = docs.limit(300)
+    val a = Curation.unigramSurprisal(sample).select("doc_id", "surprisal")
+      .as[(Long, Long)].collect().toMap
+    val b = Curation.unigramSurprisal(sample.repartition(11))
+      .select("doc_id", "surprisal").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // appending a corpus-unique word strictly raises a doc's surprisal
+    val spiked = sample.withColumn("text",
+      when(col("doc_id") === sample.select(min("doc_id")).as[Long].head(),
+        concat(col("text"), lit(" zzqqxxunique"))).otherwise(col("text")))
+    val s = Curation.unigramSurprisal(spiked).select("doc_id", "surprisal")
+      .as[(Long, Long)].collect().toMap
+    val minId = sample.select(min("doc_id")).as[Long].head()
+    assert(s(minId) > a(minId))
+  }
+
   test("stratifiedMix is deterministic, keeps all of rate-16 strata, tracks rates") {
     val all = Tables.documents(spark, sfDir)
     val rates = Map("en" -> 16, "de" -> 8, "fr" -> 4)
