@@ -41,6 +41,15 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val wh = Files.createTempDirectory("graft-q50").toString
       val table = new VersionedTable(s, s"$wh/window_counts")
+      // State-partition sizing: the stateful agg keys on (window, event_type)
+      // — dozens of keys, not millions — so 32 state-store partitions buy
+      // nothing but per-partition store open/commit overhead. Size the
+      // stream's shuffle to the key cardinality (the count is pinned into
+      // the checkpoint at first start, so it must be set before .start()).
+      // At 100 TB this is the same dial, set to keys/target-state-per-task.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       // Watermark caveat: the driver table is a single parquet file, so
       // AvailableNow drains it as one micro-batch and eviction can never
       // drop a window before it is emitted. A multi-file source whose files
@@ -48,10 +57,11 @@ object StreamingQueries {
       // batches in Update mode — replaying a finite backfill through this
       // query shape needs watermark=null (no eviction) or time-ordered file
       // listing; the latest-wins sink itself absorbs re-emission either way.
-      val counts = Streaming.windowedCounts(
-        Streaming.eventsStream(s, d), windowLen = "1 hour", watermark = "1 hour")
-      val q = Streaming.windowedCountsSink(counts, table, s"$wh/ckpt")
-      q.awaitTermination()
+        val counts = Streaming.windowedCounts(
+          Streaming.eventsStream(s, d), windowLen = "1 hour", watermark = "1 hour")
+        val q = Streaming.windowedCountsSink(counts, table, s"$wh/ckpt")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       table.read()
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"))
