@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
       !exchangeLine.contains("text"), s"text must not shuffle:\n$plan")
   }
 
+  test("unigram surprisal broadcasts the vocabulary — no sort-merge join on the token stream") {
+    val plan = planOf(graft.scale.Curation.unigramSurprisal(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "text")))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"token stream must not sort-merge:\n$plan")
+  }
+
   test("kmvSample prunes per-partition before its only wide stage") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sfDir)
