@@ -81,19 +81,16 @@ object NearestCentroids {
       var bestDot = Double.NegativeInfinity
       var c2 = 0
       while (c2 < nCentroids) {
-        // ties prefer the LARGER id — reverse(array_sort) order of the
-        // struct(sim, cid) reference form
-        if (!taken(c2) && (dots(c2) > bestDot || (dots(c2) == bestDot && c2 > best))) {
+        // exact reverse(array_sort) order of the struct(sim, cid) reference
+        // form: Spark's nan-safe double ordering (NaN greatest, -0.0 == 0.0),
+        // ties prefer the LARGER id
+        if (!taken(c2) &&
+            (best < 0 || { val cmp = nanSafeCompare(dots(c2), bestDot)
+                           cmp > 0 || (cmp == 0 && c2 > best) })) {
           best = c2
           bestDot = dots(c2)
         }
         c2 += 1
-      }
-      if (best < 0) {
-        // all remaining dots are NaN (degenerate input); fall back to the
-        // first untaken id so the kernel stays total
-        var c3 = 0
-        while (c3 < nCentroids && best < 0) { if (!taken(c3)) best = c3; c3 += 1 }
       }
       taken(best) = true
       out(k) = best
@@ -101,4 +98,17 @@ object NearestCentroids {
     }
     out
   }
+
+  /** Spark SQL's double ordering (Utils.nanSafeCompareDoubles semantics):
+    * NaN compares greater than everything incl. itself as a tie, and
+    * -0.0 == 0.0 — NOT java.lang.Double.compare, which splits zeros.
+    */
+  private def nanSafeCompare(a: Double, b: Double): Int =
+    if (a < b) -1
+    else if (a > b) 1
+    else {
+      val an = java.lang.Double.isNaN(a)
+      val bn = java.lang.Double.isNaN(b)
+      if (an == bn) 0 else if (an) 1 else -1
+    }
 }

@@ -44,6 +44,26 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whitespace word count alone — for callers (sequence packing) that need
+  * only n_words: a single counting loop, no hash tables, no bigram pass.
+  * Token semantics identical to [[RepetitionStats]].
+  */
+case class WordCountNative(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_count expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "word_count"
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.wordCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.RepetitionStats.wordCount($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RepetitionStats {
 
   val outputType: StructType = StructType(Seq(
@@ -87,6 +107,23 @@ object RepetitionStats {
       i += 1
     }
     (distinct, maxCnt)
+  }
+
+  /** Counting-only kernel for [[WordCountNative]] (public static for
+    * generated code): number of maximal non-whitespace runs.
+    */
+  def wordCount(text: UTF8String): Int = {
+    val src = text.getBytes
+    var n = 0
+    var i = 0
+    var inWord = false
+    while (i < src.length) {
+      val sp = isSpace(src(i))
+      if (!sp && !inWord) n += 1
+      inWord = !sp
+      i += 1
+    }
+    n
   }
 
   /** Tight-loop kernel, called from generated code (must stay public static). */

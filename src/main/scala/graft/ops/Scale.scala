@@ -80,17 +80,22 @@ object Scale {
       hashCol.cast("string").as("h"), valueCol.cast("double").as("v"))
       .as[(String, String, Double)]
     val pruned = rows.mapPartitions { it =>
-      // max-heap on (h, v); keep the k lexicographically-smallest per group
+      import org.apache.spark.unsafe.types.UTF8String
+      // max-heap on (h, v); keep the k smallest per group, compared in the
+      // SAME order phase 2's window uses — Spark strings sort by UTF-8
+      // binary compare (UTF8String), which disagrees with Java's UTF-16
+      // compareTo between U+E000–U+FFFF and the supplementary planes
+      implicit val utf8Ord: Ordering[UTF8String] = (a, b) => a.compareTo(b)
       val heaps = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.PriorityQueue[(String, Double)]]
+        .empty[String, scala.collection.mutable.PriorityQueue[(UTF8String, Double)]]
       it.foreach { case (g, h, v) =>
         val heap = heaps.getOrElseUpdate(g,
-          scala.collection.mutable.PriorityQueue.empty[(String, Double)])
-        heap.enqueue((h, v))
+          scala.collection.mutable.PriorityQueue.empty[(UTF8String, Double)])
+        heap.enqueue((UTF8String.fromString(h), v))
         if (heap.size > k) heap.dequeue()
       }
       heaps.iterator.flatMap { case (g, hp) =>
-        hp.iterator.map { case (h, v) => (g, h, v) }
+        hp.iterator.map { case (h, v) => (g, h.toString, v) }
       }
     }.toDF("g", "h", "v")
     pruned

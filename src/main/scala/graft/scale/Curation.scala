@@ -130,12 +130,15 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // token proxy = whitespace word count; the RepetitionStats kernel already
-    // computes it in one native pass (tokenizer-exact counts would slot in
-    // the same way via a released tokenizer's vocab)
-    repetitionStats(docs, textCol)
+    // token proxy = whitespace word count via the counting-only native
+    // kernel (tokenizer-exact counts would slot in the same way via a
+    // released tokenizer's vocab)
+    val wc = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WordCountNative(
+        org.apache.spark.sql.GraftColumnBridge.expression(docs(textCol))))
+    docs
       .select(col(idCol), (col(idCol) % nShards).as("shard"),
-        coalesce(col("n_words").cast("long"), lit(0L)).as("toks"))
+        coalesce(wc.cast("long"), lit(0L)).as("toks"))
       .withColumn("cum", sum("toks").over(w))
       .withColumn("seq",
         floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
@@ -159,8 +162,13 @@ object Curation {
     */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    // materialize the token stream once: both the vocab pass and the scoring
+    // pass consume it, and without the checkpoint each re-reads and
+    // re-tokenizes the corpus (same shared-consumer pattern as the q26
+    // candidate pipeline)
     val ws = docs.select(col(idCol),
       explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("__w"))
+      .localCheckpoint()
     val vocab = ws.groupBy("__w").agg(count(lit(1)).as("__cnt"))
     val tot = vocab.agg(sum("__cnt").cast("long").as("__total"))
     val scored = ws.join(broadcast(vocab), "__w")
@@ -189,13 +197,14 @@ object Curation {
     // this gate is deterministic, not probabilistic; the engine's xxhash64
     // key join differs only under a 2^-64 in-doc hash collision).
     Q("q70_decontaminate",
-      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
+        | ev AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
         | corp AS (
         |  SELECT d.doc_id,
         |    CASE WHEN d.doc_id % 17 = 0 AND e.doc_id IS NOT NULL
         |              AND len(string_split_regex(e.text, '\s+')) >= 13
         |         THEN d.text || ' [CONT] ' || e.text ELSE d.text END AS text
-        |  FROM documents d
+        |  FROM base d
         |  LEFT JOIN ev e ON e.doc_id = d.doc_id - (d.doc_id % 50)
         |  WHERE d.doc_id % 50 <> 0),
         | shc AS (
@@ -210,7 +219,11 @@ object Curation {
         |  FROM ev)
         |SELECT doc_id, count(1) AS n_shared FROM shc JOIN she USING (g)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select("doc_id", "text")
+      // trim both sides: DuckDB's string_split_regex keeps a trailing empty
+      // token that Java's split drops, so un-trimmed trailing whitespace
+      // would shift the oracle's shingle windows off the kernel's
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
       val ev = docs.filter(col("doc_id") % 50 === 0)
       val corpus = docs.filter(col("doc_id") % 50 =!= 0)
         .join(broadcast(ev.select(col("doc_id").as("__eid"), col("text").as("__etext"))),

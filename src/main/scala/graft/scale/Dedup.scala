@@ -218,8 +218,8 @@ object Dedup {
 
     // MinHash-LSH near-dup pipeline, driver-certified on its deterministic
     // subset: planted exact clones have identical text, hence identical
-    // signatures, hence guaranteed candidacy through the identicalKeyPairs
-    // union inside minhashCandidates — capture does not depend on bucket
+    // signatures, hence guaranteed candidacy through minhashCandidates'
+    // identity pseudo-band (the whole-signature hash banded in) — capture does not depend on bucket
     // luck or on surviving a hot-bucket star-link. The full pipeline (sigs →
     // banding → jaccard verify) still runs; its output is filtered to the
     // planted-exact id shape so the oracle is enumerable and a chance
@@ -255,7 +255,8 @@ object Dedup {
     // SimHash near-dup pipeline (hamming <= 3 over banded 16-bit chunks),
     // driver-certified on its deterministic subset: an exact clone has an
     // IDENTICAL simhash, and identical signatures are candidates by
-    // construction (identicalKeyPairs union) — previously capture relied on
+    // construction (simhashCandidates' identity pseudo-chunk: the full
+    // signature banded in) — previously capture relied on
     // sharing a COLD chunk bucket, which stops holding once buckets go hot
     // (the norm at corpus scale: only 65,536 values per chunk index), so a
     // planted pair could star-link through a third doc and vanish. The
@@ -280,7 +281,7 @@ object Dedup {
     // a and a+400000 are never paired directly, so the size-3 cluster the
     // oracle expects exists ONLY if the distributed min-label propagation
     // actually propagates transitively. Both kept edges join identical docs
-    // (guaranteed candidates via identicalKeyPairs, jaccard exactly 1.0), so
+    // (guaranteed candidates via the identity pseudo-band, jaccard exactly 1.0), so
     // the gate is deterministic at any SF; the earlier form closed over the
     // full probabilistic LSH pair set with a recursive-CTE oracle (same
     // round-4 fragility as q26). Full-graph closure laws live in ClusterSpec.

@@ -498,8 +498,8 @@ object Similarity {
     // Embedding near-dup pairs above a cosine threshold, driver-certified on
     // the deterministically-captured planted subset: every 10th vector is
     // re-added as an EXACT copy under vec_id+100000, and identical embeddings
-    // are candidates by construction (the identicalKeyPairs union inside
-    // cosineNearDup) — not by bucket luck. The full pipeline (multi-table
+    // are candidates by construction (cosineNearDup's identity pseudo-table:
+    // the whole-vector hash banded in as an extra bucket) — not by bucket luck. The full pipeline (multi-table
     // probed LSH + exact rerank) still runs; its output is filtered to the
     // planted id shape so a chance near-pair the re-rolled corpus of some
     // future SF might contain cannot produce a phantom row against the

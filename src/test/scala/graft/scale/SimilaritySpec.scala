@@ -120,6 +120,19 @@ class SimilaritySpec extends SparkSpec {
       assert(both.nonEmpty)
       both.foreach { case (n, h) => assert(n === h) }
     }
+    // NaN vectors rank NaN dots the way the HOF form's array_sort does
+    // (NaN greatest, ties by descending id) — parity must hold there too
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val nanVecs = Seq(
+      Seq.fill(dim)(Double.NaN),
+      Double.NaN +: Seq.fill(dim - 1)(0.1)).toDF("v")
+    for (topN <- Seq(1, 3)) {
+      val both = nanVecs.select(
+        Similarity.nearestCidsExpr(cents, col("v"), topN).as("native"),
+        Similarity.nearestCidsHof(cents, col("v"), topN).as("hof"))
+        .as[(Seq[Int], Seq[Int])].collect()
+      both.foreach { case (n, h) => assert(n === h) }
+    }
   }
 
   test("cosineNearDup finds planted perturbed clones") {
