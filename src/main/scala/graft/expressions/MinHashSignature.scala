@@ -56,7 +56,7 @@ object MinHashSignature {
     * as a single shingle.
     */
   def distinctShingles(text: UTF8String, shingleSize: Int): java.util.LinkedHashSet[String] = {
-    val toks = text.toString.split("\\s+")
+    val toks = Ws.Pattern.split(text.toString)
     val nTok = toks.length
     val lastStart = math.max(nTok - shingleSize, 0)
     val seen = new java.util.LinkedHashSet[String](math.max(16, nTok * 2))

@@ -58,20 +58,27 @@ object NearestCentroids {
 
   /** Kernel (public static for generated code): ids of the topN centroids by
     * dot product, ordered (dot desc, id desc) to match the array_sort-based
-    * reference form. The vector is consumed up to min(dim, len).
+    * reference form. A vector whose length differs from `dim` gets NaN dots
+    * for every centroid — the HOF form's zip_with null-pads the shorter side
+    * so every product (hence the fold) is null there, and an all-null sim
+    * column sorts exactly like an all-NaN one (total tie, ids descending);
+    * partial dots over min(dim, len) would silently rank garbage instead.
     */
   def topIds(vec: ArrayData, cents: Array[Double], nCentroids: Int,
              dim: Int, topN: Int): Array[Int] = {
-    val n = math.min(dim, vec.numElements())
     val dots = new Array[Double](nCentroids)
-    var c = 0
-    while (c < nCentroids) {
-      var dot = 0d
-      val base = c * dim
-      var i = 0
-      while (i < n) { dot += cents(base + i) * vec.getDouble(i); i += 1 }
-      dots(c) = dot
-      c += 1
+    if (vec.numElements() != dim) {
+      java.util.Arrays.fill(dots, Double.NaN)
+    } else {
+      var c = 0
+      while (c < nCentroids) {
+        var dot = 0d
+        val base = c * dim
+        var i = 0
+        while (i < dim) { dot += cents(base + i) * vec.getDouble(i); i += 1 }
+        dots(c) = dot
+        c += 1
+      }
     }
     val out = new Array[Int](topN)
     val taken = new Array[Boolean](nCentroids)

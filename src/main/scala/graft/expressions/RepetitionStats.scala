@@ -23,8 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * task, nothing is exploded, and the enclosing per-lang aggregate ships 4
   * ints per doc.
   *
-  * Semantics: words are maximal runs of non-whitespace bytes (Java `\s`
-  * set); counting is over xxhash64-style 64-bit word hashes, so two words
+  * Semantics: words are maximal runs of non-whitespace bytes ([[Ws]] set —
+  * RE2 `\s`); counting is over xxhash64-style 64-bit word hashes, so two words
   * collide only at ~2^-64 (the spec pins kernel == explode-based string
   * counting on real corpus samples).
   */
@@ -72,8 +72,7 @@ object RepetitionStats {
     StructField("top_word", IntegerType, nullable = false),
     StructField("top_bigram", IntegerType, nullable = false)))
 
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+  private def isSpace(b: Byte): Boolean = Ws.isSpace(b)
 
   // 64-bit FNV-1a over the word's bytes + an avalanche finish — collisions
   // are what break parity with string counting, so the tail mix matters.

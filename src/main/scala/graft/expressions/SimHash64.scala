@@ -41,7 +41,7 @@ object SimHash64 {
 
   /** Tight-loop kernel (public static for generated code). */
   def compute(text: UTF8String): Long = {
-    val toks = text.toString.split("\\s+")
+    val toks = Ws.Pattern.split(text.toString)
     val sums = new Array[Int](64)
     var t = 0
     while (t < toks.length) {

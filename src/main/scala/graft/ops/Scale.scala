@@ -76,6 +76,13 @@ object Scale {
                 valueCol: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The heap phase keys groups by their string rendering; the original
+    // typed group values are joined back at the end (broadcast — the group
+    // relation is bounded by group cardinality, which per-group heaps
+    // already assume is task-memory-sized) so the output keeps the input
+    // column's dtype instead of silently becoming string.
+    val groups = df.select(col(groupCol)).distinct()
+      .withColumn("__g", col(groupCol).cast("string"))
     val rows = df.select(col(groupCol).cast("string").as("g"),
       hashCol.cast("string").as("h"), valueCol.cast("double").as("v"))
       .as[(String, String, Double)]
@@ -103,7 +110,8 @@ object Scale {
         org.apache.spark.sql.expressions.Window.partitionBy("g")
           .orderBy(col("h"), col("v"))))
       .filter(col("__rn") <= k)
-      .select(col("g").as(groupCol), col("v").as("sample_value"))
+      .join(broadcast(groups), col("g") <=> col("__g"))
+      .select(col(groupCol), col("v").as("sample_value"))
   }
 
   /** Write both sides bucketed by the join key so subsequent joins are

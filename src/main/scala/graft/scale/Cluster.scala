@@ -28,18 +28,31 @@ import org.apache.spark.sql.functions._
   * and the convergence test reads the just-materialized blocks (no second
   * plan execution).
   */
-object Cluster {
+object Cluster extends org.apache.spark.internal.Logging {
+
+  /** Labels plus the convergence fact, so automation can gate on a degraded
+    * (under-merged) result instead of parsing logs. `converged = false` can
+    * only happen past diameter ~2^maxIters.
+    */
+  final case class CCResult(labels: DataFrame, converged: Boolean, iters: Int)
 
   /** (doc_id, cluster) for every vertex that appears in `pairs`; cluster is
     * the minimum id reachable through the pair graph. Vertices not mentioned
     * in any pair are their own singleton cluster by definition (not emitted).
     * If `maxIters` is exhausted (cannot happen below diameter ~2^maxIters),
     * the current — still valid, possibly under-merged — labels are returned
-    * with a loud warning rather than an exception: a correctness query must
-    * not crash on an adversarial chain.
+    * with a WARN log rather than an exception: a correctness query must not
+    * crash on an adversarial chain. Callers that must gate on completeness
+    * use [[connectedComponentsWithStatus]] and check `converged`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25): DataFrame =
+    connectedComponentsWithStatus(pairs, aCol, bCol, maxIters).labels
+
+  /** [[connectedComponents]] with the convergence status in the result. */
+  def connectedComponentsWithStatus(pairs: DataFrame, aCol: String = "doc_a",
+                                    bCol: String = "doc_b",
+                                    maxIters: Int = 25): CCResult = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -70,10 +83,12 @@ object Cluster {
       it += 1
     }
     if (!converged)
-      System.err.println(
-        s"[graft] connectedComponents: labels still moving after $maxIters rounds " +
-          s"(diameter beyond 2^$maxIters?) — returning current labels")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      logWarning(
+        s"connectedComponents: labels still moving after $maxIters rounds " +
+          s"(diameter beyond 2^$maxIters?) — returning current, possibly " +
+          s"under-merged labels; gate on CCResult.converged")
+    CCResult(labels.select(col("id").as("doc_id"), col("label").as("cluster")),
+      converged, it)
   }
 
   /** One row per cluster: representative (min id) + member count. */

@@ -167,7 +167,7 @@ object Curation {
     // re-tokenizes the corpus (same shared-consumer pattern as the q26
     // candidate pipeline)
     val ws = docs.select(col(idCol),
-      explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("__w"))
+      explode(filter(split(col(textCol), graft.expressions.Ws.Regex), w => w =!= "")).as("__w"))
       .localCheckpoint()
     val vocab = ws.groupBy("__w").agg(count(lit(1)).as("__cnt"))
     val tot = vocab.agg(sum("__cnt").cast("long").as("__total"))
@@ -230,7 +230,7 @@ object Curation {
           col("__eid") === col("doc_id") - (col("doc_id") % 50), "left")
         .select(col("doc_id"),
           when(col("doc_id") % 17 === 0 && col("__eid").isNotNull &&
-               size(split(col("__etext"), "\\s+")) >= 13,
+               size(split(col("__etext"), graft.expressions.Ws.Regex)) >= 13,
             concat(col("text"), lit(" [CONT] "), col("__etext")))
             .otherwise(col("text")).as("text"))
       contaminatedDocs(corpus, ev).orderBy("doc_id")

@@ -98,7 +98,7 @@ object PipelineQueries {
         | trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
         | length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val norm = trim(regexp_replace(lower(col("text")), graft.expressions.Ws.Regex, " "))
       Tables.documents(s, d)
         .select(col("doc_id"), norm.as("norm"), length(norm).as("norm_len"))
         .orderBy("doc_id")

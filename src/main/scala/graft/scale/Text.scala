@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization ([[graft.expressions.Ws]] set — RE2 `\s`, so
+    * the oracle's `string_split_regex(text, '\s+')` sees identical words
+    * even on `\v`-bearing text, which Java `\s` would also split on).
+    */
+  def tokens(text: Column): Column = split(text, graft.expressions.Ws.Regex)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -77,7 +80,7 @@ object Text {
     * Normalization: lowercase, collapse whitespace.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+    xxhash64(regexp_replace(lower(text), graft.expressions.Ws.Regex, " "))
 
   /** Rolling-hash content-defined chunk fingerprints (Rabin–Karp window +
     * boundary mask) — the fuzzy-dedup primitive: shared fingerprints between
@@ -270,7 +273,7 @@ object Text {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_words"),
+        size(split(trim(col("text")), graft.expressions.Ws.Regex)).as("n_words"),
         length(regexp_replace(col("text"), "[^a-zA-Z0-9]+", "")).as("n_alnum_chars"))
         .orderBy("doc_id")
     },

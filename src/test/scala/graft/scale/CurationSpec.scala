@@ -67,7 +67,7 @@ class CurationSpec extends SparkSpec {
     // collision broke the counts)
     val sample = docs.limit(200).cache()
     val ws = sample.withColumn("ws",
-      filter(split(col("text"), "\\s+"), w => w =!= ""))
+      filter(split(col("text"), graft.expressions.Ws.Regex), w => w =!= ""))
     val words = ws.select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").count()
       .groupBy("doc_id")
