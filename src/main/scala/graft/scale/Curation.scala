@@ -182,6 +182,73 @@ object Curation {
       .withColumn("surprisal", coalesce(col("surprisal"), lit(0L)))
   }
 
+  /** Vocabulary build: the corpus-wide word-frequency table, cut to the top-K
+    * by (count desc, word asc) — the deterministic tiebreak makes the cut
+    * value-exact on any engine. This is the precursor step to tokenizer
+    * training and to [[unigramSurprisal]]'s capped-vocab scale path.
+    *
+    * Scale shape: map-side partial counts collapse each task's token stream
+    * before the single word-keyed shuffle, and the top-K cut is a bounded
+    * TakeOrdered (per-partition K-heaps merged on the driver, K rows total) —
+    * no global sort ever materializes. The rank column is computed on the
+    * already-cut K rows, so its unpartitioned window is K-bounded by
+    * construction.
+    */
+  def vocabulary(docs: DataFrame, topK: Int = 100, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cut = docs
+      .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topK)
+    cut.withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select("rnk", "word", "cnt")
+  }
+
+  /** Per-stratum document cap — the "domain caps" step of web-corpus curation
+    * (RefinedWeb/C4 bound how much any one domain may contribute): keep at
+    * most `cap` docs per stratum, chosen by deterministic content-hash order
+    * (md5 of the id — the same cross-engine random permutation
+    * [[stratifiedMix]] uses) with the id as tiebreak.
+    *
+    * Scale shape: the window rides a narrow (id, stratum, 32-byte hash)
+    * relation — one hash shuffle keyed by stratum, text never leaves the
+    * scan; callers re-join survivors to the corpus by id. A stratum hotter
+    * than one partition still bounds its output at `cap`, but its rows all
+    * visit one task — for pathological head domains, pre-filter with
+    * [[stratifiedMix]] at a rate that leaves ~cap expected survivors before
+    * the exact cut.
+    */
+  def capPerStratum(docs: DataFrame, stratumCol: String, cap: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(stratumCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Incremental-crawl content diff: rows of `newDocs` whose text does NOT
+    * already appear in `oldDocs` — the snapshot-delta step that keeps a
+    * recurring crawl from re-ingesting unchanged pages (the corpus-scale
+    * analogue of the reference's W3 incremental dedup, keyed by content
+    * instead of primary key; UpdateSymbol_v2.py:55-84).
+    *
+    * Scale shape: the anti-join runs on xxhash64(text) — the old corpus side
+    * ships 8-byte keys only (same 2^-64 collision argument as
+    * [[contaminatedDocs]]'s hashKeys); the new-snapshot side rides one hash
+    * shuffle, which is the incremental slice, not the accumulated corpus.
+    */
+  def newContent(newDocs: DataFrame, oldDocs: DataFrame,
+                 textCol: String = "text"): DataFrame =
+    newDocs.join(
+      oldDocs.select(xxhash64(col(textCol)).as("__k")).distinct(),
+      xxhash64(newDocs(textCol)) === col("__k"), "left_anti")
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
