@@ -156,12 +156,20 @@ object Curation {
     * time). Docs full of common words score low; rare-word salad scores
     * high — the same signal CCNet uses KenLM perplexity for.
     *
-    * At 100 TB the vocabulary is capped to the top-K words + an OOV bucket
-    * before the broadcast (a bounded top-K agg); the declared query runs
-    * the uncapped exact form the oracle can recompute.
+    * `vocabCap > 0` is the 100 TB path: the broadcast vocabulary is cut to
+    * the top-`vocabCap` words ([[cutVocab]] — the identical cut
+    * [[vocabulary]] declares) and every out-of-vocabulary token scores
+    * against a single OOV bucket holding the residual mass
+    * (total − sum(cut counts)), so the broadcast is K-bounded however wide
+    * the corpus vocabulary grows. Because the bucket aggregates ALL rare
+    * words, bits(oov) ≥ bits(cnt) for each member word — capped surprisal
+    * is a per-document lower bound that equals the exact form whenever
+    * `vocabCap` ≥ the corpus vocabulary size (CurationSpec law). `0` (the
+    * default) runs the uncapped exact form; both forms are oracled (q75
+    * exact, q79 capped).
     */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text", vocabCap: Int = 0): DataFrame = {
     // materialize the token stream once: both the vocab pass and the scoring
     // pass consume it, and without the checkpoint each re-reads and
     // re-tokenizes the corpus (same shared-consumer pattern as the q26
@@ -171,10 +179,25 @@ object Curation {
       .localCheckpoint()
     val vocab = ws.groupBy("__w").agg(count(lit(1)).as("__cnt"))
     val tot = vocab.agg(sum("__cnt").cast("long").as("__total"))
-    val scored = ws.join(broadcast(vocab), "__w")
-      .join(broadcast(tot))
-      .select(col(idCol),
-        (length(bin(col("__total"))) - length(bin(col("__cnt")))).cast("long").as("__surp"))
+    val surpTokens =
+      if (vocabCap <= 0)
+        ws.join(broadcast(vocab), "__w")
+          .join(broadcast(tot))
+          .select(col(idCol),
+            (length(bin(col("__total"))) - length(bin(col("__cnt")))).cast("long").as("__surp"))
+      else {
+        val cut = cutVocab(vocab, vocabCap)
+        // OOV mass = total − in-vocab mass: two 1-row scalars, no second
+        // pass over the (possibly huge) full vocabulary
+        val cutSum = cut.agg(coalesce(sum("__cnt"), lit(0L)).cast("long").as("__cutsum"))
+        ws.join(broadcast(cut), Seq("__w"), "left")
+          .join(broadcast(tot)).join(broadcast(cutSum))
+          .select(col(idCol),
+            (length(bin(col("__total"))) -
+              length(bin(coalesce(col("__cnt"), col("__total") - col("__cutsum")))))
+              .cast("long").as("__surp"))
+      }
+    val scored = surpTokens
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("__surp").as("surprisal"))
     docs.join(scored, Seq(idCol), "left")
@@ -182,29 +205,37 @@ object Curation {
       .withColumn("surprisal", coalesce(col("surprisal"), lit(0L)))
   }
 
+  /** Deterministic top-K cut of a word-frequency table (columns `__w`,
+    * `__cnt`): count desc with the word itself as tiebreak — a total order,
+    * so the cut is value-exact on any engine. Shared by [[vocabulary]] and
+    * [[unigramSurprisal]]'s capped-vocab scale path. The cut is a bounded
+    * TakeOrdered (per-partition K-heaps merged on the driver, K rows
+    * total) — no global sort ever materializes.
+    */
+  private[scale] def cutVocab(counts: DataFrame, topK: Int): DataFrame =
+    counts.orderBy(col("__cnt").desc, col("__w")).limit(topK)
+
   /** Vocabulary build: the corpus-wide word-frequency table, cut to the top-K
     * by (count desc, word asc) — the deterministic tiebreak makes the cut
     * value-exact on any engine. This is the precursor step to tokenizer
-    * training and to [[unigramSurprisal]]'s capped-vocab scale path.
+    * training, and the same [[cutVocab]] cut feeds [[unigramSurprisal]]'s
+    * capped-vocab scale path (q79).
     *
     * Scale shape: map-side partial counts collapse each task's token stream
-    * before the single word-keyed shuffle, and the top-K cut is a bounded
-    * TakeOrdered (per-partition K-heaps merged on the driver, K rows total) —
-    * no global sort ever materializes. The rank column is computed on the
-    * already-cut K rows, so its unpartitioned window is K-bounded by
-    * construction.
+    * before the single word-keyed shuffle, then the K-bounded [[cutVocab]]
+    * TakeOrdered. The rank column is computed on the already-cut K rows, so
+    * its unpartitioned window is K-bounded by construction.
     */
   def vocabulary(docs: DataFrame, topK: Int = 100, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cut = docs
+    val counts = docs
       .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
-        w => w =!= "")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word"))
-      .limit(topK)
-    cut.withColumn("rnk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
-      .select("rnk", "word", "cnt")
+        w => w =!= "")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    cutVocab(counts, topK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("__cnt").desc, col("__w"))).cast("long"))
+      .select(col("rnk"), col("__w").as("word"), col("__cnt").as("cnt"))
   }
 
   /** Per-stratum document cap — the "domain caps" step of web-corpus curation
