@@ -217,9 +217,9 @@ object Curation {
 
   /** Vocabulary build: the corpus-wide word-frequency table, cut to the top-K
     * by (count desc, word asc) — the deterministic tiebreak makes the cut
-    * value-exact on any engine. This is the precursor step to tokenizer
-    * training, and the same [[cutVocab]] cut feeds [[unigramSurprisal]]'s
-    * capped-vocab scale path (q79).
+    * value-exact on any engine (oracled end-to-end as q76). This is the
+    * precursor step to tokenizer training, and the same [[cutVocab]] cut
+    * feeds [[unigramSurprisal]]'s capped-vocab scale path (q79).
     *
     * Scale shape: map-side partial counts collapse each task's token stream
     * before the single word-keyed shuffle, then the K-bounded [[cutVocab]]
@@ -242,7 +242,8 @@ object Curation {
     * (RefinedWeb/C4 bound how much any one domain may contribute): keep at
     * most `cap` docs per stratum, chosen by deterministic content-hash order
     * (md5 of the id — the same cross-engine random permutation
-    * [[stratifiedMix]] uses) with the id as tiebreak.
+    * [[stratifiedMix]] uses) with the id as tiebreak. Oracled end-to-end
+    * (caps + survivor re-join) as q77.
     *
     * Scale shape: the window rides a narrow (id, stratum, 32-byte hash)
     * relation — one hash shuffle keyed by stratum, text never leaves the
@@ -267,18 +268,30 @@ object Curation {
     * already appear in `oldDocs` — the snapshot-delta step that keeps a
     * recurring crawl from re-ingesting unchanged pages (the corpus-scale
     * analogue of the reference's W3 incremental dedup, keyed by content
-    * instead of primary key; UpdateSymbol_v2.py:55-84).
+    * instead of primary key; UpdateSymbol_v2.py:55-84). Oracled end-to-end
+    * as q78, with NULL text planted on both sides.
+    *
+    * NULL semantics match an anti-join on the text itself: NULL never equals
+    * anything, so NULL-text rows of `newDocs` always pass through and
+    * NULL-text rows of `oldDocs` never suppress anything (they are filtered
+    * before hashing — Spark's xxhash64 would otherwise map NULL to the seed
+    * hash and silently equate all NULLs).
     *
     * Scale shape: the anti-join runs on xxhash64(text) — the old corpus side
     * ships 8-byte keys only (same 2^-64 collision argument as
     * [[contaminatedDocs]]'s hashKeys); the new-snapshot side rides one hash
     * shuffle, which is the incremental slice, not the accumulated corpus.
+    * The join key lives on a dataframe-qualified reference, so a caller
+    * column named `__k` cannot collide.
     */
   def newContent(newDocs: DataFrame, oldDocs: DataFrame,
-                 textCol: String = "text"): DataFrame =
-    newDocs.join(
-      oldDocs.select(xxhash64(col(textCol)).as("__k")).distinct(),
-      xxhash64(newDocs(textCol)) === col("__k"), "left_anti")
+                 textCol: String = "text"): DataFrame = {
+    val oldKeys = oldDocs.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__k")).distinct()
+    newDocs.join(oldKeys,
+      newDocs(textCol).isNotNull &&
+        xxhash64(newDocs(textCol)) === oldKeys("__k"), "left_anti")
+  }
 
   // ---- declared queries ----------------------------------------------------
 
