@@ -499,5 +499,139 @@ object Curation {
             .as("n_fluent"))
         .orderBy("lang")
     },
+
+    // Vocabulary build: corpus-wide word counts cut to the top-20 by
+    // (count desc, word asc) — a total order, so DuckDB recomputes the cut
+    // value-exactly (rank, word, and count all compare by hash). The corpus
+    // vocabulary is ~31 words, so K=20 exercises a real cut, not keep-all.
+    Q("q76_vocabulary",
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                            x -> x <> '')) AS g
+        |  FROM documents),
+        | v AS (SELECT g AS word, CAST(count(1) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        | c AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rnk,
+        |       word, cnt
+        |FROM c ORDER BY rnk""".stripMargin) { (s, d) =>
+      vocabulary(Tables.documents(s, d), topK = 20).orderBy("rnk")
+    },
+
+    // Per-stratum domain caps with the survivor re-join the docstring
+    // prescribes: at most 10 docs per source, chosen by the deterministic
+    // md5(id) permutation (id tiebreak), then joined back to the corpus for
+    // their payload columns. The oracle replays the identical window — both
+    // engines agree on md5 hex and on binary string order, so the kept set
+    // is value-exact.
+    Q("q77_stratum_cap",
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      docs.join(capPerStratum(docs, "source", cap = 10).select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Snapshot content diff with NULL text planted on BOTH sides: the old
+    // snapshot is every third doc (text nulled on doc_id % 30), the new
+    // snapshot every second doc (text nulled on doc_id % 20). Anti-join
+    // semantics: NULL-text new rows always pass, NULL-text old rows suppress
+    // nothing — the oracle states exactly that, so a regression to Spark's
+    // xxhash64(NULL)-equates-NULLs behavior hash-fails here.
+    Q("q78_new_content",
+      """WITH old AS (
+        |  SELECT CASE WHEN doc_id % 30 = 0 THEN NULL ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | neu AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN NULL ELSE text END AS text
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, text FROM neu
+        |WHERE text IS NULL
+        |   OR text NOT IN (SELECT text FROM old WHERE text IS NOT NULL)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val old = base.filter(col("doc_id") % 3 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 30 === 0, lit(null).cast("string")).otherwise(col("text")))
+      val neu = base.filter(col("doc_id") % 2 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 0, lit(null).cast("string")).otherwise(col("text")))
+      newContent(neu, old).orderBy("doc_id")
+    },
+
+    // Capped-vocab surprisal — the 100 TB path of q75: the broadcast
+    // vocabulary is cut to the top-16 words (the corpus has ~31, so the OOV
+    // bucket really scores tokens here) and every OOV token scores against
+    // the residual mass. Same integer floor-log2 arithmetic as q75, so the
+    // compare is hash-exact; same per-lang aggregate shape.
+    Q("q79_surprisal_capped",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> '')) AS g
+        |  FROM documents),
+        | v AS (SELECT g, count(1) AS cnt FROM w GROUP BY 1),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        | cut AS (SELECT g, cnt FROM v ORDER BY cnt DESC, g LIMIT 16),
+        | cs AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS cutsum FROM cut),
+        | s AS (
+        |  SELECT doc_id, count(1) AS n_tok,
+        |    CAST(sum(length(bin(total)) -
+        |             length(bin(coalesce(cnt, total - cutsum)))) AS BIGINT) AS surp
+        |  FROM w LEFT JOIN cut USING (g) CROSS JOIN tot CROSS JOIN cs
+        |  GROUP BY 1)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(coalesce(n_tok, 0)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(surp, 0)) AS BIGINT) AS sum_surprisal,
+        |  CAST(sum(CASE WHEN coalesce(surp, 0) <= 8 * coalesce(n_tok, 0)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent
+        |FROM documents LEFT JOIN s USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      unigramSurprisal(Tables.documents(s, d).select("doc_id", "lang", "text"),
+        vocabCap = 16)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("surprisal").as("sum_surprisal"),
+          sum(when(col("surprisal") <= col("n_tokens") * 8, 1L).otherwise(0L))
+            .as("n_fluent"))
+        .orderBy("lang")
+    },
+
+    // Composed curation pipeline — the pipeline caller for the domain-cap
+    // and vocabulary operators (mirroring how q61 exercises the cleaning
+    // chain): per-source domain caps → language-weighted mix sampling →
+    // top-K vocabulary of the surviving corpus. Every stage is
+    // deterministic, so DuckDB replays the whole chain end-to-end.
+    Q("q80_curation_pipeline",
+      """WITH capped AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      row_number() OVER (PARTITION BY source
+        |                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM documents) WHERE rn <= 15),
+        | mixed AS (
+        |  SELECT doc_id, text FROM capped
+        |  WHERE CASE lang WHEN 'en' THEN true
+        |                  WHEN 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '8'
+        |                  WHEN 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '4'
+        |                  ELSE md5(CAST(doc_id AS VARCHAR)) < '2' END),
+        | w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                 x -> x <> '')) AS g FROM mixed),
+        | v AS (SELECT g AS word, CAST(count(1) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        | c AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word LIMIT 25)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rnk,
+        |       word, cnt
+        |FROM c ORDER BY rnk""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val capped = docs
+        .join(capPerStratum(docs, "source", cap = 15).select("doc_id"), Seq("doc_id"))
+      val mixed = stratifiedMix(capped, "lang",
+        Map("en" -> 16, "de" -> 8, "fr" -> 4), default16 = 2)
+      vocabulary(mixed, topK = 25).orderBy("rnk")
+    },
   )
 }

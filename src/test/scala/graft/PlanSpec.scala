@@ -131,6 +131,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"token stream must not sort-merge:\n$plan")
   }
 
+  test("capped surprisal: the broadcast vocabulary is K-bounded (TakeOrdered feeds it)") {
+    val plan = planOf(graft.scale.Curation.unigramSurprisal(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "text"), vocabCap = 16))
+    // the vocabCap path exists to bound the broadcast: the cut vocabulary
+    // must materialize as a bounded top-K (per-partition heaps merged on the
+    // driver — K rows total), not a global sort, before it feeds the
+    // BroadcastExchange the token stream probes
+    assert(plan.contains("TakeOrderedAndProject"), s"cut is not a bounded top-K:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"token stream must not sort-merge:\n$plan")
+  }
+
+  test("q80 curation pipeline: cap window is narrow, vocabulary cut is bounded") {
+    val plan = planOf(SparkEntry.queries("q80_curation_pipeline")(spark, sfDir))
+    // domain-cap window + bounded vocabulary cut, and the corpus text never
+    // sort-merges anywhere in the composed chain
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), s"vocabulary cut not bounded:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("kmvSample prunes per-partition before its only wide stage") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sfDir)

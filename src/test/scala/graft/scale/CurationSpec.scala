@@ -165,6 +165,109 @@ class CurationSpec extends SparkSpec {
     assert(s(minId) > a(minId))
   }
 
+  test("unigramSurprisal vocabCap law: capped == exact at full vocab, lower-bounds otherwise") {
+    val sample = docs.limit(200)
+    def run(cap: Int): Map[Long, (Long, Long)] =
+      Curation.unigramSurprisal(sample, vocabCap = cap)
+        .select("doc_id", "n_tokens", "surprisal")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = run(0)
+    // vocabCap >= |corpus vocabulary| (31 words) -> the OOV bucket is empty
+    // and the capped form degenerates to the exact one, value for value
+    assert(run(10000) === exact)
+    // a real cut: every doc keeps its token count, surprisal can only drop
+    // (the OOV bucket aggregates >= each member word's count), and at least
+    // one doc must actually hit the bucket with a 31-word vocab cut to 8
+    val capped = run(8)
+    assert(capped.keySet === exact.keySet)
+    for ((id, (nTok, surp)) <- capped) {
+      assert(nTok === exact(id)._1, s"doc $id token count changed under cap")
+      assert(surp <= exact(id)._2, s"doc $id capped surprisal above exact")
+    }
+    assert(capped.exists { case (id, (_, s)) => s < exact(id)._2 },
+      "cap 8 of a 31-word vocabulary must send some tokens to the OOV bucket")
+  }
+
+  test("vocabulary matches brute-force top-K and keeps the whole vocab at large K") {
+    val expected = docs
+      .select(explode(filter(split(col("text"), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("w"))
+      .groupBy("w").count()
+      .as[(String, Long)].collect()
+      .sortBy { case (w, c) => (-c, w) }
+    val k = 10
+    val got = Curation.vocabulary(docs, topK = k)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (1 to k).map(_.toLong))
+    assert(got.map(t => (t._2, t._3)).toSeq === expected.take(k).toSeq)
+    // K beyond the vocabulary size returns the entire table, still ranked
+    val all = Curation.vocabulary(docs, topK = expected.length + 50)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(all.map(t => (t._2, t._3)).toSeq === expected.toSeq)
+  }
+
+  test("capPerStratum: exact per-stratum caps, layout-invariant, id tiebreak total") {
+    val all = Tables.documents(spark, sfDir)
+    val cap = 7
+    val a = Curation.capPerStratum(all, "source", cap)
+    val b = Curation.capPerStratum(all.repartition(13), "source", cap)
+    assert(a.select("doc_id").as[Long].collect().toSet ===
+      b.select("doc_id").as[Long].collect().toSet)
+    val kept = a.groupBy("source").count().as[(String, Long)].collect().toMap
+    val total = all.groupBy("source").count().as[(String, Long)].collect().toMap
+    for ((s, n) <- total) assert(kept.getOrElse(s, 0L) === math.min(cap.toLong, n))
+  }
+
+  test("capPerStratum hot-stratum escape hatch: stratifiedMix pre-filter composes") {
+    // a pathological head domain: one stratum 8x the size of the others.
+    // The prescribed composition pre-thins it with the deterministic mix
+    // filter, then applies the exact cap — output still caps at `cap` per
+    // stratum, the pre-filter only shrinks the rows that VISIT the window
+    // task, and determinism is preserved end-to-end.
+    val hot = docs.limit(400).withColumn("stratum", lit("head"))
+      .unionByName(docs.limit(50).withColumn("stratum", lit("tail"))
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    val cap = 12
+    val thinned = Curation.stratifiedMix(hot, "stratum",
+      Map("head" -> 2, "tail" -> 16), idCol = "doc_id")
+    val capped = Curation.capPerStratum(thinned, "stratum", cap)
+    val counts = capped.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    val thinnedCounts = thinned.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    // head was pre-thinned to ~2/16 of 400 = ~50 rows (3-sigma ~ 20), so the
+    // window task sees ~50 rows, not 400 — and the cap still binds exactly
+    assert(thinnedCounts("head") < 120,
+      s"mix pre-filter did not thin the hot stratum: $thinnedCounts")
+    assert(counts("head") === math.min(cap.toLong, thinnedCounts("head")))
+    assert(counts("tail") === math.min(cap.toLong, thinnedCounts("tail")))
+    // composition is deterministic: same survivors on a different layout
+    val again = Curation.capPerStratum(
+      Curation.stratifiedMix(hot.repartition(9), "stratum",
+        Map("head" -> 2, "tail" -> 16), idCol = "doc_id"), "stratum", cap)
+    assert(capped.select("doc_id").as[Long].collect().toSet ===
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("newContent: NULL-text rows pass through, NULL-text old rows suppress nothing") {
+    val old = Seq((1L, "same"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").select(col("text"))
+    val neu = Seq((10L, "same"), (11L, null.asInstanceOf[String]), (12L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Curation.newContent(neu, old)
+      .select("doc_id").as[Long].collect().toSet
+    // "same" is suppressed; the NULL-text new row passes (NULL = nothing in
+    // anti-join semantics); old's NULL row must not suppress it
+    assert(got === Set(11L, 12L))
+  }
+
+  test("newContent tolerates a __k column on the caller's dataframes") {
+    val old = Seq((1L, "dup")).toDF("doc_id", "text").withColumn("__k", lit(99))
+    val neu = Seq((10L, "dup"), (11L, "new")).toDF("doc_id", "text")
+      .withColumn("__k", lit(7))
+    val got = Curation.newContent(neu, old)
+    assert(got.columns.toSeq === Seq("doc_id", "text", "__k"))
+    assert(got.select("doc_id").as[Long].collect().toSet === Set(11L))
+  }
+
   test("stratifiedMix is deterministic, keeps all of rate-16 strata, tracks rates") {
     val all = Tables.documents(spark, sfDir)
     val rates = Map("en" -> 16, "de" -> 8, "fr" -> 4)
