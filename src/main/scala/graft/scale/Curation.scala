@@ -293,6 +293,44 @@ object Curation {
         xxhash64(newDocs(textCol)) === oldKeys("__k"), "left_anti")
   }
 
+  /** Corpus-level boilerplate removal — CCNet's first cleaning pass: strip
+    * every paragraph (line) whose DOCUMENT frequency reaches `minDf`, i.e.
+    * the nav bars, cookie notices, and copyright footers that repeat across
+    * a crawl. Two jobs:
+    *
+    *   1. df count: paragraphs hash to xxhash64 longs inside the scan task,
+    *      so only (8-byte hash) keys reach the distinct-per-doc aggregation —
+    *      text never rides the shuffle. The surviving hot set is collected
+    *      to the driver: it is bounded by totalParagraphs / minDf — with
+    *      minDf scaled as a fraction of corpus docs (the only sane setting),
+    *      that is avgParasPerDoc / fraction, independent of corpus size
+    *      (same metadata-bounded-collect class as the IVF centroid sample).
+    *   2. rebuild: a per-row `filter` over split(text) against the hot-hash
+    *      literal — runs in the scan task, no explode, no shuffle, and docs
+    *      whose every paragraph is boilerplate keep their row (empty text)
+    *      because nothing ever leaves the row.
+    *
+    * Paragraph identity is the exact line string (hash-keyed, same 2^-64
+    * collision argument as [[contaminatedDocs]]'s hashKeys). Oracled
+    * end-to-end as q81 with planted header/footer boilerplate.
+    */
+  def removeBoilerplate(docs: DataFrame, minDf: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val hot: Seq[Long] = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__p"))
+      .select(col(idCol), xxhash64(col("__p")).as("__h"))
+      .groupBy("__h").agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__h").collect().map(_.getLong(0)).toSeq
+    val hotLit = typedLit(hot)
+    val parts = split(col(textCol), "\n")
+    val kept = filter(parts, p => !array_contains(hotLit, xxhash64(p)))
+    docs
+      .withColumn("n_removed", (size(parts) - size(kept)).cast("long"))
+      .withColumn(textCol, concat_ws("\n", kept))
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -632,6 +670,49 @@ object Curation {
       val mixed = stratifiedMix(capped, "lang",
         Map("en" -> 16, "de" -> 8, "fr" -> 4), default16 = 2)
       vocabulary(mixed, topK = 25).orderBy("rnk")
+    },
+
+    // Boilerplate removal with planted boilerplate: every third doc gets a
+    // nav-bar header line, every fourth a copyright footer line (~33%/25%
+    // document frequency — far above the organic per-line df, far above the
+    // minDf=100 threshold at any SF). The oracle recomputes document
+    // frequencies over the same seeded corpus by string value and strips the
+    // same lines, so the cleaned text and per-doc removal counts are
+    // value-exact; the engine's xxhash64 keys differ only under a 2^-64
+    // collision.
+    Q("q81_boilerplate",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'NAV: home | about | contact' || chr(10) || text
+        |         ELSE text END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10) || 'Copyright 2026 Example Corp'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        | p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM seeded),
+        | hot AS (SELECT list(para) AS hp FROM (
+        |   SELECT para FROM (
+        |     SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+        |   WHERE df >= 100))
+        |SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, chr(10)),
+        |    x -> NOT coalesce(list_contains(hp, x), false)), chr(10)) AS text,
+        |  CAST(len(string_split(text, chr(10))) -
+        |       len(list_filter(string_split(text, chr(10)),
+        |         x -> NOT coalesce(list_contains(hp, x), false))) AS BIGINT) AS n_removed
+        |FROM seeded CROSS JOIN hot ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            concat(lit("NAV: home | about | contact\n"), col("text")))
+            .otherwise(col("text")),
+          when(col("doc_id") % 4 === 0,
+            lit("\nCopyright 2026 Example Corp")).otherwise(lit("")))
+          .as("text"))
+      removeBoilerplate(seeded, minDf = 100)
+        .select("doc_id", "text", "n_removed")
+        .orderBy("doc_id")
     },
   )
 }

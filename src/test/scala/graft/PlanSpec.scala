@@ -152,6 +152,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("removeBoilerplate rebuild is a pure projection: zero exchanges, no explode") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(200)
+    val plan = planOf(graft.scale.Curation.removeBoilerplate(docs, minDf = 50))
+    // the df pass already ran (hash-keyed, collected bounded hot set); the
+    // returned rebuild must run entirely inside the scan task — per-row
+    // split/filter/concat against the hot-hash literal
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 0, s"rebuild must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"rebuild must not explode:\n$plan")
+  }
+
   test("kmvSample prunes per-partition before its only wide stage") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sfDir)

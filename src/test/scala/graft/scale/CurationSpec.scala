@@ -268,6 +268,39 @@ class CurationSpec extends SparkSpec {
     assert(got.select("doc_id").as[Long].collect().toSet === Set(11L))
   }
 
+  test("removeBoilerplate strips planted hot lines exactly, counts them, idempotent") {
+    val sample = docs.limit(300)
+    val seeded = sample.withColumn("text",
+      concat(
+        when(col("doc_id") % 2 === 0,
+          concat(lit("HOT HEADER\n"), col("text"))).otherwise(col("text")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nHOT FOOTER")).otherwise(lit(""))))
+    val cleaned = Curation.removeBoilerplate(seeded, minDf = 50).cache()
+    // every planted line is gone and stripping them restores the original
+    // corpus byte-for-byte (organic lines are each unique to ~1 doc, far
+    // below the threshold)
+    assert(cleaned.filter(col("text").contains("HOT HEADER") ||
+      col("text").contains("HOT FOOTER")).count() === 0)
+    val orig = sample.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = cleaned.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got === orig)
+    // n_removed counts removed paragraph positions per doc
+    for ((id, n) <- cleaned.select("doc_id", "n_removed").as[(Long, Long)].collect())
+      assert(n === (if (id % 2 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L))
+    // second pass over the cleaned corpus finds nothing hot
+    val twice = Curation.removeBoilerplate(cleaned.select("doc_id", "text"), minDf = 50)
+    assert(twice.filter(col("n_removed") =!= 0).count() === 0)
+    cleaned.unpersist()
+  }
+
+  test("removeBoilerplate keeps all-boilerplate docs as empty rows, not dropped") {
+    val df = (1 to 100).map(i => (i.toLong, "SAME LINE")).toDF("doc_id", "text")
+    val c = Curation.removeBoilerplate(df, minDf = 50)
+    assert(c.count() === 100)
+    assert(c.filter(col("text") =!= "" || col("n_removed") =!= 1).count() === 0)
+  }
+
   test("stratifiedMix is deterministic, keeps all of rate-16 strata, tracks rates") {
     val all = Tables.documents(spark, sfDir)
     val rates = Map("en" -> 16, "de" -> 8, "fr" -> 4)
