@@ -293,6 +293,44 @@ object Curation {
         xxhash64(newDocs(textCol)) === oldKeys("__k"), "left_anti")
   }
 
+  /** Temperature-based stratum reweighting — the multilingual-LLM sampling
+    * scheme (XLM-R §3.1: kept mass ∝ c_s^alpha): big strata down-sample, the
+    * rarest stratum keeps everything, flattening the head of the
+    * distribution without starving the tail. Keep rates are anchored at the
+    * SMALLEST stratum — rate_s = (c_min / c_s)^(1 - alpha), so
+    * kept_s = c_min^(1-alpha) · c_s^alpha ∝ c_s^alpha with max rate exactly
+    * 1 — a per-stratum closed form over two exact integers, deliberately
+    * avoiding the Σ c^alpha normalizer whose float summation ORDER would
+    * differ across engines.
+    *
+    * Selection is deterministic: a doc is kept iff its 60-bit md5(id) prefix
+    * falls under floor(rate_s · 2^60). At the default alpha = 0.5 the rate
+    * is sqrt(c_min/c_s) — division, sqrt, multiply, and floor are all
+    * IEEE-754 correctly-rounded, so the threshold integer is bit-identical
+    * on any conforming engine (q82's oracle recomputes it in DuckDB);
+    * other alphas go through pow (reproducible to ~1 ulp — a doc flips only
+    * if its prefix equals the boundary value, ~2^-60 per stratum).
+    *
+    * Scale shape: one tiny stratum-count aggregation, rates broadcast back,
+    * then a codegen'd filter — the corpus itself never shuffles and nothing
+    * is collected.
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, alpha: Double = 0.5,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    val cmin = counts.agg(min("__c").as("__cmin"))
+    val ratio = col("__cmin").cast("double") / col("__c").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val thr = counts.join(broadcast(cmin))
+      .select(col(stratumCol),
+        floor(rate * lit(1152921504606846976.0 /* 2^60 */)).cast("long").as("__thr"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    df.join(broadcast(thr), stratumCol)
+      .filter(u < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Corpus-level boilerplate removal — CCNet's first cleaning pass: strip
     * every paragraph (line) whose DOCUMENT frequency reaches `minDf`, i.e.
     * the nav bars, cookie notices, and copyright footers that repeat across
@@ -713,6 +751,31 @@ object Curation {
       removeBoilerplate(seeded, minDf = 100)
         .select("doc_id", "text", "n_removed")
         .orderBy("doc_id")
+    },
+
+    // Temperature sampling at alpha = 0.5 over language strata: the oracle
+    // recomputes the sqrt(c_min/c_s) thresholds and the 60-bit md5 prefixes
+    // — every arithmetic step (int divide-to-double, sqrt, multiply by 2^60,
+    // floor) is IEEE correctly-rounded, so the kept set is value-exact
+    // across engines, not approximately so.
+    Q("q82_temperature_mix",
+      """WITH c AS (SELECT lang, count(1) AS c FROM documents GROUP BY 1),
+        | m AS (SELECT min(c) AS cmin FROM c),
+        | r AS (SELECT lang,
+        |         CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) *
+        |                    1152921504606846976) AS BIGINT) AS thr
+        |       FROM c CROSS JOIN m),
+        | kept AS (
+        |  SELECT d.lang, d.text FROM documents d JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        < thr)
+        |SELECT lang, count(1) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      temperatureMix(Tables.documents(s, d), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("lang")
     },
   )
 }

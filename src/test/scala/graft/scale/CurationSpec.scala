@@ -268,6 +268,29 @@ class CurationSpec extends SparkSpec {
     assert(got.select("doc_id").as[Long].collect().toSet === Set(11L))
   }
 
+  test("temperatureMix: rarest stratum keeps all, kept mass tracks c^alpha, deterministic") {
+    val all = Tables.documents(spark, sfDir)
+    val a = Curation.temperatureMix(all, "lang")
+    val b = Curation.temperatureMix(all.repartition(7), "lang")
+    assert(a.select("doc_id").as[Long].collect().toSet ===
+      b.select("doc_id").as[Long].collect().toSet)
+    val total = all.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = a.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val cmin = total.values.min
+    val rarest = total.minBy(_._2)._1
+    // rate_s = sqrt(cmin/c_s): exactly 1 at the rarest stratum
+    assert(kept(rarest) === total(rarest))
+    // expected kept_s = sqrt(cmin * c_s), binomial 3-sigma band elsewhere
+    for ((lang, c) <- total) {
+      val p = math.sqrt(cmin.toDouble / c)
+      val sigma = math.sqrt(c * p * (1 - p))
+      assert(math.abs(kept(lang) - c * p) <= 3 * sigma + 1,
+        s"$lang kept ${kept(lang)} of $c, expected ~${c * p}")
+    }
+    // alpha = 1 is the identity mix
+    assert(Curation.temperatureMix(all, "lang", alpha = 1.0).count() === all.count())
+  }
+
   test("removeBoilerplate strips planted hot lines exactly, counts them, idempotent") {
     val sample = docs.limit(300)
     val seeded = sample.withColumn("text",
