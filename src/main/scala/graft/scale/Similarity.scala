@@ -92,6 +92,71 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
   }
 
+  /** int8 scalar quantization of an embedding column: per-vector symmetric
+    * scale — max |x| maps to ±127 — appended as `codeCol`
+    * (`array<tinyint>`). Every step (float→double widen, divide, multiply,
+    * round-half-away-from-zero) is identical on any IEEE engine, so the
+    * codes and every integer score derived from them are value-exact
+    * cross-engine — unlike float cosine, which is only reproducible because
+    * both engines happen to fold left-to-right.
+    *
+    * At 100 TB this is the memory-bandwidth lever: 4 bytes → 1 byte per
+    * component cuts the scan volume of a brute-force or IVF rerank 4×, and
+    * the integer MACs vectorize wider than float ones. Zero vectors code to
+    * all-zero (guarded, not NaN).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+                   codeCol: String = "qcode"): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val s = array_max(transform(vd, x => abs(x)))
+    val codes = transform(vd, x => round(x / s * 127).cast("tinyint"))
+    df.withColumn(codeCol,
+      when(s === 0d, transform(vd, _ => lit(0).cast("tinyint"))).otherwise(codes))
+  }
+
+  /** Brute-force top-k ranked by the quantized integer dot product
+    * Σ qcode·ccode — the int8 rerank order. Same per-partition bounded-heap
+    * shape as [[bruteForceTopKPartial]] (shuffle = partitions × |queries| ×
+    * k), but the score is an exact BIGINT, so the ranking is engine-exact by
+    * arithmetic, not by accumulation-order luck. Output: (qid, rnk, nid,
+    * score).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qz = quantizeInt8(queries, vecCol).select(col(idCol).as("qid"), col("qcode").as("qc"))
+    val cz = quantizeInt8(corpus, vecCol).select(col(idCol).as("nid"), col("qcode").as("cc"))
+    val dot = aggregate(
+      zip_with(col("qc"), col("cc"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val scored = cz.join(broadcast(qz), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dot.as("score"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pruned = scored.as[(Long, Long, Long)].mapPartitions { rows =>
+      // integer scores tie routinely (unlike float sims), so the eviction
+      // order must carry the same (score desc, nid asc) total order the
+      // final rank uses: evict the smallest score, largest nid first
+      implicit val ord: Ordering[(Long, Long)] =
+        Ordering.by[(Long, Long), (Long, Long)]({ case (s, n) => (-s, n) })(
+          Ordering.Tuple2(Ordering.Long, Ordering.Long))
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      rows.foreach { case (qid, nid, score) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+        h.enqueue((score, nid))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (score, nid) => (qid, nid, score) }
+      }
+    }.toDF("qid", "nid", "score")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    pruned.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("score"))
+  }
+
   private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
     if (dim > 0) dim else df.select(size(col(vecCol)).as("d")).head().getInt(0)
 
@@ -522,6 +587,36 @@ object Similarity {
           col("id_a") % 10 === 0 && col("id_a") < 100000)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")
+    },
+
+    // int8-quantized brute-force top-10: scores are exact integer dot
+    // products over the per-vector-scaled codes, so ranks AND scores
+    // hash-compare exactly — the quantization arithmetic (widen, divide,
+    // multiply, round half-away-from-zero) is IEEE-identical on both
+    // engines. The engine runs the bounded-heap partial form; the oracle
+    // replays the semantics by brute force.
+    Q("q83_knn_quantized",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM e)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored)
+        |SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 10
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      quantizedTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy("qid", "rnk")
     },
   )
 }

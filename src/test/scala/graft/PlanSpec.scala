@@ -152,6 +152,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("temperatureMix joins rates by broadcast: the corpus relation never sort-merges") {
+    val plan = planOf(graft.scale.Curation.temperatureMix(
+      Tables.documents(spark, sfDir), "lang"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge for its rates:\n$plan")
+  }
+
   test("removeBoilerplate rebuild is a pure projection: zero exchanges, no explode") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(200)
     val plan = planOf(graft.scale.Curation.removeBoilerplate(docs, minDf = 50))

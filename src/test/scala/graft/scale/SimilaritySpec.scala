@@ -21,6 +21,52 @@ class SimilaritySpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("quantizeInt8: codes bounded at ±127, scale anchored, zero vector safe") {
+    import spark.implicits._
+    val codes = Similarity.quantizeInt8(emb.limit(100))
+      .select(col("vec_id"), col("qcode"))
+    // every component in [-127, 127] and each non-zero vector's max |code|
+    // is exactly 127 (the scale anchor)
+    val stats = codes.select(
+      max(array_max(transform(col("qcode"), c => abs(c.cast("int"))))).as("gmax"),
+      min(array_max(transform(col("qcode"), c => abs(c.cast("int"))))).as("vmaxmin"))
+      .as[(Int, Int)].head()
+    assert(stats._1 === 127)
+    assert(stats._2 === 127)
+    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zc = Similarity.quantizeInt8(z).select("qcode")
+      .as[Seq[Byte]].head()
+    assert(zc === Seq[Byte](0, 0, 0))
+  }
+
+  test("quantizedTopK heap form == naive window form, and rank-1 finds an exact twin") {
+    import spark.implicits._
+    // naive reference: same scoring, global window, no heaps
+    val qz = Similarity.quantizeInt8(queries).select(col("vec_id").as("qid"), col("qcode").as("qc"))
+    val cz = Similarity.quantizeInt8(emb).select(col("vec_id").as("nid"), col("qcode").as("cc"))
+    val dot = aggregate(
+      zip_with(col("qc"), col("cc"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val naive = cz.join(broadcast(qz), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dot.as("score"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("nid"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "nid", "score").collect().map(_.toSeq).toSet
+    val heap = Similarity.quantizedTopK(emb, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(heap === naive)
+    assert(naive.nonEmpty)
+    // an exact copy quantizes to identical codes; with near-orthogonal
+    // random embeddings its dot dominates, so the twin is rank 1
+    val twins = queries.withColumn("vec_id", col("vec_id") + 100000)
+    val top1 = Similarity.quantizedTopK(emb.unionByName(twins), queries, 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    for ((qid, nid) <- top1) assert(nid === qid + 100000,
+      s"query $qid top-1 was $nid, expected its exact twin")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val one = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
