@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DistinctShingles, LangIdNative, MinHashSignature, QualityScoreNative, RepetitionStats, SimHash64, TokenStats}
+import graft.expressions.{CosineSimilarity, DistinctShingles, Int8DotProduct, LangIdNative, MinHashSignature, QualityScoreNative, RepetitionStats, SimHash64, TokenStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -76,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => {
         require(exprs.length == 1, s"repetition_stats(text) expects 1 argument, got ${exprs.length}")
         RepetitionStats(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_dot"),
+      Int8DotProduct.info,
+      exprs => {
+        require(exprs.length == 2, s"int8_dot expects 2 arguments, got ${exprs.length}")
+        Int8DotProduct(exprs.head, exprs(1))
       }))
   }
 }

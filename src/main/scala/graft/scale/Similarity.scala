@@ -121,13 +121,28 @@ object Similarity {
     * arithmetic, not by accumulation-order luck. Output: (qid, rnk, nid,
     * score).
     */
+  /** Native codegen'd integer dot over two `array<tinyint>` code columns
+    * ([[graft.expressions.Int8DotProduct]]); `int8DotHof` is the
+    * built-in-functions form it is verified against.
+    */
+  def int8Dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.Int8DotProduct(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** The same sum via built-in higher-order functions (interpreted lambdas;
+    * kept as the semantic reference for the native expression).
+    */
+  def int8DotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qz = quantizeInt8(queries, vecCol).select(col(idCol).as("qid"), col("qcode").as("qc"))
     val cz = quantizeInt8(corpus, vecCol).select(col(idCol).as("nid"), col("qcode").as("cc"))
-    val dot = aggregate(
-      zip_with(col("qc"), col("cc"), (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    val dot = int8Dot(col("qc"), col("cc"))
     val scored = cz.join(broadcast(qz), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), dot.as("score"))
     val spark = corpus.sparkSession

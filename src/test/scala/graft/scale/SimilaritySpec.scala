@@ -39,6 +39,31 @@ class SimilaritySpec extends SparkSpec {
     assert(zc === Seq[Byte](0, 0, 0))
   }
 
+  test("native int8_dot == HOF fold on corpus codes, unit cases, SQL-callable") {
+    import spark.implicits._
+    val codes = Similarity.quantizeInt8(emb.limit(200))
+      .select(col("vec_id"), col("qcode"))
+    val pairs = codes.as("a").join(codes.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(5000)
+      .select(
+        Similarity.int8Dot(col("a.qcode"), col("b.qcode")).as("nat"),
+        Similarity.int8DotHof(col("a.qcode"), col("b.qcode")).as("hof"))
+    assert(pairs.filter(col("nat") =!= col("hof")).count() === 0)
+    // unit cases: negative components, shorter-length truncation, null
+    // Seq[Byte], not Array[Byte]: the latter encodes as BinaryType
+    val u = Seq(
+      (Seq[Byte](127, -127, 3), Seq[Byte](1, 2, 3)),
+      (Seq[Byte](1, 2), Seq[Byte](5, 5, 5)))
+      .toDF("a", "b")
+    assert(u.select(Similarity.int8Dot(col("a"), col("b")).as("d"))
+      .as[Long].collect().toSeq === Seq(127L - 254L + 9L, 15L))
+    assert(u.select(Similarity.int8Dot(lit(null).cast("array<tinyint>"), col("b")))
+      .first().isNullAt(0))
+    // registered for SQL
+    u.createOrReplaceTempView("int8_pairs")
+    assert(spark.sql("SELECT int8_dot(a, b) FROM int8_pairs").count() === 2)
+  }
+
   test("quantizedTopK heap form == naive window form, and rank-1 finds an exact twin") {
     import spark.implicits._
     // naive reference: same scoring, global window, no heaps
