@@ -144,6 +144,39 @@ object Curation {
         floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
   }
 
+  /** Sliding-window document chunking — the long-document counterpart of
+    * [[packSequences]]: split each doc's token stream into windows of
+    * `maxTokens` words starting every `maxTokens - overlap` positions
+    * (starts 0, stride, 2·stride, … while start < n; the final window may
+    * be short; an empty doc yields no chunks). Output one row per chunk:
+    * (id, chunk_idx, n_tokens, chunk-text rejoined with single spaces).
+    *
+    * Scale shape: a pure per-row projection + explode — no shuffle, no
+    * state, each task chunks its own scan split; downstream consumers see
+    * chunk rows bounded at maxTokens words each. Oracled end-to-end as q84.
+    */
+  def chunkByTokens(docs: DataFrame, maxTokens: Int = 64, overlap: Int = 16,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got $overlap / $maxTokens")
+    val stride = maxTokens - overlap
+    val ws = filter(split(col(textCol), graft.expressions.Ws.Regex), w => w =!= "")
+    val n = size(col("__ws"))
+    // candidate starts overshoot by one slot, then trim on start < n — this
+    // keeps the bound expression simple and makes n = 0 yield zero chunks
+    val starts = filter(
+      transform(sequence(lit(0), floor((n + lit(stride - 1)) / lit(stride)).cast("int")),
+        k => k * stride),
+      s => s < n)
+    docs.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), posexplode(transform(starts, s =>
+        struct(
+          size(slice(col("__ws"), s + 1, lit(maxTokens))).cast("long").as("n_tokens"),
+          array_join(slice(col("__ws"), s + 1, lit(maxTokens)), " ").as("chunk")))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"), col("col.chunk").as("chunk"))
+  }
+
   /** CCNet-style unigram-LM surprisal scoring: pass 1 builds the corpus
     * word-frequency table (the canonical word-count job — map-side partial
     * aggregation, one shuffle on the word); pass 2 broadcasts the vocabulary
@@ -776,6 +809,31 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("n_chars"))
         .orderBy("lang")
+    },
+
+    // Sliding-window chunking at 64 tokens / 16 overlap: every chunk row —
+    // index, token count, and the rejoined chunk text itself — is
+    // recomputed by the oracle, so window arithmetic and slicing semantics
+    // are value-exact, not just counted.
+    Q("q84_chunking",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        | k AS (
+        |  SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1))) AS k
+        |  FROM w),
+        | c AS (
+        |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |         ws[k * 48 + 1 : k * 48 + 64] AS cw
+        |  FROM k WHERE k * 48 < len(ws))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(cw) AS BIGINT) AS n_tokens,
+        |  array_to_string(cw, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      chunkByTokens(Tables.documents(s, d).select("doc_id", "text"),
+        maxTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
     },
   )
 }

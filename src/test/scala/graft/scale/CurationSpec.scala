@@ -138,6 +138,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokens: window arithmetic, zero-overlap reconstruction, empty docs") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, ""), (3L, "   "), (4L, "x"))
+      .toDF("doc_id", "text")
+    // maxTokens 4, overlap 1 -> stride 3: starts 0,3,6,9
+    val got = Curation.chunkByTokens(df, maxTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "d e f g"),
+      (1L, 2L, 4L, "g h i j"), (1L, 3L, 1L, "j"),
+      (4L, 0L, 1L, "x")))  // empty/whitespace docs yield no chunks
+    // zero overlap partitions the stream exactly: concatenation rebuilds it
+    val rec = Curation.chunkByTokens(df, maxTokens = 3, overlap = 0)
+      .filter(col("doc_id") === 1).orderBy("chunk_idx")
+      .select("chunk").as[String].collect().mkString(" ")
+    assert(rec === "a b c d e f g h i j")
+    // and conserves tokens on the real corpus
+    val sample = docs.limit(100)
+    val chunked = Curation.chunkByTokens(sample, maxTokens = 32, overlap = 0)
+    val totalChunk = chunked.agg(sum("n_tokens")).as[Long].head()
+    val totalWords = sample.select(
+      size(filter(split(col("text"), graft.expressions.Ws.Regex), w => w =!= "")).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(totalChunk === totalWords)
+  }
+
   test("unigramSurprisal: hand-computed corpus, docs with no words score zero") {
     // corpus "a a a b" + "b c" + "": vocab a:3 b:2 c:1, total 6 (bits=3)
     // surp(a)=3-2=1, surp(b)=3-2=1, surp(c)=3-1=2
