@@ -111,6 +111,70 @@ object Streaming {
       }
   }
 
+  final case class DocHash(doc_id: Long, h: String)
+  final case class DocKeep(content_hash: String, keep_id: Long, copies: Long)
+
+  /** Streaming twin of [[graft.scale.Dedup.exact]]: exact dedup by content
+    * hash over a document stream — the continuous-crawl ingestion form.
+    * First-touch wins across micro-batches (keyed state remembers every
+    * emitted hash; a hash seen in an earlier batch only bumps its copy
+    * count in state, Append mode emits nothing further); within a batch the
+    * lowest doc_id is kept, so a single-batch drain (AvailableNow over one
+    * snapshot) reproduces the batch operator's min-id/copy-count answer
+    * exactly — the same Kappa parity the W3 sink certifies.
+    *
+    * Scale shape: state is keyed by the content hash, so it partitions
+    * across executors and holds one (hash, id, count) row per distinct
+    * document ever seen — the minimum any exact streaming dedup must carry.
+    */
+  def streamingExactDedup(docs: Dataset[DocHash]): Dataset[DocKeep] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.h)
+      .flatMapGroupsWithState[DocKeep, DocKeep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (h: String, batch: Iterator[DocHash], state: GroupState[DocKeep]) =>
+          var minId = Long.MaxValue
+          var n = 0L
+          batch.foreach { d => n += 1; if (d.doc_id < minId) minId = d.doc_id }
+          state.getOption match {
+            case Some(seen) =>
+              state.update(seen.copy(copies = seen.copies + n))
+              Iterator.empty
+            case None =>
+              val keep = DocKeep(h, minId, n)
+              state.update(keep)
+              Iterator.single(keep)
+          }
+      }
+  }
+
+  /** [[streamingExactDedup]] drained into a versioned table: Append-mode
+    * rows merge keyed by content_hash, so a replayed micro-batch is
+    * absorbed idempotently instead of duplicating rows.
+    */
+  def exactDedupSink(keeps: Dataset[DocKeep], table: VersionedTable,
+                     checkpoint: String): StreamingQuery =
+    keeps.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.incrementalDedup(batch, keys = Seq("content_hash"),
+          orderCols = Seq("copies"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Read the documents table shape as a file stream (parquet) — the
+    * readStream entry point for streaming curation.
+    */
+  def docsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
   /** Read the events table shape as a file stream (parquet), the
     * readStream entry point for the driver tables. Same nanos handling as
     * graft.core.Tables.load: the file stores TIMESTAMP(NANOS), which Spark 4

@@ -67,5 +67,34 @@ object StreamingQueries {
           col("event_type"), col("n_events"))
         .orderBy("window_start", "event_type")
     },
+
+    // Streaming exact dedup by content hash — the continuous-crawl
+    // ingestion form of q25: documents flow through readStream, keyed
+    // state keeps the first (min-id) doc per md5(text), the Append stream
+    // merges into a versioned table. One AvailableNow batch over the
+    // snapshot must equal the batch dedup answer (same Kappa parity
+    // framing as q49); cross-batch first-touch suppression is spec'd in
+    // StreamingSpec where the batch boundary is controlled.
+    Q("q85_streaming_dedup",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(1) AS copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-q85").toString
+      val table = new VersionedTable(s, s"$wh/doc_keeps")
+      // state keys = distinct documents: size the state-store shuffle like
+      // q50 sizes its window keys
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ds = Streaming.docsStream(s, d)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .as[Streaming.DocHash]
+        val q = Streaming.exactDedupSink(
+          Streaming.streamingExactDedup(ds), table, s"$wh/ckpt")
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      table.read().orderBy("keep_id")
+    },
   )
 }

@@ -13,6 +13,48 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streamingExactDedup: first-touch wins across batches, min-id within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.DocHash]
+    val q = Streaming.streamingExactDedup(input.toDS())
+      .writeStream.format("memory").queryName("sed")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Streaming.DocHash(5L, "A"), Streaming.DocHash(2L, "A"),
+      Streaming.DocHash(7L, "B"))
+    q.processAllAvailable()
+    input.addData(Streaming.DocHash(1L, "A"), Streaming.DocHash(9L, "C"))
+    q.processAllAvailable()
+    val rows = spark.table("sed").as[Streaming.DocKeep].collect().sortBy(_.content_hash)
+    q.stop()
+    // batch 1 emits A (min id 2 of {5,2}, 2 copies) and B; batch 2's A doc
+    // is suppressed by state — Append mode cannot retract, so the first
+    // emission stands even though a lower id arrived later — and C is new
+    assert(rows.toSeq === Seq(
+      Streaming.DocKeep("A", 2L, 2L),
+      Streaming.DocKeep("B", 7L, 1L),
+      Streaming.DocKeep("C", 9L, 1L)))
+  }
+
+  test("streamingExactDedup over one snapshot batch == batch Dedup.exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(200).cache()
+    val batch = graft.scale.Dedup.exact(docs)
+      .as[(String, Long, Long)].collect().toSet
+    val input = MemoryStream[Streaming.DocHash]
+    val q = Streaming.streamingExactDedup(input.toDS())
+      .writeStream.format("memory").queryName("sedp")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .as[Streaming.DocHash].collect().toSeq: _*)
+    q.processAllAvailable()
+    val stream = spark.table("sedp").as[Streaming.DocKeep].collect()
+      .map(k => (k.content_hash, k.keep_id, k.copies)).toSet
+    q.stop()
+    assert(stream === batch)
+    docs.unpersist()
+  }
+
   test("incrementalDedupSink merges micro-batches with latest-wins (streaming W3)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
