@@ -159,6 +159,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge for its rates:\n$plan")
   }
 
+  test("chunkByTokens is scan-local: zero exchanges before any downstream op") {
+    val plan = planOf(graft.scale.Curation.chunkByTokens(
+      Tables.documents(spark, sfDir).select("doc_id", "text")))
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 0, s"chunking must not shuffle:\n$plan")
+  }
+
   test("removeBoilerplate rebuild is a pure projection: zero exchanges, no explode") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(200)
     val plan = planOf(graft.scale.Curation.removeBoilerplate(docs, minDf = 50))
