@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, LongType}
   * construction: |codes| <= 127, so a long accumulator cannot overflow
   * below 2^46 dimensions.
   *
-  * Null/length semantics match the HOF form it replaces: null input → null;
-  * arrays are consumed up to the shorter length.
+  * Null/length semantics: a null ARRAY input → null; arrays are consumed up
+  * to the shorter length; a null ELEMENT contributes 0 (quantized codes
+  * never contain null elements — Similarity.quantizeInt8 emits a full
+  * array or a null column). Similarity.int8DotHof mirrors exactly this
+  * (its coalesce drops zip_with's null padding), and the spec pins the
+  * parity including a ragged pair.
   */
 case class Int8DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {

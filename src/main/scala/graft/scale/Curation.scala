@@ -171,7 +171,9 @@ object Curation {
     docs.select(col(idCol), ws.as("__ws"))
       .select(col(idCol), posexplode(transform(starts, s =>
         struct(
-          size(slice(col("__ws"), s + 1, lit(maxTokens))).cast("long").as("n_tokens"),
+          // chunk length arithmetically: min(n - s, maxTokens) — avoids
+          // materializing the slice twice per chunk
+          least(n - s, lit(maxTokens)).cast("long").as("n_tokens"),
           array_join(slice(col("__ws"), s + 1, lit(maxTokens)), " ").as("chunk")))))
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
         col("col.n_tokens").as("n_tokens"), col("col.chunk").as("chunk"))
@@ -356,12 +358,16 @@ object Curation {
     val ratio = col("__cmin").cast("double") / col("__c").cast("double")
     val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
     val thr = counts.join(broadcast(cmin))
-      .select(col(stratumCol),
+      .select(col(stratumCol).as("__s"),
         floor(rate * lit(1152921504606846976.0 /* 2^60 */)).cast("long").as("__thr"))
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
-    df.join(broadcast(thr), stratumCol)
+    // null-safe join: a NULL stratum is a stratum like any other — it gets
+    // its own count, its own rate, and its rows are sampled, not silently
+    // dropped (a bare equi-join would never match NULL = NULL while the
+    // NULL group's count could still anchor cmin and skew every rate)
+    df.join(broadcast(thr), df(stratumCol) <=> col("__s"))
       .filter(u < col("__thr"))
-      .drop("__thr")
+      .drop("__s", "__thr")
   }
 
   /** Corpus-level boilerplate removal — CCNet's first cleaning pass: strip
@@ -397,9 +403,16 @@ object Curation {
     val hotLit = typedLit(hot)
     val parts = split(col(textCol), "\n")
     val kept = filter(parts, p => !array_contains(hotLit, xxhash64(p)))
+    // NULL text passes through as NULL with n_removed = 0 (concat_ws would
+    // otherwise silently turn it into "", diverging from the oracle's
+    // NULL-propagating rebuild and from newContent's NULL discipline)
     docs
-      .withColumn("n_removed", (size(parts) - size(kept)).cast("long"))
-      .withColumn(textCol, concat_ws("\n", kept))
+      .withColumn("n_removed",
+        when(col(textCol).isNull, lit(0L))
+          .otherwise((size(parts) - size(kept)).cast("long")))
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("\n", kept)))
   }
 
   // ---- declared queries ----------------------------------------------------

@@ -114,13 +114,6 @@ object Similarity {
       when(s === 0d, transform(vd, _ => lit(0).cast("tinyint"))).otherwise(codes))
   }
 
-  /** Brute-force top-k ranked by the quantized integer dot product
-    * Σ qcode·ccode — the int8 rerank order. Same per-partition bounded-heap
-    * shape as [[bruteForceTopKPartial]] (shuffle = partitions × |queries| ×
-    * k), but the score is an exact BIGINT, so the ranking is engine-exact by
-    * arithmetic, not by accumulation-order luck. Output: (qid, rnk, nid,
-    * score).
-    */
   /** Native codegen'd integer dot over two `array<tinyint>` code columns
     * ([[graft.expressions.Int8DotProduct]]); `int8DotHof` is the
     * built-in-functions form it is verified against.
@@ -132,12 +125,22 @@ object Similarity {
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** The same sum via built-in higher-order functions (interpreted lambdas;
-    * kept as the semantic reference for the native expression).
+    * kept as the semantic reference for the native expression). The
+    * coalesce drops the null products `zip_with` pads a shorter array with,
+    * so ragged pairs truncate to the shorter length exactly like the native
+    * loop instead of poisoning the sum to NULL.
     */
   def int8DotHof(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+    aggregate(zip_with(a, b, (x, y) => coalesce(x.cast("long") * y.cast("long"), lit(0L))),
       lit(0L), (acc, v) => acc + v)
 
+  /** Brute-force top-k ranked by the quantized integer dot product
+    * Σ qcode·ccode — the int8 rerank order. Same per-partition bounded-heap
+    * shape as [[bruteForceTopKPartial]] (shuffle = partitions × |queries| ×
+    * k), but the score is an exact BIGINT, so the ranking is engine-exact by
+    * arithmetic, not by accumulation-order luck. Output: (qid, rnk, nid,
+    * score).
+    */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qz = quantizeInt8(queries, vecCol).select(col(idCol).as("qid"), col("qcode").as("qc"))

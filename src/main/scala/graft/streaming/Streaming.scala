@@ -116,12 +116,14 @@ object Streaming {
 
   /** Streaming twin of [[graft.scale.Dedup.exact]]: exact dedup by content
     * hash over a document stream — the continuous-crawl ingestion form.
-    * First-touch wins across micro-batches (keyed state remembers every
-    * emitted hash; a hash seen in an earlier batch only bumps its copy
-    * count in state, Append mode emits nothing further); within a batch the
-    * lowest doc_id is kept, so a single-batch drain (AvailableNow over one
-    * snapshot) reproduces the batch operator's min-id/copy-count answer
-    * exactly — the same Kappa parity the W3 sink certifies.
+    * Keyed state carries the running (min doc_id, copy count) per content
+    * hash; every batch a hash appears in re-emits the UPDATED row (Update
+    * semantics), so a downstream latest-wins merge keyed by the hash
+    * converges to the batch operator's exact global answer under ANY
+    * micro-batch partitioning of the input — a lower id or extra copies
+    * arriving in a later batch revise the row instead of being silently
+    * absorbed into unemittable state. Copies is monotone, so it doubles as
+    * the merge's freshness order.
     *
     * Scale shape: state is keyed by the content hash, so it partitions
     * across executors and holds one (hash, id, count) row per distinct
@@ -132,31 +134,27 @@ object Streaming {
     import spark.implicits._
     docs.groupByKey(_.h)
       .flatMapGroupsWithState[DocKeep, DocKeep](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (h: String, batch: Iterator[DocHash], state: GroupState[DocKeep]) =>
           var minId = Long.MaxValue
           var n = 0L
           batch.foreach { d => n += 1; if (d.doc_id < minId) minId = d.doc_id }
-          state.getOption match {
-            case Some(seen) =>
-              state.update(seen.copy(copies = seen.copies + n))
-              Iterator.empty
-            case None =>
-              val keep = DocKeep(h, minId, n)
-              state.update(keep)
-              Iterator.single(keep)
-          }
+          val prev = state.getOption.getOrElse(DocKeep(h, Long.MaxValue, 0L))
+          val next = DocKeep(h, math.min(prev.keep_id, minId), prev.copies + n)
+          state.update(next)
+          Iterator.single(next)
       }
   }
 
-  /** [[streamingExactDedup]] drained into a versioned table: Append-mode
-    * rows merge keyed by content_hash, so a replayed micro-batch is
-    * absorbed idempotently instead of duplicating rows.
+  /** [[streamingExactDedup]] drained into a versioned table: Update-mode
+    * rows merge latest-wins keyed by content_hash ordered by the monotone
+    * copy count, so revisions from later batches supersede earlier rows and
+    * a replayed micro-batch is absorbed idempotently.
     */
   def exactDedupSink(keeps: Dataset[DocKeep], table: VersionedTable,
                      checkpoint: String): StreamingQuery =
     keeps.toDF().writeStream
-      .outputMode(OutputMode.Append())
+      .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         table.incrementalDedup(batch, keys = Seq("content_hash"),

@@ -70,11 +70,12 @@ object StreamingQueries {
 
     // Streaming exact dedup by content hash — the continuous-crawl
     // ingestion form of q25: documents flow through readStream, keyed
-    // state keeps the first (min-id) doc per md5(text), the Append stream
-    // merges into a versioned table. One AvailableNow batch over the
-    // snapshot must equal the batch dedup answer (same Kappa parity
-    // framing as q49); cross-batch first-touch suppression is spec'd in
-    // StreamingSpec where the batch boundary is controlled.
+    // state carries the running (min-id, copies) per md5(text), and every
+    // batch re-emits the revised row into a latest-wins merge — so the
+    // drained table equals the batch dedup answer under ANY micro-batch
+    // split of the input, not just a single-batch drain (same Kappa
+    // parity framing as q49; cross-batch revision is spec'd in
+    // StreamingSpec where the batch boundary is controlled).
     Q("q85_streaming_dedup",
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(1) AS copies

@@ -317,6 +317,24 @@ class CurationSpec extends SparkSpec {
     assert(Curation.temperatureMix(all, "lang", alpha = 1.0).count() === all.count())
   }
 
+  test("temperatureMix treats a NULL stratum as a stratum: counted, rated, sampled") {
+    val withNull = docs.limit(300).withColumn("grp",
+      when(col("doc_id") % 10 === 0, lit(null).cast("string")).otherwise(lit("big")))
+    val kept = Curation.temperatureMix(withNull, "grp")
+      .groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val totals = withNull.groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the NULL group is the rarest stratum here -> keeps everything; the
+    // big stratum samples at sqrt(cmin/c); nothing is silently dropped
+    assert(kept(None) === totals(None))
+    val p = math.sqrt(totals(None).toDouble / totals(Some("big")))
+    val n = totals(Some("big")).toDouble
+    val sigma = math.sqrt(n * p * (1 - p))
+    assert(math.abs(kept(Some("big")) - n * p) <= 3 * sigma + 1,
+      s"big kept ${kept(Some("big"))} of $n at rate $p")
+  }
+
   test("removeBoilerplate strips planted hot lines exactly, counts them, idempotent") {
     val sample = docs.limit(300)
     val seeded = sample.withColumn("text",
@@ -348,6 +366,18 @@ class CurationSpec extends SparkSpec {
     val c = Curation.removeBoilerplate(df, minDf = 50)
     assert(c.count() === 100)
     assert(c.filter(col("text") =!= "" || col("n_removed") =!= 1).count() === 0)
+  }
+
+  test("removeBoilerplate passes NULL text through as NULL, not empty string") {
+    val df = (1 to 60).map(i => (i.toLong, "HOT LINE"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((1000L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val c = Curation.removeBoilerplate(df, minDf = 50)
+    val nullRow = c.filter(col("doc_id") === 1000L)
+      .select("text", "n_removed").collect().head
+    assert(nullRow.isNullAt(0))
+    assert(nullRow.getLong(1) === 0L)
+    assert(c.count() === 61)
   }
 
   test("stratifiedMix is deterministic, keeps all of rate-16 strata, tracks rates") {

@@ -57,6 +57,10 @@ class SimilaritySpec extends SparkSpec {
       .toDF("a", "b")
     assert(u.select(Similarity.int8Dot(col("a"), col("b")).as("d"))
       .as[Long].collect().toSeq === Seq(127L - 254L + 9L, 15L))
+    // ragged pair: HOF truncates to the shorter length exactly like the
+    // native loop (coalesce drops zip_with's null padding)
+    assert(u.select(Similarity.int8DotHof(col("a"), col("b")).as("d"))
+      .as[Long].collect().toSeq === Seq(127L - 254L + 9L, 15L))
     assert(u.select(Similarity.int8Dot(lit(null).cast("array<tinyint>"), col("b")))
       .first().isNullAt(0))
     // registered for SQL

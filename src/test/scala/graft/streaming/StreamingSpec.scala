@@ -13,26 +13,28 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("streamingExactDedup: first-touch wins across batches, min-id within a batch") {
+  test("streamingExactDedup: later batches revise min-id and copies (latest-wins converges)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.DocHash]
     val q = Streaming.streamingExactDedup(input.toDS())
       .writeStream.format("memory").queryName("sed")
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(OutputMode.Update()).start()
     input.addData(Streaming.DocHash(5L, "A"), Streaming.DocHash(2L, "A"),
       Streaming.DocHash(7L, "B"))
     q.processAllAvailable()
     input.addData(Streaming.DocHash(1L, "A"), Streaming.DocHash(9L, "C"))
     q.processAllAvailable()
-    val rows = spark.table("sed").as[Streaming.DocKeep].collect().sortBy(_.content_hash)
+    val rows = spark.table("sed").as[Streaming.DocKeep].collect()
     q.stop()
-    // batch 1 emits A (min id 2 of {5,2}, 2 copies) and B; batch 2's A doc
-    // is suppressed by state — Append mode cannot retract, so the first
-    // emission stands even though a lower id arrived later — and C is new
-    assert(rows.toSeq === Seq(
-      Streaming.DocKeep("A", 2L, 2L),
-      Streaming.DocKeep("B", 7L, 1L),
-      Streaming.DocKeep("C", 9L, 1L)))
+    // batch 1 emits A = (2, 2 copies) and B; batch 2 REVISES A to (1, 3) —
+    // the lower id arriving late supersedes — and emits C. The latest row
+    // per hash (max copies — monotone) is the exact global answer.
+    val latest = rows.groupBy(_.content_hash).view.mapValues(_.maxBy(_.copies)).toMap
+    assert(latest("A") === Streaming.DocKeep("A", 1L, 3L))
+    assert(latest("B") === Streaming.DocKeep("B", 7L, 1L))
+    assert(latest("C") === Streaming.DocKeep("C", 9L, 1L))
+    // and the intermediate emission really happened (Update semantics)
+    assert(rows.count(_.content_hash == "A") === 2)
   }
 
   test("streamingExactDedup over one snapshot batch == batch Dedup.exact") {
@@ -44,7 +46,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[Streaming.DocHash]
     val q = Streaming.streamingExactDedup(input.toDS())
       .writeStream.format("memory").queryName("sedp")
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(OutputMode.Update()).start()
     input.addData(docs.select(col("doc_id"), md5(col("text")).as("h"))
       .as[Streaming.DocHash].collect().toSeq: _*)
     q.processAllAvailable()
