@@ -96,6 +96,26 @@ class SimilaritySpec extends SparkSpec {
       s"query $qid top-1 was $nid, expected its exact twin")
   }
 
+  test("ivfTopKQuantized: full probe == quantized brute force; twin found through probes") {
+    import spark.implicits._
+    val n = emb.count().toInt
+    val nCents = Similarity.resolveNCentroids(emb, -1)
+    // full probe: every cell is scanned, so the IVF form must equal the
+    // brute-force quantized ranking row for row
+    val full = Similarity.ivfTopKQuantized(emb, queries, 5, nProbe = nCents)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.quantizedTopK(emb, queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(full === brute && full.nonEmpty)
+    // an exact twin quantizes to identical codes AND assigns to the same
+    // cell, so the default probe set must surface it at rank 1
+    val twins = queries.withColumn("vec_id", col("vec_id") + 100000)
+    val top1 = Similarity.ivfTopKQuantized(emb.unionByName(twins), queries, 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    for ((qid, nid) <- top1) assert(nid === qid + 100000,
+      s"query $qid top-1 was $nid, expected its exact twin (n=$n)")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val one = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
