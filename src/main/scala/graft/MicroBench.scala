@@ -36,9 +36,13 @@ object MicroBench {
     val native = time("native", Similarity.cosine(col("a"), col("b")))
     val hof = time("hof", Similarity.cosineHof(col("a"), col("b")))
     println(s"""{"pairs":${n * n},"native_sec":${f"${native._2}%.3f"},"hof_sec":${f"${hof._2}%.3f"},"speedup":${f"${hof._2 / native._2}%.2f"},"checksum_equal":${native._3 == hof._3}}""")
-    // the same sweep over int8 codes: native fused MAC loop vs interpreted fold
+    // the same sweep over int8 codes: native fused MAC loop vs interpreted
+    // fold. The double-embedding cache is dropped first so both sweeps run
+    // against a comparable executor-memory state (round-9 advisory: resident
+    // first-sweep pairs skewed the int8 numbers).
     val codes = Similarity.quantizeInt8(emb).select(col("vec_id"), col("qcode")).cache()
     codes.count()
+    emb.unpersist(blocking = true)
     val qpairs = codes.select(col("qcode").as("a"))
       .crossJoin(codes.select(col("qcode").as("b")))
     def timeL(c: org.apache.spark.sql.Column): (Double, Long) = {
@@ -53,6 +57,7 @@ object MicroBench {
     val qn = timeL(Similarity.int8Dot(col("a"), col("b")))
     val qh = timeL(Similarity.int8DotHof(col("a"), col("b")))
     println(s"""{"pairs":${n * n},"int8_native_sec":${f"${qn._1}%.3f"},"int8_hof_sec":${f"${qh._1}%.3f"},"speedup":${f"${qh._1 / qn._1}%.2f"},"checksum_equal":${qn._2 == qh._2}}""")
+    codes.unpersist(blocking = true)
     spark.stop()
   }
 }

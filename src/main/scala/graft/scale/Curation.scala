@@ -379,12 +379,19 @@ object Curation {
     *      so only (8-byte hash) keys reach the distinct-per-doc aggregation —
     *      text never rides the shuffle. The surviving hot set is collected
     *      to the driver: it is bounded by totalParagraphs / minDf — with
-    *      minDf scaled as a fraction of corpus docs (the only sane setting),
+    *      minDf scaled as a fraction of corpus docs (the only sane setting,
+    *      and what [[removeBoilerplateByFraction]] provides by construction),
     *      that is avgParasPerDoc / fraction, independent of corpus size
     *      (same metadata-bounded-collect class as the IVF centroid sample).
-    *   2. rebuild: a per-row `filter` over split(text) against the hot-hash
-    *      literal — runs in the scan task, no explode, no shuffle, and docs
-    *      whose every paragraph is boilerplate keep their row (empty text)
+    *   2. rebuild: a per-row `filter` over split(text) probing the hot set
+    *      through [[graft.expressions.LongSetContains]] — the sorted hashes
+    *      ride task serialization once as a reference object (broadcast
+    *      shape, O(log |hot|) binary-search probe), NOT as a plan literal:
+    *      an `array_contains(typedLit(hot), …)` form would embed the whole
+    *      set in the plan and codegen source and scan it linearly per
+    *      paragraph — megabytes of plan at a real crawl's hot-set size.
+    *      Runs in the scan task, no explode, no shuffle, and docs whose
+    *      every paragraph is boilerplate keep their row (empty text)
     *      because nothing ever leaves the row.
     *
     * Paragraph identity is the exact line string (hash-keyed, same 2^-64
@@ -394,15 +401,18 @@ object Curation {
   def removeBoilerplate(docs: DataFrame, minDf: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val hot: Seq[Long] = docs
+    val hot: Array[Long] = docs
       .select(col(idCol), explode(split(col(textCol), "\n")).as("__p"))
       .select(col(idCol), xxhash64(col("__p")).as("__h"))
       .groupBy("__h").agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
-      .select("__h").collect().map(_.getLong(0)).toSeq
-    val hotLit = typedLit(hot)
+      .select("__h").collect().map(_.getLong(0))
+    java.util.Arrays.sort(hot)
+    def inHot(p: Column): Column = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.LongSetContains(
+        org.apache.spark.sql.GraftColumnBridge.expression(xxhash64(p)), hot))
     val parts = split(col(textCol), "\n")
-    val kept = filter(parts, p => !array_contains(hotLit, xxhash64(p)))
+    val kept = filter(parts, p => !inHot(p))
     // NULL text passes through as NULL with n_removed = 0 (concat_ws would
     // otherwise silently turn it into "", diverging from the oracle's
     // NULL-propagating rebuild and from newContent's NULL discipline)
@@ -413,6 +423,25 @@ object Curation {
       .withColumn(textCol,
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(concat_ws("\n", kept)))
+  }
+
+  /** [[removeBoilerplate]] with the threshold as a FRACTION of the corpus
+    * document count — the form whose bounded-collect invariant holds by
+    * construction at any scale: an absolute `minDf` silently changes meaning
+    * as the corpus grows (minDf=100 is "every third doc" at 300 docs and
+    * "once per million" at 10⁸ — the latter collects an unbounded hot set),
+    * while a fraction keeps the hot set at ≤ avgParasPerDoc / fraction
+    * entries no matter the corpus size. One count() job resolves the
+    * absolute threshold; everything else is [[removeBoilerplate]].
+    */
+  def removeBoilerplateByFraction(docs: DataFrame, minDfFraction: Double,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame = {
+    require(minDfFraction > 0 && minDfFraction <= 1,
+      s"minDfFraction must be in (0, 1], got $minDfFraction")
+    val nDocs = docs.count()
+    removeBoilerplate(docs, math.max(2, math.ceil(nDocs * minDfFraction).toLong.toInt),
+      idCol, textCol)
   }
 
   // ---- declared queries ----------------------------------------------------

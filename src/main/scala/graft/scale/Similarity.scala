@@ -64,8 +64,12 @@ object Similarity {
     */
   def bruteForceTopKPartial(corpus: DataFrame, queries: DataFrame, k: Int,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    // ids are cast to long explicitly: the typed bounded-heap stage encodes
+    // (long, long, double), and an implicit dependence on the caller's id
+    // type would fail at analysis with an encoder error instead of a clear
+    // contract (both top-k forms accept the same inputs this way)
+    val q = broadcast(queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("cv"))
       .join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("sim"))
     val spark = corpus.sparkSession
@@ -143,8 +147,13 @@ object Similarity {
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qz = quantizeInt8(queries, vecCol).select(col(idCol).as("qid"), col("qcode").as("qc"))
-    val cz = quantizeInt8(corpus, vecCol).select(col(idCol).as("nid"), col("qcode").as("cc"))
+    // long-cast ids for the same reason as bruteForceTopKPartial: the typed
+    // heap stage is (long, long, long), and the cast makes that contract
+    // explicit instead of an encoder analysis error on non-long id columns
+    val qz = quantizeInt8(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
+    val cz = quantizeInt8(corpus, vecCol)
+      .select(col(idCol).cast("long").as("nid"), col("qcode").as("cc"))
     val dot = int8Dot(col("qc"), col("cc"))
     val scored = cz.join(broadcast(qz), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), dot.as("score"))

@@ -7,6 +7,23 @@ import java.nio.file.Files
 
 object StreamingQueries {
 
+  /** Scratch warehouse/checkpoint dir for one streaming query, registered
+    * for recursive removal at JVM exit — a per-invocation temp dir that
+    * outlives the process was the round-9 advisory leak.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   val queries: Seq[Q] = Seq(
 
     // The full streaming W3 path, end-to-end inside the correctness gate:
@@ -17,7 +34,7 @@ object StreamingQueries {
     Q("q49_streaming_w3",
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      val wh = Files.createTempDirectory("graft-q49").toString
+      val wh = scratchDir("graft-q49")
       val table = new VersionedTable(s, s"$wh/events_merged")
       val stream = Streaming.eventsStream(s, d)
         .select("event_id", "user_id", "event_type", "ts", "value")
@@ -39,7 +56,7 @@ object StreamingQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(1) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val wh = Files.createTempDirectory("graft-q50").toString
+      val wh = scratchDir("graft-q50")
       val table = new VersionedTable(s, s"$wh/window_counts")
       // State-partition sizing: the stateful agg keys on (window, event_type)
       // — dozens of keys, not millions — so 32 state-store partitions buy
@@ -47,9 +64,12 @@ object StreamingQueries {
       // stream's shuffle to the key cardinality (the count is pinned into
       // the checkpoint at first start, so it must be set before .start()).
       // At 100 TB this is the same dial, set to keys/target-state-per-task.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      // The stream runs on an ISOLATED child session (shared SparkContext,
+      // own SQLConf) so the sizing is invisible to concurrently executing
+      // queries on the caller's session — the round-9 advisory against
+      // mutate-and-restore on shared session state.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
       // Watermark caveat: the driver table is a single parquet file, so
       // AvailableNow drains it as one micro-batch and eviction can never
       // drop a window before it is emitted. A multi-file source whose files
@@ -57,11 +77,10 @@ object StreamingQueries {
       // batches in Update mode — replaying a finite backfill through this
       // query shape needs watermark=null (no eviction) or time-ordered file
       // listing; the latest-wins sink itself absorbs re-emission either way.
-        val counts = Streaming.windowedCounts(
-          Streaming.eventsStream(s, d), windowLen = "1 hour", watermark = "1 hour")
-        val q = Streaming.windowedCountsSink(counts, table, s"$wh/ckpt")
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val counts = Streaming.windowedCounts(
+        Streaming.eventsStream(s2, d), windowLen = "1 hour", watermark = "1 hour")
+      val q = Streaming.windowedCountsSink(counts, table, s"$wh/ckpt")
+      q.awaitTermination()
       table.read()
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"))
@@ -81,20 +100,19 @@ object StreamingQueries {
         | count(1) AS copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val wh = Files.createTempDirectory("graft-q85").toString
+      val wh = scratchDir("graft-q85")
       val table = new VersionedTable(s, s"$wh/doc_keeps")
       // state keys = distinct documents: size the state-store shuffle like
-      // q50 sizes its window keys
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val ds = Streaming.docsStream(s, d)
-          .select(col("doc_id"), md5(col("text")).as("h"))
-          .as[Streaming.DocHash]
-        val q = Streaming.exactDedupSink(
-          Streaming.streamingExactDedup(ds), table, s"$wh/ckpt")
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // q50 sizes its window keys — on an isolated child session, same as
+      // q50, so the caller's session conf is never touched
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val ds = Streaming.docsStream(s2, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .as[Streaming.DocHash]
+      val q = Streaming.exactDedupSink(
+        Streaming.streamingExactDedup(ds), table, s"$wh/ckpt")
+      q.awaitTermination()
       table.read().orderBy("keep_id")
     },
   )

@@ -179,6 +179,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"rebuild must not explode:\n$plan")
   }
 
+  test("removeBoilerplate probes a reference-object set, not an O(|hot|) plan literal") {
+    import org.apache.spark.sql.functions._
+    // plant a hot line in every doc so the hot set is non-empty, then assert
+    // the rebuild plan embeds NEITHER the hot line's hash value nor an
+    // array_contains over a literal array — the set must ride task
+    // serialization as a LongSetContains reference object
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(lit("HOTLINE\n"), col("text")).as("text")).limit(500)
+    val cleaned = graft.scale.Curation.removeBoilerplate(docs, minDf = 50)
+    val hotHash = spark.sql("SELECT xxhash64('HOTLINE') AS h").head().getLong(0)
+    val plan = cleaned.queryExecution.optimizedPlan.toString
+    assert(plan.contains("long_set_contains"), s"expected LongSetContains probe:\n$plan")
+    assert(!plan.contains(hotHash.toString),
+      s"hot hash $hotHash must not appear as a plan literal:\n$plan")
+    assert(!plan.contains("array_contains"), s"rebuild must not linear-scan a literal:\n$plan")
+    // the fraction form resolves to the same plan shape
+    val frac = graft.scale.Curation.removeBoilerplateByFraction(docs, 0.1)
+    assert(frac.queryExecution.optimizedPlan.toString.contains("long_set_contains"))
+  }
+
   test("kmvSample prunes per-partition before its only wide stage") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sfDir)
