@@ -444,6 +444,104 @@ object Curation {
       idCol, textCol)
   }
 
+  /** Content-defined token-span chunks: the text's token stream cut AFTER
+    * every boundary token (a token whose md5 hex is below '1' — a
+    * deterministic 1/16-rate content condition both engines compute
+    * identically), yielding chunks of ~16 expected tokens whose boundaries
+    * depend only on local content. This is the token-level analogue of the
+    * byte-level Rabin–Karp CDC in [[graft.expressions.RollingChunks]]: an
+    * edit near the start of a document only perturbs the chunks it touches —
+    * boundaries re-synchronize at the next boundary token — so identical
+    * long spans at DIFFERENT offsets in different documents still produce
+    * identical interior chunks. The byte-level kernel is the faster form;
+    * this one exists because its boundary rule is exactly replayable in
+    * ANSI SQL, which puts the whole span-dedup pipeline under the value-level
+    * oracle instead of a rows-only check.
+    *
+    * Output per row: array of struct(n_tokens, chunk) in document order,
+    * where `chunk` is the tokens rejoined with single spaces. A doc with no
+    * tokens yields an empty array. Pure array projection — no explode, no
+    * shuffle; chunking runs inside the scan task.
+    */
+  private[scale] def spanChunks(textCol: Column): Column = {
+    val ws = filter(split(textCol, graft.expressions.Ws.Regex), w => w =!= "")
+    val n = size(ws)
+    // 1-based start positions: 1, plus (boundary position + 1) for every
+    // boundary token not at the very end
+    val bnext = filter(
+      transform(ws, (w, i) => when(md5(w) < "1", i + 2).otherwise(lit(0))),
+      p => p > 0)
+    val starts = filter(concat(array(lit(1)), bnext), s => s <= n)
+    val nexts = concat(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))), array(n + 1))
+    when(n === 0, array().cast("array<struct<n_tokens:bigint,chunk:string>>"))
+      .otherwise(zip_with(starts, nexts, (s, e) => struct(
+        (e - s).cast("long").as("n_tokens"),
+        array_join(slice(ws, s, e - s), " ").as("chunk"))))
+  }
+
+  /** Substring-level exact dedup (duplicated-span removal): find spans of at
+    * least `minSpan` tokens that occur more than once across the corpus —
+    * the syndicated article body, quoted license block, or mirrored page
+    * section that whole-document dedup can never touch — and cut every
+    * occurrence except the canonical one (global min (doc, position)) out of
+    * the text, rebuilding each document from its surviving chunks.
+    *
+    * Span identity is the content-defined chunk ([[spanChunks]]): only
+    * chunks of >= `minSpan` tokens enter the inventory, so the ubiquitous
+    * short chunks ("the … a") never generate candidate pairs. Offsets don't
+    * matter — CDC boundaries re-synchronize, so a span shared at different
+    * positions in different docs yields the same interior chunks.
+    *
+    * Scale shape, three narrow jobs:
+    *   1. inventory: explode chunk structs, keep (id, chunk_idx,
+    *      xxhash64(chunk)) — 8-byte span keys, text never leaves the scan;
+    *   2. winners: one hash aggregation per span key (map-side partial) for
+    *      (min (id, idx), count); keys with count >= 2 join back against the
+    *      inventory to name the removed occurrences — all-long relations;
+    *   3. rebuild: docs join the per-doc removed-index lists (AQE broadcasts
+    *      the removed side when small — duplicated spans are the exception,
+    *      not the rule) and re-chunk in place, dropping removed indexes —
+    *      per-row array ops, no second pass over the corpus.
+    *
+    * The rebuilt text is the surviving chunks joined with single spaces
+    * (token-normalized whitespace, like [[chunkByTokens]]'s chunks). Removal
+    * is idempotent: surviving chunks re-chunk identically (boundaries are
+    * content-defined), and the kept canonical occurrence is unique on the
+    * second pass, so nothing further is removed (CurationSpec law). NULL
+    * text passes through as NULL with n_removed = 0. Oracled end-to-end as
+    * q87 with a planted cross-doc span.
+    */
+  def dedupSpans(docs: DataFrame, minSpan: Int = 8,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minSpan >= 2, s"minSpan must be >= 2, got $minSpan")
+    val chunks = spanChunks(col(textCol))
+    val occ = docs
+      .select(col(idCol).as("__id"), posexplode(chunks).as(Seq("__ci", "__c")))
+      .filter(col("__c.n_tokens") >= minSpan)
+      .select(col("__id"), col("__ci"), xxhash64(col("__c.chunk")).as("__h"))
+    val winners = occ.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__ci"))).as("__w"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("__h"), col("__w"))
+    val removed = occ.join(winners, "__h")
+      .filter(!(col("__id") === col("__w.__id") && col("__ci") === col("__w.__ci")))
+      .select(col("__id"), col("__ci"))
+    val perDoc = removed.groupBy("__id")
+      .agg(collect_list(col("__ci")).as("__rm"), count(lit(1)).as("__nrm"))
+    val rm = coalesce(col("__rm"), array().cast("array<int>"))
+    docs.join(perDoc, docs(idCol) === perDoc("__id"), "left")
+      .withColumn("n_removed", coalesce(col("__nrm"), lit(0L)))
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", filter(
+            transform(chunks, (c, i) =>
+              when(array_contains(rm, i), lit(null).cast("string"))
+                .otherwise(c.getField("chunk"))),
+            x => x.isNotNull))))
+      .drop("__id", "__rm", "__nrm")
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -876,6 +974,71 @@ object Curation {
       chunkByTokens(Tables.documents(s, d).select("doc_id", "text"),
         maxTokens = 64, overlap = 16)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Duplicated-span removal with a planted cross-doc span: every doc with
+    // doc_id % 7 = 3 gets the same 11-token span appended. 'dup' and 'hash'
+    // are md5-boundary tokens (md5(w) < '1'), so the span's interior chunk —
+    // "spark sort merge join scan filter batch stream vector hash", 10
+    // tokens, all interiors non-boundary — is byte-identical in every
+    // planted doc regardless of what precedes it (CDC re-synchronization).
+    // The winner (min doc_id, then chunk position) keeps it; every other
+    // occurrence is cut and the doc rebuilt. The oracle replays the whole
+    // pipeline — boundary flags, prefix-count chunk ids, dup inventory,
+    // min-occurrence winner, text rebuild — by string value, so chunking
+    // arithmetic AND the rebuilt text are value-exact (the engine's
+    // xxhash64 span keys differ only under a 2^-64 collision). Organic
+    // >= 8-token duplicate chunks the word-salad corpus happens to contain
+    // are removed identically by both engines — the plant guarantees
+    // coverage, it does not bound the result.
+    Q("q87_span_dedup",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3
+        |      THEN text || ' dup spark sort merge join scan filter batch stream vector hash'
+        |      ELSE text END AS text
+        |  FROM documents),
+        | w AS (SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |       FROM seeded),
+        | tok AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM w),
+        | t2 AS (SELECT doc_id, CAST(i AS INT) AS i, ws[CAST(i AS INT)] AS tk FROM tok),
+        | cid AS (
+        |  SELECT doc_id, i, tk,
+        |    coalesce(sum(CASE WHEN md5(tk) < '1' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM t2),
+        | ch AS (
+        |  SELECT doc_id, c AS chunk_idx, count(1) AS n_tok,
+        |         string_agg(tk, ' ' ORDER BY i) AS chunk
+        |  FROM cid GROUP BY 1, 2),
+        | r AS (SELECT doc_id, chunk_idx,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |       FROM ch WHERE n_tok >= 8),
+        | removed AS (SELECT doc_id, chunk_idx FROM r WHERE rn >= 2),
+        | keep AS (
+        |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk
+        |  FROM ch LEFT JOIN removed rm
+        |    ON rm.doc_id = ch.doc_id AND rm.chunk_idx = ch.chunk_idx
+        |  WHERE rm.doc_id IS NULL),
+        | rb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        |        FROM keep GROUP BY 1),
+        | cnt AS (SELECT doc_id, count(1) AS n_removed FROM removed GROUP BY 1)
+        |SELECT s.doc_id, coalesce(rb.text, '') AS text,
+        |       CAST(coalesce(cnt.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM seeded s
+        |LEFT JOIN rb ON rb.doc_id = s.doc_id
+        |LEFT JOIN cnt ON cnt.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(col("text"),
+            lit(" dup spark sort merge join scan filter batch stream vector hash")))
+          .otherwise(col("text")).as("text"))
+      dedupSpans(seeded, minSpan = 8)
+        .select("doc_id", "text", "n_removed")
+        .orderBy("doc_id")
     },
   )
 }

@@ -399,4 +399,66 @@ class CurationSpec extends SparkSpec {
         s"$lang kept ${kept(lang)} of $n at rate $p")
     }
   }
+
+  // span = boundary-led junction token + a 10-token all-non-boundary body
+  // ending on a boundary token, so its interior chunk is byte-identical in
+  // every doc it is planted into regardless of surrounding text
+  private val Span = "dup spark sort merge join scan filter batch stream vector hash"
+  private val SpanBody = "spark sort merge join scan filter batch stream vector hash"
+
+  test("dedupSpans cuts every planted span occurrence except the canonical one") {
+    val sample = docs.limit(300)
+    val seeded = sample.withColumn("text",
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(s" $Span")))
+        .otherwise(col("text"))).cache()
+    val planted = seeded.filter(col("doc_id") % 7 === 3)
+      .select("doc_id").as[Long].collect().sorted
+    val cleaned = Curation.dedupSpans(seeded, minSpan = 8).cache()
+    val withBody = cleaned.filter(col("text").contains(SpanBody))
+      .select("doc_id").as[Long].collect().toSet
+    // exactly one doc — the min-id planted one — keeps the span body
+    assert(withBody.intersect(planted.toSet) === Set(planted.head))
+    // every other planted doc recorded at least the span removal
+    val removedCounts = cleaned.filter(col("doc_id") % 7 === 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    for (id <- planted.tail) assert(removedCounts(id) >= 1L, s"doc $id kept the span")
+    seeded.unpersist(); cleaned.unpersist()
+  }
+
+  test("dedupSpans is idempotent and pass-through == token-normalization when nothing dups") {
+    val sample = docs.limit(300)
+    val seeded = sample.withColumn("text",
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(s" $Span")))
+        .otherwise(col("text")))
+    val once = Curation.dedupSpans(seeded, minSpan = 8)
+      .select("doc_id", "text").cache()
+    val twice = Curation.dedupSpans(once, minSpan = 8)
+    // surviving chunks re-chunk identically and the kept canonical
+    // occurrence is unique on the second pass — nothing further is removed
+    assert(twice.filter(col("n_removed") =!= 0).count() === 0)
+    assert(twice.select("doc_id", "text").as[(Long, String)].collect().toMap
+      === once.as[(Long, String)].collect().toMap)
+    // with a threshold above every chunk size nothing is ever removed and
+    // the rebuild is exactly whitespace normalization
+    val none = Curation.dedupSpans(sample, minSpan = 1000)
+    assert(none.filter(col("n_removed") =!= 0).count() === 0)
+    val normalized = sample.select(col("doc_id"),
+      array_join(filter(split(col("text"), "\\s+"), w => w =!= ""), " ").as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(none.select("doc_id", "text").as[(Long, String)].collect().toMap === normalized)
+    once.unpersist()
+  }
+
+  test("dedupSpans handles NULL and empty text") {
+    val df = Seq((1L, s"one $Span"), (2L, s"two two $Span"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val c = Curation.dedupSpans(df, minSpan = 8)
+      .select("doc_id", "text", "n_removed").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    // doc 1 is the canonical holder; doc 2 loses the interior chunk
+    assert(c(1L)._1.get.contains(SpanBody) && c(1L)._2 === 0L)
+    assert(!c(2L)._1.get.contains(SpanBody) && c(2L)._2 === 1L)
+    assert(c(3L) === (Some(""), 0L))
+    assert(c(4L) === (None, 0L))
+  }
 }
