@@ -83,13 +83,20 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // detailed line: full names, cold + median warm + every warm rep
     println(s"""{"detail":"full","queries":$qs,"queries_warm":$qsWarm,"warm_reps":$qsWarmAll,"failed":$failedJson,"sf":$sfNum,"sf_dir":"$sfDir"}""")
-    // compact final line (must fit the driver's 2000-byte tail): short query
-    // keys = first two '_'-segments (qNN_word — still unique across the two
-    // q69_* entries), cold times only, 2 decimals.
-    def short(name: String) = name.split('_').take(2).mkString("_")
-    val qsShort = jsonMap(results.flatMap { case (k, cold, _) =>
-      cold.map(v => short(k) -> f"$v%.2f") })
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_warm":${fmt(totalWarm)},"queries":$qsShort,"failed":$failedJson,"sf":$sfNum}""")
+    // compact final line (must fit the driver's 2000-byte tail): the PRIMARY
+    // numbers are the warm triple-run medians (cold-start noise made
+    // round-over-round deltas unadjudicable — r9 advice item 8); cold total
+    // kept as total_cold for cross-round continuity. Query keys shrink to the
+    // bare qNN prefix, extended to two '_'-segments only where qNN collides
+    // (q69_grouping_sets vs q69_neardup_clusters).
+    val byPrefix = results.groupBy(_._1.split('_').head)
+    def short(name: String) = {
+      val p = name.split('_').head
+      if (byPrefix(p).size == 1) p else name.split('_').take(2).mkString("_")
+    }
+    val qsShort = jsonMap(results.flatMap { case (k, cold, ws) =>
+      (if (ws.nonEmpty) Some(median(ws)) else cold).map(v => short(k) -> f"$v%.2f") })
+    println(s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","total_cold":${fmt(total)},"queries":$qsShort,"failed":$failedJson,"sf":$sfNum}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }
