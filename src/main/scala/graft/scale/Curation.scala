@@ -328,6 +328,68 @@ object Curation {
         xxhash64(newDocs(textCol)) === oldKeys("__k"), "left_anti")
   }
 
+  /** [[newContent]]'s near-duplicate form: rows of `newDocs` that are not a
+    * near-duplicate (distinct-shingle Jaccard >= `threshold`) of ANY
+    * `oldDocs` row — an incremental crawl's delta step that also rejects the
+    * trivially-edited re-crawl (rotated ads, updated timestamps) an
+    * exact-hash diff re-ingests forever. Exact duplicates are a strict
+    * subset of what this drops (CurationSpec law): identical text means an
+    * identical MinHash signature, and identical signatures collide in the
+    * identity pseudo-band by construction ([[Dedup.bandedKeys]]) with
+    * Jaccard exactly 1.
+    *
+    * Candidate generation bands BOTH snapshots' signatures into the same
+    * (band, band_hash) keyspace and equi-joins — the cross-snapshot analogue
+    * of [[Dedup.minhashCandidates]]'s self-join; a new doc is dropped only
+    * when a banded collision ALSO verifies by exact Jaccard, so band luck
+    * can only cost recall on the threshold tail, never precision.
+    *
+    * Scale shape: the old snapshot ships narrow (id, band, hash) longs plus
+    * shingle arrays for verified candidates only; the per-bucket old-side
+    * cap (`maxOldPerBucket` min-id members) bounds hot-bucket fan-out
+    * exactly like minhashCandidates' star-link — the capped tail can only
+    * under-drop borderline near-dups whose sole collisions sit in hot
+    * buckets (exact dups survive the cap: every identity-bucket member
+    * shares the full signature, so any kept member verifies at 1.0). NULL
+    * text follows [[newContent]]'s discipline: NULL never matches anything,
+    * so NULL-text new rows always pass through.
+    */
+  def newContentNearDup(newDocs: DataFrame, oldDocs: DataFrame, threshold: Double = 0.8,
+                        numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+                        maxOldPerBucket: Int = 100,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def shingles(df: DataFrame, as: String): DataFrame = {
+      val sh = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.DistinctShingles(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), shingleSize))
+      df.filter(col(textCol).isNotNull).select(col(idCol).as(as), sh.as(s"sh_$as"))
+    }
+    def banded(df: DataFrame, as: String): DataFrame =
+      Dedup.bandedKeys(
+        Dedup.minhashSignatures(df.filter(col(textCol).isNotNull),
+          numHashes, shingleSize, idCol, textCol),
+        bands, numHashes, idCol)
+        .select(col(idCol).as(as), col("band"), col("band_hash"))
+    val newB = banded(newDocs, "__nid")
+    val w = Window.partitionBy("band", "band_hash").orderBy(col("__oid"))
+    val oldB = banded(oldDocs, "__oid")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxOldPerBucket)
+      .drop("__rn")
+    val cand = newB.join(oldB, Seq("band", "band_hash"))
+      .select("__nid", "__oid").distinct()
+    val dropped = cand
+      .join(shingles(newDocs, "__nid"), "__nid")
+      .join(shingles(oldDocs, "__oid"), "__oid")
+      .withColumn("__c", size(array_intersect(col("sh___nid"), col("sh___oid"))).cast("long"))
+      .withColumn("__j", col("__c").cast("double") /
+        (size(col("sh___nid")) + size(col("sh___oid")) - col("__c")))
+      .filter(col("__j") >= threshold)
+      .select("__nid").distinct()
+    newDocs.join(dropped, newDocs(idCol) === dropped("__nid"), "left_anti")
+  }
+
   /** Temperature-based stratum reweighting — the multilingual-LLM sampling
     * scheme (XLM-R §3.1: kept mass ∝ c_s^alpha): big strata down-sample, the
     * rarest stratum keeps everything, flattening the head of the
@@ -1038,6 +1100,63 @@ object Curation {
           .otherwise(col("text")).as("text"))
       dedupSpans(seeded, minSpan = 8)
         .select("doc_id", "text", "n_removed")
+        .orderBy("doc_id")
+    },
+
+    // Cross-snapshot NEAR-dup diff with a planted re-crawl: old snapshot =
+    // documents; the new snapshot re-crawls every 10th doc unchanged
+    // (dropped — identical text collides in the identity pseudo-band with
+    // Jaccard exactly 1), every doc_id%10==5 doc with its first token lost
+    // (the trivially-edited re-crawl: J = (m-1)/m >= 0.875 at the corpus's
+    // >= 10-token docs, far over the 0.8 threshold — dropped; the per-doc
+    // band-miss odds at that J are ~1e-6, vs the EXACT diff q78 which
+    // re-ingests these forever), and every doc_id%10==7 doc token-REVERSED
+    // (genuinely changed content: reversed 3-gram shingles share almost
+    // nothing with the original, J << 0.8 — kept). The oracle replays the
+    // drop rule by exhaustive shingle Jaccard; keeps are deterministic
+    // regardless of band luck because the exact-Jaccard verify, not the
+    // bands, decides every drop (bands only generate candidates).
+    Q("q89_new_content_neardup",
+      """WITH old AS (SELECT doc_id, trim(text) AS text FROM documents),
+        | nw AS (
+        |  SELECT doc_id + 300000 AS doc_id, text FROM old WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text[instr(text, ' ') + 1:]
+        |  FROM old WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        |  FROM old WHERE doc_id % 10 = 7),
+        | shn AS (SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(t) - 3, 0) + 2),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM nw)),
+        | sho AS (SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(t) - 3, 0) + 2),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM old)),
+        | dropped AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM shn n, sho o
+        |  WHERE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) /
+        |        (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.8)
+        |SELECT doc_id, text FROM nw
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // trim for the same Java-vs-DuckDB trailing-empty-token reason as q70
+      val old = Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+      val exactRecrawl = old.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+      val editedRecrawl = old.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val freshDocs = old.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text", concat_ws(" ",
+          reverse(split(col("text"), graft.expressions.Ws.Regex))))
+      val newDocs = exactRecrawl.unionByName(editedRecrawl).unionByName(freshDocs)
+      newContentNearDup(newDocs, old, threshold = 0.8)
         .orderBy("doc_id")
     },
   )

@@ -57,11 +57,18 @@ object Dedup {
     * signature, so star links still verify downstream (up to a 2^-64
     * xxhash64 collision mixing two signature groups in one bucket).
     */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 16, sigLen: Int = 64,
-                        idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
+  /** The (id, band, band_hash) banding relation of a signature table —
+    * `bands` LSH bands plus the identity pseudo-band (a hash of the whole
+    * signature, so identical content is a candidate by construction). Shared
+    * by the self-join candidate generation ([[minhashCandidates]]) and the
+    * cross-snapshot diff ([[Curation.newContentNearDup]]), which must band
+    * BOTH snapshots into the same keyspace for their buckets to collide.
+    */
+  private[scale] def bandedKeys(signatures: DataFrame, bands: Int, sigLen: Int,
+                                idCol: String): DataFrame = {
     require(sigLen % bands == 0, s"sigLen=$sigLen must be divisible by bands=$bands")
     val rows = sigLen / bands
-    val banded = signatures.select(
+    signatures.select(
       col(idCol),
       posexplode(concat(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -69,6 +76,11 @@ object Dedup {
             slice(col("signature"), b * rows + 1, lit(rows)), h => h.cast("string")), ","))),
         array(xxhash64(lit("__identity"), col("signature")))))
         .as(Seq("band", "band_hash")))
+  }
+
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16, sigLen: Int = 64,
+                        idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
+    val banded = bandedKeys(signatures, bands, sigLen, idCol)
     // Hot-bucket bound: a band value shared by m docs (web boilerplate is
     // duplicated 10^6 times) would alone yield m(m-1)/2 pairwise rows. Buckets
     // over maxBucket instead star-link every member to the bucket's min-id

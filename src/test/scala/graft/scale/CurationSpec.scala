@@ -461,4 +461,52 @@ class CurationSpec extends SparkSpec {
     assert(c(3L) === (Some(""), 0L))
     assert(c(4L) === (None, 0L))
   }
+
+  test("newContentNearDup drops planted single-token edits, keeps genuinely new docs") {
+    val old = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), trim(col("text")).as("text")).limit(200)
+    // mutated re-crawl: first token lost — J >= (m-1)/m, a near-dup at any
+    // doc length in the corpus; fresh: token order reversed — shingles
+    // share ~nothing with the original
+    val edited = old.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+    val fresh = old.filter(col("doc_id") % 3 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat_ws(" ",
+        reverse(split(col("text"), graft.expressions.Ws.Regex))))
+    val kept = Curation.newContentNearDup(edited.unionByName(fresh), old)
+      .select("doc_id").as[Long].collect().toSet
+    val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+    assert(kept === freshIds && kept.nonEmpty)
+  }
+
+  test("newContentNearDup: exact-dup drops are a strict subset of near-dup drops") {
+    val old = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), trim(col("text")).as("text")).limit(200)
+    val neu = old.filter(col("doc_id") % 2 === 0) // exact re-crawls
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .unionByName(old.filter(col("doc_id") % 5 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)")))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val allNew = ids(neu)
+    val exactDropped = allNew -- ids(Curation.newContent(neu, old))
+    val nearDropped = allNew -- ids(Curation.newContentNearDup(neu, old))
+    assert(exactDropped.subsetOf(nearDropped))
+    assert(nearDropped.size > exactDropped.size) // the edits are the extra drops
+  }
+
+  test("newContentNearDup: NULL-text rows pass through on both sides") {
+    val old = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val neu = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact
+      (11L, null.asInstanceOf[String]),                                  // NULL passes
+      (12L, "totally different words with no overlap at all here now")).toDF("doc_id", "text")
+    val kept = Curation.newContentNearDup(neu, old)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 12L))
+  }
 }
