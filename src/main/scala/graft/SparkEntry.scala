@@ -28,7 +28,8 @@ object SparkEntry {
     scale.Similarity.queries ++
     scale.AnnIndex.queries ++
     scale.Multimodal.queries ++
-    scale.Curation.queries
+    scale.Curation.queries ++
+    scale.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The reference's MAU-style join+agg over the star schema.)

@@ -1,0 +1,172 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training on top of [[Curation.vocabulary]] — the
+  * step that turns the word-frequency table into an actual subword vocab
+  * (Sennrich et al. 2016's algorithm: repeatedly merge the most frequent
+  * adjacent symbol pair, ties broken deterministically).
+  *
+  * Scale shape: the only corpus-sized job is the word count (one word-keyed
+  * shuffle with map-side partials, then the K-bounded [[Curation.cutVocab]]
+  * TakeOrdered) — exactly [[Curation.vocabulary]]'s plan. The merge loop
+  * itself runs on the driver over those K (word, count) rows: BPE training
+  * state is the word-frequency table, not the corpus, so at 100 TB the loop
+  * is the same milliseconds it is here (the
+  * [[Similarity.trainCentroids]] bounded-metadata class). Each round is one
+  * pass over ≤ K segmentations: count adjacent pairs weighted by word count,
+  * pick the max by (count desc, left, right) — a total order, so the merge
+  * list is value-exact on any engine — and apply it greedily left-to-right.
+  *
+  * Greedy application: scan the symbol sequence once, merging at the first
+  * eligible position and skipping the consumed symbol — so in a run of
+  * repeated symbols (`l == r`, "aaaa" under (a,a)) merges never overlap:
+  * [aa, aa], not [aa, a? …]. The DuckDB oracle replays the same rule via the
+  * run-parity formulation (a position merges iff it matches and an even
+  * number of consecutive matches immediately precede it).
+  */
+object Bpe {
+
+  /** One greedy left-to-right merge pass: every non-overlapping (l, r)
+    * adjacency becomes the concatenated symbol.
+    */
+  private[scale] def applyMerge(seg: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < seg.length) {
+      if (i + 1 < seg.length && seg(i) == l && seg(i + 1) == r) {
+        out += (l + r); i += 2
+      } else {
+        out += seg(i); i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Segment one word under an ordered merge list — the tokenizer side of
+    * the round trip: start from characters, apply each merge in rank order.
+    * Concatenating the result always re-yields the word (BpeSpec law).
+    */
+  def segmentWord(word: String, merges: Seq[(String, String)]): Array[String] =
+    merges.foldLeft(word.split("").filter(_.nonEmpty)) {
+      case (seg, (l, r)) => applyMerge(seg, l, r)
+    }
+
+  /** Train `nMerges` BPE merges over the top-`topKWords` corpus vocabulary.
+    * Output: (rnk, lhs, rhs, cnt) — the merge list in training order with
+    * the pair's weighted count at selection time. Stops early (fewer rows)
+    * only if the vocabulary runs out of adjacent pairs — impossible at any
+    * real K and merge budget, but the loop is total rather than partial.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 12, topKWords: Int = 200,
+                textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1 && topKWords >= 1)
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    val vocab: Array[(String, Long)] = Curation.cutVocab(counts, topKWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var segs: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairCounts.minBy { case ((l, r), c) => (-c, l, r) }(
+          Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String))
+        merges += ((rank, l, r, c))
+        segs = segs.map { case (s, wc) => (applyMerge(s, l, r), wc) }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rnk", "lhs", "rhs", "cnt")
+  }
+
+  // ---- declared queries ----------------------------------------------------
+
+  /** One DuckDB merge round: pair counts over the previous segmentation,
+    * deterministic argmax, run-parity greedy application (see object doc).
+    * Every chained CTE is MATERIALIZED: each round references the previous
+    * segmentation twice (pair count + rebuild), so DuckDB's default CTE
+    * inlining would expand the word-count subtree 2^rounds times.
+    */
+  private def roundSql(i: Int): String = {
+    val prev = s"seg${i - 1}"
+    s"""
+ pc$i AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c
+         FROM (SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr FROM $prev)
+         GROUP BY 1, 2),
+ m$i AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
+ seg$i AS MATERIALIZED (
+   SELECT word, cnt,
+     list_filter(
+       list_transform(range(1, len(s)+1), i ->
+         CASE WHEN i < len(s) AND sel[i] THEN s[i] || s[i+1]
+              WHEN i > 1 AND sel[i-1] THEN NULL
+              ELSE s[i] END),
+       x -> x IS NOT NULL) AS s
+   FROM (
+     SELECT word, cnt, s,
+       list_transform(range(1, greatest(len(s), 1)), p ->
+         m[p] AND (p - 1 - coalesce(list_max(list_filter(range(1, p), q -> NOT m[q])), 0)) % 2 = 0) AS sel
+     FROM (
+       SELECT word, cnt, s,
+         list_transform(range(1, greatest(len(s), 1)), p ->
+           p < len(s) AND s[p] = ml AND s[p+1] = mr) AS m
+       FROM $prev, (SELECT l AS ml, r AS mr FROM m$i))))"""
+  }
+
+  private val NMerges = 12
+  private val TopK = 200
+
+  private val mergesOracle: String = {
+    val rounds = (1 to NMerges).map(roundSql).mkString(",")
+    val union = (1 to NMerges)
+      .map(i => s"SELECT $i AS rnk, l AS lhs, r AS rhs, c AS cnt FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS g
+  FROM documents),
+ v AS (SELECT g AS word, CAST(count(1) AS BIGINT) AS cnt FROM w GROUP BY 1),
+ cut AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word LIMIT $TopK),
+ seg0 AS MATERIALIZED (SELECT word, cnt,
+            list_transform(range(1, length(word)+1), i -> word[i:i]) AS s
+          FROM cut),$rounds
+SELECT CAST(rnk AS BIGINT) AS rnk, lhs, rhs, cnt FROM (
+  $union
+) ORDER BY rnk"""
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // BPE merge training over the corpus vocabulary: 12 deterministic merge
+    // rounds on the top-200 words — the merge LIST itself is the output
+    // (rank, pair, weighted count), value-exact against a DuckDB replay that
+    // unrolls the same 12 rounds as chained CTEs. Every step is a total
+    // order (pair argmax by count desc then pair; greedy application by the
+    // run-parity rule), so the whole training trajectory — not just the
+    // final vocab — must match for the hash to pass.
+    Q("q90_bpe_merges", mergesOracle) { (s, d) =>
+      bpeMerges(Tables.documents(s, d), nMerges = NMerges, topKWords = TopK)
+        .orderBy("rnk")
+    },
+  )
+}
