@@ -42,18 +42,45 @@ object Multimodal {
     *     (PNG spec §5.2/§11.2.2);
     *   - JPEG: walk the marker segments from SOI to the first SOFn frame
     *     header (C0-CF except DHT C4, JPG C8, DAC CC), whose payload is
-    *     [len:2][precision:1][height:2][width:2] (JPEG Annex B).
-    * None for anything that is not a parsable PNG/JPEG — the caller falls
-    * back to the deterministic fake so the pipeline stays total.
+    *     [len:2][precision:1][height:2][width:2] (JPEG Annex B);
+    *   - GIF: the Logical Screen Descriptor directly follows the 6-byte
+    *     "GIF87a"/"GIF89a" signature — width/height are the u16le pair at
+    *     offsets 6/8 (GIF89a spec §18);
+    *   - WebP: a RIFF container ("RIFF"..."WEBP"); the first chunk decides
+    *     the form — VP8X carries canvas (w-1, h-1) as u24le at 24/27,
+    *     VP8L packs (w-1, h-1) as two 14-bit LSB-first fields after the
+    *     0x2F signature byte, lossy "VP8 " carries u14le dims after the
+    *     9D 01 2A sync code.
+    * None for anything else — the caller falls back to the deterministic
+    * fake so the pipeline stays total.
     */
   def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
     def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
     def u32(i: Int): Int =
       ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u24le(i: Int): Int = u16le(i) | ((b(i + 2) & 0xff) << 16)
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
     val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
     if (b.length >= 24 && b.take(8).sameElements(pngSig) &&
         b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
       Some((u32(16), u32(20)))
+    else if (b.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a")))
+      Some((u16le(6), u16le(8)))
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) {
+      if (ascii(12, "VP8X") && b.length >= 30)
+        Some((u24le(24) + 1, u24le(27) + 1))
+      else if (ascii(12, "VP8L") && b.length >= 25 && b(20) == 0x2F.toByte) {
+        // 14-bit w-1 then 14-bit h-1, LSB-first from byte 21
+        val v = (b(21) & 0xff) | ((b(22) & 0xff) << 8) | ((b(23) & 0xff) << 16) |
+          ((b(24) & 0xff) << 24)
+        Some(((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1))
+      } else if (ascii(12, "VP8 ") && b.length >= 30 && b(23) == 0x9D.toByte &&
+                 b(24) == 0x01.toByte && b(25) == 0x2A.toByte)
+        Some((u16le(26) & 0x3fff, u16le(28) & 0x3fff))
+      else None
+    }
     else if (b.length >= 4 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) {
       var i = 2
       while (i + 9 < b.length && b(i) == 0xFF.toByte) {
@@ -74,6 +101,37 @@ object Multimodal {
       }
       None
     } else None
+  }
+
+  /** Header-only WAV audio parse (RIFF/WAVE chunk walk): (channels,
+    * sample_rate, n_samples) from the mandatory fmt chunk plus the data
+    * chunk's byte size — n_samples = data bytes / block align, i.e. the
+    * duration numerator, without touching a single sample. None for
+    * non-WAV/truncated payloads or a zero block align.
+    */
+  def wavInfo(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Long = (u16le(i).toLong) | (u16le(i + 2).toLong << 16)
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+    if (!(ascii(0, "RIFF") && ascii(8, "WAVE"))) return None
+    var channels, rate, bits = -1
+    var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels < 0 || dataBytes < 0)) {
+      val size = u32le(i + 4)
+      if (ascii(i, "fmt ") && i + 8 + 16 <= b.length) {
+        channels = u16le(i + 10)
+        rate = u32le(i + 12).toInt
+        bits = u16le(i + 22)
+      } else if (ascii(i, "data")) {
+        dataBytes = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    val blockAlign = channels * (bits / 8)
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0 || blockAlign <= 0) None
+    else Some((channels, rate, dataBytes / blockAlign))
   }
 
   /** Decode: header-only dimension parse for real PNG/JPEG payloads
@@ -109,6 +167,47 @@ object Multimodal {
       posexplode(transform(sequence(lit(0), lit(n - 1)),
         i => col("content").substr((i * (col("n_bytes") / n)).cast("int") + 1, lit(64))))
         .as(Seq("chunk_idx", "chunk")))
+
+  // ---- spec-valid header synthesis (fixtures for the real parsers) ---------
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** A minimal spec-valid GIF89a: signature + Logical Screen Descriptor. */
+  private[scale] def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  /** A minimal spec-valid lossless WebP: RIFF/WEBP container with a VP8L
+    * chunk — 0x2F signature then (w-1, h-1) as two 14-bit LSB-first fields.
+    */
+  private[scale] def webpBytes(w: Int, h: Int): Array[Byte] = {
+    val dims = (w - 1) | ((h - 1) << 14)
+    val payload = Array(0x2F.toByte) ++ le32(dims.toLong) ++ Array[Byte](0)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length.toLong) ++
+      "WEBP".getBytes("US-ASCII") ++
+      "VP8L".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  /** A minimal spec-valid PCM WAV: fmt chunk + an empty-bodied data chunk
+    * whose declared size is `nSamples` frames (header-only parsing never
+    * reads the samples, exactly like a footer-indexed media store).
+    */
+  private[scale] def wavBytes(channels: Int, rate: Int, nSamples: Long): Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataBytes = nSamples * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(rate.toLong) ++
+      le32(rate.toLong * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(dataBytes)
+  }
+
+  final case class FormatFeatures(asset_id: Long, format: String,
+                                  width: Option[Int], height: Option[Int],
+                                  sample_rate: Option[Int], n_samples: Option[Long])
 
   val queries: Seq[Q] = Seq(
 
@@ -155,6 +254,48 @@ object Multimodal {
         |FROM h ORDER BY asset_id""".stripMargin) { (s, d) =>
       decodeStub(assets(Tables.documents(s, d))).toDF()
         .select("asset_id", "format", "n_bytes", "width", "height", "checksum")
+        .orderBy("asset_id")
+    },
+
+    // Format breadth through the REAL header parsers: every doc becomes a
+    // spec-valid GIF / lossless-WebP / PCM-WAV payload whose header fields
+    // are a deterministic function of doc_id, and the query's output comes
+    // from PARSING those bytes (LSD u16le pair, VP8L 14-bit packed dims,
+    // RIFF chunk walk + data-size/block-align division) — the oracle
+    // recomputes the same fields from doc_id arithmetic, so any bit-level
+    // parser or writer error hash-fails. Same bounded-residency shape as
+    // q34: one iterator pass per partition, no payload ever leaves its task.
+    Q("q91_multimodal_formats",
+      """SELECT doc_id AS asset_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'gif' WHEN doc_id % 3 = 1 THEN 'webp'
+        |      ELSE 'wav' END AS format,
+        | CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 640 AS INT) END AS width,
+        | CASE WHEN doc_id % 3 <= 1 THEN CAST(1 + doc_id % 480 AS INT) END AS height,
+        | CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+        | CASE WHEN doc_id % 3 = 2 THEN CAST(500 + doc_id % 1000 AS BIGINT) END AS n_samples
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val payload = (id % 3) match {
+            case 0 => gifBytes((1 + id % 640).toInt, (1 + id % 480).toInt)
+            case 1 => webpBytes((1 + id % 640).toInt, (1 + id % 480).toInt)
+            case _ => wavBytes((1 + id % 2).toInt, (8000 + (id % 8) * 1000).toInt,
+              500 + id % 1000)
+          }
+          (id % 3) match {
+            case 2 =>
+              val (_, rate, n) = wavInfo(payload).getOrElse(
+                throw new IllegalStateException(s"unparsable WAV for asset $id"))
+              FormatFeatures(id, "wav", None, None, Some(rate), Some(n))
+            case m =>
+              val (w, h) = imageDims(payload).getOrElse(
+                throw new IllegalStateException(s"unparsable image for asset $id"))
+              FormatFeatures(id, if (m == 0) "gif" else "webp",
+                Some(w), Some(h), None, None)
+          }
+        }
+      }.toDF()
         .orderBy("asset_id")
     },
   )

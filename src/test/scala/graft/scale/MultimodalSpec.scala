@@ -52,4 +52,37 @@ class MultimodalSpec extends SparkSpec {
     // chunk payloads are bounded at 64 bytes
     assert(chunks.filter(octet_length(col("chunk")) > 64).count() === 0)
   }
+
+  test("imageDims parses GIF LSD and WebP VP8L/VP8X headers; truncation is None") {
+    // round trip through the synthesizers (the q91 fixtures)
+    assert(Multimodal.imageDims(Multimodal.gifBytes(640, 480)) === Some((640, 480)))
+    assert(Multimodal.imageDims(Multimodal.gifBytes(1, 1)) === Some((1, 1)))
+    assert(Multimodal.imageDims(Multimodal.webpBytes(640, 480)) === Some((640, 480)))
+    // VP8L packs 14-bit fields: a dimension crossing the byte boundary
+    assert(Multimodal.imageDims(Multimodal.webpBytes(300, 5000)) === Some((300, 5000)))
+    // hand-built VP8X: canvas 256x128 as u24le (w-1, h-1) at offsets 24/27
+    val vp8x = "RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+      Array.fill[Byte](4)(0) ++ Array.fill[Byte](4)(0) ++
+      Array[Byte](0xFF.toByte, 0, 0) ++ Array[Byte](0x7F, 0, 0)
+    assert(Multimodal.imageDims(vp8x) === Some((256, 128)))
+    // truncation and wrong magic fail closed
+    assert(Multimodal.imageDims(Multimodal.gifBytes(640, 480).take(8)) === None)
+    assert(Multimodal.imageDims(Multimodal.webpBytes(640, 480).take(20)) === None)
+    assert(Multimodal.imageDims("GIF99a??".getBytes("US-ASCII")) === None)
+  }
+
+  test("wavInfo walks RIFF chunks to (channels, rate, n_samples); corrupt is None") {
+    assert(Multimodal.wavInfo(Multimodal.wavBytes(2, 44100, 44100L)) ===
+      Some((2, 44100, 44100L)))
+    assert(Multimodal.wavInfo(Multimodal.wavBytes(1, 8000, 123L)) === Some((1, 8000, 123L)))
+    // an extra chunk before fmt must be skipped by the walk (word-aligned)
+    val padded = "RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) ++
+      Multimodal.wavBytes(1, 16000, 500L).drop(12)
+    assert(Multimodal.wavInfo(padded) === Some((1, 16000, 500L)))
+    assert(Multimodal.wavInfo(Multimodal.wavBytes(1, 8000, 10L).take(20)) === None)
+    assert(Multimodal.wavInfo("RIFFxxxxAVI ".getBytes("US-ASCII")) === None)
+  }
 }
