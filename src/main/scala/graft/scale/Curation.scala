@@ -524,8 +524,22 @@ object Curation {
     * where `chunk` is the tokens rejoined with single spaces. A doc with no
     * tokens yields an empty array. Pure array projection — no explode, no
     * shuffle; chunking runs inside the scan task.
+    *
+    * This is the native kernel form ([[graft.expressions.SpanChunks]], one
+    * static call per row inside codegen); [[spanChunksHof]] is the
+    * built-in-functions formulation it is verified against (CurationSpec
+    * parity law) — kept because its HOF pipeline documents, step by step,
+    * the SQL-replayable rule the q87 oracle unrolls, but ~50x slower as
+    * interpreted lambdas and evaluated up to three times per span-dedup
+    * run.
     */
-  private[scale] def spanChunks(textCol: Column): Column = {
+  private[scale] def spanChunks(textCol: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SpanChunks(
+        org.apache.spark.sql.GraftColumnBridge.expression(textCol)))
+
+  /** The semantic reference for [[spanChunks]] (interpreted HOF lambdas). */
+  private[scale] def spanChunksHof(textCol: Column): Column = {
     val ws = filter(split(textCol, graft.expressions.Ws.Regex), w => w =!= "")
     val n = size(ws)
     // 1-based start positions: 1, plus (boundary position + 1) for every

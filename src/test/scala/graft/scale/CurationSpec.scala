@@ -406,6 +406,17 @@ class CurationSpec extends SparkSpec {
   private val Span = "dup spark sort merge join scan filter batch stream vector hash"
   private val SpanBody = "spark sort merge join scan filter batch stream vector hash"
 
+  test("native span_chunks == HOF reference on the corpus and edge cases") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text"))
+      .unionByName(Seq("", "one", "a  b\t c", " lead", "trail ", "x \n y")
+        .toDF("text"))
+    val native = docs.select(Curation.spanChunks(col("text")).as("c")).collect().map(_.toSeq)
+    val hof = docs.select(Curation.spanChunksHof(col("text")).as("c")).collect().map(_.toSeq)
+    assert(native.toSeq === hof.toSeq)
+    assert(native.nonEmpty)
+  }
+
   test("dedupSpans cuts every planted span occurrence except the canonical one") {
     val sample = docs.limit(300)
     val seeded = sample.withColumn("text",
