@@ -99,22 +99,55 @@ object Bpe {
     merges.toSeq.toDF("rnk", "lhs", "rhs", "cnt")
   }
 
+  /** Tokenize with a trained merge list as a Column: characters merged in
+    * rank order through the native [[graft.expressions.BpeSegment]] kernel
+    * (merge list as a reference object, never a plan literal).
+    */
+  def bpeSegmentCol(word: org.apache.spark.sql.Column,
+                    merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.BpeSegment(
+        org.apache.spark.sql.GraftColumnBridge.expression(word),
+        merges.map(_._1).toArray, merges.map(_._2).toArray))
+
+  /** Corpus subword frequencies under a freshly trained merge list — the
+    * train-then-tokenize round trip as one operator. Scale shape: the
+    * corpus-sized work is ONE word-count shuffle; tokenization then runs
+    * over the DISTINCT-word relation (segment once per word, weight by its
+    * count — never once per occurrence), and the subword aggregation is
+    * K-bounded input (|vocab| × avg segments). Output (rnk, subword, cnt),
+    * cut to `topK` by (count desc, subword).
+    */
+  def bpeTokenCounts(docs: DataFrame, nMerges: Int = 12, topKWords: Int = 200,
+                     topK: Int = 50, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = bpeMerges(docs, nMerges, topKWords, textCol)
+      .orderBy("rnk").select("lhs", "rhs").as[(String, String)].collect().toSeq
+    val words = docs
+      .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    words
+      .select(explode(bpeSegmentCol(col("__w"), merges)).as("subword"), col("__cnt"))
+      .groupBy("subword").agg(sum("__cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("subword")).limit(topK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("subword"))).cast("long"))
+      .select(col("rnk"), col("subword"), col("cnt"))
+  }
+
   // ---- declared queries ----------------------------------------------------
 
-  /** One DuckDB merge round: pair counts over the previous segmentation,
-    * deterministic argmax, run-parity greedy application (see object doc).
-    * Every chained CTE is MATERIALIZED: each round references the previous
-    * segmentation twice (pair count + rebuild), so DuckDB's default CTE
-    * inlining would expand the word-count subtree 2^rounds times.
+  /** The greedy-application CTE body (run-parity selection — see object
+    * doc): rebuild segmentation table `prev` as `out` under merge pair
+    * `m$i`. Shared by the training chain (seg over the cut vocabulary) and
+    * q92's tokenize chain (sega over ALL distinct words).
     */
-  private def roundSql(i: Int): String = {
-    val prev = s"seg${i - 1}"
+  private def applySql(prev: String, out: String, i: Int): String =
     s"""
- pc$i AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c
-         FROM (SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr FROM $prev)
-         GROUP BY 1, 2),
- m$i AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
- seg$i AS MATERIALIZED (
+ $out AS MATERIALIZED (
    SELECT word, cnt,
      list_filter(
        list_transform(range(1, len(s)+1), i ->
@@ -131,28 +164,67 @@ object Bpe {
          list_transform(range(1, greatest(len(s), 1)), p ->
            p < len(s) AND s[p] = ml AND s[p+1] = mr) AS m
        FROM $prev, (SELECT l AS ml, r AS mr FROM m$i))))"""
+
+  /** One DuckDB merge round: pair counts over the previous segmentation,
+    * deterministic argmax, run-parity greedy application (see object doc).
+    * Every chained CTE is MATERIALIZED: each round references the previous
+    * segmentation twice (pair count + rebuild), so DuckDB's default CTE
+    * inlining would expand the word-count subtree 2^rounds times.
+    */
+  private def roundSql(i: Int): String = {
+    val prev = s"seg${i - 1}"
+    s"""
+ pc$i AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c
+         FROM (SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr FROM $prev)
+         GROUP BY 1, 2),
+ m$i AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),""" +
+    applySql(prev, s"seg$i", i)
   }
 
   private val NMerges = 12
   private val TopK = 200
+  private val TopSubwords = 50
 
-  private val mergesOracle: String = {
+  /** Shared oracle prefix: corpus word counts, the training cut, char
+    * segmentation, and the `NMerges` unrolled selection rounds.
+    */
+  private def trainingChainSql: String = {
     val rounds = (1 to NMerges).map(roundSql).mkString(",")
-    val union = (1 to NMerges)
-      .map(i => s"SELECT $i AS rnk, l AS lhs, r AS rhs, c AS cnt FROM m$i")
-      .mkString("\n  UNION ALL ")
     s"""WITH w AS (
   SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
                             x -> x <> '')) AS g
   FROM documents),
- v AS (SELECT g AS word, CAST(count(1) AS BIGINT) AS cnt FROM w GROUP BY 1),
+ v AS MATERIALIZED (SELECT g AS word, CAST(count(1) AS BIGINT) AS cnt FROM w GROUP BY 1),
  cut AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word LIMIT $TopK),
  seg0 AS MATERIALIZED (SELECT word, cnt,
             list_transform(range(1, length(word)+1), i -> word[i:i]) AS s
-          FROM cut),$rounds
+          FROM cut),$rounds"""
+  }
+
+  private val mergesOracle: String = {
+    val union = (1 to NMerges)
+      .map(i => s"SELECT $i AS rnk, l AS lhs, r AS rhs, c AS cnt FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""$trainingChainSql
 SELECT CAST(rnk AS BIGINT) AS rnk, lhs, rhs, cnt FROM (
   $union
 ) ORDER BY rnk"""
+  }
+
+  private val tokenizeOracle: String = {
+    // the tokenize chain re-applies each selected merge to ALL distinct
+    // words (sega), independent of the training cut (seg)
+    val applies = (1 to NMerges).map(i => applySql(s"sega${i - 1}", s"sega$i", i)).mkString(",")
+    s"""$trainingChainSql,
+ sega0 AS MATERIALIZED (SELECT word, cnt,
+            list_transform(range(1, length(word)+1), i -> word[i:i]) AS s
+          FROM v),$applies,
+ sub AS (SELECT unnest(s) AS subword, cnt FROM sega$NMerges),
+ agg AS (SELECT subword, CAST(sum(cnt) AS BIGINT) AS cnt FROM sub GROUP BY 1),
+ cut2 AS (SELECT subword, cnt FROM agg ORDER BY cnt DESC, subword LIMIT $TopSubwords)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, subword) AS BIGINT) AS rnk,
+       subword, cnt
+FROM cut2 ORDER BY rnk"""
   }
 
   val queries: Seq[Q] = Seq(
@@ -166,6 +238,20 @@ SELECT CAST(rnk AS BIGINT) AS rnk, lhs, rhs, cnt FROM (
     // final vocab — must match for the hash to pass.
     Q("q90_bpe_merges", mergesOracle) { (s, d) =>
       bpeMerges(Tables.documents(s, d), nMerges = NMerges, topKWords = TopK)
+        .orderBy("rnk")
+    },
+
+    // Train-then-tokenize round trip: subword frequencies of the whole
+    // corpus under the 12 trained merges, through the native bpe_segment
+    // kernel (merge list as a reference object). The oracle re-derives the
+    // merges (q90's chain) AND re-applies them to every distinct word, so
+    // the hash certifies training + serving end-to-end. The engine's
+    // distinct-word pre-aggregation (segment once per word, weight by
+    // count) must be invisible in the output — tokenization is per-word
+    // deterministic, so occurrence-level and word-level aggregation agree.
+    Q("q92_bpe_tokenize", tokenizeOracle) { (s, d) =>
+      bpeTokenCounts(Tables.documents(s, d), nMerges = NMerges, topKWords = TopK,
+        topK = TopSubwords)
         .orderBy("rnk")
     },
   )

@@ -43,4 +43,35 @@ class BpeSpec extends SparkSpec {
       .collect().map(_.toSeq).take(6)
     assert(short.toSeq === long.toSeq)
   }
+
+  test("native bpe_segment == driver segmentWord on every corpus word") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.bpeMerges(docs, nMerges = 12, topKWords = 200)
+      .orderBy("rnk").select("lhs", "rhs").as[(String, String)].collect().toSeq
+    val words = docs
+      .select(explode(split(col("text"), graft.expressions.Ws.Regex)).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val native = words.select(col("w"), Bpe.bpeSegmentCol(col("w"), merges).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(native.nonEmpty)
+    native.foreach { case (w, seg) =>
+      assert(seg === Bpe.segmentWord(w, merges).toSeq, s"mismatch for '$w'")
+    }
+  }
+
+  test("bpeTokenCounts conserves character mass at an uncut topK") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val subs = Bpe.bpeTokenCounts(docs, nMerges = 12, topKWords = 200, topK = 100000)
+    val subMass = subs.select(sum(length(col("subword")) * col("cnt")))
+      .as[Long].head()
+    val rawMass = docs
+      .select(explode(split(col("text"), graft.expressions.Ws.Regex)).as("w"))
+      .filter(col("w") =!= "")
+      .select(sum(length(col("w")))).as[Long].head()
+    assert(subMass === rawMass)
+  }
 }
