@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSimilarity, DistinctShingles, Int8DotProduct, LangIdNative, MinHashSignature, QualityScoreNative, RepetitionStats, SimHash64, TokenStats}
+import graft.expressions.{CosineSimilarity, DistinctShingles, Int8DotProduct, LangIdNative, MinHashSignature, QualityScoreNative, RepetitionStats, RollingChunks, SimHash64, SpanChunks, TokenStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -84,5 +84,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"int8_dot expects 2 arguments, got ${exprs.length}")
         Int8DotProduct(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_chunks"),
+      new ExpressionInfo(classOf[RollingChunks].getName, "rolling_chunks"),
+      exprs => {
+        require(exprs.length == 4,
+          s"rolling_chunks(text, window, boundaryBits, maxChunk) expects 4 arguments, got ${exprs.length}")
+        RollingChunks(exprs.head, intArg(exprs(1), "rolling_chunks"),
+          intArg(exprs(2), "rolling_chunks"), intArg(exprs(3), "rolling_chunks"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("span_chunks"),
+      new ExpressionInfo(classOf[SpanChunks].getName, "span_chunks"),
+      exprs => {
+        require(exprs.length == 1, s"span_chunks(text) expects 1 argument, got ${exprs.length}")
+        SpanChunks(exprs.head)
+      }))
+    // NearestCentroids / LongSetContains / BpeSegment are deliberately NOT
+    // SQL-registered: their constructors take driver-built reference
+    // objects (centroid matrices, sorted hash sets, merge lists) that no
+    // literal SQL argument can express.
   }
 }

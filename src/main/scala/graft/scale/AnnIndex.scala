@@ -71,6 +71,37 @@ object AnnIndex {
     IvfIndex(root, nCents)
   }
 
+  /** Append a batch of new vectors to an existing index WITHOUT retraining:
+    * assign each one to its nearest EXISTING centroid, quantize, and merge
+    * into the postings as a keyed upsert on nid (a re-crawled id replaces
+    * its old posting — the W4 semantic, [[graft.write.Writers.upsert]]),
+    * staged and atomically promoted. Centroids are unchanged — the standard
+    * serving compromise: appends between periodic rebuilds keep working by
+    * assigning into the existing cells, a full [[buildIvfIndex]] re-trains.
+    * Under a full probe the appended index answers exactly like a fresh
+    * index over the union corpus (AnnIndexSpec law — cell assignment can
+    * differ, the scanned set cannot), and re-appending the same batch is a
+    * no-op (idempotence law).
+    *
+    * The stage+promote rewrites the postings table, matching the reference's
+    * W4 whole-table merge; a deployment appending terabytes between rebuilds
+    * would delta-append files inside each touched cid directory instead —
+    * the manifest protocol is unchanged by that swap.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, root: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val spark = newVectors.sparkSession
+    val cents = readCentroids(spark, root)
+    val newPostings = Similarity.quantizeInt8(newVectors, vecCol)
+      .withColumn("cid", element_at(
+        Similarity.nearestCidsExpr(cents, col(vecCol).cast("array<double>"), 1), 1))
+      .select(col(idCol).cast("long").as("nid"), col("qcode").as("code"), col("cid"))
+    val pt = postingsTable(spark, root)
+    val merged = graft.write.Writers.upsert(pt.read(), newPostings, Seq("nid"))
+    pt.promote(pt.stage(merged, Seq("cid")))
+    IvfIndex(root, cents.length)
+  }
+
   /** Read the centroid model back as the driver-side array the assignment
     * kernel needs — nCentroids × dim doubles, the same metadata-bounded
     * collect class as centroid training itself.
@@ -170,6 +201,53 @@ object AnnIndex {
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
       val root = s"${scratchDir("graft-q88")}/ivf"
       buildIvfIndex(emb.unionByName(twins), root)
+      probeIvf(s, root, probes, k = 1, nProbe = 3)
+        .filter(col("rnk") === 1)
+        .select("qid", "nid", "score")
+        .orderBy("qid")
+    },
+
+    // Incremental serving: the q88 invariant reached through an APPENDED
+    // index — the base index is built WITHOUT the twins, which then arrive
+    // as a later crawl batch via appendToIvfIndex (assigned into the
+    // existing cells, no retrain, atomic promote). The probe must surface
+    // each twin at rank 1 exactly as if it had been indexed from the start;
+    // a twin assigns to its query's own top cell (near-identical vectors,
+    // same argmax centroid), so nProbe=3 reaches it through unchanged
+    // centroids. Same quantized brute-force oracle as q88: the serving
+    // answer is index-lifecycle-invariant.
+    Q("q93_ann_index_append",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored)
+        |SELECT qid, nid, score FROM ranked WHERE rnk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 5)
+      val twins = probes
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val root = s"${scratchDir("graft-q93")}/ivf"
+      buildIvfIndex(emb, root)
+      appendToIvfIndex(twins, root)
       probeIvf(s, root, probes, k = 1, nProbe = 3)
         .filter(col("rnk") === 1)
         .select("qid", "nid", "score")

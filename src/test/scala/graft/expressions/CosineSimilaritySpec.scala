@@ -64,6 +64,17 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(row.getLong(2) !== 0L)
   }
 
+  test("rolling_chunks / span_chunks callable from SQL") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "t").createOrReplaceTempView("sql_chunk_exprs")
+    val row = spark.sql(
+      """SELECT size(rolling_chunks(t, 8, 4, 64)) AS n_cdc,
+        |       aggregate(span_chunks(t), 0L, (a, c) -> a + c.n_tokens) AS n_tok
+        |FROM sql_chunk_exprs""".stripMargin).head()
+    assert(row.getInt(0) >= 1)
+    assert(row.getLong(1) === 9L) // spans partition the 9-token stream
+  }
+
   test("DistinctShingles matches the composable Text.shingles semantics") {
     import graft.scale.Text
     val df = Seq("a b c d e", "a b", "x").toDF("t")

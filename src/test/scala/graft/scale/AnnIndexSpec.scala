@@ -60,4 +60,35 @@ class AnnIndexSpec extends SparkSpec {
     val cols = spark.read.parquet(s"$root/postings/v0").columns.toSet
     assert(cols === Set("nid", "code", "cid"))
   }
+
+  test("append: full probe over an appended index == quantizedTopK over the union") {
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val root = tmpRoot("append")
+    val idx = AnnIndex.buildIvfIndex(base, root)
+    AnnIndex.appendToIvfIndex(batch, root)
+    val probed = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.quantizedTopK(base.unionByName(batch), queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(probed === brute && probed.nonEmpty)
+  }
+
+  test("append is a keyed upsert: re-appending the same batch is idempotent") {
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val root = tmpRoot("idem")
+    val idx = AnnIndex.buildIvfIndex(base, root)
+    AnnIndex.appendToIvfIndex(batch, root)
+    val once = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
+      .collect().map(_.toSeq).toSet
+    AnnIndex.appendToIvfIndex(batch, root)
+    val twice = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
+      .collect().map(_.toSeq).toSet
+    assert(once === twice)
+    // and the row count did not grow
+    val n1 = spark.read.parquet(s"$root/postings/v1").count()
+    val n2 = spark.read.parquet(s"$root/postings/v2").count()
+    assert(n1 === n2)
+  }
 }
