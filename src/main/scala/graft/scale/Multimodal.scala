@@ -118,7 +118,8 @@ object Multimodal {
     var channels, rate, bits = -1
     var dataBytes = -1L
     var i = 12
-    while (i + 8 <= b.length && (channels < 0 || dataBytes < 0)) {
+    var ok = true
+    while (ok && i + 8 <= b.length && (channels < 0 || dataBytes < 0)) {
       val size = u32le(i + 4)
       if (ascii(i, "fmt ") && i + 8 + 16 <= b.length) {
         channels = u16le(i + 10)
@@ -127,7 +128,11 @@ object Multimodal {
       } else if (ascii(i, "data")) {
         dataBytes = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // a declared size near u32 max would wrap the cursor negative and
+      // loop; any size past the payload end is equally malformed for every
+      // chunk we still need to find — stop the walk, keep what was parsed
+      if (size > b.length.toLong) ok = false
+      else i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     val blockAlign = channels * (bits / 8)
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0 || blockAlign <= 0) None

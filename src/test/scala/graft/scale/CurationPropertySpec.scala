@@ -88,4 +88,40 @@ class CurationPropertySpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(got === expected)
   }
+
+  test("span_chunks partitions the token stream on random docs (counts and concat)") {
+    val genWords = Gen.listOf(Gen.oneOf("alpha", "b", "chi", "delta9", "e", "ff"))
+    val docs = (0 until 120).map(i => (i.toLong, sample(genWords, i.toLong).mkString("  ")))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.spanChunks(col("text")).as("c"))
+      .as[(Long, Seq[(Long, String)])].collect().toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = got(id)
+      // chunk token counts partition the stream, and the chunks concatenate
+      // back to the normalized token stream in order
+      assert(chunks.map(_._1).sum === toks.length.toLong, s"doc $id")
+      assert(chunks.flatMap(_._2.split(" ").filter(_.nonEmpty)) === toks, s"doc $id")
+      // every chunk's own length matches its declared n_tokens
+      chunks.foreach { case (n, c) =>
+        assert(c.split(" ").count(_.nonEmpty).toLong === n, s"doc $id chunk '$c'")
+      }
+    }
+  }
+
+  test("bpe_segment concat-invariance holds for ANY merge list on random words") {
+    val genWord = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
+      .map(_.mkString)
+    val words = (0 until 100).map(i => sample(genWord, i.toLong)).distinct
+    // adversarial merges, not just trained ones: repeated symbols, chains
+    val merges = Seq("a" -> "a", "aa" -> "a", "b" -> "c", "bc" -> "bc",
+      "d" -> "e", "de" -> "f", "z" -> "z")
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.bpeSegmentCol(col("w"), merges).as("s"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (w, seg) =>
+      assert(seg.mkString === w, s"concat broke for '$w': $seg")
+      assert(seg === Bpe.segmentWord(w, merges).toSeq, s"kernel != driver for '$w'")
+    }
+  }
 }

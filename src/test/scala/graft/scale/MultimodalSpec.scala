@@ -84,5 +84,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavInfo(padded) === Some((1, 16000, 500L)))
     assert(Multimodal.wavInfo(Multimodal.wavBytes(1, 8000, 10L).take(20)) === None)
     assert(Multimodal.wavInfo("RIFFxxxxAVI ".getBytes("US-ASCII")) === None)
+    // a chunk lying about its size (u32 max would wrap the cursor) must
+    // terminate the walk, not hang or scan past the payload
+    val lying = "RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0xFF.toByte) ++
+      Multimodal.wavBytes(1, 16000, 500L).drop(12)
+    assert(Multimodal.wavInfo(lying) === None)
   }
 }
