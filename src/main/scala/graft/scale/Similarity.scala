@@ -482,6 +482,42 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("score"))
   }
 
+  /** Distributed kNN JOIN — top-k `right` neighbors for EVERY `left` row,
+    * with NEITHER side broadcast. Every other top-k form here broadcasts
+    * the query side, which caps it at a driver-memory-sized query set; this
+    * is the shape for "nearest neighbor of each of 10⁹ corpus vectors":
+    * both sides co-partition by IVF cell (right assigned to its top cell,
+    * left exploded to its nProbe cells) and the join is a plain shuffle
+    * equi-join on cid — per-task work is cell-local, ~nProbe·√n candidates
+    * per left row, and the shuffled relations carry int8 codes, not
+    * doubles. No broadcast() hint is baked in: Catalyst/AQE may still
+    * broadcast a genuinely small side, but the plan survives
+    * autoBroadcastJoinThreshold=-1 (PlanSpec law), which the broadcast
+    * forms cannot. Cell skew lands on AQE's skew-join splitting; the
+    * bounded-heap prune then caps the rank shuffle at partitions × |left|
+    * × k rows. Output: (qid, rnk, nid, score), the [[quantizedTopK]]
+    * shape, approximate with the same probe semantics as
+    * [[ivfTopKQuantized]].
+    */
+  def knnJoinQuantized(left: DataFrame, right: DataFrame, k: Int,
+                       nCentroids: Int = -1, nProbe: Int = 3, trainIters: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nCents = resolveNCentroids(right, nCentroids)
+    val cents = centroidsFor(right, nCents, trainIters, idCol, vecCol)
+    val c = quantizeInt8(right, vecCol)
+      .withColumn("cid", element_at(
+        nearestCidsExpr(cents, col(vecCol).cast("array<double>"), 1), 1))
+      .select(col(idCol).cast("long").as("nid"), col("qcode").as("cc"), col("cid"))
+    val q = quantizeInt8(left, vecCol)
+      .withColumn("cid", explode(
+        nearestCidsExpr(cents, col(vecCol).cast("array<double>"), math.min(nProbe, nCents))))
+      .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"), col("cid"))
+    val scored = c.join(q, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), int8Dot(col("qc"), col("cc")).as("score"))
+    longScoreTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table bucket collision
     * (both sides the corpus): candidates from a shared hyperplane bucket in
     * ANY of `tables` independent tables, verified by exact cosine >=
@@ -660,6 +696,51 @@ object Similarity {
     // multiply, round half-away-from-zero) is IEEE-identical on both
     // engines. The engine runs the bounded-heap partial form; the oracle
     // replays the semantics by brute force.
+    // All-pairs serving shape: the nearest neighbor of EVERY corpus vector
+    // through the no-broadcast kNN join — every 10th vector gets a
+    // near-identical twin under id+100000, and each planted source must
+    // surface its twin at rank 1 with the query side being the whole
+    // corpus (2000+ rows at sf0.1 — a query set the broadcast forms would
+    // happily ship, but the join here co-partitions by cell instead, the
+    // plan that still works when "left" is a billion rows). Output filtered
+    // to the planted sources so the oracle is enumerable; scores are the
+    // exact BIGINT quantized dots, replayed by brute force.
+    Q("q94_knn_join",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id % 10 = 0),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz
+        |       WHERE vec_id % 10 = 0 AND vec_id < 100000),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored)
+        |SELECT qid, nid, score FROM ranked WHERE rnk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val corpus = emb.unionByName(twins).localCheckpoint()
+      knnJoinQuantized(corpus, corpus, k = 1)
+        .filter(col("rnk") === 1 && col("qid") % 10 === 0 && col("qid") < 100000)
+        .select("qid", "nid", "score")
+        .orderBy("qid")
+    },
+
     Q("q83_knn_quantized",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | qz AS (

@@ -116,6 +116,43 @@ class SimilaritySpec extends SparkSpec {
       s"query $qid top-1 was $nid, expected its exact twin (n=$n)")
   }
 
+  test("knnJoinQuantized full probe == quantizedTopK (the broadcast form) row for row") {
+    val n = Similarity.resolveNCentroids(emb, -1)
+    val joined = Similarity.knnJoinQuantized(queries, emb, 5, nProbe = n)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.quantizedTopK(emb, queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(joined === brute && joined.nonEmpty)
+  }
+
+  test("knnJoinQuantized answers with broadcast joins disabled (the no-broadcast law)") {
+    import spark.implicits._
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val aqeThr = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val twins = queries.withColumn("vec_id", col("vec_id") + 100000)
+      val corpus = emb.unionByName(twins)
+      val df = Similarity.knnJoinQuantized(corpus, corpus, 1)
+        .filter(col("qid") < 5)
+      // the candidate join really is a shuffle join under the disabled
+      // thresholds — the plan a billion-row left side requires
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      // and it still finds every planted exact twin at rank 1
+      val top1 = df.select("qid", "nid").as[(Long, Long)].collect().toMap
+      for ((qid, nid) <- top1) assert(nid === qid + 100000,
+        s"query $qid top-1 was $nid under no-broadcast, expected its twin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      aqeThr match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val one = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
