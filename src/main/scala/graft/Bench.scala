@@ -79,7 +79,11 @@ object Bench {
       .map { case (k, _, ws) => k -> ws.map(fmt).mkString("[", ",", "]") })
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val totalWarm = results.filter(_._3.nonEmpty).map(r => median(r._3)).sum
+    // per-query fallback to cold where no warm reps exist (WARM_REPS=0, or
+    // a rep-time failure) — without it the primary metric degrades to 0
+    // while the per-query map falls back, an internally inconsistent line
+    val totalWarm = results
+      .flatMap { case (_, cold, ws) => if (ws.nonEmpty) Some(median(ws)) else cold }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // detailed line: full names, cold + median warm + every warm rep
     println(s"""{"detail":"full","queries":$qs,"queries_warm":$qsWarm,"warm_reps":$qsWarmAll,"failed":$failedJson,"sf":$sfNum,"sf_dir":"$sfDir"}""")

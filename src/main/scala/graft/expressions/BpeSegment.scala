@@ -54,11 +54,30 @@ case class BpeSegment(child: Expression, lefts: Array[String], rights: Array[Str
 
 object BpeSegment {
 
-  /** Kernel (public static for generated code): char segmentation, then one
-    * greedy left-to-right pass per merge in rank order.
+  /** One string per Unicode CODE POINT — not per UTF-16 char: a `split("")`
+    * segmentation would cut an astral character (emoji, CJK extensions)
+    * into two lone surrogates, diverging from a SQL engine's per-code-point
+    * `word[i:i]` indexing and producing invalid strings. Shared by the
+    * kernel and the driver-side `Bpe.segmentWord` so both segment
+    * identically.
+    */
+  def codePoints(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Kernel (public static for generated code): code-point segmentation,
+    * then one greedy left-to-right pass per merge in rank order.
     */
   def compute(word: UTF8String, lefts: Array[String], rights: Array[String]): Array[UTF8String] = {
-    var seg: Array[String] = word.toString.split("").filter(_.nonEmpty)
+    var seg: Array[String] = codePoints(word.toString)
     var k = 0
     while (k < lefts.length && seg.length > 1) {
       val l = lefts(k)

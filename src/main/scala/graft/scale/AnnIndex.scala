@@ -54,6 +54,7 @@ object AnnIndex {
                     nCentroids: Int = -1, trainIters: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val spark = corpus.sparkSession
+    Similarity.requireNumericId(corpus, idCol, "buildIvfIndex")
     val nCents = Similarity.resolveNCentroids(corpus, nCentroids)
     val cents = Similarity.centroidsFor(corpus, nCents, trainIters, idCol, vecCol)
 
@@ -91,6 +92,7 @@ object AnnIndex {
   def appendToIvfIndex(newVectors: DataFrame, root: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val spark = newVectors.sparkSession
+    Similarity.requireNumericId(newVectors, idCol, "appendToIvfIndex")
     val cents = readCentroids(spark, root)
     val newPostings = Similarity.quantizeInt8(newVectors, vecCol)
       .withColumn("cid", element_at(
@@ -125,12 +127,19 @@ object AnnIndex {
   def probeIvf(spark: SparkSession, root: String, queries: DataFrame, k: Int,
                nProbe: Int = 3,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    Similarity.requireNumericId(queries, idCol, "probeIvf")
     val cents = readCentroids(spark, root)
+    // localCheckpoint: the quantize + centroid-assignment job runs ONCE —
+    // the probeCids collect below and the candidate join both read the
+    // materialized rows (a second evaluation would double the query-side
+    // work on the path built for probe-many serving); blocks free with the
+    // query's DataFrames
     val q = Similarity.quantizeInt8(queries, vecCol)
       .withColumn("cid", explode(
         Similarity.nearestCidsExpr(cents, col(vecCol).cast("array<double>"),
           math.min(nProbe, cents.length))))
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"), col("cid"))
+      .localCheckpoint()
     val probeCids = q.select("cid").distinct().collect().map(_.getInt(0))
     val postings = postingsTable(spark, root).read()
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
@@ -138,22 +147,6 @@ object AnnIndex {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), Similarity.int8Dot(col("qc"), col("code")).as("score"))
     Similarity.longScoreTopK(scored, k)
-  }
-
-  /** Scratch root for the declared query's throwaway index build, removed at
-    * JVM exit (same discipline as the streaming queries' checkpoint dirs).
-    */
-  private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles()
-        if (cs != null) cs.foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }
-    p.toString
   }
 
   // ---- declared queries ----------------------------------------------------
@@ -199,7 +192,7 @@ object AnnIndex {
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
-      val root = s"${scratchDir("graft-q88")}/ivf"
+      val root = s"${graft.core.Scratch.dir("graft-q88")}/ivf"
       buildIvfIndex(emb.unionByName(twins), root)
       probeIvf(s, root, probes, k = 1, nProbe = 3)
         .filter(col("rnk") === 1)
@@ -245,7 +238,7 @@ object AnnIndex {
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
-      val root = s"${scratchDir("graft-q93")}/ivf"
+      val root = s"${graft.core.Scratch.dir("graft-q93")}/ivf"
       buildIvfIndex(emb, root)
       appendToIvfIndex(twins, root)
       probeIvf(s, root, probes, k = 1, nProbe = 3)

@@ -46,13 +46,28 @@ object Bpe {
   }
 
   /** Segment one word under an ordered merge list — the tokenizer side of
-    * the round trip: start from characters, apply each merge in rank order.
-    * Concatenating the result always re-yields the word (BpeSpec law).
+    * the round trip: start from code points (never UTF-16 chars — a
+    * `split("")` segmentation cuts astral characters into lone surrogates
+    * and diverges from the oracle's per-code-point `word[i:i]`; see
+    * [[graft.expressions.BpeSegment.codePoints]]), apply each merge in
+    * rank order. Concatenating the result always re-yields the word
+    * (BpeSpec law).
     */
   def segmentWord(word: String, merges: Seq[(String, String)]): Array[String] =
-    merges.foldLeft(word.split("").filter(_.nonEmpty)) {
+    merges.foldLeft(graft.expressions.BpeSegment.codePoints(word)) {
       case (seg, (l, r)) => applyMerge(seg, l, r)
     }
+
+  /** The corpus word-frequency relation (`__w`, `__cnt`) — the ONE
+    * corpus-sized job of the BPE surface (map-side partial counts, one
+    * word-keyed shuffle). Callers that need it more than once
+    * ([[bpeTokenCounts]]) materialize it rather than re-shuffling.
+    */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
 
   /** Train `nMerges` BPE merges over the top-`topKWords` corpus vocabulary.
     * Output: (rnk, lhs, rhs, cnt) — the merge list in training order with
@@ -61,18 +76,20 @@ object Bpe {
     * real K and merge budget, but the loop is total rather than partial.
     */
   def bpeMerges(docs: DataFrame, nMerges: Int = 12, topKWords: Int = 200,
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text"): DataFrame =
+    bpeMergesFromCounts(wordCounts(docs, textCol), nMerges, topKWords)
+
+  /** [[bpeMerges]] over a precomputed (`__w`, `__cnt`) relation — lets a
+    * caller that already paid the word-count shuffle reuse it.
+    */
+  def bpeMergesFromCounts(counts: DataFrame, nMerges: Int, topKWords: Int): DataFrame = {
     require(nMerges >= 1 && topKWords >= 1)
-    val spark = docs.sparkSession
-    val counts = docs
-      .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
-        w => w =!= "")).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    val spark = counts.sparkSession
     val vocab: Array[(String, Long)] = Curation.cutVocab(counts, topKWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
     var segs: Array[(Array[String], Long)] =
-      vocab.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+      vocab.map { case (w, c) => (graft.expressions.BpeSegment.codePoints(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
     var done = false
@@ -112,23 +129,22 @@ object Bpe {
 
   /** Corpus subword frequencies under a freshly trained merge list — the
     * train-then-tokenize round trip as one operator. Scale shape: the
-    * corpus-sized work is ONE word-count shuffle; tokenization then runs
-    * over the DISTINCT-word relation (segment once per word, weight by its
-    * count — never once per occurrence), and the subword aggregation is
-    * K-bounded input (|vocab| × avg segments). Output (rnk, subword, cnt),
-    * cut to `topK` by (count desc, subword).
+    * corpus-sized work is ONE word-count shuffle, materialized and shared
+    * by training and tokenization (localCheckpoint — its blocks free with
+    * the query); tokenization then runs over the DISTINCT-word relation
+    * (segment once per word, weight by its count — never once per
+    * occurrence), and the subword aggregation is K-bounded input (|vocab| ×
+    * avg segments). Output (rnk, subword, cnt), cut to `topK` by
+    * (count desc, subword).
     */
   def bpeTokenCounts(docs: DataFrame, nMerges: Int = 12, topKWords: Int = 200,
                      topK: Int = 50, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val merges = bpeMerges(docs, nMerges, topKWords, textCol)
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    val merges = bpeMergesFromCounts(words, nMerges, topKWords)
       .orderBy("rnk").select("lhs", "rhs").as[(String, String)].collect().toSeq
-    val words = docs
-      .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
-        w => w =!= "")).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
     words
       .select(explode(bpeSegmentCol(col("__w"), merges)).as("subword"), col("__cnt"))
       .groupBy("subword").agg(sum("__cnt").as("cnt"))

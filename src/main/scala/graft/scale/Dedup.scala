@@ -40,23 +40,6 @@ object Dedup {
     docs.select(col(idCol), sigExpr.as("signature"))
   }
 
-  /** LSH banding over MinHash signatures: split the k-long signature into
-    * `bands` bands, hash each band, self-join on (band index, band hash).
-    * Probability of candidacy for Jaccard similarity s: 1-(1-s^r)^b.
-    * Returns candidate pairs (doc_a < doc_b) — feed to `jaccardVerify`.
-    *
-    * Band index `bands` is the IDENTITY pseudo-band: a hash of the whole
-    * signature. Identical content (identical text, hence identical
-    * signature) is thereby a candidate BY CONSTRUCTION — the overwhelmingly
-    * common duplicate case must not depend on sharing a cold bucket, which
-    * stops holding once real-band buckets go hot and star-link through a
-    * third-party representative (the round-4 finding). Folding identity into
-    * the same (band, band_hash) keyspace reuses the one existing shuffle —
-    * a separate identical-signature pass measured ~2x the candidate cost.
-    * In a hot identity bucket the min-id representative shares the full
-    * signature, so star links still verify downstream (up to a 2^-64
-    * xxhash64 collision mixing two signature groups in one bucket).
-    */
   /** The (id, band, band_hash) banding relation of a signature table —
     * `bands` LSH bands plus the identity pseudo-band (a hash of the whole
     * signature, so identical content is a candidate by construction). Shared
@@ -78,6 +61,23 @@ object Dedup {
         .as(Seq("band", "band_hash")))
   }
 
+  /** LSH banding over MinHash signatures: split the k-long signature into
+    * `bands` bands, hash each band, self-join on (band index, band hash).
+    * Probability of candidacy for Jaccard similarity s: 1-(1-s^r)^b.
+    * Returns candidate pairs (doc_a < doc_b) — feed to `jaccardVerify`.
+    *
+    * Band index `bands` is the IDENTITY pseudo-band: a hash of the whole
+    * signature. Identical content (identical text, hence identical
+    * signature) is thereby a candidate BY CONSTRUCTION — the overwhelmingly
+    * common duplicate case must not depend on sharing a cold bucket, which
+    * stops holding once real-band buckets go hot and star-link through a
+    * third-party representative (the round-4 finding). Folding identity into
+    * the same (band, band_hash) keyspace reuses the one existing shuffle —
+    * a separate identical-signature pass measured ~2x the candidate cost.
+    * In a hot identity bucket the min-id representative shares the full
+    * signature, so star links still verify downstream (up to a 2^-64
+    * xxhash64 collision mixing two signature groups in one bucket).
+    */
   def minhashCandidates(signatures: DataFrame, bands: Int = 16, sigLen: Int = 64,
                         idCol: String = "doc_id", maxBucket: Int = 100): DataFrame = {
     val banded = bandedKeys(signatures, bands, sigLen, idCol)

@@ -62,12 +62,24 @@ object Similarity {
     * numPartitions × |queries| × k rows instead of |corpus| × |queries|.
     * This is the form to use when the corpus is large.
     */
+  /** The typed bounded-heap stages encode ids as long, and `cast("long")`
+    * on a non-numeric column yields NULL silently — the failure would then
+    * surface as an opaque null-field encoder error deep in the heap stage.
+    * Fail at call time with the actual contract instead.
+    */
+  private[scale] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op requires a numeric id column castable to long; '$idCol' is $dt")
+  }
+
   def bruteForceTopKPartial(corpus: DataFrame, queries: DataFrame, k: Int,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // ids are cast to long explicitly: the typed bounded-heap stage encodes
     // (long, long, double), and an implicit dependence on the caller's id
     // type would fail at analysis with an encoder error instead of a clear
     // contract (both top-k forms accept the same inputs this way)
+    requireNumericId(corpus, idCol, "bruteForceTopKPartial")
     val q = broadcast(queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv")))
     val scored = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("cv"))
       .join(q, col("qid") =!= col("nid"))
@@ -150,6 +162,7 @@ object Similarity {
     // long-cast ids for the same reason as bruteForceTopKPartial: the typed
     // heap stage is (long, long, long), and the cast makes that contract
     // explicit instead of an encoder analysis error on non-long id columns
+    requireNumericId(corpus, idCol, "quantizedTopK")
     val qz = quantizeInt8(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
     val cz = quantizeInt8(corpus, vecCol)
@@ -502,6 +515,8 @@ object Similarity {
   def knnJoinQuantized(left: DataFrame, right: DataFrame, k: Int,
                        nCentroids: Int = -1, nProbe: Int = 3, trainIters: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(left, idCol, "knnJoinQuantized")
+    requireNumericId(right, idCol, "knnJoinQuantized")
     val nCents = resolveNCentroids(right, nCentroids)
     val cents = centroidsFor(right, nCents, trainIters, idCol, vecCol)
     val c = quantizeInt8(right, vecCol)

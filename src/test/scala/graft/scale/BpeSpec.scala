@@ -9,6 +9,16 @@ import graft.core.Tables
   */
 class BpeSpec extends SparkSpec {
 
+  test("segmentation is per code point: astral chars never split into surrogates") {
+    val astral = "x😀y" // x, U+1F600 GRINNING FACE, y
+    assert(graft.expressions.BpeSegment.codePoints(astral).toSeq ===
+      Seq("x", "😀", "y"))
+    // round trip survives the astral char under merges touching it
+    val seg = Bpe.segmentWord(astral, Seq("x" -> "😀"))
+    assert(seg.toSeq === Seq("x😀", "y"))
+    assert(seg.mkString === astral)
+  }
+
   test("applyMerge is greedy left-to-right and never overlaps in symbol runs") {
     assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq === Seq("aa", "aa"))
     assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))

@@ -153,6 +153,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("long-id top-k forms reject non-numeric id columns with the contract, not NULLs") {
+    import spark.implicits._
+    val strIds = Seq(("doc-1", Array(1f, 2f)), ("doc-2", Array(2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.quantizedTopK(strIds, strIds, 1)
+    }
+    assert(e.getMessage.contains("numeric id column"))
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKPartial(strIds, strIds, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnJoinQuantized(strIds, strIds, 1)
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val one = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
