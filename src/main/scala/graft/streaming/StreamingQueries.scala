@@ -3,26 +3,14 @@ package graft.streaming
 import graft.core.Q
 import graft.write.VersionedTable
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
 
 object StreamingQueries {
 
-  /** Scratch warehouse/checkpoint dir for one streaming query, registered
-    * for recursive removal at JVM exit — a per-invocation temp dir that
-    * outlives the process was the round-9 advisory leak.
+  /** Scratch warehouse/checkpoint dir for one streaming query — see
+    * [[graft.core.Scratch]] (removal at JVM exit; a dir that outlives the
+    * process was the round-9 advisory leak).
     */
-  private def scratchDir(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles()
-        if (cs != null) cs.foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }
-    p.toString
-  }
+  private def scratchDir(prefix: String): String = graft.core.Scratch.dir(prefix)
 
   val queries: Seq[Q] = Seq(
 
