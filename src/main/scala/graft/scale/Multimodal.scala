@@ -173,6 +173,44 @@ object Multimodal {
         i => col("content").substr((i * (col("n_bytes") / n)).cast("int") + 1, lit(64))))
         .as(Seq("chunk_idx", "chunk")))
 
+  /** Header-only MP4/ISO-BMFF parse: walk the top-level boxes to `moov`,
+    * walk its children to `mvhd`, and read (timescale, duration) from
+    * either full-box version (v0: u32 pair at +20/+24 from the box start;
+    * v1: 64-bit times, so u32 timescale at +28 and u64 duration at +32).
+    * duration/timescale is the presentation length in seconds — the video
+    * analogue of [[wavInfo]]'s n_samples/rate, again without touching a
+    * single media sample. None for non-MP4 or malformed/lying box sizes.
+    */
+  def mp4Info(b: Array[Byte]): Option[(Int, Long)] = {
+    def u32be(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def u64be(i: Int): Long = (u32be(i) << 32) | u32be(i + 4)
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+    def walk(from: Int, to: Int, target: String): Int = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = u32be(i)
+        if (size < 8 || i + size > to) return -1 // 64-bit/lying sizes: fail closed
+        if (ascii(i + 4, target)) return i
+        i += size.toInt
+      }
+      -1
+    }
+    if (!(b.length >= 12 && ascii(4, "ftyp"))) return None
+    val moov = walk(0, b.length, "moov")
+    if (moov < 0) return None
+    val moovEnd = moov + u32be(moov).toInt
+    val mvhd = walk(moov + 8, moovEnd, "mvhd")
+    if (mvhd < 0) return None
+    b(mvhd + 8) match {
+      case 0 if mvhd + 28 <= moovEnd => Some((u32be(mvhd + 20).toInt, u32be(mvhd + 24)))
+      case 1 if mvhd + 40 <= moovEnd => Some((u32be(mvhd + 28).toInt, u64be(mvhd + 32)))
+      case _ => None
+    }
+  }
+
   // ---- spec-valid header synthesis (fixtures for the real parsers) ---------
 
   private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
@@ -208,6 +246,28 @@ object Multimodal {
       le16(1) ++ le16(channels) ++ le32(rate.toLong) ++
       le32(rate.toLong * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
       "data".getBytes("US-ASCII") ++ le32(dataBytes)
+  }
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+
+  /** A minimal spec-valid MP4: ftyp + moov{mvhd} with the requested full-box
+    * version — v0 (32-bit times) or v1 (64-bit), padding the remaining mvhd
+    * fields (rate/volume/matrix/next_track) with zeros.
+    */
+  private[scale] def mp4Bytes(timescale: Int, duration: Long, v1: Boolean): Array[Byte] = {
+    val mvhdSize = if (v1) 120 else 108
+    val body =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale.toLong) ++ be64(duration)
+      else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale.toLong) ++ be32(duration)
+    val mvhd = be32(mvhdSize.toLong) ++ "mvhd".getBytes("US-ASCII") ++ body ++
+      new Array[Byte](mvhdSize - 8 - body.length)
+    be32(16L) ++ "ftyp".getBytes("US-ASCII") ++ "isom".getBytes("US-ASCII") ++ be32(0) ++
+      be32(8L + mvhdSize) ++ "moov".getBytes("US-ASCII") ++ mvhd
   }
 
   final case class FormatFeatures(asset_id: Long, format: String,
@@ -301,6 +361,31 @@ object Multimodal {
           }
         }
       }.toDF()
+        .orderBy("asset_id")
+    },
+
+    // Video-container metadata through the REAL ISO-BMFF box walk: each doc
+    // becomes a spec-valid MP4 whose mvhd carries doc_id-derived
+    // (timescale, duration) — odd ids as version-1 full boxes (64-bit
+    // times), even as version-0 — and the output comes from parsing the
+    // boxes, so BOTH mvhd branches must read their offsets exactly to
+    // match the oracle's arithmetic. Duration stays a (timescale, ticks)
+    // pair of exact integers, never a float division.
+    Q("q96_multimodal_mp4",
+      """SELECT doc_id AS asset_id,
+        | CAST(600 + (doc_id % 10) * 100 AS INT) AS timescale,
+        | CAST(1000 + doc_id % 9000 AS BIGINT) AS duration
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val payload = mp4Bytes((600 + (id % 10) * 100).toInt, 1000 + id % 9000,
+            v1 = id % 2 == 1)
+          val (ts, dur) = mp4Info(payload).getOrElse(
+            throw new IllegalStateException(s"unparsable MP4 for asset $id"))
+          (id, ts, dur)
+        }
+      }.toDF("asset_id", "timescale", "duration")
         .orderBy("asset_id")
     },
   )

@@ -102,5 +102,24 @@ object SourceQueries {
         StructField("month", StringType), StructField("mau", LongType))))
         .orderBy("month")
     },
+
+    // ORC roundtrip — the second columnar warehouse format (Spark's ORC
+    // source is built in): a lineitem projection written as ORC, read back
+    // through the ORC scan, aggregated; must equal the oracle computed
+    // straight from the parquet. Predicate/column pushdown works on ORC as
+    // on parquet, so a warehouse standardized on ORC keeps every plan shape
+    // this engine asserts.
+    Q("q95_orc_roundtrip",
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(1) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = s"${graft.core.Scratch.dir("graft-q95")}/orc"
+      Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("l_returnflag")
+        // round like q01: double summation order differs across engines
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -92,4 +92,16 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavBytes(1, 16000, 500L).drop(12)
     assert(Multimodal.wavInfo(lying) === None)
   }
+
+  test("mp4Info reads mvhd v0 and v1; lying box sizes and non-MP4 are None") {
+    assert(Multimodal.mp4Info(Multimodal.mp4Bytes(600, 12345L, v1 = false)) ===
+      Some((600, 12345L)))
+    assert(Multimodal.mp4Info(Multimodal.mp4Bytes(90000, 1L << 33, v1 = true)) ===
+      Some((90000, 1L << 33))) // v1 duration exceeds u32 — the 64-bit read path
+    assert(Multimodal.mp4Info(Multimodal.mp4Bytes(600, 100L, v1 = false).take(20)) === None)
+    assert(Multimodal.mp4Info("RIFF....WAVE".getBytes("US-ASCII")) === None)
+    // a moov whose declared size overruns the payload fails closed
+    val truncatedMoov = Multimodal.mp4Bytes(600, 100L, v1 = false).dropRight(4)
+    assert(Multimodal.mp4Info(truncatedMoov) === None)
+  }
 }
