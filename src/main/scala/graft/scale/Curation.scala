@@ -432,6 +432,42 @@ object Curation {
       .drop("__s", "__thr")
   }
 
+  /** Deterministic train/validation/test split assignment: a document's
+    * split is decided by where its 60-bit md5(id) prefix falls among
+    * cumulative fraction thresholds — the same cross-engine random
+    * permutation [[temperatureMix]] samples with. The property that makes
+    * this THE standard corpus-split mechanism: membership is a pure
+    * function of the id, so a document keeps its split across corpus
+    * growth, re-runs, and re-partitions — no test-set leakage when the
+    * next crawl batch lands, no stored split table to join. Thresholds are
+    * computed on the driver and embedded as integer literals, so there is
+    * no cross-engine float arithmetic to replay at all. Pure codegen'd
+    * projection — nothing shuffles, nothing is collected.
+    */
+  def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
+                  idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val thresholds = splitThresholds(splits)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    // last split is the otherwise-branch: every u falls somewhere even at
+    // the floor-rounding boundary of the final cumulative threshold
+    val expr = thresholds.init.foldRight(lit(splits.last._1): Column) {
+      case ((name, thr), rest) => when(u < thr, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** (name, cumulative-threshold) pairs: floor(cumFraction · 2^60) — driver
+    * integers shared verbatim by the engine expression and the q97 oracle.
+    */
+  private[scale] def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.map(_._1).zip(cums.map(c => math.floor(c * 1152921504606846976.0).toLong))
+  }
+
   /** Corpus-level boilerplate removal — CCNet's first cleaning pass: strip
     * every paragraph (line) whose DOCUMENT frequency reaches `minDf`, i.e.
     * the nav bars, cookie notices, and copyright footers that repeat across
@@ -1171,6 +1207,30 @@ object Curation {
           reverse(split(col("text"), graft.expressions.Ws.Regex))))
       val newDocs = exactRecrawl.unionByName(editedRecrawl).unionByName(freshDocs)
       newContentNearDup(newDocs, old, threshold = 0.8)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic 80/10/10 corpus split, per-document: the engine's
+    // md5-prefix bucketing against driver-computed integer thresholds must
+    // place every doc exactly where the oracle's replay of the same
+    // literals does. The property under test is the serving guarantee —
+    // split membership is a pure function of the id (stable across corpus
+    // growth and re-runs), not a stored assignment.
+    Q("q97_train_split", {
+      val Seq((_, t1), (_, t2), _) = splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""SELECT doc_id,
+         | CASE WHEN u < $t1 THEN 'train'
+         |      WHEN u < $t2 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      assignSplit(Tables.documents(s, d).select("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
         .orderBy("doc_id")
     },
   )

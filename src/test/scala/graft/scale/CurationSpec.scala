@@ -509,6 +509,27 @@ class CurationSpec extends SparkSpec {
     assert(nearDropped.size > exactDropped.size) // the edits are the extra drops
   }
 
+  test("assignSplit: stable under corpus growth, fractions honored, totals partition") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val small = asMap(Curation.assignSplit(docs.limit(200), splits))
+    val full = asMap(Curation.assignSplit(docs, splits))
+    // the serving guarantee: a doc's split never changes as the corpus grows
+    small.foreach { case (id, s) => assert(full(id) === s, s"doc $id moved splits") }
+    // every doc lands in exactly one split, and the head split dominates
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === full.size)
+    val trainFrac = counts("train").toDouble / full.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // malformed fractions are rejected at call time
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(docs, Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("newContentNearDup: NULL-text rows pass through on both sides") {
     val old = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
