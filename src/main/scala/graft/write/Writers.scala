@@ -87,7 +87,35 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def read(): DataFrame = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    spark.read.parquet(s"$root/v$v")
+    readVersion(v)
+  }
+
+  /** Time-travel read: versions are immutable directories that promote
+    * never deletes, so any previously committed version stays readable —
+    * the audit/rollback affordance the reference's DROP-and-RENAME swap
+    * destroys. Fails on a version that was never staged.
+    */
+  def readVersion(version: Int): DataFrame = {
+    require(version >= 0 && Files.exists(Paths.get(root, s"v$version")),
+      s"version $version does not exist at $root")
+    spark.read.parquet(s"$root/v$version")
+  }
+
+  /** Every staged version present on disk, ascending (the committed one is
+    * `currentVersion`; later entries are staged-but-unpromoted).
+    */
+  def versions: Seq[Int] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val vs = Files.list(dir).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (vs.hasNext) {
+        val name = vs.next().getFileName.toString
+        if (name.matches("v\\d+")) out += name.drop(1).toInt
+      }
+      out.sorted.toSeq
+    }
   }
 
   /** Stage `df` as the next version; returns the staged version number

@@ -33,6 +33,19 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSet === Set((1, "new")))
   }
 
+  test("time travel: every committed version stays readable after later promotes") {
+    val t = new VersionedTable(spark, tmp())
+    t.fullRefresh(Seq((1, "v0")).toDF("id", "v"))
+    t.fullRefresh(Seq((1, "v1")).toDF("id", "v"))
+    t.fullRefresh(Seq((1, "v2")).toDF("id", "v"))
+    assert(t.versions === Seq(0, 1, 2))
+    assert(t.currentVersion === Some(2))
+    assert(t.readVersion(0).as[(Int, String)].head() === ((1, "v0")))
+    assert(t.readVersion(1).as[(Int, String)].head() === ((1, "v1")))
+    assert(t.read().as[(Int, String)].head() === ((1, "v2")))
+    intercept[IllegalArgumentException](t.readVersion(7))
+  }
+
   test("incrementalDedup through the table keeps newest per key") {
     val t = new VersionedTable(spark, tmp())
     t.incrementalDedup(Seq((1, 1, "a"), (2, 1, "b")).toDF("k", "ver", "v"),
