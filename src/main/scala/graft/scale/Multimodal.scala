@@ -164,6 +164,49 @@ object Multimodal {
     }
   }
 
+  final case class ResizedAsset(asset_id: Long, w: Int, h: Int, rw: Int, rh: Int,
+                                resized: Array[Byte], checksum: Long)
+
+  /** Resize stub — the remaining member of the decode / feature-extract /
+    * resize / frame-sample quartet: a half-size nearest-neighbor downscale
+    * over the deterministic fake image this container's codec-free fixtures
+    * define (payload bytes as a row-major w×w grayscale buffer,
+    * w = floor(sqrt(n_bytes)) so the buffer always fits the payload). The
+    * sampling arithmetic is the real thing — out(i,j) = in(2i, 2j) — and
+    * the plumbing is production-shaped: binary in, binary out plus typed
+    * dims, one iterator pass per partition, nothing resident beyond the
+    * current record; a JNI codec swap changes only the pixel source. The
+    * position-weighted checksum of the RESIZED buffer is re-derived in the
+    * q98 oracle, so the index arithmetic is value-checked, not just
+    * row-counted. Degenerate payloads (w < 2) emit an empty buffer with
+    * checksum 0.
+    */
+  def resizeStub(in: Dataset[Asset]): Dataset[ResizedAsset] = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    in.mapPartitions { assets =>
+      assets.map { a =>
+        val n = a.content.length
+        val w = math.sqrt(n.toDouble).toInt
+        val rw = w / 2
+        val resized = new Array[Byte](rw * rw)
+        var i = 0
+        while (i < rw) {
+          var j = 0
+          while (j < rw) {
+            resized(i * rw + j) = a.content((2 * i) * w + 2 * j)
+            j += 1
+          }
+          i += 1
+        }
+        var sum = 0L
+        var k = 0
+        while (k < resized.length) { sum += (resized(k) & 0xff).toLong * (k + 1); k += 1 }
+        ResizedAsset(a.asset_id, w, w, rw, rw, resized, sum)
+      }
+    }
+  }
+
   /** Frame sampling stub: slice the payload into `n` fixed-stride chunks
     * (the video-frame-sampling access pattern) — pure column ops.
     */
@@ -386,6 +429,28 @@ object Multimodal {
           (id, ts, dur)
         }
       }.toDF("asset_id", "timescale", "duration")
+        .orderBy("asset_id")
+    },
+
+    // Resize pipeline (binary → half-size binary + dims): nearest-neighbor
+    // downscale of the fake w×w grayscale buffer, with the RESIZED buffer's
+    // position-weighted checksum re-derived in SQL — out(i,j) = in(2i, 2j)
+    // index arithmetic is value-checked byte for byte (the q34 ASCII
+    // contract makes unicode(char) == byte). The resized binary itself
+    // rides the plumbing but only its checksum is hashable cross-engine.
+    Q("q98_multimodal_resize",
+      """WITH h AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        | dims AS (SELECT doc_id, text,
+        |            CAST(floor(sqrt(CAST(n AS DOUBLE))) AS INT) AS w FROM h),
+        | r AS (SELECT doc_id, w, w // 2 AS rw FROM dims)
+        |SELECT d.doc_id AS asset_id, d.w, d.w AS h, r.rw, r.rw AS rh,
+        |  CAST(coalesce(list_sum(list_transform(range(0, r.rw * r.rw),
+        |    k -> unicode(d.text[(2 * (k // r.rw)) * d.w + 2 * (k % r.rw) + 1]) * (k + 1))), 0)
+        |    AS BIGINT) AS checksum
+        |FROM dims d JOIN r ON r.doc_id = d.doc_id
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      resizeStub(assets(Tables.documents(s, d))).toDF()
+        .select("asset_id", "w", "h", "rw", "rh", "checksum")
         .orderBy("asset_id")
     },
   )

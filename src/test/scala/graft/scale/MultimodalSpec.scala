@@ -93,6 +93,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavInfo(lying) === None)
   }
 
+  test("resizeStub: half-size nearest-neighbor sampling, hand-checked buffer") {
+    import spark.implicits._
+    // a 16-byte payload -> 4x4 buffer; resize picks rows/cols 0 and 2:
+    // bytes 0,2,8,10
+    val content = (0 until 16).map(_.toByte).toArray
+    val one = Seq(Multimodal.Asset(1L, content, "png", 16L)).toDS()
+    val r = Multimodal.resizeStub(one).head()
+    assert((r.w, r.h, r.rw, r.rh) === ((4, 4, 2, 2)))
+    assert(r.resized.toSeq === Seq[Byte](0, 2, 8, 10))
+    assert(r.checksum === 0 * 1 + 2 * 2 + 8 * 3 + 10 * 4)
+    // degenerate payload: too small to resize -> empty buffer, checksum 0
+    val tiny = Seq(Multimodal.Asset(2L, Array[Byte](7, 7), "png", 2L)).toDS()
+    val t = Multimodal.resizeStub(tiny).head()
+    assert((t.rw, t.rh, t.checksum) === ((0, 0, 0L)))
+    assert(t.resized.isEmpty)
+  }
+
   test("mp4Info reads mvhd v0 and v1; lying box sizes and non-MP4 are None") {
     assert(Multimodal.mp4Info(Multimodal.mp4Bytes(600, 12345L, v1 = false)) ===
       Some((600, 12345L)))
