@@ -453,5 +453,23 @@ object Multimodal {
         .select("asset_id", "w", "h", "rw", "rh", "checksum")
         .orderBy("asset_id")
     },
+
+    // Frame sampling as a first-class oracled component (it was spec-only):
+    // four fixed-stride 64-byte slices per asset — the keyframe access
+    // pattern over an opaque payload. The stride arithmetic is Spark's
+    // exactly (i · n/4.0 truncated toward zero, replayed with an explicit
+    // floor because DuckDB's double→int CAST rounds instead), and the
+    // slices compare by value under the ASCII contract.
+    Q("q99_multimodal_frames",
+      """WITH h AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS chunk_idx,
+        |  substring(text, CAST(floor(i * (n / 4.0)) AS INT) + 1, 64) AS chunk
+        |FROM h, unnest([0, 1, 2, 3]) AS t(i)
+        |ORDER BY asset_id, chunk_idx""".stripMargin) { (s, d) =>
+      sampleChunks(assets(Tables.documents(s, d)).toDF(), n = 4)
+        .select(col("asset_id"), col("chunk_idx"),
+          col("chunk").cast("string").as("chunk"))
+        .orderBy("asset_id", "chunk_idx")
+    },
   )
 }
