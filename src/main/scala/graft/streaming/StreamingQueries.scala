@@ -111,5 +111,36 @@ object StreamingQueries {
       q.awaitTermination()
       table.read().orderBy("keep_id")
     },
+
+    // Streaming curation: the q71 PII scrub applied to documents flowing
+    // through readStream — a stateless transform composes onto a stream
+    // unchanged (same Column expressions, no stream-specific rewrite),
+    // drained through the latest-wins sink. The oracle IS q71's: the
+    // Kappa-parity claim is that streaming ingestion of the same corpus
+    // yields the batch answer byte for byte, extending the q49/q85 parity
+    // story from write semantics to the curation surface.
+    Q("q100_streaming_scrub",
+      graft.scale.Curation.queries.find(_.name == "q71_pii_scrub").get.oracle.get) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val wh = scratchDir("graft-q100")
+      val table = new VersionedTable(s, s"$wh/scrubbed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val seeded = Streaming.docsStream(s2, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      val scrubbed = graft.scale.Curation.scrubPii(seeded)
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"), col("text"))
+      val q = Streaming.incrementalDedupSink(scrubbed, table,
+        keys = Seq("doc_id"), orderCols = Seq("doc_id"), checkpoint = s"$wh/ckpt")
+      q.awaitTermination()
+      table.read()
+        .select("doc_id", "n_emails", "n_phones", "text")
+        .orderBy("doc_id")
+    },
   )
 }
