@@ -84,10 +84,22 @@ object AnnIndex {
     * differ, the scanned set cannot), and re-appending the same batch is a
     * no-op (idempotence law).
     *
-    * The stage+promote rewrites the postings table, matching the reference's
-    * W4 whole-table merge; a deployment appending terabytes between rebuilds
-    * would delta-append files inside each touched cid directory instead —
-    * the manifest protocol is unchanged by that swap.
+    * Write cost is O(touched cells), NOT O(corpus): only the cells the batch
+    * assigns into are read (directory-pruned), merged, and rewritten; every
+    * untouched cell is inherited by reference through the patch version's
+    * file list ([[graft.write.VersionedTable.stagePatch]] — zero files
+    * written for an untouched cid, asserted in AnnIndexSpec). A crawl
+    * appending small batches between rebuilds therefore pays per-batch work
+    * proportional to the batch's cell footprint.
+    *
+    * Contract: the upsert is exact within a cell. A re-crawled id whose NEW
+    * vector assigns to a DIFFERENT cell than its old posting leaves the
+    * stale posting in the old cell (same-vector re-appends are unaffected —
+    * the assignment is deterministic); crossing-cell re-crawls need a
+    * periodic [[buildIvfIndex]] rebuild, the IVF analogue of LSM
+    * compaction. The touched-cid collect is bounded by the batch's distinct
+    * cell count, ≤ nCentroids — the same metadata class as the centroids
+    * themselves.
     */
   def appendToIvfIndex(newVectors: DataFrame, root: String,
                        idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
@@ -98,9 +110,13 @@ object AnnIndex {
       .withColumn("cid", element_at(
         Similarity.nearestCidsExpr(cents, col(vecCol).cast("array<double>"), 1), 1))
       .select(col(idCol).cast("long").as("nid"), col("qcode").as("code"), col("cid"))
+      .localCheckpoint()
+    val touched = newPostings.select("cid").distinct().collect().map(_.getInt(0))
     val pt = postingsTable(spark, root)
-    val merged = graft.write.Writers.upsert(pt.read(), newPostings, Seq("nid"))
-    pt.promote(pt.stage(merged, Seq("cid")))
+    val existingTouched = pt.read()
+      .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
+    val merged = graft.write.Writers.upsert(existingTouched, newPostings, Seq("nid"))
+    pt.promote(pt.stagePatch(merged, Seq("cid")))
     IvfIndex(root, cents.length)
   }
 
@@ -141,6 +157,13 @@ object AnnIndex {
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"), col("cid"))
       .localCheckpoint()
     val probeCids = q.select("cid").distinct().collect().map(_.getInt(0))
+    // guard the broadcast-small-queries contract: a corpus-sized query table
+    // would both blow the broadcast below and turn this IN list into a
+    // megabyte plan literal — route that shape through knnJoinQuantized
+    require(probeCids.length <= 65536,
+      s"probeIvf routed ${probeCids.length} distinct cells — the query table " +
+        "is not broadcast-small; use Similarity.knnJoinQuantized for " +
+        "corpus-vs-corpus kNN")
     val postings = postingsTable(spark, root).read()
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
     val scored = postings.join(broadcast(q), Seq("cid"))

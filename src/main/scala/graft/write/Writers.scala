@@ -94,11 +94,88 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * never deletes, so any previously committed version stays readable —
     * the audit/rollback affordance the reference's DROP-and-RENAME swap
     * destroys. Fails on a version that was never staged.
+    *
+    * A PATCH version ([[stagePatch]]) resolves through its `_FILELIST`: one
+    * parquet scan per contributing version (each with its own hive
+    * partition discovery, so partition pruning survives), unioned by name.
     */
   def readVersion(version: Int): DataFrame = {
     require(version >= 0 && Files.exists(Paths.get(root, s"v$version")),
       s"version $version does not exist at $root")
-    spark.read.parquet(s"$root/v$version")
+    if (!Files.exists(fileListPath(version))) spark.read.parquet(s"$root/v$version")
+    else {
+      val legs = entries(version).groupBy(_._1).toSeq.sortBy(_._1)
+      legs.map { case (v, es) =>
+        spark.read.option("basePath", s"$root/v$v")
+          .parquet(es.map { case (_, d) => s"$root/v$v/$d" }: _*)
+      }.reduceLeft(_.unionByName(_))
+    }
+  }
+
+  private def fileListPath(v: Int) = Paths.get(root, s"v$v", "_FILELIST")
+
+  /** Hive partition directories (`col=value`) directly under version `v`. */
+  private def partitionDirs(v: Int): Seq[String] = {
+    val dir = Paths.get(root, s"v$v")
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.contains("=")) out += name
+        }
+        out.sorted.toSeq
+      } finally stream.close()
+    }
+  }
+
+  /** Per-partition provenance of a version: (sourceVersion, partitionDir)
+    * pairs. A whole-directory version owns every partition under it; a patch
+    * version's `_FILELIST` inherits untouched partitions from its base by
+    * reference, so provenance chains resolve without copying data.
+    */
+  private def entries(v: Int): Seq[(Int, String)] = {
+    val fl = fileListPath(v)
+    if (!Files.exists(fl))
+      partitionDirs(v).map(d => (v, d))
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(fl, StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(ver, dir) = line.split('\t')
+          (ver.toInt, dir)
+        }
+    }
+  }
+
+  /** Stage a PATCH version: `touched` must hold the COMPLETE replacement
+    * rows for every partition value it contains; all other partitions of the
+    * current version are inherited by reference through the new version's
+    * `_FILELIST` — no file is written for an untouched partition, so the
+    * write cost is O(touched partitions), not O(table). The version is still
+    * immutable and atomically promoted like any other: readers resolve the
+    * file list only after the manifest flips, and the base version's files
+    * are never modified. On an object store the file list is the same
+    * manifest-of-objects a Delta/Iceberg commit writes.
+    */
+  def stagePatch(touched: DataFrame, partitionCols: Seq[String]): Int = {
+    require(partitionCols.size == 1,
+      "stagePatch supports exactly one partition column")
+    val base = currentVersion.getOrElse(throw new IllegalStateException(
+      s"stagePatch needs a committed base version at $root"))
+    val next = base + 1
+    touched.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(s"$root/v$next")
+    val newDirs = partitionDirs(next)
+    val inherited = entries(base).filterNot { case (_, d) => newDirs.contains(d) }
+    val all = (inherited ++ newDirs.map(d => (next, d))).sortBy(_._2)
+    Files.write(fileListPath(next),
+      all.map { case (v, d) => s"$v\t$d" }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    next
   }
 
   /** Every staged version present on disk, ascending (the committed one is
@@ -108,13 +185,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) Nil
     else {
-      val vs = Files.list(dir).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-      while (vs.hasNext) {
-        val name = vs.next().getFileName.toString
-        if (name.matches("v\\d+")) out += name.drop(1).toInt
-      }
-      out.sorted.toSeq
+      val stream = Files.list(dir)
+      try {
+        val vs = stream.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (vs.hasNext) {
+          val name = vs.next().getFileName.toString
+          if (name.matches("v\\d+")) out += name.drop(1).toInt
+        }
+        out.sorted.toSeq
+      } finally stream.close()
     }
   }
 

@@ -86,9 +86,80 @@ class AnnIndexSpec extends SparkSpec {
     val twice = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
       .collect().map(_.toSeq).toSet
     assert(once === twice)
-    // and the row count did not grow
-    val n1 = spark.read.parquet(s"$root/postings/v1").count()
-    val n2 = spark.read.parquet(s"$root/postings/v2").count()
-    assert(n1 === n2)
+    // and the LOGICAL row count did not grow (patch versions resolve through
+    // their file list, so raw directory counts no longer describe a version)
+    val t = new graft.write.VersionedTable(spark, s"$root/postings")
+    assert(t.readVersion(1).count() === t.readVersion(2).count())
+  }
+
+  test("append is O(batch): writes files only for touched cells, inherits the rest") {
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 155)
+    val root = tmpRoot("delta")
+    AnnIndex.buildIvfIndex(base, root)
+    AnnIndex.appendToIvfIndex(batch, root)
+    def cellDirs(v: Int): Set[String] = {
+      val d = java.nio.file.Paths.get(s"$root/postings/v$v")
+      val s = java.nio.file.Files.list(d)
+      try {
+        val it = s.iterator(); val out = scala.collection.mutable.Set.empty[String]
+        while (it.hasNext) { val n = it.next().getFileName.toString
+          if (n.startsWith("cid=")) out += n }
+        out.toSet
+      } finally s.close()
+    }
+    val baseCells = cellDirs(0)
+    val patchCells = cellDirs(1)
+    // a 5-vector batch assigns into at most 5 cells — the append version's
+    // on-disk footprint is the batch's cell set, never the corpus's
+    assert(patchCells.size <= 5,
+      s"append staged ${patchCells.size} cell dirs for a 5-vector batch")
+    assert(patchCells.size < baseCells.size,
+      s"append rewrote as many cells (${patchCells.size}) as the corpus has")
+    // the logical table still covers every base cell plus the patch
+    val t = new graft.write.VersionedTable(spark, s"$root/postings")
+    val merged = t.read()
+    assert(merged.count() === base.count() + batch.count())
+    assert(merged.select("nid").distinct().count() === merged.count())
+    // and untouched cells' rows are byte-identical to the base version's
+    val untouched = (baseCells -- patchCells).head.stripPrefix("cid=").toInt
+    val before = t.readVersion(0).filter(col("cid") === untouched)
+      .collect().map(_.toSeq).toSet
+    val after = merged.filter(col("cid") === untouched)
+      .collect().map(_.toSeq).toSet
+    assert(before === after && before.nonEmpty)
+  }
+
+  test("q88/q93 fixture coupling: each twin's cell is inside its query's nProbe=3 cells") {
+    // the q88/q93 oracles are exact brute force while the engine probes
+    // nProbe=3 cells — their parity rests on every planted twin assigning
+    // into one of its query's top-3 cells. Pin that invariant here so any
+    // future drift in centroid training, fixture data, or nProbe fails with
+    // a clear message instead of an opaque driver hash mismatch.
+    import org.apache.spark.sql.functions.{transform => atransform}
+    import spark.implicits._
+    val probes = queries
+    val twins = probes
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        atransform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+    val root = tmpRoot("coupling")
+    AnnIndex.buildIvfIndex(emb.unionByName(twins), root)
+    val cents = new graft.write.VersionedTable(spark, s"$root/centroids").read()
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    def cells(df: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Seq[Int]] =
+      df.select(col("vec_id").cast("long"),
+          Similarity.nearestCidsExpr(cents, col("embedding").cast("array<double>"), k))
+        .as[(Long, Seq[Int])].collect().toMap
+    val queryCells = cells(probes, 3)
+    val twinCells = cells(twins, 1)
+    for ((tid, Seq(tCell)) <- twinCells) {
+      val qid = tid - 100000
+      assert(queryCells(qid).contains(tCell),
+        s"twin $tid landed in cell $tCell, outside query $qid's nProbe=3 " +
+          s"cells ${queryCells(qid)} — q88/q93's approximate-vs-exact-oracle " +
+          "coupling is broken; retune the fixture or nProbe")
+    }
+    assert(twinCells.size === 5)
   }
 }
