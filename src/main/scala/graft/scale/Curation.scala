@@ -357,7 +357,28 @@ object Curation {
   def newContentNearDup(newDocs: DataFrame, oldDocs: DataFrame, threshold: Double = 0.8,
                         numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
                         maxOldPerBucket: Int = 100,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    nearDupAgainstIndex(newDocs,
+      Dedup.minhashSignatures(oldDocs.filter(col(textCol).isNotNull),
+        numHashes, shingleSize, idCol, textCol),
+      oldDocs, threshold, numHashes, bands, shingleSize, maxOldPerBucket,
+      idCol, textCol)
+
+  /** [[newContentNearDup]] against a PRECOMPUTED old-side signature index:
+    * the serving form for a continuous crawl, where re-minhashing the whole
+    * accumulated corpus per batch would make batch cost O(corpus text). Here
+    * the old side ships only its persisted (id, signature) longs into the
+    * banding join; old TEXT is touched just for verified candidates (the
+    * shingle join column-prunes `oldTexts` to candidate ids). Identical ids
+    * on both sides never match each other (`__nid =!= __oid`) — that makes a
+    * replayed micro-batch idempotent instead of self-annihilating when its
+    * own survivors are already in the index.
+    */
+  def nearDupAgainstIndex(newDocs: DataFrame, oldSignatures: DataFrame,
+                          oldTexts: DataFrame, threshold: Double = 0.8,
+                          numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+                          maxOldPerBucket: Int = 100,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def shingles(df: DataFrame, as: String): DataFrame = {
       val sh = org.apache.spark.sql.GraftColumnBridge.column(
@@ -365,23 +386,23 @@ object Curation {
           org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), shingleSize))
       df.filter(col(textCol).isNotNull).select(col(idCol).as(as), sh.as(s"sh_$as"))
     }
-    def banded(df: DataFrame, as: String): DataFrame =
-      Dedup.bandedKeys(
-        Dedup.minhashSignatures(df.filter(col(textCol).isNotNull),
-          numHashes, shingleSize, idCol, textCol),
-        bands, numHashes, idCol)
-        .select(col(idCol).as(as), col("band"), col("band_hash"))
-    val newB = banded(newDocs, "__nid")
+    val newB = Dedup.bandedKeys(
+      Dedup.minhashSignatures(newDocs.filter(col(textCol).isNotNull),
+        numHashes, shingleSize, idCol, textCol),
+      bands, numHashes, idCol)
+      .select(col(idCol).as("__nid"), col("band"), col("band_hash"))
     val w = Window.partitionBy("band", "band_hash").orderBy(col("__oid"))
-    val oldB = banded(oldDocs, "__oid")
+    val oldB = Dedup.bandedKeys(oldSignatures, bands, numHashes, idCol)
+      .select(col(idCol).as("__oid"), col("band"), col("band_hash"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxOldPerBucket)
       .drop("__rn")
     val cand = newB.join(oldB, Seq("band", "band_hash"))
+      .filter(col("__nid") =!= col("__oid"))
       .select("__nid", "__oid").distinct()
     val dropped = cand
       .join(shingles(newDocs, "__nid"), "__nid")
-      .join(shingles(oldDocs, "__oid"), "__oid")
+      .join(shingles(oldTexts, "__oid"), "__oid")
       .withColumn("__c", size(array_intersect(col("sh___nid"), col("sh___oid"))).cast("long"))
       .withColumn("__j", col("__c").cast("double") /
         (size(col("sh___nid")) + size(col("sh___oid")) - col("__c")))

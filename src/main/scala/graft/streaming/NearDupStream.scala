@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.scale.{Cluster, Curation, Dedup}
+import graft.write.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming MinHash near-dup dedup — the continuous-crawl form of the batch
+  * [[graft.scale.Dedup]] q26 pipeline, and the first real need of a crawl
+  * after exact dedup (q85): each arriving micro-batch must be deduplicated
+  * against EVERYTHING already accepted, not just its own rows.
+  *
+  * State is two [[graft.write.VersionedTable]]s under one root:
+  *
+  *   root/survivors   (doc_id, text)     — every doc accepted so far; this
+  *                    IS the deduplicated output corpus;
+  *   root/signatures  (doc_id, signature) — the accepted docs' MinHash
+  *                    signatures, persisted so a batch bands against stored
+  *                    longs instead of re-minhashing the accumulated corpus
+  *                    (per-batch cost O(batch text + index longs), never
+  *                    O(index text)).
+  *
+  * Per batch ([[processBatch]]):
+  *   1. WITHIN-batch: LSH candidates → exact-Jaccard verify → transitive
+  *      clusters → keep each cluster's min-id ([[Cluster.dropNearDups]]) —
+  *      so two copies arriving together collapse exactly like the batch
+  *      operator, and a single-batch drain of a whole corpus equals the
+  *      batch answer (q26/q69 semantics; StreamingNearDupSpec law).
+  *   2. CROSS-batch: the batch's survivors band-collide against the
+  *      persisted signature index and drop on verified Jaccard >=
+  *      threshold ([[Curation.nearDupAgainstIndex]] — old text is read only
+  *      for candidate ids, column-pruned).
+  *   3. GROW: accepted rows merge into both tables (latest-wins on doc_id,
+  *      so a replayed batch — whose rows match only themselves in the index,
+  *      never drop on the self-pair — is absorbed idempotently).
+  *
+  * Semantics: a doc survives iff it is not in the transitive near-dup
+  * closure of any earlier-accepted or lower-id-same-batch doc — the greedy
+  * temporal extension of batch keep-min-id. Order matters across batches by
+  * construction (a crawl cannot un-accept history).
+  *
+  * Scale notes: every step is the already-bucketed batch machinery; the
+  * index side of the banding join is narrow longs. The two writes use the
+  * W3 whole-table merge — the same shape as every streaming sink here; an
+  * append-heavy deployment would swap them for per-bucket patch versions
+  * ([[graft.write.VersionedTable.stagePatch]]) without touching the
+  * protocol.
+  */
+final class NearDupIndex(spark: SparkSession, root: String,
+                         threshold: Double = 0.8, numHashes: Int = 64,
+                         bands: Int = 16, shingleSize: Int = 3) {
+
+  val survivors = new VersionedTable(spark, s"$root/survivors")
+  val signatures = new VersionedTable(spark, s"$root/signatures")
+
+  /** Bootstrap the index from an ALREADY-CURATED corpus: every row is
+    * accepted verbatim and only the signatures are computed. A production
+    * crawl never re-deduplicates its curated corpus against itself — the
+    * corpus may legitimately retain borderline pairs a fresh threshold would
+    * collapse, and re-litigating them would rewrite history. Deduplication
+    * applies to what arrives AFTER the bootstrap.
+    */
+  def seed(curated: DataFrame): Unit = {
+    val b = curated.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull).localCheckpoint()
+    survivors.incrementalDedup(b, Seq("doc_id"), Seq("doc_id"))
+    signatures.incrementalDedup(
+      Dedup.minhashSignatures(b, numHashes, shingleSize),
+      Seq("doc_id"), Seq("doc_id"))
+  }
+
+  /** Dedup one micro-batch against itself and the index, then grow the
+    * index with the accepted rows. Callable directly (the foreachBatch body)
+    * so specs can drive controlled batch boundaries.
+    */
+  def processBatch(batch: DataFrame): Unit = {
+    val b = batch.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull).localCheckpoint()
+    val sigs = Dedup.minhashSignatures(b, numHashes, shingleSize).localCheckpoint()
+    // 1. within-batch transitive reduction to cluster min-ids
+    val pairs = Dedup.jaccardVerify(b,
+      Dedup.minhashCandidates(sigs, bands, numHashes),
+      shingleSize, threshold)
+    val reps = Cluster.dropNearDups(b, pairs)
+    // 2. cross-batch: survivors-so-far are the "old snapshot"
+    val kept = (if (!signatures.exists) reps
+                else Curation.nearDupAgainstIndex(reps, signatures.read(),
+                  survivors.read(), threshold, numHashes, bands, shingleSize))
+      .localCheckpoint()
+    // 3. grow both tables with the accepted rows
+    survivors.incrementalDedup(kept, Seq("doc_id"), Seq("doc_id"))
+    signatures.incrementalDedup(
+      sigs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+      Seq("doc_id"), Seq("doc_id"))
+  }
+}
+
+object NearDupStream {
+
+  /** [[NearDupIndex.processBatch]] as a streaming sink: drain a document
+    * stream into the index; `index.survivors` is the continuously-deduped
+    * corpus.
+    */
+  def nearDupDedupSink(docs: DataFrame, index: NearDupIndex,
+                       checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        index.processBatch(batch)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -142,5 +142,64 @@ object StreamingQueries {
         .select("doc_id", "n_emails", "n_phones", "text")
         .orderBy("doc_id")
     },
+
+    // Streaming near-dup dedup: a crawl's micro-batches are deduplicated
+    // against the accumulated accepted corpus, not just themselves. The
+    // index is SEEDED from the curated corpus in bulk (a crawl never
+    // re-litigates its curated history — and the synthetic corpus contains
+    // genuine chance near-dup pairs the oracle could not re-cluster in
+    // SQL), then the q89 re-crawl construction streams in as a later crawl:
+    // exact re-crawls and first-word-edited re-crawls. Each must drop
+    // exactly where q89's batch operator drops it — MinHash band collision
+    // against the PERSISTED signature index, verified by exact shingle
+    // Jaccard >= 0.8 — so the oracle is the q89 oracle restricted to those
+    // classes, unioned with the seeded corpus. Cross-batch laws (controlled
+    // boundaries, within-batch clustering, replay idempotence) live in
+    // StreamingNearDupSpec.
+    Q("q101_streaming_neardup",
+      """WITH old AS (SELECT doc_id, trim(text) AS text FROM documents),
+        | nw AS (
+        |  SELECT doc_id + 300000 AS doc_id, text FROM old WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text[instr(text, ' ') + 1:]
+        |  FROM old WHERE doc_id % 10 = 5),
+        | shn AS (SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(t) - 3, 0) + 2),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM nw)),
+        | sho AS (SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(t) - 3, 0) + 2),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM old)),
+        | dropped AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM shn n, sho o
+        |  WHERE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) /
+        |        (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.8)
+        |SELECT doc_id, text FROM old
+        |UNION ALL
+        |SELECT doc_id, text FROM nw
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q101")
+      val index = new NearDupIndex(s, s"$wh/ndi", threshold = 0.8)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val curated = graft.core.Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+      index.seed(curated)
+      // a later crawl: exact re-crawls and trivially-edited re-crawls
+      def stream() = Streaming.docsStream(s2, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+      val exactRecrawl = stream().filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+      val editedRecrawl = stream().filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val crawl2 = exactRecrawl.unionByName(editedRecrawl)
+      NearDupStream.nearDupDedupSink(crawl2, index, s"$wh/ckpt2")
+        .awaitTermination()
+      index.survivors.read().orderBy("doc_id")
+    },
   )
 }

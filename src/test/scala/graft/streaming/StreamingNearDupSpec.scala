@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-batch laws for the streaming near-dup index. Batch boundaries are
+  * driven directly through [[NearDupIndex.processBatch]] (the foreachBatch
+  * body), so each law controls exactly what the stream would deliver when.
+  */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def root(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ndi-$tag").toString + "/ndi"
+
+  // distinct-vocabulary sentences: zero shingle overlap across them
+  private val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+  private val tB = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+  private val tC = "zulu amber birch cedar dogwood elm fir ginkgo hazel ironwood juniper katsura"
+  private val tD = "larch maple nutmeg oak pine quince rowan spruce teak ulmus vine willow"
+  private def dropFirstWord(s: String) = s.split(' ').drop(1).mkString(" ")
+
+  test("within one batch: exact clones and near-dups collapse to the min id (batch q26 semantics)") {
+    val idx = new NearDupIndex(spark, root("batch1"))
+    // 1 and 101 exact clones; 201 a near-dup of 1 (first word dropped,
+    // jaccard 9/10); 2 unrelated
+    val b1 = Seq((1L, tA), (101L, tA), (201L, dropFirstWord(tA)), (2L, tB))
+      .toDF("doc_id", "text")
+    idx.processBatch(b1)
+    assert(idx.survivors.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L))
+  }
+
+  test("cross-batch: a later batch drops against earlier survivors, fresh docs pass") {
+    val idx = new NearDupIndex(spark, root("cross"))
+    idx.processBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"))
+    // 301 exact re-crawl of 1; 302 trivially-edited re-crawl of 2; 303 fresh
+    idx.processBatch(Seq((301L, tA), (302L, dropFirstWord(tB)), (303L, tC))
+      .toDF("doc_id", "text"))
+    assert(idx.survivors.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 303L))
+    // the signature index grew with the accepted doc only
+    assert(idx.signatures.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 303L))
+  }
+
+  test("batch-split invariance on dup-free batches; order decides the survivor id") {
+    // the same four docs in one batch vs split across two batches accept the
+    // same CONTENT; the kept id for a dup pair is the min id in one batch
+    // and the earlier-arriving id across batches
+    val one = new NearDupIndex(spark, root("one"))
+    one.processBatch(Seq((1L, tA), (2L, tB), (3L, tC), (10L, tA)).toDF("doc_id", "text"))
+    val two = new NearDupIndex(spark, root("two"))
+    two.processBatch(Seq((10L, tA), (2L, tB)).toDF("doc_id", "text"))
+    two.processBatch(Seq((1L, tA), (3L, tC)).toDF("doc_id", "text"))
+    assert(one.survivors.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    // 10 arrived first, so it — not the globally-minimal 1 — holds the slot
+    assert(two.survivors.read().select("doc_id").as[Long].collect().sorted
+      === Array(2L, 3L, 10L))
+  }
+
+  test("seed accepts a curated corpus verbatim; later batches still dedup against it") {
+    val idx = new NearDupIndex(spark, root("seed"))
+    // the curated corpus legitimately contains a borderline pair (1 ~ 4):
+    // seeding must NOT re-litigate it
+    idx.seed(Seq((1L, tA), (4L, dropFirstWord(tA)), (2L, tB)).toDF("doc_id", "text"))
+    assert(idx.survivors.read().count() === 3)
+    // but a crawl doc near-dupping either seeded entry is dropped
+    idx.processBatch(Seq((301L, tA), (303L, tC)).toDF("doc_id", "text"))
+    assert(idx.survivors.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 4L, 303L))
+  }
+
+  test("replaying a micro-batch is idempotent: survivors and signatures unchanged") {
+    val idx = new NearDupIndex(spark, root("replay"))
+    idx.processBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"))
+    val b2 = Seq((301L, tA), (303L, tC), (304L, tD)).toDF("doc_id", "text")
+    idx.processBatch(b2)
+    val before = idx.survivors.read().collect().map(_.toSeq).toSet
+    // a failure after the index write but before the checkpoint commit
+    // redelivers the same batch — accepted docs must not self-annihilate
+    // against their own index entries, nor duplicate
+    idx.processBatch(b2)
+    val after = idx.survivors.read().collect().map(_.toSeq).toSet
+    assert(after === before)
+    assert(before.map(_.head) === Set(1L, 2L, 303L, 304L))
+    assert(idx.signatures.read().count() === 4)
+  }
+}
