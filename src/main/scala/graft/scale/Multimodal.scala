@@ -247,9 +247,13 @@ object Multimodal {
     val moovEnd = moov + u32be(moov).toInt
     val mvhd = walk(moov + 8, moovEnd, "mvhd")
     if (mvhd < 0) return None
+    // bound field reads by the mvhd box's OWN declared end, not moovEnd: a
+    // truncated mvhd followed by sibling boxes inside moov must fail closed,
+    // not silently read timescale/duration from the sibling's bytes
+    val mvhdEnd = mvhd + u32be(mvhd).toInt
     b(mvhd + 8) match {
-      case 0 if mvhd + 28 <= moovEnd => Some((u32be(mvhd + 20).toInt, u32be(mvhd + 24)))
-      case 1 if mvhd + 40 <= moovEnd => Some((u32be(mvhd + 28).toInt, u64be(mvhd + 32)))
+      case 0 if mvhd + 28 <= mvhdEnd => Some((u32be(mvhd + 20).toInt, u32be(mvhd + 24)))
+      case 1 if mvhd + 40 <= mvhdEnd => Some((u32be(mvhd + 28).toInt, u64be(mvhd + 32)))
       case _ => None
     }
   }
@@ -311,6 +315,158 @@ object Multimodal {
       new Array[Byte](mvhdSize - 8 - body.length)
     be32(16L) ++ "ftyp".getBytes("US-ASCII") ++ "isom".getBytes("US-ASCII") ++ be32(0) ++
       be32(8L + mvhdSize) ++ "moov".getBytes("US-ASCII") ++ mvhd
+  }
+
+  // ---- real PNG pixel codec (JDK zlib — no external codecs needed) --------
+
+  private def be32s(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val tb = tag.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    be32s(data.length.toLong) ++ tb ++ data ++ be32s(crc.getValue)
+  }
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Encode an 8-bit grayscale pixel buffer as a REAL spec-valid PNG:
+    * IHDR + one zlib-deflated IDAT + IEND, with per-row adaptive filters
+    * cycling through all five PNG filter types (None/Sub/Up/Average/Paeth,
+    * spec §9) — so a decoder that mis-implements ANY filter's
+    * reconstruction cannot round-trip an image taller than 5 rows.
+    */
+  def pngEncodeGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
+    val raw = new Array[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      val f = r % 5
+      raw(r * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = pixels(r * w + x) & 0xff
+        val left = if (x > 0) pixels(r * w + x - 1) & 0xff else 0
+        val up = if (r > 0) pixels((r - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && r > 0) pixels((r - 1) * w + x - 1) & 0xff else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(r * (w + 1) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32s(w.toLong) ++ be32s(h.toLong) ++ Array[Byte](8, 0, 0, 0, 0)
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG pixel decode for 8-bit grayscale: chunk walk with CRC
+    * verification, zlib-inflate of the concatenated IDAT stream
+    * (JDK `Inflater` — PNG's DEFLATE is stdlib, no codec needed), then
+    * scanline reconstruction inverting all five PNG filter types. Fails
+    * closed (None) on a bad signature/CRC, a non-grayscale or non-8-bit
+    * image, or a short pixel stream — never a partial buffer.
+    */
+  def pngDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+    def u32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var ended = false
+    while (!ended && i + 12 <= b.length) {
+      val len = u32(i)
+      if (len > b.length - i - 12) return None
+      val tag = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len.toInt)
+      if (crc.getValue != u32(i + 8 + len.toInt)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13 || b(i + 16) != 8 || b(i + 17) != 0) return None // 8-bit grayscale only
+          w = u32(i + 8).toInt; h = u32(i + 12).toInt
+        case "IDAT" => idat.write(b, i + 8, len.toInt)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len.toInt
+    }
+    if (w <= 0 || h <= 0 || idat.size == 0) return None
+    val raw = new Array[Byte](h * (w + 1))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (off != raw.length) return None
+    val out = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val f = raw(r * (w + 1)) & 0xff
+      var x = 0
+      while (x < w) {
+        val v = raw(r * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) out(r * w + x - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * w + x) & 0xff else 0
+        val ul = if (x > 0 && r > 0) out((r - 1) * w + x - 1) & 0xff else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+          case _ => return None // invalid filter type
+        }
+        out(r * w + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Nearest-neighbor half-size downscale of a rectangular grayscale
+    * buffer: out(i, j) = in(2i, 2j) — the [[resizeStub]] arithmetic, now
+    * over genuinely decoded pixels.
+    */
+  def halfSize(pixels: Array[Byte], w: Int, h: Int): (Int, Int, Array[Byte]) = {
+    val rw = w / 2; val rh = h / 2
+    val out = new Array[Byte](rw * rh)
+    var i = 0
+    while (i < rh) {
+      var j = 0
+      while (j < rw) { out(i * rw + j) = pixels((2 * i) * w + 2 * j); j += 1 }
+      i += 1
+    }
+    (rw, rh, out)
   }
 
   final case class FormatFeatures(asset_id: Long, format: String,
@@ -451,6 +607,44 @@ object Multimodal {
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       resizeStub(assets(Tables.documents(s, d))).toDF()
         .select("asset_id", "w", "h", "rw", "rh", "checksum")
+        .orderBy("asset_id")
+    },
+
+    // REAL pixel decode, end to end: each doc becomes an actual PNG —
+    // deterministic doc_id-derived grayscale pixels, deflate-compressed
+    // scanlines cycling ALL FIVE PNG filter types — and the query's output
+    // exists only on the far side of a genuine decode: chunk walk + CRC
+    // check, zlib inflate, per-filter scanline reconstruction, then the q98
+    // nearest-neighbor downscale OVER THE DECODED BUFFER. The oracle replays
+    // the pixel formula and resize index arithmetic as exact integers, so
+    // one mis-reconstructed byte anywhere in the codec hash-fails. This is
+    // the "multimodal columns, not multimodal headers" gap closed: q34/q91
+    // parse headers, this decodes payloads.
+    Q("q102_png_decode",
+      """WITH dims AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+        |                CAST(8 + doc_id % 7 AS INT) AS h FROM documents),
+        | r AS (SELECT doc_id, w, h, w // 2 AS rw, h // 2 AS rh FROM dims)
+        |SELECT doc_id AS asset_id, w, h, rw, rh,
+        |  CAST(coalesce(list_sum(list_transform(range(0, rw * rh),
+        |    k -> ((doc_id * 31 + ((2 * (k // rw)) * w + 2 * (k % rw)) * 7) % 256)
+        |         * (k + 1))), 0) AS BIGINT) AS checksum
+        |FROM r ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val pixels = Array.tabulate(w * h)(k => ((id * 31 + k * 7) % 256).toByte)
+          val png = pngEncodeGray(pixels, w, h)
+          val (dw, dh, decoded) = pngDecodeGray(png).getOrElse(
+            throw new IllegalStateException(s"undecodable PNG for asset $id"))
+          val (rw, rh, resized) = halfSize(decoded, dw, dh)
+          var sum = 0L
+          var k = 0
+          while (k < resized.length) { sum += (resized(k) & 0xff).toLong * (k + 1); k += 1 }
+          (id, dw, dh, rw, rh, sum)
+        }
+      }.toDF("asset_id", "w", "h", "rw", "rh", "checksum")
         .orderBy("asset_id")
     },
 

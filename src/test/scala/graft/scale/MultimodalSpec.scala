@@ -110,6 +110,50 @@ class MultimodalSpec extends SparkSpec {
     assert(t.resized.isEmpty)
   }
 
+  test("PNG codec: hand-computed 2x2 image round-trips through real deflate/inflate") {
+    val pixels = Array[Byte](10, 20, 30, 40)
+    val png = Multimodal.pngEncodeGray(pixels, 2, 2)
+    // it is a real PNG: the header-only parser agrees on dimensions
+    assert(Multimodal.imageDims(png) === Some((2, 2)))
+    val Some((w, h, decoded)) = Multimodal.pngDecodeGray(png)
+    assert((w, h) === ((2, 2)))
+    assert(decoded.toSeq === pixels.toSeq)
+  }
+
+  test("PNG codec: all five filter types reconstruct exactly (image taller than 5 rows)") {
+    // 7 rows exercise filters 0,1,2,3,4,0,1; adversarial pixel values hit
+    // the Average floor and Paeth tie-break branches
+    val w = 6; val h = 7
+    val pixels = Array.tabulate(w * h)(k => ((k * 37 + (k * k) % 251) % 256).toByte)
+    val Some((dw, dh, decoded)) = Multimodal.pngDecodeGray(Multimodal.pngEncodeGray(pixels, w, h))
+    assert((dw, dh) === ((w, h)))
+    assert(decoded.toSeq === pixels.toSeq)
+    // and the decoded buffer feeds the resize arithmetic
+    val (rw, rh, rs) = Multimodal.halfSize(decoded, dw, dh)
+    assert((rw, rh) === ((3, 3)))
+    assert(rs.toSeq === (for (i <- 0 until 3; j <- 0 until 3)
+      yield pixels((2 * i) * w + 2 * j)).toSeq)
+  }
+
+  test("PNG decode fails closed: bad CRC, truncated IDAT, non-grayscale, garbage") {
+    val png = Multimodal.pngEncodeGray(Array.tabulate(16)(_.toByte), 4, 4)
+    // flip one IDAT payload byte: CRC check must reject, not mis-decode
+    val corrupt = png.clone()
+    corrupt(8 + 25 + 8 + 2) = (corrupt(8 + 25 + 8 + 2) ^ 0x01).toByte
+    assert(Multimodal.pngDecodeGray(corrupt) === None)
+    assert(Multimodal.pngDecodeGray(png.dropRight(20)) === None)
+    assert(Multimodal.pngDecodeGray("not a png at all".getBytes("US-ASCII")) === None)
+    // color type 2 (truecolor) is out of contract: rewrite IHDR byte + fix CRC
+    val ihdrData = png.slice(16, 29)
+    ihdrData(9) = 2 // IHDR data: w[0-3] h[4-7] depth[8] colorType[9]
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrData)
+    val rgb = png.take(16) ++ ihdrData ++ Array(
+      ((crc.getValue >> 24) & 0xff).toByte, ((crc.getValue >> 16) & 0xff).toByte,
+      ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte) ++ png.drop(33)
+    assert(Multimodal.pngDecodeGray(rgb) === None)
+  }
+
   test("mp4Info reads mvhd v0 and v1; lying box sizes and non-MP4 are None") {
     assert(Multimodal.mp4Info(Multimodal.mp4Bytes(600, 12345L, v1 = false)) ===
       Some((600, 12345L)))
