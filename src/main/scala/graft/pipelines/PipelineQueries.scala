@@ -118,5 +118,36 @@ object PipelineQueries {
         .select(col("date").cast("string").as("date"), col("temp"), col("min_temp"), col("max_temp"))
         .orderBy("date")
     },
+
+    // Time travel, driver-certified (it was spec-only): version 0 is a full
+    // refresh of the even-id docs, version 1 a W4 upsert that rewrites the
+    // %4==0 rows and inserts the odd ids. The output is computed by DIFFING
+    // the two version reads — readVersion(0) against read() — so it is
+    // correct only if the promoted upsert left v0's directory byte-intact
+    // and the manifest flip really is the only thing a write moves. The
+    // oracle replays the id arithmetic; 'updated'/'added'/'unchanged' per
+    // row must agree exactly.
+    Q("q103_time_travel",
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 1 THEN 'added'
+        |      WHEN doc_id % 4 = 0 THEN 'updated'
+        |      ELSE 'unchanged' END AS change
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wh = Files.createTempDirectory("graft-q103").toString
+      val table = new VersionedTable(s, s"$wh/docs")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      table.fullRefresh(docs.filter(col("doc_id") % 2 === 0))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("text", concat(col("text"), lit(" [v2]")))
+        .unionByName(docs.filter(col("doc_id") % 2 === 1))
+      table.upsert(batch, Seq("doc_id"))
+      val v0 = table.readVersion(0).select(col("doc_id"), col("text").as("old_text"))
+      table.read().join(v0, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_text").isNull, "added")
+            .when(col("text") =!= col("old_text"), "updated")
+            .otherwise("unchanged").as("change"))
+        .orderBy("doc_id")
+    },
   )
 }
