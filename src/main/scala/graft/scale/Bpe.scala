@@ -154,6 +154,69 @@ object Bpe {
       .select(col("rnk"), col("subword"), col("cnt"))
   }
 
+  /** The production composition the pieces were built for: train BPE merges,
+    * tokenize every document to SUBWORD IDS against the trained vocab (the
+    * top-`vocabSize` subwords by corpus frequency, id = rank; anything
+    * outside maps to UNK id 0), and pack the id sequences into
+    * `budget`-token training rows ([[Curation.packSequences]]'s shard/
+    * cumsum arithmetic, driven by the REAL tokenized length instead of the
+    * word-count proxy). Output is per shard: docs, total ids, packed
+    * sequence count, and the sum of all ids — the id sum pins the vocab
+    * lookup itself (a wrong id anywhere shifts it).
+    *
+    * Scale shape: corpus-sized work is ONE word-count shuffle (shared with
+    * training via localCheckpoint) plus one occurrence-level join of narrow
+    * (doc_id, word) rows against the per-DISTINCT-word stats — the text
+    * itself never shuffles, the BPE kernel runs once per distinct word
+    * (never per occurrence), and the driver holds only the K-bounded merge
+    * list and vocab map.
+    */
+  def tokenIdPack(docs: DataFrame, nMerges: Int = 12, topKWords: Int = 200,
+                  vocabSize: Int = 50, budget: Int = 2048, nShards: Int = 64,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordCounts(docs, textCol).localCheckpoint()
+    val merges = bpeMergesFromCounts(words, nMerges, topKWords)
+      .orderBy("rnk").select("lhs", "rhs").as[(String, String)].collect().toSeq
+    val subs = bpeSegmentCol(col("__w"), merges)
+    // vocab ids: rank by (corpus frequency desc, subword) — K-bounded collect
+    val vocabIds: Map[String, Long] = words
+      .select(explode(subs).as("subword"), col("__cnt"))
+      .groupBy("subword").agg(sum("__cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("subword")).limit(vocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), (i + 1).toLong) }.toMap
+    val vocabMap = typedLit(vocabIds)
+    // per-DISTINCT-word stats: tokenized length + id sum (segment once per
+    // word; occurrences inherit by join)
+    val wstat = words.select(col("__w").as("word"),
+      size(subs).cast("long").as("n_sub"),
+      aggregate(subs, lit(0L),
+        (acc, x) => acc + coalesce(element_at(vocabMap, x), lit(0L))).as("idsum"))
+    val wd = docs.select(col(idCol),
+      explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("word"))
+    val dstat = wd.join(wstat, "word")
+      .groupBy(idCol).agg(sum("n_sub").as("toks"), sum("idsum").as("idsum"))
+    val all = docs.select(col(idCol), (col(idCol) % nShards).as("shard"))
+      .join(dstat, Seq(idCol), "left")
+      .select(col(idCol), col("shard"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("idsum"), lit(0L)).as("idsum"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("seq",
+        floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        (max("seq") + 1).as("n_seqs"), sum("idsum").as("id_sum"))
+      .orderBy("shard")
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   /** The greedy-application CTE body (run-parity selection — see object
@@ -243,6 +306,41 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, subword) AS BIGINT) AS rnk,
 FROM cut2 ORDER BY rnk"""
   }
 
+  private val packOracle: String = {
+    val applies = (1 to NMerges).map(i => applySql(s"sega${i - 1}", s"sega$i", i)).mkString(",")
+    s"""$trainingChainSql,
+ sega0 AS MATERIALIZED (SELECT word, cnt,
+            list_transform(range(1, length(word)+1), i -> word[i:i]) AS s
+          FROM v),$applies,
+ sub AS (SELECT unnest(s) AS subword, cnt FROM sega$NMerges),
+ agg AS (SELECT subword, CAST(sum(cnt) AS BIGINT) AS cnt FROM sub GROUP BY 1),
+ cut2 AS (SELECT subword, cnt FROM agg ORDER BY cnt DESC, subword LIMIT $TopSubwords),
+ vid AS (SELECT subword,
+           CAST(row_number() OVER (ORDER BY cnt DESC, subword) AS BIGINT) AS id
+         FROM cut2),
+ flat AS (SELECT word, unnest(s) AS subword FROM sega$NMerges),
+ wstat AS MATERIALIZED (
+   SELECT f.word, CAST(count(1) AS BIGINT) AS n_sub,
+     CAST(sum(coalesce(vi.id, 0)) AS BIGINT) AS idsum
+   FROM flat f LEFT JOIN vid vi USING (subword) GROUP BY f.word),
+ wd AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS word
+        FROM documents),
+ dstat AS (SELECT doc_id, sum(n_sub) AS toks, sum(idsum) AS idsum
+           FROM wd JOIN wstat USING (word) GROUP BY doc_id),
+ alldocs AS (SELECT d.doc_id, d.doc_id % 64 AS shard,
+               coalesce(ds.toks, 0) AS toks, coalesce(ds.idsum, 0) AS idsum
+             FROM documents d LEFT JOIN dstat ds USING (doc_id)),
+ c AS (SELECT shard, doc_id, toks, idsum,
+         sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+       FROM alldocs)
+SELECT shard, count(1) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+  CAST(max(CAST(floor((cum - toks) / 2048.0) AS BIGINT)) + 1 AS BIGINT) AS n_seqs,
+  CAST(sum(idsum) AS BIGINT) AS id_sum
+FROM c GROUP BY 1 ORDER BY 1"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     // BPE merge training over the corpus vocabulary: 12 deterministic merge
@@ -269,6 +367,19 @@ FROM cut2 ORDER BY rnk"""
       bpeTokenCounts(Tables.documents(s, d), nMerges = NMerges, topKWords = TopK,
         topK = TopSubwords)
         .orderBy("rnk")
+    },
+
+    // The full production pipeline: train merges → tokenize every doc to
+    // subword IDS against the trained top-50 vocab (UNK = 0) → pack the id
+    // streams into 2048-token training rows. The oracle replays the entire
+    // trajectory — 12 training rounds, per-word re-segmentation, vocab
+    // ranking, id lookup, and the q74 shard/cumsum packing arithmetic — as
+    // exact integers, so the hash certifies train → tokenize → pack end to
+    // end: a wrong merge, a wrong id, or an off-by-one in the packing
+    // cumsum all surface as value mismatches.
+    Q("q104_tokenize_pack", packOracle) { (s, d) =>
+      tokenIdPack(Tables.documents(s, d), nMerges = NMerges, topKWords = TopK,
+        vocabSize = TopSubwords)
     },
   )
 }
