@@ -756,6 +756,74 @@ object Similarity {
         .orderBy("qid")
     },
 
+    // The q94 join under a PLANTED HOT CELL — the layout a real corpus has
+    // (boilerplate embeddings, near-constant vectors): every even id is
+    // COLLAPSED onto one point (x·0.001 + 3.0, FLOAT ops the oracle replays
+    // bit-exactly). Collapse, not a loose shift, is what defeats k-means'
+    // mass balancing: a cluster with radius gets split across as many
+    // centroids as its mass deserves, but identical vectors tie on distance
+    // to every centroid k-means drops on them and the argmin's first-index
+    // tie-break routes ALL of them to one cid. HALF the corpus thus lands
+    // in a single IVF cell
+    // and the candidate join's cid shuffle gets one partition ~nCells times
+    // the median. Correctness must be layout-independent, so the join runs
+    // FULL-PROBE: every query scans every cell, making the answer exactly
+    // the quantized brute force independent of where k-means dropped its
+    // centroids on this deliberately degenerate corpus (nProbe=3 at sf0.1
+    // really did lose one twin to a shifted cell boundary — the
+    // approximation dial and the skew dial must not be entangled in a
+    // hash-gated query). Each odd planted source surfaces its near-identical
+    // twin at rank 1 with exact BIGINT scores, replayed by brute force. The
+    // AQE skew-split plan law (the hot partition really is split at
+    // runtime) is SimilaritySpec territory; here the driver pins that skew
+    // never changes answers.
+    Q("q105_knn_skew",
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        | corp AS (
+        |   SELECT vec_id,
+        |     CASE WHEN vec_id % 2 = 0
+        |       THEN CAST(list_transform(embedding,
+        |              x -> x * CAST(0.001 AS FLOAT) + CAST(3.0 AS FLOAT)) AS DOUBLE[])
+        |       ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |   FROM base
+        |   UNION ALL
+        |   SELECT vec_id + 100000,
+        |     CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |   FROM base WHERE vec_id % 10 = 1),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz
+        |       WHERE vec_id % 10 = 1 AND vec_id < 100000),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored)
+        |SELECT qid, nid, score FROM ranked WHERE rnk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val skewed = emb.withColumn("embedding",
+        when(col("vec_id") % 2 === 0,
+          transform(col("embedding"), x => x * lit(0.001f) + lit(3.0f))
+            .cast("array<float>"))
+          .otherwise(col("embedding")))
+      val twins = emb.filter(col("vec_id") % 10 === 1)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val corpus = skewed.unionByName(twins).localCheckpoint()
+      knnJoinQuantized(corpus, corpus, k = 1, nProbe = Int.MaxValue)
+        .filter(col("rnk") === 1 && col("qid") % 10 === 1 && col("qid") < 100000)
+        .select("qid", "nid", "score")
+        .orderBy("qid")
+    },
+
     Q("q83_knn_quantized",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | qz AS (

@@ -125,6 +125,54 @@ class SimilaritySpec extends SparkSpec {
     assert(joined === brute && joined.nonEmpty)
   }
 
+  test("planted hot cell: AQE splits the skewed candidate-join partition, results unchanged") {
+    // every even id is collapsed onto ONE point and replicated 32x:
+    // identical vectors tie on distance to every centroid, so the argmin
+    // tie-break routes all ~8000 of them to a single cid — k-means cannot
+    // balance them away (a cluster with radius would be split across
+    // centroids; a point cannot be). The cid shuffle then has one partition
+    // holding ~95% of the corpus side. An isolated child session lowers the
+    // AQE skew thresholds to the fixture's byte scale (test data never
+    // crosses the 256MB production default) and forces the rewrite past the
+    // extra-shuffle veto; the law is (a) the runtime plan really split the
+    // hot partition, (b) answers are identical to the brute-force broadcast
+    // form — skew handling must be invisible in the result.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4kb")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2kb")
+    // spread the ~20 cells across enough partitions that the hot cell IS a
+    // partition, not a fraction of one
+    s2.conf.set("spark.sql.shuffle.partitions", "16")
+    val emb2 = Tables.embeddings(s2, sfDir).select("vec_id", "embedding")
+    val hot = emb2.filter(col("vec_id") % 2 === 0)
+      .withColumn("rep", explode(sequence(lit(0), lit(31))))
+      .withColumn("vec_id", col("vec_id") * 100 + col("rep"))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.001f) + lit(3.0f))
+          .cast("array<float>"))
+      .drop("rep")
+    val corpus = emb2.filter(col("vec_id") % 2 === 1).unionByName(hot)
+      .localCheckpoint()
+    val probes = emb2.filter(col("vec_id") % 2 === 1 && col("vec_id") < 400)
+    val n = Similarity.resolveNCentroids(corpus, -1)
+    val joined = Similarity.knnJoinQuantized(probes, corpus, 3, nProbe = n)
+    val got = joined.collect().map(_.toSeq).toSet
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE skew-join split did not engage on the hot cell:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // identical answers through the broadcast brute-force path
+    val brute = Similarity.quantizedTopK(corpus, probes, 3)
+      .collect().map(_.toSeq).toSet
+    assert(got === brute && got.nonEmpty)
+  }
+
   test("knnJoinQuantized answers with broadcast joins disabled (the no-broadcast law)") {
     import spark.implicits._
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
