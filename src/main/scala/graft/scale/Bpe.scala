@@ -79,6 +79,21 @@ object Bpe {
                 textCol: String = "text"): DataFrame =
     bpeMergesFromCounts(wordCounts(docs, textCol), nMerges, topKWords)
 
+  /** Tie-breaks compare UTF-8 BYTES, not UTF-16 code units: the DuckDB
+    * oracle's ORDER BY and Spark's own string comparisons are both
+    * byte-ordered, and Scala's Ordering.String would rank a
+    * supplementary-plane symbol (surrogates, 0xD800-range units) BELOW a
+    * U+E000..U+FFFF symbol while UTF-8 ranks it above — a count tie between
+    * two such symbols would silently pick different merges per engine.
+    * Unreachable on an ASCII corpus, but "value-exact on any engine" must
+    * not depend on the corpus staying ASCII.
+    */
+  private val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
+
   /** [[bpeMerges]] over a precomputed (`__w`, `__cnt`) relation — lets a
     * caller that already paid the word-count shuffle reuse it.
     */
@@ -106,7 +121,7 @@ object Bpe {
       if (pairCounts.isEmpty) done = true
       else {
         val ((l, r), c) = pairCounts.minBy { case ((l, r), c) => (-c, l, r) }(
-          Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String))
+          Ordering.Tuple3(Ordering.Long, Utf8Order, Utf8Order))
         merges += ((rank, l, r, c))
         segs = segs.map { case (s, wc) => (applyMerge(s, l, r), wc) }
         rank += 1
@@ -252,11 +267,22 @@ object Bpe {
     */
   private def roundSql(i: Int): String = {
     val prev = s"seg${i - 1}"
+    // Pair exhaustion: the engine's training loop stops early and tokenizes
+    // with the shorter merge list. An EMPTY m$i here would instead
+    // cross-join every later round to zero rows, silently wiping the whole
+    // oracle — so exhaustion falls back to a sentinel no-op merge (symbols
+    // are whitespace-split, so a space can never match an adjacency): the
+    // tokenize chains stay value-identical to the engine's early stop,
+    // while q90's merge-list output diverges LOUDLY (a visible sentinel row
+    // vs a missing engine row) instead of as a 0-row mystery.
     s"""
  pc$i AS MATERIALIZED (SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS c
          FROM (SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr FROM $prev)
          GROUP BY 1, 2),
- m$i AS MATERIALIZED (SELECT l, r, CAST(c AS BIGINT) AS c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),""" +
+ m$i AS MATERIALIZED (
+   SELECT * FROM (SELECT l, r, CAST(c AS BIGINT) AS c FROM pc$i ORDER BY c DESC, l, r LIMIT 1)
+   UNION ALL
+   SELECT ' ', ' ', CAST(0 AS BIGINT) WHERE NOT EXISTS (SELECT 1 FROM pc$i)),""" +
     applySql(prev, s"seg$i", i)
   }
 

@@ -517,16 +517,38 @@ object Curation {
     * collision argument as [[contaminatedDocs]]'s hashKeys). Oracled
     * end-to-end as q81 with planted header/footer boilerplate.
     */
-  def removeBoilerplate(docs: DataFrame, minDf: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val hot: Array[Long] = docs
-      .select(col(idCol), explode(split(col(textCol), "\n")).as("__p"))
-      .select(col(idCol), xxhash64(col("__p")).as("__h"))
+  /** The narrow (doc id, paragraph hash) relation both boilerplate jobs
+    * aggregate: text is split and hashed inside the scan task, so only
+    * 16-byte rows leave it. `explode_outer` + a null-guarded hash keeps one
+    * row per paragraph-less doc (`__h` NULL), so a distinct-id count over
+    * this relation equals the corpus document count — which is what lets
+    * [[removeBoilerplateByFraction]] resolve its threshold from the same
+    * single corpus scan.
+    */
+  private def paragraphHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode_outer(split(col(textCol), "\n")).as("__p"))
+      .select(col(idCol),
+        when(col("__p").isNotNull, xxhash64(col("__p"))).as("__h"))
+
+  private def hotSet(parHashes: DataFrame, minDf: Int, idCol: String): Array[Long] = {
+    val hot = parHashes.filter(col("__h").isNotNull)
       .groupBy("__h").agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
       .select("__h").collect().map(_.getLong(0))
     java.util.Arrays.sort(hot)
+    hot
+  }
+
+  def removeBoilerplate(docs: DataFrame, minDf: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    rebuildWithoutHot(docs, hotSet(paragraphHashes(docs, idCol, textCol), minDf, idCol),
+      idCol, textCol)
+  }
+
+  private def rebuildWithoutHot(docs: DataFrame, hot: Array[Long],
+                                idCol: String, textCol: String): DataFrame = {
     def inHot(p: Column): Column = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.LongSetContains(
         org.apache.spark.sql.GraftColumnBridge.expression(xxhash64(p)), hot))
@@ -550,17 +572,25 @@ object Curation {
     * as the corpus grows (minDf=100 is "every third doc" at 300 docs and
     * "once per million" at 10⁸ — the latter collects an unbounded hot set),
     * while a fraction keeps the hot set at ≤ avgParasPerDoc / fraction
-    * entries no matter the corpus size. One count() job resolves the
-    * absolute threshold; everything else is [[removeBoilerplate]].
+    * entries no matter the corpus size.
+    *
+    * One corpus scan resolves BOTH the document count and the hot set: the
+    * narrow (id, hash) relation is materialized once (localCheckpoint —
+    * 16-byte rows; blocks free with the query), the distinct-id count over
+    * it IS the corpus doc count (paragraph-less docs keep a NULL-hash row),
+    * and the hot-set aggregation reads the same blocks. The corpus text is
+    * never split or hashed twice — at crawl scale the cached longs are
+    * orders of magnitude smaller than a second text scan.
     */
   def removeBoilerplateByFraction(docs: DataFrame, minDfFraction: Double,
                                   idCol: String = "doc_id",
                                   textCol: String = "text"): DataFrame = {
     require(minDfFraction > 0 && minDfFraction <= 1,
       s"minDfFraction must be in (0, 1], got $minDfFraction")
-    val nDocs = docs.count()
-    removeBoilerplate(docs, math.max(2, math.ceil(nDocs * minDfFraction).toLong.toInt),
-      idCol, textCol)
+    val ph = paragraphHashes(docs, idCol, textCol).localCheckpoint()
+    val nDocs = ph.select(count_distinct(col(idCol))).head().getLong(0)
+    val minDf = math.max(2, math.ceil(nDocs * minDfFraction).toLong.toInt)
+    rebuildWithoutHot(docs, hotSet(ph, minDf, idCol), idCol, textCol)
   }
 
   /** Content-defined token-span chunks: the text's token stream cut AFTER
