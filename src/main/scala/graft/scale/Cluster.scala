@@ -56,6 +56,12 @@ object Cluster extends org.apache.spark.internal.Logging {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // empty graph: converged by definition — skip the loop's per-round jobs
+    // (the streaming near-dup sink hits this on every clean crawl batch,
+    // where the fixed cost of even one hop+double round is pure overhead)
+    if (edges.isEmpty)
+      return CCResult(edges.select(col("src").as("doc_id"), col("dst").as("cluster")),
+        converged = true, iters = 0)
     // no checkpoint here: round 1's checkpoint materializes the whole chain,
     // and the two uses inside round 1 share the shuffled distinct output
     var labels = edges.select(col("src").as("id")).distinct()

@@ -64,17 +64,36 @@ final class NearDupIndex(spark: SparkSession, root: String,
   def seed(curated: DataFrame): Unit = {
     val b = curated.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull).localCheckpoint()
-    survivors.incrementalDedup(b, Seq("doc_id"), Seq("doc_id"))
-    signatures.incrementalDedup(
-      Dedup.minhashSignatures(b, numHashes, shingleSize),
-      Seq("doc_id"), Seq("doc_id"))
+    // full refresh, not a latest-wins merge: the bootstrap accepts the
+    // curated corpus verbatim, so paying a key window over the whole corpus
+    // would buy nothing (re-seeding replaces the snapshot wholesale)
+    survivors.fullRefresh(b)
+    signatures.fullRefresh(Dedup.minhashSignatures(b, numHashes, shingleSize))
   }
 
   /** Dedup one micro-batch against itself and the index, then grow the
     * index with the accepted rows. Callable directly (the foreachBatch body)
     * so specs can drive controlled batch boundaries.
+    *
+    * Growth is an APPEND version per table — O(batch) bytes written, the
+    * old files inherited by reference ([[graft.write.VersionedTable
+    * .stageAppend]]) — NOT a keyed re-merge of the whole table per batch,
+    * which would make each micro-batch pay an O(corpus) rewrite. Append
+    * alone would duplicate rows on a foreachBatch replay, so each promote
+    * is stamped with the micro-batch id atomically in the manifest and a
+    * redelivered batch skips a table whose stamp it already carries — the
+    * standard exactly-once foreachBatch sink. A crash BETWEEN the two
+    * promotes replays into a half-stamped pair: the recompute is
+    * deterministic (candidates band against the signatures table, which
+    * never runs ahead of survivors), the stamped table skips, the lagging
+    * table appends — convergent, no duplicates, no loss
+    * (StreamingNearDupSpec laws).
     */
-  def processBatch(batch: DataFrame): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val tag = s"batch=$batchId"
+    val survivorsDone = survivors.exists && survivors.currentTag.contains(tag)
+    val signaturesDone = signatures.exists && signatures.currentTag.contains(tag)
+    if (survivorsDone && signaturesDone) return
     val b = batch.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull).localCheckpoint()
     val sigs = Dedup.minhashSignatures(b, numHashes, shingleSize).localCheckpoint()
@@ -89,10 +108,15 @@ final class NearDupIndex(spark: SparkSession, root: String,
                   survivors.read(), threshold, numHashes, bands, shingleSize))
       .localCheckpoint()
     // 3. grow both tables with the accepted rows
-    survivors.incrementalDedup(kept, Seq("doc_id"), Seq("doc_id"))
-    signatures.incrementalDedup(
-      sigs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
-      Seq("doc_id"), Seq("doc_id"))
+    val keptSigs = sigs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    if (!survivorsDone) {
+      if (survivors.exists) survivors.promote(survivors.stageAppend(kept), Some(tag))
+      else survivors.promote(survivors.stage(kept), Some(tag))
+    }
+    if (!signaturesDone) {
+      if (signatures.exists) signatures.promote(signatures.stageAppend(keptSigs), Some(tag))
+      else signatures.promote(signatures.stage(keptSigs), Some(tag))
+    }
   }
 }
 
@@ -107,8 +131,8 @@ object NearDupStream {
     docs.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        index.processBatch(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.processBatch(batch, batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()

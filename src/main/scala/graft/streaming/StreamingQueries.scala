@@ -182,9 +182,12 @@ object StreamingQueries {
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val wh = scratchDir("graft-q101")
-      val index = new NearDupIndex(s, s"$wh/ndi", threshold = 0.8)
+      // unlike q50/q85 (dozens of window keys), this query's stages carry
+      // CPU-heavy shingle/verify work — an 8-way shuffle cap measured ~25%
+      // SLOWER end-to-end than the session default by starving those stages
+      // of cores, so the stream keeps the caller's sizing
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val index = new NearDupIndex(s, s"$wh/ndi", threshold = 0.8)
       val curated = graft.core.Tables.documents(s, d)
         .select(col("doc_id"), trim(col("text")).as("text"))
       index.seed(curated)

@@ -79,8 +79,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   def currentVersion: Option[Int] =
     if (Files.exists(manifest))
-      Some(new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8).trim.toInt)
+      Some(new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+        .linesIterator.next().trim.toInt)
     else None
+
+  /** The tag recorded with the last promote, if any — used by idempotent
+    * streaming sinks to stamp the micro-batch id a version corresponds to,
+    * atomically with the version flip itself (one manifest write): a
+    * replayed batch compares its id against the tag and skips, which is
+    * what makes APPEND versions (no keyed merge to absorb a redelivery)
+    * exactly-once.
+    */
+  def currentTag: Option[String] =
+    if (!Files.exists(manifest)) None
+    else new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+      .linesIterator.drop(1).find(_.nonEmpty).map(_.trim)
 
   def exists: Boolean = currentVersion.isDefined
 
@@ -106,8 +119,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     else {
       val legs = entries(version).groupBy(_._1).toSeq.sortBy(_._1)
       legs.map { case (v, es) =>
-        spark.read.option("basePath", s"$root/v$v")
-          .parquet(es.map { case (_, d) => s"$root/v$v/$d" }: _*)
+        val paths = es.map { case (_, d) => s"$root/v$v/$d" }
+        // partition-dir entries need the version dir as basePath so hive
+        // discovery recovers the partition column; file entries read plainly
+        if (es.exists(_._2.contains("=")))
+          spark.read.option("basePath", s"$root/v$v").parquet(paths: _*)
+        else spark.read.parquet(paths: _*)
       }.reduceLeft(_.unionByName(_))
     }
   }
@@ -132,16 +149,39 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
-  /** Per-partition provenance of a version: (sourceVersion, partitionDir)
-    * pairs. A whole-directory version owns every partition under it; a patch
-    * version's `_FILELIST` inherits untouched partitions from its base by
-    * reference, so provenance chains resolve without copying data.
+  /** Data files (`part-*.parquet`) directly under version `v` — the
+    * entry unit for unpartitioned append chains.
+    */
+  private def partFiles(v: Int): Seq[String] = {
+    val dir = Paths.get(root, s"v$v")
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("part-") && name.endsWith(".parquet")) out += name
+        }
+        out.sorted.toSeq
+      } finally stream.close()
+    }
+  }
+
+  /** Per-unit provenance of a version: (sourceVersion, name) pairs, where a
+    * name is a hive partition directory (partitioned tables) or a data file
+    * (unpartitioned append chains). A whole-directory version owns every
+    * unit under it; a patch/append version's `_FILELIST` inherits the rest
+    * of its base by reference, so provenance chains resolve without copying
+    * data.
     */
   private def entries(v: Int): Seq[(Int, String)] = {
     val fl = fileListPath(v)
-    if (!Files.exists(fl))
-      partitionDirs(v).map(d => (v, d))
-    else {
+    if (!Files.exists(fl)) {
+      val dirs = partitionDirs(v)
+      if (dirs.nonEmpty) dirs.map(d => (v, d)) else partFiles(v).map(f => (v, f))
+    } else {
       import scala.jdk.CollectionConverters._
       Files.readAllLines(fl, StandardCharsets.UTF_8).asScala.toSeq
         .filter(_.nonEmpty)
@@ -217,12 +257,39 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   /** Atomically promote a staged version: temp manifest + atomic rename. */
-  def promote(version: Int): Unit = {
+  def promote(version: Int): Unit = promote(version, None)
+
+  /** Promote with a tag recorded in the same atomic manifest write — see
+    * [[currentTag]].
+    */
+  def promote(version: Int, tag: Option[String]): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"_MANIFEST.tmp$version")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    val body = version.toString + tag.map("\n" + _).getOrElse("")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stage an APPEND version for an UNPARTITIONED table: only the incoming
+    * rows are written; every data file of the current version is inherited
+    * by reference through the new version's `_FILELIST`. This is the W3
+    * append when the caller guarantees the incoming keys are new (e.g. an
+    * exactly-once streaming sink gating on [[currentTag]]) — O(batch) bytes
+    * written per batch instead of the keyed merge's O(table) rewrite, same
+    * atomic-promote protocol.
+    */
+  def stageAppend(df: DataFrame): Int = {
+    val base = currentVersion.getOrElse(throw new IllegalStateException(
+      s"stageAppend needs a committed base version at $root"))
+    require(partitionDirs(base).isEmpty && entries(base).forall(!_._2.contains("=")),
+      s"stageAppend is for unpartitioned tables; $root/v$base has partition dirs")
+    val next = base + 1
+    df.write.mode("overwrite").parquet(s"$root/v$next")
+    val all = entries(base) ++ partFiles(next).map(f => (next, f))
+    Files.write(fileListPath(next),
+      all.map { case (v, d) => s"$v\t$d" }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    next
   }
 
   /** W1/W2 full refresh: stage + promote. */

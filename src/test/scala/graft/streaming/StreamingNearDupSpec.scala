@@ -26,17 +26,17 @@ class StreamingNearDupSpec extends SparkSpec {
     // jaccard 9/10); 2 unrelated
     val b1 = Seq((1L, tA), (101L, tA), (201L, dropFirstWord(tA)), (2L, tB))
       .toDF("doc_id", "text")
-    idx.processBatch(b1)
+    idx.processBatch(b1, 0L)
     assert(idx.survivors.read().select("doc_id").as[Long].collect().sorted
       === Array(1L, 2L))
   }
 
   test("cross-batch: a later batch drops against earlier survivors, fresh docs pass") {
     val idx = new NearDupIndex(spark, root("cross"))
-    idx.processBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"))
+    idx.processBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L)
     // 301 exact re-crawl of 1; 302 trivially-edited re-crawl of 2; 303 fresh
     idx.processBatch(Seq((301L, tA), (302L, dropFirstWord(tB)), (303L, tC))
-      .toDF("doc_id", "text"))
+      .toDF("doc_id", "text"), 1L)
     assert(idx.survivors.read().select("doc_id").as[Long].collect().sorted
       === Array(1L, 2L, 303L))
     // the signature index grew with the accepted doc only
@@ -49,10 +49,10 @@ class StreamingNearDupSpec extends SparkSpec {
     // same CONTENT; the kept id for a dup pair is the min id in one batch
     // and the earlier-arriving id across batches
     val one = new NearDupIndex(spark, root("one"))
-    one.processBatch(Seq((1L, tA), (2L, tB), (3L, tC), (10L, tA)).toDF("doc_id", "text"))
+    one.processBatch(Seq((1L, tA), (2L, tB), (3L, tC), (10L, tA)).toDF("doc_id", "text"), 0L)
     val two = new NearDupIndex(spark, root("two"))
-    two.processBatch(Seq((10L, tA), (2L, tB)).toDF("doc_id", "text"))
-    two.processBatch(Seq((1L, tA), (3L, tC)).toDF("doc_id", "text"))
+    two.processBatch(Seq((10L, tA), (2L, tB)).toDF("doc_id", "text"), 0L)
+    two.processBatch(Seq((1L, tA), (3L, tC)).toDF("doc_id", "text"), 1L)
     assert(one.survivors.read().select("doc_id").as[Long].collect().sorted
       === Array(1L, 2L, 3L))
     // 10 arrived first, so it — not the globally-minimal 1 — holds the slot
@@ -67,24 +67,55 @@ class StreamingNearDupSpec extends SparkSpec {
     idx.seed(Seq((1L, tA), (4L, dropFirstWord(tA)), (2L, tB)).toDF("doc_id", "text"))
     assert(idx.survivors.read().count() === 3)
     // but a crawl doc near-dupping either seeded entry is dropped
-    idx.processBatch(Seq((301L, tA), (303L, tC)).toDF("doc_id", "text"))
+    idx.processBatch(Seq((301L, tA), (303L, tC)).toDF("doc_id", "text"), 0L)
     assert(idx.survivors.read().select("doc_id").as[Long].collect().sorted
       === Array(1L, 2L, 4L, 303L))
   }
 
   test("replaying a micro-batch is idempotent: survivors and signatures unchanged") {
     val idx = new NearDupIndex(spark, root("replay"))
-    idx.processBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"))
+    idx.processBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), 0L)
     val b2 = Seq((301L, tA), (303L, tC), (304L, tD)).toDF("doc_id", "text")
-    idx.processBatch(b2)
+    idx.processBatch(b2, 1L)
     val before = idx.survivors.read().collect().map(_.toSeq).toSet
-    // a failure after the index write but before the checkpoint commit
-    // redelivers the same batch — accepted docs must not self-annihilate
-    // against their own index entries, nor duplicate
-    idx.processBatch(b2)
+    // a failure after the index writes but before the checkpoint commit
+    // redelivers the same batch id — the manifest stamp makes the replay a
+    // pure no-op: nothing is appended twice, nothing self-annihilates
+    idx.processBatch(b2, 1L)
     val after = idx.survivors.read().collect().map(_.toSeq).toSet
     assert(after === before)
     assert(before.map(_.head) === Set(1L, 2L, 303L, 304L))
     assert(idx.signatures.read().count() === 4)
+    val v = idx.survivors.currentVersion.get
+    assert(idx.survivors.currentTag.contains("batch=1"))
+    // and the replayed promote did not even stage a new version
+    assert(idx.survivors.versions.max === v)
+  }
+
+  test("appends are O(batch): a later batch's version inherits prior files by reference") {
+    val r = root("append")
+    val idx = new NearDupIndex(spark, r)
+    idx.seed(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"))
+    idx.processBatch(Seq((303L, tC)).toDF("doc_id", "text"), 0L)
+    idx.processBatch(Seq((304L, tD)).toDF("doc_id", "text"), 1L)
+    // the logical table accumulated everything across the chain
+    assert(idx.survivors.read().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 303L, 304L))
+    assert(idx.survivors.readVersion(2).count() === 4)
+    // each append version's own directory holds ONLY its batch's rows —
+    // earlier rows are inherited through the file list, never rewritten
+    def ownRows(v: Int): Long = {
+      val d = java.nio.file.Paths.get(s"$r/survivors/v$v")
+      val s = java.nio.file.Files.list(d)
+      val files = try {
+        val it = s.iterator(); val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) { val n = it.next().getFileName.toString
+          if (n.startsWith("part-") && n.endsWith(".parquet")) out += s"$d/$n" }
+        out.toSeq
+      } finally s.close()
+      if (files.isEmpty) 0L else spark.read.parquet(files: _*).count()
+    }
+    assert(ownRows(1) === 1L) // batch 0: one new doc
+    assert(ownRows(2) === 1L) // batch 1: one new doc, seed+batch0 inherited
   }
 }
