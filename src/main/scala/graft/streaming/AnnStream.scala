@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.scale.AnnIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Incremental ANN ingestion: a vector stream drained into a persistent IVF
+  * index. Each micro-batch is assigned into the EXISTING cells, quantized,
+  * and merged into the postings as a per-cell patch version —
+  * [[graft.scale.AnnIndex.appendToIvfIndex]]'s O(touched cells) write, so a
+  * continuous crawl pays per-batch work proportional to the batch's cell
+  * footprint, never the corpus. No batch stamp is needed here (contrast
+  * [[NearDupIndex.processBatch]]): the append IS a keyed upsert on nid
+  * within each touched cell, so a redelivered batch merges to the identical
+  * postings — replay idempotence by semantics rather than by gating.
+  * Centroids stay fixed between periodic [[graft.scale.AnnIndex
+  * .buildIvfIndex]] rebuilds, the standard serving compromise.
+  */
+object AnnStream {
+
+  def annAppendSink(vectors: DataFrame, root: String, checkpoint: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        AnnIndex.appendToIvfIndex(batch, root, idCol, vecCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

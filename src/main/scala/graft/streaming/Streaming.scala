@@ -111,6 +111,50 @@ object Streaming {
       }
   }
 
+  final case class SessEvent(user_id: Long, us: Long)
+  final case class OpenSess(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap sessionization as custom keyed state — the streaming twin of batch
+    * q16 with its EXACT boundary rule (`diff > gap` merges an exactly-gap
+    * interval, where the built-in `session_window` starts a new session; the
+    * built-in also refuses Update output mode, which the latest-wins drain
+    * needs on a finite source — Append would swallow every user's trailing
+    * session). State is ONE open session per user — O(users), not O(events),
+    * so it partitions by user and stays bounded on any crawl. Each batch
+    * sorts its events per user (micro-batch-sized, not corpus-sized), closes
+    * and emits sessions as gaps appear, and re-emits the still-open session,
+    * whose row a later batch supersedes via the (user_id, start_us) /
+    * n_events latest-wins merge. Cross-batch caveat, same as q50/q85: an
+    * out-of-order event arriving in a LATER batch that extends a session
+    * backwards changes its start key and would strand the earlier row —
+    * exact replay under arbitrary reordering needs time-ordered file
+    * listing, which the single-batch AvailableNow drain satisfies.
+    */
+  def gapSessionize(events: DataFrame, gapUs: Long = 1800000000L): Dataset[OpenSess] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us")).as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSess, OpenSess](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[SessEvent], state: GroupState[OpenSess]) =>
+          val ts = batch.map(_.us).toArray
+          java.util.Arrays.sort(ts)
+          val out = scala.collection.mutable.ListBuffer.empty[OpenSess]
+          var cur = state.getOption.orNull
+          ts.foreach { us =>
+            if (cur == null) cur = OpenSess(uid, us, us, 1L)
+            else if (us - cur.end_us > gapUs) {
+              out += cur
+              cur = OpenSess(uid, us, us, 1L)
+            } else cur = OpenSess(uid, math.min(cur.start_us, us),
+              math.max(cur.end_us, us), cur.n_events + 1L)
+          }
+          if (cur != null) { state.update(cur); out += cur }
+          out.iterator
+      }
+  }
+
   final case class DocHash(doc_id: Long, h: String)
   final case class DocKeep(content_hash: String, keep_id: Long, copies: Long)
 
@@ -170,6 +214,16 @@ object Streaming {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Read the embeddings table shape as a file stream (parquet) — the
+    * readStream entry point for streaming vector ingestion.
+    */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
       .parquet(sfDir)
   }
 

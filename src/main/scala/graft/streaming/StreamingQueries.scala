@@ -204,5 +204,105 @@ object StreamingQueries {
         .awaitTermination()
       index.survivors.read().orderBy("doc_id")
     },
+
+    // Streaming ANN ingestion: q93's lifecycle-invariance claim reached
+    // through a STREAM — the base index is built batch-side, then the twin
+    // vectors arrive as a crawl micro-batch drained through annAppendSink
+    // (per-cell patch append, replay-idempotent by upsert semantics), and
+    // the probe must answer exactly as if the twins had been indexed from
+    // the start. Same quantized brute-force oracle as q93: the serving
+    // answer is ingestion-path-invariant (batch build, batch append, or
+    // streamed append all hash to the same rows).
+    Q("q106_streaming_ann",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored)
+        |SELECT qid, nid, score FROM ranked WHERE rnk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      import graft.scale.AnnIndex
+      val emb = graft.core.Tables.embeddings(s, d).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 5)
+      val wh = scratchDir("graft-q106")
+      val root = s"$wh/ivf"
+      AnnIndex.buildIvfIndex(emb, root)
+      val s2 = s.newSession()
+      val twins = Streaming.embeddingsStream(s2, d)
+        .filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+        .select("vec_id", "embedding")
+      AnnStream.annAppendSink(twins, root, s"$wh/ckpt").awaitTermination()
+      AnnIndex.probeIvf(s, root, probes, k = 1, nProbe = 3)
+        .filter(col("rnk") === 1)
+        .select("qid", "nid", "score")
+        .orderBy("qid")
+    },
+
+    // Streaming gap sessionization drained through the latest-wins sink —
+    // the q16 batch answer reached through custom keyed state
+    // (flatMapGroupsWithState), which reproduces batch q16's EXACT
+    // `diff > gap` boundary rule (the built-in session_window splits an
+    // exactly-gap interval AND refuses the Update output mode this drain
+    // needs — in Append mode a finite source's watermark never passes the
+    // trailing sessions, losing every user's last session). The sink keys
+    // on (user_id, session_start) ordered by n_events, so a session
+    // re-emitted by a later batch with more events supersedes its open-form
+    // row. Output formats timestamps exactly as q16 does, so the oracle is
+    // q16's chain re-keyed by session start instead of ordinal session id.
+    Q("q107_streaming_sessions",
+      """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events),
+        | lagged AS (SELECT user_id, ts, us,
+        |   lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+        |   event_id FROM e),
+        | flagged AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |   FROM lagged),
+        | sess AS (SELECT user_id, ts,
+        |   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |   FROM flagged)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        | count(1) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q107")
+      val table = new VersionedTable(s, s"$wh/sessions")
+      val s2 = s.newSession()
+      // session keys = users, not events — size the state shuffle like q50
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val sessions = Streaming.gapSessionize(Streaming.eventsStream(s2, d))
+      val q = Streaming.incrementalDedupSink(sessions.toDF(),
+        table, keys = Seq("user_id", "start_us"),
+        orderCols = Seq("n_events"), checkpoint = s"$wh/ckpt")
+      q.awaitTermination()
+      table.read()
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(timestamp_micros(col("end_us")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
   )
 }

@@ -218,6 +218,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
     next
   }
 
+  /** Collapse a patch/append chain: rewrite the current version's LOGICAL
+    * content as a self-contained whole-directory version and promote it —
+    * the LSM compaction step that bounds how many historical versions a
+    * read must union across. The promote carries the current tag forward,
+    * so an exactly-once streaming sink's replay protection survives a
+    * compaction running between batches. Pass the table's partition
+    * column(s) to keep directory pruning for partitioned chains.
+    */
+  def compact(partitionCols: Seq[String] = Nil): Int = {
+    val v = stage(read(), partitionCols)
+    promote(v, currentTag)
+    v
+  }
+
   /** Every staged version present on disk, ascending (the committed one is
     * `currentVersion`; later entries are staged-but-unpromoted).
     */

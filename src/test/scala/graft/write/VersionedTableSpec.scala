@@ -97,6 +97,26 @@ class VersionedTableSpec extends SparkSpec {
     spark.catalog.dropTempView("pre_staged") // preSql views are the spec's own business
   }
 
+  test("compact collapses an append chain into one self-contained version") {
+    val root = s"${tmp()}/t"
+    val t = new VersionedTable(spark, root)
+    t.promote(t.stage(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    t.promote(t.stageAppend(Seq((3L, "c")).toDF("id", "v")), Some("batch=0"))
+    t.promote(t.stageAppend(Seq((4L, "d")).toDF("id", "v")), Some("batch=1"))
+    val before = t.read().collect().map(_.toSeq).toSet
+    val cv = t.compact()
+    // logical content unchanged; the compacted version is whole-directory
+    // (no file list to resolve) and the batch stamp survives, so a stream
+    // replay arriving after a compaction still skips
+    assert(t.read().collect().map(_.toSeq).toSet === before)
+    assert(t.currentVersion.contains(cv))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, s"v$cv", "_FILELIST")))
+    assert(t.currentTag.contains("batch=1"))
+    // the pre-compaction chain stays readable (time travel is not rewritten)
+    assert(t.readVersion(cv - 1).count() === 4)
+  }
+
   test("SummaryBuilder eq gate requires exact count") {
     val wh = tmp()
     Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("eq_input")
