@@ -48,6 +48,46 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminatedDocs]] at the scale where the eval shingle set outgrows a
+    * broadcast hash relation: a full benchmark SUITE'S 10⁸ distinct gram
+    * hashes are gigabytes as a join hashmap but ~10 bits/key as a bloom
+    * filter. The bloom is built distributed (tree-aggregated bitsets — the
+    * driver never materializes the key set), broadcast once, and probed
+    * scan-local by the codegen'd [[graft.expressions.BloomMightContain]]:
+    * ~all clean grams die before any shuffle. Only survivors — true
+    * contamination plus the fpp sliver — reach the exact verify join, which
+    * now shuffles survivor-sized relations instead of broadcasting the eval
+    * set to every executor. False positives fail the verify join, so the
+    * composed result is VALUE-EXACT, not approximate: same rows as
+    * [[contaminatedDocs]] at any fpp.
+    */
+  def contaminatedDocsBloom(corpus: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                            minShared: Int = 1, fpp: Double = 0.01,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def sh(df: DataFrame) = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(df(textCol)), n))
+    val evalSh = evalDocs
+      .select(explode(sh(evalDocs)).as("g"))
+      .select(xxhash64(col("g")).as("g")).distinct()
+    // one benchmark-sized pass to size the filter, one to fill it — the
+    // eval side is small by contract (the corpus side is never counted)
+    val nGrams = math.max(1L, evalSh.count())
+    val bloom = evalSh.stat.bloomFilter("g", nGrams, fpp)
+    val corpusSh = corpus
+      .select(col(idCol), explode(sh(corpus)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("g"))
+    val pre = corpusSh.filter(org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.BloomMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("g")), bloom)))
+    // deliberately NOT broadcast: the verify join is survivor-sized on the
+    // probe side, so the planner (AQE) picks its own strategy — at bench SF
+    // that is a broadcast, at suite scale a shuffle of survivors only
+    pre.join(evalSh, "g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** PII scrubbing: redact emails and phone numbers with fixed placeholder
     * tokens, reporting per-doc redaction counts. Pure regexp projection —
     * codegen'd, zero shuffle, scans at parquet-read speed; patterns are kept
@@ -757,6 +797,48 @@ object Curation {
             concat(col("text"), lit(" [CONT] "), col("__etext")))
             .otherwise(col("text")).as("text"))
       contaminatedDocs(corpus, ev).orderBy("doc_id")
+    },
+
+    // The bloom-prefiltered decontamination path must be VALUE-EXACT against
+    // the same brute-force oracle as q70 — same planted fixture, same
+    // counts. fpp=0.25 is deliberately terrible: it forces real false
+    // positives through the bloom so the verify join's exactness is what
+    // this gate certifies, not a lucky clean prefilter.
+    Q("q108_decontaminate_bloom",
+      """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
+        | ev AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+        | corp AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 17 = 0 AND e.doc_id IS NOT NULL
+        |              AND len(string_split_regex(e.text, '\s+')) >= 13
+        |         THEN d.text || ' [CONT] ' || e.text ELSE d.text END AS text
+        |  FROM base d
+        |  LEFT JOIN ev e ON e.doc_id = d.doc_id - (d.doc_id % 50)
+        |  WHERE d.doc_id % 50 <> 0),
+        | shc AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split_regex(text, '\s+')) - 13, 0) + 1),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+13], ' ')))) AS g
+        |  FROM corp),
+        | she AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    range(0, greatest(len(string_split_regex(text, '\s+')) - 13, 0) + 1),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+13], ' '))) AS g
+        |  FROM ev)
+        |SELECT doc_id, count(1) AS n_shared FROM shc JOIN she USING (g)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+      val ev = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(ev.select(col("doc_id").as("__eid"), col("text").as("__etext"))),
+          col("__eid") === col("doc_id") - (col("doc_id") % 50), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0 && col("__eid").isNotNull &&
+               size(split(col("__etext"), graft.expressions.Ws.Regex)) >= 13,
+            concat(col("text"), lit(" [CONT] "), col("__etext")))
+            .otherwise(col("text")).as("text"))
+      contaminatedDocsBloom(corpus, ev, fpp = 0.25).orderBy("doc_id")
     },
 
     // PII scrubbing with planted PII: every 5th doc gets a deterministic

@@ -90,6 +90,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bloom decontamination probes scan-local with no eval-set broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(graft.scale.Curation.contaminatedDocsBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0)))
+      // the bloom probe is an expression in the corpus scan stage — the
+      // clean-gram kill happens before any exchange, and the eval set is
+      // never shipped as a broadcast relation
+      assert(plan.contains("bloom_might_contain"), plan)
+      assert(!plan.contains("BroadcastExchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("stratifiedMix is a pure filter: the only shuffle is the downstream agg") {
     val mixed = graft.scale.Curation.stratifiedMix(
       Tables.documents(spark, sfDir), "lang", Map("en" -> 16, "de" -> 8), default16 = 2)

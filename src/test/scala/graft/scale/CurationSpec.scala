@@ -33,6 +33,22 @@ class CurationSpec extends SparkSpec {
     assert(baseline.subsetOf(flagged))      // ...and the organic ones remain
   }
 
+  test("contaminatedDocsBloom is value-exact at any fpp (verify join kills false positives)") {
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+    val planted = docs.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(ev.select(col("doc_id").as("__e"), col("text").as("__t"))),
+        col("__e") === col("doc_id") - (col("doc_id") % 50), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [CONT] "), col("__t")))
+          .otherwise(col("text")).as("text"))
+    val exact = Curation.contaminatedDocs(planted, ev).as[(Long, Long)].collect().toMap
+    // fpp=0.5: roughly half the clean grams leak through the bloom — the
+    // result must still be identical because every positive is re-verified
+    val bloomy = Curation.contaminatedDocsBloom(planted, ev, fpp = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(bloomy === exact)
+  }
+
   test("contaminatedDocs: hashed keys == string keys (counts and ids)") {
     val ev = docs.filter(col("doc_id") % 50 === 0)
     val planted = docs.filter(col("doc_id") % 50 =!= 0)
