@@ -521,6 +521,32 @@ object Curation {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic training-order shuffle + sharding: the write shape for a
+    * training run's input. Each row draws the same md5-prefix 60-bit
+    * permutation key as [[assignSplit]] (cross-engine deterministic, stable
+    * under corpus growth), shards by key mod `nShards`, and positions rows
+    * within their shard by the key — a reproducible global shuffle with no
+    * RNG state: any engine, any partitioning, any run produces the same
+    * (shard, pos) for a doc_id.
+    *
+    * Scale shape: one shuffle (the window's partition-by-shard exchange),
+    * then a streaming rank — no global sort ever happens; the "global"
+    * shuffle is nShards independent within-shard sorts, which is exactly how
+    * the shard files would be written (repartition + sortWithinPartitions).
+    * Shard only the id projection when the payload is wide: (id, shard, pos)
+    * re-joins the corpus by id if the text must not ride the exchange.
+    */
+  def shuffleShards(df: DataFrame, nShards: Int, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    df.withColumn("__u", u)
+      .withColumn("shard", pmod(col("__u"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__u"), col(idCol))).cast("long"))
+      .drop("__u")
+  }
+
   /** (name, cumulative-threshold) pairs: floor(cumFraction · 2^60) — driver
     * integers shared verbatim by the engine expression and the q97 oracle.
     */
@@ -1364,6 +1390,23 @@ object Curation {
       assignSplit(Tables.documents(s, d).select("doc_id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic training shuffle: every engine must produce the SAME
+    // (shard, pos) for every doc — the md5 permutation is the cross-engine
+    // RNG. The oracle replays the whole permutation arithmetic; a single
+    // transposed position anywhere hash-fails.
+    Q("q109_training_shuffle",
+      """SELECT doc_id, shard, pos FROM (
+        |  SELECT doc_id, u % 8 AS shard,
+        |    row_number() OVER (PARTITION BY u % 8 ORDER BY u, doc_id) AS pos
+        |  FROM (SELECT doc_id,
+        |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      shuffleShards(Tables.documents(s, d).select("doc_id"), nShards = 8)
+        .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
     },
   )

@@ -24,9 +24,13 @@ object Streaming {
     */
   def incrementalDedupSink(stream: DataFrame, table: VersionedTable,
                            keys: Seq[String], orderCols: Seq[String],
-                           checkpoint: String): StreamingQuery =
+                           checkpoint: String,
+                           // stream-stream joins only run in Append mode;
+                           // keyed-state operators only in Update — the merge
+                           // semantics downstream are identical either way
+                           outputMode: OutputMode = OutputMode.Update()): StreamingQuery =
     stream.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         table.incrementalDedup(batch, keys, orderCols)
@@ -153,6 +157,34 @@ object Streaming {
           if (cur != null) { state.update(cur); out += cur }
           out.iterator
       }
+  }
+
+  /** Stream-stream interval join: purchases attributed to every click by the
+    * same user within `window` before them — the funnel-attribution shape,
+    * and the one streaming join Spark executes with BOUNDED state: the
+    * watermarks plus the event-time range condition let each side evict
+    * buffered rows once the other side's watermark passes their join
+    * horizon, so state is O(events inside the watermark window), never the
+    * stream's history. Inner join, so matches emit as soon as both sides
+    * arrive (no watermark wait to EMIT, only to evict). Both inputs may be
+    * the same stream (self-join) — Spark scans the source once per side.
+    */
+  def clickToPurchase(events: DataFrame, window: String = "15 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
   }
 
   final case class DocHash(doc_id: Long, h: String)

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.core.Q
 import graft.write.VersionedTable
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 object StreamingQueries {
 
@@ -303,6 +304,38 @@ object StreamingQueries {
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Stream-stream interval self-join: every (click, purchase-within-15min)
+    // pair by the same user, the funnel-attribution query as a streaming
+    // join with bounded state (watermark + time-range condition evict both
+    // sides' buffers). The batch oracle is the same interval join in SQL;
+    // the drained pairs are immutable facts, so the keyed sink makes a
+    // replayed batch a no-op rather than a duplicate pair.
+    Q("q110_stream_join",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        | strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q110")
+      val table = new VersionedTable(s, s"$wh/pairs")
+      val s2 = s.newSession()
+      // join keys = users; interval-join state is watermark-bounded, small
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val pairs = Streaming.clickToPurchase(Streaming.eventsStream(s2, d))
+      val q = Streaming.incrementalDedupSink(pairs,
+        table, keys = Seq("click_id", "purchase_id"),
+        orderCols = Seq("user_id"), checkpoint = s"$wh/ckpt",
+        outputMode = OutputMode.Append())
+      q.awaitTermination()
+      table.read()
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
+        .orderBy("click_id", "purchase_id")
     },
   )
 }

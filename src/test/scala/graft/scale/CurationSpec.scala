@@ -49,6 +49,22 @@ class CurationSpec extends SparkSpec {
     assert(bloomy === exact)
   }
 
+  test("shuffleShards: every doc placed once, positions contiguous per shard, deterministic") {
+    val ids = docs.select("doc_id")
+    val a = Curation.shuffleShards(ids, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(a.map(_._1).toSet === ids.as[Long].collect().toSet) // a permutation
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head === 1L && ps.last === ps.length.toLong,
+        s"shard $shard positions not contiguous 1..${ps.length}")
+    }
+    // rerun on a different layout — same assignment (the md5 key is the RNG)
+    val b = Curation.shuffleShards(ids.repartition(3), nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+  }
+
   test("contaminatedDocs: hashed keys == string keys (counts and ids)") {
     val ev = docs.filter(col("doc_id") % 50 === 0)
     val planted = docs.filter(col("doc_id") % 50 =!= 0)
