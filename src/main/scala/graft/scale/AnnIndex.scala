@@ -120,6 +120,20 @@ object AnnIndex {
     IvfIndex(root, cents.length)
   }
 
+  /** Collapse the postings patch chain an append-heavy crawl accumulates
+    * ([[appendToIvfIndex]] patches only touched cells, so each append adds a
+    * version resolving most cells by file-list reference) into ONE
+    * self-contained whole-directory version — the LSM compaction step.
+    * Re-staged partitioned by cid, so probe directory-pruning is preserved;
+    * probe answers are identical before and after (q111 certifies this
+    * through the oracle). Run periodically, between appends — the promote
+    * carries the current tag, so any batch-stamped protocol survives.
+    */
+  def compactIvfIndex(spark: SparkSession, root: String): Unit = {
+    postingsTable(spark, root).compact(Seq("cid"))
+    ()
+  }
+
   /** Read the centroid model back as the driver-side array the assignment
     * kernel needs — nCentroids × dim doubles, the same metadata-bounded
     * collect class as centroid training itself.
@@ -264,6 +278,49 @@ object AnnIndex {
       val root = s"${graft.core.Scratch.dir("graft-q93")}/ivf"
       buildIvfIndex(emb, root)
       appendToIvfIndex(twins, root)
+      probeIvf(s, root, probes, k = 1, nProbe = 3)
+        .filter(col("rnk") === 1)
+        .select("qid", "nid", "score")
+        .orderBy("qid")
+    },
+
+    // q93's lifecycle with a compaction in the middle: build → append (the
+    // postings are now a patch chain) → compactIvfIndex (chain collapses to
+    // one self-contained cid-partitioned version) → probe. The answer must
+    // be byte-identical to q93's — compaction is invisible to serving.
+    Q("q111_ann_compact",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored)
+        |SELECT qid, nid, score FROM ranked WHERE rnk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 5)
+      val twins = probes
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val root = s"${graft.core.Scratch.dir("graft-q111")}/ivf"
+      buildIvfIndex(emb, root)
+      appendToIvfIndex(twins, root)
+      compactIvfIndex(s, root)
       probeIvf(s, root, probes, k = 1, nProbe = 3)
         .filter(col("rnk") === 1)
         .select("qid", "nid", "score")

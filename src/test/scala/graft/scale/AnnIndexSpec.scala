@@ -54,6 +54,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/postings/v1")))
   }
 
+  test("compaction is invisible to serving and leaves a self-contained version") {
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val root = tmpRoot("compact")
+    val idx = AnnIndex.buildIvfIndex(base, root)
+    AnnIndex.appendToIvfIndex(batch, root)
+    val before = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
+      .collect().map(_.toSeq).toSet
+    AnnIndex.compactIvfIndex(spark, root)
+    val after = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
+      .collect().map(_.toSeq).toSet
+    assert(after === before)
+    // the compacted version resolves no file lists — a whole-directory read
+    val vDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/postings"))
+    val latest = try {
+      import scala.jdk.CollectionConverters._
+      vDirs.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).map(_.drop(1).toInt).max
+    } finally vDirs.close()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/postings/v$latest/_FILELIST")))
+    // and cid partition directories survive for probe-time pruning
+    val entries = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$root/postings/v$latest"))
+    val hasCidDirs = try {
+      import scala.jdk.CollectionConverters._
+      entries.iterator().asScala.exists(_.getFileName.toString.startsWith("cid="))
+    } finally entries.close()
+    assert(hasCidDirs)
+  }
+
   test("the stored index carries codes only — no raw embedding column") {
     val root = tmpRoot("schema")
     AnnIndex.buildIvfIndex(emb.filter(col("vec_id") < 50), root)
