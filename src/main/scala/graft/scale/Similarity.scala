@@ -121,6 +121,26 @@ object Similarity {
     * the integer MACs vectorize wider than float ones. Zero vectors code to
     * all-zero (guarded, not NaN).
     */
+  /** Grouped vector aggregation: per-group element-wise sum of QUANTIZED
+    * codes plus the group count — the exact sufficient statistic for a
+    * centroid (mean = sum/count, deferred to the consumer so everything
+    * stored is integer-exact). Runs through the native
+    * [[graft.expressions.VecSumLong]] `TypedImperativeAggregate`, so the
+    * hash aggregate does map-side partial aggregation: one `long[dim]` per
+    * (partition, group) rides the shuffle, never the vectors. Aggregating
+    * codes, not floats, is what makes the answer independent of addition
+    * order — float centroids differ in low bits across partitionings.
+    */
+  def groupedCodeSums(df: DataFrame, groupCol: String,
+                      codeCol: String = "qcode"): DataFrame =
+    df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.VecSumLong(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(codeCol)))
+            .toAggregateExpression()).as("code_sum"))
+
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
                    codeCol: String = "qcode"): DataFrame = {
     val vd = col(vecCol).cast("array<double>")
@@ -846,6 +866,43 @@ object Similarity {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       quantizedTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .orderBy("qid", "rnk")
+    },
+
+    // Per-language centroid sufficient statistics through the native vector
+    // aggregate: the oracle recomputes every element-wise sum by exploding
+    // to (lang, pos, elem) and reassembling ordered lists — one transposed
+    // element or a single off-by-one code hash-fails. Integer sums of int8
+    // codes are associative, so the engine's answer is partitioning-
+    // independent where a float mean would not be.
+    Q("q112_lang_centroid",
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+        |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+        | j AS (SELECT d.lang, q.code FROM qz q JOIN documents d ON d.doc_id = q.vec_id),
+        | e AS (SELECT lang, generate_subscripts(code, 1) AS pos,
+        |              unnest(code) AS elem FROM j),
+        | s AS (SELECT lang, pos, CAST(sum(elem) AS BIGINT) AS code_sum
+        |       FROM e GROUP BY 1, 2),
+        | c AS (SELECT lang, count(1) AS n_vecs FROM j GROUP BY 1)
+        |SELECT s.lang, c.n_vecs, CAST(s.pos AS BIGINT) AS pos, s.code_sum
+        |FROM s JOIN c ON s.lang = c.lang
+        |ORDER BY s.lang, s.pos""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val langs = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val codes = quantizeInt8(emb).select(col("vec_id"), col("qcode"))
+      // the aggregate's one long[dim] per lang explodes to rows only for the
+      // driver's scalar-celled compare — the stored/served form is the array
+      groupedCodeSums(codes.join(langs, "vec_id"), "lang")
+        .select(col("lang"), col("n_vecs"),
+          posexplode(col("code_sum")).as(Seq("pos0", "code_sum")))
+        .select(col("lang"), col("n_vecs"),
+          (col("pos0") + 1).cast("long").as("pos"), col("code_sum"))
+        .orderBy("lang", "pos")
     },
   )
 }

@@ -331,6 +331,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("vec_sum_long: layout-invariant, partial-aggregated, dims pinned, nulls skipped") {
+    import spark.implicits._
+    val codes = Similarity.quantizeInt8(emb.select(col("vec_id"), col("embedding")))
+      .withColumn("g", (col("vec_id") % 3).cast("string"))
+      .select("g", "qcode")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Similarity.groupedCodeSums(df, "g")
+        .select(col("g"), col("n_vecs"), col("code_sum").cast("array<long>"))
+        .as[(String, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val a = sums(codes)
+    assert(a.nonEmpty && a.forall(_._3.nonEmpty))
+    // integer accumulation is associative: any partitioning, same answer
+    assert(sums(codes.repartition(7)) === a)
+    assert(sums(codes.coalesce(1)) === a)
+    // null arrays are skipped but the group still counts its rows
+    val withNull = codes.unionByName(
+      Seq("0").toDF("g").withColumn("qcode", lit(null).cast("array<tinyint>")))
+    val b = sums(withNull)
+    assert(b.find(_._1 == "0").get._3 === a.find(_._1 == "0").get._3)
+    assert(b.find(_._1 == "0").get._2 === a.find(_._1 == "0").get._2 + 1)
+    // the plan partial-aggregates: map-side partial + final, object hash agg
+    val plan = Similarity.groupedCodeSums(codes, "g").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("vec_sum_long".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("cosineNearDup finds planted perturbed clones") {
     import spark.implicits._
     val base = emb.select("vec_id", "embedding")
