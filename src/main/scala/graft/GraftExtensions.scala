@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rules: every session gets the rank-1-window → min_by/max_by
+    // rewrite (runs in the fixed-point operator-optimization batch).
+    ext.injectOptimizerRule(_ => graft.plans.RankOneWindowToAggregate)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       CosineSimilarity.info,

@@ -97,6 +97,30 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // The automated form of the q64 rewrite: the query is written as plain
+    // SQL rank-1 window dedup (the Wf1 idiom a reference user would type),
+    // and graft.plans.RankOneWindowToAggregate rewrites it to a single
+    // max_by aggregation — no Window, no sort, map-side partials. The extra
+    // o_totalprice conjunct exercises the rule's filter-splitting path
+    // (applied to the winner, exactly as the window form would).
+    // RankOneWindowToAggregateSpec pins plan shape + A/B equality.
+    Q("q113_sql_latest_order",
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS seq FROM orders)
+        |WHERE seq = 1 AND o_totalprice > 1000
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_q113")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          | date_format(o_orderdate, 'yyyy-MM-dd') AS odate, o_totalprice
+          |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS seq FROM orders_q113)
+          |WHERE seq = 1 AND o_totalprice > 1000
+          |ORDER BY o_custkey""".stripMargin)
+    },
+
     // A2/F2-F5 — NPS summary shape (config/nps_summary.py:4-11): CASE with no
     // ELSE (NULL ignored by SUM), ::float cast, ROUND(x, 2).
     Q("q04_nps_summary",
