@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rules: every session gets the rank-1-window → min_by/max_by
     // rewrite (runs in the fixed-point operator-optimization batch).
     ext.injectOptimizerRule(_ => graft.plans.RankOneWindowToAggregate)
+    // Planner strategies: the per-key top-k logical operator plans as two
+    // bounded-heap passes around a hash exchange.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       CosineSimilarity.info,
