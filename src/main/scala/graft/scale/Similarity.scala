@@ -57,15 +57,14 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("sim"))
   }
 
-  /** Same result with a per-partition pre-top-k (bounded heap per query id in
-    * each partition) before the global rank — the shuffle carries at most
-    * numPartitions × |queries| × k rows instead of |corpus| × |queries|.
-    * This is the form to use when the corpus is large.
+  /** Same result with a per-mapper pre-top-k (the custom TopKPerKey
+    * operator's partial heap pass) before the global rank — the shuffle
+    * carries at most numPartitions × |queries| × k rows instead of
+    * |corpus| × |queries|. This is the form to use when the corpus is large.
     */
-  /** The typed bounded-heap stages encode ids as long, and `cast("long")`
-    * on a non-numeric column yields NULL silently — the failure would then
-    * surface as an opaque null-field encoder error deep in the heap stage.
-    * Fail at call time with the actual contract instead.
+  /** The top-k forms emit ids as long, and `cast("long")` on a non-numeric
+    * column yields NULL silently — fail at call time with the actual
+    * contract instead.
     */
   private[scale] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
     val dt = df.schema(idCol).dataType
@@ -75,37 +74,31 @@ object Similarity {
 
   def bruteForceTopKPartial(corpus: DataFrame, queries: DataFrame, k: Int,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // ids are cast to long explicitly: the typed bounded-heap stage encodes
-    // (long, long, double), and an implicit dependence on the caller's id
-    // type would fail at analysis with an encoder error instead of a clear
-    // contract (both top-k forms accept the same inputs this way)
+    // ids are cast to long explicitly so both top-k forms emit one schema
+    // regardless of the caller's id type
     requireNumericId(corpus, idCol, "bruteForceTopKPartial")
     val q = broadcast(queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv")))
     val scored = corpus.select(col(idCol).cast("long").as("nid"), col(vecCol).as("cv"))
       .join(q, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("sim"))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val pruned = scored.as[(Long, Long, Double)].mapPartitions { rows =>
-      // bounded min-heap of size k per query id — O(k · |queries|) memory
-      implicit val ord: Ordering[(Double, Long)] =
-        Ordering.by[(Double, Long), Double](_._1).reverse // min-heap on sim
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      rows.foreach { case (qid, nid, sim) =>
-        val h = heaps.getOrElseUpdate(qid,
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
-        h.enqueue((sim, nid))
-        if (h.size > k) h.dequeue()
-      }
-      heaps.iterator.flatMap { case (qid, h) =>
-        h.iterator.map { case (sim, nid) => (qid, nid, sim) }
-      }
-    }.toDF("qid", "nid", "sim")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    pruned.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+    rankedTopK(scored, k, "sim")
+  }
+
+  /** Shared top-k tail of every (qid, nid, score-ish) ranking: the custom
+    * TopKPerKey operator (graft.plans) prunes with partial bounded heaps
+    * per mapper, so the shuffle carries ≤ partitions × |queries| × k rows,
+    * on UnsafeRows with no encoder round trip. Its final pass leaves
+    * survivors clustered by qid, so the k-row rank window below adds no
+    * exchange — just a local sort of k-sized groups. The operator's
+    * comparator carries the full (score desc, nid asc) total order, so
+    * integer-score ties resolve exactly as the final rank does.
+    */
+  private def rankedTopK(scored: DataFrame, k: Int, scoreCol: String): DataFrame = {
+    val topk = graft.ops.TopK.topKPerKey(scored, Seq("qid"),
+      Seq(col(scoreCol).desc, col("nid").asc), k)
+    val w = Window.partitionBy("qid").orderBy(col(scoreCol).desc, col("nid"))
+    topk.withColumn("rnk", row_number().over(w))
+      .select(col("qid"), col("rnk"), col("nid"), col(scoreCol))
   }
 
   /** int8 scalar quantization of an embedding column: per-vector symmetric
@@ -193,38 +186,10 @@ object Similarity {
     longScoreTopK(scored, k)
   }
 
-  /** Shared tail of the integer-scored top-k forms ([[quantizedTopK]],
-    * [[AnnIndex.probeIvf]]): per-partition bounded heaps prune a
-    * (qid, nid, score) relation to ≤ partitions × |queries| × k rows before
-    * the global (score desc, nid) rank.
-    */
-  private[scale] def longScoreTopK(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val pruned = scored.as[(Long, Long, Long)].mapPartitions { rows =>
-      // integer scores tie routinely (unlike float sims), so the eviction
-      // order must carry the same (score desc, nid asc) total order the
-      // final rank uses: evict the smallest score, largest nid first
-      implicit val ord: Ordering[(Long, Long)] =
-        Ordering.by[(Long, Long), (Long, Long)]({ case (s, n) => (-s, n) })(
-          Ordering.Tuple2(Ordering.Long, Ordering.Long))
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
-      rows.foreach { case (qid, nid, score) =>
-        val h = heaps.getOrElseUpdate(qid,
-          scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
-        h.enqueue((score, nid))
-        if (h.size > k) h.dequeue()
-      }
-      heaps.iterator.flatMap { case (qid, h) =>
-        h.iterator.map { case (score, nid) => (qid, nid, score) }
-      }
-    }.toDF("qid", "nid", "score")
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
-    pruned.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("score"))
-  }
+  /** Integer-scored [[rankedTopK]] ([[quantizedTopK]], [[AnnIndex.probeIvf]],
+    * [[knnJoinQuantized]]). */
+  private[scale] def longScoreTopK(scored: DataFrame, k: Int): DataFrame =
+    rankedTopK(scored, k, "score")
 
   private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
     if (dim > 0) dim else df.select(size(col(vecCol)).as("d")).head().getInt(0)
@@ -300,12 +265,9 @@ object Similarity {
       .distinct() // collapse multi-table/multi-probe hits before rerank
     val qv = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
-    pairs.join(qv, "qid").join(cv, "nid")
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+    rankedTopK(pairs.join(qv, "qid").join(cv, "nid")
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("sim")),
+      k, "sim")
   }
 
   /** Deterministic hash-ordered sample of corpus vectors, collected to the
@@ -477,13 +439,10 @@ object Similarity {
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("cid")))
     // each corpus vector lives in exactly one cluster and probe cids are
     // distinct, so (qid, nid) appears at most once — no dedup needed
-    c.join(q, Seq("cid"))
+    rankedTopK(c.join(q, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("sim")),
+      k, "sim")
   }
 
   /** IVF pruning + int8 rerank — the combined ANN serving shape at scale:
@@ -506,13 +465,10 @@ object Similarity {
     val q = broadcast(quantizeInt8(queries, vecCol)
       .withColumn("cid", explode(nearestCids(col(vecCol).cast("array<double>"), nProbe)))
       .select(col(idCol).as("qid"), col("qcode").as("qc"), col("cid")))
-    c.join(q, Seq("cid"))
+    rankedTopK(c.join(q, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), int8Dot(col("qc"), col("cc")).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("score"))
+      .select(col("qid"), col("nid"), int8Dot(col("qc"), col("cc")).as("score")),
+      k, "score")
   }
 
   /** Distributed kNN JOIN — top-k `right` neighbors for EVERY `left` row,

@@ -56,11 +56,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("q30 brute-force top-k uses the partial (per-partition heap) form") {
+  test("q30 brute-force top-k uses the partial (per-mapper heap) form") {
     val plan = planOf(SparkEntry.queries("q30_knn_cosine")(spark, sfDir))
-    // the mapPartitions pre-top-k appears as a SerializeFromObject/MapPartitions
-    // stage; the naive form has none
-    assert(plan.contains("MapPartitions"), plan)
+    // the custom TopKPerKey operator appears twice in the plan tree
+    // (partial pass before the exchange, final merge after; the formatted
+    // details section repeats each), and the rank window reuses the final
+    // pass's qid clustering: exactly two exchanges total (top-k hash, final
+    // ORDER BY range) even with the window present
+    assert("TopKPerKey".r.findAllIn(plan).size == 4, plan)
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches(""".*\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges == 2, s"plan:\n$plan")
   }
 
   test("whole-stage codegen covers the relational aggregation path") {
