@@ -88,6 +88,64 @@ class TopKSpec extends SparkSpec {
     assert(partialRows.head < ev.count(), "partial pass did not reduce anything")
   }
 
+  test("RankLimitToTopK: SQL rank<=k gets a heap pass below the window") {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_topk_rule")
+    val sql =
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
+        |      (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders_topk_rule)
+        |WHERE rn <= 4""".stripMargin
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.optimizedPlan
+    val topks = plan.collect { case t: TopKPerKey => t }
+    assert(topks.map(_.k) === Seq(4), plan.toString)
+    assert(plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.nonEmpty,
+      "window must survive to assign ranks")
+    val expected = {
+      spark.conf.set("spark.graft.rewriteRankLimitTopK", "false")
+      try {
+        val d = spark.sql(sql)
+        assert(d.queryExecution.optimizedPlan.collect { case t: TopKPerKey => t }.isEmpty,
+          "disable knob is dead")
+        d.collect().toSet
+      } finally spark.conf.unset("spark.graft.rewriteRankLimitTopK")
+    }
+    assert(df.collect().toSet === expected)
+  }
+
+  test("RankLimitToTopK leaves rank() and unpartitioned windows alone") {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_topk_rule2")
+    val rankSql =
+      """SELECT * FROM (SELECT o_orderkey, rank() OVER (PARTITION BY o_custkey
+        |ORDER BY o_totalprice DESC) AS rn FROM orders_topk_rule2) WHERE rn <= 4""".stripMargin
+    assert(spark.sql(rankSql).queryExecution.optimizedPlan
+      .collect { case t: TopKPerKey => t }.isEmpty)
+    val globalSql =
+      """SELECT * FROM (SELECT o_orderkey, row_number() OVER
+        |(ORDER BY o_totalprice DESC) AS rn FROM orders_topk_rule2) WHERE rn <= 4""".stripMargin
+    assert(spark.sql(globalSql).queryExecution.optimizedPlan
+      .collect { case t: TopKPerKey => t }.isEmpty)
+  }
+
+  test("PruneTopKPerKeyChild: a narrow projection shrinks ReadSchema") {
+    // top-k needs (o_custkey, o_totalprice, o_orderkey); the wide input has
+    // 9 columns. The pruning rule must stop the scan reading the rest.
+    val wide = Tables.orders(spark, sfDir)
+    val df = TopK.topKPerKey(wide, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2)
+      .select("o_custkey", "o_orderkey")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = formatted.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("o_custkey") && readSchema.contains("o_totalprice"), readSchema)
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"scan reads columns the top-k never needs: $readSchema")
+    // and the pruned form still computes the same thing
+    val want = windowForm(2).select("o_custkey", "o_orderkey").collect().toSet
+    assert(df.collect().toSet === want)
+  }
+
   test("rejects empty keys and k < 1") {
     intercept[IllegalArgumentException](TopK.topKPerKey(orders, Seq.empty, Seq(col("o_orderkey").asc), 3).collect())
     intercept[IllegalArgumentException](topk(0).collect())
