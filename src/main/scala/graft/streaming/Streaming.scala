@@ -222,6 +222,46 @@ object Streaming {
       }
   }
 
+  final case class TkEvent(user_id: Long, event_id: Long, value: Double)
+  final case class TkRow(value: Double, event_id: Long)
+  final case class TkState(n_seen: Long, rows: List[TkRow])
+  final case class TkTop(user_id: Long, rnk: Int, event_id: Long, value: Double, n_seen: Long)
+
+  /** Streaming per-key top-k — the continuous twin of the batch TopKPerKey
+    * operator (graft.plans): each user's state is their current EXACT top-k
+    * by (value desc, event_id asc), O(users × k) however long the stream
+    * runs. Each batch merges its candidates into the state and re-emits the
+    * user's full current top-k (Update mode); exact under any
+    * micro-batching because topk(A ∪ B) = topk(topk(A) ∪ B). `n_seen`
+    * counts this user's events ever seen — monotone, so it is the
+    * latest-wins freshness order for the (user_id, rnk)-keyed drain (a
+    * user's rank-r row only ever improves; users absent from a batch keep
+    * their prior, still-correct rows).
+    */
+  def streamingTopKPerUser(events: DataFrame, k: Int = 3): Dataset[TkTop] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .as[TkEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TkState, TkTop](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TkEvent], state: GroupState[TkState]) =>
+          val prev = state.getOption.getOrElse(TkState(0L, Nil))
+          val incoming = batch.map(e => TkRow(e.value, e.event_id)).toList
+          val merged = (prev.rows ++ incoming)
+            .sortBy(r => (-r.value, r.event_id))
+            .take(k)
+          val next = TkState(prev.n_seen + incoming.length, merged)
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case (r, i) =>
+            TkTop(uid, i + 1, r.event_id, r.value, next.n_seen)
+          }
+      }
+  }
+
   /** [[streamingExactDedup]] drained into a versioned table: Update-mode
     * rows merge latest-wins keyed by content_hash ordered by the monotone
     * copy count, so revisions from later batches supersede earlier rows and

@@ -337,5 +337,32 @@ object StreamingQueries {
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"))
         .orderBy("click_id", "purchase_id")
     },
+
+    // Streaming per-key top-k: the continuous twin of the TopKPerKey
+    // operator (q114). Keyed state holds each user's exact running top-3 by
+    // (value desc, event_id asc) — O(users × k) — and re-emits it per batch
+    // (Update); the (user_id, rnk)-keyed latest-wins drain ordered by the
+    // monotone n_seen converges to the batch rank answer under any
+    // micro-batching. StreamingSpec pins the cross-batch law.
+    Q("q115_streaming_topk",
+      """SELECT user_id, rnk, event_id, value
+        |FROM (SELECT user_id, event_id, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rnk FROM events)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q115")
+      val table = new VersionedTable(s, s"$wh/topk")
+      val s2 = s.newSession()
+      // state keys = users — size the state shuffle like q50/q107
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val tops = Streaming.streamingTopKPerUser(Streaming.eventsStream(s2, d), k = 3)
+      val q = Streaming.incrementalDedupSink(tops.toDF(), table,
+        keys = Seq("user_id", "rnk"), orderCols = Seq("n_seen"),
+        checkpoint = s"$wh/ckpt")
+      q.awaitTermination()
+      table.read()
+        .select(col("user_id"), col("rnk"), col("event_id"), col("value"))
+        .orderBy("user_id", "rnk")
+    },
   )
 }

@@ -37,6 +37,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_.content_hash == "A") === 2)
   }
 
+  test("streamingTopKPerUser: cross-batch merge converges to the global top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.TkEvent]
+    val q = Streaming.streamingTopKPerUser(
+        input.toDS().toDF(), k = 2)
+      .writeStream.format("memory").queryName("stk")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: user 1 has (10.0, e1), (8.0, e2) — top-2 = e1, e2
+    input.addData(Streaming.TkEvent(1L, 1L, 10.0), Streaming.TkEvent(1L, 2L, 8.0),
+      Streaming.TkEvent(2L, 3L, 5.0))
+    q.processAllAvailable()
+    // batch 2: a 9.0 arrives late and must EVICT e2 from rank 2; a value
+    // tie (5.0) for user 2 must resolve to the smaller event_id at rank 1
+    input.addData(Streaming.TkEvent(1L, 4L, 9.0), Streaming.TkEvent(2L, 1L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("stk").as[Streaming.TkTop].collect()
+    q.stop()
+    val latest = rows.groupBy(r => (r.user_id, r.rnk)).view
+      .mapValues(_.maxBy(_.n_seen)).toMap
+    assert(latest((1L, 1)).event_id === 1L && latest((1L, 1)).value === 10.0)
+    assert(latest((1L, 2)).event_id === 4L && latest((1L, 2)).value === 9.0)
+    assert(latest((2L, 1)).event_id === 1L, "tie must resolve to smaller event_id")
+    assert(latest((2L, 2)).event_id === 3L)
+    // the superseded rank-2 emission from batch 1 really happened (Update)
+    assert(rows.count(r => r.user_id == 1L && r.rnk == 2) === 2)
+  }
+
   test("streamingExactDedup over one snapshot batch == batch Dedup.exact") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.core.Tables.documents(spark, sfDir)
