@@ -149,5 +149,59 @@ object PipelineQueries {
             .otherwise("unchanged").as("change"))
         .orderBy("doc_id")
     },
+
+    // SCD2 merge over the customer dimension. Seed: every key except the
+    // %5==0 stratum, loaded 2024-01-01. Batch (effective 2024-06-01):
+    // %3==0 keys arrive with a changed segment ('MOVED'), %7==0 keys
+    // arrive unchanged (must no-op), and %15==0 keys are new to the
+    // dimension. Open rows use the 9999-12-31 high-date sentinel so the
+    // output carries no NULL dates; validity dates surface as ISO strings
+    // (the driver compare is dtype-family-sensitive and DuckDB dates read
+    // back as datetime64 where Spark parquet dates read as objects). The
+    // oracle replays the same close/insert/survive case split declaratively.
+    Q("q116_scd2",
+      """WITH dim0 AS (
+        |  SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |  WHERE c_custkey % 5 <> 0),
+        | batch AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |           AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 7 = 0),
+        | m AS (
+        |  SELECT d.c_custkey AS dk, d.c_name AS dn, d.c_mktsegment AS dm,
+        |         b.c_custkey AS bk, b.c_name AS bn, b.c_mktsegment AS bm
+        |  FROM dim0 d FULL OUTER JOIN batch b ON d.c_custkey = b.c_custkey)
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |       CAST(valid_from AS VARCHAR) AS valid_from,
+        |       CAST(valid_to AS VARCHAR) AS valid_to, is_current
+        |FROM (
+        |  SELECT dk AS c_custkey, dn AS c_name, dm AS c_mktsegment,
+        |         DATE '2024-01-01' AS valid_from,
+        |         DATE '9999-12-31' AS valid_to, TRUE AS is_current
+        |  FROM m WHERE dk IS NOT NULL AND (bk IS NULL OR (bn = dn AND bm = dm))
+        |  UNION ALL
+        |  SELECT dk, dn, dm, DATE '2024-01-01', DATE '2024-06-01', FALSE
+        |  FROM m WHERE dk IS NOT NULL AND bk IS NOT NULL AND (bn <> dn OR bm <> dm)
+        |  UNION ALL
+        |  SELECT bk, bn, bm, DATE '2024-06-01', DATE '9999-12-31', TRUE
+        |  FROM m WHERE bk IS NOT NULL AND (dk IS NULL OR bn <> dn OR bm <> dm))
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+      val dim0 = c.filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("2024-01-01")))
+        .withColumn("valid_to", lit(java.sql.Date.valueOf("9999-12-31")))
+        .withColumn("is_current", lit(true))
+      val batch = c.filter(col("c_custkey") % 3 === 0 || col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 3 === 0, lit("MOVED")).otherwise(col("c_mktsegment")))
+      graft.write.Writers.scd2Merge(dim0, batch,
+          keys = Seq("c_custkey"), attrs = Seq("c_name", "c_mktsegment"),
+          effective = lit(java.sql.Date.valueOf("2024-06-01")),
+          openEnd = lit(java.sql.Date.valueOf("9999-12-31")))
+        .withColumn("valid_from", col("valid_from").cast("string"))
+        .withColumn("valid_to", col("valid_to").cast("string"))
+        .orderBy("c_custkey", "valid_from")
+    },
   )
 }

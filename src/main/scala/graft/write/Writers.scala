@@ -1,6 +1,6 @@
 package graft.write
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -59,6 +59,64 @@ object Writers {
     */
   def withAudit(df: DataFrame, colName: String = "created_date"): DataFrame =
     df.withColumn(colName, current_timestamp())
+
+  /** Type-2 slowly-changing-dimension merge — the history-preserving
+    * counterpart of [[upsert]] (the reference's W4 keyed upsert,
+    * MySQL_to_Redshift_v2.py:51-63, overwrites attribute history; a
+    * dimension consumer who needs "what was this customer's segment last
+    * quarter" needs SCD2).
+    *
+    * `dim` carries `keys ++ attrs ++ (validFrom, validTo, isCurrent)`;
+    * `batch` carries `keys ++ attrs`. Per batch key:
+    *   - attrs changed vs the current slice → the current row closes
+    *     (`validTo = effective`, `isCurrent = false`) and a new open row
+    *     appears (`validFrom = effective`, `validTo = openEnd`);
+    *   - key absent from the dimension → a new open row appears;
+    *   - attrs unchanged → no-op (which makes the merge idempotent: a
+    *     replayed batch matches the rows it just wrote and falls through).
+    *
+    * Scale shape: ONE hash shuffle, on the keys — a single full-outer join
+    * of the current slice against the batch, after which each joined row
+    * expands locally into its 0–2 output rows (survivor / closed / insert)
+    * via an array-explode, so the join output is consumed exactly once.
+    * Closed history rows never enter the join: they union straight through
+    * without shuffling, which is what keeps a 100 TB dimension's
+    * ever-growing history out of every merge. Attribute comparison is
+    * null-safe (`<=>`), so a null attribute does not spuriously re-open.
+    */
+  def scd2Merge(dim: DataFrame, batch: DataFrame,
+                keys: Seq[String], attrs: Seq[String],
+                effective: Column, openEnd: Column,
+                validFrom: String = "valid_from", validTo: String = "valid_to",
+                isCurrent: String = "is_current"): DataFrame = {
+    val outCols = keys ++ attrs ++ Seq(validFrom, validTo, isCurrent)
+    val hist = dim.filter(!col(isCurrent)).select(outCols.map(col): _*)
+    val cur = dim.filter(col(isCurrent)).select(
+      keys.map(col) ++ attrs.map(a => col(a).as(s"__d_$a")) ++
+        Seq(col(validFrom).as("__d_from"), lit(true).as("__d_exists")): _*)
+    val inc = batch.select(
+      keys.map(col) ++ attrs.map(a => col(a).as(s"__b_$a")) :+
+        lit(true).as("__b_exists"): _*)
+
+    val j = cur.join(inc, keys, "full_outer")
+    val hasD = coalesce(col("__d_exists"), lit(false))
+    val hasB = coalesce(col("__b_exists"), lit(false))
+    val changed = attrs.map(a => !(col(s"__d_$a") <=> col(s"__b_$a"))).reduce(_ || _)
+
+    def out(attrSide: String, from: Column, to: Column, open: Boolean) =
+      struct(attrs.map(a => col(s"__${attrSide}_$a").as(a)) ++
+        Seq(from.as(validFrom), to.as(validTo), lit(open).as(isCurrent)): _*)
+
+    val rows = array(
+      when(hasD && (!hasB || !changed), out("d", col("__d_from"), openEnd, open = true)),
+      when(hasD && hasB && changed, out("d", col("__d_from"), effective, open = false)),
+      when(hasB && (!hasD || changed), out("b", effective, openEnd, open = true)))
+
+    j.select(keys.map(col) :+ explode(filter(rows, r => r.isNotNull)).as("__r"): _*)
+      .select(keys.map(col) ++ Seq(validFrom, validTo, isCurrent)
+        .foldLeft(attrs)(_ :+ _).map(c => col(s"__r.$c").as(c)): _*)
+      .unionByName(hist)
+  }
 }
 
 /** A parquet table with versioned directories and an atomically-swapped

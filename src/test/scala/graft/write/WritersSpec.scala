@@ -94,4 +94,67 @@ class WritersSpec extends SparkSpec {
     assert(out.schema("created_date").dataType.typeName === "timestamp")
     assert(out.filter(col("created_date").isNull).count() === 0)
   }
+
+  private val scdEnd = "9999-12-31"
+  private def scdDim(data: Seq[(Int, String, String, String, Boolean)]): DataFrame =
+    data.toDF("key", "attr", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", col("valid_from").cast("date"))
+      .withColumn("valid_to", col("valid_to").cast("date"))
+  private def scd(dim: DataFrame, batch: DataFrame) =
+    Writers.scd2Merge(dim, batch, Seq("key"), Seq("attr"),
+      effective = lit("2024-06-01").cast("date"), openEnd = lit(scdEnd).cast("date"))
+  private def asRows(df: DataFrame): Set[(Int, String, String, String, Boolean)] =
+    df.select(col("key"), col("attr"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(Int, String, String, String, Boolean)].collect().toSet
+
+  test("scd2Merge closes changed rows, inserts new keys, no-ops unchanged") {
+    // key 1 changes, key 2 is untouched by the batch, key 3 arrives
+    // unchanged, key 4 is new; key 5 is pre-existing closed history
+    val dim = scdDim(Seq(
+      (1, "a", "2024-01-01", scdEnd, true),
+      (2, "b", "2024-01-01", scdEnd, true),
+      (3, "c", "2024-01-01", scdEnd, true),
+      (5, "old", "2023-01-01", "2024-01-01", false)))
+    val batch = Seq((1, "a2"), (3, "c"), (4, "d")).toDF("key", "attr")
+    assert(asRows(scd(dim, batch)) === Set(
+      (1, "a", "2024-01-01", "2024-06-01", false),
+      (1, "a2", "2024-06-01", scdEnd, true),
+      (2, "b", "2024-01-01", scdEnd, true),
+      (3, "c", "2024-01-01", scdEnd, true),
+      (4, "d", "2024-06-01", scdEnd, true),
+      (5, "old", "2023-01-01", "2024-01-01", false)))
+  }
+
+  test("scd2Merge is idempotent: replaying the same batch is a no-op") {
+    val dim = scdDim(Seq(
+      (1, "a", "2024-01-01", scdEnd, true),
+      (2, "b", "2024-01-01", scdEnd, true)))
+    val batch = Seq((1, "a2"), (3, "c")).toDF("key", "attr")
+    val once = scd(dim, batch)
+    assert(asRows(scd(once, batch)) === asRows(once))
+  }
+
+  test("scd2Merge null-safe compare: null attr vs null attr does not re-open") {
+    val dim = scdDim(Seq((1, null, "2024-01-01", scdEnd, true)))
+    val batch = Seq((1, Option.empty[String])).toDF("key", "attr")
+    val out = scd(dim, batch)
+    assert(out.count() === 1)
+    assert(out.filter(col("is_current")).count() === 1)
+  }
+
+  test("scd2Merge keeps exactly one open row per key") {
+    for (data <- samples(6) if data.nonEmpty) {
+      val dim = scdDim(data.map { case (k, _, p) => (k, p, "2024-01-01", scdEnd, true) }
+        .distinctBy(_._1))
+      val batch = data.map { case (k, v, p) => (k, p + v) }.distinctBy(_._1)
+        .toDF("key", "attr")
+      val out = scd(dim, batch)
+      val open = out.filter(col("is_current")).select("key")
+        .as[Int].collect().toSeq
+      assert(open.distinct.size === open.size)
+      val allKeys = (data.map(_._1) ++ data.map(_._1)).distinct.toSet
+      assert(open.toSet === allKeys)
+    }
+  }
 }
