@@ -30,6 +30,7 @@ object SparkEntry {
     scale.AnnIndex.queries ++
     scale.Multimodal.queries ++
     scale.Curation.queries ++
+    scale.NbClassifier.queries ++
     scale.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
