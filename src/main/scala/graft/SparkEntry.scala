@@ -31,6 +31,7 @@ object SparkEntry {
     scale.Multimodal.queries ++
     scale.Curation.queries ++
     scale.NbClassifier.queries ++
+    scale.Layout.queries ++
     scale.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
