@@ -32,6 +32,7 @@ object SparkEntry {
     scale.Curation.queries ++
     scale.NbClassifier.queries ++
     scale.Layout.queries ++
+    scale.Retrieval.queries ++
     scale.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

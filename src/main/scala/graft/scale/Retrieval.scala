@@ -1,0 +1,154 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over the document corpus — the search primitive a
+  * curation pipeline reaches for when it needs "every document about X"
+  * (targeted quality audits, topic mixes, eval-set mining). Not a reference
+  * operator; the lexical complement of the embedding-space
+  * [[Similarity]] / [[AnnIndex]] paths.
+  *
+  * Scoring is the classic Robertson BM25 with k1 = 6/5 and b = 3/4, folded
+  * into ONE integer division per (doc, term) so both engines agree exactly
+  * (the q117 quantization strategy): with integer idf, average doc length
+  * `avg` and per-doc length `len`,
+  *
+  *   tf·(k1+1) / (tf + k1·(1 − b + b·len/avg))
+  *     = 44·avg·tf / (20·avg·tf + 6·avg + 18·len)
+  *
+  * so `score_t = (1000 · idf · 44 · avg · tf) DIV (20·avg·tf + 6·avg +
+  * 18·len)` in milli-units, summed over query terms. idf is the bit-length
+  * quantization `bitlen(N+1) − bitlen(df_t+1)` (≈ log2 with +1 smoothing),
+  * and `avg = Σlen DIV N` — every intermediate a BIGINT.
+  *
+  * Scale shape: corpus statistics are one aggregation returning ONE row (N,
+  * Σlen) plus one `df_t` count per query term over a broadcast-filtered
+  * explode; scoring is then a pure codegen'd projection — per-term
+  * occurrence counts via an array scan per row, the integer formula, no
+  * shuffle, no join. A query has a handful of terms, so the per-term
+  * columns stay narrow; batch-scoring thousands of stored queries is the
+  * ANN path's job, not this one's.
+  */
+object Retrieval {
+
+  private def toks(text: Column): Column =
+    filter(split(text, graft.expressions.Ws.Regex), w => w =!= "")
+
+  private def bitlen(c: Column): Column = length(bin(c)).cast("long")
+
+  private def idiv(num: Column, den: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnBridge.expression(num),
+        org.apache.spark.sql.GraftColumnBridge.expression(den)))
+
+  /** Corpus stats for scoring: (N docs, avg doc length, idf per term). One
+    * 1-row aggregation + one small term-keyed count — bounded collects.
+    */
+  def corpusStats(docs: DataFrame, terms: Seq[String],
+                  textCol: String = "text"): (Long, Long, Map[String, Long]) = {
+    val withLen = docs.select(size(toks(col(textCol))).cast("long").as("__len"),
+      toks(col(textCol)).as("__ts"))
+    val r = withLen.agg(count(lit(1)).as("n"), sum("__len").as("s")).head()
+    val n = r.getLong(0)
+    val avg = math.max(1L, r.getLong(1) / n)
+    val dfs = withLen
+      .select(explode(array_distinct(col("__ts"))).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfs.getOrElse(t, 0L)
+      // bitlen(N+1) - bitlen(df+1), floored at 1 so present terms still count
+      t -> math.max(1L,
+        (64 - java.lang.Long.numberOfLeadingZeros(n + 1))
+          - (64 - java.lang.Long.numberOfLeadingZeros(df + 1)).toLong)
+    }.toMap
+    (n, avg, idf)
+  }
+
+  /** Milli-unit integer BM25 of one term given its tf column. */
+  private def termScore(tf: Column, len: Column, idf: Long, avg: Long): Column =
+    when(tf > 0,
+      idiv(lit(1000L * idf * 44L * avg) * tf,
+        lit(20L * avg) * tf + lit(6L * avg) + lit(18L) * len))
+      .otherwise(lit(0L))
+
+  /** Score every document against `terms`: adds `score` (milli-units,
+    * BIGINT) and per-term tf columns `tf_<term>`. Pure projection — term
+    * occurrence counts are array scans over the token split; corpus stats
+    * enter as plan literals.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], textCol: String = "text",
+           scoreCol: String = "score"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"bm25 is a few-term search primitive, got ${terms.size} terms")
+    val (_, avg, idf) = corpusStats(docs, terms, textCol)
+    val ts = toks(col(textCol))
+    val len = size(ts).cast("long")
+    val withTf = terms.foldLeft(docs) { (d, t) =>
+      d.withColumn(s"tf_$t",
+        size(filter(toks(col(textCol)), x => x === lit(t))).cast("long"))
+    }
+    val score = terms.map(t => termScore(col(s"tf_$t"), len, idf(t), avg))
+      .reduce(_ + _)
+    withTf.withColumn(scoreCol, score)
+  }
+
+  // q119: BM25 top-25 for the query {spark, merge, dup} — "dup" is the rare
+  // high-idf term (26 occurrences corpus-wide vs ~900 for the others), so
+  // ranking is dominated by genuine idf contrast, not noise. Deterministic
+  // total order: (score desc, doc_id asc). The oracle replays the integer
+  // formula with scalar-subquery stats; every intermediate is a BIGINT.
+  val queries: Seq[Q] = Seq(
+    Q("q119_bm25",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        | st AS (
+        |  SELECT count(1) AS n, CAST(sum(len(ws)) AS BIGINT) AS s FROM d),
+        | av AS (SELECT greatest(1, s // n) AS avg, n FROM st),
+        | df AS (
+        |  SELECT
+        |    (SELECT count(1) FROM d WHERE list_contains(ws, 'spark')) AS df_spark,
+        |    (SELECT count(1) FROM d WHERE list_contains(ws, 'merge')) AS df_merge,
+        |    (SELECT count(1) FROM d WHERE list_contains(ws, 'dup')) AS df_dup),
+        | idf AS (
+        |  SELECT
+        |    greatest(1, length(bin(n + 1)) - length(bin(df_spark + 1))) AS i_spark,
+        |    greatest(1, length(bin(n + 1)) - length(bin(df_merge + 1))) AS i_merge,
+        |    greatest(1, length(bin(n + 1)) - length(bin(df_dup + 1))) AS i_dup
+        |  FROM df CROSS JOIN av),
+        | tf AS (
+        |  SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS len,
+        |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf_merge,
+        |    CAST(len(list_filter(ws, x -> x = 'dup')) AS BIGINT) AS tf_dup
+        |  FROM d),
+        | sc AS (
+        |  SELECT doc_id, lang, len, tf_spark, tf_merge, tf_dup,
+        |    (CASE WHEN tf_spark > 0 THEN
+        |       (1000 * i_spark * 44 * avg * tf_spark)
+        |         // (20 * avg * tf_spark + 6 * avg + 18 * len) ELSE 0 END
+        |   + CASE WHEN tf_merge > 0 THEN
+        |       (1000 * i_merge * 44 * avg * tf_merge)
+        |         // (20 * avg * tf_merge + 6 * avg + 18 * len) ELSE 0 END
+        |   + CASE WHEN tf_dup > 0 THEN
+        |       (1000 * i_dup * 44 * avg * tf_dup)
+        |         // (20 * avg * tf_dup + 6 * avg + 18 * len) ELSE 0 END) AS score
+        |  FROM tf CROSS JOIN idf CROSS JOIN av)
+        |SELECT doc_id, lang, len, tf_spark, tf_merge, tf_dup, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      bm25(Tables.documents(s, d).select("doc_id", "lang", "text"),
+          Seq("spark", "merge", "dup"))
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("len"),
+          col("tf_spark"), col("tf_merge"), col("tf_dup"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(25)
+    },
+  )
+}

@@ -1,0 +1,48 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 matches a hand-computed tiny corpus") {
+    // corpus: 4 docs, query {x}. N=4, lens = 2,2,2,2 -> avg = 2.
+    // df_x = 2 -> idf = bitlen(5) - bitlen(3) = 3 - 2 = 1.
+    // doc 1: tf=1, len=2 -> (1000*1*44*2*1) DIV (20*2*1 + 6*2 + 18*2) = 88000 DIV 88 = 1000
+    // doc 2: tf=2, len=2 -> (1000*1*44*2*2) DIV (20*2*2 + 6*2 + 18*2) = 176000 DIV 128 = 1375
+    val docs = Seq(
+      (1L, "x y"), (2L, "x x"), (3L, "y z"), (4L, "z y")).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, Seq("x"))
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1000L, 2L -> 1375L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("docs without any query term score exactly zero") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val out = Retrieval.bm25(docs, Seq("dup"))
+    val zero = out.filter(col("tf_dup") === 0 && col("score") =!= 0).count()
+    assert(zero === 0)
+  }
+
+  test("rare high-idf term dominates ranking over common terms") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val top = Retrieval.bm25(docs, Seq("spark", "merge", "dup"))
+      .orderBy(col("score").desc, col("doc_id")).limit(5)
+      .select("tf_dup").as[Long].collect()
+    // "dup" appears in a handful of docs corpus-wide; every top-5 hit must
+    // contain it, else idf contrast isn't driving the ranking
+    assert(top.forall(_ > 0), s"top-5 tf_dup: ${top.toSeq}")
+  }
+
+  test("score monotonically increases with tf at fixed length") {
+    val docs = Seq(
+      (1L, "x a a a"), (2L, "x x a a"), (3L, "x x x a"), (4L, "b c d e"))
+      .toDF("doc_id", "text")
+    val s = Retrieval.bm25(docs, Seq("x"))
+      .orderBy("doc_id").select("score").as[Long].collect()
+    assert(s(0) < s(1) && s(1) < s(2))
+    assert(s(3) === 0L)
+  }
+}
