@@ -97,6 +97,34 @@ object Retrieval {
     withTf.withColumn(scoreCol, score)
   }
 
+  /** Inverted-index build: the postings table (term, doc id, term
+    * frequency) every lexical-retrieval system serves from. ONE token-keyed
+    * shuffle with map-side partial counts — text never leaves the scan;
+    * the index is a DataFrame, so it lands in a [[graft.write.VersionedTable]]
+    * or bucketed-by-term parquet like any other table.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term top-k postings by (tf desc, id asc) — the impact-ordered
+    * truncation (champion lists) that caps what a query must read per term.
+    * Runs on the custom [[graft.plans.TopKPerKey]] operator: partial
+    * bounded heaps per mapper, ≤ k×terms×mappers candidate rows on the
+    * shuffle, no sort of the full postings; the rank window after it sees
+    * k-sized groups already clustered by term, so it adds no exchange.
+    */
+  def topPostings(postings: DataFrame, k: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    val topk = graft.ops.TopK.topKPerKey(postings, Seq("term"),
+      Seq(col("tf").desc, col(idCol).asc), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("tf").desc, col(idCol))
+    topk.withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
   // q119: BM25 top-25 for the query {spark, merge, dup} — "dup" is the rare
   // high-idf term (26 occurrences corpus-wide vs ~900 for the others), so
   // ranking is dominated by genuine idf contrast, not noise. Deterministic
@@ -149,6 +177,30 @@ object Retrieval {
           col("tf_spark"), col("tf_merge"), col("tf_dup"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(25)
+    },
+
+    // q120: champion lists — the top-3 postings of every term by
+    // (tf desc, doc_id asc), through the TopKPerKey operator. The oracle
+    // replays the identical window; (term, rnk) is a total order.
+    Q("q120_inverted_index",
+      """WITH p AS (
+        |  SELECT g AS term, doc_id, CAST(count(1) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                  x -> x <> '')) AS g
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        | r AS (
+        |  SELECT term, doc_id, tf,
+        |         CAST(row_number() OVER (PARTITION BY term
+        |              ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT term, rnk, doc_id, tf FROM r WHERE rnk <= 3
+        |ORDER BY term, rnk""".stripMargin) { (s, d) =>
+      topPostings(
+          invertedIndex(Tables.documents(s, d).select("doc_id", "text")), k = 3)
+        .select(col("term"), col("rnk"), col("doc_id"), col("tf"))
+        .orderBy("term", "rnk")
     },
   )
 }

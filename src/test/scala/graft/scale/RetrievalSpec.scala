@@ -36,6 +36,29 @@ class RetrievalSpec extends SparkSpec {
     assert(top.forall(_ > 0), s"top-5 tf_dup: ${top.toSeq}")
   }
 
+  test("invertedIndex postings reproduce exact term frequencies") {
+    val docs = Seq((1L, "x y x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs)
+      .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
+    assert(idx === Set(("x", 1L, 2L), ("y", 1L, 1L), ("y", 2L, 1L), ("x", 3L, 1L)))
+  }
+
+  test("topPostings runs on TopKPerKeyExec and equals the window form") {
+    val idx = Retrieval.invertedIndex(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val top = Retrieval.topPostings(idx, k = 3)
+    assert(top.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "expected the custom TopKPerKey operator in the physical plan")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val ref = idx.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+    assert(top.select("term", "rnk", "doc_id", "tf")
+      .exceptAll(ref.select("term", "rnk", "doc_id", "tf")).count() === 0)
+    assert(ref.select("term", "rnk", "doc_id", "tf")
+      .exceptAll(top.select("term", "rnk", "doc_id", "tf")).count() === 0)
+  }
+
   test("score monotonically increases with tf at fixed length") {
     val docs = Seq(
       (1L, "x a a a"), (2L, "x x a a"), (3L, "x x x a"), (4L, "b c d e"))
