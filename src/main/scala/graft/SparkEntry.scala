@@ -33,6 +33,7 @@ object SparkEntry {
     scale.NbClassifier.queries ++
     scale.Layout.queries ++
     scale.Retrieval.queries ++
+    scale.Kmeans.queries ++
     scale.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
