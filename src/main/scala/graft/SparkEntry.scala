@@ -34,6 +34,7 @@ object SparkEntry {
     scale.Layout.queries ++
     scale.Retrieval.queries ++
     scale.Kmeans.queries ++
+    scale.Sampling.queries ++
     scale.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

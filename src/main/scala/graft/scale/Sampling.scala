@@ -1,0 +1,110 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import graft.ops.TopK
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling and exact distribution statistics — the two "decide the
+  * cut" primitives a curation pipeline runs before it filters anything:
+  * draw a reproducible per-stratum sample to eyeball, and compute the exact
+  * percentile thresholds the quality filters will use.
+  *
+  * Both are built to the package's scale rules: deterministic integer/hash
+  * arithmetic (value-exact on any engine), no global sort, nothing
+  * corpus-sized on the driver.
+  */
+object Sampling {
+
+  /** Exact-size deterministic sample per stratum: the `n` rows of each
+    * `strataCol` group that come first in (md5(id), id) order — the
+    * package's standard hash permutation ([[Curation.shuffleShards]],
+    * train/val/test splits), so the sample is a pure function of the data,
+    * stable across runs, engines and partitionings.
+    *
+    * Runs through the custom [[graft.ops.TopK.topKPerKey]] operator: each
+    * mapper keeps one bounded n-heap per stratum and only n × strata ×
+    * mappers candidate rows ride the shuffle — no per-partition sort, no
+    * corpus-sized window. `TABLESAMPLE` / `df.sample` can't do per-stratum
+    * exact counts, and the window form sorts every partition first.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val pri = md5(col(idCol).cast("string"))
+    TopK.topKPerKey(df.withColumn("__pri", pri),
+      Seq(strataCol), Seq(col("__pri").asc, col(idCol).asc), n)
+      .drop("__pri")
+  }
+
+  /** Exact percentiles per key WITHOUT a global sort — the two-phase
+    * counting shape: (1) one combine-friendly shuffle to (key, value)
+    * counts — the only pass over the corpus; (2) cumulative counts over the
+    * per-key DISTINCT-value table (tiny: bounded by the value domain, not
+    * the corpus) pick each percentile as the smallest value whose rank
+    * reaches `ceil(p·N)` — `percentile_disc` semantics, checked as exact
+    * integer cross-multiplication (`cum·den ≥ num·N`), no floats anywhere.
+    *
+    * `spark.stat.approxQuantile` and `approx_percentile` trade exactness
+    * for one pass; a 100 TB quality cut wants the exact threshold, and this
+    * stays two narrow shuffles regardless of corpus size.
+    *
+    * `percentiles` are (name, numerator, denominator) triples, e.g.
+    * ("p90", 90, 100). Values must be non-null integers.
+    */
+  def exactPercentilesByKey(df: DataFrame, keyCol: String, valCol: String,
+                            percentiles: Seq[(String, Int, Int)]): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val byKey = Window.partitionBy(keyCol)
+    val cum = sum(col("__c")).over(byKey.orderBy("__v"))
+    val total = sum(col("__c")).over(byKey)
+    val ranked = counts.withColumn("__cum", cum).withColumn("__n", total)
+    val aggs = count(lit(1)).as("__distinct") +:
+      percentiles.map { case (name, num, den) =>
+        min(when(col("__cum") * lit(den.toLong) >= col("__n") * lit(num.toLong),
+          col("__v"))).as(name)
+      }
+    ranked.groupBy(col(keyCol), col("__n").as("n_rows"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__distinct")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // q122: 25 docs per language, selected by the md5 hash permutation —
+    // the reproducible "show me a sample of every stratum" draw. The
+    // oracle's window replays the same permutation; the engine's TopKPerKey
+    // heaps must surface the identical 25-row set per language.
+    Q("q122_stratified_sample",
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 25
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      stratifiedSample(
+        Tables.documents(s, d).select("lang", "doc_id", "n_chars"),
+        "lang", "doc_id", n = 25)
+        .orderBy("lang", "doc_id")
+    },
+
+    // q124: exact p50/p90/p99 of document length per language — the
+    // thresholds a length-based quality filter would apply. quantile_disc
+    // is DuckDB's independent implementation of the same discrete
+    // percentile definition (smallest value whose cumulative count reaches
+    // ceil(p·N) — parity pinned in SamplingSpec).
+    Q("q124_exact_percentiles",
+      """SELECT lang, count(1) AS n_rows,
+        |       quantile_disc(n_chars, 0.50) AS p50,
+        |       quantile_disc(n_chars, 0.90) AS p90,
+        |       quantile_disc(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      exactPercentilesByKey(
+        Tables.documents(s, d).select("lang", "n_chars"),
+        "lang", "n_chars",
+        Seq(("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)))
+        .orderBy("lang")
+    },
+  )
+}
