@@ -125,6 +125,56 @@ object Retrieval {
     topk.withColumn("rnk", row_number().over(w).cast("long"))
   }
 
+  /** Hybrid retrieval: BM25 lexical ranks fused with quantized-dot semantic
+    * ranks by reciprocal-rank fusion — the standard two-retriever serving
+    * shape (keyword recall + embedding recall, neither alone suffices).
+    * RRF in integer milli-units: `1000000 DIV (60 + rank)` per list, summed;
+    * a doc missing from a list contributes 0 from it. k=60 is the canonical
+    * RRF constant; integer DIV keeps the fused score value-exact on any
+    * engine where float 1/(60+r) sums would not be guaranteed associative.
+    *
+    * Scale shape: each side ends in a global top-`kEach` — Spark compiles
+    * `orderBy(...).limit(k)` to TakeOrderedAndProject (bounded per-partition
+    * heaps + one k-row merge, no full sort). The rank windows and the
+    * full-outer fusion join then run over two ≤ kEach-row frames —
+    * metadata-sized, broadcast by AQE. The corpus is scanned twice (once
+    * per modality), shuffled never.
+    *
+    * The semantic query enters as a literal int8 code (one bounded 1-row
+    * lookup): scoring is a pure codegen'd projection via
+    * [[Similarity.int8Dot]], the q83 rerank contract.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                queryVecId: Long, kEach: Int = 50, kOut: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rrf = (rnk: Column) =>
+      coalesce(idiv(lit(1000000L), lit(60L) + rnk), lit(0L))
+
+    val lexTop = bm25(docs, terms).filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(kEach)
+    val lexRnk = lexTop.withColumn("lex_rnk",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rnk")
+
+    val cz = Similarity.quantizeInt8(emb)
+    val qRows = cz.filter(col("vec_id") === queryVecId)
+      .select("qcode").collect()
+    require(qRows.length == 1, s"query vec_id=$queryVecId must match exactly one vector")
+    val qcode = qRows.head.getSeq[Byte](0)
+    val semTop = cz
+      .withColumn("dot", Similarity.int8Dot(col("qcode"), typedlit(qcode)))
+      .select(col("vec_id").as("doc_id"), col("dot"))
+      .orderBy(col("dot").desc, col("doc_id")).limit(kEach)
+    val semRnk = semTop.withColumn("sem_rnk",
+      row_number().over(Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "sem_rnk")
+
+    lexRnk.join(semRnk, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf(col("lex_rnk")) + rrf(col("sem_rnk")))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(kOut)
+  }
+
   // q119: BM25 top-25 for the query {spark, merge, dup} — "dup" is the rare
   // high-idf term (26 occurrences corpus-wide vs ~900 for the others), so
   // ranking is dominated by genuine idf contrast, not noise. Deterministic
@@ -201,6 +251,78 @@ object Retrieval {
           invertedIndex(Tables.documents(s, d).select("doc_id", "text")), k = 3)
         .select(col("term"), col("rnk"), col("doc_id"), col("tf"))
         .orderBy("term", "rnk")
+    },
+
+    // q123: hybrid search — q119's lexical top-50 fused with the semantic
+    // top-50 for query vector 0 by integer RRF. The oracle replays both
+    // rank lists (the q119 integer BM25, the q112-style int8 quantization
+    // with an exact integer dot) and the DIV fusion; a single rank swap on
+    // either side changes the fused order and hash-fails.
+    Q("q123_hybrid_rrf",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        | st AS (
+        |  SELECT count(1) AS n, CAST(sum(len(ws)) AS BIGINT) AS s FROM d),
+        | av AS (SELECT greatest(1, s // n) AS avg, n FROM st),
+        | df AS (
+        |  SELECT
+        |    (SELECT count(1) FROM d WHERE list_contains(ws, 'spark')) AS df_spark,
+        |    (SELECT count(1) FROM d WHERE list_contains(ws, 'merge')) AS df_merge,
+        |    (SELECT count(1) FROM d WHERE list_contains(ws, 'dup')) AS df_dup),
+        | idf AS (
+        |  SELECT
+        |    greatest(1, length(bin(n + 1)) - length(bin(df_spark + 1))) AS i_spark,
+        |    greatest(1, length(bin(n + 1)) - length(bin(df_merge + 1))) AS i_merge,
+        |    greatest(1, length(bin(n + 1)) - length(bin(df_dup + 1))) AS i_dup
+        |  FROM df CROSS JOIN av),
+        | tf AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+        |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf_merge,
+        |    CAST(len(list_filter(ws, x -> x = 'dup')) AS BIGINT) AS tf_dup
+        |  FROM d),
+        | sc AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN tf_spark > 0 THEN
+        |       (1000 * i_spark * 44 * avg * tf_spark)
+        |         // (20 * avg * tf_spark + 6 * avg + 18 * len) ELSE 0 END
+        |   + CASE WHEN tf_merge > 0 THEN
+        |       (1000 * i_merge * 44 * avg * tf_merge)
+        |         // (20 * avg * tf_merge + 6 * avg + 18 * len) ELSE 0 END
+        |   + CASE WHEN tf_dup > 0 THEN
+        |       (1000 * i_dup * 44 * avg * tf_dup)
+        |         // (20 * avg * tf_dup + 6 * avg + 18 * len) ELSE 0 END) AS score
+        |  FROM tf CROSS JOIN idf CROSS JOIN av),
+        | lexr AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+        |  FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+        |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+        | qv AS (SELECT code FROM qz WHERE vec_id = 0),
+        | dots AS (
+        |  SELECT z.vec_id AS doc_id, CAST(SUM(z.code[t.i] * q.code[t.i]) AS BIGINT) AS dot
+        |  FROM qz z CROSS JOIN qv q CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1),
+        | semr AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS BIGINT) AS sem_rnk
+        |  FROM dots ORDER BY dot DESC, doc_id LIMIT 50)
+        |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rnk, s.sem_rnk,
+        |       (COALESCE(1000000 // (60 + l.lex_rnk), 0)
+        |        + COALESCE(1000000 // (60 + s.sem_rnk), 0)) AS rrf
+        |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      hybridRrf(Tables.documents(s, d).select("doc_id", "text"),
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        Seq("spark", "merge", "dup"), queryVecId = 0L)
     },
   )
 }

@@ -68,4 +68,40 @@ class RetrievalSpec extends SparkSpec {
     assert(s(0) < s(1) && s(1) < s(2))
     assert(s(3) === 0L)
   }
+
+  test("hybridRrf fuses exactly 1000000 DIV (60+rank) per list, missing side = 0") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val fused = Retrieval.hybridRrf(docs, emb, Seq("spark", "merge", "dup"),
+      queryVecId = 0L, kEach = 10, kOut = 15)
+      .select("doc_id", "lex_rnk", "sem_rnk", "rrf")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    assert(fused.nonEmpty)
+    def contrib(r: Option[Long]) = r.map(x => 1000000L / (60L + x)).getOrElse(0L)
+    for ((_, lex, sem, rrf) <- fused) {
+      assert(lex.isDefined || sem.isDefined)
+      assert(rrf === contrib(lex) + contrib(sem))
+    }
+    // output is the top-kOut of the fused order, totally ordered
+    val scores = fused.map(t => (t._4, t._1))
+    assert(scores.toSeq === scores.sortBy(t => (-t._1, t._2)).toSeq)
+  }
+
+  test("hybridRrf: a doc ranked in both lists beats one with the same single rank") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val fused = Retrieval.hybridRrf(docs, emb, Seq("spark", "merge", "dup"),
+      queryVecId = 0L, kEach = 10, kOut = 50).collect()
+      .map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    for {
+      (Some(l1), Some(_), bothRrf) <- fused
+      (Some(l2), None, oneRrf) <- fused
+      if l1 === l2
+    } assert(bothRrf > oneRrf)
+  }
 }
