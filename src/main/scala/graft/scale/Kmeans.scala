@@ -146,6 +146,41 @@ object Kmeans {
       .orderBy("cid", "pos")
   }
 
+  /** Cluster-scoped semantic dedup (the SemDeDup shape): train k-means on
+    * the corpus, then compare vectors ONLY within their cluster and drop
+    * every vector that has a smaller-id neighbor at squared grid distance
+    * ≤ `maxSqDist`. Returns the survivors (id, cid).
+    *
+    * This is the embedding complement of MinHash near-dup
+    * ([[Dedup.minhashCandidates]]) and the scale path past q32's bit-probe
+    * LSH: the cluster assignment is the blocking key, so candidate
+    * generation is ONE co-partitioned self-join on `cid` — no all-pairs.
+    * Pair work is Σ|cell|², bounded by training k: at larger corpora raise
+    * k proportionally (cells stay O(n/k)) — the published SemDeDup recipe.
+    * Like any cluster-scoped dedup, a near-dup pair split across a cluster
+    * boundary is not compared — recall is bounded by assignment locality,
+    * which is the accepted trade of this operator class.
+    *
+    * Distances are exact long sums over grid codes; the drop rule (smaller
+    * id wins, no transitive chaining) is deterministic on any engine.
+    */
+  def semDedup(corpus: DataFrame, k: Int, iters: Int, maxSqDist: Long,
+               idCol: String = "vec_id"): DataFrame = {
+    val g = quantizeGrid(corpus)
+    val cents = lloyd(g, k, iters, idCol)
+    val a = assignNearest(g, cents).select(col(idCol), col("cid"), col("gcode"))
+    val x = a.select(col(idCol).as("xid"), col("cid").as("xcid"), col("gcode").as("xg"))
+    val y = a.select(col(idCol).as("yid"), col("cid").as("ycid"), col("gcode").as("yg"))
+    val sq = aggregate(
+      zip_with(col("xg"), col("yg"), (p, q) => (p - q) * (p - q)),
+      lit(0L), (acc, v) => acc + v)
+    val dropped = x.join(y, col("xcid") === col("ycid") && col("yid") < col("xid"))
+      .filter(sq <= maxSqDist)
+      .select(col("xid").as(idCol)).distinct()
+    a.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cid").cast("long").as("cid"))
+  }
+
   // q121: 3 Lloyd rounds, k=10, over the 64-dim embeddings — the oracle
   // replays the ENTIRE trajectory (seeding order, every assignment, every
   // quantized centroid update, the final inertia) as unrolled CTEs; one
@@ -180,13 +215,19 @@ object Kmeans {
        |  FROM c$p c LEFT JOIN u$i u USING (cid))""".stripMargin
   }
 
-  private val q121Sql: String =
-    s"""WITH e AS (
+  /** Shared oracle prefix: quantize `corpusSql` (a SELECT of vec_id +
+    * FLOAT[] embedding), seed, run [[Iters]] unrolled Lloyd rounds, and
+    * assign every vector under the final centroids (CTE `af`: vec_id, cid,
+    * dist). q121 reports from it; q125 dedups within its clusters.
+    */
+  private def lloydPrefixSql(corpusSql: String): String =
+    s"""WITH e0 AS ($corpusSql),
+       |e AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x ->
        |           CAST(round(least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) * 256)
        |                AS BIGINT) + 512) AS g
-       |  FROM embeddings),
+       |  FROM e0),
        |seed AS (
        |  SELECT g, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
        |  FROM e QUALIFY cid < $K),
@@ -201,7 +242,10 @@ object Kmeans {
        |  SELECT vec_id, cid, dist FROM (
        |    SELECT vec_id, cid, dist,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM df) WHERE rn = 1),
+       |    FROM df) WHERE rn = 1)""".stripMargin
+
+  private val q121Sql: String =
+    s"""${lloydPrefixSql("SELECT vec_id, embedding FROM embeddings")},
        |fs AS (SELECT cid, count(1) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
        |       FROM af GROUP BY cid)
        |SELECT CAST(c.cid AS BIGINT) AS cid,
@@ -212,11 +256,48 @@ object Kmeans {
        |FROM c$Iters c LEFT JOIN fs f USING (cid)
        |ORDER BY cid, pos""".stripMargin
 
+  // q125: SemDeDup over the corpus plus 40 planted twins (+0.02 per
+  // component, the q31 fixture convention). The oracle replays the FULL
+  // trajectory — same seeds, same three Lloyd rounds over the twin-extended
+  // corpus, same final assignment — then the within-cluster pair scan and
+  // the smaller-id drop rule. A twin sits ~sqrt(64*5²)≈40 grid units from
+  // its original vs hundreds for unrelated pairs, so maxSqDist=10000
+  // separates cleanly; a twin that lands in a different cluster than its
+  // original survives BY DESIGN on both engines (cluster-scoped recall).
+  private val q125Sql: String =
+    s"""${lloydPrefixSql(
+        """SELECT vec_id, embedding FROM embeddings
+          |       UNION ALL
+          |       SELECT vec_id + 100000,
+          |              list_transform(embedding, x -> x + CAST(0.02 AS FLOAT))
+          |       FROM embeddings WHERE vec_id < 40""".stripMargin)},
+       |p AS (
+       |  SELECT x.vec_id AS a
+       |  FROM af x JOIN af y ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |  JOIN e ex ON ex.vec_id = x.vec_id
+       |  JOIN e ey ON ey.vec_id = y.vec_id
+       |  CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY x.vec_id, y.vec_id
+       |  HAVING SUM((ex.g[t.i] - ey.g[t.i]) * (ex.g[t.i] - ey.g[t.i])) <= 10000)
+       |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid FROM af f
+       |WHERE f.vec_id NOT IN (SELECT DISTINCT a FROM p)
+       |ORDER BY f.vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q121_kmeans", q121Sql) { (s, d) =>
       val g = quantizeGrid(Tables.embeddings(s, d).select("vec_id", "embedding"))
       val cents = lloyd(g, K, Iters)
       report(s, g, cents)
+    },
+
+    Q("q125_semdedup", q125Sql) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 40)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      semDedup(emb.unionByName(twins), K, Iters, maxSqDist = 10000L)
+        .orderBy("vec_id")
     },
   )
 }

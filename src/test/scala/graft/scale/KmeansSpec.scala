@@ -97,6 +97,44 @@ class KmeansSpec extends SparkSpec {
       assert(out(c).toSeq === seeds(c).toSeq)
   }
 
+  test("semDedup laws: no surviving in-cell pair within the radius; every drop is justified") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val twins = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+    val corpus = emb.unionByName(twins)
+    val maxSq = 10000L
+    val survivors = Kmeans.semDedup(corpus, k = 5, iters = 2, maxSqDist = maxSq)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val all = corpus.count()
+    assert(survivors.size < all && survivors.size >= all - 20)
+    // reconstruct codes + assignment exactly as the operator does
+    val g = Kmeans.quantizeGrid(corpus)
+    val cents = Kmeans.lloyd(g, k = 5, iters = 2)
+    val rows = Kmeans.assignNearest(g, cents)
+      .select(col("vec_id"), col("cid"), col("gcode"))
+      .as[(Long, Int, Seq[Long])].collect()
+    def sq(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byCell = rows.groupBy(_._2)
+    for ((_, cell) <- byCell; a <- cell; b <- cell if a._1 < b._1) {
+      val close = sq(a._3, b._3) <= maxSq
+      // law 1: two survivors in one cell are never within the radius
+      if (survivors.contains(a._1) && survivors.contains(b._1)) assert(!close)
+    }
+    // law 2: every dropped id has a SMALLER-id same-cell neighbor in radius
+    val dropped = rows.map(_._1).toSet -- survivors.keySet
+    for (id <- dropped) {
+      val me = rows.find(_._1 == id).get
+      assert(byCell(me._2).exists(o => o._1 < id && sq(o._3, me._3) <= maxSq),
+        s"dropped $id without a smaller-id close neighbor")
+    }
+    // survivors report the cid they were assigned
+    for ((id, cid) <- survivors)
+      assert(rows.find(_._1 == id).get._2.toLong === cid)
+  }
+
   test("report: n_vecs sums to corpus size and inertia matches a direct recompute") {
     val g = gridded
     val cents = Kmeans.lloyd(g, k = 4, iters = 2)
