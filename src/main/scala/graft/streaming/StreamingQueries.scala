@@ -364,5 +364,37 @@ object StreamingQueries {
         .select(col("user_id"), col("rnk"), col("event_id"), col("value"))
         .orderBy("user_id", "rnk")
     },
+
+    // Streaming inverted-index maintenance: the q120 champion lists reached
+    // through a CRAWL — documents arrive as micro-batches, each appended to
+    // the persistent postings table as an O(batch) append version, and
+    // champion-list serving over the drained index must equal the batch
+    // build exactly (ingestion-path invariance, the q106 claim for the
+    // lexical side). Same oracle as q120; multi-batch growth, replay
+    // idempotence and compaction parity live in PostingsStreamSpec.
+    Q("q126_streaming_postings",
+      """WITH p AS (
+        |  SELECT g AS term, doc_id, CAST(count(1) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                  x -> x <> '')) AS g
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        | r AS (
+        |  SELECT term, doc_id, tf,
+        |         CAST(row_number() OVER (PARTITION BY term
+        |              ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM p)
+        |SELECT term, rnk, doc_id, tf FROM r WHERE rnk <= 3
+        |ORDER BY term, rnk""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q126")
+      val index = new PostingsIndex(s, s"$wh/lex")
+      val s2 = s.newSession()
+      val docs = Streaming.docsStream(s2, d).select("doc_id", "text")
+      PostingsStream.postingsSink(docs, index, s"$wh/ckpt").awaitTermination()
+      graft.scale.Retrieval.topPostings(index.postings.read(), k = 3)
+        .select(col("term"), col("rnk"), col("doc_id"), col("tf"))
+        .orderBy("term", "rnk")
+    },
   )
 }
