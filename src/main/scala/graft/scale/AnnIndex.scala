@@ -53,10 +53,24 @@ object AnnIndex {
   def buildIvfIndex(corpus: DataFrame, root: String,
                     nCentroids: Int = -1, trainIters: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val nCents = Similarity.resolveNCentroids(corpus, nCentroids)
+    buildIvfIndexWith(corpus, root,
+      Similarity.centroidsFor(corpus, nCents, trainIters, idCol, vecCol),
+      idCol, vecCol)
+  }
+
+  /** [[buildIvfIndex]] with a caller-supplied centroid model (unit-norm
+    * doubles, ids 0..n-1) instead of the sample-trained default — the hook
+    * for FULL-CORPUS training: [[Kmeans.lloyd]] refines centroids with
+    * distributed rounds that touch every vector, then
+    * [[Kmeans.unitCentroids]] projects them onto the sphere the dot-product
+    * assignment expects. Same storage, probe and append contracts.
+    */
+  def buildIvfIndexWith(corpus: DataFrame, root: String,
+                        cents: Array[(Int, Seq[Double])],
+                        idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     val spark = corpus.sparkSession
     Similarity.requireNumericId(corpus, idCol, "buildIvfIndex")
-    val nCents = Similarity.resolveNCentroids(corpus, nCentroids)
-    val cents = Similarity.centroidsFor(corpus, nCents, trainIters, idCol, vecCol)
 
     import spark.implicits._
     val centsDf = cents.toSeq.toDF("cid", "centroid")
@@ -69,7 +83,7 @@ object AnnIndex {
       .select(col(idCol).cast("long").as("nid"), col("qcode").as("code"), col("cid"))
     val pt = postingsTable(spark, root)
     pt.promote(pt.stage(postings, Seq("cid")))
-    IvfIndex(root, nCents)
+    IvfIndex(root, cents.length)
   }
 
   /** Append a batch of new vectors to an existing index WITHOUT retraining:
