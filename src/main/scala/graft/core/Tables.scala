@@ -29,19 +29,32 @@ object Tables {
     if (!spark.conf.getOption(NanosConfKey).contains("true"))
       spark.conf.set(NanosConfKey, "true")
 
-  /** Read one table. `events.ts` is stored as INT64 TIMESTAMP(NANOS); we read
-    * it as a long (legacy conf) and truncate to microseconds — the same
-    * truncation DuckDB applies when it reads the file, so oracle comparisons
-    * line up exactly.
+  /** The driver has generated `events.ts` in two shapes across rounds:
+    * INT64 TIMESTAMP(NANOS) (readable only as a long under the legacy conf,
+    * truncated to microseconds to match DuckDB's read of the same file) and
+    * plain TIMESTAMP(MICROS) (directly readable). Adapt to whichever shape
+    * the file actually has so a regeneration never breaks the loaders.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        // integer division: epoch-nanos exceed double's 2^53 exact range, so
+        // `/ 1000` via double could round across a microsecond boundary and
+        // diverge from DuckDB's exact truncation
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // no-tz micros: wall values equal epoch values under the engine's
+        // fixed UTC session tz, so this cast is value-preserving; TIMESTAMP
+        // is required by watermarks and unix_micros/unix_seconds
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** Read one table, normalizing the `events.ts` encoding (see normalizeTs). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       ensureNanosConf(spark)
-      // integer division: epoch-nanos exceed double's 2^53 exact range, so
-      // `/ 1000` via double could round across a microsecond boundary and
-      // diverge from DuckDB's exact truncation
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(path(dir, name)))
     case _ =>
       spark.read.parquet(path(dir, name))
   }

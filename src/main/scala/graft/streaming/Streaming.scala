@@ -300,18 +300,18 @@ object Streaming {
   }
 
   /** Read the events table shape as a file stream (parquet), the
-    * readStream entry point for the driver tables. Same nanos handling as
-    * graft.core.Tables.load: the file stores TIMESTAMP(NANOS), which Spark 4
-    * only reads as long under the legacy conf; truncate to micros exactly.
+    * readStream entry point for the driver tables. Same ts-encoding handling
+    * as graft.core.Tables.load (nanos-as-long vs native micros — see
+    * Tables.normalizeTs).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     graft.core.Tables.ensureNanosConf(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the driver table is a single file; stream its parent dir with a glob
     // (FileStreamSource requires a directory basePath)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 }
