@@ -230,5 +230,38 @@ object Extended {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_above"))
         .orderBy("c_mktsegment")
     },
+
+    // Full-outer join: high-balance customer counts vs supplier counts per
+    // nation, where each side covers a different nation subset (the balance
+    // filters guarantee unmatched rows on BOTH sides, so the outer semantics
+    // are actually exercised, not vacuously inner). Both inputs are
+    // per-nation aggregates — small enough that at any corpus scale the
+    // outer join runs after the reduction, never on raw rows.
+    Q("q127_full_outer",
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, count(1) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        | s AS (
+        |  SELECT s_nationkey AS nk, count(1) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nk,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp,
+        |  CASE WHEN c.nk IS NULL THEN 'supp_only'
+        |       WHEN s.nk IS NULL THEN 'cust_only' ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("cnk") === col("snk"), "full_outer")
+        .select(coalesce(col("cnk"), col("snk")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          when(col("cnk").isNull, "supp_only")
+            .when(col("snk").isNull, "cust_only")
+            .otherwise("both").as("side"))
+        .orderBy("nk")
+    },
   )
 }

@@ -280,6 +280,51 @@ object Curation {
       .withColumn("surprisal", coalesce(col("surprisal"), lit(0L)))
   }
 
+  /** Bigram-LM surprisal scoring — the conditional-probability refinement of
+    * [[unigramSurprisal]] (the CCNet perplexity-filter idea one model order
+    * up): each within-document word transition (prev → cur) costs
+    * `floor_log2(count(prev as context)) − floor_log2(count(prev, cur))`
+    * bits — the integer-exact surrogate for −log₂ P(cur | prev) that both
+    * engines compute identically via `length(bin(x))`. Fluent text re-uses
+    * frequent transitions (low bits/transition); shuffled or machine-mangled
+    * text pays near-unigram cost per transition. Returns one row per doc
+    * with `n_trans` (word count − 1, floored at 0) and `surprisal` (total
+    * transition bits; 0 for docs of < 2 words).
+    *
+    * Scale shape: the corpus tokenizes once into a checkpointed transition
+    * stream (same shared-consumer pattern as [[unigramSurprisal]]); the
+    * bigram and context tables are vocab²- and vocab-bounded aggregates of
+    * that stream, broadcast back onto it — corpus text itself never rides a
+    * wide shuffle, and per-doc reduction happens map-side.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), graft.expressions.Ws.Regex), w => w =!= "")
+    // transitions: zip toks[0..n-2] with toks[1..n-1]; slice length is
+    // clamped at 0 so single-word and empty docs yield an empty array
+    val nTrans = greatest(size(toks) - 1, lit(0))
+    val trans = docs.select(col(idCol),
+      explode(zip_with(
+        slice(toks, lit(1), nTrans), slice(toks, lit(2), nTrans),
+        (a, b) => struct(a.as("p"), b.as("c")))).as("__t"))
+      .select(col(idCol), col("__t.p").as("__p"), col("__t.c").as("__c"))
+      .localCheckpoint()
+    val big = trans.groupBy("__p", "__c").agg(count(lit(1)).as("__bc"))
+    // context count = occurrences of the word in PREV position (sum of its
+    // outgoing bigrams), so P(c|p) sums to exactly 1 per context
+    val ctx = big.groupBy("__p").agg(sum("__bc").cast("long").as("__pc"))
+    val scored = trans
+      .join(broadcast(big), Seq("__p", "__c"))
+      .join(broadcast(ctx), Seq("__p"))
+      .select(col(idCol),
+        (length(bin(col("__pc"))) - length(bin(col("__bc")))).cast("long").as("__surp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trans"), sum("__surp").as("surprisal"))
+    docs.join(scored, Seq(idCol), "left")
+      .withColumn("n_trans", coalesce(col("n_trans"), lit(0L)))
+      .withColumn("surprisal", coalesce(col("surprisal"), lit(0L)))
+  }
+
   /** Deterministic top-K cut of a word-frequency table (columns `__w`,
     * `__cnt`): count desc with the word itself as tiebreak — a total order,
     * so the cut is value-exact on any engine. Shared by [[vocabulary]] and
@@ -1016,6 +1061,45 @@ object Curation {
           sum("n_tokens").as("n_tokens"),
           sum("surprisal").as("sum_surprisal"),
           sum(when(col("surprisal") <= col("n_tokens") * 8, 1L).otherwise(0L))
+            .as("n_fluent"))
+        .orderBy("lang")
+    },
+
+    // Bigram-LM surprisal: conditional transition bits (see
+    // bigramSurprisal). n_fluent counts docs averaging <= 4.5 bits per
+    // transition, as the integer cross-multiplication 2*surp <= 9*n_trans
+    // (a real split on this corpus: ~1/7 of docs qualify). The oracle
+    // derives transitions with a per-doc lag window over exploded
+    // positions — same stream, different idiom, identical multiset.
+    Q("q128_bigram_lm",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS c,
+        |    generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        | t AS (
+        |  SELECT doc_id, lag(c) OVER (PARTITION BY doc_id ORDER BY pos) AS p, c
+        |  FROM w QUALIFY p IS NOT NULL),
+        | b AS (SELECT p, c, CAST(count(1) AS BIGINT) AS bc FROM t GROUP BY 1, 2),
+        | x AS (SELECT p, CAST(sum(bc) AS BIGINT) AS pc FROM b GROUP BY 1),
+        | s AS (
+        |  SELECT doc_id, count(1) AS n_trans,
+        |         CAST(sum(length(bin(pc)) - length(bin(bc))) AS BIGINT) AS surp
+        |  FROM t JOIN b USING (p, c) JOIN x USING (p) GROUP BY 1)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(coalesce(n_trans, 0)) AS BIGINT) AS n_trans,
+        |  CAST(sum(coalesce(surp, 0)) AS BIGINT) AS sum_surprisal,
+        |  CAST(sum(CASE WHEN 2 * coalesce(surp, 0) <= 9 * coalesce(n_trans, 0)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent
+        |FROM documents LEFT JOIN s USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      bigramSurprisal(Tables.documents(s, d).select("doc_id", "lang", "text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_trans").as("n_trans"),
+          sum("surprisal").as("sum_surprisal"),
+          sum(when(col("surprisal") * 2 <= col("n_trans") * 9, 1L).otherwise(0L))
             .as("n_fluent"))
         .orderBy("lang")
     },
