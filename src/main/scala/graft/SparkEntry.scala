@@ -34,6 +34,8 @@ object SparkEntry {
     scale.Layout.queries ++
     scale.Retrieval.queries ++
     scale.Kmeans.queries ++
+    scale.Graph.queries ++
+    scale.Pq.queries ++
     scale.Sampling.queries ++
     scale.Bpe.queries
 

@@ -190,12 +190,12 @@ object Kmeans {
   private val K = 10
   private val Iters = 3
 
-  private def iterSql(i: Int): String = {
+  private def iterSql(i: Int, dim: Int): String = {
     val p = i - 1
     s"""d$i AS (
        |  SELECT e.vec_id, c.cid,
        |         SUM((e.g[t.i] - c.cent[t.i]) * (e.g[t.i] - c.cent[t.i])) AS dist
-       |  FROM e CROSS JOIN c$p c CROSS JOIN range(1, 65) t(i)
+       |  FROM e CROSS JOIN c$p c CROSS JOIN range(1, ${dim + 1}) t(i)
        |  GROUP BY e.vec_id, c.cid),
        |a$i AS (
        |  SELECT vec_id, cid FROM (
@@ -204,7 +204,7 @@ object Kmeans {
        |    FROM d$i) WHERE rn = 1),
        |s$i AS (
        |  SELECT a.cid, t.i, SUM(e.g[t.i]) AS s
-       |  FROM a$i a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+       |  FROM a$i a JOIN e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
        |  GROUP BY a.cid, t.i),
        |n$i AS (SELECT cid, count(1) AS n FROM a$i GROUP BY cid),
        |u$i AS (
@@ -216,11 +216,15 @@ object Kmeans {
   }
 
   /** Shared oracle prefix: quantize `corpusSql` (a SELECT of vec_id +
-    * FLOAT[] embedding), seed, run [[Iters]] unrolled Lloyd rounds, and
-    * assign every vector under the final centroids (CTE `af`: vec_id, cid,
-    * dist). q121 reports from it; q125 dedups within its clusters.
+    * FLOAT[] embedding of `dim` elements), seed, run `iters` unrolled Lloyd
+    * rounds with `k` centroids, and assign every vector under the final
+    * centroids (CTE `af`: vec_id, cid, dist; quantized vectors stay
+    * available as CTE `e`, final centroids as CTE `c<iters>`). q121 reports
+    * from it, q125 dedups within its clusters, and [[Pq]] trains its shared
+    * subvector codebook through it.
     */
-  private def lloydPrefixSql(corpusSql: String): String =
+  private[scale] def lloydPrefixSql(corpusSql: String, k: Int = K,
+                                    iters: Int = Iters, dim: Int = 64): String =
     s"""WITH e0 AS ($corpusSql),
        |e AS (
        |  SELECT vec_id,
@@ -230,13 +234,13 @@ object Kmeans {
        |  FROM e0),
        |seed AS (
        |  SELECT g, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM e QUALIFY cid < $K),
+       |  FROM e QUALIFY cid < $k),
        |c0 AS (SELECT cid, g AS cent FROM seed),
-       |${(1 to Iters).map(iterSql).mkString(",\n")},
+       |${(1 to iters).map(iterSql(_, dim)).mkString(",\n")},
        |df AS (
        |  SELECT e.vec_id, c.cid,
        |         SUM((e.g[t.i] - c.cent[t.i]) * (e.g[t.i] - c.cent[t.i])) AS dist
-       |  FROM e CROSS JOIN c$Iters c CROSS JOIN range(1, 65) t(i)
+       |  FROM e CROSS JOIN c$iters c CROSS JOIN range(1, ${dim + 1}) t(i)
        |  GROUP BY e.vec_id, c.cid),
        |af AS (
        |  SELECT vec_id, cid, dist FROM (

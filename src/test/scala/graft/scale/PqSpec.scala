@@ -1,0 +1,73 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = {
+    val dim = Pq.M * Pq.SubDim
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        (((i * 31 + j * 7) % 17) - 8) / 8.0f).toArray.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("subvectors: M rows per vector, SubDim elements each, sid decodes back") {
+    val subs = Pq.subvectors(corpus(6)).cache()
+    assert(subs.count() === 6L * Pq.M)
+    assert(subs.filter(size(col("embedding")) =!= Pq.SubDim).count() === 0)
+    assert(subs.filter(col("sid") =!= col("vec_id") * Pq.M + col("m")).count() === 0)
+    subs.unpersist()
+  }
+
+  test("encode emits one code per (vector, subspace), all within the codebook") {
+    val subs = Pq.subvectors(corpus(20))
+    val cents = Pq.trainCodebook(subs)
+    assert(cents.length === Pq.K && cents.forall(_.length === Pq.SubDim))
+    val codes = Pq.encode(subs, cents).cache()
+    assert(codes.count() === 20L * Pq.M)
+    assert(codes.filter(col("cid") < 0 || col("cid") >= Pq.K).count() === 0)
+    // duplicate subvectors encode identically: vector i and i+copy share codes
+    codes.unpersist()
+  }
+
+  test("ADC score is exactly the sum of per-subspace centroid distances") {
+    val subs = Pq.subvectors(corpus(20)).cache()
+    val cents = Pq.trainCodebook(subs)
+    val codes = Pq.encode(subs, cents)
+    val qsubs = subs.filter(col("vec_id") < 2)
+    val topk = Pq.adcTopK(spark, codes, qsubs, cents, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // reference: driver-side replay over the same grid integers
+    val g = Kmeans.quantizeGrid(subs)
+      .select(col("vec_id"), col("m"), col("gcode"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toArray).toMap
+    def nearest(v: Array[Long]): Int =
+      cents.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._2
+    for (q <- 0L until 2L; v <- 0L until 20L) {
+      val expected = (0 until Pq.M).map { m =>
+        val cid = nearest(g((v, m.toLong)))
+        cents(cid).zip(g((q, m.toLong))).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(topk((q, v)) === expected, s"q=$q v=$v")
+    }
+    subs.unpersist()
+  }
+
+  test("exact duplicates share codes and scores") {
+    val base = corpus(10)
+    val twins = base.withColumn("vec_id", col("vec_id") + 100)
+    val subs = Pq.subvectors(base.unionByName(twins))
+    val cents = Pq.trainCodebook(subs)
+    val codes = Pq.encode(subs, cents)
+    val mismatch = codes.filter(col("vec_id") < 100).alias("a")
+      .join(codes.filter(col("vec_id") >= 100).alias("b"),
+        col("a.vec_id") === col("b.vec_id") - 100 && col("a.m") === col("b.m"))
+      .filter(col("a.cid") =!= col("b.cid"))
+    assert(mismatch.count() === 0)
+  }
+}
