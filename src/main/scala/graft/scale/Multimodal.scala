@@ -295,6 +295,51 @@ object Multimodal {
       "data".getBytes("US-ASCII") ++ le32(dataBytes)
   }
 
+  /** A spec-valid mono 16-bit PCM WAV with a REAL sample payload — the
+    * companion to [[wavBytes]] (whose data chunk is declared but empty) for
+    * operators that decode actual audio content.
+    */
+  private[scale] def wavBytesPcm(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(i * 2) = (samples(i) & 0xff).toByte
+      data(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    wavBytes(1, rate, samples.length) ++ data
+  }
+
+  /** REAL PCM decode: walk the RIFF chunks to `data` and read its s16le
+    * samples (mono 16-bit only — the [[wavBytesPcm]] contract). For WAV,
+    * this IS the audio decode; no codec involved by design of the format.
+    * None when the container is malformed or the data chunk is truncated.
+    */
+  def wavPcmSamples(b: Array[Byte]): Option[Array[Short]] = {
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32le(i: Int): Long = (u16le(i).toLong) | (u16le(i + 2).toLong << 16)
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+    if (!(ascii(0, "RIFF") && ascii(8, "WAVE"))) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = u32le(i + 4)
+      if (ascii(i, "data")) {
+        if (i + 8 + size > b.length || size % 2 != 0) return None
+        val out = new Array[Short](size.toInt / 2)
+        var j = 0
+        while (j < out.length) {
+          out(j) = u16le(i + 8 + j * 2).toShort
+          j += 1
+        }
+        return Some(out)
+      }
+      if (size > b.length.toLong) return None
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
   private def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -664,6 +709,53 @@ object Multimodal {
         .select(col("asset_id"), col("chunk_idx"),
           col("chunk").cast("string").as("chunk"))
         .orderBy("asset_id", "chunk_idx")
+    },
+
+    // Audio CONTENT decode — past q91's header parse: each doc becomes a
+    // mono 16-bit PCM WAV whose samples are doc_id-derived integers, and the
+    // engine's numbers come from genuinely decoding the byte payload
+    // (RIFF walk to the data chunk, s16le sample read — for WAV that IS the
+    // audio decode) then one imperative stats pass: peak, total absolute
+    // amplitude, and sign-change (zero-crossing) count, all integer-exact.
+    // The oracle regenerates the same sample sequence from doc_id arithmetic
+    // with per-row list ops, so a writer or decoder bit error hash-fails.
+    // Same bounded residency as every multimodal op: one payload per
+    // iterator step, nothing retained across records.
+    Q("q131_audio_stats",
+      """WITH p AS (SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+        | s AS (SELECT doc_id, n,
+        |   list_transform(range(0, CAST(n AS INT)),
+        |     i -> (doc_id * 7919 + i * 104729) % 65536 - 32768) AS smp
+        |   FROM p)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+        |  CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(len(list_filter(range(1, CAST(n AS INT)),
+        |    i -> (smp[CAST(i AS INT)] < 0) != (smp[CAST(i AS INT) + 1] < 0)))
+        |    AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val n = (200 + id % 300).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 7919 + i.toLong * 104729) % 65536 - 32768).toShort)
+          val payload = wavBytesPcm(8000 + (id % 8).toInt * 1000, samples)
+          val decoded = wavPcmSamples(payload).getOrElse(
+            throw new IllegalStateException(s"unparsable PCM WAV for asset $id"))
+          var peak = 0L; var sumAbs = 0L; var zc = 0L
+          var i = 0
+          while (i < decoded.length) {
+            val v = math.abs(decoded(i).toLong)
+            if (v > peak) peak = v
+            sumAbs += v
+            if (i > 0 && (decoded(i) < 0) != (decoded(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          (id, decoded.length.toLong, peak, sumAbs, zc)
+        }
+      }.toDF("asset_id", "n_samples", "peak", "sum_abs", "zero_crossings")
+        .orderBy("asset_id")
     },
   )
 }

@@ -165,4 +165,15 @@ class MultimodalSpec extends SparkSpec {
     val truncatedMoov = Multimodal.mp4Bytes(600, 100L, v1 = false).dropRight(4)
     assert(Multimodal.mp4Info(truncatedMoov) === None)
   }
+
+  test("PCM WAV round trip: known samples survive encode/decode; truncated data fails closed") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val wav = Multimodal.wavBytesPcm(8000, samples)
+    assert(Multimodal.wavPcmSamples(wav).map(_.toSeq) === Some(samples.toSeq))
+    // header metadata agrees with the payload
+    assert(Multimodal.wavInfo(wav) === Some((1, 8000, samples.length.toLong)))
+    // data chunk declared longer than the payload: decode refuses
+    assert(Multimodal.wavPcmSamples(wav.dropRight(2)) === None)
+    assert(Multimodal.wavPcmSamples("RIFFxxxxWAVE".getBytes("US-ASCII")) === None)
+  }
 }
