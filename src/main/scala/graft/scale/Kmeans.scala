@@ -190,63 +190,70 @@ object Kmeans {
   private val K = 10
   private val Iters = 3
 
-  private def iterSql(i: Int, dim: Int): String = {
+  private def iterSql(i: Int, dim: Int, pre: String): String = {
     val p = i - 1
-    s"""d$i AS (
+    s"""${pre}d$i AS (
        |  SELECT e.vec_id, c.cid,
        |         SUM((e.g[t.i] - c.cent[t.i]) * (e.g[t.i] - c.cent[t.i])) AS dist
-       |  FROM e CROSS JOIN c$p c CROSS JOIN range(1, ${dim + 1}) t(i)
+       |  FROM ${pre}e e CROSS JOIN ${pre}c$p c CROSS JOIN range(1, ${dim + 1}) t(i)
        |  GROUP BY e.vec_id, c.cid),
-       |a$i AS (
+       |${pre}a$i AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM d$i) WHERE rn = 1),
-       |s$i AS (
+       |    FROM ${pre}d$i) WHERE rn = 1),
+       |${pre}s$i AS (
        |  SELECT a.cid, t.i, SUM(e.g[t.i]) AS s
-       |  FROM a$i a JOIN e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
+       |  FROM ${pre}a$i a JOIN ${pre}e e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
        |  GROUP BY a.cid, t.i),
-       |n$i AS (SELECT cid, count(1) AS n FROM a$i GROUP BY cid),
-       |u$i AS (
+       |${pre}n$i AS (SELECT cid, count(1) AS n FROM ${pre}a$i GROUP BY cid),
+       |${pre}u$i AS (
        |  SELECT s.cid, list(CAST(s.s // n.n AS BIGINT) ORDER BY s.i) AS cent
-       |  FROM s$i s JOIN n$i n USING (cid) GROUP BY s.cid),
-       |c$i AS (
+       |  FROM ${pre}s$i s JOIN ${pre}n$i n USING (cid) GROUP BY s.cid),
+       |${pre}c$i AS (
        |  SELECT c.cid, COALESCE(u.cent, c.cent) AS cent
-       |  FROM c$p c LEFT JOIN u$i u USING (cid))""".stripMargin
+       |  FROM ${pre}c$p c LEFT JOIN ${pre}u$i u USING (cid))""".stripMargin
   }
 
-  /** Shared oracle prefix: quantize `corpusSql` (a SELECT of vec_id +
-    * FLOAT[] embedding of `dim` elements), seed, run `iters` unrolled Lloyd
-    * rounds with `k` centroids, and assign every vector under the final
-    * centroids (CTE `af`: vec_id, cid, dist; quantized vectors stay
-    * available as CTE `e`, final centroids as CTE `c<iters>`). q121 reports
-    * from it, q125 dedups within its clusters, and [[Pq]] trains its shared
-    * subvector codebook through it.
+  /** The Lloyd-replay CTE list (no leading WITH): quantize `corpusSql` (a
+    * SELECT of vec_id + FLOAT[] embedding of `dim` elements), seed, run
+    * `iters` unrolled rounds with `k` centroids, and assign every vector
+    * under the final centroids. Exposed CTEs (all `pre`-prefixed so two
+    * trainings can compose in one statement — [[Pq]]'s IVF+PQ oracle runs a
+    * coarse and a codebook replay side by side): `<pre>e` (vec_id, g),
+    * `<pre>c<iters>` (final centroids), `<pre>af` (vec_id, cid, dist).
     */
-  private[scale] def lloydPrefixSql(corpusSql: String, k: Int = K,
-                                    iters: Int = Iters, dim: Int = 64): String =
-    s"""WITH e0 AS ($corpusSql),
-       |e AS (
+  private[scale] def lloydCtes(corpusSql: String, k: Int, iters: Int,
+                               dim: Int, pre: String = ""): String =
+    s"""${pre}e0 AS ($corpusSql),
+       |${pre}e AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x ->
        |           CAST(round(least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) * 256)
        |                AS BIGINT) + 512) AS g
-       |  FROM e0),
-       |seed AS (
+       |  FROM ${pre}e0),
+       |${pre}seed AS (
        |  SELECT g, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM e QUALIFY cid < $k),
-       |c0 AS (SELECT cid, g AS cent FROM seed),
-       |${(1 to iters).map(iterSql(_, dim)).mkString(",\n")},
-       |df AS (
+       |  FROM ${pre}e QUALIFY cid < $k),
+       |${pre}c0 AS (SELECT cid, g AS cent FROM ${pre}seed),
+       |${(1 to iters).map(iterSql(_, dim, pre)).mkString(",\n")},
+       |${pre}df AS (
        |  SELECT e.vec_id, c.cid,
        |         SUM((e.g[t.i] - c.cent[t.i]) * (e.g[t.i] - c.cent[t.i])) AS dist
-       |  FROM e CROSS JOIN c$iters c CROSS JOIN range(1, ${dim + 1}) t(i)
+       |  FROM ${pre}e e CROSS JOIN ${pre}c$iters c CROSS JOIN range(1, ${dim + 1}) t(i)
        |  GROUP BY e.vec_id, c.cid),
-       |af AS (
+       |${pre}af AS (
        |  SELECT vec_id, cid, dist FROM (
        |    SELECT vec_id, cid, dist,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM df) WHERE rn = 1)""".stripMargin
+       |    FROM ${pre}df) WHERE rn = 1)""".stripMargin
+
+  /** [[lloydCtes]] as a complete WITH prefix — the single-training form
+    * q121/q125/q130 build on.
+    */
+  private[scale] def lloydPrefixSql(corpusSql: String, k: Int = K,
+                                    iters: Int = Iters, dim: Int = 64): String =
+    s"WITH ${lloydCtes(corpusSql, k, iters, dim)}"
 
   private val q121Sql: String =
     s"""${lloydPrefixSql("SELECT vec_id, embedding FROM embeddings")},

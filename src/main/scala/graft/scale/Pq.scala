@@ -98,6 +98,119 @@ object Pq {
         Seq(col("score").asc, col("vec_id").asc), k))
   }
 
+  // ---- IVF + PQ: the composed production index ---------------------------
+
+  /** Coarse cell count / Lloyd rounds for the IVF layer of [[buildIvfPqIndex]]. */
+  val Cells = 4
+  val CoarseIters = 2
+
+  /** Handle to a built IVF+PQ index. */
+  final case class IvfPqIndex(root: String, nCells: Int)
+
+  private def table(spark: SparkSession, root: String, name: String) =
+    new graft.write.VersionedTable(spark, s"$root/$name")
+
+  /** PQ code array as a pure projection: element m is the nearest-codebook
+    * id of the m-th subvector — M fused [[graft.expressions.ArgMinCentroidL2]]
+    * kernel calls over slices of the full-dimension grid code, no explode,
+    * no shuffle. `gcodeCol` must hold the [[Kmeans.quantizeGrid]] codes.
+    */
+  def pqCodesExpr(cents: Array[Array[Long]], gcodeCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ncol = org.apache.spark.sql.GraftColumnBridge.column _
+    val nexpr = org.apache.spark.sql.GraftColumnBridge.expression _
+    array((0 until M).map { m =>
+      ncol(graft.expressions.ArgMinCentroidL2(
+        nexpr(slice(gcodeCol, m * SubDim + 1, SubDim)),
+        cents.flatten, cents.length, cents.head.length)).getField("cid")
+    }: _*)
+  }
+
+  /** Build the composed index at `root`: a full-corpus coarse quantizer
+    * ([[Kmeans.lloyd]] over 64-dim grid codes — the IVF routing layer) plus
+    * the shared PQ codebook ([[trainCodebook]] over pooled subvectors), with
+    * postings (nid, codes int[M]) hive-partitioned by the coarse cell so a
+    * probe's cell filter prunes whole directories. Raw vectors appear in the
+    * two training scans and the single encode projection — never in storage,
+    * so the serving path CANNOT touch them. Both models and the postings are
+    * [[graft.write.VersionedTable]]s under the same stage+promote protocol
+    * as [[AnnIndex]].
+    */
+  def buildIvfPqIndex(corpus: DataFrame, root: String,
+                      nCells: Int = Cells, coarseIters: Int = CoarseIters): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val g = Kmeans.quantizeGrid(corpus)
+    val coarse = Kmeans.lloyd(g, nCells, coarseIters)
+    val book = trainCodebook(subvectors(corpus))
+    def centsDf(cs: Array[Array[Long]]) =
+      cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cent")
+    val ct = table(spark, root, "coarse"); ct.promote(ct.stage(centsDf(coarse)))
+    val bt = table(spark, root, "book");   bt.promote(bt.stage(centsDf(book)))
+    val postings = Kmeans.assignNearest(g, coarse)
+      .select(col("vec_id").cast("long").as("nid"),
+        pqCodesExpr(book, col("gcode")).as("codes"), col("cid"))
+    val pt = table(spark, root, "postings")
+    pt.promote(pt.stage(postings, Seq("cid")))
+    IvfPqIndex(root, nCells)
+  }
+
+  private def readCents(spark: SparkSession, root: String, name: String): Array[Array[Long]] =
+    table(spark, root, name).read().select("cid", "cent").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).map(_._2)
+
+  /** Probe: route each query to its `nProbe` nearest coarse cells (exact
+    * integer distances, ties to the smaller cid), scan ONLY those cells'
+    * postings (partition-pruned cid IN list), and ADC-score candidates via
+    * the broadcast (qid, m, cid, d) distance table — the [[adcTopK]]
+    * arithmetic behind an index. Candidates explode to M narrow rows that
+    * reduce map-side into the (qid, nid) score; the bounded per-key heap
+    * cuts to k. Queries must be broadcast-small (same contract as
+    * [[AnnIndex.probeIvf]]).
+    */
+  def probeIvfPq(spark: SparkSession, root: String, queries: DataFrame,
+                 k: Int, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val coarse = readCents(spark, root, "coarse")
+    val book = readCents(spark, root, "book")
+    val qg = Kmeans.quantizeGrid(queries).localCheckpoint()
+    // routing: per (query, cell) exact distances over the tiny cross of
+    // queries × nCells, ranked (dist, cid) — deterministic on any engine
+    val coarseDf = coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("ccid", "ccent")
+    val cdist = aggregate(
+      zip_with(col("gcode"), col("ccent"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val route = qg.select(col("vec_id").as("qid"), col("gcode"))
+      .crossJoin(broadcast(coarseDf))
+      .select(col("qid"), col("gcode"), col("ccid"), cdist.as("cdist"))
+      .transform(graft.ops.TopK.topKPerKey(_, Seq("qid"),
+        Seq(col("cdist").asc, col("ccid").asc), nProbe))
+      .select(col("qid"), col("ccid").as("cid"))
+      .localCheckpoint()
+    val probeCids = route.select("cid").distinct().collect().map(_.getInt(0))
+    require(probeCids.length <= 65536,
+      "probeIvfPq routed too many cells — query table is not broadcast-small")
+    // distance table: query subvectors × codebook, qid × M × K rows
+    val dt = qg.select(col("vec_id").as("qid"),
+        posexplode(array((0 until M).map(m =>
+          slice(col("gcode"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+      .crossJoin(broadcast(book.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("bcid", "bcent")))
+      .select(col("qid"), col("m").cast("long").as("m"), col("bcid"),
+        aggregate(zip_with(col("sub"), col("bcent"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d"))
+    val postings = table(spark, root, "postings").read()
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    val cand = postings.join(broadcast(route), Seq("cid"))
+    val scored = cand
+      .select(col("qid"), col("nid"), posexplode(col("codes")).as(Seq("m", "bcid")))
+      .withColumn("m", col("m").cast("long"))
+      .join(broadcast(dt), Seq("qid", "m", "bcid"))
+      .groupBy("qid", "nid")
+      .agg(sum("d").as("score"))
+      .transform(graft.ops.TopK.topKPerKey(_, Seq("qid"),
+        Seq(col("score").asc, col("nid").asc), k))
+    scored
+  }
+
   private val TopN = 10
 
   // Oracle: the Kmeans Lloyd prefix over the pooled subvector relation
@@ -130,6 +243,52 @@ object Pq {
        |QUALIFY rnk <= $TopN
        |ORDER BY qid, rnk""".stripMargin
 
+  private val NProbe = 2
+
+  private def subvecSql: String =
+    s"""SELECT vec_id * $M + t.m AS vec_id,
+       |       embedding[$SubDim * t.m + 1 : $SubDim * t.m + $SubDim] AS embedding
+       |FROM embeddings
+       |CROSS JOIN (SELECT unnest([${(0 until M).mkString(", ")}]) AS m) t""".stripMargin
+
+  // Oracle for the composed index: TWO side-by-side Lloyd replays (f_ = the
+  // 64-dim coarse quantizer, p_ = the 16-dim codebook over pooled
+  // subvectors), then the probe replay — route each query to its NProbe
+  // nearest coarse cells, restrict candidates to those cells' assignments,
+  // ADC-score through the codebook distance table, cut to the top-10.
+  private val q132Sql: String =
+    s"""WITH ${Kmeans.lloydCtes("SELECT vec_id, embedding FROM embeddings",
+         Cells, CoarseIters, 64, "f_")},
+       |${Kmeans.lloydCtes(subvecSql, K, Iters, SubDim, "p_")},
+       |a AS (SELECT vec_id // $M AS vid, vec_id % $M AS m, cid FROM p_af),
+       |fr AS (
+       |  SELECT e.vec_id AS qid, c.cid,
+       |         SUM((e.g[t.i] - c.cent[t.i]) * (e.g[t.i] - c.cent[t.i])) AS dist
+       |  FROM f_e e CROSS JOIN f_c$CoarseIters c CROSS JOIN range(1, 65) t(i)
+       |  WHERE e.vec_id < 5
+       |  GROUP BY 1, 2),
+       |route AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+       |    FROM fr) WHERE rn <= $NProbe),
+       |qs AS (SELECT vec_id // $M AS qid, vec_id % $M AS m, g
+       |       FROM p_e WHERE vec_id // $M < 5),
+       |dt AS (
+       |  SELECT qs.qid, qs.m, c.cid,
+       |         SUM((qs.g[t.i] - c.cent[t.i]) * (qs.g[t.i] - c.cent[t.i])) AS d
+       |  FROM qs CROSS JOIN p_c$Iters c CROSS JOIN range(1, ${SubDim + 1}) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cand AS (SELECT r.qid, f.vec_id AS vid FROM route r JOIN f_af f ON f.cid = r.cid),
+       |sc AS (
+       |  SELECT cand.qid, cand.vid, SUM(dt.d) AS score
+       |  FROM cand JOIN a ON a.vid = cand.vid
+       |  JOIN dt ON dt.qid = cand.qid AND dt.m = a.m AND dt.cid = a.cid
+       |  GROUP BY 1, 2)
+       |SELECT CAST(qid AS BIGINT) AS qid,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vid) AS BIGINT) AS rnk,
+       |  CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
+       |FROM sc QUALIFY rnk <= $TopN ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q130_pq_topk", q130Sql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -143,6 +302,26 @@ object Pq {
           row_number().over(Window.partitionBy("qid")
             .orderBy(col("score").asc, col("vec_id").asc)).cast("long").as("rnk"),
           col("vec_id").cast("long").as("vec_id"),
+          col("score").cast("long").as("score"))
+        .orderBy("qid", "rnk")
+    },
+
+    // The composed production index end-to-end: build (coarse quantizer +
+    // codebook + cell-partitioned code postings as versioned tables), then
+    // probe — cell routing, partition-pruned candidate scan, broadcast-ADC
+    // scoring, bounded heap cut. The oracle replays BOTH trainings and the
+    // full probe arithmetic, so routing, encoding, and scoring are all
+    // value-certified, not just "returns k rows".
+    Q("q132_ivfpq_topk", q132Sql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val root = s"${graft.core.Scratch.dir("graft-q132")}/ivfpq"
+      buildIvfPqIndex(emb, root)
+      probeIvfPq(s, root, emb.filter(col("vec_id") < 5), k = TopN, nProbe = NProbe)
+        .select(col("qid").cast("long").as("qid"),
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").asc, col("nid").asc)).cast("long").as("rnk"),
+          col("nid").cast("long").as("vec_id"),
           col("score").cast("long").as("score"))
         .orderBy("qid", "rnk")
     },

@@ -58,6 +58,40 @@ class PqSpec extends SparkSpec {
     subs.unpersist()
   }
 
+  test("IVF+PQ with nProbe = all cells equals index-free ADC exactly") {
+    // the index is a PRUNING structure: probing every cell must reproduce
+    // the pure ADC scores bit-for-bit (same codebook, same arithmetic)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = graft.core.Scratch.dir("graft-pqspec") + "/ivfpq"
+    Pq.buildIvfPqIndex(emb, root)
+    val queries = emb.filter(col("vec_id") < 3)
+    val full = Pq.probeIvfPq(spark, root, queries, k = 5, nProbe = Pq.Cells)
+      .select("qid", "nid", "score")
+    val subs = Pq.subvectors(emb)
+    val cents = Pq.trainCodebook(subs)
+    val adc = Pq.adcTopK(spark, Pq.encode(subs, cents),
+        subs.filter(col("vec_id") < 3), cents, k = 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("score"))
+    assert(full.except(adc).count() === 0 && adc.except(full).count() === 0)
+  }
+
+  test("IVF+PQ probe reads only codes: ReadSchema excludes any vector column") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = graft.core.Scratch.dir("graft-pqspec2") + "/ivfpq"
+    Pq.buildIvfPqIndex(emb, root)
+    val plan = Pq.probeIvfPq(spark, root, emb.filter(col("vec_id") < 3), k = 5)
+      .queryExecution.executedPlan.toString
+    // the query side reads its own embeddings; the INDEX scan must not —
+    // the postings scan line must carry only (nid, codes) + the cid
+    // partition column, and no vector column can exist there at all
+    val postingScans = plan.linesIterator.filter(_.contains("/postings")).toSeq
+    assert(postingScans.nonEmpty, "expected a postings FileScan in the probe plan")
+    assert(postingScans.forall(!_.contains("embedding")),
+      s"postings scan must never touch raw vectors:\n${postingScans.mkString("\n")}")
+  }
+
   test("exact duplicates share codes and scores") {
     val base = corpus(10)
     val twins = base.withColumn("vec_id", col("vec_id") + 100)
