@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("sqdist_long"),
+      graft.expressions.SqDistLong.info,
+      exprs => {
+        require(exprs.length == 2, s"sqdist_long expects 2 arguments, got ${exprs.length}")
+        graft.expressions.SqDistLong(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       exprs => {

@@ -171,9 +171,9 @@ object Kmeans {
     val a = assignNearest(g, cents).select(col(idCol), col("cid"), col("gcode"))
     val x = a.select(col(idCol).as("xid"), col("cid").as("xcid"), col("gcode").as("xg"))
     val y = a.select(col(idCol).as("yid"), col("cid").as("ycid"), col("gcode").as("yg"))
-    val sq = aggregate(
-      zip_with(col("xg"), col("yg"), (p, q) => (p - q) * (p - q)),
-      lit(0L), (acc, v) => acc + v)
+    // fused codegen'd kernel: the pair scan is Σ|cell|² evaluations — the
+    // interpreted aggregate(zip_with(...)) HOF was the hottest loop in q125
+    val sq = ncol(graft.expressions.SqDistLong(nexpr(col("xg")), nexpr(col("yg"))))
     val dropped = x.join(y, col("xcid") === col("ycid") && col("yid") < col("xid"))
       .filter(sq <= maxSqDist)
       .select(col("xid").as(idCol)).distinct()

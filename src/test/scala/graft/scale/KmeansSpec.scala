@@ -51,6 +51,31 @@ class KmeansSpec extends SparkSpec {
     for ((id, (d, c)) <- ref) assert(got(id) === ((c, d)))
   }
 
+  test("SqDistLong matches the HOF form, ragged arrays truncate, nulls propagate") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit}
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 6L, 3L)),
+      (2L, Seq(0L, 0L), Seq(0L, 0L)),
+      (3L, Seq(1000L, -1000L), Seq(-1000L, 1000L)),
+      (4L, Seq(5L, 5L, 5L), Seq(5L)), // ragged: shorter length wins
+    ).toDF("id", "a", "b")
+    val kernel = ncol(graft.expressions.SqDistLong(nexpr(col("a")), nexpr(col("b"))))
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (p, q) => coalesce((p - q) * (p - q), lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    val got = df.select(col("id"), kernel.as("k"), hof.as("h"))
+      .as[(Long, Long, Long)].collect()
+    for ((id, k, h) <- got) assert(k === h, s"id=$id")
+    assert(got.find(_._1 == 1L).get._2 === 25L)
+    assert(got.find(_._1 == 3L).get._2 === 8000000L)
+    // null array → null result
+    val withNull = Seq((1L, Seq(1L, 2L), null: Seq[Long])).toDF("id", "a", "b")
+    assert(withNull.select(kernel).collect().head.isNullAt(0))
+    // SQL registration via GraftExtensions
+    assert(spark.sql("SELECT sqdist_long(array(1L,2L), array(3L,5L))")
+      .collect().head.getLong(0) === 13L)
+  }
+
   test("ArgMinCentroidL2: dimension mismatch is null, not a truncated rank") {
     val cents = Array(Array(0L, 0L))
     val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "g")
