@@ -109,6 +109,45 @@ object Retrieval {
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
 
+  /** Positional inverted index: (term, doc id, sorted positions array) —
+    * the postings shape phrase and proximity queries serve from. Same ONE
+    * token-keyed shuffle as [[invertedIndex]] (positions ride as ints,
+    * text never leaves the scan); `tf` is implicit as the array length.
+    */
+  def positionalIndex(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact phrase search over a positional index: docs containing the words
+    * of `phrase` at consecutive positions, with the match count. Each term's
+    * postings are shifted so every term of one phrase occurrence aligns on
+    * its start position, then the start sets intersect pairwise — the
+    * textbook positional-merge, as |phrase|−1 equi-joins on the doc id over
+    * TERM-FILTERED postings (each side is one word's posting list, pruned
+    * at the scan by the pushed `term =` predicate — never the full index).
+    * At corpus scale the joins co-locate if the index is bucketed by the
+    * id; match arithmetic is per-row array work.
+    */
+  def phraseMatches(index: DataFrame, phrase: Seq[String],
+                    idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatches needs at least one word")
+    val steps = phrase.zipWithIndex.map { case (t, i) =>
+      index.filter(col("term") === t)
+        .select(col(idCol), transform(col("positions"), p => p - i).as(s"__p$i"))
+    }
+    val aligned = steps.zipWithIndex.reduceLeft[(DataFrame, Int)] {
+      case ((acc, ai), (step, si)) =>
+        (acc.join(step, idCol)
+          .select(col(idCol),
+            array_intersect(col(s"__p$ai"), col(s"__p$si")).as(s"__p$si")), si)
+    }._1
+    aligned
+      .select(col(idCol), size(col(s"__p${phrase.length - 1}")).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
   /** Per-term top-k postings by (tf desc, id asc) — the impact-ordered
     * truncation (champion lists) that caps what a query must read per term.
     * Runs on the custom [[graft.plans.TopKPerKey]] operator: partial
@@ -181,6 +220,30 @@ object Retrieval {
   // total order: (score desc, doc_id asc). The oracle replays the integer
   // formula with scalar-subquery stats; every intermediate is a BIGINT.
   val queries: Seq[Q] = Seq(
+
+    // Exact phrase search through the positional index: docs where 'table'
+    // is immediately followed by 'part', with match counts — the oracle
+    // recomputes via a position self-join over the exploded token stream
+    // (same multiset, different idiom). The corpus is uniform word salad,
+    // so the phrase hits a meaningful subset, not everything/nothing.
+    Q("q133_phrase_search",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term,
+        |    generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> ''), 1) AS pos
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id, CAST(count(1) AS BIGINT) AS n_matches
+        |FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'table' AND b.term = 'part'
+        |GROUP BY a.doc_id
+        |ORDER BY n_matches DESC, a.doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val idx = positionalIndex(Tables.documents(s, d).select("doc_id", "text"))
+      phraseMatches(idx, Seq("table", "part"))
+        .orderBy(col("n_matches").desc, col("doc_id"))
+        .limit(25)
+    },
+
     Q("q119_bm25",
       """WITH d AS (
         |  SELECT doc_id, lang,

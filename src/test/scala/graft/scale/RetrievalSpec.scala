@@ -104,4 +104,27 @@ class RetrievalSpec extends SparkSpec {
       if l1 === l2
     } assert(bothRrf > oneRrf)
   }
+
+  test("phraseMatches equals a brute-force sliding-window count; 3-term and overlap cases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // "a b": 3, "a b c": 2
+      (2L, "a a a a"),           // "a a": 3 (overlapping occurrences count)
+      (3L, "b c b c"),           // no "a b"
+      (4L, "a"),                 // single word, no bigram
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.positionalIndex(docs)
+    def got(phrase: Seq[String]) =
+      Retrieval.phraseMatches(idx, phrase).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def brute(phrase: Seq[String]) = docs.collect().map { r =>
+      val ws = r.getString(1).split(" ").toSeq
+      r.getLong(0) -> ws.sliding(phrase.length).count(_ == phrase)
+    }.filter(_._2 > 0).toMap
+    for (p <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "a"), Seq("c"))) {
+      assert(got(p).view.mapValues(_.toInt).toMap === brute(p), s"phrase=$p")
+    }
+    // single-word phrase degenerates to term frequency
+    assert(got(Seq("a")) === Map(1L -> 3L, 2L -> 4L, 4L -> 1L))
+  }
 }
