@@ -224,14 +224,20 @@ object Kmeans {
     * `<pre>c<iters>` (final centroids), `<pre>af` (vec_id, cid, dist).
     */
   private[scale] def lloydCtes(corpusSql: String, k: Int, iters: Int,
-                               dim: Int, pre: String = ""): String =
+                               dim: Int, pre: String = "", raw: Boolean = false): String = {
+    // raw = true: `embedding` is ALREADY a nonnegative BIGINT code list
+    // (e.g. offset residuals) — skip the grid transform. The nonnegativity
+    // contract still holds, so the M-step division stays engine-exact.
+    val quant = if (raw) s"SELECT vec_id, embedding AS g FROM ${pre}e0"
+    else
+      s"""SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CAST(round(least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) * 256)
+         |                AS BIGINT) + 512) AS g
+         |  FROM ${pre}e0""".stripMargin
     s"""${pre}e0 AS ($corpusSql),
        |${pre}e AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x ->
-       |           CAST(round(least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) * 256)
-       |                AS BIGINT) + 512) AS g
-       |  FROM ${pre}e0),
+       |  $quant),
        |${pre}seed AS (
        |  SELECT g, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
        |  FROM ${pre}e QUALIFY cid < $k),
@@ -247,6 +253,7 @@ object Kmeans {
        |    SELECT vec_id, cid, dist,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM ${pre}df) WHERE rn = 1)""".stripMargin
+  }
 
   /** [[lloydCtes]] as a complete WITH prefix — the single-training form
     * q121/q125/q130 build on.

@@ -243,6 +243,99 @@ object Pq {
        |QUALIFY rnk <= $TopN
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---- residual IVF+PQ: encode (vector − coarse centroid) -----------------
+
+  /** Offset keeping residual codes nonnegative: grid codes and centroids
+    * both live in [0, 2·GridOffset], so `g − cent + ResOffset` lands in
+    * [0, 2·ResOffset] and the Lloyd M-step's truncating division stays
+    * engine-exact (the [[Kmeans]] nonnegativity contract).
+    */
+  val ResOffset: Long = 2L * Kmeans.GridOffset
+
+  /** Residual encoding — the faiss-standard refinement of [[buildIvfPqIndex]]:
+    * the codebook quantizes `vector − its coarse centroid` instead of the
+    * raw vector, so codebook capacity is spent on WITHIN-cell variation
+    * (what actually distinguishes candidates sharing a cell) rather than
+    * re-describing which cell a vector is in. Same storage layout and
+    * versioning; the residual join is one broadcast of the metadata-sized
+    * centroid table, and the re-used residual relation is materialized once
+    * for the codebook training + encode pair of scans.
+    */
+  def buildIvfPqResidualIndex(corpus: DataFrame, root: String,
+                              nCells: Int = Cells, coarseIters: Int = CoarseIters): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def centsDf(cs: Array[Array[Long]], idc: String, cc: String) =
+      cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF(idc, cc)
+    val g = Kmeans.quantizeGrid(corpus)
+    val coarse = Kmeans.lloyd(g, nCells, coarseIters)
+    val withRes = Kmeans.assignNearest(g, coarse)
+      .select(col("vec_id"), col("gcode"), col("cid"))
+      .join(broadcast(centsDf(coarse, "ccid", "ccent")), col("cid") === col("ccid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("gcode"), col("ccent"), (a, b) => a - b + lit(ResOffset)).as("rcode"))
+      .localCheckpoint()
+    val subs = withRes.select(col("vec_id"),
+        posexplode(array((0 until M).map(m =>
+          slice(col("rcode"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+      .select((col("vec_id") * M + col("m")).as("sid"), col("sub"))
+    val book = Kmeans.lloyd(subs, K, Iters, idCol = "sid", codeCol = "sub")
+    val ct = table(spark, root, "coarse"); ct.promote(ct.stage(centsDf(coarse, "cid", "cent")))
+    val bt = table(spark, root, "book");   bt.promote(bt.stage(centsDf(book, "cid", "cent")))
+    val postings = withRes.select(col("vec_id").cast("long").as("nid"),
+      pqCodesExpr(book, col("rcode")).as("codes"), col("cid"))
+    val pt = table(spark, root, "postings")
+    pt.promote(pt.stage(postings, Seq("cid")))
+    IvfPqIndex(root, nCells)
+  }
+
+  /** Probe the residual index: routing as in [[probeIvfPq]], but the query
+    * re-expresses itself as a residual AGAINST EACH ROUTED CELL before the
+    * ADC table builds — the distance table is keyed (qid, cell, m, code),
+    * queries × nProbe × M × k rows, still metadata-sized under the
+    * broadcast-small-queries contract.
+    */
+  def probeIvfPqResidual(spark: SparkSession, root: String, queries: DataFrame,
+                         k: Int, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val coarse = readCents(spark, root, "coarse")
+    val book = readCents(spark, root, "book")
+    val coarseDf = coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("ccid", "ccent")
+    val bookDf = book.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("bcid", "bcent")
+    val qg = Kmeans.quantizeGrid(queries).localCheckpoint()
+    val cdist = aggregate(
+      zip_with(col("gcode"), col("ccent"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val route = qg.select(col("vec_id").as("qid"), col("gcode"))
+      .crossJoin(broadcast(coarseDf))
+      .select(col("qid"), col("gcode"), col("ccid"), col("ccent"), cdist.as("cdist"))
+      .transform(graft.ops.TopK.topKPerKey(_, Seq("qid"),
+        Seq(col("cdist").asc, col("ccid").asc), nProbe))
+      .select(col("qid"), col("ccid").as("cid"),
+        zip_with(col("gcode"), col("ccent"), (a, b) => a - b + lit(ResOffset)).as("rq"))
+      .localCheckpoint()
+    val probeCids = route.select("cid").distinct().collect().map(_.getInt(0))
+    require(probeCids.length <= 65536,
+      "probeIvfPqResidual routed too many cells — query table is not broadcast-small")
+    val dt = route.select(col("qid"), col("cid"),
+        posexplode(array((0 until M).map(m =>
+          slice(col("rq"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+      .crossJoin(broadcast(bookDf))
+      .select(col("qid"), col("cid"), col("m").cast("long").as("m"), col("bcid"),
+        aggregate(zip_with(col("sub"), col("bcent"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d"))
+    val postings = table(spark, root, "postings").read()
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    postings.join(broadcast(route.select("qid", "cid")), Seq("cid"))
+      .select(col("qid"), col("cid"), col("nid"), posexplode(col("codes")).as(Seq("m", "bcid")))
+      .withColumn("m", col("m").cast("long"))
+      .join(broadcast(dt), Seq("qid", "cid", "m", "bcid"))
+      .groupBy("qid", "nid")
+      .agg(sum("d").as("score"))
+      .transform(graft.ops.TopK.topKPerKey(_, Seq("qid"),
+        Seq(col("score").asc, col("nid").asc), k))
+  }
+
   private val NProbe = 2
 
   private def subvecSql: String =
@@ -289,6 +382,60 @@ object Pq {
        |  CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
        |FROM sc QUALIFY rnk <= $TopN ORDER BY qid, rnk""".stripMargin
 
+  // Oracle for the residual index: the coarse replay (f_), the residual
+  // derivation r0 (g − assigned centroid + offset), the codebook replay
+  // (p_, raw codes) over pooled residual subvectors, then the probe —
+  // routing, PER-CELL query residuals, the (qid, cell, m, code) ADC table,
+  // and the top-10 cut.
+  private val q134Sql: String =
+    s"""WITH ${Kmeans.lloydCtes("SELECT vec_id, embedding FROM embeddings",
+         Cells, CoarseIters, 64, "f_")},
+       |r0 AS (
+       |  SELECT e.vec_id,
+       |         list_transform(range(1, 65),
+       |           i -> e.g[CAST(i AS INT)] - c.cent[CAST(i AS INT)] + $ResOffset) AS r
+       |  FROM f_e e JOIN f_af a USING (vec_id) JOIN f_c$CoarseIters c ON c.cid = a.cid),
+       |${Kmeans.lloydCtes(
+           s"""SELECT vec_id * $M + t.m AS vec_id,
+              |       r[$SubDim * t.m + 1 : $SubDim * t.m + $SubDim] AS embedding
+              |FROM r0 CROSS JOIN (SELECT unnest([${(0 until M).mkString(", ")}]) AS m) t""".stripMargin,
+           K, Iters, SubDim, "p_", raw = true)},
+       |a AS (SELECT vec_id // $M AS vid, vec_id % $M AS m, cid AS bcid FROM p_af),
+       |fr AS (
+       |  SELECT e.vec_id AS qid, c.cid,
+       |         SUM((e.g[t.i] - c.cent[t.i]) * (e.g[t.i] - c.cent[t.i])) AS dist
+       |  FROM f_e e CROSS JOIN f_c$CoarseIters c CROSS JOIN range(1, 65) t(i)
+       |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+       |route AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+       |    FROM fr) WHERE rn <= $NProbe),
+       |qr AS (
+       |  SELECT r.qid, r.cid,
+       |         list_transform(range(1, 65),
+       |           i -> e.g[CAST(i AS INT)] - c.cent[CAST(i AS INT)] + $ResOffset) AS rq
+       |  FROM route r JOIN f_e e ON e.vec_id = r.qid JOIN f_c$CoarseIters c ON c.cid = r.cid),
+       |qs AS (
+       |  SELECT qid, cid, t.m, rq[$SubDim * t.m + 1 : $SubDim * t.m + $SubDim] AS sub
+       |  FROM qr CROSS JOIN (SELECT unnest([${(0 until M).mkString(", ")}]) AS m) t),
+       |dt AS (
+       |  SELECT qs.qid, qs.cid, qs.m, b.cid AS bcid,
+       |         SUM((qs.sub[t.i] - b.cent[t.i]) * (qs.sub[t.i] - b.cent[t.i])) AS d
+       |  FROM qs CROSS JOIN p_c$Iters b CROSS JOIN range(1, ${SubDim + 1}) t(i)
+       |  GROUP BY 1, 2, 3, 4),
+       |cand AS (SELECT r.qid, r.cid, f.vec_id AS vid
+       |         FROM route r JOIN f_af f ON f.cid = r.cid),
+       |sc AS (
+       |  SELECT cand.qid, cand.vid, SUM(dt.d) AS score
+       |  FROM cand JOIN a ON a.vid = cand.vid
+       |  JOIN dt ON dt.qid = cand.qid AND dt.cid = cand.cid
+       |         AND dt.m = a.m AND dt.bcid = a.bcid
+       |  GROUP BY 1, 2)
+       |SELECT CAST(qid AS BIGINT) AS qid,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vid) AS BIGINT) AS rnk,
+       |  CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
+       |FROM sc QUALIFY rnk <= $TopN ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q130_pq_topk", q130Sql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -318,6 +465,24 @@ object Pq {
       val root = s"${graft.core.Scratch.dir("graft-q132")}/ivfpq"
       buildIvfPqIndex(emb, root)
       probeIvfPq(s, root, emb.filter(col("vec_id") < 5), k = TopN, nProbe = NProbe)
+        .select(col("qid").cast("long").as("qid"),
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").asc, col("nid").asc)).cast("long").as("rnk"),
+          col("nid").cast("long").as("vec_id"),
+          col("score").cast("long").as("score"))
+        .orderBy("qid", "rnk")
+    },
+
+    // The faiss-standard residual refinement: same lifecycle as q132 but
+    // the codebook quantizes (vector − coarse centroid) and the probe
+    // builds per-cell query residuals. Both trainings, the residual
+    // derivation, routing, and per-cell ADC replayed value-exact.
+    Q("q134_ivfpq_residual", q134Sql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val root = s"${graft.core.Scratch.dir("graft-q134")}/ivfpq-res"
+      buildIvfPqResidualIndex(emb, root)
+      probeIvfPqResidual(s, root, emb.filter(col("vec_id") < 5), k = TopN, nProbe = NProbe)
         .select(col("qid").cast("long").as("qid"),
           row_number().over(Window.partitionBy("qid")
             .orderBy(col("score").asc, col("nid").asc)).cast("long").as("rnk"),

@@ -92,6 +92,24 @@ class PqSpec extends SparkSpec {
       s"postings scan must never touch raw vectors:\n${postingScans.mkString("\n")}")
   }
 
+  test("residual IVF+PQ: full probe sees every vector, probes are deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val root = graft.core.Scratch.dir("graft-pqspec3") + "/ivfpq-res"
+    Pq.buildIvfPqResidualIndex(emb, root)
+    val queries = emb.filter(col("vec_id") < 2)
+    // k = corpus size + full routing → every corpus vector must be scored
+    // for every query (the index prunes, it never loses candidates)
+    val all = Pq.probeIvfPqResidual(spark, root, queries, k = n.toInt, nProbe = Pq.Cells)
+      .cache()
+    assert(all.groupBy("qid").count().collect().forall(_.getLong(1) === n))
+    // a second probe of the same index returns the identical relation
+    val again = Pq.probeIvfPqResidual(spark, root, queries, k = n.toInt, nProbe = Pq.Cells)
+    assert(all.except(again).count() === 0 && again.except(all).count() === 0)
+    all.unpersist()
+  }
+
   test("exact duplicates share codes and scores") {
     val base = corpus(10)
     val twins = base.withColumn("vec_id", col("vec_id") + 100)
