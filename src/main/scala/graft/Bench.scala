@@ -118,8 +118,17 @@ object Bench {
       val p = name.split('_').head
       if (byPrefix(p).size == 1) p else name.split('_').take(2).mkString("_")
     }
+    // 2 significant figures: at 135+ queries a fixed 2-decimal map plus
+    // sbt's ~190-byte epilogue brushes the driver's 2000-byte tail window;
+    // sig-figs keep relative precision (the detail line retains 3 decimals)
+    // and buy ~270 bytes of headroom
+    def fmt2g(v: Double) = {
+      val s = f"$v%.2g"
+      if (s.contains('.') && !s.contains('e')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val qsShort = jsonMap(results.flatMap { case (k, cold, ws) =>
-      (if (ws.nonEmpty) Some(median(ws)) else cold).map(v => short(k) -> f"$v%.2f") })
+      (if (ws.nonEmpty) Some(median(ws)) else cold).map(v => short(k) -> fmt2g(v)) })
     println(s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","total_cold":${fmt(total)},"queries":$qsShort,"failed":$failedJson,"sf":$sfNum}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
