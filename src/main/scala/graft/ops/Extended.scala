@@ -263,5 +263,64 @@ object Extended {
             .otherwise("both").as("side"))
         .orderBy("nk")
     },
+
+    // RANGE window frame: trailing-7-day revenue per order day. The frame is
+    // VALUE-based (a sparse calendar must reach back 6 days, not 6 rows) —
+    // Spark expresses it as rangeBetween over epoch-day ints, DuckDB as a
+    // date interval; both see the identical per-day pre-aggregate, so the
+    // short frame sums compare exactly at 2 decimals.
+    Q("q135_range_frame",
+      """WITH d AS (
+        |  SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev,
+        |  round(sum(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS rev7
+        |FROM d ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val w = Window.orderBy(col("dayn")).rangeBetween(-6, 0)
+      daily.withColumn("dayn", datediff(col("day"), lit("1970-01-01")))
+        .withColumn("rev7", round(sum("rev").over(w), 2))
+        .select("day", "rev", "rev7")
+        .orderBy("day")
+    },
+
+    // Statistical aggregate family: correlation, population covariance and
+    // stddev of (quantity, price) per return flag — rounded to digits far
+    // inside double accumulation error for these magnitudes.
+    Q("q136_stats_agg",
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        | round(covar_pop(l_quantity, l_extendedprice), 0) AS covar_qp,
+        | round(stddev_pop(l_quantity), 4) AS sd_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 0).as("covar_qp"),
+          round(stddev_pop("l_quantity"), 4).as("sd_q"))
+        .orderBy("l_returnflag")
+    },
+
+    // Distribution window functions: percent_rank and cume_dist are exact
+    // rationals of row counts — both engines produce bit-identical IEEE
+    // doubles from the same integer divisions, no rounding needed.
+    Q("q137_dist_windows",
+      """SELECT c_mktsegment, o_orderkey,
+        | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY c_mktsegment, o_orderkey LIMIT 1000""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy("c_mktsegment", "o_orderkey")
+        .limit(1000)
+    },
   )
 }
