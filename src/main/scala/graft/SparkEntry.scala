@@ -36,6 +36,7 @@ object SparkEntry {
     scale.Kmeans.queries ++
     scale.Graph.queries ++
     scale.Pq.queries ++
+    scale.Pca.queries ++
     scale.Sampling.queries ++
     scale.Bpe.queries
 
