@@ -158,6 +158,34 @@ object Pq {
     table(spark, root, name).read().select("cid", "cent").collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).map(_._2)
 
+  /** Append a crawl batch to an existing IVF+PQ index WITHOUT retraining:
+    * assign + encode the batch under the PERSISTED coarse/codebook models,
+    * upsert into the touched cells only, promote a patch version — the
+    * [[AnnIndex.appendToIvfIndex]] protocol carried over to PQ postings.
+    * Write cost is O(touched cells), not O(corpus): untouched cells are
+    * inherited by file-list reference (PqSpec asserts no files for an
+    * untouched cid). The standard serving compromise applies: models stay
+    * fixed between periodic [[buildIvfPqIndex]] rebuilds, so the appended
+    * index equals the ENCODE-UNDER-FIXED-MODELS of the union corpus
+    * (PqSpec law) — not a fresh retrain over it.
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, root: String): IvfPqIndex = {
+    val spark = newVectors.sparkSession
+    val coarse = readCents(spark, root, "coarse")
+    val book = readCents(spark, root, "book")
+    val newPostings = Kmeans.assignNearest(Kmeans.quantizeGrid(newVectors), coarse)
+      .select(col("vec_id").cast("long").as("nid"),
+        pqCodesExpr(book, col("gcode")).as("codes"), col("cid"))
+      .localCheckpoint()
+    val touched = newPostings.select("cid").distinct().collect().map(_.getInt(0))
+    val pt = table(spark, root, "postings")
+    val existingTouched = pt.read()
+      .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
+    val merged = graft.write.Writers.upsert(existingTouched, newPostings, Seq("nid"))
+    pt.promote(pt.stagePatch(merged, Seq("cid")))
+    IvfPqIndex(root, coarse.length)
+  }
+
   /** Probe: route each query to its `nProbe` nearest coarse cells (exact
     * integer distances, ties to the smaller cid), scan ONLY those cells'
     * postings (partition-pruned cid IN list), and ADC-score candidates via

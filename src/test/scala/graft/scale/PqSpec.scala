@@ -110,6 +110,38 @@ class PqSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("IVF+PQ append: O(batch) cell footprint; equals encode-under-fixed-models of the union") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 155)
+    val root = graft.core.Scratch.dir("graft-pqspec4") + "/ivfpq"
+    Pq.buildIvfPqIndex(base, root)
+    Pq.appendToIvfPqIndex(batch, root)
+    // O(batch): the patch version stages at most the batch's cells on disk
+    def cellDirs(v: Int): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/postings/v$v"))
+      try {
+        val it = s.iterator(); val out = scala.collection.mutable.Set.empty[String]
+        while (it.hasNext) { val n = it.next().getFileName.toString
+          if (n.startsWith("cid=")) out += n }
+        out.toSet
+      } finally s.close()
+    }
+    assert(cellDirs(1).size <= 5, s"append staged ${cellDirs(1).size} cells for a 5-vector batch")
+    // fixed-models law: the appended table equals assigning + encoding the
+    // UNION corpus under the base-trained coarse/codebook models
+    val t = new graft.write.VersionedTable(spark, s"$root/postings")
+    val coarse = Kmeans.lloyd(Kmeans.quantizeGrid(base), Pq.Cells, Pq.CoarseIters)
+    val book = Pq.trainCodebook(Pq.subvectors(base))
+    val expected = Kmeans.assignNearest(
+        Kmeans.quantizeGrid(base.unionByName(batch)), coarse)
+      .select(col("vec_id").cast("long").as("nid"),
+        Pq.pqCodesExpr(book, col("gcode")).as("codes"), col("cid"))
+    val got = t.read().select("nid", "codes", "cid")
+    assert(got.except(expected).count() === 0 && expected.except(got).count() === 0)
+  }
+
   test("exact duplicates share codes and scores") {
     val base = corpus(10)
     val twins = base.withColumn("vec_id", col("vec_id") + 100)
