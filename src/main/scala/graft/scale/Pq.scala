@@ -464,6 +464,76 @@ object Pq {
        |  CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
        |FROM sc QUALIFY rnk <= $TopN ORDER BY qid, rnk""".stripMargin
 
+  // Oracle for the append lifecycle: models replayed from the BASE corpus
+  // only (build never saw the twins), the twin batch assigned and encoded
+  // under those fixed models in extra CTEs, the union relations probed
+  // exactly as q132 — so the append path is value-certified end to end,
+  // not just law-tested.
+  private val q139Sql: String =
+    s"""WITH ${Kmeans.lloydCtes("SELECT vec_id, embedding FROM embeddings",
+         Cells, CoarseIters, 64, "f_")},
+       |${Kmeans.lloydCtes(subvecSql, K, Iters, SubDim, "p_")},
+       |tw AS (
+       |  SELECT vec_id + 100000 AS vid,
+       |         list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id < 5),
+       |twg AS (
+       |  SELECT vid,
+       |         list_transform(embedding, x ->
+       |           CAST(round(least(greatest(CAST(x AS DOUBLE), -2.0), 2.0) * 256)
+       |                AS BIGINT) + 512) AS g
+       |  FROM tw),
+       |twd AS (
+       |  SELECT t.vid, c.cid,
+       |         SUM((t.g[i.i] - c.cent[i.i]) * (t.g[i.i] - c.cent[i.i])) AS dist
+       |  FROM twg t CROSS JOIN f_c$CoarseIters c CROSS JOIN range(1, 65) i(i)
+       |  GROUP BY 1, 2),
+       |twa AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+       |    FROM twd) WHERE rn = 1),
+       |tws AS (
+       |  SELECT vid, t.m, g[$SubDim * t.m + 1 : $SubDim * t.m + $SubDim] AS sub
+       |  FROM twg CROSS JOIN (SELECT unnest([${(0 until M).mkString(", ")}]) AS m) t),
+       |twpd AS (
+       |  SELECT s.vid, s.m, b.cid,
+       |         SUM((s.sub[i.i] - b.cent[i.i]) * (s.sub[i.i] - b.cent[i.i])) AS dist
+       |  FROM tws s CROSS JOIN p_c$Iters b CROSS JOIN range(1, ${SubDim + 1}) i(i)
+       |  GROUP BY 1, 2, 3),
+       |twcode AS (
+       |  SELECT vid, m, cid AS bcid FROM (
+       |    SELECT vid, m, cid, row_number() OVER (PARTITION BY vid, m ORDER BY dist, cid) AS rn
+       |    FROM twpd) WHERE rn = 1),
+       |ua AS (SELECT vec_id AS vid, cid FROM f_af UNION ALL SELECT vid, cid FROM twa),
+       |uc AS (SELECT vec_id // $M AS vid, vec_id % $M AS m, cid AS bcid FROM p_af
+       |       UNION ALL SELECT vid, m, bcid FROM twcode),
+       |fr AS (
+       |  SELECT e.vec_id AS qid, c.cid,
+       |         SUM((e.g[t.i] - c.cent[t.i]) * (e.g[t.i] - c.cent[t.i])) AS dist
+       |  FROM f_e e CROSS JOIN f_c$CoarseIters c CROSS JOIN range(1, 65) t(i)
+       |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+       |route AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+       |    FROM fr) WHERE rn <= $NProbe),
+       |qs AS (SELECT vec_id // $M AS qid, vec_id % $M AS m, g
+       |       FROM p_e WHERE vec_id // $M < 5),
+       |dt AS (
+       |  SELECT qs.qid, qs.m, c.cid,
+       |         SUM((qs.g[t.i] - c.cent[t.i]) * (qs.g[t.i] - c.cent[t.i])) AS d
+       |  FROM qs CROSS JOIN p_c$Iters c CROSS JOIN range(1, ${SubDim + 1}) t(i)
+       |  GROUP BY 1, 2, 3),
+       |cand AS (SELECT r.qid, f.vid FROM route r JOIN ua f ON f.cid = r.cid),
+       |sc AS (
+       |  SELECT cand.qid, cand.vid, SUM(dt.d) AS score
+       |  FROM cand JOIN uc a ON a.vid = cand.vid
+       |  JOIN dt ON dt.qid = cand.qid AND dt.m = a.m AND dt.cid = a.bcid
+       |  GROUP BY 1, 2)
+       |SELECT CAST(qid AS BIGINT) AS qid,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vid) AS BIGINT) AS rnk,
+       |  CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
+       |FROM sc QUALIFY rnk <= $TopN ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q130_pq_topk", q130Sql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -492,6 +562,29 @@ object Pq {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val root = s"${graft.core.Scratch.dir("graft-q132")}/ivfpq"
       buildIvfPqIndex(emb, root)
+      probeIvfPq(s, root, emb.filter(col("vec_id") < 5), k = TopN, nProbe = NProbe)
+        .select(col("qid").cast("long").as("qid"),
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").asc, col("nid").asc)).cast("long").as("rnk"),
+          col("nid").cast("long").as("vec_id"),
+          col("score").cast("long").as("score"))
+        .orderBy("qid", "rnk")
+    },
+
+    // q132's serving answer reached through the APPEND path: build on the
+    // base corpus, stream the twin batch in via appendToIvfPqIndex (fixed
+    // models, patched cells), probe — every append-side number
+    // (assignment, codes, scores) value-checked against the SQL replay.
+    Q("q139_ivfpq_append", q139Sql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val root = s"${graft.core.Scratch.dir("graft-q139")}/ivfpq"
+      buildIvfPqIndex(emb, root)
+      appendToIvfPqIndex(twins, root)
       probeIvfPq(s, root, emb.filter(col("vec_id") < 5), k = TopN, nProbe = NProbe)
         .select(col("qid").cast("long").as("qid"),
           row_number().over(Window.partitionBy("qid")
