@@ -239,7 +239,7 @@ object Pq {
     scored
   }
 
-  private val TopN = 10
+  private[graft] val TopN = 10
 
   // Oracle: the Kmeans Lloyd prefix over the pooled subvector relation
   // (vec_id in the prefix = sid here), then decode sid back to (vid, m),
@@ -364,7 +364,7 @@ object Pq {
         Seq(col("score").asc, col("nid").asc), k))
   }
 
-  private val NProbe = 2
+  private[graft] val NProbe = 2
 
   private def subvecSql: String =
     s"""SELECT vec_id * $M + t.m AS vec_id,

@@ -29,4 +29,20 @@ object AnnStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The same drain for the composed IVF+PQ index: each micro-batch is
+    * assigned + PQ-encoded under the persisted models and patch-appended
+    * into its touched cells ([[graft.scale.Pq.appendToIvfPqIndex]]). Replay
+    * idempotence by upsert semantics, exactly as [[annAppendSink]].
+    */
+  def pqAppendSink(vectors: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.scale.Pq.appendToIvfPqIndex(batch, root)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

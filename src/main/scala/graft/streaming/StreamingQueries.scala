@@ -257,6 +257,37 @@ object StreamingQueries {
         .orderBy("qid")
     },
 
+    // Streaming IVF+PQ ingestion: q139's append lifecycle reached through a
+    // STREAM — the composed index is built batch-side, the twin batch
+    // arrives as a crawl micro-batch drained through pqAppendSink (fixed
+    // models, per-cell patch append, replay-idempotent by upsert
+    // semantics), and the probe must hash to exactly q139's answer: the
+    // serving answer is ingestion-path-invariant for the PQ index too.
+    Q("q140_streaming_ivfpq",
+      graft.scale.Pq.queries.find(_.name == "q139_ivfpq_append").get.oracle.get) { (s, d) =>
+      import graft.scale.Pq
+      import org.apache.spark.sql.expressions.Window
+      val emb = graft.core.Tables.embeddings(s, d).select("vec_id", "embedding")
+      val wh = scratchDir("graft-q140")
+      val root = s"$wh/ivfpq"
+      Pq.buildIvfPqIndex(emb, root)
+      val s2 = s.newSession()
+      val twins = Streaming.embeddingsStream(s2, d)
+        .filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+        .select("vec_id", "embedding")
+      AnnStream.pqAppendSink(twins, root, s"$wh/ckpt").awaitTermination()
+      Pq.probeIvfPq(s, root, emb.filter(col("vec_id") < 5), k = Pq.TopN, nProbe = Pq.NProbe)
+        .select(col("qid").cast("long").as("qid"),
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").asc, col("nid").asc)).cast("long").as("rnk"),
+          col("nid").cast("long").as("vec_id"),
+          col("score").cast("long").as("score"))
+        .orderBy("qid", "rnk")
+    },
+
     // Streaming gap sessionization drained through the latest-wins sink —
     // the q16 batch answer reached through custom keyed state
     // (flatMapGroupsWithState), which reproduces batch q16's EXACT
