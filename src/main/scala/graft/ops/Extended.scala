@@ -304,6 +304,66 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
+    // Date-spine gap filling: a generated calendar (sequence over the
+    // corpus's min..max day) left-joined against the sparse per-day
+    // aggregate, missing days zero-filled and flagged — the standard
+    // time-series densification before any rolling computation. The spine
+    // generates from ONE 2-value aggregate row, never a driver loop.
+    Q("q141_gap_fill",
+      """WITH d AS (
+        |  SELECT o_orderdate AS day, count(1) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+        |                AND o_orderdate < DATE '1995-03-01' GROUP BY 1),
+        | bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        | spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |           FROM bounds)
+        |SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+        |  coalesce(d.rev, 0.0) AS rev,
+        |  CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS gap
+        |FROM spine s LEFT JOIN d ON d.day = s.day
+        |ORDER BY s.day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-03-01"))
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("rev"))
+      val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      spine.join(daily.withColumnRenamed("day", "dday"),
+          col("day") === col("dday"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0.0)).as("rev"),
+          when(col("dday").isNull, 1).otherwise(0).as("gap"))
+        .orderBy("day")
+    },
+
+    // EXCEPT ALL / INTERSECT ALL: the bag-semantics set operations (q51
+    // covers the DISTINCT forms) — multiplicities must survive, so the
+    // fixture counts how many times each nation key appears on each side.
+    Q("q142_set_ops_all",
+      """SELECT 'inter_all' AS src, k, count(1) AS cnt FROM (
+        |  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier) GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all' AS src, k, count(1) AS cnt FROM (
+        |  SELECT s_nationkey AS k FROM supplier
+        |  EXCEPT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 9000) GROUP BY 2
+        |ORDER BY src, k""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("k"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      val inter = c.intersectAll(sup).groupBy("k").agg(count(lit(1)).as("cnt"))
+        .select(lit("inter_all").as("src"), col("k"), col("cnt"))
+      val exc = sup.exceptAll(c).groupBy("k").agg(count(lit(1)).as("cnt"))
+        .select(lit("except_all").as("src"), col("k"), col("cnt"))
+      inter.unionByName(exc).orderBy("src", "k")
+    },
+
     // Distribution window functions: percent_rank and cume_dist are exact
     // rationals of row counts — both engines produce bit-identical IEEE
     // doubles from the same integer divisions, no rounding needed.
