@@ -313,7 +313,8 @@ object Extended {
       """WITH d AS (
         |  SELECT o_orderdate AS day, count(1) AS n_orders,
         |         round(sum(o_totalprice), 2) AS rev
-        |  FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+        |  FROM orders WHERE o_totalprice > 450000
+        |                AND o_orderdate >= DATE '1995-01-01'
         |                AND o_orderdate < DATE '1995-03-01' GROUP BY 1),
         | bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
         | spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
@@ -324,7 +325,8 @@ object Extended {
         |FROM spine s LEFT JOIN d ON d.day = s.day
         |ORDER BY s.day""".stripMargin) { (s, d) =>
       val daily = Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        .filter(col("o_totalprice") > 450000 &&
+          col("o_orderdate") >= lit("1995-01-01") &&
           col("o_orderdate") < lit("1995-03-01"))
         .groupBy(col("o_orderdate").as("day"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("rev"))
