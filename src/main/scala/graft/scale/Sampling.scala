@@ -106,5 +106,42 @@ object Sampling {
         Seq(("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)))
         .orderBy("lang")
     },
+
+    // Robust outlier flagging via median absolute deviation: per-language
+    // median of doc lengths, median of |len − med| (both through the exact
+    // percentile machinery — integer cross-multiplication thresholds, no
+    // sort), then the `|len − med| > 2·MAD` flag as a pure integer compare
+    // (2·MAD splits this corpus 22/478; the classic 3·MAD never fires on
+    // its uniform synthetic lengths).
+    // The standard length-outlier screen a curation pipeline runs before
+    // mixing; two narrow count shuffles + broadcast joins of the 5-row
+    // per-language statistics, corpus never re-shuffles.
+    Q("q143_mad_outliers",
+      """WITH m AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+        |           FROM documents GROUP BY 1),
+        | dv AS (SELECT d.lang, m.med, abs(d.n_chars - m.med) AS dd
+        |        FROM documents d JOIN m USING (lang)),
+        | md AS (SELECT lang, CAST(quantile_disc(dd, 0.5) AS BIGINT) AS mad
+        |        FROM dv GROUP BY 1)
+        |SELECT dv.lang, MAX(dv.med) AS med, MAX(md.mad) AS mad,
+        |  count(1) AS n_docs,
+        |  CAST(SUM(CASE WHEN dd > 2 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dv JOIN md USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      val med = exactPercentilesByKey(docs, "lang", "n_chars", Seq(("med", 1, 2)))
+        .select(col("lang"), col("med"))
+      val dev = docs.join(broadcast(med), "lang")
+        .select(col("lang"), col("med"), abs(col("n_chars") - col("med")).as("dd"))
+      val mad = exactPercentilesByKey(dev.select(col("lang"), col("dd")),
+          "lang", "dd", Seq(("mad", 1, 2)))
+        .select(col("lang"), col("mad"))
+      dev.join(broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(max("med").as("med"), max("mad").as("mad"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dd") > col("mad") * 2, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("lang")
+    },
   )
 }
