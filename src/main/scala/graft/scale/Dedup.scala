@@ -134,6 +134,46 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric near-dup: pairs (a, b) where a's shingle set is ≥ num/den
+    * CONTAINED in b's — the quote / excerpt / wrapped-republication detector
+    * that symmetric Jaccard structurally misses (a short doc inside a long
+    * one has low Jaccard no matter how completely it is contained, so
+    * MinHash bands under-recall exactly the pairs this operator exists for;
+    * that is why it probes a shingle inverted index instead of reusing the
+    * LSH candidates).
+    *
+    * Shape: one shingle explode (16-byte xxhash64 rows on every shuffle),
+    * df-capped postings (`dfCap`), one postings self-join, one (a, b) count
+    * aggregate. The cap bounds the join: pair fan-out is Σ_g df_g² ≤
+    * dfCap · |postings| — linear in the corpus at fixed dfCap. What the cap
+    * drops is boilerplate-frequency shingles, whose pairs are
+    * [[graft.scale.Curation]].removeBoilerplate territory, not containment
+    * evidence; the containment DENOMINATOR stays the full per-doc shingle
+    * count, so the cap can only lower recall, never inflate a score.
+    */
+  def containmentPairs(docs: DataFrame, shingleSize: Int = 3, dfCap: Int = 50,
+                       num: Int = 9, den: Int = 10,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shExpr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), shingleSize))
+    val sh = docs
+      .select(col(idCol).as("__id"), explode(shExpr).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__g"))
+      .localCheckpoint() // consumed three times: sizes, df table, both join sides
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("n_sh"))
+    val hot = sh.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > dfCap)
+    val kept = sh.join(hot, Seq("__g"), "left_anti")
+    kept.select(col("__id").as("aid"), col("__g"))
+      .join(kept.select(col("__id").as("bid"), col("__g")), "__g")
+      .filter(col("aid") =!= col("bid"))
+      .groupBy("aid", "bid").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("__id").as("aid"), col("n_sh")), "aid")
+      .filter(col("shared") * den >= col("n_sh") * num)
+      .select(col("aid"), col("bid"), col("shared"), col("n_sh"))
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the sum over tokens
     * of ±1 according to bit i of the token hash. Near-dups have small hamming
     * distance. One native kernel call per row
@@ -218,6 +258,46 @@ object Dedup {
       |UNION ALL SELECT doc_id + 400000, text FROM documents WHERE doc_id % 21 = 0""".stripMargin
 
   val queries: Seq[Q] = Seq(
+
+    // Quote detection through shingle containment: planted excerpts (the
+    // first half of every 25th doc's words, re-ids'd +400000) must surface
+    // as contained-in-source pairs at >= 9/10 containment — a relationship
+    // symmetric Jaccard scores near 1/2 and MinHash bands can miss. The
+    // oracle replays shingling, the df cap, the postings self-join, and the
+    // integer cross-multiplied threshold. Chance high-containment pairs
+    // among the synthetic docs appear identically on both engines.
+    Q("q144_containment",
+      """WITH corp AS (
+        |  SELECT doc_id, trim(text) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, array_to_string(t[1 : len(t) // 2], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)
+        |  WHERE doc_id % 25 = 0),
+        | sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(t) - 3, 0) + 2),
+        |           i -> array_to_string(t[i:i+2], ' ')))) AS g
+        |         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM corp)),
+        | dft AS (SELECT g, count(1) AS df FROM sh0 GROUP BY 1),
+        | kept AS (SELECT sh0.doc_id, sh0.g FROM sh0 JOIN dft USING (g)
+        |          WHERE dft.df <= 50),
+        | sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_sh FROM sh0 GROUP BY 1),
+        | p AS (SELECT a.doc_id AS aid, b.doc_id AS bid, CAST(count(1) AS BIGINT) AS shared
+        |       FROM kept a JOIN kept b USING (g)
+        |       WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT p.aid, p.bid, p.shared, sz.n_sh
+        |FROM p JOIN sz ON sz.doc_id = p.aid
+        |WHERE p.shared * 10 >= sz.n_sh * 9
+        |ORDER BY aid, bid""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+      val t = filter(split(col("text"), graft.expressions.Ws.Regex), w => w =!= "")
+      val quotes = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          array_join(slice(t, lit(1), (size(t) / 2).cast("int")), " ").as("text"))
+      containmentPairs(docs.unionByName(quotes))
+        .orderBy("aid", "bid")
+    },
 
     // Exact dedup over a corpus with injected duplicate content.
     Q("q25_dedup_exact",

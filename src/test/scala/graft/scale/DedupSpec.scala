@@ -126,4 +126,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L))) // one-token edit stays within 10 bits
     assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never pairs
   }
+
+  test("containmentPairs finds an excerpt symmetric Jaccard misses, directionally") {
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 20).map(i => s"w$i").mkString(" ") // first third of `long`
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // excerpt ⊂ long passes at 100% containment…
+    assert(got.contains((2L, 1L)))
+    assert(got((2L, 1L))._1 === got((2L, 1L))._2) // shared == its full shingle count
+    // …but NOT the reverse (long is only ~1/3 covered by the excerpt)
+    assert(!got.contains((1L, 2L)))
+    // and the unrelated doc pairs with nothing
+    assert(!got.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair is invisible to symmetric Jaccard at the q26 threshold:
+    // J(excerpt, long) = 18/58 << 0.7
+    val cand = Seq((2L, 1L)).toDF("doc_a", "doc_b")
+    assert(Dedup.jaccardVerify(docs, cand, threshold = 0.7).count() === 0)
+  }
 }
