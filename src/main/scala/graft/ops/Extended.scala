@@ -366,6 +366,67 @@ object Extended {
       inter.unionByName(exc).orderBy("src", "k")
     },
 
+    // Blocked fuzzy join (record linkage): typo'd variants of document
+    // prefixes re-matched to their originals by edit distance. The join is
+    // BLOCKED on (first-4-chars, length) so the quadratic levenshtein
+    // verify runs only inside blocks — the standard linkage shape; the
+    // planted single-char corruption sits past position 5, so blocking
+    // never loses a true match. Both engines implement the same classic
+    // Wagner-Fischer levenshtein, value-exact.
+    Q("q145_fuzzy_join",
+      """WITH p AS (
+        |  SELECT doc_id, substring(trim(text), 1, 30) AS key
+        |  FROM documents WHERE length(trim(text)) >= 30),
+        | v AS (
+        |  SELECT doc_id + 500000 AS vid,
+        |    substring(key, 1, 5 + CAST(doc_id % 15 AS INT)) || 'Z' ||
+        |    substring(key, 7 + CAST(doc_id % 15 AS INT)) AS vkey
+        |  FROM p WHERE doc_id % 50 = 0)
+        |SELECT v.vid, p.doc_id, CAST(levenshtein(v.vkey, p.key) AS BIGINT) AS dist
+        |FROM v JOIN p ON substring(v.vkey, 1, 4) = substring(p.key, 1, 4)
+        |              AND length(v.vkey) = length(p.key)
+        |WHERE levenshtein(v.vkey, p.key) <= 2
+        |ORDER BY vid, doc_id""".stripMargin) { (s, d) =>
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), substring(trim(col("text")), 1, 30).as("key"))
+        .filter(length(trim(col("text"))) >= 30)
+      val v = p.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000).as("vid"),
+          concat(expr("substring(key, 1, 5 + cast(doc_id % 15 as int))"), lit("Z"),
+            expr("substring(key, 7 + cast(doc_id % 15 as int))")).as("vkey"))
+      v.join(p, substring(col("vkey"), 1, 4) === substring(col("key"), 1, 4) &&
+          length(col("vkey")) === length(col("key")))
+        .filter(levenshtein(col("vkey"), col("key")) <= 2)
+        .select(col("vid"), col("doc_id"),
+          levenshtein(col("vkey"), col("key")).cast("long").as("dist"))
+        .orderBy("vid", "doc_id")
+    },
+
+    // Unpivot (melt): the q55 pivoted per-user event counts folded back to
+    // long format — wide→long is the inverse reshaping surface, with the
+    // oracle's UNPIVOT over the same conditional-aggregation CTE.
+    Q("q146_unpivot",
+      """WITH wide AS (
+        |  SELECT user_id,
+        |   count(1) FILTER (WHERE event_type = 'click') AS click,
+        |   count(1) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |   count(1) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, kind, cnt
+        |FROM wide UNPIVOT (cnt FOR kind IN (click, purchase, view))
+        |WHERE user_id < 200
+        |ORDER BY user_id, kind""".stripMargin) { (s, d) =>
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("purchase"), col("view")), "kind", "cnt")
+        .filter(col("user_id") < 200)
+        .orderBy("user_id", "kind")
+    },
+
     // Distribution window functions: percent_rank and cume_dist are exact
     // rationals of row counts — both engines produce bit-identical IEEE
     // doubles from the same integer divisions, no rounding needed.
