@@ -58,6 +58,32 @@ object MicroBench {
     val qh = timeL(Similarity.int8DotHof(col("a"), col("b")))
     println(s"""{"pairs":${n * n},"int8_native_sec":${f"${qn._1}%.3f"},"int8_hof_sec":${f"${qh._1}%.3f"},"speedup":${f"${qh._1 / qn._1}%.2f"},"checksum_equal":${qn._2 == qh._2}}""")
     codes.unpersist(blocking = true)
+    // grid-code squared-distance sweep: the fused SqDistLong kernel vs the
+    // interpreted aggregate(zip_with) fold — the q125 semDedup pair-scan
+    // arithmetic, isolated.
+    val grid = graft.scale.Kmeans.quantizeGrid(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+      .select(col("gcode")).cache()
+    grid.count()
+    val gpairs = grid.select(col("gcode").as("a"))
+      .crossJoin(grid.select(col("gcode").as("b")))
+    def timeG(c: org.apache.spark.sql.Column): (Double, Long) = {
+      gpairs.select(sum(c)).head()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val s = gpairs.select(sum(c)).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, s)
+      }
+      (runs.map(_._1).min, runs.head._2)
+    }
+    val ncolB = org.apache.spark.sql.GraftColumnBridge.column _
+    val nexprB = org.apache.spark.sql.GraftColumnBridge.expression _
+    val gn = timeG(ncolB(graft.expressions.SqDistLong(nexprB(col("a")), nexprB(col("b")))))
+    val gh = timeG(aggregate(
+      zip_with(col("a"), col("b"), (p, q) => (p - q) * (p - q)),
+      lit(0L), (acc, v) => acc + v))
+    println(s"""{"pairs":${n * n},"sqdist_native_sec":${f"${gn._1}%.3f"},"sqdist_hof_sec":${f"${gh._1}%.3f"},"speedup":${f"${gh._1 / gn._1}%.2f"},"checksum_equal":${gn._2 == gh._2}}""")
+    grid.unpersist(blocking = true)
     spark.stop()
   }
 }
