@@ -143,5 +143,36 @@ object Sampling {
           sum(when(col("dd") > col("mad") * 2, 1L).otherwise(0L)).as("n_outliers"))
         .orderBy("lang")
     },
+
+    // Winsorization: clamp doc lengths to the per-language [p10, p90] band
+    // (thresholds from the exact-percentile machinery) and report the
+    // clamped totals — the outlier-taming companion to the q143 flag, as
+    // used before any mean-based mixing statistic. Pure integer clamp; the
+    // corpus is touched by one count shuffle (percentiles) and one
+    // broadcast-joined aggregate.
+    Q("q147_winsorize",
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(quantile_disc(n_chars, 0.10) AS BIGINT) AS lo,
+        |    CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+        |  CAST(SUM(least(greatest(d.n_chars, b.lo), b.hi)) AS BIGINT) AS sum_clamped,
+        |  CAST(SUM(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM documents d JOIN b USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+      val bands = exactPercentilesByKey(docs, "lang", "n_chars",
+          Seq(("lo", 10, 100), ("hi", 90, 100)))
+        .select(col("lang"), col("lo"), col("hi"))
+      docs.join(broadcast(bands), "lang")
+        .groupBy("lang")
+        .agg(max("lo").as("lo"), max("hi").as("hi"),
+          sum(least(greatest(col("n_chars"), col("lo")), col("hi"))).as("sum_clamped"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+        .orderBy("lang")
+    },
   )
 }
