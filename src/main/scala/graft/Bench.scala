@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and prints
   * per-query wall times as JSON.
@@ -36,6 +37,26 @@ object Bench {
       val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
       w.groupBy("l_returnflag").count().queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
+    // Plan-shape regression guard (r12 verdict item 2): wall time alone is
+    // too noisy to catch silent plan drift (q26's r12 +0.84s took a manual
+    // isolated re-profile to adjudicate as suite interference). Shuffle-write
+    // and spill bytes are deterministic per plan, so per-query deltas —
+    // captured by a stage listener, attributed by draining the listener bus
+    // around each cold run — are diffable round-over-round. Written to
+    // BENCH_SHUFFLE.json (committed per round); queries whose shuffle grew
+    // >25% AND >16 MiB vs the committed previous run are named in the
+    // compact line's "shuffle_regressions".
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleAcc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillAcc.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // SPARK_GRAFT_ONLY=q26,q27 filters to matching query names (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -63,11 +84,21 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Cold runs carry the byte attribution: warm reps re-execute the same
+    // physical plan, so one sample per query suffices and the drain cost
+    // (two listener-bus flushes) is paid once, outside the warm timings.
+    def timeOneWithBytes(q: graft.core.Q): (Option[Double], Long, Long) = {
+      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+      val (s0, p0) = (shuffleAcc.get, spillAcc.get)
+      val t = timeOne(q)
+      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+      (t, shuffleAcc.get - s0, spillAcc.get - p0)
+    }
     val firstPass = selected.map { q =>
-      val cold = timeOne(q)
+      val (cold, shufB, spillB) = timeOneWithBytes(q)
       if (cold.isEmpty) failed += q.name
       val warms = if (cold.isDefined) (1 to warmReps).flatMap(_ => timeOne(q)) else Nil
-      (q.name, cold, warms)
+      (q.name, cold, warms, (shufB, spillB))
     }
     // Contention guard (r10 adjudication): the r10 suite reported q50 at
     // 6.49s warm while the same suite re-run reports 1.75s and an isolated
@@ -79,13 +110,14 @@ object Bench {
     // each a second, temporally distant sample and the median over all reps
     // discards whichever half saw the noise.
     val recheckN = sys.env.get("SPARK_GRAFT_RECHECK").map(_.toInt).getOrElse(8)
+    val queryBytes = firstPass.map { case (name, _, _, b) => name -> b }
     val slowest = firstPass.filter(_._3.nonEmpty)
-      .sortBy { case (_, _, ws) => -median(ws) }.take(recheckN).map(_._1).toSet
+      .sortBy { case (_, _, ws, _) => -median(ws) }.take(recheckN).map(_._1).toSet
     val results = firstPass.map {
-      case (name, cold, ws) if slowest.contains(name) && warmReps > 0 =>
+      case (name, cold, ws, _) if slowest.contains(name) && warmReps > 0 =>
         val q = selected.find(_.name == name).get
         (name, cold, ws ++ (1 to warmReps).flatMap(_ => timeOne(q)))
-      case r => r
+      case (name, cold, ws, _) => (name, cold, ws)
     }
     def fmt(v: Double) = f"$v%.3f"
     def jsonMap(entries: Seq[(String, String)]) =
@@ -103,6 +135,32 @@ object Bench {
     val totalWarm = results
       .flatMap { case (_, cold, ws) => if (ws.nonEmpty) Some(median(ws)) else cold }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // Shuffle/spill bytes: compare against the committed previous run (same
+    // sf only — bytes scale with the corpus), then overwrite the artifact.
+    // A filtered SPARK_GRAFT_ONLY run still compares but never overwrites —
+    // it would otherwise truncate the baseline to the filtered subset.
+    val shuffleFile = new java.io.File("BENCH_SHUFFLE.json")
+    def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
+    val prev: Map[String, Double] =
+      if (!shuffleFile.exists) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(shuffleFile.toPath), "UTF-8")
+        val prevSf = "\"sf\":([0-9.]+)".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfNum)) Map.empty
+        else "\"([^\"]+)\":\\{\"shuffle_mb\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val shuffleRegressions = queryBytes.collect {
+      case (name, (s, _)) if prev.get(name).exists(p => mb(s) > p * 1.25 && mb(s) - p > 16) =>
+        name
+    }
+    if (only.isEmpty) {
+      val body = queryBytes.map { case (name, (s, p)) =>
+        s""""$name":{"shuffle_mb":${mb(s)},"spill_mb":${mb(p)}}"""
+      }.mkString(",")
+      val w = new java.io.PrintWriter(shuffleFile, "UTF-8")
+      try w.println(s"""{"sf":$sfNum,"queries":{$body}}""") finally w.close()
+    }
     // detailed line: full names, cold + median warm + every warm rep (for a
     // rechecked query the series is first-pass reps ++ end-of-suite reps)
     val recheckedJson = slowest.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -129,27 +187,42 @@ object Bench {
     }
     val shortVals = results.flatMap { case (k, cold, ws) =>
       (if (ws.nonEmpty) Some(median(ws)) else cold).map(v => (short(k), v)) }
+    // shuffle_regressions names queries whose shuffle bytes grew >25% and
+    // >16 MiB vs the committed BENCH_SHUFFLE.json — normally empty (zero
+    // byte cost); when it fires, the names are the round's plan-drift
+    // adjudication list. Capped at 8 so a pathological round can't blow the
+    // tail budget on its own.
+    val regJson =
+      if (shuffleRegressions.isEmpty) ""
+      else shuffleRegressions.take(8).map("\"" + _ + "\"")
+        .mkString(""","shuffle_regressions":[""", ",", "]")
     def compactLine(entries: Seq[(String, Double)], omitted: Int) = {
       val omittedJson = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","total_cold":${fmt(total)},"queries":${
-        jsonMap(entries.map { case (k, v) => k -> fmt2g(v) })}$omittedJson,"failed":$failedJson,"sf":$sfNum}"""
+        jsonMap(entries.map { case (k, v) => k -> fmt2g(v) })}$omittedJson$regJson,"failed":$failedJson,"sf":$sfNum}"""
     }
     // Tail-window guard: the driver parses only the final ~2000 bytes, and
     // sbt appends ~190 bytes of epilogue AFTER this line. If the full map
     // would overflow that budget, drop the FASTEST queries from the compact
     // map (explicitly counted in omitted_fastest — the detail line above
     // always carries every query), never the slow ones a reviewer grades.
+    // Entries are tracked by INDEX, not short name: two queries that share a
+    // short name must be keepable/droppable independently (r12 advice). If
+    // even a single-entry map overflows, fall back to omitting every query —
+    // the headline metric always parses.
     val full = compactLine(shortVals, 0)
     val line =
       if (full.length <= 1780) full
       else {
-        val bySpeed = shortVals.sortBy(-_._2)
+        val indexed = shortVals.zipWithIndex
+        val bySpeed = indexed.sortBy { case ((_, v), _) => -v }
         var keep = bySpeed.length
         var candidate = full
-        while (candidate.length > 1780 && keep > 1) {
+        while (candidate.length > 1780 && keep > 0) {
           keep -= 1
+          val keepIdx = bySpeed.take(keep).map(_._2).toSet
           candidate = compactLine(
-            shortVals.filter(kv => bySpeed.take(keep).exists(_._1 == kv._1)),
+            indexed.collect { case (kv, i) if keepIdx(i) => kv },
             bySpeed.length - keep)
         }
         candidate

