@@ -293,9 +293,14 @@ object Curation {
     *
     * Scale shape: the corpus tokenizes once into a checkpointed transition
     * stream (same shared-consumer pattern as [[unigramSurprisal]]); the
-    * bigram and context tables are vocab²- and vocab-bounded aggregates of
-    * that stream, broadcast back onto it — corpus text itself never rides a
-    * wide shuffle, and per-doc reduction happens map-side.
+    * bigram table is a vocab²-bounded aggregate of that stream with the
+    * context count folded in by a per-context window, so ONE join carries
+    * both counts back onto the transitions. That join is deliberately
+    * unhinted: vocab² can exceed any broadcast threshold on a real corpus
+    * (the r12 advice finding), so AQE picks broadcast when the table is
+    * small and a hash-partitioned shuffle join when it is not — the
+    * transition stream is already keyed by (__p, __c), and corpus text
+    * never rides a wide shuffle either way.
     */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
@@ -309,13 +314,14 @@ object Curation {
         (a, b) => struct(a.as("p"), b.as("c")))).as("__t"))
       .select(col(idCol), col("__t.p").as("__p"), col("__t.c").as("__c"))
       .localCheckpoint()
-    val big = trans.groupBy("__p", "__c").agg(count(lit(1)).as("__bc"))
     // context count = occurrences of the word in PREV position (sum of its
-    // outgoing bigrams), so P(c|p) sums to exactly 1 per context
-    val ctx = big.groupBy("__p").agg(sum("__bc").cast("long").as("__pc"))
+    // outgoing bigrams), so P(c|p) sums to exactly 1 per context; computed
+    // as a window over the vocab²-bounded bigram table, not a second join
+    val big = trans.groupBy("__p", "__c").agg(count(lit(1)).as("__bc"))
+      .withColumn("__pc", sum("__bc")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("__p")).cast("long"))
     val scored = trans
-      .join(broadcast(big), Seq("__p", "__c"))
-      .join(broadcast(ctx), Seq("__p"))
+      .join(big, Seq("__p", "__c"))
       .select(col(idCol),
         (length(bin(col("__pc"))) - length(bin(col("__bc")))).cast("long").as("__surp"))
       .groupBy(idCol)

@@ -41,11 +41,15 @@ object Graph {
   val Base: Long = Scale * (DampDen - DampNum) / DampDen
 
   /** `iters` damped PageRank rounds over a directed edge list (`src`, `dst`
-    * long columns). Returns (node, rank) for every node with at least one
-    * outgoing edge (for an undirected graph encoded as both directions,
-    * that is every node). Nodes must have outdeg ≥ 1 — the caller encodes
-    * dangling nodes by adding self-loops or back-edges, which the
-    * undirected encoding below does structurally.
+    * long columns). ASSUMES every node has outdeg ≥ 1 AND indeg ≥ 1 — true
+    * structurally for an undirected graph encoded as both directions (the
+    * q129 encoding), which is this operator's contract. On general directed
+    * input the first round's inner join drops rank rows for indeg-0 nodes
+    * (they stop appearing in the output) and their outgoing contributions
+    * are silently lost in later rounds — a caller with genuinely directed
+    * edges must first add back-edges or self-loops for sources and sinks
+    * (the standard dangling-node treatment). Returns (node, rank); after
+    * round 1 the row set is the indeg ≥ 1 nodes.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))

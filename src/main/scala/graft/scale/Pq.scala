@@ -168,8 +168,20 @@ object Pq {
     * fixed between periodic [[buildIvfPqIndex]] rebuilds, so the appended
     * index equals the ENCODE-UNDER-FIXED-MODELS of the union corpus
     * (PqSpec law) — not a fresh retrain over it.
+    *
+    * HARD PRECONDITION — new or same-cell nids only. The upsert replaces an
+    * existing nid only within TOUCHED cells; a re-ingested vector whose
+    * changed embedding routes to a different cell leaves its stale row
+    * alive in the untouched old cell (duplicate nid on probe). Callers
+    * re-ingesting MUTATED vectors must delete-then-append or rebuild.
+    * `assertNewIds = true` enforces the precondition with a single
+    * nid-column anti-scan of the postings (O(index) ids, not codes —
+    * columnar pruning keeps it cheap relative to a rebuild, but it is NOT
+    * O(batch), so it is opt-in for ingest paths that can't prove the
+    * contract upstream rather than always-on).
     */
-  def appendToIvfPqIndex(newVectors: DataFrame, root: String): IvfPqIndex = {
+  def appendToIvfPqIndex(newVectors: DataFrame, root: String,
+                         assertNewIds: Boolean = false): IvfPqIndex = {
     val spark = newVectors.sparkSession
     val coarse = readCents(spark, root, "coarse")
     val book = readCents(spark, root, "book")
@@ -179,6 +191,14 @@ object Pq {
       .localCheckpoint()
     val touched = newPostings.select("cid").distinct().collect().map(_.getInt(0))
     val pt = table(spark, root, "postings")
+    if (assertNewIds) {
+      val stale = pt.read().select("nid", "cid")
+        .join(newPostings.select(col("nid"), col("cid").as("new_cid")), "nid")
+        .filter(col("cid") =!= col("new_cid")).limit(1).count()
+      require(stale == 0L,
+        s"appendToIvfPqIndex: incoming nid already exists in a different cell " +
+          s"of $root/postings — delete-then-append or rebuild (see scaladoc)")
+    }
     val existingTouched = pt.read()
       .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
     val merged = graft.write.Writers.upsert(existingTouched, newPostings, Seq("nid"))

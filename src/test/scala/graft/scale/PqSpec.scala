@@ -142,6 +142,40 @@ class PqSpec extends SparkSpec {
     assert(got.except(expected).count() === 0 && expected.except(got).count() === 0)
   }
 
+  test("append assertNewIds: rejects a nid re-routed to a different cell, passes clean batches") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") < 150)
+    val root = graft.core.Scratch.dir("graft-pqspec5") + "/ivfpq"
+    Pq.buildIvfPqIndex(base, root)
+    // clean batch: genuinely new ids — the assertion must not fire
+    val fresh = emb.filter(col("vec_id") >= 150 && col("vec_id") < 155)
+    Pq.appendToIvfPqIndex(fresh, root, assertNewIds = true)
+    // mutated re-ingest: take an indexed vector and swap its embedding for
+    // another cell's member so assignment routes it elsewhere — the stale-row
+    // hazard the precondition exists for. Build the collision deterministically
+    // from the persisted assignments rather than hoping two ids differ.
+    val t = new graft.write.VersionedTable(spark, s"$root/postings")
+    val byCell = t.read().select("nid", "cid").collect().groupBy(_.getInt(1))
+    val (cellA, cellB) = {
+      val cells = byCell.keys.toSeq.sorted
+      assume(cells.size >= 2, "fixture corpus landed in one cell")
+      (cells.head, cells.last)
+    }
+    val victim = byCell(cellA).map(_.getLong(0)).min
+    val donor = byCell(cellB).map(_.getLong(0)).min
+    val mutated = emb.filter(col("vec_id") === donor)
+      .select(lit(victim).as("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Pq.appendToIvfPqIndex(mutated, root, assertNewIds = true)
+    }
+    assert(ex.getMessage.contains("different cell"))
+    // default (unasserted) append still honors the documented contract for
+    // same-cell replays: re-ingesting an unchanged vector upserts in place
+    Pq.appendToIvfPqIndex(emb.filter(col("vec_id") === victim), root)
+    assert(t.read().filter(col("nid") === victim).count() === 1)
+  }
+
   test("exact duplicates share codes and scores") {
     val base = corpus(10)
     val twins = base.withColumn("vec_id", col("vec_id") + 100)
