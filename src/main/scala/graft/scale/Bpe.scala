@@ -63,7 +63,7 @@ object Bpe {
     * word-keyed shuffle). Callers that need it more than once
     * ([[bpeTokenCounts]]) materialize it rather than re-shuffling.
     */
-  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+  private[scale] def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
         w => w =!= "")).as("__w"))
@@ -88,7 +88,7 @@ object Bpe {
     * Unreachable on an ASCII corpus, but "value-exact on any engine" must
     * not depend on the corpus staying ASCII.
     */
-  private val Utf8Order: Ordering[String] = new Ordering[String] {
+  private[scale] val Utf8Order: Ordering[String] = new Ordering[String] {
     def compare(a: String, b: String): Int =
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
