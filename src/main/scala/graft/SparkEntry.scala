@@ -39,7 +39,8 @@ object SparkEntry {
     scale.Pca.queries ++
     scale.Sampling.queries ++
     scale.Bpe.queries ++
-    scale.Unigram.queries
+    scale.Unigram.queries ++
+    scale.Recall.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The reference's MAU-style join+agg over the star schema.)
