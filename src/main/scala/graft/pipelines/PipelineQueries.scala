@@ -70,6 +70,47 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // Catchup/backfill (the reference's catchup=True half, completed): a
+    // 5-day window replayed in order through the day-idempotent partitioned
+    // write, stamping each landing with its execution count. The SAME window
+    // backfilled again must be a manifest-skipped no-op (asserted in-query:
+    // zero executions), and a forced re-run of one day bumps only that day's
+    // count — so the run_seq column in the output certifies ordered replay,
+    // the catchup skip, and the forced-rerun escape hatch in one hash: a
+    // runner that re-executed a completed day (or skipped the forced one)
+    // shifts run_seq somewhere and fails the compare.
+    Q("q150_backfill",
+      """SELECT event_id, user_id, event_type, value,
+        | CASE WHEN CAST(ts AS DATE) = DATE '2024-01-12'
+        |      THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS run_seq
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val root = Files.createTempDirectory("graft-q150").toString
+      val t = new graft.write.DatePartitionedTable(s, s"$root/events_daily")
+      val runner = new Pipelines.BackfillRunner(s,
+        new VersionedTable(s, s"$root/backfill_manifest"))
+      val events = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      def day(dte: LocalDate, seq: Long): Unit =
+        t.writeRun(Pipelines.runDateSlice(events, "ts", dte).drop("ts")
+          .withColumn("run_seq", lit(seq)), dte)
+      val window = (LocalDate.of(2024, 1, 10), LocalDate.of(2024, 1, 14))
+      val first = runner.backfill(window._1, window._2)(day)
+      val second = runner.backfill(window._1, window._2)(day)
+      require(first.map(_._1) == (0 to 4).map(window._1.plusDays(_)) &&
+        first.forall(_._2 == 1L),
+        s"backfill must replay every date once, in order: $first")
+      require(second.isEmpty, s"catchup re-ran completed dates: $second")
+      val forced = runner.backfill(LocalDate.of(2024, 1, 12),
+        LocalDate.of(2024, 1, 12), force = true)(day)
+      require(forced == Seq(LocalDate.of(2024, 1, 12) -> 2L),
+        s"forced re-run must bump exactly one date: $forced")
+      t.read()
+        .select("event_id", "user_id", "event_type", "value", "run_seq")
+        .orderBy("event_id")
+    },
+
     // P4/C8 — the parameterized run-date predicate as a declared operator:
     // one day's slice of the events stream (the filter reaches the parquet
     // scan as a pushed predicate on the nanos column's derived date).

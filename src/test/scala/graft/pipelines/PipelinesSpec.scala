@@ -63,6 +63,31 @@ class PipelinesSpec extends SparkSpec {
     assert(got === Set(2, 3))
   }
 
+  test("backfill crash recovery: resumes from the failed date, nothing re-runs twice") {
+    val w = wh()
+    val runner = new Pipelines.BackfillRunner(spark,
+      new VersionedTable(spark, s"$w/manifest"))
+    val ran = scala.collection.mutable.ArrayBuffer.empty[(LocalDate, Long)]
+    val start = LocalDate.of(2024, 3, 1)
+    val crashOn = start.plusDays(2)
+    // first attempt dies on day 3 of 5 — days 1..2 are recorded, 3..5 not
+    intercept[RuntimeException] {
+      runner.backfill(start, start.plusDays(4)) { (d, seq) =>
+        if (d == crashOn) throw new RuntimeException("boom")
+        ran += d -> seq
+      }
+    }
+    assert(ran.toSeq === Seq(start -> 1L, start.plusDays(1) -> 1L))
+    // recovery backfill over the SAME window: only the unrecorded tail runs,
+    // still in order, all at seq 1 (nothing double-executed)
+    val resumed = runner.backfill(start, start.plusDays(4)) { (d, seq) => ran += d -> seq }
+    assert(resumed === Seq(crashOn -> 1L, start.plusDays(3) -> 1L, start.plusDays(4) -> 1L))
+    assert(ran.toSeq === (0 to 4).map(i => start.plusDays(i) -> 1L))
+    // a third pass is a complete no-op
+    assert(runner.backfill(start, start.plusDays(4)) { (d, s) => ran += d -> s }.isEmpty)
+    assert(ran.size === 5)
+  }
+
   test("dailyRun wires the chain: both tables exist after, rerun idempotent (C1/C8)") {
     val w = wh()
     val runner = new JobRunner(RetryPolicy(retries = 0, delayMillis = 0),
