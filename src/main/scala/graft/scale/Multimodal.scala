@@ -514,6 +514,235 @@ object Multimodal {
     (rw, rh, out)
   }
 
+  // ---- real GIF pixel codec (pure-JDK LZW — no external codecs needed) ----
+
+  /** GIF-variant LZW compress of an index stream (LSB-first bit packing,
+    * 12-bit code cap, clear-code dictionary reset — GIF89a spec appendix F).
+    * The dictionary is keyed (prefix code, next index) — the standard trie
+    * form, O(1) per input byte.
+    */
+  private def gifLzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var cur = 0L; var nbits = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    def reset(): Unit = { dict = new java.util.HashMap(); next = eoi + 1; codeSize = minCodeSize + 1 }
+    emit(clear)
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (prefix < 0) prefix = k
+      else {
+        val key = Integer.valueOf((prefix << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          // encoder bumps at next == max+1 (it is one entry AHEAD of the
+          // decoder, which bumps at next == max) — the classic GIF pairing
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          if (next == 4097) { emit(clear); reset() }
+          prefix = k
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(eoi)
+    if (nbits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress; None on any malformed stream (a code
+    * beyond the table, input exhausted before EOI, output overflowing or
+    * undershooting `expected` indices) — never a partial buffer. Table
+    * entries carry (prefix code, suffix index, first index), so the KwKwK
+    * special case (`code == next`: the just-about-to-be-defined code) and
+    * the per-entry expansion are both O(length).
+    */
+  private def gifLzwDecode(data: Array[Byte], minCodeSize: Int,
+                           expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Byte](4096)
+    val firstOf = new Array[Byte](4096)
+    var c0 = 0
+    while (c0 < clear) { suffixOf(c0) = c0.toByte; firstOf(c0) = c0.toByte; c0 += 1 }
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    val stack = new Array[Byte](4097)
+    // write table[code]'s string; false on output overflow
+    def push(code: Int): Boolean = {
+      var c = code; var sp = 0
+      while (c >= clear) { stack(sp) = suffixOf(c); sp += 1; c = prefixOf(c) }
+      stack(sp) = c.toByte; sp += 1
+      if (outLen + sp > expected) return false
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      true
+    }
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var cur = 0L; var nbits = 0; var pos = 0
+    while (true) {
+      while (nbits < codeSize) {
+        if (pos >= data.length) return None // ran out before EOI
+        cur |= (data(pos) & 0xffL) << nbits; nbits += 8; pos += 1
+      }
+      val code = (cur & ((1L << codeSize) - 1)).toInt
+      cur >>= codeSize; nbits -= codeSize
+      if (code == clear) { next = eoi + 1; codeSize = minCodeSize + 1; prev = -1 }
+      else if (code == eoi) {
+        return if (outLen == expected) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after a clear is a literal
+        if (!push(code)) return None
+        prev = code
+      } else if (code < next) {
+        if (!push(code)) return None
+        if (next < 4096) {
+          prefixOf(next) = prev; suffixOf(next) = firstOf(code)
+          firstOf(next) = firstOf(prev); next += 1
+          // decoder bumps at next == max (one entry BEHIND the encoder)
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      } else if (code == next && next < 4096) {
+        // KwKwK: the new entry is table[prev] + first(prev), defined and
+        // emitted in the same step
+        prefixOf(next) = prev; suffixOf(next) = firstOf(prev)
+        firstOf(next) = firstOf(prev); next += 1
+        if (!push(next - 1)) return None
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      } else return None
+    }
+    None
+  }
+
+  /** Encode an 8-bit grayscale pixel buffer as a REAL spec-valid GIF89a:
+    * Logical Screen Descriptor, a 256-entry grayscale global color table
+    * (index i = gray level i), one full-screen non-interlaced image
+    * descriptor, the LZW-compressed index stream in ≤255-byte sub-blocks,
+    * and the trailer — decodable by any conforming reader (the spec
+    * cross-checks against the JDK's own ImageIO GIF reader).
+    */
+  def gifEncodeGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
+    require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, s"bad dims $w x $h")
+    val out = new java.io.ByteArrayOutputStream(pixels.length / 2 + 800)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256-entry table
+    out.write(0); out.write(0) // background index, aspect ratio
+    var g = 0
+    while (g < 256) { out.write(g); out.write(g); out.write(g); g += 1 }
+    out.write(0x2c) // image descriptor: full screen, no LCT, not interlaced
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+    out.write(0x00)
+    out.write(8) // min LZW code size for a 256-color stream
+    val lzw = gifLzwEncode(pixels, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0x00) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF frame decode: LSD + color-table walk, extension skipping,
+    * then LZW decompression of the FIRST image descriptor's index stream,
+    * mapped to gray through the active palette. Fails closed (None) on a
+    * bad signature, truncation anywhere, an interlaced frame, a code
+    * stream that over/under-fills the frame, or a non-grayscale palette
+    * entry actually referenced — never a partial buffer. Returns
+    * (frame w, frame h, gray bytes).
+    */
+  def gifDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+    if (!(ascii(0, "GIF87a") || ascii(0, "GIF89a")) || b.length < 14) return None
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    var i = 10
+    val lsdFlags = b(i) & 0xff
+    i += 3 // flags, background index, aspect ratio
+    var palette: Array[Byte] = null
+    if ((lsdFlags & 0x80) != 0) {
+      val n = 2 << (lsdFlags & 7)
+      if (i + 3 * n > b.length) return None
+      palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+      i += 3 * n
+    }
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label byte + sub-blocks
+          i += 2
+          var sz = if (i < b.length) b(i) & 0xff else return None
+          while (sz != 0) {
+            i += 1 + sz
+            sz = if (i < b.length) b(i) & 0xff else return None
+          }
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val fw = u16le(i + 5); val fh = u16le(i + 7)
+          val iflags = b(i + 9) & 0xff
+          i += 10
+          if ((iflags & 0x40) != 0) return None // interlaced: unsupported, fail closed
+          var pal = palette
+          if ((iflags & 0x80) != 0) {
+            val n = 2 << (iflags & 7)
+            if (i + 3 * n > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (pal == null || fw <= 0 || fh <= 0 || i >= b.length) return None
+          val minCode = b(i) & 0xff; i += 1
+          if (minCode < 2 || minCode > 8) return None
+          val lzw = new java.io.ByteArrayOutputStream()
+          var sz = if (i < b.length) b(i) & 0xff else return None
+          while (sz != 0) {
+            if (i + 1 + sz > b.length) return None
+            lzw.write(b, i + 1, sz)
+            i += 1 + sz
+            sz = if (i < b.length) b(i) & 0xff else return None
+          }
+          val idx = gifLzwDecode(lzw.toByteArray, minCode, fw * fh) match {
+            case Some(a) => a
+            case None => return None
+          }
+          val out = new Array[Byte](fw * fh)
+          val nPal = pal.length / 3
+          var k = 0
+          while (k < idx.length) {
+            val ci = idx(k) & 0xff
+            if (ci >= nPal) return None
+            val r = pal(3 * ci);
+            if (r != pal(3 * ci + 1) || r != pal(3 * ci + 2)) return None
+            out(k) = r
+            k += 1
+          }
+          return Some((fw, fh, out))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
   final case class FormatFeatures(asset_id: Long, format: String,
                                   width: Option[Int], height: Option[Int],
                                   sample_rate: Option[Int], n_samples: Option[Long])
@@ -690,6 +919,40 @@ object Multimodal {
           (id, dw, dh, rw, rh, sum)
         }
       }.toDF("asset_id", "w", "h", "rw", "rh", "checksum")
+        .orderBy("asset_id")
+    },
+
+    // Second real pixel codec, exercising a DIFFERENT compression family
+    // than q102's PNG/DEFLATE: each doc becomes a real GIF89a (grayscale
+    // palette + LZW index stream), and the engine's numbers come from
+    // genuinely decoding the container it wrote — signature/LSD walk,
+    // palette mapping, LZW decompression with code-width growth. The oracle
+    // regenerates the pixel stream from doc_id arithmetic, so ANY bit error
+    // in the encoder, the bit-packing, the dictionary protocol, or the
+    // palette lookup breaks the round trip and hash-fails. Spec-validity of
+    // the container (not just self-consistency) is pinned in
+    // MultimodalSpec against the JDK's own ImageIO GIF reader.
+    Q("q151_gif_decode",
+      """SELECT doc_id AS asset_id,
+        | CAST(8 + doc_id % 11 AS INT) AS w, CAST(8 + doc_id % 5 AS INT) AS h,
+        | CAST(list_sum(list_transform(range(0, (8 + doc_id % 11) * (8 + doc_id % 5)),
+        |   k -> ((doc_id * 37 + k * 11) % 256) * (k + 1))) AS BIGINT) AS checksum
+        |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 11).toInt
+          val h = (8 + id % 5).toInt
+          val pixels = Array.tabulate(w * h)(k => ((id * 37 + k * 11) % 256).toByte)
+          val gif = gifEncodeGray(pixels, w, h)
+          val (dw, dh, decoded) = gifDecodeGray(gif).getOrElse(
+            throw new IllegalStateException(s"undecodable GIF for asset $id"))
+          var sum = 0L
+          var k = 0
+          while (k < decoded.length) { sum += (decoded(k) & 0xff).toLong * (k + 1); k += 1 }
+          (id, dw, dh, sum)
+        }
+      }.toDF("asset_id", "w", "h", "checksum")
         .orderBy("asset_id")
     },
 
