@@ -76,14 +76,185 @@ object Graph {
     * Both directions are emitted, so outdeg ≥ 1 and indeg ≥ 1 hold
     * structurally and the damped update covers every node.
     */
-  def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+  def tradePairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+
+  /** Both directions of a (c, s) pair relation — the undirected encoding
+    * [[pageRank]]'s contract requires.
+    */
+  def undirected(pairs: DataFrame): DataFrame =
     pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+
+  def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    undirected(tradePairs(s, d))
+
+  /** One damped round: ranks pulled through annotated edges `e`
+    * (src, dst, outdeg). Shared by the full iterate and the incremental
+    * recompute (which feeds it only the dirty nodes' in-edges).
+    */
+  private def roundStep(e: DataFrame, ranks: DataFrame): DataFrame =
+    e.join(ranks, e("src") === ranks("node"))
+      .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      .groupBy("dst")
+      .agg(sum("contrib").as("c"))
+      .select(col("dst").as("node"),
+        (lit(Base) + expr(s"($DampNum * c) div $DampDen")).as("rank"))
+
+  /** Per-round dirty-node counts of the last [[PageRankIndex.append]] —
+    * the measured footprint the O(cone) law pins (GraphSpec).
+    */
+  final case class AppendStats(dirtyPerRound: Seq[(Int, Long)])
+
+  /** Incremental PageRank under the O(batch) patch protocol — the graph
+    * analogue of the ANN index's append story (q93/q139): persist the
+    * annotated edge list (bucketed BOTH by src and by dst — the CSR/CSC
+    * pair every graph store keeps) plus the rank relation of EVERY round,
+    * then delta-update an appended edge batch by recomputing only the
+    * batch's forward cone, round by round, exactly.
+    *
+    * Exactness (the q152 law): rank_t(n) is a pure function of
+    * rank_{t-1} over n's in-edges. An appended batch changes that input
+    * only for (a) dst nodes of new edges, (b) dst nodes of EVERY old edge
+    * of a src whose outdeg changed (`changedInputs` — their contribution
+    * divisor moved), and (c) out-neighbors of nodes dirty in the previous
+    * round. Recomputing exactly those nodes per round from the patched
+    * history — old values everywhere else — reproduces the full recompute
+    * on the union graph bit-for-bit; q152 certifies it against the SAME
+    * oracle as q129 run on the union.
+    *
+    * Scale shape: per round the work is the dirty cone's in-edges, not
+    * |E| — O(batch × avg_degree^t) rows for a t-round horizon. All scans
+    * are bucket-pruned (`__b` = key mod nBuckets hive partitions; at real
+    * scale nBuckets grows so a bucket ≈ |E|/nBuckets and a small batch
+    * touches few buckets); rank/edge patches rewrite only touched buckets
+    * via stagePatch (untouched buckets inherited by file-list reference).
+    * Driver state is bucket-id lists (≤ nBuckets ints) — never nodes.
+    * Contract: append-only edge batches (no deletions), same as every
+    * append protocol here.
+    */
+  final class PageRankIndex(spark: org.apache.spark.sql.SparkSession,
+                            root: String, iters: Int, nBuckets: Int = 16) {
+    import graft.write.{VersionedTable, Writers}
+
+    private def t(name: String) = new VersionedTable(spark, s"$root/$name")
+    private def bucket(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(nBuckets.toLong)).cast("int")
+    private def bucketsOf(df: DataFrame, c: String): Array[Integer] =
+      df.select(bucket(col(c)).as("b")).distinct()
+        .collect().map(r => Integer.valueOf(r.getInt(0)))
+
+    @volatile var lastAppendStats: AppendStats = AppendStats(Nil)
+
+    /** Full build: annotate, bucket, iterate, persisting every round's rank
+      * relation (the history a later delta-update recomputes against).
+      */
+    def build(edges: DataFrame): DataFrame = {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val e = edges.join(deg, "src")
+        .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+      val eo = t("edges_out"); eo.promote(eo.stage(
+        e.withColumn("__b", bucket(col("src"))), Seq("__b")))
+      val ei = t("edges_in"); ei.promote(ei.stage(
+        e.withColumn("__b", bucket(col("dst"))), Seq("__b")))
+      var ranks = deg.select(col("src").as("node"), lit(Scale).as("rank"))
+      writeRanks(0, ranks)
+      for (i <- 1 to iters) {
+        ranks = roundStep(e, ranks).localCheckpoint()
+        writeRanks(i, ranks)
+      }
+      ranks
+    }
+
+    private def writeRanks(round: Int, ranks: DataFrame): Unit = {
+      val rt = t(s"rank$round")
+      rt.promote(rt.stage(ranks.withColumn("__b", bucket(col("node"))), Seq("__b")))
+    }
+
+    private def upsertByKey(table: VersionedTable, rows: DataFrame, key: String): Unit = {
+      val buckets = bucketsOf(rows, key)
+      if (buckets.nonEmpty) {
+        val existing = table.read().filter(col("__b").isin(buckets: _*)).drop("__b")
+        val merged = Writers.upsert(existing, rows, Seq(key))
+          .withColumn("__b", bucket(col(key)))
+        table.promote(table.stagePatch(merged, Seq("__b")))
+      }
+    }
+
+    def ranks(round: Int): DataFrame = t(s"rank$round").read().drop("__b")
+
+    /** Delta-update: patch edges + degrees, then recompute each round's
+      * dirty cone against the patched history. Returns the final ranks of
+      * the UNION graph (value-identical to a fresh build on it).
+      */
+    def append(batch0: DataFrame): DataFrame = {
+      val batch = batch0.select("src", "dst").localCheckpoint()
+      val bAgg = batch.groupBy("src").agg(count(lit(1)).as("add_deg")).localCheckpoint()
+      val eo = t("edges_out"); val ei = t("edges_in")
+      val srcBuckets = bucketsOf(bAgg, "src")
+      // old edges of touched srcs (bucket-pruned out-edge scan): their
+      // outdeg changes, so their dsts' inputs change in every round
+      val oldTouched = eo.read().filter(col("__b").isin(srcBuckets: _*))
+        .join(bAgg.select("src"), "src")
+        .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+      val oldDeg = oldTouched.select("src", "outdeg").distinct()
+      val newDeg = bAgg.join(oldDeg, Seq("src"), "left")
+        .select(col("src"),
+          (col("add_deg") + coalesce(col("outdeg"), lit(0L))).as("outdeg"))
+        .localCheckpoint()
+      val newAnnotated = batch.join(newDeg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+      // patch the out-bucketed copy: touched buckets rewritten with updated
+      // outdegs + the new rows; every other bucket inherited by reference
+      val outMerged = eo.read().filter(col("__b").isin(srcBuckets: _*)).drop("__b")
+        .join(newDeg.select(col("src"), col("outdeg").as("__nd")), Seq("src"), "left")
+        .select(col("src"), col("dst"), coalesce(col("__nd"), col("outdeg")).as("outdeg"))
+        .unionByName(newAnnotated)
+      eo.promote(eo.stagePatch(outMerged.withColumn("__b", bucket(col("src"))), Seq("__b")))
+      // the in-bucketed copy: buckets of every dst whose row set or outdeg
+      // annotation changes — all of oldTouched's and the batch's dsts
+      val dstBuckets = bucketsOf(oldTouched.select("dst").unionByName(batch.select("dst")), "dst")
+      val inMerged = ei.read().filter(col("__b").isin(dstBuckets: _*)).drop("__b")
+        .join(newDeg.select(col("src"), col("outdeg").as("__nd")), Seq("src"), "left")
+        .select(col("src"), col("dst"), coalesce(col("__nd"), col("outdeg")).as("outdeg"))
+        .unionByName(newAnnotated)
+      ei.promote(ei.stagePatch(inMerged.withColumn("__b", bucket(col("dst"))), Seq("__b")))
+      // permanently-changed inputs: dsts of new edges + dsts of re-divided
+      // old edges
+      val changedInputs = batch.select("dst").unionByName(oldTouched.select("dst"))
+        .distinct().localCheckpoint()
+      // round 0: brand-new srcs enter at the initial rank
+      val newSrcs = newDeg.join(oldDeg, Seq("src"), "left_anti")
+        .select(col("src").as("node"), lit(Scale).as("rank")).localCheckpoint()
+      upsertByKey(t("rank0"), newSrcs, "node")
+      var dirty = newSrcs.select("node").localCheckpoint()
+      val stats = Seq.newBuilder[(Int, Long)]
+      stats += 0 -> dirty.count()
+      for (i <- 1 to iters) {
+        // cone growth: changed inputs ∪ out-neighbors of the prior round's
+        // dirty set (bucket-pruned out-edge scan)
+        val db = bucketsOf(dirty, "node")
+        val prop =
+          if (db.isEmpty) changedInputs.limit(0)
+          else eo.read().filter(col("__b").isin(db: _*))
+            .join(dirty.withColumnRenamed("node", "src"), "src").select("dst")
+        val dirtyNow = changedInputs.unionByName(prop).distinct().localCheckpoint()
+        stats += i -> dirtyNow.count()
+        // exact recompute of the dirty nodes from the patched (t-1) history:
+        // in-edges bucket-pruned to the dirty dsts
+        val ib = bucketsOf(dirtyNow, "dst")
+        val inE = ei.read().filter(col("__b").isin(ib: _*)).drop("__b")
+          .join(dirtyNow, Seq("dst"))
+        upsertByKey(t(s"rank$i"), roundStep(inE, ranks(i - 1)), "node")
+        dirty = dirtyNow.withColumnRenamed("dst", "node")
+      }
+      lastAppendStats = AppendStats(stats.result())
+      ranks(iters)
+    }
   }
 
   private val Iters = 3
@@ -117,6 +288,26 @@ object Graph {
   val queries: Seq[Q] = Seq(
     Q("q129_pagerank", q129Sql) { (s, d) =>
       pageRank(tradeEdges(s, d), Iters)
+        .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    },
+
+    // Incremental PageRank: build the index on ~4/5 of the trade pairs,
+    // append the held-out fifth as an edge batch (both directions — the
+    // undirected contract), and serve the delta-updated final round. The
+    // oracle is DELIBERATELY q129's — the full recompute over the union
+    // graph — so the hash IS the exactness law: a delta update that missed
+    // one cone node, used a stale outdeg, or mis-merged a rank patch
+    // diverges from the fresh build and fails. The O(cone) footprint side
+    // is GraphSpec territory (planted path graph, measured dirty counts).
+    Q("q152_pagerank_append", q129Sql) { (s, d) =>
+      val pairs = tradePairs(s, d).localCheckpoint()
+      val holdOut = pmod(col("c") + col("s"), lit(5)) === 0
+      val root = s"${graft.core.Scratch.dir("graft-q152")}/pr"
+      val idx = new PageRankIndex(s, root, Iters)
+      idx.build(undirected(pairs.filter(!holdOut)))
+      idx.append(undirected(pairs.filter(holdOut)))
         .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)

@@ -27,6 +27,44 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size === 1)
   }
 
+  test("incremental append equals full recompute on the union — entire relation, every round") {
+    val pairs = Graph.tradePairs(spark, sfDir).localCheckpoint()
+    val holdOut = pmod(col("c") + col("s"), lit(5)) === 0
+    val root = s"${graft.core.Scratch.dir("graft-prspec1")}/pr"
+    val idx = new Graph.PageRankIndex(spark, root, iters = 3)
+    idx.build(Graph.undirected(pairs.filter(!holdOut)))
+    val incremental = idx.append(Graph.undirected(pairs.filter(holdOut)))
+    val full = Graph.pageRank(Graph.undirected(pairs), iters = 3)
+    assert(incremental.except(full).count() === 0 &&
+      full.except(incremental).count() === 0)
+    // the persisted history equals the full trajectory too, not just round 3
+    var ranks = Graph.undirected(pairs).groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), lit(Graph.Scale).as("rank"))
+    assert(idx.ranks(0).except(ranks).count() === 0 && ranks.except(idx.ranks(0)).count() === 0)
+  }
+
+  test("append recomputes only the batch's cone: dirty counts stay O(batch), not O(graph)") {
+    // a 300-node undirected path; the batch extends one end by one node.
+    // The exact cone grows one hop per round: |dirty_t| <= t + 3 — measured
+    // counts above that mean the delta update is secretly recomputing the
+    // graph.
+    val n = 300L
+    val base = Graph.undirected(
+      (0L until n - 1).map(i => (i, i + 1)).toDF("c", "s"))
+    val batch = Graph.undirected(Seq((n - 1, n)).toDF("c", "s"))
+    val root = s"${graft.core.Scratch.dir("graft-prspec2")}/pr"
+    val idx = new Graph.PageRankIndex(spark, root, iters = 3)
+    idx.build(base)
+    val got = idx.append(batch)
+    idx.lastAppendStats.dirtyPerRound.foreach { case (round, dirty) =>
+      assert(dirty <= round + 3,
+        s"round $round recomputed $dirty nodes on a 1-edge batch over $n nodes")
+    }
+    // and the exactness law still holds on this planted shape
+    val full = Graph.pageRank(base.unionByName(batch), iters = 3)
+    assert(got.except(full).count() === 0 && full.except(got).count() === 0)
+  }
+
   test("trade graph is bipartite and bidirectional") {
     val e = Graph.tradeEdges(spark, sfDir).cache()
     // customer nodes even, supplier nodes odd; every edge crosses sides
