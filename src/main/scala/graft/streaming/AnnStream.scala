@@ -19,12 +19,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 object AnnStream {
 
   def annAppendSink(vectors: DataFrame, root: String, checkpoint: String,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxChainDepth: Int = 16): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         AnnIndex.appendToIvfIndex(batch, root, idCol, vecCol)
+        // patch-chain policy: per-cell patches accumulate one version per
+        // batch; past maxChainDepth the chain collapses (cid partitioning
+        // preserved, so probe directory-pruning survives the compaction)
+        new graft.write.VersionedTable(batch.sparkSession, s"$root/postings")
+          .compactIfNeeded(maxChainDepth, Seq("cid"))
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -35,12 +41,15 @@ object AnnStream {
     * into its touched cells ([[graft.scale.Pq.appendToIvfPqIndex]]). Replay
     * idempotence by upsert semantics, exactly as [[annAppendSink]].
     */
-  def pqAppendSink(vectors: DataFrame, root: String, checkpoint: String): StreamingQuery =
+  def pqAppendSink(vectors: DataFrame, root: String, checkpoint: String,
+                   maxChainDepth: Int = 16): StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.scale.Pq.appendToIvfPqIndex(batch, root)
+        new graft.write.VersionedTable(batch.sparkSession, s"$root/postings")
+          .compactIfNeeded(maxChainDepth, Seq("cid"))
         ()
       }
       .trigger(Trigger.AvailableNow())

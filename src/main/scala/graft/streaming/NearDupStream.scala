@@ -49,7 +49,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 final class NearDupIndex(spark: SparkSession, root: String,
                          threshold: Double = 0.8, numHashes: Int = 64,
-                         bands: Int = 16, shingleSize: Int = 3) {
+                         bands: Int = 16, shingleSize: Int = 3,
+                         maxChainDepth: Int = 16) {
 
   val survivors = new VersionedTable(spark, s"$root/survivors")
   val signatures = new VersionedTable(spark, s"$root/signatures")
@@ -117,6 +118,11 @@ final class NearDupIndex(spark: SparkSession, root: String,
       if (signatures.exists) signatures.promote(signatures.stageAppend(keptSigs), Some(tag))
       else signatures.promote(signatures.stage(keptSigs), Some(tag))
     }
+    // bound the append chains a continuous crawl accumulates: read cost
+    // stays O(maxChainDepth) union legs, the O(table) rewrite amortizes to
+    // one every ~maxChainDepth batches (policy law in StreamingNearDupSpec)
+    survivors.compactIfNeeded(maxChainDepth)
+    signatures.compactIfNeeded(maxChainDepth)
   }
 }
 

@@ -29,7 +29,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * (q111's protocol); [[Retrieval.topPostings]] over `read()` yields
   * champion lists identical to a batch build (q126, PostingsStreamSpec).
   */
-final class PostingsIndex(spark: SparkSession, root: String) {
+final class PostingsIndex(spark: SparkSession, root: String,
+                          maxChainDepth: Int = 16) {
 
   val postings = new VersionedTable(spark, s"$root/postings")
 
@@ -44,6 +45,9 @@ final class PostingsIndex(spark: SparkSession, root: String) {
       .sortWithinPartitions("term")
     if (postings.exists) postings.promote(postings.stageAppend(p), Some(tag))
     else postings.promote(postings.stage(p), Some(tag))
+    // chain-depth policy: bounded read cost for a continuous drain
+    // (amortized rewrite — see VersionedTable.compactIfNeeded)
+    postings.compactIfNeeded(maxChainDepth)
   }
 }
 

@@ -290,6 +290,28 @@ final class VersionedTable(spark: SparkSession, root: String) {
     v
   }
 
+  /** How many DISTINCT source versions the current version's read unions
+    * across — the depth a patch/append chain has grown to (1 = fully
+    * self-contained). This is exactly the per-read cost a chain imposes:
+    * one parquet scan + union leg per contributing version.
+    */
+  def chainDepth: Int =
+    currentVersion.map(v => entries(v).map(_._1).distinct.size).getOrElse(0)
+
+  /** The auto-compaction policy (r12 verdict item 8): collapse the chain
+    * when its depth exceeds `maxDepth`. Streaming sinks call this after
+    * every promote, so a long-running drain keeps read cost bounded at
+    * O(maxDepth) legs while paying the O(table) rewrite only every
+    * ~maxDepth batches — amortized O(table/maxDepth) per batch, the LSM
+    * trade. The compaction promote carries the current tag, so exactly-once
+    * batch stamping survives it. Returns whether a compaction fired.
+    */
+  def compactIfNeeded(maxDepth: Int, partitionCols: Seq[String] = Nil): Boolean = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    if (exists && chainDepth > maxDepth) { compact(partitionCols); true }
+    else false
+  }
+
   /** Every staged version present on disk, ascending (the committed one is
     * `currentVersion`; later entries are staged-but-unpromoted).
     */

@@ -32,6 +32,26 @@ class PostingsStreamSpec extends SparkSpec {
     assert(drained === postings(b1 ++ b2))
   }
 
+  test("auto-compaction policy: a long drain keeps chain depth bounded, content exact") {
+    val idx = new PostingsIndex(spark, root("policy"), maxChainDepth = 3)
+    val all = (0 until 12).map { b =>
+      Seq((100L * b, s"spark batch$b"), (100L * b + 1, "merge spark"))
+    }
+    all.zipWithIndex.foreach { case (rows, b) =>
+      idx.processBatch(rows.toDF("doc_id", "text"), b.toLong)
+      // the sink-level policy law: a reader never pays more than
+      // maxChainDepth union legs no matter how long the drain runs
+      assert(idx.postings.chainDepth <= 3,
+        s"batch $b left chain depth ${idx.postings.chainDepth}")
+    }
+    val drained = idx.postings.read()
+      .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
+    assert(drained === postings(all.flatten))
+    // the latest stamp survived every compaction: a replay is still a no-op
+    idx.processBatch(all.last.toDF("doc_id", "text"), 11L)
+    assert(idx.postings.read().count() === drained.size)
+  }
+
   test("a redelivered batch is a no-op (batch-stamped promote)") {
     val idx = new PostingsIndex(spark, root("replay"))
     idx.processBatch(b1.toDF("doc_id", "text"), 0L)

@@ -117,6 +117,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.readVersion(cv - 1).count() === 4)
   }
 
+  test("compactIfNeeded policy: chain depth stays bounded across a long drain") {
+    val root = s"${tmp()}/t"
+    val t = new VersionedTable(spark, root)
+    assert(t.chainDepth === 0)
+    t.promote(t.stage(Seq((0L, "seed")).toDF("id", "v")))
+    assert(t.chainDepth === 1)
+    var fired = 0
+    for (b <- 1 to 20) {
+      t.promote(t.stageAppend(Seq((b.toLong, s"r$b")).toDF("id", "v")), Some(s"batch=$b"))
+      if (t.compactIfNeeded(maxDepth = 4)) fired += 1
+      // the policy invariant: a reader never unions more than maxDepth + 1
+      // legs (depth can reach maxDepth + 1 for the one promote that
+      // triggers the collapse, never beyond)
+      assert(t.chainDepth <= 4, s"batch $b left chain depth ${t.chainDepth}")
+    }
+    // the rewrite amortizes: ~every maxDepth batches, not every batch
+    assert(fired >= 3 && fired <= 7, s"compaction fired $fired times in 20 batches")
+    // nothing lost, latest stamp intact
+    assert(t.read().count() === 21)
+    assert(t.currentTag.contains("batch=20"))
+  }
+
+  test("compactIfNeeded preserves partition pruning for partitioned chains") {
+    val root = s"${tmp()}/t"
+    val t = new VersionedTable(spark, root)
+    t.promote(t.stage(Seq((1L, 0), (2L, 1)).toDF("id", "cell"), Seq("cell")))
+    for (b <- 1 to 6)
+      t.promote(t.stagePatch(
+        Seq((10L + b, b % 3)).toDF("id", "cell"), Seq("cell")), Some(s"b$b"))
+    assert(t.chainDepth > 1)
+    assert(t.compactIfNeeded(maxDepth = 2, Seq("cell")))
+    assert(t.chainDepth === 1)
+    // hive layout survives: the compacted version has cell= directories
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, s"v${t.currentVersion.get}"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(dirs.iterator().asScala.exists(_.getFileName.toString.startsWith("cell=")))
+    } finally dirs.close()
+  }
+
   test("SummaryBuilder eq gate requires exact count") {
     val wh = tmp()
     Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("eq_input")
