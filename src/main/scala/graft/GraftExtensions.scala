@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rules: every session gets the rank-1-window → min_by/max_by
     // rewrite (runs in the fixed-point operator-optimization batch).
     ext.injectOptimizerRule(_ => graft.plans.RankOneWindowToAggregate)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RankLimitToTopK)
     ext.injectOptimizerRule(_ => graft.plans.PruneTopKPerKeyChild)
     // Planner strategies: the per-key top-k logical operator plans as two

@@ -21,6 +21,7 @@ object SparkEntry {
     functions.Cleaning.queries ++
     sources.SourceQueries.queries ++
     summary.Golden.queries ++
+    summary.Rollup.queries ++
     pipelines.PipelineQueries.queries ++
     streaming.StreamingQueries.queries ++
     scale.Text.queries ++
