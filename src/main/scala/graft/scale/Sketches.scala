@@ -1,0 +1,166 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches with DATA-deterministic state.
+  *
+  * The q48 note ("HLL register values are engine-specific by construction")
+  * is true of library HLLs — each picks its own hash — but nothing about
+  * HyperLogLog itself requires that: built over md5 (which Spark and DuckDB
+  * compute identically), the register table is a pure function of the data,
+  * so the driver's DuckDB gate certifies the SKETCH STATE itself value-by-
+  * value, not just a rows>0 smoke. That turns the usual "trust the library"
+  * sketch into an oracled operator:
+  *
+  *  - bucket   = first 2 hex chars of md5(key)          (m = 256 registers)
+  *  - rho      = 1 + leading zero bits of the next 60 hash bits (cap 61)
+  *  - register = max(rho) per bucket — a plain groupBy, so the build is one
+  *    map-side-combined shuffle of (group, bucket, rho≤61) triples: O(m)
+  *    state per group regardless of corpus size, and register-wise max IS
+  *    the merge operator (spec-pinned law), so shards/days/streams combine
+  *    without touching raw data — the property that matters at 100 TB.
+  *
+  * The raw HLL estimate α·m²·Σ2^(−reg) is reproduced in SQL with exact
+  * integer arithmetic: Σ2^(60−reg) as DECIMAL(38,0) (bit-shift, no
+  * floating-point accumulation), one double division at the end. The
+  * small-range (linear-counting) correction needs ln(), whose cross-engine
+  * bit-equality is not guaranteed — it lives in the Scala operator and its
+  * error-bound spec, while the oracled queries certify registers + raw
+  * estimate. Complements q48 (distinct-sampling estimator, O(p·D) state)
+  * and approx_count_distinct (library HLL++, uncertifiable state).
+  */
+object Sketches {
+
+  /** md5-derived (bucket, rho) pair for one key expression. */
+  private def bucketRho(key: Column): (Column, Column) = {
+    val h = md5(key.cast("string"))
+    val bucket = substring(h, 1, 2)
+    val rest = substring(h, 3, 15) // 60 bits
+    val zeros = length(regexp_extract(rest, "^0*", 0))
+    val nib = rest.substr(zeros + lit(1), lit(1))
+    val nibLz = when(nib.isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+      .when(nib.isin("4", "5", "6", "7"), 1)
+      .when(nib.isin("2", "3"), 2)
+      .otherwise(3)
+    val rho = when(zeros === 15, 61).otherwise(zeros * 4 + nibLz + 1)
+    (bucket, rho)
+  }
+
+  /** HLL register table for `key`, one row per (group, bucket): the sketch
+    * state. Merge = groupBy(bucket).max(register) over unioned tables.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
+    val (bucket, rho) = bucketRho(key)
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("register"))
+  }
+
+  /** Raw HLL estimate per group from a register table (m = 256), with the
+    * exact-integer inverse-power sum exposed for certification. The
+    * linear-counting corrected estimator (used when the raw estimate is
+    * below 2.5m and empty buckets remain) is [[hllCorrected]].
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sumExact = sum(expr("shiftleft(cast(1 as bigint), 60 - register)")
+      .cast("decimal(38,0)"))
+    val vEmpty = lit(256) - count(lit(1))
+    val two60 = lit(1152921504606846976L) // 2^60, exact
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        (sumExact + vEmpty.cast("decimal(38,0)") * two60.cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("inv_sum"),
+        vEmpty.cast("long").as("v_empty"))
+      .withColumn("est_raw",
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(256.0) * lit(256.0) *
+          pow(lit(2.0), lit(60)) / col("inv_sum").cast("double"), 2))
+  }
+
+  /** HLL++-style estimator with the small-range linear-counting branch —
+    * the production operator (spec-certified error bound; ln() keeps it out
+    * of the cross-engine oracle).
+    */
+  def hllCorrected(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    hllEstimate(registers, groupCols).withColumn("est",
+      when(col("v_empty") > 0 && col("est_raw") <= 2.5 * 256,
+        round(lit(256.0) * log(lit(256.0) / col("v_empty")), 2))
+        .otherwise(col("est_raw")))
+
+  private val registerSql =
+    """SELECT strftime(ts, '%Y-%m') AS month, substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+      |  max(CASE WHEN length(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '^0*')) = 15 THEN 61
+      |      ELSE length(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '^0*')) * 4
+      |        + CASE WHEN substr(substr(md5(CAST(user_id AS VARCHAR)), 3, 15),
+      |                           length(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '^0*')) + 1, 1)
+      |                    IN ('8','9','a','b','c','d','e','f') THEN 0
+      |               WHEN substr(substr(md5(CAST(user_id AS VARCHAR)), 3, 15),
+      |                           length(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '^0*')) + 1, 1)
+      |                    IN ('4','5','6','7') THEN 1
+      |               WHEN substr(substr(md5(CAST(user_id AS VARCHAR)), 3, 15),
+      |                           length(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '^0*')) + 1, 1)
+      |                    IN ('2','3') THEN 2
+      |               ELSE 3 END + 1 END) AS register
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    // The sketch STATE, value-certified: every (month, bucket, register)
+    // triple must match DuckDB's computation over the same hash.
+    Q("q157_hll_registers",
+      s"""SELECT month, bucket, register FROM ($registerSql) ORDER BY month, bucket""") {
+      (s, d) =>
+        hllRegisters(
+          Tables.events(s, d).withColumn("month", date_format(col("ts"), "yyyy-MM")),
+          Seq("month"), col("user_id"))
+          .orderBy("month", "bucket")
+    },
+
+    // The estimator pipeline over certified registers, on a cardinality in
+    // HLL's raw-estimate range (distinct l_orderkey per returnflag, ~5k-15k
+    // at sf0.01 vs the m=256 sketch's ~640 small-range threshold):
+    // exact-integer inverse-power sum (emitted as a string — DECIMAL(38,0)
+    // crosses the parquet/duckdb boundary as different dtype families), raw
+    // estimate, and measured relative error vs the exact cardinality.
+    Q("q158_hll_estimate",
+      s"""WITH regs AS (
+         |  SELECT l_returnflag AS grp, substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) AS bucket,
+         |    max(CASE WHEN length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) = 15 THEN 61
+         |        ELSE length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) * 4
+         |          + CASE WHEN substr(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15),
+         |                             length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) + 1, 1)
+         |                      IN ('8','9','a','b','c','d','e','f') THEN 0
+         |                 WHEN substr(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15),
+         |                             length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) + 1, 1)
+         |                      IN ('4','5','6','7') THEN 1
+         |                 WHEN substr(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15),
+         |                             length(regexp_extract(substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15), '^0*')) + 1, 1)
+         |                      IN ('2','3') THEN 2
+         |                 ELSE 3 END + 1 END) AS register
+         |  FROM lineitem GROUP BY 1, 2),
+         |est AS (
+         |  SELECT grp,
+         |    CAST(sum(CAST(1::BIGINT << (60 - register) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |      + CAST(256 - count(1) AS DECIMAL(38,0)) * CAST(1::BIGINT << 60 AS DECIMAL(38,0)) AS inv_sum,
+         |    CAST(256 - count(1) AS BIGINT) AS v_empty
+         |  FROM regs GROUP BY 1),
+         |exact AS (SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact_cnt FROM lineitem GROUP BY 1)
+         |SELECT e.grp, CAST(CAST(e.inv_sum AS DECIMAL(38,0)) AS VARCHAR) AS inv_sum, e.v_empty,
+         |  round(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * pow(2.0, 60) / CAST(e.inv_sum AS DOUBLE), 2) AS est_raw,
+         |  x.exact_cnt,
+         |  round(abs(round(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * pow(2.0, 60) / CAST(e.inv_sum AS DOUBLE), 2) - x.exact_cnt) / x.exact_cnt, 4) AS rel_err
+         |FROM est e JOIN exact x ON e.grp = x.grp
+         |ORDER BY e.grp""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).withColumnRenamed("l_returnflag", "grp")
+      val regs = hllRegisters(li, Seq("grp"), col("l_orderkey"))
+      val est = hllEstimate(regs, Seq("grp"))
+      val exact = li.groupBy("grp").agg(countDistinct("l_orderkey").as("exact_cnt"))
+      est.join(exact, "grp")
+        .withColumn("rel_err", round(abs(col("est_raw") - col("exact_cnt")) / col("exact_cnt"), 4))
+        .withColumn("inv_sum", col("inv_sum").cast("string"))
+        .select("grp", "inv_sum", "v_empty", "est_raw", "exact_cnt", "rel_err")
+        .orderBy("grp")
+    },
+  )
+}

@@ -1,0 +1,52 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the md5-deterministic HLL: registers are a pure function of the
+  * data (partitioning-invariant), register-wise max IS the union merge, and
+  * the corrected estimator holds its error bound across three orders of
+  * magnitude — including the small range the raw estimate can't serve.
+  */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ids(from: Int, until: Int) =
+    (from until until).map(i => s"id_$i").toDF("k").withColumn("g", lit("all"))
+
+  private def regs(df: org.apache.spark.sql.DataFrame) =
+    Sketches.hllRegisters(df, Seq("g"), col("k"))
+      .collect().map(r => (r.getString(1), r.getInt(2))).toMap
+
+  test("registers are partitioning-invariant (pure function of the data)") {
+    val data = ids(0, 5000)
+    assert(regs(data.repartition(1)) === regs(data.repartition(17, col("k"))))
+  }
+
+  test("merge law: registers(A union B) == bucket-wise max of the shard registers") {
+    val a = ids(0, 3000)
+    val b = ids(2000, 6000) // overlapping shards
+    val merged = Sketches.hllRegisters(a, Seq("g"), col("k"))
+      .unionByName(Sketches.hllRegisters(b, Seq("g"), col("k")))
+      .groupBy("g", "bucket").agg(max("register").as("register"))
+      .collect().map(r => (r.getString(1), r.getInt(2))).toMap
+    assert(merged === regs(a.unionByName(b)))
+  }
+
+  test("corrected estimator: within 10% at 100 / 2k / 50k distinct (m=256)") {
+    for (n <- Seq(100, 2000, 50000)) {
+      val est = Sketches.hllCorrected(
+        Sketches.hllRegisters(ids(0, n), Seq("g"), col("k")), Seq("g"))
+        .select("est").as[Double].head()
+      val err = math.abs(est - n) / n
+      assert(err < 0.10, s"n=$n est=$est err=$err")
+    }
+  }
+
+  test("duplicates do not move the estimate (cardinality, not count)") {
+    val once = ids(0, 2000)
+    val thrice = once.unionByName(once).unionByName(once)
+    assert(regs(once) === regs(thrice))
+  }
+}
