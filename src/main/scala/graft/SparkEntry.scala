@@ -42,7 +42,8 @@ object SparkEntry {
     scale.Bpe.queries ++
     scale.Unigram.queries ++
     scale.Recall.queries ++
-    scale.Sketches.queries
+    scale.Sketches.queries ++
+    scale.Profiler.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The reference's MAU-style join+agg over the star schema.)
