@@ -70,7 +70,49 @@ object Sampling {
       .drop("__distinct")
   }
 
+  /** Weighted reservoir sample without replacement per stratum
+    * (Efraimidis–Spirakis A-ES via the exponential race): item i survives
+    * with probability proportional to `weightCol`, drawn as the `n`
+    * smallest values of e_i = −ln(u_i)/w_i, where u_i is the md5-derived
+    * 60-bit hash fraction of the id — so like every sampler in this
+    * package the draw is a pure function of the DATA: reproducible across
+    * runs, engines and partitionings, and replayable as plain SQL (the
+    * q160 oracle), which no PRNG-seeded sampler can offer.
+    *
+    * Same scale shape as [[stratifiedSample]]: TopKPerKey bounded heaps,
+    * n × strata × mappers candidates on the shuffle, no per-partition
+    * sort. Rows with non-positive weight are excluded (A-ES domain).
+    */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+                     weightCol: String, n: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0) // 2^60
+    val e = -log(u) / col(weightCol)
+    TopK.topKPerKey(
+      df.filter(col(weightCol) > 0).withColumn("__e", e),
+      Seq(strataCol), Seq(col("__e").asc, col(idCol).asc), n)
+      .drop("__e")
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // q160: 8 docs per language, drawn with probability proportional to
+    // document length — the "sample for inspection, weighted by how much
+    // text you're actually looking at" draw. The oracle replays the same
+    // exponential race in SQL over the same md5 fractions.
+    Q("q160_weighted_sample",
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |                   / 1152921504606846976.0) / n_chars, doc_id) AS rn
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rn <= 8 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      weightedSample(
+        Tables.documents(s, d).select("lang", "doc_id", "n_chars"),
+        "lang", "doc_id", "n_chars", n = 8)
+        .orderBy("lang", "doc_id")
+    },
 
     // q122: 25 docs per language, selected by the md5 hash permutation —
     // the reproducible "show me a sample of every stratum" draw. The

@@ -77,4 +77,44 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"),
       s"phase-1 aggregate should have map-side partials\n$plan")
   }
+
+  test("weightedSample: deterministic across partitionings, exact n per stratum") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (s"g${i % 3}", i.toLong, (i % 7 + 1).toLong))
+      .toDF("g", "id", "w")
+    def draw(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, "g", "id", "w", 10)
+        .select("g", "id").as[(String, Long)].collect().toSet
+    val a = draw(rows.repartition(1))
+    val b = draw(rows.repartition(13, col("id")))
+    assert(a === b)
+    assert(a.groupBy(_._1).view.mapValues(_.size).toMap ===
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+  }
+
+  test("weightedSample: n >= group size returns the whole (positive-weight) group") {
+    import spark.implicits._
+    val rows = Seq(("g", 1L, 5L), ("g", 2L, 1L), ("g", 3L, 0L), ("g", 4L, -2L))
+      .toDF("g", "id", "w")
+    val got = Sampling.weightedSample(rows, "g", "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L)) // zero/negative weights excluded by A-ES domain
+  }
+
+  test("weightedSample: a dominating weight is always drawn; heavy half dominates the sample") {
+    import spark.implicits._
+    val rows = ((0 until 200).map(i => (s"g", i.toLong, 1L)) :+ (("g", 999L, 1000000L)))
+      .toDF("g", "id", "w")
+    val got = Sampling.weightedSample(rows, "g", "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(999L), s"w=1e6 item missing from $got")
+
+    // heavier-by-100x items should occupy most of the sample
+    val skew = (0 until 400).map(i =>
+      ("g", i.toLong, if (i < 200) 100L else 1L)).toDF("g", "id", "w")
+    val drawn = Sampling.weightedSample(skew, "g", "id", "w", 20)
+      .select("id").as[Long].collect()
+    val heavy = drawn.count(_ < 200)
+    assert(heavy >= 16, s"expected >=16/20 heavy items, got $heavy")
+  }
 }
