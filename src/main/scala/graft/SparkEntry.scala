@@ -17,6 +17,7 @@ object SparkEntry {
     ops.Scale.queries ++
     ops.Extended.queries ++
     ops.Temporal.queries ++
+    ops.Behavioral.queries ++
     ops.TopK.queries ++
     functions.Cleaning.queries ++
     sources.SourceQueries.queries ++

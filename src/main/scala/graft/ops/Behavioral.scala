@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log behavioral analytics — ordered funnels and cohort retention,
+  * the product-analytics companions to q16's sessionization (the
+  * reference's MAU/NPS summaries are the degenerate single-stage versions
+  * of these; see /root/reference/airflow/config/mau_summary.py:4).
+  *
+  * Scale shape, shared by both: every operator is one hash shuffle on
+  * `user_id` (the window partition / groupBy key) followed by aggregations
+  * whose keys are supersets of `user_id` — Spark's ClusteredDistribution
+  * check accepts the existing hash partitioning for those, so no second
+  * wide shuffle forms. Per-user state inside a window is O(events-per-user)
+  * and streams through the sort — nothing corpus-sized concentrates
+  * anywhere, which is exactly how these hold at 100 TB of clickstream.
+  * Total order inside a user is (ts, event_id) — event_id breaks timestamp
+  * ties so every engine replays the same sequence.
+  */
+object Behavioral {
+
+  /** Ordered funnel over one keyed window chain: for each stage k, the
+    * running min timestamp of stage-k events that happened at-or-after the
+    * user's stage-(k-1) entry. Chaining selects reuses the SAME window
+    * partitioning, so the whole multi-stage funnel is still one shuffle —
+    * the join-per-stage formulation most warehouses use costs a shuffle per
+    * stage for the same answer. Returns per-user stage-entry micros
+    * (`st1..stN`, null = never reached) for `stages` event types in order.
+    */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (ev, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === ev
+        else col("event_type") === ev && col(s"st$i").isNotNull
+      df.withColumn(s"st${i + 1}", min(when(cond, us)).over(w))
+    }
+    // each st column is a running min: non-null from its first qualifying
+    // event onward and non-increasing after, so min over a user's row
+    // snapshots (nulls ignored) IS the final stage-entry time
+    val aggs = stages.indices.map(i => min(col(s"st${i + 1}")).as(s"st${i + 1}"))
+    staged.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Ordered signup→view→click→purchase funnel: users reaching each stage
+    // IN ORDER (each stage's clock starts at the previous stage's entry).
+    Q("q161_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER w AS st1
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING)),
+        | s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND st1 IS NOT NULL
+        |                     THEN epoch_us(ts) END) OVER w AS st2
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND st2 IS NOT NULL
+        |                     THEN epoch_us(ts) END) OVER w AS st3
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | s4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND st3 IS NOT NULL
+        |                     THEN epoch_us(ts) END) OVER w AS st4
+        |  FROM s3 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | per_user AS (
+        |  SELECT user_id, min(st1) AS st1, min(st2) AS st2,
+        |         min(st3) AS st3, min(st4) AS st4
+        |  FROM s4 GROUP BY 1)
+        |SELECT count(st1) AS n_signup, count(st2) AS n_view,
+        |       count(st3) AS n_click, count(st4) AS n_purchase
+        |FROM per_user""".stripMargin) { (s, d) =>
+      funnelStages(Tables.events(s, d),
+          Seq("signup", "view", "click", "purchase"))
+        .agg(
+          count(col("st1")).as("n_signup"),
+          count(col("st2")).as("n_view"),
+          count(col("st3")).as("n_click"),
+          count(col("st4")).as("n_purchase"))
+    },
+
+    // Weekly cohort retention: users bucketed by first-activity week,
+    // distinct actives per (cohort_week, week_offset). Week index is an
+    // exact integer division of epoch micros — no calendar functions whose
+    // week-start conventions could differ across engines.
+    Q("q162_cohort_retention",
+      """WITH firsts AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        | cohorts AS (
+        |  SELECT user_id, epoch_us(first_ts) // 604800000000 AS cohort_week
+        |  FROM firsts),
+        | active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM cohorts c JOIN active a ON c.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val weekUs = 604800000000L
+      val events = Tables.events(s, d)
+      val cohorts = events.groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"))
+        .select(col("user_id"), expr(s"first_us div $weekUs").as("cohort_week"))
+      val active = events
+        .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("week"))
+        .distinct()
+      // both sides are already hash-partitioned on user_id by their
+      // aggregations, so the join co-locates without a third shuffle
+      cohorts.join(active, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+  )
+}

@@ -70,7 +70,127 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Type-2 slowly-changing dimension from an ordered fact stream: collapse
+    * consecutive runs of `attr` per `key` into validity intervals
+    * [valid_from, valid_to), open-ended for the current run. The classic
+    * lag-filter-lead pipeline: one keyed window detects changes, a second
+    * (same partitioning — no extra shuffle) numbers the runs and closes
+    * each interval at the next run's start. `ord` columns must give a
+    * total order within a key.
+    */
+  def scd2(src: DataFrame, key: String, attr: String, ord: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord.map(col): _*)
+    val changes = src
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+    val w2 = Window.partitionBy(key).orderBy(ord.map(col): _*)
+    changes
+      .withColumn("run_seq", row_number().over(w2))
+      .withColumn("valid_to", lead(col(ord.head), 1).over(w2))
+      .withColumn("valid_from", col(ord.head))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key), col("run_seq"), col(attr), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // SCD type-2 build over each customer's order-priority history: the
+    // warehouse dimension-maintenance pattern (the reference's W4 upsert
+    // keeps only latest state; this keeps full validity history).
+    Q("q163_scd2",
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        | runs AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM chg WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS run_seq,
+        |  o_orderpriority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM runs
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, run_seq""".stripMargin) { (s, d) =>
+      scd2(Tables.orders(s, d), "o_custkey", "o_orderpriority",
+          Seq("o_orderdate", "o_orderkey"))
+        .orderBy("o_custkey", "run_seq")
+    },
+
+    // 7-day rolling revenue per market segment via a RANGE frame over an
+    // integer day index — exact integer cents, so the window sum is
+    // engine-independent. The RANGE frame (not ROWS) makes calendar gaps
+    // correct: a missing day shrinks the window instead of stretching it.
+    Q("q168_rolling_revenue",
+      """WITH daily AS (
+        |  SELECT c_mktsegment,
+        |    epoch_us(o_orderdate) // 86400000000 AS day_idx,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, day_idx, rev_cents,
+        |  CAST(sum(rev_cents) OVER w AS BIGINT) AS roll7_cents,
+        |  count(*) OVER w AS roll7_days
+        |FROM daily
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY day_idx
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY c_mktsegment, day_idx""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day_idx"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rev_cents"))
+      val w = Window.partitionBy("c_mktsegment").orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("roll7_cents", sum("rev_cents").over(w))
+        .withColumn("roll7_days", count(lit(1)).over(w))
+        .orderBy("c_mktsegment", "day_idx")
+    },
+
+    // EWMA (α = 1/2) of daily event value per event type, EXACT in integer
+    // arithmetic: with a dyadic α the recurrence E_n = (E_{n-1} + x_n)/2
+    // unrolls to E_n = (x_1 + Σ_{i≥2} x_i·2^(i-2)) div 2^(n-1), so the
+    // whole smoother is one cumulative window sum of shifted cents plus a
+    // truncating division — no pow(), no float accumulation, bit-equal on
+    // any engine. Constraint: the series length per group must stay < 62
+    // (shift width); longer horizons restart the window (here: 30 days).
+    Q("q169_ewma",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        | seq AS (
+        |  SELECT event_type, day_idx, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS BIGINT) AS rn
+        |  FROM daily),
+        | terms AS (
+        |  SELECT *, cents * (CAST(1 AS BIGINT) << CAST(greatest(rn - 2, 0) AS INT)) AS term
+        |  FROM seq)
+        |SELECT event_type, day_idx, cents,
+        |  CAST(sum(term) OVER (PARTITION BY event_type ORDER BY day_idx
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    // (CAST(1 AS BIGINT) << CAST(rn - 1 AS INT)) AS ewma_cents
+        |FROM terms ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_idx"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day_idx")
+      daily
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("term",
+          expr("cents * shiftleft(cast(1 as bigint), cast(greatest(rn - 2, 0) as int))"))
+        .withColumn("ewma_cents", expr(
+          "sum(term) over (partition by event_type order by day_idx rows unbounded preceding)" +
+          " div shiftleft(cast(1 as bigint), cast(rn - 1 as int))"))
+        .select("event_type", "day_idx", "cents", "ewma_cents")
+        .orderBy("event_type", "day_idx")
+    },
 
     // Bin-bucketed range join oracled against DuckDB's plain inequality
     // join: clicks inside the hour before each user's first purchase.

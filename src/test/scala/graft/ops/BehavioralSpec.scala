@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class BehavioralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String, Long)*) =
+    rows.map { case (u, t, e, id) => (id, ts(t), u, e) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnelStages: stages must occur in order; out-of-order doesn't count") {
+    val events = ev(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 09:00:00", "signup", 10L),
+      (1L, "2024-01-01 09:05:00", "view", 11L),
+      (1L, "2024-01-01 09:10:00", "click", 12L),
+      (1L, "2024-01-01 09:15:00", "purchase", 13L),
+      // user 2: purchase BEFORE click -> purchase stage not reached
+      (2L, "2024-01-01 09:00:00", "signup", 20L),
+      (2L, "2024-01-01 09:05:00", "view", 21L),
+      (2L, "2024-01-01 09:06:00", "purchase", 22L),
+      (2L, "2024-01-01 09:10:00", "click", 23L),
+      // user 3: view before signup doesn't count; later view does
+      (3L, "2024-01-01 08:00:00", "view", 30L),
+      (3L, "2024-01-01 09:00:00", "signup", 31L),
+      (3L, "2024-01-01 09:30:00", "view", 32L),
+      // user 4: never signed up -> reaches nothing
+      (4L, "2024-01-01 09:00:00", "view", 40L),
+      (4L, "2024-01-01 09:05:00", "click", 41L))
+    val out = Behavioral
+      .funnelStages(events, Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => Option(r.get(i)).isDefined)).toMap
+    assert(out(1L) === Seq(true, true, true, true))
+    assert(out(2L) === Seq(true, true, true, false))
+    assert(out(3L) === Seq(true, true, false, false))
+    assert(out(4L) === Seq(false, false, false, false))
+  }
+
+  test("funnelStages: equal-timestamp stage entries count via event_id order (<=)") {
+    // view at the exact signup timestamp but LARGER event_id: the running
+    // signup min is visible at the view row, so the view qualifies
+    val events = ev(
+      (1L, "2024-01-01 09:00:00", "signup", 1L),
+      (1L, "2024-01-01 09:00:00", "view", 2L),
+      // user 2: same timestamps but view's event_id SMALLER -> view sorts
+      // first, signup not yet visible -> view does not qualify
+      (2L, "2024-01-01 09:00:00", "view", 3L),
+      (2L, "2024-01-01 09:00:00", "signup", 4L))
+    val out = Behavioral.funnelStages(events, Seq("signup", "view"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).isDefined).toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false)
+  }
+
+  test("funnel chain is a single shuffle: one Exchange in the whole plan") {
+    val plan = Behavioral
+      .funnelStages(graft.core.Tables.events(spark, sfDir),
+        Seq("signup", "view", "click", "purchase"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(exchanges === 1,
+      s"funnel should reuse one user_id partitioning, found $exchanges:\n$plan")
+  }
+}

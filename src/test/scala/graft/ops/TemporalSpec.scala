@@ -67,6 +67,62 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("scd2: collapses runs, chains validity, flags the current row") {
+    val facts = Seq(
+      // key 1: A A B A -> three runs (the second A is a NEW run, not a merge)
+      (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "A", ts("2024-01-02 00:00:00"), 2L),
+      (1L, "B", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "A", ts("2024-01-05 00:00:00"), 4L),
+      // key 2: single run
+      (2L, "X", ts("2024-01-01 00:00:00"), 5L)
+    ).toDF("k", "attr", "at", "seq")
+    val out = Temporal.scd2(facts, "k", "attr", Seq("at", "seq"))
+      .orderBy("k", "run_seq")
+      .select("k", "run_seq", "attr", "valid_from", "valid_to", "is_current")
+      .collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => (r.getInt(1), r.getString(2))).toSeq ===
+      Seq((1, "A"), (2, "B"), (3, "A")))
+    // each run's valid_to is the NEXT run's valid_from; last run open-ended
+    assert(k1(0).getTimestamp(4) === k1(1).getTimestamp(3))
+    assert(k1(1).getTimestamp(4) === k1(2).getTimestamp(3))
+    assert(k1(2).isNullAt(4) && k1(2).getBoolean(5))
+    assert(!k1(0).getBoolean(5) && !k1(1).getBoolean(5))
+    assert(out.count(_.getLong(0) == 2L) === 1)
+  }
+
+  test("scd2: same-date flips stay distinct runs via the tiebreak column") {
+    val facts = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "B", ts("2024-01-01 00:00:00"), 2L), // same date, later seq
+      (1L, "A", ts("2024-01-01 00:00:00"), 3L)
+    ).toDF("k", "attr", "at", "seq")
+    val out = Temporal.scd2(facts, "k", "attr", Seq("at", "seq"))
+      .orderBy("run_seq").select("run_seq", "attr").as[(Int, String)].collect()
+    assert(out.toSeq === Seq((1, "A"), (2, "B"), (3, "A")))
+  }
+
+  test("dyadic EWMA (q169 form) equals the float recurrence within 1 cent") {
+    // E_n = (E_{n-1} + x_n) / 2, exact dyadic arithmetic vs float replay
+    val xs = Seq(100L, 250L, 17L, 9999L, 0L, 1L, 333L, 42L)
+    val df = xs.zipWithIndex.map { case (c, i) => ("g", i.toLong, c) }
+      .toDF("g", "day_idx", "cents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("day_idx")
+    val out = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("term",
+        expr("cents * shiftleft(cast(1 as bigint), cast(greatest(rn - 2, 0) as int))"))
+      .withColumn("ewma", expr(
+        "sum(term) over (partition by g order by day_idx rows unbounded preceding)" +
+        " div shiftleft(cast(1 as bigint), cast(rn - 1 as int))"))
+      .orderBy("day_idx").select("ewma").as[Long].collect()
+    val expected = xs.tail.scanLeft(xs.head.toDouble)((e, x) => (e + x) / 2.0)
+    out.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 1.0, s"got $got want $want")
+    }
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = (1 to 100).map(i => ("k", ts(f"2024-01-01 10:${i % 60}%02d:00"), i)).toDF("k", "lts", "id")
     val right = Seq(("k", ts("2024-01-01 10:30:00"), "x")).toDF("k", "rts", "v")
