@@ -18,6 +18,7 @@ object SparkEntry {
     ops.Extended.queries ++
     ops.Temporal.queries ++
     ops.Behavioral.queries ++
+    ops.Skyline.queries ++
     ops.TopK.queries ++
     functions.Cleaning.queries ++
     sources.SourceQueries.queries ++

@@ -162,5 +162,81 @@ object Sketches {
         .select("grp", "inv_sum", "v_empty", "est_raw", "exact_cnt", "rel_err")
         .orderBy("grp")
     },
+
+    // Count-min sketch STATE, value-certified like q157: every
+    // (hrow, bucket, cnt) counter must match DuckDB's over the same md5.
+    Q("q166_cm_state",
+      s"""SELECT hrow,
+         |  substr(md5(CAST(hrow AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+         |  count(*) AS cnt
+         |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(hrow)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      cmState(Tables.events(s, d), col("user_id"))
+        .orderBy("hrow", "bucket")
+    },
+
+    // Heavy hitters served from the sketch: per-key min-over-rows estimate,
+    // thresholded. The estimate never undercounts (spec law), so no true
+    // heavy key is missed; collisions can only add false positives.
+    Q("q167_cm_heavy_hitters",
+      s"""WITH state AS (
+         |  SELECT hrow,
+         |    substr(md5(CAST(hrow AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(hrow)
+         |  GROUP BY 1, 2),
+         | cand AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_key FROM events),
+         | probes AS (
+         |  SELECT user_key, hrow,
+         |    substr(md5(CAST(hrow AS VARCHAR) || ':' || user_key), 1, 2) AS bucket
+         |  FROM cand CROSS JOIN (VALUES (0), (1), (2), (3)) t(hrow))
+         |SELECT user_key, CAST(min(cnt) AS BIGINT) AS est
+         |FROM probes JOIN state USING (hrow, bucket)
+         |GROUP BY 1 HAVING min(cnt) >= 80
+         |ORDER BY user_key""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      cmEstimate(cmState(events, col("user_id")),
+          events.select(col("user_id")), col("user_id"))
+        .filter(col("est") >= 80)
+        .orderBy("user_key")
+    },
   )
+
+  /** Count-min sketch state over `key`: `depth` salted md5 hash rows × 256
+    * buckets of exact counters — one map-side-combined shuffle of
+    * (hrow, bucket) pairs, O(depth·256) state per sketch regardless of
+    * corpus size. Merge = elementwise counter SUM over unioned states
+    * (spec-pinned law), so shards/days/streams combine without raw data —
+    * the same 100 TB property as the HLL registers above, for frequency
+    * instead of cardinality. Estimates only ever overcount (counters absorb
+    * colliding keys), so a threshold serve keeps every true heavy hitter.
+    */
+  def cmState(df: DataFrame, key: Column, depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth $depth out of range")
+    val rows = explode(array((0 until depth).map(lit(_)): _*)).as("hrow")
+    df.select(key.cast("string").as("__k"))
+      .select(col("__k"), rows)
+      .select(col("hrow"),
+        substring(md5(concat(col("hrow").cast("string"), lit(":"), col("__k"))), 1, 2)
+          .as("bucket"))
+      .groupBy("hrow", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each distinct candidate key: min over the
+    * depth rows' counters. Left join + zero-fill so external candidates the
+    * sketch never saw estimate 0 rather than vanish. The state side is
+    * O(depth·256) rows — always broadcast.
+    */
+  def cmEstimate(state: DataFrame, candidates: DataFrame, key: Column,
+                 depth: Int = 4): DataFrame = {
+    val rows = explode(array((0 until depth).map(lit(_)): _*)).as("hrow")
+    candidates.select(key.cast("string").as("user_key")).distinct()
+      .select(col("user_key"), rows)
+      .withColumn("bucket",
+        substring(md5(concat(col("hrow").cast("string"), lit(":"), col("user_key"))), 1, 2))
+      .join(broadcast(state), Seq("hrow", "bucket"), "left")
+      .groupBy("user_key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

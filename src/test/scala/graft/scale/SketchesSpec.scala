@@ -49,4 +49,36 @@ class SketchesSpec extends SparkSpec {
     val thrice = once.unionByName(once).unionByName(once)
     assert(regs(once) === regs(thrice))
   }
+
+  test("count-min: merge is elementwise counter sum over unioned states") {
+    val a = ids(0, 3000)
+    val b = ids(1, 2000)
+    val merged = Sketches.cmState(a.unionByName(b), col("k"))
+    val summed = Sketches.cmState(a, col("k")).unionByName(Sketches.cmState(b, col("k")))
+      .groupBy("hrow", "bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.except(summed).count() === 0 && summed.except(merged).count() === 0)
+  }
+
+  test("count-min estimates never undercount, and a planted heavy key is exact-ish") {
+    import spark.implicits._
+    // 500 distinct light keys once each + one heavy key 400 times
+    val light = (1 to 500).map(i => s"light$i")
+    val data = (light ++ Seq.fill(400)("HEAVY")).toDF("k")
+    val exact = data.groupBy("k").count().as[(String, Long)].collect().toMap
+    val est = Sketches.cmEstimate(Sketches.cmState(data, col("k")), data, col("k"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"undercounted $k: ${est(k)} < $c")
+    }
+    // heavy key estimate is within the CM additive bound e*N/w ~ small here
+    assert(est("HEAVY") >= 400L && est("HEAVY") <= 420L, est("HEAVY"))
+  }
+
+  test("count-min: a candidate the sketch never saw estimates zero, not missing") {
+    import spark.implicits._
+    val state = Sketches.cmState(Seq("a", "b", "c").toDF("k"), col("k"))
+    val out = Sketches.cmEstimate(state, Seq("zzz-unseen").toDF("k"), col("k"))
+      .as[(String, Long)].collect().toMap
+    assert(out("zzz-unseen") === 0L)
+  }
 }
