@@ -285,18 +285,26 @@ object Graph {
        |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
        |FROM r$Iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
 
-  /** Distinct co-supplier pairs: suppliers sharing at least one order, as
+  /** Co-supplier pairs: suppliers sharing at least `minShared` orders, as
     * canonical u < v undirected edges. Per-order fan-out is bounded by
-    * order size (≤ 16 suppliers/order in this schema → ≤ 120 pairs), so the
-    * pair-generation self-join is linear in lineitem, never quadratic in
-    * suppliers.
+    * order size (≤ 16 suppliers/order in this schema → ≤ 120 pairs), so
+    * pair generation is linear in lineitem, never quadratic in suppliers.
+    * The `minShared` threshold is the graph's sparsifier: raw one-shared-
+    * order co-occurrence densifies toward a complete graph as the corpus
+    * grows (every pair eventually shares SOME order), while the ≥ k-shared
+    * relation keeps only genuinely associated pairs — the same reason
+    * co-occurrence analyses threshold or tf-idf-weight their edges.
     */
-  def coSupplierPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  def coSupplierPairs(s: org.apache.spark.sql.SparkSession, d: String,
+                      minShared: Long = 1L): DataFrame = {
     val os = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
     os.as("a").join(os.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("u", "v")
   }
 
   /** Exact triangle count by degree orientation (the node-iterator++ /
@@ -340,12 +348,13 @@ object Graph {
     Q("q165_triangles",
       """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
         | pairs AS (
-        |  SELECT DISTINCT a.sk AS u, b.sk AS v
-        |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk)
+        |  SELECT a.sk AS u, b.sk AS v
+        |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT count(*) AS n_triangles
         |FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
         |              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin) { (s, d) =>
-      triangleCount(coSupplierPairs(s, d))
+      triangleCount(coSupplierPairs(s, d, minShared = 5L))
     },
 
     Q("q129_pagerank", q129Sql) { (s, d) =>
