@@ -120,5 +120,77 @@ object Behavioral {
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_week", "week_offset")
     },
+
+    // Linear multi-touch attribution: every click in the hour before a
+    // purchase splits that purchase's credit equally, in integer basis
+    // points (10000 div n_touches — truncating, so a 3-touch purchase
+    // credits 3×3333 and the 1bp residue is deliberately dropped rather
+    // than floated). Touch matching rides the bin-bucketed rangeJoin — the
+    // same no-cross-product shape as q68 — and credit aggregates by the
+    // click's props channel. The oracle uses DuckDB's plain inequality
+    // join; only the engine needs the scalable form.
+    Q("q172_attribution",
+      """WITH purchases AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        | clicks AS (
+        |  SELECT user_id, ts AS cts,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS channel
+        |  FROM events WHERE event_type = 'click'),
+        | touches AS (
+        |  SELECT p.pid, c.channel
+        |  FROM purchases p JOIN clicks c
+        |    ON c.user_id = p.user_id
+        |    AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts),
+        | credit AS (
+        |  SELECT pid, channel,
+        |    10000 // (count(*) OVER (PARTITION BY pid)) AS bp
+        |  FROM touches)
+        |SELECT channel, CAST(sum(bp) AS BIGINT) AS credit_bp,
+        |  count(*) AS n_touches
+        |FROM credit GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+        .withColumn("start_ts", col("pts") - expr("INTERVAL 1 HOUR"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("channel"))
+      val touches = Temporal.rangeJoin(clicks, purchases, "user_id",
+          "cts", "start_ts", "pts")
+        .select("pid", "channel")
+      touches
+        .withColumn("bp", expr(
+          "10000 div (count(1) over (partition by pid))"))
+        .groupBy("channel")
+        .agg(sum("bp").as("credit_bp"), count(lit(1)).as("n_touches"))
+        .orderBy("channel")
+    },
+
+    // Most-traveled 3-step behavior paths: event-type trigrams from each
+    // user's (ts, event_id)-ordered stream — two leads over one keyed
+    // window, then a count. Top 10 with a total tie order so the limit is
+    // deterministic on any engine.
+    Q("q173_path_trigrams",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("t1"),
+          lead("event_type", 1).over(w).as("t2"),
+          lead("event_type", 2).over(w).as("t3"))
+        .filter(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    },
   )
 }

@@ -216,6 +216,57 @@ object Temporal {
         .orderBy("user_id")
     },
 
+    // Integer-exact linear trend per segment: OLS slope over (day, daily
+    // cents) emitted as the EXACT rational num/den pair — n·Σxy − Σx·Σy
+    // and n·Σx² − (Σx)², both shift-invariant (they're n²·cov and n²·var),
+    // so x is rebased to days-since-first-sale purely as an overflow
+    // guard without changing a single output bit. The only division is
+    // one IEEE double at the end (bit-equal across engines); no float
+    // ever accumulates.
+    Q("q171_trend",
+      """WITH daily AS (
+        |  SELECT c_mktsegment,
+        |    epoch_us(o_orderdate) // 86400000000 AS day_idx,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        | rebased AS (
+        |  SELECT c_mktsegment,
+        |    day_idx - min(day_idx) OVER (PARTITION BY c_mktsegment) AS x,
+        |    cents AS y
+        |  FROM daily),
+        | sums AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM rebased GROUP BY 1)
+        |SELECT c_mktsegment, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |    AS slope_cents_per_day
+        |FROM sums ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day_idx"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      val rebased = daily.select(col("c_mktsegment"),
+        (col("day_idx") - min("day_idx").over(
+          Window.partitionBy("c_mktsegment"))).as("x"),
+        col("cents").as("y"))
+      rebased.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("c_mktsegment"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("slope_cents_per_day"))
+        .orderBy("c_mktsegment")
+    },
+
     // As-of join oracled against DuckDB's native ASOF JOIN: each purchase
     // event gets the user's latest click at or before it. The right side is
     // deduped to one click per (user, ts) so tie semantics are total on

@@ -340,7 +340,54 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k,
+    * computed by the textbook peel — drop sub-k nodes, re-derive degrees,
+    * repeat to fixpoint. Each round is one degree aggregate plus two
+    * semi-joins of the (narrow, shrinking) edge relation on its endpoints;
+    * `localCheckpoint` truncates lineage so plan depth stays O(1) per
+    * round. `rounds` must cover the cascade depth — peeling is monotone,
+    * so extra rounds past the fixpoint are no-ops (the property that lets
+    * a fixed unroll serve as an exact oracle). Returns (node, core_deg).
+    *
+    * `edges` must be the both-directions encoding ([[undirected]]); then
+    * out-degree IS degree and one groupBy(src) per round suffices.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select("src", "dst").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst").localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  private def kCoreRoundSql(i: Int): String = {
+    val prev = s"e${i - 1}"
+    s""" k$i AS (SELECT src FROM (SELECT src, count(*) AS c FROM $prev GROUP BY 1) WHERE c >= 25),
+       | e$i AS (SELECT e.src, e.dst FROM $prev e
+       |         JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // 25-core of the customer↔supplier trade graph: customers below 25
+    // distinct suppliers peel first, their removal drags marginal suppliers
+    // under, and the cascade runs to fixpoint (6 unrolled rounds — the
+    // measured depth is 2, the slack rounds are provable no-ops). Deep
+    // adversarial cascades are GraphSpec territory (planted chains).
+    Q("q170_kcore",
+      s"""WITH base AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         | e0 AS (SELECT c AS src, s AS dst FROM base
+         |        UNION ALL SELECT s, c FROM base),
+         |${(1 to 6).map(kCoreRoundSql).mkString(",\n")}
+         |SELECT src AS node, count(*) AS core_deg
+         |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      kCore(tradeEdges(s, d), k = 25, rounds = 6).orderBy("node")
+    },
 
     // Exact triangle count of the co-supplier graph, oracled against the
     // brute-force oriented 3-way join (fine in DuckDB at sf0.01; the

@@ -69,4 +69,33 @@ class BehavioralSpec extends SparkSpec {
     assert(exchanges === 1,
       s"funnel should reuse one user_id partitioning, found $exchanges:\n$plan")
   }
+
+  test("attribution: equal split in basis points, window boundaries exact") {
+    // purchase at 10:00 for user 1; clicks at 09:00 (boundary, in),
+    // 09:30 (in), 08:59:59 (out), 10:00:01 (after, out)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", """{"k": 0}"""),
+      (1L, ts("2024-01-01 09:00:00"), 2L, "click", """{"k": 1}"""),
+      (1L, ts("2024-01-01 09:30:00"), 3L, "click", """{"k": 2}"""),
+      (1L, ts("2024-01-01 08:59:59"), 4L, "click", """{"k": 3}"""),
+      (1L, ts("2024-01-01 10:00:01"), 5L, "click", """{"k": 4}"""),
+      // user 2: 3-way split -> 3333 each, 1bp residue dropped
+      (2L, ts("2024-01-01 12:00:00"), 6L, "purchase", """{"k": 0}"""),
+      (2L, ts("2024-01-01 11:10:00"), 7L, "click", """{"k": 5}"""),
+      (2L, ts("2024-01-01 11:20:00"), 8L, "click", """{"k": 6}"""),
+      (2L, ts("2024-01-01 11:30:00"), 9L, "click", """{"k": 7}""")
+    ).map { case (u, t, id, e, p) => (id, t, u, e, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+      .withColumn("start_ts", col("pts") - expr("INTERVAL 1 HOUR"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        get_json_object(col("props"), "$.k").cast("long").as("channel"))
+    val credit = Temporal.rangeJoin(clicks, purchases, "user_id", "cts", "start_ts", "pts")
+      .withColumn("bp", expr("10000 div (count(1) over (partition by pid))"))
+      .select("channel", "bp").as[(Long, Long)].collect().toMap
+    assert(credit === Map(1L -> 5000L, 2L -> 5000L,
+      5L -> 3333L, 6L -> 3333L, 7L -> 3333L))
+  }
 }

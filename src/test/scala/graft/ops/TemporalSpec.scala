@@ -130,4 +130,24 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === 100)
     assert(out.select("id").distinct().count() === 100)
   }
+
+  test("trend sums: exact rational slope on a known line; shift-invariant") {
+    // y = 7x + 50 exactly: slope_num/slope_den must reduce to 7/1 scaled
+    val pts = (0L to 9L).map(x => ("g", x, 7 * x + 50))
+    def sums(xs: Seq[(String, Long, Long)]) = {
+      val df = xs.toDF("g", "x", "y")
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select((col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .as[(Long, Long)].head()
+    }
+    val (num, den) = sums(pts)
+    assert(num === 7 * den, s"$num / $den")
+    // covariance/variance forms are shift-invariant: rebasing x by any
+    // constant changes neither numerator nor denominator
+    val shifted = pts.map { case (g, x, y) => (g, x + 9131, y) }
+    assert(sums(shifted) === ((num, den)))
+  }
 }

@@ -121,4 +121,32 @@ class GraphSpec extends SparkSpec {
     val maxOut = e.groupBy("src").count().agg(max("count")).as[Long].head()
     assert(maxOut === 1L, s"hub fanned out: max oriented out-degree $maxOut")
   }
+
+  test("kCore: cycle-with-tail peels the whole tail, keeps the cycle (deep cascade)") {
+    // triangle 1-2-3 plus pendant chain 3-4-5-...-20: the 2-core is exactly
+    // the triangle, and peeling must cascade 17 rounds deep to find it
+    val tri = Seq((1L,2L),(2L,3L),(1L,3L))
+    val tail = (3L until 20L).map(i => (i, i+1))
+    val edges = Graph.undirected((tri ++ tail).toDF("c", "s"))
+    val core = Graph.kCore(edges, k = 2, rounds = 20)
+      .select("node").as[Long].collect().toSet
+    assert(core === Set(1L, 2L, 3L))
+    // insufficient rounds leave the cascade unfinished (monotone, no over-peel)
+    val partial = Graph.kCore(edges, k = 2, rounds = 3)
+      .select("node").as[Long].collect().toSet
+    assert(partial.contains(1L) && partial.size > 3)
+  }
+
+  test("kCore: extra rounds past the fixpoint are no-ops; degrees are core degrees") {
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    // K4 plus a pendant on node 1: 3-core is K4; node 1's GRAPH degree is 4
+    // but its CORE degree must be 3 (the pendant edge is gone)
+    val edges = Graph.undirected((k4 :+ (1L, 9L)).toDF("c", "s"))
+    val a = Graph.kCore(edges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.kCore(edges, k = 3, rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
