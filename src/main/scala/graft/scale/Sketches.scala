@@ -200,7 +200,125 @@ object Sketches {
         .filter(col("est") >= 80)
         .orderBy("user_key")
     },
+
+    // Theta-sketch set algebra over the per-event-type audiences: state,
+    // θ, retained intersection count, and BOTH estimates value-certified
+    // (the only floats are two final IEEE divisions, bit-equal across
+    // engines); exact intersections ride along so estimate quality is
+    // itself part of the certified result.
+    Q("q174_theta_sets",
+      """WITH h AS (SELECT DISTINCT event_type AS g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        | sk AS (SELECT g, h FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h)
+        |  WHERE rn <= 64),
+        | types AS (SELECT DISTINCT g FROM sk),
+        | pr AS (SELECT a.g AS g1, b.g AS g2 FROM types a JOIN types b ON a.g < b.g),
+        | uh AS (SELECT DISTINCT p.g1, p.g2, s.h
+        |   FROM pr p JOIN sk s ON s.g = p.g1 OR s.g = p.g2),
+        | usk AS (SELECT g1, g2, h FROM (
+        |    SELECT g1, g2, h, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn FROM uh)
+        |  WHERE rn <= 64),
+        | th AS (SELECT g1, g2, max(h) AS theta, count(*) AS ku FROM usk GROUP BY 1, 2),
+        | ib AS (SELECT u.g1, u.g2, count(*) AS c_both
+        |   FROM usk u
+        |   JOIN th t ON t.g1 = u.g1 AND t.g2 = u.g2
+        |   JOIN sk a ON a.g = u.g1 AND a.h = u.h
+        |   JOIN sk b ON b.g = u.g2 AND b.h = u.h
+        |   WHERE u.h < t.theta
+        |   GROUP BY 1, 2),
+        | ua AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+        | ex AS (SELECT p.g1, p.g2, count(*) AS exact_inter
+        |   FROM pr p
+        |   JOIN ua a ON a.g = p.g1
+        |   JOIN ua b ON b.g = p.g2 AND b.user_id = a.user_id
+        |   GROUP BY 1, 2)
+        |SELECT t.g1, t.g2, t.theta, t.ku,
+        |  COALESCE(i.c_both, 0) AS c_both,
+        |  CASE WHEN t.ku < 64 THEN CAST(t.ku AS DOUBLE)
+        |       ELSE round(63.0 * 1152921504606846976.0 / t.theta, 2) END AS union_est,
+        |  CASE WHEN t.ku < 64 THEN CAST(COALESCE(i.c_both, 0) AS DOUBLE)
+        |       ELSE round(COALESCE(i.c_both, 0) * 1152921504606846976.0 / t.theta, 2) END AS inter_est,
+        |  x.exact_inter
+        |FROM th t LEFT JOIN ib i ON i.g1 = t.g1 AND i.g2 = t.g2
+        |JOIN ex x ON x.g1 = t.g1 AND x.g2 = t.g2
+        |ORDER BY t.g1, t.g2""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val sk = thetaSketch(events, "event_type", col("user_id"))
+      val ua = events.select(col("event_type").as("g1"), col("user_id")).distinct()
+      val ub = events.select(col("event_type").as("g2"), col("user_id")).distinct()
+      val exact = ua.join(ub, "user_id").filter(col("g1") < col("g2"))
+        .groupBy("g1", "g2").agg(count(lit(1)).as("exact_inter"))
+      thetaPairEstimates(sk)
+        .join(exact, Seq("g1", "g2"))
+        .orderBy("g1", "g2")
+    },
   )
+
+  /** Theta (KMV) sketch: the k smallest DISTINCT md5-fraction hashes of
+    * `key` per group — the third certified sketch family here, and the one
+    * that closes HLL's gap: registers only union, but theta sketches
+    * INTERSECT (and difference), which is how "how many users did both X
+    * and Y" is answered without a distinct-pair shuffle. State is k longs
+    * per group (build = distinct + bounded TopKPerKey heaps, no window
+    * sort); merge = re-select k smallest over the unioned states. Hashes
+    * are uniform in [0, 2^60) via the same md5-fraction idiom as q160, so
+    * the whole state and every downstream estimate is engine-replayable.
+    */
+  def thetaSketch(df: DataFrame, groupCol: String, key: Column,
+                  k: Int = 64): DataFrame =
+    graft.ops.TopK.topKPerKey(
+      df.select(col(groupCol).as("g"),
+          conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct(),
+      Seq("g"), Seq(col("h").asc), k)
+
+  /** Pairwise set-operation estimates from theta sketches: for each group
+    * pair g1 < g2, θ = the k-th smallest hash of the UNION sketch, and
+    *   |A∪B| ≈ (k−1)·2^60/θ,  |A∩B| ≈ c·2^60/θ
+    * where c counts hashes strictly below θ present in BOTH sketches.
+    * Below k distinct union hashes the sketch is exhaustive ("exact mode")
+    * and the union estimate is the plain count. Everything up to the final
+    * rounded IEEE division is integer — the estimates themselves oracle.
+    * All relations here are sketch-sized (groups × k rows), broadcast-safe
+    * no matter the corpus.
+    */
+  def thetaPairEstimates(sk: DataFrame, k: Int = 64): DataFrame = {
+    val types = sk.select(col("g")).distinct()
+    val pr = types.select(col("g").as("g1"))
+      .crossJoin(types.select(col("g").as("g2")))
+      .filter(col("g1") < col("g2"))
+    val uh = pr
+      .join(sk.select(col("g"), col("h")),
+        col("g") === col("g1") || col("g") === col("g2"))
+      .select("g1", "g2", "h").distinct()
+    val usk = graft.ops.TopK.topKPerKey(uh, Seq("g1", "g2"), Seq(col("h").asc), k)
+    val theta = usk.groupBy("g1", "g2")
+      .agg(max("h").as("theta"), count(lit(1)).as("ku"))
+    // strictly-below-theta retention: theta itself is in the union sketch
+    // and may sit in both inputs — the estimator's retention rule excludes
+    // it (one deterministic convention shared with the oracle)
+    val inBoth = usk
+      .join(theta.select("g1", "g2", "theta"), Seq("g1", "g2"))
+      .filter(col("h") < col("theta"))
+      .join(sk.select(col("g").as("g1"), col("h")), Seq("g1", "h"))
+      .join(sk.select(col("g").as("g2"), col("h")), Seq("g2", "h"))
+      .groupBy("g1", "g2").agg(count(lit(1)).as("c_both"))
+    val two60 = 1152921504606846976.0 // 2^60
+    theta.join(inBoth, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"), col("theta"), col("ku"),
+        coalesce(col("c_both"), lit(0L)).as("c_both"))
+      .withColumn("union_est",
+        when(col("ku") < k, col("ku").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(two60) /
+            col("theta").cast("double"), 2)))
+      .withColumn("inter_est",
+        when(col("ku") < k, col("c_both").cast("double"))
+          .otherwise(round(col("c_both").cast("double") * lit(two60) /
+            col("theta").cast("double"), 2)))
+  }
 
   /** Count-min sketch state over `key`: `depth` salted md5 hash rows × 256
     * buckets of exact counters — one map-side-combined shuffle of

@@ -81,4 +81,43 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out("zzz-unseen") === 0L)
   }
+
+  test("theta sketch: union/intersection estimates within sampling error on planted overlap") {
+    import spark.implicits._
+    // |A| = 6000, |B| = 5000, |A intersect B| = 2000, |A union B| = 9000
+    val a = (1 to 6000).map(i => ("A", s"id$i"))
+    val b = (4001 to 9000).map(i => ("B", s"id$i"))
+    val sk = Sketches.thetaSketch((a ++ b).toDF("g", "k"), "g", col("k"))
+    val est = Sketches.thetaPairEstimates(sk).collect().head
+    val unionEst = est.getAs[Double]("union_est")
+    val interEst = est.getAs[Double]("inter_est")
+    // k=64 => RSE ~ 1/sqrt(63) ~ 12.6%; 3-sigma bounds
+    assert(math.abs(unionEst - 9000) / 9000 < 0.4, s"union_est $unionEst")
+    assert(math.abs(interEst - 2000) / 2000 < 0.6, s"inter_est $interEst")
+  }
+
+  test("theta sketch: exact mode below k distinct; state merge = re-select k smallest") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => ("A", s"x$i"))
+    val b = (11 to 40).map(i => ("B", s"x$i"))
+    val df = (a ++ b).toDF("g", "k")
+    val est = Sketches.thetaPairEstimates(Sketches.thetaSketch(df, "g", col("k")))
+      .collect().head
+    // 40 distinct union < 64 -> exhaustive: union exact; intersection is
+    // the retained common count under the same < theta rule
+    assert(est.getAs[Long]("ku") === 40L)
+    assert(est.getAs[Double]("union_est") === 40.0)
+    // 10 common ids; the < theta retention rule may exclude one iff the
+    // union's max hash happens to be common
+    assert(Set(9L, 10L).contains(est.getAs[Long]("c_both")))
+    // merge law: sketching the union of raw data == re-selecting the k
+    // smallest from the unioned per-shard sketch states
+    val big = (1 to 5000).map(i => ("G", s"id$i"))
+    val shard1 = Sketches.thetaSketch(big.take(2500).toDF("g", "k"), "g", col("k"))
+    val shard2 = Sketches.thetaSketch(big.drop(2500).toDF("g", "k"), "g", col("k"))
+    val remerged = graft.ops.TopK.topKPerKey(
+      shard1.unionByName(shard2).distinct(), Seq("g"), Seq(col("h").asc), 64)
+    val direct = Sketches.thetaSketch(big.toDF("g", "k"), "g", col("k"))
+    assert(remerged.except(direct).count() === 0 && direct.except(remerged).count() === 0)
+  }
 }
