@@ -192,5 +192,69 @@ object Behavioral {
         .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
         .limit(10)
     },
+
+    // Market-basket association rules over co-ordered parts: support ≥ 2,
+    // confidence and lift as EXACT integer basis points (cross-multiplied,
+    // no float ratios). Pair generation is per-order bounded (≤ C(16,2))
+    // like q165's co-supplier graph — linear in lineitem, never quadratic
+    // in the catalog. Top 20 by support with a total tie order.
+    Q("q177_market_basket",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        | n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+        | item AS (SELECT pk, count(*) AS sup FROM op GROUP BY 1),
+        | pair AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS sup_pair
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, sup_pair,
+        |  sup_pair * 10000 // i1.sup AS conf12_bp,
+        |  sup_pair * 10000 // i2.sup AS conf21_bp,
+        |  sup_pair * n_orders * 10000 // (i1.sup * i2.sup) AS lift_bp
+        |FROM pair JOIN item i1 ON i1.pk = p1 JOIN item i2 ON i2.pk = p2
+        |CROSS JOIN n
+        |ORDER BY sup_pair DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = op.select(countDistinct("ok").as("n_orders"))
+      val item = op.groupBy("pk").agg(count(lit(1)).as("sup"))
+      val pair = op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("sup_pair"))
+        .filter(col("sup_pair") >= 2)
+      pair
+        .join(item.select(col("pk").as("p1"), col("sup").as("sup1")), "p1")
+        .join(item.select(col("pk").as("p2"), col("sup").as("sup2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("sup_pair"),
+          expr("sup_pair * 10000 div sup1").as("conf12_bp"),
+          expr("sup_pair * 10000 div sup2").as("conf21_bp"),
+          expr("sup_pair * n_orders * 10000 div (sup1 * sup2)").as("lift_bp"))
+        .orderBy(col("sup_pair").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+
+    // Trailing-7-day distinct actives per day ("rolling MAU"): engines
+    // can't put DISTINCT inside a sliding frame, so the scalable rewrite
+    // expands each (user, day) to the ≤7 window-ends it serves — bounded
+    // fan-out on an already-deduped relation — and counts distinct per
+    // end day. The oracle is the plain inequality join.
+    Q("q178_rolling_mau",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        | days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day AS wday, count(DISTINCT u.user_id) AS mau7
+        |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("wday")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .join(days, "wday")
+        .groupBy("wday").agg(countDistinct("user_id").as("mau7"))
+        .orderBy("wday")
+    },
   )
 }

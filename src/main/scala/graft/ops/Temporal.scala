@@ -216,6 +216,82 @@ object Temporal {
         .orderBy("user_id")
     },
 
+    // CDC changelog apply: a synthesized binlog over customers (latest op
+    // per key wins, terminal D deletes, U upserts the payload) lands
+    // through Writers.applyChangelog — W4's general form, and the batch
+    // shape a Debezium feed replays through.
+    Q("q175_cdc_apply",
+      """WITH latest AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS c_custkey, o_orderpriority AS c_mktsegment,
+        |      round(o_totalprice, 2) AS c_acctbal,
+        |      CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |                         ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM latest WHERE op <> 'D'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val snapshot = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val changes = Tables.orders(s, d).select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("c_mktsegment"),
+        round(col("o_totalprice"), 2).as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 13 === 0, "D").otherwise("U").as("op"))
+      graft.write.Writers
+        .applyChangelog(snapshot, changes, Seq("c_custkey"), "seq", "op")
+        .orderBy("c_custkey")
+    },
+
+    // Point-in-time (temporal) join: each order looks up the customer's
+    // priority state AS OF 30 days earlier against the q163 SCD2 dimension
+    // — scd2 ∘ asofJoin composing into the PIT-correctness query every
+    // feature store serves. Same-date flips dedup to the latest run first
+    // so the as-of pick is total on both engines.
+    Q("q176_temporal_join",
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        | runs AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        |  FROM chg WHERE prev IS NULL OR prev <> o_orderpriority),
+        | dim AS (
+        |  SELECT o_custkey, o_orderpriority AS prior_priority,
+        |    o_orderdate AS valid_from
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                                     ORDER BY o_orderkey DESC) AS rn2
+        |        FROM runs) WHERE rn2 = 1),
+        | facts AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_orderdate - INTERVAL 30 DAY AS lookup_ts
+        |  FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, d.prior_priority
+        |FROM facts f ASOF LEFT JOIN dim d
+        |  ON f.o_custkey = d.o_custkey AND d.valid_from <= f.lookup_ts
+        |ORDER BY f.o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val runs = scd2(orders, "o_custkey", "o_orderpriority",
+        Seq("o_orderdate", "o_orderkey"))
+      val w2 = Window.partitionBy("o_custkey", "valid_from")
+        .orderBy(col("run_seq").desc)
+      val dim = runs.withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") === 1)
+        .select(col("o_custkey"),
+          col("o_orderpriority").as("prior_priority"), col("valid_from"))
+      val facts = orders.select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") - expr("INTERVAL 30 DAY")).as("lookup_ts"))
+      asofJoin(facts, dim, "o_custkey", "lookup_ts", "valid_from",
+          Seq("prior_priority"))
+        .select("o_orderkey", "o_custkey", "prior_priority")
+        .orderBy("o_orderkey")
+    },
+
     // Integer-exact linear trend per segment: OLS slope over (day, daily
     // cents) emitted as the EXACT rational num/den pair — n·Σxy − Σx·Σy
     // and n·Σx² − (Σx)², both shift-invariant (they're n²·cov and n²·var),

@@ -52,6 +52,41 @@ object Writers {
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(incoming, keys, "left_anti").unionByName(incoming)
 
+  /** CDC changelog apply — W4's general form: `changes` carries (key cols,
+    * `seqCol` total order, `opCol` ∈ {I, U, D}, payload); the latest op per
+    * key wins, a terminal D deletes the row, anything else upserts the
+    * payload. One rank-1 reduction over the changelog (the
+    * RankOneWindowToAggregate rule turns it into a plain aggregate — no
+    * sort) plus the same anti-join ∪ shape as [[upsert]]: both sides
+    * shuffle once on the key. This is the operator a Debezium/binlog feed
+    * lands through; replaying any prefix-extension of the changelog is
+    * idempotent-by-construction (latest-wins).
+    *
+    * `changes` must carry exactly snapshot.columns ∪ {seqCol, opCol};
+    * ties on `seqCol` within a key are a caller error (the order must be
+    * total), enforced here rather than silently resolved.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+                     keys: Seq[String], seqCol: String, opCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__ties", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((keys.map(col) :+ col(seqCol)): _*)))
+      .filter(col("__rn") === 1)
+    val checked = latest.withColumn(opCol,
+      when(col("__ties") > 1,
+        raise_error(concat(lit(s"applyChangelog: duplicate $seqCol for key "),
+          concat_ws(",", keys.map(c => col(c).cast("string")): _*))))
+        .otherwise(col(opCol)))
+    val survivors = checked.filter(col(opCol) =!= "D")
+      .drop("__rn", "__ties", seqCol, opCol)
+    snapshot.join(checked.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(survivors)
+  }
+
   /** F6: audit column stamped at write time — the reference's
     * `created_date timestamp default GETDATE()` (UpdateSymbol_v3.py:56,
     * Weather_to_Redshift_v2.py:51). W3's latest-wins ordering keys on

@@ -98,4 +98,22 @@ class BehavioralSpec extends SparkSpec {
     assert(credit === Map(1L -> 5000L, 2L -> 5000L,
       5L -> 3333L, 6L -> 3333L, 7L -> 3333L))
   }
+
+  test("rolling MAU expansion == brute-force sliding distinct") {
+    val rnd = new scala.util.Random(5)
+    val ud = (1 to 300).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(25).toLong))
+      .distinct
+    val df = ud.toDF("user_id", "day")
+    val days = df.select(col("day").as("wday")).distinct()
+    val got = df.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .join(days, "wday")
+      .groupBy("wday").agg(countDistinct("user_id").as("mau7"))
+      .as[(Long, Long)].collect().toMap
+    val obs = ud.map(_._2).distinct
+    val brute = obs.map(d =>
+      d -> ud.filter { case (_, dd) => dd >= d - 6 && dd <= d }
+        .map(_._1).distinct.size.toLong).toMap
+    assert(got === brute)
+  }
 }

@@ -157,4 +157,42 @@ class WritersSpec extends SparkSpec {
       assert(open.toSet === allKeys)
     }
   }
+
+  test("applyChangelog: latest op wins, D deletes, new keys insert, rest survive") {
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, 10L, "U", "a2"), (1L, 11L, "U", "a3"),  // latest U wins -> a3
+      (2L, 20L, "U", "x"), (2L, 21L, "D", "-"),    // later D deletes
+      (5L, 30L, "I", "e"),                         // brand-new key inserts
+      (6L, 40L, "D", "-")                          // delete of unseen key: no-op
+    ).map { case (k, seq, op, v) => (k, v, seq, op) }.toDF("k", "v", "seq", "op")
+    val out = graft.write.Writers
+      .applyChangelog(snapshot, changes, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a3", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
+  test("applyChangelog: replaying an extended changelog is idempotent-by-construction") {
+    val snapshot = Seq((1L, "a")).toDF("k", "v")
+    val prefix = Seq((1L, 1L, "U", "b")).map { case (k, s2, op, v) => (k, v, s2, op) }
+      .toDF("k", "v", "seq", "op")
+    val full = prefix.unionByName(
+      Seq((1L, "c", 2L, "U")).toDF("k", "v", "seq", "op"))
+    val step1 = graft.write.Writers.applyChangelog(snapshot, prefix, Seq("k"), "seq", "op")
+    val viaSteps = graft.write.Writers.applyChangelog(step1, full, Seq("k"), "seq", "op")
+    val direct = graft.write.Writers.applyChangelog(snapshot, full, Seq("k"), "seq", "op")
+    assert(viaSteps.as[(Long, String)].collect().toMap ===
+      direct.as[(Long, String)].collect().toMap)
+  }
+
+  test("applyChangelog: duplicate sequence numbers for a key are an error") {
+    val snapshot = Seq((1L, "a")).toDF("k", "v")
+    val dup = Seq((1L, "b", 5L, "U"), (1L, "c", 5L, "U")).toDF("k", "v", "seq", "op")
+    val e = intercept[Exception] {
+      graft.write.Writers.applyChangelog(snapshot, dup, Seq("k"), "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("applyChangelog") ||
+      Option(e.getCause).exists(_.getMessage.contains("applyChangelog")))
+  }
 }
