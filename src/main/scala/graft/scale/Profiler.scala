@@ -139,5 +139,37 @@ object Profiler {
         |) ORDER BY col_name, metric""".stripMargin) { (s, d) =>
       profile(Tables.documents(s, d), docSpec).orderBy("col_name", "metric")
     },
+
+    // Integer PMI association between two categorical columns — "which
+    // (lang, source) pairings are over/under-represented" — via the same
+    // floor-log2 bit idiom as the surprisal scorers: pmi_bits =
+    // bitlen(n_xy·N) − bitlen(n_x·n_y) ≈ log2(p_xy/(p_x·p_y)), exact
+    // integers end to end. Three map-side-combined count aggregates plus
+    // two broadcast-sized marginal joins; the cell table is |X|·|Y|-bounded.
+    Q("q180_pmi",
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        | mx AS (SELECT lang, count(*) AS n_x FROM documents GROUP BY 1),
+        | my AS (SELECT source, count(*) AS n_y FROM documents GROUP BY 1),
+        | cell AS (SELECT lang, source, count(*) AS n_xy
+        |          FROM documents GROUP BY 1, 2)
+        |SELECT c.lang, c.source, c.n_xy, mx.n_x, my.n_y,
+        |  CAST(length(bin(c.n_xy * n.n)) AS BIGINT)
+        |    - CAST(length(bin(mx.n_x * my.n_y)) AS BIGINT) AS pmi_bits
+        |FROM cell c JOIN mx ON c.lang = mx.lang
+        |            JOIN my ON c.source = my.source CROSS JOIN n
+        |ORDER BY c.lang, c.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.select(count(lit(1)).as("n"))
+      val mx = docs.groupBy("lang").agg(count(lit(1)).as("n_x"))
+      val my = docs.groupBy("source").agg(count(lit(1)).as("n_y"))
+      docs.groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+        .join(broadcast(mx), "lang")
+        .join(broadcast(my), "source")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("n_xy"), col("n_x"), col("n_y"),
+          (length(bin(col("n_xy") * col("n"))).cast("long") -
+            length(bin(col("n_x") * col("n_y"))).cast("long")).as("pmi_bits"))
+        .orderBy("lang", "source")
+    },
   )
 }

@@ -216,5 +216,36 @@ object Sampling {
           sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_high"))
         .orderBy("lang")
     },
+
+    // Equi-depth histogram per language: exact quartile boundaries from the
+    // two-narrow-shuffle percentile machinery (q124), broadcast back as
+    // 4-row bands, each doc bucketed by integer comparison. The profile
+    // complement to q159: where the data MASSES, not just its min/max.
+    Q("q179_histogram",
+      """WITH b AS (
+        |  SELECT lang,
+        |    quantile_disc(n_chars, 0.25) AS p25,
+        |    quantile_disc(n_chars, 0.50) AS p50,
+        |    quantile_disc(n_chars, 0.75) AS p75
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang,
+        |  CASE WHEN n_chars <= p25 THEN 0 WHEN n_chars <= p50 THEN 1
+        |       WHEN n_chars <= p75 THEN 2 ELSE 3 END AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents d JOIN b ON d.lang = b.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bands = exactPercentilesByKey(docs, "lang", "n_chars",
+        Seq(("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100)))
+        .select("lang", "p25", "p50", "p75")
+      docs.join(broadcast(bands), "lang")
+        .groupBy(col("lang"),
+          when(col("n_chars") <= col("p25"), 0)
+            .when(col("n_chars") <= col("p50"), 1)
+            .when(col("n_chars") <= col("p75"), 2)
+            .otherwise(3).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket")
+    },
   )
 }

@@ -72,4 +72,28 @@ class ProfilerSpec extends SparkSpec {
     val d = m(("id", "distinct_count"))
     assert(math.abs(d - 20000) / 20000.0 < 0.05, s"approx=$d")
   }
+
+  test("PMI bits: planted association positive, anti-association negative") {
+    import spark.implicits._
+    // x=a occurs ONLY with y=p (perfect association); x=b spreads evenly
+    val rows = Seq.fill(500)(("a", "p")) ++
+      (1 to 500).map(i => ("b", if (i % 2 == 0) "p" else "q"))
+    val docs = rows.toDF("lang", "source")
+    val n = docs.count()
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("n_x")), "lang")
+      .join(docs.groupBy("source").agg(count(lit(1)).as("n_y")), "source")
+      .select(col("lang"), col("source"),
+        (length(bin(col("n_xy") * lit(n))).cast("long") -
+          length(bin(col("n_x") * col("n_y"))).cast("long")).as("pmi_bits"))
+      .as[(String, String, Long)].collect()
+      .map { case (x, y, b) => (x, y) -> b }.toMap
+    // bitlen PMI is floor-log2-coarse (+-1 bit): (b,q) has true PMI
+    // log2(0.5/0.25) = +1 exactly; (b,p) log2(0.5/0.75) < 0; (a,p)
+    // log2(1/0.75) = +0.4 floors to >= 0; (a,q) never occurs (no row)
+    assert(cells(("b", "q")) >= 1, cells)
+    assert(cells(("b", "p")) <= -1, cells)
+    assert(cells(("a", "p")) >= 0, cells)
+    assert(!cells.contains(("a", "q")))
+  }
 }

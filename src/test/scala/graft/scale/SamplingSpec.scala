@@ -117,4 +117,27 @@ class SamplingSpec extends SparkSpec {
     val heavy = drawn.count(_ < 200)
     assert(heavy >= 16, s"expected >=16/20 heavy items, got $heavy")
   }
+
+  test("histogram buckets partition the rows and respect quartile mass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 2000).map(i => ("k", rnd.nextInt(500).toLong)).toDF("lang", "n_chars")
+    val bands = Sampling.exactPercentilesByKey(df, "lang", "n_chars",
+      Seq(("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100)))
+      .select("lang", "p25", "p50", "p75")
+    val buckets = df.join(broadcast(bands), "lang")
+      .groupBy(when(col("n_chars") <= col("p25"), 0)
+        .when(col("n_chars") <= col("p50"), 1)
+        .when(col("n_chars") <= col("p75"), 2).otherwise(3).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(buckets.values.sum === 2000L)
+    // percentile_disc boundaries: cumulative mass through bucket i reaches
+    // at least the i-th quartile threshold, and (ties aside) stays near it
+    val cum1 = buckets(0)
+    val cum2 = buckets(0) + buckets(1)
+    val cum3 = cum2 + buckets(2)
+    assert(cum1 >= 500 && cum2 >= 1000 && cum3 >= 1500)
+    assert(buckets.values.forall(n => n > 300 && n < 700), buckets)
+  }
 }
