@@ -343,6 +343,47 @@ object Temporal {
         .orderBy("c_mktsegment")
     },
 
+    // Rolling z-score anomaly flags with ZERO floats: |x−μ| > 2σ over the
+    // trailing-7-day window rewritten by cross-multiplication into
+    // (n·x − S)² > 4·(n·Q − S²) — population variance scaled by n², exact
+    // BIGINTs end to end, so the flag itself (not a rounded proxy) is the
+    // certified value. Magnitude contract: |n·x| < ~3e9 keeps the square
+    // in range; larger magnitudes move the same identity to DECIMAL(38,0).
+    Q("q182_rolling_anomaly",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        | w AS (
+        |  SELECT *, count(*) OVER win AS n,
+        |    CAST(sum(cents) OVER win AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) OVER win AS BIGINT) AS q
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day_idx
+        |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day_idx, cents, n,
+        |  (n * cents - s) * (n * cents - s) AS dev2_n2,
+        |  4 * (n * q - s * s) AS var4_n2,
+        |  (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s) AS is_anomaly
+        |FROM w ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_idx"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val win = Window.partitionBy("event_type").orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("s", sum("cents").over(win))
+        .withColumn("q", sum(col("cents") * col("cents")).over(win))
+        .select(col("event_type"), col("day_idx"), col("cents"), col("n"),
+          ((col("n") * col("cents") - col("s")) *
+            (col("n") * col("cents") - col("s"))).as("dev2_n2"),
+          (lit(4L) * (col("n") * col("q") - col("s") * col("s"))).as("var4_n2"))
+        .withColumn("is_anomaly", col("dev2_n2") > col("var4_n2"))
+        .orderBy("event_type", "day_idx")
+    },
+
     // As-of join oracled against DuckDB's native ASOF JOIN: each purchase
     // event gets the user's latest click at or before it. The right side is
     // deduped to one click per (user, ts) so tie semantics are total on

@@ -38,6 +38,37 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** CDC-merge sink: folds a changelog stream into a snapshot table by
+    * GLOBAL latest-wins-by-`seqCol`, retaining delete tombstones in the
+    * stored relation. Tombstones are what make the fold order-robust: if a
+    * D were applied as a physical delete per batch (the q175 batch shape),
+    * an older U arriving in a LATER micro-batch would resurrect the row —
+    * with the tombstone kept, max-seq-per-key is associative and
+    * commutative over any partition of the changelog into batches, so any
+    * batching/arrival order converges to the batch applyChangelog answer
+    * (spec law). Readers filter `op != 'D'`; a compaction can drop
+    * tombstones once no older changes can arrive (same retention contract
+    * as any CDC log). Per batch: one keyed rank-1 reduction over
+    * table ∪ batch — the table stays key-bounded, never changelog-bounded.
+    */
+  def cdcMergeSink(changes: DataFrame, table: VersionedTable,
+                   keys: Seq[String], seqCol: String, opCol: String,
+                   checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing = if (table.exists) table.read() else batch.limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+        val merged = existing.unionByName(batch)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        table.promote(table.stage(merged))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked tumbling-window counts per event type: late events beyond
     * the watermark are dropped, window state is evicted once the watermark
     * passes — bounded state at any scale.

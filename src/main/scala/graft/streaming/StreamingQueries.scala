@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.Q
+import graft.core.{Q, Tables}
 import graft.write.VersionedTable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -426,6 +426,41 @@ object StreamingQueries {
       graft.scale.Retrieval.topPostings(index.postings.read(), k = 3)
         .select(col("term"), col("rnk"), col("doc_id"), col("tf"))
         .orderBy("term", "rnk")
+    },
+
+    // Streaming CDC: the q175 changelog split into 4 files drained one per
+    // micro-batch through cdcMergeSink — global latest-wins-by-seq with
+    // tombstones retained, so ANY batching of the feed converges to the
+    // batch applyChangelog answer. The oracle IS q175's: the hash equality
+    // is the order-robustness law end to end.
+    Q("q181_streaming_cdc",
+      graft.ops.Temporal.queries.find(_.name == "q175_cdc_apply").get.oracle.get) { (s, d) =>
+      val wh = scratchDir("graft-q181")
+      val table = new VersionedTable(s, s"$wh/customers")
+      // seed: snapshot rows as below-any-changelog-seq upserts
+      val snapshot = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("seq", lit(Long.MinValue)).withColumn("op", lit("U"))
+      table.promote(table.stage(snapshot))
+      val changes = Tables.orders(s, d).select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("c_mktsegment"),
+        round(col("o_totalprice"), 2).as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 13 === 0, "D").otherwise("U").as("op"))
+      for (i <- 0 until 4)
+        changes.filter(pmod(col("seq"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      val q = Streaming.cdcMergeSink(stream, table,
+        Seq("c_custkey"), "seq", "op", s"$wh/ckpt")
+      q.awaitTermination()
+      table.read().filter(col("op") =!= "D").drop("seq", "op")
+        .orderBy("c_custkey")
     },
   )
 }

@@ -150,4 +150,31 @@ class TemporalSpec extends SparkSpec {
     val shifted = pts.map { case (g, x, y) => (g, x + 9131, y) }
     assert(sums(shifted) === ((num, den)))
   }
+
+  test("integer z-score identity: cross-multiplied flag == float z > 2 flag") {
+    val rnd = new scala.util.Random(17)
+    val xs = (1 to 200).map(_ => ("g", rnd.nextInt(30).toLong, (rnd.nextInt(9000) + 1000).toLong))
+      .distinct.toDF("g", "day_idx", "cents")
+    val daily = xs.groupBy("g", "day_idx").agg(sum("cents").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("day_idx")
+      .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    val out = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cents").over(w))
+      .withColumn("q", sum(col("cents") * col("cents")).over(w))
+      .withColumn("int_flag",
+        (col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s")) >
+          lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val x = r.getAs[Long]("cents").toDouble
+      val s2 = r.getAs[Long]("s").toDouble
+      val q2 = r.getAs[Long]("q").toDouble
+      val mu = s2 / n
+      val variance = q2 / n - mu * mu
+      val floatFlag = (x - mu) * (x - mu) > 4.0 * variance
+      assert(r.getAs[Boolean]("int_flag") === floatFlag, r)
+    }
+  }
 }

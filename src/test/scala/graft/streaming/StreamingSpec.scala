@@ -199,4 +199,38 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("es").count() > 0)
   }
+
+  test("cdc merge fold: any batch order converges to the batch applyChangelog answer") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val log = Seq(
+      (1L, "a2", 10L, "U"), (1L, "a3", 11L, "U"),
+      (2L, "x", 20L, "U"), (2L, "-", 21L, "D"),
+      (5L, "e", 30L, "I"), (3L, "-", 35L, "D"), (3L, "c2", 36L, "U")
+    ).toDF("k", "v", "seq", "op")
+    val seed = snapshot.withColumn("seq", lit(Long.MinValue)).withColumn("op", lit("U"))
+    // the same rank-1 fold cdcMergeSink applies per micro-batch
+    def fold(state: org.apache.spark.sql.DataFrame, batch: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("seq").desc)
+      state.unionByName(batch)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .localCheckpoint()
+    }
+    val batches = Seq(
+      log.filter(col("seq") < 20), log.filter(col("seq") >= 20 && col("seq") < 31),
+      log.filter(col("seq") >= 31))
+    def serve(state: org.apache.spark.sql.DataFrame) =
+      state.filter(col("op") =!= "D").select("k", "v")
+        .as[(Long, String)].collect().toMap
+    val forward = serve(batches.foldLeft(seed)(fold))
+    val backward = serve(batches.reverse.foldLeft(seed)(fold))
+    val direct = graft.write.Writers
+      .applyChangelog(snapshot, log, Seq("k"), "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(forward === direct)
+    assert(backward === direct, "tombstone retention must make the fold order-robust")
+    assert(direct === Map(1L -> "a3", 3L -> "c2", 5L -> "e"))
+  }
 }
