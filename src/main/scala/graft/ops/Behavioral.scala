@@ -47,6 +47,28 @@ object Behavioral {
     staged.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[funnelStages]] with a conversion deadline: stage k counts only if it
+    * happens within `maxGapUs` of the stage-(k−1) entry — the form real
+    * funnel reports use ("purchased within 24h of first click"). Same
+    * single-shuffle window chain; the deadline is one more predicate in
+    * each stage's running min.
+    */
+  def funnelStagesWithin(events: DataFrame, stages: Seq[String],
+                         maxGapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (ev, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === ev
+        else col("event_type") === ev && col(s"st$i").isNotNull &&
+          us <= col(s"st$i") + maxGapUs
+      df.withColumn(s"st${i + 1}", min(when(cond, us)).over(w))
+    }
+    val aggs = stages.indices.map(i => min(col(s"st${i + 1}")).as(s"st${i + 1}"))
+    staged.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Ordered signup→view→click→purchase funnel: users reaching each stage
@@ -81,6 +103,51 @@ object Behavioral {
         |FROM per_user""".stripMargin) { (s, d) =>
       funnelStages(Tables.events(s, d),
           Seq("signup", "view", "click", "purchase"))
+        .agg(
+          count(col("st1")).as("n_signup"),
+          count(col("st2")).as("n_view"),
+          count(col("st3")).as("n_click"),
+          count(col("st4")).as("n_purchase"))
+    },
+
+    // The funnel with a 6-hour conversion deadline per stage — the
+    // windowed variant real funnel reports use. Same one-shuffle chain;
+    // each stage's running min gains a deadline predicate against the
+    // previous stage's entry (exact because a running min in event-time
+    // order, once non-null, already equals the final entry).
+    Q("q183_windowed_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER w AS st1
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING)),
+        | s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND st1 IS NOT NULL
+        |                     AND epoch_us(ts) <= st1 + 21600000000
+        |                     THEN epoch_us(ts) END) OVER w AS st2
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND st2 IS NOT NULL
+        |                     AND epoch_us(ts) <= st2 + 21600000000
+        |                     THEN epoch_us(ts) END) OVER w AS st3
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | s4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND st3 IS NOT NULL
+        |                     AND epoch_us(ts) <= st3 + 21600000000
+        |                     THEN epoch_us(ts) END) OVER w AS st4
+        |  FROM s3 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | per_user AS (
+        |  SELECT user_id, min(st1) AS st1, min(st2) AS st2,
+        |         min(st3) AS st3, min(st4) AS st4
+        |  FROM s4 GROUP BY 1)
+        |SELECT count(st1) AS n_signup, count(st2) AS n_view,
+        |       count(st3) AS n_click, count(st4) AS n_purchase
+        |FROM per_user""".stripMargin) { (s, d) =>
+      funnelStagesWithin(Tables.events(s, d),
+          Seq("signup", "view", "click", "purchase"), maxGapUs = 21600000000L)
         .agg(
           count(col("st1")).as("n_signup"),
           count(col("st2")).as("n_view"),

@@ -384,6 +384,37 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** k-hop reachability (BFS frontier expansion) from a seed set: returns
+    * (node, first_hop) for every node within `hops` of a seed — the blast-
+    * radius / influence-set query. Each round shuffles only the FRONTIER
+    * joined to the edge list plus an anti-join against the reached set —
+    * the standard iterative-BFS shape whose per-round cost tracks the
+    * frontier, not the graph; lineage is truncated per round. Bounded
+    * `hops` unrolls exactly in SQL (the oracle).
+    */
+  def kHopReachable(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    var reached = seeds.select(col("node"), lit(0).as("first_hop")).localCheckpoint()
+    var frontier = reached.select("node")
+    for (h <- 1 to hops) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      reached = reached
+        .unionByName(next.withColumn("first_hop", lit(h)))
+        .localCheckpoint()
+      frontier = next
+    }
+    reached
+  }
+
+  private def kHopRoundSql(i: Int): String =
+    s""" f$i AS (SELECT DISTINCT e.dst AS node FROM e0 e
+       |         JOIN f${i - 1} f ON e.src = f.node
+       |         WHERE e.dst NOT IN (SELECT node FROM r${i - 1})),
+       | r$i AS (SELECT node, first_hop FROM r${i - 1}
+       |         UNION ALL SELECT node, $i AS first_hop FROM f$i)""".stripMargin
+
   private def kCoreRoundSql(i: Int): String = {
     val prev = s"e${i - 1}"
     s""" k$i AS (SELECT src FROM (SELECT src, count(*) AS c FROM $prev GROUP BY 1) WHERE c >= 25),
@@ -407,6 +438,24 @@ object Graph {
          |SELECT src AS node, count(*) AS core_deg
          |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       kCore(tradeEdges(s, d), k = 25, rounds = 6).orderBy("node")
+    },
+
+    // 3-hop blast radius from the pmod-97 seed nodes of the trade graph:
+    // frontier BFS with first-hop labels, unrolled exactly in the oracle.
+    Q("q184_khop_reach",
+      s"""WITH base AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         | e0 AS (SELECT c AS src, s AS dst FROM base
+         |        UNION ALL SELECT s, c FROM base),
+         | f0 AS (SELECT DISTINCT src AS node FROM e0 WHERE src % 97 = 0),
+         | r0 AS (SELECT node, 0 AS first_hop FROM f0),
+         |${(1 to 3).map(kHopRoundSql).mkString(",\n")}
+         |SELECT node, first_hop FROM r3 ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = tradeEdges(s, d).localCheckpoint()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+      kHopReachable(edges, seeds, hops = 3)
+        .select(col("node"), col("first_hop")).orderBy("node")
     },
 
     // Exact triangle count of the co-supplier graph, oracled against the

@@ -264,4 +264,31 @@ class PlanSpec extends SparkSpec {
     // distinct cells' directories, never the full corpus partition count
     assert(idx.nCentroids > 10) // sanity: pruning below is a real cut
   }
+
+  private def exchangeCount(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+
+  test("q178 rolling MAU: bounded expansion, no inequality join anywhere") {
+    val plan = planOf(SparkEntry.queries("q178_rolling_mau")(spark, sfDir))
+    // the naive form is a BroadcastNestedLoop (range) join; the expansion
+    // rewrite must keep everything equi-keyed
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q176 point-in-time join: no range/cross join; keyed exchanges only") {
+    val plan = planOf(SparkEntry.queries("q176_temporal_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // scd2's windows and the as-of union window all key on o_custkey; the
+    // whole composition should stay in single digits of exchanges
+    assert(exchangeCount(plan) <= 6, s"${exchangeCount(plan)} exchanges:\n$plan")
+  }
+
+  test("q172 attribution: bin-bucketed touch join is an equi hash join") {
+    val plan = planOf(SparkEntry.queries("q172_attribution")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -116,4 +116,30 @@ class BehavioralSpec extends SparkSpec {
         .map(_._1).distinct.size.toLong).toMap
     assert(got === brute)
   }
+
+  test("windowed funnel: deadline excludes late stages; earliest in-window entry wins") {
+    val gap = 3600000000L // 1 hour in micros
+    val events = ev(
+      // u1: all stages within the hour -> full funnel
+      (1L, "2024-01-01 09:00:00", "signup", 10L),
+      (1L, "2024-01-01 09:30:00", "view", 11L),
+      (1L, "2024-01-01 10:00:00", "click", 12L),
+      // u2: only view is 2h after signup -> view (and click) never reached
+      (2L, "2024-01-01 09:00:00", "signup", 20L),
+      (2L, "2024-01-01 11:00:01", "view", 21L),
+      (2L, "2024-01-01 11:10:00", "click", 22L),
+      // u3: late view at +2h, but an in-window view at +0:50 exists too;
+      // click 1h1s after THAT view -> view reached, click not
+      (3L, "2024-01-01 09:00:00", "signup", 30L),
+      (3L, "2024-01-01 09:50:00", "view", 31L),
+      (3L, "2024-01-01 11:00:00", "view", 32L),
+      (3L, "2024-01-01 10:50:01", "click", 33L))
+    val out = Behavioral
+      .funnelStagesWithin(events, Seq("signup", "view", "click"), gap)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => Option(r.get(i)).isDefined)).toMap
+    assert(out(1L) === Seq(true, true, true))
+    assert(out(2L) === Seq(true, false, false))
+    assert(out(3L) === Seq(true, true, false))
+  }
 }

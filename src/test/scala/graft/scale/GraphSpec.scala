@@ -149,4 +149,19 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
     assert(a === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("kHopReachable: BFS labels are SHORTEST hop counts; horizon respected") {
+    // undirected path 1-2-3-4-5 plus a shortcut 1-4: node 4 must label
+    // hop 1 (via the shortcut), not hop 3; node 5 labels 2
+    val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(1L,4L))
+    val edges = Graph.undirected(pairs.toDF("c", "s"))
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.kHopReachable(edges, seeds, hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // horizon 1: only the direct neighbors
+    val h1 = Graph.kHopReachable(edges, seeds, hops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h1 === Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
 }
