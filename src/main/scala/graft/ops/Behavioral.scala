@@ -301,6 +301,47 @@ object Behavioral {
         .limit(20)
     },
 
+    // Item-item kNN recommender ("customers also bought"): co-occurrence
+    // cosine² in exact integer basis points — cooc²·10⁴ div (sup_i·sup_j)
+    // cross-multiplies the square away, so the association score itself is
+    // integer-certified (no sqrt). Per-item top-3 rides the TopKPerKey
+    // bounded heaps: candidates ≤ k×items×mappers on the shuffle, no
+    // window sort — the serving shape of a co-occurrence recommender.
+    Q("q185_item_item_knn",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        | item AS (SELECT pk, count(*) AS sup FROM op GROUP BY 1),
+        | pair AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS cooc
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | scored AS (
+        |  SELECT p1, p2, cooc,
+        |    cooc * cooc * 10000 // (i1.sup * i2.sup) AS cos2_bp
+        |  FROM pair JOIN item i1 ON i1.pk = p1 JOIN item i2 ON i2.pk = p2)
+        |SELECT p1, p2, cooc, cos2_bp FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p1
+        |    ORDER BY cos2_bp DESC, cooc DESC, p2) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY p1, cos2_bp DESC, cooc DESC, p2""".stripMargin) { (s, d) =>
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val item = op.groupBy("pk").agg(count(lit(1)).as("sup"))
+      val pair = op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      val scored = pair
+        .join(item.select(col("pk").as("p1"), col("sup").as("sup1")), "p1")
+        .join(item.select(col("pk").as("p2"), col("sup").as("sup2")), "p2")
+        .select(col("p1"), col("p2"), col("cooc"),
+          expr("cooc * cooc * 10000 div (sup1 * sup2)").as("cos2_bp"))
+      graft.ops.TopK.topKPerKey(scored, Seq("p1"),
+          Seq(col("cos2_bp").desc, col("cooc").desc, col("p2").asc), 3)
+        .select("p1", "p2", "cooc", "cos2_bp")
+        .orderBy(col("p1"), col("cos2_bp").desc, col("cooc").desc, col("p2"))
+    },
+
     // Trailing-7-day distinct actives per day ("rolling MAU"): engines
     // can't put DISTINCT inside a sliding frame, so the scalable rewrite
     // expands each (user, day) to the ≤7 window-ends it serves — bounded

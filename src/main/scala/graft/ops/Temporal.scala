@@ -343,6 +343,43 @@ object Temporal {
         .orderBy("c_mktsegment")
     },
 
+    // Interval overlap (double-booking) detection WITHOUT a self-join: an
+    // interval overlaps an earlier one of the same key iff its start is
+    // below the running max of prior ends — one keyed window over the
+    // start-sorted relation, where the naive form is an inequality
+    // self-join (quadratic per key). Here: 30-day fulfillment windows per
+    // customer; exact integer micros.
+    Q("q186_overlap_detect",
+      """WITH iv AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) AS start_us,
+        |    epoch_us(o_orderdate + INTERVAL 30 DAY) AS end_us
+        |  FROM orders),
+        | flagged AS (
+        |  SELECT o_custkey, o_orderkey, start_us,
+        |    max(end_us) OVER (PARTITION BY o_custkey
+        |                      ORDER BY start_us, o_orderkey
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM iv)
+        |SELECT o_custkey, o_orderkey,
+        |  prev_max_end IS NOT NULL AND start_us < prev_max_end AS is_overlap
+        |FROM flagged ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val iv = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("start_us"),
+        expr("unix_micros(cast(o_orderdate + INTERVAL 30 DAY as timestamp))")
+          .as("end_us"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("start_us"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      iv.withColumn("prev_max_end", max("end_us").over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("prev_max_end").isNotNull &&
+            col("start_us") < col("prev_max_end")).as("is_overlap"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Rolling z-score anomaly flags with ZERO floats: |x−μ| > 2σ over the
     // trailing-7-day window rewritten by cross-multiplication into
     // (n·x − S)² > 4·(n·Q − S²) — population variance scaled by n², exact

@@ -177,4 +177,29 @@ class TemporalSpec extends SparkSpec {
       assert(r.getAs[Boolean]("int_flag") === floatFlag, r)
     }
   }
+
+  test("overlap flag (running-max form) == brute-force pairwise overlap") {
+    val rnd = new scala.util.Random(23)
+    val ivs = (1L to 300L).map { id =>
+      val start = rnd.nextInt(1000).toLong
+      (id % 7, id, start, start + 1 + rnd.nextInt(50))
+    }
+    val df = ivs.toDF("k", "id", "s", "e")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("s"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = df.withColumn("pm", max("e").over(w))
+      .select(col("id"), (col("pm").isNotNull && col("s") < col("pm")).as("f"))
+      .as[(Long, Boolean)].collect().toMap
+    // brute force: interval overlaps some EARLIER-starting one (start order
+    // with id tiebreak) iff start < that earlier interval's end
+    def before(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
+      a._3 < b._3 || (a._3 == b._3 && a._2 < b._2)
+    val brute = ivs.map { iv =>
+      iv._2 -> ivs.exists(o => o._1 == iv._1 && o._2 != iv._2 &&
+        before(o, iv) && iv._3 < o._4)
+    }.toMap
+    assert(got === brute)
+    assert(brute.values.count(identity) > 0, "degenerate fixture")
+  }
 }
