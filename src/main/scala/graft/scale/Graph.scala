@@ -415,6 +415,34 @@ object Graph {
        | r$i AS (SELECT node, first_hop FROM r${i - 1}
        |         UNION ALL SELECT node, $i AS first_hop FROM f$i)""".stripMargin
 
+  /** Bounded-horizon weighted shortest paths (Bellman–Ford relaxation):
+    * `rounds` rounds of dist(n) ← min(dist(n), min over in-edges of
+    * dist(src) + w) from a seed set. Integer weights make every distance
+    * exact; after r rounds the result is the true shortest distance over
+    * paths of ≤ r edges (the bounded-horizon contract — enough rounds =
+    * exact SSSP). Per round: one join of the current distance relation to
+    * the edge list + a min-combine — the iterative-relaxation shape whose
+    * shuffles carry only (node, dist) longs.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  private def spRoundSql(i: Int): String =
+    s""" d$i AS (SELECT node, min(dist) AS dist FROM (
+       |   SELECT node, dist FROM d${i - 1}
+       |   UNION ALL
+       |   SELECT e.dst AS node, d.dist + e.w AS dist
+       |   FROM e JOIN d${i - 1} d ON e.src = d.node) GROUP BY 1)""".stripMargin
+
   private def kCoreRoundSql(i: Int): String = {
     val prev = s"e${i - 1}"
     s""" k$i AS (SELECT src FROM (SELECT src, count(*) AS c FROM $prev GROUP BY 1) WHERE c >= 25),
@@ -438,6 +466,39 @@ object Graph {
          |SELECT src AS node, count(*) AS core_deg
          |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       kCore(tradeEdges(s, d), k = 25, rounds = 6).orderBy("node")
+    },
+
+    // Bounded-horizon weighted shortest paths over the co-supplier graph:
+    // edge cost 1–3 derived from association strength (more shared orders
+    // = cheaper), 4 relaxation rounds from the pmod-29 supplier seeds,
+    // unrolled exactly in the oracle.
+    Q("q188_shortest_paths",
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         | pairs AS (
+         |  SELECT a.sk AS u, b.sk AS v, count(*) AS shared
+         |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         | e AS (SELECT u AS src, v AS dst, greatest(1, 8 - shared) AS w FROM pairs
+         |       UNION ALL SELECT v, u, greatest(1, 8 - shared) FROM pairs),
+         | d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+         |        FROM e WHERE src % 29 = 0),
+         |${(1 to 4).map(spRoundSql).mkString(",\n")}
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node""".stripMargin) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      val shared = pairs.as("a").join(pairs.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .withColumn("w", greatest(lit(1L), lit(8L) - col("shared")))
+      val edges = shared.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(shared.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        .localCheckpoint()
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 29 === 0)
+      shortestPaths(edges, seeds, rounds = 4)
+        .select(col("node"), col("dist")).orderBy("node")
     },
 
     // 3-hop blast radius from the pmod-97 seed nodes of the trade graph:

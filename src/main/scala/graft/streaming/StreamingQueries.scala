@@ -462,5 +462,32 @@ object StreamingQueries {
       table.read().filter(col("op") =!= "D").drop("seq", "op")
         .orderBy("c_custkey")
     },
+
+    // Streaming rolling MAU: the events stream drains its deduped
+    // (user, day) pairs into a versioned table via the W3 merge (O(batch)
+    // per micro-batch, state bounded by distinct user-days, never raw
+    // events), and the q178 bounded window-end expansion serves from the
+    // table. The oracle IS q178's: streaming ingestion of the same corpus
+    // must serve the identical rolling-distinct curve.
+    Q("q187_streaming_mau",
+      graft.ops.Behavioral.queries.find(_.name == "q178_rolling_mau").get.oracle.get) { (s, d) =>
+      val wh = scratchDir("graft-q187")
+      val table = new VersionedTable(s, s"$wh/userdays")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = Streaming.eventsStream(s2, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      val q = Streaming.incrementalDedupSink(stream, table,
+        keys = Seq("user_id", "day"), orderCols = Seq("user_id", "day"),
+        checkpoint = s"$wh/ckpt")
+      q.awaitTermination()
+      val ud = table.read()
+      val days = ud.select(col("day").as("wday")).distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .join(days, "wday")
+        .groupBy("wday").agg(countDistinct("user_id").as("mau7"))
+        .orderBy("wday")
+    },
   )
 }

@@ -164,4 +164,19 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(h1 === Map(1L -> 0, 2L -> 1, 4L -> 1))
   }
+
+  test("shortestPaths: exact weighted distances; horizon bounds path length") {
+    // diamond with a cheap long way: 1->2->3->4 costs 1+1+1=3, direct
+    // 1->4 costs 10; also 2->4 costs 9 (so 1-2-4 = 10, worse than 3)
+    val es = Seq((1L,2L,1L),(2L,3L,1L),(3L,4L,1L),(1L,4L,10L),(2L,4L,9L))
+    val edges = (es ++ es.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val d4 = Graph.shortestPaths(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d4 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // horizon 1: only direct edges relaxed — node 4 still at cost 10, node 3 unreached
+    val d1 = Graph.shortestPaths(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
 }
