@@ -260,6 +260,31 @@ object Behavioral {
         .limit(10)
     },
 
+    // Cumulative distinct count per event ("how many distinct event types
+    // has this user produced so far"): no engine supports DISTINCT inside
+    // a running frame, so the scalable rewrite flags each (user, type)'s
+    // FIRST occurrence (rank-1 over a finer partition) and running-sums
+    // the flags. The oracle is the naive correlated subquery — quadratic
+    // per user, which is exactly what the rewrite avoids.
+    Q("q190_running_distinct",
+      """SELECT e.user_id, e.event_id,
+        |  (SELECT count(DISTINCT e2.event_type) FROM events e2
+        |   WHERE e2.user_id = e.user_id
+        |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id)))
+        |    AS n_types
+        |FROM events e ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
+      val firstSeen = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val running = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("__new", when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .withColumn("n_types", sum("__new").over(running))
+        .select("user_id", "event_id", "n_types")
+        .orderBy("user_id", "event_id")
+    },
+
     // Market-basket association rules over co-ordered parts: support ≥ 2,
     // confidence and lift as EXACT integer basis points (cross-multiplied,
     // no float ratios). Pair generation is per-order bounded (≤ C(16,2))

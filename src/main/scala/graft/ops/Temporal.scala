@@ -343,6 +343,71 @@ object Temporal {
         .orderBy("c_mktsegment")
     },
 
+    // Linear interpolation over calendar gaps, integer-exact: missing days
+    // get (y0·(d1−d) + y1·(d−d0)) div (d1−d0) — the weighted form keeps
+    // every term nonnegative, so truncating and flooring division agree on
+    // any engine (a (y1−y0)-slope form would put a sign into the division).
+    // Neighbors come from IGNORE NULLS window carries over the generated
+    // spine — no self-join. Gaps are planted by dropping every 5th day.
+    Q("q189_interpolate",
+      """WITH obs AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2 HAVING day % 5 <> 0),
+        | spine AS (
+        |  SELECT event_type, UNNEST(generate_series(mn, mx)) AS day
+        |  FROM (SELECT event_type, min(day) AS mn, max(day) AS mx FROM obs GROUP BY 1)),
+        | joined AS (
+        |  SELECT s.event_type, s.day, o.cents FROM spine s
+        |  LEFT JOIN obs o ON o.event_type = s.event_type AND o.day = s.day),
+        | carried AS (
+        |  SELECT event_type, day, cents,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wb AS d0,
+        |    last_value(cents IGNORE NULLS) OVER wb AS y0,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wf AS d1,
+        |    first_value(cents IGNORE NULLS) OVER wf AS y1
+        |  FROM joined
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       WHEN d0 IS NULL OR d1 IS NULL THEN NULL
+        |       ELSE (y0 * (d1 - day) + y1 * (day - d0)) // (d1 - d0) END AS cents_filled,
+        |  cents IS NULL AS interpolated
+        |FROM carried ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val obs = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .filter(col("day") % 5 =!= 0)
+      val spine = obs.groupBy("event_type")
+        .agg(min("day").as("mn"), max("day").as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+      val joined = spine.join(obs, Seq("event_type", "day"), "left")
+      val wb = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      joined
+        .withColumn("d0", last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wb))
+        .withColumn("y0", last(col("cents"), ignoreNulls = true).over(wb))
+        .withColumn("d1", first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wf))
+        .withColumn("y1", first(col("cents"), ignoreNulls = true).over(wf))
+        .select(col("event_type"), col("day"),
+          when(col("cents").isNotNull, col("cents"))
+            .when(col("d0").isNull || col("d1").isNull, lit(null).cast("long"))
+            .otherwise(expr(
+              "(y0 * (d1 - day) + y1 * (day - d0)) div (d1 - d0)"))
+            .as("cents_filled"),
+          col("cents").isNull.as("interpolated"))
+        .orderBy("event_type", "day")
+    },
+
     // Interval overlap (double-booking) detection WITHOUT a self-join: an
     // interval overlaps an earlier one of the same key iff its start is
     // below the running max of prior ends — one keyed window over the

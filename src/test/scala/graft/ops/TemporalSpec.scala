@@ -202,4 +202,25 @@ class TemporalSpec extends SparkSpec {
     assert(got === brute)
     assert(brute.values.count(identity) > 0, "degenerate fixture")
   }
+
+  test("integer interpolation: exact on a line, weighted form avoids negative division") {
+    // observations on y = 100x at days 0, 4 (gap 1-3), and a DECREASING
+    // segment 4 -> 8 (y 400 -> 0) to prove the nonneg weighted form
+    val obs = Seq((0L, 0L), (4L, 400L), (8L, 0L)).toDF("day", "y")
+    val spine = (0L to 8L).toDF("day")
+    val joined = spine.join(obs, Seq("day"), "left")
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wf = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val out = joined
+      .withColumn("d0", last(when(col("y").isNotNull, col("day")), ignoreNulls = true).over(wb))
+      .withColumn("y0", last(col("y"), ignoreNulls = true).over(wb))
+      .withColumn("d1", first(when(col("y").isNotNull, col("day")), ignoreNulls = true).over(wf))
+      .withColumn("y1", first(col("y"), ignoreNulls = true).over(wf))
+      .withColumn("filled", when(col("y").isNotNull, col("y"))
+        .otherwise(expr("(y0 * (d1 - day) + y1 * (day - d0)) div (d1 - d0)")))
+      .orderBy("day").select("filled").as[Long].collect()
+    assert(out.toSeq === Seq(0L, 100L, 200L, 300L, 400L, 300L, 200L, 100L, 0L))
+  }
 }
