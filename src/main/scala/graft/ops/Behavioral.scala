@@ -260,6 +260,58 @@ object Behavioral {
         .limit(10)
     },
 
+    // Ordered string aggregation (LISTAGG/STRING_AGG): each user's full
+    // event-type sequence as one comma string, ordered by (ts, event_id).
+    // Spark lacks an ordered string_agg aggregate; the deterministic form
+    // collects (ts, event_id, type) structs, array_sorts (struct order =
+    // lexicographic on fields — exactly the needed total order), then
+    // projects and joins. One shuffle; the sort is per-group, local.
+    Q("q192_string_agg",
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("seq"))
+        .orderBy("user_id")
+    },
+
+    // Contrastive-training negative pairs WITHOUT a cross join: docs are
+    // hash-bucketed (md5 mod B), and each doc pairs with its next `k`
+    // bucket-neighbors in hash order (window leads) — deterministic
+    // pseudo-random negatives, fan-out exactly k per doc, shuffle keyed by
+    // bucket. The naive "sample from everything" form is a cartesian; this
+    // is the shape that survives a corpus that doesn't fit anywhere.
+    Q("q193_negative_pairs",
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 16 AS b
+        |  FROM documents),
+        | paired AS (
+        |  SELECT doc_id, b,
+        |    lead(doc_id, 1) OVER w AS n1,
+        |    lead(doc_id, 2) OVER w AS n2
+        |  FROM h WINDOW w AS (PARTITION BY b ORDER BY hh, doc_id))
+        |SELECT doc_id, n1, n2 FROM paired
+        |WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hh"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16).as("b"))
+      val w = Window.partitionBy("b").orderBy(col("hh"), col("doc_id"))
+      h.withColumn("n1", lead("doc_id", 1).over(w))
+        .withColumn("n2", lead("doc_id", 2).over(w))
+        .filter(col("n1").isNotNull && col("n2").isNotNull)
+        .select("doc_id", "n1", "n2")
+        .orderBy("doc_id")
+    },
+
     // Cumulative distinct count per event ("how many distinct event types
     // has this user produced so far"): no engine supports DISTINCT inside
     // a running frame, so the scalable rewrite flags each (user, type)'s

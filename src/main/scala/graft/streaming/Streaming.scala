@@ -69,6 +69,32 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Theta-sketch maintenance sink: each micro-batch's per-group sketch
+    * merges into the stored state by re-selecting the k smallest hashes —
+    * the sketch merge law run continuously. State is O(groups·k) forever;
+    * the raw stream never lands. This is the canonical reason sketches are
+    * built mergeable: the serving estimate after any drain equals the
+    * batch sketch of everything seen (q191 certifies against q174's
+    * oracle).
+    */
+  def thetaMergeSink(rows: DataFrame, table: VersionedTable, groupCol: String,
+                     keyCol: String, k: Int, checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchSketch = graft.scale.Sketches.thetaSketch(batch, groupCol, col(keyCol), k)
+        val merged =
+          if (table.exists)
+            graft.ops.TopK.topKPerKey(
+              table.read().unionByName(batchSketch).distinct(),
+              Seq("g"), Seq(col("h").asc), k)
+          else batchSketch
+        table.promote(table.stage(merged))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked tumbling-window counts per event type: late events beyond
     * the watermark are dropped, window state is evicted once the watermark
     * passes — bounded state at any scale.

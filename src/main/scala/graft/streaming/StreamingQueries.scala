@@ -489,5 +489,32 @@ object StreamingQueries {
         .groupBy("wday").agg(countDistinct("user_id").as("mau7"))
         .orderBy("wday")
     },
+
+    // Streaming theta-sketch maintenance: per-event-type audience sketches
+    // merged continuously (k-smallest re-selection per micro-batch, state
+    // O(groups x k) forever), then the pairwise set-algebra estimates
+    // served from the drained state. The oracle IS q174's - the streaming
+    // merge must land byte-identical sketch state, which the estimate
+    // columns then certify end to end.
+    Q("q191_streaming_theta",
+      graft.scale.Sketches.queries.find(_.name == "q174_theta_sets").get.oracle.get) { (s, d) =>
+      val wh = scratchDir("graft-q191")
+      val table = new VersionedTable(s, s"$wh/theta")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = Streaming.eventsStream(s2, d)
+        .select(col("event_type"), col("user_id"))
+      val q = Streaming.thetaMergeSink(stream, table,
+        groupCol = "event_type", keyCol = "user_id", k = 64, checkpoint = s"$wh/ckpt")
+      q.awaitTermination()
+      val events = Tables.events(s, d)
+      val ua = events.select(col("event_type").as("g1"), col("user_id")).distinct()
+      val ub = events.select(col("event_type").as("g2"), col("user_id")).distinct()
+      val exact = ua.join(ub, "user_id").filter(col("g1") < col("g2"))
+        .groupBy("g1", "g2").agg(count(lit(1)).as("exact_inter"))
+      graft.scale.Sketches.thetaPairEstimates(table.read())
+        .join(exact, Seq("g1", "g2"))
+        .orderBy("g1", "g2")
+    },
   )
 }
