@@ -343,6 +343,48 @@ object Temporal {
         .orderBy("c_mktsegment")
     },
 
+    // OHLC resampling (downsample to daily bars): open/close are the
+    // first/last values in (ts, event_id) total order — picked by rank-1
+    // windows sharing one (type, day) partitioning, so the whole bar build
+    // is a single shuffle; high/low/volume ride the same aggregate.
+    Q("q194_ohlc",
+      """WITH base AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+        |  FROM events),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, day
+        |                               ORDER BY ts, event_id) AS rf,
+        |            row_number() OVER (PARTITION BY event_type, day
+        |                               ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM base)
+        |SELECT event_type, day,
+        |  max(CASE WHEN rf = 1 THEN cents END) AS open,
+        |  max(cents) AS high, min(cents) AS low,
+        |  max(CASE WHEN rl = 1 THEN cents END) AS close,
+        |  count(*) AS volume
+        |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d).select(
+        col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        col("ts"), col("event_id"))
+      val wf = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts"), col("event_id"))
+      val wl = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rl", row_number().over(wl))
+        .groupBy("event_type", "day")
+        .agg(
+          max(when(col("rf") === 1, col("cents"))).as("open"),
+          max("cents").as("high"), min("cents").as("low"),
+          max(when(col("rl") === 1, col("cents"))).as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy("event_type", "day")
+    },
+
     // Linear interpolation over calendar gaps, integer-exact: missing days
     // get (y0·(d1−d) + y1·(d−d0)) div (d1−d0) — the weighted form keeps
     // every term nonnegative, so truncating and flooring division agree on

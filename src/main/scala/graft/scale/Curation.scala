@@ -1072,6 +1072,47 @@ object Curation {
     },
 
     // Bigram-LM surprisal: conditional transition bits (see
+    // word2vec-style skip-gram pair extraction (window ±2): the training
+    // corpus an embedding run consumes, built with the same zip-slice
+    // idiom as the transition stream — pairs are narrow (w1, w2) strings,
+    // counts map-side combine, text itself never shuffles. The oracle
+    // derives the identical multiset via lag windows at offsets 1 and 2
+    // over exploded positions. Top 30 with a total tie order.
+    Q("q195_skipgrams",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS c,
+        |    generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, c,
+        |    lag(c, 1) OVER win AS m1, lag(c, 2) OVER win AS m2
+        |  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        | pairs AS (
+        |  SELECT m1 AS w1, c AS w2 FROM p WHERE m1 IS NOT NULL
+        |  UNION ALL SELECT m2, c FROM p WHERE m2 IS NOT NULL
+        |  UNION ALL SELECT c, m1 FROM p WHERE m1 IS NOT NULL
+        |  UNION ALL SELECT c, m2 FROM p WHERE m2 IS NOT NULL)
+        |SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2
+        |ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val toks = filter(split(col("text"), graft.expressions.Ws.Regex), w => w =!= "")
+      def pairsAt(off: Int) = {
+        val n = greatest(size(toks) - off, lit(0))
+        docs.select(explode(zip_with(
+            slice(toks, lit(1), n), slice(toks, lit(1 + off), n),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("__t"))
+          .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"))
+      }
+      val directed = pairsAt(1).unionByName(pairsAt(2))
+      directed
+        .unionByName(directed.select(col("w2").as("w1"), col("w1").as("w2")))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+
     // bigramSurprisal). n_fluent counts docs averaging <= 4.5 bits per
     // transition, as the integer cross-multiplication 2*surp <= 9*n_trans
     // (a real split on this corpus: ~1/7 of docs qualify). The oracle
