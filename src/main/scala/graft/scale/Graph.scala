@@ -384,6 +384,44 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Incremental triangle maintenance: the EXACT increment an edge batch
+    * adds to the triangle count, by new-edge multiplicity — the
+    * inclusion-free decomposition every streaming triangle counter uses:
+    *   ΔT = (triangles with exactly 1 new edge: new edge + 2 old-common
+    *         neighbors)
+    *      + (exactly 2: a wedge of two new edges closed by an old edge)
+    *      + (exactly 3: triangles of the batch alone).
+    * Each term is an equi-join chain over adjacency relations — per-batch
+    * cost tracks batch × degree, never the graph. Contract: `oldPairs` and
+    * `batch` are canonical u < v distinct edges with no overlap (enforced
+    * by an anti-join here). The q196 law: old-count + delta hash-equals
+    * the full recount on the union.
+    */
+  def triangleCountDelta(oldPairs: DataFrame, batch0: DataFrame): DataFrame = {
+    val batch = batch0.join(oldPairs, Seq("u", "v"), "left_anti").localCheckpoint()
+    def adj(p: DataFrame) =
+      p.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(p.select(col("v").as("a"), col("u").as("b")))
+    val oldAdj = adj(oldPairs).localCheckpoint()
+    val newAdj = adj(batch).localCheckpoint()
+    // exactly one new edge: common OLD neighbors of the new edge's endpoints
+    val t1 = batch
+      .join(oldAdj.select(col("a").as("u"), col("b").as("n")), "u")
+      .join(oldAdj.select(col("a").as("v"), col("b").as("n")), Seq("v", "n"))
+      .agg(count(lit(1)).as("c"))
+    // exactly two new edges: new wedges (u-w, w-v), u < v, closed by an old
+    // edge (u, v) — counted once at their canonical closing edge
+    val t2 = newAdj.select(col("a").as("w"), col("b").as("u"))
+      .join(newAdj.select(col("a").as("w"), col("b").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .join(oldPairs, Seq("u", "v"))
+      .agg(count(lit(1)).as("c"))
+    // all three new: the batch's own triangles
+    val t3 = triangleCount(batch).select(col("n_triangles").as("c"))
+    t1.unionByName(t2).unionByName(t3)
+      .agg(sum("c").as("delta_triangles"))
+  }
+
   /** k-hop reachability (BFS frontier expansion) from a seed set: returns
     * (node, first_hop) for every node within `hops` of a seed — the blast-
     * radius / influence-set query. Each round shuffles only the FRONTIER
@@ -466,6 +504,29 @@ object Graph {
          |SELECT src AS node, count(*) AS core_deg
          |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       kCore(tradeEdges(s, d), k = 25, rounds = 6).orderBy("node")
+    },
+
+    // Incremental triangle count: hold out ~1/7 of the co-supplier edges
+    // as an append batch, maintain the count incrementally, serve
+    // old + delta. The oracle is q165's full recount over ALL edges — the
+    // hash equality IS the exactness of the multiplicity decomposition
+    // (miss a 2-new-edge wedge or double-count a batch triangle and the
+    // total diverges).
+    Q("q196_incremental_triangles",
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        | pairs AS (
+        |  SELECT a.sk AS u, b.sk AS v
+        |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT count(*) AS n_triangles
+        |FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+        |              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin) { (s, d) =>
+      val pairs = coSupplierPairs(s, d, minShared = 5L).localCheckpoint()
+      val holdOut = pmod(col("u") * 31 + col("v"), lit(7)) === 0
+      val base = pairs.filter(!holdOut)
+      val batch = pairs.filter(holdOut)
+      triangleCount(base).crossJoin(triangleCountDelta(base, batch))
+        .select((col("n_triangles") + col("delta_triangles")).as("n_triangles"))
     },
 
     // Bounded-horizon weighted shortest paths over the co-supplier graph:

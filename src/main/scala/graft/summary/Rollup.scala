@@ -106,7 +106,49 @@ object Rollup {
   private val ordersSpec = RollupSpec(
     keys = Seq("o_orderdate", "o_orderstatus"), measures = Seq("o_totalprice"))
 
+  /** Incremental maintenance of a JOIN view — the delta-rule sibling of
+    * [[maintain]]'s aggregate IVM: for V = A ⋈ B under appends ΔA, ΔB,
+    *   ΔV = ΔA ⋈ B₀  ∪  A₀ ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    * and V₁ = V₀ ∪ ΔV. The A₀ ⋈ B₀ re-join — the big×big term a full
+    * recompute pays — never runs; every delta term has at least one
+    * delta-sized input, so at 100 TB the maintenance cost tracks the
+    * batch, and with the stored view bucketed on the join key the union
+    * lands without a shuffle. Append-only contract (the same as every
+    * incremental path here); updates/deletes compose via the CDC tombstone
+    * fold first.
+    */
+  def joinDelta(a0: DataFrame, da: DataFrame, b0: DataFrame, db: DataFrame,
+                keys: Seq[String]): DataFrame =
+    da.join(b0, keys)
+      .unionByName(a0.join(db, keys))
+      .unionByName(da.join(db, keys))
+
   val queries: Seq[Q] = Seq(
+
+    // Join-view IVM lifecycle: seed V0 from the old order/customer slices,
+    // apply the three-term delta for a late order batch AND late-arriving
+    // dimension rows, serve V0 ∪ ΔV. Oracle: the full join recomputed from
+    // scratch — value equality certifies the delta algebra (drop the ΔA⋈ΔB
+    // term, or double a side, and the hash diverges).
+    Q("q197_join_ivm",
+      """SELECT o_orderkey, c_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_orderdate"))
+      val customer = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val cut = lit("1998-01-01")
+      val a0 = orders.filter(col("o_orderdate") < cut)
+      val da = orders.filter(col("o_orderdate") >= cut)
+      val lateDim = pmod(col("c_custkey"), lit(10)) === 0
+      val b0 = customer.filter(!lateDim)
+      val db = customer.filter(lateDim)
+      val v0 = a0.join(b0, Seq("c_custkey"))
+      v0.unionByName(joinDelta(a0, da, b0, db, Seq("c_custkey")))
+        .select("o_orderkey", "c_custkey", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
     // Monthly revenue by status, answered FROM THE DAILY MV by the optimizer
     // rule — the query is written against the base `orders` table; the
     // require() proves the optimized plan never scans it. The oracle

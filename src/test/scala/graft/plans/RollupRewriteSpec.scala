@@ -138,4 +138,27 @@ class RollupRewriteSpec extends SparkSpec {
     val scans = Rollup.scanPaths(maintained)
     assert(scans.toSet === Set(s"$root/mv0", s"$root/delta").map(MvCatalog.normalize))
   }
+
+  test("joinDelta law: V0 + three-term delta == full join, and each term is needed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val a = (1 to 400).map(i => (i.toLong, rnd.nextInt(50).toLong)).toDF("aid", "k")
+    val b = (1 to 120).map(i => (rnd.nextInt(60).toLong, s"v$i")).toDF("k", "payload")
+    val aSplit = pmod(col("aid"), lit(3)) === 0
+    val bSplit = pmod(length(col("payload")), lit(2)) === 0
+    val (a0, da) = (a.filter(!aSplit), a.filter(aSplit))
+    val (b0, db) = (b.filter(!bSplit), b.filter(bSplit))
+    val v0 = a0.join(b0, Seq("k"))
+    val maintained = v0.unionByName(
+      graft.summary.Rollup.joinDelta(a0, da, b0, db, Seq("k")))
+    val full = a.join(b, Seq("k"))
+    assert(maintained.count() === full.count())
+    assert(maintained.exceptAll(full).count() === 0 &&
+      full.exceptAll(maintained).count() === 0)
+    // dropping the delta-delta term loses rows (it is not redundant)
+    val twoTerm = v0.unionByName(da.join(b0, Seq("k")))
+      .unionByName(a0.join(db, Seq("k")))
+    assert(twoTerm.count() < full.count())
+  }
 }

@@ -179,4 +179,36 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d1 === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
   }
+
+  test("triangleCountDelta: old + delta == full recount across random splits") {
+    val rnd = new scala.util.Random(31)
+    val all = (for (u <- 1L to 30L; v <- (u + 1) to 30L if rnd.nextDouble() < 0.25)
+      yield (u, v)).toSeq
+    def tri(es: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(es.toDF("u", "v")).as[Long].head()
+    for (seed <- 1 to 3) {
+      val r2 = new scala.util.Random(seed)
+      val (batch, base) = all.partition(_ => r2.nextDouble() < 0.3)
+      val delta = Graph.triangleCountDelta(base.toDF("u", "v"), batch.toDF("u", "v"))
+        .as[Long].head()
+      assert(tri(base) + delta === tri(all), s"seed $seed")
+    }
+    assert(tri(all) > 0, "degenerate fixture")
+  }
+
+  test("triangleCountDelta: exactly-2-new and all-new multiplicity classes count once") {
+    // base has only edge (1,2); batch adds (1,3),(2,3) -> ONE new triangle
+    // with exactly two new edges
+    assert(Graph.triangleCountDelta(
+      Seq((1L,2L)).toDF("u","v"), Seq((1L,3L),(2L,3L)).toDF("u","v"))
+      .as[Long].head() === 1L)
+    // empty base, batch is a full triangle -> counted once via the t3 term
+    assert(Graph.triangleCountDelta(
+      Seq.empty[(Long,Long)].toDF("u","v"),
+      Seq((1L,2L),(1L,3L),(2L,3L)).toDF("u","v")).as[Long].head() === 1L)
+    // batch overlapping base edges is anti-joined away, not double-counted
+    assert(Graph.triangleCountDelta(
+      Seq((1L,2L),(1L,3L),(2L,3L)).toDF("u","v"),
+      Seq((1L,2L)).toDF("u","v")).as[Long].head() === 0L)
+  }
 }
