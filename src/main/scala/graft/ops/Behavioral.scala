@@ -337,6 +337,52 @@ object Behavioral {
         .orderBy("user_id", "event_id")
     },
 
+    // Funnel ∘ percentile composition: exact time-to-convert quartiles
+    // (signup → purchase, stages in order) per signup-week cohort, through
+    // the two-narrow-shuffle percentile machinery. Integer micros end to
+    // end; the oracle rebuilds the funnel chain and uses DuckDB's own
+    // quantile_disc (the q124-proven percentile_disc parity).
+    Q("q199_time_to_convert",
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER w AS st1
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING)),
+        | s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND st1 IS NOT NULL
+        |                     THEN epoch_us(ts) END) OVER w AS st2
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND st2 IS NOT NULL
+        |                     THEN epoch_us(ts) END) OVER w AS st3
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | s4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND st3 IS NOT NULL
+        |                     THEN epoch_us(ts) END) OVER w AS st4
+        |  FROM s3 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING)),
+        | per_user AS (
+        |  SELECT user_id, min(st1) AS st1, min(st4) AS st4
+        |  FROM s4 GROUP BY 1),
+        | conv AS (
+        |  SELECT st1 // 604800000000 AS cohort_week, st4 - st1 AS ttc_us
+        |  FROM per_user WHERE st4 IS NOT NULL)
+        |SELECT cohort_week, count(*) AS n_rows,
+        |  quantile_disc(ttc_us, 0.25) AS p25, quantile_disc(ttc_us, 0.50) AS p50,
+        |  quantile_disc(ttc_us, 0.75) AS p75, quantile_disc(ttc_us, 0.90) AS p90
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val f = funnelStages(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"))
+      val conv = f.filter(col("st4").isNotNull)
+        .select(expr("st1 div 604800000000").as("cohort_week"),
+          (col("st4") - col("st1")).as("ttc_us"))
+      graft.scale.Sampling.exactPercentilesByKey(conv, "cohort_week", "ttc_us",
+          Seq(("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100), ("p90", 90, 100)))
+        .orderBy("cohort_week")
+    },
+
     // Market-basket association rules over co-ordered parts: support ≥ 2,
     // confidence and lift as EXACT integer basis points (cross-multiplied,
     // no float ratios). Pair generation is per-order bounded (≤ C(16,2))

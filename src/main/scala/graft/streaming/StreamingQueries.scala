@@ -516,5 +516,49 @@ object StreamingQueries {
         .join(exact, Seq("g1", "g2"))
         .orderBy("g1", "g2")
     },
+
+    // Streaming graph analytics: co-supplier edges arrive in 4 micro-
+    // batches; each batch maintains the triangle count by the q196
+    // multiplicity decomposition against the edges-so-far and appends the
+    // batch into the edge table - O(batch x degree) per batch, the full
+    // graph never recounts. The oracle is the same full recount as
+    // q165/q196: any batch split must land the exact total.
+    Q("q198_streaming_triangles",
+      graft.scale.Graph.queries.find(_.name == "q196_incremental_triangles").get.oracle.get) { (s, d) =>
+      import graft.scale.Graph
+      val wh = scratchDir("graft-q198")
+      val edges = new VersionedTable(s, s"$wh/edges")
+      val stats = new VersionedTable(s, s"$wh/stats")
+      val pairs = Graph.coSupplierPairs(s, d, minShared = 5L).localCheckpoint()
+      for (i <- 0 until 4)
+        pairs.filter(pmod(col("u") * 31 + col("v"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
+          val batch = batch0.localCheckpoint()
+          val old = if (edges.exists) edges.read() else batch.limit(0)
+          val delta = Graph.triangleCountDelta(old, batch)
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+          val prev = if (stats.exists)
+            stats.read().as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+          else 0L
+          import s.implicits._
+          stats.promote(stats.stage(
+            Seq(prev + delta).toDF("n_triangles")))
+          edges.promote(edges.stage(
+            old.unionByName(batch.join(old, Seq("u", "v"), "left_anti"))))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stats.read()
+    },
   )
 }
