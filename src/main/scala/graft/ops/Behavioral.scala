@@ -312,6 +312,38 @@ object Behavioral {
         .orderBy("doc_id")
     },
 
+    // Time-decayed popularity ("trending now"): rank users by activity
+    // value under a 1-day half-life — the same dyadic trick as q169's
+    // EWMA: 2^(day − min_day) integer weights make the decayed sum EXACT
+    // (ordering is invariant to the common 2^(max−min) scale), where a
+    // pow(0.5, age) form would rank by accumulated float error. Top 20
+    // with a total tie order.
+    Q("q200_decayed_topk",
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        | base AS (SELECT min(day) AS mn FROM daily),
+        | scored AS (
+        |  SELECT user_id,
+        |    CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(day - mn AS INT))) AS BIGINT)
+        |      AS decayed_score
+        |  FROM daily CROSS JOIN base GROUP BY 1)
+        |SELECT user_id, decayed_score FROM scored
+        |ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val base = daily.agg(min("day").as("mn"))
+      daily.crossJoin(broadcast(base))
+        .groupBy("user_id")
+        .agg(sum(expr(
+          "cents * shiftleft(cast(1 as bigint), cast(day - mn as int))"))
+          .as("decayed_score"))
+        .orderBy(col("decayed_score").desc, col("user_id"))
+        .limit(20)
+    },
+
     // Cumulative distinct count per event ("how many distinct event types
     // has this user produced so far"): no engine supports DISTINCT inside
     // a running frame, so the scalable rewrite flags each (user, type)'s

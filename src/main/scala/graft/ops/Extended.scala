@@ -445,5 +445,37 @@ object Extended {
         .orderBy("c_mktsegment", "o_orderkey")
         .limit(1000)
     },
+
+    // Share-of-parent report (the drill-down every BI layer serves):
+    // nation revenue as exact integer basis points of its region — cents
+    // sums cross-multiplied, no float ratio; region totals re-aggregate
+    // from the nation relation (tiny) instead of re-scanning facts.
+    Q("q201_share_of_parent",
+      """WITH nat AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        | reg AS (SELECT region, CAST(sum(cents) AS BIGINT) AS rcents
+        |         FROM nat GROUP BY 1)
+        |SELECT nat.region, nation, cents,
+        |  cents * 10000 // rcents AS share_bp
+        |FROM nat JOIN reg ON nat.region = reg.region
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val nat = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      val reg = nat.groupBy("region").agg(sum("cents").as("rcents"))
+      nat.join(broadcast(reg), "region")
+        .select(col("region"), col("nation"), col("cents"),
+          expr("cents * 10000 div rcents").as("share_bp"))
+        .orderBy("region", "nation")
+    },
   )
 }

@@ -524,12 +524,22 @@ object StreamingQueries {
     // graph never recounts. The oracle is the same full recount as
     // q165/q196: any batch split must land the exact total.
     Q("q198_streaming_triangles",
-      graft.scale.Graph.queries.find(_.name == "q196_incremental_triangles").get.oracle.get) { (s, d) =>
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        | pairs AS (
+        |  SELECT a.sk AS u, b.sk AS v
+        |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 6)
+        |SELECT count(*) AS n_triangles
+        |FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+        |              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin) { (s, d) =>
       import graft.scale.Graph
       val wh = scratchDir("graft-q198")
       val edges = new VersionedTable(s, s"$wh/edges")
       val stats = new VersionedTable(s, s"$wh/stats")
-      val pairs = Graph.coSupplierPairs(s, d, minShared = 5L).localCheckpoint()
+      // minShared = 6: a sparser association graph than q165/q196's — the
+      // per-batch delta cost tracks batch x degree, and the streaming
+      // lifecycle doesn't need the denser fixture to prove the law
+      val pairs = Graph.coSupplierPairs(s, d, minShared = 6L).localCheckpoint()
       for (i <- 0 until 4)
         pairs.filter(pmod(col("u") * 31 + col("v"), lit(4)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
