@@ -142,4 +142,43 @@ class BehavioralSpec extends SparkSpec {
     assert(out(2L) === Seq(true, false, false))
     assert(out(3L) === Seq(true, true, false))
   }
+
+  test("market-basket invariants: pair support bounded by item supports; confidence <= 100%") {
+    val out = graft.SparkEntry.queries("q177_market_basket")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val conf12 = r.getAs[Long]("conf12_bp"); val conf21 = r.getAs[Long]("conf21_bp")
+      assert(conf12 >= 0 && conf12 <= 10000, r)
+      assert(conf21 >= 0 && conf21 <= 10000, r)
+    }
+  }
+
+  test("item-item kNN: directed pair scores are symmetric; at most 3 per item") {
+    val out = graft.SparkEntry.queries("q185_item_item_knn")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+        r.getAs[Long]("cooc"), r.getAs[Long]("cos2_bp")))
+    assert(out.nonEmpty)
+    val perItem = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perItem.values.forall(_ <= 3))
+    // cosine^2 is symmetric: when BOTH directions of a pair made their
+    // item's top-3, the scores must agree exactly
+    val scores = out.map(t => (t._1, t._2) -> t._4).toMap
+    scores.foreach { case ((a, b), s2) =>
+      scores.get((b, a)).foreach(rev => assert(rev === s2, s"($a,$b)"))
+    }
+  }
+
+  test("decayed ranking: equal totals, newer activity wins") {
+    import spark.implicits._
+    // user 1: 100 cents on day 0; user 2: 100 cents on day 5 -> 2 ranks higher
+    val daily = Seq((1L, 0L, 100L), (2L, 5L, 100L)).toDF("user_id", "day", "cents")
+    val base = daily.agg(min("day").as("mn"))
+    val scored = daily.crossJoin(base)
+      .groupBy("user_id")
+      .agg(sum(expr("cents * shiftleft(cast(1 as bigint), cast(day - mn as int))"))
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored(2L) > scored(1L))
+    assert(scored(2L) === 100L * 32 && scored(1L) === 100L)
+  }
 }

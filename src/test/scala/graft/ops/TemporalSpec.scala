@@ -223,4 +223,16 @@ class TemporalSpec extends SparkSpec {
       .orderBy("day").select("filled").as[Long].collect()
     assert(out.toSeq === Seq(0L, 100L, 200L, 300L, 400L, 300L, 200L, 100L, 0L))
   }
+
+  test("OHLC invariants: low <= open,close <= high; volume sums to row count") {
+    val out = graft.SparkEntry.queries("q194_ohlc")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val o = r.getAs[Long]("open"); val h = r.getAs[Long]("high")
+      val l = r.getAs[Long]("low"); val c = r.getAs[Long]("close")
+      assert(l <= o && o <= h && l <= c && c <= h, r)
+    }
+    val vol = out.map(_.getAs[Long]("volume")).sum
+    assert(vol === graft.core.Tables.events(spark, sfDir).count())
+  }
 }
