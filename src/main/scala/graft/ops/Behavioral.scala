@@ -177,11 +177,16 @@ object Behavioral {
       val cohorts = events.groupBy("user_id")
         .agg(min(unix_micros(col("ts"))).as("first_us"))
         .select(col("user_id"), expr(s"first_us div $weekUs").as("cohort_week"))
+      // dedup weeks WITHIN each user (collect_set, bounded by the data's
+      // week span) instead of .distinct() over (user_id, week): that
+      // keeps `active` hash-partitioned on user_id alone, so the
+      // user_id equi-join below co-locates with `cohorts` (also
+      // user_id-partitioned by its aggregation) without a third shuffle
       val active = events
         .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("week"))
-        .distinct()
-      // both sides are already hash-partitioned on user_id by their
-      // aggregations, so the join co-locates without a third shuffle
+        .groupBy("user_id")
+        .agg(collect_set(col("week")).as("weeks"))
+        .select(col("user_id"), explode(col("weeks")).as("week"))
       cohorts.join(active, "user_id")
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct("user_id").as("n_users"))
@@ -318,24 +323,38 @@ object Behavioral {
     // (ordering is invariant to the common 2^(max−min) scale), where a
     // pow(0.5, age) form would rank by accumulated float error. Top 20
     // with a total tie order.
+    //
+    // Contract: the dyadic weight needs day−mn < 62 or the BIGINT shift
+    // wraps (Spark masks the shift amount mod 64; DuckDB errors), so the
+    // query CLAMPS to the trailing 60-day horizon before weighting —
+    // which is also the right "trending" semantics: a day 60 half-lives
+    // old contributes 2^-60 ≈ nothing, so dropping it never reorders the
+    // top-k. The clamp is in both the plan and the oracle.
     Q("q200_decayed_topk",
       """WITH daily AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
-        | base AS (SELECT min(day) AS mn FROM daily),
+        | horizon AS (SELECT max(day) AS mx FROM daily),
+        | recent AS (
+        |  SELECT d.* FROM daily d CROSS JOIN horizon h WHERE d.day > h.mx - 60),
+        | base AS (SELECT min(day) AS mn FROM recent),
         | scored AS (
         |  SELECT user_id,
         |    CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(day - mn AS INT))) AS BIGINT)
         |      AS decayed_score
-        |  FROM daily CROSS JOIN base GROUP BY 1)
+        |  FROM recent CROSS JOIN base GROUP BY 1)
         |SELECT user_id, decayed_score FROM scored
         |ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
-      val base = daily.agg(min("day").as("mn"))
-      daily.crossJoin(broadcast(base))
+      val horizon = daily.agg(max("day").as("mx"))
+      val recent = daily.crossJoin(broadcast(horizon))
+        .filter(col("day") > col("mx") - lit(60))
+        .drop("mx")
+      val base = recent.agg(min("day").as("mn"))
+      recent.crossJoin(broadcast(base))
         .groupBy("user_id")
         .agg(sum(expr(
           "cents * shiftleft(cast(1 as bigint), cast(day - mn as int))"))

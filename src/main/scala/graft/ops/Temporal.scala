@@ -157,8 +157,14 @@ object Temporal {
     // unrolls to E_n = (x_1 + Σ_{i≥2} x_i·2^(i-2)) div 2^(n-1), so the
     // whole smoother is one cumulative window sum of shifted cents plus a
     // truncating division — no pow(), no float accumulation, bit-equal on
-    // any engine. Constraint: the series length per group must stay < 62
-    // (shift width); longer horizons restart the window (here: 30 days).
+    // any engine. The 63-bit budget is split between the shift and the
+    // cents magnitude, so the series is SEGMENTED: every 32 rows per
+    // group the recurrence restarts from the segment's first value
+    // ((rn−1) div 32 joins the window partition key). That caps the
+    // shift at 30 bits and leaves ~2^31 cents (≈$21M/day/group) of
+    // headroom; a 32-day-old sample weighs 2^-32 ≈ 0 in the true EWMA,
+    // so the restart is numerically free while making the query
+    // horizon-safe on any span — not just the test fixture's.
     Q("q169_ewma",
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
@@ -168,13 +174,16 @@ object Temporal {
         |  SELECT event_type, day_idx, cents,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS BIGINT) AS rn
         |  FROM daily),
+        | seg AS (
+        |  SELECT *, (rn - 1) // 32 AS segid, ((rn - 1) % 32) + 1 AS srn
+        |  FROM seq),
         | terms AS (
-        |  SELECT *, cents * (CAST(1 AS BIGINT) << CAST(greatest(rn - 2, 0) AS INT)) AS term
-        |  FROM seq)
+        |  SELECT *, cents * (CAST(1 AS BIGINT) << CAST(greatest(srn - 2, 0) AS INT)) AS term
+        |  FROM seg)
         |SELECT event_type, day_idx, cents,
-        |  CAST(sum(term) OVER (PARTITION BY event_type ORDER BY day_idx
+        |  CAST(sum(term) OVER (PARTITION BY event_type, segid ORDER BY day_idx
         |                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |    // (CAST(1 AS BIGINT) << CAST(rn - 1 AS INT)) AS ewma_cents
+        |    // (CAST(1 AS BIGINT) << CAST(srn - 1 AS INT)) AS ewma_cents
         |FROM terms ORDER BY event_type, day_idx""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -183,11 +192,13 @@ object Temporal {
       val w = Window.partitionBy("event_type").orderBy("day_idx")
       daily
         .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("segid", expr("(rn - 1) div 32"))
+        .withColumn("srn", expr("((rn - 1) % 32) + 1"))
         .withColumn("term",
-          expr("cents * shiftleft(cast(1 as bigint), cast(greatest(rn - 2, 0) as int))"))
+          expr("cents * shiftleft(cast(1 as bigint), cast(greatest(srn - 2, 0) as int))"))
         .withColumn("ewma_cents", expr(
-          "sum(term) over (partition by event_type order by day_idx rows unbounded preceding)" +
-          " div shiftleft(cast(1 as bigint), cast(rn - 1 as int))"))
+          "sum(term) over (partition by event_type, segid order by day_idx rows unbounded preceding)" +
+          " div shiftleft(cast(1 as bigint), cast(srn - 1 as int))"))
         .select("event_type", "day_idx", "cents", "ewma_cents")
         .orderBy("event_type", "day_idx")
     },

@@ -519,10 +519,12 @@ object StreamingQueries {
 
     // Streaming graph analytics: co-supplier edges arrive in 4 micro-
     // batches; each batch maintains the triangle count by the q196
-    // multiplicity decomposition against the edges-so-far and appends the
-    // batch into the edge table - O(batch x degree) per batch, the full
-    // graph never recounts. The oracle is the same full recount as
-    // q165/q196: any batch split must land the exact total.
+    // multiplicity decomposition against the edges-so-far and APPENDS the
+    // batch into the edge table (stageAppend — O(batch) sink bytes, old
+    // files inherited by reference; compaction bounds the read chain) -
+    // O(batch x degree) per batch, the full graph never recounts or
+    // rewrites. The oracle is the same full recount as q165/q196: any
+    // batch split must land the exact total.
     Q("q198_streaming_triangles",
       """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
         | pairs AS (
@@ -548,22 +550,12 @@ object StreamingQueries {
       val schema = s2.read.parquet(s"$wh/feed").schema
       val stream = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      val sink = new TriangleStream(edges, stats)
       val q = stream.writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", s"$wh/ckpt")
-        .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, _: Long) =>
-          val batch = batch0.localCheckpoint()
-          val old = if (edges.exists) edges.read() else batch.limit(0)
-          val delta = Graph.triangleCountDelta(old, batch)
-            .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
-          val prev = if (stats.exists)
-            stats.read().as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
-          else 0L
-          import s.implicits._
-          stats.promote(stats.stage(
-            Seq(prev + delta).toDF("n_triangles")))
-          edges.promote(edges.stage(
-            old.unionByName(batch.join(old, Seq("u", "v"), "left_anti"))))
+        .foreachBatch { (batch0: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          sink.processBatch(batch0, batchId)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

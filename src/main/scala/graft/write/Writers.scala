@@ -70,20 +70,33 @@ object Writers {
                      keys: Seq[String], seqCol: String, opCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
-    val latest = changes
+    // The tie check is GLOBAL over the changelog: a duplicate seq anywhere
+    // in a key's history breaks the total order, not just a duplicate at
+    // the winning position. A window-count + CASE on the output column is
+    // NOT enough — the optimizer folds it into a short-circuit filter
+    // conjunct that non-winning rows never evaluate. Instead a 1-row
+    // broadcast aggregate of duplicate (keys, seq) groups is folded into
+    // seqCol itself: row_number's sort REQUIRES seqCol, so the guard is
+    // structurally unprunable and fires before any winner is picked.
+    val dups = changes
+      .groupBy((keys.map(col) :+ col(seqCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .agg(count(lit(1)).as("__ndups"),
+        min(concat_ws(",", keys.map(c => col(c).cast("string")): _*)).as("__dupkey"))
+    val checked = changes.crossJoin(broadcast(dups))
+      .withColumn(seqCol,
+        when(col("__ndups") > 0,
+          raise_error(concat(lit(s"applyChangelog: duplicate $seqCol for key "),
+            coalesce(col("__dupkey"), lit("?")))))
+          .otherwise(col(seqCol)))
+      .drop("__ndups", "__dupkey")
+    val latest = checked
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__ties", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy((keys.map(col) :+ col(seqCol)): _*)))
       .filter(col("__rn") === 1)
-    val checked = latest.withColumn(opCol,
-      when(col("__ties") > 1,
-        raise_error(concat(lit(s"applyChangelog: duplicate $seqCol for key "),
-          concat_ws(",", keys.map(c => col(c).cast("string")): _*))))
-        .otherwise(col(opCol)))
-    val survivors = checked.filter(col(opCol) =!= "D")
-      .drop("__rn", "__ties", seqCol, opCol)
-    snapshot.join(checked.select(keys.map(col): _*), keys, "left_anti")
+    val survivors = latest.filter(col(opCol) =!= "D")
+      .drop("__rn", seqCol, opCol)
+    snapshot.join(latest.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(survivors)
   }
 

@@ -181,4 +181,22 @@ class BehavioralSpec extends SparkSpec {
     assert(scored(2L) > scored(1L))
     assert(scored(2L) === 100L * 32 && scored(1L) === 100L)
   }
+
+  test("decayed ranking: trailing-60-day clamp keeps the shift under 62 bits") {
+    import spark.implicits._
+    // a 100-day span would shift 2^100 (wrapping mod 64 in Spark) without
+    // the clamp; with it, only days > max-60 are weighted, so the ancient
+    // row drops out and the shift is exactly 0 for the newest row
+    val daily = Seq((1L, 0L, 700L), (2L, 100L, 100L)).toDF("user_id", "day", "cents")
+    val horizon = daily.agg(max("day").as("mx"))
+    val recent = daily.crossJoin(horizon)
+      .filter(col("day") > col("mx") - lit(60)).drop("mx")
+    val base = recent.agg(min("day").as("mn"))
+    val scored = recent.crossJoin(base)
+      .groupBy("user_id")
+      .agg(sum(expr("cents * shiftleft(cast(1 as bigint), cast(day - mn as int))"))
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored === Map(2L -> 100L))
+  }
 }

@@ -123,6 +123,36 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("dyadic EWMA segmented restart survives a 150-day horizon without overflow") {
+    // q169's production form: (rn-1) div 32 segments the cumulative sum so
+    // shift+cents stays inside the 63-bit budget; each segment restarts
+    // the recurrence from its first value. Replay the same segmented
+    // recurrence in floats and demand ≤1-cent agreement on all 150 rows —
+    // an unsegmented dyadic form would overflow the term multiply at
+    // row ~50 for 4-digit cents (ANSI mode raises) and wrap past 63.
+    val xs = (0 until 150).map(i => ((i * 37 + 11) % 10000).toLong)
+    val df = xs.zipWithIndex.map { case (c, i) => ("g", i.toLong, c) }
+      .toDF("g", "day_idx", "cents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("day_idx")
+    val out = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("segid", expr("(rn - 1) div 32"))
+      .withColumn("srn", expr("((rn - 1) % 32) + 1"))
+      .withColumn("term",
+        expr("cents * shiftleft(cast(1 as bigint), cast(greatest(srn - 2, 0) as int))"))
+      .withColumn("ewma", expr(
+        "sum(term) over (partition by g, segid order by day_idx rows unbounded preceding)" +
+        " div shiftleft(cast(1 as bigint), cast(srn - 1 as int))"))
+      .orderBy("day_idx").select("ewma").as[Long].collect()
+    val expected = xs.grouped(32).flatMap { seg =>
+      seg.tail.scanLeft(seg.head.toDouble)((e, x) => (e + x) / 2.0)
+    }.toSeq
+    assert(out.length === 150)
+    out.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 1.0, s"got $got want $want")
+    }
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = (1 to 100).map(i => ("k", ts(f"2024-01-01 10:${i % 60}%02d:00"), i)).toDF("k", "lts", "id")
     val right = Seq(("k", ts("2024-01-01 10:30:00"), "x")).toDF("k", "rts", "v")

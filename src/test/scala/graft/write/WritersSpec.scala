@@ -195,4 +195,17 @@ class WritersSpec extends SparkSpec {
     assert(e.getMessage.contains("applyChangelog") ||
       Option(e.getCause).exists(_.getMessage.contains("applyChangelog")))
   }
+
+  test("applyChangelog: duplicate seq at a NON-winning position is also an error") {
+    // the tie (seq=5) is shadowed by a later seq=9 winner — validation is
+    // global over the changelog, not just at each key's max seq
+    val snapshot = Seq((1L, "a")).toDF("k", "v")
+    val dup = Seq((1L, "b", 5L, "U"), (1L, "c", 5L, "U"), (1L, "d", 9L, "U"))
+      .toDF("k", "v", "seq", "op")
+    val e = intercept[Exception] {
+      graft.write.Writers.applyChangelog(snapshot, dup, Seq("k"), "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("applyChangelog") ||
+      Option(e.getCause).exists(_.getMessage.contains("applyChangelog")))
+  }
 }
