@@ -710,6 +710,156 @@ object Curation {
     rebuildWithoutHot(docs, hotSet(ph, minDf, idCol), idCol, textCol)
   }
 
+  /** Markup-aware text extraction (jusText-lite, Pomikálek 2011): turn raw
+    * HTML into the block-segmented plain text the rest of the curation
+    * pipeline expects, without an HTML parser — every step is a regex or
+    * string op both engines evaluate identically, so the whole strip is
+    * replayable declaratively by the q202 oracle.
+    *
+    * Pipeline, per document (all inside the scan task — codegen'd string
+    * ops and HOFs over the split array; zero shuffle, zero explode):
+    *   1. drop invisible content: comments, `<script>`, `<style>` — paired
+    *     forms first, then a fail-closed `<script…$` sweep so an UNCLOSED
+    *     script/style/comment drops the document tail rather than leaking
+    *     code into the text;
+    *   2. segment: block-level tags (`p div br h1–h6 li ul ol tr td th
+    *     table … nav footer`) become newlines — the block structure IS the
+    *     markup's, which is what makes the downstream line-frequency
+    *     boilerplate pass ([[removeBoilerplate]]) see stable block
+    *     identities;
+    *   3. per block: strip inline tags (`<[^>]*>`), fail-close a dangling
+    *     unterminated `<…` to end-of-block, decode the HTML entities
+    *     (`&lt; &gt; &quot; &#39; &apos; &nbsp;` then `&amp;` LAST so
+    *     `&amp;lt;` single-decodes to the literal `&lt;`), collapse
+    *     whitespace runs, trim;
+    *   4. density filter (the jusText judgment, integerized): keep a block
+    *     only if it has >= `minWords` words AND words > `linkWordRatio` ×
+    *     (number of `<a` anchors in the block's markup) — short fragments
+    *     and link-dominated nav/footer/related-links blocks drop, body
+    *     prose survives. Both counts are exact integers, so the kept set
+    *     is value-identical across engines.
+    *
+    * Surviving blocks rejoin with `\n`; a doc whose every block drops keeps
+    * its row with empty text; NULL text stays NULL with every count 0 (the
+    * [[removeBoilerplate]] NULL discipline).
+    */
+  def extractText(docs: DataFrame, textCol: String = "text",
+                  minWords: Int = 3, linkWordRatio: Int = 2): DataFrame = {
+    require(minWords >= 1 && linkWordRatio >= 1)
+    val raw = col(textCol)
+    // 1. invisible content, paired then fail-closed unclosed
+    val noComment = regexp_replace(
+      regexp_replace(raw, "(?is)<!--.*?-->", ""), "(?is)<!--.*$", "")
+    val noScript = regexp_replace(
+      regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", ""),
+      "(?is)<script\\b.*$", "")
+    val noStyle = regexp_replace(
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", ""),
+      "(?is)<style\\b.*$", "")
+    // 2. block-level tags segment the text
+    val segmented = regexp_replace(noStyle,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|thead|tbody|section|" +
+        "article|header|footer|blockquote|nav|aside|form|hr|title)\\b[^>]*>",
+      "\n")
+    // 3. per-block cleanup (on the still-markup'd block)
+    def cleanBlock(b: Column): Column = {
+      val noTags = regexp_replace(regexp_replace(b, "<[^>]*>", ""), "<.*$", "")
+      val decoded = regexp_replace(
+        Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+            "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+          .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) },
+        "[ \\t\\r\\f]+", " ")
+      trim(decoded)
+    }
+    // anchors counted by replace-and-measure (3 chars per `<a ` / `<a>`
+    // match) — no regex-count builtin is common to both engines, the
+    // length delta is
+    def linkCount(b: Column): Column = {
+      val lb = lower(b)
+      ((length(lb) - length(regexp_replace(lb, "<a[ >]", ""))) / 3).cast("long")
+    }
+    def words(t: Column): Column =
+      when(t === "", lit(0)).otherwise(size(split(t, " "))).cast("long")
+    val scored = transform(split(segmented, "\n"),
+      b => struct(cleanBlock(b).as("t"), linkCount(b).as("nl")))
+    val kept = filter(scored, s =>
+      words(s("t")) >= minWords && words(s("t")) > lit(linkWordRatio) * s("nl"))
+    docs.withColumn(textCol,
+      when(raw.isNull, lit(null).cast("string"))
+        .otherwise(concat_ws("\n", transform(kept, s => s("t")))))
+  }
+
+  /** URL canonicalization for crawl frontier/dedup keys: two URLs that name
+    * the same resource must map to the same string, or every downstream
+    * key — dedup, per-domain caps, frontier visited-sets — silently splits.
+    * Absolute http(s) URLs; every step is a regex or string op both engines
+    * evaluate identically (q203's oracle replays it value-exact):
+    *   - fragment dropped (`#…` is client-side);
+    *   - scheme and host lowercased (case-insensitive per RFC 3986); the
+    *     path/query KEEP case (significant);
+    *   - default port dropped (`:80` for http, `:443` for https — only for
+    *     its own scheme); non-default ports kept;
+    *   - leading `www.` dropped;
+    *   - tracking params removed (`utm_*`, `gclid`, `fbclid`, `msclkid`,
+    *     `ref` — the public-knowledge click-id set), remaining params
+    *     SORTED (param order is almost never significant; sorting buys
+    *     canonical equality for reordered links), empty query dropped;
+    *   - trailing slashes trimmed, empty path normalized to `/`.
+    * Pure codegen'd projection — runs in the scan task, nothing shuffles.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val dropPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(dropPort, "^www\\.", "")
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    val pathTrim = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/+$", "")
+    val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
+        !p.startsWith("fbclid=") && !p.startsWith("msclkid=") &&
+        !p.startsWith("ref=")))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Registered (pay-level) domain of an already-canonicalized host: the
+    * unit crawl policies meter by — per-domain caps, politeness budgets,
+    * domain-stratified sampling. Last two labels, or last three when the
+    * 2-label tail is a multi-part public suffix (a public-knowledge subset
+    * of the Mozilla Public Suffix List: the high-traffic ccTLD second
+    * levels plus the big shared-hosting suffixes). A full PSL would be a
+    * broadcast lookup table; the literal subset keeps the whole thing a
+    * codegen'd projection the q203 oracle can replay with an IN list.
+    */
+  private val MultiPartSuffixes = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "co.nz", "co.kr", "com.br", "com.mx",
+    "co.in", "com.cn", "com.sg", "com.tr", "github.io", "blogspot.com")
+
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(n >= 3 && last2.isInCollection(MultiPartSuffixes), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** [[registeredDomain]] straight off a (canonicalized) URL: authority
+    * extracted, port dropped (a port is not part of the domain).
+    */
+  def urlDomain(u: Column): Column =
+    registeredDomain(regexp_replace(
+      regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1),
+      ":[0-9]+$", ""))
+
   /** Content-defined token-span chunks: the text's token stream cut AFTER
     * every boundary token (a token whose md5 hex is below '1' — a
     * deterministic 1/16-rate content condition both engines compute
@@ -823,6 +973,38 @@ object Curation {
   }
 
   // ---- declared queries ----------------------------------------------------
+
+  /** q203/q204 fixture: a deterministic URL per document planting every
+    * canonicalization rule — mixed-case scheme/host, default port on its
+    * own scheme (the %6=2/:443 variant only occurs on even ids, i.e.
+    * https; the %6=5/:80 variant only on odd ids, i.e. http), a kept
+    * non-default port, www., tracking params among real ones, trailing
+    * slash, fragment, and four public-suffix families.
+    */
+  private def seededUrls(s: org.apache.spark.sql.SparkSession, d: String,
+                         withQuery: Boolean = true): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 6 === 0, lit("EXAMPLE.com"))
+        .when(col("doc_id") % 6 === 1, lit("news.Example.co.uk"))
+        .when(col("doc_id") % 6 === 2, lit("www.Example.com:443"))
+        .when(col("doc_id") % 6 === 3, lit("blog.example.com:8080"))
+        .when(col("doc_id") % 6 === 4, lit("Example.github.io"))
+        .otherwise(lit("shop.example.com.au:80")),
+      when(col("doc_id") % 4 === 0, lit(""))
+        .when(col("doc_id") % 4 === 1, lit("/Articles/"))
+        .when(col("doc_id") % 4 === 2, lit("/a/b"))
+        .otherwise(lit("/")),
+      if (!withQuery) lit("") else
+        when(col("doc_id") % 5 === 0, lit(""))
+          .when(col("doc_id") % 5 === 1, concat(lit("?utm_source=x&id="),
+            col("doc_id").cast("string"), lit("&utm_campaign=y")))
+          .when(col("doc_id") % 5 === 2, lit("?b=2&a=1"))
+          .when(col("doc_id") % 5 === 3, lit("?gclid=abc"))
+          .otherwise(lit("?ref=tw&q=Spark")),
+      when(col("doc_id") % 3 === 0, lit("#Section-2")).otherwise(lit("")))
+      .as("url"))
 
   val queries: Seq[Q] = Seq(
 
@@ -1326,6 +1508,242 @@ object Curation {
       removeBoilerplate(seeded, minDf = 100)
         .select("doc_id", "text", "n_removed")
         .orderBy("doc_id")
+    },
+
+    // Markup-aware extraction (jusText-lite) feeding the q81 line-frequency
+    // pass: each document is wrapped in a full HTML page (head/style,
+    // script on 1-in-5 docs with fake markup inside, a link-only nav, an
+    // entity-bearing heading, the body paragraph, an entity paragraph on
+    // 1-in-7, an UNCLOSED tag on 1-in-11, a subscribe line in every doc,
+    // a comment, a link-only footer), extracted by extractText, then the
+    // corpus-frequency boilerplate pass strips the cross-doc subscribe
+    // line. The oracle replays every strip declaratively — the same
+    // regexes (RE2 ∩ java.util.regex semantics), the same entity chain,
+    // the same integer density rule — so text and removal counts are
+    // value-exact, covering: invisible-content removal, block
+    // segmentation, dangling-tag fail-close, entity single-decode, and
+    // the link-density drop of nav/footer.
+    Q("q202_markup_extract",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style>body { color: red } p>a { x: 1 }</style></head>' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '<script type="text/javascript">var s = "<p>fake para</p>"; if (a < b) { go(); }</script>' ELSE '' END ||
+        |    '<body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>' ||
+        |    '<h1>Doc &#39;Overview&#39;</h1>' ||
+        |    '<p>' || text || '</p>' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '<p>5 &lt; 6 &amp; 7 &gt; 2 holds, she said &quot;always&quot;</p>' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '<div>trailing fragment kept before <unclosed junk never closed' ELSE '' END ||
+        |    '<p>Subscribe to our newsletter for weekly updates</p>' ||
+        |    '<!-- tracking pixel --><footer><a href="/tos">terms</a> <a href="/privacy">privacy</a></footer></body></html>'
+        |    AS html
+        |  FROM documents),
+        | cleaned AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?is)<!--.*?-->', '', 'g'), '(?is)<!--.*$', '', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'), '(?is)<script\b.*$', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'), '(?is)<style\b.*$', '', 'g') AS s
+        |  FROM seeded),
+        | segmented AS (
+        |  SELECT doc_id, regexp_replace(s,
+        |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|thead|tbody|section|article|header|footer|blockquote|nav|aside|form|hr|title)\b[^>]*>',
+        |    chr(10), 'g') AS s
+        |  FROM cleaned),
+        | blocks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(s, chr(10))) AS b,
+        |    unnest(generate_series(1, len(string_split(s, chr(10))))) AS i
+        |  FROM segmented),
+        | scored AS (
+        |  SELECT doc_id, i,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'), '<.*$', '', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\r\f]+', ' ', 'g')) AS t,
+        |    CAST((len(lower(b)) - len(regexp_replace(lower(b), '<a[ >]', '', 'g'))) // 3 AS BIGINT) AS nl
+        |  FROM blocks),
+        | kept AS (
+        |  SELECT doc_id, i, t FROM scored
+        |  WHERE (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) >= 3
+        |    AND (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) > 2 * nl),
+        | ext AS (
+        |  SELECT d.doc_id, coalesce(k.text, '') AS text
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, string_agg(t, chr(10) ORDER BY i) AS text FROM kept GROUP BY 1) k
+        |  USING (doc_id)),
+        | p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM ext),
+        | hot AS (SELECT list(para) AS hp FROM (
+        |   SELECT para FROM (
+        |     SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+        |   WHERE df >= 100))
+        |SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, chr(10)),
+        |    x -> NOT coalesce(list_contains(hp, x), false)), chr(10)) AS text,
+        |  CAST(len(string_split(text, chr(10))) -
+        |       len(list_filter(string_split(text, chr(10)),
+        |         x -> NOT coalesce(list_contains(hp, x), false))) AS BIGINT) AS n_removed
+        |FROM ext CROSS JOIN hot ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc</title><style>body { color: red } p>a { x: 1 }</style></head>"),
+          when(col("doc_id") % 5 === 0,
+            lit("""<script type="text/javascript">var s = "<p>fake para</p>"; if (a < b) { go(); }</script>"""))
+            .otherwise(lit("")),
+          lit("""<body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>"""),
+          lit("<h1>Doc &#39;Overview&#39;</h1>"),
+          lit("<p>"), col("text"), lit("</p>"),
+          when(col("doc_id") % 7 === 0,
+            lit("<p>5 &lt; 6 &amp; 7 &gt; 2 holds, she said &quot;always&quot;</p>"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("<div>trailing fragment kept before <unclosed junk never closed"))
+            .otherwise(lit("")),
+          lit("<p>Subscribe to our newsletter for weekly updates</p>"),
+          lit("""<!-- tracking pixel --><footer><a href="/tos">terms</a> <a href="/privacy">privacy</a></footer></body></html>"""))
+          .as("text"))
+      removeBoilerplate(extractText(seeded), minDf = 100)
+        .select("doc_id", "text", "n_removed")
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization + registered-domain extraction over a fixture
+    // that plants every rule: mixed-case scheme/host, default port on its
+    // own scheme vs a kept non-default port, www., fragments, utm_*/gclid/
+    // ref tracking params among real ones (which re-sort), trailing
+    // slashes, empty paths, and four suffix families (plain .com, co.uk
+    // ccTLD second-level, github.io shared hosting, com.au). The oracle
+    // replays every regex and string op value-exact.
+    Q("q203_url_canonical",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+        |    (CASE doc_id % 6
+        |       WHEN 0 THEN 'EXAMPLE.com' WHEN 1 THEN 'news.Example.co.uk'
+        |       WHEN 2 THEN 'www.Example.com:443' WHEN 3 THEN 'blog.example.com:8080'
+        |       WHEN 4 THEN 'Example.github.io' ELSE 'shop.example.com.au:80' END) ||
+        |    (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/Articles/' WHEN 2 THEN '/a/b' ELSE '/' END) ||
+        |    (CASE doc_id % 5 WHEN 0 THEN ''
+        |       WHEN 1 THEN '?utm_source=x&id=' || doc_id || '&utm_campaign=y'
+        |       WHEN 2 THEN '?b=2&a=1' WHEN 3 THEN '?gclid=abc' ELSE '?ref=tw&q=Spark' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '#Section-2' ELSE '' END) AS url
+        |  FROM documents),
+        | parts AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM seeded),
+        | comps AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+        |  FROM parts),
+        | hostq AS (
+        |  SELECT doc_id, scheme, rest,
+        |    regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END, '^www\.', '') AS host
+        |  FROM comps),
+        | built AS (
+        |  SELECT doc_id, scheme, host,
+        |    CASE WHEN regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') = ''
+        |         THEN '/' ELSE regexp_replace(regexp_replace(rest, '\?.*$', ''), '/+$', '') END AS path,
+        |    list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'gclid=')
+        |        AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'msclkid=')
+        |        AND NOT starts_with(p, 'ref='))) AS params
+        |  FROM hostq),
+        | canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS url,
+        |    regexp_replace(host, ':[0-9]+$', '') AS bare
+        |  FROM built)
+        |SELECT doc_id, url,
+        |  CASE WHEN len(string_split(bare, '.')) >= 3
+        |            AND array_to_string(string_split(bare, '.')[-2:], '.') IN
+        |              ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
+        |               'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
+        |               'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
+        |       THEN array_to_string(string_split(bare, '.')[-3:], '.')
+        |       WHEN len(string_split(bare, '.')) >= 2
+        |       THEN array_to_string(string_split(bare, '.')[-2:], '.')
+        |       ELSE bare END AS domain
+        |FROM canon ORDER BY doc_id""".stripMargin) { (s, d) =>
+      seededUrls(s, d)
+        .select(col("doc_id"), canonicalizeUrl(col("url")).as("url"))
+        .withColumn("domain", urlDomain(col("url")))
+        .orderBy("doc_id")
+    },
+
+    // Registered-domain strata driving the sampling machinery: cap 150
+    // docs per domain (q77's deterministic md5 tiebreak), then temperature
+    // mix at alpha = 0.5 over the capped strata (q82's 60-bit threshold
+    // arithmetic) — the crawl-side "no single domain dominates the
+    // training mix" policy, end to end from raw URL strings. The oracle
+    // replays canonicalization, domain extraction, the cap ranking, and
+    // the IEEE threshold arithmetic, so per-domain kept counts are exact.
+    Q("q204_domain_mix",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+        |    (CASE doc_id % 6
+        |       WHEN 0 THEN 'EXAMPLE.com' WHEN 1 THEN 'news.Example.co.uk'
+        |       WHEN 2 THEN 'www.Example.com:443' WHEN 3 THEN 'blog.example.com:8080'
+        |       WHEN 4 THEN 'Example.github.io' ELSE 'shop.example.com.au:80' END) ||
+        |    (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/Articles/' WHEN 2 THEN '/a/b' ELSE '/' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '#Section-2' ELSE '' END) AS url
+        |  FROM documents),
+        | hostq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+        |  FROM seeded),
+        | dom0 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare
+        |  FROM hostq),
+        | dom AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(bare, '.')) >= 3
+        |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
+        |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
+        |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
+        |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
+        |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
+        |         WHEN len(string_split(bare, '.')) >= 2
+        |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
+        |         ELSE bare END AS domain
+        |  FROM dom0),
+        | capped AS (
+        |  SELECT doc_id, domain FROM (
+        |    SELECT doc_id, domain,
+        |      row_number() OVER (PARTITION BY domain
+        |                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM dom) WHERE rn <= 150),
+        | c AS (SELECT domain, count(1) AS c FROM capped GROUP BY 1),
+        | m AS (SELECT min(c) AS cmin FROM c),
+        | r AS (SELECT domain,
+        |         CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) *
+        |                    1152921504606846976) AS BIGINT) AS thr
+        |       FROM c CROSS JOIN m),
+        | kept AS (
+        |  SELECT d.domain FROM capped d JOIN r USING (domain)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        < thr)
+        |SELECT domain, count(1) AS n_docs FROM kept GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dom = seededUrls(s, d, withQuery = false)
+        .select(col("doc_id"), urlDomain(canonicalizeUrl(col("url"))).as("domain"))
+      temperatureMix(
+          dom.join(capPerStratum(dom, "domain", cap = 150).select("doc_id"), Seq("doc_id")),
+          "domain")
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
     },
 
     // Temperature sampling at alpha = 0.5 over language strata: the oracle

@@ -367,6 +367,120 @@ class CurationSpec extends SparkSpec {
       s"big kept ${kept(Some("big"))} of $n at rate $p")
   }
 
+  test("extractText: body prose survives; nav, footer, script, style, comments don't") {
+    val html = Seq((1L,
+      "<html><head><title>T</title><style>p { color: red }</style></head>" +
+        "<body><nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav>" +
+        "<p>the quick brown fox jumps over the lazy dog</p>" +
+        "<script>var x = \"<p>fake paragraph inside script</p>\";</script>" +
+        "<!-- hidden comment text --><footer><a href=\"/t\">terms</a></footer></body></html>"))
+      .toDF("doc_id", "text")
+    val out = Curation.extractText(html).select("text").as[String].head()
+    assert(out === "the quick brown fox jumps over the lazy dog")
+  }
+
+  test("extractText fail-closes malformed markup: unclosed script/comment/tag drop, not leak") {
+    val cases = Seq(
+      // unclosed script: everything after it is invisible
+      (1L, "<p>kept body text here</p><script>var leak = 1; <p>never seen</p>"),
+      // unclosed comment likewise
+      (2L, "<p>kept body text here</p><!-- unterminated <p>never seen</p>"),
+      // dangling '<' inside a block drops the tail of that block only
+      (3L, "<p>kept body text before <broken tag soup never closed</p><p>next block still here</p>"))
+      .toDF("doc_id", "text")
+    val out = Curation.extractText(cases).orderBy("doc_id")
+      .select("text").as[String].collect()
+    assert(out(0) === "kept body text here")
+    assert(out(1) === "kept body text here")
+    assert(out(2) === "kept body text before\nnext block still here")
+    assert(!out.exists(_.contains("never")))
+    assert(!out.exists(_.contains("leak")))
+  }
+
+  test("extractText entities: single decode, &amp;lt; stays literal, nbsp collapses") {
+    val html = Seq((1L,
+      "<p>5 &lt; 6 &amp; 7 &gt; 2 so &quot;q&quot; isn&#39;t &amp;lt; escaped&nbsp;&nbsp;here</p>"))
+      .toDF("doc_id", "text")
+    val out = Curation.extractText(html).select("text").as[String].head()
+    assert(out === "5 < 6 & 7 > 2 so \"q\" isn't &lt; escaped here")
+  }
+
+  test("extractText density rule: short and link-dominated blocks drop, NULL/empty safe") {
+    val html = Seq(
+      (1L, "<p>two words</p><p>three words here</p>"),           // minWords boundary
+      (2L, "<p>see <a href=\"/x\">this link</a> plus four real words</p>"), // 1 link, 8 words: kept
+      (3L, "<li><a href=\"/a\">one</a> <a href=\"/b\">two</a> <a href=\"/c\">three</a></li>"), // 3 links, 3 words: dropped
+      (4L, null.asInstanceOf[String]),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.extractText(html).orderBy("doc_id")
+      .select("text").as[Option[String]].collect()
+    assert(out(0) === Some("three words here"))
+    assert(out(1) === Some("see this link plus four real words"))
+    assert(out(2) === Some(""))
+    assert(out(3) === None)
+    assert(out(4) === Some(""))
+  }
+
+  test("extractText block segmentation keeps document order and nested tags flatten") {
+    val html = Seq((1L,
+      "<div>outer open first three words<div>inner nested block also kept</div>" +
+        "tail after the nested block</div><h2>Heading With Three Words</h2>"))
+      .toDF("doc_id", "text")
+    val out = Curation.extractText(html).select("text").as[String].head()
+    assert(out === "outer open first three words\ninner nested block also kept\n" +
+      "tail after the nested block\nHeading With Three Words")
+  }
+
+  test("canonicalizeUrl: equivalent spellings collapse, significant parts survive") {
+    val urls = Seq(
+      // all five of these name the same resource
+      "https://EXAMPLE.com/a/b",
+      "https://example.com:443/a/b",
+      "https://www.example.com/a/b/",
+      "HTTPS://example.com/a/b#frag",
+      "https://example.com/a/b?utm_source=x&utm_medium=y",
+      // and these must all stay distinct
+      "http://example.com:8080/a/b",   // non-default port
+      "https://example.com/a/B",       // path case is significant
+      "https://example.com/a/b?id=1",  // real param survives
+      "http://example.com/a/b"         // scheme differs
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = urls.select(Curation.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(out.take(5).toSet === Set("https://example.com/a/b"))
+    assert((out.drop(5).toSet + "https://example.com/a/b").size === 5)
+    assert(out(5) === "http://example.com:8080/a/b")
+    assert(out(7) === "https://example.com/a/b?id=1")
+  }
+
+  test("canonicalizeUrl sorts surviving params and drops only tracking ones") {
+    val out = Seq((1L, "https://e.com/p?z=1&gclid=g&a=2&fbclid=f&ref=tw&msclkid=m&m=3"))
+      .toDF("id", "url")
+      .select(Curation.canonicalizeUrl(col("url"))).as[String].head()
+    assert(out === "https://e.com/p?a=2&m=3&z=1")
+    // empty-after-stripping query drops the '?' entirely; root path is '/'
+    val bare = Seq((1L, "http://e.com?utm_campaign=x#f")).toDF("id", "url")
+      .select(Curation.canonicalizeUrl(col("url"))).as[String].head()
+    assert(bare === "http://e.com/")
+  }
+
+  test("registeredDomain: plain TLDs, multi-part suffixes, bare hosts") {
+    val cases = Seq(
+      ("a.b.example.com", "example.com"),
+      ("example.com", "example.com"),
+      ("news.bbc.co.uk", "bbc.co.uk"),
+      ("bbc.co.uk", "bbc.co.uk"),
+      ("co.uk", "co.uk"),           // a bare suffix has no registrable part
+      ("user.github.io", "user.github.io"),
+      ("deep.sub.user.github.io", "user.github.io"),
+      ("localhost", "localhost"))
+    val out = cases.map(_._1).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "host")
+      .orderBy("id")
+      .select(Curation.registeredDomain(col("host"))).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got === want) }
+  }
+
   test("removeBoilerplate strips planted hot lines exactly, counts them, idempotent") {
     val sample = docs.limit(300)
     val seeded = sample.withColumn("text",
