@@ -42,6 +42,8 @@ object AnnIndex {
     new VersionedTable(spark, s"$root/centroids")
   private def postingsTable(spark: SparkSession, root: String) =
     new VersionedTable(spark, s"$root/postings")
+  private def tombstonesTable(spark: SparkSession, root: String) =
+    new VersionedTable(spark, s"$root/tombstones")
 
   /** Build (or rebuild) the index at `root`: train centroids over a bounded
     * sample, assign every corpus vector its nearest cell, quantize to int8
@@ -131,7 +133,53 @@ object AnnIndex {
       .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
     val merged = graft.write.Writers.upsert(existingTouched, newPostings, Seq("nid"))
     pt.promote(pt.stagePatch(merged, Seq("cid")))
+    // a re-ingested id un-deletes: clear any tombstone the batch's nids
+    // carry, or the fresh posting would stay invisible at probe time
+    // (latest-op-wins across the append/delete history). The tombstone
+    // table is delete-batch-sized, so the rewrite is O(tombstones).
+    val tt = tombstonesTable(spark, root)
+    if (tt.exists)
+      tt.promote(tt.stage(
+        tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")
+          .localCheckpoint()))
     IvfIndex(root, cents.length)
+  }
+
+  /** Delete a batch of vector ids from the index WITHOUT touching the
+    * postings: the ids land as TOMBSTONES — an O(batch) append to a sidecar
+    * versioned table ([[graft.write.VersionedTable.stageAppend]], old files
+    * inherited by reference) — and every probe anti-joins them out until
+    * [[compactIvfIndex]] physically rewrites the postings without the dead
+    * rows and truncates the tombstone set. This is the LSM delete: the
+    * per-delete cost is the batch, the O(index) rewrite amortizes into the
+    * periodic compaction that was already part of the index lifecycle.
+    *
+    * Unknown ids are legal no-ops (their tombstone matches nothing — same
+    * as deleting an absent key from a log-structured store); re-deletes are
+    * idempotent (the set stays a set via anti-join). A later
+    * [[appendToIvfIndex]] of a tombstoned id un-deletes it. AnnIndexSpec
+    * holds the laws; q205 oracles delete-then-probe == index built without
+    * the deleted vectors, before and after compaction.
+    */
+  def deleteFromIvfIndex(deletedIds: DataFrame, root: String,
+                         idCol: String = "vec_id"): Unit = {
+    val spark = deletedIds.sparkSession
+    val ids = deletedIds.select(col(idCol).cast("long").as("nid")).distinct()
+    val tt = tombstonesTable(spark, root)
+    if (tt.exists) {
+      val fresh = ids.join(tt.read(), Seq("nid"), "left_anti").localCheckpoint()
+      if (!fresh.isEmpty) {
+        tt.promote(tt.stageAppend(fresh))
+        tt.compactIfNeeded(4)
+      }
+    } else tt.promote(tt.stage(ids))
+  }
+
+  /** The ids currently tombstoned (empty frame if none ever were). */
+  def tombstones(spark: SparkSession, root: String): DataFrame = {
+    val tt = tombstonesTable(spark, root)
+    if (tt.exists) tt.read()
+    else spark.range(0).select(col("id").as("nid"))
   }
 
   /** Collapse the postings patch chain an append-heavy crawl accumulates
@@ -144,7 +192,20 @@ object AnnIndex {
     * carries the current tag, so any batch-stamped protocol survives.
     */
   def compactIvfIndex(spark: SparkSession, root: String): Unit = {
-    postingsTable(spark, root).compact(Seq("cid"))
+    val pt = postingsTable(spark, root)
+    val tt = tombstonesTable(spark, root)
+    val dead = if (tt.exists) Some(tt.read().localCheckpoint()) else None
+    if (dead.exists(!_.isEmpty)) {
+      // physical delete: rewrite the postings without the tombstoned rows,
+      // then truncate the tombstone set in a SECOND promote. Crash between
+      // the two leaves stale tombstones over already-purged postings —
+      // the anti-join then matches nothing, so serving stays correct and
+      // the next compaction clears them (convergent, like the streaming
+      // sinks' half-stamped pairs).
+      val purged = pt.read().join(dead.get, Seq("nid"), "left_anti")
+      pt.promote(pt.stage(purged, Seq("cid")), pt.currentTag)
+      tt.promote(tt.stage(dead.get.limit(0)))
+    } else pt.compact(Seq("cid"))
     ()
   }
 
@@ -192,8 +253,15 @@ object AnnIndex {
       s"probeIvf routed ${probeCids.length} distinct cells — the query table " +
         "is not broadcast-small; use Similarity.knnJoinQuantized for " +
         "corpus-vs-corpus kNN")
-    val postings = postingsTable(spark, root).read()
+    val postings0 = postingsTable(spark, root).read()
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    // tombstoned ids are invisible until compaction physically drops them;
+    // the tombstone set is delete-batch-sized, so AQE broadcasts the
+    // anti-join side — no extra shuffle on the postings
+    val tt = tombstonesTable(spark, root)
+    val postings =
+      if (tt.exists) postings0.join(broadcast(tt.read()), Seq("nid"), "left_anti")
+      else postings0
     val scored = postings.join(broadcast(q), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), Similarity.int8Dot(col("qc"), col("code")).as("score"))
@@ -339,6 +407,72 @@ object AnnIndex {
         .filter(col("rnk") === 1)
         .select("qid", "nid", "score")
         .orderBy("qid")
+    },
+
+    // Tombstone deletes through the index lifecycle: each query gets TWO
+    // planted twins (+0.02 closest, +0.03 second) and the index is built
+    // over the union; deleting the organic %17 stratum and then (a second
+    // delete batch — the tombstone APPEND path) every closest twin must
+    // surface the SECOND twin at rank 1, first through the probe-time
+    // anti-join ('served' phase) and byte-identically again after
+    // compaction physically drops the dead rows ('compacted' phase). The
+    // oracle is quantized brute force over corpus-minus-deleted, crossed
+    // with both phases: delete-then-probe == index built without the
+    // deleted vectors, at every point of the lifecycle.
+    Q("q205_ann_delete",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5
+        |          UNION ALL
+        |          SELECT vec_id + 200000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.03 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < 5),
+        | alive AS (SELECT vec_id AS nid, code AS cc FROM qz
+        |           WHERE NOT ((vec_id >= 100000 AND vec_id < 200000) OR vec_id % 17 = 3)),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, alive WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored),
+        | top AS (SELECT qid, nid, score FROM ranked WHERE rnk = 1)
+        |SELECT phase, qid, nid, score
+        |FROM top CROSS JOIN (SELECT unnest(['served','compacted']) AS phase)
+        |ORDER BY phase, qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 5)
+      def twin(off: Int, eps: Float) = probes
+        .withColumn("vec_id", col("vec_id") + off)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(eps)).cast("array<float>"))
+      val root = s"${graft.core.Scratch.dir("graft-q205")}/ivf"
+      buildIvfIndex(
+        emb.unionByName(twin(100000, 0.02f)).unionByName(twin(200000, 0.03f)), root)
+      deleteFromIvfIndex(emb.select("vec_id").filter(col("vec_id") % 17 === 3), root)
+      deleteFromIvfIndex(
+        probes.select((col("vec_id") + 100000).as("vec_id")), root)
+      val served = probeIvf(s, root, probes, k = 1, nProbe = 3)
+        .filter(col("rnk") === 1).select("qid", "nid", "score")
+        .withColumn("phase", lit("served"))
+        .localCheckpoint() // pin the pre-compaction answer before compacting
+      compactIvfIndex(s, root)
+      val compacted = probeIvf(s, root, probes, k = 1, nProbe = 3)
+        .filter(col("rnk") === 1).select("qid", "nid", "score")
+        .withColumn("phase", lit("compacted"))
+      served.unionByName(compacted)
+        .select("phase", "qid", "nid", "score")
+        .orderBy("phase", "qid")
     },
   )
 }

@@ -161,6 +161,72 @@ class AnnIndexSpec extends SparkSpec {
     assert(before === after && before.nonEmpty)
   }
 
+  test("delete is O(batch): tombstones append without touching the postings") {
+    val root = tmpRoot("tomb")
+    AnnIndex.buildIvfIndex(emb, root)
+    val pt = new graft.write.VersionedTable(spark, s"$root/postings")
+    val pv = pt.currentVersion
+    AnnIndex.deleteFromIvfIndex(emb.select("vec_id").filter(col("vec_id") % 17 === 3), root)
+    AnnIndex.deleteFromIvfIndex(emb.select("vec_id").filter(col("vec_id") % 23 === 5), root)
+    // the footprint law: deletes never rewrite (or even version) the
+    // postings — the cost is the tombstone batch, full stop
+    assert(pt.currentVersion === pv)
+    val tt = new graft.write.VersionedTable(spark, s"$root/tombstones")
+    assert(tt.chainDepth <= 4)
+    val nDead = AnnIndex.tombstones(spark, root).count()
+    // re-delete is idempotent: the set stays a set, no new version needed
+    val tv = tt.currentVersion
+    AnnIndex.deleteFromIvfIndex(emb.select("vec_id").filter(col("vec_id") % 17 === 3), root)
+    assert(tt.currentVersion === tv)
+    assert(AnnIndex.tombstones(spark, root).count() === nDead)
+    // deleting an absent id is a legal no-op for serving
+    import spark.implicits._
+    AnnIndex.deleteFromIvfIndex(Seq(999999L).toDF("vec_id"), root)
+    assert(AnnIndex.probeIvf(spark, root, queries, 3).count() > 0)
+  }
+
+  test("delete-then-probe == rebuild-without-deleted, before and after compaction") {
+    val dead = emb.select("vec_id").filter(col("vec_id") % 17 === 3)
+    val root = tmpRoot("tombeq")
+    val idx = AnnIndex.buildIvfIndex(emb, root)
+    AnnIndex.deleteFromIvfIndex(dead, root)
+    // FULL probe (every cell) so ANN cell routing can't mask a liveness bug
+    def full() = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
+      .collect().map(_.toSeq).toSet
+    val alive = emb.join(dead.withColumnRenamed("vec_id", "__dead"),
+      col("vec_id") === col("__dead"), "left_anti")
+    val want = Similarity.quantizedTopK(alive, queries, 5)
+      .collect().map(_.toSeq).toSet
+    val served = full()
+    assert(served === want && served.nonEmpty)
+    AnnIndex.compactIvfIndex(spark, root)
+    assert(full() === want)
+    // compaction PHYSICALLY dropped the rows and truncated the tombstones
+    val pt = new graft.write.VersionedTable(spark, s"$root/postings")
+    assert(pt.read().join(dead.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+      .count() === 0)
+    assert(AnnIndex.tombstones(spark, root).count() === 0)
+    assert(pt.chainDepth === 1)
+  }
+
+  test("append un-deletes: a re-ingested tombstoned id serves again") {
+    import spark.implicits._
+    val root = tmpRoot("undelete")
+    val idx = AnnIndex.buildIvfIndex(emb, root)
+    val victim = emb.filter(col("vec_id") === 3)
+    AnnIndex.deleteFromIvfIndex(victim.select("vec_id"), root)
+    assert(AnnIndex.tombstones(spark, root).as[Long].collect().toSet === Set(3L))
+    AnnIndex.appendToIvfIndex(victim, root)
+    assert(AnnIndex.tombstones(spark, root).count() === 0)
+    // full-probe parity with the never-deleted corpus: the lifecycle
+    // (delete then re-append) must be invisible to serving
+    val got = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = idx.nCentroids)
+      .collect().map(_.toSeq).toSet
+    val want = Similarity.quantizedTopK(emb, queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("q88/q93 fixture coupling: each twin's cell is inside its query's nProbe=3 cells") {
     // the q88/q93 oracles are exact brute force while the engine probes
     // nProbe=3 cells — their parity rests on every planted twin assigning
