@@ -1,0 +1,140 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-navigable ANN: a k-NN graph built by NN-descent (Dong, Moses &
+  * Li, WWW 2011) served by greedy beam search — the HNSW/NSG family's
+  * flat-graph core, INTEGER-EXACT end to end so the whole structure is
+  * value-oracle-able: similarities are the int8 BIGINT dot (ties to the
+  * smaller id), candidate generation and pruning are set algebra +
+  * rank-with-explicit-tiebreaks, and the deterministic "randomness" the
+  * algorithm needs (init graph, reverse-edge sampling, entry points) is
+  * md5 order — the same cross-engine random permutation the sampling
+  * operators use.
+  *
+  * Scale shape:
+  *   - init: q193's hash-bucketed successor pairing — one keyed window
+  *     over (bucket, md5-order), no cross product;
+  *   - each descent round: the LOCAL JOIN of NN-descent — candidates are
+  *     pairs of nodes sharing a neighbor, so the work is Σ_w deg(w)²,
+  *     with deg capped at 2k by the reverse-edge cap (the paper's reverse
+  *     sampling, made deterministic) — never N²; one shuffle per round on
+  *     the shared-neighbor key, one on the node key for the top-k prune;
+  *   - probe: each beam round touches beam×k candidate rows per query
+  *     against the broadcast query panel — index-probe-bounded, the
+  *     corpus is never scanned after the graph is built.
+  */
+object NnDescent {
+
+  private def hh(c: Column): Column = md5(c.cast("string"))
+
+  /** (nid, cc) int8 code relation for a corpus. */
+  def codes(corpus: DataFrame, idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame =
+    Similarity.quantizeInt8(corpus, vecCol)
+      .select(col(idCol).cast("long").as("nid"), col("qcode").as("cc"))
+
+  /** Deterministic init graph: within each of `buckets` md5 buckets, each
+    * node points at its next `k` successors in (md5, nid) order — arbitrary
+    * but hash-scattered, which is all NN-descent needs to converge; tail
+    * nodes of a bucket start with fewer out-edges and are healed by the
+    * reverse edges of round one.
+    */
+  def initGraph(ids: DataFrame, k: Int, buckets: Int = 16): DataFrame = {
+    val h = ids.select(col("nid"), hh(col("nid")).as("__h"),
+      (conv(substring(hh(col("nid")), 1, 15), 16, 10).cast("long") % buckets)
+        .as("__b"))
+    val w = Window.partitionBy("__b").orderBy(col("__h"), col("nid"))
+    val leads = array((1 to k).map(j => lead(col("nid"), j).over(w)): _*)
+    // two selects: a generator's argument cannot contain window expressions
+    h.select(col("nid").as("u"), leads.as("__ls"))
+      .select(col("u"), explode(col("__ls")).as("v"))
+      .filter(col("v").isNotNull)
+  }
+
+  /** Forward edges plus reverse edges capped at `k` per target (md5-order
+    * deterministic sample) — bounds every node's undirected degree at 2k,
+    * which is what keeps the local join quadratic-in-k, not in the hub's
+    * in-degree.
+    */
+  private[scale] def undirected(e: DataFrame, k: Int): DataFrame = {
+    val rev = e.select(col("v").as("u"), col("u").as("v"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("u").orderBy(hh(col("v")), col("v"))))
+      .filter(col("__rn") <= k).drop("__rn")
+    e.select("u", "v").unionByName(rev).distinct()
+  }
+
+  /** One NN-descent round: every pair of nodes sharing a neighbor (in the
+    * degree-capped undirected graph) becomes a candidate, the union with
+    * the current edges is rescored, and each node keeps its `k` best
+    * (score DESC, id ASC).
+    */
+  def descentRound(e: DataFrame, cz: DataFrame, k: Int): DataFrame = {
+    val und = undirected(e, k).localCheckpoint()
+    val pairs = und.select(col("u").as("w"), col("v").as("x1"))
+      .join(und.select(col("u").as("w"), col("v").as("x2")), "w")
+      .filter(col("x1") =!= col("x2"))
+      .select(col("x1").as("u"), col("x2").as("v"))
+    val cand = e.select("u", "v").unionByName(pairs).distinct()
+    val scored = cand
+      .join(cz.select(col("nid").as("u"), col("cc").as("cu")), "u")
+      .join(cz.select(col("nid").as("v"), col("cc").as("cv")), "v")
+      .select(col("u"), col("v"),
+        Similarity.int8Dot(col("cu"), col("cv")).as("score"))
+    scored.withColumn("__rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("score").desc, col("v"))))
+      .filter(col("__rn") <= k)
+      .select("u", "v", "score")
+  }
+
+  /** Build the k-NN graph: init + `iters` descent rounds. Returns
+    * (u, v, score) with exactly ≤ k out-edges per node.
+    */
+  def buildKnnGraph(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                    buckets: Int = 16, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val cz = codes(corpus, idCol, vecCol).localCheckpoint()
+    var e = initGraph(cz.select("nid"), k, buckets).localCheckpoint()
+    for (_ <- 1 to iters) e = descentRound(e, cz, k).localCheckpoint()
+    e
+  }
+
+  /** Greedy beam search over a built graph (monotone variant: the beam is
+    * the top-`beam` of EVERYTHING visited so far, which makes each round a
+    * pure rank over an accumulating set — replayable as chained SQL).
+    * Entry points are the `nSeeds` smallest nodes in (md5, id) order;
+    * each round expands the beam's (degree-capped undirected) neighbors,
+    * scores only the unvisited ones against the query, and re-ranks.
+    * Output: (qid, rnk, nid, score), k rows per query — self-matches
+    * excluded like every top-k form here.
+    */
+  def beamProbe(graph: DataFrame, cz: DataFrame, queries: DataFrame, k: Int,
+                beam: Int, rounds: Int, graphK: Int = 8, nSeeds: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qz = Similarity.quantizeInt8(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
+    val und = undirected(graph, graphK).localCheckpoint()
+    val seeds = cz.select("nid").orderBy(hh(col("nid")), col("nid")).limit(nSeeds)
+    def score(cand: DataFrame): DataFrame = cand
+      .filter(col("qid") =!= col("nid"))
+      .join(cz, "nid").join(broadcast(qz), "qid")
+      .select(col("qid"), col("nid"),
+        Similarity.int8Dot(col("qc"), col("cc")).as("score"))
+    var visited = score(qz.select("qid").crossJoin(seeds)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val beamDf = visited.withColumn("__rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
+        .filter(col("__rn") <= beam)
+      val nbrs = beamDf.select(col("qid"), col("nid"))
+        .join(und.withColumnRenamed("u", "nid"), "nid")
+        .select(col("qid"), col("v").as("nid")).distinct()
+      val fresh = nbrs.join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
+    }
+    Similarity.longScoreTopK(visited, k)
+  }
+}

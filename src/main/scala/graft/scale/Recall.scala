@@ -36,6 +36,13 @@ object Recall {
   private val TopK = 10
   private val NQueries = 32
   private val Probes = Seq(1, 2, 4, 8)
+  // graph-family knobs (q206): NN-descent degree/rounds, beam widths,
+  // greedy-search rounds, entry-point count
+  private val GraphK = 8
+  private val GraphIters = 2
+  private val Beams = Seq(2, 4, 8)
+  private val BeamRounds = 3
+  private val Seeds = 8
 
   /** Recall@`k` of int8-rerank IVF probing vs the int8 brute-force ranking,
     * one row per probe width: (n_probe, hits, possible, recall_bp) with
@@ -92,6 +99,48 @@ object Recall {
         expr("hits * 10000 div possible").as("recall_bp"))
   }
 
+  /** Both ANN families measured on the same brute-force ranking at
+    * comparable candidate budgets — the serving-design question ("which
+    * index, at this budget?") as one hash-checked table. Rows:
+    * (family, knob, budget, hits, possible, recall_bp) where `knob` is the
+    * family's width parameter (n_probe / beam width) and `budget` the
+    * nominal candidates scored per query: n_probe × avg cell size for IVF,
+    * seeds + rounds × beam × 2·graphK (the degree-capped expansion bound)
+    * for the graph. The IVF side is [[ivfRecallTable]] verbatim; the graph
+    * side is [[NnDescent]] build + beam probe. On iid synthetic embeddings
+    * the graph family measurably trails IVF at equal budget — there is no
+    * manifold for greedy routing to follow, which is exactly the kind of
+    * fact a recall harness exists to surface before a serving rollout.
+    */
+  def familyRecallTable(corpus: DataFrame, queries: DataFrame, k: Int = TopK,
+                        nProbes: Seq[Int] = Probes, beams: Seq[Int] = Beams,
+                        nCells: Int = Cells, iters: Int = Iters,
+                        graphK: Int = GraphK, graphIters: Int = GraphIters,
+                        beamRounds: Int = BeamRounds, nSeeds: Int = Seeds): DataFrame = {
+    val n = corpus.count()
+    val ivf = ivfRecallTable(corpus, queries, k, nProbes, nCells, iters)
+      .select(lit("ivf").as("family"), col("n_probe").as("knob"),
+        (col("n_probe") * lit(n / nCells)).as("budget"),
+        col("hits"), col("possible"), col("recall_bp"))
+    val cz = NnDescent.codes(corpus).localCheckpoint()
+    val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
+    val brute = Similarity.quantizedTopK(corpus, queries, k)
+      .select("qid", "nid").localCheckpoint()
+    val graphRows = beams.map { b =>
+      NnDescent.beamProbe(g, cz, queries, k, b, beamRounds, graphK, nSeeds)
+        .select("qid", "nid")
+        .join(brute, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit("graph").as("family"), lit(b.toLong).as("knob"),
+          lit((nSeeds + beamRounds * b * 2 * graphK).toLong).as("budget"),
+          col("hits"))
+    }.reduce(_ unionByName _)
+    val gt = graphRows.crossJoin(brute.agg(count(lit(1)).as("possible")))
+      .select(col("family"), col("knob"), col("budget"), col("hits"),
+        col("possible"), expr("hits * 10000 div possible").as("recall_bp"))
+    ivf.unionByName(gt).orderBy("family", "knob")
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   private def perProbeSql(p: Int): String =
@@ -112,11 +161,12 @@ object Recall {
    SELECT CAST($p AS BIGINT) AS n_probe, CAST(count(1) AS BIGINT) AS hits
    FROM ann$p a JOIN brk b ON a.qid = b.qid AND a.nid = b.nid)"""
 
-  private val recallOracle: String = {
-    val per = Probes.map(perProbeSql).mkString(",")
-    val union = Probes.map(p => s"SELECT n_probe, hits FROM hit$p")
-      .mkString("\n  UNION ALL ")
-    s"""WITH ${Kmeans.lloydCtes("SELECT vec_id, embedding FROM embeddings",
+  /** The shared WITH-body both recall oracles build on: full Lloyd replay,
+    * int8 codes, the 32-query panel, brute-force top-k, IVF routing and
+    * postings.
+    */
+  private val coreCtes: String =
+    s"""${Kmeans.lloydCtes("SELECT vec_id, embedding FROM embeddings",
         Cells, Iters, Dim)},
  qz AS (
    SELECT vec_id,
@@ -143,12 +193,111 @@ object Recall {
          GROUP BY q.qid, c.cid)),
  post AS MATERIALIZED (
    SELECT a.vec_id AS nid, a.cid, z.code AS cc
-   FROM af a JOIN qz z USING (vec_id)),$per,
+   FROM af a JOIN qz z USING (vec_id))"""
+
+  private val recallOracle: String = {
+    val per = Probes.map(perProbeSql).mkString(",")
+    val union = Probes.map(p => s"SELECT n_probe, hits FROM hit$p")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $coreCtes,$per,
  pos AS (SELECT CAST(count(1) AS BIGINT) AS possible FROM brk)
 SELECT h.n_probe, h.hits, pos.possible,
        h.hits * 10000 // pos.possible AS recall_bp
 FROM ($union) h, pos
 ORDER BY h.n_probe"""
+  }
+
+  // ---- graph-family oracle CTEs (the NN-descent + beam replay) -------------
+
+  /** One NN-descent round over e{t-1} (ginit for t=1): capped reverse
+    * edges, local join through shared neighbors, rescore, keep-k.
+    */
+  private def descentRoundSql(t: Int): String = {
+    val prev = if (t == 1) "ginit" else s"ge${t - 1}"
+    s"""
+ grev$t AS (SELECT nu AS u, nv AS v FROM (
+   SELECT v AS nu, u AS nv,
+     row_number() OVER (PARTITION BY v ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
+   FROM $prev) WHERE rn <= $GraphK),
+ gund$t AS (SELECT u, v FROM $prev UNION SELECT u, v FROM grev$t),
+ gpairs$t AS (SELECT DISTINCT a.v AS u, b.v AS v
+   FROM gund$t a JOIN gund$t b ON a.u = b.u AND a.v <> b.v),
+ gcand$t AS (SELECT u, v FROM $prev UNION SELECT u, v FROM gpairs$t),
+ gsc$t AS (SELECT c.u, c.v, CAST(list_dot_product(zu.code, zv.code) AS BIGINT) AS score
+   FROM gcand$t c JOIN qz zu ON zu.vec_id = c.u JOIN qz zv ON zv.vec_id = c.v),
+ ge$t AS MATERIALIZED (SELECT u, v FROM (
+   SELECT u, v, score, row_number() OVER (PARTITION BY u ORDER BY score DESC, v) AS rn
+   FROM gsc$t) WHERE rn <= $GraphK)"""
+  }
+
+  /** The beam replay for width `b`: `BeamRounds` chained
+    * rank → expand → anti-join → score rounds over an accumulating visited
+    * set, then recall of its top-k.
+    */
+  private def beamSql(b: Int): String = {
+    val rounds = (1 to BeamRounds).map { r =>
+      val prev = s"gv${b}_${r - 1}"
+      s"""
+ gbm${b}_$r AS (SELECT qid, nid FROM (
+   SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM $prev) WHERE rn <= $b),
+ gnb${b}_$r AS (SELECT DISTINCT t.qid, u.v AS nid
+   FROM gbm${b}_$r t JOIN gundF u ON u.u = t.nid),
+ gfr${b}_$r AS (SELECT n.qid, n.nid FROM gnb${b}_$r n ANTI JOIN $prev p USING (qid, nid)),
+ gv${b}_$r AS MATERIALIZED (
+   SELECT qid, nid, score FROM $prev
+   UNION ALL
+   SELECT f.qid, f.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM gfr${b}_$r f JOIN qq q ON q.qid = f.qid JOIN qz z ON z.vec_id = f.nid
+   WHERE f.qid <> f.nid)"""
+    }.mkString(",")
+    s"""$rounds,
+ gann$b AS (SELECT qid, nid FROM (
+   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM gv${b}_$BeamRounds) WHERE rn <= $TopK),
+ gh$b AS (SELECT 'graph' AS family, CAST($b AS BIGINT) AS knob,
+   CAST(${Seeds + BeamRounds * b * 2 * GraphK} AS BIGINT) AS budget,
+   CAST(count(1) AS BIGINT) AS hits
+   FROM gann$b a JOIN brk b2 ON a.qid = b2.qid AND a.nid = b2.nid)"""
+  }
+
+  private val familyOracle: String = {
+    val per = Probes.map(perProbeSql).mkString(",")
+    val leadList = (1 to GraphK).map(j => s"lead(nid, $j) OVER w").mkString(", ")
+    val descent = (1 to GraphIters).map(descentRoundSql).mkString(",")
+    val beams = Beams.map(beamSql).mkString(",")
+    val v0Aliases = Beams.tail
+      .map(b => s",\n gv${b}_0 AS (SELECT * FROM gv${Beams.head}_0)").mkString
+    val ivfUnion = Probes.map(p =>
+      s"SELECT 'ivf' AS family, CAST(h$p.n_probe AS BIGINT) AS knob, " +
+        s"h$p.n_probe * (nn.n // $Cells) AS budget, h$p.hits FROM hit$p h$p, nn")
+      .mkString("\n  UNION ALL ")
+    val graphUnion = Beams.map(b => s"SELECT family, knob, budget, hits FROM gh$b")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $coreCtes,$per,
+ ghash AS (SELECT vec_id AS nid, md5(CAST(vec_id AS VARCHAR)) AS hh,
+        (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % 16 AS b
+        FROM embeddings),
+ g0 AS (SELECT nid AS u, [$leadList] AS ls
+        FROM ghash WINDOW w AS (PARTITION BY b ORDER BY hh, nid)),
+ ginit AS (SELECT u, v FROM (SELECT u, unnest(ls) AS v FROM g0) WHERE v IS NOT NULL),$descent,
+ grevF AS (SELECT nu AS u, nv AS v FROM (
+   SELECT v AS nu, u AS nv,
+     row_number() OVER (PARTITION BY v ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
+   FROM ge$GraphIters) WHERE rn <= $GraphK),
+ gundF AS MATERIALIZED (SELECT u, v FROM ge$GraphIters UNION SELECT u, v FROM grevF),
+ gseeds AS (SELECT nid FROM ghash ORDER BY hh, nid LIMIT $Seeds),
+ gv${Beams.head}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid)$v0Aliases,$beams,
+ pos AS (SELECT CAST(count(1) AS BIGINT) AS possible FROM brk),
+ nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM embeddings)
+SELECT g.family, g.knob, g.budget, g.hits, pos.possible,
+       g.hits * 10000 // pos.possible AS recall_bp
+FROM ($ivfUnion
+  UNION ALL $graphUnion) g, pos
+ORDER BY family, knob"""
   }
 
   // ---- declared queries ----------------------------------------------------
@@ -164,6 +313,23 @@ ORDER BY h.n_probe"""
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       ivfRecallTable(emb, emb.filter(col("vec_id") < NQueries))
         .orderBy("n_probe")
+    },
+
+    // Both ANN families — integer-IVF probing and the NN-descent graph
+    // with greedy beam search — measured against the same brute-force
+    // ranking at comparable candidate budgets. The oracle re-derives
+    // EVERYTHING: the Lloyd rounds, the IVF routing, the NN-descent init
+    // graph and both descent rounds (md5-deterministic reverse sampling,
+    // local join, keep-k), the per-width beam walks (rank → expand →
+    // anti-join → score), and both recalls — one node routed, linked, or
+    // ranked differently anywhere moves a hit count and fails the hash.
+    // On iid synthetic embeddings the graph family measurably trails IVF
+    // (no manifold to route along) — the harness exists to surface exactly
+    // that before a serving rollout.
+    Q("q206_ann_families", familyOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      familyRecallTable(emb, emb.filter(col("vec_id") < NQueries))
+        .orderBy("family", "knob")
     },
   )
 }

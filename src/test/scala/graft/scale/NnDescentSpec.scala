@@ -1,0 +1,74 @@
+package graft.scale
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** NN-descent graph + beam-probe laws: structural invariants of the built
+  * graph, the descent-improves-monotonically guarantee, and serving
+  * sanity on a small strongly-covered fixture.
+  */
+class NnDescentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+    .select("vec_id", "embedding").cache()
+  private lazy val small = emb.filter(col("vec_id") < 40).cache()
+
+  test("buildKnnGraph: out-degree <= k, no self-loops, endpoints in corpus") {
+    val g = NnDescent.buildKnnGraph(emb, k = 8, iters = 2)
+    val deg = g.groupBy("u").agg(count(lit(1)).as("d"))
+    assert(deg.filter(col("d") > 8).count() === 0)
+    assert(g.filter(col("u") === col("v")).count() === 0)
+    val ids = emb.select(col("vec_id").cast("long").as("nid"))
+    assert(g.select(col("v").as("nid")).join(ids, Seq("nid"), "left_anti").count() === 0)
+    assert(g.count() > 0)
+  }
+
+  test("each descent round is monotone: per-node kept-score sum never decreases") {
+    // candidates always include the current edges, so the per-node top-k is
+    // a max over a superset — the NN-descent convergence argument, pinned
+    val cz = NnDescent.codes(small).localCheckpoint()
+    val init = NnDescent.initGraph(cz.select("nid"), 8)
+    def keptSum(e: org.apache.spark.sql.DataFrame) =
+      e.join(cz.select(col("nid").as("u"), col("cc").as("cu")), "u")
+        .join(cz.select(col("nid").as("v"), col("cc").as("cv")), "v")
+        .select(col("u"), Similarity.int8Dot(col("cu"), col("cv")).as("s"))
+        .groupBy("u").agg(sum("s").as("t"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val r1 = NnDescent.descentRound(init, cz, 8).localCheckpoint()
+    val r2 = NnDescent.descentRound(r1, cz, 8).localCheckpoint()
+    val (s1, s2) = (keptSum(r1), keptSum(r2))
+    for ((u, (t2, n2)) <- s2; (t1, n1) <- s1.get(u)) {
+      assert(n2 >= n1, s"node $u lost neighbors: $n1 -> $n2")
+      if (n2 == n1) assert(t2 >= t1, s"node $u kept-score sum fell: $t1 -> $t2")
+    }
+  }
+
+  test("beam probe on a small dense fixture finds the planted exact twin at rank 1") {
+    val probes = small.filter(col("vec_id") < 3)
+    val twins = probes.withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = small.unionByName(twins)
+    val cz = NnDescent.codes(corpus).localCheckpoint()
+    // 4 hash buckets: 16 would leave ~3 nodes per bucket on this small
+    // fixture and an init graph too sparse for descent to heal
+    val g = NnDescent.buildKnnGraph(corpus, k = 8, iters = 2, buckets = 4)
+    val top1 = NnDescent.beamProbe(g, cz, probes, k = 1, beam = 8, rounds = 3)
+      .filter(col("rnk") === 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    for ((qid, nid) <- top1) assert(nid === qid + 100000,
+      s"query $qid reached $nid, expected its exact twin")
+    assert(top1.size === 3)
+  }
+
+  test("wide beam + enough rounds on the small fixture == brute force top-k") {
+    val probes = small.filter(col("vec_id") < 3)
+    val cz = NnDescent.codes(small).localCheckpoint()
+    val g = NnDescent.buildKnnGraph(small, k = 8, iters = 2, buckets = 4)
+    val got = NnDescent.beamProbe(g, cz, probes, k = 5, beam = 40, rounds = 5)
+      .collect().map(_.toSeq).toSet
+    val want = Similarity.quantizedTopK(small, probes, 5)
+      .collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty)
+  }
+}
