@@ -70,6 +70,53 @@ object Graph {
     ranks
   }
 
+  /** PageRank for GENUINELY DIRECTED graphs — lifts [[pageRank]]'s
+    * outdeg ≥ 1 ∧ indeg ≥ 1 contract (the documented gap) with the
+    * standard dangling-node treatment, integer-exact:
+    *   - the node set (src ∪ dst) is fixed up front and every round's
+    *     output LEFT-joins onto it, so pure sources (indeg 0) keep their
+    *     row instead of vanishing at the first inner join;
+    *   - dangling mass — the total rank sitting on outdeg-0 sinks, which
+    *     the edge join would silently drop — is redistributed uniformly:
+    *     each node receives `dm div N` (truncating, so the share is exact
+    *     and engine-independent) inside the damped update
+    *     `Base + (85 · (Σcontrib + dm div N)) div 100`.
+    * The dangling set and N are loop invariants (one anti-join, one
+    * count — both 1-row/narrow broadcasts per round); everything else is
+    * the [[pageRank]] shape: edges cached once, per-round shuffles carry
+    * only (node, rank) longs. On a dangling-free graph this reduces to
+    * [[pageRank]] exactly (dm = 0 — GraphSpec law).
+    */
+  def pageRankDirected(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val nN = nodes.agg(count(lit(1)).as("n"))
+    val dangling = nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("c"))
+        .withColumnRenamed("dst", "node")
+      val dm = ranks.join(dangling, "node")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dm)).crossJoin(broadcast(nN))
+        .select(col("node"),
+          (lit(Base) +
+            expr(s"($DampNum * (coalesce(c, 0) + dm div n)) div $DampDen"))
+            .as("rank"))
+    }
+    ranks
+  }
+
   /** The q129 fixture graph: the undirected bipartite supplier↔customer
     * trade graph — nodes are `custkey·2` and `suppkey·2+1`, with an edge per
     * DISTINCT (customer, supplier) pair that traded (lineitem ⋈ orders).
@@ -294,6 +341,37 @@ object Graph {
        |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
        |FROM r$Iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
 
+  // q207 oracle: the dangling-mass rounds unrolled. The fixture keeps the
+  // customer→supplier direction ONLY, so every customer is a pure source
+  // (indeg 0 — must keep its row) and every supplier a pure sink (outdeg
+  // 0 — its rank is the per-round dangling mass, redistributed dm div N).
+  private def dirIterSql(i: Int): String = {
+    val p = i - 1
+    s""" c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS c
+       |          FROM e JOIN r$p r ON e.src = r.node GROUP BY 1),
+       | dm$i AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
+       |           FROM r$p r JOIN dang USING (node)),
+       | r$i AS (SELECT n.node,
+       |      CAST($Base + ($DampNum * (coalesce(c.c, 0) + dm.dm // nn.n)) // $DampDen AS BIGINT) AS rank
+       |      FROM nodes n LEFT JOIN c$i c USING (node) CROSS JOIN dm$i dm CROSS JOIN nn)""".stripMargin
+  }
+
+  private val DirIters = 4
+
+  private val q207Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       | deg AS (SELECT src, count(*) AS outdeg FROM pairs GROUP BY 1),
+       | e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)),
+       | nodes AS (SELECT src AS node FROM pairs UNION SELECT dst AS node FROM pairs),
+       | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       | dang AS (SELECT node FROM nodes ANTI JOIN deg ON node = deg.src),
+       | r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
+       |${(1 to DirIters).map(dirIterSql).mkString(",\n")}
+       |SELECT CAST(node AS BIGINT) AS node, rank
+       |FROM r$DirIters ORDER BY node""".stripMargin
+
   /** Co-supplier pairs: suppliers sharing at least `minShared` orders, as
     * canonical u < v undirected edges. Per-order fan-out is bounded by
     * order size (≤ 16 suppliers/order in this schema → ≤ 120 pairs), so
@@ -361,12 +439,16 @@ object Graph {
     * `edges` must be the both-directions encoding ([[undirected]]); then
     * out-degree IS degree and one groupBy(src) per round suffices.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int, checkEvery: Int = 2): DataFrame = {
+    require(checkEvery >= 1)
     var e = edges.select("src", "dst").localCheckpoint()
-    // early exit at the fixpoint: peeling is monotone, so an unchanged
-    // edge count means every later round is a no-op — the result equals
-    // the full `rounds` unroll (which the oracle replays), at the cost of
-    // one count per round against the already-materialized checkpoint
+    // early exit at the fixpoint, checked every `checkEvery` rounds rather
+    // than every round (the r13 note: a deep cascade otherwise pays
+    // rounds× extra count jobs over the shrinking relation). Peeling is
+    // monotone non-increasing, so equal edge counts `checkEvery` rounds
+    // apart force every round in between to have been a no-op too — the
+    // stride loses no exactness, only spares jobs; the result still equals
+    // the full `rounds` unroll the oracle replays.
     var prev = e.count()
     var i = 0
     var converged = false
@@ -376,10 +458,12 @@ object Graph {
       e = e.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst").localCheckpoint()
-      val n = e.count()
-      converged = n == prev
-      prev = n
       i += 1
+      if (i % checkEvery == 0 || i == rounds) {
+        val n = e.count()
+        converged = n == prev
+        prev = n
+      }
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
@@ -600,6 +684,21 @@ object Graph {
         .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
+    },
+
+    // PageRank on a GENUINELY DIRECTED graph (customer → supplier, one
+    // direction only): every customer is a pure source, every supplier a
+    // pure sink — the exact configuration the q129 operator's contract
+    // excludes. pageRankDirected must keep source rows alive and recycle
+    // the sinks' rank as uniformly-redistributed dangling mass, and the
+    // oracle unrolls those rounds CTE-for-CTE, so the FULL rank table (not
+    // a top-k) hash-compares bit-exact.
+    Q("q207_pagerank_dangling", q207Sql) { (s, d) =>
+      pageRankDirected(
+          tradePairs(s, d).select(col("c").as("src"), col("s").as("dst")),
+          DirIters)
+        .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
+        .orderBy("node")
     },
 
     // Incremental PageRank: build the index on ~98% of the trade pairs,

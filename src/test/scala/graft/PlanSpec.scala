@@ -291,4 +291,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q128 bigram joins stay broadcast at bench scale (sf0.1) under AQE") {
+    // the bigram-count join is deliberately UNHINTED (vocab² can outgrow
+    // any broadcast threshold on a real corpus — the r12 advice finding),
+    // which leaves the strategy to AQE. Pin that at the BENCH corpus the
+    // r13 verdict flagged (sf0.1): the vocab²-bounded bigram table and the
+    // doc-count-bounded score table must both come in under the default
+    // 10 MB threshold and broadcast — a silent fallback to sort-merge on
+    // the transition stream is exactly the regression this guards.
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "lang", "text")
+    val df = graft.scale.Curation.bigramSurprisal(docs)
+    df.collect() // drive to completion so AQE finalizes its join choices
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"a q128 join degraded to sort-merge at bench scale:\n$finalPlan")
+  }
 }

@@ -27,6 +27,38 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size === 1)
   }
 
+  test("pageRankDirected == pageRank on a dangling-free graph (dm = 0 reduction)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 2L))
+    val edges = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val a = Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankDirected(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("pageRankDirected: sources keep rows, sink mass recycles, totals conserved") {
+    // star-out plus chain: 1 -> {2,3,4}, 4 -> 5; node 1 is a pure source
+    // (indeg 0), nodes 2/3/5 pure sinks (outdeg 0)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("src", "dst")
+    val iters = 4
+    val got = Graph.pageRankDirected(edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every node still has a row — including the pure source
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // the source's rank is base + damped dangling share only (it has no
+    // in-edges), strictly positive and strictly below a sink's
+    assert(got(1L) > 0 && got(1L) < got(2L))
+    // total mass stays within the truncation slack of N·Scale: each round
+    // loses < 1 unit per div per node (outdeg divs + the dm div + the
+    // damping div), never gains
+    val n = 5L
+    val total = got.values.sum
+    assert(total <= n * Graph.Scale)
+    assert(total >= n * Graph.Scale - n * iters * 3,
+      s"mass leaked beyond truncation slack: $total")
+  }
+
   test("incremental append equals full recompute on the union — entire relation, every round") {
     val pairs = Graph.tradePairs(spark, sfDir).localCheckpoint()
     val holdOut = pmod(col("c") + col("s"), lit(5)) === 0
