@@ -439,30 +439,34 @@ object Graph {
     * `edges` must be the both-directions encoding ([[undirected]]); then
     * out-degree IS degree and one groupBy(src) per round suffices.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int, checkEvery: Int = 2): DataFrame = {
-    require(checkEvery >= 1)
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.select("src", "dst").localCheckpoint()
-    // early exit at the fixpoint, checked every `checkEvery` rounds rather
-    // than every round (the r13 note: a deep cascade otherwise pays
-    // rounds× extra count jobs over the shrinking relation). Peeling is
-    // monotone non-increasing, so equal edge counts `checkEvery` rounds
-    // apart force every round in between to have been a no-op too — the
-    // stride loses no exactness, only spares jobs; the result still equals
-    // the full `rounds` unroll the oracle replays.
-    var prev = e.count()
     var i = 0
     var converged = false
     while (i < rounds && !converged) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("src")
-      e = e.join(keep, "src")
-        .join(keep.withColumnRenamed("src", "dst"), "dst")
-        .select("src", "dst").localCheckpoint()
-      i += 1
-      if (i % checkEvery == 0 || i == rounds) {
-        val n = e.count()
-        converged = n == prev
-        prev = n
+      // the fixpoint test runs BEFORE the rewrite: zero sub-k nodes ⟺ this
+      // round would drop nothing ⟺ every later round is a no-op (peeling
+      // is monotone). That makes the terminal round one node-sized
+      // aggregate instead of the full no-op semi-join round (+ edge count)
+      // r13 paid to detect convergence after the fact.
+      //
+      // `degs` stays SYMBOLIC (recomputed inside the join) rather than
+      // localCheckpoint'd for reuse: Spark's local checkpoint preserves
+      // the plan's ESTIMATED stats, and a checkpointed aggregate feeding a
+      // join whose product is checkpointed again compounds the estimate
+      // ~cubically per round — by round ~15 the size estimate is a
+      // million-bit BigInt and JoinSelection's canBroadcastBySize spends
+      // minutes multiplying it (measured: 22 min for the 17-round cascade
+      // spec). Left symbolic, the aggregate's ratio-scaled estimate
+      // collapses during optimization and stats stay flat across rounds.
+      val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      if (degs.filter(col("deg") < k).isEmpty) converged = true
+      else {
+        val keep = degs.filter(col("deg") >= k).select("src")
+        e = e.join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select("src", "dst").localCheckpoint()
+        i += 1
       }
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))

@@ -203,7 +203,62 @@ object Pq {
       .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
     val merged = graft.write.Writers.upsert(existingTouched, newPostings, Seq("nid"))
     pt.promote(pt.stagePatch(merged, Seq("cid")))
+    // a re-ingested id un-deletes (the [[AnnIndex.appendToIvfIndex]]
+    // latest-op-wins rule); the tombstone table is delete-batch-sized,
+    // so the rewrite is O(tombstones)
+    val tt = table(spark, root, "tombstones")
+    if (tt.exists)
+      tt.promote(tt.stage(
+        tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")
+          .localCheckpoint()))
     IvfPqIndex(root, coarse.length)
+  }
+
+  /** Tombstone deletes for the IVF+PQ index — the same LSM-delete protocol
+    * as [[AnnIndex.deleteFromIvfIndex]]: an O(batch) append to a sidecar
+    * versioned id set, probes anti-join it, [[compactIvfPqIndex]]
+    * physically drops the dead postings and truncates the set, and a later
+    * [[appendToIvfPqIndex]] of a tombstoned id un-deletes it. This also
+    * DISCHARGES the append path's delete-then-append prescription for
+    * cross-cell re-ingestion: delete the moved ids, then append.
+    */
+  def deleteFromIvfPqIndex(deletedIds: DataFrame, root: String,
+                           idCol: String = "vec_id"): Unit = {
+    val spark = deletedIds.sparkSession
+    val ids = deletedIds.select(col(idCol).cast("long").as("nid")).distinct()
+    val tt = table(spark, root, "tombstones")
+    if (tt.exists) {
+      val fresh = ids.join(tt.read(), Seq("nid"), "left_anti").localCheckpoint()
+      if (!fresh.isEmpty) {
+        tt.promote(tt.stageAppend(fresh))
+        tt.compactIfNeeded(4)
+      }
+    } else tt.promote(tt.stage(ids))
+  }
+
+  /** The ids currently tombstoned (empty frame if none ever were). */
+  def pqTombstones(spark: SparkSession, root: String): DataFrame = {
+    val tt = table(spark, root, "tombstones")
+    if (tt.exists) tt.read()
+    else spark.range(0).select(col("id").as("nid"))
+  }
+
+  /** Collapse the postings patch chain; if tombstones are pending, the
+    * rewrite drops the dead rows and a second promote truncates the set
+    * (crash between the two leaves stale tombstones over purged postings —
+    * the anti-join then matches nothing, convergent like
+    * [[AnnIndex.compactIvfIndex]]).
+    */
+  def compactIvfPqIndex(spark: SparkSession, root: String): Unit = {
+    val pt = table(spark, root, "postings")
+    val tt = table(spark, root, "tombstones")
+    val dead = if (tt.exists) Some(tt.read().localCheckpoint()) else None
+    if (dead.exists(!_.isEmpty)) {
+      val purged = pt.read().join(dead.get, Seq("nid"), "left_anti")
+      pt.promote(pt.stage(purged, Seq("cid")), pt.currentTag)
+      tt.promote(tt.stage(dead.get.limit(0)))
+    } else pt.compact(Seq("cid"))
+    ()
   }
 
   /** Probe: route each query to its `nProbe` nearest coarse cells (exact
@@ -245,8 +300,13 @@ object Pq {
       .select(col("qid"), col("m").cast("long").as("m"), col("bcid"),
         aggregate(zip_with(col("sub"), col("bcent"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v).as("d"))
-    val postings = table(spark, root, "postings").read()
+    val postings0 = table(spark, root, "postings").read()
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    // tombstoned ids are invisible until compaction drops them physically
+    val tt = table(spark, root, "tombstones")
+    val postings =
+      if (tt.exists) postings0.join(broadcast(tt.read()), Seq("nid"), "left_anti")
+      else postings0
     val cand = postings.join(broadcast(route), Seq("cid"))
     val scored = cand
       .select(col("qid"), col("nid"), posexplode(col("codes")).as(Seq("m", "bcid")))
@@ -489,7 +549,28 @@ object Pq {
   // under those fixed models in extra CTEs, the union relations probed
   // exactly as q132 — so the append path is value-certified end to end,
   // not just law-tested.
-  private val q139Sql: String =
+  /** The q139 build→append→probe replay, parameterized: `candFilter` is an
+    * extra predicate on candidate ids (q208's tombstone filter — deleted
+    * ids must not be scored), `phases` crosses the answer with the
+    * served/compacted phase axis (q208 must serve identically before and
+    * after the physical purge).
+    */
+  private def appendLifecycleSql(candFilter: String, phases: Boolean): String = {
+    val tail =
+      if (!phases)
+        s"""SELECT CAST(qid AS BIGINT) AS qid,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vid) AS BIGINT) AS rnk,
+           |  CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
+           |FROM sc QUALIFY rnk <= $TopN ORDER BY qid, rnk""".stripMargin
+      else
+        s""",topk AS (
+           |  SELECT CAST(qid AS BIGINT) AS qid,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vid) AS BIGINT) AS rnk,
+           |    CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
+           |  FROM sc QUALIFY rnk <= $TopN)
+           |SELECT phase, qid, rnk, vec_id, score
+           |FROM topk CROSS JOIN (SELECT unnest(['served','compacted']) AS phase)
+           |ORDER BY phase, qid, rnk""".stripMargin
     s"""WITH ${Kmeans.lloydCtes("SELECT vec_id, embedding FROM embeddings",
          Cells, CoarseIters, 64, "f_")},
        |${Kmeans.lloydCtes(subvecSql, K, Iters, SubDim, "p_")},
@@ -543,16 +624,22 @@ object Pq {
        |         SUM((qs.g[t.i] - c.cent[t.i]) * (qs.g[t.i] - c.cent[t.i])) AS d
        |  FROM qs CROSS JOIN p_c$Iters c CROSS JOIN range(1, ${SubDim + 1}) t(i)
        |  GROUP BY 1, 2, 3),
-       |cand AS (SELECT r.qid, f.vid FROM route r JOIN ua f ON f.cid = r.cid),
+       |cand AS (SELECT r.qid, f.vid FROM route r JOIN ua f ON f.cid = r.cid$candFilter),
        |sc AS (
        |  SELECT cand.qid, cand.vid, SUM(dt.d) AS score
        |  FROM cand JOIN uc a ON a.vid = cand.vid
        |  JOIN dt ON dt.qid = cand.qid AND dt.m = a.m AND dt.cid = a.bcid
        |  GROUP BY 1, 2)
-       |SELECT CAST(qid AS BIGINT) AS qid,
-       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score, vid) AS BIGINT) AS rnk,
-       |  CAST(vid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS score
-       |FROM sc QUALIFY rnk <= $TopN ORDER BY qid, rnk""".stripMargin
+       |$tail""".stripMargin
+  }
+
+  private val q139Sql: String = appendLifecycleSql("", phases = false)
+
+  private val q208Sql: String = appendLifecycleSql(
+    """
+      |         WHERE NOT (f.vid < 100000 AND f.vid % 13 = 2)
+      |           AND NOT (f.vid >= 100000 AND f.vid % 2 = 0)""".stripMargin,
+    phases = true)
 
   val queries: Seq[Q] = Seq(
     Q("q130_pq_topk", q130Sql) { (s, d) =>
@@ -612,6 +699,42 @@ object Pq {
           col("nid").cast("long").as("vec_id"),
           col("score").cast("long").as("score"))
         .orderBy("qid", "rnk")
+    },
+
+    // q139's lifecycle extended with TOMBSTONE DELETES: build on the base
+    // corpus, append the twins, then delete the %13 organic stratum (first
+    // batch — tombstone stage path) and every even twin (second batch —
+    // the stageAppend path), probe through the anti-join ('served'),
+    // physically purge via compaction and probe again ('compacted'). The
+    // oracle is the full q139 replay with the deleted ids excluded from
+    // the candidate set, crossed with both phases: delete-then-probe ==
+    // index-built-without-deleted at every lifecycle point.
+    Q("q208_ivfpq_delete", q208Sql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val root = s"${graft.core.Scratch.dir("graft-q208")}/ivfpq"
+      buildIvfPqIndex(emb, root)
+      appendToIvfPqIndex(twins, root)
+      deleteFromIvfPqIndex(emb.select("vec_id").filter(col("vec_id") % 13 === 2), root)
+      deleteFromIvfPqIndex(
+        twins.select("vec_id").filter(col("vec_id") % 2 === 0), root)
+      def probe(phase: String) = probeIvfPq(
+          s, root, emb.filter(col("vec_id") < 5), k = TopN, nProbe = NProbe)
+        .select(col("qid").cast("long").as("qid"),
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("score").asc, col("nid").asc)).cast("long").as("rnk"),
+          col("nid").cast("long").as("vec_id"),
+          col("score").cast("long").as("score"))
+        .withColumn("phase", lit(phase))
+      val served = probe("served").localCheckpoint()
+      compactIvfPqIndex(s, root)
+      served.unionByName(probe("compacted"))
+        .select("phase", "qid", "rnk", "vec_id", "score")
+        .orderBy("phase", "qid", "rnk")
     },
 
     // The faiss-standard residual refinement: same lifecycle as q132 but

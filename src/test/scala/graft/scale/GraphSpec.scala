@@ -169,6 +169,30 @@ class GraphSpec extends SparkSpec {
     assert(partial.contains(1L) && partial.size > 3)
   }
 
+  test("iterated peel keeps flat stats estimates (no checkpoint-stat compounding)") {
+    // Spark's local checkpoint preserves the plan's ESTIMATED stats. A
+    // kCore variant that checkpointed the degree aggregate for reuse
+    // compounded the join-product estimate ~3x in BIT LENGTH per round
+    // (28 -> 82 -> 242 -> ... measured), and by round ~15 JoinSelection
+    // spent minutes multiplying million-bit BigInts — a silent 80x
+    // slowdown, not a failure. Replicate the production loop shape for 8
+    // rounds and pin the estimate flat; if this ever grows past a plain
+    // long, some stage started checkpointing a compounding estimate.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tail = (3L until 20L).map(i => (i, i + 1))
+    var e = Graph.undirected((tri ++ tail).toDF("c", "s"))
+      .select("src", "dst").localCheckpoint()
+    for (i <- 0 until 8) {
+      val degs = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = degs.filter(col("deg") >= 2).select("src")
+      e = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst").localCheckpoint()
+      val bits = e.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+      assert(bits < 64, s"round $i stats estimate grew to $bits bits")
+    }
+  }
+
   test("kCore: extra rounds past the fixpoint are no-ops; degrees are core degrees") {
     val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
     // K4 plus a pendant on node 1: 3-core is K4; node 1's GRAPH degree is 4

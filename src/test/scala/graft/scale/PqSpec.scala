@@ -176,6 +176,40 @@ class PqSpec extends SparkSpec {
     assert(t.read().filter(col("nid") === victim).count() === 1)
   }
 
+  test("tombstone deletes: O(batch) footprint, probe parity, compaction purges, append un-deletes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val root = graft.core.Scratch.dir("graft-pqspec5") + "/ivfpq"
+    Pq.buildIvfPqIndex(emb, root)
+    val pt = new graft.write.VersionedTable(spark, s"$root/postings")
+    val pv = pt.currentVersion
+    val dead = emb.select("vec_id").filter(col("vec_id") % 13 === 2)
+    Pq.deleteFromIvfPqIndex(dead, root)
+    // footprint: deletes never version the postings
+    assert(pt.currentVersion === pv)
+    val nDead = Pq.pqTombstones(spark, root).count()
+    assert(nDead === dead.count())
+    // full probe == full ADC over the corpus minus the deleted ids
+    val queries = emb.filter(col("vec_id") < 2)
+    def full() = Pq.probeIvfPq(spark, root, queries, k = n.toInt, nProbe = Pq.Cells)
+      .collect().map(_.toSeq).toSet
+    val served = full()
+    assert(served.nonEmpty)
+    assert(!served.exists(r => r(1).asInstanceOf[Long] % 13 == 2),
+      "a tombstoned id was served")
+    Pq.compactIvfPqIndex(spark, root)
+    assert(full() === served)
+    assert(Pq.pqTombstones(spark, root).count() === 0)
+    assert(pt.read().filter(col("nid") % 13 === 2).count() === 0)
+    // append un-deletes: re-ingest one deleted vector, it serves again
+    val victim = emb.filter(col("vec_id") === 2)
+    Pq.deleteFromIvfPqIndex(victim.select("vec_id"), root)
+    Pq.appendToIvfPqIndex(victim, root)
+    assert(Pq.pqTombstones(spark, root).count() === 0)
+    assert(full().exists(r => r(1).asInstanceOf[Long] == 2L))
+  }
+
   test("exact duplicates share codes and scores") {
     val base = corpus(10)
     val twins = base.withColumn("vec_id", col("vec_id") + 100)
