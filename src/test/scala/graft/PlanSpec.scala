@@ -292,6 +292,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("extractText is scan-local: zero exchanges, no explode, codegen'd HOFs") {
+    val plan = planOf(graft.scale.Curation.extractText(
+      Tables.documents(spark, sfDir).select("doc_id", "text")))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("URL canonicalization + domain are pure projections: zero exchanges") {
+    import graft.scale.Curation
+    val plan = planOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), concat(lit("https://www.Example.com:443/a?utm_s=1&q="),
+        col("doc_id").cast("string")).as("url"))
+      .select(col("doc_id"), Curation.canonicalizeUrl(col("url")).as("url"))
+      .withColumn("domain", Curation.urlDomain(col("url"))))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("q128 bigram joins stay broadcast at bench scale (sf0.1) under AQE") {
     // the bigram-count join is deliberately UNHINTED (vocab² can outgrow
     // any broadcast threshold on a real corpus — the r12 advice finding),
