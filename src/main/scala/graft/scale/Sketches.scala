@@ -254,6 +254,53 @@ object Sketches {
         .join(exact, Seq("g1", "g2"))
         .orderBy("g1", "g2")
     },
+
+    // The quantile sketch end to end: per-event-type p50/p90/p99 estimates
+    // off the 128-row hash-bottom sample, with the EXACT percentiles (the
+    // q124-proven machinery) riding along so estimate quality is itself a
+    // certified value. The oracle re-derives the sample (same md5 order,
+    // same ties), the integer rank arithmetic, and the exact side — one
+    // row sampled differently anywhere moves an estimate and fails the
+    // hash.
+    Q("q209_quantile_sketch",
+      """WITH r0 AS (
+        |  SELECT event_type AS g,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        | sk AS (SELECT g, h, v FROM (
+        |   SELECT g, h, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+        |   FROM (SELECT DISTINCT g, h, v FROM r0)) WHERE rn <= 128),
+        | rk AS (SELECT g, h, v,
+        |   row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+        |   count(*) OVER (PARTITION BY g) AS m FROM sk),
+        | est AS (SELECT g, CAST(max(m) AS BIGINT) AS n_sample,
+        |   max(CASE WHEN rn = (m * 50 + 99) // 100 THEN v END) AS p50_est,
+        |   max(CASE WHEN rn = (m * 90 + 99) // 100 THEN v END) AS p90_est,
+        |   max(CASE WHEN rn = (m * 99 + 99) // 100 THEN v END) AS p99_est
+        |   FROM rk GROUP BY 1),
+        | ex AS (SELECT event_type AS g, CAST(count(1) AS BIGINT) AS n_rows,
+        |   CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS BIGINT) AS p50_exact,
+        |   CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.90) AS BIGINT) AS p90_exact,
+        |   CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS BIGINT) AS p99_exact
+        |   FROM events GROUP BY 1)
+        |SELECT g AS event_type, n_sample, n_rows, p50_est, p90_est, p99_est,
+        |  p50_exact, p90_exact, p99_exact
+        |FROM est JOIN ex USING (g) ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val sk = quantileSketch(ev, "event_type", col("event_id"), col("cents"))
+      val est = quantileEstimates(sk,
+        Seq(("p50_est", 50, 100), ("p90_est", 90, 100), ("p99_est", 99, 100)))
+      val exact = Sampling.exactPercentilesByKey(
+        ev.select(col("event_type"), col("cents")), "event_type", "cents",
+        Seq(("p50_exact", 50, 100), ("p90_exact", 90, 100), ("p99_exact", 99, 100)))
+      est.join(exact.withColumnRenamed("event_type", "g"), "g")
+        .select(col("g").as("event_type"), col("n_sample"), col("n_rows"),
+          col("p50_est"), col("p90_est"), col("p99_est"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"))
+        .orderBy("event_type")
+    },
   )
 
   /** Theta (KMV) sketch: the k smallest DISTINCT md5-fraction hashes of
@@ -356,5 +403,57 @@ object Sketches {
       .join(broadcast(state), Seq("hrow", "bucket"), "left")
       .groupBy("user_key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Mergeable QUANTILE sketch — the missing member of the sketch family
+    * (HLL counts distinct, CM counts frequency, theta does set algebra;
+    * this one answers "what is p90?"). State per group: the `k` rows with
+    * the SMALLEST md5(rowKey) hashes, each carrying its measured value —
+    * a uniform-without-replacement k-sample that, like every sketch here,
+    * is a pure function of the DATA: deterministic across runs, engines
+    * and partitionings, so the driver's DuckDB gate certifies the sample
+    * AND the estimates value-by-value (no library t-digest can offer
+    * that). Mergeable by the KMV argument: the k smallest hashes of A∪B
+    * all live in bottomK(A) ∪ bottomK(B), so merge = union + re-cut —
+    * shards/days/streams combine without touching raw data (SketchesSpec
+    * law; the streaming sink runs the merge continuously).
+    *
+    * Build cost: one map-side-combined bounded-heap pass
+    * ([[graft.ops.TopK.topKPerKey]]); state O(groups·k) forever.
+    * `rowKey` must be unique per row (duplicate keys collapse via the
+    * distinct — which is also what makes a foreachBatch replay of the
+    * merge idempotent).
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, rowKey: Column,
+                     value: Column, k: Int = 128): DataFrame =
+    graft.ops.TopK.topKPerKey(
+      df.select(col(groupCol).as("g"),
+          conv(substring(md5(rowKey.cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          value.cast("long").as("v"))
+        .distinct(),
+      Seq("g"), Seq(col("h").asc, col("v").asc), k)
+
+  /** Discrete quantile estimates off the sketch: for each (name, num, den)
+    * point, the ceil(m·num/den)-th smallest sample value — the
+    * percentile_disc semantics [[Sampling.exactPercentilesByKey]] computes
+    * exactly, applied to the m-row sample. Rank arithmetic is pure integer
+    * ((m·num + den−1) div den), the relation sketch-sized throughout.
+    */
+  def quantileEstimates(sk: DataFrame,
+                        points: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sk
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy("g").orderBy(col("v").asc, col("h").asc))
+        .cast("long"))
+      .withColumn("__m", count(lit(1))
+        .over(Window.partitionBy("g")).cast("long"))
+    val aggs = max(col("__m")).as("n_sample") +:
+      points.map { case (name, num, den) =>
+        max(when(col("__rn") === expr(s"(__m * $num + ${den - 1}) div $den"),
+          col("v"))).as(name)
+      }
+    ranked.groupBy("g").agg(aggs.head, aggs.tail: _*)
   }
 }

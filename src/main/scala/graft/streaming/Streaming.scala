@@ -95,6 +95,34 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Quantile-sketch maintenance sink: each micro-batch's per-group
+    * hash-bottom sample merges into the stored state by re-selecting the
+    * k smallest hashes (the KMV merge law run continuously, same shape as
+    * [[thetaMergeSink]]). State O(groups·k) forever, the raw stream never
+    * lands, and the served estimates after any drain equal the batch
+    * sketch of everything seen (q210 certifies against q209's oracle;
+    * the distinct in the merge makes a foreachBatch replay a no-op).
+    */
+  def quantileMergeSink(rows: DataFrame, table: VersionedTable, groupCol: String,
+                        keyCol: String, valCol: String, k: Int,
+                        checkpoint: String): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchSketch = graft.scale.Sketches.quantileSketch(
+          batch, groupCol, col(keyCol), col(valCol), k)
+        val merged =
+          if (table.exists)
+            graft.ops.TopK.topKPerKey(
+              table.read().unionByName(batchSketch).distinct(),
+              Seq("g"), Seq(col("h").asc, col("v").asc), k)
+          else batchSketch
+        table.promote(table.stage(merged))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Watermarked tumbling-window counts per event type: late events beyond
     * the watermark are dropped, window state is evicted once the watermark
     * passes — bounded state at any scale.

@@ -517,6 +517,39 @@ object StreamingQueries {
         .orderBy("g1", "g2")
     },
 
+    // Streaming quantile-sketch maintenance: per-event-type hash-bottom
+    // samples merged continuously (KMV re-selection per micro-batch, state
+    // O(groups x k) forever), then p50/p90/p99 served from the drained
+    // state beside the exact percentiles. The oracle IS q209's — the
+    // streaming merge must land the identical sample, which the estimate
+    // columns then certify end to end.
+    Q("q210_streaming_quantile",
+      graft.scale.Sketches.queries.find(_.name == "q209_quantile_sketch").get.oracle.get) { (s, d) =>
+      val wh = scratchDir("graft-q210")
+      val table = new VersionedTable(s, s"$wh/qsk")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = Streaming.eventsStream(s2, d)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val q = Streaming.quantileMergeSink(stream, table,
+        groupCol = "event_type", keyCol = "event_id", valCol = "cents",
+        k = 128, checkpoint = s"$wh/ckpt")
+      q.awaitTermination()
+      val est = graft.scale.Sketches.quantileEstimates(table.read(),
+        Seq(("p50_est", 50, 100), ("p90_est", 90, 100), ("p99_est", 99, 100)))
+      val exact = graft.scale.Sampling.exactPercentilesByKey(
+        Tables.events(s, d).select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents")),
+        "event_type", "cents",
+        Seq(("p50_exact", 50, 100), ("p90_exact", 90, 100), ("p99_exact", 99, 100)))
+      est.join(exact.withColumnRenamed("event_type", "g"), "g")
+        .select(col("g").as("event_type"), col("n_sample"), col("n_rows"),
+          col("p50_est"), col("p90_est"), col("p99_est"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"))
+        .orderBy("event_type")
+    },
+
     // Streaming graph analytics: co-supplier edges arrive in 4 micro-
     // batches; each batch maintains the triangle count by the q196
     // multiplicity decomposition against the edges-so-far and APPENDS the

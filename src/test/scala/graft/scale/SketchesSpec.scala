@@ -120,4 +120,32 @@ class SketchesSpec extends SparkSpec {
     val direct = Sketches.thetaSketch(big.toDF("g", "k"), "g", col("k"))
     assert(remerged.except(direct).count() === 0 && direct.except(remerged).count() === 0)
   }
+
+  test("quantile sketch: merge law, exhaustive-mode exactness, estimate within sample error") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => ("G", i.toLong, (i * 7 % 1000).toLong))
+      .toDF("g", "id", "v")
+    // KMV merge law: sketching the union == re-cutting the unioned shards
+    val s1 = Sketches.quantileSketch(rows.filter(col("id") <= 1500), "g", col("id"), col("v"))
+    val s2 = Sketches.quantileSketch(rows.filter(col("id") > 1500), "g", col("id"), col("v"))
+    val remerged = graft.ops.TopK.topKPerKey(
+      s1.unionByName(s2).distinct(), Seq("g"), Seq(col("h").asc, col("v").asc), 128)
+    val direct = Sketches.quantileSketch(rows, "g", col("id"), col("v"))
+    assert(remerged.except(direct).count() === 0 && direct.except(remerged).count() === 0)
+    // below k rows the sample is exhaustive: estimates == exact percentiles
+    val small = (1 to 100).map(i => ("S", i.toLong, i.toLong)).toDF("g", "id", "v")
+    val est = Sketches.quantileEstimates(
+        Sketches.quantileSketch(small, "g", col("id"), col("v")),
+        Seq(("p50", 50, 100), ("p90", 90, 100)))
+      .collect().head
+    assert(est.getAs[Long]("n_sample") === 100L)
+    assert(est.getAs[Long]("p50") === 50L && est.getAs[Long]("p90") === 90L)
+    // sampled mode: a uniform 0..999 population's p50 estimate from a
+    // 128-row uniform sample lands within ~4/sqrt(k) of 500 w.h.p. —
+    // deterministic fixture, so this pins the realized value class
+    val bigEst = Sketches.quantileEstimates(direct, Seq(("p50", 50, 100)))
+      .collect().head
+    assert(math.abs(bigEst.getAs[Long]("p50") - 500L) < 150,
+      s"p50 estimate ${bigEst.getAs[Long]("p50")} implausibly far from 500")
+  }
 }
