@@ -51,7 +51,16 @@ object Recall {
     */
   def ivfRecallTable(corpus: DataFrame, queries: DataFrame, k: Int = TopK,
                      nProbes: Seq[Int] = Probes, nCells: Int = Cells,
-                     iters: Int = Iters): DataFrame = {
+                     iters: Int = Iters): DataFrame =
+    ivfRecallTable(corpus, queries, k, nProbes, nCells, iters, None)
+
+  /** [[ivfRecallTable]] with an optional precomputed brute-force (qid, nid)
+    * ranking — [[familyRecallTable]] shares one brute pass between both
+    * families instead of paying the corpus-sized job twice.
+    */
+  private def ivfRecallTable(corpus: DataFrame, queries: DataFrame, k: Int,
+                             nProbes: Seq[Int], nCells: Int, iters: Int,
+                             bruteOpt: Option[DataFrame]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val g = Kmeans.quantizeGrid(corpus).localCheckpoint()
@@ -77,8 +86,9 @@ object Recall {
         row_number().over(Window.partitionBy("qid").orderBy(col("dist"), col("cid"))))
       .select("qid", "cid", "rrank")
       .localCheckpoint()
-    val brute = Similarity.quantizedTopK(corpus, queries, k)
-      .select("qid", "nid").localCheckpoint()
+    val brute = bruteOpt.getOrElse(
+      Similarity.quantizedTopK(corpus, queries, k)
+        .select("qid", "nid").localCheckpoint())
     // per probe width: cell-pruned candidates → bounded-heap top-k →
     // intersection with the brute ranking. A global agg always yields its
     // row, so a zero-hit width still surfaces as hits=0, never a lost row.
@@ -118,14 +128,14 @@ object Recall {
                         graphK: Int = GraphK, graphIters: Int = GraphIters,
                         beamRounds: Int = BeamRounds, nSeeds: Int = Seeds): DataFrame = {
     val n = corpus.count()
-    val ivf = ivfRecallTable(corpus, queries, k, nProbes, nCells, iters)
+    val brute = Similarity.quantizedTopK(corpus, queries, k)
+      .select("qid", "nid").localCheckpoint()
+    val ivf = ivfRecallTable(corpus, queries, k, nProbes, nCells, iters, Some(brute))
       .select(lit("ivf").as("family"), col("n_probe").as("knob"),
         (col("n_probe") * lit(n / nCells)).as("budget"),
         col("hits"), col("possible"), col("recall_bp"))
     val cz = NnDescent.codes(corpus).localCheckpoint()
     val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
-    val brute = Similarity.quantizedTopK(corpus, queries, k)
-      .select("qid", "nid").localCheckpoint()
     val graphRows = beams.map { b =>
       NnDescent.beamProbe(g, cz, queries, k, b, beamRounds, graphK, nSeeds)
         .select("qid", "nid")
