@@ -1006,6 +1006,83 @@ object Curation {
       when(col("doc_id") % 3 === 0, lit("#Section-2")).otherwise(lit("")))
       .as("url"))
 
+  /** The q202/q211 HTML page wrapper around a document's text — every
+    * extraction rule planted deterministically (script on 1-in-5 docs,
+    * entity paragraph on 1-in-7, unclosed tag on 1-in-11, nav/footer/
+    * subscribe-line on all).
+    */
+  private[graft] def htmlFixture(docId: Column, text: Column): Column = concat(
+    lit("<html><head><title>Doc</title><style>body { color: red } p>a { x: 1 }</style></head>"),
+    when(docId % 5 === 0,
+      lit("""<script type="text/javascript">var s = "<p>fake para</p>"; if (a < b) { go(); }</script>"""))
+      .otherwise(lit("")),
+    lit("""<body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>"""),
+    lit("<h1>Doc &#39;Overview&#39;</h1>"),
+    lit("<p>"), text, lit("</p>"),
+    when(docId % 7 === 0,
+      lit("<p>5 &lt; 6 &amp; 7 &gt; 2 holds, she said &quot;always&quot;</p>"))
+      .otherwise(lit("")),
+    when(docId % 11 === 0,
+      lit("<div>trailing fragment kept before <unclosed junk never closed"))
+      .otherwise(lit("")),
+    lit("<p>Subscribe to our newsletter for weekly updates</p>"),
+    lit("""<!-- tracking pixel --><footer><a href="/tos">terms</a> <a href="/privacy">privacy</a></footer></body></html>"""))
+
+  /** The DuckDB replay of [[htmlFixture]] + [[extractText]], shared by the
+    * q202 and q211 oracles: CTEs from `seeded` through `ext`
+    * (doc_id, extracted text).
+    */
+  private[graft] val htmlExtractionCtes: String =
+    """seeded AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc</title><style>body { color: red } p>a { x: 1 }</style></head>' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '<script type="text/javascript">var s = "<p>fake para</p>"; if (a < b) { go(); }</script>' ELSE '' END ||
+      |    '<body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>' ||
+      |    '<h1>Doc &#39;Overview&#39;</h1>' ||
+      |    '<p>' || text || '</p>' ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '<p>5 &lt; 6 &amp; 7 &gt; 2 holds, she said &quot;always&quot;</p>' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN '<div>trailing fragment kept before <unclosed junk never closed' ELSE '' END ||
+      |    '<p>Subscribe to our newsletter for weekly updates</p>' ||
+      |    '<!-- tracking pixel --><footer><a href="/tos">terms</a> <a href="/privacy">privacy</a></footer></body></html>'
+      |    AS html
+      |  FROM documents),
+      | cleaned AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      html,
+      |      '(?is)<!--.*?-->', '', 'g'), '(?is)<!--.*$', '', 'g'),
+      |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'), '(?is)<script\b.*$', '', 'g'),
+      |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'), '(?is)<style\b.*$', '', 'g') AS s
+      |  FROM seeded),
+      | segmented AS (
+      |  SELECT doc_id, regexp_replace(s,
+      |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|thead|tbody|section|article|header|footer|blockquote|nav|aside|form|hr|title)\b[^>]*>',
+      |    chr(10), 'g') AS s
+      |  FROM cleaned),
+      | blocks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(s, chr(10))) AS b,
+      |    unnest(generate_series(1, len(string_split(s, chr(10))))) AS i
+      |  FROM segmented),
+      | scored AS (
+      |  SELECT doc_id, i,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'), '<.*$', '', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |      '[ \t\r\f]+', ' ', 'g')) AS t,
+      |    CAST((len(lower(b)) - len(regexp_replace(lower(b), '<a[ >]', '', 'g'))) // 3 AS BIGINT) AS nl
+      |  FROM blocks),
+      | kept AS (
+      |  SELECT doc_id, i, t FROM scored
+      |  WHERE (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) >= 3
+      |    AND (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) > 2 * nl),
+      | ext AS (
+      |  SELECT d.doc_id, coalesce(k.text, '') AS text
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id, string_agg(t, chr(10) ORDER BY i) AS text FROM kept GROUP BY 1) k
+      |  USING (doc_id))""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Decontamination with planted contamination: docs with doc_id % 50 == 0
@@ -1524,85 +1601,21 @@ object Curation {
     // segmentation, dangling-tag fail-close, entity single-decode, and
     // the link-density drop of nav/footer.
     Q("q202_markup_extract",
-      """WITH seeded AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc</title><style>body { color: red } p>a { x: 1 }</style></head>' ||
-        |    CASE WHEN doc_id % 5 = 0 THEN '<script type="text/javascript">var s = "<p>fake para</p>"; if (a < b) { go(); }</script>' ELSE '' END ||
-        |    '<body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>' ||
-        |    '<h1>Doc &#39;Overview&#39;</h1>' ||
-        |    '<p>' || text || '</p>' ||
-        |    CASE WHEN doc_id % 7 = 0 THEN '<p>5 &lt; 6 &amp; 7 &gt; 2 holds, she said &quot;always&quot;</p>' ELSE '' END ||
-        |    CASE WHEN doc_id % 11 = 0 THEN '<div>trailing fragment kept before <unclosed junk never closed' ELSE '' END ||
-        |    '<p>Subscribe to our newsletter for weekly updates</p>' ||
-        |    '<!-- tracking pixel --><footer><a href="/tos">terms</a> <a href="/privacy">privacy</a></footer></body></html>'
-        |    AS html
-        |  FROM documents),
-        | cleaned AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      html,
-        |      '(?is)<!--.*?-->', '', 'g'), '(?is)<!--.*$', '', 'g'),
-        |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'), '(?is)<script\b.*$', '', 'g'),
-        |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'), '(?is)<style\b.*$', '', 'g') AS s
-        |  FROM seeded),
-        | segmented AS (
-        |  SELECT doc_id, regexp_replace(s,
-        |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|thead|tbody|section|article|header|footer|blockquote|nav|aside|form|hr|title)\b[^>]*>',
-        |    chr(10), 'g') AS s
-        |  FROM cleaned),
-        | blocks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split(s, chr(10))) AS b,
-        |    unnest(generate_series(1, len(string_split(s, chr(10))))) AS i
-        |  FROM segmented),
-        | scored AS (
-        |  SELECT doc_id, i,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(replace(replace(
-        |        regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'), '<.*$', '', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |      '[ \t\r\f]+', ' ', 'g')) AS t,
-        |    CAST((len(lower(b)) - len(regexp_replace(lower(b), '<a[ >]', '', 'g'))) // 3 AS BIGINT) AS nl
-        |  FROM blocks),
-        | kept AS (
-        |  SELECT doc_id, i, t FROM scored
-        |  WHERE (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) >= 3
-        |    AND (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) > 2 * nl),
-        | ext AS (
-        |  SELECT d.doc_id, coalesce(k.text, '') AS text
-        |  FROM documents d LEFT JOIN (
-        |    SELECT doc_id, string_agg(t, chr(10) ORDER BY i) AS text FROM kept GROUP BY 1) k
-        |  USING (doc_id)),
-        | p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM ext),
-        | hot AS (SELECT list(para) AS hp FROM (
-        |   SELECT para FROM (
-        |     SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
-        |   WHERE df >= 100))
-        |SELECT doc_id,
-        |  array_to_string(list_filter(string_split(text, chr(10)),
-        |    x -> NOT coalesce(list_contains(hp, x), false)), chr(10)) AS text,
-        |  CAST(len(string_split(text, chr(10))) -
-        |       len(list_filter(string_split(text, chr(10)),
-        |         x -> NOT coalesce(list_contains(hp, x), false))) AS BIGINT) AS n_removed
-        |FROM ext CROSS JOIN hot ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH $htmlExtractionCtes,
+ p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM ext),
+ hot AS (SELECT list(para) AS hp FROM (
+   SELECT para FROM (
+     SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+   WHERE df >= 100))
+SELECT doc_id,
+  array_to_string(list_filter(string_split(text, chr(10)),
+    x -> NOT coalesce(list_contains(hp, x), false)), chr(10)) AS text,
+  CAST(len(string_split(text, chr(10))) -
+       len(list_filter(string_split(text, chr(10)),
+         x -> NOT coalesce(list_contains(hp, x), false))) AS BIGINT) AS n_removed
+FROM ext CROSS JOIN hot ORDER BY doc_id""") { (s, d) =>
       val seeded = Tables.documents(s, d).select(col("doc_id"),
-        concat(
-          lit("<html><head><title>Doc</title><style>body { color: red } p>a { x: 1 }</style></head>"),
-          when(col("doc_id") % 5 === 0,
-            lit("""<script type="text/javascript">var s = "<p>fake para</p>"; if (a < b) { go(); }</script>"""))
-            .otherwise(lit("")),
-          lit("""<body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>"""),
-          lit("<h1>Doc &#39;Overview&#39;</h1>"),
-          lit("<p>"), col("text"), lit("</p>"),
-          when(col("doc_id") % 7 === 0,
-            lit("<p>5 &lt; 6 &amp; 7 &gt; 2 holds, she said &quot;always&quot;</p>"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            lit("<div>trailing fragment kept before <unclosed junk never closed"))
-            .otherwise(lit("")),
-          lit("<p>Subscribe to our newsletter for weekly updates</p>"),
-          lit("""<!-- tracking pixel --><footer><a href="/tos">terms</a> <a href="/privacy">privacy</a></footer></body></html>"""))
-          .as("text"))
+        htmlFixture(col("doc_id"), col("text")).as("text"))
       removeBoilerplate(extractText(seeded), minDf = 100)
         .select("doc_id", "text", "n_removed")
         .orderBy("doc_id")

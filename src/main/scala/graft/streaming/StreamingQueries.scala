@@ -517,6 +517,36 @@ object StreamingQueries {
         .orderBy("g1", "g2")
     },
 
+    // Streaming crawl front end: raw HTML pages (the q202 fixture wrapper)
+    // arrive as a document stream; each micro-batch runs the jusText-lite
+    // extraction IN the batch (scan-local string kernels — the text never
+    // lands raw) and merges by doc_id into the extracted table. The
+    // drained table must equal the batch extraction of the whole corpus:
+    // the oracle is the shared extraction replay, so streaming vs batch
+    // parity is value-exact per document.
+    Q("q211_streaming_extract",
+      s"""WITH ${graft.scale.Curation.htmlExtractionCtes}
+         |SELECT doc_id, text FROM ext ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q211")
+      val table = new VersionedTable(s, s"$wh/extracted")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = Streaming.docsStream(s2, d)
+        .select(col("doc_id"),
+          graft.scale.Curation.htmlFixture(col("doc_id"), col("text")).as("text"))
+      val q = stream.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          table.incrementalDedup(graft.scale.Curation.extractText(batch),
+            keys = Seq("doc_id"), orderCols = Seq("doc_id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      table.read().select("doc_id", "text").orderBy("doc_id")
+    },
+
     // Streaming quantile-sketch maintenance: per-event-type hash-bottom
     // samples merged continuously (KMV re-selection per micro-batch, state
     // O(groups x k) forever), then p50/p90/p99 served from the drained
