@@ -346,9 +346,13 @@ object Behavioral {
         |  FROM recent CROSS JOIN base GROUP BY 1)
         |SELECT user_id, decayed_score FROM scored
         |ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      // materialized once: the horizon aggregate, the min-day base, and
+      // the final weighting all consume it — unmaterialized, the events
+      // aggregation would run three times
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
         .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .localCheckpoint()
       val horizon = daily.agg(max("day").as("mx"))
       val recent = daily.crossJoin(broadcast(horizon))
         .filter(col("day") > col("mx") - lit(60))
