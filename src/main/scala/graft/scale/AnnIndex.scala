@@ -132,16 +132,23 @@ object AnnIndex {
     val existingTouched = pt.read()
       .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
     val merged = graft.write.Writers.upsert(existingTouched, newPostings, Seq("nid"))
-    pt.promote(pt.stagePatch(merged, Seq("cid")))
     // a re-ingested id un-deletes: clear any tombstone the batch's nids
     // carry, or the fresh posting would stay invisible at probe time
     // (latest-op-wins across the append/delete history). The tombstone
     // table is delete-batch-sized, so the rewrite is O(tombstones).
+    // Order matters: the tombstones clear BEFORE the postings promote. A
+    // crash between the two then leaves the id un-tombstoned with its old
+    // (or no) posting — a state the caller's retry of the append converges
+    // out of. The reverse order is NOT convergent: posting promoted, id
+    // still tombstoned → the next compaction physically purges the fresh
+    // posting and truncates the tombstone, silently degrading
+    // latest-op-wins to delete-wins.
     val tt = tombstonesTable(spark, root)
     if (tt.exists)
       tt.promote(tt.stage(
         tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")
           .localCheckpoint()))
+    pt.promote(pt.stagePatch(merged, Seq("cid")))
     IvfIndex(root, cents.length)
   }
 
@@ -162,7 +169,8 @@ object AnnIndex {
     * the deleted vectors, before and after compaction.
     */
   def deleteFromIvfIndex(deletedIds: DataFrame, root: String,
-                         idCol: String = "vec_id"): Unit = {
+                         idCol: String = "vec_id",
+                         maxChainDepth: Int = 4): Unit = {
     val spark = deletedIds.sparkSession
     val ids = deletedIds.select(col(idCol).cast("long").as("nid")).distinct()
     val tt = tombstonesTable(spark, root)
@@ -170,7 +178,7 @@ object AnnIndex {
       val fresh = ids.join(tt.read(), Seq("nid"), "left_anti").localCheckpoint()
       if (!fresh.isEmpty) {
         tt.promote(tt.stageAppend(fresh))
-        tt.compactIfNeeded(4)
+        tt.compactIfNeeded(maxChainDepth)
       }
     } else tt.promote(tt.stage(ids))
   }

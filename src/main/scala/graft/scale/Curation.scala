@@ -1078,7 +1078,8 @@ object Curation {
       |  WHERE (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) >= 3
       |    AND (CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END) > 2 * nl),
       | ext AS (
-      |  SELECT d.doc_id, coalesce(k.text, '') AS text
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(k.text, '') END AS text
       |  FROM documents d LEFT JOIN (
       |    SELECT doc_id, string_agg(t, chr(10) ORDER BY i) AS text FROM kept GROUP BY 1) k
       |  USING (doc_id))""".stripMargin

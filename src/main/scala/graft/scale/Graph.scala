@@ -107,12 +107,21 @@ object Graph {
         .withColumnRenamed("dst", "node")
       val dm = ranks.join(dangling, "node")
         .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dm)).crossJoin(broadcast(nN))
-        .select(col("node"),
-          (lit(Base) +
-            expr(s"($DampNum * (coalesce(c, 0) + dm div n)) div $DampDen"))
-            .as("rank"))
+      // `ranks` is read TWICE per round (contrib and dm) — without the
+      // per-round checkpoint the logical plan doubles each iteration
+      // (~2^iters leaves) and analysis hangs past ~15 rounds. The
+      // checkpoint must also DROP the frozen estimate: the round output is
+      // a join product × two crossJoined aggregates, so a plain
+      // localCheckpoint compounds ~14 bits of size estimate per round (the
+      // kCore stats trap, measured). checkpointFreshStats resets it; the
+      // GraphSpec flat-stats law pins both failure modes at depth 16.
+      ranks = org.apache.spark.sql.GraftColumnBridge.checkpointFreshStats(
+        nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dm)).crossJoin(broadcast(nN))
+          .select(col("node"),
+            (lit(Base) +
+              expr(s"($DampNum * (coalesce(c, 0) + dm div n)) div $DampDen"))
+              .as("rank")))
     }
     ranks
   }

@@ -202,15 +202,18 @@ object Pq {
     val existingTouched = pt.read()
       .filter(col("cid").isin(touched.map(Integer.valueOf): _*))
     val merged = graft.write.Writers.upsert(existingTouched, newPostings, Seq("nid"))
-    pt.promote(pt.stagePatch(merged, Seq("cid")))
     // a re-ingested id un-deletes (the [[AnnIndex.appendToIvfIndex]]
     // latest-op-wins rule); the tombstone table is delete-batch-sized,
-    // so the rewrite is O(tombstones)
+    // so the rewrite is O(tombstones). Tombstones clear BEFORE the
+    // postings promote — a crash between the two is then convergent under
+    // caller retry, where the reverse order lets the next compaction purge
+    // the fresh posting (delete-wins; see AnnIndex.appendToIvfIndex).
     val tt = table(spark, root, "tombstones")
     if (tt.exists)
       tt.promote(tt.stage(
         tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")
           .localCheckpoint()))
+    pt.promote(pt.stagePatch(merged, Seq("cid")))
     IvfPqIndex(root, coarse.length)
   }
 
@@ -223,7 +226,8 @@ object Pq {
     * cross-cell re-ingestion: delete the moved ids, then append.
     */
   def deleteFromIvfPqIndex(deletedIds: DataFrame, root: String,
-                           idCol: String = "vec_id"): Unit = {
+                           idCol: String = "vec_id",
+                           maxChainDepth: Int = 4): Unit = {
     val spark = deletedIds.sparkSession
     val ids = deletedIds.select(col(idCol).cast("long").as("nid")).distinct()
     val tt = table(spark, root, "tombstones")
@@ -231,7 +235,7 @@ object Pq {
       val fresh = ids.join(tt.read(), Seq("nid"), "left_anti").localCheckpoint()
       if (!fresh.isEmpty) {
         tt.promote(tt.stageAppend(fresh))
-        tt.compactIfNeeded(4)
+        tt.compactIfNeeded(maxChainDepth)
       }
     } else tt.promote(tt.stage(ids))
   }

@@ -16,4 +16,31 @@ object GraftColumnBridge {
     */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `localCheckpoint()` that DROPS the origin plan's estimated stats.
+    *
+    * Spark 4's local checkpoint freezes the optimized plan's ESTIMATED
+    * `sizeInBytes` into the resulting `LogicalRDD` as origin stats. In an
+    * iterative loop whose round output is a join product (worse, a
+    * crossJoin with broadcast aggregates), the frozen estimate compounds a
+    * constant factor per round — hundreds of bits after a few dozen
+    * rounds, and eventually JoinSelection burns minutes multiplying
+    * BigInts (the kCore stats-compounding trap; see GraphSpec's flat-stats
+    * laws). Rebuilding the `LogicalRDD` with `originStats = None` resets
+    * the estimate to `spark.sql.defaultSizeInBytes` — zero data copied,
+    * the materialized RDD, partitioning, and ordering are reused verbatim.
+    * The reset side is then treated as too big to broadcast, which is the
+    * right default for a frame that loops at graph scale.
+    */
+  def checkpointFreshStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
+        classic.Dataset.ofRows(spark,
+          execution.LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(spark, None, None))
+      case _ => cp
+    }
+  }
 }

@@ -59,6 +59,25 @@ class GraphSpec extends SparkSpec {
       s"mass leaked beyond truncation slack: $total")
   }
 
+  test("pageRankDirected: deep iteration stays planner-safe (flat stats, no 2^iters plan)") {
+    // `ranks` feeds BOTH contrib and dm each round; without the per-round
+    // checkpoint the logical plan doubles per iteration and 16 rounds
+    // never finish analysis. Run 16 rounds, pin the checkpointed frame's
+    // stats estimate flat (the kCore compounding canary), and sanity the
+    // conservation law still holds at depth.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val iters = 16
+    val pr = Graph.pageRankDirected(edges, iters)
+    val bits = pr.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits < 64, s"stats estimate grew to $bits bits after $iters rounds")
+    val got = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    val n = 5L
+    val total = got.values.sum
+    assert(total <= n * Graph.Scale && total >= n * Graph.Scale - n * iters * 3)
+  }
+
   test("incremental append equals full recompute on the union — entire relation, every round") {
     val pairs = Graph.tradePairs(spark, sfDir).localCheckpoint()
     val holdOut = pmod(col("c") + col("s"), lit(5)) === 0
