@@ -97,6 +97,59 @@ object Retrieval {
     withTf.withColumn(scoreCol, score)
   }
 
+  /** BM25 served ENTIRELY from an inverted index — the form a persistent
+    * postings table (e.g. [[graft.streaming.PostingsIndex]]) answers with,
+    * no document text in sight. Every statistic derives from the postings:
+    * doc length = Σtf over the doc's rows (exact for the whitespace
+    * tokenizer — every token lands in exactly one posting), N and avg from
+    * the length frame, df_t = the term's posting count. Same milli-unit
+    * integer formula as [[bm25]]; on a corpus where every doc tokenizes to
+    * ≥ 1 term the two agree row-for-row (docs with no tokens have no
+    * postings, so they are absent here where [[bm25]] scores them 0 — and
+    * they can never reach a positive-score top-k either way).
+    *
+    * Scale shape: one doc-keyed shuffle for lengths; the per-term tf/df
+    * side scans ONLY the query terms' postings (the `term IN` filter pushes
+    * to the scan, which row-group-prunes on the stored term sort); corpus
+    * stats are a 1-row and a |terms|-row collect — the [[corpusStats]]
+    * metadata class.
+    */
+  def bm25FromIndex(postings: DataFrame, terms: Seq[String],
+                    idCol: String = "doc_id",
+                    scoreCol: String = "score"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"bm25FromIndex is a few-term search primitive, got ${terms.size} terms")
+    val lens = postings.groupBy(idCol)
+      .agg(sum("tf").cast("long").as("__len"))
+    val st = lens.agg(count(lit(1)).as("n"),
+      coalesce(sum("__len"), lit(0L)).as("s")).head()
+    val n = st.getLong(0)
+    val avg = if (n == 0) 1L else math.max(1L, st.getLong(1) / n)
+    val dfs = postings.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfs.getOrElse(t, 0L)
+      t -> math.max(1L,
+        (64 - java.lang.Long.numberOfLeadingZeros(n + 1))
+          - (64 - java.lang.Long.numberOfLeadingZeros(df + 1)).toLong)
+    }.toMap
+    val qtf = postings.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("term") === terms.head, col("tf")).otherwise(0L))
+             .cast("long").as(s"tf_${terms.head}"),
+        terms.tail.map(t =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L))
+            .cast("long").as(s"tf_$t")): _*)
+    val joined = terms.foldLeft(lens.join(qtf, Seq(idCol), "left")) { (d, t) =>
+      d.withColumn(s"tf_$t", coalesce(col(s"tf_$t"), lit(0L)))
+    }
+    val score = terms.map(t => termScore(col(s"tf_$t"), col("__len"), idf(t), avg))
+      .reduce(_ + _)
+    joined.withColumn(scoreCol, score)
+      .withColumnRenamed("__len", "len")
+  }
+
   /** Inverted-index build: the postings table (term, doc id, term
     * frequency) every lexical-retrieval system serves from. ONE token-keyed
     * shuffle with map-side partial counts — text never leaves the scan;

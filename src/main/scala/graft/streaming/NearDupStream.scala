@@ -54,6 +54,68 @@ final class NearDupIndex(spark: SparkSession, root: String,
 
   val survivors = new VersionedTable(spark, s"$root/survivors")
   val signatures = new VersionedTable(spark, s"$root/signatures")
+  val tombstones = new VersionedTable(spark, s"$root/tombstones")
+
+  /** Takedown-delete accepted doc ids, [[graft.scale.AnnIndex]] LSM style
+    * (q205/q213): an O(batch) tombstone append — neither corpus table is
+    * touched or versioned. The erased docs leave BOTH serving surfaces at
+    * once: [[servedSurvivors]] (the output corpus) and the signature side
+    * of every future batch's cross-batch banding — so content resembling an
+    * erased doc is ADMITTED afterwards, exactly as if the erased doc had
+    * never been accepted (rebuild-without-deleted parity, q213). Unknown
+    * ids are legal no-ops; re-deletes are idempotent. [[compactPurge]]
+    * physically drops the rows and truncates the set. Like
+    * [[PostingsIndex]], growth is append, so a tombstoned id is rejected at
+    * ingest while its tombstone lives (no resurrection-by-append
+    * duplicates); after the purge a re-crawl re-admits it with a fresh
+    * history.
+    */
+  def delete(deletedIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    val ids = deletedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    if (tombstones.exists) {
+      val fresh = ids.join(tombstones.read(), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      if (!fresh.isEmpty) {
+        tombstones.promote(tombstones.stageAppend(fresh))
+        tombstones.compactIfNeeded(maxChainDepth)
+      }
+    } else tombstones.promote(tombstones.stage(ids))
+  }
+
+  private def minusTombstones(df: DataFrame): DataFrame =
+    if (tombstones.exists) df.join(tombstones.read(), Seq("doc_id"), "left_anti")
+    else df
+
+  /** The deduplicated output corpus minus erased docs — what a consumer
+    * reads. The tombstone side is delete-batch-sized (AQE broadcasts the
+    * anti-join).
+    */
+  def servedSurvivors(): DataFrame = minusTombstones(survivors.read())
+
+  /** The signature index the cross-batch banding joins against — erased
+    * docs excluded, so they stop suppressing future near-dups immediately.
+    */
+  def servedSignatures(): DataFrame = minusTombstones(signatures.read())
+
+  /** Physically purge tombstoned rows from both tables, then truncate the
+    * tombstone set. Three promotes; a crash after either purge leaves stale
+    * tombstones over already-purged rows — the anti-joins match nothing and
+    * the next purge clears them (convergent, the AnnIndex argument). Both
+    * purge promotes carry their table's current batch stamp so replay
+    * protection survives.
+    */
+  def compactPurge(): Unit = {
+    val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
+               else None
+    if (dead.exists(!_.isEmpty)) {
+      def purge(t: VersionedTable): Unit =
+        t.promote(t.stage(t.read().join(dead.get, Seq("doc_id"), "left_anti")),
+          t.currentTag)
+      purge(survivors)
+      purge(signatures)
+      tombstones.promote(tombstones.stage(dead.get.limit(0)))
+    } else { survivors.compact(); signatures.compact(); () }
+  }
 
   /** Bootstrap the index from an ALREADY-CURATED corpus: every row is
     * accepted verbatim and only the signatures are computed. A production
@@ -95,8 +157,9 @@ final class NearDupIndex(spark: SparkSession, root: String,
     val survivorsDone = survivors.exists && survivors.currentTag.contains(tag)
     val signaturesDone = signatures.exists && signatures.currentTag.contains(tag)
     if (survivorsDone && signaturesDone) return
-    val b = batch.select(col("doc_id"), col("text"))
-      .filter(col("text").isNotNull).localCheckpoint()
+    // tombstoned ids are rejected while their tombstone lives (see [[delete]])
+    val b = minusTombstones(batch.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)).localCheckpoint()
     val sigs = Dedup.minhashSignatures(b, numHashes, shingleSize).localCheckpoint()
     // 1. within-batch transitive reduction to cluster min-ids
     val pairs = Dedup.jaccardVerify(b,
@@ -105,8 +168,8 @@ final class NearDupIndex(spark: SparkSession, root: String,
     val reps = Cluster.dropNearDups(b, pairs)
     // 2. cross-batch: survivors-so-far are the "old snapshot"
     val kept = (if (!signatures.exists) reps
-                else Curation.nearDupAgainstIndex(reps, signatures.read(),
-                  survivors.read(), threshold, numHashes, bands, shingleSize))
+                else Curation.nearDupAgainstIndex(reps, servedSignatures(),
+                  servedSurvivors(), threshold, numHashes, bands, shingleSize))
       .localCheckpoint()
     // 3. grow both tables with the accepted rows
     val keptSigs = sigs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -120,9 +183,12 @@ final class NearDupIndex(spark: SparkSession, root: String,
     }
     // bound the append chains a continuous crawl accumulates: read cost
     // stays O(maxChainDepth) union legs, the O(table) rewrite amortizes to
-    // one every ~maxChainDepth batches (policy law in StreamingNearDupSpec)
-    survivors.compactIfNeeded(maxChainDepth)
-    signatures.compactIfNeeded(maxChainDepth)
+    // one every ~maxChainDepth batches (policy law in StreamingNearDupSpec).
+    // Routed through the purge-aware compaction so a rewrite that's being
+    // paid anyway also clears pending tombstones.
+    if (survivors.chainDepth > maxChainDepth ||
+        signatures.chainDepth > maxChainDepth)
+      compactPurge()
   }
 }
 

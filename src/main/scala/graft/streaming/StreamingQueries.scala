@@ -625,5 +625,187 @@ object StreamingQueries {
       q.awaitTermination()
       stats.read()
     },
+
+    // Takedown deletes reach the TEXT-index families (the r14 verdict's #2):
+    // the q205/q208 LSM tombstone protocol generalized to the persistent
+    // postings indexes. Documents with doc_id % 7 = 2 are erased after a
+    // 4-batch drain; all three lexical serving surfaces — BM25 top-10
+    // (served from the index alone via bm25FromIndex), champion lists for
+    // the q119 terms, and positional phrase search 'table part' — must
+    // answer exactly as an index built without the deleted docs, BEFORE
+    // compaction (anti-join serve over tombstones) and AFTER (physical
+    // purge). The positional family runs as a second PostingsIndex with the
+    // positionalIndex builder — one protocol, two postings shapes.
+    // Footprint/rejection/idempotence laws live in PostingsStreamSpec.
+    Q("q212_postings_delete",
+      """WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2),
+        | p AS (
+        |  SELECT g AS term, doc_id, CAST(count(1) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                  x -> x <> '')) AS g
+        |        FROM live)
+        |  GROUP BY 1, 2),
+        | lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM p GROUP BY 1),
+        | st AS (SELECT count(1) AS n, CAST(sum(len) AS BIGINT) AS s FROM lens),
+        | av AS (SELECT greatest(1, s // n) AS avg, n FROM st),
+        | df AS (SELECT
+        |   (SELECT count(1) FROM p WHERE term = 'spark') AS df_spark,
+        |   (SELECT count(1) FROM p WHERE term = 'merge') AS df_merge,
+        |   (SELECT count(1) FROM p WHERE term = 'dup') AS df_dup),
+        | idf AS (SELECT
+        |   greatest(1, length(bin(n + 1)) - length(bin(df_spark + 1))) AS i_spark,
+        |   greatest(1, length(bin(n + 1)) - length(bin(df_merge + 1))) AS i_merge,
+        |   greatest(1, length(bin(n + 1)) - length(bin(df_dup + 1))) AS i_dup
+        |  FROM df CROSS JOIN av),
+        | qtf AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(sum(CASE WHEN term = 'spark' THEN tf END), 0) AS BIGINT) AS tf_spark,
+        |    CAST(COALESCE(sum(CASE WHEN term = 'merge' THEN tf END), 0) AS BIGINT) AS tf_merge,
+        |    CAST(COALESCE(sum(CASE WHEN term = 'dup' THEN tf END), 0) AS BIGINT) AS tf_dup
+        |  FROM p GROUP BY 1),
+        | sc AS (
+        |  SELECT l.doc_id, l.len, t.tf_spark, t.tf_merge, t.tf_dup,
+        |    (CASE WHEN tf_spark > 0 THEN
+        |       (1000 * i_spark * 44 * avg * tf_spark)
+        |         // (20 * avg * tf_spark + 6 * avg + 18 * len) ELSE 0 END
+        |   + CASE WHEN tf_merge > 0 THEN
+        |       (1000 * i_merge * 44 * avg * tf_merge)
+        |         // (20 * avg * tf_merge + 6 * avg + 18 * len) ELSE 0 END
+        |   + CASE WHEN tf_dup > 0 THEN
+        |       (1000 * i_dup * 44 * avg * tf_dup)
+        |         // (20 * avg * tf_dup + 6 * avg + 18 * len) ELSE 0 END) AS score
+        |  FROM lens l JOIN qtf t USING (doc_id) CROSS JOIN idf CROSS JOIN av),
+        | bm AS (
+        |  SELECT 'bm25' AS surface, '' AS term,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+        |         doc_id, score AS v
+        |  FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10),
+        | champ AS (
+        |  SELECT 'champ' AS surface, term, rnk, doc_id, tf AS v FROM (
+        |    SELECT term, doc_id, tf,
+        |           CAST(row_number() OVER (PARTITION BY term
+        |                ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+        |    FROM p WHERE term IN ('spark', 'merge', 'dup'))
+        |  WHERE rnk <= 3),
+        | w AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term,
+        |    generate_subscripts(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> ''), 1) AS pos
+        |  FROM live),
+        | ph0 AS (
+        |  SELECT a.doc_id, CAST(count(1) AS BIGINT) AS nm
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.term = 'table' AND b.term = 'part'
+        |  GROUP BY 1),
+        | ph AS (
+        |  SELECT 'phrase' AS surface, '' AS term,
+        |         CAST(row_number() OVER (ORDER BY nm DESC, doc_id) AS BIGINT) AS rnk,
+        |         doc_id, nm AS v
+        |  FROM ph0 ORDER BY nm DESC, doc_id LIMIT 10),
+        | allr AS (SELECT * FROM bm UNION ALL SELECT * FROM champ
+        |          UNION ALL SELECT * FROM ph)
+        |SELECT phase, surface, term, rnk, doc_id, v
+        |FROM allr CROSS JOIN (SELECT unnest(['served', 'compacted']) AS phase)
+        |ORDER BY phase, surface, term, rnk""".stripMargin) { (s, d) =>
+      import graft.scale.Retrieval
+      val wh = scratchDir("graft-q212")
+      val terms = Seq("spark", "merge", "dup")
+      val lex = new PostingsIndex(s, s"$wh/lex")
+      val pos = new PostingsIndex(s, s"$wh/pos",
+        build = df => Retrieval.positionalIndex(df))
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (i <- 0 until 4) {
+        val b = docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        lex.processBatch(b, i); pos.processBatch(b, i)
+      }
+      val dead = docs.select("doc_id").filter(col("doc_id") % 7 === 2)
+      lex.delete(dead); pos.delete(dead)
+      def serve(phase: String) = {
+        import org.apache.spark.sql.expressions.Window
+        val bm = Retrieval.bm25FromIndex(lex.served(), terms)
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(lit("bm25").as("surface"), lit("").as("term"),
+            col("rnk"), col("doc_id"), col("score").as("v"))
+        val champ = Retrieval.topPostings(
+            lex.served().filter(col("term").isin(terms: _*)), k = 3)
+          .select(lit("champ").as("surface"), col("term"),
+            col("rnk"), col("doc_id"), col("tf").as("v"))
+        val phr = Retrieval.phraseMatches(pos.served(), Seq("table", "part"))
+          .orderBy(col("n_matches").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number()
+            .over(Window.orderBy(col("n_matches").desc, col("doc_id"))).cast("long"))
+          .select(lit("phrase").as("surface"), lit("").as("term"),
+            col("rnk"), col("doc_id"), col("n_matches").as("v"))
+        bm.unionByName(champ).unionByName(phr).withColumn("phase", lit(phase))
+      }
+      val served = serve("served").localCheckpoint()
+      lex.compact(); pos.compact()
+      served.unionByName(serve("compacted"))
+        .select("phase", "surface", "term", "rnk", "doc_id", "v")
+        .orderBy("phase", "surface", "term", "rnk")
+    },
+
+    // Takedown deletes reach the near-dup signature index: erase the
+    // doc_id % 10 = 0 class from a seeded NearDupIndex, then crawl exact
+    // re-crawls of the ERASED docs (+300000) plus first-word-edited
+    // re-crawls of the live % 10 = 5 class. The erased docs must (a) leave
+    // the served corpus and (b) stop suppressing — every re-crawl of an
+    // erased doc is ADMITTED unless it chance-matches a still-live doc
+    // (the oracle cross-checks against the live corpus, q101-style), while
+    // the edited re-crawls of live docs drop as before. Both phases of the
+    // LSM lifecycle serve identically (anti-join, then physical purge).
+    Q("q213_neardup_delete",
+      """WITH old AS (SELECT doc_id, trim(text) AS text FROM documents),
+        | liveold AS (SELECT doc_id, text FROM old WHERE doc_id % 10 <> 0),
+        | nw AS (
+        |  SELECT doc_id + 300000 AS doc_id, text FROM old WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text[instr(text, ' ') + 1:]
+        |  FROM old WHERE doc_id % 10 = 5),
+        | shn AS (SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(t) - 3, 0) + 2),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM nw)),
+        | sho AS (SELECT doc_id, list_distinct(list_transform(
+        |           range(1, greatest(len(t) - 3, 0) + 2),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM liveold)),
+        | dropped AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM shn n, sho o
+        |  WHERE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) /
+        |        (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.8),
+        | outp AS (
+        |  SELECT doc_id, text FROM liveold
+        |  UNION ALL
+        |  SELECT doc_id, text FROM nw
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+        |SELECT phase, doc_id, text
+        |FROM outp CROSS JOIN (SELECT unnest(['served', 'compacted']) AS phase)
+        |ORDER BY phase, doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q213")
+      val index = new NearDupIndex(s, s"$wh/ndi", threshold = 0.8)
+      val old = Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+      index.seed(old)
+      index.delete(old.select("doc_id").filter(col("doc_id") % 10 === 0))
+      val exactRecrawl = old.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 300000)
+      val editedRecrawl = old.filter(col("doc_id") % 10 === 5)
+        .withColumn("doc_id", col("doc_id") + 300000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      index.processBatch(exactRecrawl.unionByName(editedRecrawl), 0L)
+      val served = index.servedSurvivors()
+        .withColumn("phase", lit("served")).localCheckpoint()
+      index.compactPurge()
+      served.unionByName(
+          index.servedSurvivors().withColumn("phase", lit("compacted")))
+        .select("phase", "doc_id", "text")
+        .orderBy("phase", "doc_id")
+    },
   )
 }

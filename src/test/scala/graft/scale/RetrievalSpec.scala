@@ -36,6 +36,20 @@ class RetrievalSpec extends SparkSpec {
     assert(top.forall(_ > 0), s"top-5 tf_dup: ${top.toSeq}")
   }
 
+  test("bm25FromIndex == bm25 over the raw corpus (index serving parity)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val terms = Seq("spark", "merge", "dup")
+    val want = Retrieval.bm25(docs, terms)
+      .select("doc_id", "tf_spark", "tf_merge", "tf_dup", "score")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = Retrieval.bm25FromIndex(Retrieval.invertedIndex(docs), terms)
+      .select("doc_id", "tf_spark", "tf_merge", "tf_dup", "score")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // every doc in this corpus tokenizes to >= 1 term, so the two forms
+    // agree on the full relation, not just positive scores
+    assert(got === want && got.nonEmpty)
+  }
+
   test("invertedIndex postings reproduce exact term frequencies") {
     val docs = Seq((1L, "x y x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
     val idx = Retrieval.invertedIndex(docs)

@@ -97,4 +97,71 @@ class PostingsStreamSpec extends SparkSpec {
     idx.postings.compact()
     assert(champions === batchForm)
   }
+
+  test("delete is O(batch): tombstones append, postings untouched; idempotent; unknown id no-op") {
+    val idx = new PostingsIndex(spark, root("tomb"))
+    idx.processBatch(b1.toDF("doc_id", "text"), 0L)
+    idx.processBatch(b2.toDF("doc_id", "text"), 1L)
+    val pv = idx.postings.currentVersion
+    idx.delete(Seq(2L).toDF("doc_id"))
+    idx.delete(Seq(10L).toDF("doc_id"))
+    // the footprint law: deletes never rewrite (or even version) the postings
+    assert(idx.postings.currentVersion === pv)
+    val tv = idx.tombstones.currentVersion
+    idx.delete(Seq(2L).toDF("doc_id")) // re-delete: set stays a set, no version
+    assert(idx.tombstones.currentVersion === tv)
+    assert(idx.tombstones.read().as[Long].collect().toSet === Set(2L, 10L))
+    idx.delete(Seq(999L).toDF("doc_id")) // unknown id: legal no-op for serving
+    assert(idx.served().filter(col("doc_id") === 999L).count() === 0)
+  }
+
+  test("delete-then-serve == rebuild-without-deleted, before and after compaction") {
+    val idx = new PostingsIndex(spark, root("tombeq"))
+    idx.processBatch(b1.toDF("doc_id", "text"), 0L)
+    idx.processBatch(b2.toDF("doc_id", "text"), 1L)
+    idx.delete(Seq(2L, 11L).toDF("doc_id"))
+    val want = postings((b1 ++ b2).filterNot(r => r._1 == 2L || r._1 == 11L))
+    def served = idx.served()
+      .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
+    assert(served === want && want.nonEmpty)
+    idx.compact()
+    assert(served === want)
+    // compaction PHYSICALLY dropped the rows and truncated the tombstones
+    assert(idx.postings.read().filter(col("doc_id").isin(2L, 11L)).count() === 0)
+    assert(idx.tombstones.read().count() === 0)
+    assert(idx.postings.chainDepth === 1)
+  }
+
+  test("a tombstoned id is rejected at ingest; re-admitted cleanly after the purge") {
+    val idx = new PostingsIndex(spark, root("reject"))
+    idx.processBatch(b1.toDF("doc_id", "text"), 0L)
+    idx.delete(Seq(2L).toDF("doc_id"))
+    // while the tombstone lives, re-ingesting id 2 would duplicate its
+    // not-yet-purged rows — it is rejected, the fresh doc admitted
+    idx.processBatch(Seq((2L, "merge dup"), (20L, "dup spark")).toDF("doc_id", "text"), 1L)
+    assert(idx.served().filter(col("doc_id") === 2L).count() === 0)
+    assert(idx.served().filter(col("doc_id") === 20L).count() === 2)
+    idx.compact() // physical purge clears the way
+    idx.processBatch(Seq((2L, "merge dup")).toDF("doc_id", "text"), 2L)
+    val want = postings(Seq((1L, "spark merge spark"), (3L, "spark"),
+      (20L, "dup spark"), (2L, "merge dup")))
+    assert(idx.served()
+      .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
+      === want)
+  }
+
+  test("the positional builder shares the whole protocol: phrase serving honors deletes") {
+    val idx = new PostingsIndex(spark, root("pos"),
+      build = df => Retrieval.positionalIndex(df))
+    idx.processBatch(Seq((1L, "big table part small"), (2L, "table part table part"),
+      (3L, "part table")).toDF("doc_id", "text"), 0L)
+    def hits = Retrieval.phraseMatches(idx.served(), Seq("table", "part"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits === Map(1L -> 1L, 2L -> 2L))
+    idx.delete(Seq(2L).toDF("doc_id"))
+    assert(hits === Map(1L -> 1L))
+    idx.compact()
+    assert(hits === Map(1L -> 1L))
+    assert(idx.postings.read().filter(col("doc_id") === 2L).count() === 0)
+  }
 }

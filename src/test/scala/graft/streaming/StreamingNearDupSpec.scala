@@ -118,4 +118,50 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(ownRows(1) === 1L) // batch 0: one new doc
     assert(ownRows(2) === 1L) // batch 1: one new doc, seed+batch0 inherited
   }
+
+  test("delete is O(batch) and reaches BOTH serving surfaces (corpus and suppression)") {
+    val idx = new NearDupIndex(spark, root("tomb"))
+    idx.seed(Seq((1L, tA), (2L, tB), (3L, tC)).toDF("doc_id", "text"))
+    val (sv, gv) = (idx.survivors.currentVersion, idx.signatures.currentVersion)
+    idx.delete(Seq(1L).toDF("doc_id"))
+    // footprint law: neither corpus table is rewritten or even versioned
+    assert(idx.survivors.currentVersion === sv &&
+      idx.signatures.currentVersion === gv)
+    // surface 1: the erased doc leaves the served corpus immediately
+    assert(idx.servedSurvivors().select("doc_id").as[Long].collect().sorted
+      === Array(2L, 3L))
+    // surface 2: the erased doc stops suppressing — a clone of tA is now
+    // ADMITTED, while a clone of the still-live tB still drops
+    idx.processBatch(Seq((50L, tA), (60L, tB)).toDF("doc_id", "text"), 0L)
+    assert(idx.servedSurvivors().select("doc_id").as[Long].collect().sorted
+      === Array(2L, 3L, 50L))
+    // re-delete idempotent; unknown id a legal no-op
+    val tv = idx.tombstones.currentVersion
+    idx.delete(Seq(1L).toDF("doc_id"))
+    assert(idx.tombstones.currentVersion === tv)
+    idx.delete(Seq(999L).toDF("doc_id"))
+    assert(idx.servedSurvivors().count() === 3)
+  }
+
+  test("compactPurge: physical purge + truncate; tombstoned id rejected until purged, then re-admittable") {
+    val idx = new NearDupIndex(spark, root("purge"))
+    idx.seed(Seq((1L, tA), (2L, tB), (3L, tC)).toDF("doc_id", "text"))
+    idx.delete(Seq(3L).toDF("doc_id"))
+    // while the tombstone lives, re-ingesting id 3 is rejected (append
+    // growth cannot upsert); an unrelated doc in the same batch is admitted
+    idx.processBatch(Seq((3L, tC), (70L, tD)).toDF("doc_id", "text"), 0L)
+    assert(idx.servedSurvivors().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 70L))
+    idx.compactPurge()
+    // physically gone from both tables; tombstone set truncated
+    assert(idx.survivors.read().filter(col("doc_id") === 3L).count() === 0)
+    assert(idx.signatures.read().filter(col("doc_id") === 3L).count() === 0)
+    assert(idx.tombstones.read().count() === 0)
+    // the purge cleared the way: a re-crawl of id 3 re-admits with a
+    // fresh history — exactly one row, no resurrection duplicates
+    idx.processBatch(Seq((3L, tC)).toDF("doc_id", "text"), 1L)
+    assert(idx.servedSurvivors().filter(col("doc_id") === 3L).count() === 1)
+    assert(idx.servedSurvivors().select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 70L))
+  }
 }
