@@ -161,6 +161,36 @@ object Bench {
       val w = new java.io.PrintWriter(shuffleFile, "UTF-8")
       try w.println(s"""{"sf":$sfNum,"queries":{$body}}""") finally w.close()
     }
+    // Reproducibility artifact (r14 verdict item 7): driver-vs-builder
+    // deltas like r14's unexplained q80/q81 8x must be adjudicable from the
+    // round's artifacts alone. The compact line can't carry per-query
+    // spreads inside its 2000-byte tail budget, so the full rep series
+    // (cold + every warm rep + min/median/max) lands in BENCH_DETAIL.json —
+    // committed per round exactly like BENCH_SHUFFLE.json. A query whose
+    // max/min rep ratio is large in the DRIVER's artifact but whose code
+    // didn't change is suite noise by the artifact's own testimony; no
+    // isolated re-measure session needed.
+    if (only.isEmpty) {
+      val body = results.map { case (name, cold, ws) =>
+        val series = ws.map(fmt).mkString("[", ",", "]")
+        val stats =
+          if (ws.isEmpty) ""
+          else s""","min":${fmt(ws.min)},"med":${fmt(median(ws))},"max":${fmt(ws.max)}"""
+        s""""$name":{"cold":${cold.map(fmt).getOrElse("null")},"reps":$series$stats}"""
+      }.mkString(",")
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
+      try w.println(s"""{"sf":$sfNum,"warm_reps_cfg":$warmReps,"queries":{$body}}""")
+      finally w.close()
+    }
+    // suite-level spread summary for the compact line: p90 over queries of
+    // the max/min warm-rep ratio — a healthy quiet run sits near 1; a run
+    // poisoned by co-tenant contention phases reads well above it
+    val repRatios = results.collect {
+      case (_, _, ws) if ws.nonEmpty && ws.min > 0 => ws.max / ws.min
+    }.sorted
+    val spreadP90 =
+      if (repRatios.isEmpty) 1.0
+      else repRatios(math.min(repRatios.length - 1, (repRatios.length * 9) / 10))
     // detailed line: full names, cold + median warm + every warm rep (for a
     // rechecked query the series is first-pass reps ++ end-of-suite reps)
     val recheckedJson = slowest.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -198,7 +228,7 @@ object Bench {
         .mkString(""","shuffle_regressions":[""", ",", "]")
     def compactLine(entries: Seq[(String, Double)], omitted: Int) = {
       val omittedJson = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","total_cold":${fmt(total)},"queries":${
+      s"""{"metric":"total","value":${fmt(totalWarm)},"unit":"sec","total_cold":${fmt(total)},"reps":$warmReps,"spread_p90":${fmt2g(spreadP90)},"queries":${
         jsonMap(entries.map { case (k, v) => k -> fmt2g(v) })}$omittedJson$regJson,"failed":$failedJson,"sf":$sfNum}"""
     }
     // Tail-window guard: the driver parses only the final ~2000 bytes, and
