@@ -743,6 +743,422 @@ object Multimodal {
     None
   }
 
+  // ---- real JPEG baseline codec (pure-JDK — Huffman + DCT by hand) ----
+  //
+  // Completes the codec family for the dominant web-image format (the PNG
+  // and GIF decoders cover DEFLATE and LZW; this covers entropy-coded
+  // transform compression). Baseline sequential DCT, 8-bit, single
+  // grayscale component (ITU-T T.81): marker walk, DQT/DHT/SOF0/SOS/DRI
+  // parse, canonical Huffman decode with byte unstuffing and restart
+  // handling, dequantization, 2-D IDCT, level shift. Fails closed (None)
+  // on progressive or any non-SOF0 frame, non-grayscale, truncation, or a
+  // malformed table — never a partial buffer.
+
+  /** JPEG natural-order index for each zigzag position (T.81 Figure A.6). */
+  private val JZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.1 luminance quantization table, natural order. */
+  val JpegStdQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** A flat all-8s table: DC = 8·(v−128) for a constant block, so
+    * block-constant images round-trip EXACTLY (every division a power of
+    * two — the q214 oracle's losslessness basis).
+    */
+  val JpegFlatQuant8: Array[Int] = Array.fill(64)(8)
+
+  // Annex K.3.1 / K.3.2 luminance Huffman tables: (BITS ++ HUFFVAL) as hex
+  private def hexBytes(s: String): Array[Int] =
+    s.grouped(2).map(Integer.parseInt(_, 16)).toArray
+  private val JDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JDcVals = (0 to 11).toArray
+  private val JAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val JAcVals = hexBytes(
+    "01020300041105122131410613516107227114328191a1082342b1c11552d1f0" +
+      "2433627282090a161718191a25262728292a3435363738393a43444546474849" +
+      "4a535455565758595a636465666768696a737475767778797a83848586878889" +
+      "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5" +
+      "c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8" +
+      "f9fa")
+
+  /** Canonical code assignment (T.81 Annex C): symbol -> (code, length). */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](vals.length)
+    var code = 0; var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) { out(k) = (code, len); code += 1; k += 1; i += 1 }
+      code <<= 1
+      len += 1
+    }
+    out
+  }
+
+  private val CosTable: Array[Double] =
+    Array.tabulate(8 * 8)(i => math.cos((2 * (i % 8) + 1) * (i / 8) * math.Pi / 16))
+  private def c0(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+
+  /** Encode an 8-bit grayscale buffer as a REAL baseline JPEG: level shift,
+    * 8×8 forward DCT, quantize by `quant` (natural order), zigzag, Annex-K
+    * Huffman entropy coding with byte stuffing. Partial edge blocks pad by
+    * edge replication (the standard encoder treatment). With
+    * [[JpegFlatQuant8]] a block-constant image is lossless (q214); with
+    * [[JpegStdQuant]] it is genuinely lossy — MultimodalSpec pins both
+    * against the JDK's own ImageIO JPEG codec.
+    */
+  def jpegEncodeGray(pixels: Array[Byte], w: Int, h: Int,
+                     quant: Array[Int] = JpegStdQuant): Array[Byte] = {
+    require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255))
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0) // DQT, Pq=0 Tq=0
+    JZigZag.foreach(nat => u8(quant(nat)))
+    marker(0xc0); u16(2 + 6 + 3); u8(8); u16(h); u16(w); u8(1) // SOF0, 1 comp
+    u8(1); u8(0x11); u8(0) // id 1, 1x1 sampling, quant table 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(cls << 4)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, JDcBits, JDcVals); dht(1, JAcBits, JAcVals)
+    marker(0xda); u16(2 + 1 + 2 + 3); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // entropy-coded segment with byte stuffing
+    var acc = 0L; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        u8(byte); if (byte == 0xff) u8(0x00)
+        nbits -= 8
+      }
+    }
+    val dcCodes = canonicalCodes(JDcBits, JDcVals)
+    val acCodes = canonicalCodes(JAcBits, JAcVals)
+    val acIndex = new Array[Int](256); java.util.Arrays.fill(acIndex, -1)
+    JAcVals.zipWithIndex.foreach { case (v, i) => acIndex(v) = i }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putVal(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v >= 0) v else v - 1, s)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val blk = new Array[Double](64); val coef = new Array[Int](64)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        // load with edge replication, level-shifted
+        var y = 0
+        while (y < 8) {
+          val py = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            val px = math.min(bx * 8 + x, w - 1)
+            blk(y * 8 + x) = (pixels(py * w + px) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // forward DCT + quantize, natural order
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var sum = 0.0
+            var y2 = 0
+            while (y2 < 8) {
+              var x2 = 0
+              while (x2 < 8) {
+                sum += blk(y2 * 8 + x2) * CosTable(u * 8 + y2) * CosTable(v * 8 + x2)
+                x2 += 1
+              }
+              y2 += 1
+            }
+            val s = 0.25 * c0(u) * c0(v) * sum
+            coef(u * 8 + v) = math.round(s / quant(u * 8 + v)).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC difference
+        val dc = coef(0); val diff = dc - pred; pred = dc
+        val s0 = category(diff)
+        val (dcode, dlen) = dcCodes(s0); putBits(dcode, dlen); putVal(diff, s0)
+        // AC run-length coding in zigzag order
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val v = coef(JZigZag(k))
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { val (zc, zl) = acCodes(acIndex(0xf0)); putBits(zc, zl); run -= 16 }
+            val s = category(v)
+            val (ac, al) = acCodes(acIndex((run << 4) | s))
+            putBits(ac, al); putVal(v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(acIndex(0x00)); putBits(ec, el) }
+        bx += 1
+      }
+      by += 1
+    }
+    if (nbits > 0) { // pad final byte with 1-bits
+      val pad = 8 - nbits
+      putBits((1 << pad) - 1, pad)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** REAL baseline JPEG pixel decode for 8-bit single-component grayscale.
+    * See the family comment above for what it parses and when it fails
+    * closed. Restart markers (DRI/RSTn) are honored; foreign Huffman and
+    * quantization tables (any spec-valid DHT/DQT, 8- or 16-bit precision)
+    * are accepted — MultimodalSpec decodes the JDK ImageIO writer's output
+    * through this path.
+    */
+  def jpegDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    // huffLens(cls)(id)(sym i) parallel to huffVals — canonical rebuild
+    val huffBits = Array.ofDim[Array[Int]](2, 4)
+    val huffVals = Array.ofDim[Array[Int]](2, 4)
+    var w = -1; var h = -1; var dcTab = -1; var acTab = -1; var qTab = -1
+    var restartInterval = 0
+    var i = 2
+    var scanAt = -1
+    while (scanAt < 0) {
+      if (i + 4 > b.length) return None
+      if (u8(i) != 0xff) return None
+      var m = u8(i + 1)
+      while (m == 0xff) { i += 1; if (i + 4 > b.length) return None; m = u8(i + 1) }
+      if (m == 0xd9) return None // EOI before any scan
+      val len = u16(i + 2)
+      if (len < 2 || i + 2 + len > b.length) return None
+      val seg = i + 4
+      m match {
+        case 0xc0 => // SOF0 baseline sequential
+          if (u8(seg) != 8) return None // 8-bit precision only
+          h = u16(seg + 1); w = u16(seg + 3)
+          if (u8(seg + 5) != 1) return None // grayscale only
+          if (u8(seg + 7) != 0x11) return None // 1x1 sampling
+          qTab = u8(seg + 8)
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // progressive/extended/lossless frames: fail closed
+        case 0xc4 => // DHT: one or more tables
+          var p = seg
+          while (p < i + 2 + len) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > i + 2 + len) return None
+            val bits = Array.tabulate(16)(j => u8(p + 1 + j))
+            val n = bits.sum
+            if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return None
+            huffBits(tc)(th) = bits
+            huffVals(tc)(th) = Array.tabulate(n)(j => u8(p + 17 + j))
+            p += 17 + n
+          }
+        case 0xdb => // DQT: one or more tables, Pq 0 (8-bit) or 1 (16-bit)
+          var p = seg
+          while (p < i + 2 + len) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+            if (pq > 1 || tq > 3) return None
+            val step = if (pq == 0) 1 else 2
+            if (p + 1 + 64 * step > i + 2 + len) return None
+            var k = 0
+            while (k < 64) {
+              quant(tq)(JZigZag(k)) =
+                if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
+              k += 1
+            }
+            quantSeen(tq) = true
+            p += 1 + 64 * step
+          }
+        case 0xdd => // DRI
+          restartInterval = u16(seg)
+        case 0xda => // SOS
+          if (u8(seg) != 1) return None // single-component scan only
+          dcTab = u8(seg + 2) >> 4; acTab = u8(seg + 2) & 0x0f
+          if (u8(seg + 3) != 0 || u8(seg + 4) != 63) return None // full spectral
+          scanAt = i + 2 + len
+        case _ => () // APPn / COM / others: skip
+      }
+      i += 2 + len
+    }
+    if (w <= 0 || h <= 0 || qTab < 0 || !quantSeen(qTab)) return None
+    if (huffBits(0)(dcTab) == null || huffBits(1)(acTab) == null) return None
+    val qt = quant(qTab)
+    // canonical Huffman decode tables: mincode/maxcode/valptr per length
+    def decTables(bits: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+      val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
+      val valptr = new Array[Int](17)
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        valptr(len) = k; mincode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxcode(len) = code - 1
+        if (bits(len - 1) == 0) maxcode(len) = -1
+        code <<= 1
+        len += 1
+      }
+      (mincode, maxcode, valptr)
+    }
+    val (dcMin, dcMax, dcPtr) = decTables(huffBits(0)(dcTab))
+    val (acMin, acMax, acPtr) = decTables(huffBits(1)(acTab))
+    val dcV = huffVals(0)(dcTab); val acV = huffVals(1)(acTab)
+    // entropy-coded bit reader: byte unstuffing, restart-marker awareness
+    var pos = scanAt; var acc = 0; var nbits = 0; var hitMarker = false
+    def fill(): Boolean = {
+      while (nbits <= 24 && !hitMarker) {
+        if (pos >= b.length) return nbits > 0
+        val v = u8(pos)
+        if (v == 0xff) {
+          if (pos + 1 >= b.length) { hitMarker = true; return nbits > 0 }
+          val nxt = u8(pos + 1)
+          if (nxt == 0x00) { acc = (acc << 8) | 0xff; nbits += 8; pos += 2 }
+          else { hitMarker = true; return nbits > 0 } // RST or EOI: stop here
+        } else { acc = (acc << 8) | v; nbits += 8; pos += 1 }
+      }
+      true
+    }
+    def readBit(): Int = {
+      if (nbits == 0 && !fill()) return -1
+      if (nbits == 0) return -1
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) { val bit = readBit(); if (bit < 0) return -1; v = (v << 1) | bit; j += 1 }
+      v
+    }
+    def decodeSym(min: Array[Int], max: Array[Int], ptr: Array[Int],
+                  vals: Array[Int]): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        val bit = readBit(); if (bit < 0) return -1
+        code = (code << 1) | bit; len += 1
+        if (max(len) >= 0 && code <= max(len))
+          return vals(ptr(len) + code - min(len))
+      }
+      -1
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def syncRestart(): Boolean = {
+      // byte-align and consume the RSTn marker the reader stopped at
+      nbits = 0; acc = 0; hitMarker = false
+      while (pos + 1 < b.length && !(u8(pos) == 0xff && u8(pos + 1) >= 0xd0 && u8(pos + 1) <= 0xd7)) {
+        if (u8(pos) == 0xff && u8(pos + 1) != 0x00) return false
+        pos += 1
+      }
+      if (pos + 1 >= b.length) return false
+      pos += 2
+      true
+    }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new Array[Byte](w * h)
+    val coef = new Array[Int](64); val px = new Array[Double](64)
+    var pred = 0
+    var sinceRestart = 0
+    var blkIdx = 0
+    val totalBlocks = bw * bh
+    while (blkIdx < totalBlocks) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        if (!syncRestart()) return None
+        pred = 0; sinceRestart = 0
+      }
+      java.util.Arrays.fill(coef, 0)
+      val s0 = decodeSym(dcMin, dcMax, dcPtr, dcV)
+      if (s0 < 0 || s0 > 11) return None
+      val dbits = if (s0 == 0) 0 else readBits(s0)
+      if (dbits < 0) return None
+      pred += extend(dbits, s0)
+      coef(0) = pred * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeSym(acMin, acMax, acPtr, acV)
+        if (rs < 0) return None
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) k += 16
+        else {
+          k += rs >> 4
+          val s = rs & 0x0f
+          if (k > 63) return None
+          val vb = readBits(s); if (vb < 0) return None
+          coef(JZigZag(k)) = extend(vb, s) * qt(JZigZag(k))
+          k += 1
+        }
+      }
+      // 2-D IDCT + level shift
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              sum += c0(u) * c0(v) * coef(u * 8 + v) *
+                CosTable(u * 8 + y) * CosTable(v * 8 + x)
+              v += 1
+            }
+            u += 1
+          }
+          px(y * 8 + x) = 0.25 * sum + 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val by = blkIdx / bw; val bx = blkIdx % bw
+      var yy = 0
+      while (yy < 8) {
+        val py = by * 8 + yy
+        if (py < h) {
+          var xx = 0
+          while (xx < 8) {
+            val pxx = bx * 8 + xx
+            if (pxx < w) {
+              val v = math.round(px(yy * 8 + xx)).toInt
+              out(py * w + pxx) = math.max(0, math.min(255, v)).toByte
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+      sinceRestart += 1
+      blkIdx += 1
+    }
+    Some((w, h, out))
+  }
+
   final case class FormatFeatures(asset_id: Long, format: String,
                                   width: Option[Int], height: Option[Int],
                                   sample_rate: Option[Int], n_samples: Option[Long])
@@ -947,6 +1363,48 @@ object Multimodal {
           val gif = gifEncodeGray(pixels, w, h)
           val (dw, dh, decoded) = gifDecodeGray(gif).getOrElse(
             throw new IllegalStateException(s"undecodable GIF for asset $id"))
+          var sum = 0L
+          var k = 0
+          while (k < decoded.length) { sum += (decoded(k) & 0xff).toLong * (k + 1); k += 1 }
+          (id, dw, dh, sum)
+        }
+      }.toDF("asset_id", "w", "h", "checksum")
+        .orderBy("asset_id")
+    },
+
+    // Third real pixel codec, completing the dominant-web-format family
+    // with ENTROPY-CODED TRANSFORM compression (PNG=DEFLATE, GIF=LZW,
+    // JPEG=Huffman+DCT): each doc becomes a real baseline JPEG and the
+    // numbers come from genuinely decoding it — marker walk, DQT/DHT
+    // parse, canonical Huffman decode with byte unstuffing, dequant, IDCT.
+    // JPEG is lossy in general, so the oracle's exactness basis is
+    // arithmetic: block-constant images under the flat all-8s quant table
+    // are provably lossless (a constant block has one DC coefficient
+    // 8·(v−128), every scaling a power of two — zero rounding anywhere),
+    // so the oracle regenerates the per-block values from doc_id
+    // arithmetic and ANY bit error in either codec half hash-fails.
+    // General lossy content, foreign-table interop, and fail-closed laws
+    // are pinned in MultimodalSpec against the JDK's own ImageIO codec.
+    Q("q214_jpeg_decode",
+      """WITH dims AS (SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+        |                CAST(8 * (1 + doc_id % 2) AS INT) AS h FROM documents)
+        |SELECT doc_id AS asset_id, w, h,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |    k -> ((doc_id * 31 + ((k // w) // 8) * 17 + ((k % w) // 8) * 7) % 256)
+        |         * (k + 1))) AS BIGINT) AS checksum
+        |FROM dims ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 * (1 + id % 3)).toInt
+          val h = (8 * (1 + id % 2)).toInt
+          val pixels = Array.tabulate(w * h) { k =>
+            val bi = (k / w) / 8; val bj = (k % w) / 8
+            ((id * 31 + bi * 17 + bj * 7) % 256).toByte
+          }
+          val jpg = jpegEncodeGray(pixels, w, h, JpegFlatQuant8)
+          val (dw, dh, decoded) = jpegDecodeGray(jpg).getOrElse(
+            throw new IllegalStateException(s"undecodable JPEG for asset $id"))
           var sum = 0L
           var k = 0
           while (k < decoded.length) { sum += (decoded(k) & 0xff).toLong * (k + 1); k += 1 }

@@ -232,4 +232,119 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavPcmSamples(wav.dropRight(2)) === None)
     assert(Multimodal.wavPcmSamples("RIFFxxxxWAVE".getBytes("US-ASCII")) === None)
   }
+
+  test("JPEG codec: block-constant images round-trip EXACTLY under the flat quant table") {
+    // the q214 losslessness basis: one DC coefficient 8·(v−128) per block,
+    // quantizer 8 — every division a power of two, zero rounding loss
+    for ((w, h) <- Seq((8, 8), (24, 16), (16, 8))) {
+      val pixels = Array.tabulate(w * h) { k =>
+        val bi = (k / w) / 8; val bj = (k % w) / 8
+        ((bi * 91 + bj * 53 + 7) % 256).toByte
+      }
+      val jpg = Multimodal.jpegEncodeGray(pixels, w, h, Multimodal.JpegFlatQuant8)
+      val Some((dw, dh, out)) = Multimodal.jpegDecodeGray(jpg)
+      assert((dw, dh) === ((w, h)))
+      assert(out.toSeq === pixels.toSeq)
+    }
+  }
+
+  test("JPEG encoder emits REAL spec JPEG: ImageIO decodes it within IDCT tolerance") {
+    // arbitrary (non-constant) pixels, the genuinely lossy standard table,
+    // and a NON-multiple-of-8 size so edge-padded partial blocks are
+    // exercised. ImageIO's IDCT differs from ours in rounding, so the law
+    // is agreement within ±1 per pixel — the cross-decoder form of the GIF
+    // law, adapted to a lossy codec.
+    val (w, h) = (21, 13)
+    val rnd = new scala.util.Random(42)
+    val pixels = Array.tabulate(w * h)(_ => rnd.nextInt(256).toByte)
+    val jpg = Multimodal.jpegEncodeGray(pixels, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, s"ImageIO rejected our $w x $h JPEG")
+    assert(img.getWidth === w && img.getHeight === h)
+    val Some((dw, dh, mine)) = Multimodal.jpegDecodeGray(jpg)
+    assert((dw, dh) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val io = img.getRaster.getSample(x, y, 0)
+      val us = mine(y * w + x) & 0xff
+      assert(math.abs(io - us) <= 1,
+        s"pixel ($x,$y): ImageIO $io vs ours $us")
+    }
+  }
+
+  test("JPEG decoder reads FOREIGN files: the JDK writer's output (its own tables) decodes") {
+    // the JDK encoder picks its own quantization and Huffman tables and
+    // emits APP0/JFIF — none of which match ours. Decoding its file pins
+    // the general DQT/DHT/segment walk, not just our own encoder's shapes.
+    val (w, h) = (19, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpg = bos.toByteArray
+    val Some((dw, dh, mine)) = Multimodal.jpegDecodeGray(jpg)
+    assert((dw, dh) === ((w, h)))
+    // reference: ImageIO re-reading its own bytes; ±1 IDCT tolerance
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    for (y <- 0 until h; x <- 0 until w) {
+      val io = ref.getRaster.getSample(x, y, 0)
+      val us = mine(y * w + x) & 0xff
+      assert(math.abs(io - us) <= 1, s"pixel ($x,$y): ImageIO $io vs ours $us")
+    }
+  }
+
+  test("JPEG decode fails closed: progressive, truncation, non-grayscale, garbage") {
+    val pixels = Array.tabulate(64)(i => (i * 4).toByte)
+    val jpg = Multimodal.jpegEncodeGray(pixels, 8, 8)
+    // progressive: rewrite the SOF0 marker to SOF2 — a baseline-only
+    // decoder must refuse the frame, not misparse the scan
+    val prog = jpg.clone()
+    val sof = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(Multimodal.jpegDecodeGray(prog) === None)
+    // truncation inside the entropy-coded scan: never a partial buffer
+    assert(Multimodal.jpegDecodeGray(jpg.dropRight(jpg.length / 3)) === None)
+    // a 3-component (color) SOF: grayscale-only path refuses
+    val color = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(color, "jpg", bos)
+    assert(Multimodal.jpegDecodeGray(bos.toByteArray) === None)
+    assert(Multimodal.jpegDecodeGray("not a jpeg at all".getBytes("US-ASCII")) === None)
+    assert(Multimodal.jpegDecodeGray(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+  }
+
+  test("JPEG decoder accepts per-image OPTIMIZED Huffman tables (JDK writer, optimize on)") {
+    // with optimizeHuffmanTables the JDK writer derives image-specific
+    // canonical tables instead of the Annex-K defaults — decoding its file
+    // pins the general DHT rebuild against a second, independent table
+    // shape (the first foreign-file law uses the JDK's default tables)
+    val (w, h) = (32, 8) // 4 MCUs
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(11)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+      .asInstanceOf[javax.imageio.plugins.jpeg.JPEGImageWriteParam]
+    param.setOptimizeHuffmanTables(true)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val jpg = bos.toByteArray
+    val Some((dw, dh, mine)) = Multimodal.jpegDecodeGray(jpg)
+    assert((dw, dh) === ((w, h)))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    for (y <- 0 until h; x <- 0 until w) {
+      val io = ref.getRaster.getSample(x, y, 0)
+      val us = mine(y * w + x) & 0xff
+      assert(math.abs(io - us) <= 1, s"pixel ($x,$y): ImageIO $io vs ours $us")
+    }
+  }
 }
