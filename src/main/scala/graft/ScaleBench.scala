@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   *   - ann_append (q93 core), streaming near-dup batch (q101 core): a
   *     FIXED batch against a ×8 index → O(batch)-dominated, near-FLAT
   *     (pass ≤ 3; linear-in-index would read ~8).
+  *
+  * r15 additions (r14 verdict item 3 — the new surfaces' strongest claims
+  * were spec'd, not measured):
+  *   - extract_text (q202 core): pure scan-local projection → LINEAR.
+  *   - nndescent_build (q206 core): local-join work Σdeg² with the degree
+  *     cap → LINEAR in the corpus (one rep; the loop dominates).
+  *   - ivf_delete / ivfpq_delete (q205/q208 core): a FIXED delete batch
+  *     against the ×8 index is an O(batch) tombstone append → FLAT.
+  *   - ivf_delete_compact: the amortized physical purge rewrites the
+  *     index → LINEAR, by design (that is the LSM trade being certified).
+  *   - triangle_batch (q198 core): a FIXED edge batch against the ×8 edge
+  *     table — delta join cost tracks batch × adjacency, and the r14
+  *     O(batch) sink rewrite keeps the promote batch-sized → pass ≤ 4
+  *     (the delta scan of the ×k old-edge relation is one pruned pass;
+  *     the pre-r14 O(|E|)-rewrite sink would track the table and read ~8).
   */
 object ScaleBench {
 
@@ -54,7 +69,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = args.headOption.getOrElse("SCALE_r13.json")
+    val outPath = args.headOption.getOrElse("SCALE_r15.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,7 +81,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.scale.{AnnIndex, Dedup}
+    import graft.scale.{AnnIndex, Curation, Dedup, Graph, NnDescent, Pq}
 
     val baseDocs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
     val baseEmb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
@@ -109,17 +124,82 @@ object ScaleBench {
       // distinct batch ids per rep: replay gating would no-op rep 2
       var b = 0
       val tStream = timeMin(reps) { nd.processBatch(fixedDocBatch, { b += 1; b.toLong }) }
+
+      // extractText over the q202 html fixture: scan-local projection
+      val seeded = docs.select(col("doc_id"),
+        graft.scale.Curation.htmlFixture(col("doc_id"), col("text")).as("text"))
+      val tExtract = timeMin(reps) {
+        Curation.extractText(seeded).queryExecution.toRdd.count()
+      }
+
+      // NN-descent k-NN-graph build (the loop checkpoints eagerly, so the
+      // call IS the work); one rep — the multi-round build dominates
+      val tNnd = timeMin(1) {
+        NnDescent.buildKnnGraph(emb, k = 8, iters = 2).queryExecution.toRdd.count()
+      }
+
+      // delete lifecycle: FIXED delete batches (distinct ids per rep — a
+      // re-delete no-ops by design and would time the skip) against the
+      // ×k index, then the amortized physical purge
+      var dr = 0
+      val tDelete = timeMin(reps) {
+        dr += 1
+        // base ids only (copy 0 keeps the original range): the delete
+        // batch stays FIXED-size while the index grows ×k
+        AnnIndex.deleteFromIvfIndex(
+          baseEmb.filter(col("vec_id") % 97 === dr).select("vec_id"), annRoot)
+      }
+      val tCompact = timeMin(1) { AnnIndex.compactIvfIndex(spark, annRoot) }
+      val pqRoot = s"${graft.core.Scratch.dir(s"graft-scale-pq$k")}/ivfpq"
+      Pq.buildIvfPqIndex(emb, pqRoot)
+      var dq = 0
+      val tPqDelete = timeMin(reps) {
+        dq += 1
+        Pq.deleteFromIvfPqIndex(
+          baseEmb.filter(col("vec_id") % 97 === dq).select("vec_id"), pqRoot)
+      }
+
+      // streaming triangle maintenance: FIXED edge batch (disjoint node
+      // range per rep) against the ×k edge table — seed by direct stage
+      // (setup, untimed), then time the drained batch
+      val pairs = Graph.coSupplierPairs(spark, sfDir, minShared = 6L)
+        .localCheckpoint()
+      val scaledPairs = (0 until k).map { c =>
+        pairs.select((col("u") + lit(c.toLong * 10000000L)).as("u"),
+          (col("v") + lit(c.toLong * 10000000L)).as("v"))
+      }.reduce(_ unionByName _)
+      val triRoot = graft.core.Scratch.dir(s"graft-scale-tri$k")
+      val te = new graft.write.VersionedTable(spark, s"$triRoot/edges")
+      val ts = new graft.write.VersionedTable(spark, s"$triRoot/stats")
+      te.promote(te.stage(scaledPairs))
+      val sink = new graft.streaming.TriangleStream(te, ts)
+      var tb = 0
+      val tTri = timeMin(reps) {
+        tb += 1
+        sink.processBatch(
+          pairs.select((col("u") + lit(90000000L + tb * 1000000L)).as("u"),
+            (col("v") + lit(90000000L + tb * 1000000L)).as("v")).limit(200),
+          tb.toLong)
+      }
+
       System.err.println(s"[scale] x$k docs=$nDocs vecs=$nVecs dedup=$tDedup lsh=$tLsh " +
-        s"contain=$tContain append=$tAppend stream=$tStream")
+        s"contain=$tContain append=$tAppend stream=$tStream extract=$tExtract " +
+        s"nnd=$tNnd del=$tDelete compact=$tCompact pqdel=$tPqDelete tri=$tTri")
       (k, nDocs, nVecs, Map(
         "exact_dedup" -> tDedup, "lsh_neardup" -> tLsh, "containment" -> tContain,
-        "ann_append" -> tAppend, "streaming_neardup_batch" -> tStream))
+        "ann_append" -> tAppend, "streaming_neardup_batch" -> tStream,
+        "extract_text" -> tExtract, "nndescent_build" -> tNnd,
+        "ivf_delete" -> tDelete, "ivf_delete_compact" -> tCompact,
+        "ivfpq_delete" -> tPqDelete, "triangle_batch" -> tTri))
     }
 
     val expectations = Map(
       "exact_dedup" -> ("linear", 16.0), "lsh_neardup" -> ("linear", 16.0),
       "containment" -> ("linear", 16.0),
-      "ann_append" -> ("flat", 3.0), "streaming_neardup_batch" -> ("flat", 3.0))
+      "ann_append" -> ("flat", 3.0), "streaming_neardup_batch" -> ("flat", 3.0),
+      "extract_text" -> ("linear", 16.0), "nndescent_build" -> ("linear", 16.0),
+      "ivf_delete" -> ("flat", 3.0), "ivf_delete_compact" -> ("linear", 16.0),
+      "ivfpq_delete" -> ("flat", 3.0), "triangle_batch" -> ("flat", 4.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }
