@@ -117,14 +117,40 @@ object NnDescent {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qz = Similarity.quantizeInt8(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
-    val und = undirected(graph, graphK).localCheckpoint()
     val seeds = cz.select("nid").orderBy(hh(col("nid")), col("nid")).limit(nSeeds)
+    beamLoop(graph, cz, qz, qz.select("qid").crossJoin(seeds),
+      k, beam, rounds, graphK)
+  }
+
+  /** [[beamProbe]] with PER-QUERY entry points `(qid, nid)` instead of the
+    * fixed md5-order global seeds — the routed form. Fixed seeds make the
+    * walk length grow with corpus diameter (at 100× scale a random entry
+    * is simply far from everything); routing each query through an IVF
+    * coarse quantizer to its nearest cells' representative nodes
+    * ([[Recall.ivfEntryPoints]]) starts the greedy walk already near the
+    * answer — the standard coarse-quantizer entry-point fix (the r14
+    * verdict's missing #4). q215 certifies the recall gain at equal
+    * candidate budget; the dominance law lives in NnDescentSpec.
+    */
+  def beamProbeSeeded(graph: DataFrame, cz: DataFrame, queries: DataFrame,
+                      seeds: DataFrame, k: Int, beam: Int, rounds: Int,
+                      graphK: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qz = Similarity.quantizeInt8(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
+    beamLoop(graph, cz, qz, seeds.select("qid", "nid"), k, beam, rounds, graphK)
+  }
+
+  private def beamLoop(graph: DataFrame, cz: DataFrame, qz: DataFrame,
+                       seeds: DataFrame, k: Int, beam: Int, rounds: Int,
+                       graphK: Int): DataFrame = {
+    val und = undirected(graph, graphK).localCheckpoint()
     def score(cand: DataFrame): DataFrame = cand
       .filter(col("qid") =!= col("nid"))
       .join(cz, "nid").join(broadcast(qz), "qid")
       .select(col("qid"), col("nid"),
         Similarity.int8Dot(col("qc"), col("cc")).as("score"))
-    var visited = score(qz.select("qid").crossJoin(seeds)).localCheckpoint()
+    var visited = score(seeds).localCheckpoint()
     for (_ <- 1 to rounds) {
       val beamDf = visited.withColumn("__rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
