@@ -1159,6 +1159,103 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  // ---- perceptual hashes (image near-dup keys over decoded pixels) ----
+
+  /** Average-pool a grayscale buffer to an 8×8 grid: cell = integer mean
+    * (sum div cellArea) — exact, engine-independent. Requires w, h
+    * multiples of 8 (the codec fixtures' shape); a production ingest would
+    * letterbox/resample first.
+    */
+  def pool8x8(pixels: Array[Byte], w: Int, h: Int): Array[Int] = {
+    require(w % 8 == 0 && h % 8 == 0 && pixels.length == w * h,
+      s"pool8x8 needs multiple-of-8 dims, got $w x $h")
+    val cw = w / 8; val ch = h / 8
+    val out = new Array[Int](64)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        var sum = 0L
+        var y = r * ch
+        while (y < (r + 1) * ch) {
+          var x = c * cw
+          while (x < (c + 1) * cw) { sum += pixels(y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        out(r * 8 + c) = (sum / (cw.toLong * ch)).toInt
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Difference hash over the 8×8 pool: bit `r·7+c` set iff
+    * pool(r, c+1) > pool(r, c) — 56 bits in a Long. Resolution- and
+    * container-invariant by construction (the pool of a half-sized or
+    * re-encoded image of the same content is the same grid), and robust to
+    * small intensity noise (a bit flips only where an adjacent-cell ORDER
+    * flips). The q216 near-dup key.
+    */
+  def dHash56(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val g = pool8x8(pixels, w, h)
+    var hsh = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (g(r * 8 + c + 1) > g(r * 8 + c)) hsh |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hsh
+  }
+
+  /** Average hash: bit `r·8+c` set iff pool(r, c) > mean(pool) (integer
+    * mean, sum div 64) — the coarser sibling of [[dHash56]]; 64 bits.
+    */
+  def aHash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val g = pool8x8(pixels, w, h)
+    val mean = g.map(_.toLong).sum / 64
+    var hsh = 0L
+    var i = 0
+    while (i < 64) { if (g(i) > mean) hsh |= 1L << i; i += 1 }
+    hsh
+  }
+
+  /** Hamming-banded near-dup pairs over a (idCol, hashCol BIGINT) relation:
+    * split each hash into `bands` contiguous `bandBits`-bit bands,
+    * equi-join per band, verify `bit_count(xor) <= maxHamming`, distinct
+    * (doc_a < doc_b) pairs — the SimHash machinery applied to perceptual
+    * hashes. With `bands > maxHamming` the banding is EXHAUSTIVE by
+    * pigeonhole (a pair within maxHamming flips cannot touch every band),
+    * so the pair set equals brute-force pairwise — which is exactly what
+    * the q216 oracle replays. At billions of images, raise `bandBits`
+    * (fewer, larger buckets per band value trade the pigeonhole guarantee
+    * for bounded bucket sizes — the standard LSH move, same as MinHash's
+    * band/row trade).
+    */
+  def phashPairs(hashes: DataFrame, idCol: String = "asset_id",
+                 hashCol: String = "dhash", bands: Int = 8, bandBits: Int = 7,
+                 maxHamming: Int = 6): DataFrame = {
+    require(bands * bandBits <= 64 && bands >= 1 && bandBits >= 1)
+    val mask = (1L << bandBits) - 1
+    val banded = hashes.select(col(idCol), col(hashCol),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col(hashCol), bandBits * i).bitwiseAND(lit(mask)).as("bits"))): _*))
+          .as("__b"))
+      .select(col(idCol), col(hashCol), col("__b.band"), col("__b.bits"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bits"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
+        col(s"x.$hashCol").as("__ha"), col(s"y.$hashCol").as("__hb"))
+      .distinct()
+      .filter(expr(s"bit_count(__ha ^ __hb) <= $maxHamming"))
+      .select("doc_a", "doc_b")
+  }
+
   final case class FormatFeatures(asset_id: Long, format: String,
                                   width: Option[Int], height: Option[Int],
                                   sample_rate: Option[Int], n_samples: Option[Long])
@@ -1411,6 +1508,114 @@ object Multimodal {
           (id, dw, dh, sum)
         }
       }.toDF("asset_id", "w", "h", "checksum")
+        .orderBy("asset_id")
+    },
+
+    // Image-CONTENT near-dup (the r14 verdict's missing #4, first half):
+    // perceptual dHash over genuinely decoded pixels → Hamming-banded
+    // candidate join → connected components. Each doc becomes a real
+    // 64×64 PNG of md5-mixed 8×8 blocks; planted twins re-enter as a
+    // HALF-SIZE GIF (doc_id % 10 = 0), a byte-different JPEG (flat-quant
+    // lossless roundtrip, % 10 = 5), and an intensity-perturbed PNG
+    // (% 10 = 7, +2 on every 5th block — flips a bit only where an
+    // adjacent-cell order flips, landing within the Hamming-6 verify).
+    // All three decode through their REAL codecs; resolution and container
+    // vanish at the 8×8 pool, so every twin clusters to its base. The
+    // oracle regenerates pool values from the same md5 arithmetic,
+    // brute-forces pairwise Hamming (exactly the banded set — 8 bands >
+    // 6 flips is exhaustive by pigeonhole), and replays the components as
+    // a recursive closure: any pixel, hash-bit, banding, or clustering
+    // error hash-fails.
+    Q("q216_image_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | gv AS (
+        |  SELECT aid, k,
+        |    CASE WHEN pert AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, k, pert,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM (
+        |      SELECT doc_id AS aid, doc_id AS src, FALSE AS pert FROM ids
+        |      UNION ALL
+        |      SELECT doc_id + 500000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 0
+        |      UNION ALL
+        |      SELECT doc_id + 600000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 5
+        |      UNION ALL
+        |      SELECT doc_id + 700000, doc_id, TRUE FROM ids WHERE doc_id % 10 = 7)
+        |    CROSS JOIN range(0, 64) t(k))),
+        | hsh AS (
+        |  SELECT aid,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, k, val, lead(val) OVER (PARTITION BY aid ORDER BY k) AS nxt
+        |        FROM gv)
+        |  WHERE k % 8 < 7 GROUP BY aid),
+        | pairs AS (
+        |  SELECT a.aid AS ia, b.aid AS ib
+        |  FROM hsh a JOIN hsh b ON a.aid < b.aid
+        |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | sym AS (SELECT ia AS a, ib AS b FROM pairs
+        |         UNION ALL SELECT ib, ia FROM pairs
+        |         UNION ALL SELECT ia, ia FROM pairs
+        |         UNION ALL SELECT ib, ib FROM pairs),
+        | reach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN sym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | lbl AS (SELECT s AS aid, MIN(t) AS cluster FROM reach GROUP BY s)
+        |SELECT h.aid AS asset_id, COALESCE(l.cluster, h.aid) AS cluster
+        |FROM hsh h LEFT JOIN lbl l USING (aid)
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val mdt = java.security.MessageDigest.getInstance("MD5")
+          def v(src: Long, k: Int): Int = {
+            mdt.reset()
+            val hex = mdt.digest(s"${src}_$k".getBytes("UTF-8"))
+            ((hex(0).toInt & 0xff))
+          }
+          def basePixels(src: Long, pert: Boolean): Array[Byte] =
+            Array.tabulate(64 * 64) { p =>
+              val k = ((p / 64) / 8) * 8 + (p % 64) / 8
+              val raw = v(src, k)
+              (if (pert && k % 5 == 0) (raw + 2) % 256 else raw).toByte
+            }
+          ids.flatMap { id =>
+            val base = basePixels(id, pert = false)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+            out += ((id, pngEncodeGray(base, 64, 64), "png"))
+            if (id % 10 == 0) {
+              val (rw, rh, half) = halfSize(base, 64, 64)
+              out += ((id + 500000, gifEncodeGray(half, rw, rh), "gif"))
+            }
+            if (id % 10 == 5)
+              out += ((id + 600000, jpegEncodeGray(base, 64, 64, JpegFlatQuant8), "jpeg"))
+            if (id % 10 == 7)
+              out += ((id + 700000, pngEncodeGray(basePixels(id, pert = true), 64, 64), "png"))
+            out.iterator
+          }
+        }
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) =>
+          val (w, h, px) = (fmt match {
+            case "png" => pngDecodeGray(bytes)
+            case "gif" => gifDecodeGray(bytes)
+            case _     => jpegDecodeGray(bytes)
+          }).getOrElse(throw new IllegalStateException(s"undecodable $fmt asset $aid"))
+          (aid, dHash56(px, w, h))
+        }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val pairs = phashPairs(hashes)
+      val labels = graft.scale.Cluster.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
         .orderBy("asset_id")
     },
 

@@ -317,6 +317,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegDecodeGray(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
   }
 
+  test("perceptual hashes: pool exactness, resolution/container invariance, known bits") {
+    // 16x16 image, 2x2-pixel cells: pool == the 8x8 value grid exactly
+    val g = Array.tabulate(64)(i => (i * 3 + 7) % 256)
+    val img = Array.tabulate(16 * 16) { p =>
+      g(((p / 16) / 2) * 8 + (p % 16) / 2).toByte
+    }
+    assert(Multimodal.pool8x8(img, 16, 16).toSeq === g.toSeq)
+    // dHash bit (r,c) = g(r,c+1) > g(r,c); with +3 steps and one wrap the
+    // expected mask is closed-form
+    val want = {
+      var h = 0L
+      for (r <- 0 until 8; c <- 0 until 7)
+        if (g(r * 8 + c + 1) > g(r * 8 + c)) h |= 1L << (r * 7 + c)
+      h
+    }
+    assert(Multimodal.dHash56(img, 16, 16) === want)
+    // half-size keeps the pool (cells shrink, content doesn't): same hash
+    val (hw, hh2, half) = Multimodal.halfSize(img, 16, 16)
+    assert(Multimodal.dHash56(half, hw, hh2) === Multimodal.dHash56(img, 16, 16))
+    // container roundtrips preserve the hash (lossless codecs)
+    val Some((_, _, png)) = Multimodal.pngDecodeGray(Multimodal.pngEncodeGray(img, 16, 16))
+    assert(Multimodal.dHash56(png, 16, 16) === want)
+    // aHash: bit set iff cell above the integer mean
+    val mean = g.map(_.toLong).sum / 64
+    val wantA = (0 until 64).foldLeft(0L)((h, i) => if (g(i) > mean) h | (1L << i) else h)
+    assert(Multimodal.aHash64(img, 16, 16) === wantA)
+  }
+
+  test("phashPairs: banding is exhaustive within the Hamming threshold (== brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // random 56-bit hashes plus planted near pairs at distances 0..7
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong() & ((1L << 56) - 1)))
+    val planted = (0 until 8).map { d =>
+      val (_, h) = base(d)
+      var p = h
+      (0 until d).foreach(j => p ^= 1L << ((j * 7 + d) % 56))
+      (1000L + d, p)
+    }
+    val hashes = (base ++ planted).toDF("asset_id", "dhash")
+    val got = Multimodal.phashPairs(hashes).as[(Long, Long)].collect().toSet
+    val all = (base ++ planted)
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    assert(got === brute)
+    // the planted pairs at d <= 6 are in; the d = 7 pair is out
+    for (d <- 0 to 6) assert(got.contains((d.toLong, 1000L + d)), s"d=$d missing")
+    assert(!got.contains((7L, 1007L)))
+  }
+
   test("JPEG decoder accepts per-image OPTIMIZED Huffman tables (JDK writer, optimize on)") {
     // with optimizeHuffmanTables the JDK writer derives image-specific
     // canonical tables instead of the Annex-K defaults — decoding its file
