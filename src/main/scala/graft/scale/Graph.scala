@@ -190,8 +190,10 @@ object Graph {
     * touches few buckets); rank/edge patches rewrite only touched buckets
     * via stagePatch (untouched buckets inherited by file-list reference).
     * Driver state is bucket-id lists (≤ nBuckets ints) — never nodes.
-    * Contract: append-only edge batches (no deletions), same as every
-    * append protocol here.
+    * Growth is append-only edge batches ([[PageRankIndex.append]]);
+    * takedowns go through [[PageRankIndex.delete]] — node removal with the
+    * same O(cone) recompute discipline, completing the LSM lifecycle the
+    * ANN (q205/q208) and postings (q212/q213) indexes already have.
     */
   final class PageRankIndex(spark: org.apache.spark.sql.SparkSession,
                             root: String, iters: Int, nBuckets: Int = 16) {
@@ -205,6 +207,7 @@ object Graph {
         .collect().map(r => Integer.valueOf(r.getInt(0)))
 
     @volatile var lastAppendStats: AppendStats = AppendStats(Nil)
+    @volatile var lastDeleteStats: AppendStats = AppendStats(Nil)
 
     /** Full build: annotate, bucket, iterate, persisting every round's rank
       * relation (the history a later delta-update recomputes against).
@@ -242,6 +245,25 @@ object Graph {
       if (buckets.nonEmpty) {
         val existing = table.read().filter(col("__b").isin(buckets: _*)).drop("__b")
         val merged = Writers.upsert(existing, rows, Seq(key))
+          .withColumn("__b", bucket(col(key)))
+          .repartition(buckets.length, col("__b"))
+        table.promote(table.stagePatch(merged, Seq("__b")))
+      }
+    }
+
+    /** Rewrite the buckets of `removeKeys ∪ rows`: drop every row whose key
+      * is in either set, insert `rows` — replace-with-removal, the delete
+      * sibling of [[upsertByKey]]. Untouched buckets are inherited by
+      * file-list reference, so the footprint is O(touched buckets).
+      */
+    private def patchByKey(table: VersionedTable, removeKeys: DataFrame,
+                           rows: DataFrame, key: String): Unit = {
+      val touched = removeKeys.select(key).unionByName(rows.select(key)).distinct()
+      val buckets = bucketsOf(touched, key)
+      if (buckets.nonEmpty) {
+        val existing = table.read().filter(col("__b").isin(buckets: _*)).drop("__b")
+        val merged = existing.join(touched, Seq(key), "left_anti")
+          .unionByName(rows)
           .withColumn("__b", bucket(col(key)))
           .repartition(buckets.length, col("__b"))
         table.promote(table.stagePatch(merged, Seq("__b")))
@@ -320,6 +342,124 @@ object Graph {
       lastAppendStats = AppendStats(stats.result())
       ranks(iters)
     }
+
+    /** Takedown-delete a node batch: remove every edge incident to the
+      * deleted nodes, then repair the persisted rank history so it is
+      * value-identical to a fresh build on the surviving graph (the q217
+      * law — same exactness contract as [[append]]'s, mirrored).
+      *
+      * The input change set is the append case run backwards: (a) dsts of
+      * the deleted nodes' out-edges lose a contribution in EVERY round,
+      * (b) a surviving src with an edge INTO the deleted set loses outdeg,
+      * so all its remaining dsts' inputs change (divisor moved), (c)
+      * out-neighbors of nodes dirty in the previous round. Recomputing
+      * exactly those nodes per round against the patched history — and
+      * REMOVING rank rows a rebuild would not produce (the deleted nodes
+      * everywhere; survivors whose out-degree drops to zero from rank0;
+      * dirty nodes whose recompute yields no surviving contribution) —
+      * reproduces the fresh build bit-for-bit.
+      *
+      * Footprint: every edge/rank scan is bucket-pruned to the deleted
+      * nodes' cone, every write a touched-bucket stagePatch — O(batch ×
+      * cone), never O(graph). Unknown ids and re-deletes are no-ops.
+      */
+    def delete(ids: DataFrame): DataFrame = {
+      val del = ids.select(col(ids.columns.head).cast("long").as("node"))
+        .distinct().localCheckpoint()
+      val eo = t("edges_out"); val ei = t("edges_in")
+      val delB = bucketsOf(del, "node")
+      if (delB.isEmpty) { lastDeleteStats = AppendStats(Nil); return ranks(iters) }
+      // (a) the deleted nodes' out-edges (bucket-pruned by src): their dsts'
+      // inputs change permanently
+      val dOut = eo.read().filter(col("__b").isin(delB: _*)).drop("__b")
+        .join(del.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst").localCheckpoint()
+      // (b) surviving srcs with edges INTO the deleted set (bucket-pruned
+      // by dst): their outdeg shrinks by the removed-edge count
+      val subDeg = ei.read().filter(col("__b").isin(delB: _*)).drop("__b")
+        .join(del.withColumnRenamed("node", "dst"), "dst")
+        .join(del.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+        .groupBy("src").agg(count(lit(1)).as("sub_deg")).localCheckpoint()
+      val srcB = bucketsOf(subDeg, "src")
+      // all current edges of those survivors: old outdeg + the remaining
+      // dsts whose divisor moves
+      val oldTouched =
+        if (srcB.isEmpty) dOut.limit(0).withColumn("outdeg", lit(0L))
+        else eo.read().filter(col("__b").isin(srcB: _*)).drop("__b")
+          .join(subDeg.select("src"), "src")
+          .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+      val newDeg = oldTouched.select("src", "outdeg").distinct()
+        .join(subDeg, "src")
+        .select(col("src"), (col("outdeg") - col("sub_deg")).as("outdeg"))
+        .localCheckpoint()
+      // a survivor whose every edge pointed into the deleted set leaves the
+      // src relation: a rebuild's rank0 (= deg's srcs) would not seat it
+      val zeroSrcs = newDeg.filter(col("outdeg") === 0)
+        .select(col("src").as("node")).localCheckpoint()
+      val notDel = (c: String) =>
+        (df: DataFrame) => df.join(del.withColumnRenamed("node", c), Seq(c), "left_anti")
+      val reDeg = newDeg.select(col("src"), col("outdeg").as("__nd"))
+      // patch the out-bucketed copy: buckets of the deleted nodes (their
+      // rows leave) + of the changed-outdeg survivors (rows into the
+      // deleted set leave, annotations move)
+      val eoTouch = (delB ++ srcB).distinct
+      val eoMerged = notDel("dst")(notDel("src")(
+          eo.read().filter(col("__b").isin(eoTouch: _*)).drop("__b")))
+        .join(reDeg, Seq("src"), "left")
+        .select(col("src"), col("dst"), coalesce(col("__nd"), col("outdeg")).as("outdeg"))
+      eo.promote(eo.stagePatch(eoMerged.withColumn("__b", bucket(col("src")))
+        .repartition(eoTouch.length, col("__b")), Seq("__b")))
+      // the in-bucketed copy: buckets of the deleted nodes, of their former
+      // dsts (rows with a deleted src leave), and of every remaining dst of
+      // a changed-outdeg src (annotation moves)
+      val eiTouchNodes = del
+        .unionByName(dOut.select(col("dst").as("node")))
+        .unionByName(oldTouched.select(col("dst").as("node")))
+      val eiTouch = bucketsOf(eiTouchNodes, "node")
+      val eiMerged = notDel("dst")(notDel("src")(
+          ei.read().filter(col("__b").isin(eiTouch: _*)).drop("__b")))
+        .join(reDeg, Seq("src"), "left")
+        .select(col("src"), col("dst"), coalesce(col("__nd"), col("outdeg")).as("outdeg"))
+      ei.promote(ei.stagePatch(eiMerged.withColumn("__b", bucket(col("dst")))
+        .repartition(eiTouch.length.max(1), col("__b")), Seq("__b")))
+      // permanently-changed inputs: former dsts of the deleted nodes +
+      // remaining dsts of re-divided survivors (deleted nodes themselves
+      // are purged, never recomputed)
+      val changedInputs = notDel("dst")(
+          dOut.select("dst").unionByName(oldTouched.select("dst")).distinct())
+        .localCheckpoint()
+      // round 0: the deleted nodes and the zero-outdeg survivors leave
+      patchByKey(t("rank0"), del.unionByName(zeroSrcs),
+        del.limit(0).withColumn("rank", lit(Scale)), "node")
+      var dirty = changedInputs.limit(0).withColumnRenamed("dst", "node")
+      val stats = Seq.newBuilder[(Int, Long)]
+      stats += 0 -> del.count()
+      for (i <- 1 to iters) {
+        val db = bucketsOf(dirty, "node")
+        val prop =
+          if (db.isEmpty) changedInputs.limit(0)
+          else eo.read().filter(col("__b").isin(db: _*))
+            .join(dirty.withColumnRenamed("node", "src"), "src").select("dst")
+        val dirtyNow = changedInputs.unionByName(prop).distinct().localCheckpoint()
+        stats += i -> dirtyNow.count()
+        val ib = bucketsOf(dirtyNow, "dst")
+        val recomputed =
+          if (ib.isEmpty) dirty.limit(0).withColumn("rank", lit(Scale))
+          else roundStep(
+            ei.read().filter(col("__b").isin(ib: _*)).drop("__b")
+              .join(dirtyNow, Seq("dst")),
+            ranks(i - 1))
+        // dirty nodes whose recompute yields no row (every surviving
+        // in-contribution gone) vanish, exactly as a rebuild's roundStep
+        // would omit them; deleted nodes are purged unconditionally
+        patchByKey(t(s"rank$i"),
+          dirtyNow.withColumnRenamed("dst", "node").unionByName(del),
+          recomputed, "node")
+        dirty = dirtyNow.withColumnRenamed("dst", "node")
+      }
+      lastDeleteStats = AppendStats(stats.result())
+      ranks(iters)
+    }
   }
 
   private val Iters = 3
@@ -364,6 +504,26 @@ object Graph {
        |      CAST($Base + ($DampNum * (coalesce(c.c, 0) + dm.dm // nn.n)) // $DampDen AS BIGINT) AS rank
        |      FROM nodes n LEFT JOIN c$i c USING (node) CROSS JOIN dm$i dm CROSS JOIN nn)""".stripMargin
   }
+
+  // q217 oracle: the fresh recompute over the graph MINUS every edge
+  // incident to the deleted nodes — the delete analogue of q152's
+  // union-graph oracle. Emitted as the FULL relation (not a top-k), so a
+  // single resurrected node, stale cone value, or missed divisor change
+  // hash-fails.
+  private val q217Sql: String =
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       | e0 AS (SELECT c AS src, s AS dst FROM base
+       |        UNION ALL SELECT s, c FROM base),
+       | ef AS (SELECT src, dst FROM e0 WHERE src % 37 != 0 AND dst % 37 != 0),
+       | deg AS (SELECT src, CAST(count(1) AS BIGINT) AS outdeg
+       |         FROM ef GROUP BY 1),
+       | e AS (SELECT ef.src, ef.dst, deg.outdeg FROM ef JOIN deg USING (src)),
+       | r0 AS (SELECT src AS node, CAST(${Scale} AS BIGINT) AS r FROM deg),
+       |${(1 to Iters).map(iterSql).mkString(",\n")}
+       |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+       |FROM r$Iters ORDER BY node""".stripMargin
 
   private val DirIters = 4
 
@@ -734,6 +894,27 @@ object Graph {
         .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
+    },
+
+    // Takedown deletes for the PageRank edge index — the last index family
+    // without a right-to-erasure path (q205/q208 covered the ANN families,
+    // q212/q213 the postings and near-dup signature indexes). Build on the
+    // FULL trade graph, delete every node ≡ 0 (mod 37) — a few percent of
+    // nodes, landing on both sides of the bipartite graph — then serve the
+    // repaired final round. The oracle recomputes from scratch on the
+    // surviving edges, so the hash IS the exactness law; the O(cone)
+    // footprint side is GraphSpec territory (planted path, measured dirty
+    // counts).
+    Q("q217_pagerank_delete", q217Sql) { (s, d) =>
+      val edges = tradeEdges(s, d).localCheckpoint()
+      val root = s"${graft.core.Scratch.dir("graft-q217")}/pr"
+      val idx = new PageRankIndex(s, root, Iters)
+      idx.build(edges)
+      idx.delete(edges.select(col("src").as("node")).distinct()
+          .filter(col("node") % 37 === 0))
+        .select(col("node").cast("long").as("node"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("node")
     },
   )
 }

@@ -116,6 +116,63 @@ class GraphSpec extends SparkSpec {
     assert(got.except(full).count() === 0 && full.except(got).count() === 0)
   }
 
+  test("delete equals full recompute on the surviving graph — entire history, every round") {
+    val pairs = Graph.tradePairs(spark, sfDir).localCheckpoint()
+    val root = s"${graft.core.Scratch.dir("graft-prspec3")}/pr"
+    val idx = new Graph.PageRankIndex(spark, root, iters = 3)
+    idx.build(Graph.undirected(pairs))
+    val got = idx.delete(Graph.undirected(pairs)
+      .select(col("src").as("node")).distinct()
+      .filter(col("node") % 37 === 0))
+    val surviving = Graph.undirected(pairs)
+      .filter(col("src") % 37 =!= 0 && col("dst") % 37 =!= 0)
+      .localCheckpoint()
+    val full = Graph.pageRank(surviving, iters = 3)
+    assert(got.except(full).count() === 0 && full.except(got).count() === 0)
+    // the repaired HISTORY matches a rebuild's trajectory, not just round 3:
+    // rank0 = surviving srcs at Scale, rank_i = the fresh i-round run
+    val r0 = surviving.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(Graph.Scale))
+    assert(idx.ranks(0).except(r0).count() === 0 && r0.except(idx.ranks(0)).count() === 0)
+    for (i <- 1 to 2) {
+      val fresh = Graph.pageRank(surviving, iters = i)
+      assert(idx.ranks(i).except(fresh).count() === 0 &&
+        fresh.except(idx.ranks(i)).count() === 0, s"round $i history diverged")
+    }
+  }
+
+  test("delete recomputes only the cone; isolated survivors vanish; re-delete is a no-op") {
+    // a 300-node undirected path plus a detached 2-node component; delete
+    // one path end and the detached node's only neighbor. The cone grows
+    // one hop per round — measured dirty counts above t+3 mean the repair
+    // is secretly recomputing the graph.
+    val n = 300L
+    val path = Graph.undirected(
+      (0L until n - 1).map(i => (i, i + 1)).toDF("c", "s"))
+    val extra = Graph.undirected(Seq((1000L, 1001L)).toDF("c", "s"))
+    val root = s"${graft.core.Scratch.dir("graft-prspec4")}/pr"
+    val idx = new Graph.PageRankIndex(spark, root, iters = 3)
+    idx.build(path.unionByName(extra))
+    val got = idx.delete(Seq(n - 1, 1001L).toDF("node"))
+    idx.lastDeleteStats.dirtyPerRound.foreach { case (round, dirty) =>
+      assert(dirty <= round + 3,
+        s"round $round recomputed $dirty nodes on a 2-node delete over $n nodes")
+    }
+    // node 1000 lost its only neighbor: a rebuild never seats it, so the
+    // repair must purge it from every round, not leave a stale row
+    val surv = Graph.undirected((0L until n - 2).map(i => (i, i + 1)).toDF("c", "s"))
+    val full = Graph.pageRank(surv, iters = 3)
+    assert(got.except(full).count() === 0 && full.except(got).count() === 0)
+    (0 to 3).foreach { i =>
+      assert(idx.ranks(i).filter(col("node").isin(n - 1, 1000L, 1001L)).count() === 0,
+        s"round $i kept a deleted/isolated node")
+    }
+    // deleting an unknown id together with an already-deleted one changes
+    // nothing (idempotence)
+    val again = idx.delete(Seq(12345L, n - 1).toDF("node"))
+    assert(again.except(full).count() === 0 && full.except(again).count() === 0)
+  }
+
   test("trade graph is bipartite and bidirectional") {
     val e = Graph.tradeEdges(spark, sfDir).cache()
     // customer nodes even, supplier nodes odd; every edge crosses sides
