@@ -114,12 +114,13 @@ object NnDescent {
     */
   def beamProbe(graph: DataFrame, cz: DataFrame, queries: DataFrame, k: Int,
                 beam: Int, rounds: Int, graphK: Int = 8, nSeeds: Int = 8,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                exclude: Option[DataFrame] = None): DataFrame = {
     val qz = Similarity.quantizeInt8(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
     val seeds = cz.select("nid").orderBy(hh(col("nid")), col("nid")).limit(nSeeds)
     beamLoop(graph, cz, qz, qz.select("qid").crossJoin(seeds),
-      k, beam, rounds, graphK)
+      k, beam, rounds, graphK, exclude)
   }
 
   /** [[beamProbe]] with PER-QUERY entry points `(qid, nid)` instead of the
@@ -135,15 +136,23 @@ object NnDescent {
   def beamProbeSeeded(graph: DataFrame, cz: DataFrame, queries: DataFrame,
                       seeds: DataFrame, k: Int, beam: Int, rounds: Int,
                       graphK: Int = 8,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      exclude: Option[DataFrame] = None): DataFrame = {
     val qz = Similarity.quantizeInt8(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
-    beamLoop(graph, cz, qz, seeds.select("qid", "nid"), k, beam, rounds, graphK)
+    beamLoop(graph, cz, qz, seeds.select("qid", "nid"), k, beam, rounds, graphK,
+      exclude)
   }
 
+  /** `exclude` is the soft-delete serve filter (a one-column `nid`
+    * relation): excluded nodes still ROUTE — they enter the beam and their
+    * neighbors expand exactly as before, the HNSW tombstone semantics —
+    * but are dropped from the final ranking, so the result is the best k
+    * SURVIVING nodes of the identical walk.
+    */
   private def beamLoop(graph: DataFrame, cz: DataFrame, qz: DataFrame,
                        seeds: DataFrame, k: Int, beam: Int, rounds: Int,
-                       graphK: Int): DataFrame = {
+                       graphK: Int, exclude: Option[DataFrame] = None): DataFrame = {
     val und = undirected(graph, graphK).localCheckpoint()
     def score(cand: DataFrame): DataFrame = cand
       .filter(col("qid") =!= col("nid"))
@@ -161,6 +170,91 @@ object NnDescent {
       val fresh = nbrs.join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
       visited = visited.unionByName(score(fresh)).localCheckpoint()
     }
-    Similarity.longScoreTopK(visited, k)
+    val served = exclude.fold(visited)(d =>
+      visited.join(d.select("nid"), Seq("nid"), "left_anti"))
+    Similarity.longScoreTopK(served, k)
+  }
+
+  /** Persistent graph-navigable ANN index with the house LSM lifecycle
+    * (build / probe / takedown-delete / compact), completing the delete
+    * story across every index family (q205/q208 IVF+PQ, q212 postings,
+    * q213 near-dup signatures, q217 PageRank).
+    *
+    * Deletes are SOFT (the HNSW tombstone scheme): an O(batch) tombstone
+    * append; probes keep walking THROUGH tombstoned nodes — severing their
+    * edges would disconnect routes and silently lose recall — but never
+    * return them. [[compactPurge]] is this family's rebuild point: a
+    * navigable graph's neighbor lists cannot be locally repaired without
+    * changing what a fresh build would produce, so compaction re-runs the
+    * (deterministic) NN-descent build on the surviving codes and truncates
+    * the tombstones — after it, the index is BIT-IDENTICAL to one built
+    * from scratch on the surviving corpus (the q218 law, phase
+    * 'compacted'; the soft phase is oracled as the identical walk with
+    * tombstones filtered from the final ranking only).
+    */
+  final class NavIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                       graphK: Int = 8, iters: Int = 2, buckets: Int = 16,
+                       maxChainDepth: Int = 4) {
+    import graft.write.VersionedTable
+
+    val codes = new VersionedTable(spark, s"$root/codes")
+    val graph = new VersionedTable(spark, s"$root/graph")
+    val tombstones = new VersionedTable(spark, s"$root/tombstones")
+
+    def build(corpus: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Unit = {
+      val cz = NnDescent.codes(corpus, idCol, vecCol).localCheckpoint()
+      codes.promote(codes.stage(cz))
+      var e = initGraph(cz.select("nid"), graphK, buckets).localCheckpoint()
+      for (_ <- 1 to iters) e = descentRound(e, cz, graphK).localCheckpoint()
+      graph.promote(graph.stage(e))
+    }
+
+    /** O(batch) tombstone append; unknown ids are no-ops, re-deletes
+      * idempotent (the [[graft.streaming.NearDupIndex]] protocol).
+      */
+    def delete(ids: DataFrame, idCol: String = "vec_id"): Unit = {
+      val d = ids.select(col(idCol).cast("long").as("nid")).distinct()
+      if (tombstones.exists) {
+        val fresh = d.join(tombstones.read(), Seq("nid"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          tombstones.promote(tombstones.stageAppend(fresh))
+          tombstones.compactIfNeeded(maxChainDepth)
+        }
+      } else tombstones.promote(tombstones.stage(d))
+    }
+
+    /** Beam-search serve: seeds and routing over the FULL persisted graph
+      * (tombstoned nodes included — they are waypoints), tombstones
+      * excluded from the final ranking only.
+      */
+    def probe(queries: DataFrame, k: Int, beam: Int, rounds: Int,
+              nSeeds: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+      val dead = if (tombstones.exists) Some(tombstones.read()) else None
+      beamProbe(graph.read(), codes.read(), queries, k, beam, rounds, graphK,
+        nSeeds, idCol, vecCol, dead)
+    }
+
+    /** Purge: drop tombstoned codes, re-run the deterministic NN-descent
+      * build on the survivors, truncate the tombstone set. Three promotes;
+      * a crash between them leaves tombstones whose anti-joins match
+      * nothing — the next purge clears them (convergent, the AnnIndex
+      * argument).
+      */
+    def compactPurge(): Unit = {
+      val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
+                 else None
+      if (dead.exists(!_.isEmpty)) {
+        val cz = codes.read().join(dead.get, Seq("nid"), "left_anti")
+          .localCheckpoint()
+        codes.promote(codes.stage(cz))
+        var e = initGraph(cz.select("nid"), graphK, buckets).localCheckpoint()
+        for (_ <- 1 to iters) e = descentRound(e, cz, graphK).localCheckpoint()
+        graph.promote(graph.stage(e))
+        tombstones.promote(tombstones.stage(dead.get.limit(0)))
+      }
+    }
   }
 }

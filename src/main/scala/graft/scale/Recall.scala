@@ -43,6 +43,8 @@ object Recall {
   private val Beams = Seq(2, 4, 8)
   private val BeamRounds = 3
   private val Seeds = 8
+  // q218 serves one beam width through the persistent index's lifecycle
+  private val NavBeam = 8
 
   /** Recall@`k` of int8-rerank IVF probing vs the int8 brute-force ranking,
     * one row per probe width: (n_probe, hits, possible, recall_bp) with
@@ -298,22 +300,47 @@ ORDER BY h.n_probe"""
   /** One NN-descent round over e{t-1} (ginit for t=1): capped reverse
     * edges, local join through shared neighbors, rescore, keep-k.
     */
-  private def descentRoundSql(t: Int): String = {
-    val prev = if (t == 1) "ginit" else s"ge${t - 1}"
+  private def descentRoundSql(p: String)(t: Int): String = {
+    val prev = if (t == 1) s"${p}init" else s"${p}e${t - 1}"
     s"""
- grev$t AS (SELECT nu AS u, nv AS v FROM (
+ ${p}rev$t AS (SELECT nu AS u, nv AS v FROM (
    SELECT v AS nu, u AS nv,
      row_number() OVER (PARTITION BY v ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
    FROM $prev) WHERE rn <= $GraphK),
- gund$t AS (SELECT u, v FROM $prev UNION SELECT u, v FROM grev$t),
- gpairs$t AS (SELECT DISTINCT a.v AS u, b.v AS v
-   FROM gund$t a JOIN gund$t b ON a.u = b.u AND a.v <> b.v),
- gcand$t AS (SELECT u, v FROM $prev UNION SELECT u, v FROM gpairs$t),
- gsc$t AS (SELECT c.u, c.v, CAST(list_dot_product(zu.code, zv.code) AS BIGINT) AS score
-   FROM gcand$t c JOIN qz zu ON zu.vec_id = c.u JOIN qz zv ON zv.vec_id = c.v),
- ge$t AS MATERIALIZED (SELECT u, v FROM (
+ ${p}und$t AS (SELECT u, v FROM $prev UNION SELECT u, v FROM ${p}rev$t),
+ ${p}pairs$t AS (SELECT DISTINCT a.v AS u, b.v AS v
+   FROM ${p}und$t a JOIN ${p}und$t b ON a.u = b.u AND a.v <> b.v),
+ ${p}cand$t AS (SELECT u, v FROM $prev UNION SELECT u, v FROM ${p}pairs$t),
+ ${p}sc$t AS (SELECT c.u, c.v, CAST(list_dot_product(zu.code, zv.code) AS BIGINT) AS score
+   FROM ${p}cand$t c JOIN qz zu ON zu.vec_id = c.u JOIN qz zv ON zv.vec_id = c.v),
+ ${p}e$t AS MATERIALIZED (SELECT u, v FROM (
    SELECT u, v, score, row_number() OVER (PARTITION BY u ORDER BY score DESC, v) AS rn
-   FROM gsc$t) WHERE rn <= $GraphK)"""
+   FROM ${p}sc$t) WHERE rn <= $GraphK)"""
+  }
+
+  /** The full NN-descent build replay — `${p}hash` md5 bucketing, init
+    * graph, the descent rounds, the final degree-capped undirected relation
+    * `${p}undF`, and the md5-order entry points `${p}seeds` — prefixed so
+    * several chains coexist in one WITH-body. `where` filters the node
+    * base (q218's post-compaction chain replays the build on the surviving
+    * corpus only).
+    */
+  private def graphChainSql(p: String, where: String = ""): String = {
+    val leadList = (1 to GraphK).map(j => s"lead(nid, $j) OVER w").mkString(", ")
+    val descent = (1 to GraphIters).map(descentRoundSql(p)).mkString(",")
+    s"""
+ ${p}hash AS (SELECT vec_id AS nid, md5(CAST(vec_id AS VARCHAR)) AS hh,
+        (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % 16 AS b
+        FROM embeddings $where),
+ ${p}0 AS (SELECT nid AS u, [$leadList] AS ls
+        FROM ${p}hash WINDOW w AS (PARTITION BY b ORDER BY hh, nid)),
+ ${p}init AS (SELECT u, v FROM (SELECT u, unnest(ls) AS v FROM ${p}0) WHERE v IS NOT NULL),$descent,
+ ${p}revF AS (SELECT nu AS u, nv AS v FROM (
+   SELECT v AS nu, u AS nv,
+     row_number() OVER (PARTITION BY v ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
+   FROM ${p}e$GraphIters) WHERE rn <= $GraphK),
+ ${p}undF AS MATERIALIZED (SELECT u, v FROM ${p}e$GraphIters UNION SELECT u, v FROM ${p}revF),
+ ${p}seeds AS (SELECT nid FROM ${p}hash ORDER BY hh, nid LIMIT $Seeds)"""
   }
 
   /** The beam replay for width `b`: `BeamRounds` chained
@@ -323,15 +350,19 @@ ORDER BY h.n_probe"""
     * strategies (q206's md5-seeded `g`/`graph` chain and q215's routed
     * `s`/`graph_ivf` chain — only the `${p}v${b}_0` seed CTE differs).
     */
-  private def beamSql(p: String, fam: String)(b: Int): String = {
-    val rounds = (1 to BeamRounds).map { r =>
+  /** The chained rank → expand → anti-join → score beam rounds for width
+    * `b` over undirected graph relation `und`, ending at
+    * `${p}v${b}_$BeamRounds` (the accumulated visited set).
+    */
+  private def beamRoundsSql(p: String, und: String)(b: Int): String =
+    (1 to BeamRounds).map { r =>
       val prev = s"${p}v${b}_${r - 1}"
       s"""
  ${p}bm${b}_$r AS (SELECT qid, nid FROM (
    SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
    FROM $prev) WHERE rn <= $b),
  ${p}nb${b}_$r AS (SELECT DISTINCT t.qid, u.v AS nid
-   FROM ${p}bm${b}_$r t JOIN gundF u ON u.u = t.nid),
+   FROM ${p}bm${b}_$r t JOIN $und u ON u.u = t.nid),
  ${p}fr${b}_$r AS (SELECT n.qid, n.nid FROM ${p}nb${b}_$r n ANTI JOIN $prev p USING (qid, nid)),
  ${p}v${b}_$r AS MATERIALIZED (
    SELECT qid, nid, score FROM $prev
@@ -340,7 +371,9 @@ ORDER BY h.n_probe"""
    FROM ${p}fr${b}_$r f JOIN qq q ON q.qid = f.qid JOIN qz z ON z.vec_id = f.nid
    WHERE f.qid <> f.nid)"""
     }.mkString(",")
-    s"""$rounds,
+
+  private def beamSql(p: String, fam: String)(b: Int): String = {
+    s"""${beamRoundsSql(p, "gundF")(b)},
  ${p}ann$b AS (SELECT qid, nid FROM (
    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
    FROM ${p}v${b}_$BeamRounds) WHERE rn <= $TopK),
@@ -352,8 +385,6 @@ ORDER BY h.n_probe"""
 
   private val familyOracle: String = {
     val per = Probes.map(perProbeSql).mkString(",")
-    val leadList = (1 to GraphK).map(j => s"lead(nid, $j) OVER w").mkString(", ")
-    val descent = (1 to GraphIters).map(descentRoundSql).mkString(",")
     val beams = Beams.map(beamSql("g", "graph")).mkString(",")
     val v0Aliases = Beams.tail
       .map(b => s",\n gv${b}_0 AS (SELECT * FROM gv${Beams.head}_0)").mkString
@@ -363,19 +394,7 @@ ORDER BY h.n_probe"""
       .mkString("\n  UNION ALL ")
     val graphUnion = Beams.map(b => s"SELECT family, knob, budget, hits FROM gh$b")
       .mkString("\n  UNION ALL ")
-    s"""WITH $coreCtes,$per,
- ghash AS (SELECT vec_id AS nid, md5(CAST(vec_id AS VARCHAR)) AS hh,
-        (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % 16 AS b
-        FROM embeddings),
- g0 AS (SELECT nid AS u, [$leadList] AS ls
-        FROM ghash WINDOW w AS (PARTITION BY b ORDER BY hh, nid)),
- ginit AS (SELECT u, v FROM (SELECT u, unnest(ls) AS v FROM g0) WHERE v IS NOT NULL),$descent,
- grevF AS (SELECT nu AS u, nv AS v FROM (
-   SELECT v AS nu, u AS nv,
-     row_number() OVER (PARTITION BY v ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
-   FROM ge$GraphIters) WHERE rn <= $GraphK),
- gundF AS MATERIALIZED (SELECT u, v FROM ge$GraphIters UNION SELECT u, v FROM grevF),
- gseeds AS (SELECT nid FROM ghash ORDER BY hh, nid LIMIT $Seeds),
+    s"""WITH $coreCtes,$per,${graphChainSql("g")},
  gv${Beams.head}_0 AS MATERIALIZED (
    SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
    FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
@@ -398,8 +417,6 @@ ORDER BY family, knob"""
     * output, so the two families differ by EXACTLY the entry points.
     */
   private val seededOracle: String = {
-    val leadList = (1 to GraphK).map(j => s"lead(nid, $j) OVER w").mkString(", ")
-    val descent = (1 to GraphIters).map(descentRoundSql).mkString(",")
     val gBeams = Beams.map(beamSql("g", "graph")).mkString(",")
     val sBeams = Beams.map(beamSql("s", "graph_ivf")).mkString(",")
     val gAliases = Beams.tail
@@ -409,19 +426,7 @@ ORDER BY family, knob"""
     val union = (Beams.map(b => s"SELECT family, knob, budget, hits FROM gh$b") ++
         Beams.map(b => s"SELECT family, knob, budget, hits FROM sh$b"))
       .mkString("\n  UNION ALL ")
-    s"""WITH $coreCtes,
- ghash AS (SELECT vec_id AS nid, md5(CAST(vec_id AS VARCHAR)) AS hh,
-        (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % 16 AS b
-        FROM embeddings),
- g0 AS (SELECT nid AS u, [$leadList] AS ls
-        FROM ghash WINDOW w AS (PARTITION BY b ORDER BY hh, nid)),
- ginit AS (SELECT u, v FROM (SELECT u, unnest(ls) AS v FROM g0) WHERE v IS NOT NULL),$descent,
- grevF AS (SELECT nu AS u, nv AS v FROM (
-   SELECT v AS nu, u AS nv,
-     row_number() OVER (PARTITION BY v ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
-   FROM ge$GraphIters) WHERE rn <= $GraphK),
- gundF AS MATERIALIZED (SELECT u, v FROM ge$GraphIters UNION SELECT u, v FROM grevF),
- gseeds AS (SELECT nid FROM ghash ORDER BY hh, nid LIMIT $Seeds),
+    s"""WITH $coreCtes,${graphChainSql("g")},
  gv${Beams.head}_0 AS MATERIALIZED (
    SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
    FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
@@ -441,6 +446,49 @@ SELECT g.family, g.knob, g.budget, g.hits, pos.possible,
        g.hits * 10000 // pos.possible AS recall_bp
 FROM ($union) g, pos
 ORDER BY family, knob"""
+  }
+
+  /** The q218 oracle: two serve phases of the navigable index's delete
+    * lifecycle. Phase 'soft' replays the IDENTICAL beam walk over the full
+    * graph (tombstoned nodes still route) and filters the deleted ids from
+    * the final ranking only — the HNSW soft-delete semantics. Phase
+    * 'compacted' replays the ENTIRE deterministic build on the surviving
+    * corpus (a second full graph chain, prefix `h`) and its walk — the
+    * rebuild-without-deleted parity every other index family's delete
+    * oracle pins. Per-row (qid, rnk, nid, score) output, so one node
+    * routed, filtered, or rebuilt differently anywhere hash-fails.
+    */
+  private val navDeleteOracle: String = {
+    val b = NavBeam
+    s"""WITH qz AS (
+   SELECT vec_id,
+     CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+     END AS code
+   FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+ qq AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < $NQueries),
+ del AS (SELECT vec_id AS nid FROM embeddings WHERE vec_id % 7 = 0),${graphChainSql("g")},
+ gv${b}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid),${beamRoundsSql("g", "gundF")(b)},
+ softk AS (SELECT qid, nid, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM gv${b}_$BeamRounds v
+   WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.nid = v.nid)),${graphChainSql("h", "WHERE vec_id % 7 <> 0")},
+ hv${b}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN hseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid),${beamRoundsSql("h", "hundF")(b)},
+ compk AS (SELECT qid, nid, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM hv${b}_$BeamRounds)
+SELECT phase, qid, CAST(rn AS BIGINT) AS rnk, nid, score FROM (
+  SELECT 'soft' AS phase, qid, rn, nid, score FROM softk WHERE rn <= $TopK
+  UNION ALL
+  SELECT 'compacted' AS phase, qid, rn, nid, score FROM compk WHERE rn <= $TopK)
+ORDER BY phase, qid, rnk"""
   }
 
   // ---- declared queries ----------------------------------------------------
@@ -487,6 +535,34 @@ ORDER BY family, knob"""
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       graphSeedComparisonTable(emb, emb.filter(col("vec_id") < NQueries))
         .orderBy("family", "knob")
+    },
+
+    // The persistent navigable index's full delete lifecycle: build →
+    // tombstone every node ≡ 0 (mod 7) → probe (phase 'soft': the walk
+    // still routes THROUGH tombstoned nodes, they just never surface) →
+    // compactPurge (the deterministic rebuild on survivors) → probe again
+    // (phase 'compacted'). The oracle replays both phases from scratch —
+    // the identical walk with a final-ranking filter, then a second
+    // complete NN-descent build on the surviving corpus — so the serve
+    // rows certify both the soft-delete semantics and the
+    // rebuild-without-deleted compaction parity per row.
+    Q("q218_ann_nav_delete", navDeleteOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val root = s"${graft.core.Scratch.dir("graft-q218")}/nav"
+      val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters)
+      idx.build(emb)
+      idx.delete(emb.select("vec_id").filter(col("vec_id") % 7 === 0))
+      val qs = emb.filter(col("vec_id") < NQueries)
+      def serve(phase: String) =
+        idx.probe(qs, TopK, NavBeam, BeamRounds, Seeds)
+          .withColumn("phase", lit(phase))
+      val soft = serve("soft").localCheckpoint()
+      idx.compactPurge()
+      soft.unionByName(serve("compacted"))
+        .select(col("phase"), col("qid").cast("long").as("qid"),
+          col("rnk").cast("long").as("rnk"), col("nid").cast("long").as("nid"),
+          col("score").cast("long").as("score"))
+        .orderBy("phase", "qid", "rnk")
     },
   )
 }

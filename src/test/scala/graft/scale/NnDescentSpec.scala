@@ -72,6 +72,68 @@ class NnDescentSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("NavIndex soft delete: identical walk, survivors-only ranking; O(batch) footprint") {
+    val root = s"${graft.core.Scratch.dir("graft-navspec1")}/nav"
+    val idx = new NnDescent.NavIndex(spark, root, graphK = 8, iters = 2, buckets = 4)
+    idx.build(small)
+    val qs = small.filter(col("vec_id") < 3)
+    val del = small.select("vec_id").filter(col("vec_id") % 5 === 0)
+    // the FULL visited ranking of the plain (index-free) walk over the same
+    // graph — k larger than the corpus, so nothing truncates
+    val fullRank = NnDescent.beamProbe(idx.graph.read(), idx.codes.read(), qs,
+      k = 1000, beam = 8, rounds = 3).localCheckpoint()
+    val (gv, cv) = (idx.graph.currentVersion, idx.codes.currentVersion)
+    idx.delete(del)
+    // footprint: tombstones hold exactly the batch; graph/codes untouched
+    assert(idx.tombstones.read().count() === del.count())
+    assert(idx.graph.currentVersion === gv && idx.codes.currentVersion === cv)
+    // soft serve == the SAME walk's ranking with tombstoned ids filtered
+    // then re-truncated — the implementation-independent soft-delete law
+    val got = idx.probe(qs, k = 5, beam = 8, rounds = 3)
+      .select("qid", "rnk", "nid", "score").collect().map(_.toSeq).toSet
+    val want = {
+      val surv = fullRank.join(
+        del.select(col("vec_id").cast("long").as("nid")), Seq("nid"), "left_anti")
+      import org.apache.spark.sql.expressions.Window
+      surv.withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
+        .filter(col("rnk") <= 5)
+        .select("qid", "rnk", "nid", "score").collect().map(_.toSeq).toSet
+    }
+    assert(got === want && got.nonEmpty)
+    // no tombstoned id is ever served
+    assert(idx.probe(qs, 5, 8, 3).join(
+      del.select(col("vec_id").cast("long").as("nid")), Seq("nid")).count() === 0)
+    // re-delete + unknown-id delete: idempotent no-op
+    idx.delete(del.unionByName(Seq(999999L).toDF("vec_id")))
+    assert(idx.tombstones.read().count() === del.count() + 1)
+    val again = idx.probe(qs, 5, 8, 3)
+      .select("qid", "rnk", "nid", "score").collect().map(_.toSeq).toSet
+    assert(again === got)
+  }
+
+  test("NavIndex compactPurge == fresh build on the surviving corpus, bit-exact") {
+    val root = s"${graft.core.Scratch.dir("graft-navspec2")}/nav"
+    val idx = new NnDescent.NavIndex(spark, root, graphK = 8, iters = 2, buckets = 4)
+    idx.build(small)
+    val surviving = small.filter(col("vec_id") % 5 =!= 0).localCheckpoint()
+    idx.delete(small.select("vec_id").filter(col("vec_id") % 5 === 0))
+    idx.compactPurge()
+    // the rebuilt graph IS buildKnnGraph(survivors) — relation equality
+    val fresh = NnDescent.buildKnnGraph(surviving, k = 8, iters = 2, buckets = 4)
+    assert(idx.graph.read().except(fresh).count() === 0 &&
+      fresh.except(idx.graph.read()).count() === 0)
+    // tombstones truncated; codes shrank to the survivors
+    assert(idx.tombstones.read().count() === 0)
+    assert(idx.codes.read().count() === surviving.count())
+    // and the serve path equals the index-free walk on the fresh build
+    val qs = small.filter(col("vec_id") < 3)
+    val got = idx.probe(qs, 5, 8, 3).collect().map(_.toSeq).toSet
+    val want = NnDescent.beamProbe(fresh, NnDescent.codes(surviving), qs,
+      k = 5, beam = 8, rounds = 3).collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("IVF-routed entry points dominate-or-equal md5 seeds at every beam (q215 law)") {
     // same graph, same knobs, same candidate budget — only the entry
     // points differ. Routed entries start the walk near the query, so at
