@@ -1256,6 +1256,65 @@ object Multimodal {
       .select("doc_a", "doc_b")
   }
 
+  /** md5-mixed 8×8-block 64×64 grayscale fixture pixels for synthetic id
+    * `src`; `pert` bumps every 5th block by +2 (mod 256) — the planted
+    * "slightly different" twin of the q216/q219 fixtures. Deterministic,
+    * engine-independent, and replayed value-for-value by the DuckDB
+    * oracles' md5 arithmetic.
+    */
+  def synthPixels(src: Long, pert: Boolean): Array[Byte] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    def v(k: Int): Int = {
+      mdt.reset()
+      mdt.digest(s"${src}_$k".getBytes("UTF-8"))(0).toInt & 0xff
+    }
+    Array.tabulate(64 * 64) { p =>
+      val k = ((p / 64) / 8) * 8 + (p % 64) / 8
+      val raw = v(k)
+      (if (pert && k % 5 == 0) (raw + 2) % 256 else raw).toByte
+    }
+  }
+
+  /** Decode a png/gif/jpeg payload through its REAL codec and dHash it —
+    * the shared batch/stream hashing kernel. Fail-closed on undecodable
+    * input (a corrupt crawl byte-stream must never hash to something).
+    */
+  def decodeDhash(aid: Long, bytes: Array[Byte], fmt: String): Long = {
+    val (w, h, px) = (fmt match {
+      case "png" => pngDecodeGray(bytes)
+      case "gif" => gifDecodeGray(bytes)
+      case _     => jpegDecodeGray(bytes)
+    }).getOrElse(throw new IllegalStateException(s"undecodable $fmt asset $aid"))
+    dHash56(px, w, h)
+  }
+
+  /** Probe-side ids whose hash lies within `maxHamming` of some index row
+    * with a DIFFERENT id — the cross-batch collision check of the q219
+    * streaming sink. Same band/verify machinery as [[phashPairs]], two
+    * relations instead of a self-join; exhaustive by pigeonhole while
+    * `bands > maxHamming`. The id-inequality guard makes a replayed batch
+    * (whose own rows already sit in the index) re-accept identically
+    * instead of self-matching.
+    */
+  def phashCollisions(probe: DataFrame, index: DataFrame,
+                      idCol: String = "asset_id", hashCol: String = "dhash",
+                      bands: Int = 8, bandBits: Int = 7,
+                      maxHamming: Int = 6): DataFrame = {
+    require(bands * bandBits <= 64 && bands >= 1 && bandBits >= 1)
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, side: String) = df.select(
+        col(idCol).as(s"${side}_id"), col(hashCol).as(s"${side}_h"),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col(hashCol), bandBits * i).bitwiseAND(lit(mask)).as("bits"))): _*))
+          .as("__b"))
+      .select(col(s"${side}_id"), col(s"${side}_h"), col("__b.band"), col("__b.bits"))
+    banded(probe, "p").join(banded(index, "i"), Seq("band", "bits"))
+      .filter(col("p_id") =!= col("i_id"))
+      .filter(expr(s"bit_count(p_h ^ i_h) <= $maxHamming"))
+      .select(col("p_id").as(idCol)).distinct()
+  }
+
   final case class FormatFeatures(asset_id: Long, format: String,
                                   width: Option[Int], height: Option[Int],
                                   sample_rate: Option[Int], n_samples: Option[Long])
@@ -1572,20 +1631,8 @@ object Multimodal {
       import s.implicits._
       val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions { ids =>
-          val mdt = java.security.MessageDigest.getInstance("MD5")
-          def v(src: Long, k: Int): Int = {
-            mdt.reset()
-            val hex = mdt.digest(s"${src}_$k".getBytes("UTF-8"))
-            ((hex(0).toInt & 0xff))
-          }
-          def basePixels(src: Long, pert: Boolean): Array[Byte] =
-            Array.tabulate(64 * 64) { p =>
-              val k = ((p / 64) / 8) * 8 + (p % 64) / 8
-              val raw = v(src, k)
-              (if (pert && k % 5 == 0) (raw + 2) % 256 else raw).toByte
-            }
           ids.flatMap { id =>
-            val base = basePixels(id, pert = false)
+            val base = synthPixels(id, pert = false)
             val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
             out += ((id, pngEncodeGray(base, 64, 64), "png"))
             if (id % 10 == 0) {
@@ -1595,19 +1642,12 @@ object Multimodal {
             if (id % 10 == 5)
               out += ((id + 600000, jpegEncodeGray(base, 64, 64, JpegFlatQuant8), "jpeg"))
             if (id % 10 == 7)
-              out += ((id + 700000, pngEncodeGray(basePixels(id, pert = true), 64, 64), "png"))
+              out += ((id + 700000, pngEncodeGray(synthPixels(id, pert = true), 64, 64), "png"))
             out.iterator
           }
         }
       val hashes = assets.mapPartitions { rows =>
-        rows.map { case (aid, bytes, fmt) =>
-          val (w, h, px) = (fmt match {
-            case "png" => pngDecodeGray(bytes)
-            case "gif" => gifDecodeGray(bytes)
-            case _     => jpegDecodeGray(bytes)
-          }).getOrElse(throw new IllegalStateException(s"undecodable $fmt asset $aid"))
-          (aid, dHash56(px, w, h))
-        }
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
       val pairs = phashPairs(hashes)
       val labels = graft.scale.Cluster.connectedComponents(pairs)

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.scale.{Cluster, Multimodal}
+import graft.write.VersionedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming image near-dup dedup over perceptual hashes — the q216 batch
+  * pipeline (decode through the real codec → dHash → Hamming-banded
+  * candidates) run as a continuous ingest: each arriving image batch is
+  * deduplicated against every already-accepted image before its own hashes
+  * join the index. The image sibling of [[NearDupIndex]] (text MinHash).
+  *
+  * State is one [[graft.write.VersionedTable]], `root/hashes`
+  * (asset_id, dhash) — 16 bytes per accepted image. Payloads are decoded
+  * ONCE, in the arriving batch's own tasks (bounded payload residency, the
+  * [[graft.scale.Multimodal]] discipline); the cross-batch check is then a
+  * banded equi-join of batch hashes against narrow longs — per-batch cost
+  * O(batch pixels + matched-band index rows), never O(index pixels).
+  *
+  * Per batch ([[PhashIndex.processBatch]]):
+  *   1. decode + dHash the arrivals;
+  *   2. WITHIN-batch: Hamming-banded pairs → transitive components → keep
+  *      each component's min id (the q216 clustering restricted to the
+  *      batch, so two copies arriving together collapse exactly like the
+  *      batch operator);
+  *   3. CROSS-batch: a kept row drops iff some DIFFERENT accepted id's
+  *      hash lies within `maxHamming` — the id-inequality guard is what
+  *      lets a replayed batch, whose rows already sit in the index,
+  *      re-accept identically instead of self-matching;
+  *   4. GROW: accepted hashes append, batch-stamped (exactly-once under
+  *      foreachBatch redelivery), chain-compacted past `maxChainDepth`.
+  *
+  * Semantics: greedy temporal, same as every accept-only crawl index here —
+  * an image survives iff it is not within `maxHamming` of any
+  * earlier-accepted image or of its own batch-component's min id. With
+  * `bands > maxHamming` the banding is exhaustive (pigeonhole), so these
+  * semantics are exact, not approximate — which is what lets the q219
+  * oracle replay them value-for-value from the md5 fixture arithmetic.
+  */
+final class PhashIndex(spark: SparkSession, root: String,
+                       bands: Int = 8, bandBits: Int = 7, maxHamming: Int = 6,
+                       maxChainDepth: Int = 16) {
+
+  val hashes = new VersionedTable(spark, s"$root/hashes")
+
+  /** Bulk-accept an already-curated image set's hashes (asset_id, dhash):
+    * the bootstrap never re-litigates its own history, exactly like
+    * [[NearDupIndex.seed]].
+    */
+  def seed(h: DataFrame): Unit =
+    hashes.promote(hashes.stage(h.select(col("asset_id").cast("long").as("asset_id"),
+      col("dhash").cast("long").as("dhash"))))
+
+  /** The accepted corpus's hash relation — what downstream dedup reads. */
+  def accepted(): DataFrame = hashes.read()
+
+  /** Drain one image batch: (asset_id, payload binary, fmt ∈ png|gif|jpeg). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val tag = s"batch=$batchId"
+    if (hashes.exists && hashes.currentTag.contains(tag)) return
+    val ss = batch.sparkSession
+    import ss.implicits._
+    val hashed = batch
+      .select(col("asset_id").cast("long"), col("payload"), col("fmt"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (aid, bytes, fmt) =>
+        (aid, Multimodal.decodeDhash(aid, bytes, fmt))
+      })
+      .toDF("asset_id", "dhash").localCheckpoint()
+    val pairs = Multimodal.phashPairs(hashed, "asset_id", "dhash",
+      bands, bandBits, maxHamming)
+    val labels = Cluster.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "asset_id")
+    val reps = hashed.join(labels, Seq("asset_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("asset_id"))
+      .select("asset_id", "dhash")
+    val kept =
+      (if (!hashes.exists) reps
+       else {
+         // an id already accepted is an id-level re-crawl, not a new image:
+         // skip it outright (growth is append-only per id, like PostingsIndex)
+         val fresh = reps.join(accepted().select("asset_id"),
+           Seq("asset_id"), "left_anti")
+         fresh.join(
+           Multimodal.phashCollisions(fresh, accepted(), "asset_id", "dhash",
+             bands, bandBits, maxHamming),
+           Seq("asset_id"), "left_anti")
+       })
+        .localCheckpoint()
+    if (hashes.exists) hashes.promote(hashes.stageAppend(kept), Some(tag))
+    else hashes.promote(hashes.stage(kept), Some(tag))
+    hashes.compactIfNeeded(maxChainDepth)
+    ()
+  }
+}
+
+object PhashStream {
+
+  /** [[PhashIndex.processBatch]] as a streaming sink: drain an image
+    * stream into the index; `index.accepted()` is the continuously-deduped
+    * hash relation.
+    */
+  def phashDedupSink(images: DataFrame, index: PhashIndex,
+                     checkpoint: String): StreamingQuery =
+    images.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.processBatch(batch, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -807,5 +807,110 @@ object StreamingQueries {
         .select("phase", "doc_id", "text")
         .orderBy("phase", "doc_id")
     },
+
+    // Streaming IMAGE near-dup: the q216 perceptual-hash pipeline as a
+    // continuous ingest. The index is seeded with every document's base
+    // image hash; a later crawl then streams in real ENCODED payloads —
+    // half-size GIF re-crawls (doc_id % 10 = 0), byte-different lossless
+    // JPEG re-crawls (% 10 = 5), intensity-perturbed PNGs (% 10 = 7), and
+    // genuinely NEW images (% 10 = 3, a fresh md5 stream) — which the sink
+    // decodes through the real codecs, dHashes, within-batch clusters, and
+    // bands against the persisted index. Every re-crawl twin must drop
+    // (resolution and container vanish at the 8×8 pool; the perturbed twin
+    // lands within Hamming 6), every new image must be admitted. The
+    // oracle regenerates all hashes from the md5 arithmetic and replays
+    // the exact accept rule — within-arrival components to min-id, then
+    // brute-force Hamming against the seeded hashes (the banding is
+    // exhaustive by pigeonhole at 8 bands / Hamming 6) — so the served
+    // hash relation is certified value-for-value.
+    Q("q219_streaming_phash",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | gv AS (
+        |  SELECT aid, k,
+        |    CASE WHEN pert AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, k, pert,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM (
+        |      SELECT doc_id AS aid, doc_id AS src, FALSE AS pert FROM ids
+        |      UNION ALL
+        |      SELECT doc_id + 500000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 0
+        |      UNION ALL
+        |      SELECT doc_id + 600000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 5
+        |      UNION ALL
+        |      SELECT doc_id + 700000, doc_id, TRUE FROM ids WHERE doc_id % 10 = 7
+        |      UNION ALL
+        |      SELECT doc_id + 800000, doc_id + 900000, FALSE FROM ids WHERE doc_id % 10 = 3)
+        |    CROSS JOIN range(0, 64) t(k))),
+        | hsh AS (
+        |  SELECT aid,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, k, val, lead(val) OVER (PARTITION BY aid ORDER BY k) AS nxt
+        |        FROM gv)
+        |  WHERE k % 8 < 7 GROUP BY aid),
+        | seeded AS (SELECT aid, h FROM hsh WHERE aid < 500000),
+        | arr AS (SELECT aid, h FROM hsh WHERE aid >= 500000),
+        | ap AS (SELECT a.aid AS ia, b.aid AS ib FROM arr a JOIN arr b ON a.aid < b.aid
+        |        WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | asym AS (SELECT ia AS a, ib AS b FROM ap UNION ALL SELECT ib, ia FROM ap
+        |          UNION ALL SELECT ia, ia FROM ap UNION ALL SELECT ib, ib FROM ap),
+        | areach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM asym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN asym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | albl AS (SELECT s AS aid, MIN(t) AS cluster FROM areach GROUP BY s),
+        | reps AS (SELECT a.aid, a.h FROM arr a LEFT JOIN albl l USING (aid)
+        |          WHERE l.cluster IS NULL OR l.cluster = a.aid),
+        | dropped AS (SELECT DISTINCT r.aid FROM reps r JOIN seeded s
+        |             ON bit_count(xor(r.h, s.h)) <= 6)
+        |SELECT aid AS asset_id, h AS dhash FROM seeded
+        |UNION ALL
+        |SELECT aid, h FROM reps WHERE aid NOT IN (SELECT aid FROM dropped)
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q219")
+      val s2 = s.newSession()
+      val index = new PhashIndex(s, s"$wh/phi")
+      import graft.scale.{Multimodal => M}
+      locally {
+        import s.implicits._
+        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, M.dHash56(M.synthPixels(id, pert = false), 64, 64))))
+          .toDF("asset_id", "dhash")
+        index.seed(seedHashes)
+      }
+      val arrivals = {
+        import s2.implicits._
+        Streaming.docsStream(s2, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+            if (id % 10 == 0) {
+              val (rw, rh, half) = M.halfSize(M.synthPixels(id, pert = false), 64, 64)
+              out += ((id + 500000, M.gifEncodeGray(half, rw, rh), "gif"))
+            }
+            if (id % 10 == 5)
+              out += ((id + 600000,
+                M.jpegEncodeGray(M.synthPixels(id, pert = false), 64, 64,
+                  M.JpegFlatQuant8), "jpeg"))
+            if (id % 10 == 7)
+              out += ((id + 700000,
+                M.pngEncodeGray(M.synthPixels(id, pert = true), 64, 64), "png"))
+            if (id % 10 == 3)
+              out += ((id + 800000,
+                M.pngEncodeGray(M.synthPixels(id + 900000, pert = false), 64, 64), "png"))
+            out.iterator
+          })
+          .toDF("asset_id", "payload", "fmt")
+      }
+      PhashStream.phashDedupSink(arrivals, index, s"$wh/ckpt").awaitTermination()
+      index.accepted()
+        .select(col("asset_id").cast("long").as("asset_id"),
+          col("dhash").cast("long").as("dhash"))
+        .orderBy("asset_id")
+    },
   )
 }
