@@ -41,6 +41,18 @@ import org.apache.spark.sql.functions._
   *     O(batch) sink rewrite keeps the promote batch-sized → pass ≤ 4
   *     (the delta scan of the ×k old-edge relation is one pruned pass;
   *     the pre-r14 O(|E|)-rewrite sink would track the table and read ~8).
+  *
+  * r15 second-wave additions (the q216–q219 surfaces):
+  *   - phash_pipeline (q216 core): encode → decode → dHash → banded pair
+  *     join over a ×k image corpus of DISTINCT content → LINEAR.
+  *   - phash_stream_batch (q219 core): a FIXED image batch against the ×k
+  *     accepted-hash index — decode is batch-sized, the collision check
+  *     joins 16-byte hash rows → FLAT.
+  *   - nav_delete (q218 core): a FIXED takedown batch against the ×k
+  *     navigable index — an O(batch) tombstone append → FLAT.
+  *   - pagerank_delete (q217 core): a FIXED end-node takedown against a
+  *     ×k path-structured PageRank index with nBuckets scaled to hold
+  *     bucket size constant — the O(cone) repair → FLAT.
   */
 object ScaleBench {
 
@@ -81,7 +93,8 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.scale.{AnnIndex, Curation, Dedup, Graph, NnDescent, Pq}
+    import graft.scale.{AnnIndex, Curation, Dedup, Graph, Multimodal, NnDescent, Pq}
+    import spark.implicits._
 
     val baseDocs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
     val baseEmb = graft.core.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
@@ -132,10 +145,19 @@ object ScaleBench {
         Curation.extractText(seeded).queryExecution.toRdd.count()
       }
 
-      // NN-descent k-NN-graph build (the loop checkpoints eagerly, so the
-      // call IS the work); one rep — the multi-round build dominates
-      val tNnd = timeMin(1) {
-        NnDescent.buildKnnGraph(emb, k = 8, iters = 2).queryExecution.toRdd.count()
+      // NN-descent k-NN-graph build, through the persistent NavIndex (same
+      // descent work + two table stages; the loop checkpoints eagerly, so
+      // the call IS the work); one rep — the multi-round build dominates
+      val navRoot = s"${graft.core.Scratch.dir(s"graft-scale-nav$k")}/nav"
+      val nav = new NnDescent.NavIndex(spark, navRoot)
+      val tNnd = timeMin(1) { nav.build(emb) }
+
+      // q218 core: a FIXED takedown batch (copy-0 ids only, distinct per
+      // rep) against the ×k navigable index — an O(batch) tombstone append
+      var nv = 0
+      val tNavDel = timeMin(reps) {
+        nv += 1
+        nav.delete(baseEmb.filter(col("vec_id") % 89 === nv).select("vec_id"))
       }
 
       // delete lifecycle: FIXED delete batches (distinct ids per rep — a
@@ -182,15 +204,69 @@ object ScaleBench {
           tb.toLong)
       }
 
+      // q216 core: real encode → decode → dHash → banded pair join over a
+      // ×k image corpus (distinct content per id — constant near-dup
+      // density, the linear regime the banding bounds claim)
+      val tPhashPipe = timeMin(reps) {
+        val hashes = docs.select("doc_id").as[Long].mapPartitions(_.map { id =>
+          val bytes = Multimodal.pngEncodeGray(
+            Multimodal.synthPixels(id, pert = false), 64, 64)
+          (id, Multimodal.decodeDhash(id, bytes, "png"))
+        }).toDF("asset_id", "dhash")
+        Multimodal.phashPairs(hashes).queryExecution.toRdd.count()
+      }
+
+      // q219 core: a FIXED 200-image batch (fresh content per rep) against
+      // the ×k accepted-hash index — decode is batch-sized, the collision
+      // check joins narrow longs
+      val phiRoot = s"${graft.core.Scratch.dir(s"graft-scale-phi$k")}/phi"
+      val phi = new graft.streaming.PhashIndex(spark, phiRoot)
+      phi.seed(docs.select("doc_id").as[Long].mapPartitions(_.map(id =>
+          (id, Multimodal.dHash56(Multimodal.synthPixels(id, pert = false), 64, 64))))
+        .toDF("asset_id", "dhash"))
+      var pb = 0
+      val tPhiBatch = timeMin(reps) {
+        pb += 1
+        val imgs = (0 until 200).map { i =>
+          val aid = 60000000L + pb * 100000L + i
+          (aid, Multimodal.pngEncodeGray(
+            Multimodal.synthPixels(aid, pert = false), 64, 64), "png")
+        }.toDF("asset_id", "payload", "fmt")
+        phi.processBatch(imgs, pb.toLong)
+      }
+
+      // q217 core: a FIXED node takedown against a ×k path-structured
+      // PageRank index. nBuckets scales with the graph so a bucket stays
+      // constant-size (the documented at-scale contract); the dirty cone
+      // of an end-node delete is O(iters), so the repair must read flat.
+      // (The dense trade graph would be the wrong fixture here: its
+      // diameter-2 cone IS the graph — inherent to exact maintenance, not
+      // a pruning defect.)
+      val prN = 20000L * k
+      val prPath = spark.range(prN - 1)
+        .select(col("id").as("c"), (col("id") + 1).as("s"))
+      val prRoot = s"${graft.core.Scratch.dir(s"graft-scale-pr$k")}/pr"
+      val prIdx = new Graph.PageRankIndex(spark, prRoot, iters = 3,
+        nBuckets = 16 * k)
+      prIdx.build(Graph.undirected(prPath))
+      var dpr = 0
+      val tPrDel = timeMin(reps) {
+        dpr += 1
+        prIdx.delete(Seq(prN - dpr).toDF("node"))
+      }
+
       System.err.println(s"[scale] x$k docs=$nDocs vecs=$nVecs dedup=$tDedup lsh=$tLsh " +
         s"contain=$tContain append=$tAppend stream=$tStream extract=$tExtract " +
-        s"nnd=$tNnd del=$tDelete compact=$tCompact pqdel=$tPqDelete tri=$tTri")
+        s"nnd=$tNnd del=$tDelete compact=$tCompact pqdel=$tPqDelete tri=$tTri " +
+        s"phash=$tPhashPipe phibatch=$tPhiBatch navdel=$tNavDel prdel=$tPrDel")
       (k, nDocs, nVecs, Map(
         "exact_dedup" -> tDedup, "lsh_neardup" -> tLsh, "containment" -> tContain,
         "ann_append" -> tAppend, "streaming_neardup_batch" -> tStream,
         "extract_text" -> tExtract, "nndescent_build" -> tNnd,
         "ivf_delete" -> tDelete, "ivf_delete_compact" -> tCompact,
-        "ivfpq_delete" -> tPqDelete, "triangle_batch" -> tTri))
+        "ivfpq_delete" -> tPqDelete, "triangle_batch" -> tTri,
+        "phash_pipeline" -> tPhashPipe, "phash_stream_batch" -> tPhiBatch,
+        "nav_delete" -> tNavDel, "pagerank_delete" -> tPrDel))
     }
 
     val expectations = Map(
@@ -199,7 +275,9 @@ object ScaleBench {
       "ann_append" -> ("flat", 3.0), "streaming_neardup_batch" -> ("flat", 3.0),
       "extract_text" -> ("linear", 16.0), "nndescent_build" -> ("linear", 16.0),
       "ivf_delete" -> ("flat", 3.0), "ivf_delete_compact" -> ("linear", 16.0),
-      "ivfpq_delete" -> ("flat", 3.0), "triangle_batch" -> ("flat", 4.0))
+      "ivfpq_delete" -> ("flat", 3.0), "triangle_batch" -> ("flat", 4.0),
+      "phash_pipeline" -> ("linear", 16.0), "phash_stream_batch" -> ("flat", 3.0),
+      "nav_delete" -> ("flat", 3.0), "pagerank_delete" -> ("flat", 4.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

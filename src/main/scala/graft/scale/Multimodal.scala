@@ -1256,6 +1256,27 @@ object Multimodal {
       .select("doc_a", "doc_b")
   }
 
+  /** Rectified 64-slice amplitude envelope of a PCM clip, as bytes: slice
+    * i's value is (Σ|sample| div sliceLen) div 128 — an exact integer
+    * pool, the 1-D analogue of [[pool8x8]]. Length must divide into 64
+    * equal slices. Feeding the envelope to [[dHash56]] as an 8×8 grid
+    * yields a 56-bit audio near-dup key that is, by the same
+    * adjacent-order argument as the image hash, invariant to uniform
+    * gain change and to sample-rate decimation (both preserve slice-mean
+    * ORDER up to integer-truncation ties) — the q220 key.
+    */
+  def audioEnvelope64(samples: Array[Short]): Array[Byte] = {
+    require(samples.length > 0 && samples.length % 64 == 0,
+      s"audioEnvelope64 needs length % 64 == 0, got ${samples.length}")
+    val sliceLen = samples.length / 64
+    Array.tabulate(64) { i =>
+      var sum = 0L
+      var t = i * sliceLen
+      while (t < (i + 1) * sliceLen) { sum += math.abs(samples(t).toLong); t += 1 }
+      ((sum / sliceLen) / 128).toByte
+    }
+  }
+
   /** md5-mixed 8×8-block 64×64 grayscale fixture pixels for synthetic id
     * `src`; `pert` bumps every 5th block by +2 (mod 256) — the planted
     * "slightly different" twin of the q216/q219 fixtures. Deterministic,
@@ -1651,6 +1672,110 @@ object Multimodal {
       }.toDF("asset_id", "dhash").localCheckpoint()
       val pairs = phashPairs(hashes)
       val labels = graft.scale.Cluster.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // Audio-CONTENT near-dup: the q216 perceptual-hash scheme in 1-D. Each
+    // doc becomes a real 16-bit WAV (1024 samples of md5 block+jitter
+    // structure); planted twins re-enter HALF-GAIN (sample div 2,
+    // doc_id % 10 = 0), DECIMATED 2:1 (every other sample — half the rate,
+    // % 10 = 5), and DITHERED (+1 every 7th sample, % 10 = 7). All decode
+    // through the real WAV PCM parser; gain, rate, and dither vanish at
+    // the 64-slice rectified envelope (slice-mean ORDER is invariant up to
+    // truncation ties), so every twin clusters to its base through the
+    // SAME dHash/banding/components machinery as images. The oracle
+    // regenerates the samples from the md5 arithmetic, replays envelope →
+    // hash → brute-force Hamming → recursive closure — any PCM, envelope,
+    // hash-bit, or clustering error hash-fails. (Measured planted
+    // distances: quiet ≤ 1 bit, decimated and dithered exact.)
+    Q("q220_audio_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | assets AS (
+        |  SELECT doc_id AS aid, doc_id AS src, 'base' AS kind FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id, 'quiet' FROM ids WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 600000, doc_id, 'deci' FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id, 'dither' FROM ids WHERE doc_id % 10 = 7),
+        | samp AS (
+        |  SELECT aid,
+        |    CASE WHEN kind = 'deci' THEN t // 8 ELSE t // 16 END AS slice,
+        |    CASE WHEN kind = 'deci' THEN 8 ELSE 16 END AS sl,
+        |    CASE WHEN kind = 'quiet' THEN sb // 2
+        |         WHEN kind = 'dither' THEN sb + CASE WHEN t % 7 = 0 THEN 1 ELSE 0 END
+        |         ELSE sb END AS s
+        |  FROM (
+        |    SELECT aid, kind, t,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_b' ||
+        |         CAST((CASE WHEN kind = 'deci' THEN 2 * t ELSE t END) // 16 AS VARCHAR)), 1, 2))::BIGINT * 100
+        |      + ('0x' || substr(md5(CAST(src AS VARCHAR) || '_j' ||
+        |         CAST(CASE WHEN kind = 'deci' THEN 2 * t ELSE t END AS VARCHAR)), 1, 2))::BIGINT % 50 AS sb
+        |    FROM assets CROSS JOIN range(0, 1024) r(t)
+        |    WHERE kind <> 'deci' OR t < 512)),
+        | env AS (
+        |  SELECT aid, slice, (SUM(s) // MAX(sl)) // 128 AS val
+        |  FROM samp GROUP BY aid, slice),
+        | hsh AS (
+        |  SELECT aid,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((slice // 8) * 7 + (slice % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, slice, val, lead(val) OVER (PARTITION BY aid ORDER BY slice) AS nxt
+        |        FROM env)
+        |  WHERE slice % 8 < 7 GROUP BY aid),
+        | pairs AS (
+        |  SELECT a.aid AS ia, b.aid AS ib
+        |  FROM hsh a JOIN hsh b ON a.aid < b.aid
+        |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | sym AS (SELECT ia AS a, ib AS b FROM pairs
+        |         UNION ALL SELECT ib, ia FROM pairs
+        |         UNION ALL SELECT ia, ia FROM pairs
+        |         UNION ALL SELECT ib, ib FROM pairs),
+        | reach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN sym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | lbl AS (SELECT s AS aid, MIN(t) AS cluster FROM reach GROUP BY s)
+        |SELECT h.aid AS asset_id, COALESCE(l.cluster, h.aid) AS cluster
+        |FROM hsh h LEFT JOIN lbl l USING (aid)
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def b1(tag: String): Int = {
+            md.reset()
+            md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+          }
+          def sb(src: Long, t: Int): Int =
+            b1(s"${src}_b${t / 16}") * 100 + b1(s"${src}_j$t") % 50
+          ids.flatMap { id =>
+            val base = Array.tabulate(1024)(t => sb(id, t).toShort)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+            out += ((id, wavBytesPcm(8000, base)))
+            if (id % 10 == 0)
+              out += ((id + 500000,
+                wavBytesPcm(8000, base.map(v => (v / 2).toShort))))
+            if (id % 10 == 5)
+              out += ((id + 600000,
+                wavBytesPcm(4000, Array.tabulate(512)(t => base(2 * t)))))
+            if (id % 10 == 7)
+              out += ((id + 700000, wavBytesPcm(8000, Array.tabulate(1024)(t =>
+                (base(t) + (if (t % 7 == 0) 1 else 0)).toShort))))
+            out.iterator
+          }
+        }
+      val hashes = assets.mapPartitions(_.map { case (aid, bytes) =>
+        val samples = wavPcmSamples(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable wav asset $aid"))
+        (aid, dHash56(audioEnvelope64(samples), 8, 8))
+      }).toDF("asset_id", "dhash").localCheckpoint()
+      val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
         .withColumnRenamed("doc_id", "asset_id")
       hashes.select("asset_id")
         .join(labels, Seq("asset_id"), "left")

@@ -317,6 +317,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegDecodeGray(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
   }
 
+  test("audio envelope: slice exactness; gain/decimation/dither invariance through the WAV roundtrip") {
+    // block-structured samples: slice i constant at (i*37+100)*64 — envelope
+    // value is the closed form ((v div L) div 128) with zero jitter
+    val L = 16
+    val base = Array.tabulate(64 * L)(t => (((t / L) * 37 + 100) * 8).toShort)
+    val env = Multimodal.audioEnvelope64(base)
+    for (i <- 0 until 64)
+      assert((env(i) & 0xff) === ((i * 37 + 100) * 8) / 128)
+    val want = Multimodal.dHash56(env, 8, 8)
+    // exact half gain: slice-mean order preserved → same hash
+    assert(Multimodal.dHash56(
+      Multimodal.audioEnvelope64(base.map(v => (v / 2).toShort)), 8, 8) === want)
+    // 2:1 decimation: block structure survives every-other-sample → same hash
+    assert(Multimodal.dHash56(
+      Multimodal.audioEnvelope64(Array.tabulate(32 * L)(t => base(2 * t))), 8, 8) === want)
+    // +1 dither on every 7th sample: sub-truncation perturbation → same hash
+    assert(Multimodal.dHash56(
+      Multimodal.audioEnvelope64(Array.tabulate(64 * L)(t =>
+        (base(t) + (if (t % 7 == 0) 1 else 0)).toShort)), 8, 8) === want)
+    // the WAV container roundtrip is sample-exact, so hashes survive it
+    val Some(rt) = Multimodal.wavPcmSamples(Multimodal.wavBytesPcm(8000, base))
+    assert(rt.toSeq === base.toSeq)
+    // rectification: a sign-flipped clip has the identical envelope
+    assert(Multimodal.audioEnvelope64(base.map(v => (-v).toShort)).toSeq === env.toSeq)
+  }
+
   test("perceptual hashes: pool exactness, resolution/container invariance, known bits") {
     // 16x16 image, 2x2-pixel cells: pool == the 8x8 value grid exactly
     val g = Array.tabulate(64)(i => (i * 3 + 7) % 256)
