@@ -671,6 +671,137 @@ object Multimodal {
     * entry actually referenced — never a partial buffer. Returns
     * (frame w, frame h, gray bytes).
     */
+  /** Animated grayscale GIF89a: every frame a FULL-size image descriptor at
+    * origin (disposal "do not dispose", `delayCs` centiseconds via a
+    * Graphics Control Extension per frame, one NETSCAPE2.0 infinite-loop
+    * block) — the subset [[gifDecodeGrayFrames]] round-trips exactly.
+    * Real multi-frame video through a real container: the q221 fixture
+    * path, same codec standard as the still-image encoders.
+    */
+  def gifEncodeGrayAnimated(frames: Seq[Array[Byte]], w: Int, h: Int,
+                            delayCs: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach(f => require(f.length == w * h,
+      s"frame buffer ${f.length} != $w x $h"))
+    require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, s"bad dims $w x $h")
+    val out = new java.io.ByteArrayOutputStream(frames.size * w * h / 2 + 1024)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xf7); out.write(0); out.write(0)
+    var g = 0
+    while (g < 256) { out.write(g); out.write(g); out.write(g); g += 1 }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(le16(0)); out.write(0)
+    frames.foreach { px =>
+      // GCE: disposal 1 (leave in place), no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04); out.write(le16(delayCs)); out.write(0); out.write(0)
+      out.write(0x2c)
+      out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+      out.write(0x00)
+      out.write(8)
+      val lzw = gifLzwEncode(px, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0x00)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode every frame of a (possibly animated) grayscale GIF. Strict
+    * full-frame contract, fail-closed like the rest of the codec family:
+    * every image descriptor must be screen-sized at origin (partial-frame
+    * disposal compositing is out of scope — a frame this decoder returns
+    * IS the displayed frame), palettes must be gray, the stream must end
+    * at a trailer. Returns (w, h, frames).
+    */
+  def gifDecodeGrayFrames(b: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+    if (!(ascii(0, "GIF87a") || ascii(0, "GIF89a")) || b.length < 14) return None
+    def u16le(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    val sw = u16le(6); val sh = u16le(8)
+    if (sw <= 0 || sh <= 0) return None
+    var i = 10
+    val lsdFlags = b(i) & 0xff
+    i += 3
+    var palette: Array[Byte] = null
+    if ((lsdFlags & 0x80) != 0) {
+      val n = 2 << (lsdFlags & 7)
+      if (i + 3 * n > b.length) return None
+      palette = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+      i += 3 * n
+    }
+    val frames = Vector.newBuilder[Array[Byte]]
+    var nFrames = 0
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 =>
+          i += 2
+          var sz = if (i < b.length) b(i) & 0xff else return None
+          while (sz != 0) {
+            i += 1 + sz
+            sz = if (i < b.length) b(i) & 0xff else return None
+          }
+          i += 1
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val fx = u16le(i + 1); val fy = u16le(i + 3)
+          val fw = u16le(i + 5); val fh = u16le(i + 7)
+          val iflags = b(i + 9) & 0xff
+          i += 10
+          if ((iflags & 0x40) != 0) return None
+          if (fx != 0 || fy != 0 || fw != sw || fh != sh) return None
+          var pal = palette
+          if ((iflags & 0x80) != 0) {
+            val n = 2 << (iflags & 7)
+            if (i + 3 * n > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+            i += 3 * n
+          }
+          if (pal == null || i >= b.length) return None
+          val minCode = b(i) & 0xff; i += 1
+          if (minCode < 2 || minCode > 8) return None
+          val lzw = new java.io.ByteArrayOutputStream()
+          var sz = if (i < b.length) b(i) & 0xff else return None
+          while (sz != 0) {
+            if (i + 1 + sz > b.length) return None
+            lzw.write(b, i + 1, sz)
+            i += 1 + sz
+            sz = if (i < b.length) b(i) & 0xff else return None
+          }
+          i += 1
+          val idx = gifLzwDecode(lzw.toByteArray, minCode, fw * fh) match {
+            case Some(a) => a
+            case None => return None
+          }
+          val out = new Array[Byte](fw * fh)
+          val nPal = pal.length / 3
+          var k = 0
+          while (k < idx.length) {
+            val ci = idx(k) & 0xff
+            if (ci >= nPal) return None
+            val r = pal(3 * ci)
+            if (r != pal(3 * ci + 1) || r != pal(3 * ci + 2)) return None
+            out(k) = r
+            k += 1
+          }
+          frames += out
+          nFrames += 1
+        case 0x3b =>
+          return if (nFrames > 0) Some((sw, sh, frames.result())) else None
+        case _ => return None
+      }
+    }
+    None
+  }
+
   def gifDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     def ascii(i: Int, s: String): Boolean =
       i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
@@ -1296,6 +1427,24 @@ object Multimodal {
     }
   }
 
+  /** Per-frame sibling of [[synthPixels]]: the `frame`-th 64×64 image of a
+    * synthetic VIDEO `src` — block values keyed `${src}_f${frame}_${k}` so
+    * every frame is distinct and the q221 oracle can regenerate them with
+    * the same md5 arithmetic.
+    */
+  def synthFramePixels(src: Long, frame: Int, pert: Boolean): Array[Byte] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    def v(k: Int): Int = {
+      mdt.reset()
+      mdt.digest(s"${src}_f${frame}_$k".getBytes("UTF-8"))(0).toInt & 0xff
+    }
+    Array.tabulate(64 * 64) { p =>
+      val k = ((p / 64) / 8) * 8 + (p % 64) / 8
+      val raw = v(k)
+      (if (pert && k % 5 == 0) (raw + 2) % 256 else raw).toByte
+    }
+  }
+
   /** Decode a png/gif/jpeg payload through its REAL codec and dHash it —
     * the shared batch/stream hashing kernel. Fail-closed on undecodable
     * input (a corrupt crawl byte-stream must never hash to something).
@@ -1778,6 +1927,106 @@ object Multimodal {
       val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
         .withColumnRenamed("doc_id", "asset_id")
       hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // VIDEO-content near-dup — the multimodal family's third axis, on real
+    // multi-frame containers: each doc becomes a 4-frame animated GIF89a
+    // (every frame a distinct 64×64 md5-block image), decoded frame-by-frame
+    // through the REAL animated codec, each frame dHash'd, and two videos
+    // match when >= 2 frame pairs land within Hamming 6 (the keyframe-
+    // majority rule). Planted twins re-enter HALF-RESOLUTION (32×32, all 4
+    // frames, doc_id % 10 = 0), FRAME-DROPPED (keyframes 0 and 2 only,
+    // % 10 = 5 — the rule that resolution-style single-hash schemes cannot
+    // express), and DITHERED (+2 on every 5th block of every frame,
+    // % 10 = 7). The oracle regenerates every frame's block values from the
+    // md5 arithmetic, replays hash → brute-force frame-pair Hamming (== the
+    // banded set by pigeonhole) → >= 2-frame vote → recursive closure: any
+    // LZW, frame-walk, hash, vote, or clustering error hash-fails.
+    Q("q221_video_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | vids AS (
+        |  SELECT doc_id AS aid, doc_id AS src, 'base' AS kind FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id, 'half' FROM ids WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 600000, doc_id, 'drop' FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id, 'pert' FROM ids WHERE doc_id % 10 = 7),
+        | vframes AS (
+        |  SELECT aid, src, kind, f FROM vids CROSS JOIN range(0, 4) t(f)
+        |  WHERE kind <> 'drop' OR f % 2 = 0),
+        | gv AS (
+        |  SELECT aid, f, k,
+        |    CASE WHEN kind = 'pert' AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, kind, f, k,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_f' || CAST(f AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM vframes CROSS JOIN range(0, 64) r(k))),
+        | hsh AS (
+        |  SELECT aid, f,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, f, k, val, lead(val) OVER (PARTITION BY aid, f ORDER BY k) AS nxt
+        |        FROM gv)
+        |  WHERE k % 8 < 7 GROUP BY aid, f),
+        | fpairs AS (
+        |  SELECT a.aid AS ia, b.aid AS ib
+        |  FROM hsh a JOIN hsh b ON a.aid < b.aid
+        |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | vpairs AS (SELECT ia, ib FROM fpairs GROUP BY ia, ib HAVING COUNT(*) >= 2),
+        | sym AS (SELECT ia AS a, ib AS b FROM vpairs
+        |         UNION ALL SELECT ib, ia FROM vpairs
+        |         UNION ALL SELECT ia, ia FROM vpairs
+        |         UNION ALL SELECT ib, ib FROM vpairs),
+        | reach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN sym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | lbl AS (SELECT s AS aid, MIN(t) AS cluster FROM reach GROUP BY s)
+        |SELECT v.aid AS asset_id, COALESCE(l.cluster, v.aid) AS cluster
+        |FROM vids v LEFT JOIN lbl l ON l.aid = v.aid
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val frames = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+            out += ((id, gifEncodeGrayAnimated(frames.toSeq, 64, 64)))
+            if (id % 10 == 0)
+              out += ((id + 500000, gifEncodeGrayAnimated(
+                frames.map(fr => halfSize(fr, 64, 64)._3).toSeq, 32, 32)))
+            if (id % 10 == 5)
+              out += ((id + 600000,
+                gifEncodeGrayAnimated(Seq(frames(0), frames(2)), 64, 64)))
+            if (id % 10 == 7)
+              out += ((id + 700000, gifEncodeGrayAnimated(
+                Array.tabulate(4)(f => synthFramePixels(id, f, pert = true)).toSeq, 64, 64)))
+            out.iterator
+          }
+        }
+      // frame-hash relation keyed by a (video, frame) composite so the
+      // banded pair machinery applies unchanged; 4 frames/video => *4.
+      val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (w, h, frames) = gifDecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable animated gif $vid"))
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          (vid * 4 + f, dHash56(px, w, h))
+        }
+      }).toDF("asset_id", "dhash").localCheckpoint()
+      val framePairs = phashPairs(frameHashes)
+        .select(expr("doc_a div 4").as("va"), expr("doc_b div 4").as("vb"))
+        .filter(col("va") =!= col("vb"))
+      val videoEdges = framePairs.groupBy("va", "vb").count()
+        .filter(col("count") >= 2)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val labels = graft.scale.Cluster.connectedComponents(videoEdges)
+        .withColumnRenamed("doc_id", "asset_id")
+      frameHashes.select(expr("asset_id div 4").as("asset_id")).distinct()
         .join(labels, Seq("asset_id"), "left")
         .select(col("asset_id"),
           coalesce(col("cluster"), col("asset_id")).as("cluster"))

@@ -425,4 +425,79 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(io - us) <= 1, s"pixel ($x,$y): ImageIO $io vs ours $us")
     }
   }
+
+  test("animated GIF: all frames round-trip exactly, incl. dict-reset-sized frames") {
+    val rnd = new scala.util.Random(11)
+    for ((w, h, n) <- Seq((8, 6, 1), (33, 17, 3), (96, 96, 4))) {
+      val frames = Seq.fill(n)(Array.fill(w * h)(rnd.nextInt(256).toByte))
+      val gif = Multimodal.gifEncodeGrayAnimated(frames, w, h)
+      val Some((dw, dh, out)) = Multimodal.gifDecodeGrayFrames(gif)
+      assert((dw, dh) === ((w, h)) && out.size === n)
+      for (f <- 0 until n)
+        assert(out(f).toSeq === frames(f).toSeq, s"frame $f of $w x $h x $n")
+    }
+  }
+
+  test("animated GIF encoder emits REAL spec GIF89a: ImageIO reads every frame pixel-for-pixel") {
+    // independent-decoder law for the ANIMATED subset: a private frame
+    // walk would round-trip through our own decoder and still fail here
+    val rnd = new scala.util.Random(13)
+    val w = 24; val h = 16; val n = 3
+    val frames = Seq.fill(n)(Array.fill(w * h)(rnd.nextInt(256).toByte))
+    val gif = Multimodal.gifEncodeGrayAnimated(frames, w, h, delayCs = 5)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) === n, "ImageIO frame count")
+    for (f <- 0 until n) {
+      val img = reader.read(f)
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = frames(f)(y * w + x) & 0xff
+        assert((img.getRGB(x, y) & 0xff) === expected,
+          s"frame $f pixel ($x,$y)")
+      }
+    }
+    reader.dispose(); iis.close()
+  }
+
+  test("animated GIF decode fails closed: truncation, partial-frame descriptor, empty, garbage") {
+    val frames = Seq(Array.tabulate(24)(_.toByte), Array.tabulate(24)(k => (k * 3).toByte))
+    val gif = Multimodal.gifEncodeGrayAnimated(frames, 6, 4)
+    assert(Multimodal.gifDecodeGrayFrames(gif.dropRight(6)) === None)
+    assert(Multimodal.gifDecodeGrayFrames("GIF89a".getBytes("US-ASCII")) === None)
+    assert(Multimodal.gifDecodeGrayFrames("not a gif".getBytes("US-ASCII")) === None)
+    // zero-frame stream: header + GCT + immediate trailer is a syntactic
+    // GIF but carries no image — the frames contract refuses it
+    val empty = new java.io.ByteArrayOutputStream()
+    empty.write(java.util.Arrays.copyOfRange(gif, 0, 13 + 768))
+    empty.write(0x3b)
+    assert(Multimodal.gifDecodeGrayFrames(empty.toByteArray) === None)
+    // shrink frame 0's descriptor to a partial-screen frame: compositing
+    // disposal is out of scope, so the strict decoder must refuse
+    val partial = gif.clone()
+    val idOff = 13 + 768 + 19 + 8 // header+GCT, NETSCAPE ext, GCE -> descriptor
+    assert((partial(idOff) & 0xff) === 0x2c, "descriptor offset")
+    partial(idOff + 5) = 5; partial(idOff + 6) = 0 // fw: 6 -> 5
+    assert(Multimodal.gifDecodeGrayFrames(partial) === None)
+    // the single-frame animated stream stays readable by the STILL decoder
+    val one = Multimodal.gifEncodeGrayAnimated(frames.take(1), 6, 4)
+    val Some((w1, h1, d1)) = Multimodal.gifDecodeGray(one)
+    assert((w1, h1) === ((6, 4)) && d1.toSeq === frames.head.toSeq)
+  }
+
+  test("q221 key law: half-size and dithered frames stay within the vote; dropped keyframes match exactly") {
+    for (src <- Seq(5L, 17L, 40L); f <- 0 until 4) {
+      val base = Multimodal.synthFramePixels(src, f, pert = false)
+      val hb = Multimodal.dHash56(base, 64, 64)
+      val (rw, rh, half) = Multimodal.halfSize(base, 64, 64)
+      assert(Multimodal.dHash56(half, rw, rh) === hb,
+        s"half-size frame $f of $src must pool to the SAME hash")
+      val pert = Multimodal.dHash56(
+        Multimodal.synthFramePixels(src, f, pert = true), 64, 64)
+      assert(java.lang.Long.bitCount(hb ^ pert) <= 6,
+        s"dithered frame $f of $src drifted past the Hamming budget")
+    }
+  }
 }
