@@ -44,6 +44,59 @@ final class PhashIndex(spark: SparkSession, root: String,
                        maxChainDepth: Int = 16) {
 
   val hashes = new VersionedTable(spark, s"$root/hashes")
+  val tombstones = new VersionedTable(spark, s"$root/tombstones")
+
+  /** Takedown-delete accepted image ids, the [[NearDupIndex]] LSM protocol
+    * (q213/q222): an O(batch) tombstone append — the hash table is not
+    * touched or versioned. Erased images leave BOTH serving surfaces at
+    * once: [[served]] (the dedup output) and the index side of every
+    * future batch's cross-batch banding — so an image resembling an erased
+    * one is ADMITTED afterwards, exactly as if the erased image had never
+    * been accepted. Unknown ids are legal no-ops; re-deletes are
+    * idempotent. [[compactPurge]] physically drops the rows and truncates
+    * the set; growth is append, so a tombstoned id is rejected at ingest
+    * while its tombstone lives, and a post-purge re-crawl re-admits it
+    * with a fresh history.
+    */
+  def delete(deletedIds: DataFrame, idCol: String = "asset_id"): Unit = {
+    val ids = deletedIds.select(col(idCol).cast("long").as("asset_id")).distinct()
+    if (tombstones.exists) {
+      val fresh = ids.join(tombstones.read(), Seq("asset_id"), "left_anti")
+        .localCheckpoint()
+      if (!fresh.isEmpty) {
+        tombstones.promote(tombstones.stageAppend(fresh))
+        tombstones.compactIfNeeded(maxChainDepth)
+      }
+    } else tombstones.promote(tombstones.stage(ids))
+  }
+
+  private def minusTombstones(df: DataFrame): DataFrame =
+    if (tombstones.exists) df.join(tombstones.read(), Seq("asset_id"), "left_anti")
+    else df
+
+  /** The accepted hash relation minus erased images — what downstream
+    * dedup reads AND what arriving batches band against. The tombstone
+    * side is delete-batch-sized (AQE broadcasts the anti-join).
+    */
+  def served(): DataFrame = minusTombstones(hashes.read())
+
+  /** Physically purge tombstoned rows, then truncate the tombstone set.
+    * Two promotes; a crash between them leaves stale tombstones over
+    * already-purged rows — the anti-join matches nothing and the next
+    * purge clears them (convergent, the AnnIndex argument). The purge
+    * promote carries the current batch stamp so replay protection
+    * survives.
+    */
+  def compactPurge(): Unit = {
+    val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
+               else None
+    if (dead.exists(!_.isEmpty)) {
+      hashes.promote(hashes.stage(
+        hashes.read().join(dead.get, Seq("asset_id"), "left_anti")),
+        hashes.currentTag)
+      tombstones.promote(tombstones.stage(dead.get.limit(0)))
+    } else { hashes.compact(); () }
+  }
 
   /** Bulk-accept an already-curated image set's hashes (asset_id, dhash):
     * the bootstrap never re-litigates its own history, exactly like
@@ -77,21 +130,27 @@ final class PhashIndex(spark: SparkSession, root: String,
       .filter(col("cluster").isNull || col("cluster") === col("asset_id"))
       .select("asset_id", "dhash")
     val kept =
-      (if (!hashes.exists) reps
+      (if (!hashes.exists) minusTombstones(reps)
        else {
          // an id already accepted is an id-level re-crawl, not a new image:
-         // skip it outright (growth is append-only per id, like PostingsIndex)
-         val fresh = reps.join(accepted().select("asset_id"),
-           Seq("asset_id"), "left_anti")
+         // skip it outright (growth is append-only per id, like
+         // PostingsIndex — raw table, so a tombstoned id cannot
+         // resurrect-by-append while its tombstone lives); the CONTENT
+         // check bands against [[served]], so erased images stop
+         // suppressing near twins immediately
+         val fresh = minusTombstones(reps.join(accepted().select("asset_id"),
+           Seq("asset_id"), "left_anti"))
          fresh.join(
-           Multimodal.phashCollisions(fresh, accepted(), "asset_id", "dhash",
+           Multimodal.phashCollisions(fresh, served(), "asset_id", "dhash",
              bands, bandBits, maxHamming),
            Seq("asset_id"), "left_anti")
        })
         .localCheckpoint()
     if (hashes.exists) hashes.promote(hashes.stageAppend(kept), Some(tag))
     else hashes.promote(hashes.stage(kept), Some(tag))
-    hashes.compactIfNeeded(maxChainDepth)
+    // bound the append chain; a rewrite that's being paid anyway also
+    // clears pending tombstones (the NearDupIndex policy)
+    if (hashes.chainDepth > maxChainDepth) compactPurge()
     ()
   }
 }

@@ -912,5 +912,98 @@ object StreamingQueries {
           col("dhash").cast("long").as("dhash"))
         .orderBy("asset_id")
     },
+
+    // Takedown deletes reach the perceptual-hash image index — the last
+    // index family without the LSM protocol. Erase the doc_id % 10 = 0
+    // class from a seeded PhashIndex, then crawl exact re-crawls of the
+    // ERASED images (+500000, real PNG payloads) plus perturbed re-crawls
+    // of the live % 10 = 7 class (+700000). The erased images must (a)
+    // leave the served hash relation and (b) stop suppressing — every
+    // re-crawl of an erased image is ADMITTED unless it chance-lands
+    // within Hamming 6 of a still-live hash (the oracle cross-checks
+    // against the live set), while the perturbed twins of live images
+    // drop as before. Both phases of the lifecycle serve identically
+    // (anti-join, then physical purge + tombstone truncation).
+    Q("q222_phash_delete",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | gv AS (
+        |  SELECT aid, k,
+        |    CASE WHEN pert AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, k, pert,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM (
+        |      SELECT doc_id AS aid, doc_id AS src, FALSE AS pert FROM ids
+        |      UNION ALL SELECT doc_id + 500000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 0
+        |      UNION ALL SELECT doc_id + 700000, doc_id, TRUE FROM ids WHERE doc_id % 10 = 7)
+        |    CROSS JOIN range(0, 64) t(k))),
+        | hsh AS (
+        |  SELECT aid,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, k, val, lead(val) OVER (PARTITION BY aid ORDER BY k) AS nxt
+        |        FROM gv)
+        |  WHERE k % 8 < 7 GROUP BY aid),
+        | live AS (SELECT aid, h FROM hsh WHERE aid < 500000 AND aid % 10 <> 0),
+        | arr AS (SELECT aid, h FROM hsh WHERE aid >= 500000),
+        | ap AS (SELECT a.aid AS ia, b.aid AS ib FROM arr a JOIN arr b ON a.aid < b.aid
+        |        WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | asym AS (SELECT ia AS a, ib AS b FROM ap UNION ALL SELECT ib, ia FROM ap
+        |          UNION ALL SELECT ia, ia FROM ap UNION ALL SELECT ib, ib FROM ap),
+        | areach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM asym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN asym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | albl AS (SELECT s AS aid, MIN(t) AS cluster FROM areach GROUP BY s),
+        | reps AS (SELECT a.aid, a.h FROM arr a LEFT JOIN albl l USING (aid)
+        |          WHERE l.cluster IS NULL OR l.cluster = a.aid),
+        | dropped AS (SELECT DISTINCT r.aid FROM reps r JOIN live s
+        |             ON bit_count(xor(r.h, s.h)) <= 6)
+        |SELECT phase, asset_id, dhash FROM (
+        |  SELECT aid AS asset_id, h AS dhash FROM live
+        |  UNION ALL
+        |  SELECT aid, h FROM reps WHERE aid NOT IN (SELECT aid FROM dropped))
+        |CROSS JOIN (SELECT unnest(['served', 'compacted']) AS phase)
+        |ORDER BY phase, asset_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q222")
+      val index = new PhashIndex(s, s"$wh/phi")
+      import graft.scale.{Multimodal => M}
+      locally {
+        import s.implicits._
+        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, M.dHash56(M.synthPixels(id, pert = false), 64, 64))))
+          .toDF("asset_id", "dhash")
+        index.seed(seedHashes)
+      }
+      index.delete(Tables.documents(s, d).select(col("doc_id").as("asset_id"))
+        .filter(col("asset_id") % 10 === 0))
+      val batch = {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+            if (id % 10 == 0)
+              out += ((id + 500000,
+                M.pngEncodeGray(M.synthPixels(id, pert = false), 64, 64), "png"))
+            if (id % 10 == 7)
+              out += ((id + 700000,
+                M.pngEncodeGray(M.synthPixels(id, pert = true), 64, 64), "png"))
+            out.iterator
+          })
+          .toDF("asset_id", "payload", "fmt")
+      }
+      index.processBatch(batch, 0L)
+      val served = index.served()
+        .withColumn("phase", lit("served")).localCheckpoint()
+      index.compactPurge()
+      served.unionByName(index.served().withColumn("phase", lit("compacted")))
+        .select(col("phase"), col("asset_id").cast("long").as("asset_id"),
+          col("dhash").cast("long").as("dhash"))
+        .orderBy("phase", "asset_id")
+    },
   )
 }

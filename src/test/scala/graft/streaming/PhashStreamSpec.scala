@@ -88,4 +88,51 @@ class PhashStreamSpec extends SparkSpec {
       s"chain depth ${idx.hashes.chainDepth} exceeded the compaction bound")
     assert(acceptedIds(idx).size === 10)
   }
+
+  private def servedIds(idx: PhashIndex): Set[Long] =
+    idx.served().select("asset_id").as[Long].collect().toSet
+
+  test("delete: erased image leaves served() and stops suppressing; purge serves identically") {
+    val idx = new PhashIndex(spark, root("delete"))
+    idx.processBatch(batch((10L, png(1), "png"), (20L, png(2), "png")), 0L)
+    idx.delete(Seq(10L).toDF("asset_id"))
+    assert(servedIds(idx) === Set(20L), "erased id must leave the served relation")
+    // a re-crawl of the ERASED content is admitted — as if 10 never existed;
+    // a twin of the still-live 20 drops as before
+    idx.processBatch(batch(
+      (30L, gifHalf(1), "gif"), (40L, png(2, pert = true), "png")), 1L)
+    assert(servedIds(idx) === Set(20L, 30L))
+    val before = idx.served().orderBy("asset_id").collect().map(_.toSeq).toSeq
+    idx.compactPurge()
+    assert(idx.served().orderBy("asset_id").collect().map(_.toSeq).toSeq === before,
+      "physical purge must not change what is served")
+    assert(idx.tombstones.read().isEmpty, "purge truncates the tombstone set")
+  }
+
+  test("delete is idempotent and O(batch): re-deletes and unknown ids append nothing") {
+    val idx = new PhashIndex(spark, root("deleteidem"))
+    idx.processBatch(batch((10L, png(1), "png"), (20L, png(2), "png")), 0L)
+    idx.delete(Seq(10L).toDF("asset_id"))
+    val v = idx.tombstones.currentVersion
+    idx.delete(Seq(10L).toDF("asset_id")) // re-delete: no new version
+    assert(idx.tombstones.currentVersion === v, "re-delete must be a no-op")
+    idx.delete(Seq(999L).toDF("asset_id")) // unknown id: legal, tombstoned
+    assert(servedIds(idx) === Set(20L))
+    // the raw hash table was never rewritten by any delete
+    assert(acceptedIds(idx) === Set(10L, 20L))
+  }
+
+  test("tombstoned id is rejected at ingest; after purge a re-crawl re-admits it fresh") {
+    val idx = new PhashIndex(spark, root("deletereadmit"))
+    idx.processBatch(batch((10L, png(1), "png")), 0L)
+    idx.delete(Seq(10L).toDF("asset_id"))
+    // same id arrives again while the tombstone lives: rejected (no
+    // resurrection-by-append duplicates)
+    idx.processBatch(batch((10L, png(1), "png")), 1L)
+    assert(servedIds(idx) === Set.empty[Long])
+    idx.compactPurge()
+    // post-purge: the id's history is gone; a re-crawl re-admits it
+    idx.processBatch(batch((10L, png(1), "png")), 2L)
+    assert(servedIds(idx) === Set(10L))
+  }
 }
