@@ -53,6 +53,15 @@ import org.apache.spark.sql.functions._
   *   - pagerank_delete (q217 core): a FIXED end-node takedown against a
   *     ×k path-structured PageRank index with nBuckets scaled to hold
   *     bucket size constant — the O(cone) repair → FLAT.
+  *
+  * r15 third-wave additions (the q220–q222 surfaces):
+  *   - video_pipeline (q221 core): 4-frame animated-GIF encode → frame
+  *     decode → per-frame dHash → banded frame-pair join → ≥2-frame vote,
+  *     over ×k DISTINCT videos → LINEAR.
+  *   - audio_pipeline (q220 core): WAV encode → PCM decode → envelope →
+  *     dHash → banded pairs over ×k distinct clips → LINEAR.
+  *   - phash_delete (q222 core): a FIXED takedown batch against the ×k
+  *     perceptual-hash index — an O(batch) tombstone append → FLAT.
   */
 object ScaleBench {
 
@@ -235,6 +244,55 @@ object ScaleBench {
         phi.processBatch(imgs, pb.toLong)
       }
 
+      // q222 core: a FIXED takedown batch (copy-0 ids, distinct per rep —
+      // a re-delete no-ops by design) against the ×k phash index
+      var pd = 0
+      val tPhiDel = timeMin(reps) {
+        pd += 1
+        phi.delete(baseDocs.select(col("doc_id").as("asset_id"))
+          .filter(col("asset_id") % 89 === pd))
+      }
+
+      // q221 core: animated encode → frame decode → per-frame dHash →
+      // banded frame-pair join → ≥2-frame vote, ×k distinct videos
+      val tVideoPipe = timeMin(reps) {
+        val fh = docs.select("doc_id").as[Long].mapPartitions(_.flatMap { id =>
+          val frames = Array.tabulate(4)(f =>
+            Multimodal.synthFramePixels(id, f, pert = false))
+          val gif = Multimodal.gifEncodeGrayAnimated(frames.toSeq, 64, 64)
+          val (w, h, dec) = Multimodal.gifDecodeGrayFrames(gif).getOrElse(
+            throw new IllegalStateException(s"undecodable video $id"))
+          dec.iterator.zipWithIndex.map { case (px, f) =>
+            (id * 4 + f, Multimodal.dHash56(px, w, h))
+          }
+        }).toDF("asset_id", "dhash")
+        Multimodal.phashPairs(fh)
+          .select(expr("doc_a div 4").as("va"), expr("doc_b div 4").as("vb"))
+          .filter(col("va") =!= col("vb"))
+          .groupBy("va", "vb").count().filter(col("count") >= 2)
+          .queryExecution.toRdd.count()
+      }
+
+      // q220 core: WAV encode → PCM decode → envelope → dHash → banded
+      // pairs, ×k distinct clips
+      val tAudioPipe = timeMin(reps) {
+        val ah = docs.select("doc_id").as[Long].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def b1(tag: String): Int = {
+            md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+          }
+          it.map { id =>
+            val base = Array.tabulate(1024)(t =>
+              (b1(s"${id}_b${t / 16}") * 100 + b1(s"${id}_j$t") % 50).toShort)
+            val samples = Multimodal.wavPcmSamples(
+              Multimodal.wavBytesPcm(8000, base)).getOrElse(
+              throw new IllegalStateException(s"undecodable wav $id"))
+            (id, Multimodal.dHash56(Multimodal.audioEnvelope64(samples), 8, 8))
+          }
+        }.toDF("asset_id", "dhash")
+        Multimodal.phashPairs(ah).queryExecution.toRdd.count()
+      }
+
       // q217 core: a FIXED node takedown against a ×k path-structured
       // PageRank index. nBuckets scales with the graph so a bucket stays
       // constant-size (the documented at-scale contract); the dirty cone
@@ -258,7 +316,8 @@ object ScaleBench {
       System.err.println(s"[scale] x$k docs=$nDocs vecs=$nVecs dedup=$tDedup lsh=$tLsh " +
         s"contain=$tContain append=$tAppend stream=$tStream extract=$tExtract " +
         s"nnd=$tNnd del=$tDelete compact=$tCompact pqdel=$tPqDelete tri=$tTri " +
-        s"phash=$tPhashPipe phibatch=$tPhiBatch navdel=$tNavDel prdel=$tPrDel")
+        s"phash=$tPhashPipe phibatch=$tPhiBatch navdel=$tNavDel prdel=$tPrDel " +
+        s"phidel=$tPhiDel video=$tVideoPipe audio=$tAudioPipe")
       (k, nDocs, nVecs, Map(
         "exact_dedup" -> tDedup, "lsh_neardup" -> tLsh, "containment" -> tContain,
         "ann_append" -> tAppend, "streaming_neardup_batch" -> tStream,
@@ -266,7 +325,9 @@ object ScaleBench {
         "ivf_delete" -> tDelete, "ivf_delete_compact" -> tCompact,
         "ivfpq_delete" -> tPqDelete, "triangle_batch" -> tTri,
         "phash_pipeline" -> tPhashPipe, "phash_stream_batch" -> tPhiBatch,
-        "nav_delete" -> tNavDel, "pagerank_delete" -> tPrDel))
+        "nav_delete" -> tNavDel, "pagerank_delete" -> tPrDel,
+        "phash_delete" -> tPhiDel, "video_pipeline" -> tVideoPipe,
+        "audio_pipeline" -> tAudioPipe))
     }
 
     val expectations = Map(
@@ -277,7 +338,9 @@ object ScaleBench {
       "ivf_delete" -> ("flat", 3.0), "ivf_delete_compact" -> ("linear", 16.0),
       "ivfpq_delete" -> ("flat", 3.0), "triangle_batch" -> ("flat", 4.0),
       "phash_pipeline" -> ("linear", 16.0), "phash_stream_batch" -> ("flat", 3.0),
-      "nav_delete" -> ("flat", 3.0), "pagerank_delete" -> ("flat", 4.0))
+      "nav_delete" -> ("flat", 3.0), "pagerank_delete" -> ("flat", 4.0),
+      "phash_delete" -> ("flat", 3.0), "video_pipeline" -> ("linear", 16.0),
+      "audio_pipeline" -> ("linear", 16.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

@@ -299,7 +299,7 @@ object Multimodal {
     * companion to [[wavBytes]] (whose data chunk is declared but empty) for
     * operators that decode actual audio content.
     */
-  private[scale] def wavBytesPcm(rate: Int, samples: Array[Short]): Array[Byte] = {
+  private[graft] def wavBytesPcm(rate: Int, samples: Array[Short]): Array[Byte] = {
     val data = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {

@@ -155,6 +155,161 @@ final class PhashIndex(spark: SparkSession, root: String,
   }
 }
 
+/** Streaming VIDEO near-dup dedup — the q221 batch pipeline (animated-GIF
+  * frame decode → per-frame dHash → Hamming-banded frame pairs →
+  * ≥`minFrameVotes`-matching-frame vote) run as a continuous ingest, with
+  * the [[PhashIndex]]/[[NearDupIndex]] LSM takedown protocol from day one.
+  *
+  * State is `root/frames` (asset_id, f, dhash) — 20 bytes per accepted
+  * FRAME — plus `root/tombstones` (asset_id). Payloads decode ONCE in the
+  * arriving batch's tasks; every cross-batch comparison is a banded
+  * equi-join of narrow longs. Two videos match when at least
+  * `minFrameVotes` of their frame PAIRS land within `maxHamming` — the
+  * keyframe-majority rule, which single-hash schemes cannot express (a
+  * frame-dropped or re-sampled re-upload still votes through its
+  * surviving keyframes).
+  *
+  * Per batch: within-batch video components (frame-banded pairs → vote →
+  * transitive min-id), then the cross-batch vote against the SERVED frame
+  * relation (tombstoned videos excluded, so erased content stops
+  * suppressing immediately), then an O(batch) stamped append. Replay and
+  * delete semantics are exactly [[PhashIndex]]'s (same laws, spec'd in
+  * VideoPhashStreamSpec).
+  */
+final class VideoPhashIndex(spark: SparkSession, root: String,
+                            bands: Int = 8, bandBits: Int = 7,
+                            maxHamming: Int = 6, minFrameVotes: Int = 2,
+                            maxChainDepth: Int = 16) {
+
+  val frames = new VersionedTable(spark, s"$root/frames")
+  val tombstones = new VersionedTable(spark, s"$root/tombstones")
+
+  /** Bulk-accept an already-curated corpus's frame hashes
+    * (asset_id, f, dhash) without re-litigating it.
+    */
+  def seed(h: DataFrame): Unit =
+    frames.promote(frames.stage(h.select(
+      col("asset_id").cast("long").as("asset_id"),
+      col("f").cast("int").as("f"),
+      col("dhash").cast("long").as("dhash"))))
+
+  /** Raw accepted frame relation (including tombstoned videos). */
+  def accepted(): DataFrame = frames.read()
+
+  private def minusTombstones(df: DataFrame): DataFrame =
+    if (tombstones.exists) df.join(tombstones.read(), Seq("asset_id"), "left_anti")
+    else df
+
+  /** The frame relation minus erased videos — what downstream reads and
+    * what arriving batches vote against.
+    */
+  def served(): DataFrame = minusTombstones(frames.read())
+
+  /** Takedown-delete accepted video ids — O(batch) tombstone append,
+    * idempotent, unknown ids legal; the [[PhashIndex.delete]] contract.
+    */
+  def delete(deletedIds: DataFrame, idCol: String = "asset_id"): Unit = {
+    val ids = deletedIds.select(col(idCol).cast("long").as("asset_id")).distinct()
+    if (tombstones.exists) {
+      val fresh = ids.join(tombstones.read(), Seq("asset_id"), "left_anti")
+        .localCheckpoint()
+      if (!fresh.isEmpty) {
+        tombstones.promote(tombstones.stageAppend(fresh))
+        tombstones.compactIfNeeded(maxChainDepth)
+      }
+    } else tombstones.promote(tombstones.stage(ids))
+  }
+
+  /** Physically purge tombstoned videos' frames, truncate the tombstone
+    * set; convergent across crashes (the [[PhashIndex.compactPurge]]
+    * argument).
+    */
+  def compactPurge(): Unit = {
+    val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
+               else None
+    if (dead.exists(!_.isEmpty)) {
+      frames.promote(frames.stage(
+        frames.read().join(dead.get, Seq("asset_id"), "left_anti")),
+        frames.currentTag)
+      tombstones.promote(tombstones.stage(dead.get.limit(0)))
+    } else { frames.compact(); () }
+  }
+
+  /** (p_id, i_id) video pairs — different id on each side — that collect
+    * >= `minFrameVotes` matched frame pairs within `maxHamming`: the
+    * keyframe-majority vote as a two-relation banded join of
+    * (asset_id, f, dhash) frame rows. Exhaustive while
+    * `bands > maxHamming` (pigeonhole), so a brute-force frame join
+    * replays it exactly.
+    */
+  private def votePairs(probe: DataFrame, index: DataFrame): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, side: String) = df.select(
+        col("asset_id").as(s"${side}_id"), col("dhash").as(s"${side}_h"),
+        col("f").as(s"${side}_f"),
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("dhash"), bandBits * i).bitwiseAND(lit(mask)).as("bits"))): _*))
+          .as("__b"))
+      .select(col(s"${side}_id"), col(s"${side}_h"), col(s"${side}_f"),
+        col("__b.band"), col("__b.bits"))
+    banded(probe, "p").join(banded(index, "i"), Seq("band", "bits"))
+      .filter(col("p_id") =!= col("i_id"))
+      .select("p_id", "p_f", "i_id", "i_f", "p_h", "i_h").distinct()
+      .filter(expr(s"bit_count(p_h ^ i_h) <= $maxHamming"))
+      .groupBy("p_id", "i_id").count()
+      .filter(col("count") >= minFrameVotes)
+      .select("p_id", "i_id")
+  }
+
+  /** Drain one video batch: (asset_id, payload binary) of animated GIFs. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val tag = s"batch=$batchId"
+    if (frames.exists && frames.currentTag.contains(tag)) return
+    val ss = batch.sparkSession
+    import ss.implicits._
+    val hashed = batch
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (w, h, fs) = Multimodal.gifDecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable animated gif $vid"))
+        fs.iterator.zipWithIndex.map { case (px, f) =>
+          (vid, f, Multimodal.dHash56(px, w, h))
+        }
+      })
+      .toDF("asset_id", "f", "dhash").localCheckpoint()
+    // within-batch: frame-banded pairs → >= minFrameVotes vote → components
+    // (votePairs emits both orientations of each unordered pair; keep one)
+    val videoPairs = votePairs(hashed, hashed)
+      .filter(col("p_id") < col("i_id"))
+      .select(col("p_id").as("doc_a"), col("i_id").as("doc_b"))
+    val labels = Cluster.connectedComponents(videoPairs)
+      .withColumnRenamed("doc_id", "asset_id")
+    val reps = hashed.join(labels, Seq("asset_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("asset_id"))
+      .select("asset_id", "f", "dhash")
+    val kept =
+      (if (!frames.exists) minusTombstones(reps)
+       else {
+         // id-level re-crawl skip against the RAW table (append-only per
+         // id, no resurrection while a tombstone lives); the CONTENT vote
+         // runs against [[served]] so erased videos stop suppressing
+         val fresh = minusTombstones(reps.join(
+           accepted().select("asset_id").distinct(),
+           Seq("asset_id"), "left_anti"))
+         fresh.join(
+           votePairs(fresh, served()).select(col("p_id").as("asset_id")).distinct(),
+           Seq("asset_id"), "left_anti")
+       })
+        .localCheckpoint()
+    if (frames.exists) frames.promote(frames.stageAppend(kept), Some(tag))
+    else frames.promote(frames.stage(kept), Some(tag))
+    if (frames.chainDepth > maxChainDepth) compactPurge()
+    ()
+  }
+}
+
 object PhashStream {
 
   /** [[PhashIndex.processBatch]] as a streaming sink: drain an image
@@ -164,6 +319,21 @@ object PhashStream {
   def phashDedupSink(images: DataFrame, index: PhashIndex,
                      checkpoint: String): StreamingQuery =
     images.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        index.processBatch(batch, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[VideoPhashIndex.processBatch]] as a streaming sink: drain an
+    * animated-GIF video stream into the index; `index.served()` is the
+    * continuously-deduped frame-hash relation.
+    */
+  def videoPhashDedupSink(videos: DataFrame, index: VideoPhashIndex,
+                          checkpoint: String): StreamingQuery =
+    videos.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

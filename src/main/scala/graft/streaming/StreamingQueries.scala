@@ -1005,5 +1005,131 @@ object StreamingQueries {
           col("dhash").cast("long").as("dhash"))
         .orderBy("phase", "asset_id")
     },
+
+    // Streaming VIDEO near-dup with takedown deletes — the q221 frame-vote
+    // pipeline as a continuous ingest through a VideoPhashIndex, LSM
+    // lifecycle included. The index is seeded with every document's
+    // 4-frame base hashes; the doc_id % 10 = 0 class is then ERASED, and a
+    // crawl streams in real animated-GIF payloads: half-resolution full
+    // re-crawls of the erased videos (+500000 — must be ADMITTED, their
+    // suppressor is gone), frame-dropped re-crawls keeping keyframes 0 and
+    // 2 of live % 10 = 5 videos (+600000 — two surviving keyframes still
+    // carry the >= 2-frame vote, so they DROP: the rule single-hash
+    // schemes cannot express), perturbed re-crawls of live % 10 = 7
+    // (+700000 — drop), and genuinely NEW videos (+800000 — admitted).
+    // Both lifecycle phases serve identically; the oracle regenerates
+    // every frame hash from the md5 arithmetic and replays decode → vote →
+    // components → cross-batch vote against the live frame set.
+    Q("q223_streaming_video",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | vids AS (
+        |  SELECT doc_id AS aid, doc_id AS src, 'base' AS kind FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id, 'half' FROM ids WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 600000, doc_id, 'drop' FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id, 'pert' FROM ids WHERE doc_id % 10 = 7
+        |  UNION ALL SELECT doc_id + 800000, doc_id + 900000, 'new' FROM ids WHERE doc_id % 10 = 3),
+        | vframes AS (
+        |  SELECT aid, src, kind, f,
+        |    CASE WHEN kind = 'drop' THEN 2 * f ELSE f END AS sf
+        |  FROM vids CROSS JOIN range(0, 4) t(f)
+        |  WHERE kind <> 'drop' OR f < 2),
+        | gv AS (
+        |  SELECT aid, f, k,
+        |    CASE WHEN kind = 'pert' AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, kind, f, k,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_f' || CAST(sf AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM vframes CROSS JOIN range(0, 64) r(k))),
+        | hsh AS (
+        |  SELECT aid, f,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, f, k, val, lead(val) OVER (PARTITION BY aid, f ORDER BY k) AS nxt
+        |        FROM gv)
+        |  WHERE k % 8 < 7 GROUP BY aid, f),
+        | liveh AS (SELECT aid, f, h FROM hsh WHERE aid < 500000 AND aid % 10 <> 0),
+        | arrh AS (SELECT aid, f, h FROM hsh WHERE aid >= 500000),
+        | ap AS (
+        |  SELECT a.aid AS ia, b.aid AS ib
+        |  FROM arrh a JOIN arrh b ON a.aid < b.aid
+        |  WHERE bit_count(xor(a.h, b.h)) <= 6
+        |  GROUP BY ia, ib HAVING COUNT(*) >= 2),
+        | asym AS (SELECT ia AS a, ib AS b FROM ap UNION ALL SELECT ib, ia FROM ap
+        |          UNION ALL SELECT ia, ia FROM ap UNION ALL SELECT ib, ib FROM ap),
+        | areach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM asym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN asym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | albl AS (SELECT s AS aid, MIN(t) AS cluster FROM areach GROUP BY s),
+        | repids AS (SELECT DISTINCT a.aid FROM arrh a LEFT JOIN albl l USING (aid)
+        |            WHERE l.cluster IS NULL OR l.cluster = a.aid),
+        | dropped AS (
+        |  SELECT DISTINCT x.ia FROM (
+        |    SELECT r.aid AS ia, s.aid AS ib, COUNT(*) AS nm
+        |    FROM arrh r JOIN liveh s ON bit_count(xor(r.h, s.h)) <= 6
+        |    WHERE r.aid IN (SELECT aid FROM repids)
+        |    GROUP BY r.aid, s.aid) x
+        |  WHERE x.nm >= 2)
+        |SELECT phase, asset_id, f, dhash FROM (
+        |  SELECT aid AS asset_id, f, h AS dhash FROM liveh
+        |  UNION ALL
+        |  SELECT aid, f, h FROM arrh
+        |  WHERE aid IN (SELECT aid FROM repids) AND aid NOT IN (SELECT ia FROM dropped))
+        |CROSS JOIN (SELECT unnest(['served', 'compacted']) AS phase)
+        |ORDER BY phase, asset_id, f""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q223")
+      val s2 = s.newSession()
+      val index = new VideoPhashIndex(s, s"$wh/vphi")
+      import graft.scale.{Multimodal => M}
+      locally {
+        import s.implicits._
+        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            (0 until 4).iterator.map(f =>
+              (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
+          })
+          .toDF("asset_id", "f", "dhash")
+        index.seed(seedHashes)
+      }
+      index.delete(Tables.documents(s, d).select(col("doc_id").as("asset_id"))
+        .filter(col("asset_id") % 10 === 0))
+      val arrivals = {
+        import s2.implicits._
+        Streaming.docsStream(s2, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def frames(src: Long, pert: Boolean) =
+              Array.tabulate(4)(f => M.synthFramePixels(src, f, pert))
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+            if (id % 10 == 0)
+              out += ((id + 500000, M.gifEncodeGrayAnimated(
+                frames(id, pert = false).map(fr => M.halfSize(fr, 64, 64)._3).toSeq,
+                32, 32)))
+            if (id % 10 == 5) {
+              val fs = frames(id, pert = false)
+              out += ((id + 600000, M.gifEncodeGrayAnimated(Seq(fs(0), fs(2)), 64, 64)))
+            }
+            if (id % 10 == 7)
+              out += ((id + 700000, M.gifEncodeGrayAnimated(
+                frames(id, pert = true).toSeq, 64, 64)))
+            if (id % 10 == 3)
+              out += ((id + 800000, M.gifEncodeGrayAnimated(
+                frames(id + 900000, pert = false).toSeq, 64, 64)))
+            out.iterator
+          })
+          .toDF("asset_id", "payload")
+      }
+      PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
+        .awaitTermination()
+      val served = index.served()
+        .withColumn("phase", lit("served")).localCheckpoint()
+      index.compactPurge()
+      served.unionByName(index.served().withColumn("phase", lit("compacted")))
+        .select(col("phase"), col("asset_id").cast("long").as("asset_id"),
+          col("f").cast("int").as("f"), col("dhash").cast("long").as("dhash"))
+        .orderBy("phase", "asset_id", "f")
+    },
   )
 }
