@@ -1445,17 +1445,29 @@ object Multimodal {
     }
   }
 
-  /** Decode a png/gif/jpeg payload through its REAL codec and dHash it —
-    * the shared batch/stream hashing kernel. Fail-closed on undecodable
-    * input (a corrupt crawl byte-stream must never hash to something).
+  /** Decode a png/gif/jpeg/wav payload through its REAL codec and dHash
+    * it — the shared batch/stream hashing kernel. Images hash their pooled
+    * pixels; "wav" hashes the 64-slice rectified PCM envelope as an 8×8
+    * grid (the q220 audio key — gain/rate/dither-invariant by the same
+    * adjacent-order argument), so one streaming index serves both
+    * modalities. Fail-closed on undecodable input (a corrupt crawl
+    * byte-stream must never hash to something).
     */
-  def decodeDhash(aid: Long, bytes: Array[Byte], fmt: String): Long = {
-    val (w, h, px) = (fmt match {
-      case "png" => pngDecodeGray(bytes)
-      case "gif" => gifDecodeGray(bytes)
-      case _     => jpegDecodeGray(bytes)
-    }).getOrElse(throw new IllegalStateException(s"undecodable $fmt asset $aid"))
-    dHash56(px, w, h)
+  def decodeDhash(aid: Long, bytes: Array[Byte], fmt: String): Long = fmt match {
+    case "wav" =>
+      val samples = wavPcmSamples(bytes).getOrElse(
+        throw new IllegalStateException(s"undecodable wav asset $aid"))
+      if (samples.length == 0 || samples.length % 64 != 0)
+        throw new IllegalStateException(
+          s"wav asset $aid length ${samples.length} not 64-sliceable")
+      dHash56(audioEnvelope64(samples), 8, 8)
+    case _ =>
+      val (w, h, px) = (fmt match {
+        case "png" => pngDecodeGray(bytes)
+        case "gif" => gifDecodeGray(bytes)
+        case _     => jpegDecodeGray(bytes)
+      }).getOrElse(throw new IllegalStateException(s"undecodable $fmt asset $aid"))
+      dHash56(px, w, h)
   }
 
   /** Probe-side ids whose hash lies within `maxHamming` of some index row

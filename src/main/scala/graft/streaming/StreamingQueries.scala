@@ -1131,5 +1131,127 @@ object StreamingQueries {
           col("f").cast("int").as("f"), col("dhash").cast("long").as("dhash"))
         .orderBy("phase", "asset_id", "f")
     },
+
+    // Streaming AUDIO near-dup — the q220 envelope-hash scheme as a
+    // continuous ingest through the SAME PhashIndex that serves images
+    // (the hash kernel dispatches on fmt: a WAV payload decodes through
+    // the real PCM parser to the 64-slice envelope key). Seeded with every
+    // document's base clip hash; the crawl then streams real WAV payloads:
+    // half-gain re-uploads (doc_id % 10 = 0), 2:1-decimated re-uploads
+    // (% 10 = 5), dithered re-uploads (% 10 = 7) — all DROP, the envelope
+    // key is invariant to gain/rate/dither — and genuinely new clips
+    // (% 10 = 3) which must be admitted. The oracle replays samples →
+    // envelope → hash → the exact accept rule from the md5 arithmetic.
+    Q("q224_streaming_audio",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | assets AS (
+        |  SELECT doc_id AS aid, doc_id AS src, 'base' AS kind FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id, 'quiet' FROM ids WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 600000, doc_id, 'deci' FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id, 'dither' FROM ids WHERE doc_id % 10 = 7
+        |  UNION ALL SELECT doc_id + 800000, doc_id + 900000, 'base' FROM ids WHERE doc_id % 10 = 3),
+        | samp AS (
+        |  SELECT aid,
+        |    CASE WHEN kind = 'deci' THEN t // 8 ELSE t // 16 END AS slice,
+        |    CASE WHEN kind = 'deci' THEN 8 ELSE 16 END AS sl,
+        |    CASE WHEN kind = 'quiet' THEN sb // 2
+        |         WHEN kind = 'dither' THEN sb + CASE WHEN t % 7 = 0 THEN 1 ELSE 0 END
+        |         ELSE sb END AS s
+        |  FROM (
+        |    SELECT aid, kind, t,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_b' ||
+        |         CAST((CASE WHEN kind = 'deci' THEN 2 * t ELSE t END) // 16 AS VARCHAR)), 1, 2))::BIGINT * 100
+        |      + ('0x' || substr(md5(CAST(src AS VARCHAR) || '_j' ||
+        |         CAST(CASE WHEN kind = 'deci' THEN 2 * t ELSE t END AS VARCHAR)), 1, 2))::BIGINT % 50 AS sb
+        |    FROM assets CROSS JOIN range(0, 1024) r(t)
+        |    WHERE kind <> 'deci' OR t < 512)),
+        | env AS (
+        |  SELECT aid, slice, (SUM(s) // MAX(sl)) // 128 AS val
+        |  FROM samp GROUP BY aid, slice),
+        | hsh AS (
+        |  SELECT aid,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((slice // 8) * 7 + (slice % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, slice, val, lead(val) OVER (PARTITION BY aid ORDER BY slice) AS nxt
+        |        FROM env)
+        |  WHERE slice % 8 < 7 GROUP BY aid),
+        | seeded AS (SELECT aid, h FROM hsh WHERE aid < 500000),
+        | arr AS (SELECT aid, h FROM hsh WHERE aid >= 500000),
+        | ap AS (SELECT a.aid AS ia, b.aid AS ib FROM arr a JOIN arr b ON a.aid < b.aid
+        |        WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | asym AS (SELECT ia AS a, ib AS b FROM ap UNION ALL SELECT ib, ia FROM ap
+        |          UNION ALL SELECT ia, ia FROM ap UNION ALL SELECT ib, ib FROM ap),
+        | areach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM asym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN asym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | albl AS (SELECT s AS aid, MIN(t) AS cluster FROM areach GROUP BY s),
+        | reps AS (SELECT a.aid, a.h FROM arr a LEFT JOIN albl l USING (aid)
+        |          WHERE l.cluster IS NULL OR l.cluster = a.aid),
+        | dropped AS (SELECT DISTINCT r.aid FROM reps r JOIN seeded s
+        |             ON bit_count(xor(r.h, s.h)) <= 6)
+        |SELECT aid AS asset_id, h AS dhash FROM seeded
+        |UNION ALL
+        |SELECT aid, h FROM reps WHERE aid NOT IN (SELECT aid FROM dropped)
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q224")
+      val s2 = s.newSession()
+      val index = new PhashIndex(s, s"$wh/phi")
+      import graft.scale.{Multimodal => M}
+      def b1(md: java.security.MessageDigest, tag: String): Int = {
+        md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+      }
+      locally {
+        import s.implicits._
+        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val base = Array.tabulate(1024)(t =>
+                (b1(md, s"${id}_b${t / 16}") * 100 + b1(md, s"${id}_j$t") % 50).toShort)
+              (id, M.dHash56(M.audioEnvelope64(base), 8, 8))
+            }
+          }
+          .toDF("asset_id", "dhash")
+        index.seed(seedHashes)
+      }
+      val arrivals = {
+        import s2.implicits._
+        Streaming.docsStream(s2, d).select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.flatMap { id =>
+              def base(src: Long) = Array.tabulate(1024)(t =>
+                (b1(md, s"${src}_b${t / 16}") * 100 + b1(md, s"${src}_j$t") % 50).toShort)
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              if (id % 10 == 0)
+                out += ((id + 500000,
+                  M.wavBytesPcm(8000, base(id).map(v => (v / 2).toShort)), "wav"))
+              if (id % 10 == 5) {
+                val b = base(id)
+                out += ((id + 600000,
+                  M.wavBytesPcm(4000, Array.tabulate(512)(t => b(2 * t))), "wav"))
+              }
+              if (id % 10 == 7) {
+                val b = base(id)
+                out += ((id + 700000, M.wavBytesPcm(8000, Array.tabulate(1024)(t =>
+                  (b(t) + (if (t % 7 == 0) 1 else 0)).toShort)), "wav"))
+              }
+              if (id % 10 == 3)
+                out += ((id + 800000, M.wavBytesPcm(8000, base(id + 900000)), "wav"))
+              out.iterator
+            }
+          }
+          .toDF("asset_id", "payload", "fmt")
+      }
+      PhashStream.phashDedupSink(arrivals, index, s"$wh/ckpt").awaitTermination()
+      index.accepted()
+        .select(col("asset_id").cast("long").as("asset_id"),
+          col("dhash").cast("long").as("dhash"))
+        .orderBy("asset_id")
+    },
   )
 }

@@ -487,6 +487,22 @@ class MultimodalSpec extends SparkSpec {
     assert((w1, h1) === ((6, 4)) && d1.toSeq === frames.head.toSeq)
   }
 
+  test("decodeDhash wav path: envelope key through the real PCM parser; fail-closed on bad input") {
+    val samples = Array.tabulate(1024)(t => ((t * 37) % 4000).toShort)
+    val wav = Multimodal.wavBytesPcm(8000, samples)
+    assert(Multimodal.decodeDhash(1L, wav, "wav") ===
+      Multimodal.dHash56(Multimodal.audioEnvelope64(samples), 8, 8))
+    // not a RIFF stream
+    intercept[IllegalStateException] {
+      Multimodal.decodeDhash(2L, "not audio".getBytes("US-ASCII"), "wav")
+    }
+    // decodes, but 100 samples cannot slice into 64 equal envelope bins
+    intercept[IllegalStateException] {
+      Multimodal.decodeDhash(3L,
+        Multimodal.wavBytesPcm(8000, Array.tabulate(100)(_.toShort)), "wav")
+    }
+  }
+
   test("q221 key law: half-size and dithered frames stay within the vote; dropped keyframes match exactly") {
     for (src <- Seq(5L, 17L, 40L); f <- 0 until 4) {
       val base = Multimodal.synthFramePixels(src, f, pert = false)
