@@ -1290,6 +1290,533 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  // ---- baseline COLOR JPEG: YCbCr, 4:2:0 interleaved MCUs ----
+  //
+  // Extends the grayscale codec to the form nearly every web JPEG takes:
+  // three components, chroma subsampled 2×2, one interleaved scan. The
+  // color conversions are libjpeg-style 16-bit fixed point with explicit
+  // positive-bias divisions, so every step is integer-exact and the q225
+  // oracle replays the full decode arithmetic in SQL.
+
+  // Annex K.3.3.1 / K.3.3.2 chrominance Huffman tables
+  private val JDcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val JDcValsC = (0 to 11).toArray
+  private val JAcBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private val JAcValsC = hexBytes(
+    "000102031104052131061241510761711322328108144291a1b1c109233352f0" +
+      "156272d10a162434e125f11718191a262728292a35363738393a434445464748" +
+      "494a535455565758595a636465666768696a737475767778797a828384858687" +
+      "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3" +
+      "c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8" +
+      "f9fa")
+
+  /** RGB → YCbCr, JPEG (JFIF) convention, 16-bit fixed point with
+    * round-half-up and clamp — integer-exact, replayed by the q225 oracle.
+    */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    // chroma bias = 128·65536 + 32768: the +128 level shift plus ROUND-
+    // HALF-UP, one half-step total — gray (r=g=b) lands on exactly 128
+    val y  = cl((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+    val cb = cl((-11059 * r - 21709 * g + 32768 * b + 8421376) >> 16)
+    val cr = cl((32768 * r - 27439 * g - 5329 * b + 8421376) >> 16)
+    (y, cb, cr)
+  }
+
+  /** YCbCr → RGB, the inverse fixed-point transform. The additive biases
+    * keep every numerator positive so truncating division IS floor
+    * division — the same `//` arithmetic the oracle uses.
+    */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    val r = cl(((65536 * y + 91881 * (cr - 128) + 32768 + 11796480) / 65536) - 180)
+    val g = cl(((65536 * y - 22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 8847360) / 65536) - 135)
+    val b = cl(((65536 * y + 116130 * (cb - 128) + 32768 + 14876672) / 65536) - 227)
+    (r, g, b)
+  }
+
+  /** Encode an interleaved RGB buffer (3 bytes per pixel) as a REAL
+    * baseline 4:2:0 color JPEG: fixed-point YCbCr conversion, exact 2×2
+    * chroma mean subsampling, per-component Annex-K luma/chroma tables,
+    * interleaved MCU entropy coding with independent DC predictors.
+    * Requires w, h multiples of 16 (full MCUs — the fixture contract; the
+    * DECODER handles arbitrary dimensions). With [[JpegFlatQuant8]] on
+    * both tables a macroblock-constant image round-trips to exactly
+    * `yccToRgb(rgbToYcc(...))` — the q225 losslessness basis.
+    */
+  def jpegEncodeColor420(rgb: Array[Byte], w: Int, h: Int,
+                         quantY: Array[Int] = JpegStdQuant,
+                         quantC: Array[Int] = JpegStdQuant): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb buffer ${rgb.length} != 3*$w*$h")
+    require(w % 16 == 0 && h % 16 == 0, s"encoder needs full MCUs, got $w x $h")
+    require(quantY.length == 64 && quantY.forall(q => q >= 1 && q <= 255))
+    require(quantC.length == 64 && quantC.forall(q => q >= 1 && q <= 255))
+    // plane conversion + chroma subsample (exact integer mean of 2×2)
+    val yP = new Array[Int](w * h)
+    val cbF = new Array[Int](w * h); val crF = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val (yy, cb, cr) = rgbToYcc(rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff,
+        rgb(3 * p + 2) & 0xff)
+      yP(p) = yy; cbF(p) = cb; crF(p) = cr
+      p += 1
+    }
+    val cw = w / 2; val ch = h / 2
+    val cbP = new Array[Int](cw * ch); val crP = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        def mean(src: Array[Int]): Int = {
+          val i0 = (2 * cy) * w + 2 * cx
+          (src(i0) + src(i0 + 1) + src(i0 + w) + src(i0 + w + 1) + 2) / 4
+        }
+        cbP(cy * cw + cx) = mean(cbF); crP(cy * cw + cx) = mean(crF)
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xdb); u16(2 + 1 + 64); u8(id); JZigZag.foreach(nat => u8(q(nat)))
+    }
+    dqt(0, quantY); dqt(1, quantC)
+    marker(0xc0); u16(2 + 6 + 3 * 3); u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(0x22); u8(0) // Y: 2x2 sampling, quant 0
+    u8(2); u8(0x11); u8(1) // Cb
+    u8(3); u8(0x11); u8(1) // Cr
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, 0, JDcBits, JDcVals); dht(1, 0, JAcBits, JAcVals)
+    dht(0, 1, JDcBitsC, JDcValsC); dht(1, 1, JAcBitsC, JAcValsC)
+    marker(0xda); u16(2 + 1 + 2 * 3 + 3); u8(3)
+    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    var acc = 0L; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        u8(byte); if (byte == 0xff) u8(0x00)
+        nbits -= 8
+      }
+    }
+    def codesOf(bits: Array[Int], vals: Array[Int]) = {
+      val cs = canonicalCodes(bits, vals)
+      val idx = new Array[Int](256); java.util.Arrays.fill(idx, -1)
+      vals.zipWithIndex.foreach { case (v, i) => idx(v) = i }
+      (cs, idx)
+    }
+    val (dcY, _) = codesOf(JDcBits, JDcVals)
+    val (acY, acYIdx) = codesOf(JAcBits, JAcVals)
+    val (dcC, _) = codesOf(JDcBitsC, JDcValsC)
+    val (acC, acCIdx) = codesOf(JAcBitsC, JAcValsC)
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val blk = new Array[Double](64); val coef = new Array[Int](64)
+    def encodeBlock(plane: Array[Int], pw: Int, ph: Int, bx: Int, by: Int,
+                    quant: Array[Int], dcCodes: Array[(Int, Int)],
+                    acCodes: Array[(Int, Int)], acIdx: Array[Int],
+                    pred: Int): Int = {
+      var y = 0
+      while (y < 8) {
+        val py = math.min(by * 8 + y, ph - 1)
+        var x = 0
+        while (x < 8) {
+          val px = math.min(bx * 8 + x, pw - 1)
+          blk(y * 8 + x) = plane(py * pw + px) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var sum = 0.0
+          var y2 = 0
+          while (y2 < 8) {
+            var x2 = 0
+            while (x2 < 8) {
+              sum += blk(y2 * 8 + x2) * CosTable(u * 8 + y2) * CosTable(v * 8 + x2)
+              x2 += 1
+            }
+            y2 += 1
+          }
+          coef(u * 8 + v) = math.round(0.25 * c0(u) * c0(v) * sum / quant(u * 8 + v)).toInt
+          v += 1
+        }
+        u += 1
+      }
+      val dc = coef(0); val diff = dc - pred
+      val s0 = category(diff)
+      val (dcode, dlen) = dcCodes(s0); putBits(dcode, dlen)
+      if (s0 > 0) putBits(if (diff >= 0) diff else diff - 1, s0)
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val v = coef(JZigZag(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { val (zc, zl) = acCodes(acIdx(0xf0)); putBits(zc, zl); run -= 16 }
+          val s = category(v)
+          val (ac, al) = acCodes(acIdx((run << 4) | s))
+          putBits(ac, al)
+          putBits(if (v >= 0) v else v - 1, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acCodes(acIdx(0x00)); putBits(ec, el) }
+      dc
+    }
+    val mw = w / 16; val mh = h / 16
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mh) {
+      var mx = 0
+      while (mx < mw) {
+        var sub = 0
+        while (sub < 4) { // Y blocks in 2x2 raster order
+          predY = encodeBlock(yP, w, h, 2 * mx + (sub % 2), 2 * my + (sub / 2),
+            quantY, dcY, acY, acYIdx, predY)
+          sub += 1
+        }
+        predCb = encodeBlock(cbP, cw, ch, mx, my, quantC, dcC, acC, acCIdx, predCb)
+        predCr = encodeBlock(crP, cw, ch, mx, my, quantC, dcC, acC, acCIdx, predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    if (nbits > 0) { val pad = 8 - nbits; putBits((1 << pad) - 1, pad) }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** REAL baseline color JPEG pixel decode: three-component SOF0 in 4:2:0
+    * (Y 2×2, chroma 1×1) or 4:4:4 (all 1×1), one interleaved scan,
+    * per-component quant/Huffman table selection, restart markers, foreign
+    * tables. Chroma upsamples by box replication; YCbCr→RGB is the
+    * fixed-point [[yccToRgb]]. Returns (w, h, interleaved rgb — 3 bytes
+    * per pixel). Fails closed on progressive frames, other sampling
+    * structures, component-count ≠ 3, truncation, or malformed tables.
+    */
+  def jpegDecodeColor(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val huffBits = Array.ofDim[Array[Int]](2, 4)
+    val huffVals = Array.ofDim[Array[Int]](2, 4)
+    var w = -1; var h = -1
+    // per component (index by scan order): id, hSamp, vSamp, quant id
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compQ: Array[Int] = null
+    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    var restartInterval = 0
+    var i = 2
+    var scanAt = -1
+    while (scanAt < 0) {
+      if (i + 4 > b.length) return None
+      if (u8(i) != 0xff) return None
+      var m = u8(i + 1)
+      while (m == 0xff) { i += 1; if (i + 4 > b.length) return None; m = u8(i + 1) }
+      if (m == 0xd9) return None
+      val len = u16(i + 2)
+      if (len < 2 || i + 2 + len > b.length) return None
+      val seg = i + 4
+      m match {
+        case 0xc0 =>
+          if (u8(seg) != 8) return None
+          h = u16(seg + 1); w = u16(seg + 3)
+          if (u8(seg + 5) != 3) return None // color path: 3 components only
+          compId = new Array[Int](3); compH = new Array[Int](3)
+          compV = new Array[Int](3); compQ = new Array[Int](3)
+          var c = 0
+          while (c < 3) {
+            compId(c) = u8(seg + 6 + 3 * c)
+            compH(c) = u8(seg + 7 + 3 * c) >> 4
+            compV(c) = u8(seg + 7 + 3 * c) & 0x0f
+            compQ(c) = u8(seg + 8 + 3 * c)
+            c += 1
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None
+        case 0xc4 =>
+          var p = seg
+          while (p < i + 2 + len) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > i + 2 + len) return None
+            val bits = Array.tabulate(16)(j => u8(p + 1 + j))
+            val n = bits.sum
+            if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return None
+            huffBits(tc)(th) = bits
+            huffVals(tc)(th) = Array.tabulate(n)(j => u8(p + 17 + j))
+            p += 17 + n
+          }
+        case 0xdb =>
+          var p = seg
+          while (p < i + 2 + len) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+            if (pq > 1 || tq > 3) return None
+            val step = if (pq == 0) 1 else 2
+            if (p + 1 + 64 * step > i + 2 + len) return None
+            var k = 0
+            while (k < 64) {
+              quant(tq)(JZigZag(k)) =
+                if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
+              k += 1
+            }
+            quantSeen(tq) = true
+            p += 1 + 64 * step
+          }
+        case 0xdd =>
+          restartInterval = u16(seg)
+        case 0xda =>
+          if (u8(seg) != 3 || compId == null) return None
+          var c = 0
+          while (c < 3) {
+            val sid = u8(seg + 1 + 2 * c)
+            val ci = compId.indexOf(sid)
+            if (ci < 0) return None
+            compDc(ci) = u8(seg + 2 + 2 * c) >> 4
+            compAc(ci) = u8(seg + 2 + 2 * c) & 0x0f
+            c += 1
+          }
+          if (u8(seg + 7) != 0 || u8(seg + 8) != 63) return None
+          scanAt = i + 2 + len
+        case _ => ()
+      }
+      i += 2 + len
+    }
+    if (w <= 0 || h <= 0 || compId == null) return None
+    // supported structures: 4:2:0 (2,2 / 1,1 / 1,1) and 4:4:4 (all 1,1)
+    val is420 = compH(0) == 2 && compV(0) == 2 &&
+      compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
+    val is444 = (0 until 3).forall(c => compH(c) == 1 && compV(c) == 1)
+    if (!is420 && !is444) return None
+    var c = 0
+    while (c < 3) {
+      if (!quantSeen(compQ(c))) return None
+      if (huffBits(0)(compDc(c)) == null || huffBits(1)(compAc(c)) == null) return None
+      c += 1
+    }
+    def decTables(bits: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+      val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
+      val valptr = new Array[Int](17)
+      var code = 0; var k = 0
+      var len = 1
+      while (len <= 16) {
+        valptr(len) = k; mincode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxcode(len) = code - 1
+        if (bits(len - 1) == 0) maxcode(len) = -1
+        code <<= 1
+        len += 1
+      }
+      (mincode, maxcode, valptr)
+    }
+    val dcT = Array.tabulate(3)(c => decTables(huffBits(0)(compDc(c))))
+    val acT = Array.tabulate(3)(c => decTables(huffBits(1)(compAc(c))))
+    val dcVs = Array.tabulate(3)(c => huffVals(0)(compDc(c)))
+    val acVs = Array.tabulate(3)(c => huffVals(1)(compAc(c)))
+    var pos = scanAt; var acc = 0; var nbits = 0; var hitMarker = false
+    def fill(): Boolean = {
+      while (nbits <= 24 && !hitMarker) {
+        if (pos >= b.length) return nbits > 0
+        val v = u8(pos)
+        if (v == 0xff) {
+          if (pos + 1 >= b.length) { hitMarker = true; return nbits > 0 }
+          val nxt = u8(pos + 1)
+          if (nxt == 0x00) { acc = (acc << 8) | 0xff; nbits += 8; pos += 2 }
+          else { hitMarker = true; return nbits > 0 }
+        } else { acc = (acc << 8) | v; nbits += 8; pos += 1 }
+      }
+      true
+    }
+    def readBit(): Int = {
+      if (nbits == 0 && !fill()) return -1
+      if (nbits == 0) return -1
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) { val bit = readBit(); if (bit < 0) return -1; v = (v << 1) | bit; j += 1 }
+      v
+    }
+    def decodeSym(t: (Array[Int], Array[Int], Array[Int]), vals: Array[Int]): Int = {
+      val (min, max, ptr) = t
+      var code = 0; var len = 0
+      while (len < 16) {
+        val bit = readBit(); if (bit < 0) return -1
+        code = (code << 1) | bit; len += 1
+        if (max(len) >= 0 && code <= max(len))
+          return vals(ptr(len) + code - min(len))
+      }
+      -1
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def syncRestart(): Boolean = {
+      nbits = 0; acc = 0; hitMarker = false
+      while (pos + 1 < b.length && !(u8(pos) == 0xff && u8(pos + 1) >= 0xd0 && u8(pos + 1) <= 0xd7)) {
+        if (u8(pos) == 0xff && u8(pos + 1) != 0x00) return false
+        pos += 1
+      }
+      if (pos + 1 >= b.length) return false
+      pos += 2
+      true
+    }
+    // component planes at their own resolution
+    val pw = new Array[Int](3); val ph = new Array[Int](3)
+    val mcuW = if (is420) 16 else 8
+    val mcuH = if (is420) 16 else 8
+    val mw = (w + mcuW - 1) / mcuW; val mh = (h + mcuH - 1) / mcuH
+    var cpl = 0
+    while (cpl < 3) {
+      val sub = if (is420 && cpl > 0) 2 else 1
+      pw(cpl) = mw * (mcuW / sub)
+      ph(cpl) = mh * (mcuH / sub)
+      cpl += 1
+    }
+    // (block-aligned plane sizes: Y spans mw·mcuW, chroma half that in 4:2:0)
+    val planes = Array.tabulate(3)(c => new Array[Int](pw(c) * ph(c)))
+    val coef = new Array[Int](64); val px = new Array[Double](64)
+    def decodeBlock(c: Int, pred: Int): Int = {
+      java.util.Arrays.fill(coef, 0)
+      val s0 = decodeSym(dcT(c), dcVs(c))
+      if (s0 < 0 || s0 > 11) return Int.MinValue
+      val dbits = if (s0 == 0) 0 else readBits(s0)
+      if (dbits < 0) return Int.MinValue
+      val qt = quant(compQ(c))
+      val newPred = pred + extend(dbits, s0)
+      coef(0) = newPred * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeSym(acT(c), acVs(c))
+        if (rs < 0) return Int.MinValue
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) k += 16
+        else {
+          k += rs >> 4
+          val s = rs & 0x0f
+          if (k > 63) return Int.MinValue
+          val vb = readBits(s); if (vb < 0) return Int.MinValue
+          coef(JZigZag(k)) = extend(vb, s) * qt(JZigZag(k))
+          k += 1
+        }
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              sum += c0(u) * c0(v) * coef(u * 8 + v) *
+                CosTable(u * 8 + y) * CosTable(v * 8 + x)
+              v += 1
+            }
+            u += 1
+          }
+          px(y * 8 + x) = 0.25 * sum + 128.0
+          x += 1
+        }
+        y += 1
+      }
+      newPred
+    }
+    def storeBlock(c: Int, bx: Int, by: Int): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        val py = by * 8 + yy
+        if (py < ph(c)) {
+          var xx = 0
+          while (xx < 8) {
+            val pxx = bx * 8 + xx
+            if (pxx < pw(c)) {
+              val v = math.round(px(yy * 8 + xx)).toInt
+              planes(c)(py * pw(c) + pxx) = math.max(0, math.min(255, v))
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+    val preds = new Array[Int](3)
+    var sinceRestart = 0
+    var mi = 0
+    val totalMcus = mw * mh
+    while (mi < totalMcus) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        if (!syncRestart()) return None
+        preds(0) = 0; preds(1) = 0; preds(2) = 0; sinceRestart = 0
+      }
+      val my = mi / mw; val mx = mi % mw
+      if (is420) {
+        var sub = 0
+        while (sub < 4) {
+          val np = decodeBlock(0, preds(0))
+          if (np == Int.MinValue) return None
+          preds(0) = np
+          storeBlock(0, 2 * mx + (sub % 2), 2 * my + (sub / 2))
+          sub += 1
+        }
+        var cc = 1
+        while (cc < 3) {
+          val np = decodeBlock(cc, preds(cc))
+          if (np == Int.MinValue) return None
+          preds(cc) = np
+          storeBlock(cc, mx, my)
+          cc += 1
+        }
+      } else {
+        var cc = 0
+        while (cc < 3) {
+          val np = decodeBlock(cc, preds(cc))
+          if (np == Int.MinValue) return None
+          preds(cc) = np
+          storeBlock(cc, mx, my)
+          cc += 1
+        }
+      }
+      sinceRestart += 1
+      mi += 1
+    }
+    // upsample chroma (box) + color convert
+    val out = new Array[Byte](3 * w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val yv = planes(0)(yy * pw(0) + xx)
+        val (cbv, crv) =
+          if (is420) {
+            val ci = (yy / 2) * pw(1) + (xx / 2)
+            (planes(1)(ci), planes(2)(ci))
+          } else (planes(1)(yy * pw(1) + xx), planes(2)(yy * pw(2) + xx))
+        val (r, g, bl) = yccToRgb(yv, cbv, crv)
+        val o = 3 * (yy * w + xx)
+        out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = bl.toByte
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((w, h, out))
+  }
+
   // ---- perceptual hashes (image near-dup keys over decoded pixels) ----
 
   /** Average-pool a grayscale buffer to an 8×8 grid: cell = integer mean
@@ -1461,6 +1988,20 @@ object Multimodal {
         throw new IllegalStateException(
           s"wav asset $aid length ${samples.length} not 64-sliceable")
       dHash56(audioEnvelope64(samples), 8, 8)
+    case "jpeg-color" =>
+      // hash the fixed-point luma plane: gray content stored as color
+      // (r=g=b, where luma == the gray value exactly) hashes identically
+      // to its grayscale container — cross-container dedup for free
+      val (w, h, rgb) = jpegDecodeColor(bytes).getOrElse(
+        throw new IllegalStateException(s"undecodable color jpeg asset $aid"))
+      val luma = new Array[Byte](w * h)
+      var p = 0
+      while (p < w * h) {
+        luma(p) = rgbToYcc(rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff,
+          rgb(3 * p + 2) & 0xff)._1.toByte
+        p += 1
+      }
+      dHash56(luma, w, h)
     case _ =>
       val (w, h, px) = (fmt match {
         case "png" => pngDecodeGray(bytes)
@@ -1750,6 +2291,84 @@ object Multimodal {
         }
       }.toDF("asset_id", "w", "h", "checksum")
         .orderBy("asset_id")
+    },
+
+    // COLOR JPEG decode — the q214 law extended to the form nearly every
+    // web JPEG takes: three components, YCbCr, 4:2:0 chroma subsampling,
+    // one interleaved scan. Each doc becomes a real color JPEG of constant
+    // 16×16 macroblocks (id-derived RGB); under the flat quant tables the
+    // whole decode chain is integer-exact — fixed-point RGB→YCbCr, exact
+    // 2×2 chroma mean (constant), DC-only DCT (power-of-two scalings),
+    // box upsample (constant), fixed-point YCbCr→RGB with positive-bias
+    // floor divisions — so the oracle replays pixel VALUES from pure
+    // integer arithmetic: per-macroblock decoded colors plus a whole-
+    // buffer weighted sum (any Huffman, MCU-walk, dequant, upsample, or
+    // conversion error hash-fails). ImageIO interop and general-content
+    // tolerance laws live in MultimodalSpec.
+    Q("q225_jpeg_color",
+      """WITH dims AS (SELECT doc_id, CAST(16*(1+doc_id%3) AS INT) AS w,
+        |                CAST(16*(1+doc_id%2) AS INT) AS h FROM documents),
+        | mbs AS (
+        |  SELECT doc_id, w, h, CAST(m AS INT) AS mb
+        |  FROM dims CROSS JOIN range(0, 6) t(m)
+        |  WHERE m < (w // 16) * (h // 16)),
+        | colors AS (
+        |  SELECT doc_id, w, h, mb,
+        |    (doc_id*31 + mb*51 + 37) % 256 AS r0,
+        |    (doc_id*13 + mb*77 + 91) % 256 AS g0,
+        |    (doc_id*7 + mb*29 + 13) % 256 AS b0
+        |  FROM mbs),
+        | ycc AS (
+        |  SELECT doc_id, w, h, mb,
+        |    least(255, greatest(0, (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536)) AS y,
+        |    least(255, greatest(0, (-11059*r0 - 21709*g0 + 32768*b0 + 8421376) // 65536)) AS cb,
+        |    least(255, greatest(0, (32768*r0 - 27439*g0 - 5329*b0 + 8421376) // 65536)) AS cr
+        |  FROM colors),
+        | dec AS (
+        |  SELECT doc_id, w, h, mb,
+        |    CAST(least(255, greatest(0, (65536*y + 91881*(cr-128) + 11829248) // 65536 - 180)) AS INT) AS r,
+        |    CAST(least(255, greatest(0, (65536*y - 22554*(cb-128) - 46802*(cr-128) + 8880128) // 65536 - 135)) AS INT) AS g,
+        |    CAST(least(255, greatest(0, (65536*y + 116130*(cb-128) + 14909440) // 65536 - 227)) AS INT) AS b
+        |  FROM ycc),
+        | sums AS (SELECT doc_id, SUM(256*(r + 2*g + 3*b)) AS img_sum FROM dec GROUP BY doc_id)
+        |SELECT d.doc_id AS asset_id, d.w, d.h, d.mb, d.r, d.g, d.b,
+        |  CAST(s.img_sum AS BIGINT) AS img_sum
+        |FROM dec d JOIN sums s USING (doc_id)
+        |ORDER BY asset_id, mb""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (16 * (1 + id % 3)).toInt
+          val h = (16 * (1 + id % 2)).toInt
+          val mbCols = w / 16
+          val rgb = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < w * h) {
+            val mb = ((p / w) / 16) * mbCols + (p % w) / 16
+            rgb(3 * p) = ((id * 31 + mb * 51 + 37) % 256).toByte
+            rgb(3 * p + 1) = ((id * 13 + mb * 77 + 91) % 256).toByte
+            rgb(3 * p + 2) = ((id * 7 + mb * 29 + 13) % 256).toByte
+            p += 1
+          }
+          val jpg = jpegEncodeColor420(rgb, w, h, JpegFlatQuant8, JpegFlatQuant8)
+          val (dw, dh, out) = jpegDecodeColor(jpg).getOrElse(
+            throw new IllegalStateException(s"undecodable color JPEG for asset $id"))
+          var imgSum = 0L
+          var q = 0
+          while (q < dw * dh) {
+            imgSum += (out(3 * q) & 0xff) + 2 * (out(3 * q + 1) & 0xff) +
+              3 * (out(3 * q + 2) & 0xff)
+            q += 1
+          }
+          (0 until (w / 16) * (h / 16)).iterator.map { mb =>
+            val cy = (mb / mbCols) * 16 + 8; val cx = (mb % mbCols) * 16 + 8
+            val o = 3 * (cy * dw + cx)
+            (id, dw, dh, mb, out(o) & 0xff, out(o + 1) & 0xff, out(o + 2) & 0xff,
+              imgSum)
+          }
+        }
+      }.toDF("asset_id", "w", "h", "mb", "r", "g", "b", "img_sum")
+        .orderBy("asset_id", "mb")
     },
 
     // Image-CONTENT near-dup (the r14 verdict's missing #4, first half):

@@ -487,6 +487,112 @@ class MultimodalSpec extends SparkSpec {
     assert((w1, h1) === ((6, 4)) && d1.toSeq === frames.head.toSeq)
   }
 
+  test("color JPEG: macroblock-constant 4:2:0 round-trip is EXACTLY the fixed-point YCC chain") {
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](3 * w * h)
+    for (p <- 0 until w * h) {
+      val mb = ((p / w) / 16) * 2 + (p % w) / 16
+      rgb(3 * p) = ((37 + mb * 51) % 256).toByte
+      rgb(3 * p + 1) = ((91 + mb * 77) % 256).toByte
+      rgb(3 * p + 2) = ((13 + mb * 29) % 256).toByte
+    }
+    val jpg = Multimodal.jpegEncodeColor420(rgb, w, h,
+      Multimodal.JpegFlatQuant8, Multimodal.JpegFlatQuant8)
+    val Some((dw, dh, out)) = Multimodal.jpegDecodeColor(jpg)
+    assert((dw, dh) === ((w, h)))
+    for (p <- 0 until w * h) {
+      val (y, cb, cr) = Multimodal.rgbToYcc(
+        rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff, rgb(3 * p + 2) & 0xff)
+      val (er, eg, eb) = Multimodal.yccToRgb(y, cb, cr)
+      assert((out(3 * p) & 0xff, out(3 * p + 1) & 0xff, out(3 * p + 2) & 0xff)
+        === ((er, eg, eb)), s"pixel $p")
+    }
+  }
+
+  test("color JPEG decoder reads FOREIGN files: ImageIO's own 4:2:0 output, within IDCT tolerance") {
+    // uniform-chroma content (r=g=b) so the decoders' different chroma
+    // upsampling filters cannot contribute — the residual ±1 is IDCT
+    // rounding, same tolerance as the grayscale foreign-file law
+    val w = 32; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 8 + y * 3) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val foreign = bos.toByteArray
+    val Some((dw, dh, out)) = Multimodal.jpegDecodeColor(foreign)
+    assert((dw, dh) === ((w, h)))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val io = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val us = out(3 * (y * w + x) + c) & 0xff
+      assert(math.abs(io - us) <= 1, s"pixel ($x,$y) channel $c: ImageIO $io vs ours $us")
+    }
+  }
+
+  test("color JPEG encoder emits REAL spec JPEG: ImageIO decodes it within tolerance") {
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](3 * w * h)
+    for (p <- 0 until w * h) {
+      val v = ((p % w) * 5 + (p / w) * 11) % 256
+      rgb(3 * p) = v.toByte; rgb(3 * p + 1) = v.toByte; rgb(3 * p + 2) = v.toByte
+    }
+    val jpg = Multimodal.jpegEncodeColor420(rgb, w, h)
+    val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(io != null, "ImageIO rejected our color JPEG")
+    val Some((_, _, ours)) = Multimodal.jpegDecodeColor(jpg)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rr = (io.getRGB(x, y) >> 16) & 0xff
+      val us = ours(3 * (y * w + x)) & 0xff
+      assert(math.abs(rr - us) <= 1, s"pixel ($x,$y): ImageIO $rr vs ours $us")
+    }
+  }
+
+  test("color JPEG decode fails closed: grayscale stream, truncation, unsupported sampling, garbage") {
+    val gray = Multimodal.jpegEncodeGray(Array.tabulate(64 * 64)(_.toByte), 64, 64)
+    assert(Multimodal.jpegDecodeColor(gray) === None) // 1 component
+    val w = 32; val h = 32
+    val rgb = Array.fill(3 * w * h)(100.toByte)
+    val jpg = Multimodal.jpegEncodeColor420(rgb, w, h)
+    assert(Multimodal.jpegDecodeColor(jpg.dropRight(10)) === None)
+    assert(Multimodal.jpegDecodeColor("not a jpeg".getBytes("US-ASCII")) === None)
+    // flip Y's sampling byte 0x22 -> 0x21 (4:2:2): structure check refuses
+    val bad = jpg.clone()
+    var off = -1
+    var i = 2
+    while (off < 0 && i + 4 < bad.length) {
+      if ((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0) off = i + 4 + 7
+      i += 1
+    }
+    assert(off > 0 && (bad(off) & 0xff) === 0x22, "SOF0 sampling byte located")
+    bad(off) = 0x21
+    assert(Multimodal.jpegDecodeColor(bad) === None)
+    // the color decoder and gray decoder are mutually exclusive by design
+    assert(Multimodal.jpegDecodeGray(jpg) === None)
+  }
+
+  test("cross-container near-dup key: gray content as COLOR JPEG hashes identically to gray PNG") {
+    // luma of (v,v,v) is exactly v in the fixed point, chroma exactly 128,
+    // and flat-quant constant blocks are lossless — so the same content
+    // crawled as a grayscale PNG and as a color JPEG collides in the index
+    for (src <- Seq(3L, 21L, 44L)) {
+      val gray = Multimodal.synthPixels(src, pert = false)
+      val rgb = new Array[Byte](3 * gray.length)
+      for (p <- gray.indices) {
+        rgb(3 * p) = gray(p); rgb(3 * p + 1) = gray(p); rgb(3 * p + 2) = gray(p)
+      }
+      val viaPng = Multimodal.decodeDhash(src,
+        Multimodal.pngEncodeGray(gray, 64, 64), "png")
+      val viaColorJpeg = Multimodal.decodeDhash(src,
+        Multimodal.jpegEncodeColor420(rgb, 64, 64,
+          Multimodal.JpegFlatQuant8, Multimodal.JpegFlatQuant8), "jpeg-color")
+      assert(viaPng === viaColorJpeg, s"container split the content key for $src")
+    }
+  }
+
   test("decodeDhash wav path: envelope key through the real PCM parser; fail-closed on bad input") {
     val samples = Array.tabulate(1024)(t => ((t * 37) % 4000).toShort)
     val wav = Multimodal.wavBytesPcm(8000, samples)
