@@ -244,5 +244,45 @@ object PipelineQueries {
         .withColumn("valid_to", col("valid_to").cast("string"))
         .orderBy("c_custkey", "valid_from")
     },
+
+    // Retention vacuum on a patch chain that CROSSES the horizon: v0 full
+    // (4 partitions), then three single-partition patches (p=1 +100,
+    // p=2 +200, p=3 +300), vacuum(keep=2). Retained v2 still reaches p=3
+    // under v0 and p=1 under v1, so vacuum must keep exactly those foreign
+    // units while physically dropping v0's p=1/p=2 — the output then reads
+    // BOTH retained versions after the deletes ran, so a unit vacuum
+    // wrongly removed (or a read that stopped pruning through the
+    // surviving chain) changes values and hash-fails. The expired reads
+    // failing closed, the footprint counts, idempotence, and
+    // vacuum-then-write are WritersSpec laws.
+    Q("q227_retention_vacuum",
+      """WITH base AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS p, n_chars AS m
+        |              FROM documents),
+        | v2 AS (SELECT doc_id, p,
+        |          m + CASE p WHEN 1 THEN 100 WHEN 2 THEN 200 ELSE 0 END AS m
+        |        FROM base),
+        | v3 AS (SELECT doc_id, p,
+        |          m + CASE p WHEN 1 THEN 100 WHEN 2 THEN 200 WHEN 3 THEN 300 ELSE 0 END AS m
+        |        FROM base)
+        |SELECT CAST(2 AS INT) AS version, doc_id, p, m FROM v2
+        |UNION ALL SELECT CAST(3 AS INT), doc_id, p, m FROM v3
+        |ORDER BY version, doc_id""".stripMargin) { (s, d) =>
+      val wh = Files.createTempDirectory("graft-q227").toString
+      val table = new VersionedTable(s, s"$wh/docs")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("p"),
+          col("n_chars").as("m"))
+      table.promote(table.stage(base, Seq("p")))
+      Seq(1 -> 100, 2 -> 200, 3 -> 300).foreach { case (part, delta) =>
+        table.promote(table.stagePatch(
+          base.filter(col("p") === part).withColumn("m", col("m") + delta),
+          Seq("p")))
+      }
+      table.vacuum(keep = 2)
+      table.readVersion(2).withColumn("version", lit(2))
+        .unionByName(table.readVersion(3).withColumn("version", lit(3)))
+        .select(col("version"), col("doc_id"), col("p").cast("int").as("p"), col("m"))
+        .orderBy("version", "doc_id")
+    },
   )
 }

@@ -598,6 +598,75 @@ object Curation {
       .drop("__u")
   }
 
+  /** Token-budgeted stratum mixing — the form a training-mixture spec
+    * actually takes ("50B tokens of web, 5B of code"), where
+    * [[temperatureMix]] and [[capPerStratum]] ration DOCUMENTS. Docs are
+    * admitted per stratum in the deterministic md5-prefix order (the same
+    * cross-engine permutation every sampler here draws) until the stratum's
+    * token budget is consumed: a doc is kept iff the tokens admitted
+    * strictly before it total under the budget — so the budget-crossing doc
+    * is kept and a bound stratum lands at >= its budget, never under.
+    * Strata absent from the budget list are dropped (a mixture spec is a
+    * complete whitelist). NULL-text docs count zero tokens and ride their
+    * slot in the order.
+    *
+    * Scale shape — the naive form is a window partitioned by stratum, which
+    * serializes EACH STRATUM through one task (a 4-language 100 TB corpus =
+    * 4 tasks); this is instead the classic distributed prefix sum:
+    *   1. narrow (id, stratum, n_tokens, u) projection — text never
+    *      shuffles;
+    *   2. u's top bits cut the md5 order into `buckets` contiguous ranges;
+    *      per-(stratum, bucket) token subtotals aggregate map-side into a
+    *      strata×buckets relation;
+    *   3. bucket OFFSETS are a window over that tiny relation, broadcast
+    *      back; the in-bucket running sum partitions by (stratum, bucket) —
+    *      parallelism strata×buckets, each task one bucket's rows;
+    *   4. kept ids semi-join the corpus (AQE broadcasts when the mix is
+    *      small).
+    * The bucketing is invisible in the result: offset + in-bucket sum IS
+    * the global running sum, which is what the q226 oracle replays with a
+    * plain per-stratum window.
+    *
+    * Output: the kept docs with `n_tokens` and the inclusive global
+    * `cum_tokens` — the admission ledger a mixture manifest records.
+    */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, budgets: Seq[(String, Long)],
+                     idCol: String = "doc_id", textCol: String = "text",
+                     buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0),
+      s"budgets must be non-negative: $budgets")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = broadcast(budgets.toDF("__s", "__budget"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val nTok = coalesce(
+      size(filter(split(col(textCol), graft.expressions.Ws.Regex), w => w =!= ""))
+        .cast("long"), lit(0L))
+    // 2^60 / buckets as an integer divisor keeps the ranges contiguous in u
+    val narrow = df
+      .join(b, col(stratumCol) <=> col("__s"))
+      .select(col(idCol).as("__id"), col("__s"), col("__budget"),
+        nTok.as("n_tokens"), u.as("__u"))
+      .withColumn("__bk", (col("__u") / lit(1152921504606846976L / buckets))
+        .cast("long"))
+    val subtotals = narrow.groupBy("__s", "__bk")
+      .agg(sum("n_tokens").as("__sub"))
+    val offsets = subtotals.select(col("__s"), col("__bk"),
+      (sum("__sub").over(Window.partitionBy("__s").orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("__sub")).as("__off"))
+    val cums = narrow.join(broadcast(offsets), Seq("__s", "__bk"))
+      .withColumn("cum_tokens", col("__off") +
+        sum("n_tokens").over(Window.partitionBy("__s", "__bk")
+          .orderBy(col("__u"), col("__id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") - col("n_tokens") < col("__budget"))
+      .select(col("__id"), col("n_tokens"), col("cum_tokens"))
+    df.join(cums, df(idCol) === cums("__id")).drop("__id")
+  }
+
   /** (name, cumulative-threshold) pairs: floor(cumFraction · 2^60) — driver
     * integers shared verbatim by the engine expression and the q97 oracle.
     */
@@ -1971,6 +2040,37 @@ FROM ext CROSS JOIN hot ORDER BY doc_id""") { (s, d) =>
       shuffleShards(Tables.documents(s, d).select("doc_id"), nShards = 8)
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
+    },
+
+    // Token-budgeted mixture: the per-language budgets bind (every listed
+    // stratum holds more tokens than its budget at both verify SFs), zh is
+    // deliberately absent from the spec (whitelist semantics — all its
+    // docs drop), and the admission ledger itself is certified: doc set,
+    // per-doc token counts, and the inclusive global running total in the
+    // md5 admission order. The engine computes that total as a bucketed
+    // two-level prefix sum (strata never serialize through one task); the
+    // oracle computes it as one plain window per stratum — bit-equal by
+    // construction, so any bucketing/offset/order error hash-fails.
+    Q("q226_token_budget_mix",
+      """WITH b(lang, budget) AS (VALUES ('en', 4000), ('de', 1500), ('es', 1800), ('fr', 1600)),
+        | toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(coalesce(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |                                  x -> x <> '')), 0) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        |  FROM documents),
+        | cums AS (
+        |  SELECT doc_id, lang, n_tokens, budget,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks JOIN b USING (lang))
+        |SELECT doc_id, lang, n_tokens, cum_tokens
+        |FROM cums WHERE cum_tokens - n_tokens < budget
+        |ORDER BY lang, cum_tokens, doc_id""".stripMargin) { (s, d) =>
+      tokenBudgetMix(Tables.documents(s, d).select("doc_id", "lang", "text"),
+          "lang", Seq("en" -> 4000L, "de" -> 1500L, "es" -> 1800L, "fr" -> 1600L))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("lang", "cum_tokens", "doc_id")
     },
   )
 }

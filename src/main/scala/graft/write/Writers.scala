@@ -221,6 +221,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def readVersion(version: Int): DataFrame = {
     require(version >= 0 && Files.exists(Paths.get(root, s"v$version")),
       s"version $version does not exist at $root")
+    // fail closed on a vacuumed version: its directory may survive (it can
+    // still hold units inherited by RETAINED versions' file lists) but its
+    // own read view is gone — without this marker a vacuumed patch version
+    // would fall into the whole-directory branch below and silently serve
+    // only its surviving units as if they were the complete table
+    require(!Files.exists(Paths.get(root, s"v$version", "_VACUUMED")),
+      s"version $version at $root was removed by vacuum")
     if (!Files.exists(fileListPath(version))) spark.read.parquet(s"$root/v$version")
     else {
       val legs = entries(version).groupBy(_._1).toSeq.sortBy(_._1)
@@ -378,6 +385,79 @@ final class VersionedTable(spark: SparkSession, root: String) {
         out.sorted.toSeq
       } finally stream.close()
     }
+  }
+
+  /** Retention vacuum: physically reclaim every version older than the
+    * last `keep` committed ones, without breaking the retained versions'
+    * reads. Promote never deletes (that is what makes time travel and
+    * crash-safety free), so a long-lived table accretes every version ever
+    * staged; this is the missing half of that protocol — the reference
+    * counting that makes retention SAFE for patch/append chains, where a
+    * retained version's `_FILELIST` reaches units living under much older
+    * version directories.
+    *
+    * Mechanics: the retained versions' provenance entries form the
+    * reachable (version, unit) set; every unit of an expired version NOT in
+    * that set is deleted (a unit = one hive partition directory or one data
+    * file — the same granularity the file lists reference). An expired
+    * directory left holding reachable units gets a `_VACUUMED` marker so
+    * its own read view fails closed ([[readVersion]]) instead of silently
+    * serving the survivors as a whole table; a directory with none is
+    * removed outright. Versions staged ABOVE the current manifest are an
+    * in-flight promote and are never touched.
+    *
+    * Crash-convergent: the manifest is never written, deletion is
+    * idempotent, and a crash mid-vacuum leaves extra (still-correct) units
+    * for the next run — the same argument as the index compactions. On an
+    * object store this is the lifecycle-delete pass over unreferenced
+    * objects (Delta VACUUM / Iceberg expire_snapshots).
+    *
+    * Returns (fully removed versions, units deleted).
+    */
+  def vacuum(keep: Int = 1): (Seq[Int], Long) = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val current = currentVersion.getOrElse(throw new IllegalStateException(
+      s"vacuum needs a committed version at $root"))
+    val expired = versions.filter(v => v <= current - keep)
+    val retained = versions.filter(v => v > current - keep && v <= current)
+    val reachable: Set[(Int, String)] = retained.flatMap(entries).toSet
+    var removedUnits = 0L
+    val removedVersions = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p)
+        try {
+          val it = stream.iterator()
+          while (it.hasNext) deleteRecursively(it.next())
+        } finally stream.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    expired.foreach { v =>
+      val dir = Paths.get(root, s"v$v")
+      val own = partitionDirs(v) ++ partFiles(v)
+      val (kept, dead) = own.partition(u => reachable.contains((v, u)))
+      dead.foreach { u => deleteRecursively(dir.resolve(u)); removedUnits += 1 }
+      Files.deleteIfExists(fileListPath(v))
+      if (kept.isEmpty) { deleteRecursively(dir); removedVersions += v }
+      else {
+        // mark, then sweep leftovers the unit walk does not cover
+        // (_SUCCESS, checksum sidecars) so only data units remain
+        val stream = Files.list(dir)
+        try {
+          val it = stream.iterator()
+          val extra = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (!kept.contains(n) && n != "_VACUUMED") extra += p
+          }
+          extra.foreach(deleteRecursively)
+        } finally stream.close()
+        Files.write(dir.resolve("_VACUUMED"), Array.emptyByteArray)
+      }
+    }
+    (removedVersions.toSeq, removedUnits)
   }
 
   /** Stage `df` as the next version; returns the staged version number

@@ -687,4 +687,57 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(11L, 12L))
   }
+
+  // --- tokenBudgetMix ---------------------------------------------------
+
+  private def mixCorpus: org.apache.spark.sql.DataFrame =
+    (0 until 120).map { i =>
+      val lang = Seq("en", "de", "zz")(i % 3)
+      (i.toLong, lang, Seq.fill(1 + i % 5)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+
+  test("tokenBudgetMix: bound strata land at >= budget, crossing doc kept, whitelist drops") {
+    val out = Curation.tokenBudgetMix(mixCorpus, "lang",
+      Seq("en" -> 20L, "de" -> 35L)).cache()
+    val totals = out.groupBy("lang").agg(sum("n_tokens").as("tot"),
+      max("cum_tokens").as("mx")).as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // budget binds: total >= budget, and minus the LAST admitted doc < budget
+    for ((lang, budget) <- Seq("en" -> 20L, "de" -> 35L)) {
+      val (tot, mx) = totals(lang)
+      assert(tot === mx)
+      assert(tot >= budget)
+      val lastTok = out.filter(col("lang") === lang)
+        .orderBy(col("cum_tokens").desc).limit(1)
+        .select("n_tokens").as[Long].head()
+      assert(tot - lastTok < budget)
+    }
+    assert(out.filter(col("lang") === "zz").count() === 0)
+  }
+
+  test("tokenBudgetMix: bucketed prefix sum is invariant in the bucket count") {
+    def run(b: Int) = Curation.tokenBudgetMix(mixCorpus, "lang",
+        Seq("en" -> 20L, "de" -> 35L), buckets = b)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    val one = run(1)
+    assert(run(7) === one)
+    assert(run(64) === one)
+  }
+
+  test("tokenBudgetMix: zero-token and NULL-text docs ride their slot, zero budget keeps nothing") {
+    val df = Seq((1L, "en", null.asInstanceOf[String]), (2L, "en", "   "),
+      (3L, "en", "a b c"), (4L, "en", "d e")).toDF("doc_id", "lang", "text")
+    val out = Curation.tokenBudgetMix(df, "lang", Seq("en" -> 4L))
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // NULL and blank text both count zero tokens wherever they land
+    out.filter(r => r._1 == 1L || r._1 == 2L).foreach(r => assert(r._2 === 0L))
+    // total mass (5) exceeds the budget (4), so the budget binds exactly:
+    // kept total >= 4 and the total minus the LAST admitted doc < 4
+    val tot = out.map(_._2).sum
+    assert(tot >= 4L && tot - out.last._2 < 4L)
+    val none = Curation.tokenBudgetMix(df, "lang", Seq("en" -> 0L))
+    assert(none.count() === 0)
+  }
 }

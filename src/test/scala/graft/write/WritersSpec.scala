@@ -208,4 +208,67 @@ class WritersSpec extends SparkSpec {
     assert(e.getMessage.contains("applyChangelog") ||
       Option(e.getCause).exists(_.getMessage.contains("applyChangelog")))
   }
+
+  // --- retention vacuum -----------------------------------------------
+
+  private def chainFixture(): (VersionedTable, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    val t = new VersionedTable(spark, s"$root/t")
+    val base = (0 until 16).map(i => (i.toLong, i % 4, i * 10L)).toDF("id", "p", "m")
+    t.promote(t.stage(base, Seq("p")))
+    Seq(1 -> 100L, 2 -> 200L, 3 -> 300L).foreach { case (part, delta) =>
+      t.promote(t.stagePatch(
+        base.filter(col("p") === part).withColumn("m", col("m") + delta), Seq("p")))
+    }
+    (t, s"$root/t")
+  }
+
+  test("vacuum keeps retained chain reads byte-identical, drops only unreachable units") {
+    val (t, root) = chainFixture()
+    def snap(v: Int) = t.readVersion(v).as[(Long, Long, Int)].collect().toSet
+    val (v2, v3) = (snap(2), snap(3))
+    val (removedVersions, removedUnits) = t.vacuum(keep = 2)
+    // v0 loses p=1,p=2 (superseded in every retained view); keeps p=0,p=3
+    // (v2 still reads p=3 from v0); v1 keeps its only unit p=1
+    assert(removedVersions.isEmpty) // both expired dirs still hold reachable units
+    assert(removedUnits === 2L)
+    val p = java.nio.file.Paths.get(root)
+    assert(!java.nio.file.Files.exists(p.resolve("v0/p=1")))
+    assert(!java.nio.file.Files.exists(p.resolve("v0/p=2")))
+    assert(java.nio.file.Files.exists(p.resolve("v0/p=0")))
+    assert(java.nio.file.Files.exists(p.resolve("v0/p=3")))
+    assert(java.nio.file.Files.exists(p.resolve("v1/p=1")))
+    assert(snap(2) === v2 && snap(3) === v3)
+    assert(t.read().as[(Long, Long, Int)].collect().toSet === v3)
+  }
+
+  test("vacuum fails expired reads closed, including partially-surviving dirs") {
+    val (t, _) = chainFixture()
+    t.vacuum(keep = 2)
+    // v0's dir survives (holds reachable units) — the marker must still
+    // block its own read, or it would silently serve 2 of 4 partitions
+    intercept[IllegalArgumentException](t.readVersion(0))
+    intercept[IllegalArgumentException](t.readVersion(1))
+  }
+
+  test("vacuum is idempotent and the chain keeps writing afterwards") {
+    val (t, _) = chainFixture()
+    t.vacuum(keep = 2)
+    assert(t.vacuum(keep = 2) === ((Seq.empty[Int], 0L)))
+    val extra = Seq((99L, 0, 999L)).toDF("id", "p", "m")
+    t.promote(t.stagePatch(extra, Seq("p")))
+    assert(t.read().filter(col("p") === 0).count() === 1)
+    assert(t.chainDepth >= 2)
+  }
+
+  test("vacuum removes fully-unreferenced whole-directory versions outright") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vacuum2").toString
+    val t = new VersionedTable(spark, s"$root/t")
+    (0 until 3).foreach(i => t.fullRefresh(Seq((i.toLong, i.toLong)).toDF("id", "m")))
+    val (removedVersions, _) = t.vacuum(keep = 1)
+    assert(removedVersions === Seq(0, 1))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/t/v0")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/t/v1")))
+    assert(t.read().as[(Long, Long)].collect().toSeq === Seq((2L, 2L)))
+  }
 }
