@@ -217,6 +217,83 @@ object AnnIndex {
     ()
   }
 
+  /** Split oversized cells — the maintenance op the append path makes
+    * necessary: [[appendToIvfIndex]] assigns every new vector into the
+    * EXISTING cells, so a crawl that keeps landing near one region grows
+    * one cell without bound, and a probe routed there degrades toward a
+    * linear scan of that cell. Rebalance restores the IVF cost model
+    * without the full retrain: every cell larger than `maxFactor` × the
+    * median cell splits in two by a deterministic 2-means over its OWN
+    * int8 codes (seeds = the cell's md5-order-first members, `splitIters`
+    * assign/recenter rounds through [[Kmeans]]'s integer kernels — the
+    * index stores codes, so the split never needs the raw embeddings).
+    *
+    * Writes: ONE postings patch whose partitions are exactly the touched
+    * cells (survivor halves under their old cid, split halves under fresh
+    * sequential cids — [[graft.write.VersionedTable.stagePatch]] inherits
+    * every untouched cell by reference), plus the metadata-sized centroid
+    * table restaged with the split cells' routing centroids (each sub-cell's
+    * integer code mean, unit-normalized — the same serving compromise as
+    * append: probes route through refreshed cell geometry, exact scoring
+    * is unchanged because scores come from the stored codes, not the
+    * centroids). Tombstones ride untouched: they key on nid.
+    *
+    * Driver cost: the cell-size aggregate (≤ nCells rows) plus
+    * O(hot × splitIters) small Spark jobs, each over ONE directory-pruned
+    * cell — the same lifecycle-job shape as the PageRank index appends.
+    * Probe answers under a full-coverage probe are EXACTLY invariant (the
+    * postings multiset is only re-partitioned, q228's oracle certifies it
+    * value-level); balance and footprint laws live in AnnIndexSpec.
+    *
+    * Returns the split cell ids (empty = index already balanced).
+    */
+  def rebalanceIvfIndex(spark: SparkSession, root: String,
+                        maxFactor: Long = 2, splitIters: Int = 2): Seq[Int] = {
+    require(maxFactor >= 1, s"maxFactor must be >= 1, got $maxFactor")
+    val pt = postingsTable(spark, root)
+    val sizes = pt.read().groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val sorted = sizes.map(_._2).sorted
+    val median = sorted((sorted.length - 1) / 2)
+    val hot = sizes.filter(_._2 > maxFactor * median).map(_._1)
+    if (hot.isEmpty) return Nil
+    val cents = readCentroids(spark, root).toMap
+    var nextCid = cents.keys.max + 1
+    val split = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val patches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val newCents = scala.collection.mutable.Map.empty[Int, Seq[Double]]
+    def unitMean(c: Array[Long], fallback: Seq[Double]): Seq[Double] = {
+      val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      if (norm == 0d) fallback else c.map(_.toDouble / norm).toSeq
+    }
+    hot.foreach { h =>
+      val members = pt.read().filter(col("cid") === h)
+        .withColumn("gcode", col("code").cast("array<bigint>"))
+        .localCheckpoint()
+      val sub = Kmeans.lloyd(members, k = 2, iters = splitIters, idCol = "nid")
+      val assigned = Kmeans.assignNearest(members, sub, codeCol = "gcode")
+        .localCheckpoint()
+      // a degenerate cell (all codes identical) assigns everything to one
+      // sub-centroid — leave it alone rather than minting an empty cell
+      if (assigned.select("cid").distinct().count() == 2) {
+        val fresh = nextCid; nextCid += 1; split += h
+        patches += assigned
+          .withColumn("cid", when(col("cid") === 0, lit(h)).otherwise(lit(fresh)))
+          .select(col("nid"), col("code"), col("cid"))
+        newCents(h) = unitMean(sub(0), cents(h))
+        newCents(fresh) = unitMean(sub(1), cents(h))
+      }
+    }
+    if (split.isEmpty) return Nil
+    pt.promote(pt.stagePatch(patches.reduce(_ unionByName _), Seq("cid")),
+      pt.currentTag)
+    import spark.implicits._
+    val ct = centroidsTable(spark, root)
+    val updated = (cents ++ newCents).toSeq.sortBy(_._1).toDF("cid", "centroid")
+    ct.promote(ct.stage(updated), ct.currentTag)
+    split.toSeq
+  }
+
   /** Read the centroid model back as the driver-side array the assignment
     * kernel needs — nCentroids × dim doubles, the same metadata-bounded
     * collect class as centroid training itself.
@@ -479,6 +556,80 @@ object AnnIndex {
         .filter(col("rnk") === 1).select("qid", "nid", "score")
         .withColumn("phase", lit("compacted"))
       served.unionByName(compacted)
+        .select("phase", "qid", "nid", "score")
+        .orderBy("phase", "qid")
+    },
+
+    // Hot-cell rebalance through the full lifecycle that CAUSES the skew:
+    // build over corpus+twins, then append a 240-vector clump (60
+    // near-copies of each of vectors 0..3 — appends assign into existing
+    // cells, so the clump piles onto a handful of them), rebalance (the
+    // query REQUIRES at least one cell split — the fixture must exercise
+    // the op), and serve three phases against ONE brute-force oracle:
+    // 'pre' (nProbe=3 before the split), 'post' (nProbe=3 after — probes
+    // route through the refreshed split-cell centroids), and 'full'
+    // (full-coverage probe after — the postings multiset was only
+    // re-partitioned, so full coverage is EXACTLY brute force; any posting
+    // lost, duplicated, or code-corrupted by the split rewrite hash-fails).
+    // For queries 0..3 the brute-force rank-1 is the clump's exact copy
+    // (r % 7 = 0 twins tie on score, min nid wins); query 4 keeps its
+    // +0.02 twin — so the answer set spans both clump-split and untouched
+    // cells. Balance/footprint/determinism laws live in AnnIndexSpec.
+    Q("q228_ann_rebalance",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5
+        |          UNION ALL
+        |          SELECT 200000 + vec_id * 100 + r,
+        |            CAST(list_transform(embedding,
+        |              x -> x + CAST(0.003 AS FLOAT) * CAST(r % 7 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings, range(0, 60) t(r) WHERE vec_id < 4),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored),
+        | top AS (SELECT qid, nid, score FROM ranked WHERE rnk = 1)
+        |SELECT phase, qid, nid, score
+        |FROM top CROSS JOIN (SELECT unnest(['full','post','pre']) AS phase)
+        |ORDER BY phase, qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 5)
+      val twins = probes
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val clump = emb.filter(col("vec_id") < 4)
+        .crossJoin(broadcast(s.range(60).select(col("id").as("r"))))
+        .select((lit(200000L) + col("vec_id") * 100 + col("r")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(0.003f) * pmod(col("r"), lit(7)).cast("float"))
+            .cast("array<float>").as("embedding"))
+      val root = s"${graft.core.Scratch.dir("graft-q228")}/ivf"
+      buildIvfIndex(emb.unionByName(twins), root)
+      appendToIvfIndex(clump, root)
+      def serve(phase: String, nProbe: Int) =
+        probeIvf(s, root, probes, k = 1, nProbe = nProbe)
+          .filter(col("rnk") === 1).select("qid", "nid", "score")
+          .withColumn("phase", lit(phase))
+      val pre = serve("pre", 3).localCheckpoint()
+      val split = rebalanceIvfIndex(s, root, maxFactor = 2)
+      require(split.nonEmpty,
+        "q228 fixture must leave at least one hot cell for rebalance to split")
+      pre.unionByName(serve("post", 3)).unionByName(serve("full", 4096))
         .select("phase", "qid", "nid", "score")
         .orderBy("phase", "qid")
     },

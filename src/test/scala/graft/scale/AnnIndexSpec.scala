@@ -259,4 +259,107 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(twinCells.size === 5)
   }
+
+  // --- rebalance --------------------------------------------------------
+
+  /** Build + append the q228-shaped clump so at least one cell is hot. */
+  private def skewedRoot(tag: String): String = {
+    val root = tmpRoot(tag)
+    val clump = emb.filter(col("vec_id") < 2)
+      .crossJoin(broadcast(spark.range(80).select(col("id").as("r"))))
+      .select((lit(200000L) + col("vec_id") * 100 + col("r")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.003f) * pmod(col("r"), lit(7)).cast("float"))
+          .cast("array<float>").as("embedding"))
+    AnnIndex.buildIvfIndex(emb, root)
+    AnnIndex.appendToIvfIndex(clump, root)
+    root
+  }
+
+  private def postings(root: String) =
+    new graft.write.VersionedTable(spark, s"$root/postings").read()
+
+  test("rebalance re-partitions the postings multiset exactly: nothing lost, duped, or recoded") {
+    import spark.implicits._
+    val root = skewedRoot("rebal")
+    val before = postings(root)
+      .select(col("nid"), col("code").cast("array<int>"), col("cid"))
+      .as[(Long, Seq[Int], Int)].collect()
+    val split = AnnIndex.rebalanceIvfIndex(spark, root, maxFactor = 2)
+    assert(split.nonEmpty, "the clump fixture must make at least one cell hot")
+    val after = postings(root)
+      .select(col("nid"), col("code").cast("array<int>"), col("cid"))
+      .as[(Long, Seq[Int], Int)].collect()
+    // identical (nid, code) multiset
+    assert(after.map(r => (r._1, r._2)).sortBy(_._1).toSeq ===
+      before.map(r => (r._1, r._2)).sortBy(_._1).toSeq)
+    // refinement: untouched cells keep their cid; hot members stay in
+    // their old cid or move to a fresh one (> every pre-existing cid)
+    val maxOld = before.map(_._3).max
+    val beforeCid = before.map(r => r._1 -> r._3).toMap
+    after.foreach { case (nid, _, cid) =>
+      val old = beforeCid(nid)
+      if (split.contains(old)) assert(cid === old || cid > maxOld)
+      else assert(cid === old)
+    }
+    // balance improved: every split cell's halves are both strictly
+    // smaller than the original hot cell
+    val beforeSizes = before.groupBy(_._3).view.mapValues(_.length).toMap
+    val afterSizes = after.groupBy(_._3).view.mapValues(_.length).toMap
+    split.foreach { h =>
+      assert(afterSizes(h) < beforeSizes(h))
+      assert(afterSizes.keys.max > maxOld)
+    }
+  }
+
+  test("rebalance writes only the touched cells; untouched cell files are inherited") {
+    val root = skewedRoot("rebalfoot")
+    val split = AnnIndex.rebalanceIvfIndex(spark, root, maxFactor = 2)
+    assert(split.nonEmpty)
+    val t = new graft.write.VersionedTable(spark, s"$root/postings")
+    val v = t.currentVersion.get
+    val d = java.nio.file.Paths.get(s"$root/postings/v$v")
+    val s = java.nio.file.Files.list(d)
+    val dirs = try {
+      val it = s.iterator(); val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) { val n = it.next().getFileName.toString
+        if (n.startsWith("cid=")) out += n.stripPrefix("cid=").toInt.toString }
+      out.toSet
+    } finally s.close()
+    // the patch version's own dirs are exactly: split cells + their fresh halves
+    assert(dirs.size === 2 * split.size,
+      s"rebalance staged ${dirs.size} cell dirs for ${split.size} splits: $dirs")
+    split.foreach(h => assert(dirs.contains(h.toString)))
+  }
+
+  test("rebalance is deterministic and a no-op on a balanced index") {
+    import spark.implicits._
+    def assignment(root: String): Map[Long, Int] = {
+      AnnIndex.rebalanceIvfIndex(spark, root, maxFactor = 2)
+      postings(root).select(col("nid"), col("cid")).as[(Long, Int)].collect().toMap
+    }
+    assert(assignment(skewedRoot("det1")) === assignment(skewedRoot("det2")))
+    // balanced: no clump — nothing exceeds 2x the median
+    val root = tmpRoot("noop")
+    AnnIndex.buildIvfIndex(emb, root)
+    val v0 = new graft.write.VersionedTable(spark, s"$root/postings").currentVersion
+    assert(AnnIndex.rebalanceIvfIndex(spark, root, maxFactor = 4) === Seq.empty)
+    assert(new graft.write.VersionedTable(spark, s"$root/postings").currentVersion === v0)
+  }
+
+  test("rebalanced index serves a full-coverage probe exactly == quantizedTopK") {
+    val root = skewedRoot("rebalserve")
+    val clump = emb.filter(col("vec_id") < 2)
+      .crossJoin(broadcast(spark.range(80).select(col("id").as("r"))))
+      .select((lit(200000L) + col("vec_id") * 100 + col("r")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(0.003f) * pmod(col("r"), lit(7)).cast("float"))
+          .cast("array<float>").as("embedding"))
+    AnnIndex.rebalanceIvfIndex(spark, root, maxFactor = 2)
+    val probed = AnnIndex.probeIvf(spark, root, queries, 5, nProbe = 65536)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.quantizedTopK(emb.unionByName(clump), queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(probed === brute && probed.nonEmpty)
+  }
 }
