@@ -280,6 +280,48 @@ object Curation {
       .withColumn("surprisal", coalesce(col("surprisal"), lit(0L)))
   }
 
+  /** CCNet's head/middle/tail routing (Wenzek et al. 2020 §4.3): each
+    * language's documents split into perplexity terciles under the corpus
+    * LM — 'head' (most fluent) feeds high-quality training mixes, 'tail'
+    * gets dropped or down-weighted. The LM score is [[unigramSurprisal]]'s
+    * integer bits; the per-token key is `surprisal · 2^20 div n_tokens`
+    * (exact integer, token-count-invariant), and the tercile boundaries are
+    * exact-rank order statistics: k1 = the smallest key whose cumulative
+    * count reaches n/3 (3·cum ≥ n), k2 likewise at 2n/3. Ties share a key
+    * and therefore a bucket — the deterministic coarsening every
+    * equal-scored cohort should get (no arbitrary rank tiebreak inside a
+    * tied score).
+    *
+    * Scale shape: the corpus pays only the surprisal passes; bucketing
+    * runs entirely on the (lang, key) HISTOGRAM — grouped map-side, its
+    * size is languages × distinct keys, not documents — so the per-language
+    * window sorts a metadata-sized relation and the boundaries broadcast
+    * back over a codegen'd comparison. Zero-token docs key 0 (head).
+    */
+  def perplexityBuckets(docs: DataFrame, langCol: String = "lang",
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramSurprisal(docs, idCol, textCol)
+    val keyed = scored.withColumn("ppl_key",
+      when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr("surprisal * 1048576 div n_tokens")))
+    val hist = keyed.groupBy(col(langCol).as("__l"), col("ppl_key"))
+      .agg(count(lit(1)).as("__c"))
+    val cums = hist.select(col("__l"), col("ppl_key"),
+      sum("__c").over(Window.partitionBy("__l").orderBy("ppl_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("__cum"),
+      sum("__c").over(Window.partitionBy("__l")).as("__n"))
+    val bounds = cums.groupBy("__l").agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("ppl_key"))).as("__k1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("ppl_key"))).as("__k2"))
+    keyed.join(broadcast(bounds), col(langCol) <=> col("__l"))
+      .withColumn("bucket",
+        when(col("ppl_key") <= col("__k1"), "head")
+          .when(col("ppl_key") <= col("__k2"), "middle")
+          .otherwise("tail"))
+      .drop("__l", "__k1", "__k2")
+  }
+
   /** Bigram-LM surprisal scoring — the conditional-probability refinement of
     * [[unigramSurprisal]] (the CCNet perplexity-filter idea one model order
     * up): each within-document word transition (prev → cur) costs
@@ -2071,6 +2113,66 @@ FROM ext CROSS JOIN hot ORDER BY doc_id""") { (s, d) =>
           "lang", Seq("en" -> 4000L, "de" -> 1500L, "es" -> 1800L, "fr" -> 1600L))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
         .orderBy("lang", "cum_tokens", "doc_id")
+    },
+
+    // CCNet head/middle/tail routing over a corpus with PLANTED fluency
+    // spread: doc_id % 7 copies of a doc-unique rare token salt each
+    // document (the fixture corpus's organic floor-log2 surprisal is
+    // near-constant, which is itself informative — integer bits compress
+    // small fluency differences — so the fixture plants the spread the
+    // mechanism exists to split). The full per-document relation is
+    // certified: LM score, integer per-token key, and bucket — the oracle
+    // replays the vocabulary build, the bits arithmetic, the histogram
+    // cumsum, and both exact-rank boundaries, so a single mis-bucketed
+    // document hash-fails. Buckets land within one doc of perfect terciles
+    // per language at both verify SFs (planted keys are almost all
+    // distinct); ties share a bucket by construction.
+    Q("q229_perplexity_buckets",
+      """WITH fix AS (
+        |  SELECT doc_id, lang,
+        |    text || repeat(' u' || CAST(doc_id AS VARCHAR), CAST(doc_id % 7 AS INT)) AS text
+        |  FROM documents),
+        | w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |                                    x -> x <> '')) AS g
+        |  FROM fix),
+        | v AS (SELECT g, count(1) AS cnt FROM w GROUP BY 1),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        | s AS (
+        |  SELECT doc_id, count(1) AS n_tok,
+        |         CAST(sum(length(bin(total)) - length(bin(cnt))) AS BIGINT) AS surp
+        |  FROM w JOIN v USING (g) CROSS JOIN tot GROUP BY 1),
+        | keyed AS (
+        |  SELECT f.doc_id, f.lang,
+        |    CAST(coalesce(s.surp, 0) AS BIGINT) AS surprisal,
+        |    CASE WHEN coalesce(s.n_tok, 0) = 0 THEN 0
+        |         ELSE (coalesce(s.surp, 0) * 1048576) // s.n_tok END AS ppl_key
+        |  FROM fix f LEFT JOIN s USING (doc_id)),
+        | hist AS (SELECT lang, ppl_key, count(1) AS c FROM keyed GROUP BY 1, 2),
+        | cums AS (
+        |  SELECT lang, ppl_key,
+        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY ppl_key
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        | bounds AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum * 3 >= n THEN ppl_key END) AS k1,
+        |    min(CASE WHEN cum * 3 >= 2 * n THEN ppl_key END) AS k2
+        |  FROM cums GROUP BY 1)
+        |SELECT k.doc_id, k.lang, k.surprisal, k.ppl_key,
+        |  CASE WHEN k.ppl_key <= b.k1 THEN 'head'
+        |       WHEN k.ppl_key <= b.k2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM keyed k JOIN bounds b USING (lang)
+        |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      val fix = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          expr("repeat(concat(' u', CAST(doc_id AS STRING)), CAST(doc_id % 7 AS INT))"))
+          .as("text"))
+      perplexityBuckets(fix)
+        .select(col("doc_id"), col("lang"), col("surprisal"), col("ppl_key"),
+          col("bucket"))
+        .orderBy("doc_id")
     },
   )
 }

@@ -1,7 +1,7 @@
 package graft.scale
 
 import graft.core.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video payloads as opaque `binary`
@@ -1905,13 +1905,17 @@ object Multimodal {
             shiftright(col(hashCol), bandBits * i).bitwiseAND(lit(mask)).as("bits"))): _*))
           .as("__b"))
       .select(col(idCol), col(hashCol), col("__b.band"), col("__b.bits"))
+    // verify-then-distinct: the Hamming check runs INSIDE the join stage
+    // (codegen'd bit ops on the ~n²/2^bandBits candidate stream), so only
+    // verified pairs — a near-dup-sized relation — ever ride the distinct's
+    // shuffle. The distinct-then-verify order shuffled the whole candidate
+    // stream (~20M rows at 26k frames) just to dedup band multiplicity;
+    // same final pair set (ids map 1:1 to hashes).
     banded.as("x").join(banded.as("y"), Seq("band", "bits"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
-        col(s"x.$hashCol").as("__ha"), col(s"y.$hashCol").as("__hb"))
+      .filter(expr(s"bit_count(x.$hashCol ^ y.$hashCol) <= $maxHamming"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
       .distinct()
-      .filter(expr(s"bit_count(__ha ^ __hb) <= $maxHamming"))
-      .select("doc_a", "doc_b")
   }
 
   /** Rectified 64-slice amplitude envelope of a PCM clip, as bytes: slice
@@ -2038,6 +2042,21 @@ object Multimodal {
       .select(col("p_id").as(idCol)).distinct()
   }
 
+  /** The fixture id stream spread across the session's cores: the tiny
+    * local documents parquet reads as ONE split, which would serialize
+    * every codec fixture's encode/decode work through a single task — a
+    * real corpus arrives many-partitioned, so the local queries must not
+    * measure (or exercise) a parallelism the operator doesn't have. A
+    * round-robin repartition of bare longs is a trivial exchange next to
+    * the codec work it unlocks.
+    */
+  private def fixtureIds(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+  }
+
   final case class FormatFeatures(asset_id: Long, format: String,
                                   width: Option[Int], height: Option[Int],
                                   sample_rate: Option[Int], n_samples: Option[Long])
@@ -2108,7 +2127,7 @@ object Multimodal {
         | CASE WHEN doc_id % 3 = 2 THEN CAST(500 + doc_id % 1000 AS BIGINT) END AS n_samples
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      fixtureIds(s, d).mapPartitions { ids =>
         ids.map { id =>
           val payload = (id % 3) match {
             case 0 => gifBytes((1 + id % 640).toInt, (1 + id % 480).toInt)
@@ -2145,7 +2164,7 @@ object Multimodal {
         | CAST(1000 + doc_id % 9000 AS BIGINT) AS duration
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      fixtureIds(s, d).mapPartitions { ids =>
         ids.map { id =>
           val payload = mp4Bytes((600 + (id % 10) * 100).toInt, 1000 + id % 9000,
             v1 = id % 2 == 1)
@@ -2199,7 +2218,7 @@ object Multimodal {
         |         * (k + 1))), 0) AS BIGINT) AS checksum
         |FROM r ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      fixtureIds(s, d).mapPartitions { ids =>
         ids.map { id =>
           val w = (8 + id % 9).toInt
           val h = (8 + id % 7).toInt
@@ -2234,7 +2253,7 @@ object Multimodal {
         |   k -> ((doc_id * 37 + k * 11) % 256) * (k + 1))) AS BIGINT) AS checksum
         |FROM documents ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      fixtureIds(s, d).mapPartitions { ids =>
         ids.map { id =>
           val w = (8 + id % 11).toInt
           val h = (8 + id % 5).toInt
@@ -2273,7 +2292,7 @@ object Multimodal {
         |         * (k + 1))) AS BIGINT) AS checksum
         |FROM dims ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      fixtureIds(s, d).mapPartitions { ids =>
         ids.map { id =>
           val w = (8 * (1 + id % 3)).toInt
           val h = (8 * (1 + id % 2)).toInt
@@ -2336,7 +2355,7 @@ object Multimodal {
         |FROM dec d JOIN sums s USING (doc_id)
         |ORDER BY asset_id, mb""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      fixtureIds(s, d).mapPartitions { ids =>
         ids.flatMap { id =>
           val w = (16 * (1 + id % 3)).toInt
           val h = (16 * (1 + id % 2)).toInt
@@ -2430,7 +2449,7 @@ object Multimodal {
         |FROM hsh h LEFT JOIN lbl l USING (aid)
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val assets = fixtureIds(s, d)
         .mapPartitions { ids =>
           ids.flatMap { id =>
             val base = synthPixels(id, pert = false)
@@ -2525,7 +2544,7 @@ object Multimodal {
         |FROM hsh h LEFT JOIN lbl l USING (aid)
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val assets = fixtureIds(s, d)
         .mapPartitions { ids =>
           val md = java.security.MessageDigest.getInstance("MD5")
           def b1(tag: String): Int = {
@@ -2622,7 +2641,7 @@ object Multimodal {
         |FROM vids v LEFT JOIN lbl l ON l.aid = v.aid
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val assets = fixtureIds(s, d)
         .mapPartitions { ids =>
           ids.flatMap { id =>
             val frames = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
@@ -2706,7 +2725,7 @@ object Multimodal {
         |    AS BIGINT) AS zero_crossings
         |FROM s ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      fixtureIds(s, d).mapPartitions { ids =>
         ids.map { id =>
           val n = (200 + id % 300).toInt
           val samples = Array.tabulate(n)(i =>

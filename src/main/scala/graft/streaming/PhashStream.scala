@@ -253,10 +253,13 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
           .as("__b"))
       .select(col(s"${side}_id"), col(s"${side}_h"), col(s"${side}_f"),
         col("__b.band"), col("__b.bits"))
+    // verify-then-distinct (the phashPairs order): the Hamming check runs
+    // inside the join stage, so only verified frame pairs ride the
+    // band-multiplicity dedup shuffle — not the whole candidate stream
     banded(probe, "p").join(banded(index, "i"), Seq("band", "bits"))
       .filter(col("p_id") =!= col("i_id"))
-      .select("p_id", "p_f", "i_id", "i_f", "p_h", "i_h").distinct()
       .filter(expr(s"bit_count(p_h ^ i_h) <= $maxHamming"))
+      .select("p_id", "p_f", "i_id", "i_f").distinct()
       .groupBy("p_id", "i_id").count()
       .filter(col("count") >= minFrameVotes)
       .select("p_id", "i_id")

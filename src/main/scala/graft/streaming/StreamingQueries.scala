@@ -877,7 +877,8 @@ object StreamingQueries {
       import graft.scale.{Multimodal => M}
       locally {
         import s.implicits._
-        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.map(id =>
             (id, M.dHash56(M.synthPixels(id, pert = false), 64, 64))))
           .toDF("asset_id", "dhash")
@@ -885,7 +886,8 @@ object StreamingQueries {
       }
       val arrivals = {
         import s2.implicits._
-        Streaming.docsStream(s2, d).select(col("doc_id")).as[Long]
+        Streaming.docsStream(s2, d).select(col("doc_id"))
+          .repartition(s2.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.flatMap { id =>
             val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
             if (id % 10 == 0) {
@@ -973,7 +975,8 @@ object StreamingQueries {
       import graft.scale.{Multimodal => M}
       locally {
         import s.implicits._
-        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.map(id =>
             (id, M.dHash56(M.synthPixels(id, pert = false), 64, 64))))
           .toDF("asset_id", "dhash")
@@ -983,7 +986,8 @@ object StreamingQueries {
         .filter(col("asset_id") % 10 === 0))
       val batch = {
         import s.implicits._
-        Tables.documents(s, d).select(col("doc_id")).as[Long]
+        Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.flatMap { id =>
             val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
             if (id % 10 == 0)
@@ -1086,7 +1090,8 @@ object StreamingQueries {
       import graft.scale.{Multimodal => M}
       locally {
         import s.implicits._
-        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.flatMap { id =>
             (0 until 4).iterator.map(f =>
               (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
@@ -1098,7 +1103,8 @@ object StreamingQueries {
         .filter(col("asset_id") % 10 === 0))
       val arrivals = {
         import s2.implicits._
-        Streaming.docsStream(s2, d).select(col("doc_id")).as[Long]
+        Streaming.docsStream(s2, d).select(col("doc_id"))
+          .repartition(s2.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.flatMap { id =>
             def frames(src: Long, pert: Boolean) =
               Array.tabulate(4)(f => M.synthFramePixels(src, f, pert))
@@ -1206,7 +1212,8 @@ object StreamingQueries {
       }
       locally {
         import s.implicits._
-        val seedHashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions { it =>
             val md = java.security.MessageDigest.getInstance("MD5")
             it.map { id =>
@@ -1220,7 +1227,8 @@ object StreamingQueries {
       }
       val arrivals = {
         import s2.implicits._
-        Streaming.docsStream(s2, d).select(col("doc_id")).as[Long]
+        Streaming.docsStream(s2, d).select(col("doc_id"))
+          .repartition(s2.sparkContext.defaultParallelism).as[Long]
           .mapPartitions { it =>
             val md = java.security.MessageDigest.getInstance("MD5")
             it.flatMap { id =>

@@ -740,4 +740,47 @@ class CurationSpec extends SparkSpec {
     val none = Curation.tokenBudgetMix(df, "lang", Seq("en" -> 0L))
     assert(none.count() === 0)
   }
+
+  // --- perplexityBuckets --------------------------------------------------
+
+  test("perplexityBuckets: distinct keys split into exact terciles; ties coarsen to one bucket") {
+    // doc j: j copies of the common word + one doc-unique token -> the
+    // per-token key is strictly decreasing in j (9 distinct keys)
+    val spread = (0 until 9).map { j =>
+      (j.toLong, "xx", (Seq.fill(j)("c") :+ s"u$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = Curation.perplexityBuckets(spread, "lang")
+      .select("doc_id", "ppl_key", "bucket")
+      .as[(Long, Long, String)].collect()
+    assert(out.map(_._2).distinct.length === 9, "fixture keys must be distinct")
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket === Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    // boundaries are order statistics: head keys < middle keys < tail keys
+    def keys(b: String) = out.filter(_._3 == b).map(_._2)
+    assert(keys("head").max < keys("middle").min)
+    assert(keys("middle").max < keys("tail").min)
+
+    // all-tied corpus: one key holds everything -> k1 = k2 = that key,
+    // every doc is head (no arbitrary rank split inside a tied cohort)
+    val tied = (0 until 6).map(j => (j.toLong, "xx", "same words here"))
+      .toDF("doc_id", "lang", "text")
+    assert(Curation.perplexityBuckets(tied, "lang")
+      .select("bucket").as[String].collect().forall(_ == "head"))
+  }
+
+  test("perplexityBuckets: languages bucket independently; zero-token docs are head") {
+    val mixed = ((0 until 9).map { j =>
+      (j.toLong, "aa", (Seq.fill(j)("c") :+ s"u$j").mkString(" "))
+    } ++ (10 until 16).map(j => (j.toLong, "bb", "same words here"))
+      :+ ((20L, "bb", "   "))).toDF("doc_id", "lang", "text")
+    val out = Curation.perplexityBuckets(mixed, "lang")
+      .select("doc_id", "lang", "ppl_key", "bucket")
+      .as[(Long, String, Long, String)].collect()
+    // aa still splits 3/3/3 even though bb's keys are interleaved nowhere
+    val aa = out.filter(_._2 == "aa").groupBy(_._4).view.mapValues(_.length).toMap
+    assert(aa === Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    // bb is all one tied key plus a zero-token doc -> all head
+    assert(out.filter(_._2 == "bb").forall(_._4 == "head"))
+    assert(out.find(_._1 == 20L).get._3 === 0L)
+  }
 }
