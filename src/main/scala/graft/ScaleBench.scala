@@ -62,6 +62,19 @@ import org.apache.spark.sql.functions._
   *     dHash → banded pairs over ×k distinct clips → LINEAR.
   *   - phash_delete (q222 core): a FIXED takedown batch against the ×k
   *     perceptual-hash index — an O(batch) tombstone append → FLAT.
+  *
+  * r15 fourth-wave additions (the q226/q229 surfaces):
+  *   - budget_mix (q226 core): token-budget admission with ×k budgets
+  *     over ×k docs — one narrow bucketed prefix-sum shuffle → LINEAR.
+  *   - ppl_buckets (q229 core): surprisal passes + histogram-sized
+  *     bucketing → LINEAR.
+  *
+  * Also from r15 on, every scaled corpus is repartitioned to the session's
+  * parallelism before timing: the ×k union otherwise inherits k× the
+  * base's single input split, so ×1 ran SERIAL and every ratio read
+  * artificially flat (the slope must measure work growth, not parallelism
+  * growth) — the earlier rounds' bounds still held, but the r15 numbers
+  * are the honest ones.
   */
 object ScaleBench {
 
@@ -122,8 +135,13 @@ object ScaleBench {
       .localCheckpoint()
 
     val results = scales.map { k =>
-      val docs = scaleDocs(baseDocs, k).localCheckpoint()
-      val emb = scaleEmb(baseEmb, k).localCheckpoint()
+      // constant parallelism across scales: the ×k union inherits k× the
+      // base's (single) input split, so without this the ×1 corpus runs
+      // SERIAL and every ratio reads artificially flat — the slope must
+      // measure work growth, not parallelism growth
+      val par = spark.sparkContext.defaultParallelism
+      val docs = scaleDocs(baseDocs, k).repartition(par).localCheckpoint()
+      val emb = scaleEmb(baseEmb, k).repartition(par).localCheckpoint()
       val nDocs = docs.count(); val nVecs = emb.count()
 
       val tDedup = timeMin(reps) { Dedup.exact(docs).queryExecution.toRdd.count() }
@@ -313,6 +331,20 @@ object ScaleBench {
         prIdx.delete(Seq(prN - dpr).toDF("node"))
       }
 
+      // q226 core: token-budget admission over ×k docs with ×k budgets —
+      // the bucketed two-level prefix sum is one narrow shuffle → LINEAR
+      val langd = docs.withColumn("lang", pmod(col("doc_id"), lit(4)).cast("string"))
+        .localCheckpoint()
+      val budgets = (0 until 4).map(l => l.toString -> 10000L * k)
+      val tBudget = timeMin(reps) {
+        Curation.tokenBudgetMix(langd, "lang", budgets).queryExecution.toRdd.count()
+      }
+
+      // q229 core: surprisal passes + histogram-sized bucketing → LINEAR
+      val tPpl = timeMin(reps) {
+        Curation.perplexityBuckets(langd, "lang").queryExecution.toRdd.count()
+      }
+
       System.err.println(s"[scale] x$k docs=$nDocs vecs=$nVecs dedup=$tDedup lsh=$tLsh " +
         s"contain=$tContain append=$tAppend stream=$tStream extract=$tExtract " +
         s"nnd=$tNnd del=$tDelete compact=$tCompact pqdel=$tPqDelete tri=$tTri " +
@@ -327,7 +359,8 @@ object ScaleBench {
         "phash_pipeline" -> tPhashPipe, "phash_stream_batch" -> tPhiBatch,
         "nav_delete" -> tNavDel, "pagerank_delete" -> tPrDel,
         "phash_delete" -> tPhiDel, "video_pipeline" -> tVideoPipe,
-        "audio_pipeline" -> tAudioPipe))
+        "audio_pipeline" -> tAudioPipe,
+        "budget_mix" -> tBudget, "ppl_buckets" -> tPpl))
     }
 
     val expectations = Map(
@@ -340,7 +373,8 @@ object ScaleBench {
       "phash_pipeline" -> ("linear", 16.0), "phash_stream_batch" -> ("flat", 3.0),
       "nav_delete" -> ("flat", 3.0), "pagerank_delete" -> ("flat", 4.0),
       "phash_delete" -> ("flat", 3.0), "video_pipeline" -> ("linear", 16.0),
-      "audio_pipeline" -> ("linear", 16.0))
+      "audio_pipeline" -> ("linear", 16.0),
+      "budget_mix" -> ("linear", 16.0), "ppl_buckets" -> ("linear", 16.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

@@ -225,6 +225,76 @@ object NnDescent {
       } else tombstones.promote(tombstones.stage(d))
     }
 
+    /** Append a batch of new vectors WITHOUT the full rebuild — the
+      * incremental-insert half of the lifecycle ([[graft.scale.AnnIndex]]'s
+      * append, for the graph family). Each new vector beam-walks the
+      * EXISTING graph exactly like a query (tombstoned waypoints route,
+      * never link) and its top-`graphK` surviving results become its
+      * out-neighbor list; the new (codes, edges) rows land as O(batch)
+      * APPEND versions ([[graft.write.VersionedTable.stageAppend]]) — no
+      * existing neighbor list is rewritten. New nodes are immediately
+      * REACHABLE because probes route over the degree-capped undirected
+      * view, which symmetrizes the new out-edges into back-edges at read
+      * time; what an append does NOT do is repair the old lists toward
+      * what a fresh NN-descent would produce — that is [[compact]]'s job
+      * (the deterministic rebuild on the union), the same
+      * append-between-rebuilds compromise as the IVF family and the HNSW
+      * insert's local-link scheme.
+      *
+      * Ids already present no-op (delete-then-append to replace content —
+      * the PQ family's prescription); appending a TOMBSTONED id clears its
+      * tombstone FIRST, in its own promote, so a crash between the two
+      * converges on retry (the r14 ADVICE ordering). The batch must be
+      * broadcast-small — it rides the probe machinery's query side.
+      */
+    def append(batch: DataFrame, beam: Int = 8, rounds: Int = 3,
+               nSeeds: Int = 8, idCol: String = "vec_id",
+               vecCol: String = "embedding"): Unit = {
+      require(graph.exists, s"append needs a built index at $root")
+      val ids = batch.select(col(idCol).cast("long").as("nid")).distinct()
+        .localCheckpoint()
+      if (tombstones.exists) {
+        val tt = tombstones.read().localCheckpoint()
+        val cleared = tt.join(ids, Seq("nid"), "left_anti").localCheckpoint()
+        if (cleared.count() < tt.count())
+          tombstones.promote(tombstones.stage(cleared))
+      }
+      val existing = codes.read().localCheckpoint()
+      val newIds = ids.join(existing.select("nid"), Seq("nid"), "left_anti")
+      val fresh = batch.join(newIds,
+        batch(idCol).cast("long") === newIds("nid")).drop("nid")
+        .localCheckpoint()
+      if (fresh.isEmpty) return
+      val dead = if (tombstones.exists) Some(tombstones.read()) else None
+      val links = beamProbe(graph.read(), existing, fresh, graphK, beam,
+          rounds, graphK, nSeeds, idCol, vecCol, dead)
+        .select(col("qid").as("u"), col("nid").as("v"))
+      codes.promote(codes.stageAppend(NnDescent.codes(fresh, idCol, vecCol)))
+      graph.promote(graph.stageAppend(links))
+      codes.compactIfNeeded(maxChainDepth)
+      graph.compactIfNeeded(maxChainDepth)
+    }
+
+    /** Rebuild point: re-run the deterministic NN-descent build over the
+      * CURRENT surviving codes (appended nodes included, tombstoned nodes
+      * dropped) and truncate the tombstones — after it the index is
+      * bit-identical to a fresh build on the surviving corpus, which is
+      * both the delete purge and the append repair.
+      */
+    def compact(): Unit = {
+      val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
+                 else None
+      val cz0 = codes.read()
+      val cz = dead.fold(cz0)(d => cz0.join(d, Seq("nid"), "left_anti"))
+        .localCheckpoint()
+      codes.promote(codes.stage(cz))
+      var e = initGraph(cz.select("nid"), graphK, buckets).localCheckpoint()
+      for (_ <- 1 to iters) e = descentRound(e, cz, graphK).localCheckpoint()
+      graph.promote(graph.stage(e))
+      if (dead.exists(!_.isEmpty))
+        tombstones.promote(tombstones.stage(dead.get.limit(0)))
+    }
+
     /** Beam-search serve: seeds and routing over the FULL persisted graph
       * (tombstoned nodes included — they are waypoints), tombstones
       * excluded from the final ranking only.
@@ -237,24 +307,14 @@ object NnDescent {
         nSeeds, idCol, vecCol, dead)
     }
 
-    /** Purge: drop tombstoned codes, re-run the deterministic NN-descent
-      * build on the survivors, truncate the tombstone set. Three promotes;
-      * a crash between them leaves tombstones whose anti-joins match
-      * nothing — the next purge clears them (convergent, the AnnIndex
+    /** Purge: [[compact]] when there is anything to purge (drop tombstoned
+      * codes, rebuild, truncate tombstones); no-op otherwise. The promotes
+      * are crash-convergent: stale tombstones over already-purged codes
+      * anti-join nothing and the next purge clears them (the AnnIndex
       * argument).
       */
     def compactPurge(): Unit = {
-      val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
-                 else None
-      if (dead.exists(!_.isEmpty)) {
-        val cz = codes.read().join(dead.get, Seq("nid"), "left_anti")
-          .localCheckpoint()
-        codes.promote(codes.stage(cz))
-        var e = initGraph(cz.select("nid"), graphK, buckets).localCheckpoint()
-        for (_ <- 1 to iters) e = descentRound(e, cz, graphK).localCheckpoint()
-        graph.promote(graph.stage(e))
-        tombstones.promote(tombstones.stage(dead.get.limit(0)))
-      }
+      if (tombstones.exists && !tombstones.read().isEmpty) compact()
     }
   }
 }

@@ -1261,5 +1261,139 @@ object StreamingQueries {
           col("dhash").cast("long").as("dhash"))
         .orderBy("asset_id")
     },
+
+    // Streaming exact dedup with TTL state expiry: a crawl of 8 event days
+    // drained day-by-day through a TtlDedupIndex(ttl=1). Content c (of 40
+    // classes) is present on day d iff (d + c) % 4 < 2 — two-day runs of
+    // sightings, two-day gaps — so each class is admitted at its first
+    // sighting, suppressed while the stream keeps seeing it (sightings
+    // refresh the window even when dropped), and re-admitted after every
+    // gap that outlives the TTL; at sf >= 0.01 the same (c, day) pair
+    // arrives multiply, exercising the in-batch same-day rule (only the
+    // min-id sighting can admit). BOTH serving relations are certified:
+    // the admitted log (the lag rule per class) and the final suppression
+    // state, which must hold exactly the classes sighted within ttl of the
+    // watermark — the eviction law, value-level. Replay idempotence,
+    // out-of-order rejection, and state-footprint laws in TtlDedupSpec.
+    Q("q230_ttl_dedup",
+      """WITH feed AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 40 AS BIGINT) AS c,
+        |         CAST((doc_id // 20) % 8 AS BIGINT) AS day
+        |  FROM documents
+        |  WHERE ((doc_id // 20) % 8 + doc_id % 40) % 4 < 2),
+        | seq AS (
+        |  SELECT doc_id, c, day,
+        |    lag(day) OVER (PARTITION BY c ORDER BY day, doc_id) AS prev
+        |  FROM feed),
+        | adm AS (
+        |  SELECT doc_id, c, day FROM seq WHERE prev IS NULL OR day - prev > 1),
+        | wm AS (SELECT max(day) AS mx FROM feed),
+        | st AS (SELECT c, max(day) AS last_seen FROM feed GROUP BY c),
+        | live AS (SELECT c, last_seen FROM st CROSS JOIN wm
+        |          WHERE mx - last_seen <= 1)
+        |SELECT 'admit' AS phase, c, day AS v, doc_id FROM adm
+        |UNION ALL SELECT 'state', c, last_seen, CAST(-1 AS BIGINT) FROM live
+        |ORDER BY phase, c, v, doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q230")
+      val sink = new TtlDedupIndex(s, s"$wh/ttl", ttlDays = 1L)
+      val feed = Tables.documents(s, d).select(col("doc_id"),
+          (col("doc_id") % 40).cast("long").as("c"),
+          expr("CAST((doc_id div 20) % 8 AS BIGINT)").as("day"))
+        .filter((col("day") + col("c")) % 4 < 2)
+      // day-partitioned drop, drained oldest-first — the date-ordered
+      // ingestion the sink's contract names
+      for (day <- 0L until 8L)
+        feed.filter(col("day") === day).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.processBatch(b, id, idCol = "doc_id", keyCol = "c")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.admitted.read()
+        .select(lit("admit").as("phase"), col("key").as("c"),
+          col("day").as("v"), col("id").as("doc_id"))
+        .unionByName(sink.windowState()
+          .select(lit("state").as("phase"), col("key").as("c"),
+            col("last_seen").as("v"), lit(-1L).as("doc_id")))
+        .orderBy("phase", "c", "v", "doc_id")
+    },
+
+    // Streaming token-budget admission: the q226 mixture manifest as a
+    // continuous ingest. The 8-day crawl drains day-by-day through a
+    // BudgetAdmitIndex whose budgets cross mid-stream (~day 4-5 at both
+    // verify SFs), so the drain exercises open-budget batches, the
+    // crossing batch (in-batch window + state offset), and fully-closed
+    // batches; zh is unlisted and drops whole. The greedy rule is
+    // prefix-closed, so the oracle replays the ENTIRE multi-batch drain
+    // with one window over the feed in (day, doc_id) order — any state
+    // fold, offset, or batch-boundary error lands extra/missing docs and
+    // hash-fails. Both relations certified: the admitted log and the final
+    // per-stratum consumed state. Replay/crash laws in BudgetStreamSpec.
+    Q("q231_streaming_budget",
+      """WITH b(lang, budget) AS (VALUES ('en', 6500), ('de', 2200), ('es', 2500), ('fr', 2300)),
+        | feed AS (
+        |  SELECT doc_id, lang, CAST((doc_id // 20) % 8 AS BIGINT) AS day,
+        |    CAST(coalesce(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |                                  x -> x <> '')), 0) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | cums AS (
+        |  SELECT doc_id, lang, day, n_tokens, budget,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY day, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM feed JOIN b USING (lang)),
+        | adm AS (SELECT doc_id, lang, day, n_tokens FROM cums WHERE bef < budget),
+        | stt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS consumed
+        |         FROM adm GROUP BY lang)
+        |SELECT 'admit' AS phase, lang, day AS v, doc_id, n_tokens FROM adm
+        |UNION ALL SELECT 'state', lang, consumed, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM stt
+        |ORDER BY phase, lang, v, doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q231")
+      val sink = new BudgetAdmitIndex(s, s"$wh/bud",
+        Seq("en" -> 6500L, "de" -> 2200L, "es" -> 2500L, "fr" -> 2300L))
+      val nTok = coalesce(size(filter(
+        split(col("text"), graft.expressions.Ws.Regex), w => w =!= "")).cast("long"), lit(0L))
+      val feed = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          expr("CAST((doc_id div 20) % 8 AS BIGINT)").as("day"),
+          nTok.as("n_tokens"))
+      for (day <- 0L until 8L)
+        feed.filter(col("day") === day).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.processBatch(b, id, idCol = "doc_id", stratumCol = "lang",
+            nTokensCol = "n_tokens", seqCol = "day")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.admitted.read()
+        .select(lit("admit").as("phase"), col("stratum").as("lang"),
+          col("seq").as("v"), col("id").as("doc_id"), col("n_tokens"))
+        .unionByName(sink.consumed()
+          .filter(col("consumed") > 0)
+          .select(lit("state").as("phase"), col("stratum").as("lang"),
+            col("consumed").as("v"), lit(-1L).as("doc_id"),
+            lit(-1L).as("n_tokens")))
+        .orderBy("phase", "lang", "v", "doc_id")
+    },
   )
 }
