@@ -123,6 +123,39 @@ object NnDescent {
       k, beam, rounds, graphK, exclude)
   }
 
+  /** Deterministic upper-layer membership: md5-derived value mod `s` == 0
+    * — the HNSW level draw (Malkov & Yashunin 2016 assign each node a
+    * geometric random level; hash-mod sampling is the same distribution
+    * for one extra layer, made deterministic so the whole structure stays
+    * value-oracle-able). Same hash→integer pairing as [[initGraph]]'s
+    * bucketing, so both engines agree bit-for-bit on membership.
+    */
+  def layerPredicate(id: Column, s: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % s === 0
+
+  /** Two-layer hierarchical probe: greedy beam walk over the UPPER layer's
+    * graph (a 1/`s` md5 sample of the corpus — small diameter, so a fixed
+    * seed set stays adequate as the corpus grows), whose top results
+    * become per-query entry points for the full lower-layer walk — the
+    * HNSW descent, flattened to two layers. This removes the fixed-seed
+    * scale problem WITHOUT a side-structure: at 100× corpus the upper
+    * layer grows 100× but its walk still starts from md5 seeds over a
+    * relation 1/s the size, and the lower walk starts already near the
+    * answer. Budget accounting is honest: the upper walk's scored
+    * candidates count toward the probe budget (see
+    * [[Recall.hierRecallTable]]).
+    */
+  def hierProbe(gU: DataFrame, czU: DataFrame, gL: DataFrame, czL: DataFrame,
+                queries: DataFrame, k: Int, beam: Int, rounds: Int,
+                upperBeam: Int = 4, graphK: Int = 8, nSeeds: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val entries = beamProbe(gU, czU, queries, nSeeds, upperBeam, rounds,
+        graphK, nSeeds, idCol, vecCol)
+      .select("qid", "nid")
+    beamProbeSeeded(gL, czL, queries, entries, k, beam, rounds, graphK,
+      idCol, vecCol)
+  }
+
   /** [[beamProbe]] with PER-QUERY entry points `(qid, nid)` instead of the
     * fixed md5-order global seeds — the routed form. Fixed seeds make the
     * walk length grow with corpus diameter (at 100× scale a random entry
@@ -266,9 +299,11 @@ object NnDescent {
         .localCheckpoint()
       if (fresh.isEmpty) return
       val dead = if (tombstones.exists) Some(tombstones.read()) else None
+      // carry the probe's score: it is the SAME int8 dot descentRound
+      // stages, so the appended rows match the (u, v, score) base schema
       val links = beamProbe(graph.read(), existing, fresh, graphK, beam,
           rounds, graphK, nSeeds, idCol, vecCol, dead)
-        .select(col("qid").as("u"), col("nid").as("v"))
+        .select(col("qid").as("u"), col("nid").as("v"), col("score"))
       codes.promote(codes.stageAppend(NnDescent.codes(fresh, idCol, vecCol)))
       graph.promote(graph.stageAppend(links))
       codes.compactIfNeeded(maxChainDepth)

@@ -45,6 +45,10 @@ object Recall {
   private val Seeds = 8
   // q218 serves one beam width through the persistent index's lifecycle
   private val NavBeam = 8
+  // q233's two-layer hierarchy: upper layer = 1/HierSample md5 sample of
+  // the corpus, walked at a fixed narrow beam
+  private val HierSample = 8
+  private val UpperBeam = 4
 
   /** Recall@`k` of int8-rerank IVF probing vs the int8 brute-force ranking,
     * one row per probe width: (n_probe, hits, possible, recall_bp) with
@@ -229,6 +233,47 @@ object Recall {
         col("possible"), expr("hits * 10000 div possible").as("recall_bp"))
   }
 
+  /** Flat vs two-layer hierarchical walks over the SAME lower graph at the
+    * same lower-beam knobs — the q233 relation. Family `graph` is the flat
+    * fixed-seed walk; `graph_hier` walks a 1/`sample` md5-sampled upper
+    * layer's own NN-descent graph first (fixed narrow beam `upperBeam`)
+    * and uses its top-`nSeeds` results as per-query entry points
+    * ([[NnDescent.hierProbe]]). The hier budget honestly includes BOTH
+    * walks' scored candidates — no silent routing discount — so the table
+    * answers "what does the upper layer buy at equal total spend".
+    */
+  def hierRecallTable(corpus: DataFrame, queries: DataFrame, k: Int = TopK,
+                      beams: Seq[Int] = Beams, sample: Int = HierSample,
+                      upperBeam: Int = UpperBeam, graphK: Int = GraphK,
+                      graphIters: Int = GraphIters,
+                      beamRounds: Int = BeamRounds, nSeeds: Int = Seeds): DataFrame = {
+    val brute = Similarity.quantizedTopK(corpus, queries, k)
+      .select("qid", "nid").localCheckpoint()
+    val cz = NnDescent.codes(corpus).localCheckpoint()
+    val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
+    val upper = corpus.filter(NnDescent.layerPredicate(col("vec_id"), sample))
+    val czU = NnDescent.codes(upper).localCheckpoint()
+    val gU = NnDescent.buildKnnGraph(upper, graphK, graphIters)
+    val upperBudget = nSeeds + beamRounds * upperBeam * 2 * graphK
+    def hitRow(family: String, b: Int, budget: Long, probe: DataFrame) = probe
+      .select("qid", "nid").join(brute, Seq("qid", "nid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(family).as("family"), lit(b.toLong).as("knob"),
+        lit(budget).as("budget"), col("hits"))
+    val rows = beams.flatMap { b =>
+      val lowerBudget = (nSeeds + beamRounds * b * 2 * graphK).toLong
+      Seq(
+        hitRow("graph", b, lowerBudget,
+          NnDescent.beamProbe(g, cz, queries, k, b, beamRounds, graphK, nSeeds)),
+        hitRow("graph_hier", b, upperBudget + lowerBudget,
+          NnDescent.hierProbe(gU, czU, g, cz, queries, k, b, beamRounds,
+            upperBeam, graphK, nSeeds)))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(brute.agg(count(lit(1)).as("possible")))
+      .select(col("family"), col("knob"), col("budget"), col("hits"),
+        col("possible"), expr("hits * 10000 div possible").as("recall_bp"))
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   private def perProbeSql(p: Int): String =
@@ -323,15 +368,17 @@ ORDER BY h.n_probe"""
     * `${p}undF`, and the md5-order entry points `${p}seeds` — prefixed so
     * several chains coexist in one WITH-body. `where` filters the node
     * base (q218's post-compaction chain replays the build on the surviving
-    * corpus only).
+    * corpus only); `src` swaps the node source relation (q232's
+    * post-append rebuild runs on a union corpus CTE, not the raw table).
     */
-  private def graphChainSql(p: String, where: String = ""): String = {
+  private def graphChainSql(p: String, where: String = "",
+                            src: String = "embeddings"): String = {
     val leadList = (1 to GraphK).map(j => s"lead(nid, $j) OVER w").mkString(", ")
     val descent = (1 to GraphIters).map(descentRoundSql(p)).mkString(",")
     s"""
  ${p}hash AS (SELECT vec_id AS nid, md5(CAST(vec_id AS VARCHAR)) AS hh,
         (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % 16 AS b
-        FROM embeddings $where),
+        FROM $src $where),
  ${p}0 AS (SELECT nid AS u, [$leadList] AS ls
         FROM ${p}hash WINDOW w AS (PARTITION BY b ORDER BY hh, nid)),
  ${p}init AS (SELECT u, v FROM (SELECT u, unnest(ls) AS v FROM ${p}0) WHERE v IS NOT NULL),$descent,
@@ -491,6 +538,149 @@ SELECT phase, qid, CAST(rn AS BIGINT) AS rnk, nid, score FROM (
 ORDER BY phase, qid, rnk"""
   }
 
+  /** The q232 oracle: two serve phases of the navigable index's APPEND
+    * lifecycle, replayed end to end. The corpus is embeddings plus five
+    * planted twins (id+100000, each coordinate +0.02f). Phase 'appended'
+    * replays exactly what [[graft.scale.NnDescent.NavIndex.append]] does:
+    * the base NN-descent build (prefix `b`), each twin beam-walking that
+    * base graph as a query — seeds and codes from the PRE-append index —
+    * with its top-`GraphK` results becoming its out-edges (`tlink`), then
+    * the serve walk over the combined edge set's degree-capped undirected
+    * view with entry points drawn from the post-append code order (twins
+    * included). Phase 'compacted' replays the deterministic rebuild on the
+    * union corpus (prefix `c`, [[graphChainSql]] with `src = "corp"`) and
+    * its walk — the append-repair parity: after compact the index is
+    * bit-identical to a fresh build on the union (the NnDescentSpec law).
+    * Per-row (qid, rnk, nid, score) output, so one link, back-edge, seed,
+    * or routed node differing anywhere hash-fails.
+    */
+  private val navAppendOracle: String = {
+    val b = NavBeam
+    s"""WITH corp AS (
+   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+   UNION ALL
+   SELECT vec_id + 100000,
+     CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+   FROM embeddings WHERE vec_id < 5),
+ qz AS (
+   SELECT vec_id,
+     CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+     END AS code
+   FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+         FROM corp)),
+ qq AS (SELECT vec_id AS qid, code AS qc FROM qz
+        WHERE vec_id < $NQueries OR vec_id >= 100000),
+ pq AS (SELECT qid, qc FROM qq WHERE qid < $NQueries),
+ tq AS (SELECT qid, qc FROM qq WHERE qid >= 100000),${graphChainSql("b")},
+ tv${b}_0 AS MATERIALIZED (
+   SELECT t.qid, s.nid, CAST(list_dot_product(t.qc, z.code) AS BIGINT) AS score
+   FROM tq t CROSS JOIN bseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE t.qid <> s.nid),${beamRoundsSql("t", "bundF")(b)},
+ tlink AS (SELECT qid AS u, nid AS v FROM (
+   SELECT qid, nid, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM tv${b}_$BeamRounds) WHERE rn <= $GraphK),
+ ae AS (SELECT u, v FROM be$GraphIters UNION ALL SELECT u, v FROM tlink),
+ arev AS (SELECT nu AS u, nv AS v FROM (
+   SELECT v AS nu, u AS nv,
+     row_number() OVER (PARTITION BY v ORDER BY md5(CAST(u AS VARCHAR)), u) AS rn
+   FROM ae) WHERE rn <= $GraphK),
+ aundF AS MATERIALIZED (SELECT u, v FROM ae UNION SELECT u, v FROM arev),
+ aseeds AS (SELECT vec_id AS nid FROM qz
+   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Seeds),
+ av${b}_0 AS MATERIALIZED (
+   SELECT p.qid, s.nid, CAST(list_dot_product(p.qc, z.code) AS BIGINT) AS score
+   FROM pq p CROSS JOIN aseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE p.qid <> s.nid),${beamRoundsSql("a", "aundF")(b)},
+ appk AS (SELECT qid, nid, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM av${b}_$BeamRounds),${graphChainSql("c", src = "corp")},
+ cv${b}_0 AS MATERIALIZED (
+   SELECT p.qid, s.nid, CAST(list_dot_product(p.qc, z.code) AS BIGINT) AS score
+   FROM pq p CROSS JOIN cseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE p.qid <> s.nid),${beamRoundsSql("c", "cundF")(b)},
+ compk AS (SELECT qid, nid, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM cv${b}_$BeamRounds)
+SELECT phase, qid, CAST(rn AS BIGINT) AS rnk, nid, score FROM (
+  SELECT 'appended' AS phase, qid, rn, nid, score FROM appk WHERE rn <= $TopK
+  UNION ALL
+  SELECT 'compacted' AS phase, qid, rn, nid, score FROM compk WHERE rn <= $TopK)
+ORDER BY phase, qid, rnk"""
+  }
+
+  /** The q233 oracle: flat vs two-layer hierarchical serving, replayed end
+    * to end. Re-derives the lower NN-descent chain (prefix `g`), the upper
+    * chain over the md5-sampled 1/[[HierSample]] subset (prefix `u`, the
+    * same hash→integer pairing as the init-graph bucketing), the upper
+    * walk at the fixed [[UpperBeam]], the per-query entry points `hs`
+    * (upper walk top-[[Seeds]]), the seeded lower walks (prefix `h`) and
+    * the flat walks per beam width, and both recall tallies against one
+    * brute-force ranking — one sampled member, link, entry point, or
+    * routed node differing anywhere moves a hit count and fails the hash.
+    */
+  private val hierOracle: String = {
+    val ub = UpperBeam
+    val upperWhere =
+      s"WHERE ((('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % $HierSample) = 0"
+    val gBeams = Beams.map(beamSql("g", "graph")).mkString(",")
+    val gAliases = Beams.tail
+      .map(b => s",\n gv${b}_0 AS (SELECT * FROM gv${Beams.head}_0)").mkString
+    val hAliases = Beams.tail
+      .map(b => s",\n hv${b}_0 AS (SELECT * FROM hv${Beams.head}_0)").mkString
+    val hBeams = Beams.map { b =>
+      s"""${beamRoundsSql("h", "gundF")(b)},
+ hann$b AS (SELECT qid, nid FROM (
+   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM hv${b}_$BeamRounds) WHERE rn <= $TopK),
+ hht$b AS (SELECT 'graph_hier' AS family, CAST($b AS BIGINT) AS knob,
+   CAST(${2 * Seeds + BeamRounds * (ub + b) * 2 * GraphK} AS BIGINT) AS budget,
+   CAST(count(1) AS BIGINT) AS hits
+   FROM hann$b a JOIN brk b2 ON a.qid = b2.qid AND a.nid = b2.nid)"""
+    }.mkString(",")
+    val union = (Beams.map(b => s"SELECT family, knob, budget, hits FROM gh$b") ++
+        Beams.map(b => s"SELECT family, knob, budget, hits FROM hht$b"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH qz AS (
+   SELECT vec_id,
+     CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+     END AS code
+   FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+ qq AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < $NQueries),
+ cc AS (SELECT vec_id AS nid, code AS cc FROM qz),
+ bsc AS (SELECT qid, nid, CAST(list_dot_product(qc, cc.cc) AS BIGINT) AS score
+         FROM qq, cc WHERE qid <> nid),
+ brk AS MATERIALIZED (
+   SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+     FROM bsc) WHERE rn <= $TopK),${graphChainSql("g")},
+ gv${Beams.head}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid)$gAliases,$gBeams,${graphChainSql("u", upperWhere)},
+ uv${ub}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN useeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid),${beamRoundsSql("u", "uundF")(ub)},
+ hs AS (SELECT qid, nid FROM (
+   SELECT qid, nid, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM uv${ub}_$BeamRounds) WHERE rn <= $Seeds),
+ hv${Beams.head}_0 AS MATERIALIZED (
+   SELECT h.qid, h.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM hs h JOIN qq q ON q.qid = h.qid JOIN qz z ON z.vec_id = h.nid
+   WHERE h.qid <> h.nid)$hAliases,$hBeams,
+ pos AS (SELECT CAST(count(1) AS BIGINT) AS possible FROM brk)
+SELECT g.family, g.knob, g.budget, g.hits, pos.possible,
+       g.hits * 10000 // pos.possible AS recall_bp
+FROM ($union) g, pos
+ORDER BY family, knob"""
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -563,6 +753,54 @@ ORDER BY phase, qid, rnk"""
           col("rnk").cast("long").as("rnk"), col("nid").cast("long").as("nid"),
           col("score").cast("long").as("score"))
         .orderBy("phase", "qid", "rnk")
+    },
+
+    // The navigable index's incremental-insert lifecycle, certified the
+    // q93 way (the IVF append's convention): the index is built WITHOUT
+    // the planted twins, which then arrive as a later crawl batch via
+    // NavIndex.append — each twin beam-walks the existing graph for its
+    // out-list, lands as an O(batch) append, and becomes reachable only
+    // through the probe-time undirected view's back-edges. The oracle
+    // replays BOTH serve phases from scratch (the q218 convention):
+    // 'appended' re-derives the base build, every twin's link walk, and
+    // the serve walk over the un-repaired combined graph; 'compacted'
+    // re-derives the full NN-descent rebuild on the union and its walk.
+    Q("q232_ann_nav_append", navAppendOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val root = s"${graft.core.Scratch.dir("graft-q232")}/nav"
+      val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters)
+      idx.build(emb)
+      idx.append(twins, beam = NavBeam, rounds = BeamRounds, nSeeds = Seeds)
+      val qs = emb.filter(col("vec_id") < NQueries)
+      def serve(phase: String) =
+        idx.probe(qs, TopK, NavBeam, BeamRounds, Seeds)
+          .withColumn("phase", lit(phase))
+      val appended = serve("appended").localCheckpoint()
+      idx.compact()
+      appended.unionByName(serve("compacted"))
+        .select(col("phase"), col("qid").cast("long").as("qid"),
+          col("rnk").cast("long").as("rnk"), col("nid").cast("long").as("nid"),
+          col("score").cast("long").as("score"))
+        .orderBy("phase", "qid", "rnk")
+    },
+
+    // Flat vs two-layer hierarchical navigable serving (the HNSW descent,
+    // flattened to two layers with a deterministic md5 level draw), both
+    // walking the SAME lower graph, measured against one brute-force
+    // ranking with honest budget accounting (the upper walk's scored
+    // candidates are counted, not discounted as "routing"). The fixed-seed
+    // flat walk's entry distance grows with corpus diameter; the upper
+    // layer keeps the entry walk on a relation 1/8 the size — the scale
+    // fix that needs no side-structure (q215's IVF routing is the
+    // alternative that does).
+    Q("q233_ann_hier", hierOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      hierRecallTable(emb, emb.filter(col("vec_id") < NQueries))
+        .orderBy("family", "knob")
     },
   )
 }

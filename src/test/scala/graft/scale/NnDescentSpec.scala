@@ -159,4 +159,121 @@ class NnDescentSpec extends SparkSpec {
     // and routing is not vacuous: strictly better somewhere
     assert(knobs.exists(b => table(("graph_ivf", b)) > table(("graph", b))))
   }
+
+  test("two-layer hier serving: budgets add the fixed upper cost; upper walk hands better entries than fixed seeds") {
+    val table = Recall.hierRecallTable(emb, emb.filter(col("vec_id") < 32))
+      .select("family", "knob", "budget", "recall_bp")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val knobs = Seq(2L, 4L, 8L)
+    // budget bookkeeping: hier = flat + one fixed upper-walk cost, per knob
+    val extras = knobs.map(b => table(("graph_hier", b))._1 - table(("graph", b))._1)
+    assert(extras.distinct.size === 1 && extras.head > 0)
+    // the mechanism law: the upper walk's best entry is (in aggregate over
+    // the panel) at least as close to the query as the best of the fixed
+    // md5 seeds — entering near the answer is what the layer buys. Which
+    // RECALL that translates to is scale-dependent (at sf0.01 hier wins
+    // the narrow beam 1500 vs 812 bp but iid data lets wide scattered
+    // beams dominate) — certified by value in the q233 oracle table, not
+    // legislated here.
+    val qs = emb.filter(col("vec_id") < 32)
+    val cz = NnDescent.codes(emb).localCheckpoint()
+    val upper = emb.filter(NnDescent.layerPredicate(col("vec_id"), 8))
+    val czU = NnDescent.codes(upper).localCheckpoint()
+    val gU = NnDescent.buildKnnGraph(upper, 8, 2)
+    val hierBest = NnDescent.beamProbe(gU, czU, qs, 1, 4, 3)
+      .select(col("qid"), col("score")).as[(Long, Long)].collect().toMap
+    val qz = Similarity.quantizeInt8(qs, "embedding")
+      .select(col("vec_id").cast("long").as("qid"), col("qcode").as("qc"))
+    val seedBest = cz.select("nid")
+      .orderBy(md5(col("nid").cast("string")), col("nid")).limit(8)
+      .crossJoin(qz).join(cz, "nid")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), Similarity.int8Dot(col("qc"), col("cc")).as("s"))
+      .groupBy("qid").agg(max("s").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(hierBest.keySet === seedBest.keySet)
+    assert(hierBest.values.sum >= seedBest.values.sum)
+  }
+
+  test("hierProbe: k rows per query, no self-matches, ranks dense") {
+    val qs = emb.filter(col("vec_id") < 8)
+    val upper = emb.filter(NnDescent.layerPredicate(col("vec_id"), 8))
+    val czU = NnDescent.codes(upper).localCheckpoint()
+    val gU = NnDescent.buildKnnGraph(upper, 8, 2)
+    val cz = NnDescent.codes(emb).localCheckpoint()
+    val g = NnDescent.buildKnnGraph(emb, 8, 2)
+    val out = NnDescent.hierProbe(gU, czU, g, cz, qs, 5, 4, 3).cache()
+    assert(out.filter(col("qid") === col("nid")).count() === 0)
+    val perQ = out.groupBy("qid").agg(count(lit(1)).as("n"), max("rnk").as("m"))
+      .as[(Long, Long, Long)].collect()
+    assert(perQ.length === 8)
+    perQ.foreach { case (_, n, m) => assert(n === 5L && m === 5L) }
+  }
+
+  // --- NavIndex append --------------------------------------------------
+
+  private def navRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-nav-$tag").toString + "/nav"
+
+  test("NavIndex append is O(batch): new codes/edges append, old lists untouched") {
+    val root = navRoot("append")
+    val idx = new NnDescent.NavIndex(spark, root)
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 155)
+    idx.build(base)
+    val g0 = idx.graph.read().collect().map(_.toSeq).toSet
+    idx.append(batch)
+    // codes grew by exactly the batch; the append version's own rows are
+    // batch-sized (stageAppend inherits the base files by reference)
+    assert(idx.codes.read().count() === base.count() + batch.count())
+    val g1 = idx.graph.read().collect().map(_.toSeq).toSet
+    val newEdges = g1 -- g0
+    assert((g0 -- g1).isEmpty, "append must not rewrite existing neighbor lists")
+    val newSources = newEdges.map(_.head.asInstanceOf[Long])
+    assert(newSources === Set(150L, 151L, 152L, 153L, 154L))
+    assert(newEdges.size <= 5 * 8)
+    // appended nodes are immediately probe-reachable: each new node's own
+    // vector finds ITSELF at rank 1 is excluded, so probe for an exact
+    // clone and expect the stored node
+    val probeSelf = NnDescent.beamProbe(idx.graph.read(), idx.codes.read(),
+      batch.withColumn("vec_id", col("vec_id") + 900000), 1, 8, 3)
+    val hits = probeSelf.filter(col("rnk") === 1)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toMap
+    for ((qid, nid) <- hits) assert(nid === qid - 900000,
+      s"clone query $qid did not reach its appended original (got $nid)")
+  }
+
+  test("NavIndex compact == fresh build on the union, bit-exact (append repair)") {
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 170)
+    val rootA = navRoot("repair")
+    val a = new NnDescent.NavIndex(spark, rootA)
+    a.build(base); a.append(batch); a.compact()
+    val rootB = navRoot("fresh")
+    val b = new NnDescent.NavIndex(spark, rootB)
+    b.build(base.unionByName(batch))
+    assert(a.graph.read().collect().map(_.toSeq).toSet ===
+      b.graph.read().collect().map(_.toSeq).toSet)
+    assert(a.codes.read().collect().map(_.toSeq).toSet ===
+      b.codes.read().collect().map(_.toSeq).toSet)
+  }
+
+  test("NavIndex append: existing ids no-op; tombstoned ids un-delete first") {
+    val root = navRoot("undelete")
+    val idx = new NnDescent.NavIndex(spark, root)
+    idx.build(emb.filter(col("vec_id") < 150))
+    val v0 = (idx.codes.currentVersion, idx.graph.currentVersion)
+    idx.append(emb.filter(col("vec_id") < 10)) // all already present
+    assert((idx.codes.currentVersion, idx.graph.currentVersion) === v0)
+    // delete node 3, then re-append it: tombstone cleared, node serves
+    idx.delete(Seq(3L).toDF("vec_id"))
+    idx.append(emb.filter(col("vec_id") === 3))
+    assert(idx.tombstones.read().isEmpty)
+    val clone = emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", col("vec_id") + 900000)
+    val top = idx.probe(clone, 1, 8, 3).filter(col("rnk") === 1)
+      .select("nid").as[Long].head()
+    assert(top === 3L)
+  }
 }
