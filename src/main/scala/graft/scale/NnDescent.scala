@@ -119,8 +119,8 @@ object NnDescent {
     val qz = Similarity.quantizeInt8(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
     val seeds = cz.select("nid").orderBy(hh(col("nid")), col("nid")).limit(nSeeds)
-    beamLoop(graph, cz, qz, qz.select("qid").crossJoin(seeds),
-      k, beam, rounds, graphK, exclude)
+    beamLoop(graph, qz.select("qid").crossJoin(seeds),
+      k, beam, rounds, graphK, exclude, int8Scorer(cz, qz))
   }
 
   /** Deterministic upper-layer membership: md5-derived value mod `s` == 0
@@ -173,26 +173,81 @@ object NnDescent {
                       exclude: Option[DataFrame] = None): DataFrame = {
     val qz = Similarity.quantizeInt8(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
-    beamLoop(graph, cz, qz, seeds.select("qid", "nid"), k, beam, rounds, graphK,
-      exclude)
+    beamLoop(graph, seeds.select("qid", "nid"), k, beam, rounds, graphK,
+      exclude, int8Scorer(cz, qz))
   }
+
+  /** DiskANN-style compressed serve (Subramanya et al., NeurIPS 2019): the
+    * SAME navigable graph — built at full (int8) precision — walked with
+    * candidates scored from PRODUCT-QUANTIZED codes only: per query one
+    * (m, cid) → distance table over the [[Pq]] codebook (M·K integer
+    * entries, broadcast), each candidate scored as Σ_m dt[m, code_m] — so
+    * the walk never touches a full vector, the 100 TB serving memory
+    * story. The ADC distance is negated into the walk's score-DESC
+    * machinery (ties to the smaller nid either way). The walk's
+    * ADC-top-`rerankN` survivors are then RERANKED with the exact int8
+    * dot (DiskANN's full-precision rerank from disk) and cut to `k`.
+    * Budget accounting: the rerank's `rerankN` exact scorings count
+    * toward the probe budget (see [[Recall.pqWalkTable]]).
+    */
+  def beamProbePq(graph: DataFrame, pqCodes: DataFrame,
+                  cents: Array[Array[Long]], cz: DataFrame,
+                  queries: DataFrame, k: Int, beam: Int, rounds: Int,
+                  rerankN: Int, graphK: Int = 8, nSeeds: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  exclude: Option[DataFrame] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cent")
+    val sq = aggregate(
+      zip_with(col("gcode"), col("cent"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val dt = Kmeans.quantizeGrid(Pq.subvectors(queries))
+      .select(col(idCol).cast("long").as("qid"), col("m"), col("gcode"))
+      .crossJoin(centsDf)
+      .select(col("qid"), col("m"), col("cid"), sq.as("d"))
+      .localCheckpoint()
+    val adcScorer: DataFrame => DataFrame = cand => cand
+      .filter(col("qid") =!= col("nid"))
+      .join(pqCodes.select(col("vec_id").cast("long").as("nid"),
+        col("m"), col("cid")), "nid")
+      .join(broadcast(dt), Seq("qid", "m", "cid"))
+      .groupBy("qid", "nid").agg((-sum("d")).as("score"))
+    val seeds = cz.select("nid").orderBy(hh(col("nid")), col("nid")).limit(nSeeds)
+    val qids = dt.select("qid").distinct()
+    val walked = beamLoop(graph, qids.crossJoin(seeds), rerankN, beam, rounds,
+      graphK, exclude, adcScorer)
+    val qz = Similarity.quantizeInt8(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
+    Similarity.longScoreTopK(
+      int8Scorer(cz, qz)(walked.select("qid", "nid")), k)
+  }
+
+  /** The int8-dot candidate scorer every non-compressed walk uses:
+    * (qid, nid) pairs → (qid, nid, score), self-matches dropped.
+    */
+  private def int8Scorer(cz: DataFrame, qz: DataFrame): DataFrame => DataFrame =
+    cand => cand
+      .filter(col("qid") =!= col("nid"))
+      .join(cz, "nid").join(broadcast(qz), "qid")
+      .select(col("qid"), col("nid"),
+        Similarity.int8Dot(col("qc"), col("cc")).as("score"))
 
   /** `exclude` is the soft-delete serve filter (a one-column `nid`
     * relation): excluded nodes still ROUTE — they enter the beam and their
     * neighbors expand exactly as before, the HNSW tombstone semantics —
     * but are dropped from the final ranking, so the result is the best k
-    * SURVIVING nodes of the identical walk.
+    * SURVIVING nodes of the identical walk. `scorer` maps candidate
+    * (qid, nid) pairs to (qid, nid, score) — higher is closer (compressed
+    * scorers negate their distance), ties to the smaller nid throughout.
     */
-  private def beamLoop(graph: DataFrame, cz: DataFrame, qz: DataFrame,
-                       seeds: DataFrame, k: Int, beam: Int, rounds: Int,
-                       graphK: Int, exclude: Option[DataFrame] = None): DataFrame = {
+  private def beamLoop(graph: DataFrame, seeds: DataFrame, k: Int, beam: Int,
+                       rounds: Int, graphK: Int,
+                       exclude: Option[DataFrame],
+                       scorer: DataFrame => DataFrame): DataFrame = {
     val und = undirected(graph, graphK).localCheckpoint()
-    def score(cand: DataFrame): DataFrame = cand
-      .filter(col("qid") =!= col("nid"))
-      .join(cz, "nid").join(broadcast(qz), "qid")
-      .select(col("qid"), col("nid"),
-        Similarity.int8Dot(col("qc"), col("cc")).as("score"))
-    var visited = score(seeds).localCheckpoint()
+    var visited = scorer(seeds).localCheckpoint()
     for (_ <- 1 to rounds) {
       val beamDf = visited.withColumn("__rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
@@ -201,7 +256,7 @@ object NnDescent {
         .join(und.withColumnRenamed("u", "nid"), "nid")
         .select(col("qid"), col("v").as("nid")).distinct()
       val fresh = nbrs.join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
+      visited = visited.unionByName(scorer(fresh)).localCheckpoint()
     }
     val served = exclude.fold(visited)(d =>
       visited.join(d.select("nid"), Seq("nid"), "left_anti"))

@@ -450,7 +450,7 @@ object Pq {
 
   private[graft] val NProbe = 2
 
-  private def subvecSql: String =
+  private[scale] def subvecSql: String =
     s"""SELECT vec_id * $M + t.m AS vec_id,
        |       embedding[$SubDim * t.m + 1 : $SubDim * t.m + $SubDim] AS embedding
        |FROM embeddings

@@ -49,6 +49,9 @@ object Recall {
   // the corpus, walked at a fixed narrow beam
   private val HierSample = 8
   private val UpperBeam = 4
+  // q234's compressed walk reranks the ADC-top-RerankN with the exact int8
+  // dot before the final top-k cut
+  private val RerankN = 20
 
   /** Recall@`k` of int8-rerank IVF probing vs the int8 brute-force ranking,
     * one row per probe width: (n_probe, hits, possible, recall_bp) with
@@ -274,6 +277,44 @@ object Recall {
         col("possible"), expr("hits * 10000 div possible").as("recall_bp"))
   }
 
+  /** Full-precision vs PQ-compressed serving of the SAME navigable graph
+    * at the same beam knobs — the q234 relation. Family `graph` walks with
+    * the int8 dot (full codes in memory); `graph_pq` walks with
+    * ADC lookups over [[Pq]] codes only (M bytes per vector in the walk's
+    * working set instead of the full code — the DiskANN memory story) and
+    * reranks its ADC-top-[[RerankN]] with the exact int8 dot. The pq
+    * budget honestly adds the rerank's exact scorings.
+    */
+  def pqWalkTable(corpus: DataFrame, queries: DataFrame, k: Int = TopK,
+                  beams: Seq[Int] = Beams, graphK: Int = GraphK,
+                  graphIters: Int = GraphIters, beamRounds: Int = BeamRounds,
+                  nSeeds: Int = Seeds, rerankN: Int = RerankN): DataFrame = {
+    val brute = Similarity.quantizedTopK(corpus, queries, k)
+      .select("qid", "nid").localCheckpoint()
+    val cz = NnDescent.codes(corpus).localCheckpoint()
+    val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
+    val subs = Pq.subvectors(corpus)
+    val cents = Pq.trainCodebook(subs)
+    val pqCodes = Pq.encode(subs, cents).localCheckpoint()
+    def hitRow(family: String, b: Int, budget: Long, probe: DataFrame) = probe
+      .select("qid", "nid").join(brute, Seq("qid", "nid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(family).as("family"), lit(b.toLong).as("knob"),
+        lit(budget).as("budget"), col("hits"))
+    val rows = beams.flatMap { b =>
+      val walkBudget = (nSeeds + beamRounds * b * 2 * graphK).toLong
+      Seq(
+        hitRow("graph", b, walkBudget,
+          NnDescent.beamProbe(g, cz, queries, k, b, beamRounds, graphK, nSeeds)),
+        hitRow("graph_pq", b, walkBudget + rerankN,
+          NnDescent.beamProbePq(g, pqCodes, cents, cz, queries, k, b,
+            beamRounds, rerankN, graphK, nSeeds)))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(brute.agg(count(lit(1)).as("possible")))
+      .select(col("family"), col("knob"), col("budget"), col("hits"),
+        col("possible"), expr("hits * 10000 div possible").as("recall_bp"))
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   private def perProbeSql(p: Int): String =
@@ -417,6 +458,32 @@ ORDER BY h.n_probe"""
    SELECT f.qid, f.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
    FROM ${p}fr${b}_$r f JOIN qq q ON q.qid = f.qid JOIN qz z ON z.vec_id = f.nid
    WHERE f.qid <> f.nid)"""
+    }.mkString(",")
+
+  /** [[beamRoundsSql]] with the candidate scorer swapped for the PQ ADC
+    * lookup: fresh candidates join the code assignments `pa` (vid, m, cid)
+    * and the per-query distance table `dt` (qid, m, cid, d), scored as the
+    * NEGATED Σ_m d — the same score-DESC, ties-to-smaller-nid machinery as
+    * every other walk.
+    */
+  private def pqBeamRoundsSql(p: String, und: String)(b: Int): String =
+    (1 to BeamRounds).map { r =>
+      val prev = s"${p}v${b}_${r - 1}"
+      s"""
+ ${p}bm${b}_$r AS (SELECT qid, nid FROM (
+   SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM $prev) WHERE rn <= $b),
+ ${p}nb${b}_$r AS (SELECT DISTINCT t.qid, u.v AS nid
+   FROM ${p}bm${b}_$r t JOIN $und u ON u.u = t.nid),
+ ${p}fr${b}_$r AS (SELECT n.qid, n.nid FROM ${p}nb${b}_$r n ANTI JOIN $prev pv USING (qid, nid)),
+ ${p}v${b}_$r AS MATERIALIZED (
+   SELECT qid, nid, score FROM $prev
+   UNION ALL
+   SELECT f.qid, f.nid, -CAST(SUM(dt.d) AS BIGINT) AS score
+   FROM ${p}fr${b}_$r f JOIN pa a ON a.vid = f.nid
+   JOIN dt ON dt.qid = f.qid AND dt.m = a.m AND dt.cid = a.cid
+   WHERE f.qid <> f.nid
+   GROUP BY f.qid, f.nid)"""
     }.mkString(",")
 
   private def beamSql(p: String, fam: String)(b: Int): String = {
@@ -681,6 +748,81 @@ FROM ($union) g, pos
 ORDER BY family, knob"""
   }
 
+  /** The q234 oracle: full-precision vs PQ-compressed walks of the same
+    * graph, replayed end to end — the int8 base and brute ranking, the
+    * NN-descent chain, the flat walks (prefix `g`), the PQ codebook's full
+    * Lloyd replay over pooled subvectors (prefix `p_`, the q132
+    * machinery), the per-query ADC distance table, the compressed walks
+    * (prefix `p`, negated Σ_m lookups), the int8 rerank of each walk's
+    * ADC-top-[[RerankN]], and both recall tallies.
+    */
+  private val pqWalkOracle: String = {
+    val gBeams = Beams.map(beamSql("g", "graph")).mkString(",")
+    val gAliases = Beams.tail
+      .map(b => s",\n gv${b}_0 AS (SELECT * FROM gv${Beams.head}_0)").mkString
+    val pAliases = Beams.tail
+      .map(b => s",\n pv${b}_0 AS (SELECT * FROM pv${Beams.head}_0)").mkString
+    val pBeams = Beams.map { b =>
+      s"""${pqBeamRoundsSql("p", "gundF")(b)},
+ prr$b AS (SELECT qid, nid FROM (
+   SELECT qid, nid, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM pv${b}_$BeamRounds) WHERE rn <= $RerankN),
+ prs$b AS (SELECT r.qid, r.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM prr$b r JOIN qq q ON q.qid = r.qid JOIN qz z ON z.vec_id = r.nid),
+ pann$b AS (SELECT qid, nid FROM (
+   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM prs$b) WHERE rn <= $TopK),
+ pht$b AS (SELECT 'graph_pq' AS family, CAST($b AS BIGINT) AS knob,
+   CAST(${Seeds + BeamRounds * b * 2 * GraphK + RerankN} AS BIGINT) AS budget,
+   CAST(count(1) AS BIGINT) AS hits
+   FROM pann$b a JOIN brk b2 ON a.qid = b2.qid AND a.nid = b2.nid)"""
+    }.mkString(",")
+    val union = (Beams.map(b => s"SELECT family, knob, budget, hits FROM gh$b") ++
+        Beams.map(b => s"SELECT family, knob, budget, hits FROM pht$b"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH qz AS (
+   SELECT vec_id,
+     CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+     END AS code
+   FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+ qq AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < $NQueries),
+ cc AS (SELECT vec_id AS nid, code AS cc FROM qz),
+ bsc AS (SELECT qid, nid, CAST(list_dot_product(qc, cc.cc) AS BIGINT) AS score
+         FROM qq, cc WHERE qid <> nid),
+ brk AS MATERIALIZED (
+   SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+     FROM bsc) WHERE rn <= $TopK),${graphChainSql("g")},
+ gv${Beams.head}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid)$gAliases,$gBeams,
+${Kmeans.lloydCtes(Pq.subvecSql, Pq.K, Pq.Iters, Pq.SubDim, "p_")},
+ pa AS (SELECT vec_id // ${Pq.M} AS vid, vec_id % ${Pq.M} AS m, cid FROM p_af),
+ pqs AS (SELECT vec_id // ${Pq.M} AS qid, vec_id % ${Pq.M} AS m, g
+         FROM p_e WHERE vec_id // ${Pq.M} < $NQueries),
+ dt AS MATERIALIZED (
+   SELECT pqs.qid, pqs.m, c.cid,
+          SUM((pqs.g[t.i] - c.cent[t.i]) * (pqs.g[t.i] - c.cent[t.i])) AS d
+   FROM pqs CROSS JOIN p_c${Pq.Iters} c CROSS JOIN range(1, ${Pq.SubDim + 1}) t(i)
+   GROUP BY 1, 2, 3),
+ pv${Beams.head}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, -CAST(SUM(dt.d) AS BIGINT) AS score
+   FROM (SELECT qid FROM qq) q CROSS JOIN gseeds s
+   JOIN pa a ON a.vid = s.nid
+   JOIN dt ON dt.qid = q.qid AND dt.m = a.m AND dt.cid = a.cid
+   WHERE q.qid <> s.nid
+   GROUP BY q.qid, s.nid)$pAliases,$pBeams,
+ pos AS (SELECT CAST(count(1) AS BIGINT) AS possible FROM brk)
+SELECT g.family, g.knob, g.budget, g.hits, pos.possible,
+       g.hits * 10000 // pos.possible AS recall_bp
+FROM ($union) g, pos
+ORDER BY family, knob"""
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -800,6 +942,18 @@ ORDER BY family, knob"""
     Q("q233_ann_hier", hierOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       hierRecallTable(emb, emb.filter(col("vec_id") < NQueries))
+        .orderBy("family", "knob")
+    },
+
+    // Full-precision vs PQ-compressed serving of the same navigable graph
+    // (the DiskANN split: route on M-byte codes, rerank survivors
+    // exactly). The oracle replays the PQ codebook's Lloyd training, the
+    // ADC distance tables, every compressed walk round, and the rerank —
+    // so a single code assignment or lookup differing anywhere moves a
+    // hit count and fails the hash.
+    Q("q234_ann_pq_walk", pqWalkOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      pqWalkTable(emb, emb.filter(col("vec_id") < NQueries))
         .orderBy("family", "knob")
     },
   )

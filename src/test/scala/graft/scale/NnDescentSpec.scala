@@ -211,6 +211,35 @@ class NnDescentSpec extends SparkSpec {
     perQ.foreach { case (_, n, m) => assert(n === 5L && m === 5L) }
   }
 
+  test("PQ-compressed walk: budgets add the rerank cost; k dense ranks per query, no self-matches") {
+    val qs = emb.filter(col("vec_id") < 16)
+    val table = Recall.pqWalkTable(emb, qs)
+      .select("family", "knob", "budget")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val extras = Seq(2L, 4L, 8L)
+      .map(b => table(("graph_pq", b)) - table(("graph", b)))
+    assert(extras.distinct === Seq(20L))
+    val cz = NnDescent.codes(emb).localCheckpoint()
+    val g = NnDescent.buildKnnGraph(emb, 8, 2)
+    val subs = Pq.subvectors(emb)
+    val cents = Pq.trainCodebook(subs)
+    val pqCodes = Pq.encode(subs, cents).localCheckpoint()
+    val out = NnDescent.beamProbePq(g, pqCodes, cents, cz, qs, 5, 4, 3, 20).cache()
+    assert(out.filter(col("qid") === col("nid")).count() === 0)
+    val perQ = out.groupBy("qid").agg(count(lit(1)).as("n"), max("rnk").as("m"))
+      .as[(Long, Long, Long)].collect()
+    assert(perQ.length === 16)
+    perQ.foreach { case (_, n, m) => assert(n === 5L && m === 5L) }
+    // the rerank is genuine: final scores are int8 dots, descending in rank
+    val mono = out.select("qid", "rnk", "score").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).values
+    mono.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   // --- NavIndex append --------------------------------------------------
 
   private def navRoot(tag: String): String =
