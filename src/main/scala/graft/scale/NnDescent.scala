@@ -334,6 +334,15 @@ object NnDescent {
       * tombstone FIRST, in its own promote, so a crash between the two
       * converges on retry (the r14 ADVICE ordering). The batch must be
       * broadcast-small — it rides the probe machinery's query side.
+      *
+      * Crash convergence of the two data promotes: the GRAPH patch lands
+      * first, anti-joined on already-present sources. A crash between the
+      * graph and codes promotes leaves edge rows whose sources have no
+      * codes — invisible to every walk (candidates are scored through an
+      * inner join on the code relation) — and the retry's recomputed
+      * links are discarded by the anti-join, so the retry completes with
+      * the ORIGINAL pre-crash links: bit-identical to the un-crashed
+      * append, not merely convergent-to-valid.
       */
     def append(batch: DataFrame, beam: Int = 8, rounds: Int = 3,
                nSeeds: Int = 8, idCol: String = "vec_id",
@@ -359,10 +368,12 @@ object NnDescent {
       val links = beamProbe(graph.read(), existing, fresh, graphK, beam,
           rounds, graphK, nSeeds, idCol, vecCol, dead)
         .select(col("qid").as("u"), col("nid").as("v"), col("score"))
+      val gNew = links.join(graph.read().select("u").distinct(),
+        Seq("u"), "left_anti").localCheckpoint()
+      if (!gNew.isEmpty) graph.promote(graph.stageAppend(gNew))
       codes.promote(codes.stageAppend(NnDescent.codes(fresh, idCol, vecCol)))
-      graph.promote(graph.stageAppend(links))
-      codes.compactIfNeeded(maxChainDepth)
       graph.compactIfNeeded(maxChainDepth)
+      codes.compactIfNeeded(maxChainDepth)
     }
 
     /** Rebuild point: re-run the deterministic NN-descent build over the

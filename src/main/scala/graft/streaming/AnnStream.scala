@@ -36,6 +36,34 @@ object AnnStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The same drain for the graph-navigable index: each micro-batch
+    * beam-walks the existing graph for its out-links and lands as an
+    * O(batch) append ([[graft.scale.NnDescent.NavIndex.append]]);
+    * [[graft.scale.NnDescent.NavIndex.compact]] remains the periodic
+    * repair point. Replay idempotence: a redelivered batch's ids are
+    * already present and no-op; a batch torn between the graph and codes
+    * promotes retries BIT-IDENTICALLY (append's promote ordering — see
+    * its scaladoc). Batch-ORDER, however, is semantic for an approximate
+    * graph (each batch links against the graph the previous batches
+    * built), so the certified drain (q235) uses a deterministic
+    * single-batch arrival and the multi-batch law is pinned as
+    * sequential-append equivalence in NnDescentSpec.
+    */
+  def navAppendSink(vectors: DataFrame, idx: graft.scale.NnDescent.NavIndex,
+                    checkpoint: String,
+                    beam: Int = 8, rounds: Int = 3, nSeeds: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        idx.append(batch, beam, rounds, nSeeds, idCol, vecCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The same drain for the composed IVF+PQ index: each micro-batch is
     * assigned + PQ-encoded under the persisted models and patch-appended
     * into its touched cells ([[graft.scale.Pq.appendToIvfPqIndex]]). Replay

@@ -1395,5 +1395,43 @@ object StreamingQueries {
             lit(-1L).as("n_tokens")))
         .orderBy("phase", "lang", "v", "doc_id")
     },
+
+    // Streaming ingestion for the graph-navigable index: q232's append
+    // lifecycle reached through a STREAM — the base graph is built
+    // batch-side, the twin batch arrives as a crawl micro-batch drained
+    // through navAppendSink (O(batch) stageAppend of codes + out-links,
+    // torn-append retries bit-identical), and both serve phases must hash
+    // to exactly q232's rows: the serving answer is ingestion-path-
+    // invariant for the navigable family too (batch append vs streamed
+    // append). Batch ORDER is semantic for an approximate graph, so the
+    // certified drain is the deterministic single-file arrival; the
+    // multi-batch sequential-append equivalence is pinned in NnDescentSpec.
+    Q("q235_streaming_nav",
+      graft.scale.Recall.queries.find(_.name == "q232_ann_nav_append").get
+        .oracle.get) { (s, d) =>
+      import graft.scale.NnDescent
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val wh = scratchDir("graft-q235")
+      val idx = new NnDescent.NavIndex(s, s"$wh/nav", 8, 2)
+      idx.build(emb)
+      val s2 = s.newSession()
+      val twins = Streaming.embeddingsStream(s2, d)
+        .filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+        .select("vec_id", "embedding")
+      AnnStream.navAppendSink(twins, idx, s"$wh/ckpt").awaitTermination()
+      val qs = emb.filter(col("vec_id") < 32)
+      def serve(phase: String) =
+        idx.probe(qs, 10, 8, 3, 8).withColumn("phase", lit(phase))
+      val appended = serve("appended").localCheckpoint()
+      idx.compact()
+      appended.unionByName(serve("compacted"))
+        .select(col("phase"), col("qid").cast("long").as("qid"),
+          col("rnk").cast("long").as("rnk"), col("nid").cast("long").as("nid"),
+          col("score").cast("long").as("score"))
+        .orderBy("phase", "qid", "rnk")
+    },
   )
 }

@@ -288,6 +288,52 @@ class NnDescentSpec extends SparkSpec {
       b.codes.read().collect().map(_.toSeq).toSet)
   }
 
+  test("NavIndex append torn between graph and codes promotes retries bit-identically") {
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 160)
+    val clean = new NnDescent.NavIndex(spark, navRoot("clean"))
+    clean.build(base); clean.append(batch)
+    // torn state: the graph patch landed (same public walk append stages),
+    // the codes patch did not — then the append is retried whole
+    val torn = new NnDescent.NavIndex(spark, navRoot("torn"))
+    torn.build(base)
+    val links = NnDescent.beamProbe(torn.graph.read(), torn.codes.read(),
+        batch, 8, 8, 3, 8, 8)
+      .select(col("qid").as("u"), col("nid").as("v"), col("score"))
+    torn.graph.promote(torn.graph.stageAppend(links))
+    torn.append(batch)
+    assert(torn.graph.read().collect().map(_.toSeq).toSet ===
+      clean.graph.read().collect().map(_.toSeq).toSet)
+    assert(torn.codes.read().collect().map(_.toSeq).toSet ===
+      clean.codes.read().collect().map(_.toSeq).toSet)
+  }
+
+  test("navAppendSink multi-batch drain == the same sequential append calls") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = emb.filter(col("vec_id") < 150)
+    val b1 = emb.filter(col("vec_id") >= 150 && col("vec_id") < 155)
+    val b2 = emb.filter(col("vec_id") >= 155 && col("vec_id") < 160)
+    val seq = new NnDescent.NavIndex(spark, navRoot("seq"))
+    seq.build(base); seq.append(b1); seq.append(b2)
+    val st = new NnDescent.NavIndex(spark, navRoot("stream"))
+    st.build(base)
+    // deterministic 2-batch arrival: two feed files in write order
+    val wh = java.nio.file.Files.createTempDirectory("graft-navstream").toString
+    b1.coalesce(1).write.mode("append").parquet(s"$wh/feed")
+    Thread.sleep(1100) // distinct mtime seconds => deterministic file order
+    b2.coalesce(1).write.mode("append").parquet(s"$wh/feed")
+    val s2 = spark.newSession()
+    val schema = s2.read.parquet(s"$wh/feed").schema
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+    graft.streaming.AnnStream.navAppendSink(stream, st, s"$wh/ckpt")
+      .awaitTermination()
+    assert(st.graph.read().collect().map(_.toSeq).toSet ===
+      seq.graph.read().collect().map(_.toSeq).toSet)
+    assert(st.codes.read().collect().map(_.toSeq).toSet ===
+      seq.codes.read().collect().map(_.toSeq).toSet)
+  }
+
   test("NavIndex append: existing ids no-op; tombstoned ids un-delete first") {
     val root = navRoot("undelete")
     val idx = new NnDescent.NavIndex(spark, root)
