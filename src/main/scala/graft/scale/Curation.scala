@@ -971,6 +971,18 @@ object Curation {
       regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1),
       ":[0-9]+$", ""))
 
+  /** Every href attribute value in `html`, double- then single-quoted,
+    * attribute name case-insensitive — the crawl frontier's outlink
+    * extraction, as a pure array projection (no explode, no shuffle;
+    * runs inside the scan task). Emission order is fixed (all
+    * double-quoted matches in document order, then all single-quoted), a
+    * replayable convention; downstream link SETS are order-insensitive.
+    * Explicit `[ \t]` classes, not `\s` — Java and RE2 disagree on \s.
+    */
+  def extractLinks(html: Column): Column = concat(
+    regexp_extract_all(html, lit("(?i)href[ \t]*=[ \t]*\"([^\"]+)\""), lit(1)),
+    regexp_extract_all(html, lit("(?i)href[ \t]*=[ \t]*'([^']+)'"), lit(1)))
+
   /** Content-defined token-span chunks: the text's token stream cut AFTER
     * every boundary token (a token whose md5 hex is below '1' — a
     * deterministic 1/16-rate content condition both engines compute
@@ -1138,6 +1150,29 @@ object Curation {
       .otherwise(lit("")),
     lit("<p>Subscribe to our newsletter for weekly updates</p>"),
     lit("""<!-- tracking pixel --><footer><a href="/tos">terms</a> <a href="/privacy">privacy</a></footer></body></html>"""))
+
+  /** Crawl-page markup with a deterministic cross-host anchor structure
+    * (q236's fixture): three absolute outlinks per page — exercising
+    * attribute-name case, both quote styles, scheme/host case, the default
+    * https port, `www.`, tracking params, fragments, duplicate slashes,
+    * ccTLD multi-part suffixes, and a subdomain that must collapse into
+    * its registered domain — plus a relative link and a mailto link that
+    * extraction must keep but the absolute-URL filter must drop. The
+    * page's own host is `site{doc_id % 10}.com` (the `src` convention its
+    * consumers share).
+    */
+  private[graft] def linkFixture(docId: Column): Column = concat(
+    lit("<html><body><p>story</p>"),
+    lit("<a HREF=\"HTTPS://www.Site"), (docId + 1) % 10,
+    lit(".com:443/read/"), docId % 13,
+    lit("?utm_source=feed&b=2&a=1#top\">one</a>"),
+    lit("<a href='http://site"), (docId * 3 + 1) % 10,
+    lit(".co.uk//news//"), docId % 5, lit("/'>two</a>"),
+    lit("<a href=\"https://cdn.site"), (docId * 7 + 2) % 10,
+    lit(".com/a/b\">three</a>"),
+    lit("<a href=\"/relative/skipped\">rel</a>"),
+    lit("<a href=\"mailto:x@example.com\">mail</a>"),
+    lit("</body></html>"))
 
   /** The DuckDB replay of [[htmlFixture]] + [[extractText]], shared by the
     * q202 and q211 oracles: CTEs from `seeded` through `ext`
@@ -1869,6 +1904,89 @@ FROM ext CROSS JOIN hot ORDER BY doc_id""") { (s, d) =>
           "domain")
         .groupBy("domain").agg(count(lit(1)).as("n_docs"))
         .orderBy("domain")
+    },
+
+    // The crawl's web graph, end to end: outlink extraction from raw
+    // markup (extractLinks — attribute case, both quote styles, relative
+    // and mailto links dropped by the absolute-URL filter), q203's
+    // canonicalization, registered-domain collapse (the subdomain link
+    // merges into its pay-level domain), the DISTINCT domain-level edge
+    // relation, and q207's dangling-aware integer PageRank over it (the
+    // .co.uk hosts are pure sinks — their rank recycles as dangling
+    // mass). The oracle replays every stage CTE-for-CTE and the FULL rank
+    // table hash-compares, so one mis-extracted href, mis-canonicalized
+    // host, or mis-ranked domain fails. This is the composition a crawl
+    // pipeline actually runs: page → links → host graph → authority.
+    Q("q236_link_graph",
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>story</p>' ||
+        |    '<a HREF="HTTPS://www.Site' || ((doc_id + 1) % 10) || '.com:443/read/' || (doc_id % 13) ||
+        |      '?utm_source=feed&b=2&a=1#top">one</a>' ||
+        |    '<a href=''http://site' || ((doc_id * 3 + 1) % 10) || '.co.uk//news//' || (doc_id % 5) || '/''>two</a>' ||
+        |    '<a href="https://cdn.site' || ((doc_id * 7 + 2) % 10) || '.com/a/b">three</a>' ||
+        |    '<a href="/relative/skipped">rel</a>' ||
+        |    '<a href="mailto:x@example.com">mail</a>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        | hrefs AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*"([^"]+)"', 1),
+        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*''([^'']+)''', 1))) AS url
+        |  FROM seeded),
+        | abs0 AS (SELECT doc_id, url FROM hrefs
+        |          WHERE regexp_matches(url, '(?i)^https?://')),
+        | hostq AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+        |  FROM abs0),
+        | dom0 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare
+        |  FROM hostq),
+        | dom AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(bare, '.')) >= 3
+        |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
+        |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
+        |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
+        |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
+        |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
+        |         WHEN len(string_split(bare, '.')) >= 2
+        |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
+        |         ELSE bare END AS domain
+        |  FROM dom0),
+        | edges AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 10) || '.com' AS src, domain AS dst
+        |  FROM dom WHERE 'site' || (doc_id % 10) || '.com' <> domain),
+        | deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        | e AS (SELECT p.src, p.dst, d.outdeg FROM edges p JOIN deg d USING (src)),
+        | nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        | dang AS (SELECT node FROM nodes ANTI JOIN deg ON node = deg.src),
+        |""".stripMargin +
+      s" r0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS rank FROM nodes),\n" +
+      (1 to Graph.DirIters).map(Graph.dirIterSql).mkString(",\n") +
+      s"\nSELECT node, rank FROM r${Graph.DirIters} ORDER BY node") { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val links = docs
+        .select(col("doc_id"),
+          explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
+        .filter(col("url").rlike("(?i)^https?://"))
+      val edges = links.select(
+          concat(lit("site"), col("doc_id") % 10, lit(".com")).as("src"),
+          urlDomain(canonicalizeUrl(col("url"))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      Graph.pageRankDirected(edges, Graph.DirIters)
+        .select(col("node"), col("rank").cast("long").as("rank"))
+        .orderBy("node")
     },
 
     // Temperature sampling at alpha = 0.5 over language strata: the oracle

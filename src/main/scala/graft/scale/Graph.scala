@@ -494,7 +494,7 @@ object Graph {
   // customer→supplier direction ONLY, so every customer is a pure source
   // (indeg 0 — must keep its row) and every supplier a pure sink (outdeg
   // 0 — its rank is the per-round dangling mass, redistributed dm div N).
-  private def dirIterSql(i: Int): String = {
+  private[scale] def dirIterSql(i: Int): String = {
     val p = i - 1
     s""" c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS c
        |          FROM e JOIN r$p r ON e.src = r.node GROUP BY 1),
@@ -525,7 +525,7 @@ object Graph {
        |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
        |FROM r$Iters ORDER BY node""".stripMargin
 
-  private val DirIters = 4
+  private[scale] val DirIters = 4
 
   private val q207Sql: String =
     s"""WITH pairs AS (

@@ -783,4 +783,18 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._2 == "bb").forall(_._4 == "head"))
     assert(out.find(_._1 == 20L).get._3 === 0L)
   }
+
+  test("extractLinks: both quote styles, attribute case; relative/mailto survive extraction, die at the absolute filter") {
+    val html = """<a HREF="https://a.com/x">1</a> <a href='http://b.com'>2</a>""" +
+      """ <a data-href="https://decoy.com">no</a>""" +
+      """ <a href="/rel">3</a> <a href="mailto:x@y.z">4</a>"""
+    val out = Seq(html).toDF("h")
+      .select(Curation.extractLinks(col("h")).as("ls"))
+      .as[Seq[String]].head()
+    // double-quoted matches first, then single-quoted — the documented order
+    assert(out === Seq("https://a.com/x", "https://decoy.com", "/rel",
+      "mailto:x@y.z", "http://b.com"))
+    assert(out.filter(_.matches("(?i)^https?://.*")) ===
+      Seq("https://a.com/x", "https://decoy.com", "http://b.com"))
+  }
 }
