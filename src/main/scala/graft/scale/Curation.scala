@@ -1174,6 +1174,57 @@ object Curation {
     lit("<a href=\"mailto:x@example.com\">mail</a>"),
     lit("</body></html>"))
 
+  /** The DuckDB replay of [[linkFixture]] + [[extractLinks]] +
+    * canonicalization + registered-domain collapse, shared by the q236 and
+    * q237 oracles: CTEs `seeded` through `dom` (doc_id, domain per
+    * absolute outlink).
+    */
+  private[graft] val linkDomainCtes: String =
+    """seeded AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>story</p>' ||
+      |    '<a HREF="HTTPS://www.Site' || ((doc_id + 1) % 10) || '.com:443/read/' || (doc_id % 13) ||
+      |      '?utm_source=feed&b=2&a=1#top">one</a>' ||
+      |    '<a href=''http://site' || ((doc_id * 3 + 1) % 10) || '.co.uk//news//' || (doc_id % 5) || '/''>two</a>' ||
+      |    '<a href="https://cdn.site' || ((doc_id * 7 + 2) % 10) || '.com/a/b">three</a>' ||
+      |    '<a href="/relative/skipped">rel</a>' ||
+      |    '<a href="mailto:x@example.com">mail</a>' ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      | hrefs AS (
+      |  SELECT doc_id, unnest(list_concat(
+      |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*"([^"]+)"', 1),
+      |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*''([^'']+)''', 1))) AS url
+      |  FROM seeded),
+      | abs0 AS (SELECT doc_id, url FROM hrefs
+      |          WHERE regexp_matches(url, '(?i)^https?://')),
+      | hostq AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+      |  FROM abs0),
+      | dom0 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare
+      |  FROM hostq),
+      | dom AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(bare, '.')) >= 3
+      |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
+      |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
+      |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
+      |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
+      |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
+      |         WHEN len(string_split(bare, '.')) >= 2
+      |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
+      |         ELSE bare END AS domain
+      |  FROM dom0)""".stripMargin
+
   /** The DuckDB replay of [[htmlFixture]] + [[extractText]], shared by the
     * q202 and q211 oracles: CTEs from `seeded` through `ext`
     * (doc_id, extracted text).
@@ -1918,50 +1969,7 @@ FROM ext CROSS JOIN hot ORDER BY doc_id""") { (s, d) =>
     // host, or mis-ranked domain fails. This is the composition a crawl
     // pipeline actually runs: page → links → host graph → authority.
     Q("q236_link_graph",
-      """WITH seeded AS (
-        |  SELECT doc_id,
-        |    '<html><body><p>story</p>' ||
-        |    '<a HREF="HTTPS://www.Site' || ((doc_id + 1) % 10) || '.com:443/read/' || (doc_id % 13) ||
-        |      '?utm_source=feed&b=2&a=1#top">one</a>' ||
-        |    '<a href=''http://site' || ((doc_id * 3 + 1) % 10) || '.co.uk//news//' || (doc_id % 5) || '/''>two</a>' ||
-        |    '<a href="https://cdn.site' || ((doc_id * 7 + 2) % 10) || '.com/a/b">three</a>' ||
-        |    '<a href="/relative/skipped">rel</a>' ||
-        |    '<a href="mailto:x@example.com">mail</a>' ||
-        |    '</body></html>' AS html
-        |  FROM documents),
-        | hrefs AS (
-        |  SELECT doc_id, unnest(list_concat(
-        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*"([^"]+)"', 1),
-        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*''([^'']+)''', 1))) AS url
-        |  FROM seeded),
-        | abs0 AS (SELECT doc_id, url FROM hrefs
-        |          WHERE regexp_matches(url, '(?i)^https?://')),
-        | hostq AS (
-        |  SELECT doc_id,
-        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport
-        |  FROM abs0),
-        | dom0 AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(
-        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-        |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare
-        |  FROM hostq),
-        | dom AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(string_split(bare, '.')) >= 3
-        |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
-        |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
-        |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
-        |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
-        |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
-        |         WHEN len(string_split(bare, '.')) >= 2
-        |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
-        |         ELSE bare END AS domain
-        |  FROM dom0),
+      "WITH " + linkDomainCtes + """,
         | edges AS (
         |  SELECT DISTINCT 'site' || (doc_id % 10) || '.com' AS src, domain AS dst
         |  FROM dom WHERE 'site' || (doc_id % 10) || '.com' <> domain),

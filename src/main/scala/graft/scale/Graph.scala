@@ -196,12 +196,17 @@ object Graph {
     * ANN (q205/q208) and postings (q212/q213) indexes already have.
     */
   final class PageRankIndex(spark: org.apache.spark.sql.SparkSession,
-                            root: String, iters: Int, nBuckets: Int = 16) {
+                            root: String, iters: Int, nBuckets: Int = 16,
+                            bucketKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column = identity) {
     import graft.write.{VersionedTable, Writers}
 
     private def t(name: String) = new VersionedTable(spark, s"$root/$name")
+    // `bucketKey` maps a node column to a nonnegative number before the mod
+    // — identity for the native long-keyed graphs; string-keyed graphs
+    // (q237's domain nodes) pass a deterministic hash. The bucket layout is
+    // index-internal: serving values never depend on it, only pruning does.
     private def bucket(c: org.apache.spark.sql.Column) =
-      pmod(c, lit(nBuckets.toLong)).cast("int")
+      pmod(bucketKey(c), lit(nBuckets.toLong)).cast("int")
     private def bucketsOf(df: DataFrame, c: String): Array[Integer] =
       df.select(bucket(col(c)).as("b")).distinct()
         .collect().map(r => Integer.valueOf(r.getInt(0)))
@@ -364,8 +369,10 @@ object Graph {
       * cone), never O(graph). Unknown ids and re-deletes are no-ops.
       */
     def delete(ids: DataFrame): DataFrame = {
-      val del = ids.select(col(ids.columns.head).cast("long").as("node"))
-        .distinct().localCheckpoint()
+      val c0 = col(ids.columns.head)
+      val cid = if (ids.schema.head.dataType ==
+          org.apache.spark.sql.types.StringType) c0 else c0.cast("long")
+      val del = ids.select(cid.as("node")).distinct().localCheckpoint()
       val eo = t("edges_out"); val ei = t("edges_in")
       val delB = bucketsOf(del, "node")
       if (delB.isEmpty) { lastDeleteStats = AppendStats(Nil); return ranks(iters) }
@@ -462,12 +469,12 @@ object Graph {
     }
   }
 
-  private val Iters = 3
+  private[graft] val Iters = 3
 
   // Oracle: the same three rounds unrolled as CTEs. `//` is DuckDB's
   // truncating integer division — identical to Spark's `div` on the
   // nonnegative longs used throughout.
-  private def iterSql(i: Int): String = {
+  private[graft] def iterSql(i: Int): String = {
     val p = i - 1
     s"""r$i AS (
        |  SELECT e.dst AS node,

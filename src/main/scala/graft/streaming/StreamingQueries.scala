@@ -1433,5 +1433,78 @@ object StreamingQueries {
           col("score").cast("long").as("score"))
         .orderBy("phase", "qid", "rnk")
     },
+
+    // The live crawl's authority pipeline: documents arrive as micro-
+    // batches; each batch's outlinks are extracted, canonicalized, and
+    // collapsed to SYMMETRIC domain edges (both directions — the exact
+    // incremental index's outdeg>=1 ∧ indeg>=1 contract; authority over
+    // the undirected co-link relation), deduplicated against the edges
+    // already indexed (replay-idempotent: a redelivered batch appends
+    // nothing), and delta-applied through PageRankIndex.append — O(batch
+    // × cone) per batch, never the graph. String domain nodes ride the
+    // index's pluggable bucket key (a deterministic hash; bucket layout
+    // is index-internal). The served final round must equal the full
+    // recompute on the distinct union graph (q152's exactness law), so
+    // the oracle is the batch-split-and-order-INVARIANT fresh replay:
+    // fixture → links → domains → symmetric distinct edges → the three
+    // pageRank rounds, full rank table.
+    Q("q237_streaming_linkrank",
+      "WITH " + graft.scale.Curation.linkDomainCtes + """,
+        | e0 AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 10) || '.com' AS a, domain AS b
+        |  FROM dom WHERE 'site' || (doc_id % 10) || '.com' <> domain),
+        | eboth AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        | deg AS (SELECT src, CAST(count(1) AS BIGINT) AS outdeg FROM eboth GROUP BY 1),
+        | e AS (SELECT eb.src, eb.dst, deg.outdeg FROM eboth eb JOIN deg USING (src)),
+        |""".stripMargin +
+      s" r0 AS (SELECT src AS node, CAST(${graft.scale.Graph.Scale} AS BIGINT) AS r FROM deg),\n" +
+      (1 to graft.scale.Graph.Iters).map(graft.scale.Graph.iterSql).mkString(",\n") +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r${graft.scale.Graph.Iters} ORDER BY node") { (s, d) =>
+      import graft.scale.{Curation, Graph}
+      val wh = scratchDir("graft-q237")
+      val docs = Tables.documents(s, d).select("doc_id")
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val idx = new Graph.PageRankIndex(s, s"$wh/pr", Graph.Iters, 16,
+        c => abs(hash(c)).cast("long"))
+      val edgesOut = new VersionedTable(s, s"$wh/pr/edges_out")
+      def domainEdges(batch: org.apache.spark.sql.DataFrame) = {
+        val pairs = batch
+          .select(col("doc_id"),
+            explode(Curation.extractLinks(
+              Curation.linkFixture(col("doc_id")))).as("url"))
+          .filter(col("url").rlike("(?i)^https?://"))
+          .select(concat(lit("site"), col("doc_id") % 10, lit(".com")).as("a"),
+            Curation.urlDomain(Curation.canonicalizeUrl(col("url"))).as("b"))
+          .filter(col("a") =!= col("b"))
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .distinct()
+      }
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      val q = stream.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val e = domainEdges(batch).localCheckpoint()
+          if (!edgesOut.exists) { idx.build(e); () }
+          else {
+            val fresh = e.join(edgesOut.read().select("src", "dst"),
+              Seq("src", "dst"), "left_anti").localCheckpoint()
+            if (!fresh.isEmpty) { idx.append(fresh); () }
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      idx.ranks(Graph.Iters)
+        .select(col("node"), col("rank").cast("long").as("rank"))
+        .orderBy("node")
+    },
   )
 }
