@@ -745,6 +745,98 @@ object Graph {
        |   SELECT e.dst AS node, d.dist + e.w AS dist
        |   FROM e JOIN d${i - 1} d ON e.src = d.node) GROUP BY 1)""".stripMargin
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007),
+    * deterministic: every node starts labeled with its own id; each round
+    * every node simultaneously adopts the most frequent label among its
+    * NEIGHBORS (self excluded — the standard synchronous form), ties to
+    * the SMALLEST label; a fixed `rounds` horizon replaces the paper's
+    * random asynchronous order, which is what makes the whole trajectory
+    * replayable (the [[kCore]] convention). Communities are the label
+    * groups — the cheap web-scale community detector (host clustering,
+    * dedup-cluster consolidation) sitting between connected components
+    * (too coarse: one bridge merges everything) and modularity methods
+    * (not shuffle-friendly).
+    *
+    * Scale shape: per round one join of the edge list to the N-row label
+    * relation and two hash aggregations — (node, label) partial counts
+    * collapse map-side, then a max-of-struct per node picks (count DESC,
+    * label ASC) without a window. Edges are the cached loop invariant.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("dst") === labels("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** HITS (Kleinberg, JACM 1999) in truncating integer arithmetic: per
+    * round, authority a(i) = Σ hubs over in-edges then L1-normalized to
+    * [[Scale]] (`a·Scale div Σa` — sum normalization instead of the
+    * paper's L2, which keeps every step in exact integer division), hub
+    * h(i) = Σ normalized authorities over out-edges, normalized the same
+    * way. Nodes outside a round's support (indeg-0 sources, outdeg-0
+    * sinks) score 0 on that side — on a directed graph HITS's two scores
+    * are exactly what PageRank's single score conflates, which is why
+    * crawl pipelines keep both (hub quality ≠ authority quality).
+    *
+    * Scale shape: two edge-to-N-row joins + two hash aggregations per
+    * round; the two normalization totals are 1-row broadcasts. Edges are
+    * the cached loop invariant.
+    */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var hubs = nodes.select(col("node"), lit(Scale).as("h"))
+    var auth = nodes.select(col("node"), lit(0L).as("a")).limit(0)
+    for (_ <- 1 to rounds) {
+      val a0 = e.join(hubs, e("src") === hubs("node"))
+        .groupBy("dst").agg(sum("h").as("a0"))
+      val sa = a0.agg(sum("a0").as("sa"))
+      auth = a0.crossJoin(broadcast(sa))
+        .select(col("dst").as("node"), expr(s"(a0 * $Scale) div sa").as("a"))
+        .localCheckpoint()
+      val h0 = e.join(auth, e("dst") === auth("node"))
+        .groupBy("src").agg(sum("a").as("h0"))
+      val sh = h0.agg(sum("h0").as("sh"))
+      hubs = h0.crossJoin(broadcast(sh))
+        .select(col("src").as("node"), expr(s"(h0 * $Scale) div sh").as("h"))
+        .localCheckpoint()
+    }
+    nodes.join(auth, Seq("node"), "left").join(hubs, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+  }
+
+  private def hitsRoundSql(i: Int): String =
+    s""" a$i AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS a0
+       |         FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+       | sa$i AS (SELECT CAST(sum(a0) AS BIGINT) AS s FROM a$i),
+       | an$i AS (SELECT node, (a0 * $Scale) // s AS a FROM a$i, sa$i),
+       | hh$i AS (SELECT e.src AS node, CAST(sum(an.a) AS BIGINT) AS h0
+       |          FROM e JOIN an$i an ON e.dst = an.node GROUP BY 1),
+       | sh$i AS (SELECT CAST(sum(h0) AS BIGINT) AS s FROM hh$i),
+       | h$i AS (SELECT node, (h0 * $Scale) // s AS h FROM hh$i, sh$i)""".stripMargin
+
+  private def lpaRoundSql(i: Int): String =
+    s""" l$i AS (
+       |  SELECT src AS node, label FROM (
+       |    SELECT src, label,
+       |      row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+       |    FROM (SELECT e.src, l.label, count(*) AS c
+       |          FROM e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2))
+       |  WHERE rn = 1)""".stripMargin
+
   private def kCoreRoundSql(i: Int): String = {
     val prev = s"e${i - 1}"
     s""" k$i AS (SELECT src FROM (SELECT src, count(*) AS c FROM $prev GROUP BY 1) WHERE c >= 25),
@@ -768,6 +860,59 @@ object Graph {
          |SELECT src AS node, count(*) AS core_deg
          |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       kCore(tradeEdges(s, d), k = 25, rounds = 6).orderBy("node")
+    },
+
+    // Label-propagation communities over the >= 5-shared-orders
+    // co-supplier graph: 4 synchronous rounds from id-labels, most
+    // frequent neighbor label, ties to the smallest. The oracle unrolls
+    // every round's grouped vote and tie-rank, and the FULL (node, label)
+    // table hash-compares — one wrong vote count or tie anywhere
+    // relabels a node and fails.
+    Q("q238_label_propagation",
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         | pairs AS (
+         |  SELECT a.sk AS u, b.sk AS v
+         |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         | e AS (SELECT u AS src, v AS dst FROM pairs
+         |       UNION ALL SELECT v, u FROM pairs),
+         | l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${(1 to 4).map(lpaRoundSql).mkString(",\n")}
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin) { (s, d) =>
+      val pairs = coSupplierPairs(s, d, minShared = 5L)
+      labelPropagation(
+          pairs.select(col("u").as("src"), col("v").as("dst"))
+            .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"))),
+          rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+        .orderBy("node")
+    },
+
+    // HITS over the genuinely directed customer→supplier trade graph:
+    // suppliers are pure authorities, customers pure hubs — the exact
+    // configuration PageRank's single score conflates (and q207's
+    // dangling machinery redistributes away). 4 rounds of integer
+    // mutual reinforcement with truncating L1 normalization, every
+    // round's totals and divisions unrolled in the oracle; the FULL
+    // (node, auth, hub) table hash-compares.
+    Q("q239_hits",
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         | e AS (SELECT src, dst FROM pairs),
+         | nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         | h0 AS (SELECT node, CAST($Scale AS BIGINT) AS h FROM nodes),
+         |${(1 to 4).map(hitsRoundSql).mkString(",\n")}
+         |SELECT n.node, coalesce(a.a, 0) AS auth, coalesce(h.h, 0) AS hub
+         |FROM nodes n LEFT JOIN an4 a USING (node) LEFT JOIN h4 h USING (node)
+         |ORDER BY n.node""".stripMargin) { (s, d) =>
+      hits(tradePairs(s, d)
+          .select(col("c").as("src"), col("s").as("dst")), rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("auth").cast("long").as("auth"),
+          col("hub").cast("long").as("hub"))
+        .orderBy("node")
     },
 
     // Incremental triangle count: hold out ~1/7 of the co-supplier edges

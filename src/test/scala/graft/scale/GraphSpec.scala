@@ -343,4 +343,38 @@ class GraphSpec extends SparkSpec {
       Seq((1L,2L),(1L,3L),(2L,3L)).toDF("u","v"),
       Seq((1L,2L)).toDF("u","v")).as[Long].head() === 0L)
   }
+
+  test("labelPropagation: two planted cliques with one bridge keep separate min-id labels") {
+    // cliques {1,2,3,4} and {10,11,12,13}, bridge 4-10: inside a clique
+    // the min id dominates every vote; the single bridge edge never
+    // outvotes a node's three clique neighbors
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L), (10L, 4L))).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(out(_) == 10L))
+    // synchronous determinism: a second run is bit-identical
+    assert(Graph.labelPropagation(e, rounds = 4)
+      .as[(Long, Long)].collect().toMap === out)
+  }
+
+  test("hits: bipartite direction splits the scores; normalized sums bounded by Scale") {
+    val e = Seq((0L, 101L), (0L, 102L), (2L, 101L), (4L, 103L))
+      .toDF("src", "dst")
+    val out = Graph.hits(e, rounds = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // sources are pure hubs, targets pure authorities
+    assert(Seq(0L, 2L, 4L).forall(out(_)._1 === 0L))
+    assert(Seq(101L, 102L, 103L).forall(out(_)._2 === 0L))
+    // L1 normalization: each side's total is Scale minus truncation dust
+    val sa = Seq(101L, 102L, 103L).map(out(_)._1).sum
+    val sh = Seq(0L, 2L, 4L).map(out(_)._2).sum
+    assert(sa <= Graph.Scale && sa > Graph.Scale - 10)
+    assert(sh <= Graph.Scale && sh > Graph.Scale - 10)
+    // 101 is cited by two hubs incl. the strongest; it must out-rank 103
+    assert(out(101L)._1 > out(103L)._1)
+  }
 }
