@@ -406,6 +406,127 @@ object Curation {
       .select(col("rnk"), col("__w").as("word"), col("__cnt").as("cnt"))
   }
 
+  private def textRankRoundSql(i: Int): String =
+    s""" k$i AS (
+       |  SELECT e.doc_id, e.dst AS node,
+       |    ${Graph.Base} + (${Graph.DampNum} * CAST(sum(r.rank // e.outdeg) AS BIGINT)) // ${Graph.DampDen} AS rank
+       |  FROM e JOIN k${i - 1} r ON e.doc_id = r.doc_id AND e.src = r.node
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004), the flat
+    * integer form: per document, DISTINCT adjacent-token pairs (the
+    * paper's co-occurrence window at w = 2) over tokens of >= `minLen`
+    * chars (the POS-filter stand-in — short function words drop) form an
+    * undirected term graph; `iters` integer PageRank rounds run over the
+    * POOLED (doc, term) node relation — one corpus-wide edge list through
+    * the standard join-aggregate rounds, never a per-document loop — and
+    * each doc's top `k` terms by (rank DESC, term ASC) are its keywords.
+    * Corpus-scale keyword extraction is the index/metadata side of
+    * curation (topic tagging, cluster naming); the per-doc graphs are
+    * tiny but there are millions of them, which is exactly what the
+    * pooled-key formulation is for.
+    */
+  def textRankKeywords(docs: DataFrame, k: Int = 3, iters: Int = 3,
+                       minLen: Int = 4, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as(Seq("p", "w")))
+    val pairs0 = t
+      .withColumn("nw",
+        lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("p")))
+      .filter(col("nw").isNotNull && col("w") =!= col("nw") &&
+        length(col("w")) >= minLen && length(col("nw")) >= minLen)
+      .select(col("doc_id"), col("w").as("a"), col("nw").as("b"))
+    val edges = pairs0
+      .select(col("doc_id"), col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs0.select(col("doc_id"), col("b").as("src"),
+        col("a").as("dst")))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy("doc_id", "src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, Seq("doc_id", "src")).localCheckpoint()
+    var ranks = deg.select(col("doc_id"), col("src").as("node"),
+      lit(Graph.Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = e.join(ranks,
+          e("doc_id") === ranks("doc_id") && e("src") === ranks("node"))
+        .select(e("doc_id"), col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("doc_id"), col("dst")).agg(sum("contrib").as("c"))
+        .select(col("doc_id"), col("dst").as("node"),
+          (lit(Graph.Base) +
+            expr(s"(${Graph.DampNum} * c) div ${Graph.DampDen}")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("rank").desc, col("node"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("node").as("term"), col("rank"))
+  }
+
+  private def textRankSummaryRoundSql(i: Int): String =
+    s""" k$i AS (
+       |  SELECT f.doc_id, f.node,
+       |    ${Graph.Base} + (${Graph.DampNum} * f.c) // ${Graph.DampDen} AS rank
+       |  FROM (SELECT e.doc_id, e.dst AS node,
+       |          CAST(sum((r.rank * e.w) // e.strength) AS BIGINT) AS c
+       |        FROM e JOIN k${i - 1} r ON e.doc_id = r.doc_id AND e.src = r.node
+       |        GROUP BY 1, 2) f)""".stripMargin
+
+  /** TextRank extractive summarization (Mihalcea & Tarau 2004 §4), the
+    * passage form: fixed `segLen`-token segments stand in for sentences
+    * (post-extraction web text has no reliable sentence punctuation — and
+    * passage-level salience is what a curation pipeline actually wants).
+    * Segment similarity = |shared DISTINCT >= `minLen`-char tokens|
+    * (integer; the paper's log-length normalization is dropped for
+    * exactness — segments are fixed-length so it is a constant anyway),
+    * and `iters` WEIGHTED integer PageRank rounds run over the pooled
+    * (doc, segment) relation: per-edge flow is `rank * w div strength`
+    * with strength = Σ out-weights, so flow splits by overlap mass. The
+    * top `k` segments per doc by (rank DESC, sid ASC) are the summary.
+    * Segments sharing no token with any other segment (and one-segment
+    * docs) have no edges and never rank — isolated text is by definition
+    * not salient. The similarity join is token-keyed (doc_id, token) —
+    * one corpus-wide shuffle, never a per-document loop or cross join.
+    */
+  def textRankSummary(docs: DataFrame, k: Int = 2, iters: Int = 3,
+                      segLen: Int = 12, minLen: Int = 4,
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = docs.select(col("doc_id"),
+        posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+          w => w =!= "")).as(Seq("p", "w")))
+      .filter(length(col("w")) >= minLen)
+      .select(col("doc_id"), (col("p") / segLen).cast("long").as("sid"),
+        col("w"))
+      .distinct()
+    val pairs = seg.as("a").join(seg.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") === col("b.w") &&
+          col("a.sid") =!= col("b.sid"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.sid").as("src"),
+        col("b.sid").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val strength = pairs.groupBy("doc_id", "src")
+      .agg(sum("w").as("strength"))
+    val e = pairs.join(strength, Seq("doc_id", "src")).localCheckpoint()
+    var ranks = strength.select(col("doc_id"), col("src").as("node"),
+      lit(Graph.Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = e.join(ranks,
+          e("doc_id") === ranks("doc_id") && e("src") === ranks("node"))
+        .select(e("doc_id"), col("dst"),
+          expr("(rank * w) div strength").as("contrib"))
+        .groupBy(col("doc_id"), col("dst")).agg(sum("contrib").as("c"))
+        .select(col("doc_id"), col("dst").as("node"),
+          (lit(Graph.Base) +
+            expr(s"(${Graph.DampNum} * c) div ${Graph.DampDen}")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("rank").desc, col("node"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("node").as("sid"), col("rnk"), col("rank"))
+  }
+
   /** Per-stratum document cap — the "domain caps" step of web-corpus curation
     * (RefinedWeb/C4 bound how much any one domain may contribute): keep at
     * most `cap` docs per stratum, chosen by deterministic content-hash order
@@ -983,6 +1104,29 @@ object Curation {
     regexp_extract_all(html, lit("(?i)href[ \t]*=[ \t]*\"([^\"]+)\""), lit(1)),
     regexp_extract_all(html, lit("(?i)href[ \t]*=[ \t]*'([^']+)'"), lit(1)))
 
+  private val AnchorDq =
+    "(?i)<a[^>]*href[ \t]*=[ \t]*\"([^\"]+)\"[^>]*>([^<]*)</a>"
+  private val AnchorSq =
+    "(?i)<a[^>]*href[ \t]*=[ \t]*'([^']+)'[^>]*>([^<]*)</a>"
+
+  /** Every `<a href=...>anchor</a>` element as a struct(url, anchor) —
+    * the web-search signal [[extractLinks]] drops: inbound anchor text
+    * describes the TARGET page (Brin & Page 1998 §2.2 propagate it to the
+    * linked page precisely because the target may not contain its own
+    * best description). Double- then single-quoted attribute passes, name
+    * case-insensitive, anchor text is the immediate `[^<]*` run (an
+    * anchor containing nested markup is out of scope for the fixture
+    * grammar, as is one crossing a tag). Pure array projection — the
+    * whole extraction runs inside the scan task, no shuffle.
+    */
+  def extractAnchors(html: Column): Column = {
+    def pass(re: String) =
+      transform(regexp_extract_all(html, lit(re), lit(0)), m =>
+        struct(regexp_extract(m, re, 1).as("url"),
+          regexp_extract(m, re, 2).as("anchor")))
+    concat(pass(AnchorDq), pass(AnchorSq))
+  }
+
   /** Content-defined token-span chunks: the text's token stream cut AFTER
     * every boundary token (a token whose md5 hex is below '1' — a
     * deterministic 1/16-rate content condition both engines compute
@@ -1173,6 +1317,86 @@ object Curation {
     lit("<a href=\"/relative/skipped\">rel</a>"),
     lit("<a href=\"mailto:x@example.com\">mail</a>"),
     lit("</body></html>"))
+
+  /** [[linkFixture]]'s sibling with content-bearing anchor text: the first
+    * outlink's anchor is the doc's tokens 1–3, the second's tokens 4–6
+    * (deterministic, replayable slices — shorter docs yield shorter or
+    * empty anchors), plus a relative link whose anchor must survive
+    * extraction but fall to the absolute-URL filter.
+    */
+  private[graft] def anchorFixture(docId: Column, text: Column): Column = {
+    val ts = filter(split(text, graft.expressions.Ws.Regex), w => w =!= "")
+    concat(
+      lit("<html><body><p>story</p>"),
+      lit("<a HREF=\"HTTPS://www.Site"), (docId + 1) % 10,
+      lit(".com:443/read/"), docId % 13,
+      lit("?utm_source=feed&b=2&a=1#top\">"),
+      array_join(slice(ts, 1, 3), " "), lit("</a>"),
+      lit("<a href='http://site"), (docId * 3 + 1) % 10,
+      lit(".co.uk//news//"), docId % 5, lit("/'>"),
+      array_join(slice(ts, 4, 3), " "), lit("</a>"),
+      lit("<a href=\"/relative/skipped\">local nav</a>"),
+      lit("</body></html>"))
+  }
+
+  /** The DuckDB replay of [[anchorFixture]] + [[extractAnchors]] +
+    * canonicalization + registered-domain collapse: CTEs `a_seeded`
+    * through `a_dom` (target domain, anchor per absolute outlink).
+    * Prefixed `a_` — composes alongside [[linkDomainCtes]].
+    */
+  private[graft] val anchorDomainCtes: String =
+    """a_seeded AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>story</p>' ||
+      |    '<a HREF="HTTPS://www.Site' || ((doc_id + 1) % 10) || '.com:443/read/' || (doc_id % 13) ||
+      |      '?utm_source=feed&b=2&a=1#top">' || array_to_string(ts[1:3], ' ') || '</a>' ||
+      |    '<a href=''http://site' || ((doc_id * 3 + 1) % 10) || '.co.uk//news//' || (doc_id % 5) || '/''>' ||
+      |      array_to_string(ts[4:6], ' ') || '</a>' ||
+      |    '<a href="/relative/skipped">local nav</a>' ||
+      |    '</body></html>' AS html
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ts
+      |        FROM documents)),
+      | a_pairs AS (
+      |  SELECT regexp_extract(m, '(?i)<a[^>]*href[ \t]*=[ \t]*"([^"]+)"[^>]*>([^<]*)</a>', 1) AS url,
+      |         regexp_extract(m, '(?i)<a[^>]*href[ \t]*=[ \t]*"([^"]+)"[^>]*>([^<]*)</a>', 2) AS anchor
+      |  FROM (SELECT unnest(regexp_extract_all(html,
+      |          '(?i)<a[^>]*href[ \t]*=[ \t]*"([^"]+)"[^>]*>([^<]*)</a>', 0)) AS m
+      |        FROM a_seeded)
+      |  UNION ALL
+      |  SELECT regexp_extract(m, '(?i)<a[^>]*href[ \t]*=[ \t]*''([^'']+)''[^>]*>([^<]*)</a>', 1),
+      |         regexp_extract(m, '(?i)<a[^>]*href[ \t]*=[ \t]*''([^'']+)''[^>]*>([^<]*)</a>', 2)
+      |  FROM (SELECT unnest(regexp_extract_all(html,
+      |          '(?i)<a[^>]*href[ \t]*=[ \t]*''([^'']+)''[^>]*>([^<]*)</a>', 0)) AS m
+      |        FROM a_seeded)),
+      | a_abs AS (SELECT url, anchor FROM a_pairs
+      |           WHERE regexp_matches(url, '(?i)^https?://')),
+      | a_hostq AS (
+      |  SELECT anchor,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+      |  FROM a_abs),
+      | a_dom0 AS (
+      |  SELECT anchor,
+      |    regexp_replace(regexp_replace(
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare
+      |  FROM a_hostq),
+      | a_dom AS (
+      |  SELECT anchor,
+      |    CASE WHEN len(string_split(bare, '.')) >= 3
+      |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
+      |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
+      |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
+      |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
+      |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
+      |         WHEN len(string_split(bare, '.')) >= 2
+      |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
+      |         ELSE bare END AS domain
+      |  FROM a_dom0)""".stripMargin
 
   /** The DuckDB replay of [[linkFixture]] + [[extractLinks]] +
     * canonicalization + registered-domain collapse, shared by the q236 and
@@ -1625,6 +1849,116 @@ object Curation {
       vocabulary(Tables.documents(s, d), topK = 20).orderBy("rnk")
     },
 
+    // TextRank keywords for every document: adjacent >= 4-char token
+    // pairs -> per-doc undirected term graph -> 3 integer PageRank rounds
+    // over the pooled (doc, term) relation -> top-3 terms per doc. The
+    // oracle replays tokenization, pair construction, every round's
+    // grouped flow, and the final tie-ranked cut; the full keyword table
+    // hash-compares.
+    Q("q241_textrank_keywords",
+      s"""WITH tok AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+         | FROM documents),
+         | pr0 AS (SELECT doc_id,
+         |   unnest(list_transform(range(1, len(ts)),
+         |     i -> {'a': ts[i], 'b': ts[i+1]})) AS s
+         |  FROM tok WHERE len(ts) >= 2),
+         | pairs AS (SELECT DISTINCT doc_id, s.a AS a, s.b AS b FROM pr0
+         |           WHERE s.a <> s.b AND len(s.a) >= 4 AND len(s.b) >= 4),
+         | e0 AS (SELECT doc_id, a AS src, b AS dst FROM pairs
+         |        UNION SELECT doc_id, b, a FROM pairs),
+         | deg AS (SELECT doc_id, src, CAST(count(1) AS BIGINT) AS outdeg
+         |         FROM e0 GROUP BY 1, 2),
+         | e AS (SELECT e0.doc_id, e0.src, e0.dst, deg.outdeg
+         |       FROM e0 JOIN deg USING (doc_id, src)),
+         | k0 AS (SELECT doc_id, src AS node,
+         |        CAST(${Graph.Scale} AS BIGINT) AS rank FROM deg),
+         |${(1 to 3).map(textRankRoundSql).mkString(",\n")}
+         |SELECT doc_id, rnk, node AS term, rank FROM (
+         |  SELECT doc_id, node, rank,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY rank DESC, node) AS rnk
+         |  FROM k3)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      textRankKeywords(Tables.documents(s, d))
+        .select(col("doc_id"), col("rnk"), col("term"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // TextRank extractive summaries: 12-token segments, overlap-weighted
+    // per-doc segment graph, 3 weighted integer PageRank rounds over the
+    // pooled (doc, segment) relation, top-2 salient segments per doc. The
+    // oracle replays segmentation, the token-keyed overlap join, every
+    // weighted round's per-edge truncating flow, and the final ranked cut;
+    // the full summary table hash-compares.
+    Q("q242_textrank_summary",
+      s"""WITH tok AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM documents),
+         | seg AS (SELECT DISTINCT doc_id, (s.p // 12) AS sid, s.w FROM
+         |   (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'p': i - 1, 'w': ts[i]})) AS s FROM tok) q
+         |   WHERE len(s.w) >= 4),
+         | pairs AS (SELECT a.doc_id, a.sid AS src, b.sid AS dst,
+         |            CAST(count(1) AS BIGINT) AS w
+         |           FROM seg a JOIN seg b ON a.doc_id = b.doc_id AND a.w = b.w
+         |             AND a.sid <> b.sid
+         |           GROUP BY 1, 2, 3),
+         | st AS (SELECT doc_id, src, CAST(sum(w) AS BIGINT) AS strength
+         |        FROM pairs GROUP BY 1, 2),
+         | e AS (SELECT p.doc_id, p.src, p.dst, p.w, st.strength
+         |       FROM pairs p JOIN st USING (doc_id, src)),
+         | k0 AS (SELECT doc_id, src AS node,
+         |        CAST(${Graph.Scale} AS BIGINT) AS rank FROM st),
+         |${(1 to 3).map(textRankSummaryRoundSql).mkString(",\n")}
+         |SELECT doc_id, sid, rnk, rank FROM (
+         |  SELECT doc_id, node AS sid, rank,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY rank DESC, node) AS rnk
+         |  FROM k3)
+         |WHERE rnk <= 2 ORDER BY doc_id, sid""".stripMargin) { (s, d) =>
+      textRankSummary(Tables.documents(s, d))
+        .select(col("doc_id"), col("sid"), col("rnk"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "sid")
+    },
+
+    // Anchor-text index: inbound anchor terms aggregated per TARGET
+    // registered domain (Brin & Page 1998 §2.2 — anchor text describes
+    // the linked page), top-3 terms per domain by (count DESC, term ASC).
+    // The oracle replays the anchor fixture, both quote-style extraction
+    // passes, the absolute filter, canonicalization, the registered-domain
+    // collapse, tokenization, and the ranked cut; full table hash-compares.
+    Q("q243_anchor_text_index",
+      "WITH " + anchorDomainCtes + """,
+        | a_terms AS (SELECT domain,
+        |    unnest(list_filter(string_split_regex(anchor, '[ \t\n\f\r]+'),
+        |      x -> x <> '')) AS term
+        |  FROM a_dom),
+        | a_cnt AS (SELECT domain, term, CAST(count(1) AS BIGINT) AS cnt
+        |           FROM a_terms GROUP BY 1, 2)
+        |SELECT domain, rnk, term, cnt FROM (
+        |  SELECT domain, term, cnt,
+        |    row_number() OVER (PARTITION BY domain ORDER BY cnt DESC, term) AS rnk
+        |  FROM a_cnt)
+        |WHERE rnk <= 3 ORDER BY domain, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.documents(s, d)
+        .select(explode(extractAnchors(
+          anchorFixture(col("doc_id"), col("text")))).as("la"))
+        .select(col("la.url").as("url"), col("la.anchor").as("anchor"))
+        .filter(col("url").rlike("(?i)^https?://"))
+      pairs
+        .select(urlDomain(canonicalizeUrl(col("url"))).as("domain"),
+          explode(filter(split(col("anchor"), graft.expressions.Ws.Regex),
+            w => w =!= "")).as("term"))
+        .groupBy("domain", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("domain")
+          .orderBy(col("cnt").desc, col("term"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("domain"), col("rnk"), col("term"), col("cnt"))
+        .orderBy("domain", "rnk")
+    },
+
     // Per-stratum domain caps with the survivor re-join the docstring
     // prescribes: at most 10 docs per source, chosen by the deterministic
     // md5(id) permutation (id tiebreak), then joined back to the corpus for
@@ -1993,6 +2327,50 @@ FROM ext CROSS JOIN hot ORDER BY doc_id""") { (s, d) =>
         .filter(col("src") =!= col("dst"))
         .distinct()
       Graph.pageRankDirected(edges, Graph.DirIters)
+        .select(col("node"), col("rank").cast("long").as("rank"))
+        .orderBy("node")
+    },
+
+    // TrustRank over the crawl domain graph: link multiplicity between
+    // registered domains is the edge weight (symmetric encoding), the
+    // trusted whitelist is the site{0,3,6,9}.com seeds, and 3 weighted
+    // seed-restart rounds propagate trust — heavily-linked neighbors of
+    // the whitelist inherit more than incidental ones, islands stay 0.
+    // The oracle replays extraction, canonicalization, domain collapse,
+    // weight aggregation, and every weighted round; full table compares.
+    Q("q244_trustrank",
+      "WITH " + linkDomainCtes + s""",
+        | w0 AS (SELECT 'site' || (doc_id % 10) || '.com' AS src, domain AS dst
+        |        FROM dom WHERE 'site' || (doc_id % 10) || '.com' <> domain),
+        | wd AS (SELECT src, dst, CAST(count(1) AS BIGINT) AS w FROM w0 GROUP BY 1, 2),
+        | ws AS (SELECT src, dst, w FROM wd UNION ALL SELECT dst, src, w FROM wd),
+        | ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM ws GROUP BY 1, 2),
+        | st AS (SELECT src, CAST(sum(w) AS BIGINT) AS strength FROM ew GROUP BY 1),
+        | e AS (SELECT ew.src, ew.dst, ew.w, st.strength FROM ew JOIN st USING (src)),
+        | sd AS (SELECT DISTINCT src AS node FROM ew
+        |        WHERE regexp_matches(src, '^site[0369]\\.com$$')),
+        | t0 AS (SELECT src AS node,
+        |        CAST(CASE WHEN regexp_matches(src, '^site[0369]\\.com$$')
+        |             THEN ${Graph.Scale} ELSE 0 END AS BIGINT) AS rank
+        |        FROM st),
+        |${(1 to 3).map(Graph.trustRoundSql).mkString(",\n")}
+        |SELECT node, rank FROM t3 ORDER BY node""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val links = docs
+        .select(col("doc_id"),
+          explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
+        .filter(col("url").rlike("(?i)^https?://"))
+      val dir = links.select(
+          concat(lit("site"), col("doc_id") % 10, lit(".com")).as("src"),
+          urlDomain(canonicalizeUrl(col("url"))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val edges = dir.unionByName(
+          dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node").rlike("^site[0369]\\.com$"))
+      Graph.trustRank(edges, seeds, iters = 3)
         .select(col("node"), col("rank").cast("long").as("rank"))
         .orderBy("node")
     },

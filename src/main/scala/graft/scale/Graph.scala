@@ -778,6 +778,100 @@ object Graph {
     labels
   }
 
+  /** Personalized PageRank (the seed-teleport variant): the damped
+    * restart mass lands ONLY on the seed set instead of uniformly — the
+    * standard "expand from a quality whitelist" primitive (seed-site
+    * expansion for crawl curation: domains reachable from trusted seeds
+    * inherit rank, unrelated islands stay at zero). Integer-exact:
+    * seeds start at [[Scale]] (non-seeds at 0) and receive the constant
+    * [[Base]] restart each round; the damped flow term is [[pageRank]]'s.
+    * Same outdeg ≥ 1 ∧ indeg ≥ 1 contract (undirected both-direction
+    * encoding); a node's rank is 0 until seed mass reaches it, exactly
+    * `dist(seeds, node)` rounds out.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("__s", lit(1L)).localCheckpoint()
+    def restart(nodes: DataFrame) = nodes
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), when(col("__s").isNotNull, lit(Base))
+        .otherwise(lit(0L)).as("base"))
+    var ranks = restart(deg.select(col("src").as("node")))
+      .select(col("node"),
+        when(col("base") > 0, lit(Scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 0 until iters) {
+      val flow = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("c"))
+      ranks = restart(flow.select(col("dst").as("node")))
+        .join(flow.withColumnRenamed("dst", "node"), "node")
+        .select(col("node"),
+          (col("base") + expr(s"($DampNum * c) div $DampDen")).as("rank"))
+    }
+    ranks
+  }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    * seed-personalized walk of [[personalizedPageRank]] with WEIGHTED
+    * flow — a node's outflow splits in proportion to edge weights (link
+    * multiplicity between domains) instead of uniformly across out-edges,
+    * so heavily-linked neighbors of the trusted seed set inherit more
+    * trust than incidental ones. Integer-exact: per-edge flow is
+    * `rank * w div strength` (strength = Σ out-weights), restart is the
+    * constant [[Base]] on seeds only. With all weights equal it reduces
+    * exactly to [[personalizedPageRank]] (spec law). Same outdeg ≥ 1 ∧
+    * indeg ≥ 1 contract (symmetric both-direction encoding satisfies it).
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val strength = edges.groupBy("src").agg(sum("w").as("strength"))
+    val e = edges.join(strength, "src")
+      .select(col("src"), col("dst"), col("w"), col("strength"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("__s", lit(1L)).localCheckpoint()
+    def restart(nodes: DataFrame) = nodes
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), when(col("__s").isNotNull, lit(Base))
+        .otherwise(lit(0L)).as("base"))
+    var ranks = restart(strength.select(col("src").as("node")))
+      .select(col("node"),
+        when(col("base") > 0, lit(Scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 0 until iters) {
+      val flow = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * w) div strength").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("c"))
+      ranks = restart(flow.select(col("dst").as("node")))
+        .join(flow.withColumnRenamed("dst", "node"), "node")
+        .select(col("node"),
+          (col("base") + expr(s"($DampNum * c) div $DampDen")).as("rank"))
+    }
+    ranks
+  }
+
+  private[graft] def trustRoundSql(i: Int): String =
+    s""" t$i AS (
+       |  SELECT f.node,
+       |    (CASE WHEN sd.node IS NOT NULL THEN $Base ELSE 0 END)
+       |      + ($DampNum * f.c) // $DampDen AS rank
+       |  FROM (SELECT e.dst AS node,
+       |          CAST(sum((r.rank * e.w) // e.strength) AS BIGINT) AS c
+       |        FROM e JOIN t${i - 1} r ON e.src = r.node GROUP BY 1) f
+       |  LEFT JOIN sd ON sd.node = f.node)""".stripMargin
+
+  private def pprRoundSql(i: Int): String =
+    s""" pr$i AS (
+       |  SELECT f.node,
+       |    (CASE WHEN sd.node IS NOT NULL THEN $Base ELSE 0 END)
+       |      + ($DampNum * f.c) // $DampDen AS rank
+       |  FROM (SELECT e.dst AS node, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS c
+       |        FROM e JOIN pr${i - 1} r ON e.src = r.node GROUP BY 1) f
+       |  LEFT JOIN sd ON sd.node = f.node)""".stripMargin
+
   /** HITS (Kleinberg, JACM 1999) in truncating integer arithmetic: per
     * round, authority a(i) = Σ hubs over in-edges then L1-normalized to
     * [[Scale]] (`a·Scale div Σa` — sum normalization instead of the
@@ -886,6 +980,35 @@ object Graph {
           rounds = 4)
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("label"))
+        .orderBy("node")
+    },
+
+    // Personalized PageRank from the %29 supplier seed whitelist over the
+    // symmetric trade graph: restart mass lands only on seeds, so rank
+    // decays with distance from the whitelist and unreached nodes sit at
+    // exactly 0 — the seed-site-expansion primitive (domains near trusted
+    // seeds inherit authority). Every round's flow + seed-restart is
+    // unrolled in the oracle; the FULL rank table hash-compares.
+    Q("q240_personalized_pagerank",
+      s"""WITH base AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         | e0 AS (SELECT c AS src, s AS dst FROM base
+         |        UNION ALL SELECT s, c FROM base),
+         | deg AS (SELECT src, CAST(count(1) AS BIGINT) AS outdeg FROM e0 GROUP BY 1),
+         | e AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
+         | sd AS (SELECT DISTINCT src AS node FROM e0
+         |        WHERE src % 2 = 1 AND (src // 2) % 29 = 0),
+         | pr0 AS (SELECT src AS node,
+         |   CAST(CASE WHEN src % 2 = 1 AND (src // 2) % 29 = 0
+         |        THEN $Scale ELSE 0 END AS BIGINT) AS rank FROM deg),
+         |${(1 to 3).map(pprRoundSql).mkString(",\n")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = tradeEdges(s, d)
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(expr("node % 2 = 1 AND (node div 2) % 29 = 0"))
+      personalizedPageRank(edges, seeds, iters = 3)
+        .select(col("node").cast("long").as("node"),
+          col("rank").cast("long").as("rank"))
         .orderBy("node")
     },
 

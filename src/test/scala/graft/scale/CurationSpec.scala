@@ -797,4 +797,69 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_.matches("(?i)^https?://.*")) ===
       Seq("https://a.com/x", "https://decoy.com", "http://b.com"))
   }
+
+  test("textRankKeywords: the co-occurrence hub tops its doc; short tokens never rank") {
+    val d = Seq(
+      // alpha is adjacent to three distinct terms, each of degree 1
+      (1L, "alpha beta alpha gamma alpha delta"),
+      // every token under 4 chars: the doc contributes no keywords
+      (2L, "ab cd ef gh"),
+      // one qualifying adjacent pair: both terms rank, term-ASC tiebreak
+      (3L, "zeta the wind wind echo")).toDF("doc_id", "text")
+    val out = Curation.textRankKeywords(d, k = 3, iters = 3)
+      .as[(Long, Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(2L))
+    assert(byDoc(1L).minBy(_._2)._3 === "alpha")
+    // degree-1 satellites of the hub tie exactly; rank order is term ASC
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq ===
+      Seq("alpha", "beta", "delta"))
+    // doc 3: adjacent >=4-char pairs are (wind,echo) only — "the" breaks
+    // the zeta-wind adjacency and wind-wind self-pairs drop
+    assert(byDoc(3L).sortBy(_._2).map(_._3).toSeq === Seq("echo", "wind"))
+    // rnk is contiguous from 1 and capped at k
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+      assert(rows.length <= 3)
+    }
+    // short tokens are structurally excluded
+    assert(out.forall(_._3.length >= 4))
+  }
+
+  test("extractAnchors pairs every href with its anchor across quote styles, case, empty anchors") {
+    val html = "<a HREF=\"https://a.com/x\">First Link</a> mid " +
+      "<a href='http://b.com'>second</a><a href=\"/rel\"></a>"
+    val out = spark.range(1)
+      .select(Curation.extractAnchors(lit(html)).as("p"))
+      .as[Seq[(String, String)]].head()
+    // double-quoted pass in document order, then the single-quoted pass
+    assert(out === Seq("https://a.com/x" -> "First Link", "/rel" -> "",
+      "http://b.com" -> "second"))
+  }
+
+  test("textRankSummary: overlap-heavy segments are the summary; isolated docs never rank") {
+    // 3 exact 12-token segments: 0 and 2 share 11 tokens, 1 hangs off
+    // both by the single token "wolf" — salience must pick {0, 2}
+    val s0 = "wolf bear hawk lynx deer boar crow swan toad newt mole hare"
+    val s1 = "wolf aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk"
+    val s2 = "wolf bear hawk lynx deer boar crow swan toad newt mole zzzz"
+    val disjoint = "alfa brav char delt ecco foxt golf hote indi juli kilo lima"
+    val d = Seq(
+      (1L, s"$s0 $s1 $s2"),
+      (2L, "solo text here only"), // a single segment: no pairs, no rank
+      (3L, s"$s0 $disjoint") // two segments, zero overlap: both isolated
+    ).toDF("doc_id", "text")
+    val out = Curation.textRankSummary(d, k = 2, iters = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet === Set(1L))
+    // segments 0 and 2 have identical neighborhoods: equal rank, sid-ASC
+    // tiebreak puts 0 first; the weakly-attached segment 1 never ranks
+    val rows = byDoc(1L).sortBy(_._3)
+    assert(rows.map(r => (r._2, r._3)).toSeq === Seq((0L, 1L), (2L, 2L)))
+    assert(rows(0)._4 === rows(1)._4)
+    // deterministic rerun
+    assert(Curation.textRankSummary(d, k = 2, iters = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet === out.toSet)
+  }
 }

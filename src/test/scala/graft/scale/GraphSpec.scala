@@ -377,4 +377,51 @@ class GraphSpec extends SparkSpec {
     // 101 is cited by two hubs incl. the strongest; it must out-rank 103
     assert(out(101L)._1 > out(103L)._1)
   }
+
+  test("personalizedPageRank: unreached components sit at exactly 0; reach follows hop distance") {
+    // symmetric path 1 — 2 — 3 plus a disconnected pair {8, 9}; seed = 1
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val one = Graph.personalizedPageRank(e, seeds, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // after 1 round seed mass has reached exactly the 1-hop neighborhood
+    assert(one(2L) > 0L && one(3L) === 0L)
+    val out = Graph.personalizedPageRank(e, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 8L, 9L))
+    // the restart never lands off-seed: the island stays at exactly 0
+    assert(out(8L) === 0L && out(9L) === 0L)
+    assert(out(1L) > 0L && out(2L) > 0L && out(3L) > 0L)
+    // determinism: integer arithmetic, bit-identical rerun
+    assert(Graph.personalizedPageRank(e, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap === out)
+  }
+
+  test("trustRank: trust splits by edge weight; uniform weights reduce to personalizedPageRank") {
+    // seed 1 splits outflow 9:1 between nodes 2 and 3
+    val e = Seq((1L, 2L, 9L), (2L, 1L, 9L), (1L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.trustRank(e, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(2L) > out(3L) && out(3L) > 0L)
+    // all-ones weights: exact reduction to the unweighted personalized walk
+    val u = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    assert(Graph.trustRank(u.withColumn("w", lit(1L)), seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap ===
+      Graph.personalizedPageRank(u, seeds, iters = 3)
+        .as[(Long, Long)].collect().toMap)
+  }
+
+  test("personalizedPageRank with every node seeded reduces to uniform pageRank") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 2L))
+    val e = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val all = e.select(col("src").as("node")).distinct()
+    val ppr = Graph.personalizedPageRank(e, all, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRank(e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr === pr && ppr.nonEmpty)
+  }
 }
