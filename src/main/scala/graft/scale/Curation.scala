@@ -1127,6 +1127,63 @@ object Curation {
     concat(pass(AnchorDq), pass(AnchorSq))
   }
 
+  private val RobotsRuleRe = "(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)"
+
+  /** `struct(kind, prefix)` per Allow/Disallow line of a robots.txt body
+    * (RFC 9309 §2): kind lowercased, value = first non-space/non-comment
+    * run after the colon. Single-agent-group simplification — User-agent
+    * scoping, Crawl-delay, Sitemap and comment lines all fall through the
+    * line filter. Pure array projection (parsing runs inside the scan
+    * task); rule sets are metadata-sized, one row per crawled domain.
+    */
+  def parseRobotsRules(txt: Column): Column =
+    filter(
+      transform(split(txt, "\n"), l =>
+        struct(lower(regexp_extract(l, RobotsRuleRe, 1)).as("kind"),
+          regexp_extract(l, RobotsRuleRe, 2).as("prefix"))),
+      r => r.getField("kind") =!= "")
+
+  /** Deterministic per-domain robots.txt fixture for the `site{k}` crawl
+    * hosts: a news-section ban, a digit-prefixed read ban (whose prefix
+    * also covers two-digit read paths — exercising prefix, not equality,
+    * semantics), an Allow carve-out MORE SPECIFIC than the ban, and
+    * noise lines the parser must skip.
+    */
+  private[graft] def robotsFixture(k: Column): Column = concat(
+    lit("User-agent: *\n# generated\n"),
+    lit("Disallow: /news/\n"),
+    lit("Disallow: /read/"), k, lit("\n"),
+    lit("Allow: /read/"), k, lit("/ok\n"),
+    lit("Crawl-delay: 2\nSitemap: https://example.com/s.xml\n"))
+
+  /** Inbound anchor-term counts per TARGET registered domain — the
+    * aggregation behind the q243 anchor-text index, factored out because
+    * it is an ADDITIVE relation: counts from disjoint doc batches sum to
+    * the full-corpus counts, which is what lets the streaming index
+    * ([[graft.streaming.AnchorCountIndex]]) maintain it with O(batch)
+    * appends. One token-keyed shuffle; anchor text never rides a wide
+    * shuffle (terms explode AFTER the scan-local extraction).
+    */
+  def anchorTermCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(extractAnchors(
+      anchorFixture(col("doc_id"), col("text")))).as("la"))
+    .select(col("la.url").as("url"), col("la.anchor").as("anchor"))
+    .filter(col("url").rlike("(?i)^https?://"))
+    .select(urlDomain(canonicalizeUrl(col("url"))).as("domain"),
+      explode(filter(split(col("anchor"), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("term"))
+    .groupBy("domain", "term").agg(count(lit(1)).as("cnt"))
+
+  /** Distinct blocklist phrases occurring in `textCol` as consecutive
+    * token runs, sorted — one Aho–Corasick pass regardless of blocklist
+    * size ([[graft.expressions.PhraseMatches]]); the C4-style bad-words
+    * document filter is `size(phraseMatches(text, list)) === 0`.
+    */
+  def phraseMatches(textCol: Column, phrases: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PhraseMatches(
+        org.apache.spark.sql.GraftColumnBridge.expression(textCol), phrases))
+
   /** Content-defined token-span chunks: the text's token stream cut AFTER
     * every boundary token (a token whose md5 hex is below '1' — a
     * deterministic 1/16-rate content condition both engines compute
@@ -1942,21 +1999,153 @@ object Curation {
         |  FROM a_cnt)
         |WHERE rnk <= 3 ORDER BY domain, rnk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val pairs = Tables.documents(s, d)
-        .select(explode(extractAnchors(
-          anchorFixture(col("doc_id"), col("text")))).as("la"))
-        .select(col("la.url").as("url"), col("la.anchor").as("anchor"))
-        .filter(col("url").rlike("(?i)^https?://"))
-      pairs
-        .select(urlDomain(canonicalizeUrl(col("url"))).as("domain"),
-          explode(filter(split(col("anchor"), graft.expressions.Ws.Regex),
-            w => w =!= "")).as("term"))
-        .groupBy("domain", "term").agg(count(lit(1)).as("cnt"))
+      anchorTermCounts(Tables.documents(s, d))
         .withColumn("rnk", row_number().over(Window.partitionBy("domain")
           .orderBy(col("cnt").desc, col("term"))).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("domain"), col("rnk"), col("term"), col("cnt"))
         .orderBy("domain", "rnk")
+    },
+
+    // Blocklist phrase screening (the C4 bad-words primitive): every doc's
+    // distinct blocklist hits as consecutive-token phrase matches, via ONE
+    // Aho-Corasick pass over the token stream (cost independent of list
+    // size — the 100 TB path; K regex scans is the anti-pattern). The
+    // oracle replays unigram membership + adjacent-pair membership for the
+    // same literal list; the full (doc, phrase) relation hash-compares.
+    Q("q245_blocklist_phrases",
+      """WITH tok AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        | FROM documents),
+        | uni AS (SELECT DISTINCT doc_id, w AS phrase FROM
+        |   (SELECT doc_id, unnest(ts) AS w FROM tok) q),
+        | bi AS (SELECT DISTINCT doc_id, s.a || ' ' || s.b AS phrase FROM
+        |   (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |      i -> {'a': ts[i], 'b': ts[i+1]})) AS s
+        |    FROM tok WHERE len(ts) >= 2) q),
+        | m AS (SELECT doc_id, phrase FROM uni WHERE phrase IN ('spark')
+        |       UNION
+        |       SELECT doc_id, phrase FROM bi
+        |       WHERE phrase IN ('slow filter','fast merge','big vector',
+        |                        'customer data','window window'))
+        |SELECT doc_id, phrase FROM m ORDER BY doc_id, phrase""".stripMargin) { (s, d) =>
+      val blocklist = Seq("spark", "slow filter", "fast merge", "big vector",
+        "customer data", "window window")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(phraseMatches(col("text"), blocklist)).as("phrase"))
+        .orderBy("doc_id", "phrase")
+    },
+
+    // Robots.txt politeness filter over the crawl frontier: per-domain
+    // Allow/Disallow rules parsed from raw robots bodies, then every
+    // candidate (domain, path) gets the RFC 9309 verdict — longest
+    // matching prefix wins, Allow beats Disallow on ties (encoded as
+    // max(2*len + isAllow) parity; no matching rule = allowed). Probe
+    // paths exercise the Allow carve-out beating its covering Disallow.
+    // The oracle replays extraction, canonical path/domain, the fixture
+    // robots bodies, line parsing, and the scoring; full table compares.
+    Q("q246_robots_filter",
+      """WITH r_seeded AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>story</p>' ||
+        |    '<a HREF="HTTPS://www.Site' || ((doc_id + 1) % 10) || '.com:443/read/' || (doc_id % 13) ||
+        |      '?utm_source=feed&b=2&a=1#top">one</a>' ||
+        |    '<a href=''http://site' || ((doc_id * 3 + 1) % 10) || '.co.uk//news//' || (doc_id % 5) || '/''>two</a>' ||
+        |    '<a href="https://cdn.site' || ((doc_id * 7 + 2) % 10) || '.com/a/b">three</a>' ||
+        |    '<a href="/relative/skipped">rel</a>' ||
+        |    '<a href="mailto:x@example.com">mail</a>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        | r_hrefs AS (
+        |  SELECT unnest(list_concat(
+        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*"([^"]+)"', 1),
+        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*''([^'']+)''', 1))) AS url
+        |  FROM r_seeded),
+        | r_base AS (SELECT regexp_replace(url, '#.*$', '') AS nf FROM r_hrefs
+        |            WHERE regexp_matches(url, '(?i)^https?://')),
+        | r_parts AS (SELECT
+        |    lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_replace(regexp_replace(regexp_replace(nf,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '\?.*$', ''), '/+$', '') AS rawpath
+        |   FROM r_base),
+        | r_dom0 AS (SELECT
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+        |   FROM r_parts),
+        | r_cand0 AS (SELECT
+        |    CASE WHEN len(string_split(bare, '.')) >= 3
+        |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
+        |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
+        |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
+        |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
+        |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
+        |         WHEN len(string_split(bare, '.')) >= 2
+        |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
+        |         ELSE bare END AS domain, path
+        |   FROM r_dom0),
+        | r_k AS (SELECT DISTINCT domain,
+        |           regexp_extract(domain, '^site([0-9])', 1) AS k
+        |         FROM r_cand0 WHERE regexp_extract(domain, '^site([0-9])', 1) <> ''),
+        | r_call AS (SELECT DISTINCT domain, path FROM (
+        |   SELECT domain, path FROM r_cand0
+        |   UNION ALL SELECT domain, '/read/' || k || '/ok' FROM r_k
+        |   UNION ALL SELECT domain, '/read/' || k || '/other' FROM r_k) q),
+        | r_robots AS (SELECT domain,
+        |    'User-agent: *' || chr(10) || '# generated' || chr(10) ||
+        |    'Disallow: /news/' || chr(10) ||
+        |    'Disallow: /read/' || k || chr(10) ||
+        |    'Allow: /read/' || k || '/ok' || chr(10) ||
+        |    'Crawl-delay: 2' || chr(10) || 'Sitemap: https://example.com/s.xml' || chr(10) AS txt
+        |   FROM r_k),
+        | r_rules AS (SELECT domain,
+        |    lower(regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 1)) AS kind,
+        |    regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 2) AS prefix
+        |   FROM (SELECT domain, unnest(string_split(txt, chr(10))) AS l FROM r_robots) q
+        |   WHERE regexp_matches(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*[^ \t#]')),
+        | r_scored AS (SELECT c.domain, c.path,
+        |    max(CASE WHEN r.kind IS NOT NULL
+        |        THEN 2 * len(r.prefix) + (CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END) END) AS score
+        |   FROM r_call c LEFT JOIN r_rules r
+        |     ON c.domain = r.domain AND starts_with(c.path, r.prefix)
+        |   GROUP BY 1, 2)
+        |SELECT domain, path, coalesce(score % 2 = 1, TRUE) AS allowed
+        |FROM r_scored ORDER BY domain, path""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val cand0 = docs
+        .select(explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
+        .filter(col("url").rlike("(?i)^https?://"))
+        .select(canonicalizeUrl(col("url")).as("cu"))
+        .select(urlDomain(col("cu")).as("domain"),
+          regexp_extract(col("cu"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?]*)", 1).as("path"))
+      val doms = cand0.select("domain").distinct()
+        .withColumn("k", regexp_extract(col("domain"), "^site([0-9])", 1))
+        .filter(col("k") =!= "")
+      val probes = doms
+        .select(col("domain"),
+          concat(lit("/read/"), col("k"), lit("/ok")).as("path"))
+        .unionByName(doms.select(col("domain"),
+          concat(lit("/read/"), col("k"), lit("/other")).as("path")))
+      val cand = cand0.unionByName(probes).distinct()
+      val rules = doms
+        .select(col("domain").as("rdomain"),
+          explode(parseRobotsRules(robotsFixture(col("k")))).as("r"))
+        .select(col("rdomain"), col("r.kind").as("kind"),
+          col("r.prefix").as("prefix"))
+      cand.join(rules, col("domain") === col("rdomain") &&
+          col("path").startsWith(col("prefix")), "left")
+        .groupBy("domain", "path")
+        .agg(max(when(col("kind").isNotNull,
+          length(col("prefix")).cast("long") * 2 +
+            when(col("kind") === "allow", 1L).otherwise(0L))).as("score"))
+        .select(col("domain"), col("path"),
+          coalesce(col("score") % 2 === 1, lit(true)).as("allowed"))
+        .orderBy("domain", "path")
     },
 
     // Per-stratum domain caps with the survivor re-join the docstring

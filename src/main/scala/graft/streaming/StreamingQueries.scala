@@ -1506,5 +1506,46 @@ object StreamingQueries {
         .select(col("node"), col("rank").cast("long").as("rank"))
         .orderBy("node")
     },
+
+    // Streaming anchor-text index: the crawl drained one file per
+    // micro-batch through AnchorCountIndex (O(batch) count partials,
+    // stamped batch ids, chain depth 2 to force mid-drain compactions);
+    // the served top-3 anchor terms per target domain must equal the
+    // batch build — the oracle is q243's full-corpus replay verbatim
+    // (count partials form a commutative monoid, so the drain is
+    // batch-split invariant, not approximately so).
+    Q("q247_streaming_anchor_index",
+      "WITH " + graft.scale.Curation.anchorDomainCtes + """,
+        | a_terms AS (SELECT domain,
+        |    unnest(list_filter(string_split_regex(anchor, '[ \t\n\f\r]+'),
+        |      x -> x <> '')) AS term
+        |  FROM a_dom),
+        | a_cnt AS (SELECT domain, term, CAST(count(1) AS BIGINT) AS cnt
+        |           FROM a_terms GROUP BY 1, 2)
+        |SELECT domain, rnk, term, cnt FROM (
+        |  SELECT domain, term, cnt,
+        |    row_number() OVER (PARTITION BY domain ORDER BY cnt DESC, term) AS rnk
+        |  FROM a_cnt)
+        |WHERE rnk <= 3 ORDER BY domain, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wh = scratchDir("graft-q247")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new AnchorCountIndex(s2, s"$wh/anchor", maxChainDepth = 2)
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      AnchorStream.anchorSink(stream, idx, s"$wh/ckpt").awaitTermination()
+      idx.served()
+        .withColumn("rnk", row_number().over(Window.partitionBy("domain")
+          .orderBy(col("cnt").desc, col("term"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("domain"), col("rnk"), col("term"), col("cnt"))
+        .orderBy("domain", "rnk")
+    },
   )
 }

@@ -837,6 +837,17 @@ class CurationSpec extends SparkSpec {
       "http://b.com" -> "second"))
   }
 
+  test("parseRobotsRules keeps exactly the Allow/Disallow lines, case-insensitive, comments skipped") {
+    val txt = "User-agent: *\n# note\nDISALLOW: /news/\n  disallow:\t/read/5\n" +
+      "Allow: /read/5/ok\nCrawl-delay: 2\nSitemap: https://x/s.xml\nDisallow:\n"
+    val rules = spark.range(1)
+      .select(Curation.parseRobotsRules(lit(txt)).as("r"))
+      .as[Seq[(String, String)]].head()
+    // the bare "Disallow:" line has no value: it parses to nothing
+    assert(rules === Seq("disallow" -> "/news/", "disallow" -> "/read/5",
+      "allow" -> "/read/5/ok"))
+  }
+
   test("textRankSummary: overlap-heavy segments are the summary; isolated docs never rank") {
     // 3 exact 12-token segments: 0 and 2 share 11 tokens, 1 hangs off
     // both by the single token "wolf" — salience must pick {0, 2}
