@@ -1154,7 +1154,211 @@ object Curation {
     lit("Disallow: /news/\n"),
     lit("Disallow: /read/"), k, lit("\n"),
     lit("Allow: /read/"), k, lit("/ok\n"),
-    lit("Crawl-delay: 2\nSitemap: https://example.com/s.xml\n"))
+    lit("Crawl-delay: 1"), k,
+    lit("\nSitemap: https://example.com/s.xml\n"))
+
+  /** The robots body's Crawl-delay in seconds (first match wins, 0 when
+    * absent) — the politeness rate limit the q249 fetch scheduler spaces
+    * requests by. Anchored per line (`(?im)`), value = leading digit run.
+    */
+  def parseCrawlDelay(txt: Column): Column =
+    coalesce(nullif(regexp_extract(txt,
+      "(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+)", 1), lit("")), lit("0"))
+      .cast("long")
+
+  /** Robots-verdict CTE chain, composable after [[linkDomainCtes]] (it
+    * reads that block's `hrefs(doc_id, url)`): canonical (domain, path)
+    * candidates plus the carve-out probes, the per-domain fixture robots
+    * bodies, parsed Allow/Disallow rules, and the longest-prefix-wins /
+    * Allow-breaks-ties scoring. Produces `r_k(domain, k)`,
+    * `r_call(domain, path)`, `r_robots(domain, txt)`,
+    * `r_scored(domain, path, score)`, `r_allowed(domain, path)`.
+    */
+  private[graft] val robotsVerdictCtes: String =
+    """r_base AS (SELECT regexp_replace(url, '#.*$', '') AS nf FROM hrefs
+      |            WHERE regexp_matches(url, '(?i)^https?://')),
+      | r_parts AS (SELECT
+      |    lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |    regexp_replace(regexp_replace(regexp_replace(nf,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '\?.*$', ''), '/+$', '') AS rawpath
+      |   FROM r_base),
+      | r_dom0 AS (SELECT
+      |    regexp_replace(regexp_replace(
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare,
+      |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+      |   FROM r_parts),
+      | r_cand0 AS (SELECT
+      |    CASE WHEN len(string_split(bare, '.')) >= 3
+      |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
+      |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
+      |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
+      |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
+      |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
+      |         WHEN len(string_split(bare, '.')) >= 2
+      |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
+      |         ELSE bare END AS domain, path
+      |   FROM r_dom0),
+      | r_k AS (SELECT DISTINCT domain,
+      |           regexp_extract(domain, '^site([0-9])', 1) AS k
+      |         FROM r_cand0 WHERE regexp_extract(domain, '^site([0-9])', 1) <> ''),
+      | r_call AS (SELECT DISTINCT domain, path FROM (
+      |   SELECT domain, path FROM r_cand0
+      |   UNION ALL SELECT domain, '/read/' || k || '/ok' FROM r_k
+      |   UNION ALL SELECT domain, '/read/' || k || '/other' FROM r_k) q),
+      | r_robots AS (SELECT domain,
+      |    'User-agent: *' || chr(10) || '# generated' || chr(10) ||
+      |    'Disallow: /news/' || chr(10) ||
+      |    'Disallow: /read/' || k || chr(10) ||
+      |    'Allow: /read/' || k || '/ok' || chr(10) ||
+      |    'Crawl-delay: 1' || k || chr(10) ||
+      |    'Sitemap: https://example.com/s.xml' || chr(10) AS txt
+      |   FROM r_k),
+      | r_rules AS (SELECT domain,
+      |    lower(regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 1)) AS kind,
+      |    regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 2) AS prefix
+      |   FROM (SELECT domain, unnest(string_split(txt, chr(10))) AS l FROM r_robots) q
+      |   WHERE regexp_matches(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*[^ \t#]')),
+      | r_scored AS (SELECT c.domain, c.path,
+      |    max(CASE WHEN r.kind IS NOT NULL
+      |        THEN 2 * len(r.prefix) + (CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END) END) AS score
+      |   FROM r_call c LEFT JOIN r_rules r
+      |     ON c.domain = r.domain AND starts_with(c.path, r.prefix)
+      |   GROUP BY 1, 2),
+      | r_allowed AS (SELECT domain, path FROM r_scored
+      |               WHERE coalesce(score % 2 = 1, TRUE))""".stripMargin
+
+  /** TrustRank CTE chain over the weighted crawl domain graph, composable
+    * after [[linkDomainCtes]] (reads `dom(doc_id, domain)`): per-pair link
+    * multiplicities, the symmetric weighted relation, strengths, the
+    * site{0,3,6,9}.com seed set, and the unrolled weighted seed-restart
+    * rounds. Produces `t3(node, rank)`.
+    */
+  private[graft] lazy val trustCtes: String =
+    s"""w0 AS (SELECT 'site' || (doc_id % 10) || '.com' AS src, domain AS dst
+       |        FROM dom WHERE 'site' || (doc_id % 10) || '.com' <> domain),
+       | wd AS (SELECT src, dst, CAST(count(1) AS BIGINT) AS w FROM w0 GROUP BY 1, 2),
+       | ws AS (SELECT src, dst, w FROM wd UNION ALL SELECT dst, src, w FROM wd),
+       | ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM ws GROUP BY 1, 2),
+       | st AS (SELECT src, CAST(sum(w) AS BIGINT) AS strength FROM ew GROUP BY 1),
+       | e AS (SELECT ew.src, ew.dst, ew.w, st.strength FROM ew JOIN st USING (src)),
+       | sd AS (SELECT DISTINCT src AS node FROM ew
+       |        WHERE regexp_matches(src, '^site[0369]\\.com$$')),
+       | t0 AS (SELECT src AS node,
+       |        CAST(CASE WHEN regexp_matches(src, '^site[0369]\\.com$$')
+       |             THEN ${Graph.Scale} ELSE 0 END AS BIGINT) AS rank
+       |        FROM st),
+       |${(1 to 3).map(Graph.trustRoundSql).mkString(",\n")}""".stripMargin
+
+  /** (domain, path, allowed) robots verdicts over the crawl's canonical
+    * candidates plus the carve-out probes — the Spark side of
+    * [[robotsVerdictCtes]], shared by q246/q248/q249.
+    */
+  def robotsVerdicts(docs: DataFrame): DataFrame = {
+    val cand0 = docs
+      .select(explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
+      .filter(col("url").rlike("(?i)^https?://"))
+      .select(canonicalizeUrl(col("url")).as("cu"))
+      .select(urlDomain(col("cu")).as("domain"),
+        regexp_extract(col("cu"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?]*)", 1).as("path"))
+    val doms = cand0.select("domain").distinct()
+      .withColumn("k", regexp_extract(col("domain"), "^site([0-9])", 1))
+      .filter(col("k") =!= "")
+    val probes = doms
+      .select(col("domain"),
+        concat(lit("/read/"), col("k"), lit("/ok")).as("path"))
+      .unionByName(doms.select(col("domain"),
+        concat(lit("/read/"), col("k"), lit("/other")).as("path")))
+    val cand = cand0.unionByName(probes).distinct()
+    val rules = doms
+      .select(col("domain").as("rdomain"),
+        explode(parseRobotsRules(robotsFixture(col("k")))).as("r"))
+      .select(col("rdomain"), col("r.kind").as("kind"),
+        col("r.prefix").as("prefix"))
+    cand.join(rules, col("domain") === col("rdomain") &&
+        col("path").startsWith(col("prefix")), "left")
+      .groupBy("domain", "path")
+      .agg(max(when(col("kind").isNotNull,
+        length(col("prefix")).cast("long") * 2 +
+          when(col("kind") === "allow", 1L).otherwise(0L))).as("score"))
+      .select(col("domain"), col("path"),
+        coalesce(col("score") % 2 === 1, lit(true)).as("allowed"))
+  }
+
+  /** (node, rank) TrustRank over the weighted crawl domain graph — the
+    * Spark side of [[trustCtes]], shared by q244/q248.
+    */
+  def crawlTrust(docs: DataFrame): DataFrame = {
+    val links = docs
+      .select(col("doc_id"),
+        explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
+      .filter(col("url").rlike("(?i)^https?://"))
+    val dir = links.select(
+        concat(lit("site"), col("doc_id") % 10, lit(".com")).as("src"),
+        urlDomain(canonicalizeUrl(col("url"))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val edges = dir.unionByName(
+        dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node").rlike("^site[0369]\\.com$"))
+    Graph.trustRank(edges, seeds, iters = 3)
+  }
+
+  /** Zipf rank-bucket profile of the corpus vocabulary — the corpus-QA
+    * diagnostic (a healthy web corpus is near-Zipfian; a flat profile
+    * flags boilerplate/dedup failures, a cliff flags template spam):
+    * term counts ranked (cnt DESC, term ASC), ranks bucketed by
+    * floor(log2 rank) — computed as `len(bin(rank)) - 1`, integer-exact,
+    * because float `log2` via ln-division is NOT correctly rounded at
+    * powers of two and the two engines disagree exactly there. Per
+    * bucket: #terms and total token mass. The global rank window runs
+    * over the VOCAB relation (metadata-sized), never the corpus.
+    */
+  def zipfBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(filter(split(col(textCol),
+        graft.expressions.Ws.Regex), w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .select((length(bin(col("rank"))) - 1).cast("long").as("bucket"),
+        col("cnt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"), sum("cnt").as("mass"))
+  }
+
+  /** Heaps-law vocabulary-growth curve at power-of-two document prefixes:
+    * doc bucket b = floor(log2(doc_id+1)) (the `len(bin)` trick again), a
+    * term's first sighting is its min doc_id, and cumulative (tokens,
+    * vocab) come from a running sum over the ~log N bucket relation —
+    * the whole curve costs two hash aggregations plus a window over a
+    * handful of rows, never an ordered scan of the corpus. Sub-linear
+    * vocab growth (Heaps' law) is the expected shape; linear growth
+    * flags an id/hash leak into the token stream.
+    */
+  def heapsCurve(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("w"))
+    val tb = toks
+      .select((length(bin(col("doc_id") + 1)) - 1).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nt"))
+    val vb = toks.groupBy("w").agg(min("doc_id").as("fd"))
+      .select((length(bin(col("fd") + 1)) - 1).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nv"))
+    val cum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tb.join(vb, Seq("b"), "left").na.fill(0L, Seq("nv"))
+      .withColumn("tokens", sum("nt").over(cum))
+      .withColumn("vocab", sum("nv").over(cum))
+      .select("b", "tokens", "vocab")
+  }
 
   /** Inbound anchor-term counts per TARGET registered domain — the
     * aggregation behind the q243 anchor-text index, factored out because
@@ -2046,106 +2250,111 @@ object Curation {
     // The oracle replays extraction, canonical path/domain, the fixture
     // robots bodies, line parsing, and the scoring; full table compares.
     Q("q246_robots_filter",
-      """WITH r_seeded AS (
-        |  SELECT doc_id,
-        |    '<html><body><p>story</p>' ||
-        |    '<a HREF="HTTPS://www.Site' || ((doc_id + 1) % 10) || '.com:443/read/' || (doc_id % 13) ||
-        |      '?utm_source=feed&b=2&a=1#top">one</a>' ||
-        |    '<a href=''http://site' || ((doc_id * 3 + 1) % 10) || '.co.uk//news//' || (doc_id % 5) || '/''>two</a>' ||
-        |    '<a href="https://cdn.site' || ((doc_id * 7 + 2) % 10) || '.com/a/b">three</a>' ||
-        |    '<a href="/relative/skipped">rel</a>' ||
-        |    '<a href="mailto:x@example.com">mail</a>' ||
-        |    '</body></html>' AS html
-        |  FROM documents),
-        | r_hrefs AS (
-        |  SELECT unnest(list_concat(
-        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*"([^"]+)"', 1),
-        |    regexp_extract_all(html, '(?i)href[ \t]*=[ \t]*''([^'']+)''', 1))) AS url
-        |  FROM r_seeded),
-        | r_base AS (SELECT regexp_replace(url, '#.*$', '') AS nf FROM r_hrefs
-        |            WHERE regexp_matches(url, '(?i)^https?://')),
-        | r_parts AS (SELECT
-        |    lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-        |    regexp_replace(regexp_replace(regexp_replace(nf,
-        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '\?.*$', ''), '/+$', '') AS rawpath
-        |   FROM r_base),
-        | r_dom0 AS (SELECT
-        |    regexp_replace(regexp_replace(
-        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-        |           ELSE hostport END, '^www\.', ''), ':[0-9]+$', '') AS bare,
-        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
-        |   FROM r_parts),
-        | r_cand0 AS (SELECT
-        |    CASE WHEN len(string_split(bare, '.')) >= 3
-        |              AND array_to_string(string_split(bare, '.')[-2:], '.') IN
-        |                ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','ac.jp',
-        |                 'com.au','net.au','org.au','co.nz','co.kr','com.br','com.mx',
-        |                 'co.in','com.cn','com.sg','com.tr','github.io','blogspot.com')
-        |         THEN array_to_string(string_split(bare, '.')[-3:], '.')
-        |         WHEN len(string_split(bare, '.')) >= 2
-        |         THEN array_to_string(string_split(bare, '.')[-2:], '.')
-        |         ELSE bare END AS domain, path
-        |   FROM r_dom0),
-        | r_k AS (SELECT DISTINCT domain,
-        |           regexp_extract(domain, '^site([0-9])', 1) AS k
-        |         FROM r_cand0 WHERE regexp_extract(domain, '^site([0-9])', 1) <> ''),
-        | r_call AS (SELECT DISTINCT domain, path FROM (
-        |   SELECT domain, path FROM r_cand0
-        |   UNION ALL SELECT domain, '/read/' || k || '/ok' FROM r_k
-        |   UNION ALL SELECT domain, '/read/' || k || '/other' FROM r_k) q),
-        | r_robots AS (SELECT domain,
-        |    'User-agent: *' || chr(10) || '# generated' || chr(10) ||
-        |    'Disallow: /news/' || chr(10) ||
-        |    'Disallow: /read/' || k || chr(10) ||
-        |    'Allow: /read/' || k || '/ok' || chr(10) ||
-        |    'Crawl-delay: 2' || chr(10) || 'Sitemap: https://example.com/s.xml' || chr(10) AS txt
-        |   FROM r_k),
-        | r_rules AS (SELECT domain,
-        |    lower(regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 1)) AS kind,
-        |    regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 2) AS prefix
-        |   FROM (SELECT domain, unnest(string_split(txt, chr(10))) AS l FROM r_robots) q
-        |   WHERE regexp_matches(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*[^ \t#]')),
-        | r_scored AS (SELECT c.domain, c.path,
-        |    max(CASE WHEN r.kind IS NOT NULL
-        |        THEN 2 * len(r.prefix) + (CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END) END) AS score
-        |   FROM r_call c LEFT JOIN r_rules r
-        |     ON c.domain = r.domain AND starts_with(c.path, r.prefix)
-        |   GROUP BY 1, 2)
+      "WITH " + linkDomainCtes + ",\n " + robotsVerdictCtes + """
         |SELECT domain, path, coalesce(score % 2 = 1, TRUE) AS allowed
         |FROM r_scored ORDER BY domain, path""".stripMargin) { (s, d) =>
+      robotsVerdicts(Tables.documents(s, d).select("doc_id"))
+        .orderBy("domain", "path")
+    },
+
+    // Crawl scheduler: the next fetch cycle's manifest — robots-allowed
+    // candidate paths joined with the domain's TrustRank priority, two
+    // slots per domain per cycle (the politeness budget), ordered most-
+    // trusted-first. Pure composition of the certified q246 verdicts and
+    // q244 trust scores; the oracle composes the same three CTE blocks.
+    Q("q248_crawl_scheduler",
+      "WITH " + linkDomainCtes + ",\n " + robotsVerdictCtes + ",\n " +
+        trustCtes + """
+        |SELECT domain, trust, slot, path FROM (
+        |  SELECT a.domain, t.rank AS trust, a.path,
+        |    row_number() OVER (PARTITION BY a.domain ORDER BY a.path) AS slot
+        |  FROM r_allowed a JOIN t3 t ON a.domain = t.node)
+        |WHERE slot <= 2
+        |ORDER BY trust DESC, domain, slot""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select("doc_id")
-      val cand0 = docs
-        .select(explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
-        .filter(col("url").rlike("(?i)^https?://"))
-        .select(canonicalizeUrl(col("url")).as("cu"))
-        .select(urlDomain(col("cu")).as("domain"),
-          regexp_extract(col("cu"),
-            "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?]*)", 1).as("path"))
-      val doms = cand0.select("domain").distinct()
+      val allowed = robotsVerdicts(docs).filter(col("allowed"))
+        .select("domain", "path")
+      val trust = crawlTrust(docs)
+        .select(col("node"), col("rank").cast("long").as("trust"))
+      allowed.join(trust, col("domain") === col("node"))
+        .withColumn("slot", row_number().over(Window.partitionBy("domain")
+          .orderBy("path")).cast("long"))
+        .filter(col("slot") <= 2)
+        .select(col("domain"), col("trust"), col("slot"), col("path"))
+        .orderBy(col("trust").desc, col("domain"), col("slot"))
+    },
+
+    // Fetch schedule: robots Crawl-delay as an actual rate limit — each
+    // domain's allowed paths get fetch timestamps spaced by its parsed
+    // per-domain delay (slot i fires at (i-1)*delay seconds). Certifies
+    // the Crawl-delay parse and the deterministic slot arithmetic; the
+    // oracle re-parses the same raw robots bodies.
+    Q("q249_fetch_schedule",
+      "WITH " + linkDomainCtes + ",\n " + robotsVerdictCtes + """,
+        | r_delay AS (SELECT domain,
+        |    CAST(coalesce(nullif(regexp_extract(txt,
+        |      '(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+)', 1), ''), '0') AS BIGINT) AS delay
+        |   FROM r_robots)
+        |SELECT domain, slot, fetch_at, path FROM (
+        |  SELECT a.domain, a.path,
+        |    row_number() OVER (PARTITION BY a.domain ORDER BY a.path) AS slot,
+        |    (row_number() OVER (PARTITION BY a.domain ORDER BY a.path) - 1) * d.delay AS fetch_at
+        |  FROM r_allowed a JOIN r_delay d ON a.domain = d.domain)
+        |ORDER BY domain, slot""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id")
+      val allowed = robotsVerdicts(docs).filter(col("allowed"))
+        .select("domain", "path")
+      val delays = allowed.select("domain").distinct()
         .withColumn("k", regexp_extract(col("domain"), "^site([0-9])", 1))
         .filter(col("k") =!= "")
-      val probes = doms
-        .select(col("domain"),
-          concat(lit("/read/"), col("k"), lit("/ok")).as("path"))
-        .unionByName(doms.select(col("domain"),
-          concat(lit("/read/"), col("k"), lit("/other")).as("path")))
-      val cand = cand0.unionByName(probes).distinct()
-      val rules = doms
-        .select(col("domain").as("rdomain"),
-          explode(parseRobotsRules(robotsFixture(col("k")))).as("r"))
-        .select(col("rdomain"), col("r.kind").as("kind"),
-          col("r.prefix").as("prefix"))
-      cand.join(rules, col("domain") === col("rdomain") &&
-          col("path").startsWith(col("prefix")), "left")
-        .groupBy("domain", "path")
-        .agg(max(when(col("kind").isNotNull,
-          length(col("prefix")).cast("long") * 2 +
-            when(col("kind") === "allow", 1L).otherwise(0L))).as("score"))
-        .select(col("domain"), col("path"),
-          coalesce(col("score") % 2 === 1, lit(true)).as("allowed"))
-        .orderBy("domain", "path")
+        .select(col("domain").as("ddomain"),
+          parseCrawlDelay(robotsFixture(col("k"))).as("delay"))
+      allowed.join(delays, col("domain") === col("ddomain"))
+        .withColumn("slot", row_number().over(Window.partitionBy("domain")
+          .orderBy("path")).cast("long"))
+        .select(col("domain"), col("slot"),
+          ((col("slot") - 1) * col("delay")).as("fetch_at"), col("path"))
+        .orderBy("domain", "slot")
+    },
+
+    // Zipf rank-bucket corpus profile: full tokenize -> vocab counts ->
+    // exact rank -> log2 buckets via the integer bin-length trick (float
+    // log2 is not cross-engine-safe at powers of two) -> per-bucket term
+    // count and token mass. The corpus-QA fingerprint.
+    Q("q251_zipf_buckets",
+      """WITH tok AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        | FROM documents),
+        | c AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(ts) AS w FROM tok) q GROUP BY 1),
+        | r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM c)
+        |SELECT CAST(len(bin(rank)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(1) AS BIGINT) AS n_terms, CAST(sum(cnt) AS BIGINT) AS mass
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      zipfBuckets(Tables.documents(s, d)).orderBy("bucket")
+    },
+
+    // Heaps vocabulary-growth curve at power-of-two document prefixes:
+    // per-bucket token counts + per-term first sightings, cumulated by a
+    // running sum over the ~log N bucket rows. Sub-linear vocab growth is
+    // the healthy shape; linear growth flags ids/hashes leaking into text.
+    Q("q252_heaps_curve",
+      """WITH tok AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        | FROM documents),
+        | t AS (SELECT doc_id, unnest(ts) AS w FROM tok),
+        | tb AS (SELECT CAST(len(bin(doc_id + 1)) - 1 AS BIGINT) AS b,
+        |               CAST(count(1) AS BIGINT) AS nt FROM t GROUP BY 1),
+        | vb AS (SELECT CAST(len(bin(fd + 1)) - 1 AS BIGINT) AS b,
+        |               CAST(count(1) AS BIGINT) AS nv
+        |        FROM (SELECT w, min(doc_id) AS fd FROM t GROUP BY 1) q GROUP BY 1)
+        |SELECT tb.b,
+        |  CAST(sum(tb.nt) OVER (ORDER BY tb.b) AS BIGINT) AS tokens,
+        |  CAST(sum(coalesce(vb.nv, 0)) OVER (ORDER BY tb.b) AS BIGINT) AS vocab
+        |FROM tb LEFT JOIN vb ON tb.b = vb.b ORDER BY tb.b""".stripMargin) { (s, d) =>
+      heapsCurve(Tables.documents(s, d)).orderBy("b")
     },
 
     // Per-stratum domain caps with the survivor re-join the docstring
@@ -2528,38 +2737,9 @@ FROM ext CROSS JOIN hot ORDER BY doc_id""") { (s, d) =>
     // The oracle replays extraction, canonicalization, domain collapse,
     // weight aggregation, and every weighted round; full table compares.
     Q("q244_trustrank",
-      "WITH " + linkDomainCtes + s""",
-        | w0 AS (SELECT 'site' || (doc_id % 10) || '.com' AS src, domain AS dst
-        |        FROM dom WHERE 'site' || (doc_id % 10) || '.com' <> domain),
-        | wd AS (SELECT src, dst, CAST(count(1) AS BIGINT) AS w FROM w0 GROUP BY 1, 2),
-        | ws AS (SELECT src, dst, w FROM wd UNION ALL SELECT dst, src, w FROM wd),
-        | ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM ws GROUP BY 1, 2),
-        | st AS (SELECT src, CAST(sum(w) AS BIGINT) AS strength FROM ew GROUP BY 1),
-        | e AS (SELECT ew.src, ew.dst, ew.w, st.strength FROM ew JOIN st USING (src)),
-        | sd AS (SELECT DISTINCT src AS node FROM ew
-        |        WHERE regexp_matches(src, '^site[0369]\\.com$$')),
-        | t0 AS (SELECT src AS node,
-        |        CAST(CASE WHEN regexp_matches(src, '^site[0369]\\.com$$')
-        |             THEN ${Graph.Scale} ELSE 0 END AS BIGINT) AS rank
-        |        FROM st),
-        |${(1 to 3).map(Graph.trustRoundSql).mkString(",\n")}
-        |SELECT node, rank FROM t3 ORDER BY node""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select("doc_id")
-      val links = docs
-        .select(col("doc_id"),
-          explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
-        .filter(col("url").rlike("(?i)^https?://"))
-      val dir = links.select(
-          concat(lit("site"), col("doc_id") % 10, lit(".com")).as("src"),
-          urlDomain(canonicalizeUrl(col("url"))).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      val edges = dir.unionByName(
-          dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .groupBy("src", "dst").agg(sum("w").as("w"))
-      val seeds = edges.select(col("src").as("node")).distinct()
-        .filter(col("node").rlike("^site[0369]\\.com$"))
-      Graph.trustRank(edges, seeds, iters = 3)
+      "WITH " + linkDomainCtes + ",\n " + trustCtes +
+        "\nSELECT node, rank FROM t3 ORDER BY node") { (s, d) =>
+      crawlTrust(Tables.documents(s, d).select("doc_id"))
         .select(col("node"), col("rank").cast("long").as("rank"))
         .orderBy("node")
     },

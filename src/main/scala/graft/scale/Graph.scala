@@ -922,6 +922,39 @@ object Graph {
        | sh$i AS (SELECT CAST(sum(h0) AS BIGINT) AS s FROM hh$i),
        | h$i AS (SELECT node, (h0 * $Scale) // s AS h FROM hh$i, sh$i)""".stripMargin
 
+  /** Weighted synchronous label propagation: each neighbor's vote weighs
+    * by the edge weight (sum of `w` per candidate label instead of the
+    * neighbor count), ties to the smallest label — LPA for graphs whose
+    * edges carry multiplicities (shared-order counts, link counts). The
+    * per-round shape is [[labelPropagation]]'s: one edge join + two hash
+    * aggregations, no window. All-ones weights reduce EXACTLY to
+    * [[labelPropagation]] (spec law).
+    */
+  def labelPropagationWeighted(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select("src", "dst", "w").localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("dst") === labels("node"))
+        .groupBy(col("src"), col("label")).agg(sum("w").as("c"))
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  private def wlpaRoundSql(i: Int): String =
+    s""" l$i AS (
+       |  SELECT src AS node, label FROM (
+       |    SELECT src, label,
+       |      row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+       |    FROM (SELECT e.src, l.label, CAST(sum(e.w) AS BIGINT) AS c
+       |          FROM e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2))
+       |  WHERE rn = 1)""".stripMargin
+
   private def lpaRoundSql(i: Int): String =
     s""" l$i AS (
        |  SELECT src AS node, label FROM (
@@ -977,6 +1010,41 @@ object Graph {
       labelPropagation(
           pairs.select(col("u").as("src"), col("v").as("dst"))
             .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"))),
+          rounds = 4)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+        .orderBy("node")
+    },
+
+    // Weighted label propagation over the co-supplier graph at a LOWER
+    // shared-order floor than q238 (>= 3): the shared-order count is the
+    // vote weight, so a node joins the community it shares the most
+    // ORDERS with, not the most neighbors — weights flip exactly the
+    // nodes where one strong tie outvotes several weak ones. Every
+    // round's weighted vote and tie-rank is unrolled; full table compares.
+    Q("q250_weighted_lpa",
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         | pairs AS (
+         |  SELECT a.sk AS u, b.sk AS v, CAST(count(*) AS BIGINT) AS w
+         |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         | e AS (SELECT u AS src, v AS dst, w FROM pairs
+         |       UNION ALL SELECT v, u, w FROM pairs),
+         | l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${(1 to 4).map(wlpaRoundSql).mkString(",\n")}
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin) { (s, d) =>
+      val os = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = os.as("a").join(os.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3)
+      labelPropagationWeighted(
+          pairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
+            .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"),
+              col("w"))),
           rounds = 4)
         .select(col("node").cast("long").as("node"),
           col("label").cast("long").as("label"))

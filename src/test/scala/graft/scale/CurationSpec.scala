@@ -848,6 +848,34 @@ class CurationSpec extends SparkSpec {
       "allow" -> "/read/5/ok"))
   }
 
+  test("zipfBuckets: exact log2 rank boundaries, token mass conserved") {
+    val d = Seq((0L, "a a a a b b c c d")).toDF("doc_id", "text")
+    // counts a:4 b:2 c:2 d:1 -> ranks a=1, b=2, c=3, d=4
+    val out = Curation.zipfBuckets(d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((0L, 1L, 4L), (1L, 2L, 4L), (2L, 1L, 1L)))
+    assert(out.map(_._3).sum === 9L) // Σ mass = corpus tokens
+  }
+
+  test("heapsCurve: cumulative tokens and first-sighting vocab at power-of-two prefixes") {
+    val d = Seq((0L, "x y"), (1L, "x z"), (2L, "x"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val out = Curation.heapsCurve(d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // b0 = doc 0 (2 tokens, vocab {x,y}); b1 = docs 1-2 (+3 tokens, +{z});
+    // b2 = doc 3 (+1 token, +{w})
+    assert(out === Seq((0L, 2L, 2L), (1L, 5L, 3L), (2L, 6L, 4L)))
+  }
+
+  test("parseCrawlDelay: line-anchored, first match wins, absent means 0") {
+    def delay(txt: String): Long = spark.range(1)
+      .select(Curation.parseCrawlDelay(lit(txt)).as("d")).as[Long].head()
+    assert(delay("User-agent: *\nCrawl-Delay: 17\nDisallow: /x\ncrawl-delay: 3\n") === 17L)
+    // a delay-looking token inside a rule VALUE is not a directive line
+    assert(delay("Disallow: /a/crawl-delay: 9\n") === 0L)
+    assert(delay("User-agent: *\nDisallow: /x\n") === 0L)
+  }
+
   test("textRankSummary: overlap-heavy segments are the summary; isolated docs never rank") {
     // 3 exact 12-token segments: 0 and 2 share 11 tokens, 1 hangs off
     // both by the single token "wolf" — salience must pick {0, 2}

@@ -361,6 +361,28 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap === out)
   }
 
+  test("labelPropagationWeighted: one strong tie outvotes several weak ones; all-ones reduces to labelPropagation") {
+    // node 5: two weak edges (w=1) into clique {1,2}, one strong edge
+    // (w=3) to clique {9,10} — count-votes pick label 1 (tie to smallest
+    // among three single votes), weight-votes pick 9
+    def sym(t: Seq[(Long, Long, Long)]) =
+      (t ++ t.map(x => (x._2, x._1, x._3))).toDF("src", "dst", "w")
+    val e = sym(Seq((1L, 2L, 5L), (1L, 5L, 1L), (2L, 5L, 1L),
+      (9L, 10L, 5L), (9L, 5L, 3L)))
+    val w1 = Graph.labelPropagationWeighted(e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    val c1 = Graph.labelPropagation(e.select("src", "dst"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(w1(5L) === 9L && c1(5L) === 1L)
+    // all-ones weights: exact reduction, any round count
+    val u = sym(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 1L, 1L),
+      (7L, 8L, 1L)))
+    assert(Graph.labelPropagationWeighted(u, rounds = 3)
+      .as[(Long, Long)].collect().toMap ===
+      Graph.labelPropagation(u.select("src", "dst"), rounds = 3)
+        .as[(Long, Long)].collect().toMap)
+  }
+
   test("hits: bipartite direction splits the scores; normalized sums bounded by Scale") {
     val e = Seq((0L, 101L), (0L, 102L), (2L, 101L), (4L, 103L))
       .toDF("src", "dst")
