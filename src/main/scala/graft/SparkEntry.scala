@@ -45,7 +45,8 @@ object SparkEntry {
     scale.Unigram.queries ++
     scale.Recall.queries ++
     scale.Sketches.queries ++
-    scale.Profiler.queries
+    scale.Profiler.queries ++
+    scale.SuffixArray.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * (The reference's MAU-style join+agg over the star schema.)

@@ -1,0 +1,235 @@
+package graft.scale
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed token-level suffix ordering by prefix doubling
+  * (Manber & Myers, SODA 1990), the primitive behind EXACT substring
+  * deduplication (Lee et al., ACL 2022 "Deduplicating Training Data
+  * Makes Language Models Better" build a suffix array for precisely
+  * this): after round k, two suffixes carry EQUAL rank iff their first
+  * 2^k tokens agree (suffixes ending earlier compare via an
+  * end-sentinel), so a repeated >= 2^k-token span anywhere in the corpus
+  * is literally a rank collision — no pairwise comparison, no shingling
+  * approximation, no false positives.
+  *
+  * Each round is one self-join at offset 2^(k-1) plus one distributed
+  * dense-rank over the (rank, next-rank) pairs. The dense rank is the
+  * scale-critical piece: a global `dense_rank() OVER (ORDER BY ...)`
+  * window collapses to a single partition, so [[denseRank]] implements
+  * it as range-repartition + in-partition sort + a two-phase offset
+  * pass (per-partition distinct-key counts — numPartitions longs on the
+  * driver — then per-partition assignment), the standard distributed
+  * zipWithIndex shape. Equal keys land in one range partition, so the
+  * result is the exact global dense rank, and the DuckDB oracle replays
+  * it with the window form.
+  */
+object SuffixArray {
+
+  /** Exact global dense rank of `(k1, k2)` over (doc_id, pos, k1, k2)
+    * rows: range-partition by key, sort within partitions, then assign
+    * `offset(partition) + local dense index`. Driver state is one long
+    * per partition. Output: (doc_id, pos, rank), rank starting at 1 —
+    * bit-equal to `dense_rank() OVER (ORDER BY k1, k2)`.
+    */
+  private[scale] def denseRank(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted: Dataset[(Long, Long, Long, Long)] = df
+      .select(col("doc_id").cast("long"), col("pos").cast("long"),
+        col("k1").cast("long"), col("k2").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .repartitionByRange(col("k1"), col("k2"))
+      .sortWithinPartitions("k1", "k2")
+      // pin the partitions: both passes below must see identical data
+      // placement (range boundaries come from sampling)
+      .localCheckpoint()
+    val counts = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var n = 0L
+      var lastK1 = 0L; var lastK2 = 0L; var any = false
+      it.foreach { r =>
+        if (!any || r._3 != lastK1 || r._4 != lastK2) {
+          n += 1; lastK1 = r._3; lastK2 = r._4; any = true
+        }
+      }
+      Iterator((pid, n))
+    }.collect().toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    for (p <- 0 until nParts) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank = bc.value(pid)
+      var lastK1 = 0L; var lastK2 = 0L; var any = false
+      it.map { r =>
+        if (!any || r._3 != lastK1 || r._4 != lastK2) {
+          rank += 1; lastK1 = r._3; lastK2 = r._4; any = true
+        }
+        (r._1, r._2, rank)
+      }
+    }.toDF("doc_id", "pos", "rank")
+  }
+
+  /** (doc_id, pos, rank) after `rounds` doubling rounds: ranks equal iff
+    * the suffixes' first 2^rounds tokens agree (end-of-doc behaves as a
+    * sentinel below every token). Round 0 seeds from the vocabulary
+    * order (a metadata-sized window — the vocab relation, never the
+    * corpus).
+    */
+  def suffixRanks(docs: DataFrame, rounds: Int,
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as(Seq("pos", "w")))
+    val vocabRank = toks.select("w").distinct()
+      .withColumn("r", dense_rank().over(Window.orderBy("w")).cast("long"))
+    var ranks = toks.join(vocabRank, "w")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("r").as("rank"))
+      .localCheckpoint()
+    var span = 1L
+    for (_ <- 1 to rounds) {
+      val nxt = ranks.select(col("doc_id"),
+        (col("pos") - span).as("pos"), col("rank").as("r2"))
+      val paired = ranks.join(nxt, Seq("doc_id", "pos"), "left")
+        .na.fill(0L, Seq("r2")) // past end-of-doc: sentinel 0 < every rank
+        .select(col("doc_id"), col("pos"), col("rank").as("k1"),
+          col("r2").as("k2"))
+      ranks = denseRank(paired).localCheckpoint()
+      span *= 2
+    }
+    ranks
+  }
+
+  /** Every corpus position opening an EXACT repeated span of
+    * `2^rounds` tokens: positions with at least 2^rounds tokens left in
+    * their document, grouped by suffix rank — a group of size >= 2 IS a
+    * repeated span (the rank value is the replayable group id). Output
+    * (span_grp, doc_id, pos), one row per occurrence.
+    */
+  def repeatedSpans(docs: DataFrame, rounds: Int,
+                    textCol: String = "text"): DataFrame = {
+    val spanLen = 1L << rounds
+    val lens = docs.select(col("doc_id"),
+        size(filter(split(col(textCol), graft.expressions.Ws.Regex),
+          w => w =!= "")).cast("long").as("n"))
+    val full = suffixRanks(docs, rounds, textCol)
+      .join(lens, "doc_id")
+      .filter(col("pos") + spanLen <= col("n"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+      .localCheckpoint()
+    val groups = full.groupBy("rank").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("rank"))
+    full.join(groups, "rank")
+      .select(col("rank").as("span_grp"), col("doc_id"), col("pos"))
+  }
+
+  /** The 16-token phrase planted by the q253 fixture (appended to every
+    * doc_id % 7 == 0 document) — guarantees the corpus contains exact
+    * cross-document 16-token repeats beyond the generator's organic
+    * phrase reuse.
+    */
+  private[graft] val PlantedPhrase: String =
+    "the quick stream merges sorted batches while the window slides " +
+      "over hashed partitions into one table"
+
+  private def spanRoundSql(i: Int, offset: Long): String =
+    s""" p$i AS (SELECT a.doc_id, a.pos, a.rank AS k1, coalesce(b.rank, 0) AS k2
+       |   FROM r${i - 1} a LEFT JOIN r${i - 1} b
+       |     ON a.doc_id = b.doc_id AND b.pos = a.pos + $offset),
+       | r$i AS (SELECT doc_id, pos,
+       |   CAST(dense_rank() OVER (ORDER BY k1, k2) AS BIGINT) AS rank FROM p$i)""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact repeated 16-token spans by suffix-array prefix doubling: the
+    // fixture plants a shared 16-token tail on every 7th doc, the 4
+    // doubling rounds turn every repeated 16-token span into a rank
+    // collision, and the full (group, doc, pos) occurrence table —
+    // planted AND organic repeats — hash-compares against DuckDB's
+    // window-form replay of every round.
+    Q("q253_repeated_spans",
+      s"""WITH fix AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
+         |        ELSE text END AS text FROM documents),
+         | tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM fix),
+         | t AS (SELECT doc_id, s.p AS pos, s.w FROM
+         |   (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'p': CAST(i - 1 AS BIGINT), 'w': ts[i]})) AS s FROM tl) q),
+         | r0 AS (SELECT doc_id, pos,
+         |   CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank FROM t),
+         |${Seq((1, 1L), (2, 2L), (3, 4L), (4, 8L))
+            .map { case (i, o) => spanRoundSql(i, o) }.mkString(",\n")},
+         | ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tl),
+         | el AS (SELECT r4.rank, r4.doc_id, r4.pos FROM r4 JOIN ln USING (doc_id)
+         |        WHERE r4.pos + 16 <= ln.n),
+         | g AS (SELECT rank FROM (SELECT rank, count(1) AS c FROM el GROUP BY 1)
+         |       WHERE c > 1)
+         |SELECT el.rank AS span_grp, el.doc_id, el.pos
+         |FROM el JOIN g ON el.rank = g.rank
+         |ORDER BY span_grp, doc_id, pos""".stripMargin) { (s, d) =>
+      val fixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      repeatedSpans(fixed, rounds = 4)
+        .orderBy("span_grp", "doc_id", "pos")
+    },
+
+    // The dedup POLICY over q253's groups: the first occurrence
+    // (doc_id, pos) of each repeated span is canonical, every other
+    // occurrence is a drop candidate — the actual "remove duplicate
+    // substring" decision of Lee et al. 2022 §4, as a per-group
+    // min-struct aggregate (no window over the corpus).
+    Q("q254_span_dedup_drops",
+      s"""WITH fix AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
+         |        ELSE text END AS text FROM documents),
+         | tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM fix),
+         | t AS (SELECT doc_id, s.p AS pos, s.w FROM
+         |   (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'p': CAST(i - 1 AS BIGINT), 'w': ts[i]})) AS s FROM tl) q),
+         | r0 AS (SELECT doc_id, pos,
+         |   CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank FROM t),
+         |${Seq((1, 1L), (2, 2L), (3, 4L), (4, 8L))
+            .map { case (i, o) => spanRoundSql(i, o) }.mkString(",\n")},
+         | ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tl),
+         | el AS (SELECT r4.rank, r4.doc_id, r4.pos FROM r4 JOIN ln USING (doc_id)
+         |        WHERE r4.pos + 16 <= ln.n),
+         | keep AS (SELECT rank, min(doc_id * 1000000 + pos) AS first_key,
+         |                 count(1) AS c
+         |          FROM el GROUP BY 1)
+         |SELECT el.rank AS span_grp, el.doc_id, el.pos
+         |FROM el JOIN keep ON el.rank = keep.rank
+         |WHERE keep.c > 1 AND el.doc_id * 1000000 + el.pos <> keep.first_key
+         |ORDER BY span_grp, doc_id, pos""".stripMargin) { (s, d) =>
+      val fixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      val occ = repeatedSpans(fixed, rounds = 4)
+      // canonical occurrence per group: min (doc_id, pos) — encoded as
+      // one long (pos < 1e6 per doc by fixture construction) so the
+      // argmin is a plain per-group aggregate
+      val firsts = occ.groupBy("span_grp")
+        .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_key"))
+      occ.join(firsts, "span_grp")
+        .filter(col("doc_id") * 1000000L + col("pos") =!= col("first_key"))
+        .select(col("span_grp"), col("doc_id"), col("pos"))
+        .orderBy("span_grp", "doc_id", "pos")
+    },
+  )
+}
