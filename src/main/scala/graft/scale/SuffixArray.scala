@@ -149,6 +149,49 @@ object SuffixArray {
        | r$i AS (SELECT doc_id, pos,
        |   CAST(dense_rank() OVER (ORDER BY k1, k2) AS BIGINT) AS rank FROM p$i)""".stripMargin
 
+  /** The corpus REWRITTEN with every non-canonical repeated span cut
+    * out — the actual output artifact of exact substring dedup: tokens
+    * covered by any drop interval [pos, pos+2^rounds) are removed and
+    * the survivors re-join in document order. Coverage is computed
+    * without a range join: each drop contributes a +1 start / −1 end
+    * event, events join the token stream per (doc, pos), and a running
+    * sum PARTITIONED BY doc (never a global window) gives the covering
+    * count; a token survives iff its coverage is 0. Docs with no drops
+    * pass through verbatim.
+    */
+  def spanDedupRewrite(docs: DataFrame, rounds: Int,
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanLen = 1L << rounds
+    val occ = repeatedSpans(docs, rounds, textCol)
+    val firsts = occ.groupBy("span_grp")
+      .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_key"))
+    val drops = occ.join(firsts, "span_grp")
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    val events = drops.select(col("doc_id"), col("pos"), lit(1L).as("ev"))
+      .unionByName(drops.select(col("doc_id"),
+        (col("pos") + spanLen).as("pos"), lit(-1L).as("ev")))
+      .groupBy("doc_id", "pos").agg(sum("ev").as("ev"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
+    val covered = toks.join(events, Seq("doc_id", "pos"), "left")
+      .na.fill(0L, Seq("ev"))
+      .withColumn("cov", sum("ev").over(Window.partitionBy("doc_id")
+        .orderBy("pos").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val kept = covered.filter(col("cov") === 0)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("pos"), col("w")))), s => s.getField("w")), " ")
+        .as("clean_text"))
+    // total over the corpus: a fully-covered doc keeps an empty string
+    docs.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+      .na.fill("", Seq("clean_text"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact repeated 16-token spans by suffix-array prefix doubling: the
@@ -230,6 +273,54 @@ object SuffixArray {
         .filter(col("doc_id") * 1000000L + col("pos") =!= col("first_key"))
         .select(col("span_grp"), col("doc_id"), col("pos"))
         .orderBy("span_grp", "doc_id", "pos")
+    },
+
+    // The corpus rewritten with q254's drops cut out — detect, decide,
+    // REWRITE, the full exact-dedup pipeline as one certified relation.
+    // Coverage via +1/-1 interval events and a per-doc running sum (no
+    // range join, no global window); survivors re-join in doc order. The
+    // planted tail survives ONLY in each group's canonical occurrence.
+    Q("q255_span_dedup_rewrite",
+      s"""WITH fix AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
+         |        ELSE text END AS text FROM documents),
+         | tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM fix),
+         | t AS (SELECT doc_id, s.p AS pos, s.w FROM
+         |   (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'p': CAST(i - 1 AS BIGINT), 'w': ts[i]})) AS s FROM tl) q),
+         | r0 AS (SELECT doc_id, pos,
+         |   CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank FROM t),
+         |${Seq((1, 1L), (2, 2L), (3, 4L), (4, 8L))
+            .map { case (i, o) => spanRoundSql(i, o) }.mkString(",\n")},
+         | ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tl),
+         | el AS (SELECT r4.rank, r4.doc_id, r4.pos FROM r4 JOIN ln USING (doc_id)
+         |        WHERE r4.pos + 16 <= ln.n),
+         | keep AS (SELECT rank, min(doc_id * 1000000 + pos) AS first_key,
+         |                 count(1) AS c
+         |          FROM el GROUP BY 1),
+         | drops AS (SELECT el.doc_id, el.pos FROM el
+         |           JOIN keep ON el.rank = keep.rank
+         |           WHERE keep.c > 1
+         |             AND el.doc_id * 1000000 + el.pos <> keep.first_key),
+         | ev AS (SELECT doc_id, pos, CAST(sum(e) AS BIGINT) AS ev FROM (
+         |   SELECT doc_id, pos, 1 AS e FROM drops
+         |   UNION ALL SELECT doc_id, pos + 16, -1 FROM drops) q GROUP BY 1, 2),
+         | cov AS (SELECT t.doc_id, t.pos, t.w,
+         |   sum(coalesce(ev.ev, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS cov
+         |  FROM t LEFT JOIN ev ON t.doc_id = ev.doc_id AND t.pos = ev.pos),
+         | clean AS (SELECT doc_id,
+         |   string_agg(w, ' ' ORDER BY pos) AS clean_text
+         |  FROM cov WHERE cov = 0 GROUP BY 1)
+         |SELECT f.doc_id, coalesce(c.clean_text, '') AS clean_text
+         |FROM fix f LEFT JOIN clean c ON f.doc_id = c.doc_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val fixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      spanDedupRewrite(fixed, rounds = 4).orderBy("doc_id")
     },
   )
 }

@@ -55,4 +55,15 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(gm.map(t => (t._2, t._3)).toSet === Set((9L, 0L), (9L, 1L)))
   }
+
+  test("spanDedupRewrite: the canonical occurrence survives, drops are cut, untouched docs pass verbatim") {
+    val d = Seq((1L, "p q r s a b c d"), (2L, "z z p q r s w"), (3L, "u v"))
+      .toDF("doc_id", "text")
+    val out = SuffixArray.spanDedupRewrite(d, rounds = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "p q r s a b c d", // first (doc, pos) keeps its span
+      2L -> "z z w",           // the repeat is excised
+      3L -> "u v"))            // no drops: verbatim
+  }
 }
