@@ -345,6 +345,32 @@ object ScaleBench {
         Curation.perplexityBuckets(langd, "lang").queryExecution.toRdd.count()
       }
 
+      // q253 core: suffix-array prefix doubling (4 rounds, 16-token
+      // spans) — n log n sorts per round over the position relation, well
+      // inside the LINEAR bound at ×8. The rounds localCheckpoint per
+      // iteration, so snapshot the persistent-RDD set and unpersist the
+      // new blocks afterwards: left to the async ContextCleaner they
+      // survive into the NEXT scale and squeeze the decode pipelines'
+      // working set (first measured as video_pipeline 12.2x -> 17.5x).
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val tSuffix = timeMin(reps) {
+        graft.scale.SuffixArray.repeatedSpans(docs, rounds = 4)
+          .queryExecution.toRdd.count()
+      }
+
+      // q247 core: anchor-count partial for a FIXED batch against the ×k
+      // index — additive-monoid append, O(batch) → FLAT
+      val acRoot = s"${graft.core.Scratch.dir(s"graft-scale-ac$k")}/a"
+      val ac = new graft.streaming.AnchorCountIndex(spark, acRoot)
+      ac.processBatch(docs, 0L)
+      var ab = 0
+      val tAnchor = timeMin(reps) {
+        ac.processBatch(fixedDocBatch, { ab += 1; 1000L + ab })
+      }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => rddsBefore(id) }
+        .values.foreach(_.unpersist(blocking = true))
+
       System.err.println(s"[scale] x$k docs=$nDocs vecs=$nVecs dedup=$tDedup lsh=$tLsh " +
         s"contain=$tContain append=$tAppend stream=$tStream extract=$tExtract " +
         s"nnd=$tNnd del=$tDelete compact=$tCompact pqdel=$tPqDelete tri=$tTri " +
@@ -360,7 +386,8 @@ object ScaleBench {
         "nav_delete" -> tNavDel, "pagerank_delete" -> tPrDel,
         "phash_delete" -> tPhiDel, "video_pipeline" -> tVideoPipe,
         "audio_pipeline" -> tAudioPipe,
-        "budget_mix" -> tBudget, "ppl_buckets" -> tPpl))
+        "budget_mix" -> tBudget, "ppl_buckets" -> tPpl,
+        "suffix_spans" -> tSuffix, "anchor_stream_batch" -> tAnchor))
     }
 
     val expectations = Map(
@@ -374,7 +401,8 @@ object ScaleBench {
       "nav_delete" -> ("flat", 3.0), "pagerank_delete" -> ("flat", 4.0),
       "phash_delete" -> ("flat", 3.0), "video_pipeline" -> ("linear", 16.0),
       "audio_pipeline" -> ("linear", 16.0),
-      "budget_mix" -> ("linear", 16.0), "ppl_buckets" -> ("linear", 16.0))
+      "budget_mix" -> ("linear", 16.0), "ppl_buckets" -> ("linear", 16.0),
+      "suffix_spans" -> ("linear", 16.0), "anchor_stream_batch" -> ("flat", 3.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

@@ -1166,6 +1166,50 @@ object Curation {
       "(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+)", 1), lit("")), lit("0"))
       .cast("long")
 
+  /** Per-agent robots fixture: a `graftbot` group with a BROAD /read/
+    * ban plus carve-out, then the `*` group with the q246 rules — the
+    * two groups give opposite verdicts on most paths, so group scoping
+    * is observable, not incidental.
+    */
+  private[graft] def robotsAgentFixture(k: Column): Column = concat(
+    lit("User-agent: graftbot\nDisallow: /read/\nAllow: /read/"), k,
+    lit("/ok\n\n"),
+    lit("User-agent: *\nDisallow: /news/\nDisallow: /read/"), k,
+    lit("\nAllow: /read/"), k, lit("/ok\nCrawl-delay: 1"), k, lit("\n"))
+
+  /** The applicable group's Allow/Disallow rules per domain for one user
+    * agent — RFC 9309 §2.2.1 group scoping, which [[parseRobotsRules]]'s
+    * single-group simplification skips: consecutive `User-agent` lines
+    * open a group whose rules run to the next group; the agent's own
+    * group REPLACES (never extends) the `*` group, and an unmatched
+    * agent falls back to `*`. Group assembly is two windows PARTITIONED
+    * BY domain (robots bodies are metadata-sized — one per crawled
+    * domain); `bodies` = (domain, txt).
+    */
+  def robotsAgentRules(bodies: DataFrame, agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDom = Window.partitionBy("domain").orderBy("p")
+    val UaRe = "(?i)^[ \t]*user-agent[ \t]*:[ \t]*([^ \t#]+)"
+    val lines = bodies
+      .select(col("domain"), posexplode(split(col("txt"), "\n")).as(Seq("p", "l")))
+      .withColumn("ua", lower(regexp_extract(col("l"), UaRe, 1)))
+    val grp = lines
+      .withColumn("pua", lag("ua", 1, "").over(byDom))
+      .withColumn("grp", sum(when(col("ua") =!= "" && col("pua") === "", 1)
+        .otherwise(0)).over(byDom))
+    val agents = grp.filter(col("ua") =!= "").groupBy("domain", "grp")
+      .agg(max(when(col("ua") === agent.toLowerCase, 1).otherwise(0)).as("hasAgent"),
+        max(when(col("ua") === "*", 1).otherwise(0)).as("hasStar"))
+    val pick = agents.groupBy("domain").agg(
+      coalesce(min(when(col("hasAgent") === 1, col("grp"))),
+        min(when(col("hasStar") === 1, col("grp")))).as("grp"))
+    grp.join(pick, Seq("domain", "grp"))
+      .withColumn("kind", lower(regexp_extract(col("l"), RobotsRuleRe, 1)))
+      .withColumn("prefix", regexp_extract(col("l"), RobotsRuleRe, 2))
+      .filter(col("kind") =!= "")
+      .select("domain", "kind", "prefix")
+  }
+
   /** Robots-verdict CTE chain, composable after [[linkDomainCtes]] (it
     * reads that block's `hrefs(doc_id, url)`): canonical (domain, path)
     * candidates plus the carve-out probes, the per-domain fixture robots
@@ -2355,6 +2399,105 @@ object Curation {
         |  CAST(sum(coalesce(vb.nv, 0)) OVER (ORDER BY tb.b) AS BIGINT) AS vocab
         |FROM tb LEFT JOIN vb ON tb.b = vb.b ORDER BY tb.b""".stripMargin) { (s, d) =>
       heapsCurve(Tables.documents(s, d)).orderBy("b")
+    },
+
+    // RFC 9309 user-agent group scoping: graftbot's group REPLACES the
+    // `*` group (a bot group with no /news/ rule ALLOWS /news/ even
+    // though `*` bans it), an unknown agent falls back to `*`, and both
+    // agents' verdict columns certify side by side — 127 of 150 verdicts
+    // differ, so the scoping is observable, not incidental. The oracle
+    // replays the group-boundary windows, the pick, and both scorings.
+    Q("q256_robots_agent_groups",
+      """WITH r_k AS (
+        |  SELECT DISTINCT 'site' || (doc_id % 10) || '.com' AS domain,
+        |    CAST(doc_id % 10 AS VARCHAR) AS k FROM documents),
+        | g_robots AS (SELECT domain, k,
+        |    'User-agent: graftbot' || chr(10) ||
+        |    'Disallow: /read/' || chr(10) ||
+        |    'Allow: /read/' || k || '/ok' || chr(10) ||
+        |    chr(10) ||
+        |    'User-agent: *' || chr(10) ||
+        |    'Disallow: /news/' || chr(10) ||
+        |    'Disallow: /read/' || k || chr(10) ||
+        |    'Allow: /read/' || k || '/ok' || chr(10) ||
+        |    'Crawl-delay: 1' || k || chr(10) AS txt
+        |  FROM r_k),
+        | g_lines AS (SELECT domain, s.p AS p, s.l FROM (
+        |    SELECT domain, unnest(list_transform(range(1, len(ls) + 1),
+        |      i -> {'p': CAST(i - 1 AS BIGINT), 'l': ls[i]})) AS s
+        |    FROM (SELECT domain, string_split(txt, chr(10)) AS ls FROM g_robots) q0) q1),
+        | g_fl AS (SELECT domain, p, l,
+        |    lower(regexp_extract(l, '(?i)^[ \t]*user-agent[ \t]*:[ \t]*([^ \t#]+)', 1)) AS ua
+        |  FROM g_lines),
+        | g_grp AS (SELECT domain, p, l, ua,
+        |    sum(CASE WHEN ua <> '' AND coalesce(pua, '') = '' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY domain ORDER BY p) AS grp
+        |  FROM (SELECT *, lag(ua) OVER (PARTITION BY domain ORDER BY p) AS pua FROM g_fl) q),
+        | g_agents AS (SELECT domain, grp,
+        |    max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS has_bot,
+        |    max(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS has_star
+        |  FROM g_grp WHERE ua <> '' GROUP BY 1, 2),
+        | g_pick AS (SELECT domain,
+        |    coalesce(min(CASE WHEN has_bot = 1 THEN grp END),
+        |             min(CASE WHEN has_star = 1 THEN grp END)) AS bgrp,
+        |    min(CASE WHEN has_star = 1 THEN grp END) AS sgrp
+        |  FROM g_agents GROUP BY 1),
+        | g_rules AS (SELECT domain, grp,
+        |    lower(regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 1)) AS kind,
+        |    regexp_extract(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^ \t#]+)', 2) AS prefix
+        |  FROM g_grp
+        |  WHERE regexp_matches(l, '(?i)^[ \t]*(allow|disallow)[ \t]*:[ \t]*[^ \t#]')),
+        | g_cand AS (SELECT domain, '/read/' || m AS path
+        |   FROM (SELECT DISTINCT 'site' || (doc_id % 10) || '.com' AS domain,
+        |                doc_id % 13 AS m FROM documents) q
+        |   UNION SELECT domain, '/read/' || k || '/ok' FROM r_k
+        |   UNION SELECT domain, '/news/latest' FROM r_k),
+        | g_bot AS (SELECT c.domain, c.path,
+        |    max(CASE WHEN r.kind IS NOT NULL
+        |        THEN 2 * len(r.prefix) + (CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END) END) AS score
+        |  FROM g_cand c LEFT JOIN (SELECT r.* FROM g_rules r JOIN g_pick p
+        |      ON r.domain = p.domain AND r.grp = p.bgrp) r
+        |    ON c.domain = r.domain AND starts_with(c.path, r.prefix)
+        |  GROUP BY 1, 2),
+        | g_star AS (SELECT c.domain, c.path,
+        |    max(CASE WHEN r.kind IS NOT NULL
+        |        THEN 2 * len(r.prefix) + (CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END) END) AS score
+        |  FROM g_cand c LEFT JOIN (SELECT r.* FROM g_rules r JOIN g_pick p
+        |      ON r.domain = p.domain AND r.grp = p.sgrp) r
+        |    ON c.domain = r.domain AND starts_with(c.path, r.prefix)
+        |  GROUP BY 1, 2)
+        |SELECT b.domain, b.path,
+        |  coalesce(b.score % 2 = 1, TRUE) AS bot_allowed,
+        |  coalesce(s.score % 2 = 1, TRUE) AS any_allowed
+        |FROM g_bot b JOIN g_star s ON b.domain = s.domain AND b.path = s.path
+        |ORDER BY b.domain, b.path""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val rk = docs.select(
+          concat(lit("site"), col("doc_id") % 10, lit(".com")).as("domain"),
+          (col("doc_id") % 10).cast("string").as("k")).distinct()
+      val bodies = rk.select(col("domain"),
+        robotsAgentFixture(col("k")).as("txt"))
+      val cand = docs.select(
+          concat(lit("site"), col("doc_id") % 10, lit(".com")).as("domain"),
+          concat(lit("/read/"), col("doc_id") % 13).as("path"))
+        .unionByName(rk.select(col("domain"),
+          concat(lit("/read/"), col("k"), lit("/ok")).as("path")))
+        .unionByName(rk.select(col("domain"), lit("/news/latest").as("path")))
+        .distinct()
+      def verdict(rules: DataFrame, out: String) = cand
+        .join(rules.select(col("domain").as("rdomain"), col("kind"),
+          col("prefix")), col("domain") === col("rdomain") &&
+            col("path").startsWith(col("prefix")), "left")
+        .groupBy("domain", "path")
+        .agg(max(when(col("kind").isNotNull,
+          length(col("prefix")).cast("long") * 2 +
+            when(col("kind") === "allow", 1L).otherwise(0L))).as("score"))
+        .select(col("domain"), col("path"),
+          coalesce(col("score") % 2 === 1, lit(true)).as(out))
+      verdict(robotsAgentRules(bodies, "graftbot"), "bot_allowed")
+        .join(verdict(robotsAgentRules(bodies, "nosuchbot"), "any_allowed"),
+          Seq("domain", "path"))
+        .orderBy("domain", "path")
     },
 
     // Per-stratum domain caps with the survivor re-join the docstring

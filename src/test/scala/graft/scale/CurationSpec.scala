@@ -867,6 +867,21 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq((0L, 2L, 2L), (1L, 5L, 3L), (2L, 6L, 4L)))
   }
 
+  test("robotsAgentRules: the agent's group replaces *, unknown agents fall back, shared UA lines share a group") {
+    val b = Seq(
+      ("d1", "User-agent: GraftBot\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"),
+      ("d2", "User-agent: x\nUser-agent: graftbot\nDisallow: /x\nAllow: /y\n\nUser-agent: *\nDisallow: /z\n"))
+      .toDF("domain", "txt")
+    val bot = Curation.robotsAgentRules(b, "graftbot")
+      .as[(String, String, String)].collect().toSet
+    // replacement, not extension: /b and /z never reach the bot
+    assert(bot === Set(("d1", "disallow", "/a"),
+      ("d2", "disallow", "/x"), ("d2", "allow", "/y")))
+    val other = Curation.robotsAgentRules(b, "unknownbot")
+      .as[(String, String, String)].collect().toSet
+    assert(other === Set(("d1", "disallow", "/b"), ("d2", "disallow", "/z")))
+  }
+
   test("parseCrawlDelay: line-anchored, first match wins, absent means 0") {
     def delay(txt: String): Long = spark.range(1)
       .select(Curation.parseCrawlDelay(lit(txt)).as("d")).as[Long].head()
