@@ -1363,11 +1363,23 @@ object Curation {
     * bucket: #terms and total token mass. The global rank window runs
     * over the VOCAB relation (metadata-sized), never the corpus.
     */
-  def zipfBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def zipfBuckets(docs: DataFrame, textCol: String = "text"): DataFrame =
+    zipfBucketsFromCounts(termCounts(docs, textCol))
+
+  /** Corpus-wide (w, cnt) term counts — the additive relation behind the
+    * Zipf profile, factored out so the streaming index can maintain it
+    * with O(batch) partials (counts form a commutative monoid, the q247
+    * argument).
+    */
+  def termCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(filter(split(col(textCol),
         graft.expressions.Ws.Regex), w => w =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** [[zipfBuckets]] from an already-aggregated (w, cnt) relation. */
+  def zipfBucketsFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
       .select((length(bin(col("rank"))) - 1).cast("long").as("bucket"),

@@ -27,7 +27,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 final class AnchorCountIndex(spark: SparkSession, root: String,
                              maxChainDepth: Int = 16,
                              build: DataFrame => DataFrame =
-                               Curation.anchorTermCounts) {
+                               Curation.anchorTermCounts,
+                             keyCols: Seq[String] = Seq("domain", "term")) {
 
   val counts = new VersionedTable(spark, s"$root/counts")
 
@@ -38,7 +39,7 @@ final class AnchorCountIndex(spark: SparkSession, root: String,
     val tag = s"batch=$batchId"
     if (counts.exists && counts.currentTag.contains(tag)) return
     val partial = build(batch.filter(col("text").isNotNull))
-      .sortWithinPartitions("domain")
+      .sortWithinPartitions(keyCols.head)
     if (counts.exists) counts.promote(counts.stageAppend(partial), Some(tag))
     else counts.promote(counts.stage(partial), Some(tag))
     if (counts.chainDepth > maxChainDepth) compact()
@@ -49,15 +50,15 @@ final class AnchorCountIndex(spark: SparkSession, root: String,
     * re-aggregation cost is a small constant factor over one version.
     */
   def served(): DataFrame =
-    counts.read().groupBy("domain", "term").agg(sum("cnt").as("cnt"))
+    counts.read().groupBy(keyCols.map(col): _*).agg(sum("cnt").as("cnt"))
 
   /** Collapse the partial chain into one self-contained version with one
-    * row per (domain, term). Idempotent; serving is invariant (SUM of one
-    * total equals the total).
+    * row per key. Idempotent; serving is invariant (SUM of one total
+    * equals the total).
     */
   def compact(): Unit = {
     counts.promote(counts.stage(
-      served().sortWithinPartitions("domain")), counts.currentTag)
+      served().sortWithinPartitions(keyCols.head)), counts.currentTag)
     ()
   }
 }

@@ -1547,5 +1547,85 @@ object StreamingQueries {
         .select(col("domain"), col("rnk"), col("term"), col("cnt"))
         .orderBy("domain", "rnk")
     },
+
+    // Streaming exact-substring admission guard: a 4-batch crawl drains
+    // through SpanGuardIndex — a doc is admitted iff none of its 16-token
+    // spans was seen in an earlier batch (md5 span hashes, so the oracle
+    // recomputes the whole drain as ONE min-batch-per-span aggregate; the
+    // planted q253-style tail means every 7th doc collides). Within-batch
+    // sharers are concurrent and both admit; every seen doc's spans enter
+    // the index whether admitted or not (the non-recursive TtlDedup rule).
+    Q("q257_streaming_span_guard",
+      s"""WITH b AS (SELECT doc_id, doc_id % 4 AS batch,
+         |   list_filter(string_split_regex(
+         |     CASE WHEN doc_id % 7 = 0
+         |          THEN text || ' ${graft.scale.SuffixArray.PlantedPhrase}'
+         |          ELSE text END, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, batch, md5(g) AS h FROM (
+         |   SELECT doc_id, batch,
+         |     CASE WHEN len(ts) < 16 THEN array_to_string(ts, ' ')
+         |          ELSE array_to_string(ts[i : i + 15], ' ') END AS g
+         |   FROM (SELECT doc_id, batch, ts,
+         |           unnest(range(1, greatest(len(ts) - 14, 2))) AS i FROM b) q) q2),
+         | firstb AS (SELECT h, min(batch) AS fb FROM sh GROUP BY 1),
+         | rej AS (SELECT DISTINCT s.doc_id FROM sh s
+         |         JOIN firstb f ON s.h = f.h WHERE f.fb < s.batch)
+         |SELECT b.doc_id, r.doc_id IS NULL AS admitted
+         |FROM b LEFT JOIN rej r ON b.doc_id = r.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q257")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new SpanGuardIndex(s2, s"$wh/guard", maxChainDepth = 2)
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      SpanGuard.spanGuardSink(stream, idx, s"$wh/ckpt").awaitTermination()
+      docs.select("doc_id")
+        .join(idx.admitted.read().withColumn("__a", lit(1)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__a").isNotNull.as("admitted"))
+        .orderBy("doc_id")
+    },
+
+    // Streaming corpus-QA maintenance: term counts drained through the
+    // additive-partial index (the q247 protocol with (w) keys), then the
+    // Zipf rank-bucket profile computed OVER THE SERVED STATE — the
+    // streaming drain must reproduce q251's batch profile exactly
+    // (commutative-monoid counts; the oracle is q251's verbatim).
+    Q("q258_streaming_zipf",
+      """WITH tok AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        | FROM documents),
+        | c AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
+        |       FROM (SELECT unnest(ts) AS w FROM tok) q GROUP BY 1),
+        | r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM c)
+        |SELECT CAST(len(bin(rank)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(1) AS BIGINT) AS n_terms, CAST(sum(cnt) AS BIGINT) AS mass
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.scale.Curation
+      val wh = scratchDir("graft-q258")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new AnchorCountIndex(s2, s"$wh/terms", maxChainDepth = 2,
+        build = Curation.termCounts(_), keyCols = Seq("w"))
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      AnchorStream.anchorSink(stream, idx, s"$wh/ckpt").awaitTermination()
+      Curation.zipfBucketsFromCounts(idx.served()).orderBy("bucket")
+    },
   )
 }
