@@ -1376,6 +1376,37 @@ object Curation {
         graft.expressions.Ws.Regex), w => w =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** Term-distribution drift between two corpus snapshots — the "did the
+    * new crawl shift the language" monitor a continuously-ingesting
+    * pipeline alarms on: per term, the change in per-[[Graph.Scale]]
+    * token rate (`cnt·Scale div total`, truncating — exact in both
+    * engines, where a floating χ² would not be), scored by the squared
+    * rate delta (bounded by Scale² — no overflow at any corpus size,
+    * unlike cross-multiplied raw counts), top `k` by (score DESC, term).
+    * Terms absent from one side count 0 there (a brand-new or vanished
+    * term is maximal drift at its rate). Two hash aggregations plus a
+    * window over the vocab relation.
+    */
+  def termDrift(before: DataFrame, after: DataFrame, k: Int = 20,
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rates(docs: DataFrame, cn: String) = {
+      val c = termCounts(docs, textCol)
+      c.crossJoin(broadcast(c.agg(sum("cnt").as("total"))))
+        .select(col("w"),
+          expr(s"(cnt * ${Graph.Scale}) div total").as(cn))
+    }
+    rates(before, "rate_a").join(rates(after, "rate_b"), Seq("w"), "full")
+      .na.fill(0L, Seq("rate_a", "rate_b"))
+      .withColumn("score",
+        (col("rate_b") - col("rate_a")) * (col("rate_b") - col("rate_a")))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("w"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("w").as("term"), col("rate_a"), col("rate_b"),
+        col("score"))
+  }
+
   /** [[zipfBuckets]] from an already-aggregated (w, cnt) relation. */
   def zipfBucketsFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2373,6 +2404,44 @@ object Curation {
         .select(col("domain"), col("slot"),
           ((col("slot") - 1) * col("delay")).as("fetch_at"), col("path"))
         .orderBy("domain", "slot")
+    },
+
+    // Term drift between crawl snapshots (even docs = before, odd =
+    // after, one planted emergent meme in the after half): per-term
+    // integer token rates, squared rate delta, top-20 — the distribution
+    // monitor for continuous ingestion. Both snapshots' rate arithmetic
+    // and the ranked cut replay exactly.
+    Q("q259_term_drift",
+      s"""WITH fix AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 10 = 5 THEN text || ' emergentmeme emergentmeme'
+         |        ELSE text END AS text FROM documents),
+         | ca AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt FROM (
+         |   SELECT unnest(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+         |     x -> x <> '')) AS w FROM fix WHERE doc_id % 2 = 0) q GROUP BY 1),
+         | ta AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ca),
+         | ra AS (SELECT w, (cnt * ${Graph.Scale}) // total AS rate_a
+         |        FROM ca CROSS JOIN ta),
+         | cb AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt FROM (
+         |   SELECT unnest(list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'),
+         |     x -> x <> '')) AS w FROM fix WHERE doc_id % 2 = 1) q GROUP BY 1),
+         | tb AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cb),
+         | rb AS (SELECT w, (cnt * ${Graph.Scale}) // total AS rate_b
+         |        FROM cb CROSS JOIN tb),
+         | j AS (SELECT coalesce(ra.w, rb.w) AS term,
+         |         coalesce(rate_a, 0) AS rate_a, coalesce(rate_b, 0) AS rate_b
+         |       FROM ra FULL JOIN rb ON ra.w = rb.w),
+         | sc AS (SELECT term, rate_a, rate_b,
+         |         (rate_b - rate_a) * (rate_b - rate_a) AS score FROM j)
+         |SELECT rnk, term, rate_a, rate_b, score FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, term) AS rnk FROM sc)
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+      val fixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" emergentmeme emergentmeme")))
+          .otherwise(col("text")).as("text"))
+      termDrift(fixed.filter(col("doc_id") % 2 === 0),
+          fixed.filter(col("doc_id") % 2 === 1))
+        .orderBy("rnk")
     },
 
     // Zipf rank-bucket corpus profile: full tokenize -> vocab counts ->

@@ -857,6 +857,21 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._3).sum === 9L) // Σ mass = corpus tokens
   }
 
+  test("termDrift: an emergent term tops the drift table; absent sides rate 0") {
+    val before = Seq((0L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val after = Seq((1L, "alpha beta meme meme")).toDF("doc_id", "text")
+    val out = Curation.termDrift(before, after, k = 10)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    // meme: 0 -> 2/4; gamma: 1/4 -> 0; alpha: 2/4 -> 1/4; beta flat
+    assert(out.head._2 === "meme" && out.head._3 === 0L &&
+      out.head._4 === 500000L)
+    val byTerm = out.map(r => r._2 -> r).toMap
+    assert(byTerm("gamma")._4 === 0L && byTerm("gamma")._3 === 250000L)
+    assert(byTerm("beta")._5 === 0L) // identical rates: zero drift
+    // score is exactly the squared rate delta
+    assert(out.forall(r => r._5 === (r._4 - r._3) * (r._4 - r._3)))
+  }
+
   test("heapsCurve: cumulative tokens and first-sighting vocab at power-of-two prefixes") {
     val d = Seq((0L, "x y"), (1L, "x z"), (2L, "x"), (3L, "w"))
       .toDF("doc_id", "text")
