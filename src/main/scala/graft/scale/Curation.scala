@@ -1376,6 +1376,54 @@ object Curation {
         graft.expressions.Ws.Regex), w => w =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): per document, md5 hashes of the `k`-token
+    * grams; every length-`w` window of consecutive gram positions selects
+    * its minimum hash (ties to the RIGHTMOST position, the paper's §4
+    * convention), and the fingerprint set is the distinct selected
+    * positions. The paper's guarantee: any match of `w + k − 1` or more
+    * tokens between two documents shares at least one fingerprint, at
+    * ~2/(w+1) the density of full shingling — the sparse middle ground
+    * between MinHash (no guarantee) and the suffix array (exact, but a
+    * global build). md5 hex strings compare lexicographically in both
+    * engines, so the selection replays exactly. One per-doc sliding
+    * window + a per-doc bounded re-join for the argmin — no corpus-wide
+    * state.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 8,
+                         textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        t => t =!= "")).as(Seq("p", "t")))
+    // gram hash at position p: md5 of the k tokens joined by one space
+    // (positions with fewer than k tokens left emit no gram)
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val grams = toks
+      .withColumn("g", concat_ws(" ", (0 until k).map(o =>
+        lead(col("t"), o).over(Window.partitionBy("doc_id").orderBy("p"))): _*))
+      .join(lens, "doc_id")
+      .filter(col("p") + k <= col("n"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        md5(col("g")).as("h"))
+    // per window start i (only complete windows): the min hash
+    val m = grams.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val wins = grams
+      .withColumn("minh", min("h").over(Window.partitionBy("doc_id")
+        .orderBy("p").rowsBetween(Window.currentRow, w - 1)))
+      .join(m, "doc_id")
+      .filter(col("p") + w <= col("m"))
+      .select(col("doc_id"), col("p").as("i"), col("minh"))
+    // rightmost occurrence of the window min inside the window
+    val sel = wins.join(grams.select(col("doc_id").as("gd"),
+          col("p").as("j"), col("h")),
+        col("doc_id") === col("gd") && col("h") === col("minh") &&
+          col("j") >= col("i") && col("j") < col("i") + w)
+      .groupBy(col("doc_id"), col("i"))
+      .agg(max("j").as("pos"), min("minh").as("h"))
+    sel.select(col("doc_id"), col("pos"), col("h")).distinct()
+  }
+
   /** Term-distribution drift between two corpus snapshots — the "did the
     * new crawl shift the language" monitor a continuously-ingesting
     * pipeline alarms on: per term, the change in per-[[Graph.Scale]]
@@ -2404,6 +2452,83 @@ object Curation {
         .select(col("domain"), col("slot"),
           ((col("slot") - 1) * col("delay")).as("fetch_at"), col("path"))
         .orderBy("domain", "slot")
+    },
+
+    // Winnowing fingerprints (MOSS): 4-gram md5s, every 8-window selects
+    // its min hash (rightmost tie), distinct selected positions — the
+    // measured density lands at ~2/(w+1) (0.206 vs 0.222 predicted) and
+    // the selection replays exactly (md5 hex is lexicographic in both
+    // engines). Planted q253 tails make cross-doc sharing observable.
+    Q("q260_winnow_fingerprints",
+      s"""WITH tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(
+         |     CASE WHEN doc_id % 7 = 0
+         |          THEN text || ' ${SuffixArray.PlantedPhrase}' ELSE text END,
+         |     '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM documents),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |          md5(array_to_string(ts[i : i + 3], ' ')) AS h
+         |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+         |              FROM tl WHERE len(ts) >= 4) q),
+         | wn AS (SELECT doc_id, p AS i,
+         |          min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS minh,
+         |          count(*) OVER (PARTITION BY doc_id) AS m
+         |        FROM gr),
+         | cw AS (SELECT doc_id, i, minh FROM wn WHERE i + 8 <= m),
+         | sel AS (SELECT w.doc_id, w.i, max(g.p) AS pos, min(w.minh) AS h
+         |         FROM cw w JOIN gr g ON g.doc_id = w.doc_id AND g.h = w.minh
+         |           AND g.p >= w.i AND g.p < w.i + 8
+         |         GROUP BY 1, 2)
+         |SELECT DISTINCT doc_id, pos, h FROM sel ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      val fixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      winnowFingerprints(fixed).orderBy("doc_id", "pos")
+    },
+
+    // Winnowing plagiarism candidates: doc pairs sharing a fingerprint
+    // hash, with the shared count. The SIGMOD 2003 §3 guarantee — any
+    // >= w+k-1 = 11-token match shares at least one fingerprint — is
+    // exercised by the 16-token plant: all 2556 planted pairs appear
+    // (CurationSpec pins the guarantee; the oracle pins the exact table).
+    Q("q261_winnow_pairs",
+      s"""WITH tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(
+         |     CASE WHEN doc_id % 7 = 0
+         |          THEN text || ' ${SuffixArray.PlantedPhrase}' ELSE text END,
+         |     '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM documents),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |          md5(array_to_string(ts[i : i + 3], ' ')) AS h
+         |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+         |              FROM tl WHERE len(ts) >= 4) q),
+         | wn AS (SELECT doc_id, p AS i,
+         |          min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS minh,
+         |          count(*) OVER (PARTITION BY doc_id) AS m
+         |        FROM gr),
+         | cw AS (SELECT doc_id, i, minh FROM wn WHERE i + 8 <= m),
+         | sel AS (SELECT w.doc_id, w.i, max(g.p) AS pos, min(w.minh) AS h
+         |         FROM cw w JOIN gr g ON g.doc_id = w.doc_id AND g.h = w.minh
+         |           AND g.p >= w.i AND g.p < w.i + 8
+         |         GROUP BY 1, 2),
+         | ph AS (SELECT DISTINCT doc_id, h FROM sel)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(1) AS BIGINT) AS shared
+         |FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val fixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      val ph = winnowFingerprints(fixed).select("doc_id", "h").distinct()
+      ph.as("a").join(ph.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .orderBy("doc_a", "doc_b")
     },
 
     // Term drift between crawl snapshots (even docs = before, odd =

@@ -857,6 +857,29 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._3).sum === 9L) // Σ mass = corpus tokens
   }
 
+  test("winnowFingerprints: the w+k-1 guarantee and the rightmost tie-break") {
+    // MOSS §3: any common run of >= w+k-1 = 11 tokens contains one
+    // complete gram window identical in both docs -> a shared fingerprint
+    val shared = "one two three four five six seven eight nine ten eleven"
+    val d = Seq(
+      (1L, s"aa bb cc $shared dd ee ff gg hh"),
+      (2L, s"zz yy $shared xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val byDoc = Curation.winnowFingerprints(d).select("doc_id", "h")
+      .distinct().as[(Long, String)].collect().groupBy(_._1)
+    assert(byDoc(1L).map(_._2).toSet
+      .intersect(byDoc(2L).map(_._2).toSet).nonEmpty)
+    // all-identical grams: each window's min ties across the whole window
+    // and must resolve to the RIGHTMOST position (the paper's convention)
+    val mono = Seq((9L, "m m m m m m m m m m m m")).toDF("doc_id", "text")
+    val got = Curation.winnowFingerprints(mono)
+      .as[(Long, Long, String)].collect().map(_._2).toSet
+    // 9 grams, complete windows i=0 (-> p7) and i=1 (-> p8)
+    assert(got === Set(7L, 8L))
+    // docs shorter than one complete window emit nothing
+    assert(Curation.winnowFingerprints(
+      Seq((5L, "a b c d e f")).toDF("doc_id", "text")).count() === 0L)
+  }
+
   test("termDrift: an emergent term tops the drift table; absent sides rate 0") {
     val before = Seq((0L, "alpha beta alpha gamma")).toDF("doc_id", "text")
     val after = Seq((1L, "alpha beta meme meme")).toDF("doc_id", "text")
