@@ -24,19 +24,27 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * than `n` tokens contribute their whole text as a single span.
   */
 final class SpanGuardIndex(spark: SparkSession, root: String,
-                           maxChainDepth: Int = 16, n: Int = 16) {
+                           maxChainDepth: Int = 16, n: Int = 16,
+                           spanFn: Option[DataFrame => DataFrame] = None) {
 
   val spans = new VersionedTable(spark, s"$root/spans")
   val admitted = new VersionedTable(spark, s"$root/admitted")
 
-  private def docSpans(batch: DataFrame): DataFrame = {
-    val sh = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.expressions.DistinctShingles(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("text")), n))
-    batch.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(sh).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
-      .distinct()
+  /** The (doc_id, h) guard keys of a batch — by default every distinct
+    * `n`-token span's md5; `spanFn` swaps in any other replayable keying
+    * (q262 passes winnowing fingerprints, trading exactness for ~2/(w+1)
+    * index density while keeping the ≥ w+k−1-token match guarantee).
+    */
+  private def docSpans(batch: DataFrame): DataFrame = spanFn match {
+    case Some(f) => f(batch.filter(col("text").isNotNull))
+    case None =>
+      val sh = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.DistinctShingles(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), n))
+      batch.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(sh).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("h"))
+        .distinct()
   }
 
   /** Ingest one micro-batch of (doc_id, text). */

@@ -1627,5 +1627,66 @@ object StreamingQueries {
       AnchorStream.anchorSink(stream, idx, s"$wh/ckpt").awaitTermination()
       Curation.zipfBucketsFromCounts(idx.served()).orderBy("bucket")
     },
+
+    // Streaming winnow-fingerprint guard: the q257 admission protocol
+    // keyed by MOSS fingerprints instead of every 16-token span — the
+    // index carries ~2/(w+1) of the spans while the SIGMOD 2003 guarantee
+    // keeps every >= 11-token cross-batch match detectable (the planted
+    // tails still reject). Fingerprints depend only on the doc itself, so
+    // the non-recursive min-batch-per-hash closed form replays verbatim.
+    Q("q262_streaming_winnow_guard",
+      s"""WITH tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(
+         |     CASE WHEN doc_id % 7 = 0
+         |          THEN text || ' ${graft.scale.SuffixArray.PlantedPhrase}'
+         |          ELSE text END,
+         |     '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM documents),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |          md5(array_to_string(ts[i : i + 3], ' ')) AS h
+         |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+         |              FROM tl WHERE len(ts) >= 4) q),
+         | wn AS (SELECT doc_id, p AS i,
+         |          min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS minh,
+         |          count(*) OVER (PARTITION BY doc_id) AS m
+         |        FROM gr),
+         | cw AS (SELECT doc_id, i, minh FROM wn WHERE i + 8 <= m),
+         | sel AS (SELECT w.doc_id, w.i, max(g.p) AS pos, min(w.minh) AS h
+         |         FROM cw w JOIN gr g ON g.doc_id = w.doc_id AND g.h = w.minh
+         |           AND g.p >= w.i AND g.p < w.i + 8
+         |         GROUP BY 1, 2),
+         | ph AS (SELECT DISTINCT doc_id, h FROM sel),
+         | sh AS (SELECT ph.doc_id, ph.doc_id % 4 AS batch, ph.h FROM ph),
+         | firstb AS (SELECT h, min(batch) AS fb FROM sh GROUP BY 1),
+         | rej AS (SELECT DISTINCT s.doc_id FROM sh s
+         |         JOIN firstb f ON s.h = f.h WHERE f.fb < s.batch)
+         |SELECT t.doc_id, r.doc_id IS NULL AS admitted
+         |FROM tl t LEFT JOIN rej r ON t.doc_id = r.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      import graft.scale.Curation
+      val wh = scratchDir("graft-q262")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new SpanGuardIndex(s2, s"$wh/guard", maxChainDepth = 2,
+        spanFn = Some(b => Curation.winnowFingerprints(b)
+          .select(col("doc_id"), col("h")).distinct()))
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      SpanGuard.spanGuardSink(stream, idx, s"$wh/ckpt").awaitTermination()
+      docs.select("doc_id")
+        .join(idx.admitted.read().withColumn("__a", lit(1)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__a").isNotNull.as("admitted"))
+        .orderBy("doc_id")
+    },
   )
 }
