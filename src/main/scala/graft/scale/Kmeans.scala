@@ -115,7 +115,11 @@ object Kmeans {
         r.getInt(0) -> (r.getLong(1), r.getSeq[Long](2).toArray)).toMap
       cents = Array.tabulate(k) { c =>
         byCid.get(c) match {
-          case Some((n, s)) => s.map(_ / n) // sums nonnegative by construction
+          // floorDiv, not /: signed code grids (int8 PQ postings in
+          // rebalanceIvfIndex) produce negative sums, and truncation
+          // toward zero would bias those centroids toward 0. For the
+          // nonnegative grids the two divisions coincide.
+          case Some((n, s)) => s.map(Math.floorDiv(_, n))
           case None         => cents(c)     // empty cluster keeps its centroid
         }
       }

@@ -287,7 +287,10 @@ object NnDescent {
 
     val codes = new VersionedTable(spark, s"$root/codes")
     val graph = new VersionedTable(spark, s"$root/graph")
-    val tombstones = new VersionedTable(spark, s"$root/tombstones")
+    private val ts =
+      new graft.write.TombstoneSet(spark, s"$root/tombstones", "nid",
+        maxChainDepth)
+    val tombstones: VersionedTable = ts.table
 
     def build(corpus: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): Unit = {
@@ -301,17 +304,8 @@ object NnDescent {
     /** O(batch) tombstone append; unknown ids are no-ops, re-deletes
       * idempotent (the [[graft.streaming.NearDupIndex]] protocol).
       */
-    def delete(ids: DataFrame, idCol: String = "vec_id"): Unit = {
-      val d = ids.select(col(idCol).cast("long").as("nid")).distinct()
-      if (tombstones.exists) {
-        val fresh = d.join(tombstones.read(), Seq("nid"), "left_anti")
-          .localCheckpoint()
-        if (!fresh.isEmpty) {
-          tombstones.promote(tombstones.stageAppend(fresh))
-          tombstones.compactIfNeeded(maxChainDepth)
-        }
-      } else tombstones.promote(tombstones.stage(d))
-    }
+    def delete(ids: DataFrame, idCol: String = "vec_id"): Unit =
+      ts.add(ids, idCol)
 
     /** Append a batch of new vectors WITHOUT the full rebuild — the
       * incremental-insert half of the lifecycle ([[graft.scale.AnnIndex]]'s
@@ -350,19 +344,17 @@ object NnDescent {
       require(graph.exists, s"append needs a built index at $root")
       val ids = batch.select(col(idCol).cast("long").as("nid")).distinct()
         .localCheckpoint()
-      if (tombstones.exists) {
-        val tt = tombstones.read().localCheckpoint()
-        val cleared = tt.join(ids, Seq("nid"), "left_anti").localCheckpoint()
-        if (cleared.count() < tt.count())
-          tombstones.promote(tombstones.stage(cleared))
-      }
+      // clear any tombstones on re-appended ids FIRST, in their own
+      // promote, so a crash between the two converges on retry (the r14
+      // ADVICE ordering)
+      ts.remove(ids)
       val existing = codes.read().localCheckpoint()
       val newIds = ids.join(existing.select("nid"), Seq("nid"), "left_anti")
       val fresh = batch.join(newIds,
         batch(idCol).cast("long") === newIds("nid")).drop("nid")
         .localCheckpoint()
       if (fresh.isEmpty) return
-      val dead = if (tombstones.exists) Some(tombstones.read()) else None
+      val dead = ts.dead()
       // carry the probe's score: it is the SAME int8 dot descentRound
       // stages, so the appended rows match the (u, v, score) base schema
       val links = beamProbe(graph.read(), existing, fresh, graphK, beam,
@@ -383,17 +375,13 @@ object NnDescent {
       * both the delete purge and the append repair.
       */
     def compact(): Unit = {
-      val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
-                 else None
-      val cz0 = codes.read()
-      val cz = dead.fold(cz0)(d => cz0.join(d, Seq("nid"), "left_anti"))
-        .localCheckpoint()
+      val dead = ts.dead()
+      val cz = ts.minus(codes.read()).localCheckpoint()
       codes.promote(codes.stage(cz))
       var e = initGraph(cz.select("nid"), graphK, buckets).localCheckpoint()
       for (_ <- 1 to iters) e = descentRound(e, cz, graphK).localCheckpoint()
       graph.promote(graph.stage(e))
-      if (dead.exists(!_.isEmpty))
-        tombstones.promote(tombstones.stage(dead.get.limit(0)))
+      if (dead.nonEmpty) ts.truncate()
     }
 
     /** Beam-search serve: seeds and routing over the FULL persisted graph
@@ -403,9 +391,8 @@ object NnDescent {
     def probe(queries: DataFrame, k: Int, beam: Int, rounds: Int,
               nSeeds: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-      val dead = if (tombstones.exists) Some(tombstones.read()) else None
       beamProbe(graph.read(), codes.read(), queries, k, beam, rounds, graphK,
-        nSeeds, idCol, vecCol, dead)
+        nSeeds, idCol, vecCol, ts.dead())
     }
 
     /** Purge: [[compact]] when there is anything to purge (drop tombstoned
@@ -414,8 +401,6 @@ object NnDescent {
       * anti-join nothing and the next purge clears them (the AnnIndex
       * argument).
       */
-    def compactPurge(): Unit = {
-      if (tombstones.exists && !tombstones.read().isEmpty) compact()
-    }
+    def compactPurge(): Unit = if (ts.dead().nonEmpty) compact()
   }
 }

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * budget" prefix in arrival order, which is what the q231 oracle replays
   * with one plain window over the whole feed.
   *
-  * State is one row per stratum (consumed tokens) — metadata-sized forever.
+  * State is one row per stratum (consumed tokens, plus the global seq
+  * watermark the fail-closed ordering guard checks) — metadata-sized
+  * forever. A batch whose min seq precedes the folded watermark throws
+  * rather than silently diverging from the prefix-closed semantics.
   * Per batch: one keyed window over the batch's narrow (id, stratum,
   * n_tokens) projection plus a broadcast state join; the admitted append is
   * O(batch) ([[VersionedTable.stageAppend]], chain-compacted). Exactly-once
@@ -41,12 +44,19 @@ final class BudgetAdmitIndex(
   val state = new VersionedTable(spark, s"$root/state")
   val admitted = new VersionedTable(spark, s"$root/admitted")
 
-  /** Per-stratum consumed (admitted) tokens so far. */
-  def consumed(): DataFrame = {
+  /** Full state: per-stratum consumed tokens plus the global seq watermark
+    * (duplicated on every row — the state is metadata-sized) that the
+    * arrival-order guard in [[processBatch]] fails closed against.
+    */
+  private def stateDf(): DataFrame = {
     import spark.implicits._
     if (state.exists) state.read()
-    else budgets.map { case (s, _) => (s, 0L) }.toDF("stratum", "consumed")
+    else budgets.map { case (s, _) => (s, 0L, Long.MinValue) }
+      .toDF("stratum", "consumed", "max_seq")
   }
+
+  /** Per-stratum consumed (admitted) tokens so far. */
+  def consumed(): DataFrame = stateDf().select("stratum", "consumed")
 
   /** One micro-batch of (idCol, stratumCol, nTokensCol, seqCol) arrivals;
     * `seqCol` is the arrival order within the batch (ties broken by id).
@@ -60,12 +70,25 @@ final class BudgetAdmitIndex(
     val stateDone = state.exists && state.currentTag.contains(tag)
     if (admittedDone && stateDone) return
     val b = broadcast(budgets.toDF("stratum", "__budget"))
-    val st = consumed().localCheckpoint()
+    val st = stateDf().localCheckpoint()
     val batch = batch0.select(col(idCol).cast("long").as("id"),
         col(stratumCol).cast("string").as("stratum"),
         col(nTokensCol).cast("long").as("n_tokens"),
         col(seqCol).cast("long").as("seq"))
       .localCheckpoint()
+    // fail closed on out-of-order feeds (the TtlDedupIndex guard):
+    // admission is arrival-ordered, so a batch landing below the
+    // already-folded seq watermark would admit docs the prefix-closed
+    // oracle has already decided against
+    val span = batch.agg(min("seq"), max("seq")).head()
+    val batchMax = if (span.isNullAt(1)) Long.MinValue else span.getLong(1)
+    if (!span.isNullAt(0)) {
+      val seqPrev = st.agg(max("max_seq")).head().getLong(0)
+      require(span.getLong(0) >= seqPrev,
+        s"BudgetAdmitIndex: batch $batchId min seq ${span.getLong(0)} " +
+          s"precedes the state watermark $seqPrev — the feed must be " +
+          "seq-ordered")
+    }
     val adm = batch
       .join(b, Seq("stratum"))
       .join(broadcast(st), Seq("stratum"))
@@ -85,7 +108,8 @@ final class BudgetAdmitIndex(
       .join(adm.groupBy("stratum").agg(sum("n_tokens").as("__add")),
         Seq("stratum"), "left")
       .select(col("stratum"),
-        (col("consumed") + coalesce(col("__add"), lit(0L))).as("consumed"))
+        (col("consumed") + coalesce(col("__add"), lit(0L))).as("consumed"),
+        greatest(col("max_seq"), lit(batchMax)).as("max_seq"))
     state.promote(state.stage(newState), Some(tag))
     ()
   }

@@ -54,7 +54,10 @@ final class NearDupIndex(spark: SparkSession, root: String,
 
   val survivors = new VersionedTable(spark, s"$root/survivors")
   val signatures = new VersionedTable(spark, s"$root/signatures")
-  val tombstones = new VersionedTable(spark, s"$root/tombstones")
+  private val ts =
+    new graft.write.TombstoneSet(spark, s"$root/tombstones", "doc_id",
+      maxChainDepth)
+  val tombstones: VersionedTable = ts.table
 
   /** Takedown-delete accepted doc ids, [[graft.scale.AnnIndex]] LSM style
     * (q205/q213): an O(batch) tombstone append — neither corpus table is
@@ -70,21 +73,10 @@ final class NearDupIndex(spark: SparkSession, root: String,
     * duplicates); after the purge a re-crawl re-admits it with a fresh
     * history.
     */
-  def delete(deletedIds: DataFrame, idCol: String = "doc_id"): Unit = {
-    val ids = deletedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    if (tombstones.exists) {
-      val fresh = ids.join(tombstones.read(), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      if (!fresh.isEmpty) {
-        tombstones.promote(tombstones.stageAppend(fresh))
-        tombstones.compactIfNeeded(maxChainDepth)
-      }
-    } else tombstones.promote(tombstones.stage(ids))
-  }
+  def delete(deletedIds: DataFrame, idCol: String = "doc_id"): Unit =
+    ts.add(deletedIds, idCol)
 
-  private def minusTombstones(df: DataFrame): DataFrame =
-    if (tombstones.exists) df.join(tombstones.read(), Seq("doc_id"), "left_anti")
-    else df
+  private def minusTombstones(df: DataFrame): DataFrame = ts.minus(df)
 
   /** The deduplicated output corpus minus erased docs — what a consumer
     * reads. The tombstone side is delete-batch-sized (AQE broadcasts the
@@ -104,18 +96,7 @@ final class NearDupIndex(spark: SparkSession, root: String,
     * purge promotes carry their table's current batch stamp so replay
     * protection survives.
     */
-  def compactPurge(): Unit = {
-    val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
-               else None
-    if (dead.exists(!_.isEmpty)) {
-      def purge(t: VersionedTable): Unit =
-        t.promote(t.stage(t.read().join(dead.get, Seq("doc_id"), "left_anti")),
-          t.currentTag)
-      purge(survivors)
-      purge(signatures)
-      tombstones.promote(tombstones.stage(dead.get.limit(0)))
-    } else { survivors.compact(); signatures.compact(); () }
-  }
+  def compactPurge(): Unit = ts.purge(survivors, signatures)
 
   /** Bootstrap the index from an ALREADY-CURATED corpus: every row is
     * accepted verbatim and only the signatures are computed. A production

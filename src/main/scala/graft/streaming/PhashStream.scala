@@ -44,7 +44,10 @@ final class PhashIndex(spark: SparkSession, root: String,
                        maxChainDepth: Int = 16) {
 
   val hashes = new VersionedTable(spark, s"$root/hashes")
-  val tombstones = new VersionedTable(spark, s"$root/tombstones")
+  private val ts =
+    new graft.write.TombstoneSet(spark, s"$root/tombstones", "asset_id",
+      maxChainDepth)
+  val tombstones: VersionedTable = ts.table
 
   /** Takedown-delete accepted image ids, the [[NearDupIndex]] LSM protocol
     * (q213/q222): an O(batch) tombstone append — the hash table is not
@@ -58,21 +61,10 @@ final class PhashIndex(spark: SparkSession, root: String,
     * while its tombstone lives, and a post-purge re-crawl re-admits it
     * with a fresh history.
     */
-  def delete(deletedIds: DataFrame, idCol: String = "asset_id"): Unit = {
-    val ids = deletedIds.select(col(idCol).cast("long").as("asset_id")).distinct()
-    if (tombstones.exists) {
-      val fresh = ids.join(tombstones.read(), Seq("asset_id"), "left_anti")
-        .localCheckpoint()
-      if (!fresh.isEmpty) {
-        tombstones.promote(tombstones.stageAppend(fresh))
-        tombstones.compactIfNeeded(maxChainDepth)
-      }
-    } else tombstones.promote(tombstones.stage(ids))
-  }
+  def delete(deletedIds: DataFrame, idCol: String = "asset_id"): Unit =
+    ts.add(deletedIds, idCol)
 
-  private def minusTombstones(df: DataFrame): DataFrame =
-    if (tombstones.exists) df.join(tombstones.read(), Seq("asset_id"), "left_anti")
-    else df
+  private def minusTombstones(df: DataFrame): DataFrame = ts.minus(df)
 
   /** The accepted hash relation minus erased images — what downstream
     * dedup reads AND what arriving batches band against. The tombstone
@@ -87,16 +79,7 @@ final class PhashIndex(spark: SparkSession, root: String,
     * promote carries the current batch stamp so replay protection
     * survives.
     */
-  def compactPurge(): Unit = {
-    val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
-               else None
-    if (dead.exists(!_.isEmpty)) {
-      hashes.promote(hashes.stage(
-        hashes.read().join(dead.get, Seq("asset_id"), "left_anti")),
-        hashes.currentTag)
-      tombstones.promote(tombstones.stage(dead.get.limit(0)))
-    } else { hashes.compact(); () }
-  }
+  def compactPurge(): Unit = ts.purge(hashes)
 
   /** Bulk-accept an already-curated image set's hashes (asset_id, dhash):
     * the bootstrap never re-litigates its own history, exactly like
@@ -182,7 +165,10 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
                             maxChainDepth: Int = 16) {
 
   val frames = new VersionedTable(spark, s"$root/frames")
-  val tombstones = new VersionedTable(spark, s"$root/tombstones")
+  private val ts =
+    new graft.write.TombstoneSet(spark, s"$root/tombstones", "asset_id",
+      maxChainDepth)
+  val tombstones: VersionedTable = ts.table
 
   /** Bulk-accept an already-curated corpus's frame hashes
     * (asset_id, f, dhash) without re-litigating it.
@@ -196,9 +182,7 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
   /** Raw accepted frame relation (including tombstoned videos). */
   def accepted(): DataFrame = frames.read()
 
-  private def minusTombstones(df: DataFrame): DataFrame =
-    if (tombstones.exists) df.join(tombstones.read(), Seq("asset_id"), "left_anti")
-    else df
+  private def minusTombstones(df: DataFrame): DataFrame = ts.minus(df)
 
   /** The frame relation minus erased videos — what downstream reads and
     * what arriving batches vote against.
@@ -208,32 +192,14 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
   /** Takedown-delete accepted video ids — O(batch) tombstone append,
     * idempotent, unknown ids legal; the [[PhashIndex.delete]] contract.
     */
-  def delete(deletedIds: DataFrame, idCol: String = "asset_id"): Unit = {
-    val ids = deletedIds.select(col(idCol).cast("long").as("asset_id")).distinct()
-    if (tombstones.exists) {
-      val fresh = ids.join(tombstones.read(), Seq("asset_id"), "left_anti")
-        .localCheckpoint()
-      if (!fresh.isEmpty) {
-        tombstones.promote(tombstones.stageAppend(fresh))
-        tombstones.compactIfNeeded(maxChainDepth)
-      }
-    } else tombstones.promote(tombstones.stage(ids))
-  }
+  def delete(deletedIds: DataFrame, idCol: String = "asset_id"): Unit =
+    ts.add(deletedIds, idCol)
 
   /** Physically purge tombstoned videos' frames, truncate the tombstone
     * set; convergent across crashes (the [[PhashIndex.compactPurge]]
     * argument).
     */
-  def compactPurge(): Unit = {
-    val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
-               else None
-    if (dead.exists(!_.isEmpty)) {
-      frames.promote(frames.stage(
-        frames.read().join(dead.get, Seq("asset_id"), "left_anti")),
-        frames.currentTag)
-      tombstones.promote(tombstones.stage(dead.get.limit(0)))
-    } else { frames.compact(); () }
-  }
+  def compactPurge(): Unit = ts.purge(frames)
 
   /** (p_id, i_id) video pairs — different id on each side — that collect
     * >= `minFrameVotes` matched frame pairs within `maxHamming`: the

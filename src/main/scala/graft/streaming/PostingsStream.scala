@@ -52,7 +52,10 @@ final class PostingsIndex(spark: SparkSession, root: String,
                             Retrieval.invertedIndex(_, "doc_id", "text")) {
 
   val postings = new VersionedTable(spark, s"$root/postings")
-  val tombstones = new VersionedTable(spark, s"$root/tombstones")
+  private val ts =
+    new graft.write.TombstoneSet(spark, s"$root/tombstones", "doc_id",
+      maxChainDepth)
+  val tombstones: VersionedTable = ts.table
 
   /** Index one micro-batch of (doc_id, text). Callable directly so specs
     * drive controlled batch boundaries.
@@ -65,10 +68,7 @@ final class PostingsIndex(spark: SparkSession, root: String,
     // a tombstoned id stays deleted while its tombstone lives: admitting it
     // would append NEW rows next to its not-yet-purged old rows (see class
     // scaladoc — the append-growth/upsert-growth asymmetry)
-    val live =
-      if (tombstones.exists)
-        incoming.join(tombstones.read(), Seq("doc_id"), "left_anti")
-      else incoming
+    val live = ts.minus(incoming)
     val p = build(live).sortWithinPartitions("term")
     if (postings.exists) postings.promote(postings.stageAppend(p), Some(tag))
     else postings.promote(postings.stage(p), Some(tag))
@@ -81,27 +81,14 @@ final class PostingsIndex(spark: SparkSession, root: String,
   /** Delete a batch of doc ids: O(batch) tombstone append, no postings
     * rewrite. Unknown ids are legal no-ops; re-deletes are idempotent.
     */
-  def delete(deletedIds: DataFrame, idCol: String = "doc_id"): Unit = {
-    val ids = deletedIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    if (tombstones.exists) {
-      val fresh = ids.join(tombstones.read(), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      if (!fresh.isEmpty) {
-        tombstones.promote(tombstones.stageAppend(fresh))
-        tombstones.compactIfNeeded(maxChainDepth)
-      }
-    } else tombstones.promote(tombstones.stage(ids))
-  }
+  def delete(deletedIds: DataFrame, idCol: String = "doc_id"): Unit =
+    ts.add(deletedIds, idCol)
 
   /** The postings a query may serve from: the stored table minus tombstoned
     * docs. The tombstone side is delete-batch-sized, so AQE broadcasts the
     * anti-join — no shuffle lands on the postings.
     */
-  def served(): DataFrame = {
-    val p = postings.read()
-    if (tombstones.exists) p.join(tombstones.read(), Seq("doc_id"), "left_anti")
-    else p
-  }
+  def served(): DataFrame = ts.minus(postings.read())
 
   /** Collapse the append chain into one self-contained version; if
     * tombstones are pending, the rewrite drops the dead rows and a second
@@ -110,16 +97,8 @@ final class PostingsIndex(spark: SparkSession, root: String,
     * compaction clears them: convergent, the [[graft.scale.AnnIndex]]
     * argument). Rows re-sort by term so the row-group envelopes survive.
     */
-  def compact(): Unit = {
-    val dead = if (tombstones.exists) Some(tombstones.read().localCheckpoint())
-               else None
-    if (dead.exists(!_.isEmpty)) {
-      val purged = postings.read().join(dead.get, Seq("doc_id"), "left_anti")
-        .sortWithinPartitions("term")
-      postings.promote(postings.stage(purged), postings.currentTag)
-      tombstones.promote(tombstones.stage(dead.get.limit(0)))
-    } else { postings.compact(); () }
-  }
+  def compact(): Unit =
+    ts.purgeInto(postings -> ((df: DataFrame) => df.sortWithinPartitions("term")))
 }
 
 object PostingsStream {

@@ -407,8 +407,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * in-flight promote and are never touched.
     *
     * Crash-convergent: the manifest is never written, deletion is
-    * idempotent, and a crash mid-vacuum leaves extra (still-correct) units
-    * for the next run — the same argument as the index compactions. On an
+    * idempotent, and the `_VACUUMED` marker is written BEFORE the first
+    * delete — so a crash mid-vacuum leaves either an untouched version or
+    * a marked (fail-closed) one holding extra still-correct units for the
+    * next run — the same argument as the index compactions. On an
     * object store this is the lifecycle-delete pass over unreferenced
     * objects (Delta VACUUM / Iceberg expire_snapshots).
     *
@@ -437,6 +439,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val dir = Paths.get(root, s"v$v")
       val own = partitionDirs(v) ++ partFiles(v)
       val (kept, dead) = own.partition(u => reachable.contains((v, u)))
+      // Fail closed BEFORE touching any unit: once the marker exists, the
+      // whole-directory read branch refuses this version, so a crash at any
+      // point of the sweep below only leaves extra (still-correct) bytes —
+      // never a partial directory silently served as the complete table.
+      if (dead.nonEmpty || kept.nonEmpty)
+        Files.write(dir.resolve("_VACUUMED"), Array.emptyByteArray)
       dead.foreach { u => deleteRecursively(dir.resolve(u)); removedUnits += 1 }
       Files.deleteIfExists(fileListPath(v))
       if (kept.isEmpty) { deleteRecursively(dir); removedVersions += v }
@@ -454,7 +462,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
           }
           extra.foreach(deleteRecursively)
         } finally stream.close()
-        Files.write(dir.resolve("_VACUUMED"), Array.emptyByteArray)
       }
     }
     (removedVersions.toSeq, removedUnits)

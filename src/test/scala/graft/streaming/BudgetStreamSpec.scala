@@ -64,6 +64,17 @@ class BudgetStreamSpec extends SparkSpec {
     assert(!adm.exists(_._2 == "zz"))
   }
 
+  test("out-of-order batch fails closed (seq below the folded watermark)") {
+    val ix = newIndex("en" -> 12L, "de" -> 10L)
+    ix.processBatch(rows(feed.drop(4): _*), 0) // folds days 1,1,2,2
+    val late = intercept[IllegalArgumentException] {
+      ix.processBatch(rows(feed.take(3): _*), 1) // day-0 docs arrive late
+    }
+    assert(late.getMessage.contains("seq-ordered"))
+    // equal-seq continuation is allowed (one-doc batch splits rely on it)
+    ix.processBatch(rows((9L, "en", 1L, 2L)), 2)
+  }
+
   test("replay of a processed batch is a no-op; crash between promotes converges") {
     val ix = newIndex("en" -> 12L, "de" -> 10L)
     ix.processBatch(rows(feed.take(4): _*), 0)
