@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
+  /** Exact global top-`k` with a dense 1..k `rankCol` — the serve-time
+    * "ranked cut" idiom. The cut itself is `orderBy(order).limit(k)`
+    * (TakeOrderedAndProject: per-mapper bounded heaps, never a
+    * partition sort of the input), and only the <= k surviving rows pay
+    * the rank window — so the single-partition WindowExec that makes a
+    * naked `row_number().over(Window.orderBy(...))` a 100x-scale stall
+    * runs over a k-row frame here. `order` must be a total order (unique
+    * tie-break column last) for a deterministic cut, the
+    * [[topKPerKey]] contract.
+    */
+  def rankedCut(df: DataFrame, k: Int, rankCol: String,
+                order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankCol,
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(order: _*)).cast("long"))
+
   /** Top `k` rows of `df` per distinct value of `keyCols`, "top" meaning
     * first in `orderCols` order (e.g. `col("price").desc`). Output order
     * within a key is unspecified — compose with `.orderBy` for totals.

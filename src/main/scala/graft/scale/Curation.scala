@@ -1433,39 +1433,42 @@ object Curation {
     * unlike cross-multiplied raw counts), top `k` by (score DESC, term).
     * Terms absent from one side count 0 there (a brand-new or vanished
     * term is maximal drift at its rate). Two hash aggregations plus a
-    * window over the vocab relation.
+    * bounded TakeOrdered cut — the vocab relation never rides a window.
     */
   def termDrift(before: DataFrame, after: DataFrame, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def rates(docs: DataFrame, cn: String) = {
       val c = termCounts(docs, textCol)
       c.crossJoin(broadcast(c.agg(sum("cnt").as("total"))))
         .select(col("w"),
           expr(s"(cnt * ${Graph.Scale}) div total").as(cn))
     }
-    rates(before, "rate_a").join(rates(after, "rate_b"), Seq("w"), "full")
+    val scored = rates(before, "rate_a")
+      .join(rates(after, "rate_b"), Seq("w"), "full")
       .na.fill(0L, Seq("rate_a", "rate_b"))
       .withColumn("score",
         (col("rate_b") - col("rate_a")) * (col("rate_b") - col("rate_a")))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score").desc, col("w"))).cast("long"))
-      .filter(col("rnk") <= k)
+    // ranked cut, not a window over the vocab relation: the cut is
+    // TakeOrdered (bounded heaps) and only the k survivors pay the rank
+    graft.ops.TopK.rankedCut(scored, k, "rnk",
+        col("score").desc, col("w"))
       .select(col("rnk"), col("w").as("term"), col("rate_a"), col("rate_b"),
         col("score"))
   }
 
-  /** [[zipfBuckets]] from an already-aggregated (w, cnt) relation. */
-  def zipfBucketsFromCounts(counts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    counts
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+  /** [[zipfBuckets]] from an already-aggregated (w, cnt) relation. The
+    * full-vocab frequency rank goes through the distributed dense rank
+    * ([[SuffixArray.denseRankBy]]) — `w` is unique per row, so the dense
+    * rank over (cnt DESC, w) IS the row number the Zipf profile wants,
+    * without moving a web-scale vocabulary to one window partition.
+    */
+  def zipfBucketsFromCounts(counts: DataFrame): DataFrame =
+    SuffixArray.denseRankBy(counts,
+        Seq(col("cnt").desc, col("w")), Seq("cnt", "w"), "rank")
       .select((length(bin(col("rank"))) - 1).cast("long").as("bucket"),
         col("cnt"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_terms"), sum("cnt").as("mass"))
-  }
 
   /** Heaps-law vocabulary-growth curve at power-of-two document prefixes:
     * doc bucket b = floor(log2(doc_id+1)) (the `len(bin)` trick again), a

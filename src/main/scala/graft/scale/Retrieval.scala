@@ -125,25 +125,67 @@ object Retrieval {
       coalesce(sum("__len"), lit(0L)).as("s")).head()
     val n = st.getLong(0)
     val avg = if (n == 0) 1L else math.max(1L, st.getLong(1) / n)
+    val idf = idfMap(postings, terms, n)
+    val qtf = queryTf(postings, terms, idCol)
+    val joined = terms.foldLeft(lens.join(qtf, Seq(idCol), "left")) { (d, t) =>
+      d.withColumn(s"tf_$t", coalesce(col(s"tf_$t"), lit(0L)))
+    }
+    val score = terms.map(t => termScore(col(s"tf_$t"), col("__len"), idf(t), avg))
+      .reduce(_ + _)
+    joined.withColumn(scoreCol, score)
+      .withColumnRenamed("__len", "len")
+  }
+
+  /** bitlen(N+1) − bitlen(df+1), floored at 1 — the shared integer idf. */
+  private def idfOf(n: Long, df: Long): Long =
+    math.max(1L,
+      (64 - java.lang.Long.numberOfLeadingZeros(n + 1))
+        - (64 - java.lang.Long.numberOfLeadingZeros(df + 1)).toLong)
+
+  /** Per-term idf from the query terms' postings only — an O(terms)-row
+    * collect over a term-pruned scan.
+    */
+  private def idfMap(postings: DataFrame, terms: Seq[String],
+                     n: Long): Map[String, Long] = {
     val dfs = postings.filter(col("term").isin(terms: _*))
       .groupBy("term").agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.map { t =>
-      val df = dfs.getOrElse(t, 0L)
-      t -> math.max(1L,
-        (64 - java.lang.Long.numberOfLeadingZeros(n + 1))
-          - (64 - java.lang.Long.numberOfLeadingZeros(df + 1)).toLong)
-    }.toMap
-    val qtf = postings.filter(col("term").isin(terms: _*))
+    terms.map(t => t -> idfOf(n, dfs.getOrElse(t, 0L))).toMap
+  }
+
+  /** Candidate docs' per-term tf pivot over the query terms' postings. */
+  private def queryTf(postings: DataFrame, terms: Seq[String],
+                      idCol: String): DataFrame =
+    postings.filter(col("term").isin(terms: _*))
       .groupBy(col(idCol))
       .agg(sum(when(col("term") === terms.head, col("tf")).otherwise(0L))
              .cast("long").as(s"tf_${terms.head}"),
         terms.tail.map(t =>
           sum(when(col("term") === t, col("tf")).otherwise(0L))
             .cast("long").as(s"tf_$t")): _*)
-    val joined = terms.foldLeft(lens.join(qtf, Seq(idCol), "left")) { (d, t) =>
-      d.withColumn(s"tf_$t", coalesce(col(s"tf_$t"), lit(0L)))
-    }
+
+  /** [[bm25FromIndex]] restricted to what a SERVING path may touch: the
+    * query terms' postings slice, a per-doc length SIDECAR (one
+    * (doc_id, len) row per indexed doc — [[graft.streaming.PostingsIndex]]
+    * maintains it as additive batch partials), and the corpus totals
+    * (`nDocs`, `sumLen`) as O(1) driver scalars. The full postings
+    * relation is never aggregated: doc lengths come from the sidecar
+    * joined on the CANDIDATE ids only (inner join — a doc holding none of
+    * the query terms can never score positive, so the emitted relation is
+    * exactly `bm25FromIndex(...).filter(` candidates `)`, score-0
+    * long-doc candidates included). Same milli-unit integer formula.
+    */
+  def bm25FromSidecar(postings: DataFrame, lens: DataFrame,
+                      nDocs: Long, sumLen: Long, terms: Seq[String],
+                      idCol: String = "doc_id",
+                      scoreCol: String = "score"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"bm25FromSidecar is a few-term search primitive, got ${terms.size} terms")
+    val avg = if (nDocs == 0) 1L else math.max(1L, sumLen / nDocs)
+    val idf = idfMap(postings, terms, nDocs)
+    val qtf = queryTf(postings, terms, idCol)
+    val joined = qtf.join(
+      lens.select(col(idCol), col("len").cast("long").as("__len")), Seq(idCol))
     val score = terms.map(t => termScore(col(s"tf_$t"), col("__len"), idf(t), avg))
       .reduce(_ + _)
     joined.withColumn(scoreCol, score)
@@ -242,11 +284,10 @@ object Retrieval {
     val rrf = (rnk: Column) =>
       coalesce(idiv(lit(1000000L), lit(60L) + rnk), lit(0L))
 
-    val lexTop = bm25(docs, terms).filter(col("score") > 0)
-      .select(col("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(kEach)
-    val lexRnk = lexTop.withColumn("lex_rnk",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val lexRnk = graft.ops.TopK.rankedCut(
+        bm25(docs, terms).filter(col("score") > 0)
+          .select(col("doc_id"), col("score")),
+        kEach, "lex_rnk", col("score").desc, col("doc_id"))
       .select("doc_id", "lex_rnk")
 
     val cz = Similarity.quantizeInt8(emb)
@@ -254,12 +295,10 @@ object Retrieval {
       .select("qcode").collect()
     require(qRows.length == 1, s"query vec_id=$queryVecId must match exactly one vector")
     val qcode = qRows.head.getSeq[Byte](0)
-    val semTop = cz
-      .withColumn("dot", Similarity.int8Dot(col("qcode"), typedlit(qcode)))
-      .select(col("vec_id").as("doc_id"), col("dot"))
-      .orderBy(col("dot").desc, col("doc_id")).limit(kEach)
-    val semRnk = semTop.withColumn("sem_rnk",
-      row_number().over(Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+    val semRnk = graft.ops.TopK.rankedCut(
+        cz.withColumn("dot", Similarity.int8Dot(col("qcode"), typedlit(qcode)))
+          .select(col("vec_id").as("doc_id"), col("dot")),
+        kEach, "sem_rnk", col("dot").desc, col("doc_id"))
       .select("doc_id", "sem_rnk")
 
     lexRnk.join(semRnk, Seq("doc_id"), "full_outer")

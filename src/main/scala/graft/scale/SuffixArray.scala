@@ -77,20 +77,78 @@ object SuffixArray {
     }.toDF("doc_id", "pos", "rank")
   }
 
+  /** [[denseRank]] generalized to arbitrary key columns: exact global
+    * dense rank of the `keys` tuple under the `order` sort (which may
+    * mix ASC/DESC over those same columns) — range-repartition +
+    * in-partition sort + the two-phase offset pass, bit-equal to
+    * `dense_rank() OVER (ORDER BY order)` without the single-partition
+    * window. Appends `rankCol` (long, 1-based) to `df`'s schema. Used
+    * wherever the ranked relation is vocabulary-sized (billions of rows
+    * at web scale): the suffix-array round-0 seed, the Zipf rank→bucket
+    * profile. The (k1,k2)-specialized [[denseRank]] stays for the
+    * prefix-doubling hot loop (typed encoders, no Row boxing).
+    */
+  private[graft] def denseRankBy(df: DataFrame,
+                                 order: Seq[org.apache.spark.sql.Column],
+                                 keys: Seq[String],
+                                 rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      // pin the partitions: both passes below must see identical data
+      // placement (range boundaries come from sampling)
+      .localCheckpoint()
+    val schema = sorted.schema
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var last: IndexedSeq[Any] = null; var any = false
+      it.foreach { r =>
+        val k: IndexedSeq[Any] = keyIdx.map(r.get).toIndexedSeq
+        if (!any || k != last) { n += 1; last = k; any = true }
+      }
+      Iterator((pid, n))
+    }.collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    for (p <- 0 until nParts) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bc.value(pid)
+      var last: IndexedSeq[Any] = null; var any = false
+      it.map { r =>
+        val k: IndexedSeq[Any] = keyIdx.map(r.get).toIndexedSeq
+        if (!any || k != last) { rank += 1; last = k; any = true }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    spark.createDataFrame(out,
+      schema.add(rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** (doc_id, pos, rank) after `rounds` doubling rounds: ranks equal iff
     * the suffixes' first 2^rounds tokens agree (end-of-doc behaves as a
     * sentinel below every token). Round 0 seeds from the vocabulary
-    * order (a metadata-sized window — the vocab relation, never the
-    * corpus).
+    * order through [[denseRankBy]] — the distinct-token relation is
+    * corpus-scale at 100 TB, so the seed is distributed like every
+    * later round, never a global window.
     */
   def suffixRanks(docs: DataFrame, rounds: Int,
                   textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
         w => w =!= "")).as(Seq("pos", "w")))
-    val vocabRank = toks.select("w").distinct()
-      .withColumn("r", dense_rank().over(Window.orderBy("w")).cast("long"))
+    // round-0 seed: the vocabulary's dense rank — at web scale the
+    // distinct-token relation is NOT metadata-sized (ids, typos, URLs),
+    // so it goes through the distributed rank, never a global window
+    val vocabRank = denseRankBy(toks.select("w").distinct(),
+      Seq(col("w")), Seq("w"), "r")
     var ranks = toks.join(vocabRank, "w")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("r").as("rank"))

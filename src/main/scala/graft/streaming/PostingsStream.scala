@@ -57,21 +57,72 @@ final class PostingsIndex(spark: SparkSession, root: String,
       maxChainDepth)
   val tombstones: VersionedTable = ts.table
 
+  /** Per-doc length sidecar: one (doc_id, len) row per indexed doc, len =
+    * Σtf (the whitespace tokenizer's exact token count). Maintained as
+    * additive batch partials — a crawl's doc ids are new, so each doc's
+    * single row lands with its batch ([[AnchorCountIndex]]'s monoid
+    * argument, trivially: disjoint keys). This is what makes BM25 serving
+    * O(query) instead of O(index): [[bm25Serve]] joins it on candidate ids
+    * only, never re-aggregating the postings for lengths.
+    */
+  val lengths = new VersionedTable(spark, s"$root/lengths")
+
+  /** 1-row-per-batch corpus-stats partials (n_docs, sum_len); serving sums
+    * the ≤ maxChainDepth rows — O(1). The invariant maintained everywhere
+    * is `Σ stats == totals of the PHYSICAL lengths table` (tombstoned docs
+    * included); serve-time stats subtract the tombstoned docs' totals via
+    * a delete-batch-sized join, so deletes leave the scoring statistics
+    * immediately, before any compaction.
+    */
+  val stats = new VersionedTable(spark, s"$root/stats")
+
+  /** The batch's (doc_id, len) partial from its postings shape — Σtf for
+    * the tf index, Σ|positions| for the positional index.
+    */
+  private def lenPartial(p: DataFrame): DataFrame = {
+    val tf =
+      if (p.columns.contains("tf")) col("tf").cast("long")
+      else size(col("positions")).cast("long")
+    p.groupBy("doc_id").agg(sum(tf).as("len"))
+  }
+
+  private def statsPartial(lp: DataFrame): DataFrame =
+    lp.agg(count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum("len"), lit(0L)).as("sum_len"))
+
   /** Index one micro-batch of (doc_id, text). Callable directly so specs
-    * drive controlled batch boundaries.
+    * drive controlled batch boundaries. Three tagged promotes (postings,
+    * lengths partial, stats partial), each guarded separately, so a
+    * redelivery after a crash between them completes exactly-once.
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val tag = s"batch=$batchId"
-    if (postings.exists && postings.currentTag.contains(tag)) return
+    val postingsDone = postings.exists && postings.currentTag.contains(tag)
+    val lengthsDone = lengths.exists && lengths.currentTag.contains(tag)
+    val statsDone = stats.exists && stats.currentTag.contains(tag)
+    if (postingsDone && lengthsDone && statsDone) return
     val incoming = batch.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
     // a tombstoned id stays deleted while its tombstone lives: admitting it
     // would append NEW rows next to its not-yet-purged old rows (see class
     // scaladoc — the append-growth/upsert-growth asymmetry)
     val live = ts.minus(incoming)
-    val p = build(live).sortWithinPartitions("term")
-    if (postings.exists) postings.promote(postings.stageAppend(p), Some(tag))
-    else postings.promote(postings.stage(p), Some(tag))
+    // one build execution feeds all three promotes
+    val p = build(live).sortWithinPartitions("term").localCheckpoint()
+    val lp = lenPartial(p).localCheckpoint()
+    if (!postingsDone) {
+      if (postings.exists) postings.promote(postings.stageAppend(p), Some(tag))
+      else postings.promote(postings.stage(p), Some(tag))
+    }
+    if (!lengthsDone) {
+      if (lengths.exists) lengths.promote(lengths.stageAppend(lp), Some(tag))
+      else lengths.promote(lengths.stage(lp), Some(tag))
+    }
+    if (!statsDone) {
+      val sp = statsPartial(lp)
+      if (stats.exists) stats.promote(stats.stageAppend(sp), Some(tag))
+      else stats.promote(stats.stage(sp), Some(tag))
+    }
     // chain-depth policy: bounded read cost for a continuous drain
     // (amortized rewrite — see VersionedTable.compactIfNeeded); routed
     // through the purge-aware compaction so pending tombstones clear too
@@ -90,6 +141,47 @@ final class PostingsIndex(spark: SparkSession, root: String,
     */
   def served(): DataFrame = ts.minus(postings.read())
 
+  /** The length sidecar a serving join may read: tombstoned docs excluded
+    * (they can hold no served postings anyway — belt and braces).
+    */
+  def servedLengths(): DataFrame = ts.minus(lengths.read())
+
+  /** Corpus totals (n docs, Σ len) for scoring: Σ over the ≤ chain-depth
+    * stats partials minus the tombstoned docs' totals (a delete-batch-sized
+    * join against the sidecar). O(1) + O(|tombstones|) — never a scan of
+    * the postings or the full sidecar.
+    */
+  def corpusTotals(): (Long, Long) = {
+    val b = stats.read()
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("sum_len"), lit(0L)))
+      .head()
+    val (n, s) = (b.getLong(0), b.getLong(1))
+    ts.dead() match {
+      case Some(d) =>
+        val r = lengths.read().join(d, Seq("doc_id"))
+          .agg(count(lit(1)).cast("long"), coalesce(sum("len"), lit(0L)))
+          .head()
+        (n - r.getLong(0), s - r.getLong(1))
+      case None => (n, s)
+    }
+  }
+
+  /** BM25 over the live index, serving-shaped
+    * ([[graft.scale.Retrieval.bm25FromSidecar]]): the plan scans the query
+    * terms' postings (term-pruned), joins lengths on candidate ids, and
+    * takes corpus stats from [[corpusTotals]] — O(query terms) + O(1), flat
+    * as the index grows. Emits candidate docs only, which is
+    * `bm25FromIndex(served(), terms)` minus its score-0 no-term rows.
+    */
+  def bm25Serve(terms: Seq[String], scoreCol: String = "score"): DataFrame = {
+    require(lengths.exists && stats.exists,
+      s"bm25Serve needs the length/stats sidecars at $root — index built " +
+        "by an older protocol? run a fresh build")
+    val (n, s) = corpusTotals()
+    Retrieval.bm25FromSidecar(served(), servedLengths(), n, s, terms,
+      scoreCol = scoreCol)
+  }
+
   /** Collapse the append chain into one self-contained version; if
     * tombstones are pending, the rewrite drops the dead rows and a second
     * promote truncates the set (a crash between the two leaves stale
@@ -97,8 +189,25 @@ final class PostingsIndex(spark: SparkSession, root: String,
     * compaction clears them: convergent, the [[graft.scale.AnnIndex]]
     * argument). Rows re-sort by term so the row-group envelopes survive.
     */
-  def compact(): Unit =
-    ts.purgeInto(postings -> ((df: DataFrame) => df.sortWithinPartitions("term")))
+  def compact(): Unit = {
+    ts.purgeInto(
+      postings -> ((df: DataFrame) => df.sortWithinPartitions("term")),
+      lengths -> identity[DataFrame] _)
+    // Re-base the stats chain on the (now purged) physical sidecar — this
+    // restores the `Σ stats == totals(lengths)` invariant after a purge and
+    // collapses the per-batch partial chain to one row either way. The one
+    // convergent-not-exact crash window in this class: between the purge
+    // above and this promote, [[corpusTotals]] over-counts the purged docs
+    // (tombstones already truncated, so nothing subtracts them); the retry
+    // or the next compaction restores exactness. Every other crash point
+    // serves exact stats.
+    if (stats.exists) {
+      val total = lengths.read()
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum("len"), lit(0L)).as("sum_len"))
+      stats.promote(stats.stage(total), stats.currentTag)
+    }
+  }
 }
 
 object PostingsStream {

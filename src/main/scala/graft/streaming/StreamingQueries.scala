@@ -722,22 +722,20 @@ object StreamingQueries {
       val dead = docs.select("doc_id").filter(col("doc_id") % 7 === 2)
       lex.delete(dead); pos.delete(dead)
       def serve(phase: String) = {
-        import org.apache.spark.sql.expressions.Window
-        val bm = Retrieval.bm25FromIndex(lex.served(), terms)
-          .filter(col("score") > 0)
-          .orderBy(col("score").desc, col("doc_id")).limit(10)
-          .withColumn("rnk", row_number()
-            .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        // serving-shaped BM25: candidate postings + length sidecar + O(1)
+        // stats — the oracle certifies it equals the full-index replay
+        val bm = graft.ops.TopK.rankedCut(
+            lex.bm25Serve(terms).filter(col("score") > 0),
+            10, "rnk", col("score").desc, col("doc_id"))
           .select(lit("bm25").as("surface"), lit("").as("term"),
             col("rnk"), col("doc_id"), col("score").as("v"))
         val champ = Retrieval.topPostings(
             lex.served().filter(col("term").isin(terms: _*)), k = 3)
           .select(lit("champ").as("surface"), col("term"),
             col("rnk"), col("doc_id"), col("tf").as("v"))
-        val phr = Retrieval.phraseMatches(pos.served(), Seq("table", "part"))
-          .orderBy(col("n_matches").desc, col("doc_id")).limit(10)
-          .withColumn("rnk", row_number()
-            .over(Window.orderBy(col("n_matches").desc, col("doc_id"))).cast("long"))
+        val phr = graft.ops.TopK.rankedCut(
+            Retrieval.phraseMatches(pos.served(), Seq("table", "part")),
+            10, "rnk", col("n_matches").desc, col("doc_id"))
           .select(lit("phrase").as("surface"), lit("").as("term"),
             col("rnk"), col("doc_id"), col("n_matches").as("v"))
         bm.unionByName(champ).unionByName(phr).withColumn("phase", lit(phase))

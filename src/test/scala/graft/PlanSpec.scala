@@ -233,6 +233,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("corpus-QA profiles never window the vocab relation (termDrift/zipf/suffix seed)") {
+    val docs = Tables.documents(spark, sfDir)
+    // termDrift: the vocab-wide rank is a TakeOrdered cut; the only window
+    // allowed is the k-row rank AFTER the cut (its input is a limit)
+    val drift = planOf(graft.scale.Curation.termDrift(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
+    assert(drift.contains("TakeOrderedAndProject"), drift)
+    // zipf + the suffix round-0 seed rank through denseRankBy
+    // (range-repartitioned mapPartitions): zero Window operators anywhere —
+    // a revert to row_number()/dense_rank() over the full vocab would
+    // reintroduce one
+    val zipf = planOf(graft.scale.Curation.zipfBuckets(docs.limit(200)))
+    assert(!zipf.contains("Window"), zipf)
+    val seed = planOf(graft.scale.SuffixArray.suffixRanks(docs.limit(50), rounds = 1))
+    assert(!seed.contains("Window"), seed)
+  }
+
   test("exact dedup aggregates on the hash, never shuffling text twice") {
     val plan = planOf(graft.scale.Dedup.exact(Tables.documents(spark, sfDir)))
     // partial then final HashAggregate around a single Exchange

@@ -25,6 +25,32 @@ class SuffixArraySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("denseRankBy: string keys and mixed ASC/DESC match the window form bit-for-bit") {
+    val rows = (0L until 300L).map(i =>
+      (i, s"w${(i * 37) % 40}", (i * 13) % 7))
+    val df = rows.toDF("id", "w", "cnt")
+    // single string key ascending (the suffix-array round-0 seed shape)
+    val gotW = SuffixArray.denseRankBy(df.select("w").distinct(),
+        Seq(col("w")), Seq("w"), "r")
+      .as[(String, Long)].collect().toMap
+    val wantW = df.select("w").distinct()
+      .withColumn("r", dense_rank().over(org.apache.spark.sql.expressions
+        .Window.orderBy("w")).cast("long"))
+      .as[(String, Long)].collect().toMap
+    assert(gotW === wantW)
+    // (cnt DESC, w ASC) composite (the Zipf rank shape); unique keys, so
+    // dense rank == row number
+    val counts = df.groupBy("w").agg(sum("cnt").as("cnt"))
+    val got = SuffixArray.denseRankBy(counts,
+        Seq(col("cnt").desc, col("w")), Seq("cnt", "w"), "rank")
+      .select("w", "rank").as[(String, Long)].collect().toMap
+    val want = counts.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .select("w", "rank").as[(String, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("rank equality is exactly first-2^k-token equality, across documents") {
     val d = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
     val r = SuffixArray.suffixRanks(d, rounds = 1)

@@ -150,6 +150,80 @@ class PostingsStreamSpec extends SparkSpec {
       === want)
   }
 
+  test("bm25Serve == bm25FromIndex's candidate rows across appends, deletes, compaction") {
+    val idx = new PostingsIndex(spark, root("sidecar"))
+    idx.processBatch(b1.toDF("doc_id", "text"), 0L)
+    idx.processBatch(b2.toDF("doc_id", "text"), 1L)
+    val terms = Seq("spark", "dup")
+    def got = idx.bm25Serve(terms)
+      .select(col("doc_id"), col("len"), col("score"))
+      .as[(Long, Long, Long)].collect().toSet
+    def want = Retrieval.bm25FromIndex(idx.served(), terms)
+      .filter(col("tf_spark") + col("tf_dup") > 0) // the candidate set
+      .select(col("doc_id"), col("len"), col("score"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want && want.nonEmpty)
+    // deletes shift N/avg immediately (no compaction yet)
+    idx.delete(Seq(2L, 10L).toDF("doc_id"))
+    assert(got === want && want.nonEmpty)
+    idx.compact()
+    assert(got === want)
+    // and a post-compaction append keeps tracking
+    idx.processBatch(Seq((30L, "dup spark dup")).toDF("doc_id", "text"), 2L)
+    assert(got === want)
+  }
+
+  test("corpusTotals is the served sidecar's truth at every lifecycle step") {
+    val idx = new PostingsIndex(spark, root("totals"))
+    def truth: (Long, Long) = {
+      val r = idx.servedLengths()
+        .agg(count(lit(1)).cast("long"), coalesce(sum("len"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    idx.processBatch(b1.toDF("doc_id", "text"), 0L)
+    assert(idx.corpusTotals() === truth && truth === ((3L, 6L)))
+    idx.processBatch(b2.toDF("doc_id", "text"), 1L)
+    assert(idx.corpusTotals() === truth && truth === ((5L, 12L)))
+    idx.delete(Seq(1L).toDF("doc_id")) // 3 tokens leave the stats pre-purge
+    assert(idx.corpusTotals() === truth && truth === ((4L, 9L)))
+    idx.compact()
+    assert(idx.corpusTotals() === truth && truth === ((4L, 9L)))
+    // the stats chain collapsed to one physical row at compaction
+    assert(idx.stats.read().count() === 1L)
+  }
+
+  test("a crash between the three batch promotes converges on redelivery") {
+    val idx = new PostingsIndex(spark, root("torn"))
+    idx.processBatch(b1.toDF("doc_id", "text"), 0L)
+    idx.processBatch(b2.toDF("doc_id", "text"), 1L)
+    val wantTotals = idx.corpusTotals()
+    val wantPostings = idx.served()
+      .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().toSet
+    // crash sim: postings+lengths landed batch 1, stats rolled back to batch 0
+    idx.stats.promote(0, Some("batch=0"))
+    assert(idx.corpusTotals() !== wantTotals) // torn window visible
+    idx.processBatch(b2.toDF("doc_id", "text"), 1L) // redelivery completes it
+    assert(idx.corpusTotals() === wantTotals)
+    assert(idx.served().select("term", "doc_id", "tf")
+      .as[(String, Long, Long)].collect().toSet === wantPostings)
+  }
+
+  test("bm25Serve plan: one term-pruned postings scan, no full-index aggregate") {
+    val idx = new PostingsIndex(spark, root("plan"))
+    idx.processBatch(b1.toDF("doc_id", "text"), 0L)
+    idx.processBatch(b2.toDF("doc_id", "text"), 1L)
+    idx.compact() // chain depth 1 so scan counting is deterministic
+    val plan = idx.bm25Serve(Seq("spark", "dup")).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the term IN filter reaches the postings scan
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+    // exactly one scan touches the postings table (the candidate tf pivot);
+    // the old O(index) form aggregated a SECOND, unfiltered postings scan
+    // for doc lengths — that scan must not exist
+    assert("/postings/".r.findAllIn(plan).size === 1, plan)
+    assert("/lengths/".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("the positional builder shares the whole protocol: phrase serving honors deletes") {
     val idx = new PostingsIndex(spark, root("pos"),
       build = df => Retrieval.positionalIndex(df))
