@@ -358,6 +358,63 @@ object ScaleBench {
           .queryExecution.toRdd.count()
       }
 
+      // q260 core: winnowing fingerprints over ×k distinct docs — per-doc
+      // windows + the bounded argmin re-join → LINEAR
+      val tWinnow = timeMin(reps) {
+        Curation.winnowFingerprints(docs).queryExecution.toRdd.count()
+      }
+
+      // q262 core: a FIXED doc batch (fresh content per rep) through the
+      // winnow-keyed admission guard against the ×k fingerprint index —
+      // O(batch) fingerprinting + chain-bounded semi-join → FLAT
+      val wgRoot = s"${graft.core.Scratch.dir(s"graft-scale-wg$k")}/g"
+      val wg = new graft.streaming.SpanGuardIndex(spark, wgRoot,
+        spanFn = Some(b => Curation.winnowFingerprints(b)
+          .select(col("doc_id"), col("h")).distinct()))
+      wg.processBatch(docs, 0L)
+      var wb = 0
+      val tWinnowGuard = timeMin(reps) {
+        wb += 1
+        wg.processBatch(fixedDocBatch
+          .select((col("doc_id") + wb * 1000L).as("doc_id"),
+            concat(col("text"), lit(s" r$wb")).as("text")), 1000L + wb)
+      }
+
+      // q259/q251 cores (post the r16 window fix): term drift between two
+      // ×k half-corpora, and the Zipf rank→bucket profile over the ×k
+      // vocab — both ride the distributed dense rank / TakeOrdered cut
+      // now, so the vocab relation never single-partitions → LINEAR
+      val tDrift = timeMin(reps) {
+        Curation.termDrift(docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1))
+          .queryExecution.toRdd.count()
+      }
+      val tZipf = timeMin(reps) {
+        Curation.zipfBuckets(docs).queryExecution.toRdd.count()
+      }
+
+      // q249 core: TextRank keywords — pooled per-doc co-occurrence
+      // graphs, no cross-doc joins → LINEAR
+      val tTextRank = timeMin(reps) {
+        Curation.textRankKeywords(docs).queryExecution.toRdd.count()
+      }
+
+      // q212 serve core (r16 verdict item 3): a FIXED 3-term BM25 query
+      // against a ×k postings index through the length/stats sidecars —
+      // O(query-terms) postings + candidate-joined lengths + O(1) stats.
+      // The Caesar-rotated copies keep the query terms' postings FIXED
+      // while the index grows ×k, so the old O(index) doc-length
+      // re-aggregation would read ~8 here; the sidecar path must be flat
+      // (one narrow columnar scan of the (doc_id, len) sidecar is the
+      // only ×k-touching step).
+      val lexRoot = s"${graft.core.Scratch.dir(s"graft-scale-lex$k")}/lex"
+      val lex = new graft.streaming.PostingsIndex(spark, lexRoot)
+      lex.processBatch(docs, 0L)
+      val bmTerms = Seq("spark", "merge", "dup")
+      val tBmServe = timeMin(reps) {
+        lex.bm25Serve(bmTerms).queryExecution.toRdd.count()
+      }
+
       // q247 core: anchor-count partial for a FIXED batch against the ×k
       // index — additive-monoid append, O(batch) → FLAT
       val acRoot = s"${graft.core.Scratch.dir(s"graft-scale-ac$k")}/a"
@@ -387,7 +444,10 @@ object ScaleBench {
         "phash_delete" -> tPhiDel, "video_pipeline" -> tVideoPipe,
         "audio_pipeline" -> tAudioPipe,
         "budget_mix" -> tBudget, "ppl_buckets" -> tPpl,
-        "suffix_spans" -> tSuffix, "anchor_stream_batch" -> tAnchor))
+        "suffix_spans" -> tSuffix, "anchor_stream_batch" -> tAnchor,
+        "winnow_fp" -> tWinnow, "winnow_guard_batch" -> tWinnowGuard,
+        "term_drift" -> tDrift, "zipf_profile" -> tZipf,
+        "textrank" -> tTextRank, "bm25_serve" -> tBmServe))
     }
 
     val expectations = Map(
@@ -402,7 +462,10 @@ object ScaleBench {
       "phash_delete" -> ("flat", 3.0), "video_pipeline" -> ("linear", 16.0),
       "audio_pipeline" -> ("linear", 16.0),
       "budget_mix" -> ("linear", 16.0), "ppl_buckets" -> ("linear", 16.0),
-      "suffix_spans" -> ("linear", 16.0), "anchor_stream_batch" -> ("flat", 3.0))
+      "suffix_spans" -> ("linear", 16.0), "anchor_stream_batch" -> ("flat", 3.0),
+      "winnow_fp" -> ("linear", 16.0), "winnow_guard_batch" -> ("flat", 3.0),
+      "term_drift" -> ("linear", 16.0), "zipf_profile" -> ("linear", 16.0),
+      "textrank" -> ("linear", 16.0), "bm25_serve" -> ("flat", 3.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

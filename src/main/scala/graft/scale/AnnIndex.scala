@@ -54,11 +54,12 @@ object AnnIndex {
     */
   def buildIvfIndex(corpus: DataFrame, root: String,
                     nCentroids: Int = -1, trainIters: Int = 4,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    metaCols: Seq[String] = Nil): IvfIndex = {
     val nCents = Similarity.resolveNCentroids(corpus, nCentroids)
     buildIvfIndexWith(corpus, root,
       Similarity.centroidsFor(corpus, nCents, trainIters, idCol, vecCol),
-      idCol, vecCol)
+      idCol, vecCol, metaCols)
   }
 
   /** [[buildIvfIndex]] with a caller-supplied centroid model (unit-norm
@@ -70,7 +71,8 @@ object AnnIndex {
     */
   def buildIvfIndexWith(corpus: DataFrame, root: String,
                         cents: Array[(Int, Seq[Double])],
-                        idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        metaCols: Seq[String] = Nil): IvfIndex = {
     val spark = corpus.sparkSession
     Similarity.requireNumericId(corpus, idCol, "buildIvfIndex")
 
@@ -79,10 +81,14 @@ object AnnIndex {
     val ct = centroidsTable(spark, root)
     ct.promote(ct.stage(centsDf))
 
+    // filterable attributes ride WITH the codes (the payload-index scheme
+    // every filtered-ANN server uses): a probe predicate on them pushes
+    // into the same codes-only parquet scan the cid pruning reads
     val postings = Similarity.quantizeInt8(corpus, vecCol)
       .withColumn("cid", element_at(
         Similarity.nearestCidsExpr(cents, col(vecCol).cast("array<double>"), 1), 1))
-      .select(col(idCol).cast("long").as("nid"), col("qcode").as("code"), col("cid"))
+      .select(col(idCol).cast("long").as("nid") +: col("qcode").as("code") +:
+        col("cid") +: metaCols.map(col): _*)
     val pt = postingsTable(spark, root)
     pt.promote(pt.stage(postings, Seq("cid")))
     IvfIndex(root, cents.length)
@@ -316,7 +322,8 @@ object AnnIndex {
     */
   def probeIvf(spark: SparkSession, root: String, queries: DataFrame, k: Int,
                nProbe: Int = 3,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     Similarity.requireNumericId(queries, idCol, "probeIvf")
     val cents = readCentroids(spark, root)
     // localCheckpoint: the quantize + centroid-assignment job runs ONCE —
@@ -338,8 +345,12 @@ object AnnIndex {
       s"probeIvf routed ${probeCids.length} distinct cells — the query table " +
         "is not broadcast-small; use Similarity.knnJoinQuantized for " +
         "corpus-vs-corpus kNN")
-    val postings0 = postingsTable(spark, root).read()
+    val postings1 = postingsTable(spark, root).read()
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    // filtered search: the metadata predicate lands ON the postings scan
+    // (PushedFilters beside the cid pruning — PlanSpec law), so rows the
+    // filter rejects never reach the scoring heap
+    val postings0 = pred.fold(postings1)(postings1.filter)
     // tombstoned ids are invisible until compaction physically drops them;
     // the tombstone set is delete-batch-sized, so AQE broadcasts the
     // anti-join side — no extra shuffle on the postings
@@ -399,6 +410,71 @@ object AnnIndex {
       val root = s"${graft.core.Scratch.dir("graft-q88")}/ivf"
       buildIvfIndex(emb.unionByName(twins), root)
       probeIvf(s, root, probes, k = 1, nProbe = 3)
+        .filter(col("rnk") === 1)
+        .select("qid", "nid", "score")
+        .orderBy("qid")
+    },
+
+    // FILTERED ANN serving (the "top-k WHERE lang='en'" ask): the corpus
+    // carries a lang metadata column that [[buildIvfIndexWith]] stores
+    // WITH the int8 codes, and the probe pushes the predicate into the
+    // codes-only postings scan (pre-heap — PlanSpec law). The planted
+    // invariant makes the answer exact at nProbe=3: each query gets a
+    // near-identical DECOY twin (+100000, +0.02, lang='de' — the
+    // unfiltered rank-1 the filter must reject) and a near-identical
+    // ANSWER twin (+200000, +0.04, lang='en' — the filtered rank-1, in
+    // the query's own top cell like every near-twin). The oracle is
+    // quantized brute force restricted to the lang='en' rows — a probe
+    // that ignores the predicate, or a build that drops the metadata,
+    // surfaces the decoy and hash-fails.
+    Q("q265_ann_filtered",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5
+        |          UNION ALL
+        |          SELECT vec_id + 200000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.04 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id < 5),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | q AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < 5),
+        | c AS (SELECT vec_id AS nid, code AS cc FROM qz
+        |       WHERE (vec_id < 100000 AND vec_id % 4 = 0) OR vec_id >= 200000),
+        | scored AS (
+        |   SELECT qid, nid, CAST(list_dot_product(qc, cc) AS BIGINT) AS score
+        |   FROM q, c WHERE qid <> nid),
+        | ranked AS (SELECT qid, nid, score,
+        |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+        |   FROM scored)
+        |SELECT qid, nid, score FROM ranked WHERE rnk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val lang = expr("CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' " +
+        "WHEN 1 THEN 'de' WHEN 2 THEN 'fr' ELSE 'zh' END")
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .withColumn("lang", lang)
+      val probes = emb.filter(col("vec_id") < 5)
+      val decoys = probes
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+        .withColumn("lang", lit("de"))
+      val answers = probes
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.04f)).cast("array<float>"))
+        .withColumn("lang", lit("en"))
+      val root = s"${graft.core.Scratch.dir("graft-q265")}/ivf"
+      buildIvfIndex(emb.unionByName(decoys).unionByName(answers), root,
+        metaCols = Seq("lang"))
+      probeIvf(s, root, probes, k = 1, nProbe = 3,
+          pred = Some(col("lang") === "en"))
         .filter(col("rnk") === 1)
         .select("qid", "nid", "score")
         .orderBy("qid")

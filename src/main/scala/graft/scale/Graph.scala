@@ -51,21 +51,21 @@ object Graph {
     * (the standard dangling-node treatment). Returns (node, rank); after
     * round 1 the row set is the indeg ≥ 1 nodes.
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int,
+               policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // loop invariant: out-edges annotated with outdeg, materialized once so
     // every round reuses the same narrow blocks instead of re-deriving them
-    val e = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint()
+    val e = policy.checkpoint(edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg")))
     var ranks = deg.select(col("src").as("node"), lit(Scale).as("rank"))
     for (_ <- 0 until iters) {
-      ranks = e.join(ranks, e("src") === ranks("node"))
+      ranks = policy.bound(e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("c"))
         .select(col("dst").as("node"),
-          (lit(Base) + expr(s"($DampNum * c) div $DampDen")).as("rank"))
+          (lit(Base) + expr(s"($DampNum * c) div $DampDen")).as("rank")))
     }
     ranks
   }
@@ -87,18 +87,17 @@ object Graph {
     * only (node, rank) longs. On a dangling-free graph this reduces to
     * [[pageRank]] exactly (dm = 0 — GraphSpec law).
     */
-  def pageRankDirected(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankDirected(edges: DataFrame, iters: Int,
+                       policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
+    val e = policy.checkpoint(edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg")))
+    val nodes = policy.checkpoint(edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct())
     val nN = nodes.agg(count(lit(1)).as("n"))
-    val dangling = nodes
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-      .localCheckpoint()
+    val dangling = policy.checkpoint(nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti"))
     var ranks = nodes.select(col("node"), lit(Scale).as("rank"))
     for (_ <- 0 until iters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
@@ -115,7 +114,7 @@ object Graph {
       // localCheckpoint compounds ~14 bits of size estimate per round (the
       // kCore stats trap, measured). checkpointFreshStats resets it; the
       // GraphSpec flat-stats law pins both failure modes at depth 16.
-      ranks = org.apache.spark.sql.GraftColumnBridge.checkpointFreshStats(
+      ranks = policy.checkpointFresh(
         nodes.join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dm)).crossJoin(broadcast(nN))
           .select(col("node"),
@@ -615,8 +614,9 @@ object Graph {
     * `edges` must be the both-directions encoding ([[undirected]]); then
     * out-degree IS degree and one groupBy(src) per round suffices.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select("src", "dst").localCheckpoint()
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    var e = policy.checkpoint(edges.select("src", "dst"))
     var i = 0
     var converged = false
     while (i < rounds && !converged) {
@@ -639,9 +639,9 @@ object Graph {
       if (degs.filter(col("deg") < k).isEmpty) converged = true
       else {
         val keep = degs.filter(col("deg") >= k).select("src")
-        e = e.join(keep, "src")
+        e = policy.checkpoint(e.join(keep, "src")
           .join(keep.withColumnRenamed("src", "dst"), "dst")
-          .select("src", "dst").localCheckpoint()
+          .select("src", "dst"))
         i += 1
       }
     }
@@ -762,18 +762,17 @@ object Graph {
     * collapse map-side, then a max-of-struct per node picks (count DESC,
     * label ASC) without a window. Edges are the cached loop invariant.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint()
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val e = policy.checkpoint(edges.select("src", "dst"))
+    var labels = policy.checkpoint(e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
-      labels = e.join(labels, e("dst") === labels("node"))
+      labels = policy.checkpoint(e.join(labels, e("dst") === labels("node"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy("src")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .select(col("src").as("node"), (-col("m.nl")).as("label")))
     }
     labels
   }
@@ -886,26 +885,25 @@ object Graph {
     * round; the two normalization totals are 1-row broadcasts. Edges are
     * the cached loop invariant.
     */
-  def hits(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+  def hits(edges: DataFrame, rounds: Int,
+           policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val e = policy.checkpoint(edges.select("src", "dst"))
+    val nodes = policy.checkpoint(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct())
     var hubs = nodes.select(col("node"), lit(Scale).as("h"))
     var auth = nodes.select(col("node"), lit(0L).as("a")).limit(0)
     for (_ <- 1 to rounds) {
       val a0 = e.join(hubs, e("src") === hubs("node"))
         .groupBy("dst").agg(sum("h").as("a0"))
       val sa = a0.agg(sum("a0").as("sa"))
-      auth = a0.crossJoin(broadcast(sa))
-        .select(col("dst").as("node"), expr(s"(a0 * $Scale) div sa").as("a"))
-        .localCheckpoint()
+      auth = policy.checkpoint(a0.crossJoin(broadcast(sa))
+        .select(col("dst").as("node"), expr(s"(a0 * $Scale) div sa").as("a")))
       val h0 = e.join(auth, e("dst") === auth("node"))
         .groupBy("src").agg(sum("a").as("h0"))
       val sh = h0.agg(sum("h0").as("sh"))
-      hubs = h0.crossJoin(broadcast(sh))
-        .select(col("src").as("node"), expr(s"(h0 * $Scale) div sh").as("h"))
-        .localCheckpoint()
+      hubs = policy.checkpoint(h0.crossJoin(broadcast(sh))
+        .select(col("src").as("node"), expr(s"(h0 * $Scale) div sh").as("h")))
     }
     nodes.join(auth, Seq("node"), "left").join(hubs, Seq("node"), "left")
       .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"),
@@ -930,18 +928,17 @@ object Graph {
     * aggregations, no window. All-ones weights reduce EXACTLY to
     * [[labelPropagation]] (spec law).
     */
-  def labelPropagationWeighted(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select("src", "dst", "w").localCheckpoint()
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+  def labelPropagationWeighted(edges: DataFrame, rounds: Int,
+                               policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val e = policy.checkpoint(edges.select("src", "dst", "w"))
+    var labels = policy.checkpoint(e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
-      labels = e.join(labels, e("dst") === labels("node"))
+      labels = policy.checkpoint(e.join(labels, e("dst") === labels("node"))
         .groupBy(col("src"), col("label")).agg(sum("w").as("c"))
         .groupBy("src")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .select(col("src").as("node"), (-col("m.nl")).as("label")))
     }
     labels
   }

@@ -258,6 +258,157 @@ object Multimodal {
     }
   }
 
+  /** Full ISO-BMFF sample-table walk (ISO 14496-12 §8.5–8.7): moov → trak →
+    * mdia → minf → stbl, then resolve the four sample tables —
+    * stsd (sample-entry format fourcc), stsz (sizes), stsc
+    * (sample→chunk runs), stco/co64 (chunk offsets) — into the first
+    * MJPEG-coded track's absolute (offset, size) per sample in decode
+    * order. This is what turns "we parsed mvhd" into "we can reach every
+    * media sample", the prerequisite for real video near-dup over crawl
+    * MP4s.
+    *
+    * Fail-closed (None) on: non-MP4/truncated/lying box sizes (the
+    * [[mp4Info]] rules), FRAGMENTED files (any top-level moof — their
+    * samples live in trun tables this walk does not cover, and decoding
+    * only the moov-described prefix would silently hash a partial video),
+    * no jpeg/mjpa track, stsc runs that are non-1-based or non-increasing,
+    * sample counts inconsistent between stsz and the chunk walk, and any
+    * sample range outside the payload.
+    */
+  private[scale] def mp4SampleTable(b: Array[Byte]): Option[(String, Seq[(Long, Int)])] = {
+    def u16be(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32be(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def u64be(i: Int): Long = (u32be(i) << 32) | u32be(i + 4)
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+    // every child box [start, start+size) of [from, to), fail-closed sizes
+    def children(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var i = from
+      while (i + 8 <= to) {
+        val size = u32be(i)
+        if (size < 8 || i + size > to) return None // 64-bit/lying sizes
+        out += ((new String(b, i + 4, 4, "US-ASCII"), i, i + size.toInt))
+        i += size.toInt
+      }
+      if (i != to) None else Some(out.toSeq)
+    }
+    def child(cs: Seq[(String, Int, Int)], typ: String): Option[(Int, Int)] =
+      cs.collectFirst { case (t, s, e) if t == typ => (s, e) }
+    if (!(b.length >= 12 && ascii(4, "ftyp"))) return None
+    val top = children(0, b.length).getOrElse(return None)
+    if (top.exists(_._1 == "moof")) return None // fragmented: fail closed
+    val (moovS, moovE) = child(top, "moov").getOrElse(return None)
+    val moov = children(moovS + 8, moovE).getOrElse(return None)
+    // first jpeg/mjpa-coded track wins; other codecs (avc1, hvc1, vp09...)
+    // are lossy bitstreams this engine does not decode — fail closed
+    moov.filter(_._1 == "trak").foreach { case (_, trakS, trakE) =>
+      val stbl = for {
+        trak <- children(trakS + 8, trakE)
+        (mdiaS, mdiaE) <- child(trak, "mdia")
+        mdia <- children(mdiaS + 8, mdiaE)
+        (minfS, minfE) <- child(mdia, "minf")
+        minf <- children(minfS + 8, minfE)
+        (stblS, stblE) <- child(minf, "stbl")
+        boxes <- children(stblS + 8, stblE)
+      } yield boxes
+      stbl.foreach { boxes =>
+        val fourcc = (for {
+          (s, e) <- child(boxes, "stsd")
+          if s + 24 <= e && u32be(s + 12) >= 1 // entry_count
+          esize = u32be(s + 16)
+          if esize >= 16 && s + 16 + esize <= e
+        } yield new String(b, s + 20, 4, "US-ASCII")).getOrElse(return None)
+        if (fourcc == "jpeg" || fourcc == "mjpa") {
+          // stsz: fixed-or-per-sample sizes
+          val sizes: Array[Int] = (for {
+            (s, e) <- child(boxes, "stsz")
+            if s + 20 <= e
+            fixed = u32be(s + 12)
+            n = u32be(s + 16)
+            if n >= 1 && n <= Int.MaxValue
+            out <-
+              if (fixed != 0) Some(Array.fill(n.toInt)(fixed.toInt))
+              else if (s + 20 + 4 * n <= e)
+                Some(Array.tabulate(n.toInt)(i => u32be(s + 20 + 4 * i).toInt))
+              else None
+          } yield out).getOrElse(return None)
+          // stco/co64: absolute chunk offsets
+          val chunkOffs: Array[Long] = (for {
+            (s, e, wide) <- child(boxes, "stco").map(c => (c._1, c._2, false))
+              .orElse(child(boxes, "co64").map(c => (c._1, c._2, true)))
+            if s + 16 <= e
+            n = u32be(s + 12)
+            if n >= 1
+            step = if (wide) 8 else 4
+            if s + 16 + step * n <= e
+          } yield Array.tabulate(n.toInt)(i =>
+            if (wide) u64be(s + 16 + 8 * i) else u32be(s + 16 + 4 * i)))
+            .getOrElse(return None)
+          // stsc: (first_chunk, samples_per_chunk) runs — 1-based,
+          // strictly increasing first_chunk, first run at chunk 1
+          val runs: Array[(Long, Long)] = (for {
+            (s, e) <- child(boxes, "stsc")
+            if s + 16 <= e
+            n = u32be(s + 12)
+            if n >= 1 && s + 16 + 12 * n <= e
+          } yield Array.tabulate(n.toInt)(i =>
+            (u32be(s + 16 + 12 * i), u32be(s + 20 + 12 * i))))
+            .getOrElse(return None)
+          if (runs.head._1 != 1L ||
+              runs.sliding(2).exists(p => p.length == 2 && p(1)._1 <= p(0)._1))
+            return None
+          // flatten: walk chunks in order, assigning sizes in decode order
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          var si = 0
+          var ci = 0
+          while (ci < chunkOffs.length && si < sizes.length) {
+            val spc = runs.takeWhile(_._1 <= ci + 1).last._2
+            var off = chunkOffs(ci)
+            var j = 0L
+            while (j < spc && si < sizes.length) {
+              val len = sizes(si)
+              if (len <= 0 || off < 0 || off + len > b.length) return None
+              out += ((off, len))
+              off += len; si += 1; j += 1
+            }
+            ci += 1
+          }
+          if (si != sizes.length) return None // tables disagree: fail closed
+          return Some((fourcc, out.toSeq))
+        }
+      }
+    }
+    None
+  }
+
+  /** Decode every media sample of the first MJPEG (`jpeg`/`mjpa`) track to
+    * 8-bit gray frames — [[mp4SampleTable]] for the byte ranges,
+    * [[jpegDecodeGray]] per sample. None if any sample fails to decode or
+    * the frames disagree on dimensions (a real decoder would resize; this
+    * engine fails closed — the near-dup vote must never mix geometries
+    * silently). The MP4 twin of [[gifDecodeGrayFrames]], feeding the same
+    * per-frame dHash → banded pairs → frame-vote machinery (q221/q263).
+    */
+  def mp4DecodeGrayFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+    mp4SampleTable(b).flatMap { case (_, samples) =>
+      if (samples.isEmpty) None
+      else {
+        val decoded = samples.map { case (off, len) =>
+          jpegDecodeGray(java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + len))
+        }
+        if (decoded.exists(_.isEmpty)) None
+        else {
+          val ds = decoded.map(_.get)
+          val (w, h, _) = ds.head
+          if (ds.exists(d => d._1 != w || d._2 != h)) None
+          else Some((w, h, ds.map(_._3)))
+        }
+      }
+    }
+
   // ---- spec-valid header synthesis (fixtures for the real parsers) ---------
 
   private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
@@ -278,6 +429,245 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length.toLong) ++
       "WEBP".getBytes("US-ASCII") ++
       "VP8L".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+  }
+
+  // ---- real WebP VP8L (lossless) pixel codec — literal-only subset --------
+  //
+  // The WebP Lossless Bitstream Specification (RFC 9649 §3–5): LSB-first
+  // bit packing, DEFLATE-convention prefix codes (canonical, MSB-of-code
+  // read first), five prefix codes per group (green+length+cache / red /
+  // blue / alpha / distance), code lengths themselves transmitted through
+  // the 19-symbol code-length code in kCodeLengthCodeOrder. The encoder
+  // emits the plain-literal form (no transforms, no color cache, no meta
+  // prefix, no LZ77 backrefs) — always spec-valid, never smaller than
+  // necessary; the decoder reads any stream of that subset and FAILS
+  // CLOSED (None) on the features outside it (transforms, cache, meta,
+  // backrefs) and on lossy VP8 — a crawl byte-stream outside the proven
+  // subset must never hash.
+
+  private val Vp8lClcOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var nBits = 0
+    def bit(v: Int): Unit = {
+      if ((nBits & 7) == 0) buf += 0
+      if (v != 0) buf(nBits >> 3) = (buf(nBits >> 3) | (1 << (nBits & 7))).toByte
+      nBits += 1
+    }
+    /** n-bit LSB-first value (the spec's ReadBits twin). */
+    def bits(n: Int, v: Long): Unit = { var i = 0; while (i < n) { bit(((v >> i) & 1L).toInt); i += 1 } }
+    /** prefix CODE: MSB first (the DEFLATE convention). */
+    def code(len: Int, c: Int): Unit = { var i = len - 1; while (i >= 0) { bit((c >> i) & 1); i -= 1 } }
+    def bytes: Array[Byte] = buf.toArray
+  }
+
+  private final class BitReader(b: Array[Byte], from: Int) {
+    private var pos = from * 8
+    private val end = b.length * 8
+    def bit(): Int = {
+      if (pos >= end) throw new java.util.NoSuchElementException("vp8l eof")
+      val v = (b(pos >> 3) >> (pos & 7)) & 1
+      pos += 1; v
+    }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v |= bit() << i; i += 1 }; v }
+  }
+
+  /** Canonical prefix code over `lengths` (index = symbol): (len, code) →
+    * symbol map plus the 0-bit single-symbol special case. None if the
+    * code is over-subscribed or incomplete (Kraft sum != 1, unless exactly
+    * one symbol).
+    */
+  private def canonical(lengths: Array[Int]): Option[(Map[(Int, Int), Int], Int, Int)] = {
+    val present = lengths.zipWithIndex.filter(_._1 > 0)
+    if (present.isEmpty) return None
+    if (present.length == 1) return Some((Map.empty, present.head._2, 0))
+    var kraft = 0.0
+    present.foreach { case (l, _) => kraft += math.pow(2.0, -l) }
+    if (math.abs(kraft - 1.0) > 1e-9) return None
+    val maxLen = present.map(_._1).max
+    var code = 0
+    var prevLen = 0
+    val m = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    present.sortBy(p => (p._1, p._2)).foreach { case (l, sym) =>
+      code <<= (l - prevLen); prevLen = l
+      m((l, code)) = sym
+      code += 1
+    }
+    Some((m.toMap, -1, maxLen))
+  }
+
+  private def readSymbol(r: BitReader, tbl: (Map[(Int, Int), Int], Int, Int)): Int = {
+    val (m, single, maxLen) = tbl
+    if (single >= 0) return single
+    var code = 0; var len = 0
+    while (len < maxLen) {
+      code = (code << 1) | r.bit(); len += 1
+      m.get((len, code)) match { case Some(s) => return s; case None => }
+    }
+    throw new java.util.NoSuchElementException("vp8l bad code")
+  }
+
+  /** One prefix code off the stream (RFC 9649 §5.2.2): the simple 1–2
+    * symbol form or the normal code-length-coded form with 16/17/18
+    * repeats and the optional max_symbol cap.
+    */
+  private def readPrefixCode(r: BitReader, alphabetSize: Int): Option[(Map[(Int, Int), Int], Int, Int)] = {
+    if (r.bits(1) == 1) { // simple
+      val nSyms = r.bits(1) + 1
+      val s0 = if (r.bits(1) == 1) r.bits(8) else r.bits(1)
+      val lengths = new Array[Int](alphabetSize)
+      if (s0 >= alphabetSize) return None
+      if (nSyms == 1) { lengths(s0) = 1; return Some((Map.empty, s0, 0)) }
+      val s1 = r.bits(8)
+      if (s1 >= alphabetSize || s1 == s0) return None
+      lengths(s0) = 1; lengths(s1) = 1
+      canonical(lengths)
+    } else {
+      val numClc = 4 + r.bits(4)
+      if (numClc > Vp8lClcOrder.length) return None
+      val clcLens = new Array[Int](19)
+      for (i <- 0 until numClc) clcLens(Vp8lClcOrder(i)) = r.bits(3)
+      val clc = canonical(clcLens).getOrElse(return None)
+      var maxSymbol =
+        if (r.bits(1) == 1) { val nb = 2 + 2 * r.bits(3); 2 + r.bits(nb) }
+        else alphabetSize
+      val lengths = new Array[Int](alphabetSize)
+      var sym = 0
+      var prevLen = 8
+      while (sym < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val s = readSymbol(r, clc)
+        if (s < 16) {
+          lengths(sym) = s; sym += 1
+          if (s != 0) prevLen = s
+        } else {
+          val (rep, fill) = s match {
+            case 16 => (3 + r.bits(2), -1) // repeat previous NONZERO length
+            case 17 => (3 + r.bits(3), 0)
+            case _  => (11 + r.bits(7), 0)
+          }
+          var j = 0
+          while (j < rep && sym < alphabetSize) {
+            lengths(sym) = if (fill < 0) prevLen else 0
+            sym += 1; j += 1
+          }
+        }
+      }
+      canonical(lengths)
+    }
+  }
+
+  /** Encode 8-bit gray pixels as a REAL lossless WebP: RIFF/WEBP container,
+    * VP8L chunk, literal-only bitstream (each pixel's g/r/b through full
+    * 256-symbol length-8 prefix codes — transmitted via the code-length
+    * code exactly as the spec prescribes — constant alpha and the unused
+    * distance code as simple codes). Bit-exact round trip by construction;
+    * [[webpDecodeGray]] and MultimodalSpec pin it.
+    */
+  def webpEncodeGrayVp8l(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384 && pixels.length == w * h)
+    val bw = new BitWriter
+    bw.bits(14, (w - 1).toLong)
+    bw.bits(14, (h - 1).toLong)
+    bw.bit(0) // alpha_is_used = 0
+    bw.bits(3, 0L) // version
+    bw.bit(0) // no transforms
+    bw.bit(0) // no color cache
+    bw.bit(0) // no meta prefix
+    // green/red/blue: normal codes, 256 symbols all length 8 (a complete
+    // canonical code where code(s) == s), transmitted as 256 '8's (+ the
+    // 24 unused length symbols as '0's for green)
+    def normal256(alphabetSize: Int): Unit = {
+      bw.bit(0) // not simple
+      bw.bits(4, 11L - 4L) // clc entries up to '8''s slot in the order
+      for (i <- 0 until 11) {
+        val s = Vp8lClcOrder(i)
+        bw.bits(3, if (s == 0 || s == 8) 1L else 0L)
+      }
+      bw.bit(0) // no max_symbol cap
+      // clc canonical over {0, 8}, both length 1: code(0)=0, code(8)=1
+      for (_ <- 0 until 256) bw.code(1, 1) // length 8
+      for (_ <- 256 until alphabetSize) bw.code(1, 0) // length 0
+    }
+    def simple1(sym: Int): Unit = {
+      bw.bit(1); bw.bits(1, 0L) // simple, one symbol
+      bw.bit(1); bw.bits(8, sym.toLong) // 8-bit first symbol
+    }
+    normal256(280) // green + 24 length prefixes (unused) + no cache
+    normal256(256) // red
+    normal256(256) // blue
+    simple1(255) // alpha: constant opaque, 0 bits per pixel
+    simple1(0) // distance: never referenced
+    var p = 0
+    while (p < pixels.length) {
+      val v = pixels(p) & 0xff
+      bw.code(8, v); bw.code(8, v); bw.code(8, v) // g, r, b
+      p += 1
+    }
+    val payload = Array(0x2F.toByte) ++ bw.bytes
+    val padded = if (payload.length % 2 == 1) payload ++ Array[Byte](0) else payload
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + padded.length.toLong) ++
+      "WEBP".getBytes("US-ASCII") ++
+      "VP8L".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ padded
+  }
+
+  /** Decode a lossless WebP to 8-bit gray: RIFF walk to the VP8L chunk
+    * (lossy `VP8 ` payloads and containers without a VP8L chunk fail
+    * closed), then the literal-only subset of the VP8L bitstream — any
+    * transform, color cache, meta prefix, LZ77 backref, color-cache
+    * reference, non-gray pixel (r≠g≠b), or non-opaque alpha returns None
+    * rather than guessing. The container twin of [[jpegDecodeGray]] for
+    * the q216/q264 dHash path.
+    */
+  def webpDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+    def u32le(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (!(b.length >= 20 && ascii(0, "RIFF") && ascii(8, "WEBP"))) return None
+    // chunk walk: first VP8L wins; lossy VP8 / absent VP8L fail closed
+    var i = 12
+    var vp8l = -1
+    var vp8lEnd = -1
+    while (vp8l < 0 && i + 8 <= b.length) {
+      val size = u32le(i + 4)
+      val start = i + 8
+      if (start + size > b.length) return None
+      if (ascii(i, "VP8L")) { vp8l = start; vp8lEnd = start + size.toInt }
+      i = start + size.toInt + (size.toInt & 1)
+    }
+    if (vp8l < 0 || vp8l >= vp8lEnd || b(vp8l) != 0x2F.toByte) return None
+    try {
+      val r = new BitReader(java.util.Arrays.copyOfRange(b, vp8l, vp8lEnd), 1)
+      val w = r.bits(14) + 1
+      val h = r.bits(14) + 1
+      r.bit() // alpha hint
+      if (r.bits(3) != 0) return None // version
+      if (r.bit() != 0) return None // transforms: outside the subset
+      if (r.bit() != 0) return None // color cache
+      if (r.bit() != 0) return None // meta prefix codes
+      val green = readPrefixCode(r, 280).getOrElse(return None)
+      val red = readPrefixCode(r, 256).getOrElse(return None)
+      val blue = readPrefixCode(r, 256).getOrElse(return None)
+      val alpha = readPrefixCode(r, 256).getOrElse(return None)
+      readPrefixCode(r, 40).getOrElse(return None) // distance (unused)
+      val out = new Array[Byte](w * h)
+      var p = 0
+      while (p < out.length) {
+        val g = readSymbol(r, green)
+        if (g >= 256) return None // LZ77/backref/cache: outside the subset
+        val rr = readSymbol(r, red)
+        val bb = readSymbol(r, blue)
+        val aa = readSymbol(r, alpha)
+        if (rr != g || bb != g || aa != 255) return None // not gray/opaque
+        out(p) = g.toByte
+        p += 1
+      }
+      Some((w, h, out))
+    } catch { case _: java.util.NoSuchElementException => None }
   }
 
   /** A minimal spec-valid PCM WAV: fmt chunk + an empty-bodied data chunk
@@ -360,6 +750,63 @@ object Multimodal {
       new Array[Byte](mvhdSize - 8 - body.length)
     be32(16L) ++ "ftyp".getBytes("US-ASCII") ++ "isom".getBytes("US-ASCII") ++ be32(0) ++
       be32(8L + mvhdSize) ++ "moov".getBytes("US-ASCII") ++ mvhd
+  }
+
+  /** A spec-valid MJPEG-in-MP4: ftyp + mdat (the already-encoded JPEG
+    * samples back to back) + moov{mvhd, trak{mdia{minf{stbl{stsd(86-byte
+    * VisualSampleEntry), stsz, stsc, stco}}}}}. Samples are laid out in
+    * chunks of `chunkSize` so the stsc/stco chunk walk is genuinely
+    * exercised (a trailing short chunk gets its own stsc run). Fixture for
+    * [[mp4SampleTable]]/[[mp4DecodeGrayFrames]] and the q263 corpus.
+    */
+  private[scale] def mp4MjpegBytes(samples: Seq[Array[Byte]], w: Int, h: Int,
+                                   fourcc: String = "jpeg",
+                                   chunkSize: Int = 3): Array[Byte] = {
+    require(samples.nonEmpty && chunkSize >= 1 && fourcc.length == 4)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val mdat = box("mdat", samples.flatten.toArray)
+    val mdatStart = 16L + 8L // after ftyp (16) + mdat header (8)
+    val chunks = samples.grouped(chunkSize).toSeq
+    val chunkOffs = chunks.scanLeft(mdatStart)((o, c) => o + c.map(_.length).sum)
+      .dropRight(1)
+    // one stsc run per distinct samples-per-chunk regime (full chunks, then
+    // the short tail if any)
+    val runs = chunks.map(_.length).zipWithIndex
+      .foldLeft(Vector.empty[(Int, Int)]) { case (acc, (spc, ci)) =>
+        if (acc.nonEmpty && acc.last._2 == spc) acc else acc :+ ((ci + 1, spc))
+      }
+    val full = Array[Byte](0, 0, 0, 0) // fullbox version+flags
+    val entry = be32(86L) ++ fourcc.getBytes("US-ASCII") ++
+      new Array[Byte](6) ++ Array[Byte](0, 1) ++ // data_reference_index = 1
+      new Array[Byte](16) ++ // pre_defined/reserved
+      Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++ // 72dpi, reserved
+      Array[Byte](0, 1) ++ new Array[Byte](32) ++ // frame_count=1, name
+      Array[Byte](0, 0x18, -1, -1) // depth = 24, pre_defined = -1
+    val stsd = box("stsd", full ++ be32(1) ++ entry)
+    val stsz = box("stsz", full ++ be32(0) ++ be32(samples.length.toLong) ++
+      samples.flatMap(s => be32(s.length.toLong)).toArray)
+    val stsc = box("stsc", full ++ be32(runs.length.toLong) ++
+      runs.flatMap { case (fc, spc) =>
+        be32(fc.toLong) ++ be32(spc.toLong) ++ be32(1L)
+      }.toArray)
+    val stco = box("stco", full ++ be32(chunkOffs.length.toLong) ++
+      chunkOffs.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", mdia)
+    val mvhd = {
+      val body = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(600L) ++ be32(samples.length.toLong * 25L)
+      be32(108L) ++ "mvhd".getBytes("US-ASCII") ++ body ++
+        new Array[Byte](108 - 8 - body.length)
+    }
+    val moov = box("moov", mvhd ++ trak)
+    be32(16L) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ mdat ++ moov
   }
 
   // ---- real PNG pixel codec (JDK zlib — no external codecs needed) --------
@@ -2008,9 +2455,10 @@ object Multimodal {
       dHash56(luma, w, h)
     case _ =>
       val (w, h, px) = (fmt match {
-        case "png" => pngDecodeGray(bytes)
-        case "gif" => gifDecodeGray(bytes)
-        case _     => jpegDecodeGray(bytes)
+        case "png"  => pngDecodeGray(bytes)
+        case "gif"  => gifDecodeGray(bytes)
+        case "webp" => webpDecodeGray(bytes)
+        case _      => jpegDecodeGray(bytes)
       }).getOrElse(throw new IllegalStateException(s"undecodable $fmt asset $aid"))
       dHash56(px, w, h)
   }
@@ -2677,6 +3125,179 @@ object Multimodal {
       val labels = graft.scale.Cluster.connectedComponents(videoEdges)
         .withColumnRenamed("doc_id", "asset_id")
       frameHashes.select(expr("asset_id div 4").as("asset_id")).distinct()
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // MP4 video near-dup — q221's frame-vote pipeline reaching frames
+    // through the DOMINANT web container: every asset is a spec-valid
+    // MJPEG-in-MP4 (ftyp + mdat + moov with full stsd/stsz/stsc/stco
+    // sample tables, samples chunked 3+1 so the stsc/stco walk is really
+    // exercised), frames are REAL JPEG decodes of the samples
+    // (block-constant under flat quant ⇒ bit-exact, the q214 argument, so
+    // the oracle replays dhash values from md5 arithmetic), and a
+    // frame-DROPPED re-encode (frames 0 and 2 only, fresh JPEG encode,
+    // 2-sample chunk layout) still collects 2 frame votes and clusters to
+    // its base — the verdict's planted law. Perturbed re-encodes split
+    // into their own cluster. Fail-closed laws (fragmented moof, truncated
+    // moov, foreign codecs, lying sample tables) live in MultimodalSpec.
+    Q("q263_mp4_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | vids AS (
+        |  SELECT doc_id AS aid, doc_id AS src, 'base' AS kind FROM ids
+        |  UNION ALL SELECT doc_id + 600000, doc_id, 'drop' FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id, 'pert' FROM ids WHERE doc_id % 10 = 7),
+        | vframes AS (
+        |  SELECT aid, src, kind, f FROM vids CROSS JOIN range(0, 4) t(f)
+        |  WHERE kind <> 'drop' OR f % 2 = 0),
+        | gv AS (
+        |  SELECT aid, f, k,
+        |    CASE WHEN kind = 'pert' AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, kind, f, k,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_f' || CAST(f AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM vframes CROSS JOIN range(0, 64) r(k))),
+        | hsh AS (
+        |  SELECT aid, f,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, f, k, val, lead(val) OVER (PARTITION BY aid, f ORDER BY k) AS nxt
+        |        FROM gv)
+        |  WHERE k % 8 < 7 GROUP BY aid, f),
+        | fpairs AS (
+        |  SELECT a.aid AS ia, b.aid AS ib
+        |  FROM hsh a JOIN hsh b ON a.aid < b.aid
+        |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | vpairs AS (SELECT ia, ib FROM fpairs GROUP BY ia, ib HAVING COUNT(*) >= 2),
+        | sym AS (SELECT ia AS a, ib AS b FROM vpairs
+        |         UNION ALL SELECT ib, ia FROM vpairs
+        |         UNION ALL SELECT ia, ia FROM vpairs
+        |         UNION ALL SELECT ib, ib FROM vpairs),
+        | reach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN sym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | lbl AS (SELECT s AS aid, MIN(t) AS cluster FROM reach GROUP BY s)
+        |SELECT v.aid AS asset_id, COALESCE(l.cluster, v.aid) AS cluster
+        |FROM vids v LEFT JOIN lbl l ON l.aid = v.aid
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = fixtureIds(s, d)
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            def mp4Of(frames: Seq[Array[Byte]]) = mp4MjpegBytes(
+              frames.map(px => jpegEncodeGray(px, 64, 64, JpegFlatQuant8)),
+              64, 64)
+            val base = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+            out += ((id, mp4Of(base.toSeq)))
+            if (id % 10 == 5)
+              out += ((id + 600000, mp4Of(Seq(base(0), base(2)))))
+            if (id % 10 == 7)
+              out += ((id + 700000, mp4Of(
+                Array.tabulate(4)(f => synthFramePixels(id, f, pert = true)).toSeq)))
+            out.iterator
+          }
+        }
+      val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable mjpeg mp4 $vid"))
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          (vid * 4 + f, dHash56(px, w, h))
+        }
+      }).toDF("asset_id", "dhash").localCheckpoint()
+      val framePairs = phashPairs(frameHashes)
+        .select(expr("doc_a div 4").as("va"), expr("doc_b div 4").as("vb"))
+        .filter(col("va") =!= col("vb"))
+      val videoEdges = framePairs.groupBy("va", "vb").count()
+        .filter(col("count") >= 2)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val labels = graft.scale.Cluster.connectedComponents(videoEdges)
+        .withColumnRenamed("doc_id", "asset_id")
+      frameHashes.select(expr("asset_id div 4").as("asset_id")).distinct()
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // WebP stills in the near-dup path — the q216 machinery with the
+    // corpus stored as REAL lossless WebP (the [[webpEncodeGrayVp8l]]
+    // literal bitstream, decoded back through the real VP8L prefix-code
+    // walk): a PNG re-container of the same pixels hashes IDENTICALLY
+    // (lossless ⇒ Hamming 0 ⇒ clusters), and perturbed WebPs ride the
+    // same vote budget as every other container. The oracle replays the
+    // md5 pixel arithmetic exactly as q216 — any bit error anywhere in
+    // either codec half (encoder or decoder) hash-fails. Fail-closed laws
+    // (lossy VP8, transforms, truncation) live in MultimodalSpec.
+    Q("q264_webp_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | gv AS (
+        |  SELECT aid, k,
+        |    CASE WHEN pert AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, k, pert,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM (
+        |      SELECT doc_id AS aid, doc_id AS src, FALSE AS pert FROM ids
+        |      UNION ALL
+        |      SELECT doc_id + 800000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 2
+        |      UNION ALL
+        |      SELECT doc_id + 900000, doc_id, TRUE FROM ids WHERE doc_id % 10 = 7)
+        |    CROSS JOIN range(0, 64) t(k))),
+        | hsh AS (
+        |  SELECT aid,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, k, val, lead(val) OVER (PARTITION BY aid ORDER BY k) AS nxt
+        |        FROM gv)
+        |  WHERE k % 8 < 7 GROUP BY aid),
+        | pairs AS (
+        |  SELECT a.aid AS ia, b.aid AS ib
+        |  FROM hsh a JOIN hsh b ON a.aid < b.aid
+        |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+        | sym AS (SELECT ia AS a, ib AS b FROM pairs
+        |         UNION ALL SELECT ib, ia FROM pairs
+        |         UNION ALL SELECT ia, ia FROM pairs
+        |         UNION ALL SELECT ib, ib FROM pairs),
+        | reach AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.s, e.b FROM r JOIN sym e ON e.a = r.t)
+        |  SELECT s, t FROM r),
+        | lbl AS (SELECT s AS aid, MIN(t) AS cluster FROM reach GROUP BY s)
+        |SELECT h.aid AS asset_id, COALESCE(l.cluster, h.aid) AS cluster
+        |FROM hsh h LEFT JOIN lbl l USING (aid)
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = fixtureIds(s, d)
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val base = synthPixels(id, pert = false)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+            out += ((id, webpEncodeGrayVp8l(base, 64, 64), "webp"))
+            if (id % 10 == 2)
+              out += ((id + 800000, pngEncodeGray(base, 64, 64), "png"))
+            if (id % 10 == 7)
+              out += ((id + 900000,
+                webpEncodeGrayVp8l(synthPixels(id, pert = true), 64, 64), "webp"))
+            out.iterator
+          }
+        }
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val pairs = phashPairs(hashes)
+      val labels = graft.scale.Cluster.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
         .join(labels, Seq("asset_id"), "left")
         .select(col("asset_id"),
           coalesce(col("cluster"), col("asset_id")).as("cluster"))

@@ -72,8 +72,9 @@ object NnDescent {
     * the current edges is rescored, and each node keeps its `k` best
     * (score DESC, id ASC).
     */
-  def descentRound(e: DataFrame, cz: DataFrame, k: Int): DataFrame = {
-    val und = undirected(e, k).localCheckpoint()
+  def descentRound(e: DataFrame, cz: DataFrame, k: Int,
+                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val und = policy.checkpoint(undirected(e, k))
     val pairs = und.select(col("u").as("w"), col("v").as("x1"))
       .join(und.select(col("u").as("w"), col("v").as("x2")), "w")
       .filter(col("x1") =!= col("x2"))
@@ -95,11 +96,12 @@ object NnDescent {
     */
   def buildKnnGraph(corpus: DataFrame, k: Int = 8, iters: Int = 2,
                     buckets: Int = 16, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(k >= 1 && iters >= 1)
-    val cz = codes(corpus, idCol, vecCol).localCheckpoint()
-    var e = initGraph(cz.select("nid"), k, buckets).localCheckpoint()
-    for (_ <- 1 to iters) e = descentRound(e, cz, k).localCheckpoint()
+    val cz = policy.checkpoint(codes(corpus, idCol, vecCol))
+    var e = policy.checkpoint(initGraph(cz.select("nid"), k, buckets))
+    for (_ <- 1 to iters) e = policy.checkpoint(descentRound(e, cz, k, policy))
     e
   }
 
@@ -282,7 +284,8 @@ object NnDescent {
     */
   final class NavIndex(spark: org.apache.spark.sql.SparkSession, root: String,
                        graphK: Int = 8, iters: Int = 2, buckets: Int = 16,
-                       maxChainDepth: Int = 4) {
+                       maxChainDepth: Int = 4,
+                       policy: CheckpointPolicy = CheckpointPolicy.Local) {
     import graft.write.VersionedTable
 
     val codes = new VersionedTable(spark, s"$root/codes")
@@ -294,10 +297,11 @@ object NnDescent {
 
     def build(corpus: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): Unit = {
-      val cz = NnDescent.codes(corpus, idCol, vecCol).localCheckpoint()
+      val cz = policy.checkpoint(NnDescent.codes(corpus, idCol, vecCol))
       codes.promote(codes.stage(cz))
-      var e = initGraph(cz.select("nid"), graphK, buckets).localCheckpoint()
-      for (_ <- 1 to iters) e = descentRound(e, cz, graphK).localCheckpoint()
+      var e = policy.checkpoint(initGraph(cz.select("nid"), graphK, buckets))
+      for (_ <- 1 to iters)
+        e = policy.checkpoint(descentRound(e, cz, graphK, policy))
       graph.promote(graph.stage(e))
     }
 
@@ -376,10 +380,11 @@ object NnDescent {
       */
     def compact(): Unit = {
       val dead = ts.dead()
-      val cz = ts.minus(codes.read()).localCheckpoint()
+      val cz = policy.checkpoint(ts.minus(codes.read()))
       codes.promote(codes.stage(cz))
-      var e = initGraph(cz.select("nid"), graphK, buckets).localCheckpoint()
-      for (_ <- 1 to iters) e = descentRound(e, cz, graphK).localCheckpoint()
+      var e = policy.checkpoint(initGraph(cz.select("nid"), graphK, buckets))
+      for (_ <- 1 to iters)
+        e = policy.checkpoint(descentRound(e, cz, graphK, policy))
       graph.promote(graph.stage(e))
       if (dead.nonEmpty) ts.truncate()
     }
@@ -390,9 +395,21 @@ object NnDescent {
       */
     def probe(queries: DataFrame, k: Int, beam: Int, rounds: Int,
               nSeeds: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              denied: Option[DataFrame] = None): DataFrame = {
+      // filtered search, graph style: `denied` nodes (a metadata
+      // predicate's reject set, one `nid` column) ride the SAME exclusion
+      // as tombstones — walked THROUGH as waypoints, never ranked. For
+      // high-selectivity predicates prefer the IVF family's pushed
+      // metadata postings ([[graft.scale.AnnIndex.probeIvf]]); the graph
+      // walk has no postings scan to push into.
+      val excl = (ts.dead(), denied.map(_.select(col("nid")).distinct())) match {
+        case (Some(a), Some(b)) =>
+          Some(a.select("nid").unionByName(b).distinct())
+        case (a, b) => a.orElse(b)
+      }
       beamProbe(graph.read(), codes.read(), queries, k, beam, rounds, graphK,
-        nSeeds, idCol, vecCol, ts.dead())
+        nSeeds, idCol, vecCol, excl)
     }
 
     /** Purge: [[compact]] when there is anything to purge (drop tombstoned

@@ -136,7 +136,8 @@ object Pq {
     * as [[AnnIndex]].
     */
   def buildIvfPqIndex(corpus: DataFrame, root: String,
-                      nCells: Int = Cells, coarseIters: Int = CoarseIters): IvfPqIndex = {
+                      nCells: Int = Cells, coarseIters: Int = CoarseIters,
+                      metaCols: Seq[String] = Nil): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val g = Kmeans.quantizeGrid(corpus)
@@ -146,9 +147,11 @@ object Pq {
       cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cent")
     val ct = table(spark, root, "coarse"); ct.promote(ct.stage(centsDf(coarse)))
     val bt = table(spark, root, "book");   bt.promote(bt.stage(centsDf(book)))
+    // filterable attributes ride with the PQ codes (the AnnIndex scheme)
     val postings = Kmeans.assignNearest(g, coarse)
-      .select(col("vec_id").cast("long").as("nid"),
-        pqCodesExpr(book, col("gcode")).as("codes"), col("cid"))
+      .select(col("vec_id").cast("long").as("nid") +:
+        pqCodesExpr(book, col("gcode")).as("codes") +: col("cid") +:
+        metaCols.map(col): _*)
     val pt = table(spark, root, "postings")
     pt.promote(pt.stage(postings, Seq("cid")))
     IvfPqIndex(root, nCells)
@@ -275,7 +278,8 @@ object Pq {
     * [[AnnIndex.probeIvf]]).
     */
   def probeIvfPq(spark: SparkSession, root: String, queries: DataFrame,
-                 k: Int, nProbe: Int = 2): DataFrame = {
+                 k: Int, nProbe: Int = 2,
+                 pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val coarse = readCents(spark, root, "coarse")
     val book = readCents(spark, root, "book")
@@ -304,8 +308,10 @@ object Pq {
       .select(col("qid"), col("m").cast("long").as("m"), col("bcid"),
         aggregate(zip_with(col("sub"), col("bcent"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v).as("d"))
-    val postings0 = table(spark, root, "postings").read()
+    val postings1 = table(spark, root, "postings").read()
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    // filtered search: predicate pushed into the codes-only scan, pre-heap
+    val postings0 = pred.fold(postings1)(postings1.filter)
     // tombstoned ids are invisible until compaction drops them physically
     val tt = table(spark, root, "tombstones")
     val postings =

@@ -1,7 +1,7 @@
 package graft.scale
 
 import graft.core.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,62 @@ object Recall {
     // per probe width: cell-pruned candidates → bounded-heap top-k →
     // intersection with the brute ranking. A global agg always yields its
     // row, so a zero-hit width still surfaces as hits=0, never a lost row.
+    val hits = nProbes.map { p =>
+      val cand = post
+        .join(route.filter(col("rrank") <= p).select("qid", "cid"), Seq("cid"))
+        .join(broadcast(qz), Seq("qid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          Similarity.int8Dot(col("qc"), col("cc")).as("score"))
+      Similarity.longScoreTopK(cand, k).select("qid", "nid")
+        .join(brute, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p.toLong).as("n_probe"), col("hits"))
+    }.reduce(_ unionByName _)
+    hits.crossJoin(brute.agg(count(lit(1)).as("possible")))
+      .select(col("n_probe"), col("hits"), col("possible"),
+        expr("hits * 10000 div possible").as("recall_bp"))
+  }
+
+  /** Recall@`k` of FILTERED IVF probing vs the FILTERED brute-force
+    * ranking, at the same probe widths — the recall-under-filter
+    * certification ([[graft.scale.AnnIndex.probeIvf]]'s `pred` path).
+    * Equal budgets by construction: the filter never widens the probed
+    * cell set, it only prunes candidate rows inside it pre-heap, and the
+    * brute side ranks over exactly the rows satisfying `keep`. Output
+    * rows: (n_probe, hits, possible, recall_bp), integer basis points.
+    */
+  def filteredIvfRecallTable(corpus: DataFrame, queries: DataFrame,
+                             keep: Column, k: Int = TopK,
+                             nProbes: Seq[Int] = Probes, nCells: Int = Cells,
+                             iters: Int = Iters): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val g = Kmeans.quantizeGrid(corpus).localCheckpoint()
+    val cents = Kmeans.lloyd(g, nCells, iters)
+    // training and routing see the WHOLE corpus (the index is shared by
+    // every filter); only candidate rows and the brute ranking restrict
+    val post = Kmeans.assignNearest(g, cents)
+      .filter(keep)
+      .select(col("vec_id").cast("long").as("nid"), col("cid"))
+      .join(Similarity.quantizeInt8(corpus)
+        .select(col("vec_id").cast("long").as("nid"), col("qcode").as("cc")), "nid")
+    val qz = Similarity.quantizeInt8(queries)
+      .select(col("vec_id").cast("long").as("qid"), col("qcode").as("qc"))
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cid", "cent")
+    val sq = aggregate(zip_with(col("gcode"), col("cent"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val route = Kmeans.quantizeGrid(queries)
+      .select(col("vec_id").cast("long").as("qid"), col("gcode"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("qid"), col("cid"), sq.as("dist"))
+      .withColumn("rrank",
+        row_number().over(Window.partitionBy("qid").orderBy(col("dist"), col("cid"))))
+      .select("qid", "cid", "rrank")
+      .localCheckpoint()
+    val brute = Similarity.quantizedTopK(corpus.filter(keep), queries, k)
+      .select("qid", "nid").localCheckpoint()
     val hits = nProbes.map { p =>
       val cand = post
         .join(route.filter(col("rrank") <= p).select("qid", "cid"), Seq("cid"))
@@ -378,6 +434,46 @@ object Recall {
 SELECT h.n_probe, h.hits, pos.possible,
        h.hits * 10000 // pos.possible AS recall_bp
 FROM ($union) h, pos
+ORDER BY h.n_probe"""
+  }
+
+  /** The recall-under-filter oracle: [[recallOracle]] with the metadata
+    * predicate (lang='en' ⇔ vec_id % 4 = 0, the q266 fixture rule)
+    * restricting BOTH the brute-force ranking and every probe's candidate
+    * rows — the same Lloyd/routing replay otherwise, so equal budgets are
+    * replayed exactly.
+    */
+  private val filteredRecallOracle: String = {
+    def per(p: Int) = s"""
+ candf$p AS (
+   SELECT r.qid, po.nid,
+          CAST(list_dot_product(q.qc, po.cc) AS BIGINT) AS score
+   FROM rt r
+   JOIN post po ON po.cid = r.cid
+   JOIN qq q ON q.qid = r.qid
+   WHERE r.rrank <= $p AND q.qid <> po.nid AND po.nid % 4 = 0),
+ annf$p AS (
+   SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+     FROM candf$p) WHERE rn <= $TopK),
+ hitf$p AS (
+   SELECT CAST($p AS BIGINT) AS n_probe, CAST(count(1) AS BIGINT) AS hits
+   FROM annf$p a JOIN brkf b ON a.qid = b.qid AND a.nid = b.nid)"""
+    val union = Probes.map(p => s"SELECT n_probe, hits FROM hitf$p")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $coreCtes,
+ bscf AS (SELECT qid, nid, CAST(list_dot_product(qc, cc.cc) AS BIGINT) AS score
+          FROM qq, cc WHERE qid <> nid AND nid % 4 = 0),
+ brkf AS MATERIALIZED (
+   SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+     FROM bscf) WHERE rn <= $TopK),${Probes.map(per).mkString(",")},
+ posf AS (SELECT CAST(count(1) AS BIGINT) AS possible FROM brkf)
+SELECT h.n_probe, h.hits, posf.possible,
+       h.hits * 10000 // posf.possible AS recall_bp
+FROM ($union) h, posf
 ORDER BY h.n_probe"""
   }
 
@@ -835,6 +931,21 @@ ORDER BY family, knob"""
     Q("q149_ann_recall", recallOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       ivfRecallTable(emb, emb.filter(col("vec_id") < NQueries))
+        .orderBy("n_probe")
+    },
+
+    // Recall UNDER A METADATA FILTER at equal probe budgets — the
+    // certification row for filtered ANN serving (verdict item 7): the
+    // same Lloyd-trained index and routing as q149, with lang='en'
+    // (vec_id % 4 = 0) pruning candidate rows pre-heap on the engine side
+    // and restricting both the brute ranking and every probe's candidates
+    // in the oracle's full replay. Any divergence between "filter then
+    // rank" and "rank then filter", or any budget widening, moves a hit
+    // count and hash-fails.
+    Q("q266_ann_filtered_recall", filteredRecallOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      filteredIvfRecallTable(emb, emb.filter(col("vec_id") < NQueries),
+          col("vec_id") % 4 === 0)
         .orderBy("n_probe")
     },
 

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  private def toks(text: Column): Column =
+  private[graft] def toks(text: Column): Column =
     filter(split(text, graft.expressions.Ws.Regex), w => w =!= "")
 
   private def bitlen(c: Column): Column = length(bin(c)).cast("long")

@@ -33,18 +33,19 @@ object SuffixArray {
     * per partition. Output: (doc_id, pos, rank), rank starting at 1 —
     * bit-equal to `dense_rank() OVER (ORDER BY k1, k2)`.
     */
-  private[scale] def denseRank(df: DataFrame): DataFrame = {
+  private[scale] def denseRank(df: DataFrame,
+      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sorted: Dataset[(Long, Long, Long, Long)] = df
+    val sorted: Dataset[(Long, Long, Long, Long)] = policy.checkpoint(df
       .select(col("doc_id").cast("long"), col("pos").cast("long"),
         col("k1").cast("long"), col("k2").cast("long"))
-      .as[(Long, Long, Long, Long)]
       .repartitionByRange(col("k1"), col("k2"))
-      .sortWithinPartitions("k1", "k2")
+      .sortWithinPartitions("k1", "k2"))
       // pin the partitions: both passes below must see identical data
-      // placement (range boundaries come from sampling)
-      .localCheckpoint()
+      // placement (range boundaries come from sampling); both checkpoint
+      // modes preserve it (they snapshot the materialized RDD)
+      .as[(Long, Long, Long, Long)]
     val counts = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var n = 0L
@@ -91,14 +92,15 @@ object SuffixArray {
   private[graft] def denseRankBy(df: DataFrame,
                                  order: Seq[org.apache.spark.sql.Column],
                                  keys: Seq[String],
-                                 rankCol: String): DataFrame = {
+                                 rankCol: String,
+                                 policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
+    val sorted = policy.checkpoint(df
       .repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
+      .sortWithinPartitions(order: _*))
       // pin the partitions: both passes below must see identical data
-      // placement (range boundaries come from sampling)
-      .localCheckpoint()
+      // placement (range boundaries come from sampling); both checkpoint
+      // modes preserve it (they snapshot the materialized RDD)
     val schema = sorted.schema
     val keyIdx = keys.map(schema.fieldIndex).toArray
     val rdd = sorted.rdd
@@ -140,7 +142,8 @@ object SuffixArray {
     * later round, never a global window.
     */
   def suffixRanks(docs: DataFrame, rounds: Int,
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
         w => w =!= "")).as(Seq("pos", "w")))
@@ -148,11 +151,10 @@ object SuffixArray {
     // distinct-token relation is NOT metadata-sized (ids, typos, URLs),
     // so it goes through the distributed rank, never a global window
     val vocabRank = denseRankBy(toks.select("w").distinct(),
-      Seq(col("w")), Seq("w"), "r")
-    var ranks = toks.join(vocabRank, "w")
+      Seq(col("w")), Seq("w"), "r", policy)
+    var ranks = policy.checkpoint(toks.join(vocabRank, "w")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("r").as("rank"))
-      .localCheckpoint()
+        col("r").as("rank")))
     var span = 1L
     for (_ <- 1 to rounds) {
       val nxt = ranks.select(col("doc_id"),
@@ -161,7 +163,7 @@ object SuffixArray {
         .na.fill(0L, Seq("r2")) // past end-of-doc: sentinel 0 < every rank
         .select(col("doc_id"), col("pos"), col("rank").as("k1"),
           col("r2").as("k2"))
-      ranks = denseRank(paired).localCheckpoint()
+      ranks = denseRank(paired, policy)
       span *= 2
     }
     ranks

@@ -49,7 +49,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 final class PostingsIndex(spark: SparkSession, root: String,
                           maxChainDepth: Int = 16,
                           build: DataFrame => DataFrame =
-                            Retrieval.invertedIndex(_, "doc_id", "text")) {
+                            Retrieval.invertedIndex(_, "doc_id", "text"),
+                          maintainSidecars: Boolean = true) {
 
   val postings = new VersionedTable(spark, s"$root/postings")
   private val ts =
@@ -76,15 +77,24 @@ final class PostingsIndex(spark: SparkSession, root: String,
     */
   val stats = new VersionedTable(spark, s"$root/stats")
 
-  /** The batch's (doc_id, len) partial from its postings shape — Σtf for
-    * the tf index, Σ|positions| for the positional index.
+  /** The batch's (doc_id, len) partial, computed scan-locally from the
+    * batch TEXT (token count under the whitespace tokenizer — exactly Σtf
+    * over the doc's postings, since every token lands in one posting; the
+    * same identity for the positional build's Σ|positions|). Zero-token
+    * docs hold no postings and are absent, matching bm25FromIndex's
+    * relation. Projection-only — no shuffle, no dependence on the built
+    * postings, so the sidecar promotes never force a second tokenize or a
+    * batch checkpoint. A custom `build` with a DIFFERENT tokenizer must
+    * pass maintainSidecars = false.
     */
-  private def lenPartial(p: DataFrame): DataFrame = {
-    val tf =
-      if (p.columns.contains("tf")) col("tf").cast("long")
-      else size(col("positions")).cast("long")
-    p.groupBy("doc_id").agg(sum(tf).as("len"))
-  }
+  private def lenPartial(live: DataFrame): DataFrame =
+    live.select(col("doc_id"),
+        size(Retrieval.toks(col("text"))).cast("long").as("len"))
+      .filter(col("len") > 0)
+      // doc_id-sorted so the sidecar's parquet row groups carry tight id
+      // envelopes — the candidate join's only ×index-sized touch is this
+      // narrow two-long columnar scan
+      .sortWithinPartitions("doc_id")
 
   private def statsPartial(lp: DataFrame): DataFrame =
     lp.agg(count(lit(1)).cast("long").as("n_docs"),
@@ -98,8 +108,10 @@ final class PostingsIndex(spark: SparkSession, root: String,
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val tag = s"batch=$batchId"
     val postingsDone = postings.exists && postings.currentTag.contains(tag)
-    val lengthsDone = lengths.exists && lengths.currentTag.contains(tag)
-    val statsDone = stats.exists && stats.currentTag.contains(tag)
+    val lengthsDone = !maintainSidecars ||
+      (lengths.exists && lengths.currentTag.contains(tag))
+    val statsDone = !maintainSidecars ||
+      (stats.exists && stats.currentTag.contains(tag))
     if (postingsDone && lengthsDone && statsDone) return
     val incoming = batch.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull)
@@ -107,21 +119,23 @@ final class PostingsIndex(spark: SparkSession, root: String,
     // would append NEW rows next to its not-yet-purged old rows (see class
     // scaladoc — the append-growth/upsert-growth asymmetry)
     val live = ts.minus(incoming)
-    // one build execution feeds all three promotes
-    val p = build(live).sortWithinPartitions("term").localCheckpoint()
-    val lp = lenPartial(p).localCheckpoint()
+    val p = build(live).sortWithinPartitions("term")
     if (!postingsDone) {
       if (postings.exists) postings.promote(postings.stageAppend(p), Some(tag))
       else postings.promote(postings.stage(p), Some(tag))
     }
-    if (!lengthsDone) {
-      if (lengths.exists) lengths.promote(lengths.stageAppend(lp), Some(tag))
-      else lengths.promote(lengths.stage(lp), Some(tag))
-    }
-    if (!statsDone) {
-      val sp = statsPartial(lp)
-      if (stats.exists) stats.promote(stats.stageAppend(sp), Some(tag))
-      else stats.promote(stats.stage(sp), Some(tag))
+    if (maintainSidecars) {
+      // both partials are narrow batch-text projections (lenPartial doc)
+      if (!lengthsDone) {
+        val lp = lenPartial(live)
+        if (lengths.exists) lengths.promote(lengths.stageAppend(lp), Some(tag))
+        else lengths.promote(lengths.stage(lp), Some(tag))
+      }
+      if (!statsDone) {
+        val sp = statsPartial(lenPartial(live))
+        if (stats.exists) stats.promote(stats.stageAppend(sp), Some(tag))
+        else stats.promote(stats.stage(sp), Some(tag))
+      }
     }
     // chain-depth policy: bounded read cost for a continuous drain
     // (amortized rewrite — see VersionedTable.compactIfNeeded); routed
@@ -190,9 +204,13 @@ final class PostingsIndex(spark: SparkSession, root: String,
     * argument). Rows re-sort by term so the row-group envelopes survive.
     */
   def compact(): Unit = {
-    ts.purgeInto(
-      postings -> ((df: DataFrame) => df.sortWithinPartitions("term")),
-      lengths -> identity[DataFrame] _)
+    if (maintainSidecars)
+      ts.purgeInto(
+        postings -> ((df: DataFrame) => df.sortWithinPartitions("term")),
+        lengths -> identity[DataFrame] _)
+    else
+      ts.purgeInto(
+        postings -> ((df: DataFrame) => df.sortWithinPartitions("term")))
     // Re-base the stats chain on the (now purged) physical sidecar — this
     // restores the `Σ stats == totals(lengths)` invariant after a purge and
     // collapses the per-batch partial chain to one row either way. The one

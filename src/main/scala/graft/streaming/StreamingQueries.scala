@@ -712,8 +712,10 @@ object StreamingQueries {
       val wh = scratchDir("graft-q212")
       val terms = Seq("spark", "merge", "dup")
       val lex = new PostingsIndex(s, s"$wh/lex")
+      // phrase serving never reads doc-length statistics — skip the
+      // per-batch sidecar promotes on the positional twin
       val pos = new PostingsIndex(s, s"$wh/pos",
-        build = df => Retrieval.positionalIndex(df))
+        build = df => Retrieval.positionalIndex(df), maintainSidecars = false)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       for (i <- 0 until 4) {
         val b = docs.filter(pmod(col("doc_id"), lit(4)) === i)

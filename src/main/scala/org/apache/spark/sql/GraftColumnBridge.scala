@@ -32,8 +32,16 @@ object GraftColumnBridge {
     * The reset side is then treated as too big to broadcast, which is the
     * right default for a frame that loops at graph scale.
     */
-  def checkpointFreshStats(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
+  def checkpointFreshStats(df: DataFrame): DataFrame =
+    checkpointFreshStats(df, reliable = false)
+
+  /** As above, with `reliable = true` routing through `Dataset.checkpoint()`
+    * (durable files under the SparkContext checkpoint dir) instead of
+    * executor-memory blocks — the [[graft.scale.CheckpointPolicy.Reliable]]
+    * backing. Same stats reset either way.
+    */
+  def checkpointFreshStats(df: DataFrame, reliable: Boolean): DataFrame = {
+    val cp = if (reliable) df.checkpoint() else df.localCheckpoint()
     cp.queryExecution.analyzed match {
       case lr: execution.LogicalRDD =>
         val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]

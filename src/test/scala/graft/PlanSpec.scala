@@ -282,6 +282,24 @@ class PlanSpec extends SparkSpec {
     assert(idx.nCentroids > 10) // sanity: pruning below is a real cut
   }
 
+  test("filtered probeIvf pushes the metadata predicate into the postings scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .withColumn("lang", expr(
+        "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-fivf").toString + "/ivf"
+    graft.scale.AnnIndex.buildIvfIndex(emb, root, metaCols = Seq("lang"))
+    val plan = planOf(graft.scale.AnnIndex.probeIvf(
+      spark, root, emb.filter(col("vec_id") < 5), 3, nProbe = 2,
+      pred = Some(col("lang") === "en")))
+    // the predicate lands in PushedFilters on the codes-only scan — rows
+    // the filter rejects never reach the scoring heap
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang predicate not pushed to the postings scan:\n$plan")
+    // cid partition pruning is undisturbed by the extra predicate
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cid[^\\]]*\\].*"), plan)
+  }
+
   private def exchangeCount(plan: String): Int =
     plan.linesIterator.count(l =>
       l.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))

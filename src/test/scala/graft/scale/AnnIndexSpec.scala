@@ -347,6 +347,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(new graft.write.VersionedTable(spark, s"$root/postings").currentVersion === v0)
   }
 
+  test("filtered probe == tombstone-delete of the reject set (same machinery, same answer)") {
+    // the semantic contract of filtered ANN: probing WHERE pred is exactly
+    // probing an index whose pred-violating rows were taken down
+    val lang = expr("CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END")
+    val corpus = emb.withColumn("lang", lang)
+    val rootF = tmpRoot("filt")
+    AnnIndex.buildIvfIndex(corpus, rootF, metaCols = Seq("lang"))
+    val filtered = AnnIndex.probeIvf(spark, rootF, queries, 5, nProbe = 65536,
+        pred = Some(col("lang") === "en"))
+      .collect().map(_.toSeq).toSet
+    val rootD = tmpRoot("filtdel")
+    AnnIndex.buildIvfIndex(corpus, rootD, metaCols = Seq("lang"))
+    AnnIndex.deleteFromIvfIndex(
+      corpus.filter(col("lang") =!= "en").select("vec_id"), rootD)
+    val deleted = AnnIndex.probeIvf(spark, rootD, queries, 5, nProbe = 65536)
+      .collect().map(_.toSeq).toSet
+    assert(filtered === deleted && filtered.nonEmpty)
+    // and it equals the filtered brute force at full coverage
+    val brute = Similarity.quantizedTopK(
+        corpus.filter(col("lang") === "en"), queries, 5)
+      .collect().map(_.toSeq).toSet
+    assert(filtered === brute)
+  }
+
   test("rebalanced index serves a full-coverage probe exactly == quantizedTopK") {
     val root = skewedRoot("rebalserve")
     val clump = emb.filter(col("vec_id") < 2)

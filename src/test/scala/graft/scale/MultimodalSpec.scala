@@ -609,6 +609,120 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def mjpegFixture(src: Long, nFrames: Int, fourcc: String = "jpeg") = {
+    val frames = Seq.tabulate(nFrames)(f =>
+      Multimodal.synthFramePixels(src, f, pert = false))
+    (frames, Multimodal.mp4MjpegBytes(
+      frames.map(Multimodal.jpegEncodeGray(_, 64, 64, Multimodal.JpegFlatQuant8)),
+      64, 64, fourcc))
+  }
+
+  private def patchBox(b: Array[Byte], typ: String, at: Int, v: Long): Array[Byte] = {
+    // search only inside moov — JPEG entropy bytes in mdat can collide
+    // with any fourcc
+    def u32(i: Int): Int = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val moovStart = 16 + u32(16) // ftyp is 16 bytes; mdat size at its start
+    val pos = b.indexOfSlice(typ.getBytes("US-ASCII"), moovStart) - 4
+    assert(pos >= 0, s"fixture has no $typ box")
+    val out = b.clone()
+    for (i <- 0 until 4)
+      out(pos + at + i) = ((v >> (8 * (3 - i))) & 0xff).toByte
+    out
+  }
+
+  test("WebP VP8L: gray pixels round-trip bit-exactly through the real prefix-coded bitstream") {
+    for (id <- Seq(3L, 27L, 91L)) {
+      val px = Multimodal.synthPixels(id, pert = false)
+      val b = Multimodal.webpEncodeGrayVp8l(px, 64, 64)
+      val got = Multimodal.webpDecodeGray(b)
+      assert(got.isDefined && got.get._1 === 64 && got.get._2 === 64)
+      assert(got.get._3.toSeq === px.toSeq, s"pixels drifted for $id")
+    }
+    // non-square, incl. width 1 (14-bit field edges exercised elsewhere)
+    val odd = Array.tabulate(5 * 3)(i => (i * 37 % 256).toByte)
+    assert(Multimodal.webpDecodeGray(
+      Multimodal.webpEncodeGrayVp8l(odd, 5, 3)).get._3.toSeq === odd.toSeq)
+    val thin = Array.tabulate(7)(i => (255 - i).toByte)
+    assert(Multimodal.webpDecodeGray(
+      Multimodal.webpEncodeGrayVp8l(thin, 1, 7)).get._3.toSeq === thin.toSeq)
+  }
+
+  test("WebP cross-container law: same pixels as PNG and WebP hash identically") {
+    for (id <- Seq(11L, 42L)) {
+      val px = Multimodal.synthPixels(id, pert = false)
+      val viaWebp = Multimodal.decodeDhash(id,
+        Multimodal.webpEncodeGrayVp8l(px, 64, 64), "webp")
+      val viaPng = Multimodal.decodeDhash(id,
+        Multimodal.pngEncodeGray(px, 64, 64), "png")
+      assert(viaWebp === viaPng)
+    }
+  }
+
+  test("WebP decode fails closed: lossy VP8, transforms, truncation, dimension lies, garbage") {
+    val px = Multimodal.synthPixels(7L, pert = false)
+    val good = Multimodal.webpEncodeGrayVp8l(px, 64, 64)
+    // lossy VP8: same container, different fourcc — never decoded
+    val lossy = good.clone()
+    lossy(15) = ' '.toByte // "VP8L" -> "VP8 "
+    assert(Multimodal.webpDecodeGray(lossy) === None)
+    // a transform bit flipped on: outside the literal subset
+    // (bit position: 32 dims/flags bits after the signature byte => the
+    // transform bit is bit 0 of payload byte 5; payload starts at file
+    // byte 20, so file byte 25)
+    val trans = good.clone()
+    trans(25) = (trans(25) | 0x01).toByte
+    assert(Multimodal.webpDecodeGray(trans) === None)
+    // truncation: mid-bitstream EOF must not yield pixels
+    assert(Multimodal.webpDecodeGray(good.dropRight(32)) === None)
+    // header-only fixture (webpBytes) has no pixel stream behind the dims
+    assert(Multimodal.webpDecodeGray(Multimodal.webpBytes(64, 64)) === None)
+    // not a RIFF at all
+    assert(Multimodal.webpDecodeGray("JFIF nope".getBytes("US-ASCII")) === None)
+  }
+
+  test("MP4 sample walk: MJPEG frames round-trip bit-exactly through stsd/stsz/stsc/stco") {
+    // 4 frames => chunks of 3+1, two stsc runs: the chunk walk is real
+    val (frames, b) = mjpegFixture(11L, 4)
+    val got = Multimodal.mp4DecodeGrayFrames(b)
+    assert(got.isDefined && got.get._1 === 64 && got.get._2 === 64)
+    assert(got.get._3.map(_.toSeq) === frames.map(_.toSeq))
+    // mjpa (QuickTime motion JPEG) shares the path
+    val (f2, b2) = mjpegFixture(12L, 2, fourcc = "mjpa")
+    assert(Multimodal.mp4DecodeGrayFrames(b2).get._3.map(_.toSeq) === f2.map(_.toSeq))
+  }
+
+  test("MP4 cross-container law: the same frames as animated GIF hash identically") {
+    val (frames, b) = mjpegFixture(23L, 4)
+    val gif = Multimodal.gifEncodeGrayAnimated(frames, 64, 64)
+    val viaMp4 = Multimodal.mp4DecodeGrayFrames(b).get._3.map(Multimodal.dHash56(_, 64, 64))
+    val viaGif = Multimodal.gifDecodeGrayFrames(gif).get._3.map(Multimodal.dHash56(_, 64, 64))
+    assert(viaMp4 === viaGif)
+  }
+
+  test("MP4 sample walk fails closed: fragments, truncation, foreign codecs, lying tables") {
+    val (_, b) = mjpegFixture(31L, 4)
+    // fragmented: a top-level moof means samples live in trun tables the
+    // moov walk does not describe — decoding the prefix would be silent loss
+    val moof = Array[Byte](0, 0, 0, 8) ++ "moof".getBytes("US-ASCII")
+    assert(Multimodal.mp4SampleTable(b ++ moof) === None)
+    // truncated moov / lying top-level size
+    assert(Multimodal.mp4SampleTable(b.dropRight(6)) === None)
+    // lossy codec fourccs fail closed rather than decode garbage
+    assert(Multimodal.mp4DecodeGrayFrames(mjpegFixture(31L, 4, fourcc = "avc1")._2) === None)
+    // first chunk offset pointing past the payload
+    assert(Multimodal.mp4SampleTable(
+      patchBox(b, "stco", at = 16, v = b.length.toLong - 1)) === None)
+    // stsc assigning fewer samples than stsz declares (3-sample walk vs 4)
+    assert(Multimodal.mp4SampleTable(
+      patchBox(b, "stsc", at = 20, v = 2L)) === None)
+    // stsc run table not 1-based
+    assert(Multimodal.mp4SampleTable(
+      patchBox(b, "stsc", at = 16, v = 2L)) === None)
+    // not an MP4 at all
+    assert(Multimodal.mp4SampleTable("GIF89a such bytes".getBytes("US-ASCII")) === None)
+  }
+
   test("q221 key law: half-size and dithered frames stay within the vote; dropped keyframes match exactly") {
     for (src <- Seq(5L, 17L, 40L); f <- 0 until 4) {
       val base = Multimodal.synthFramePixels(src, f, pert = false)

@@ -351,4 +351,24 @@ class NnDescentSpec extends SparkSpec {
       .select("nid").as[Long].head()
     assert(top === 3L)
   }
+  test("NavIndex filtered probe (denied set) == tombstone-delete of the same set") {
+    // filtered graph search: denied nodes route like tombstones — walked
+    // THROUGH as waypoints, never ranked — so a metadata reject set and a
+    // takedown of the same ids serve identically
+    val rootA = navRoot("filta"); val rootB = navRoot("filtb")
+    val denied = small.select("vec_id").filter(col("vec_id") % 4 =!= 0)
+    val qs = small.filter(col("vec_id") < 3)
+    val a = new NnDescent.NavIndex(spark, rootA)
+    a.build(small)
+    val filtered = a.probe(qs, k = 5, beam = 8, rounds = 3,
+        denied = Some(denied.select(col("vec_id").cast("long").as("nid"))))
+      .select("qid", "rnk", "nid", "score").collect().map(_.toSeq).toSet
+    val b = new NnDescent.NavIndex(spark, rootB)
+    b.build(small)
+    b.delete(denied)
+    val deleted = b.probe(qs, k = 5, beam = 8, rounds = 3)
+      .select("qid", "rnk", "nid", "score").collect().map(_.toSeq).toSet
+    assert(filtered === deleted && filtered.nonEmpty)
+    assert(!filtered.exists(r => r(2).asInstanceOf[Long] % 4 != 0))
+  }
 }

@@ -210,6 +210,31 @@ class PqSpec extends SparkSpec {
     assert(full().exists(r => r(1).asInstanceOf[Long] == 2L))
   }
 
+  test("filtered PQ probe == tombstone-delete of the reject set; predicate pushed") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("lang", expr(
+        "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val rootF = graft.core.Scratch.dir("graft-pqfilt") + "/ivfpq"
+    Pq.buildIvfPqIndex(emb, rootF, metaCols = Seq("lang"))
+    val filtered = Pq.probeIvfPq(spark, rootF, queries, k = 5,
+        nProbe = Pq.Cells, pred = Some(col("lang") === "en"))
+      .collect().map(_.toSeq).toSet
+    val rootD = graft.core.Scratch.dir("graft-pqfiltdel") + "/ivfpq"
+    Pq.buildIvfPqIndex(emb, rootD, metaCols = Seq("lang"))
+    Pq.deleteFromIvfPqIndex(emb.filter(col("lang") =!= "en").select("vec_id"), rootD)
+    val deleted = Pq.probeIvfPq(spark, rootD, queries, k = 5, nProbe = Pq.Cells)
+      .collect().map(_.toSeq).toSet
+    assert(filtered === deleted && filtered.nonEmpty)
+    // the predicate reaches the codes-only postings scan
+    val plan = Pq.probeIvfPq(spark, rootF, queries, k = 5, nProbe = Pq.Cells,
+        pred = Some(col("lang") === "en"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*lang[^\\]]*\\].*"), plan)
+  }
+
   test("exact duplicates share codes and scores") {
     val base = corpus(10)
     val twins = base.withColumn("vec_id", col("vec_id") + 100)
