@@ -59,7 +59,16 @@ object CheckpointPolicy {
     private[graft] def bound(df: DataFrame): DataFrame = df
   }
 
-  /** Durable round snapshots under `dir` — survives executor loss. */
+  /** Durable round snapshots under `dir` — survives executor loss.
+    *
+    * Retention: each round leaves one snapshot directory; superseded
+    * rounds are garbage once the next round's checkpoint materializes.
+    * Spark reclaims them automatically when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the RDDs go
+    * out of scope as the loop variable rebinds); otherwise sweep `dir`
+    * after the job — either way the LIVE footprint is O(one round), not
+    * O(rounds).
+    */
   final case class Reliable(dir: String) extends CheckpointPolicy {
     private def prepared(df: DataFrame): DataFrame = {
       df.sparkSession.sparkContext.setCheckpointDir(dir)

@@ -409,6 +409,22 @@ object Multimodal {
       }
     }
 
+  /** Container-dispatching video frame decode — animated GIF (GIF89a
+    * signature) or MJPEG MP4 (ftyp at offset 4) by the file's own magic,
+    * None for anything else. The shared ingest entry of the streaming
+    * video index ([[graft.streaming.VideoPhashIndex]]): one index serves
+    * both containers because the frame keys are container-invariant
+    * (the MultimodalSpec cross-container law), so a GIF re-encode of an
+    * MP4 — the most common video near-dup in a crawl — still votes
+    * against the original.
+    */
+  def videoDecodeGrayFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+    if (b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte) gifDecodeGrayFrames(b)
+    else if (b.length >= 12 && b(4) == 'f'.toByte && b(5) == 't'.toByte &&
+        b(6) == 'y'.toByte && b(7) == 'p'.toByte) mp4DecodeGrayFrames(b)
+    else None
+
   // ---- spec-valid header synthesis (fixtures for the real parsers) ---------
 
   private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
@@ -759,7 +775,7 @@ object Multimodal {
     * exercised (a trailing short chunk gets its own stsc run). Fixture for
     * [[mp4SampleTable]]/[[mp4DecodeGrayFrames]] and the q263 corpus.
     */
-  private[scale] def mp4MjpegBytes(samples: Seq[Array[Byte]], w: Int, h: Int,
+  private[graft] def mp4MjpegBytes(samples: Seq[Array[Byte]], w: Int, h: Int,
                                    fourcc: String = "jpeg",
                                    chunkSize: Int = 3): Array[Byte] = {
     require(samples.nonEmpty && chunkSize >= 1 && fourcc.length == 4)

@@ -231,7 +231,11 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
       .select("p_id", "i_id")
   }
 
-  /** Drain one video batch: (asset_id, payload binary) of animated GIFs. */
+  /** Drain one video batch: (asset_id, payload binary) — animated GIFs
+    * and MJPEG MP4s share the sink ([[Multimodal.videoDecodeGrayFrames]]
+    * dispatches on the container magic; frame keys are
+    * container-invariant, so cross-container re-encodes vote).
+    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val tag = s"batch=$batchId"
     if (frames.exists && frames.currentTag.contains(tag)) return
@@ -241,8 +245,8 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
       .select(col("asset_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (vid, bytes) =>
-        val (w, h, fs) = Multimodal.gifDecodeGrayFrames(bytes).getOrElse(
-          throw new IllegalStateException(s"undecodable animated gif $vid"))
+        val (w, h, fs) = Multimodal.videoDecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable video $vid"))
         fs.iterator.zipWithIndex.map { case (px, f) =>
           (vid, f, Multimodal.dHash56(px, w, h))
         }

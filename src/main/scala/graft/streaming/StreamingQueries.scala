@@ -1138,6 +1138,116 @@ object StreamingQueries {
         .orderBy("phase", "asset_id", "f")
     },
 
+    // MIXED-CONTAINER streaming video near-dup: the q223 sink fed GIF and
+    // MP4 payloads IN THE SAME DRAIN, dispatched by container magic
+    // ([[graft.scale.Multimodal.videoDecodeGrayFrames]]) — the crawl
+    // reality where a re-upload re-containers the content. Seeded with
+    // every doc's base frame hashes; arrivals: full MJPEG-MP4 re-encodes
+    // of live videos (+500000 — 4 exact frame votes, DROP: the
+    // cross-container suppression this query exists to certify),
+    // frame-dropped MP4 re-encodes keeping keyframes 0/2 (+600000 — 2
+    // votes, DROP), perturbed GIFs (+700000 — within the Hamming budget,
+    // DROP), and genuinely new MP4s (+800000 — ADMIT through the real
+    // sample-table walk). The oracle regenerates every frame hash from
+    // the md5 arithmetic (JPEG is lossless on the block-constant frames,
+    // GIF always): admission is exactly "fewer than 2 frame matches
+    // against the live set".
+    Q("q267_streaming_video_mp4",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | vids AS (
+        |  SELECT doc_id + 500000 AS aid, doc_id AS src, 'recon' AS kind FROM ids WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 600000, doc_id, 'drop' FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id, 'pert' FROM ids WHERE doc_id % 10 = 7
+        |  UNION ALL SELECT doc_id + 800000, doc_id + 900000, 'new' FROM ids WHERE doc_id % 10 = 3),
+        | vframes AS (
+        |  SELECT aid, src, kind, f,
+        |    CASE WHEN kind = 'drop' THEN 2 * f ELSE f END AS sf
+        |  FROM vids CROSS JOIN range(0, 4) t(f)
+        |  WHERE kind <> 'drop' OR f < 2),
+        | gv AS (
+        |  SELECT aid, f, k,
+        |    CASE WHEN kind = 'pert' AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+        |  FROM (
+        |    SELECT aid, kind, f, k,
+        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_f' || CAST(sf AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |    FROM vframes CROSS JOIN range(0, 64) r(k))),
+        | bgv AS (
+        |  SELECT doc_id AS aid, f, k,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_f' || CAST(f AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+        |  FROM ids CROSS JOIN range(0, 4) t(f) CROSS JOIN range(0, 64) r(k)),
+        | hsh AS (
+        |  SELECT aid, f,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+        |      ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM (SELECT aid, f, k, val, lead(val) OVER (PARTITION BY aid, f ORDER BY k) AS nxt
+        |        FROM (SELECT * FROM gv UNION ALL SELECT * FROM bgv))
+        |  WHERE k % 8 < 7 GROUP BY aid, f),
+        | liveh AS (SELECT aid, f, h FROM hsh WHERE aid < 500000),
+        | arrh AS (SELECT aid, f, h FROM hsh WHERE aid >= 500000),
+        | dropped AS (
+        |  SELECT DISTINCT x.ia FROM (
+        |    SELECT r.aid AS ia, s.aid AS ib, COUNT(*) AS nm
+        |    FROM arrh r JOIN liveh s ON bit_count(xor(r.h, s.h)) <= 6
+        |    GROUP BY r.aid, s.aid) x
+        |  WHERE x.nm >= 2)
+        |SELECT phase, asset_id, f, dhash FROM (
+        |  SELECT aid AS asset_id, f, h AS dhash FROM liveh
+        |  UNION ALL
+        |  SELECT aid, f, h FROM arrh WHERE aid NOT IN (SELECT ia FROM dropped))
+        |CROSS JOIN (SELECT unnest(['served', 'compacted']) AS phase)
+        |ORDER BY phase, asset_id, f""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q267")
+      val s2 = s.newSession()
+      val index = new VideoPhashIndex(s, s"$wh/vphi")
+      import graft.scale.{Multimodal => M}
+      locally {
+        import s.implicits._
+        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            (0 until 4).iterator.map(f =>
+              (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
+          })
+          .toDF("asset_id", "f", "dhash")
+        index.seed(seedHashes)
+      }
+      val arrivals = {
+        import s2.implicits._
+        Streaming.docsStream(s2, d).select(col("doc_id"))
+          .repartition(s2.sparkContext.defaultParallelism).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def frames(src: Long, pert: Boolean) =
+              Array.tabulate(4)(f => M.synthFramePixels(src, f, pert))
+            def mp4Of(fs: Seq[Array[Byte]]) = M.mp4MjpegBytes(
+              fs.map(px => M.jpegEncodeGray(px, 64, 64, M.JpegFlatQuant8)), 64, 64)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+            if (id % 10 == 1)
+              out += ((id + 500000, mp4Of(frames(id, pert = false).toSeq)))
+            if (id % 10 == 5) {
+              val fs = frames(id, pert = false)
+              out += ((id + 600000, mp4Of(Seq(fs(0), fs(2)))))
+            }
+            if (id % 10 == 7)
+              out += ((id + 700000, M.gifEncodeGrayAnimated(
+                frames(id, pert = true).toSeq, 64, 64)))
+            if (id % 10 == 3)
+              out += ((id + 800000, mp4Of(frames(id + 900000, pert = false).toSeq)))
+            out.iterator
+          })
+          .toDF("asset_id", "payload")
+      }
+      PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
+        .awaitTermination()
+      val served = index.served()
+        .withColumn("phase", lit("served")).localCheckpoint()
+      index.compactPurge()
+      served.unionByName(index.served().withColumn("phase", lit("compacted")))
+        .select(col("phase"), col("asset_id").cast("long").as("asset_id"),
+          col("f").cast("int").as("f"), col("dhash").cast("long").as("dhash"))
+        .orderBy("phase", "asset_id", "f")
+    },
+
     // Streaming AUDIO near-dup — the q220 envelope-hash scheme as a
     // continuous ingest through the SAME PhashIndex that serves images
     // (the hash kernel dispatches on fmt: a WAV payload decodes through

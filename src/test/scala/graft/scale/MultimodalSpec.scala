@@ -698,6 +698,14 @@ class MultimodalSpec extends SparkSpec {
     val viaMp4 = Multimodal.mp4DecodeGrayFrames(b).get._3.map(Multimodal.dHash56(_, 64, 64))
     val viaGif = Multimodal.gifDecodeGrayFrames(gif).get._3.map(Multimodal.dHash56(_, 64, 64))
     assert(viaMp4 === viaGif)
+    // the container dispatch routes each magic to its decoder, and only
+    // recognized video containers decode at all
+    assert(Multimodal.videoDecodeGrayFrames(b).get._3.map(_.toSeq) ===
+      Multimodal.mp4DecodeGrayFrames(b).get._3.map(_.toSeq))
+    assert(Multimodal.videoDecodeGrayFrames(gif).get._3.map(_.toSeq) ===
+      Multimodal.gifDecodeGrayFrames(gif).get._3.map(_.toSeq))
+    assert(Multimodal.videoDecodeGrayFrames(
+      Multimodal.pngEncodeGray(frames.head, 64, 64)) === None)
   }
 
   test("MP4 sample walk fails closed: fragments, truncation, foreign codecs, lying tables") {
