@@ -88,6 +88,73 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Surgical span-level eval decontamination: EXCISE every `n`-token span
+    * of a corpus document that also occurs in the eval set, keeping the
+    * rest of the document — the Lee et al. (ACL 2022) recommendation over
+    * dropping whole documents, which wastes the uncontaminated 99% of a
+    * long page that quotes one benchmark question. [[contaminatedDocs]]
+    * answers "WHICH docs overlap"; this rewrites them.
+    *
+    * Mechanics: positional `n`-grams (per-doc lead window) are matched
+    * against the eval set's distinct gram md5s (broadcast — the eval side
+    * is metadata-sized by contract); matched starts become ±1 interval
+    * events; a per-doc running sum marks covered tokens (the q255
+    * coverage trick — no range join); survivors re-join in document
+    * order. Output (doc_id, clean_text, n_scrubbed), total over the
+    * corpus — a fully-quoted doc keeps '' with n_scrubbed = its length.
+    * md5 keys (not xxhash) so the whole rewrite replays in the oracle.
+    *
+    * Scale shape: one broadcast hash join on 16-byte keys over the
+    * corpus gram stream, per-doc windows only — text never rides a wide
+    * shuffle until the per-doc rebuild's own keyed aggregation.
+    */
+  def scrubEvalSpans(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    def posGrams(df: DataFrame) = {
+      val toks = df.select(col("doc_id"),
+        posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+          w => w =!= "")).as(Seq("p", "t")))
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      toks.withColumn("g", concat_ws(" ", (0 until n).map(o =>
+          lead(col("t"), o).over(Window.partitionBy("doc_id").orderBy("p"))): _*))
+        .join(lens, "doc_id")
+        .filter(col("p") + n <= col("__n"))
+        .select(col("doc_id"), col("p").cast("long").as("p"),
+          md5(col("g")).as("h"))
+    }
+    val evalG = posGrams(evalDocs).select("h").distinct()
+    val hits = posGrams(corpus).join(broadcast(evalG), "h")
+      .select(col("doc_id"), col("p"))
+    val events = hits.select(col("doc_id"), col("p").as("pos"), lit(1L).as("ev"))
+      .unionByName(hits.select(col("doc_id"), (col("p") + n).as("pos"),
+        lit(-1L).as("ev")))
+      .groupBy("doc_id", "pos").agg(sum("ev").as("ev"))
+    val toks = corpus.select(col("doc_id"),
+        posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+          w => w =!= "")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
+    val covered = toks.join(events, Seq("doc_id", "pos"), "left")
+      .na.fill(0L, Seq("ev"))
+      .withColumn("cov", sum("ev").over(Window.partitionBy("doc_id")
+        .orderBy("pos").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val kept = covered.filter(col("cov") === 0)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("w")))), s => s.getField("w")), " ")
+          .as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))
+    corpus.select(col("doc_id")).join(lens, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("__len"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_scrubbed"))
+  }
+
   /** PII scrubbing: redact emails and phone numbers with fixed placeholder
     * tokens, reporting per-doc redaction counts. Pure regexp projection —
     * codegen'd, zero shuffle, scans at parquet-read speed; patterns are kept
@@ -2489,6 +2556,62 @@ object Curation {
           concat(col("text"), lit(" " + SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
       winnowFingerprints(fixed).orderBy("doc_id", "pos")
+    },
+
+    // Span-level eval decontamination (Lee et al. ACL 2022's surgical
+    // form): the eval set is the 16-token planted phrase; every 7th doc
+    // quotes it as a tail, and the scrub must excise EXACTLY the quoted
+    // tokens (all 8-gram matches' coverage union = the 16-token tail) and
+    // keep the rest of the document verbatim — whole-doc dropping would
+    // lose the other ~200 tokens. The oracle replays gram hashing, the
+    // interval-event coverage, and the token-order rebuild; any off-by-one
+    // in window bounds or event edges moves a token and hash-fails.
+    Q("q268_eval_span_scrub",
+      s"""WITH fix AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 7 = 0
+         |        THEN text || ' ${SuffixArray.PlantedPhrase}' ELSE text END AS text
+         | FROM documents),
+         | tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM fix),
+         | t AS (SELECT doc_id, s.p AS pos, s.w FROM
+         |   (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'p': CAST(i - 1 AS BIGINT), 'w': ts[i]})) AS s FROM tl) q),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |          md5(array_to_string(ts[i : i + 7], ' ')) AS h
+         |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+         |              FROM tl WHERE len(ts) >= 8) q),
+         | etl AS (SELECT list_filter(string_split_regex(
+         |           '${SuffixArray.PlantedPhrase}', '[ \\t\\n\\f\\r]+'),
+         |           x -> x <> '') AS ts),
+         | egr AS (SELECT DISTINCT md5(array_to_string(ts[i : i + 7], ' ')) AS h
+         |         FROM (SELECT ts, unnest(range(1, len(ts) - 6)) AS i
+         |               FROM etl WHERE len(ts) >= 8) q),
+         | hits AS (SELECT gr.doc_id, gr.p FROM gr JOIN egr USING (h)),
+         | ev AS (SELECT doc_id, pos, CAST(sum(e) AS BIGINT) AS ev FROM (
+         |   SELECT doc_id, p AS pos, 1 AS e FROM hits
+         |   UNION ALL SELECT doc_id, p + 8, -1 FROM hits) q GROUP BY 1, 2),
+         | cov AS (SELECT t.doc_id, t.pos, t.w,
+         |   sum(coalesce(ev.ev, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS cov
+         |  FROM t LEFT JOIN ev ON t.doc_id = ev.doc_id AND t.pos = ev.pos),
+         | clean AS (SELECT doc_id,
+         |   string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |   CAST(count(1) AS BIGINT) AS kept
+         |  FROM cov WHERE cov = 0 GROUP BY 1),
+         | ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tl)
+         |SELECT f.doc_id, coalesce(c.clean_text, '') AS clean_text,
+         |  CAST(coalesce(ln.n, 0) - coalesce(c.kept, 0) AS BIGINT) AS n_scrubbed
+         |FROM fix f
+         |LEFT JOIN ln ON f.doc_id = ln.doc_id
+         |LEFT JOIN clean c ON f.doc_id = c.doc_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      val evalSet = Seq((0L, SuffixArray.PlantedPhrase)).toDF("doc_id", "text")
+      scrubEvalSpans(corpus, evalSet, n = 8).orderBy("doc_id")
     },
 
     // Winnowing plagiarism candidates: doc pairs sharing a fingerprint

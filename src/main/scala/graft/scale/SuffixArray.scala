@@ -169,6 +169,60 @@ object SuffixArray {
     ranks
   }
 
+  /** The non-canonical repeated-span occurrences' token coverage: every
+    * corpus token tagged with how many dropped spans cover it (`cov` > 0
+    * ⟺ the token duplicates an earlier canonical occurrence). Drops
+    * become ±1 interval events and a per-doc running sum marks coverage —
+    * no range join, no global window. Shared by [[spanDedupRewrite]]
+    * (keeps cov = 0) and [[dupTokenProfile]] (counts cov > 0).
+    */
+  private def dropCoverage(docs: DataFrame, rounds: Int,
+                           textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanLen = 1L << rounds
+    val occ = repeatedSpans(docs, rounds, textCol)
+    val firsts = occ.groupBy("span_grp")
+      .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_key"))
+    val drops = occ.join(firsts, "span_grp")
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    val events = drops.select(col("doc_id"), col("pos"), lit(1L).as("ev"))
+      .unionByName(drops.select(col("doc_id"),
+        (col("pos") + spanLen).as("pos"), lit(-1L).as("ev")))
+      .groupBy("doc_id", "pos").agg(sum("ev").as("ev"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
+    toks.join(events, Seq("doc_id", "pos"), "left")
+      .na.fill(0L, Seq("ev"))
+      .withColumn("cov", sum("ev").over(Window.partitionBy("doc_id")
+        .orderBy("pos").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+  }
+
+  /** Corpus duplication-rate profile — the headline "what fraction of the
+    * corpus is exact duplicate text" number (Lee et al. ACL 2022 report
+    * it first for every corpus they dedup), bucketed so the SHAPE is
+    * visible too: per doc, the share of tokens covered by non-canonical
+    * repeated >= 2^rounds-token spans, in integer basis points; docs
+    * grouped into rate deciles (rate_bp div 1000), each bucket reporting
+    * doc count, duplicate-token mass, and total tokens. Zero-token docs
+    * carry no tokens and are excluded. Same machinery as the rewrite —
+    * this is the measure, that is the cut.
+    */
+  def dupTokenProfile(docs: DataFrame, rounds: Int,
+                      textCol: String = "text"): DataFrame =
+    dropCoverage(docs, rounds, textCol)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cov") > 0, 1L).otherwise(0L)).as("dup"))
+      .select(expr("(dup * 10000) div n div 1000").as("decile"),
+        col("n"), col("dup"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("dup").as("dup_tokens"),
+        sum("n").as("tokens"))
+
   /** Every corpus position opening an EXACT repeated span of
     * `2^rounds` tokens: positions with at least 2^rounds tokens left in
     * their document, grouped by suffix rank — a group of size >= 2 IS a
@@ -221,28 +275,7 @@ object SuffixArray {
     */
   def spanDedupRewrite(docs: DataFrame, rounds: Int,
                        textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spanLen = 1L << rounds
-    val occ = repeatedSpans(docs, rounds, textCol)
-    val firsts = occ.groupBy("span_grp")
-      .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_key"))
-    val drops = occ.join(firsts, "span_grp")
-      .filter(col("doc_id") * 1000000L + col("pos") =!= col("first_key"))
-      .select(col("doc_id"), col("pos"))
-    val events = drops.select(col("doc_id"), col("pos"), lit(1L).as("ev"))
-      .unionByName(drops.select(col("doc_id"),
-        (col("pos") + spanLen).as("pos"), lit(-1L).as("ev")))
-      .groupBy("doc_id", "pos").agg(sum("ev").as("ev"))
-    val toks = docs.select(col("doc_id"),
-      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
-        w => w =!= "")).as(Seq("p", "w")))
-      .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
-    val covered = toks.join(events, Seq("doc_id", "pos"), "left")
-      .na.fill(0L, Seq("ev"))
-      .withColumn("cov", sum("ev").over(Window.partitionBy("doc_id")
-        .orderBy("pos").rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-    val kept = covered.filter(col("cov") === 0)
+    val kept = dropCoverage(docs, rounds, textCol).filter(col("cov") === 0)
       .groupBy("doc_id")
       .agg(array_join(transform(array_sort(collect_list(
         struct(col("pos"), col("w")))), s => s.getField("w")), " ")
@@ -381,6 +414,58 @@ object SuffixArray {
           concat(col("text"), lit(" " + PlantedPhrase)))
           .otherwise(col("text")).as("text"))
       spanDedupRewrite(fixed, rounds = 4).orderBy("doc_id")
+    },
+
+    // Corpus duplication-rate profile: the q255 coverage measured instead
+    // of cut — per doc, the basis-point share of tokens covered by
+    // non-canonical repeated 16-token spans, bucketed into deciles with
+    // doc counts and token masses. The planted tail (~7% of each planted
+    // doc) lands the %7 docs in a nonzero decile while clean docs report
+    // decile 0 with dup_tokens = 0; the oracle replays all 4 doubling
+    // rounds, the drop decision, the coverage sum, and the bucketing.
+    Q("q269_dup_token_profile",
+      s"""WITH fix AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
+         |        ELSE text END AS text FROM documents),
+         | tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM fix),
+         | t AS (SELECT doc_id, s.p AS pos, s.w FROM
+         |   (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'p': CAST(i - 1 AS BIGINT), 'w': ts[i]})) AS s FROM tl) q),
+         | r0 AS (SELECT doc_id, pos,
+         |   CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank FROM t),
+         |${Seq((1, 1L), (2, 2L), (3, 4L), (4, 8L))
+            .map { case (i, o) => spanRoundSql(i, o) }.mkString(",\n")},
+         | ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tl),
+         | el AS (SELECT r4.rank, r4.doc_id, r4.pos FROM r4 JOIN ln USING (doc_id)
+         |        WHERE r4.pos + 16 <= ln.n),
+         | keep AS (SELECT rank, min(doc_id * 1000000 + pos) AS first_key,
+         |                 count(1) AS c
+         |          FROM el GROUP BY 1),
+         | drops AS (SELECT el.doc_id, el.pos FROM el
+         |           JOIN keep ON el.rank = keep.rank
+         |           WHERE keep.c > 1
+         |             AND el.doc_id * 1000000 + el.pos <> keep.first_key),
+         | ev AS (SELECT doc_id, pos, CAST(sum(e) AS BIGINT) AS ev FROM (
+         |   SELECT doc_id, pos, 1 AS e FROM drops
+         |   UNION ALL SELECT doc_id, pos + 16, -1 FROM drops) q GROUP BY 1, 2),
+         | cov AS (SELECT t.doc_id, t.pos,
+         |   sum(coalesce(ev.ev, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS cov
+         |  FROM t LEFT JOIN ev ON t.doc_id = ev.doc_id AND t.pos = ev.pos),
+         | perdoc AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n,
+         |   CAST(sum(CASE WHEN cov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dup
+         |  FROM cov GROUP BY 1)
+         |SELECT (dup * 10000 // n) // 1000 AS decile,
+         |  CAST(count(1) AS BIGINT) AS n_docs,
+         |  CAST(sum(dup) AS BIGINT) AS dup_tokens,
+         |  CAST(sum(n) AS BIGINT) AS tokens
+         |FROM perdoc GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
+      val fixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      dupTokenProfile(fixed, rounds = 4).orderBy("decile")
     },
   )
 }

@@ -880,6 +880,39 @@ class CurationSpec extends SparkSpec {
       Seq((5L, "a b c d e f")).toDF("doc_id", "text")).count() === 0L)
   }
 
+  test("scrubEvalSpans: quoted spans excised exactly, the rest verbatim; idempotent") {
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"intro words here $phrase closing words"), // quotes the eval
+      (2L, phrase),                                    // IS the eval quote
+      (3L, "totally unrelated document text body"),    // untouched
+      (4L, "short doc")).toDF("doc_id", "text")        // shorter than n
+    val evalSet = Seq((0L, phrase)).toDF("doc_id", "text")
+    val out = Curation.scrubEvalSpans(corpus, evalSet, n = 5)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("intro words here closing words", 10L)))
+    assert(out(2L) === (("", 10L)))
+    assert(out(3L) === (("totally unrelated document text body", 0L)))
+    assert(out(4L) === (("short doc", 0L)))
+    // idempotent: nothing quotable survives the first pass
+    val again = Curation.scrubEvalSpans(
+        out.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("doc_id", "text"),
+        evalSet, n = 5)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === out.map { case (id, (t, _)) => id -> ((t, 0L)) })
+  }
+
+  test("scrubEvalSpans: overlapping and adjacent quotes merge into one covered interval") {
+    // doc repeats the eval phrase twice back to back: coverage must be the
+    // whole 2x span (interval events nest), not a torn middle
+    val phrase = "one two three four five"
+    val corpus = Seq((1L, s"$phrase $phrase tail words")).toDF("doc_id", "text")
+    val evalSet = Seq((0L, phrase)).toDF("doc_id", "text")
+    val out = Curation.scrubEvalSpans(corpus, evalSet, n = 5)
+      .as[(Long, String, Long)].collect().head
+    assert(out === ((1L, "tail words", 10L)))
+  }
+
   test("termDrift: an emergent term tops the drift table; absent sides rate 0") {
     val before = Seq((0L, "alpha beta alpha gamma")).toDF("doc_id", "text")
     val after = Seq((1L, "alpha beta meme meme")).toDF("doc_id", "text")

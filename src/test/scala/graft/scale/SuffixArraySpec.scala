@@ -82,6 +82,19 @@ class SuffixArraySpec extends SparkSpec {
     assert(gm.map(t => (t._2, t._3)).toSet === Set((9L, 0L), (9L, 1L)))
   }
 
+  test("dupTokenProfile: deciles partition the docs, masses conserve, canonical stays clean") {
+    // 4-token spans (rounds = 2); doc 1 is canonical, doc 2 fully
+    // duplicates it (decile 10), doc 3 is clean (decile 0 with doc 1)
+    val dup = "a b c d"
+    val d = Seq((1L, dup), (2L, dup), (3L, "p q r s")).toDF("doc_id", "text")
+    val out = SuffixArray.dupTokenProfile(d, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(0L -> ((2L, 0L, 8L)), 10L -> ((1L, 4L, 4L))))
+    // totals: every token accounted for exactly once across buckets
+    assert(out.values.map(_._3).sum === 12L)
+  }
+
   test("spanDedupRewrite: the canonical occurrence survives, drops are cut, untouched docs pass verbatim") {
     val d = Seq((1L, "p q r s a b c d"), (2L, "z z p q r s w"), (3L, "u v"))
       .toDF("doc_id", "text")
