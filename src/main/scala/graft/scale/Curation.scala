@@ -155,6 +155,27 @@ object Curation {
           .as("n_scrubbed"))
   }
 
+  /** The page-level crawl opt-out robots.txt cannot express: a
+    * `<meta name=robots>` whose content lists `noindex` (the Robots Meta
+    * Tag protocol — googlebot et al. honor it; a polite corpus must too).
+    * Both attribute orders, any case, optional quotes; value matching is
+    * exact on `robots` (quoted, or unquoted followed by a delimiter), so
+    * `name="robotsxyz"` and `name="keywords" content="noindex"` never
+    * flag. Pure codegen'd regex projection — zero shuffle; the patterns
+    * stay in the RE2 ∩ java.util.regex subset so the oracle replays them
+    * verbatim.
+    */
+  val MetaNoindexFwRe: String =
+    "(?is)<meta[^>]*name[ \\t\\r\\n]*=[ \\t\\r\\n]*" +
+      "(\"robots\"|'robots'|robots[ \\t\\r\\n>])" +
+      "[^>]*content[ \\t\\r\\n]*=[ \\t\\r\\n]*[\"']?[^\"'>]*noindex"
+  val MetaNoindexRevRe: String =
+    "(?is)<meta[^>]*content[ \\t\\r\\n]*=[ \\t\\r\\n]*[\"']?[^\"'>]*noindex" +
+      "[^>]*name[ \\t\\r\\n]*=[ \\t\\r\\n]*(\"robots\"|'robots'|robots[ \\t\\r\\n>])"
+
+  def metaRobotsNoindex(html: Column): Column =
+    html.isNotNull && (html.rlike(MetaNoindexFwRe) || html.rlike(MetaNoindexRevRe))
+
   /** PII scrubbing: redact emails and phone numbers with fixed placeholder
     * tokens, reporting per-doc redaction counts. Pure regexp projection —
     * codegen'd, zero shuffle, scans at parquet-read speed; patterns are kept
@@ -2612,6 +2633,51 @@ object Curation {
           .otherwise(col("text")).as("text"))
       val evalSet = Seq((0L, SuffixArray.PlantedPhrase)).toDF("doc_id", "text")
       scrubEvalSpans(corpus, evalSet, n = 8).orderBy("doc_id")
+    },
+
+    // Meta-robots noindex screening: the page-level opt-out a crawl must
+    // honor before a page enters the corpus. Six planted classes: quoted
+    // noindex (flag), reversed-attribute single-quoted caps NOINDEX
+    // (flag), index-follow (pass), a name="keywords" content="noindex"
+    // decoy (pass — content matching without name matching must not
+    // flag), fully unquoted attributes (flag), and no meta at all (pass).
+    // The SAME regex constants run on both engines (RE2 ∩ java.util.regex
+    // subset), so any pattern drift hash-fails.
+    Q("q271_meta_noindex",
+      s"""WITH h AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 7 AS INT)
+         |    WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>' || text || '</body></html>'
+         |    WHEN 1 THEN '<html><head><META CONTENT=''NOINDEX, NOFOLLOW'' NAME=''ROBOTS''></head><body>' || text || '</body></html>'
+         |    WHEN 2 THEN '<html><head><meta name="robots" content="index, follow"></head><body>' || text || '</body></html>'
+         |    WHEN 3 THEN '<html><head><meta name="keywords" content="noindex"></head><body>' || text || '</body></html>'
+         |    WHEN 4 THEN '<html><head><meta name=robots content=noindex></head><body>' || text || '</body></html>'
+         |    ELSE '<html><body>' || text || '</body></html>' END AS html
+         | FROM documents)
+         |SELECT doc_id,
+         |  (regexp_matches(html, '${MetaNoindexFwRe.replace("'", "''")}')
+         |   OR regexp_matches(html, '${MetaNoindexRevRe.replace("'", "''")}')) AS noindex
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val html = expr("CAST(doc_id % 7 AS INT)")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(html === 0, concat(lit("<html><head><meta name=\"robots\" " +
+            "content=\"noindex, nofollow\"></head><body>"), col("text"),
+            lit("</body></html>")))
+          .when(html === 1, concat(lit("<html><head><META CONTENT='NOINDEX, " +
+            "NOFOLLOW' NAME='ROBOTS'></head><body>"), col("text"),
+            lit("</body></html>")))
+          .when(html === 2, concat(lit("<html><head><meta name=\"robots\" " +
+            "content=\"index, follow\"></head><body>"), col("text"),
+            lit("</body></html>")))
+          .when(html === 3, concat(lit("<html><head><meta name=\"keywords\" " +
+            "content=\"noindex\"></head><body>"), col("text"),
+            lit("</body></html>")))
+          .when(html === 4, concat(lit("<html><head><meta name=robots " +
+            "content=noindex></head><body>"), col("text"),
+            lit("</body></html>")))
+          .otherwise(concat(lit("<html><body>"), col("text"),
+            lit("</body></html>"))).as("html"))
+      docs.select(col("doc_id"), metaRobotsNoindex(col("html")).as("noindex"))
+        .orderBy("doc_id")
     },
 
     // Winnowing plagiarism candidates: doc pairs sharing a fingerprint

@@ -380,7 +380,8 @@ object Pq {
     * for the codebook training + encode pair of scans.
     */
   def buildIvfPqResidualIndex(corpus: DataFrame, root: String,
-                              nCells: Int = Cells, coarseIters: Int = CoarseIters): IvfPqIndex = {
+                              nCells: Int = Cells, coarseIters: Int = CoarseIters,
+                              metaCols: Seq[String] = Nil): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def centsDf(cs: Array[Array[Long]], idc: String, cc: String) =
@@ -388,10 +389,11 @@ object Pq {
     val g = Kmeans.quantizeGrid(corpus)
     val coarse = Kmeans.lloyd(g, nCells, coarseIters)
     val withRes = Kmeans.assignNearest(g, coarse)
-      .select(col("vec_id"), col("gcode"), col("cid"))
+      .select(col("vec_id") +: col("gcode") +: col("cid") +: metaCols.map(col): _*)
       .join(broadcast(centsDf(coarse, "ccid", "ccent")), col("cid") === col("ccid"))
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("gcode"), col("ccent"), (a, b) => a - b + lit(ResOffset)).as("rcode"))
+      .select(col("vec_id") +: col("cid") +:
+        zip_with(col("gcode"), col("ccent"),
+          (a, b) => a - b + lit(ResOffset)).as("rcode") +: metaCols.map(col): _*)
       .localCheckpoint()
     val subs = withRes.select(col("vec_id"),
         posexplode(array((0 until M).map(m =>
@@ -400,8 +402,9 @@ object Pq {
     val book = Kmeans.lloyd(subs, K, Iters, idCol = "sid", codeCol = "sub")
     val ct = table(spark, root, "coarse"); ct.promote(ct.stage(centsDf(coarse, "cid", "cent")))
     val bt = table(spark, root, "book");   bt.promote(bt.stage(centsDf(book, "cid", "cent")))
-    val postings = withRes.select(col("vec_id").cast("long").as("nid"),
-      pqCodesExpr(book, col("rcode")).as("codes"), col("cid"))
+    val postings = withRes.select(col("vec_id").cast("long").as("nid") +:
+      pqCodesExpr(book, col("rcode")).as("codes") +: col("cid") +:
+      metaCols.map(col): _*)
     val pt = table(spark, root, "postings")
     pt.promote(pt.stage(postings, Seq("cid")))
     IvfPqIndex(root, nCells)
@@ -414,7 +417,8 @@ object Pq {
     * broadcast-small-queries contract.
     */
   def probeIvfPqResidual(spark: SparkSession, root: String, queries: DataFrame,
-                         k: Int, nProbe: Int = 2): DataFrame = {
+                         k: Int, nProbe: Int = 2,
+                         pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val coarse = readCents(spark, root, "coarse")
     val book = readCents(spark, root, "book")
@@ -442,8 +446,10 @@ object Pq {
       .select(col("qid"), col("cid"), col("m").cast("long").as("m"), col("bcid"),
         aggregate(zip_with(col("sub"), col("bcent"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v).as("d"))
-    val postings = table(spark, root, "postings").read()
+    val postings0 = table(spark, root, "postings").read()
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    // filtered search: predicate pushed into the codes-only scan, pre-heap
+    val postings = pred.fold(postings0)(postings0.filter)
     postings.join(broadcast(route.select("qid", "cid")), Seq("cid"))
       .select(col("qid"), col("cid"), col("nid"), posexplode(col("codes")).as(Seq("m", "bcid")))
       .withColumn("m", col("m").cast("long"))

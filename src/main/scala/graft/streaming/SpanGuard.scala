@@ -25,7 +25,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 final class SpanGuardIndex(spark: SparkSession, root: String,
                            maxChainDepth: Int = 16, n: Int = 16,
-                           spanFn: Option[DataFrame => DataFrame] = None) {
+                           spanFn: Option[DataFrame => DataFrame] = None,
+                           growSpans: Boolean = true) {
 
   val spans = new VersionedTable(spark, s"$root/spans")
   val admitted = new VersionedTable(spark, s"$root/admitted")
@@ -47,10 +48,24 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
         .distinct()
   }
 
+  /** Seed the poisoned span set from a REFERENCE relation (doc_id, text)
+    * without admitting it — the decontamination-guard bootstrap: with
+    * `growSpans = false` the guard then screens a whole crawl against
+    * EXACTLY this set (e.g. the eval suite's spans), state frozen forever.
+    */
+  def seed(reference: DataFrame): Unit =
+    spans.promote(spans.stage(docSpans(reference).select("h").distinct()))
+
   /** Ingest one micro-batch of (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val tag = s"batch=$batchId"
-    if (spans.exists && spans.currentTag.contains(tag)) return
+    // replay gate: the spans promote carries the stamp in growing mode;
+    // in frozen (screen-only) mode the spans table never moves, so the
+    // admitted log carries it instead
+    val done =
+      if (growSpans) spans.exists && spans.currentTag.contains(tag)
+      else admitted.exists && admitted.currentTag.contains(tag)
+    if (done) return
     val ds = docSpans(batch).localCheckpoint()
     val rejected =
       if (spans.exists) ds.join(spans.read(), Seq("h"), "left_semi")
@@ -63,17 +78,20 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
       .join(rejected, Seq("doc_id"), "left_anti")
     val adm = if (admitted.exists)
       adm0.join(admitted.read(), Seq("doc_id"), "left_anti") else adm0
-    if (admitted.exists) admitted.promote(admitted.stageAppend(adm))
-    else admitted.promote(admitted.stage(adm))
-    // ALL batch spans enter the index (the re-crawl rule): admission never
-    // depends on earlier admissions, only on earlier batches
-    val fresh =
-      if (spans.exists) ds.select("h").distinct()
-        .join(spans.read(), Seq("h"), "left_anti")
-      else ds.select("h").distinct()
-    if (spans.exists) spans.promote(spans.stageAppend(fresh), Some(tag))
-    else spans.promote(spans.stage(fresh), Some(tag))
-    if (spans.chainDepth > maxChainDepth) { spans.compact(); () }
+    val admTag = if (growSpans) None else Some(tag)
+    if (admitted.exists) admitted.promote(admitted.stageAppend(adm), admTag)
+    else admitted.promote(admitted.stage(adm), admTag)
+    if (growSpans) {
+      // ALL batch spans enter the index (the re-crawl rule): admission
+      // never depends on earlier admissions, only on earlier batches
+      val fresh =
+        if (spans.exists) ds.select("h").distinct()
+          .join(spans.read(), Seq("h"), "left_anti")
+        else ds.select("h").distinct()
+      if (spans.exists) spans.promote(spans.stageAppend(fresh), Some(tag))
+      else spans.promote(spans.stage(fresh), Some(tag))
+      if (spans.chainDepth > maxChainDepth) { spans.compact(); () }
+    }
     if (admitted.chainDepth > maxChainDepth) { admitted.compact(); () }
   }
 }

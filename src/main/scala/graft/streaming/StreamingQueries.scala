@@ -1706,6 +1706,68 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // Streaming EVAL-DECONTAMINATION guard: the q257 admission machinery
+    // in FROZEN (screen-only) mode — the span index is seeded with the
+    // eval suite's 8-gram spans and never grows, so every arriving doc is
+    // screened against exactly the eval set: quote a benchmark anywhere
+    // (the planted 16-token phrase on every 7th doc) and the doc drops;
+    // everything else admits regardless of batch order. Frozen state
+    // makes the drain trivially batch-split-invariant, and the oracle is
+    // the closed form "admitted iff no shared 8-gram with the eval text"
+    // — no batch column at all.
+    Q("q270_streaming_eval_guard",
+      s"""WITH b AS (SELECT doc_id,
+         |   list_filter(string_split_regex(
+         |     CASE WHEN doc_id % 7 = 0
+         |          THEN text || ' ${graft.scale.SuffixArray.PlantedPhrase}'
+         |          ELSE text END, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM documents),
+         | sh AS (SELECT DISTINCT doc_id, md5(g) AS h FROM (
+         |   SELECT doc_id,
+         |     CASE WHEN len(ts) < 8 THEN array_to_string(ts, ' ')
+         |          ELSE array_to_string(ts[i : i + 7], ' ') END AS g
+         |   FROM (SELECT doc_id, ts,
+         |           unnest(range(1, greatest(len(ts) - 6, 2))) AS i FROM b) q) q2),
+         | etl AS (SELECT list_filter(string_split_regex(
+         |           '${graft.scale.SuffixArray.PlantedPhrase}', '[ \\t\\n\\f\\r]+'),
+         |           x -> x <> '') AS ts),
+         | egr AS (SELECT DISTINCT md5(
+         |     CASE WHEN len(ts) < 8 THEN array_to_string(ts, ' ')
+         |          ELSE array_to_string(ts[i : i + 7], ' ') END) AS h
+         |   FROM (SELECT ts, unnest(range(1, greatest(len(ts) - 6, 2))) AS i
+         |         FROM etl) q),
+         | rej AS (SELECT DISTINCT s.doc_id FROM sh s JOIN egr e ON s.h = e.h)
+         |SELECT b.doc_id, r.doc_id IS NULL AS admitted
+         |FROM b LEFT JOIN rej r ON b.doc_id = r.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q270")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new SpanGuardIndex(s2, s"$wh/guard", maxChainDepth = 2,
+        n = 8, growSpans = false)
+      locally {
+        import s.implicits._
+        idx.seed(Seq((0L, graft.scale.SuffixArray.PlantedPhrase))
+          .toDF("doc_id", "text"))
+      }
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      SpanGuard.spanGuardSink(stream, idx, s"$wh/ckpt").awaitTermination()
+      docs.select("doc_id")
+        .join(idx.admitted.read().withColumn("__a", lit(1)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__a").isNotNull.as("admitted"))
+        .orderBy("doc_id")
+    },
+
     // Streaming corpus-QA maintenance: term counts drained through the
     // additive-partial index (the q247 protocol with (w) keys), then the
     // Zipf rank-bucket profile computed OVER THE SERVED STATE — the

@@ -235,6 +235,31 @@ class PqSpec extends SparkSpec {
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*lang[^\\]]*\\].*"), plan)
   }
 
+  test("filtered residual probe == rank-then-filter of the full probe at full coverage") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("lang", expr(
+        "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val root = graft.core.Scratch.dir("graft-pqresfilt") + "/ivfpqr"
+    Pq.buildIvfPqResidualIndex(emb, root, metaCols = Seq("lang"))
+    val got = Pq.probeIvfPqResidual(spark, root, queries, k = 5,
+        nProbe = Pq.Cells, pred = Some(col("lang") === "en"))
+      .select("qid", "nid", "score").collect().map(_.toSeq).toSet
+    // at full coverage, filtering pre-heap == ranking everything then
+    // keeping the predicate's rows (same ADC scores, same tiebreaks)
+    val full = Pq.probeIvfPqResidual(spark, root, queries, k = 100000,
+        nProbe = Pq.Cells)
+    val want = full.join(emb.select(col("vec_id").as("nid"), col("lang")), "nid")
+      .filter(col("lang") === "en")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").asc, col("nid").asc)))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid", "score").collect().map(_.toSeq).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("exact duplicates share codes and scores") {
     val base = corpus(10)
     val twins = base.withColumn("vec_id", col("vec_id") + 100)

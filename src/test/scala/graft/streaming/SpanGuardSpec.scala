@@ -37,6 +37,37 @@ class SpanGuardSpec extends SparkSpec {
     assert(admittedSet(idx) === Set(1L, 2L, 4L))
   }
 
+  test("frozen (screen-only) mode: only the seeded set rejects; batch order is irrelevant") {
+    def run(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val idx = new SpanGuardIndex(spark, root("frozen"), n = 4,
+        growSpans = false)
+      idx.seed(Seq((0L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text"))
+      val sv = idx.spans.currentVersion
+      batches.zipWithIndex.foreach { case (b, i) =>
+        idx.processBatch(b.toDF("doc_id", "text"), i.toLong)
+      }
+      // the poisoned set never grows: screening is against the seed alone
+      assert(idx.spans.currentVersion === sv)
+      admittedSet(idx)
+    }
+    val docs = Seq(
+      (1L, "x e2 e3 e4 e5"),  // quotes the eval -> rejected
+      (2L, "a b c d shared"), // clean, admitted
+      (3L, "a b c d shared"), // SAME spans as doc 2 — still admitted
+      (4L, "e1 e2 e3 zz"))    // 3-token overlap only, below n=4: admitted
+    // any batch arrangement, any order: identical admissions
+    assert(run(Seq(docs)) === Set(2L, 3L, 4L))
+    assert(run(docs.reverse.map(Seq(_))) === Set(2L, 3L, 4L))
+    // redelivery is a no-op in frozen mode too (admitted log is stamped)
+    val idx = new SpanGuardIndex(spark, root("frozenrd"), n = 4,
+      growSpans = false)
+    idx.seed(Seq((0L, "e1 e2 e3 e4 e5")).toDF("doc_id", "text"))
+    idx.processBatch(docs.toDF("doc_id", "text"), 0L)
+    val v = idx.admitted.currentVersion
+    idx.processBatch(docs.toDF("doc_id", "text"), 0L)
+    assert(idx.admitted.currentVersion === v)
+  }
+
   test("short docs guard on their whole text as one span") {
     val idx = new SpanGuardIndex(spark, root("short"), n = 4)
     idx.processBatch(Seq((1L, "p q")).toDF("doc_id", "text"), 0L)
