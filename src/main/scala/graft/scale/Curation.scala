@@ -109,23 +109,40 @@ object Curation {
     * shuffle until the per-doc rebuild's own keyed aggregation.
     */
   def scrubEvalSpans(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text"): DataFrame =
+    scrubAgainstGrams(corpus, evalGramSet(evalDocs, n, textCol), n, textCol)
+
+  /** The eval set's distinct positional-`n`-gram md5 keys — the frozen
+    * screen [[scrubAgainstGrams]] and the streaming
+    * [[graft.streaming.ScrubIndex]] seed from.
+    */
+  def evalGramSet(evalDocs: DataFrame, n: Int = 8,
+                  textCol: String = "text"): DataFrame =
+    posGrams(evalDocs, n, textCol).select("h").distinct()
+
+  private def posGrams(df: DataFrame, n: Int, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"gram size must be >= 1, got $n")
-    def posGrams(df: DataFrame) = {
-      val toks = df.select(col("doc_id"),
-        posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
-          w => w =!= "")).as(Seq("p", "t")))
-      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-      toks.withColumn("g", concat_ws(" ", (0 until n).map(o =>
-          lead(col("t"), o).over(Window.partitionBy("doc_id").orderBy("p"))): _*))
-        .join(lens, "doc_id")
-        .filter(col("p") + n <= col("__n"))
-        .select(col("doc_id"), col("p").cast("long").as("p"),
-          md5(col("g")).as("h"))
-    }
-    val evalG = posGrams(evalDocs).select("h").distinct()
-    val hits = posGrams(corpus).join(broadcast(evalG), "h")
+    val toks = df.select(col("doc_id"),
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as(Seq("p", "t")))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    toks.withColumn("g", concat_ws(" ", (0 until n).map(o =>
+        lead(col("t"), o).over(Window.partitionBy("doc_id").orderBy("p"))): _*))
+      .join(lens, "doc_id")
+      .filter(col("p") + n <= col("__n"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        md5(col("g")).as("h"))
+  }
+
+  /** [[scrubEvalSpans]] against an ALREADY-materialized gram key set —
+    * the per-batch form the streaming sink drains through.
+    */
+  def scrubAgainstGrams(corpus: DataFrame, evalGrams: DataFrame, n: Int = 8,
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = posGrams(corpus, n, textCol)
+      .join(broadcast(evalGrams.select("h")), "h")
       .select(col("doc_id"), col("p"))
     val events = hits.select(col("doc_id"), col("p").as("pos"), lit(1L).as("ev"))
       .unionByName(hits.select(col("doc_id"), (col("p") + n).as("pos"),

@@ -1768,6 +1768,77 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // Streaming span-level eval SCRUB: q268's surgical decontamination as
+    // a continuous ingest — the eval gram screen is frozen at seed time,
+    // every arriving doc is rewritten scan-locally (quoted spans excised,
+    // the rest verbatim), clean rows append exactly-once. Frozen state ⇒
+    // the drain is batch-split-invariant and the oracle is q268's closed
+    // form verbatim: the streamed clean table must hash-equal the batch
+    // scrub of the whole corpus.
+    Q("q272_streaming_eval_scrub",
+      s"""WITH fix AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 7 = 0
+         |        THEN text || ' ${graft.scale.SuffixArray.PlantedPhrase}' ELSE text END AS text
+         | FROM documents),
+         | tl AS (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
+         | FROM fix),
+         | t AS (SELECT doc_id, s.p AS pos, s.w FROM
+         |   (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+         |      i -> {'p': CAST(i - 1 AS BIGINT), 'w': ts[i]})) AS s FROM tl) q),
+         | gr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+         |          md5(array_to_string(ts[i : i + 7], ' ')) AS h
+         |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+         |              FROM tl WHERE len(ts) >= 8) q),
+         | etl AS (SELECT list_filter(string_split_regex(
+         |           '${graft.scale.SuffixArray.PlantedPhrase}', '[ \\t\\n\\f\\r]+'),
+         |           x -> x <> '') AS ts),
+         | egr AS (SELECT DISTINCT md5(array_to_string(ts[i : i + 7], ' ')) AS h
+         |         FROM (SELECT ts, unnest(range(1, len(ts) - 6)) AS i
+         |               FROM etl WHERE len(ts) >= 8) q),
+         | hits AS (SELECT gr.doc_id, gr.p FROM gr JOIN egr USING (h)),
+         | ev AS (SELECT doc_id, pos, CAST(sum(e) AS BIGINT) AS ev FROM (
+         |   SELECT doc_id, p AS pos, 1 AS e FROM hits
+         |   UNION ALL SELECT doc_id, p + 8, -1 FROM hits) q GROUP BY 1, 2),
+         | cov AS (SELECT t.doc_id, t.pos, t.w,
+         |   sum(coalesce(ev.ev, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS cov
+         |  FROM t LEFT JOIN ev ON t.doc_id = ev.doc_id AND t.pos = ev.pos),
+         | clean AS (SELECT doc_id,
+         |   string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |   CAST(count(1) AS BIGINT) AS kept
+         |  FROM cov WHERE cov = 0 GROUP BY 1),
+         | ln AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tl)
+         |SELECT f.doc_id, coalesce(c.clean_text, '') AS clean_text,
+         |  CAST(coalesce(ln.n, 0) - coalesce(c.kept, 0) AS BIGINT) AS n_scrubbed
+         |FROM fix f
+         |LEFT JOIN ln ON f.doc_id = ln.doc_id
+         |LEFT JOIN clean c ON f.doc_id = c.doc_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q272")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new ScrubIndex(s2, s"$wh/scrub", n = 8, maxChainDepth = 2)
+      locally {
+        import s.implicits._
+        idx.seed(Seq((0L, graft.scale.SuffixArray.PlantedPhrase))
+          .toDF("doc_id", "text"))
+      }
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      ScrubStream.scrubSink(stream, idx, s"$wh/ckpt").awaitTermination()
+      idx.clean.read()
+        .select(col("doc_id"), col("clean_text"), col("n_scrubbed"))
+        .orderBy("doc_id")
+    },
+
     // Streaming corpus-QA maintenance: term counts drained through the
     // additive-partial index (the q247 protocol with (w) keys), then the
     // Zipf rank-bucket profile computed OVER THE SERVED STATE — the
