@@ -48,6 +48,28 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The reverse of [[contaminatedDocs]] — per EVAL document, how much of
+    * the corpus quotes it: (eval_id, n_docs leaking it, n_shared
+    * (corpus-doc, distinct-gram) pairs). This is the report a benchmark
+    * owner reads ("which of MY tasks leaked, and how widely") where
+    * contaminatedDocs is the report a corpus owner acts on. Same
+    * machinery, eval attribution kept through the join; md5 keys so the
+    * whole report replays.
+    */
+  def evalLeakReport(corpus: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def sh(df: DataFrame) = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(df(textCol)), n))
+    val e = evalDocs.select(col(idCol).as("eval_id"), explode(sh(evalDocs)).as("g"))
+      .select(col("eval_id"), md5(col("g")).as("h")).distinct()
+    val c = corpus.select(col(idCol), explode(sh(corpus)).as("g"))
+      .select(col(idCol), md5(col("g")).as("h"))
+    c.join(broadcast(e), "h")
+      .groupBy("eval_id")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_shared"))
+  }
+
   /** [[contaminatedDocs]] at the scale where the eval shingle set outgrows a
     * broadcast hash relation: a full benchmark SUITE'S 10⁸ distinct gram
     * hashes are gigabytes as a join hashmap but ~10 bits/key as a bloom
@@ -170,6 +192,42 @@ object Curation {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (coalesce(col("__len"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
           .as("n_scrubbed"))
+  }
+
+  /** Collocation mining: the top-`k` adjacent bigrams by integer log2-PMI
+    * — `lg(c_ab) + lg(N) − lg(c_a) − lg(c_b)` with `lg(x) = bitlen(x)−1`
+    * (the engine's standard exact-log surrogate; float log PMI would not
+    * replay) — the phrase-mining signal a tokenizer-vocabulary or
+    * stop-phrase pass starts from ("new york" scores high because its
+    * parts rarely appear apart). `minCount` kills the hapax noise PMI is
+    * notorious for. Two token-keyed count aggregations + a broadcast
+    * 1-row total + a TakeOrdered cut — no vocab-wide window, no
+    * pair-space blowup beyond the corpus's own adjacent pairs.
+    */
+  def collocations(docs: DataFrame, k: Int = 20, minCount: Long = 5,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lg(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as(Seq("p", "w")))
+    val bi = toks
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("p")))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val uni = termCounts(docs, textCol)
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("cnt").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cb")), "w2")
+      .crossJoin(broadcast(uni.agg(sum("cnt").as("n"))))
+      .withColumn("pmi_l2", lg(col("cab")) + lg(col("n"))
+        - lg(col("ca")) - lg(col("cb")))
+    graft.ops.TopK.rankedCut(scored, k, "rnk",
+        col("pmi_l2").desc, col("cab").desc, col("w1"), col("w2"))
+      .select(col("rnk"), col("w1"), col("w2"), col("cab"), col("pmi_l2"))
   }
 
   /** The page-level crawl opt-out robots.txt cannot express: a
@@ -2061,6 +2119,49 @@ object Curation {
       contaminatedDocs(corpus, ev).orderBy("doc_id")
     },
 
+    // The benchmark owner's side of q70: per EVAL doc, how many corpus
+    // docs leak it and how many (corpus doc, distinct 13-gram) pairs —
+    // same planted fixture, attribution grouped the other way. Benchmark
+    // docs nothing quotes are absent on both sides.
+    Q("q275_eval_leak_report",
+      """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
+        | ev AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+        | corp AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 17 = 0 AND e.doc_id IS NOT NULL
+        |              AND len(string_split_regex(e.text, '\s+')) >= 13
+        |         THEN d.text || ' [CONT] ' || e.text ELSE d.text END AS text
+        |  FROM base d
+        |  LEFT JOIN ev e ON e.doc_id = d.doc_id - (d.doc_id % 50)
+        |  WHERE d.doc_id % 50 <> 0),
+        | shc AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split_regex(text, '\s+')) - 13, 0) + 1),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+13], ' ')))) AS g
+        |  FROM corp),
+        | she AS (
+        |  SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split_regex(text, '\s+')) - 13, 0) + 1),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+13], ' ')))) AS g
+        |  FROM ev)
+        |SELECT eval_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(1) AS BIGINT) AS n_shared
+        |FROM shc JOIN she USING (g)
+        |GROUP BY 1 ORDER BY eval_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+      val ev = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(ev.select(col("doc_id").as("__eid"), col("text").as("__etext"))),
+          col("__eid") === col("doc_id") - (col("doc_id") % 50), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0 && col("__eid").isNotNull &&
+               size(split(col("__etext"), graft.expressions.Ws.Regex)) >= 13,
+            concat(col("text"), lit(" [CONT] "), col("__etext")))
+            .otherwise(col("text")).as("text"))
+      evalLeakReport(corpus, ev).orderBy("eval_id")
+    },
+
     // The bloom-prefiltered decontamination path must be VALUE-EXACT against
     // the same brute-force oracle as q70 — same planted fixture, same
     // counts. fpp=0.25 is deliberately terrible: it forces real false
@@ -2650,6 +2751,36 @@ object Curation {
           .otherwise(col("text")).as("text"))
       val evalSet = Seq((0L, SuffixArray.PlantedPhrase)).toDF("doc_id", "text")
       scrubEvalSpans(corpus, evalSet, n = 8).orderBy("doc_id")
+    },
+
+    // Collocation mining: top-20 adjacent bigrams by integer log2-PMI at
+    // a min-count-5 floor — the phrase-mining pass. The oracle replays
+    // bigram/unigram counting, the bitlen log surrogate, and the full
+    // (pmi DESC, cab DESC, w1, w2) ranked cut; any count, score, or
+    // tie-break drift hash-fails.
+    Q("q274_collocations",
+      """WITH tl AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        | FROM documents),
+        | bi AS (SELECT ts[i] AS w1, ts[i + 1] AS w2,
+        |          CAST(count(1) AS BIGINT) AS cab
+        |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |              FROM tl WHERE len(ts) >= 2) q
+        |        GROUP BY 1, 2 HAVING count(1) >= 5),
+        | uni AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
+        |         FROM (SELECT unnest(ts) AS w FROM tl) q GROUP BY 1),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+        | sc AS (SELECT w1, w2, cab,
+        |   CAST((len(bin(cab)) - 1) + (len(bin(n)) - 1)
+        |        - (len(bin(a.cnt)) - 1) - (len(bin(b.cnt)) - 1) AS BIGINT) AS pmi_l2
+        |  FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w
+        |  CROSS JOIN tot),
+        | rk AS (SELECT w1, w2, cab, pmi_l2,
+        |   CAST(row_number() OVER (ORDER BY pmi_l2 DESC, cab DESC, w1, w2) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT rnk, w1, w2, cab, pmi_l2 FROM rk WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin) { (s, d) =>
+      collocations(Tables.documents(s, d)).orderBy("rnk")
     },
 
     // Meta-robots noindex screening: the page-level opt-out a crawl must

@@ -215,6 +215,39 @@ object Retrieval {
       .groupBy(col("term"), col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** Minimal proximity window: per document containing ALL query terms,
+    * the length of the smallest token span holding at least one
+    * occurrence of each — the classic proximity feature between "bag of
+    * words" (BM25) and "exact phrase" ([[phraseMatches]]): a doc where
+    * the terms sit in one sentence should outrank one where they are
+    * pages apart. Computed with the sorted sweep, not a positions cross
+    * join: the query terms' postings explode to (doc, term, pos); at each
+    * position the best window ENDING there starts at the minimum over
+    * every term's LATEST occurrence so far (one conditional running max
+    * per term over a single doc-keyed window), and the answer is the min
+    * over ends — O(Σtf) rows through one keyed shuffle, independent of
+    * how far apart the occurrences are. Docs missing any term are absent.
+    */
+  def minWindow(positional: DataFrame, terms: Seq[String],
+                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && terms.size <= 8,
+      s"minWindow is a few-term proximity primitive, got ${terms.size} terms")
+    val pos = positional.filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("term"), explode(col("positions")).as("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lasts = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("pos"))).over(w).as(s"__l$i")
+    }
+    val swept = pos.select(Seq(col(idCol), col("pos")) ++ lasts: _*)
+    val start = least(terms.indices.map(i => col(s"__l$i")): _*)
+    val allSeen = terms.indices.map(i => col(s"__l$i").isNotNull).reduce(_ && _)
+    swept.filter(allSeen)
+      .select(col(idCol), (col("pos") - start + 1).cast("long").as("win"))
+      .groupBy(idCol).agg(min("win").as("min_window"))
+  }
+
   /** Exact phrase search over a positional index: docs containing the words
     * of `phrase` at consecutive positions, with the match count. Each term's
     * postings are shifted so every term of one phrase occurrence aligns on
@@ -334,6 +367,39 @@ object Retrieval {
       phraseMatches(idx, Seq("table", "part"))
         .orderBy(col("n_matches").desc, col("doc_id"))
         .limit(25)
+    },
+
+    // Minimal proximity window for {spark, merge, dup} over the positional
+    // index: the sorted sweep (conditional running max per term, min over
+    // window ends) replayed in SQL with the same three running-max
+    // windows — any off-by-one in the sweep, a missed doc, or a phantom
+    // doc missing a term hash-fails. Only docs holding all three terms
+    // appear (both engines agree structurally).
+    Q("q273_min_window",
+      """WITH w AS (
+        |  SELECT doc_id, term, CAST(pos - 1 AS BIGINT) AS pos FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '')) AS term,
+        |      generate_subscripts(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |                                      x -> x <> ''), 1) AS pos
+        |    FROM documents) q
+        |  WHERE term IN ('spark', 'merge', 'dup')),
+        | l AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN term = 'spark' THEN pos END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS l0,
+        |    max(CASE WHEN term = 'merge' THEN pos END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+        |    max(CASE WHEN term = 'dup' THEN pos END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+        |  FROM w)
+        |SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS min_window
+        |FROM l
+        |WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val idx = positionalIndex(Tables.documents(s, d).select("doc_id", "text"))
+      minWindow(idx, Seq("spark", "merge", "dup"))
+        .orderBy("doc_id")
     },
 
     Q("q119_bm25",

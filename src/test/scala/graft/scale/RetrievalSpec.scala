@@ -36,6 +36,29 @@ class RetrievalSpec extends SparkSpec {
     assert(top.forall(_ > 0), s"top-5 tf_dup: ${top.toSeq}")
   }
 
+  test("minWindow: sweep == brute force over all occurrence combos; missing-term docs absent") {
+    val docs = Seq(
+      (1L, "a x x b x x x c"),        // windows: a..c = 8
+      (2L, "b a c x x a x b x c"),    // best is the leading "b a c" -> 3
+      (3L, "a b x"),                  // missing c -> absent
+      (4L, "c b a"),                  // reverse order -> 3
+      (5L, "a a a b c")).toDF("doc_id", "text") // tight tail -> 3
+    val idx = Retrieval.positionalIndex(docs)
+    val got = Retrieval.minWindow(idx, Seq("a", "b", "c"))
+      .as[(Long, Long)].collect().toMap
+    // brute force: min over every (pa, pb, pc) combo of max-min+1
+    val brute = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      val toks = t.split(" ").zipWithIndex
+      def ps(w: String) = toks.filter(_._1 == w).map(_._2.toLong)
+      val (as, bs, cs) = (ps("a"), ps("b"), ps("c"))
+      if (as.isEmpty || bs.isEmpty || cs.isEmpty) None
+      else Some(id -> (for { x <- as; y <- bs; z <- cs }
+        yield Seq(x, y, z).max - Seq(x, y, z).min + 1).min)
+    }.toMap
+    assert(got === brute)
+    assert(!got.contains(3L) && got(2L) === 3L && got(4L) === 3L)
+  }
+
   test("bm25FromIndex == bm25 over the raw corpus (index serving parity)") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val terms = Seq("spark", "merge", "dup")
