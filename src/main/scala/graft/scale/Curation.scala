@@ -205,21 +205,36 @@ object Curation {
     * pair-space blowup beyond the corpus's own adjacent pairs.
     */
   def collocations(docs: DataFrame, k: Int = 20, minCount: Long = 5,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    collocationsFromCounts(termCounts(docs, textCol),
+      bigramCounts(docs, textCol), k, minCount)
+
+  /** Adjacent-bigram counts (w1, w2, cnt) — an ADDITIVE relation like
+    * [[termCounts]] (bigrams never cross batch boundaries because they
+    * never cross documents), which is what lets the streaming index
+    * maintain it with O(batch) monoid partials (q276).
+    */
+  def bigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def lg(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    val toks = docs.select(col("doc_id"),
-      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
-        w => w =!= "")).as(Seq("p", "w")))
-    val bi = toks
+    docs.select(col("doc_id"),
+        posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+          w => w =!= "")).as(Seq("p", "w")))
       .withColumn("w2",
         lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("p")))
       .filter(col("w2").isNotNull)
       .groupBy(col("w").as("w1"), col("w2"))
-      .agg(count(lit(1)).as("cab"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[collocations]] from already-aggregated unigram (w, cnt) and bigram
+    * (w1, w2, cnt) relations — the serving form over maintained count
+    * indexes.
+    */
+  def collocationsFromCounts(uni: DataFrame, bi: DataFrame, k: Int = 20,
+                             minCount: Long = 5): DataFrame = {
+    def lg(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val scored = bi.select(col("w1"), col("w2"), col("cnt").as("cab"))
       .filter(col("cab") >= minCount)
-    val uni = termCounts(docs, textCol)
-    val scored = bi
       .join(uni.select(col("w").as("w1"), col("cnt").as("ca")), "w1")
       .join(uni.select(col("w").as("w2"), col("cnt").as("cb")), "w2")
       .crossJoin(broadcast(uni.agg(sum("cnt").as("n"))))

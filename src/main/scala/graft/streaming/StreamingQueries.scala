@@ -1871,6 +1871,62 @@ object StreamingQueries {
       Curation.zipfBucketsFromCounts(idx.served()).orderBy("bucket")
     },
 
+    // Streaming collocation maintenance: unigram AND bigram counts are
+    // both additive monoids (bigrams never cross documents, so they never
+    // cross batches), maintained as two count indexes under one drain;
+    // the PMI ranked cut computed OVER THE SERVED STATES must reproduce
+    // q274's batch collocation table exactly — the oracle is q274's
+    // verbatim.
+    Q("q276_streaming_collocations",
+      """WITH tl AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS ts
+        | FROM documents),
+        | bi AS (SELECT ts[i] AS w1, ts[i + 1] AS w2,
+        |          CAST(count(1) AS BIGINT) AS cab
+        |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |              FROM tl WHERE len(ts) >= 2) q
+        |        GROUP BY 1, 2 HAVING count(1) >= 5),
+        | uni AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
+        |         FROM (SELECT unnest(ts) AS w FROM tl) q GROUP BY 1),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+        | sc AS (SELECT w1, w2, cab,
+        |   CAST((len(bin(cab)) - 1) + (len(bin(n)) - 1)
+        |        - (len(bin(a.cnt)) - 1) - (len(bin(b.cnt)) - 1) AS BIGINT) AS pmi_l2
+        |  FROM bi JOIN uni a ON bi.w1 = a.w JOIN uni b ON bi.w2 = b.w
+        |  CROSS JOIN tot),
+        | rk AS (SELECT w1, w2, cab, pmi_l2,
+        |   CAST(row_number() OVER (ORDER BY pmi_l2 DESC, cab DESC, w1, w2) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT rnk, w1, w2, cab, pmi_l2 FROM rk WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q276")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val uniIdx = new AnchorCountIndex(s2, s"$wh/uni", maxChainDepth = 2,
+        build = graft.scale.Curation.termCounts(_), keyCols = Seq("w"))
+      val biIdx = new AnchorCountIndex(s2, s"$wh/bi", maxChainDepth = 2,
+        build = graft.scale.Curation.bigramCounts(_), keyCols = Seq("w1", "w2"))
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          uniIdx.processBatch(b, id); biIdx.processBatch(b, id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.scale.Curation.collocationsFromCounts(
+          uniIdx.served(), biIdx.served())
+        .orderBy("rnk")
+    },
+
     // Streaming winnow-fingerprint guard: the q257 admission protocol
     // keyed by MOSS fingerprints instead of every 16-token span — the
     // index carries ~2/(w+1) of the spans while the SIGMOD 2003 guarantee
