@@ -1335,6 +1335,17 @@ object Curation {
     lit("Crawl-delay: 1"), k,
     lit("\nSitemap: https://example.com/s.xml\n"))
 
+  /** Every `Sitemap:` URL of a robots body, in document order — the
+    * crawl-frontier bootstrap (sitemaps.org protocol; the field RFC 9309
+    * reserves as "other records"): line-anchored, case-insensitive, any
+    * count per body; comments (`# Sitemap: ...`), lookalike fields
+    * (`x-sitemap:`), and trailing same-line comments never match. Pure
+    * codegen'd regex projection, RE2 ∩ java.util.regex.
+    */
+  def parseSitemaps(txt: Column): Column =
+    regexp_extract_all(txt,
+      lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^ \\t\\r\\n#]+)"), lit(1))
+
   /** The robots body's Crawl-delay in seconds (first match wins, 0 when
     * absent) — the politeness rate limit the q249 fetch scheduler spaces
     * requests by. Anchored per line (`(?im)`), value = leading digit run.
@@ -2796,6 +2807,53 @@ object Curation {
         |SELECT rnk, w1, w2, cab, pmi_l2 FROM rk WHERE rnk <= 20
         |ORDER BY rnk""".stripMargin) { (s, d) =>
       collocations(Tables.documents(s, d)).orderBy("rnk")
+    },
+
+    // Sitemap extraction from robots bodies — the frontier bootstrap.
+    // Three planted classes per domain: two sitemaps plus a mixed-case
+    // third (all extracted, in order), one sitemap among decoys (a
+    // commented-out line, an x-sitemap lookalike, and a trailing
+    // same-line comment — none may leak into the URL), and no sitemap at
+    // all (domain absent). The SAME regex constant runs on both engines.
+    Q("q277_sitemaps",
+      """WITH b AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'User-agent: *' || chr(10) ||
+        |      'Sitemap: https://site' || doc_id || '.com/a.xml' || chr(10) ||
+        |      'Disallow: /news/' || chr(10) ||
+        |      'sitemap: https://site' || doc_id || '.com/b.xml' || chr(10) ||
+        |      '  SITEMAP: https://site' || doc_id || '.com/c.xml' || chr(10)
+        |    WHEN 1 THEN '# Sitemap: https://nope.com/x.xml' || chr(10) ||
+        |      'x-sitemap: https://nope.com/y.xml' || chr(10) ||
+        |      'Sitemap: https://site' || doc_id || '.com/only.xml # primary' || chr(10)
+        |    ELSE 'User-agent: *' || chr(10) || 'Disallow: /news/' || chr(10)
+        |  END AS body
+        | FROM documents),
+        | s AS (SELECT doc_id,
+        |   generate_subscripts(regexp_extract_all(body,
+        |     '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)', 1), 1) - 1 AS i,
+        |   unnest(regexp_extract_all(body,
+        |     '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)', 1)) AS url
+        |  FROM b)
+        |SELECT doc_id, CAST(i AS INT) AS i, url FROM s
+        |ORDER BY doc_id, i""".stripMargin) { (s, d) =>
+      val cls = expr("CAST(doc_id % 3 AS INT)")
+      val body =
+        when(cls === 0, concat(lit("User-agent: *\n"),
+          lit("Sitemap: https://site"), col("doc_id"), lit(".com/a.xml\n"),
+          lit("Disallow: /news/\n"),
+          lit("sitemap: https://site"), col("doc_id"), lit(".com/b.xml\n"),
+          lit("  SITEMAP: https://site"), col("doc_id"), lit(".com/c.xml\n")))
+        .when(cls === 1, concat(
+          lit("# Sitemap: https://nope.com/x.xml\n"),
+          lit("x-sitemap: https://nope.com/y.xml\n"),
+          lit("Sitemap: https://site"), col("doc_id"),
+          lit(".com/only.xml # primary\n")))
+        .otherwise(lit("User-agent: *\nDisallow: /news/\n"))
+      Tables.documents(s, d).select(col("doc_id"), body.as("body"))
+        .select(col("doc_id"),
+          posexplode(parseSitemaps(col("body"))).as(Seq("i", "url")))
+        .orderBy("doc_id", "i")
     },
 
     // Meta-robots noindex screening: the page-level opt-out a crawl must
