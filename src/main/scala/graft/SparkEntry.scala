@@ -43,6 +43,8 @@ object SparkEntry {
     scale.Sampling.queries ++
     scale.Bpe.queries ++
     scale.Unigram.queries ++
+    scale.Wordpiece.queries ++
+    scale.KneserNey.queries ++
     scale.Recall.queries ++
     scale.Sketches.queries ++
     scale.Profiler.queries ++
