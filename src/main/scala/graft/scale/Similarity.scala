@@ -191,6 +191,65 @@ object Similarity {
   private[scale] def longScoreTopK(scored: DataFrame, k: Int): DataFrame =
     rankedTopK(scored, k, "score")
 
+  /** Semi-hard negative mining for contrastive training data (Schroff et
+    * al., CVPR 2015 §3.3 — the FaceNet triplet-selection rule, in
+    * similarity form): given labeled (qid, pos_id) anchor/positive pairs,
+    * mine the top-`k` corpus vectors per anchor that score STRICTLY below
+    * the positive but within a relative margin of it —
+    * `score < pos_score` and `(pos_score − score)·marginDen ≤
+    * pos_score·marginNum`. Too-close candidates (score ties with the
+    * positive — probable duplicates, i.e. false negatives) and too-easy
+    * ones (outside the margin, which contribute no gradient) are both
+    * excluded. Scores are the exact int8-quantized BIGINT dots
+    * ([[quantizedTopK]]'s arithmetic), so the margin test and the ranking
+    * replay exactly on any engine; anchors whose positive scores ≤ 0 are
+    * skipped (the relative margin's sign convention requires a positive
+    * reference score).
+    *
+    * Scale shape (100 TB): the label panel (anchor codes + each pair's
+    * positive score) is assembled by two broadcast-label probes over the
+    * corpus and is itself broadcast; the mining pass is ONE corpus scan
+    * with the margin predicate evaluated scan-side BEFORE the
+    * [[graft.plans.TopKPerKey]] bounded heaps — the shuffle carries at
+    * most partitions × |labels| × k rows, never the corpus.
+    *
+    * Output: (qid, pos_id, neg_rank, neg_id, score, gap), gap =
+    * pos_score − score; anchors with fewer than `k` in-margin candidates
+    * emit fewer rows.
+    */
+  def semiHardNegatives(corpus: DataFrame, labels: DataFrame, k: Int,
+                        marginNum: Int, marginDen: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && marginNum >= 0 && marginDen >= 1,
+      s"semiHardNegatives: k=$k marginNum=$marginNum marginDen=$marginDen")
+    requireNumericId(corpus, idCol, "semiHardNegatives")
+    val cz = quantizeInt8(corpus, vecCol)
+      .select(col(idCol).cast("long").as("nid"), col("qcode").as("cc"))
+    val lb = labels.select(col("qid").cast("long").as("qid"),
+      col("pos_id").cast("long").as("pos_id"))
+    // panel assembly: two broadcast-label probes over the corpus (scan-local,
+    // no corpus shuffle, no corpus-sized checkpoint), then the small panel
+    // itself broadcasts into the mining scan
+    val qSide = cz.join(broadcast(lb), col("nid") === col("qid"))
+      .select(col("qid"), col("pos_id"), col("cc").as("qc"))
+    val panel = cz.join(broadcast(qSide), col("nid") === col("pos_id"))
+      .select(col("qid"), col("pos_id"), col("qc"),
+        int8Dot(col("qc"), col("cc")).as("pos_score"))
+      .filter(col("pos_score") > 0)
+    val mined = cz
+      .join(broadcast(panel), col("nid") =!= col("qid") && col("nid") =!= col("pos_id"))
+      .select(col("qid"), col("pos_id"), col("pos_score"), col("nid"),
+        int8Dot(col("qc"), col("cc")).as("score"))
+      .filter(col("score") < col("pos_score") &&
+        (col("pos_score") - col("score")) * marginDen <= col("pos_score") * marginNum)
+    val topk = graft.ops.TopK.topKPerKey(mined, Seq("qid"),
+      Seq(col("score").desc, col("nid").asc), k)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    topk.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("pos_id"), col("neg_rank"), col("nid").as("neg_id"),
+        col("score"), (col("pos_score") - col("score")).as("gap"))
+  }
+
   private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
     if (dim > 0) dim else df.select(size(col(vecCol)).as("d")).head().getInt(0)
 
@@ -859,6 +918,59 @@ object Similarity {
         .select(col("lang"), col("n_vecs"),
           (col("pos0") + 1).cast("long").as("pos"), col("code_sum"))
         .orderBy("lang", "pos")
+    },
+
+    // Semi-hard negative mining under the q94 twin fixture: each planted
+    // anchor's positive is its near-identical twin (pos_score ≈ the
+    // anchor's own norm), and the mined negatives are the organic vectors
+    // within the 3/4 relative margin — strictly below the positive (score
+    // ties, i.e. duplicates, excluded as false negatives) but close enough
+    // to carry gradient. The oracle replays quantization, the panel's
+    // positive scores, the margin predicate, and the ranked cut as exact
+    // BIGINT arithmetic, so a wrong margin comparison, a leaked self/
+    // positive row, or a heap-order divergence all fail the hash.
+    Q("q282_hard_negatives",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id % 10 = 0),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | lab AS (SELECT vec_id AS qid, vec_id + 100000 AS pos_id
+        |         FROM embeddings WHERE vec_id % 10 = 0),
+        | pan AS (SELECT * FROM (
+        |   SELECT l.qid, l.pos_id, q.code AS qc,
+        |     CAST(list_dot_product(q.code, p.code) AS BIGINT) AS pos_score
+        |   FROM lab l JOIN qz q ON q.vec_id = l.qid JOIN qz p ON p.vec_id = l.pos_id)
+        |  WHERE pos_score > 0),
+        | sh AS (SELECT * FROM (
+        |   SELECT pan.qid, pan.pos_id, pan.pos_score, c.vec_id AS neg_id,
+        |     CAST(list_dot_product(pan.qc, c.code) AS BIGINT) AS score
+        |   FROM pan JOIN qz c ON c.vec_id <> pan.qid AND c.vec_id <> pan.pos_id)
+        |  WHERE score < pos_score AND (pos_score - score) * 4 <= pos_score * 3),
+        | rk AS (SELECT qid, pos_id, neg_id, score, pos_score - score AS gap,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, neg_id)
+        |        AS BIGINT) AS neg_rank
+        |  FROM sh)
+        |SELECT qid, pos_id, neg_rank, neg_id, score, gap FROM rk
+        |WHERE neg_rank <= 5 ORDER BY qid, neg_rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val corpus = emb.unionByName(twins)
+      val labels = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), (col("vec_id") + 100000).as("pos_id"))
+      semiHardNegatives(corpus, labels, k = 5, marginNum = 3, marginDen = 4)
+        .orderBy("qid", "neg_rank")
     },
   )
 }
