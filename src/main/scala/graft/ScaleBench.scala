@@ -424,6 +424,33 @@ object ScaleBench {
       val tAnchor = timeMin(reps) {
         ac.processBatch(fixedDocBatch, { ab += 1; 1000L + ab })
       }
+
+      // q280 core: KN bigram train on the ×k corpus + score a FIXED 200-doc
+      // batch — dominated by the one training transition-count pass (the
+      // rotated copies grow the vocab ×k, so ctx/bw stay corpus-bounded
+      // aggregates) → LINEAR
+      val tKn = timeMin(reps) {
+        graft.scale.KneserNey.knBigramScore(docs, fixedDocBatch)
+          .queryExecution.toRdd.count()
+      }
+
+      // q279 core: WordPiece train + serve over the ×k corpus — one
+      // word-count shuffle, driver loop over the FIXED K-bounded cut, the
+      // greedy kernel once per distinct word (×k under rotation) → LINEAR
+      val tWp = timeMin(reps) {
+        graft.scale.Wordpiece.wordpieceSegmentWords(docs)
+          .queryExecution.toRdd.count()
+      }
+
+      // q282 core: a FIXED 50-anchor panel mined against the ×k corpus —
+      // one corpus scan with the margin predicate scan-side, bounded heaps
+      // after → LINEAR
+      val hnLabels = baseEmb.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("qid"), (col("vec_id") + 1).as("pos_id"))
+      val tHardNeg = timeMin(reps) {
+        graft.scale.Similarity.semiHardNegatives(emb, hnLabels, 3, 9, 10)
+          .queryExecution.toRdd.count()
+      }
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => rddsBefore(id) }
         .values.foreach(_.unpersist(blocking = true))
@@ -447,7 +474,9 @@ object ScaleBench {
         "suffix_spans" -> tSuffix, "anchor_stream_batch" -> tAnchor,
         "winnow_fp" -> tWinnow, "winnow_guard_batch" -> tWinnowGuard,
         "term_drift" -> tDrift, "zipf_profile" -> tZipf,
-        "textrank" -> tTextRank, "bm25_serve" -> tBmServe))
+        "textrank" -> tTextRank, "bm25_serve" -> tBmServe,
+        "kn_score" -> tKn, "wordpiece_segment" -> tWp,
+        "hard_negatives" -> tHardNeg))
     }
 
     val expectations = Map(
@@ -465,7 +494,9 @@ object ScaleBench {
       "suffix_spans" -> ("linear", 16.0), "anchor_stream_batch" -> ("flat", 3.0),
       "winnow_fp" -> ("linear", 16.0), "winnow_guard_batch" -> ("flat", 3.0),
       "term_drift" -> ("linear", 16.0), "zipf_profile" -> ("linear", 16.0),
-      "textrank" -> ("linear", 16.0), "bm25_serve" -> ("flat", 3.0))
+      "textrank" -> ("linear", 16.0), "bm25_serve" -> ("flat", 3.0),
+      "kn_score" -> ("linear", 16.0), "wordpiece_segment" -> ("linear", 16.0),
+      "hard_negatives" -> ("linear", 16.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

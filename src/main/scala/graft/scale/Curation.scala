@@ -1346,6 +1346,77 @@ object Curation {
     regexp_extract_all(txt,
       lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^ \\t\\r\\n#]+)"), lit(1))
 
+  /** `<url>` entry blocks of a sitemap XML body (sitemaps.org protocol) —
+    * the step after [[parseSitemaps]] hands the crawler a sitemap URL and
+    * the fetch returns the body. Non-greedy block match, so adjacent
+    * entries never merge; `<sitemapindex>` files (whose children are
+    * `<sitemap>` blocks, not `<url>`) and non-XML bodies yield no blocks.
+    * Pure codegen'd regex projection, same RE2 ∩ java.util.regex subset
+    * discipline as the robots parsers.
+    */
+  def sitemapUrlBlocks(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?is)<url\\b[^>]*>(.*?)</url>"), lit(1))
+
+  /** The entry's `<loc>` URL ('' when absent — callers drop those rows). */
+  def sitemapLoc(block: Column): Column =
+    regexp_extract(block, "(?is)<loc\\s*>\\s*([^<\\s]+)\\s*</loc>", 1)
+
+  /** The entry's optional `<lastmod>` date, NULL when absent. Kept as the
+    * raw ISO string: ISO dates compare lexicographically, so freshness
+    * tests need no date type on either engine.
+    */
+  def sitemapLastmod(block: Column): Column =
+    nullif(regexp_extract(block, "(?is)<lastmod\\s*>\\s*([^<\\s]+)\\s*</lastmod>", 1),
+      lit(""))
+
+  /** Sitemap-XML url entries of (`idCol`, `bodyCol`) rows: one row per
+    * `<url>` block with a nonempty `<loc>`, in document order —
+    * (`idCol`, i, url, lastmod).
+    */
+  def sitemapEntries(docs: DataFrame, idCol: String = "doc_id",
+                     bodyCol: String = "body"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(sitemapUrlBlocks(col(bodyCol))).as(Seq("i", "__blk")))
+      .select(col(idCol), col("i").cast("int").as("i"),
+        sitemapLoc(col("__blk")).as("url"),
+        sitemapLastmod(col("__blk")).as("lastmod"))
+      .filter(col("url") =!= "")
+
+  /** Recrawl schedule from sitemap freshness: entries (url, lastmod) vs a
+    * fetch log (url, last_fetch) — a URL is DUE iff it was never fetched,
+    * or its sitemap claims a `lastmod` strictly newer than the last fetch
+    * (ISO strings compare lexicographically, so no date type crosses an
+    * engine boundary). Duplicate url claims collapse to the freshest
+    * lastmod FIRST (max ignores NULL), so the ranked cut ranks a set, not
+    * a multiset — the determinism guard every politeness window here
+    * needs. Due URLs get politeness cycle/slot per domain
+    * (`slotsPerCycle` fetches per domain per cycle, freshest first, URL
+    * tiebreak) — the q248 scheduler's slot arithmetic driven by sitemap
+    * freshness instead of trust.
+    *
+    * Scale shape: one url-keyed dedup aggregate + one url-keyed left join
+    * + a per-DOMAIN window (domains are the politeness unit; a domain's
+    * due list is its own sitemap's size, never the corpus).
+    */
+  def recrawlSchedule(entries: DataFrame, fetchLog: DataFrame,
+                      slotsPerCycle: Int = 2): DataFrame = {
+    require(slotsPerCycle >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val uniq = entries.groupBy("url").agg(max("lastmod").as("lastmod"))
+    val due = uniq.join(fetchLog.select("url", "last_fetch"), Seq("url"), "left")
+      .filter(col("last_fetch").isNull ||
+        (col("lastmod").isNotNull && col("lastmod") > col("last_fetch")))
+      .select(regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("domain"),
+        col("url"), col("lastmod"), col("last_fetch"))
+    val w = Window.partitionBy("domain")
+      .orderBy(coalesce(col("lastmod"), lit("")).desc, col("url"))
+    due.withColumn("rnk", row_number().over(w))
+      .select(col("domain"),
+        expr(s"CAST((rnk - 1) div $slotsPerCycle AS BIGINT)").as("cycle"),
+        expr(s"CAST(pmod(rnk - 1, $slotsPerCycle) AS BIGINT)").as("slot"),
+        col("url"), col("lastmod"), col("last_fetch"))
+  }
+
   /** The robots body's Crawl-delay in seconds (first match wins, 0 when
     * absent) — the politeness rate limit the q249 fetch scheduler spaces
     * requests by. Anchored per line (`(?im)`), value = leading digit run.
@@ -1354,6 +1425,29 @@ object Curation {
     coalesce(nullif(regexp_extract(txt,
       "(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+)", 1), lit("")), lit("0"))
       .cast("long")
+
+  /** Sitemap-XML fixture (q283/q284): class 0 = a urlset with three
+    * entries (lastmod / padded no-lastmod / lastmod-before-loc), class 1 =
+    * a sitemapindex decoy (loc OUTSIDE url blocks), class 2 = non-XML with
+    * a loc-less url block. Mirrors the oracle's CASE verbatim.
+    */
+  private[graft] def sitemapXmlFixture(d: Column): Column = {
+    val cls = (d % 3).cast("int")
+    val dom = concat(lit("https://site"), d % 7, lit(".com/p"), d)
+    val la = date_format(date_add(to_date(lit("2026-01-01")),
+      (d % 60).cast("int")), "yyyy-MM-dd")
+    val lc = date_format(date_add(to_date(lit("2026-01-01")),
+      (d % 29).cast("int")), "yyyy-MM-dd")
+    when(cls === 0, concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc>"), dom, lit("/a</loc><lastmod>"), la, lit("</lastmod></url>"),
+      lit("<url>\n  <loc> "), dom, lit("/b </loc>\n</url>"),
+      lit("<url><lastmod>"), lc, lit("</lastmod><loc>"), dom,
+      lit("/c</loc></url></urlset>")))
+      .when(cls === 1, concat(lit("<sitemapindex><sitemap><loc>https://site"),
+        d % 7, lit(".com/child.xml</loc></sitemap></sitemapindex>")))
+      .otherwise(lit("not xml <url><priority>0.5</priority></url>"))
+  }
 
   /** Per-agent robots fixture: a `graftbot` group with a BROAD /read/
     * ban plus carve-out, then the `*` group with the q246 rules — the
@@ -2854,6 +2948,108 @@ object Curation {
         .select(col("doc_id"),
           posexplode(parseSitemaps(col("body"))).as(Seq("i", "url")))
         .orderBy("doc_id", "i")
+    },
+
+    // Sitemap-XML url entries: the fetch AFTER q277 hands the crawler a
+    // sitemap URL. Three planted classes: a urlset with three entries
+    // (ISO lastmod / no lastmod with padded whitespace / lastmod BEFORE
+    // loc — element order must not matter), a sitemapindex whose <loc>
+    // elements sit inside <sitemap> blocks (must yield NO rows — the
+    // block match scopes loc to <url>), and a non-XML body with a
+    // loc-less <url> decoy (block matches, empty loc drops the row). The
+    // SAME regex constants run on both engines.
+    Q("q283_sitemap_urls",
+      """WITH b AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN '<?xml version="1.0"?><urlset>'
+        |      || '<url><loc>https://site' || (doc_id % 7) || '.com/p' || doc_id
+        |      || '/a</loc><lastmod>'
+        |      || strftime(DATE '2026-01-01' + CAST(doc_id % 60 AS INT), '%Y-%m-%d')
+        |      || '</lastmod></url>'
+        |      || '<url>' || chr(10) || '  <loc> https://site' || (doc_id % 7)
+        |      || '.com/p' || doc_id || '/b </loc>' || chr(10) || '</url>'
+        |      || '<url><lastmod>'
+        |      || strftime(DATE '2026-01-01' + CAST(doc_id % 29 AS INT), '%Y-%m-%d')
+        |      || '</lastmod><loc>https://site' || (doc_id % 7) || '.com/p'
+        |      || doc_id || '/c</loc></url></urlset>'
+        |    WHEN 1 THEN '<sitemapindex><sitemap><loc>https://site'
+        |      || (doc_id % 7) || '.com/child.xml</loc></sitemap></sitemapindex>'
+        |    ELSE 'not xml <url><priority>0.5</priority></url>'
+        |  END AS body
+        | FROM documents),
+        | blk AS (SELECT doc_id,
+        |   generate_subscripts(regexp_extract_all(body,
+        |     '(?is)<url\b[^>]*>(.*?)</url>', 1), 1) - 1 AS i,
+        |   unnest(regexp_extract_all(body,
+        |     '(?is)<url\b[^>]*>(.*?)</url>', 1)) AS blk
+        |  FROM b),
+        | e AS (SELECT doc_id, CAST(i AS INT) AS i,
+        |   regexp_extract(blk, '(?is)<loc\s*>\s*([^<\s]+)\s*</loc>', 1) AS url,
+        |   nullif(regexp_extract(blk,
+        |     '(?is)<lastmod\s*>\s*([^<\s]+)\s*</lastmod>', 1), '') AS lastmod
+        |  FROM blk)
+        |SELECT doc_id, i, url, lastmod FROM e WHERE url <> ''
+        |ORDER BY doc_id, i""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), sitemapXmlFixture(col("doc_id")).as("body"))
+        .transform(sitemapEntries(_))
+        .orderBy("doc_id", "i")
+    },
+
+    // Recrawl schedule from sitemap freshness: the q283 entries joined
+    // against a fetch log — 'a' urls were fetched the day BEFORE their
+    // lastmod (due), 'c' urls the day AFTER (not due), 'b' urls never
+    // (due with unknown freshness, ranked last). Politeness slots: 2
+    // fetches per domain per cycle, freshest lastmod first, URL
+    // tiebreak; 7 shared domains make the cycle arithmetic real. The
+    // oracle replays the dedup, the due rule, and the ranked slot
+    // assignment on raw ISO strings (lexicographic = chronological).
+    Q("q284_recrawl_schedule",
+      """WITH d0 AS (SELECT doc_id,
+        |    'https://site' || (doc_id % 7) || '.com/p' || doc_id AS base,
+        |    strftime(DATE '2026-01-01' + CAST(doc_id % 60 AS INT), '%Y-%m-%d') AS la,
+        |    strftime(DATE '2026-01-01' + CAST(doc_id % 29 AS INT), '%Y-%m-%d') AS lc
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | e AS (SELECT base || '/a' AS url, la AS lastmod FROM d0
+        |       UNION ALL SELECT base || '/b', NULL FROM d0
+        |       UNION ALL SELECT base || '/c', lc FROM d0),
+        | uniq AS (SELECT url, max(lastmod) AS lastmod FROM e GROUP BY 1),
+        | log AS (SELECT base || '/a' AS url,
+        |           strftime(DATE '2026-01-01' + CAST(doc_id % 60 AS INT) - 1,
+        |                    '%Y-%m-%d') AS last_fetch FROM d0
+        |         UNION ALL
+        |         SELECT base || '/c',
+        |           strftime(DATE '2026-01-01' + CAST(doc_id % 29 AS INT) + 1,
+        |                    '%Y-%m-%d') FROM d0),
+        | due AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+        |           u.url, u.lastmod, l.last_fetch
+        |         FROM uniq u LEFT JOIN log l USING (url)
+        |         WHERE l.last_fetch IS NULL
+        |            OR (u.lastmod IS NOT NULL AND u.lastmod > l.last_fetch)),
+        | rk AS (SELECT domain, url, lastmod, last_fetch,
+        |          row_number() OVER (PARTITION BY domain
+        |            ORDER BY coalesce(lastmod, '') DESC, url) AS rnk
+        |        FROM due)
+        |SELECT domain, CAST((rnk - 1) // 2 AS BIGINT) AS cycle,
+        |  CAST((rnk - 1) % 2 AS BIGINT) AS slot, url, lastmod, last_fetch
+        |FROM rk ORDER BY domain, cycle, slot""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val entries = docs
+        .select(col("doc_id"), sitemapXmlFixture(col("doc_id")).as("body"))
+        .transform(sitemapEntries(_))
+      val d0 = docs.filter(col("doc_id") % 3 === 0).select(
+        concat(lit("https://site"), col("doc_id") % 7, lit(".com/p"),
+          col("doc_id")).as("base"),
+        date_format(date_add(to_date(lit("2026-01-01")),
+          (col("doc_id") % 60).cast("int")), "yyyy-MM-dd").as("la"),
+        date_format(date_add(to_date(lit("2026-01-01")),
+          (col("doc_id") % 29).cast("int")), "yyyy-MM-dd").as("lc"))
+      val log = d0.select(concat(col("base"), lit("/a")).as("url"),
+          date_format(date_sub(to_date(col("la")), 1), "yyyy-MM-dd").as("last_fetch"))
+        .unionByName(d0.select(concat(col("base"), lit("/c")).as("url"),
+          date_format(date_add(to_date(col("lc")), 1), "yyyy-MM-dd").as("last_fetch")))
+      recrawlSchedule(entries, log)
+        .orderBy("domain", "cycle", "slot")
     },
 
     // Meta-robots noindex screening: the page-level opt-out a crawl must

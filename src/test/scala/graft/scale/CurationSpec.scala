@@ -987,4 +987,55 @@ class CurationSpec extends SparkSpec {
     assert(Curation.textRankSummary(d, k = 2, iters = 3)
       .as[(Long, Long, Long, Long)].collect().toSet === out.toSet)
   }
+
+  test("sitemapEntries: block scoping, element order, whitespace, drops") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      // element order reversed + padded loc; two entries
+      (1L, "<urlset><url><lastmod>2026-02-03</lastmod><loc>https://a.com/x</loc></url>" +
+        "<url>\n <loc>  https://a.com/y  </loc>\n</url></urlset>"),
+      // sitemapindex: loc OUTSIDE url blocks -> no rows
+      (2L, "<sitemapindex><sitemap><loc>https://a.com/child.xml</loc></sitemap></sitemapindex>"),
+      // loc-less url block -> block matches, row dropped
+      (3L, "<url><priority>0.5</priority></url>"),
+      (4L, "no xml at all")
+    ).toDF("doc_id", "body")
+    val out = Curation.sitemapEntries(docs)
+      .as[(Long, Int, String, Option[String])].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 0, "https://a.com/x", Some("2026-02-03")),
+      (1L, 1, "https://a.com/y", None)))
+  }
+
+  test("recrawlSchedule: due rule, dedup to freshest, null-lastmod ranks last, slots") {
+    val spark0 = spark
+    import spark0.implicits._
+    val entries = Seq(
+      ("https://d.com/stale", Some("2026-03-10")),  // fetched 03-09 -> due
+      ("https://d.com/fresh", Some("2026-03-10")),  // fetched 03-11 -> not due
+      ("https://d.com/never", Some("2026-03-12")),  // never fetched -> due
+      ("https://d.com/nolm", None),                 // never fetched, unknown freshness
+      // duplicate claims: freshest (03-20) wins the dedup, which makes it due
+      ("https://d.com/dup", Some("2026-03-01")),
+      ("https://d.com/dup", Some("2026-03-20"))
+    ).toDF("url", "lastmod")
+    val log = Seq(
+      ("https://d.com/stale", "2026-03-09"),
+      ("https://d.com/fresh", "2026-03-11"),
+      ("https://d.com/dup", "2026-03-05")
+    ).toDF("url", "last_fetch")
+    val out = Curation.recrawlSchedule(entries, log)
+      .orderBy("cycle", "slot")
+      .as[(String, Long, Long, String, Option[String], Option[String])].collect()
+    // due set: dup (03-20), never (03-12), stale (03-10), nolm (ranked last)
+    assert(out.map(_._4).toSeq === Seq(
+      "https://d.com/dup", "https://d.com/never",
+      "https://d.com/stale", "https://d.com/nolm"))
+    assert(out.map(r => (r._2, r._3)).toSeq ===
+      Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    assert(out.forall(_._1 == "d.com"))
+    // the deduped duplicate carries the freshest lastmod
+    assert(out.head._5 === Some("2026-03-20"))
+  }
 }
