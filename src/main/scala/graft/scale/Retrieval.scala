@@ -97,6 +97,56 @@ object Retrieval {
     withTf.withColumn(scoreCol, score)
   }
 
+  /** Field-weighted BM25 (BM25F — Robertson, Zaragoza & Taylor, CIKM 2004,
+    * the "simple extension" form): per-term field tfs combine as
+    * `tf' = Σ_f w_f·tf_f` and document length as `len' = Σ_f w_f·len_f`
+    * BEFORE the saturation, so a weight-3 title hit saturates like three
+    * body occurrences of one document rather than adding three
+    * independently saturated scores (the known mistake of summing
+    * per-field BM25s, which over-rewards spreading a term thinly across
+    * fields). The formula is [[bm25]]'s milli-unit integer form on
+    * (tf', len', weighted avg); idf's df counts documents where the term
+    * appears in ANY field. Field weights are integer plan literals, so
+    * every intermediate stays a BIGINT and the whole scorer is one
+    * codegen'd projection — corpus stats enter as literals exactly as in
+    * [[bm25]], whose single-field weight-1 case this reduces to verbatim
+    * (RetrievalSpec law).
+    */
+  def bm25f(docs: DataFrame, fields: Seq[(String, Long)], terms: Seq[String],
+            scoreCol: String = "score"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"bm25f is a few-term search primitive, got ${terms.size} terms")
+    require(fields.nonEmpty && fields.forall(_._2 >= 1),
+      s"bm25f needs >= 1 fields with positive integer weights, got $fields")
+    val wlen = fields.map { case (f, w) => size(toks(col(f))).cast("long") * w }
+      .reduce(_ + _)
+    val anyField = array_distinct(concat(
+      fields.map { case (f, _) => toks(col(f)) }: _*))
+    val stats = docs.select(wlen.as("__wl"), anyField.as("__ts"))
+    val r = stats.agg(count(lit(1)).as("n"), sum("__wl").as("s")).head()
+    val n = r.getLong(0)
+    val avg = math.max(1L, r.getLong(1) / n)
+    val dfs = stats.select(explode(col("__ts")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfs.getOrElse(t, 0L)
+      t -> math.max(1L,
+        (64 - java.lang.Long.numberOfLeadingZeros(n + 1))
+          - (64 - java.lang.Long.numberOfLeadingZeros(df + 1)).toLong)
+    }.toMap
+    val withTf = terms.foldLeft(docs) { (d, t) =>
+      d.withColumn(s"tf_$t",
+        fields.map { case (f, w) =>
+          size(filter(toks(col(f)), x => x === lit(t))).cast("long") * w
+        }.reduce(_ + _))
+    }
+    val score = terms.map(t => termScore(col(s"tf_$t"), wlen, idf(t), avg))
+      .reduce(_ + _)
+    withTf.withColumn(scoreCol, score)
+  }
+
   /** BM25 served ENTIRELY from an inverted index — the form a persistent
     * postings table (e.g. [[graft.streaming.PostingsIndex]]) answers with,
     * no document text in sight. Every statistic derives from the postings:
@@ -544,6 +594,61 @@ object Retrieval {
       hybridRrf(Tables.documents(s, d).select("doc_id", "text"),
         Tables.embeddings(s, d).select("vec_id", "embedding"),
         Seq("spark", "merge", "dup"), queryVecId = 0L)
+    },
+
+    // Field-weighted BM25F: body (weight 1) + a planted title field
+    // (weight 3) where every 11th doc's title carries 'zebra' — a term
+    // the organic corpus lacks, so its idf and every hit come from the
+    // title channel alone, while 'merge' scores through the body. The
+    // oracle replays the weighted tf/length combination, the any-field
+    // df, and the milli-unit saturation; a per-field-sum implementation
+    // (saturate-then-add) would shift every zebra score and hash-fail.
+    Q("q285_bm25f",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS bs,
+        |    list_filter(string_split_regex(
+        |      CASE WHEN doc_id % 11 = 0 THEN 'zebra guide' ELSE 'plain guide' END,
+        |      '\s+'), x -> x <> '') AS ts2
+        |  FROM documents),
+        | w AS (SELECT doc_id, bs, ts2,
+        |         CAST(len(bs) + 3 * len(ts2) AS BIGINT) AS wlen FROM d),
+        | st AS (SELECT count(1) AS n, CAST(sum(wlen) AS BIGINT) AS s FROM w),
+        | av AS (SELECT greatest(1, s // n) AS avg, n FROM st),
+        | df AS (
+        |  SELECT
+        |    (SELECT count(1) FROM d
+        |     WHERE list_contains(bs, 'zebra') OR list_contains(ts2, 'zebra')) AS df_z,
+        |    (SELECT count(1) FROM d
+        |     WHERE list_contains(bs, 'merge') OR list_contains(ts2, 'merge')) AS df_m),
+        | idf AS (
+        |  SELECT greatest(1, length(bin(n + 1)) - length(bin(df_z + 1))) AS i_z,
+        |         greatest(1, length(bin(n + 1)) - length(bin(df_m + 1))) AS i_m
+        |  FROM df CROSS JOIN av),
+        | tf AS (
+        |  SELECT doc_id, wlen,
+        |    CAST(len(list_filter(bs, x -> x = 'zebra'))
+        |         + 3 * len(list_filter(ts2, x -> x = 'zebra')) AS BIGINT) AS tf_zebra,
+        |    CAST(len(list_filter(bs, x -> x = 'merge'))
+        |         + 3 * len(list_filter(ts2, x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM w),
+        | sc AS (
+        |  SELECT doc_id, tf_zebra, tf_merge,
+        |    (CASE WHEN tf_zebra > 0 THEN
+        |       (1000 * i_z * 44 * avg * tf_zebra)
+        |         // (20 * avg * tf_zebra + 6 * avg + 18 * wlen) ELSE 0 END
+        |   + CASE WHEN tf_merge > 0 THEN
+        |       (1000 * i_m * 44 * avg * tf_merge)
+        |         // (20 * avg * tf_merge + 6 * avg + 18 * wlen) ELSE 0 END) AS score
+        |  FROM tf CROSS JOIN idf CROSS JOIN av)
+        |SELECT doc_id, tf_zebra, tf_merge, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        when(col("doc_id") % 11 === 0, "zebra guide")
+          .otherwise("plain guide").as("title"))
+      bm25f(docs, Seq("title" -> 3L, "text" -> 1L), Seq("zebra", "merge"))
+        .select("doc_id", "tf_zebra", "tf_merge", "score")
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
     },
   )
 }

@@ -164,4 +164,42 @@ class RetrievalSpec extends SparkSpec {
     // single-word phrase degenerates to term frequency
     assert(got(Seq("a")) === Map(1L -> 3L, 2L -> 4L, 4L -> 1L))
   }
+
+  test("bm25f with one weight-1 field reduces to bm25 exactly") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val terms = Seq("merge", "hash")
+    val a = Retrieval.bm25(docs, terms)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Retrieval.bm25f(docs, Seq("text" -> 1L), terms)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("bm25f weights: a weight-3 title hit outranks a body hit at equal weighted length") {
+    val spark0 = spark
+    import spark0.implicits._
+    // both docs have weighted length 3*2 + 3 = 9; A's zebra rides the
+    // title (weighted tf 3), B's the body (tf 1)
+    val docs = Seq(
+      (1L, "x y z", "zebra guide"),
+      (2L, "zebra y z", "plain guide")
+    ).toDF("doc_id", "text", "title")
+    val r = Retrieval.bm25f(docs, Seq("title" -> 3L, "text" -> 1L), Seq("zebra"))
+      .select("doc_id", "tf_zebra", "score").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._1 === 3L && r(2L)._1 === 1L)
+    assert(r(1L)._2 > r(2L)._2)
+    // combine-BEFORE-saturation: tf' saturates once, so a doc holding the
+    // term in both fields scores strictly less than the sum of two
+    // single-field scorers would claim (concavity of the saturation)
+    val both = Seq((3L, "zebra y z", "zebra guide")).toDF("doc_id", "text", "title")
+    val combined = Retrieval.bm25f(both, Seq("title" -> 3L, "text" -> 1L), Seq("zebra"))
+      .select("score").head().getLong(0)
+    val titleOnly = Retrieval.bm25f(both, Seq("title" -> 3L), Seq("zebra"))
+      .select("score").head().getLong(0)
+    val bodyOnly = Retrieval.bm25f(both, Seq("text" -> 1L), Seq("zebra"))
+      .select("score").head().getLong(0)
+    assert(combined < titleOnly + bodyOnly)
+  }
 }
