@@ -120,6 +120,94 @@ object KneserNey {
         .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
   }
 
+  /** The within-document TRIGRAM stream (`idCol`, `__p2`, `__p1`, `__c`). */
+  private[scale] def transitions3(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), graft.expressions.Ws.Regex), w => w =!= "")
+    val n3 = greatest(size(toks) - 2, lit(0))
+    docs.select(col(idCol),
+      explode(zip_with(
+        zip_with(slice(toks, lit(1), n3), slice(toks, lit(2), n3),
+          (a, b) => struct(a.as("p2"), b.as("p1"))),
+        slice(toks, lit(3), n3),
+        (ab, c) => struct(ab.getField("p2").as("p2"),
+          ab.getField("p1").as("p1"), c.as("c")))).as("__t"))
+      .select(col(idCol), col("__t.p2").as("__p2"),
+        col("__t.p1").as("__p1"), col("__t.c").as("__c"))
+  }
+
+  /** Trigram Kneser–Ney with two-level backoff — KenLM's default order,
+    * composed from the bigram rule:
+    *   - seen trigram:        bits(4·c12) − bits(4·c3 − 3)
+    *   - unseen, seen (w1,w2): backoff penalty bits(4·c12) − bits(3·n1fw2)
+    *     PLUS the full [[knBigramScore]] rule on (w2,w3)
+    *   - unseen context:       the bigram rule on (w2,w3) alone
+    * where c3 = trigram count, c12 = context count, n1fw2 = distinct
+    * continuations of (w1,w2). Same per-factor floor-log2 discipline —
+    * no product ever crosses a bits() call. Per doc: `n_tri`, the
+    * three-way trigram branch counts (they partition n_tri), and
+    * `kn3_bits`. Docs with < 3 words score all-zero.
+    *
+    * Scale shape: one extra trigram-keyed aggregate over training (the
+    * widest relation, vocab³-bounded but corpus-linear) + its (w1,w2)
+    * context aggregate; scoring adds two keyed left joins on top of the
+    * bigram rule's three.
+    */
+  def knTrigramScore(train: DataFrame, score: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val t3 = transitions3(train, idCol, textCol)
+      .groupBy("__p2", "__p1", "__c").agg(count(lit(1)).as("__tc"))
+      .localCheckpoint()
+    val c2 = t3.groupBy("__p2", "__p1")
+      .agg(sum("__tc").cast("long").as("__c12"),
+        count(lit(1)).cast("long").as("__n1fw2"))
+    // the bigram level's relations, exactly as knScoreFromCounts builds them
+    val big = transitions(train, idCol, textCol)
+      .groupBy("__p", "__c").agg(count(lit(1)).as("__bc"))
+      .localCheckpoint()
+    val ctx = big.groupBy("__p")
+      .agg(sum("__bc").cast("long").as("__pc"), count(lit(1)).cast("long").as("__n1fw"))
+    val bw = big.groupBy("__c").agg(count(lit(1)).cast("long").as("__n1bw"))
+    val btot = big.agg(count(lit(1)).cast("long").as("__B"))
+
+    val n1bwFloored = greatest(coalesce(col("__n1bw"), lit(0L)), lit(1L))
+    val biHit = col("__bc").isNotNull
+    val biWarm = col("__pc").isNotNull
+    val biCost =
+      when(biHit, bitsOf(col("__pc") * 4) - bitsOf(col("__bc") * 4 - 3))
+        .when(biWarm,
+          bitsOf(col("__pc") * 4) + bitsOf(col("__B"))
+            - bitsOf(col("__n1fw") * 3) - bitsOf(n1bwFloored))
+        .otherwise(bitsOf(col("__B")) - bitsOf(n1bwFloored))
+    val triHit = col("__tc").isNotNull
+    val triWarm = col("__c12").isNotNull
+    val cost =
+      when(triHit, bitsOf(col("__c12") * 4) - bitsOf(col("__tc") * 4 - 3))
+        .when(triWarm,
+          bitsOf(col("__c12") * 4) - bitsOf(col("__n1fw2") * 3) + biCost)
+        .otherwise(biCost)
+
+    val scored = transitions3(score, idCol, textCol)
+      .join(t3, Seq("__p2", "__p1", "__c"), "left")
+      .join(c2, Seq("__p2", "__p1"), "left")
+      .withColumn("__p", col("__p1"))
+      .join(big, Seq("__p", "__c"), "left")
+      .join(ctx, Seq("__p"), "left")
+      .join(bw, Seq("__c"), "left")
+      .crossJoin(broadcast(btot))
+      .select(col(idCol),
+        when(triHit, 1L).otherwise(0L).as("__hit"),
+        when(!triHit && triWarm, 1L).otherwise(0L).as("__back"),
+        when(!triWarm, 1L).otherwise(0L).as("__cold"),
+        cost.as("__cost"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tri"), sum("__hit").as("n_hit3"),
+        sum("__back").as("n_back3"), sum("__cold").as("n_cold3"),
+        sum("__cost").as("kn3_bits"))
+    score.select(idCol).join(scored, Seq(idCol), "left")
+      .select(col(idCol) +: Seq("n_tri", "n_hit3", "n_back3", "n_cold3", "kn3_bits")
+        .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   /** Transition stream of `documents` rows matching `pred` — q128's
@@ -170,6 +258,79 @@ SELECT d.doc_id, coalesce(s.n_trans, 0) AS n_trans, coalesce(s.n_hit, 0) AS n_hi
 FROM documents d LEFT JOIN s USING (doc_id)
 WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
 
+  private val trigramOracle: String =
+    s"""WITH ${transSql("tt", "doc_id % 2 = 0").trim},
+ tw3 AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS c,
+    generate_subscripts(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), 1) AS pos
+  FROM documents WHERE doc_id % 2 = 0),
+ tt3 AS (
+  SELECT doc_id, lag(c, 2) OVER win AS p2, lag(c) OVER win AS p1, c
+  FROM tw3 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY p2 IS NOT NULL),
+ sw3 AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS c,
+    generate_subscripts(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), 1) AS pos
+  FROM documents WHERE doc_id % 2 = 1),
+ st3 AS (
+  SELECT doc_id, lag(c, 2) OVER win AS p2, lag(c) OVER win AS p1, c
+  FROM sw3 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY p2 IS NOT NULL),
+ tb AS MATERIALIZED (
+  SELECT p2, p1, c, CAST(count(1) AS BIGINT) AS tc FROM tt3 GROUP BY 1, 2, 3),
+ c2 AS (SELECT p2, p1, CAST(sum(tc) AS BIGINT) AS c12,
+          CAST(count(1) AS BIGINT) AS n1fw2 FROM tb GROUP BY 1, 2),
+ b AS MATERIALIZED (SELECT p, c, CAST(count(1) AS BIGINT) AS bc FROM tt GROUP BY 1, 2),
+ x AS (SELECT p, CAST(sum(bc) AS BIGINT) AS pc, CAST(count(1) AS BIGINT) AS n1fw
+       FROM b GROUP BY 1),
+ bw AS (SELECT c, CAST(count(1) AS BIGINT) AS n1bw FROM b GROUP BY 1),
+ bt AS (SELECT CAST(count(1) AS BIGINT) AS btot FROM b),
+ costed AS (
+  SELECT s.doc_id,
+    CASE WHEN tb.tc IS NOT NULL THEN 1 ELSE 0 END AS hit,
+    CASE WHEN tb.tc IS NULL AND c2.c12 IS NOT NULL THEN 1 ELSE 0 END AS back,
+    CASE WHEN c2.c12 IS NULL THEN 1 ELSE 0 END AS cold,
+    CASE WHEN tb.tc IS NOT NULL
+           THEN length(bin(4 * c2.c12)) - length(bin(4 * tb.tc - 3))
+         WHEN c2.c12 IS NOT NULL
+           THEN length(bin(4 * c2.c12)) - length(bin(3 * c2.n1fw2))
+                + (CASE WHEN b.bc IS NOT NULL
+                     THEN length(bin(4 * x.pc)) - length(bin(4 * b.bc - 3))
+                   WHEN x.pc IS NOT NULL
+                     THEN length(bin(4 * x.pc)) + length(bin(bt.btot))
+                          - length(bin(3 * x.n1fw))
+                          - length(bin(greatest(coalesce(bw.n1bw, 0), 1)))
+                   ELSE length(bin(bt.btot))
+                        - length(bin(greatest(coalesce(bw.n1bw, 0), 1))) END)
+         ELSE (CASE WHEN b.bc IS NOT NULL
+                 THEN length(bin(4 * x.pc)) - length(bin(4 * b.bc - 3))
+               WHEN x.pc IS NOT NULL
+                 THEN length(bin(4 * x.pc)) + length(bin(bt.btot))
+                      - length(bin(3 * x.n1fw))
+                      - length(bin(greatest(coalesce(bw.n1bw, 0), 1)))
+               ELSE length(bin(bt.btot))
+                    - length(bin(greatest(coalesce(bw.n1bw, 0), 1))) END) END AS cost
+  FROM st3 s
+  LEFT JOIN tb ON tb.p2 = s.p2 AND tb.p1 = s.p1 AND tb.c = s.c
+  LEFT JOIN c2 ON c2.p2 = s.p2 AND c2.p1 = s.p1
+  LEFT JOIN b ON b.p = s.p1 AND b.c = s.c
+  LEFT JOIN x ON x.p = s.p1
+  LEFT JOIN bw ON bw.c = s.c, bt),
+ agg AS (
+  SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tri,
+    CAST(sum(hit) AS BIGINT) AS n_hit3, CAST(sum(back) AS BIGINT) AS n_back3,
+    CAST(sum(cold) AS BIGINT) AS n_cold3, CAST(sum(cost) AS BIGINT) AS kn3_bits
+  FROM costed GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_tri, 0) AS n_tri, coalesce(a.n_hit3, 0) AS n_hit3,
+  coalesce(a.n_back3, 0) AS n_back3, coalesce(a.n_cold3, 0) AS n_cold3,
+  coalesce(a.kn3_bits, 0) AS kn3_bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -214,6 +375,19 @@ WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
       graft.streaming.AnchorStream.anchorSink(stream, idx, s"$wh/ckpt")
         .awaitTermination()
       knScoreFromCounts(idx.served(), docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    },
+
+    // Trigram KN with two-level backoff — KenLM's default order. The
+    // oracle replays the trigram counts, the (w1,w2) context relation,
+    // the backoff penalty, and the FULL nested bigram rule at both
+    // fallthrough sites, so a wrong branch at either level shifts some
+    // doc's bits and fails the hash.
+    Q("q286_kn_trigram", trigramOracle) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      knTrigramScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     },
   )

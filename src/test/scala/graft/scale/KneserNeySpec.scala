@@ -81,6 +81,57 @@ class KneserNeySpec extends SparkSpec {
     assert(bitsOfScore("z") > bitsOfScore("y"))
   }
 
+  test("trigram hand case: hit, backoff-through-bigram, cold, exact integers") {
+    val spark0 = spark
+    import spark0.implicits._
+    // train "x y z x y z": tc = {(x,y,z):2, (y,z,x):1, (z,x,y):1}
+    //   c2: (x,y)->(2,1), (y,z)->(1,1), (z,x)->(1,1)
+    //   bigram level: b = {(x,y):2, (y,z):2, (z,x):1}, B = 3
+    val train = Seq((1L, "x y z x y z")).toDF("doc_id", "text")
+    // score "x y z q":
+    //   (x,y,z) hit  = bits(8) - bits(5)              = 4 - 3 = 1
+    //   (y,z,q) back = bits(4) - bits(3)               = 3 - 2 = 1
+    //           + bigram (z,q): z warm pc=1, q unseen
+    //             = bits(4) + bits(3) - bits(3) - bits(1) = 3+2-2-1 = 2
+    val r1 = KneserNey.knTrigramScore(train, Seq((10L, "x y z q")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r1.getAs[Long]("n_tri") === 2L)
+    assert(r1.getAs[Long]("n_hit3") === 1L)
+    assert(r1.getAs[Long]("n_back3") === 1L)
+    assert(r1.getAs[Long]("n_cold3") === 0L)
+    assert(r1.getAs[Long]("kn3_bits") === 4L)
+    // score "q r s": cold trigram context -> pure bigram rule, itself cold
+    //   = bits(3) - bits(1) = 1
+    val r2 = KneserNey.knTrigramScore(train, Seq((11L, "q r s")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r2.getAs[Long]("n_tri") === 1L)
+    assert(r2.getAs[Long]("n_cold3") === 1L)
+    assert(r2.getAs[Long]("kn3_bits") === 1L)
+  }
+
+  test("trigram branch counts partition n_tri; self-score is all-hit") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val held = KneserNey.knTrigramScore(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1)).collect()
+    assert(held.nonEmpty)
+    held.foreach { r =>
+      assert(r.getAs[Long]("n_hit3") + r.getAs[Long]("n_back3") +
+        r.getAs[Long]("n_cold3") === r.getAs[Long]("n_tri"))
+      assert(r.getAs[Long]("kn3_bits") >= 0L)
+    }
+    val self = KneserNey.knTrigramScore(docs, docs).collect()
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_hit3") === r.getAs[Long]("n_tri"))
+    }
+    // docs of < 3 words zero out
+    val spark0 = spark
+    import spark0.implicits._
+    val short = KneserNey.knTrigramScore(docs,
+      Seq((99L, "two words")).toDF("doc_id", "text")).collect().head
+    assert(short.getAs[Long]("n_tri") === 0L && short.getAs[Long]("kn3_bits") === 0L)
+  }
+
   test("scoring is deterministic") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     def run() = KneserNey.knBigramScore(
