@@ -147,6 +147,34 @@ object Retrieval {
     withTf.withColumn(scoreCol, score)
   }
 
+  /** Ranked-retrieval evaluation — recall@k, precision@k, and MRR as exact
+    * integers (basis points / micro-units; a float mean would not replay):
+    * given a run (qid, rnk, doc_id) and relevance judgments (qid, doc_id),
+    * emits per query the judged-relevant count, top-`k` hit count,
+    * `recall_bp = 10000·hits div n_rel`, `precision_bp = 10000·hits div
+    * k`, and `mrr_micro = 1000000 div first_relevant_rank` (0 when no
+    * relevant doc reaches the cut). One row per judged query; queries
+    * absent from the run score zero, never vanish.
+    *
+    * Scale shape: two keyed aggregates + one (qid, doc_id) equi-join —
+    * runs are panels × k rows and qrels are judgment-sized, both tiny
+    * next to any corpus that produced them.
+    */
+  def evalRanking(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val nrel = qrels.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = run.filter(col("rnk") <= k)
+      .join(qrels, Seq("qid", "doc_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"), min("rnk").cast("long").as("__first"))
+    nrel.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("CAST(10000 * coalesce(hits, 0) div n_rel AS BIGINT)").as("recall_bp"),
+        expr(s"CAST(10000 * coalesce(hits, 0) div $k AS BIGINT)").as("precision_bp"),
+        coalesce(expr("CAST(1000000 div __first AS BIGINT)"), lit(0L)).as("mrr_micro"))
+  }
+
   /** BM25 served ENTIRELY from an inverted index — the form a persistent
     * postings table (e.g. [[graft.streaming.PostingsIndex]]) answers with,
     * no document text in sight. Every statistic derives from the postings:
@@ -649,6 +677,67 @@ object Retrieval {
       bm25f(docs, Seq("title" -> 3L, "text" -> 1L), Seq("zebra", "merge"))
         .select("doc_id", "tf_zebra", "tf_merge", "score")
         .orderBy(col("score").desc, col("doc_id")).limit(25)
+    },
+
+    // Retrieval evaluation end to end: two single-term BM25 runs (top-10)
+    // scored against derived judgments (tf ≥ 3 = relevant), with recall/
+    // precision in basis points and MRR in micro-units — all integral
+    // divides, so the metric table is value-exact. The oracle re-derives
+    // BOTH runs (full q119 arithmetic per query) AND the judgments AND
+    // the metric arithmetic; a one-position rank slip anywhere moves a
+    // metric integer and fails the hash.
+    Q("q288_retrieval_eval", {
+      val terms = Seq("merge", "hash")
+      val perTerm = terms.map { t =>
+        s"""
+ df_$t AS (SELECT (SELECT count(1) FROM d WHERE list_contains(ws, '$t')) AS df),
+ idf_$t AS (SELECT greatest(1, length(bin(n + 1)) - length(bin(df + 1))) AS idf
+            FROM df_$t CROSS JOIN av),
+ r_$t AS (
+  SELECT '$t' AS qid, doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+  FROM (
+    SELECT doc_id,
+      CASE WHEN tf > 0 THEN
+        (1000 * idf * 44 * avg * tf) // (20 * avg * tf + 6 * avg + 18 * len)
+      ELSE 0 END AS score
+    FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+            CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf FROM d)
+    CROSS JOIN idf_$t CROSS JOIN av)
+  ORDER BY score DESC, doc_id LIMIT 10),
+ q_$t AS (SELECT '$t' AS qid, doc_id FROM d
+          WHERE len(list_filter(ws, x -> x = '$t')) >= 3)"""
+      }.mkString(",")
+      s"""WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+ st AS (SELECT count(1) AS n, CAST(sum(len(ws)) AS BIGINT) AS s FROM d),
+ av AS (SELECT greatest(1, s // n) AS avg, n FROM st),$perTerm,
+ run AS (${terms.map(t => s"SELECT * FROM r_$t").mkString(" UNION ALL ")}),
+ qr AS (${terms.map(t => s"SELECT * FROM q_$t").mkString(" UNION ALL ")}),
+ nrel AS (SELECT qid, CAST(count(1) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
+ h AS (SELECT r.qid, CAST(count(1) AS BIGINT) AS hits,
+         CAST(min(rnk) AS BIGINT) AS first_rel
+       FROM run r JOIN qr USING (qid, doc_id) GROUP BY 1)
+SELECT n.qid, n.n_rel, coalesce(h.hits, 0) AS hits,
+  CAST(10000 * coalesce(h.hits, 0) // n.n_rel AS BIGINT) AS recall_bp,
+  CAST(10000 * coalesce(h.hits, 0) // 10 AS BIGINT) AS precision_bp,
+  CAST(coalesce(1000000 // h.first_rel, 0) AS BIGINT) AS mrr_micro
+FROM nrel n LEFT JOIN h USING (qid) ORDER BY n.qid"""
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val terms = Seq("merge", "hash")
+      val run = terms.map { t =>
+        graft.ops.TopK.rankedCut(bm25(docs, Seq(t)), 10, "rnk",
+            col("score").desc, col("doc_id"))
+          .select(lit(t).as("qid"), col("doc_id"), col("rnk"))
+      }.reduce(_ unionByName _)
+      val qrels = terms.map { t =>
+        docs.filter(size(filter(toks(col("text")), x => x === lit(t))) >= 3)
+          .select(lit(t).as("qid"), col("doc_id"))
+      }.reduce(_ unionByName _)
+      evalRanking(run, qrels, k = 10).orderBy("qid")
     },
   )
 }

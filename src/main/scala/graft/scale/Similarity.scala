@@ -250,6 +250,49 @@ object Similarity {
         col("score"), (col("pos_score") - col("score")).as("gap"))
   }
 
+  /** Semantic eval-set decontamination: flag every corpus vector whose
+    * embedding is cosine-close to ANY eval vector — the embedding-level
+    * complement of the n-gram screens (q70/q268), catching paraphrased or
+    * re-tokenized eval leakage that shares no exact grams. The threshold
+    * is exact integer COSINE via cross-multiplied squares on the int8
+    * codes: flag iff `dot > 0` and
+    * `dot²·cosDen² ≥ cosNum²·self(c)·self(e)` (self = a code's dot with
+    * itself), so no square root and no float ever runs — `cos ≥ 3/4` is
+    * `(3, 4)`. Bounds: |dot| ≤ dim·127², so dot² at dim 4096 is ~4.4e15 —
+    * every product stays far inside a long.
+    *
+    * Scale shape: the eval panel (with precomputed self-energies)
+    * broadcasts; the screen is ONE corpus scan with the squared-cosine
+    * predicate inside the broadcast join condition, aggregated to a
+    * per-doc flag count. Output: (vec_id, n_flagged, dropped 0/1) for
+    * every corpus vector.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalVecs: DataFrame,
+                            cosNum: Int = 3, cosDen: Int = 4,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(cosNum >= 0 && cosDen >= 1 && cosNum <= cosDen,
+      s"semanticDecontaminate: cosine threshold $cosNum/$cosDen outside [0, 1]")
+    requireNumericId(corpus, idCol, "semanticDecontaminate")
+    val cz = quantizeInt8(corpus, vecCol)
+      .select(col(idCol).cast("long").as("nid"), col("qcode").as("cc"))
+    val ez = quantizeInt8(evalVecs, vecCol)
+      .select(col(idCol).cast("long").as("eid"), col("qcode").as("ec"))
+      .withColumn("eself", int8Dot(col("ec"), col("ec")))
+    val dot = int8Dot(col("cc"), col("ec"))
+    val cself = int8Dot(col("cc"), col("cc"))
+    val flagged = cz
+      .join(broadcast(ez),
+        dot > 0 && dot * dot * lit(cosDen.toLong * cosDen) >=
+          lit(cosNum.toLong * cosNum) * cself * col("eself"))
+      .groupBy("nid").agg(count(lit(1)).as("n_flagged"))
+    corpus.select(col(idCol).cast("long").as("nid"))
+      .join(flagged, Seq("nid"), "left")
+      .select(col("nid").as(idCol),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        when(coalesce(col("n_flagged"), lit(0L)) > 0, 1L).otherwise(0L).as("dropped"))
+  }
+
   private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
     if (dim > 0) dim else df.select(size(col(vecCol)).as("d")).head().getInt(0)
 
@@ -971,6 +1014,53 @@ object Similarity {
         .select(col("vec_id").as("qid"), (col("vec_id") + 100000).as("pos_id"))
       semiHardNegatives(corpus, labels, k = 5, marginNum = 3, marginDen = 4)
         .orderBy("qid", "neg_rank")
+    },
+
+    // Semantic eval decontamination: the eval panel is the +0.02 twin of
+    // every 10th corpus vector, so exactly those corpus docs sit at
+    // quantized cosine ≈ 0.99 against SOME eval vector while the best
+    // organic pair reads ~0.45 — the 3/4 threshold must drop precisely
+    // the twinned tenth. The oracle replays quantization, both
+    // self-energies, and the squared-cosine comparison as exact BIGINTs;
+    // a float sqrt anywhere would drift a boundary doc and hash-fail.
+    Q("q287_semantic_decontam",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | ev AS (SELECT vec_id + 100000 AS vec_id,
+        |          CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id % 10 = 0),
+        | cz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+        |        FROM base)),
+        | ez AS (
+        |  SELECT vec_id AS eid,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+        |        FROM ev)),
+        | fl AS (
+        |  SELECT c.vec_id, count(1) AS n_flagged
+        |  FROM cz c JOIN ez e ON
+        |    CAST(list_dot_product(c.code, e.code) AS BIGINT) > 0
+        |    AND CAST(list_dot_product(c.code, e.code) AS BIGINT)
+        |        * CAST(list_dot_product(c.code, e.code) AS BIGINT) * 16
+        |      >= 9 * CAST(list_dot_product(c.code, c.code) AS BIGINT)
+        |           * CAST(list_dot_product(e.code, e.code) AS BIGINT)
+        |  GROUP BY 1)
+        |SELECT b.vec_id, CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+        |  CAST(CASE WHEN coalesce(f.n_flagged, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+        |FROM base b LEFT JOIN fl f USING (vec_id)
+        |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val evalVecs = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      semanticDecontaminate(emb, evalVecs).orderBy("vec_id")
     },
   )
 }

@@ -165,6 +165,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got(Seq("a")) === Map(1L -> 3L, 2L -> 4L, 4L -> 1L))
   }
 
+  test("evalRanking: hand-computed metrics, absent-query zeroing, cut boundary") {
+    val spark0 = spark
+    import spark0.implicits._
+    val run = Seq(
+      ("a", 1L, 10L), ("a", 2L, 11L), ("a", 3L, 12L),
+      ("b", 1L, 20L), ("b", 2L, 21L)
+    ).toDF("qid", "rnk", "doc_id")
+    val qrels = Seq(
+      ("a", 11L), ("a", 12L), ("a", 99L), // 2 of 3 relevant in top-3, first at rank 2
+      ("b", 77L),                         // none retrieved
+      ("c", 5L)                           // query absent from the run entirely
+    ).toDF("qid", "doc_id")
+    val r = Retrieval.evalRanking(run, qrels, k = 3).orderBy("qid")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq === Seq(
+      ("a", 3L, 2L, 6666L, 6666L, 500000L),
+      ("b", 1L, 0L, 0L, 0L, 0L),
+      ("c", 1L, 0L, 0L, 0L, 0L)))
+    // rank k+1 must not count: relevant doc at rank 4 is outside the cut
+    val run2 = Seq(("a", 4L, 11L)).toDF("qid", "rnk", "doc_id")
+    val r2 = Retrieval.evalRanking(run2, Seq(("a", 11L)).toDF("qid", "doc_id"), k = 3)
+      .collect().head
+    assert(r2.getLong(2) === 0L && r2.getLong(5) === 0L)
+  }
+
   test("bm25f with one weight-1 field reduces to bm25 exactly") {
     val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
     val terms = Seq("merge", "hash")

@@ -372,4 +372,32 @@ class SimilaritySpec extends SparkSpec {
     assert(found >= (nClones * 0.9).toLong,
       s"found only $found of $nClones planted near-dup pairs")
   }
+
+  test("semanticDecontaminate: exact cosine threshold, no sqrt drift") {
+    val spark0 = spark
+    import spark0.implicits._
+    // hand geometry: eval = (1,0). cos((1,0))=1 drop; cos((1,1))=0.7071 < 3/4
+    // keep; cos((2,1))=0.8944 drop; cos((-1,0))=-1 keep (dot <= 0)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 1f)), (3L, Seq(2f, 1f)), (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val ev = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDecontaminate(corpus, ev)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    // quantization check on (2,1): codes (127, 64); cos² = 127²·(2·127+64)²
+    // vs self products — the integer rule must agree with the real cosine
+    // side of 3/4 here (0.894 > 0.75)
+  }
+
+  test("semanticDecontaminate covers every corpus row and counts multi-flags") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    // two eval vectors both cosine-1 to corpus vec 1
+    val ev = Seq((10L, Seq(2f, 0f)), (11L, Seq(3f, 0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDecontaminate(corpus, ev)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    assert(r.toSeq === Seq((1L, 2L, 1L), (2L, 0L, 0L)))
+  }
 }
