@@ -201,6 +201,62 @@ object Wordpiece {
         coalesce(array_join(col("__seg"), " "), lit("<unk>")).as("seg"))
   }
 
+  /** The production composition, [[Bpe.tokenIdPack]]'s shape for this
+    * tokenizer: train WordPiece merges, greedy-segment every document to
+    * PIECE IDS against the trained vocab (ids = rank by corpus piece
+    * frequency desc then piece, cut to `vocabSize`; out-of-cut pieces map
+    * to UNK id 0), and pack the id streams into `budget`-token rows. A
+    * word the vocab cannot tile contributes ONE `[UNK]` token (id 0) —
+    * WordPiece's whole-word UNK, visible in the packed token counts.
+    * Output per shard: docs, total tokens, packed sequence count, id sum.
+    *
+    * Scale shape: identical to the BPE pack — one shared word-count
+    * shuffle, the greedy kernel once per DISTINCT word, occurrence-level
+    * stats by join, the q74 shard/cumsum packing arithmetic.
+    */
+  def wordpieceIdPack(docs: DataFrame, nMerges: Int = NMerges,
+                      topKWords: Int = TopKWords, vocabSize: Int = 50,
+                      budget: Int = 2048, nShards: Int = 64,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Bpe.wordCounts(docs, textCol).localCheckpoint()
+    val vocab = trainFromCounts(words, nMerges, topKWords)._2
+    val seg = wordpieceSegmentCol(col("__w"), vocab.toSeq.sorted)
+    val pieceIds: Map[String, Long] = words
+      .select(explode(seg).as("p"), col("__cnt"))
+      .groupBy("p").agg(sum("__cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("p")).limit(vocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), (i + 1).toLong) }.toMap
+    val vocabMap = typedLit(pieceIds)
+    // per-DISTINCT-word stats; an UNK word is ONE [UNK] token with id 0
+    val wstat = words.select(col("__w").as("word"),
+      coalesce(size(seg).cast("long"), lit(1L)).as("n_sub"),
+      coalesce(aggregate(seg, lit(0L),
+        (acc, x) => acc + coalesce(element_at(vocabMap, x), lit(0L))), lit(0L))
+        .as("idsum"))
+    val wd = docs.select(col(idCol),
+      explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as("word"))
+    val dstat = wd.join(wstat, "word")
+      .groupBy(idCol).agg(sum("n_sub").as("toks"), sum("idsum").as("idsum"))
+    val all = docs.select(col(idCol), (col(idCol) % nShards).as("shard"))
+      .join(dstat, Seq(idCol), "left")
+      .select(col(idCol), col("shard"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("idsum"), lit(0L)).as("idsum"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("seq",
+        floor((col("cum") - col("toks")) / lit(budget.toDouble)).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        (max("seq") + 1).as("n_seqs"), sum("idsum").as("id_sum"))
+      .orderBy("shard")
+  }
+
   // ---- oracle -------------------------------------------------------------
 
   /** BPE's run-parity greedy application with WordPiece concatenation: the
@@ -335,6 +391,47 @@ SELECT v.word, v.cnt, CAST(coalesce(f.np, 0) AS BIGINT) AS n_pieces,
 FROM v LEFT JOIN fin f USING (word) ORDER BY v.word"""
   }
 
+  private val packOracle: String = {
+    val steps = (1 to MaxWordLen).map(greedyStepSql).mkString(",")
+    s"""$trainingChainSql,
+ voc AS MATERIALIZED (SELECT DISTINCT unnest(s) AS piece FROM seg$NMerges),
+ g_0 AS (SELECT word, cnt, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+           CAST([] AS VARCHAR[]) AS seg, false AS dead
+         FROM v WHERE length(word) <= $MaxWordLen),$steps,
+ fin AS MATERIALIZED (
+   SELECT word, cnt, np, seg FROM g_$MaxWordLen
+   WHERE NOT dead AND pos = length(word)),
+ pf AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM (SELECT cnt, unnest(seg) AS piece FROM fin) GROUP BY 1),
+ vid AS (SELECT piece,
+           CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS id
+         FROM (SELECT piece, cnt FROM pf ORDER BY cnt DESC, piece LIMIT 50)),
+ flat AS (SELECT word, unnest(seg) AS piece FROM fin),
+ wsum AS MATERIALIZED (
+   SELECT f.word, CAST(count(1) AS BIGINT) AS n_sub,
+     CAST(sum(coalesce(vi.id, 0)) AS BIGINT) AS idsum
+   FROM flat f LEFT JOIN vid vi USING (piece) GROUP BY 1),
+ wst AS (SELECT v.word, coalesce(w.n_sub, 1) AS n_sub,
+           coalesce(w.idsum, 0) AS idsum
+         FROM v LEFT JOIN wsum w USING (word)),
+ wd AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS word
+        FROM documents),
+ dstat AS (SELECT doc_id, sum(n_sub) AS toks, sum(idsum) AS idsum
+           FROM wd JOIN wst USING (word) GROUP BY doc_id),
+ alldocs AS (SELECT d.doc_id, d.doc_id % 64 AS shard,
+               coalesce(ds.toks, 0) AS toks, coalesce(ds.idsum, 0) AS idsum
+             FROM documents d LEFT JOIN dstat ds USING (doc_id)),
+ c AS (SELECT shard, doc_id, toks, idsum,
+         sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+       FROM alldocs)
+SELECT shard, count(1) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+  CAST(max(CAST(floor((cum - toks) / 2048.0) AS BIGINT)) + 1 AS BIGINT) AS n_seqs,
+  CAST(sum(idsum) AS BIGINT) AS id_sum
+FROM c GROUP BY 1 ORDER BY 1"""
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -357,6 +454,17 @@ FROM v LEFT JOIN fin f USING (word) ORDER BY v.word"""
     // marker discipline and the whole-word UNK policy.
     Q("q279_wordpiece_segment", segmentOracle) { (s, d) =>
       wordpieceSegmentWords(Tables.documents(s, d)).orderBy("word")
+    },
+
+    // The full WordPiece production pipeline: train merges → greedy-
+    // segment every doc to piece IDS against the corpus-frequency-ranked
+    // top-50 vocab (UNK = 0; an untileable word packs as ONE [UNK]
+    // token) → pack into 2048-token rows. The oracle replays the entire
+    // trajectory — 12 likelihood rounds, the per-word greedy walk, piece
+    // ranking, id lookup, the whole-word UNK count, and the q74 packing
+    // cumsum — as exact integers.
+    Q("q290_wordpiece_pack", packOracle) { (s, d) =>
+      wordpieceIdPack(Tables.documents(s, d))
     },
   )
 }

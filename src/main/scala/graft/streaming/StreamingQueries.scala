@@ -1987,5 +1987,63 @@ object StreamingQueries {
         .select(col("doc_id"), col("__a").isNotNull.as("admitted"))
         .orderBy("doc_id")
     },
+
+    // Streaming semantic admission guard: the q287 embedding screen on
+    // the ingest path — the eval panel (the +0.02 twin of every 10th
+    // vector) is seeded once and frozen, then the whole embedding table
+    // drains in 4 micro-batches. A frozen screen makes admission
+    // order-invariant by construction, so the drain must admit EXACTLY
+    // q287's undropped set — the oracle is q287's closed form restricted
+    // to dropped = 0.
+    Q("q289_streaming_embed_guard",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | ev AS (SELECT vec_id + 100000 AS vec_id,
+        |          CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[]) AS v
+        |        FROM embeddings WHERE vec_id % 10 = 0),
+        | cz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+        |        FROM base)),
+        | ez AS (
+        |  SELECT vec_id AS eid,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+        |        FROM ev)),
+        | fl AS (
+        |  SELECT DISTINCT c.vec_id
+        |  FROM cz c JOIN ez e ON
+        |    CAST(list_dot_product(c.code, e.code) AS BIGINT) > 0
+        |    AND CAST(list_dot_product(c.code, e.code) AS BIGINT)
+        |        * CAST(list_dot_product(c.code, e.code) AS BIGINT) * 16
+        |      >= 9 * CAST(list_dot_product(c.code, c.code) AS BIGINT)
+        |           * CAST(list_dot_product(e.code, e.code) AS BIGINT))
+        |SELECT b.vec_id FROM base b
+        |WHERE b.vec_id NOT IN (SELECT vec_id FROM fl)
+        |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q289")
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val evalVecs = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      for (i <- 0 until 4)
+        emb.filter(pmod(col("vec_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new EmbedGuardIndex(s2, s"$wh/guard", maxChainDepth = 2)
+      idx.seed(evalVecs)
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      EmbedGuardStream.embedGuardSink(stream, idx, s"$wh/ckpt")
+        .awaitTermination()
+      idx.served().orderBy("vec_id")
+    },
   )
 }

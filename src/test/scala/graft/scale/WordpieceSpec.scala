@@ -136,6 +136,29 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+  test("id pack: token mass = tiled pieces + one [UNK] per untileable word") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val packed = Wordpiece.wordpieceIdPack(docs).collect()
+    assert(packed.nonEmpty)
+    // recompute the expected total token mass from the serve table: every
+    // tiled word contributes n_pieces per occurrence, every UNK word 1
+    val words = Bpe.wordCounts(docs, "text")
+    val served = Wordpiece.wordpieceSegmentWords(docs)
+      .select("word", "cnt", "n_pieces")
+      .as[(String, Long, Long)].collect()
+    val expected = served.map { case (_, cnt, np) =>
+      cnt * (if (np == 0L) 1L else np)
+    }.sum
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum === expected)
+    // shards partition the docs
+    assert(packed.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // deterministic rerun
+    assert(Wordpiece.wordpieceIdPack(docs).collect().map(_.toSeq).toSeq
+      === packed.map(_.toSeq).toSeq)
+  }
+
   test("segmentation column runs inside codegen over a distributed relation") {
     val docs = Tables.documents(spark, sfDir)
     val vocab = Wordpiece.trainFromCounts(Bpe.wordCounts(docs, "text"))._2
