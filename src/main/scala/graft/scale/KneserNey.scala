@@ -153,16 +153,43 @@ object KneserNey {
     * bigram rule's three.
     */
   def knTrigramScore(train: DataFrame, score: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    val t3 = transitions3(train, idCol, textCol)
-      .groupBy("__p2", "__p1", "__c").agg(count(lit(1)).as("__tc"))
+                     textCol: String = "text"): DataFrame =
+    knTrigramFromCounts(
+      transitions3(train, idCol, textCol)
+        .groupBy(col("__p2").as("w1"), col("__p1").as("w2"), col("__c").as("w3"))
+        .agg(count(lit(1)).as("cnt")),
+      transitions(train, idCol, textCol)
+        .groupBy(col("__p").as("w1"), col("__c").as("w2"))
+        .agg(count(lit(1)).as("cnt")),
+      score, idCol, textCol)
+
+  /** Per-document adjacent trigram counts (w1, w2, w3, cnt) — the additive
+    * partial a streaming count index maintains ([[Curation.bigramCounts]]'
+    * shape one order up).
+    */
+  def trigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    transitions3(docs, "doc_id", textCol)
+      .groupBy(col("__p2").as("w1"), col("__p1").as("w2"), col("__c").as("w3"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[knTrigramScore]] from already-aggregated trigram (w1, w2, w3, cnt)
+    * and bigram (w1, w2, cnt) relations — the serving form over maintained
+    * count indexes. Both counts are additive monoids (n-grams never cross
+    * documents, so they never cross batches), so a streaming drain's
+    * served states score bit-identically to the batch train pass.
+    */
+  def knTrigramFromCounts(trigrams: DataFrame, bigrams: DataFrame,
+                          score: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val t3 = trigrams.select(col("w1").as("__p2"), col("w2").as("__p1"),
+      col("w3").as("__c"), col("cnt").cast("long").as("__tc"))
       .localCheckpoint()
     val c2 = t3.groupBy("__p2", "__p1")
       .agg(sum("__tc").cast("long").as("__c12"),
         count(lit(1)).cast("long").as("__n1fw2"))
     // the bigram level's relations, exactly as knScoreFromCounts builds them
-    val big = transitions(train, idCol, textCol)
-      .groupBy("__p", "__c").agg(count(lit(1)).as("__bc"))
+    val big = bigrams.select(col("w1").as("__p"), col("w2").as("__c"),
+      col("cnt").cast("long").as("__bc"))
       .localCheckpoint()
     val ctx = big.groupBy("__p")
       .agg(sum("__bc").cast("long").as("__pc"), count(lit(1)).cast("long").as("__n1fw"))
@@ -387,6 +414,43 @@ WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
       val docs = Tables.documents(s, d).select("doc_id", "text")
       knTrigramScore(
         docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    },
+
+    // Streaming TRIGRAM maintenance: bigram and trigram counts are both
+    // additive monoids, maintained as two count indexes under ONE drain
+    // of the training half (the q276 two-index protocol); scoring the
+    // odd half over the SERVED states must reproduce q286's batch table
+    // exactly — the oracle is q286's verbatim.
+    Q("q291_streaming_kn_trigram", trigramOracle) { (s, d) =>
+      val wh = graft.core.Scratch.dir("graft-q291")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      for (i <- 0 until 4)
+        train.filter(pmod(col("doc_id"), lit(8)) === i * 2).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val biIdx = new graft.streaming.AnchorCountIndex(s2, s"$wh/bi",
+        maxChainDepth = 2,
+        build = Curation.bigramCounts(_), keyCols = Seq("w1", "w2"))
+      val triIdx = new graft.streaming.AnchorCountIndex(s2, s"$wh/tri",
+        maxChainDepth = 2,
+        build = trigramCounts(_), keyCols = Seq("w1", "w2", "w3"))
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          biIdx.processBatch(b, id); triIdx.processBatch(b, id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      knTrigramFromCounts(triIdx.served(), biIdx.served(),
         docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     },
