@@ -364,6 +364,54 @@ object AnnIndex {
     Similarity.longScoreTopK(scored, k)
   }
 
+  /** Semi-hard negative mining SERVED FROM the IVF index — the
+    * [[Similarity.semiHardNegatives]] rule applied inside the index's
+    * top-`kCand` probe window per anchor (the practical serving form:
+    * mine from the retrieval window, never rescan the corpus). The
+    * positive scores come from the index too: the positives' codes are
+    * postings rows (an id-filtered, broadcast-joined read), so the whole
+    * mining pass touches only probed cells plus a label-sized postings
+    * slice. Window semantics are part of the contract — a qualifying
+    * negative below the kCand window is out of scope BY DEFINITION, and
+    * the oracle replays the same bounded rule — so at full probe the
+    * answer is value-exact against quantized brute force (the q105
+    * full-probe exactness), while smaller nProbe trades recall for cells
+    * scanned exactly like every other probe here.
+    */
+  def mineHardNegativesIvf(spark: SparkSession, root: String,
+                           anchors: DataFrame, labels: DataFrame,
+                           k: Int, kCand: Int,
+                           marginNum: Int, marginDen: Int,
+                           nProbe: Int = 3,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && kCand >= k && marginNum >= 0 && marginDen >= 1,
+      s"mineHardNegativesIvf: k=$k kCand=$kCand margin=$marginNum/$marginDen")
+    import org.apache.spark.sql.expressions.Window
+    val cand = probeIvf(spark, root, anchors, kCand, nProbe, idCol, vecCol)
+    val lb = labels.select(col("qid").cast("long").as("qid"),
+      col("pos_id").cast("long").as("pos_id"))
+    val anc = Similarity.quantizeInt8(anchors, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
+    val posCodes = postingsTable(spark, root).read()
+      .join(broadcast(lb.select("pos_id").distinct()), col("nid") === col("pos_id"))
+      .select(col("pos_id"), col("code").as("pc"))
+    val panel = lb.join(anc, "qid").join(posCodes, "pos_id")
+      .select(col("qid"), col("pos_id"),
+        Similarity.int8Dot(col("qc"), col("pc")).as("pos_score"))
+      .filter(col("pos_score") > 0)
+    val mined = cand.join(broadcast(panel), Seq("qid"))
+      .filter(col("nid") =!= col("pos_id") &&
+        col("score") < col("pos_score") &&
+        (col("pos_score") - col("score")) * marginDen <= col("pos_score") * marginNum)
+    val topk = graft.ops.TopK.topKPerKey(mined, Seq("qid"),
+      Seq(col("score").desc, col("nid").asc), k)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    topk.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("pos_id"), col("neg_rank"), col("nid").as("neg_id"),
+        col("score"), (col("pos_score") - col("score")).as("gap"))
+  }
+
   // ---- declared queries ----------------------------------------------------
 
   val queries: Seq[Q] = Seq(
@@ -708,6 +756,68 @@ object AnnIndex {
       pre.unionByName(serve("post", 3)).unionByName(serve("full", 4096))
         .select("phase", "qid", "nid", "score")
         .orderBy("phase", "qid")
+    },
+
+    // Hard-negative mining served FROM the index: the q282 margin rule
+    // applied inside the index's top-64 probe window, with positive
+    // scores read from the postings slice — never a corpus rescan. Full
+    // probe makes the window the exact quantized brute-force top-64, so
+    // the oracle replays window → margin → ranked cut as BIGINTs; a
+    // probe that leaks the positive, misses a window member, or drifts
+    // the margin fails the hash.
+    Q("q292_hard_negatives_ivf",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | corp AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000,
+        |            CAST(list_transform(embedding, x -> x + CAST(0.02 AS FLOAT)) AS DOUBLE[])
+        |          FROM embeddings WHERE vec_id % 20 = 0),
+        | qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+        |    END AS code
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS smax FROM corp)),
+        | lab AS (SELECT vec_id AS qid, vec_id + 100000 AS pos_id
+        |         FROM embeddings WHERE vec_id % 20 = 0),
+        | pan AS (SELECT * FROM (
+        |   SELECT l.qid, l.pos_id,
+        |     CAST(list_dot_product(q.code, p.code) AS BIGINT) AS pos_score
+        |   FROM lab l JOIN qz q ON q.vec_id = l.qid JOIN qz p ON p.vec_id = l.pos_id)
+        |  WHERE pos_score > 0),
+        | win AS (SELECT qid, nid, score FROM (
+        |   SELECT l.qid, c.vec_id AS nid,
+        |     CAST(list_dot_product(q.code, c.code) AS BIGINT) AS score,
+        |     row_number() OVER (PARTITION BY l.qid
+        |       ORDER BY CAST(list_dot_product(q.code, c.code) AS BIGINT) DESC,
+        |                c.vec_id) AS rnk
+        |   FROM lab l JOIN qz q ON q.vec_id = l.qid
+        |   JOIN qz c ON c.vec_id <> l.qid)
+        |  WHERE rnk <= 64),
+        | sh AS (SELECT w.qid, p.pos_id, p.pos_score, w.nid, w.score
+        |        FROM win w JOIN pan p USING (qid)
+        |        WHERE w.nid <> p.pos_id AND w.score < p.pos_score
+        |          AND (p.pos_score - w.score) * 4 <= p.pos_score * 3),
+        | rk AS (SELECT qid, pos_id, nid, score, pos_score - score AS gap,
+        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid)
+        |        AS BIGINT) AS neg_rank
+        |  FROM sh)
+        |SELECT qid, pos_id, neg_rank, nid AS neg_id, score, gap FROM rk
+        |WHERE neg_rank <= 5 ORDER BY qid, neg_rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+      val root = s"${graft.core.Scratch.dir("graft-q292")}/ivf"
+      buildIvfIndex(emb.unionByName(twins), root)
+      val anchors = emb.filter(col("vec_id") % 20 === 0)
+      val labels = anchors
+        .select(col("vec_id").as("qid"), (col("vec_id") + 100000).as("pos_id"))
+      mineHardNegativesIvf(s, root, anchors, labels,
+        k = 5, kCand = 64, marginNum = 3, marginDen = 4, nProbe = 4096)
+        .orderBy("qid", "neg_rank")
     },
   )
 }

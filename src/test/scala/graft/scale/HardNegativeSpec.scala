@@ -96,6 +96,60 @@ class HardNegativeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-wide shuffle join:\n$plan")
   }
 
+  test("index mining at full probe equals the brute-force window form") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val twins = emb.filter(col("vec_id") % 20 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
+    val corpus = emb.unionByName(twins).localCheckpoint()
+    val anchors = emb.filter(col("vec_id") % 20 === 0)
+    val labels = anchors
+      .select(col("vec_id").as("qid"), (col("vec_id") + 100000).as("pos_id"))
+    val root = s"${graft.core.Scratch.dir("graft-hn-ivf")}/ivf"
+    AnnIndex.buildIvfIndex(corpus, root)
+    val got = AnnIndex.mineHardNegativesIvf(spark, root, anchors, labels,
+        k = 3, kCand = 32, marginNum = 3, marginDen = 4, nProbe = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // brute window form: quantized top-32 per anchor, positive score from
+    // the window (the twin always ranks inside it), margin, top-3
+    val win = Similarity.quantizedTopK(corpus, anchors, 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+    val expected = win.groupBy(_._1).flatMap { case (qid, rows) =>
+      val posId = qid + 100000
+      val posScore = rows.find(_._3 == posId).map(_._4).getOrElse(
+        throw new IllegalStateException(s"twin of $qid missing from its window"))
+      if (posScore <= 0) Seq.empty[(Long, Long, Long, Long)]
+      else rows.filter(r => r._3 != posId && r._4 < posScore &&
+          (posScore - r._4) * 4 <= posScore * 3)
+        .sortBy(r => (-r._4, r._3)).take(3).zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r._3, r._4) }.toSeq
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("index mining respects tombstones: a deleted negative never surfaces") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val anchors = emb.filter(col("vec_id") % 40 === 0)
+    val labels = anchors
+      .select(col("vec_id").as("qid"), (col("vec_id") + 1).as("pos_id"))
+    val root = s"${graft.core.Scratch.dir("graft-hn-del")}/ivf"
+    AnnIndex.buildIvfIndex(emb, root)
+    def mine() = AnnIndex.mineHardNegativesIvf(spark, root, anchors, labels,
+        k = 3, kCand = 32, marginNum = 9, marginDen = 10, nProbe = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val before = mine()
+    assert(before.nonEmpty)
+    val victim = before.head._2
+    val spark0 = spark
+    import spark0.implicits._
+    AnnIndex.deleteFromIvfIndex(Seq(victim).toDF("vec_id"), root)
+    val after = mine()
+    assert(!after.exists(_._2 == victim), s"tombstoned $victim still mined")
+  }
+
   test("mining is deterministic") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val labels = emb.filter(col("vec_id") % 20 === 0)
