@@ -407,5 +407,31 @@ FROM c GROUP BY 1 ORDER BY 1"""
       tokenIdPack(Tables.documents(s, d), nMerges = NMerges, topKWords = TopK,
         vocabSize = TopSubwords)
     },
+
+    // Streaming BPE training maintenance: like q293 for the frequency-
+    // scored trainer — the word-count monoid drains through the count
+    // index and [[bpeMergesFromCounts]] must reproduce q90's merge
+    // trajectory exactly (the oracle is q90's verbatim).
+    Q("q294_streaming_bpe", mergesOracle) { (s, d) =>
+      val wh = graft.core.Scratch.dir("graft-q294")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new graft.streaming.AnchorCountIndex(s2, s"$wh/words",
+        maxChainDepth = 2,
+        build = Curation.termCounts(_), keyCols = Seq("w"))
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      graft.streaming.AnchorStream.anchorSink(stream, idx, s"$wh/ckpt")
+        .awaitTermination()
+      bpeMergesFromCounts(
+        idx.served().select(col("w").as("__w"), col("cnt").as("__cnt")),
+        NMerges, TopK)
+        .orderBy("rnk")
+    },
   )
 }

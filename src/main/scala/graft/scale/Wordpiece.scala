@@ -136,10 +136,19 @@ object Wordpiece {
     * and the rational argmax itself.
     */
   def wordpieceMerges(docs: DataFrame, nMerges: Int = NMerges,
-                      topKWords: Int = TopKWords, textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+                      topKWords: Int = TopKWords, textCol: String = "text"): DataFrame =
+    wordpieceMergesFromCounts(Bpe.wordCounts(docs, textCol), nMerges, topKWords)
+
+  /** [[wordpieceMerges]] over a precomputed (`__w`, `__cnt`) relation — the
+    * serving form over a maintained word-count index (training state is
+    * the count table, an additive monoid, so a streaming drain trains the
+    * identical vocabulary).
+    */
+  def wordpieceMergesFromCounts(counts: DataFrame, nMerges: Int = NMerges,
+                                topKWords: Int = TopKWords): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    trainFromCounts(Bpe.wordCounts(docs, textCol), nMerges, topKWords)._1
+    trainFromCounts(counts, nMerges, topKWords)._1
       .map(m => (m.rnk, m.lhs, m.rhs, m.cnt, m.cl, m.cr))
       .toDF("rnk", "lhs", "rhs", "cnt", "cl", "cr")
   }
@@ -465,6 +474,32 @@ FROM c GROUP BY 1 ORDER BY 1"""
     // cumsum — as exact integers.
     Q("q290_wordpiece_pack", packOracle) { (s, d) =>
       wordpieceIdPack(Tables.documents(s, d))
+    },
+
+    // Streaming WordPiece training maintenance: the trainer's entire
+    // state is the word-frequency table — an additive monoid — so a
+    // 4-batch drain through the count index (the q247 protocol with (w)
+    // keys) must train the IDENTICAL merge trajectory, score integers
+    // and all. The oracle is q278's verbatim.
+    Q("q293_streaming_wordpiece", mergesOracle) { (s, d) =>
+      val wh = graft.core.Scratch.dir("graft-q293")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new graft.streaming.AnchorCountIndex(s2, s"$wh/words",
+        maxChainDepth = 2,
+        build = Curation.termCounts(_), keyCols = Seq("w"))
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      graft.streaming.AnchorStream.anchorSink(stream, idx, s"$wh/ckpt")
+        .awaitTermination()
+      wordpieceMergesFromCounts(
+        idx.served().select(col("w").as("__w"), col("cnt").as("__cnt")))
+        .orderBy("rnk")
     },
   )
 }
