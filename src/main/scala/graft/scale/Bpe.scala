@@ -153,11 +153,12 @@ object Bpe {
     * (count desc, subword).
     */
   def bpeTokenCounts(docs: DataFrame, nMerges: Int = 12, topKWords: Int = 200,
-                     topK: Int = 50, textCol: String = "text"): DataFrame = {
+                     topK: Int = 50, textCol: String = "text",
+                     policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordCounts(docs, textCol).localCheckpoint()
+    val words = policy.checkpoint(wordCounts(docs, textCol))
     val merges = bpeMergesFromCounts(words, nMerges, topKWords)
       .orderBy("rnk").select("lhs", "rhs").as[(String, String)].collect().toSeq
     words
@@ -188,11 +189,12 @@ object Bpe {
     */
   def tokenIdPack(docs: DataFrame, nMerges: Int = 12, topKWords: Int = 200,
                   vocabSize: Int = 50, budget: Int = 2048, nShards: Int = 64,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordCounts(docs, textCol).localCheckpoint()
+    val words = policy.checkpoint(wordCounts(docs, textCol))
     val merges = bpeMergesFromCounts(words, nMerges, topKWords)
       .orderBy("rnk").select("lhs", "rhs").as[(String, String)].collect().toSeq
     val subs = bpeSegmentCol(col("__w"), merges)

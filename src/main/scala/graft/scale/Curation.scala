@@ -1406,7 +1406,9 @@ object Curation {
     val due = uniq.join(fetchLog.select("url", "last_fetch"), Seq("url"), "left")
       .filter(col("last_fetch").isNull ||
         (col("lastmod").isNotNull && col("lastmod") > col("last_fetch")))
-      .select(regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("domain"),
+      // no trailing-slash requirement: a bare '<loc>https://site.com</loc>'
+      // still lands in its own politeness bucket, not a shared '' domain
+      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"),
         col("url"), col("lastmod"), col("last_fetch"))
     val w = Window.partitionBy("domain")
       .orderBy(coalesce(col("lastmod"), lit("")).desc, col("url"))
@@ -3021,7 +3023,7 @@ object Curation {
         |         SELECT base || '/c',
         |           strftime(DATE '2026-01-01' + CAST(doc_id % 29 AS INT) + 1,
         |                    '%Y-%m-%d') FROM d0),
-        | due AS (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+        | due AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
         |           u.url, u.lastmod, l.last_fetch
         |         FROM uniq u LEFT JOIN log l USING (url)
         |         WHERE l.last_fetch IS NULL

@@ -65,12 +65,13 @@ object KneserNey {
     * integer KN surprisal. Docs with < 2 words score (0, 0, 0, 0, 0).
     */
   def knBigramScore(train: DataFrame, score: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text",
+                    policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
     knScoreFromCounts(
       transitions(train, idCol, textCol)
         .groupBy(col("__p").as("w1"), col("__c").as("w2"))
         .agg(count(lit(1)).as("cnt")),
-      score, idCol, textCol)
+      score, idCol, textCol, policy)
 
   /** [[knBigramScore]] from an already-aggregated bigram (w1, w2, cnt)
     * relation — the serving form over a maintained count index
@@ -80,12 +81,15 @@ object KneserNey {
     * factoring, one model up).
     */
   def knScoreFromCounts(bigrams: DataFrame, score: DataFrame,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     // the bigram table feeds four consumers (ctx, bw, B, and the score join)
-    // — checkpoint it once rather than re-deriving it per consumer
-    val big = bigrams.select(col("w1").as("__p"), col("w2").as("__c"),
-      col("cnt").cast("long").as("__bc"))
-      .localCheckpoint()
+    // — checkpoint it once rather than re-deriving it per consumer. It is
+    // vocab²-bounded, the largest relation a 100 TB LM train ever pins:
+    // CheckpointPolicy.Reliable makes it survive executor loss.
+    val big = policy.checkpoint(
+      bigrams.select(col("w1").as("__p"), col("w2").as("__c"),
+        col("cnt").cast("long").as("__bc")))
     val ctx = big.groupBy("__p")
       .agg(sum("__bc").cast("long").as("__pc"), count(lit(1)).cast("long").as("__n1fw"))
     val bw = big.groupBy("__c").agg(count(lit(1)).cast("long").as("__n1bw"))
@@ -153,7 +157,8 @@ object KneserNey {
     * bigram rule's three.
     */
   def knTrigramScore(train: DataFrame, score: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame =
+                     textCol: String = "text",
+                     policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame =
     knTrigramFromCounts(
       transitions3(train, idCol, textCol)
         .groupBy(col("__p2").as("w1"), col("__p1").as("w2"), col("__c").as("w3"))
@@ -161,7 +166,7 @@ object KneserNey {
       transitions(train, idCol, textCol)
         .groupBy(col("__p").as("w1"), col("__c").as("w2"))
         .agg(count(lit(1)).as("cnt")),
-      score, idCol, textCol)
+      score, idCol, textCol, policy)
 
   /** Per-document adjacent trigram counts (w1, w2, w3, cnt) — the additive
     * partial a streaming count index maintains ([[Curation.bigramCounts]]'
@@ -180,17 +185,18 @@ object KneserNey {
     */
   def knTrigramFromCounts(trigrams: DataFrame, bigrams: DataFrame,
                           score: DataFrame, idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    val t3 = trigrams.select(col("w1").as("__p2"), col("w2").as("__p1"),
-      col("w3").as("__c"), col("cnt").cast("long").as("__tc"))
-      .localCheckpoint()
+                          textCol: String = "text",
+                          policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val t3 = policy.checkpoint(
+      trigrams.select(col("w1").as("__p2"), col("w2").as("__p1"),
+        col("w3").as("__c"), col("cnt").cast("long").as("__tc")))
     val c2 = t3.groupBy("__p2", "__p1")
       .agg(sum("__tc").cast("long").as("__c12"),
         count(lit(1)).cast("long").as("__n1fw2"))
     // the bigram level's relations, exactly as knScoreFromCounts builds them
-    val big = bigrams.select(col("w1").as("__p"), col("w2").as("__c"),
-      col("cnt").cast("long").as("__bc"))
-      .localCheckpoint()
+    val big = policy.checkpoint(
+      bigrams.select(col("w1").as("__p"), col("w2").as("__c"),
+        col("cnt").cast("long").as("__bc")))
     val ctx = big.groupBy("__p")
       .agg(sum("__bc").cast("long").as("__pc"), count(lit(1)).cast("long").as("__n1fw"))
     val bw = big.groupBy("__c").agg(count(lit(1)).cast("long").as("__n1bw"))

@@ -242,9 +242,12 @@ object Similarity {
         int8Dot(col("qc"), col("cc")).as("score"))
       .filter(col("score") < col("pos_score") &&
         (col("pos_score") - col("score")) * marginDen <= col("pos_score") * marginNum)
-    val topk = graft.ops.TopK.topKPerKey(mined, Seq("qid"),
+    // heap + rank keyed by (qid, pos_id): with multiple positives per anchor
+    // each pair gets its own k budget and a per-pair neg_rank, instead of all
+    // pairs interleaving in one qid-wide window
+    val topk = graft.ops.TopK.topKPerKey(mined, Seq("qid", "pos_id"),
       Seq(col("score").desc, col("nid").asc), k)
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    val w = Window.partitionBy("qid", "pos_id").orderBy(col("score").desc, col("nid"))
     topk.withColumn("neg_rank", row_number().over(w).cast("long"))
       .select(col("qid"), col("pos_id"), col("neg_rank"), col("nid").as("neg_id"),
         col("score"), (col("pos_score") - col("score")).as("gap"))

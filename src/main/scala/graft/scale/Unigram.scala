@@ -151,10 +151,22 @@ object Unigram {
     * value-exact match certifies training end to end.
     */
   def unigramVocab(docs: DataFrame, emRounds: Int = EmRounds,
-                   topKWords: Int = TopKWords, textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+                   topKWords: Int = TopKWords, textCol: String = "text"): DataFrame =
+    unigramVocabFromCounts(Bpe.wordCounts(docs, textCol), emRounds, topKWords)
+
+  /** [[unigramVocab]] from an already-aggregated (`__w`, `__cnt`) word
+    * relation — the serving form over a maintained count index. The
+    * trainer's ENTIRE corpus-derived state is the word-frequency table, an
+    * additive monoid, so a streaming drain's served counts train the
+    * IDENTICAL EM trajectory to the batch pass
+    * ([[Bpe.bpeMergesFromCounts]] / [[Wordpiece.wordpieceMergesFromCounts]]'s
+    * factoring — this completes the tokenizer family).
+    */
+  def unigramVocabFromCounts(counts: DataFrame, emRounds: Int = EmRounds,
+                             topKWords: Int = TopKWords): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    trainFromCounts(Bpe.wordCounts(docs, textCol), emRounds, topKWords)
+    trainFromCounts(counts, emRounds, topKWords)
       .toSeq.sortBy { case (p, c) => (-c, p) }(
         Ordering.Tuple2(Ordering.Long, Bpe.Utf8Order))
       .zipWithIndex
@@ -186,8 +198,9 @@ object Unigram {
     * unambiguous); UNK words surface as ('<unk>', 0), never silently.
     */
   def unigramSegmentWords(docs: DataFrame, emRounds: Int = EmRounds,
-                          topKWords: Int = TopKWords, textCol: String = "text"): DataFrame = {
-    val words = Bpe.wordCounts(docs, textCol).localCheckpoint()
+                          topKWords: Int = TopKWords, textCol: String = "text",
+                          policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val words = policy.checkpoint(Bpe.wordCounts(docs, textCol))
     val vocab = trainFromCounts(words, emRounds, topKWords).toSeq
     val seg = unigramSegmentCol(col("__w"), vocab)
     words.select(col("__w").as("word"), col("__cnt").as("cnt"), seg.as("__seg"))
@@ -306,6 +319,32 @@ FROM v LEFT JOIN sdp_fin s USING (word) ORDER BY v.word"""
     // end, per word — including the UNK policy for untileable words.
     Q("q154_unigram_segment", segmentOracle) { (s, d) =>
       unigramSegmentWords(Tables.documents(s, d)).orderBy("word")
+    },
+
+    // Streaming Unigram-LM training maintenance: like WordPiece (q293) and
+    // BPE (q294), the trainer's entire corpus-derived state is the
+    // word-frequency table — an additive monoid — so a 4-batch drain
+    // through the count index must train the IDENTICAL EM trajectory,
+    // Viterbi ties, recounts and all. The oracle is q148's verbatim.
+    Q("q295_streaming_unigram", vocabOracle) { (s, d) =>
+      val wh = graft.core.Scratch.dir("graft-q295")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (i <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+          .write.mode("append").parquet(s"$wh/feed")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new graft.streaming.AnchorCountIndex(s2, s"$wh/words",
+        maxChainDepth = 2,
+        build = Curation.termCounts(_), keyCols = Seq("w"))
+      val schema = s2.read.parquet(s"$wh/feed").schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$wh/feed")
+      graft.streaming.AnchorStream.anchorSink(stream, idx, s"$wh/ckpt")
+        .awaitTermination()
+      unigramVocabFromCounts(
+        idx.served().select(col("w").as("__w"), col("cnt").as("__cnt")))
+        .orderBy("rnk")
     },
   )
 }

@@ -200,8 +200,9 @@ object Wordpiece {
     */
   def wordpieceSegmentWords(docs: DataFrame, nMerges: Int = NMerges,
                             topKWords: Int = TopKWords,
-                            textCol: String = "text"): DataFrame = {
-    val words = Bpe.wordCounts(docs, textCol).localCheckpoint()
+                            textCol: String = "text",
+                            policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val words = policy.checkpoint(Bpe.wordCounts(docs, textCol))
     val vocab = trainFromCounts(words, nMerges, topKWords)._2
     val seg = wordpieceSegmentCol(col("__w"), vocab.toSeq.sorted)
     words.select(col("__w").as("word"), col("__cnt").as("cnt"), seg.as("__seg"))
@@ -226,9 +227,10 @@ object Wordpiece {
   def wordpieceIdPack(docs: DataFrame, nMerges: Int = NMerges,
                       topKWords: Int = TopKWords, vocabSize: Int = 50,
                       budget: Int = 2048, nShards: Int = 64,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = Bpe.wordCounts(docs, textCol).localCheckpoint()
+    val words = policy.checkpoint(Bpe.wordCounts(docs, textCol))
     val vocab = trainFromCounts(words, nMerges, topKWords)._2
     val seg = wordpieceSegmentCol(col("__w"), vocab.toSeq.sorted)
     val pieceIds: Map[String, Long] = words

@@ -24,6 +24,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * anti-join absorbs foreachBatch redelivery). Fails CLOSED on an
   * unseeded index — screening against an empty panel would silently
   * admit everything.
+  *
+  * Admission contract: a row with a NULL embedding is neither admitted
+  * nor screen-rejected — it cannot be scored against the panel. Such
+  * rows are recorded in the `dropped` table (same stamped-append
+  * protocol), so callers can distinguish screen-rejected ids
+  * (in neither `served()` nor `droppedNull()`) from malformed input
+  * (in `droppedNull()`).
   */
 final class EmbedGuardIndex(spark: SparkSession, root: String,
                             cosNum: Int = 3, cosDen: Int = 4,
@@ -33,6 +40,7 @@ final class EmbedGuardIndex(spark: SparkSession, root: String,
 
   val panel = new VersionedTable(spark, s"$root/panel")
   val admitted = new VersionedTable(spark, s"$root/admitted")
+  val dropped = new VersionedTable(spark, s"$root/dropped")
 
   /** Seed the frozen eval panel (vec_id, embedding) — codes + self-energy
     * persist, so the screen is identical across restarts and engines.
@@ -50,6 +58,13 @@ final class EmbedGuardIndex(spark: SparkSession, root: String,
         "silently admit everything; fail closed instead")
     val tag = s"batch=$batchId"
     if (admitted.exists && admitted.currentTag.contains(tag)) return
+    val nulls0 = batch.filter(col("embedding").isNull)
+      .select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val nulls = if (dropped.exists)
+      nulls0.join(dropped.read(), Seq("vec_id"), "left_anti") else nulls0
+    if (dropped.exists) dropped.promote(dropped.stageAppend(nulls), Some(tag))
+    else dropped.promote(dropped.stage(nulls), Some(tag))
+    if (dropped.chainDepth > maxChainDepth) { dropped.compact(); () }
     val cz = Similarity.quantizeInt8(batch.filter(col("embedding").isNotNull))
       .select(col("vec_id").cast("long").as("vec_id"), col("qcode").as("cc"))
     val dot = Similarity.int8Dot(col("cc"), col("ec"))
@@ -72,6 +87,11 @@ final class EmbedGuardIndex(spark: SparkSession, root: String,
 
   /** Every admitted vector id. */
   def served(): DataFrame = admitted.read().select("vec_id")
+
+  /** Ids dropped for NULL embeddings — malformed input, not screen
+    * rejections (those are in neither table).
+    */
+  def droppedNull(): DataFrame = dropped.read().select("vec_id")
 }
 
 object EmbedGuardStream {

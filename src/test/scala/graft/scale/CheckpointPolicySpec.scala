@@ -70,6 +70,56 @@ class CheckpointPolicySpec extends SparkSpec {
     assert(rel.collect().map(_.toSeq).sortBy(_.toString) === want)
   }
 
+  test("reliable trainer state survives block loss; local mode cannot (KN bigram)") {
+    val train = Seq((1L, "a b a b c a"), (2L, "b c b c d"), (3L, "a c a c"))
+      .toDF("doc_id", "text")
+    val score = Seq((10L, "a b c d"), (11L, "c a b"), (12L, "z"))
+      .toDF("doc_id", "text")
+    // capture exactly the persistent RDDs a call creates (suites run
+    // sequentially in the forked test JVM, so the diff is ours alone)
+    def withNewBlocks(body: => org.apache.spark.sql.DataFrame) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = body
+      val added = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) }.values.toSeq
+      (df, added)
+    }
+    // local mode: the trainer's internal count checkpoint is executor
+    // blocks — evicting them makes the scored relation unrecoverable
+    val (local, localBlocks) = withNewBlocks(KneserNey.knBigramScore(train, score))
+    assert(localBlocks.nonEmpty, "local trainer created no checkpoint blocks")
+    localBlocks.foreach(_.unpersist(blocking = true))
+    intercept[Exception] { local.collect() }
+    // reliable mode: same eviction, but the counts live in the checkpoint
+    // dir — scoring recomputes from files, bit-equal to an undisturbed run
+    val want = KneserNey.knBigramScore(train, score).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val (rel, relBlocks) = withNewBlocks(KneserNey.knBigramScore(train, score,
+      policy = CheckpointPolicy.Reliable(relDir("kn"))))
+    relBlocks.foreach(_.unpersist(blocking = true))
+    assert(rel.collect().map(_.toSeq).sortBy(_.toString) === want)
+    // and the trigram trainer's reliable form bit-equals local
+    assert(KneserNey.knTrigramScore(train, score,
+        policy = CheckpointPolicy.Reliable(relDir("kn3")))
+      .collect().map(_.toSeq).sortBy(_.toString) ===
+      KneserNey.knTrigramScore(train, score)
+        .collect().map(_.toSeq).sortBy(_.toString))
+    // tokenizer trainers: reliable word-count checkpoint bit-equals local
+    assert(Bpe.bpeTokenCounts(train, policy = CheckpointPolicy.Reliable(relDir("bpe")))
+      .collect().map(_.toSeq).toSeq ===
+      Bpe.bpeTokenCounts(train).collect().map(_.toSeq).toSeq)
+    assert(Wordpiece.wordpieceSegmentWords(train,
+        policy = CheckpointPolicy.Reliable(relDir("wp")))
+      .orderBy("word").collect().map(_.toSeq).toSeq ===
+      Wordpiece.wordpieceSegmentWords(train).orderBy("word")
+        .collect().map(_.toSeq).toSeq)
+    assert(Unigram.unigramSegmentWords(train,
+        policy = CheckpointPolicy.Reliable(relDir("uni")))
+      .orderBy("word").collect().map(_.toSeq).toSeq ===
+      Unigram.unigramSegmentWords(train).orderBy("word")
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("reliable mode preserves the dense rank's pinned partition placement") {
     val rel = CheckpointPolicy.Reliable(relDir("rank"))
     val rows = (0L until 500L).map(i => (i % 11, i, (i * 37) % 13, (i * 13) % 7))

@@ -83,6 +83,29 @@ class HardNegativeSpec extends SparkSpec {
     }
   }
 
+  test("multiple positives per anchor: each (qid, pos_id) pair gets its own k budget and dense ranks") {
+    // anchor 1 with TWO positives (2 strong: pos_score 16129; 3 weaker:
+    // codes (95,127), pos_score 12065): different pos_scores, different
+    // margin windows — candidates must not interleave in one qid-wide
+    // window sharing the k budget. Scores vs the (127,0) anchor:
+    //   3 -> 12065, 4 (0.5,1)->(64,127) -> 8128, 5 (0.4,1)->(51,127) -> 6477,
+    //   6 (0.3,1)->(38,127) -> 4826. Margin floors: A >= 4033, B >= 3017.
+    val corpus = vecs(
+      1L -> Seq(1f, 0f),
+      2L -> Seq(1f, 0f),
+      3L -> Seq(0.6f, 0.8f),
+      4L -> Seq(0.5f, 1f), 5L -> Seq(0.4f, 1f), 6L -> Seq(0.3f, 1f))
+    val rows = Similarity.semiHardNegatives(corpus, pairs(1L -> 2L, 1L -> 3L),
+      k = 2, marginNum = 3, marginDen = 4)
+      .collect().map(r => (r.getAs[Long]("pos_id"), r.getAs[Long]("neg_rank"),
+        r.getAs[Long]("neg_id"), r.getAs[Long]("score")))
+    // pair A's window = {3:12065, 4:8128, 5:6477, 6:4826} -> top-2 = 3, 4
+    // pair B's window = {4:8128, 5:6477, 6:4826} (2 excluded: >= pos) -> 4, 5
+    assert(rows.toSet === Set(
+      (2L, 1L, 3L, 12065L), (2L, 2L, 4L, 8128L),
+      (3L, 1L, 4L, 8128L), (3L, 2L, 5L, 6477L)))
+  }
+
   test("plan law: broadcast panel + bounded heaps, no corpus-wide shuffle join") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val labels = emb.filter(col("vec_id") % 10 === 0)

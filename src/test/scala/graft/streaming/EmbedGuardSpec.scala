@@ -62,5 +62,24 @@ class EmbedGuardSpec extends SparkSpec {
     assert(admittedSet(idx).size > after.size)
   }
 
+  test("null embeddings are tracked as dropped, not silently discarded or admitted") {
+    val spark0 = spark
+    import spark0.implicits._
+    val idx = new EmbedGuardIndex(spark, s"${scratch("eg-null")}/g")
+    idx.seed(evalPanel)
+    val withNulls = emb.filter(col("vec_id") < 40)
+      .withColumn("embedding",
+        when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding"))
+          .cast("array<float>"))
+    idx.processBatch(withNulls, 0L)
+    val nullIds = (0L until 40L).filter(_ % 5 == 0).toSet
+    assert(idx.droppedNull().as[Long].collect().toSet === nullIds)
+    assert(admittedSet(idx).intersect(nullIds).isEmpty)
+    // redelivery + torn retry never duplicate dropped rows either
+    idx.processBatch(withNulls, 0L)
+    idx.processBatch(withNulls, 1L)
+    assert(idx.dropped.read().count() === nullIds.size.toLong)
+  }
+
   private def scratch(p: String): String = graft.core.Scratch.dir(s"graft-$p")
 }
