@@ -419,7 +419,9 @@ object StreamingQueries {
         |SELECT term, rnk, doc_id, tf FROM r WHERE rnk <= 3
         |ORDER BY term, rnk""".stripMargin) { (s, d) =>
       val wh = scratchDir("graft-q126")
-      val index = new PostingsIndex(s, s"$wh/lex")
+      // champion-list serving needs no BM25 length/stats sidecars — skip
+      // their per-batch promotes (the q212 adjudication's constant)
+      val index = new PostingsIndex(s, s"$wh/lex", maintainSidecars = false)
       val s2 = s.newSession()
       val docs = Streaming.docsStream(s2, d).select("doc_id", "text")
       PostingsStream.postingsSink(docs, index, s"$wh/ckpt").awaitTermination()
