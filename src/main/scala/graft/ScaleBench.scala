@@ -69,6 +69,15 @@ import org.apache.spark.sql.functions._
   *   - ppl_buckets (q229 core): surprisal passes + histogram-sized
   *     bucketing → LINEAR.
   *
+  * r17 additions (r16 verdict item 4 — the newest families' bounds were
+  * spec'd, not slope-pinned):
+  *   - eval_scrub (q268 core): span-level eval decontamination of ×k docs
+  *     against a FIXED broadcast eval-gram set → LINEAR.
+  *   - dup_token_profile (q269 core): the q253 doubling rounds measured
+  *     as a coverage histogram instead of a cut → LINEAR.
+  *   - collocation_stream (q276 core): a FIXED doc batch through the
+  *     unigram+bigram count-monoid indexes seeded at ×k → FLAT.
+  *
   * Also from r15 on, every scaled corpus is repartitioned to the session's
   * parallelism before timing: the ×k union otherwise inherits k× the
   * base's single input split, so ×1 ran SERIAL and every ratio read
@@ -364,6 +373,30 @@ object ScaleBench {
         Curation.winnowFingerprints(docs).queryExecution.toRdd.count()
       }
 
+      // q268 core: span-level eval scrub of ×k docs against a FIXED eval
+      // set — the corpus positional-gram stream probes one broadcast
+      // 16-byte gram set, per-doc windows only → LINEAR
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
+          .otherwise(col("text")).as("text"))
+      val evalSet = Seq((0L, graft.scale.SuffixArray.PlantedPhrase))
+        .toDF("doc_id", "text")
+      val tScrub = timeMin(reps) {
+        Curation.scrubEvalSpans(planted, evalSet, n = 8)
+          .queryExecution.toRdd.count()
+      }
+
+      // q269 core: duplication-rate profile over ×k docs — the q253
+      // doubling rounds, the coverage prefix sum, and the histogram-sized
+      // decile agg → LINEAR (same suffix machinery as suffix_spans; runs
+      // inside the same persistent-RDD bracket for its per-round
+      // localCheckpoints)
+      val tDupProfile = timeMin(reps) {
+        graft.scale.SuffixArray.dupTokenProfile(planted, rounds = 4)
+          .queryExecution.toRdd.count()
+      }
+
       // q262 core: a FIXED doc batch (fresh content per rep) through the
       // winnow-keyed admission guard against the ×k fingerprint index —
       // O(batch) fingerprinting + chain-bounded semi-join → FLAT
@@ -425,6 +458,22 @@ object ScaleBench {
         ac.processBatch(fixedDocBatch, { ab += 1; 1000L + ab })
       }
 
+      // q276 core: one FIXED doc batch through the collocation count
+      // indexes (unigram + bigram monoid partials) seeded with the ×k
+      // corpus — O(batch) counting + bounded appends → FLAT
+      val coRoot = graft.core.Scratch.dir(s"graft-scale-co$k")
+      val coUni = new graft.streaming.AnchorCountIndex(spark, s"$coRoot/uni",
+        build = Curation.termCounts(_), keyCols = Seq("w"))
+      val coBi = new graft.streaming.AnchorCountIndex(spark, s"$coRoot/bi",
+        build = Curation.bigramCounts(_), keyCols = Seq("w1", "w2"))
+      coUni.processBatch(docs, 0L); coBi.processBatch(docs, 0L)
+      var cb = 0
+      val tColloc = timeMin(reps) {
+        cb += 1
+        coUni.processBatch(fixedDocBatch, 1000L + cb)
+        coBi.processBatch(fixedDocBatch, 1000L + cb)
+      }
+
       // q280 core: KN bigram train on the ×k corpus + score a FIXED 200-doc
       // batch — dominated by the one training transition-count pass (the
       // rotated copies grow the vocab ×k, so ctx/bw stay corpus-bounded
@@ -476,7 +525,9 @@ object ScaleBench {
         "term_drift" -> tDrift, "zipf_profile" -> tZipf,
         "textrank" -> tTextRank, "bm25_serve" -> tBmServe,
         "kn_score" -> tKn, "wordpiece_segment" -> tWp,
-        "hard_negatives" -> tHardNeg))
+        "hard_negatives" -> tHardNeg,
+        "eval_scrub" -> tScrub, "dup_token_profile" -> tDupProfile,
+        "collocation_stream" -> tColloc))
     }
 
     val expectations = Map(
@@ -496,7 +547,9 @@ object ScaleBench {
       "term_drift" -> ("linear", 16.0), "zipf_profile" -> ("linear", 16.0),
       "textrank" -> ("linear", 16.0), "bm25_serve" -> ("flat", 3.0),
       "kn_score" -> ("linear", 16.0), "wordpiece_segment" -> ("linear", 16.0),
-      "hard_negatives" -> ("linear", 16.0))
+      "hard_negatives" -> ("linear", 16.0),
+      "eval_scrub" -> ("linear", 16.0), "dup_token_profile" -> ("linear", 16.0),
+      "collocation_stream" -> ("flat", 3.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }
