@@ -629,13 +629,29 @@ object Multimodal {
       "VP8L".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ padded
   }
 
-  /** Decode a lossless WebP to 8-bit gray: RIFF walk to the VP8L chunk
-    * (lossy `VP8 ` payloads and containers without a VP8L chunk fail
-    * closed), then the literal-only subset of the VP8L bitstream — any
-    * transform, color cache, meta prefix, LZ77 backref, color-cache
-    * reference, non-gray pixel (r≠g≠b), or non-opaque alpha returns None
-    * rather than guessing. The container twin of [[jpegDecodeGray]] for
-    * the q216/q264 dHash path.
+  /** A lossy (VP8 key-frame) WebP: RIFF container around
+    * [[Vp8.encodeGray]]'s bitstream — the dominant crawl WebP form, as a
+    * first-class fixture encoder next to [[webpEncodeGrayVp8l]].
+    */
+  def webpEncodeGrayVp8(pixels: Array[Byte], w: Int, h: Int,
+                        qIndex: Int = 8): Array[Byte] = {
+    val payload = Vp8.encodeGray(pixels, w, h, qIndex)
+    val padded = if (payload.length % 2 == 1) payload ++ Array[Byte](0) else payload
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + padded.length.toLong) ++
+      "WEBP".getBytes("US-ASCII") ++
+      "VP8 ".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ padded
+  }
+
+  /** Decode a WebP to 8-bit gray: RIFF walk to the first VP8L (lossless)
+    * or `VP8 ` (lossy key-frame) chunk. VP8L decodes through the
+    * literal-only subset below — any transform, color cache, meta prefix,
+    * LZ77 backref, color-cache reference, non-gray pixel (r≠g≠b), or
+    * non-opaque alpha returns None rather than guessing. Lossy `VP8 `
+    * decodes through [[Vp8.decodeGray]] (its luma plane is the gray
+    * channel), failing closed outside that codec's proven subset —
+    * inter frames, nonzero loop-filter levels. VP8X (extended/alpha/anim)
+    * containers carry neither chunk first and fail closed. The container
+    * twin of [[jpegDecodeGray]] for the q216/q264/q296 dHash path.
     */
   def webpDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     def ascii(i: Int, s: String): Boolean =
@@ -644,7 +660,7 @@ object Multimodal {
       (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
         ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
     if (!(b.length >= 20 && ascii(0, "RIFF") && ascii(8, "WEBP"))) return None
-    // chunk walk: first VP8L wins; lossy VP8 / absent VP8L fail closed
+    // chunk walk: first VP8L or VP8 wins; everything else fails closed
     var i = 12
     var vp8l = -1
     var vp8lEnd = -1
@@ -652,6 +668,8 @@ object Multimodal {
       val size = u32le(i + 4)
       val start = i + 8
       if (start + size > b.length) return None
+      if (ascii(i, "VP8 "))
+        return Vp8.decodeGray(java.util.Arrays.copyOfRange(b, start, start + size.toInt))
       if (ascii(i, "VP8L")) { vp8l = start; vp8lEnd = start + size.toInt }
       i = start + size.toInt + (size.toInt & 1)
     }
@@ -3382,6 +3400,57 @@ object Multimodal {
           (id, decoded.length.toLong, peak, sumAbs, zc)
         }
       }.toDF("asset_id", "n_samples", "peak", "sum_abs", "zero_crossings")
+        .orderBy("asset_id")
+    },
+
+    // Lossy-WebP (VP8 key-frame) near-dup — the dominant crawl WebP form,
+    // which failed closed before [[Vp8]]. The cross-container + lossy law:
+    // every doc is a PNG; every %10==2 doc is ALSO re-encoded lossy (VP8
+    // intra, qi=8), and every %10==7 doc is re-encoded lossy from PERTURBED
+    // pixels (the q216 near-dup perturbation composed with quantization
+    // loss). Both lossy twins must hash within the Hamming budget of their
+    // source (measured worst case: 1 and 4 bits vs the 6-bit budget, vs
+    // ~28 bits between distinct assets) and cluster with it. The oracle is
+    // the asset->source-cluster map in closed form — pure arithmetic, but
+    // only reachable through a real VP8 encode -> decode -> dHash -> banded
+    // join -> connected components chain whose codec is certified
+    // byte-identical against libwebp both directions
+    // (tools/vp8_crosscheck.py); a drifted predictor, dequant, or bool
+    // coder moves a hash past the budget (or onto a stranger) and the
+    // cluster map diverges.
+    Q("q296_webp_lossy_neardup",
+      """WITH m AS (
+        |  SELECT doc_id AS asset_id, doc_id AS cluster FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000, doc_id FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 900000, doc_id FROM documents WHERE doc_id % 10 = 7)
+        |SELECT asset_id, CAST(cluster AS BIGINT) AS cluster FROM m
+        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = fixtureIds(s, d)
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val base = synthPixels(id, pert = false)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+            out += ((id, pngEncodeGray(base, 64, 64), "png"))
+            if (id % 10 == 2)
+              out += ((id + 800000, webpEncodeGrayVp8(base, 64, 64, 8), "webp"))
+            if (id % 10 == 7)
+              out += ((id + 900000,
+                webpEncodeGrayVp8(synthPixels(id, pert = true), 64, 64, 8), "webp"))
+            out.iterator
+          }
+        }
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
         .orderBy("asset_id")
     },
   )
