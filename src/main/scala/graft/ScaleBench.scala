@@ -448,6 +448,20 @@ object ScaleBench {
         lex.bm25Serve(bmTerms).queryExecution.toRdd.count()
       }
 
+      // q299 core: a FIXED 2-term BM25F query against a ×k FIELD-TAGGED
+      // index — O(query-terms) field-tagged postings + the wide length
+      // sidecar's projection-only scan → FLAT like bm25_serve
+      val flexRoot = s"${graft.core.Scratch.dir(s"graft-scale-flex$k")}/flex"
+      val flex = new graft.streaming.FieldedPostingsIndex(spark, flexRoot,
+        Seq("title", "text"))
+      flex.processBatch(docs.withColumn("title",
+        when(pmod(col("doc_id"), lit(11)) === 0, "zebra guide")
+          .otherwise("plain guide")), 0L)
+      val tBmfServe = timeMin(reps) {
+        flex.bm25fServe(Seq("title" -> 3L, "text" -> 1L), Seq("spark", "zebra"))
+          .queryExecution.toRdd.count()
+      }
+
       // q247 core: anchor-count partial for a FIXED batch against the ×k
       // index — additive-monoid append, O(batch) → FLAT
       val acRoot = s"${graft.core.Scratch.dir(s"graft-scale-ac$k")}/a"
@@ -527,7 +541,7 @@ object ScaleBench {
         "kn_score" -> tKn, "wordpiece_segment" -> tWp,
         "hard_negatives" -> tHardNeg,
         "eval_scrub" -> tScrub, "dup_token_profile" -> tDupProfile,
-        "collocation_stream" -> tColloc))
+        "collocation_stream" -> tColloc, "bm25f_serve" -> tBmfServe))
     }
 
     val expectations = Map(
@@ -549,7 +563,7 @@ object ScaleBench {
       "kn_score" -> ("linear", 16.0), "wordpiece_segment" -> ("linear", 16.0),
       "hard_negatives" -> ("linear", 16.0),
       "eval_scrub" -> ("linear", 16.0), "dup_token_profile" -> ("linear", 16.0),
-      "collocation_stream" -> ("flat", 3.0))
+      "collocation_stream" -> ("flat", 3.0), "bm25f_serve" -> ("flat", 3.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

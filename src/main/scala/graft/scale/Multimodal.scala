@@ -275,7 +275,18 @@ object Multimodal {
     * sample counts inconsistent between stsz and the chunk walk, and any
     * sample range outside the payload.
     */
-  private[scale] def mp4SampleTable(b: Array[Byte]): Option[(String, Seq[(Long, Int)])] = {
+  private[scale] def mp4SampleTable(b: Array[Byte]): Option[(String, Seq[(Long, Int)])] =
+    mp4SampleTable(b, c => c == "jpeg" || c == "mjpa")
+
+  /** First track whose sample-description fourcc `accept`s: the full
+    * stsd/stsz/stsc/stco walk, returning (fourcc, per-sample byte ranges)
+    * in decode order. Fail-closed on fragmented files, lying tables, and
+    * 64-bit sizes — the q263 subset. The `accept` parameter is what lets
+    * the audio fallback ([[mp4AudioPcmSamples]]) and the coverage report
+    * ([[decodeCoverage]]) reuse one audited walk instead of three.
+    */
+  private[scale] def mp4SampleTable(b: Array[Byte],
+      accept: String => Boolean): Option[(String, Seq[(Long, Int)])] = {
     def u16be(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
     def u32be(i: Int): Long =
       ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
@@ -302,8 +313,9 @@ object Multimodal {
     if (top.exists(_._1 == "moof")) return None // fragmented: fail closed
     val (moovS, moovE) = child(top, "moov").getOrElse(return None)
     val moov = children(moovS + 8, moovE).getOrElse(return None)
-    // first jpeg/mjpa-coded track wins; other codecs (avc1, hvc1, vp09...)
-    // are lossy bitstreams this engine does not decode — fail closed
+    // first track whose fourcc `accept`s wins; the frame path accepts
+    // jpeg/mjpa only — other codecs (avc1, hvc1, vp09...) are lossy
+    // bitstreams this engine does not decode and fail closed there
     moov.filter(_._1 == "trak").foreach { case (_, trakS, trakE) =>
       val stbl = for {
         trak <- children(trakS + 8, trakE)
@@ -321,7 +333,7 @@ object Multimodal {
           esize = u32be(s + 16)
           if esize >= 16 && s + 16 + esize <= e
         } yield new String(b, s + 20, 4, "US-ASCII")).getOrElse(return None)
-        if (fourcc == "jpeg" || fourcc == "mjpa") {
+        if (accept(fourcc)) {
           // stsz: fixed-or-per-sample sizes
           val sizes: Array[Int] = (for {
             (s, e) <- child(boxes, "stsz")
@@ -424,6 +436,56 @@ object Multimodal {
     else if (b.length >= 12 && b(4) == 'f'.toByte && b(5) == 't'.toByte &&
         b(6) == 'y'.toByte && b(7) == 'p'.toByte) mp4DecodeGrayFrames(b)
     else None
+
+  /** Decode the first uncompressed-PCM audio track of an MP4 ('twos' =
+    * big-endian s16, 'sowt' = little-endian s16 — the QuickTime
+    * uncompressed sample formats) to samples, via the same audited
+    * stsd/stsz/stsc/stco walk as the frame path. None outside that
+    * subset. This is the FALLBACK modality for containers whose video
+    * codec the frame path must refuse (overwhelmingly avc1 in a real
+    * crawl): a re-encode usually keeps its audio track byte-similar, so
+    * the envelope hash can still vote —
+    * [[graft.streaming.VideoPhashIndex]] wires it in, flagged as its own
+    * modality and never mixed with frame votes.
+    */
+  def mp4AudioPcmSamples(b: Array[Byte]): Option[Array[Short]] =
+    mp4SampleTable(b, c => c == "twos" || c == "sowt").flatMap {
+      case (fourcc, ranges) =>
+        val total = ranges.map(_._2.toLong).sum
+        if (total == 0 || total % 2 != 0) None
+        else {
+          val bytes = new Array[Byte](total.toInt)
+          var p = 0
+          ranges.foreach { case (off, len) =>
+            System.arraycopy(b, off.toInt, bytes, p, len)
+            p += len
+          }
+          val n = bytes.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (fourcc == "twos")
+            while (i < n) {
+              out(i) = (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+              i += 1
+            }
+          Some(out)
+        }
+    }
+
+  /** The audio-envelope dHash of an MP4's PCM track, when it has one the
+    * [[mp4AudioPcmSamples]] subset can decode AND the envelope contract
+    * holds (sample count 64-sliceable, the q219/q220 WAV rule).
+    */
+  def mp4AudioEnvelopeHash(b: Array[Byte]): Option[Long] =
+    mp4AudioPcmSamples(b).collect {
+      case s if s.length > 0 && s.length % 64 == 0 =>
+        dHash56(audioEnvelope64(s), 8, 8)
+    }
 
   // ---- spec-valid header synthesis (fixtures for the real parsers) ---------
 
@@ -704,6 +766,62 @@ object Multimodal {
     } catch { case _: java.util.NoSuchElementException => None }
   }
 
+  /** Container/codec/decode-path classification of ONE payload — the
+    * kernel of [[decodeCoverage]]. `status` is measured, not inferred:
+    * "live" actually ran the modality's near-dup decode, "audio_fallback"
+    * means the frame path refused the video codec but the PCM audio track
+    * still hashes (the q297 vote), "fail_closed" means no path touches the
+    * asset and it is INVISIBLE to near-dup.
+    */
+  private[scale] def coverageOf(b: Array[Byte]): (String, String, String) = {
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+    def live(ok: Boolean) = if (ok) "live" else "fail_closed"
+    if (ascii(0, "GIF8"))
+      ("gif", "lzw", live(gifDecodeGrayFrames(b).isDefined))
+    else if (b.length >= 12 && ascii(4, "ftyp")) {
+      val codec = mp4SampleTable(b, _ => true).map(_._1).getOrElse("unparsed")
+      val status =
+        if (mp4DecodeGrayFrames(b).isDefined) "live"
+        else if (mp4AudioEnvelopeHash(b).isDefined) "audio_fallback"
+        else "fail_closed"
+      ("mp4", codec, status)
+    } else if (b.length >= 16 && ascii(0, "RIFF") && ascii(8, "WEBP")) {
+      val codec = new String(b, 12, 4, "US-ASCII").trim.toLowerCase
+      ("webp", codec, live(webpDecodeGray(b).isDefined))
+    } else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(1, "PNG"))
+      ("png", "deflate", live(pngDecodeGray(b).isDefined))
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      ("jpeg", "jpeg", live(jpegDecodeGray(b).isDefined))
+    else if (b.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE"))
+      ("wav", "pcm", live(wavPcmSamples(b)
+        .exists(s => s.length > 0 && s.length % 64 == 0)))
+    else ("unknown", "unknown", "fail_closed")
+  }
+
+  /** Decode-coverage report (r16 verdict "what's missing" #1): per
+    * (container, codec, status), the asset count and byte mass whose
+    * near-dup path is live vs fail-closed — making blind spots (real-crawl
+    * avc1 video, exotic WebP forms) VISIBLE in data instead of silently
+    * absent from dedup. Scan-local classification (each payload decoded
+    * once in its task, nothing retained), one aggregation shuffle of four
+    * narrow columns.
+    */
+  def decodeCoverage(assets: DataFrame, idCol: String = "asset_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    val ss = assets.sparkSession
+    import ss.implicits._
+    assets.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (_, b) =>
+        val (container, codec, status) = coverageOf(b)
+        (container, codec, status, b.length.toLong)
+      })
+      .toDF("container", "codec", "status", "n")
+      .groupBy("container", "codec", "status")
+      .agg(count(lit(1)).as("n_assets"), sum("n").as("bytes"))
+  }
+
   /** A minimal spec-valid PCM WAV: fmt chunk + an empty-bodied data chunk
     * whose declared size is `nSamples` frames (header-only parsing never
     * reads the samples, exactly like a footer-indexed media store).
@@ -839,6 +957,70 @@ object Multimodal {
         new Array[Byte](108 - 8 - body.length)
     }
     val moov = box("moov", mvhd ++ trak)
+    be32(16L) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ mdat ++ moov
+  }
+
+  /** A spec-valid two-track MP4: a video track of `videoFourcc` (e.g.
+    * `avc1` — samples are opaque bytes the frame path must refuse) plus an
+    * optional big-endian PCM audio track (`twos`, 16-bit mono, one chunk).
+    * Fixture for the avc1 audio-fallback vote (q297): the frame path fails
+    * closed on the codec while [[mp4AudioPcmSamples]] still reaches the
+    * audio.
+    */
+  private[graft] def mp4AvcPcmBytes(videoSamples: Seq[Array[Byte]], w: Int, h: Int,
+                                    audioSamples: Option[Array[Short]],
+                                    videoFourcc: String = "avc1"): Array[Byte] = {
+    require(videoSamples.nonEmpty && videoFourcc.length == 4)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val full = Array[Byte](0, 0, 0, 0)
+    val videoBytes = videoSamples.flatten.toArray
+    val audioBytes = audioSamples.map(_.flatMap(s =>
+      Array(((s >> 8) & 0xff).toByte, (s & 0xff).toByte))).getOrElse(Array.empty[Byte])
+    val mdat = box("mdat", videoBytes ++ audioBytes)
+    val videoStart = 16L + 8L
+    val audioStart = videoStart + videoBytes.length
+
+    val ventry = be32(86L) ++ videoFourcc.getBytes("US-ASCII") ++
+      new Array[Byte](6) ++ Array[Byte](0, 1) ++
+      new Array[Byte](16) ++
+      Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++
+      Array[Byte](0, 1) ++ new Array[Byte](32) ++
+      Array[Byte](0, 0x18, -1, -1)
+    val vOffs = videoSamples.scanLeft(videoStart)((o, s) => o + s.length).dropRight(1)
+    val vtrak = box("trak", box("mdia", box("minf", box("stbl",
+      box("stsd", full ++ be32(1) ++ ventry) ++
+        box("stsz", full ++ be32(0) ++ be32(videoSamples.length.toLong) ++
+          videoSamples.flatMap(s => be32(s.length.toLong)).toArray) ++
+        box("stsc", full ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(1)) ++
+        box("stco", full ++ be32(vOffs.length.toLong) ++
+          vOffs.flatMap(be32).toArray)))))
+
+    val atrak = audioSamples.map { as =>
+      // 36-byte AudioSampleEntry: format, reserved, dref, version/revision/
+      // vendor, channels=1, samplesize=16, compression, packet, rate 16.16
+      val aentry = be32(36L) ++ "twos".getBytes("US-ASCII") ++
+        new Array[Byte](6) ++ Array[Byte](0, 1) ++
+        new Array[Byte](8) ++
+        Array[Byte](0, 1, 0, 16, 0, 0, 0, 0) ++
+        be32(8000L << 16)
+      box("trak", box("mdia", box("minf", box("stbl",
+        box("stsd", full ++ be32(1) ++ aentry) ++
+          box("stsz", full ++ be32(2) ++ be32(as.length.toLong)) ++
+          box("stsc", full ++ be32(1) ++ be32(1) ++ be32(as.length.toLong) ++ be32(1)) ++
+          box("stco", full ++ be32(1) ++ be32(audioStart))))))
+    }.getOrElse(Array.empty[Byte])
+
+    val mvhd = {
+      val body = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(600L) ++ be32(videoSamples.length.toLong * 25L)
+      be32(108L) ++ "mvhd".getBytes("US-ASCII") ++ body ++
+        new Array[Byte](108 - 8 - body.length)
+    }
+    val moov = box("moov", mvhd ++ vtrak ++ atrak)
     be32(16L) ++ "ftyp".getBytes("US-ASCII") ++
       "isom".getBytes("US-ASCII") ++ be32(0) ++ mdat ++ moov
   }
@@ -3452,6 +3634,72 @@ object Multimodal {
         .select(col("asset_id"),
           coalesce(col("cluster"), col("asset_id")).as("cluster"))
         .orderBy("asset_id")
+    },
+
+    // Decode-coverage report (r16 verdict "what's missing" #1): per
+    // (container, codec, status), how many assets — and the spec pins the
+    // byte mass — are LIVE to near-dup vs fail-closed, on a planted
+    // mixed-codec corpus: MJPEG MP4s (live), avc1 MP4s with a PCM track
+    // (audio_fallback), avc1 without audio (fail_closed — invisible, the
+    // blind spot this report exists to expose), animated GIFs (live),
+    // lossy-VP8 WebP (live since the Vp8 codec), and VP8X containers
+    // (fail_closed). The oracle is residue-class counting; the engine's
+    // statuses come from actually RUNNING each modality's decode per
+    // asset, so a regression in any codec path moves a row between
+    // statuses and hash-fails.
+    Q("q298_decode_coverage",
+      """WITH c AS (
+        |  SELECT 'mp4' AS container, 'jpeg' AS codec, 'live' AS status,
+        |    CAST(count(1) AS BIGINT) AS n_assets FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL SELECT 'mp4', 'avc1', 'audio_fallback', count(1)
+        |    FROM documents WHERE doc_id % 6 = 1
+        |  UNION ALL SELECT 'mp4', 'avc1', 'fail_closed', count(1)
+        |    FROM documents WHERE doc_id % 6 = 2
+        |  UNION ALL SELECT 'gif', 'lzw', 'live', count(1)
+        |    FROM documents WHERE doc_id % 6 = 3
+        |  UNION ALL SELECT 'webp', 'vp8', 'live', count(1)
+        |    FROM documents WHERE doc_id % 6 = 4
+        |  UNION ALL SELECT 'webp', 'vp8x', 'fail_closed', count(1)
+        |    FROM documents WHERE doc_id % 6 = 5)
+        |SELECT container, codec, status, n_assets FROM c
+        |ORDER BY container, codec, status""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = fixtureIds(s, d)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def b1(tag: String): Int = {
+            md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+          }
+          def audio(src: Long): Array[Short] = Array.tabulate(1024)(t =>
+            (b1(s"${src}_b${t / 16}") * 100 + b1(s"${src}_j$t") % 50).toShort)
+          it.map { id =>
+            val px = synthPixels(id, pert = false)
+            val payload: Array[Byte] = (id % 6) match {
+              case 0 => mp4MjpegBytes(
+                Array.tabulate(2)(f => jpegEncodeGray(
+                  synthFramePixels(id, f, pert = false), 64, 64,
+                  JpegFlatQuant8)).toSeq, 64, 64)
+              case 1 => mp4AvcPcmBytes(
+                Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
+                64, 64, Some(audio(id)))
+              case 2 => mp4AvcPcmBytes(
+                Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
+                64, 64, None)
+              case 3 => gifEncodeGrayAnimated(
+                Array.tabulate(2)(f => synthFramePixels(id, f, pert = false)).toSeq,
+                64, 64)
+              case 4 => webpEncodeGrayVp8(px, 64, 64, 8)
+              case _ => "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + 10) ++
+                "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+                le32(10) ++ new Array[Byte](10)
+            }
+            (id, payload)
+          }
+        }
+        .toDF("asset_id", "payload")
+      decodeCoverage(assets)
+        .select("container", "codec", "status", "n_assets")
+        .orderBy("container", "codec", "status")
     },
   )
 }

@@ -282,6 +282,24 @@ object Retrieval {
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
 
+  /** Field-tagged inverted index: (term, doc id, field, tf), one relation
+    * across all of `fields` — the postings shape BM25F serving needs,
+    * because the field weights are SERVE-time parameters: storing per-field
+    * tf lets one index answer any weighting, where a pre-weighted index
+    * would bake one ranking in. One token-keyed shuffle per field (fields
+    * are few and schema-fixed); text never leaves the scan.
+    */
+  def fieldedInvertedIndex(docs: DataFrame, fields: Seq[String],
+                           idCol: String = "doc_id"): DataFrame = {
+    require(fields.nonEmpty, "fieldedInvertedIndex needs >= 1 fields")
+    fields.map { f =>
+      docs.select(col(idCol), explode(toks(col(f))).as("term"))
+        .groupBy(col("term"), col(idCol))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("field", lit(f))
+    }.reduce(_ unionByName _)
+  }
+
   /** Positional inverted index: (term, doc id, sorted positions array) —
     * the postings shape phrase and proximity queries serve from. Same ONE
     * token-keyed shuffle as [[invertedIndex]] (positions ride as ints,

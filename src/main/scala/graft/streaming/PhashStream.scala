@@ -158,6 +158,16 @@ final class PhashIndex(spark: SparkSession, root: String,
   * suppressing immediately), then an O(batch) stamped append. Replay and
   * delete semantics are exactly [[PhashIndex]]'s (same laws, spec'd in
   * VideoPhashStreamSpec).
+  *
+  * AUDIO FALLBACK (q297): real crawl video is overwhelmingly avc1, which
+  * the frame path refuses — but those containers usually carry an audio
+  * track the PCM subset can decode. Every asset with a decodable PCM
+  * track also stores ONE envelope-hash row (f = [[VideoPhashIndex.AudioF]]);
+  * an avc1 arrival whose frame path fails closed falls through to that
+  * modality and can still be suppressed by its audio. Audio rows only
+  * ever vote against audio rows (one match suffices — there is one
+  * envelope per asset); frame votes keep the `minFrameVotes` rule.
+  * Assets with neither path fail closed, as before.
   */
 final class VideoPhashIndex(spark: SparkSession, root: String,
                             bands: Int = 8, bandBits: Int = 7,
@@ -221,13 +231,21 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
         col("__b.band"), col("__b.bits"))
     // verify-then-distinct (the phashPairs order): the Hamming check runs
     // inside the join stage, so only verified frame pairs ride the
-    // band-multiplicity dedup shuffle — not the whole candidate stream
+    // band-multiplicity dedup shuffle — not the whole candidate stream.
+    // Modality purity: frame rows (f >= 0) only ever vote against frame
+    // rows, the audio-envelope row (f == AudioF) only against audio rows —
+    // a frame hash near an envelope hash is numerology, not similarity.
+    // Frame matches need >= minFrameVotes; ONE audio-envelope match
+    // suffices (there is one envelope per asset).
     banded(probe, "p").join(banded(index, "i"), Seq("band", "bits"))
       .filter(col("p_id") =!= col("i_id"))
+      .filter((col("p_f") >= 0) === (col("i_f") >= 0))
       .filter(expr(s"bit_count(p_h ^ i_h) <= $maxHamming"))
       .select("p_id", "p_f", "i_id", "i_f").distinct()
-      .groupBy("p_id", "i_id").count()
-      .filter(col("count") >= minFrameVotes)
+      .groupBy("p_id", "i_id")
+      .agg(count(when(col("p_f") >= 0, 1)).as("frame_votes"),
+        count(when(col("p_f") < 0, 1)).as("audio_votes"))
+      .filter(col("frame_votes") >= minFrameVotes || col("audio_votes") >= 1)
       .select("p_id", "i_id")
   }
 
@@ -245,10 +263,22 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
       .select(col("asset_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (vid, bytes) =>
-        val (w, h, fs) = Multimodal.videoDecodeGrayFrames(bytes).getOrElse(
-          throw new IllegalStateException(s"undecodable video $vid"))
-        fs.iterator.zipWithIndex.map { case (px, f) =>
-          (vid, f, Multimodal.dHash56(px, w, h))
+        // every decodable modality hashes: frames when the codec is in the
+        // frame path's subset, PLUS the PCM audio track's envelope when
+        // one exists (f = AudioF — its own modality row). That audio row
+        // is what lets a LATER avc1 re-encode (frame path refuses the
+        // codec) still vote against this asset. Assets with NEITHER path
+        // stay fail-closed.
+        val audio = Multimodal.mp4AudioEnvelopeHash(bytes)
+          .map(h => (vid, VideoPhashIndex.AudioF, h))
+        Multimodal.videoDecodeGrayFrames(bytes) match {
+          case Some((w, h, fs)) =>
+            fs.iterator.zipWithIndex.map { case (px, f) =>
+              (vid, f, Multimodal.dHash56(px, w, h))
+            } ++ audio.iterator
+          case None =>
+            audio.map(Iterator.single(_)).getOrElse(
+              throw new IllegalStateException(s"undecodable video $vid"))
         }
       })
       .toDF("asset_id", "f", "dhash").localCheckpoint()
@@ -281,6 +311,13 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
     if (frames.chainDepth > maxChainDepth) compactPurge()
     ()
   }
+}
+
+object VideoPhashIndex {
+  /** The `f` sentinel of an audio-envelope row: one per asset whose video
+    * codec the frame path refuses but whose PCM track still hashes.
+    */
+  val AudioF: Int = -1
 }
 
 object PhashStream {

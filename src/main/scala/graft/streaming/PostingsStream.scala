@@ -228,6 +228,171 @@ final class PostingsIndex(spark: SparkSession, root: String,
   }
 }
 
+/** Streaming FIELD-TAGGED inverted-index maintenance — the BM25F twin of
+  * [[PostingsIndex]] (r16 verdict item 5: `bm25f` scored from docs
+  * directly; the index path had no field dimension). Postings rows carry
+  * (term, doc_id, field, tf), the length sidecar is one WIDE row per doc
+  * (doc_id, len_<field>...), and the stats sidecar keeps per-field length
+  * sums plus a doc count —
+  * so [[bm25fServe]] can apply ANY serve-time field weighting from
+  * O(query-terms) postings + a candidate-joined sidecar + O(1) stats,
+  * exactly the [[PostingsIndex.bm25Serve]] shape with a field dimension.
+  *
+  * Everything else is [[PostingsIndex]]'s protocol verbatim: stamped
+  * exactly-once promotes per micro-batch, term-sorted batch files for
+  * row-group pruning, LSM tombstone deletes with reject-while-tombstoned
+  * re-ingest, purge-on-compact, and the `Σ stats == totals(lengths)`
+  * invariant (per field) with serve-time tombstone subtraction.
+  */
+final class FieldedPostingsIndex(spark: SparkSession, root: String,
+                                 fields: Seq[String],
+                                 maxChainDepth: Int = 16) {
+  require(fields.nonEmpty, "FieldedPostingsIndex needs >= 1 fields")
+
+  val postings = new VersionedTable(spark, s"$root/postings")
+  private val ts =
+    new graft.write.TombstoneSet(spark, s"$root/tombstones", "doc_id",
+      maxChainDepth)
+  val tombstones: VersionedTable = ts.table
+
+  /** Per-doc length sidecar, WIDE: one (doc_id, len_<field>...) row per doc
+    * with any nonempty field. The wide layout is what keeps the serve-time
+    * weighted length `Σ_f w_f·len_f` a pure PROJECTION over one narrow
+    * columnar scan — the per-(doc, field) tall form would need a keyed
+    * re-aggregation shuffle at every serve.
+    */
+  val lengths = new VersionedTable(spark, s"$root/lengths")
+
+  /** Per-batch stats partials: one (n_docs, sum_<field>...) row. */
+  val stats = new VersionedTable(spark, s"$root/stats")
+
+  private def lenCols: Seq[String] = fields.map(f => s"len_$f")
+
+  private def lenPartial(live: DataFrame): DataFrame =
+    live.select(col("doc_id") +:
+        fields.map(f => size(Retrieval.toks(col(f))).cast("long").as(s"len_$f")): _*)
+      .filter(lenCols.map(col(_) > 0).reduce(_ || _))
+      .sortWithinPartitions("doc_id")
+
+  private def statsPartial(lp: DataFrame): DataFrame =
+    lp.agg(count(lit(1)).cast("long").as("n_docs"),
+      lenCols.map(c => coalesce(sum(c), lit(0L)).as(s"sum_$c")): _*)
+
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val tag = s"batch=$batchId"
+    val postingsDone = postings.exists && postings.currentTag.contains(tag)
+    val lengthsDone = lengths.exists && lengths.currentTag.contains(tag)
+    val statsDone = stats.exists && stats.currentTag.contains(tag)
+    if (postingsDone && lengthsDone && statsDone) return
+    // reject-while-tombstoned (the PostingsIndex append-growth asymmetry)
+    val live = ts.minus(batch.filter(col("doc_id").isNotNull)).localCheckpoint()
+    if (!postingsDone) {
+      val partial = Retrieval.fieldedInvertedIndex(live, fields)
+        .sortWithinPartitions("term")
+      if (postings.exists) postings.promote(postings.stageAppend(partial), Some(tag))
+      else postings.promote(postings.stage(partial), Some(tag))
+    }
+    val lp = lenPartial(live).localCheckpoint()
+    if (!lengthsDone) {
+      if (lengths.exists) lengths.promote(lengths.stageAppend(lp), Some(tag))
+      else lengths.promote(lengths.stage(lp), Some(tag))
+    }
+    if (!statsDone) {
+      val sp = statsPartial(lp)
+      if (stats.exists) stats.promote(stats.stageAppend(sp), Some(tag))
+      else stats.promote(stats.stage(sp), Some(tag))
+    }
+    if (postings.chainDepth > maxChainDepth) compact()
+  }
+
+  def delete(deletedIds: DataFrame, idCol: String = "doc_id"): Unit =
+    ts.add(deletedIds, idCol)
+
+  def served(): DataFrame = ts.minus(postings.read())
+
+  def servedLengths(): DataFrame = ts.minus(lengths.read())
+
+  /** (n docs, Σ_f w_f·Σ len_f) under `weights` — O(1) over the stats
+    * partials minus the tombstoned docs' contribution (delete-batch-sized
+    * join on the sidecar).
+    */
+  def corpusTotals(weights: Map[String, Long]): (Long, Long) = {
+    def totalsOf(df: DataFrame, nCol: org.apache.spark.sql.Column): (Long, Long) = {
+      val r = df.agg(nCol.as("n"),
+          fields.map(f =>
+            coalesce(sum(s"len_$f") * weights.getOrElse(f, 0L), lit(0L)))
+            .reduce(_ + _).as("wl"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val b = stats.read()
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+        fields.map(f =>
+          coalesce(sum(s"sum_len_$f") * weights.getOrElse(f, 0L), lit(0L)))
+          .reduce(_ + _).as("wl"))
+      .head()
+    var n = b.getLong(0)
+    var wl = b.getLong(1)
+    ts.dead().foreach { d =>
+      val (dn, dwl) = totalsOf(lengths.read().join(d, Seq("doc_id")),
+        count(lit(1)).cast("long"))
+      n -= dn
+      wl -= dwl
+    }
+    (n, wl)
+  }
+
+  /** BM25F over the live index, serving-shaped: the query terms'
+    * field-tagged postings collapse to the weighted tf'
+    * (`Σ_f w_f·tf_f` BEFORE saturation — the CIKM 2004 combination
+    * [[graft.scale.Retrieval.bm25f]] uses), candidate docs join the
+    * weighted length sidecar, corpus stats are O(1) scalars, and the rest
+    * IS [[graft.scale.Retrieval.bm25FromSidecar]]. One term-pruned
+    * postings scan; flat as the index grows.
+    */
+  def bm25fServe(weights: Seq[(String, Long)], terms: Seq[String],
+                 scoreCol: String = "score"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 1),
+      s"bm25fServe needs >= 1 fields with positive integer weights, got $weights")
+    require(lengths.exists && stats.exists,
+      s"bm25fServe needs the length/stats sidecars at $root")
+    val wmap = weights.toMap
+    val wexpr = weights.tail.foldLeft(
+      when(col("field") === weights.head._1, lit(weights.head._2))) {
+      case (acc, (f, w)) => acc.when(col("field") === f, lit(w))
+    }.otherwise(lit(0L))
+    val (n, wl) = corpusTotals(wmap)
+    // weighted tf': one row per (term, doc) — any-field df falls out
+    val combined = served().filter(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id")
+      .agg(sum(col("tf") * wexpr).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    // weighted per-doc length: a PROJECTION over the wide sidecar (the
+    // candidate inner join inside bm25FromSidecar prunes it — no keyed
+    // re-aggregation, no second postings scan)
+    val wlens = servedLengths().select(col("doc_id"),
+      fields.map(f =>
+        coalesce(col(s"len_$f"), lit(0L)) * wmap.getOrElse(f, 0L))
+        .reduce(_ + _).cast("long").as("len"))
+    Retrieval.bm25FromSidecar(combined, wlens, n, wl, terms, scoreCol = scoreCol)
+  }
+
+  /** Collapse + purge, then re-base the per-field stats on the purged
+    * sidecar ([[PostingsIndex.compact]]'s protocol and crash argument).
+    */
+  def compact(): Unit = {
+    ts.purgeInto(
+      postings -> ((df: DataFrame) => df.sortWithinPartitions("term")),
+      lengths -> identity[DataFrame] _)
+    if (stats.exists) {
+      val total = lengths.read()
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          lenCols.map(c => coalesce(sum(c), lit(0L)).as(s"sum_$c")): _*)
+      stats.promote(stats.stage(total), stats.currentTag)
+    }
+  }
+}
+
 object PostingsStream {
 
   /** [[PostingsIndex.processBatch]] as a streaming sink: drain a document

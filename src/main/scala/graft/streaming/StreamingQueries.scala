@@ -430,6 +430,76 @@ object StreamingQueries {
         .orderBy("term", "rnk")
     },
 
+    // Serving-shaped BM25F (r16 verdict item 5): q285 scored fields from
+    // the docs directly; here the SAME ranking is served from a
+    // FIELD-TAGGED postings index maintained by a 4-batch drain — weighted
+    // tf' from O(query-terms) field-tagged postings, weighted length from
+    // the candidate-joined per-field sidecar, corpus stats O(1), weights
+    // applied at SERVE time. The oracle is q285's arithmetic restricted to
+    // candidate docs (a doc holding neither term can never score
+    // positive); any drift in the fielded build, the sidecar sums, or the
+    // weighted combination moves a milli-unit score and hash-fails.
+    Q("q299_bm25f_serve",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS bs,
+        |    list_filter(string_split_regex(
+        |      CASE WHEN doc_id % 11 = 0 THEN 'zebra guide' ELSE 'plain guide' END,
+        |      '\s+'), x -> x <> '') AS ts2
+        |  FROM documents),
+        | w AS (SELECT doc_id, bs, ts2,
+        |         CAST(len(bs) + 3 * len(ts2) AS BIGINT) AS wlen FROM d),
+        | st AS (SELECT count(1) AS n, CAST(sum(wlen) AS BIGINT) AS s FROM w),
+        | av AS (SELECT greatest(1, s // n) AS avg, n FROM st),
+        | df AS (
+        |  SELECT
+        |    (SELECT count(1) FROM d
+        |     WHERE list_contains(bs, 'zebra') OR list_contains(ts2, 'zebra')) AS df_z,
+        |    (SELECT count(1) FROM d
+        |     WHERE list_contains(bs, 'merge') OR list_contains(ts2, 'merge')) AS df_m),
+        | idf AS (
+        |  SELECT greatest(1, length(bin(n + 1)) - length(bin(df_z + 1))) AS i_z,
+        |         greatest(1, length(bin(n + 1)) - length(bin(df_m + 1))) AS i_m
+        |  FROM df CROSS JOIN av),
+        | tf AS (
+        |  SELECT doc_id, wlen,
+        |    CAST(len(list_filter(bs, x -> x = 'zebra'))
+        |         + 3 * len(list_filter(ts2, x -> x = 'zebra')) AS BIGINT) AS tf_zebra,
+        |    CAST(len(list_filter(bs, x -> x = 'merge'))
+        |         + 3 * len(list_filter(ts2, x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM w),
+        | sc AS (
+        |  SELECT doc_id, tf_zebra, tf_merge,
+        |    (CASE WHEN tf_zebra > 0 THEN
+        |       (1000 * i_z * 44 * avg * tf_zebra)
+        |         // (20 * avg * tf_zebra + 6 * avg + 18 * wlen) ELSE 0 END
+        |   + CASE WHEN tf_merge > 0 THEN
+        |       (1000 * i_m * 44 * avg * tf_merge)
+        |         // (20 * avg * tf_merge + 6 * avg + 18 * wlen) ELSE 0 END) AS score
+        |  FROM tf CROSS JOIN idf CROSS JOIN av)
+        |SELECT doc_id, tf_zebra, tf_merge, score FROM sc
+        |WHERE tf_zebra > 0 OR tf_merge > 0
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q299")
+      val index = new FieldedPostingsIndex(s, s"$wh/flex",
+        fields = Seq("title", "text"))
+      val s2 = s.newSession()
+      val docs = Streaming.docsStream(s2, d).select(col("doc_id"), col("text"),
+        when(col("doc_id") % 11 === 0, "zebra guide")
+          .otherwise("plain guide").as("title"))
+      docs.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", s"$wh/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          index.processBatch(b, id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      index.bm25fServe(Seq("title" -> 3L, "text" -> 1L), Seq("zebra", "merge"))
+        .select("doc_id", "tf_zebra", "tf_merge", "score")
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    },
+
     // Streaming CDC: the q175 changelog split into 4 files drained one per
     // micro-batch through cdcMergeSink — global latest-wins-by-seq with
     // tombstones retained, so ANY batching of the feed converges to the
@@ -1248,6 +1318,86 @@ object StreamingQueries {
         .select(col("phase"), col("asset_id").cast("long").as("asset_id"),
           col("f").cast("int").as("f"), col("dhash").cast("long").as("dhash"))
         .orderBy("phase", "asset_id", "f")
+    },
+
+    // avc1 audio-fallback vote (r16 verdict item 6): real crawl video is
+    // overwhelmingly H.264, which the frame path refuses — but the
+    // container usually keeps a PCM-decodable audio track. Every original
+    // (decodable MJPEG MP4 + PCM track) stores its frame hashes AND one
+    // audio-envelope row; avc1 arrivals decode NO frames yet are still
+    // suppressed when their audio matches a stored envelope: same-audio
+    // re-encodes (+500000) and half-gain re-encodes (+700000, the q224
+    // gain-invariance) DROP via the audio modality alone, while avc1 with
+    // genuinely new audio (+800000) ADMITS as an audio-only asset.
+    // Takedowns then erase the %10==0 originals. The oracle is the
+    // admission map in closed form — arithmetic, but only reachable
+    // through the real two-track sample-table walk, PCM decode, envelope
+    // hash, modality-pure banded vote, and tombstone purge; suppressing
+    // via frame votes is impossible here (avc1 has none), so a broken
+    // audio path admits a duplicate and diverges.
+    Q("q297_streaming_avc1_audio_vote",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT 'served' AS phase, doc_id AS asset_id FROM ids
+        |  UNION ALL SELECT 'served', doc_id + 800000 FROM ids WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT 'compacted', doc_id FROM ids WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT 'compacted', doc_id + 800000 FROM ids WHERE doc_id % 10 = 3)
+        |SELECT phase, CAST(asset_id AS BIGINT) AS asset_id FROM m
+        |ORDER BY phase, asset_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q297")
+      val s2 = s.newSession()
+      val index = new VideoPhashIndex(s, s"$wh/vphi")
+      import graft.scale.{Multimodal => M}
+      val arrivals = {
+        import s2.implicits._
+        Streaming.docsStream(s2, d).select(col("doc_id"))
+          .repartition(s2.sparkContext.defaultParallelism).as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def b1(tag: String): Int = {
+              md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+            }
+            // the q224 audio synthesis: well-separated bucket levels plus
+            // per-sample jitter, so half-gain stays inside the Hamming
+            // budget while distinct sources stay far apart
+            def audio(src: Long, quiet: Boolean): Array[Short] =
+              Array.tabulate(1024) { t =>
+                val sb = b1(s"${src}_b${t / 16}") * 100 + b1(s"${src}_j$t") % 50
+                (if (quiet) sb / 2 else sb).toShort
+              }
+            def origMp4(id: Long) = M.mp4AvcPcmBytes(
+              Array.tabulate(2)(f => M.jpegEncodeGray(
+                M.synthFramePixels(id, f, pert = false), 64, 64,
+                M.JpegFlatQuant8)).toSeq,
+              64, 64, Some(audio(id, quiet = false)), videoFourcc = "jpeg")
+            def avc1(id: Long, audioSrc: Long, quiet: Boolean) = M.mp4AvcPcmBytes(
+              Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
+              64, 64, Some(audio(audioSrc, quiet)), videoFourcc = "avc1")
+            it.flatMap { id =>
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+              out += ((id, origMp4(id)))
+              if (id % 10 == 1)
+                out += ((id + 500000, avc1(id + 500000, id, quiet = false)))
+              if (id % 10 == 7)
+                out += ((id + 700000, avc1(id + 700000, id, quiet = true)))
+              if (id % 10 == 3)
+                out += ((id + 800000, avc1(id + 800000, id + 900000, quiet = false)))
+              out.iterator
+            }
+          }
+          .toDF("asset_id", "payload")
+      }
+      PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
+        .awaitTermination()
+      val served = index.served().select("asset_id").distinct()
+        .withColumn("phase", lit("served")).localCheckpoint()
+      index.delete(Tables.documents(s, d).select(col("doc_id").as("asset_id"))
+        .filter(col("asset_id") % 10 === 0))
+      index.compactPurge()
+      served.unionByName(index.served().select("asset_id").distinct()
+          .withColumn("phase", lit("compacted")))
+        .select(col("phase"), col("asset_id").cast("long").as("asset_id"))
+        .orderBy("phase", "asset_id")
     },
 
     // Streaming AUDIO near-dup — the q220 envelope-hash scheme as a

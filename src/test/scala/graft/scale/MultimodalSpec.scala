@@ -744,4 +744,46 @@ class MultimodalSpec extends SparkSpec {
         s"dithered frame $f of $src drifted past the Hamming budget")
     }
   }
+
+  test("mp4AudioPcmSamples: 'twos' PCM round-trips through the two-track walk") {
+    val samples = Array.tabulate(128)(i => ((i * 523) % 30000 - 15000).toShort)
+    val b = Multimodal.mp4AvcPcmBytes(
+      Seq(Array.tabulate(32)(_.toByte)), 64, 64, Some(samples))
+    assert(Multimodal.mp4AudioPcmSamples(b).map(_.toSeq) === Some(samples.toSeq))
+    assert(Multimodal.mp4AudioEnvelopeHash(b).isDefined)
+    // no audio track -> no fallback modality
+    assert(Multimodal.mp4AudioPcmSamples(Multimodal.mp4AvcPcmBytes(
+      Seq(Array.tabulate(32)(_.toByte)), 64, 64, None)).isEmpty)
+    // the frame path refuses the avc1 track either way
+    assert(Multimodal.videoDecodeGrayFrames(b).isEmpty)
+    // a non-64-sliceable PCM track decodes but may not envelope-hash
+    val odd = Multimodal.mp4AvcPcmBytes(
+      Seq(Array.tabulate(32)(_.toByte)), 64, 64, Some(samples.take(100)))
+    assert(Multimodal.mp4AudioPcmSamples(odd).isDefined)
+    assert(Multimodal.mp4AudioEnvelopeHash(odd).isEmpty)
+  }
+
+  test("decodeCoverage measures the live/audio_fallback/fail_closed split with byte mass") {
+    import spark.implicits._
+    val px = Multimodal.synthPixels(3L, pert = false)
+    val samples = Array.tabulate(128)(i => (i * 100).toShort)
+    val rows = Seq[(Long, Array[Byte])](
+      (1L, Multimodal.pngEncodeGray(px, 64, 64)),
+      (2L, Multimodal.webpEncodeGrayVp8(px, 64, 64, 8)),
+      (3L, Multimodal.mp4AvcPcmBytes(
+        Seq(Array.tabulate(16)(_.toByte)), 64, 64, Some(samples))),
+      (4L, Multimodal.mp4AvcPcmBytes(
+        Seq(Array.tabulate(16)(_.toByte)), 64, 64, None)),
+      (5L, Array[Byte](1, 2, 3)))
+    val got = Multimodal.decodeCoverage(rows.toDF("asset_id", "payload"))
+      .as[(String, String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    val sizes = rows.map { case (id, b) => id -> b.length.toLong }.toMap
+    assert(got(("png", "deflate", "live")) === ((1L, sizes(1L))))
+    assert(got(("webp", "vp8", "live")) === ((1L, sizes(2L))))
+    assert(got(("mp4", "avc1", "audio_fallback")) === ((1L, sizes(3L))))
+    assert(got(("mp4", "avc1", "fail_closed")) === ((1L, sizes(4L))))
+    assert(got(("unknown", "unknown", "fail_closed")) === ((1L, 3L)))
+    assert(got.size === 5)
+  }
 }

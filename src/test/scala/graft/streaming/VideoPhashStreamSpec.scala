@@ -104,4 +104,65 @@ class VideoPhashStreamSpec extends SparkSpec {
       s"chain depth ${idx.frames.chainDepth} exceeded the compaction bound")
     assert(servedIds(idx).size === 8)
   }
+
+  // ---- the avc1 audio-fallback modality (q297) -----------------------------
+
+  private def audio(src: Long, quiet: Boolean = false): Array[Short] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b1(tag: String): Int = {
+      md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+    }
+    Array.tabulate(1024) { t =>
+      val sb = b1(s"${src}_b${t / 16}") * 100 + b1(s"${src}_j$t") % 50
+      (if (quiet) sb / 2 else sb).toShort
+    }
+  }
+  private def mjpegWithAudio(src: Long): Array[Byte] = M.mp4AvcPcmBytes(
+    frames(src).take(2).map(px => M.jpegEncodeGray(px, 64, 64, M.JpegFlatQuant8)).toSeq,
+    64, 64, Some(audio(src)), videoFourcc = "jpeg")
+  private def avc1(id: Long, audioSrc: Long, quiet: Boolean = false): Array[Byte] =
+    M.mp4AvcPcmBytes(Seq(Array.tabulate(64)(i => (id + i).toByte)),
+      64, 64, Some(audio(audioSrc, quiet)), videoFourcc = "avc1")
+
+  test("avc1 fallback: same/quiet audio suppresses, new audio admits, neither path throws") {
+    val idx = new VideoPhashIndex(spark, root("audio"))
+    idx.processBatch(batch((1L, mjpegWithAudio(1)), (2L, mjpegWithAudio(2))), 0L)
+    // originals store frames AND one audio row each
+    assert(idx.served().filter(col("f") === VideoPhashIndex.AudioF).count() === 2L)
+    idx.processBatch(batch(
+      (100L, avc1(100, audioSrc = 1)), // same audio as 1 -> drop
+      (200L, avc1(200, audioSrc = 2, quiet = true)), // half-gain of 2 -> drop
+      (300L, avc1(300, audioSrc = 99))), 1L) // new audio -> admit
+    assert(servedIds(idx) === Set(1L, 2L, 300L))
+    // an avc1 container with NO audio track has no modality at all
+    val ex = intercept[org.apache.spark.SparkException] {
+      idx.processBatch(batch((400L, M.mp4AvcPcmBytes(
+        Seq(Array.tabulate(64)(_.toByte)), 64, 64, None))), 2L)
+    }
+    assert(ex.getMessage.contains("undecodable video") ||
+      Option(ex.getCause).exists(_.getMessage.contains("undecodable video")))
+  }
+
+  test("modality purity: an audio row never votes against frame rows") {
+    val idx = new VideoPhashIndex(spark, root("purity"))
+    idx.processBatch(batch((1L, mjpegWithAudio(1))), 0L)
+    // plant an arrival whose audio-envelope HASH equals one of 1's FRAME
+    // hashes exactly: seed a fake frame row carrying the envelope value,
+    // then stream an avc1 with that audio — it must still ADMIT, because
+    // the envelope may only match rows of its own modality
+    val envHash = M.mp4AudioEnvelopeHash(avc1(500, audioSrc = 77)).get
+    idx.seed(Seq((9000L, 0, envHash), (9000L, 1, envHash)).toDF("asset_id", "f", "dhash"))
+    idx.processBatch(batch((500L, avc1(500, audioSrc = 77))), 1L)
+    assert(servedIds(idx).contains(500L),
+      "an audio envelope matched a frame row — modalities leaked")
+  }
+
+  test("audio-modality takedown: erased original stops suppressing its re-encodes") {
+    val idx = new VideoPhashIndex(spark, root("audel"))
+    idx.processBatch(batch((1L, mjpegWithAudio(1))), 0L)
+    idx.delete(Seq(1L).toDF("asset_id"))
+    idx.compactPurge()
+    idx.processBatch(batch((100L, avc1(100, audioSrc = 1))), 1L)
+    assert(servedIds(idx) === Set(100L))
+  }
 }
