@@ -30,11 +30,16 @@ object NnDescent {
 
   private def hh(c: Column): Column = md5(c.cast("string"))
 
-  /** (nid, cc) int8 code relation for a corpus. */
+  /** (nid, cc[, meta...]) int8 code relation for a corpus. `metaCols`
+    * ride along for predicate-filtered probes (the AnnIndex payload
+    * scheme) — the descent and the walk ignore them.
+    */
   def codes(corpus: DataFrame, idCol: String = "vec_id",
-            vecCol: String = "embedding"): DataFrame =
+            vecCol: String = "embedding",
+            metaCols: Seq[String] = Nil): DataFrame =
     Similarity.quantizeInt8(corpus, vecCol)
-      .select(col(idCol).cast("long").as("nid"), col("qcode").as("cc"))
+      .select(col(idCol).cast("long").as("nid") +: col("qcode").as("cc") +:
+        metaCols.map(col): _*)
 
   /** Deterministic init graph: within each of `buckets` md5 buckets, each
     * node points at its next `k` successors in (md5, nid) order — arbitrary
@@ -117,12 +122,13 @@ object NnDescent {
   def beamProbe(graph: DataFrame, cz: DataFrame, queries: DataFrame, k: Int,
                 beam: Int, rounds: Int, graphK: Int = 8, nSeeds: Int = 8,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                exclude: Option[DataFrame] = None): DataFrame = {
+                exclude: Option[DataFrame] = None,
+                allow: Option[DataFrame] = None): DataFrame = {
     val qz = Similarity.quantizeInt8(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"))
     val seeds = cz.select("nid").orderBy(hh(col("nid")), col("nid")).limit(nSeeds)
     beamLoop(graph, qz.select("qid").crossJoin(seeds),
-      k, beam, rounds, graphK, exclude, int8Scorer(cz, qz))
+      k, beam, rounds, graphK, exclude, int8Scorer(cz, qz), allow)
   }
 
   /** Deterministic upper-layer membership: md5-derived value mod `s` == 0
@@ -247,7 +253,8 @@ object NnDescent {
   private def beamLoop(graph: DataFrame, seeds: DataFrame, k: Int, beam: Int,
                        rounds: Int, graphK: Int,
                        exclude: Option[DataFrame],
-                       scorer: DataFrame => DataFrame): DataFrame = {
+                       scorer: DataFrame => DataFrame,
+                       allow: Option[DataFrame] = None): DataFrame = {
     val und = undirected(graph, graphK).localCheckpoint()
     var visited = scorer(seeds).localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -260,8 +267,12 @@ object NnDescent {
       val fresh = nbrs.join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
       visited = visited.unionByName(scorer(fresh)).localCheckpoint()
     }
-    val served = exclude.fold(visited)(d =>
+    val excluded = exclude.fold(visited)(d =>
       visited.join(d.select("nid"), Seq("nid"), "left_anti"))
+    // `allow` is the predicate-filtered serve (the exclusion's dual): the
+    // walk routes through every node, the ranking keeps matching ones only
+    val served = allow.fold(excluded)(a =>
+      excluded.join(a.select("nid"), Seq("nid"), "left_semi"))
     Similarity.longScoreTopK(served, k)
   }
 
@@ -285,7 +296,8 @@ object NnDescent {
   final class NavIndex(spark: org.apache.spark.sql.SparkSession, root: String,
                        graphK: Int = 8, iters: Int = 2, buckets: Int = 16,
                        maxChainDepth: Int = 4,
-                       policy: CheckpointPolicy = CheckpointPolicy.Local) {
+                       policy: CheckpointPolicy = CheckpointPolicy.Local,
+                       metaCols: Seq[String] = Nil) {
     import graft.write.VersionedTable
 
     val codes = new VersionedTable(spark, s"$root/codes")
@@ -297,7 +309,7 @@ object NnDescent {
 
     def build(corpus: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): Unit = {
-      val cz = policy.checkpoint(NnDescent.codes(corpus, idCol, vecCol))
+      val cz = policy.checkpoint(NnDescent.codes(corpus, idCol, vecCol, metaCols))
       codes.promote(codes.stage(cz))
       var e = policy.checkpoint(initGraph(cz.select("nid"), graphK, buckets))
       for (_ <- 1 to iters)
@@ -367,7 +379,7 @@ object NnDescent {
       val gNew = links.join(graph.read().select("u").distinct(),
         Seq("u"), "left_anti").localCheckpoint()
       if (!gNew.isEmpty) graph.promote(graph.stageAppend(gNew))
-      codes.promote(codes.stageAppend(NnDescent.codes(fresh, idCol, vecCol)))
+      codes.promote(codes.stageAppend(NnDescent.codes(fresh, idCol, vecCol, metaCols)))
       graph.compactIfNeeded(maxChainDepth)
       codes.compactIfNeeded(maxChainDepth)
     }
@@ -396,10 +408,16 @@ object NnDescent {
     def probe(queries: DataFrame, k: Int, beam: Int, rounds: Int,
               nSeeds: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding",
-              denied: Option[DataFrame] = None): DataFrame = {
-      // filtered search, graph style: `denied` nodes (a metadata
-      // predicate's reject set, one `nid` column) ride the SAME exclusion
-      // as tombstones — walked THROUGH as waypoints, never ranked. For
+              denied: Option[DataFrame] = None,
+              pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      // filtered search, graph style, two forms. `denied` nodes (a reject
+      // set, one `nid` column) ride the SAME exclusion as tombstones —
+      // walked THROUGH as waypoints, never ranked. `pred` is the direct
+      // predicate form over the metaCols stored WITH the codes (the
+      // AnnIndex payload scheme): the allow set comes from a
+      // predicate-pushed scan of the codes table, the walk still routes
+      // through non-matching nodes, and only matching ones rank — the
+      // reject set's complement without ever materializing it. For
       // high-selectivity predicates prefer the IVF family's pushed
       // metadata postings ([[graft.scale.AnnIndex.probeIvf]]); the graph
       // walk has no postings scan to push into.
@@ -408,8 +426,9 @@ object NnDescent {
           Some(a.select("nid").unionByName(b).distinct())
         case (a, b) => a.orElse(b)
       }
+      val allow = pred.map(p => codes.read().filter(p).select("nid"))
       beamProbe(graph.read(), codes.read(), queries, k, beam, rounds, graphK,
-        nSeeds, idCol, vecCol, excl)
+        nSeeds, idCol, vecCol, excl, allow)
     }
 
     /** Purge: [[compact]] when there is anything to purge (drop tombstoned

@@ -701,6 +701,84 @@ SELECT phase, qid, CAST(rn AS BIGINT) AS rnk, nid, score FROM (
 ORDER BY phase, qid, rnk"""
   }
 
+  /** The q300 oracle: the predicate-filtered navigable probe as the
+    * IDENTICAL beam walk over the full graph (non-matching nodes still
+    * route — the soft-delete machinery pointed at a metadata predicate's
+    * complement) with only matching nodes ranked. One walk, one filter,
+    * per-row (qid, rnk, nid, score).
+    */
+  private val navFilteredOracle: String = {
+    val b = NavBeam
+    s"""WITH qz AS (
+   SELECT vec_id,
+     CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+     END AS code
+   FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+ qq AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < $NQueries),
+ rej AS (SELECT vec_id AS nid FROM embeddings WHERE vec_id % 4 <> 0),${graphChainSql("g")},
+ gv${b}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid),${beamRoundsSql("g", "gundF")(b)},
+ fk AS (SELECT qid, nid, score,
+     row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM gv${b}_$BeamRounds v
+   WHERE NOT EXISTS (SELECT 1 FROM rej r WHERE r.nid = v.nid))
+SELECT qid, CAST(rn AS BIGINT) AS rnk, nid, score FROM fk WHERE rn <= $TopK
+ORDER BY qid, rnk"""
+  }
+
+  /** One beam width of the q301 oracle: the q206 beam rounds, final
+    * ranking restricted to predicate-matching nodes, hits against the
+    * FILTERED brute ranking.
+    */
+  private def filteredBeamSql(p: String)(b: Int): String =
+    s"""${beamRoundsSql(p, s"${p}undF")(b)},
+ ${p}annf$b AS (SELECT qid, nid FROM (
+   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+   FROM ${p}v${b}_$BeamRounds WHERE nid % 4 = 0) WHERE rn <= $TopK),
+ ${p}hf$b AS (SELECT CAST($b AS BIGINT) AS knob, CAST(count(1) AS BIGINT) AS hits
+   FROM ${p}annf$b a JOIN brkf b2 ON a.qid = b2.qid AND a.nid = b2.nid)"""
+
+  /** The q301 oracle: q266's recall-under-filter curve for the GRAPH
+    * family — same NN-descent build and beam walks as q206, predicate
+    * restricting the final rankings and the brute baseline only.
+    */
+  private val navFilteredRecallOracle: String = {
+    val beams = Beams.map(filteredBeamSql("g")).mkString(",")
+    val v0Aliases = Beams.tail
+      .map(b => s",\n gv${b}_0 AS (SELECT * FROM gv${Beams.head}_0)").mkString
+    val union = Beams.map(b => s"SELECT knob, hits FROM ghf$b")
+      .mkString("\n  UNION ALL ")
+    s"""WITH qz AS (
+   SELECT vec_id,
+     CASE WHEN smax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(v, x -> CAST(round(x / smax * 127) AS BIGINT))
+     END AS code
+   FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS smax
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+ qq AS (SELECT vec_id AS qid, code AS qc FROM qz WHERE vec_id < $NQueries),
+ cc AS (SELECT vec_id AS nid, code AS cc FROM qz),
+ bscf AS (SELECT qid, nid, CAST(list_dot_product(qc, cc.cc) AS BIGINT) AS score
+          FROM qq, cc WHERE qid <> nid AND nid % 4 = 0),
+ brkf AS MATERIALIZED (
+   SELECT qid, nid FROM (
+     SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+     FROM bscf) WHERE rn <= $TopK),${graphChainSql("g")},
+ gv${Beams.head}_0 AS MATERIALIZED (
+   SELECT q.qid, s.nid, CAST(list_dot_product(q.qc, z.code) AS BIGINT) AS score
+   FROM qq q CROSS JOIN gseeds s JOIN qz z ON z.vec_id = s.nid
+   WHERE q.qid <> s.nid)$v0Aliases,$beams,
+ posf AS (SELECT CAST(count(1) AS BIGINT) AS possible FROM brkf)
+SELECT h.knob, h.hits, posf.possible,
+       h.hits * 10000 // posf.possible AS recall_bp
+FROM ($union) h, posf
+ORDER BY knob"""
+  }
+
   /** The q232 oracle: two serve phases of the navigable index's APPEND
     * lifecycle, replayed end to end. The corpus is embeddings plus five
     * planted twins (id+100000, each coordinate +0.02f). Phase 'appended'
@@ -1006,6 +1084,62 @@ ORDER BY family, knob"""
           col("rnk").cast("long").as("rnk"), col("nid").cast("long").as("nid"),
           col("score").cast("long").as("score"))
         .orderBy("phase", "qid", "rnk")
+    },
+
+    // Predicate-filtered navigable probe (r16 verdict item 8): the q265
+    // law for the graph family, in PREDICATE form — metaCols stored with
+    // the nav codes (lang = 'en' ⇔ vec_id % 4 = 0), the predicate handed
+    // to probe() directly, the allow set coming off a predicate-pushed
+    // codes scan. The walk routes THROUGH non-matching nodes (severing
+    // them would disconnect routes); only matching nodes rank. The oracle
+    // replays the identical walk with the complement filtered from the
+    // final ranking — one node routed or ranked differently hash-fails,
+    // per row.
+    Q("q300_nav_filtered", navFilteredOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .withColumn("lang", expr(
+          "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
+      val root = s"${graft.core.Scratch.dir("graft-q300")}/nav"
+      val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters,
+        metaCols = Seq("lang"))
+      idx.build(emb)
+      idx.probe(emb.filter(col("vec_id") < NQueries), TopK, NavBeam,
+          BeamRounds, Seeds, pred = Some(col("lang") === "en"))
+        .select(col("qid").cast("long").as("qid"),
+          col("rnk").cast("long").as("rnk"), col("nid").cast("long").as("nid"),
+          col("score").cast("long").as("score"))
+        .orderBy("qid", "rnk")
+    },
+
+    // Recall under the predicate at equal beam budgets — q266's curve
+    // repeated for the graph family: same NN-descent index, beam widths
+    // 2/4/8, the filter restricting final rankings and the brute baseline
+    // only. The oracle re-derives the build, every walk, and both sides
+    // of every hit count.
+    Q("q301_nav_filtered_recall", navFilteredRecallOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .withColumn("lang", expr(
+          "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
+      val qs = emb.filter(col("vec_id") < NQueries)
+      val root = s"${graft.core.Scratch.dir("graft-q301")}/nav"
+      val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters,
+        metaCols = Seq("lang"))
+      idx.build(emb)
+      val brute = Similarity.quantizedTopK(
+          emb.filter(col("lang") === "en"), qs, TopK)
+        .select("qid", "nid").localCheckpoint()
+      val rows = Beams.map { b =>
+        idx.probe(qs, TopK, b, BeamRounds, Seeds,
+            pred = Some(col("lang") === "en"))
+          .select("qid", "nid")
+          .join(brute, Seq("qid", "nid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(b.toLong).as("knob"), col("hits"))
+      }.reduce(_ unionByName _)
+      rows.crossJoin(brute.agg(count(lit(1)).as("possible")))
+        .select(col("knob"), col("hits"), col("possible"),
+          expr("hits * 10000 div possible").as("recall_bp"))
+        .orderBy("knob")
     },
 
     // The navigable index's incremental-insert lifecycle, certified the

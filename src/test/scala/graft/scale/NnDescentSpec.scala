@@ -371,4 +371,52 @@ class NnDescentSpec extends SparkSpec {
     assert(filtered === deleted && filtered.nonEmpty)
     assert(!filtered.exists(r => r(2).asInstanceOf[Long] % 4 != 0))
   }
+
+  test("NavIndex predicate probe == the denied-complement probe; pred pushed to the codes scan") {
+    val root = navRoot("pred")
+    val meta = small.withColumn("lang", expr(
+      "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
+    val qs = small.filter(col("vec_id") < 3)
+    val idx = new NnDescent.NavIndex(spark, root, metaCols = Seq("lang"))
+    idx.build(meta)
+    val byPred = idx.probe(qs, k = 5, beam = 8, rounds = 3,
+      pred = Some(col("lang") === "en"))
+    val byDenied = idx.probe(qs, k = 5, beam = 8, rounds = 3,
+      denied = Some(small.select("vec_id").filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id").cast("long").as("nid"))))
+    assert(byPred.collect().map(_.toSeq).toSet ===
+      byDenied.collect().map(_.toSeq).toSet)
+    // the predicate lands on the codes parquet scan, never a reject-set
+    // materialization
+    val plan = byPred.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang predicate not pushed to the codes scan:\n$plan")
+  }
+
+  test("NavIndex predicate probe is filter-then-rank over the UNCHANGED walk") {
+    val root = navRoot("ftr")
+    val meta = small.withColumn("lang", expr(
+      "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
+    val qs = small.filter(col("vec_id") < 3)
+    val idx = new NnDescent.NavIndex(spark, root, metaCols = Seq("lang"))
+    idx.build(meta)
+    // the predicate must not perturb ROUTING: the filtered top-5 is
+    // exactly the unfiltered walk's full visited ranking (k = corpus)
+    // restricted to matching nodes and re-cut — rank-then-filter of the
+    // same walk, NOT a different walk. (Full-beam != brute here by
+    // design: the md5-bucketed init graph is multi-component and seeds
+    // reach only their components — the recall curves price that in.)
+    val got = idx.probe(qs, k = 5, beam = 40, rounds = 3,
+        pred = Some(col("lang") === "en"))
+      .select("qid", "rnk", "nid").as[(Long, Long, Long)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val want = idx.probe(qs, k = 40, beam = 40, rounds = 3)
+      .filter(col("nid") % 4 === 0)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid").as[(Long, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
 }
