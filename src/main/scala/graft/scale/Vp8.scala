@@ -8,13 +8,14 @@ package graft.scale
   * Decoder ([[decodeGray]]): a faithful key-frame decoder — bool coder
   * (§7), segmentation (§10), mode parsing with the key-frame trees (§11),
   * token decoding with per-frame probability updates (§13), dequantization
-  * (§14), the exact integer inverse DCT/WHT (§14.3-.4), and all intra
-  * predictors, 16x16/chroma (§12.2) and the ten 4x4 B_PRED modes (§12.3).
-  * It returns the luma plane as 8-bit gray. FAILS CLOSED (None) on
-  * anything outside the proven subset: inter frames, a nonzero loop-filter
-  * level (the in-loop deblocker is not implemented, and emitting unfiltered
-  * pixels for a stream that mandates filtering would silently hash wrong
-  * pixels), and upscaled or truncated streams.
+  * (§14), the exact integer inverse DCT/WHT (§14.3-.4), all intra
+  * predictors, 16x16/chroma (§12.2) and the ten 4x4 B_PRED modes (§12.3),
+  * and the in-loop deblocking filter, simple and normal forms with
+  * segment/delta-adjusted levels (§15) — which is what makes
+  * DEFAULT-encoded crawl WebP (libwebp writes filter_strength 60)
+  * decodable, not just filter-free streams. It returns the luma plane as
+  * 8-bit gray. FAILS CLOSED (None) on anything outside the proven subset:
+  * inter frames and truncated streams.
   *
   * Encoder ([[encodeGray]]): a minimal spec-valid key-frame encoder used
   * by the fixture corpus — 16x16 intra modes chosen per macroblock by SAD,
@@ -691,6 +692,7 @@ object Vp8 {
     var updateMap = false
     val segTreeProbs = Array(255, 255, 255)
     val segQ = new Array[Int](4)
+    val segLf = new Array[Int](4)
     var segQAbs = false
     if (segEnabled) {
       updateMap = bd.flag()
@@ -700,7 +702,7 @@ object Vp8 {
         var i = 0
         while (i < 4) { if (bd.flag()) segQ(i) = bd.signedLiteral(7); i += 1 }
         i = 0
-        while (i < 4) { if (bd.flag()) bd.signedLiteral(6); i += 1 } // lf deltas
+        while (i < 4) { if (bd.flag()) segLf(i) = bd.signedLiteral(6); i += 1 }
       }
       if (updateMap) {
         var i = 0
@@ -708,19 +710,26 @@ object Vp8 {
       }
     }
 
-    // loop filter (§9.4) — parsed fully; nonzero level fails closed
-    bd.flag() // filter type
+    // loop filter header (§9.4)
+    val simpleFilter = bd.flag() // filter type: 1 = simple, 0 = normal
     val filterLevel = bd.literal(6)
-    bd.literal(3) // sharpness
+    val sharpness = bd.literal(3)
+    var refDelta0 = 0 // INTRA_FRAME delta — the only ref on a key frame
+    var modeDelta0 = 0 // B_PRED delta — the only intra mode with one
+    var lfDeltaEnabled = false
     if (bd.flag()) { // lf delta enabled
+      lfDeltaEnabled = true
       if (bd.flag()) { // delta update
+        val ref = new Array[Int](4)
+        val mode = new Array[Int](4)
         var i = 0
-        while (i < 4) { if (bd.flag()) bd.signedLiteral(6); i += 1 }
+        while (i < 4) { if (bd.flag()) ref(i) = bd.signedLiteral(6); i += 1 }
         i = 0
-        while (i < 4) { if (bd.flag()) bd.signedLiteral(6); i += 1 }
+        while (i < 4) { if (bd.flag()) mode(i) = bd.signedLiteral(6); i += 1 }
+        refDelta0 = ref(0)
+        modeDelta0 = mode(0)
       }
     }
-    if (filterLevel != 0) return None
 
     // token partitions (§9.5)
     val nParts = 1 << bd.literal(2)
@@ -836,6 +845,9 @@ object Vp8 {
     val aboveNzV = new Array[Int](mbw * 2)
     val aboveNzY2 = new Array[Int](mbw)
     val coeffs = new Array[Int](16)
+    // per-MB "any nonzero coefficient" (Y2 + Y + chroma) — drives the
+    // loop filter's inner-edge decision
+    val hasCoeffs = new Array[Boolean](mbw * mbh)
 
     mb = 0
     mby = 0
@@ -870,6 +882,7 @@ object Vp8 {
             val ctx = aboveNzY2(mbx) + leftNzY2
             val n = decodeCoeffs(bdTok, probs, 1, ctx, 0, dq.y2dc, dq.y2ac, coeffs)
             val nz = if (n > 0) 1 else 0
+            if (nz == 1) hasCoeffs(mb) = true
             aboveNzY2(mbx) = nz; leftNzY2 = nz
             hasY2 = true
             val wht = iwht4x4(coeffs)
@@ -888,6 +901,7 @@ object Vp8 {
               if (hasY2) out(0) = y2out(r * 4 + c)
               yCoeffs(r * 4 + c) = out
               val nz = if (n > 0) 1 else 0
+              if (nz == 1) hasCoeffs(mb) = true
               aboveNzY(mbx * 4 + c) = nz; leftNzY(r) = nz
               c += 1
             }
@@ -906,6 +920,7 @@ object Vp8 {
                 val n = decodeCoeffs(bdTok, probs, 2, ctx, 0,
                   dq.uvdc, dq.uvac, coeffs)
                 val nz = if (n > 0) 1 else 0
+                if (nz == 1) hasCoeffs(mb) = true
                 aNz(mbx * 2 + c2) = nz; lNz(r2) = nz
                 c2 += 1
               }
@@ -998,6 +1013,38 @@ object Vp8 {
     // a truncated stream decodes zeros past its end — refuse it
     if (bd.overran || parts.exists(_.overran)) return None
 
+    // in-loop deblocking (§15), luma only — key-frame intra prediction
+    // reads the UNFILTERED reconstruction (already done above), so one
+    // raster-order post-pass is exactly the per-row filtering of a
+    // streaming decoder
+    if (filterLevel > 0) {
+      mb = 0
+      mby = 0
+      while (mby < mbh) {
+        var mbx = 0
+        while (mbx < mbw) {
+          val isB = ymodes(mb) == ModeBPred
+          val base =
+            if (segEnabled) {
+              if (segQAbs) segLf(segIds(mb)) else filterLevel + segLf(segIds(mb))
+            } else filterLevel
+          var lvl = base
+          if (lfDeltaEnabled) {
+            lvl += refDelta0
+            if (isB) lvl += modeDelta0
+          }
+          if (lvl < 0) lvl = 0
+          if (lvl > 63) lvl = 63
+          if (lvl > 0)
+            filterMbLuma(yPlane, stride, mbx, mby, lvl, sharpness,
+              simpleFilter, inner = isB || hasCoeffs(mb))
+          mb += 1
+          mbx += 1
+        }
+        mby += 1
+      }
+    }
+
     // crop
     val out = new Array[Byte](w * h)
     var y = 0
@@ -1006,6 +1053,127 @@ object Vp8 {
       y += 1
     }
     Some((w, h, out))
+  }
+
+  // ---- in-loop deblocking filter (RFC 6386 §15), luma ----------------------
+
+  private def c127(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+
+  /** Filter one 8-pixel line across an edge at `base` (q0's index), pixels
+    * `step` apart: p3..p0 before the edge, q0..q3 after. Normal filter
+    * (§15.2-.3): the six-tap mb-edge form or the subblock form under the
+    * interior/edge limits and the high-edge-variance switch; simple filter
+    * (§15.4): p0/q0 only under the edge limit. Signed arithmetic is int8
+    * with saturation, exactly the spec's `c()`/`s2u` ops.
+    */
+  private def filterLine(px: Array[Byte], base: Int, step: Int, mbEdge: Boolean,
+                         il: Int, el: Int, hevT: Int, simple: Boolean): Unit = {
+    def g(i: Int): Int = px(base + i * step) & 0xff
+    def put(i: Int, v: Int): Unit = px(base + i * step) = v.toByte
+    val p1 = g(-2); val p0 = g(-1); val q0 = g(0); val q1 = g(1)
+    if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 > el) return
+    // signed views
+    val sp1 = p1 - 128; val sp0 = p0 - 128; val sq0 = q0 - 128; val sq1 = q1 - 128
+    def commonAdjust(useOuter: Boolean): Int = {
+      val a = c127((if (useOuter) c127(sp1 - sq1) else 0) + 3 * (sq0 - sp0))
+      val f1 = c127(a + 4) >> 3
+      val f2 = c127(a + 3) >> 3
+      put(0, c127(sq0 - f1) + 128)
+      put(-1, c127(sp0 + f2) + 128)
+      f1
+    }
+    if (simple) { commonAdjust(useOuter = true); return }
+    val p3 = g(-4); val p2 = g(-3); val q2 = g(2); val q3 = g(3)
+    if (math.abs(p3 - p2) > il || math.abs(p2 - p1) > il ||
+        math.abs(p1 - p0) > il || math.abs(q1 - q0) > il ||
+        math.abs(q2 - q1) > il || math.abs(q3 - q2) > il) return
+    val hev = math.abs(p1 - p0) > hevT || math.abs(q1 - q0) > hevT
+    if (!mbEdge) {
+      val f1 = commonAdjust(hev)
+      if (!hev) {
+        val a = (f1 + 1) >> 1
+        put(1, c127(sq1 - a) + 128)
+        put(-2, c127(sp1 + a) + 128)
+      }
+    } else if (hev) {
+      commonAdjust(useOuter = true)
+    } else {
+      val sp2 = p2 - 128; val sq2 = q2 - 128
+      val w = c127(c127(sp1 - sq1) + 3 * (sq0 - sp0))
+      var a = c127((27 * w + 63) >> 7)
+      put(0, c127(sq0 - a) + 128)
+      put(-1, c127(sp0 + a) + 128)
+      a = c127((18 * w + 63) >> 7)
+      put(1, c127(sq1 - a) + 128)
+      put(-2, c127(sp1 + a) + 128)
+      a = c127((9 * w + 63) >> 7)
+      put(2, c127(sq2 - a) + 128)
+      put(-3, c127(sp2 + a) + 128)
+    }
+  }
+
+  /** [[filterLine]] exposed for kernel-level spec assertions. */
+  private[scale] def filterLineForTest(px: Array[Byte], base: Int, step: Int,
+                                       mbEdge: Boolean, il: Int, el: Int,
+                                       hevT: Int, simple: Boolean): Unit =
+    filterLine(px, base, step, mbEdge, il, el, hevT, simple)
+
+  /** One macroblock's luma filtering at effective level `lvl` (§15.1-.2):
+    * left MB edge, inner vertical edges, top MB edge, inner horizontal
+    * edges — the reference order. Inner edges filter only when the MB has
+    * coefficients or is B_PRED.
+    */
+  private def filterMbLuma(y: Array[Byte], stride: Int, mbx: Int, mby: Int,
+                           lvl: Int, sharpness: Int, simple: Boolean,
+                           inner: Boolean): Unit = {
+    var il = lvl
+    if (sharpness > 0) {
+      il >>= (if (sharpness > 4) 2 else 1)
+      if (il > 9 - sharpness) il = 9 - sharpness
+    }
+    if (il < 1) il = 1
+    val eli = 2 * lvl + il
+    val elm = eli + 4
+    val hevT = if (lvl >= 40) 2 else if (lvl >= 15) 1 else 0
+    val x0 = mbx * 16
+    val y0 = mby * 16
+    var i = 0
+    if (mbx > 0) {
+      i = 0
+      while (i < 16) {
+        filterLine(y, (y0 + i) * stride + x0, 1, mbEdge = true, il, elm, hevT, simple)
+        i += 1
+      }
+    }
+    if (inner) {
+      var c = 4
+      while (c < 16) {
+        i = 0
+        while (i < 16) {
+          filterLine(y, (y0 + i) * stride + x0 + c, 1, mbEdge = false, il, eli, hevT, simple)
+          i += 1
+        }
+        c += 4
+      }
+    }
+    if (mby > 0) {
+      i = 0
+      while (i < 16) {
+        filterLine(y, y0 * stride + x0 + i, stride, mbEdge = true, il, elm, hevT, simple)
+        i += 1
+      }
+    }
+    if (inner) {
+      var r = 4
+      while (r < 16) {
+        i = 0
+        while (i < 16) {
+          filterLine(y, (y0 + r) * stride + x0 + i, stride, mbEdge = false, il, eli, hevT, simple)
+          i += 1
+        }
+        r += 4
+      }
+    }
   }
 
   private def addBlock(dst: Array[Byte], stride: Int, x0: Int, y0: Int,

@@ -74,32 +74,26 @@ class Vp8Spec extends SparkSpec {
     }
   }
 
-  test("decoder refuses nonzero loop-filter levels (bit-level header surgery)") {
-    // build a valid stream, then re-write the 9-bit filter block
-    // (type=0,level=0,sharp=0 -> level=1) by re-encoding the header bools:
-    // cheaper here to verify via the crosscheck corpus shape — a default
-    // libwebp encode (filter_strength>0) must fail closed
-    // (crosscheck keeps the real-encoder evidence; this pins the repo's own
-    // guard with a hand-made header)
-    val be = new Vp8.BoolEncoder
-    be.bool(128, v = false) // color space
-    be.bool(128, v = false) // clamp
-    be.bool(128, v = false) // segmentation
-    be.bool(128, v = false) // filter type
-    be.literal(6, 5) // filter level 5 — outside the subset
-    be.literal(3, 0)
-    be.bool(128, v = false) // lf delta
-    be.literal(2, 0) // one partition
-    be.literal(7, 8) // qi
-    (0 until 5).foreach(_ => be.bool(128, v = false))
-    be.bool(128, v = true) // refresh entropy
-    (0 until 1056).foreach(i => be.bool(Vp8Tables.CoefUpdateProbs(i), v = false))
-    be.bool(128, v = false) // no skip
-    val part1 = be.finish()
-    val tag = (1 << 4) | (part1.length << 5)
-    val header = Array[Byte]((tag & 0xff).toByte, ((tag >> 8) & 0xff).toByte,
-      ((tag >> 16) & 0xff).toByte, 0x9d.toByte, 0x01, 0x2a,
-      16, 0, 16, 0)
-    assert(Vp8.decodeGray(header ++ part1 ++ Array.fill[Byte](8)(0)).isEmpty)
+  test("loop filter smooths block edges and is a pure function of the stream") {
+    // a steep gradient at a low quantizer barely changes under filtering;
+    // at a coarse quantizer the deblocker must MOVE pixels at the 16-px
+    // block seams (this is what makes default-encoded crawl WebP decode —
+    // exactness against the reference decoder is pinned by
+    // tools/vp8_crosscheck.py over filter strengths/types/sharpness)
+    val px = noise(11, 64, 64)
+    val coarse = Vp8.encodeGray(px, 64, 64, 90)
+    val Some((_, _, unfiltered)) = Vp8.decodeGray(coarse)
+    // re-write the filter header via a filtered re-encode is not possible
+    // (the repo encoder is filter-free), so pin determinism + the spec's
+    // level-0 identity: level 0 == the unfiltered reconstruction
+    assert(java.util.Arrays.equals(unfiltered, Vp8.decodeGray(coarse).get._3))
+    // and the filter kernels themselves: a hand-built edge with a large
+    // step inside the limits moves p0/q0 toward each other (normal form)
+    val line = Array.tabulate[Byte](8)(i => if (i < 4) 60.toByte else 100.toByte)
+    Vp8.filterLineForTest(line, 4, 1, mbEdge = true, il = 63, el = 130,
+      hevT = 0, simple = false)
+    val p0 = line(3) & 0xff
+    val q0 = line(4) & 0xff
+    assert(p0 > 60 && q0 < 100, s"edge not smoothed: p0=$p0 q0=$q0")
   }
 }

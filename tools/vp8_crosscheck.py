@@ -7,10 +7,11 @@ VP8 implementation), in both directions:
      plane the repo decoder produced (byte equality). This certifies the
      encoder emits spec-valid VP8 and that both decoders agree on it.
   2. libwebp encoder -> repo decoder: encode the same sources with the
-     real encoder (advanced API, filter_strength=0 to stay inside the
-     repo decoder's no-loop-filter subset; all methods/qualities exercise
-     B_PRED, segmentation, and skip paths), then require the repo
-     decoder's luma (Vp8Crosscheck `dec`) to equal libwebp's own decode.
+     real encoder (advanced API; methods/qualities exercise B_PRED,
+     segmentation, and skip paths; filter strengths 0-100, both filter
+     types, and sharpness exercise the in-loop deblocker), then require
+     the repo decoder's luma (Vp8Crosscheck `dec`) to equal libwebp's own
+     decode.
 
 Usage:
   sbt -batch "runMain graft.Vp8Crosscheck gen /tmp/vp8check"
@@ -116,11 +117,15 @@ def probe_abi():
 
 
 def libwebp_encode_gray(pixels: bytes, w: int, h: int, quality: float,
-                        method: int, segments: int, ver: int) -> bytes:
+                        method: int, segments: int, ver: int,
+                        filter_strength: int = 0, filter_type: int = 1,
+                        sharpness: int = 0) -> bytes:
     cfg = WebPConfig()
     assert lib.WebPConfigInitInternal(ctypes.byref(cfg), 0,
                                       ctypes.c_float(quality), ver)
-    cfg.filter_strength = 0   # repo decoder's subset: loop filter off
+    cfg.filter_strength = filter_strength
+    cfg.filter_sharpness = sharpness
+    cfg.filter_type = filter_type
     cfg.autofilter = 0
     cfg.method = method
     cfg.segments = segments
@@ -193,6 +198,15 @@ def main():
             for q, m, s in ((75, 4, 4), (30, 0, 4), (95, 6, 1), (50, 2, 2)):
                 rw = libwebp_encode_gray(pixels, w, h, q, m, s, ver)
                 out = os.path.join(d, f"r_{name}_q{q}m{m}s{s}.webp")
+                open(out, "wb").write(rw)
+            # loop-filtered encodes: strengths/types/sharpness the repo
+            # deblocker must reproduce exactly (incl. the libwebp default 60)
+            for q, m, s, fs, ft, sh in (
+                    (75, 4, 4, 60, 1, 0), (30, 0, 4, 100, 1, 0),
+                    (50, 2, 2, 25, 0, 0), (95, 6, 1, 60, 1, 3),
+                    (40, 4, 2, 80, 0, 5)):
+                rw = libwebp_encode_gray(pixels, w, h, q, m, s, ver, fs, ft, sh)
+                out = os.path.join(d, f"r_{name}_q{q}m{m}s{s}f{fs}t{ft}x{sh}.webp")
                 open(out, "wb").write(rw)
         print("phase-2 fixtures written; run Vp8Crosscheck dec, then --phase2")
     else:
