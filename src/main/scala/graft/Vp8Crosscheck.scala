@@ -115,6 +115,24 @@ object Vp8Crosscheck {
           worst8p = math.max(worst8p, ham(Multimodal.dHash56(l8p._3, 64, 64)))
         }
         println(s"[hamming] n=$n worst qi8=$worst8 worst qi8+pert=$worst8p")
+        // frame fixtures (the q302 animated-WebP law): per-frame distances
+        var wf = 0
+        var wfp = 0
+        (0 until n).foreach { id =>
+          (0 until 4).foreach { f =>
+            val base = Multimodal.synthFramePixels(id.toLong, f, pert = false)
+            val h0 = Multimodal.dHash56(base, 64, 64)
+            def ham(px: Array[Byte]) =
+              java.lang.Long.bitCount(h0 ^ Multimodal.dHash56(px, 64, 64))
+            val l = Multimodal.webpDecodeGray(
+              Multimodal.webpEncodeGrayVp8(base, 64, 64, 8)).get._3
+            wf = math.max(wf, ham(l))
+            val lp = Multimodal.webpDecodeGray(Multimodal.webpEncodeGrayVp8(
+              Multimodal.synthFramePixels(id.toLong, f, pert = true), 64, 64, 8)).get._3
+            wfp = math.max(wfp, ham(lp))
+          }
+        }
+        println(s"[hamming] frames worst qi8=$wf worst qi8+pert=$wfp")
       case other =>
         Console.err.println(s"unknown mode $other (gen|dec|hamming)")
         sys.exit(2)

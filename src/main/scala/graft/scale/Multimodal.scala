@@ -435,6 +435,8 @@ object Multimodal {
         b(2) == 'F'.toByte) gifDecodeGrayFrames(b)
     else if (b.length >= 12 && b(4) == 'f'.toByte && b(5) == 't'.toByte &&
         b(6) == 'y'.toByte && b(7) == 'p'.toByte) mp4DecodeGrayFrames(b)
+    else if (b.length >= 16 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'E'.toByte) webpDecodeGrayFrames(b)
     else None
 
   /** Decode the first uncompressed-PCM audio track of an MP4 ('twos' =
@@ -735,9 +737,17 @@ object Multimodal {
       if (ascii(i, "VP8L")) { vp8l = start; vp8lEnd = start + size.toInt }
       i = start + size.toInt + (size.toInt & 1)
     }
-    if (vp8l < 0 || vp8l >= vp8lEnd || b(vp8l) != 0x2F.toByte) return None
+    if (vp8l < 0 || vp8l >= vp8lEnd) return None
+    vp8lDecodeGrayChunk(java.util.Arrays.copyOfRange(b, vp8l, vp8lEnd))
+  }
+
+  /** Decode one raw VP8L chunk payload to gray — the literal-only subset;
+    * shared by the still path above and the animated ANMF walk.
+    */
+  private def vp8lDecodeGrayChunk(c: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (c.length < 5 || c(0) != 0x2F.toByte) return None
     try {
-      val r = new BitReader(java.util.Arrays.copyOfRange(b, vp8l, vp8lEnd), 1)
+      val r = new BitReader(c, 1)
       val w = r.bits(14) + 1
       val h = r.bits(14) + 1
       r.bit() // alpha hint
@@ -766,6 +776,98 @@ object Multimodal {
     } catch { case _: java.util.NoSuchElementException => None }
   }
 
+  /** Decode an ANIMATED WebP (VP8X + ANIM + ANMF frames) to gray frames —
+    * the container walk of RFC 9649 §"Extended File Format" over the
+    * already-certified frame codecs: each ANMF's image payload decodes
+    * through [[Vp8.decodeGray]] (lossy) or the VP8L subset. Proven subset,
+    * fail-closed otherwise: every frame must be full-canvas (offset 0,
+    * frame dims == canvas dims — compositing partial frames against a
+    * dispose/blend state is a renderer's job, and hashing a partial frame
+    * as a full one would poison the vote), no ALPH chunks, and the VP8X
+    * animation flag must be set. This is what lets animated-WebP
+    * re-encodes of GIF/MP4 videos vote in the q221/q267 frame machinery
+    * (q302).
+    */
+  def webpDecodeGrayFrames(b: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    def ascii(i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s(j).toByte)
+    def u24le(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    def u32le(i: Int): Long =
+      (u24le(i) & 0xffffffL) | ((b(i + 3) & 0xffL) << 24)
+    if (!(b.length >= 30 && ascii(0, "RIFF") && ascii(8, "WEBP") &&
+        ascii(12, "VP8X"))) return None
+    val vp8xSize = u32le(16)
+    if (vp8xSize != 10 || 20 + 10 > b.length) return None
+    val flags = b(20) & 0xff
+    if ((flags & 0x02) == 0) return None // not an animation
+    if ((flags & 0x10) != 0) return None // alpha: outside the subset
+    val cw = u24le(24) + 1
+    val ch = u24le(27) + 1
+    var i = 30
+    val frames = Vector.newBuilder[Array[Byte]]
+    var n = 0
+    while (i + 8 <= b.length) {
+      val size = u32le(i + 4)
+      val start = i + 8
+      if (start + size > b.length) return None
+      if (ascii(i, "ANMF")) {
+        if (size < 16 + 8) return None
+        val fx = u24le(start) * 2
+        val fy = u24le(start + 3) * 2
+        val fw = u24le(start + 6) + 1
+        val fh = u24le(start + 9) + 1
+        if (fx != 0 || fy != 0 || fw != cw || fh != ch) return None
+        // frame image data: exactly one VP8 /VP8L chunk in the subset
+        val ds = start + 16
+        if (ds + 8 > start + size) return None
+        val csize = u32le(ds + 4)
+        if (ds + 8 + csize > start + size) return None
+        val payload = java.util.Arrays.copyOfRange(b, ds + 8, ds + 8 + csize.toInt)
+        val px =
+          if (ascii(ds, "VP8 ")) Vp8.decodeGray(payload)
+          else if (ascii(ds, "VP8L")) vp8lDecodeGrayChunk(payload)
+          else None
+        px match {
+          case Some((w, h, gray)) if w == cw && h == ch =>
+            frames += gray
+            n += 1
+          case _ => return None
+        }
+      } else if (ascii(i, "ALPH")) return None
+      i = start + size.toInt + (size.toInt & 1)
+    }
+    if (i != b.length || n == 0) None else Some((cw, ch, frames.result()))
+  }
+
+  /** A spec-valid ANIMATED WebP wrapping [[Vp8.encodeGray]] key frames —
+    * VP8X (animation flag, canvas) + ANIM + one full-canvas ANMF per
+    * frame. Fixture encoder for [[webpDecodeGrayFrames]] and the q302
+    * corpus.
+    */
+  def webpEncodeGrayAnimatedVp8(frames: Seq[Array[Byte]], w: Int, h: Int,
+                                qIndex: Int = 8): Array[Byte] = {
+    require(frames.nonEmpty)
+    def u24le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    val vp8x = "VP8X".getBytes("US-ASCII") ++ le32(10) ++
+      Array[Byte](0x02, 0, 0, 0) ++ u24le(w - 1) ++ u24le(h - 1)
+    val anim = "ANIM".getBytes("US-ASCII") ++ le32(6) ++
+      le32(0) ++ le16(0)
+    val anmfs = frames.flatMap { px =>
+      val payload = Vp8.encodeGray(px, w, h, qIndex)
+      val padded = if (payload.length % 2 == 1) payload ++ Array[Byte](0) else payload
+      val chunk = "VP8 ".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ padded
+      val body = u24le(0) ++ u24le(0) ++ u24le(w - 1) ++ u24le(h - 1) ++
+        u24le(40) ++ Array[Byte](0) ++ chunk
+      "ANMF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    }.toArray
+    val content = vp8x ++ anim ++ anmfs
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + content.length) ++
+      "WEBP".getBytes("US-ASCII") ++ content
+  }
+
   /** Container/codec/decode-path classification of ONE payload — the
     * kernel of [[decodeCoverage]]. `status` is measured, not inferred:
     * "live" actually ran the modality's near-dup decode, "audio_fallback"
@@ -788,7 +890,8 @@ object Multimodal {
       ("mp4", codec, status)
     } else if (b.length >= 16 && ascii(0, "RIFF") && ascii(8, "WEBP")) {
       val codec = new String(b, 12, 4, "US-ASCII").trim.toLowerCase
-      ("webp", codec, live(webpDecodeGray(b).isDefined))
+      ("webp", codec,
+        live(webpDecodeGray(b).isDefined || webpDecodeGrayFrames(b).isDefined))
     } else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(1, "PNG"))
       ("png", "deflate", live(pngDecodeGray(b).isDefined))
     else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)

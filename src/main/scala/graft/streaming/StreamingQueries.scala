@@ -1320,6 +1320,70 @@ object StreamingQueries {
         .orderBy("phase", "asset_id", "f")
     },
 
+    // ANIMATED-WEBP video near-dup: the third container of the q221/q267
+    // frame-vote family. Arrivals are real VP8X+ANIM+ANMF files whose
+    // frames are LOSSY VP8 key frames (the libwebp-certified codec):
+    // re-encodes of seeded videos (+500000) and perturbed re-encodes
+    // (+700000) land every frame within the 6-bit Hamming budget of the
+    // seeds' exact hashes (worst measured 1 and 6 over the full bench id
+    // range — integer-exact, so the margins cannot drift) and DROP on
+    // frame votes; genuinely new animations (+800000) ADMIT. Takedowns
+    // then erase the %10==0 seeds. Closed-form oracle, q296/q297 style:
+    // pure arithmetic, reachable only through the real container walk,
+    // per-frame VP8 decode, and the banded vote.
+    Q("q302_streaming_video_webp",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT 'served' AS phase, doc_id AS asset_id FROM ids
+        |  UNION ALL SELECT 'served', doc_id + 800000 FROM ids WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT 'compacted', doc_id FROM ids WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT 'compacted', doc_id + 800000 FROM ids WHERE doc_id % 10 = 3)
+        |SELECT phase, CAST(asset_id AS BIGINT) AS asset_id FROM m
+        |ORDER BY phase, asset_id""".stripMargin) { (s, d) =>
+      val wh = scratchDir("graft-q302")
+      val s2 = s.newSession()
+      val index = new VideoPhashIndex(s, s"$wh/vphi")
+      import graft.scale.{Multimodal => M}
+      locally {
+        import s.implicits._
+        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            (0 until 4).iterator.map(f =>
+              (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
+          })
+          .toDF("asset_id", "f", "dhash")
+        index.seed(seedHashes)
+      }
+      val arrivals = {
+        import s2.implicits._
+        Streaming.docsStream(s2, d).select(col("doc_id"))
+          .repartition(s2.sparkContext.defaultParallelism).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            def anim(src: Long, pert: Boolean) = M.webpEncodeGrayAnimatedVp8(
+              Array.tabulate(4)(f => M.synthFramePixels(src, f, pert)).toSeq,
+              64, 64, qIndex = 8)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+            if (id % 10 == 1) out += ((id + 500000, anim(id, pert = false)))
+            if (id % 10 == 7) out += ((id + 700000, anim(id, pert = true)))
+            if (id % 10 == 3) out += ((id + 800000, anim(id + 900000, pert = false)))
+            out.iterator
+          })
+          .toDF("asset_id", "payload")
+      }
+      PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
+        .awaitTermination()
+      val served = index.served().select("asset_id").distinct()
+        .withColumn("phase", lit("served")).localCheckpoint()
+      index.delete(Tables.documents(s, d).select(col("doc_id").as("asset_id"))
+        .filter(col("asset_id") % 10 === 0))
+      index.compactPurge()
+      served.unionByName(index.served().select("asset_id").distinct()
+          .withColumn("phase", lit("compacted")))
+        .select(col("phase"), col("asset_id").cast("long").as("asset_id"))
+        .orderBy("phase", "asset_id")
+    },
+
     // avc1 audio-fallback vote (r16 verdict item 6): real crawl video is
     // overwhelmingly H.264, which the frame path refuses — but the
     // container usually keeps a PCM-decodable audio track. Every original

@@ -74,6 +74,31 @@ class Vp8Spec extends SparkSpec {
     }
   }
 
+  test("animated WebP: ANMF walk round-trips per-frame VP8 decodes; fails closed outside the subset") {
+    val frames = Seq(noise(21, 64, 48), noise(22, 64, 48), noise(23, 64, 48))
+    val b = Multimodal.webpEncodeGrayAnimatedVp8(frames, 64, 48, 8)
+    val Some((w, h, dec)) = Multimodal.webpDecodeGrayFrames(b)
+    assert(w === 64 && h === 48 && dec.size === 3)
+    frames.zip(dec).foreach { case (src, got) =>
+      val single = Multimodal.webpDecodeGray(
+        Multimodal.webpEncodeGrayVp8(src, 64, 48, 8)).get._3
+      assert(java.util.Arrays.equals(got, single),
+        "ANMF frame decode must equal the standalone VP8 decode")
+    }
+    // the video dispatcher routes RIFF/WEBP here
+    assert(Multimodal.videoDecodeGrayFrames(b).map(_._3.size) === Some(3))
+    // fail-closed: animation flag cleared (byte 20 is the VP8X flag byte)
+    val noAnim = b.clone(); noAnim(20) = 0
+    assert(Multimodal.webpDecodeGrayFrames(noAnim).isEmpty)
+    // fail-closed: a frame offset (VP8X 18B at 12, ANIM 14B at 30, so the
+    // first ANMF body starts at 52 with frame_x)
+    val off = b.clone(); off(52) = 1
+    assert(Multimodal.webpDecodeGrayFrames(off).isEmpty)
+    // a still lossy WebP is not an animation
+    assert(Multimodal.webpDecodeGrayFrames(
+      Multimodal.webpEncodeGrayVp8(frames.head, 64, 48, 8)).isEmpty)
+  }
+
   test("loop filter smooths block edges and is a pure function of the stream") {
     // a steep gradient at a low quantizer barely changes under filtering;
     // at a coarse quantizer the deblocker must MOVE pixels at the 16-px
