@@ -148,6 +148,21 @@ object Graph {
   def tradeEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     undirected(tradePairs(s, d))
 
+  /** 1/3 customer sample of [[tradePairs]] (c = 2·custkey, so c % 6 = 0 ⇔
+    * custkey % 3 = 0) — the index-LIFECYCLE queries' (q152/q207/q217)
+    * fixture. The full 587k-pair graph made each lifecycle certification a
+    * ~20s bench entry and pushed the whole suite past the driver's bench
+    * wall clock (VERDICT r17 "What's wrong #1"); a third of the customers
+    * keeps every structural property the exactness laws exercise —
+    * bipartite shape, deletions landing on both sides, high-degree
+    * suppliers whose divisor moves — at a third of the cone mass. The
+    * oracle SQL carries the identical predicate, so the shrink cannot
+    * skew correctness. q129 (the plain full-graph PageRank) stays
+    * unsampled: it is the corpus-scale certification.
+    */
+  def tradePairsSampled(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    tradePairs(s, d).filter(col("c") % 6 === 0)
+
   /** One damped round: ranks pulled through annotated edges `e`
     * (src, dst, outdeg). Shared by the full iterate and the incremental
     * recompute (which feeds it only the dirty nodes' in-edges).
@@ -482,10 +497,14 @@ object Graph {
        |  GROUP BY 1)""".stripMargin
   }
 
-  private val q129Sql: String =
+  // Oracle base CTE for the trade graph, with an optional customer-sample
+  // predicate — the lifecycle queries (q152/q217) run on a 1/3 customer
+  // sample (see [[tradePairsSampled]]) and their oracles must carry the
+  // identical predicate.
+  private def pageRankTopSql(where: String): String =
     s"""WITH base AS (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey$where),
        | e0 AS (SELECT c AS src, s AS dst FROM base
        |        UNION ALL SELECT s, c FROM base),
        | deg AS (SELECT src, CAST(count(1) AS BIGINT) AS outdeg
@@ -495,6 +514,9 @@ object Graph {
        |${(1 to Iters).map(iterSql).mkString(",\n")}
        |SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
        |FROM r$Iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
+
+  private val q129Sql: String = pageRankTopSql("")
+  private val q152Sql: String = pageRankTopSql(" WHERE o_custkey % 3 = 0")
 
   // q207 oracle: the dangling-mass rounds unrolled. The fixture keeps the
   // customer→supplier direction ONLY, so every customer is a pure source
@@ -519,7 +541,8 @@ object Graph {
   private val q217Sql: String =
     s"""WITH base AS (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey % 3 = 0),
        | e0 AS (SELECT c AS src, s AS dst FROM base
        |        UNION ALL SELECT s, c FROM base),
        | ef AS (SELECT src, dst FROM e0 WHERE src % 37 != 0 AND dst % 37 != 0),
@@ -536,7 +559,8 @@ object Graph {
   private val q207Sql: String =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey % 3 = 0),
        | deg AS (SELECT src, count(*) AS outdeg FROM pairs GROUP BY 1),
        | e AS (SELECT p.src, p.dst, d.outdeg FROM pairs p JOIN deg d USING (src)),
        | nodes AS (SELECT src AS node FROM pairs UNION SELECT dst AS node FROM pairs),
@@ -1208,7 +1232,7 @@ object Graph {
     // a top-k) hash-compares bit-exact.
     Q("q207_pagerank_dangling", q207Sql) { (s, d) =>
       pageRankDirected(
-          tradePairs(s, d).select(col("c").as("src"), col("s").as("dst")),
+          tradePairsSampled(s, d).select(col("c").as("src"), col("s").as("dst")),
           DirIters)
         .select(col("node").cast("long").as("node"), col("rank").cast("long").as("rank"))
         .orderBy("node")
@@ -1224,8 +1248,8 @@ object Graph {
     // one cone node, used a stale outdeg, or mis-merged a rank patch
     // diverges from the fresh build and fails. The O(cone) footprint side
     // is GraphSpec territory (planted path graph, measured dirty counts).
-    Q("q152_pagerank_append", q129Sql) { (s, d) =>
-      val pairs = tradePairs(s, d).localCheckpoint()
+    Q("q152_pagerank_append", q152Sql) { (s, d) =>
+      val pairs = tradePairsSampled(s, d).localCheckpoint()
       val holdOut = pmod(col("c") + col("s"), lit(50)) === 0
       val root = s"${graft.core.Scratch.dir("graft-q152")}/pr"
       val idx = new PageRankIndex(s, root, Iters)
@@ -1246,7 +1270,7 @@ object Graph {
     // footprint side is GraphSpec territory (planted path, measured dirty
     // counts).
     Q("q217_pagerank_delete", q217Sql) { (s, d) =>
-      val edges = tradeEdges(s, d).localCheckpoint()
+      val edges = undirected(tradePairsSampled(s, d)).localCheckpoint()
       val root = s"${graft.core.Scratch.dir("graft-q217")}/pr"
       val idx = new PageRankIndex(s, root, Iters)
       idx.build(edges)

@@ -486,8 +486,8 @@ FROM c GROUP BY 1 ORDER BY 1"""
     Q("q293_streaming_wordpiece", mergesOracle) { (s, d) =>
       val wh = graft.core.Scratch.dir("graft-q293")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")

@@ -520,8 +520,8 @@ object StreamingQueries {
         round(col("o_totalprice"), 2).as("c_acctbal"),
         col("o_orderkey").as("seq"),
         when(col("o_orderkey") % 13 === 0, "D").otherwise("U").as("op"))
-      for (i <- 0 until 4)
-        changes.filter(pmod(col("seq"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        changes.filter(pmod(col("seq"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -677,8 +677,8 @@ object StreamingQueries {
       // per-batch delta cost tracks batch x degree, and the streaming
       // lifecycle doesn't need the denser fixture to prove the law
       val pairs = Graph.coSupplierPairs(s, d, minShared = 6L).localCheckpoint()
-      for (i <- 0 until 4)
-        pairs.filter(pmod(col("u") * 31 + col("v"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        pairs.filter(pmod(col("u") * 31 + col("v"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -789,8 +789,8 @@ object StreamingQueries {
       val pos = new PostingsIndex(s, s"$wh/pos",
         build = df => Retrieval.positionalIndex(df), maintainSidecars = false)
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 4) {
-        val b = docs.filter(pmod(col("doc_id"), lit(4)) === i)
+      for (i <- 0 until 3) {
+        val b = docs.filter(pmod(col("doc_id"), lit(3)) === i)
         lex.processBatch(b, i); pos.processBatch(b, i)
       }
       val dead = docs.select("doc_id").filter(col("doc_id") % 7 === 2)
@@ -1747,10 +1747,16 @@ object StreamingQueries {
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
         .select("vec_id", "embedding")
-      AnnStream.navAppendSink(twins, idx, s"$wh/ckpt").awaitTermination()
+      // knobs MUST mirror q232's (the oracle is shared and generated from
+      // Recall's constants — a literal here diverges silently when they move)
+      AnnStream.navAppendSink(twins, idx, s"$wh/ckpt",
+        beam = graft.scale.Recall.NavBeam, rounds = graft.scale.Recall.BeamRounds,
+        nSeeds = graft.scale.Recall.Seeds).awaitTermination()
       val qs = emb.filter(col("vec_id") < 32)
       def serve(phase: String) =
-        idx.probe(qs, 10, 8, 3, 8).withColumn("phase", lit(phase))
+        idx.probe(qs, 10, graft.scale.Recall.NavBeam,
+          graft.scale.Recall.BeamRounds, graft.scale.Recall.Seeds)
+          .withColumn("phase", lit(phase))
       val appended = serve("appended").localCheckpoint()
       idx.compact()
       appended.unionByName(serve("compacted"))
@@ -1789,8 +1795,8 @@ object StreamingQueries {
       import graft.scale.{Curation, Graph}
       val wh = scratchDir("graft-q237")
       val docs = Tables.documents(s, d).select("doc_id")
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val idx = new Graph.PageRankIndex(s, s"$wh/pr", Graph.Iters, 16,
         c => abs(hash(c)).cast("long"))
@@ -1856,8 +1862,8 @@ object StreamingQueries {
       import org.apache.spark.sql.expressions.Window
       val wh = scratchDir("graft-q247")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1882,7 +1888,7 @@ object StreamingQueries {
     // sharers are concurrent and both admit; every seen doc's spans enter
     // the index whether admitted or not (the non-recursive TtlDedup rule).
     Q("q257_streaming_span_guard",
-      s"""WITH b AS (SELECT doc_id, doc_id % 4 AS batch,
+      s"""WITH b AS (SELECT doc_id, doc_id % 3 AS batch,
          |   list_filter(string_split_regex(
          |     CASE WHEN doc_id % 7 = 0
          |          THEN text || ' ${graft.scale.SuffixArray.PlantedPhrase}'
@@ -1905,8 +1911,8 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1961,8 +1967,8 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2035,8 +2041,8 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2073,8 +2079,8 @@ object StreamingQueries {
       import graft.scale.Curation
       val wh = scratchDir("graft-q258")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2117,8 +2123,8 @@ object StreamingQueries {
         |ORDER BY rnk""".stripMargin) { (s, d) =>
       val wh = scratchDir("graft-q276")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2172,7 +2178,7 @@ object StreamingQueries {
          |           AND g.p >= w.i AND g.p < w.i + 8
          |         GROUP BY 1, 2),
          | ph AS (SELECT DISTINCT doc_id, h FROM sel),
-         | sh AS (SELECT ph.doc_id, ph.doc_id % 4 AS batch, ph.h FROM ph),
+         | sh AS (SELECT ph.doc_id, ph.doc_id % 3 AS batch, ph.h FROM ph),
          | firstb AS (SELECT h, min(batch) AS fb FROM sh GROUP BY 1),
          | rej AS (SELECT DISTINCT s.doc_id FROM sh s
          |         JOIN firstb f ON s.h = f.h WHERE f.fb < s.batch)
@@ -2185,8 +2191,8 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 4)
-        docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2247,8 +2253,8 @@ object StreamingQueries {
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
-      for (i <- 0 until 4)
-        emb.filter(pmod(col("vec_id"), lit(4)) === i).coalesce(1)
+      for (i <- 0 until 3)
+        emb.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
           .write.mode("append").parquet(s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
