@@ -3506,23 +3506,29 @@ object Multimodal {
         |FROM vids v LEFT JOIN lbl l ON l.aid = v.aid
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = fixtureIds(s, d)
-        .mapPartitions { ids =>
-          ids.flatMap { id =>
-            def mp4Of(frames: Seq[Array[Byte]]) = mp4MjpegBytes(
-              frames.map(px => jpegEncodeGray(px, 64, 64, JpegFlatQuant8)),
-              64, 64)
-            val base = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
-            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
-            out += ((id, mp4Of(base.toSeq)))
-            if (id % 10 == 5)
-              out += ((id + 600000, mp4Of(Seq(base(0), base(2)))))
-            if (id % 10 == 7)
-              out += ((id + 700000, mp4Of(
-                Array.tabulate(4)(f => synthFramePixels(id, f, pert = true)).toSeq)))
-            out.iterator
+      // fixture ENCODE cached per JVM (graft.core.FixtureCache scaladoc) —
+      // the sample-table walk / JPEG decode / vote still run every execution
+      val feed = graft.core.FixtureCache.dir(s"q263-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              def mp4Of(frames: Seq[Array[Byte]]) = mp4MjpegBytes(
+                frames.map(px => jpegEncodeGray(px, 64, 64, JpegFlatQuant8)),
+                64, 64)
+              val base = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+              out += ((id, mp4Of(base.toSeq)))
+              if (id % 10 == 5)
+                out += ((id + 600000, mp4Of(Seq(base(0), base(2)))))
+              if (id % 10 == 7)
+                out += ((id + 700000, mp4Of(
+                  Array.tabulate(4)(f => synthFramePixels(id, f, pert = true)).toSeq)))
+              out.iterator
+            }
           }
-        }
+          .toDF("vid", "bytes").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
         val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
           throw new IllegalStateException(s"undecodable mjpeg mp4 $vid"))
@@ -3713,20 +3719,26 @@ object Multimodal {
         |SELECT asset_id, CAST(cluster AS BIGINT) AS cluster FROM m
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = fixtureIds(s, d)
-        .mapPartitions { ids =>
-          ids.flatMap { id =>
-            val base = synthPixels(id, pert = false)
-            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
-            out += ((id, pngEncodeGray(base, 64, 64), "png"))
-            if (id % 10 == 2)
-              out += ((id + 800000, webpEncodeGrayVp8(base, 64, 64, 8), "webp"))
-            if (id % 10 == 7)
-              out += ((id + 900000,
-                webpEncodeGrayVp8(synthPixels(id, pert = true), 64, 64, 8), "webp"))
-            out.iterator
+      // fixture ENCODE cached per JVM (graft.core.FixtureCache scaladoc) —
+      // the container walk / VP8 decode / vote still run every execution
+      val feed = graft.core.FixtureCache.dir(s"q296-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val base = synthPixels(id, pert = false)
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              out += ((id, pngEncodeGray(base, 64, 64), "png"))
+              if (id % 10 == 2)
+                out += ((id + 800000, webpEncodeGrayVp8(base, 64, 64, 8), "webp"))
+              if (id % 10 == 7)
+                out += ((id + 900000,
+                  webpEncodeGrayVp8(synthPixels(id, pert = true), 64, 64, 8), "webp"))
+              out.iterator
+            }
           }
-        }
+          .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()

@@ -13,6 +13,42 @@ object StreamingQueries {
     */
   private def scratchDir(prefix: String): String = graft.core.Scratch.dir(prefix)
 
+  /** The video families' shared seed fixture — every document's 4 base
+    * frame hashes (asset_id, f, dhash) — materialized once per JVM per sf
+    * dir ([[graft.core.FixtureCache]]): q223/q267/q302 all seed from it.
+    */
+  private def videoSeedHashesDir(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    val root = graft.core.FixtureCache.dir(s"video-seed-hashes@$d") { p =>
+      import s.implicits._
+      import graft.scale.{Multimodal => M}
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          (0 until 4).iterator.map(f =>
+            (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
+        })
+        .toDF("asset_id", "f", "dhash")
+        .write.parquet(s"$p/seeds")
+    }
+    s"$root/seeds"
+  }
+
+  /** A cached arrival-feed fixture: `build` synthesizes the encoded
+    * payload relation once per JVM per (query, sf dir) into parquet
+    * ([[graft.core.FixtureCache]] scaladoc — the container walk / codec
+    * decode / banded vote / LSM lifecycle still run on every execution,
+    * over identical bytes); returns the readStream over it.
+    */
+  private def cachedArrivalStream(s: org.apache.spark.sql.SparkSession,
+                                  s2: org.apache.spark.sql.SparkSession,
+                                  key: String)
+                                 (build: String => Unit): org.apache.spark.sql.DataFrame = {
+    val root = graft.core.FixtureCache.dir(key)(p => build(s"$p/feed"))
+    s2.readStream.schema(s2.read.parquet(s"$root/feed").schema)
+      .parquet(s"$root/feed")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // The full streaming W3 path, end-to-end inside the correctness gate:
@@ -1160,23 +1196,13 @@ object StreamingQueries {
       val s2 = s.newSession()
       val index = new VideoPhashIndex(s, s"$wh/vphi")
       import graft.scale.{Multimodal => M}
-      locally {
-        import s.implicits._
-        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
-          .repartition(s.sparkContext.defaultParallelism).as[Long]
-          .mapPartitions(_.flatMap { id =>
-            (0 until 4).iterator.map(f =>
-              (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
-          })
-          .toDF("asset_id", "f", "dhash")
-        index.seed(seedHashes)
-      }
+      index.seed(s.read.parquet(videoSeedHashesDir(s, d)))
       index.delete(Tables.documents(s, d).select(col("doc_id").as("asset_id"))
         .filter(col("asset_id") % 10 === 0))
-      val arrivals = {
-        import s2.implicits._
-        Streaming.docsStream(s2, d).select(col("doc_id"))
-          .repartition(s2.sparkContext.defaultParallelism).as[Long]
+      val arrivals = cachedArrivalStream(s, s2, s"q223-arrivals@$d") { fp =>
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.flatMap { id =>
             def frames(src: Long, pert: Boolean) =
               Array.tabulate(4)(f => M.synthFramePixels(src, f, pert))
@@ -1198,6 +1224,7 @@ object StreamingQueries {
             out.iterator
           })
           .toDF("asset_id", "payload")
+          .write.parquet(fp)
       }
       PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
         .awaitTermination()
@@ -1273,21 +1300,11 @@ object StreamingQueries {
       val s2 = s.newSession()
       val index = new VideoPhashIndex(s, s"$wh/vphi")
       import graft.scale.{Multimodal => M}
-      locally {
+      index.seed(s.read.parquet(videoSeedHashesDir(s, d)))
+      val arrivals = cachedArrivalStream(s, s2, s"q267-arrivals@$d") { fp =>
         import s.implicits._
-        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+        Tables.documents(s, d).select(col("doc_id"))
           .repartition(s.sparkContext.defaultParallelism).as[Long]
-          .mapPartitions(_.flatMap { id =>
-            (0 until 4).iterator.map(f =>
-              (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
-          })
-          .toDF("asset_id", "f", "dhash")
-        index.seed(seedHashes)
-      }
-      val arrivals = {
-        import s2.implicits._
-        Streaming.docsStream(s2, d).select(col("doc_id"))
-          .repartition(s2.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.flatMap { id =>
             def frames(src: Long, pert: Boolean) =
               Array.tabulate(4)(f => M.synthFramePixels(src, f, pert))
@@ -1308,6 +1325,7 @@ object StreamingQueries {
             out.iterator
           })
           .toDF("asset_id", "payload")
+          .write.parquet(fp)
       }
       PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
         .awaitTermination()
@@ -1344,21 +1362,11 @@ object StreamingQueries {
       val s2 = s.newSession()
       val index = new VideoPhashIndex(s, s"$wh/vphi")
       import graft.scale.{Multimodal => M}
-      locally {
+      index.seed(s.read.parquet(videoSeedHashesDir(s, d)))
+      val arrivals = cachedArrivalStream(s, s2, s"q302-arrivals@$d") { fp =>
         import s.implicits._
-        val seedHashes = Tables.documents(s, d).select(col("doc_id"))
+        Tables.documents(s, d).select(col("doc_id"))
           .repartition(s.sparkContext.defaultParallelism).as[Long]
-          .mapPartitions(_.flatMap { id =>
-            (0 until 4).iterator.map(f =>
-              (id, f, M.dHash56(M.synthFramePixels(id, f, pert = false), 64, 64)))
-          })
-          .toDF("asset_id", "f", "dhash")
-        index.seed(seedHashes)
-      }
-      val arrivals = {
-        import s2.implicits._
-        Streaming.docsStream(s2, d).select(col("doc_id"))
-          .repartition(s2.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(_.flatMap { id =>
             def anim(src: Long, pert: Boolean) = M.webpEncodeGrayAnimatedVp8(
               Array.tabulate(4)(f => M.synthFramePixels(src, f, pert)).toSeq,
@@ -1370,6 +1378,7 @@ object StreamingQueries {
             out.iterator
           })
           .toDF("asset_id", "payload")
+          .write.parquet(fp)
       }
       PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
         .awaitTermination()
@@ -1412,10 +1421,10 @@ object StreamingQueries {
       val s2 = s.newSession()
       val index = new VideoPhashIndex(s, s"$wh/vphi")
       import graft.scale.{Multimodal => M}
-      val arrivals = {
-        import s2.implicits._
-        Streaming.docsStream(s2, d).select(col("doc_id"))
-          .repartition(s2.sparkContext.defaultParallelism).as[Long]
+      val arrivals = cachedArrivalStream(s, s2, s"q297-arrivals@$d") { fp =>
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions { it =>
             val md = java.security.MessageDigest.getInstance("MD5")
             def b1(tag: String): Int = {
@@ -1450,6 +1459,7 @@ object StreamingQueries {
             }
           }
           .toDF("asset_id", "payload")
+          .write.parquet(fp)
       }
       PhashStream.videoPhashDedupSink(arrivals, index, s"$wh/ckpt")
         .awaitTermination()
