@@ -15,7 +15,8 @@ import graft.scale.{Multimodal, Vp8}
   *   required.
   *
   *   `dec <dir>`: decode every `r_*.webp` the Python side produced with
-  *   the REAL libwebp encoder (loop filter off — the one subset boundary)
+  *   the REAL libwebp encoder (loop-filtered streams included — the
+  *   deblocker is in the proven subset)
   *   through the repo decoder, writing `r_*.gray`, or `r_*.failclosed` if
   *   the stream is outside the proven subset. The Python side then
   *   requires byte equality against libwebp's own decode — the reverse

@@ -712,8 +712,9 @@ object Multimodal {
     * LZ77 backref, color-cache reference, non-gray pixel (r≠g≠b), or
     * non-opaque alpha returns None rather than guessing. Lossy `VP8 `
     * decodes through [[Vp8.decodeGray]] (its luma plane is the gray
-    * channel), failing closed outside that codec's proven subset —
-    * inter frames, nonzero loop-filter levels. VP8X (extended/alpha/anim)
+    * channel — loop-filtered streams INCLUDED, the in-loop deblocker is
+    * implemented and libwebp-certified), failing closed outside that
+    * codec's proven subset — inter frames. VP8X (extended/alpha/anim)
     * containers carry neither chunk first and fail closed. The container
     * twin of [[jpegDecodeGray]] for the q216/q264/q296 dHash path.
     */

@@ -46,6 +46,15 @@ object Vp8 {
       */
     private[scale] var overran = false
 
+    /** True once the decode loop assigned this token partition a MB row.
+      * A legal stream may carry EMPTY trailing partitions (mbh < nParts
+      * leaves high partitions unassigned; libwebp emits them as 0 bytes),
+      * and the eager 2-byte priming below flags `overran` on those at
+      * construction — so the fail-closed check must ignore partitions
+      * that no row ever read (r17 ADVICE item 2).
+      */
+    private[scale] var used = false
+
     // two-byte priming window (§7.3); short partitions read as zeros
     value = (nextByte() << 8) | nextByte()
 
@@ -853,6 +862,7 @@ object Vp8 {
     mby = 0
     while (mby < mbh) {
       val bdTok = parts(mby % nParts)
+      bdTok.used = true
       val leftNzY = new Array[Int](4)
       val leftNzU = new Array[Int](2)
       val leftNzV = new Array[Int](2)
@@ -1010,8 +1020,9 @@ object Vp8 {
       mby += 1
     }
 
-    // a truncated stream decodes zeros past its end — refuse it
-    if (bd.overran || parts.exists(_.overran)) return None
+    // a truncated stream decodes zeros past its end — refuse it (empty
+    // UNUSED trailing partitions are legal: see BoolDecoder.used)
+    if (bd.overran || parts.exists(p => p.used && p.overran)) return None
 
     // in-loop deblocking (§15), luma only — key-frame intra prediction
     // reads the UNFILTERED reconstruction (already done above), so one

@@ -58,10 +58,10 @@ class Vp8Spec extends SparkSpec {
     // corrupted start code
     val badSync = chunk.clone(); badSync(3) = 0x00
     assert(Vp8.decodeGray(badSync).isEmpty)
-    // nonzero loop-filter level: the deblocker is not implemented, so the
-    // stream must be refused rather than hashed unfiltered
-    // (filter level lives in the bool-coded header — flip via re-encode
-    // is not possible here, so assert on a synthetic: a VP8X container)
+    // VP8X extended container: carries no leading VP8/VP8L chunk, so the
+    // still decoder must refuse it (loop-FILTERED plain VP8 streams are in
+    // the proven subset since the deblocker landed — libwebp-certified by
+    // tools/vp8_crosscheck.py phase 2's filtered encodes)
     val vp8x = "RIFF".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++
       "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
       Array.fill[Byte](14)(0)

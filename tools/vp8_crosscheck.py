@@ -119,7 +119,7 @@ def probe_abi():
 def libwebp_encode_gray(pixels: bytes, w: int, h: int, quality: float,
                         method: int, segments: int, ver: int,
                         filter_strength: int = 0, filter_type: int = 1,
-                        sharpness: int = 0) -> bytes:
+                        sharpness: int = 0, partitions: int = 0) -> bytes:
     cfg = WebPConfig()
     assert lib.WebPConfigInitInternal(ctypes.byref(cfg), 0,
                                       ctypes.c_float(quality), ver)
@@ -129,7 +129,7 @@ def libwebp_encode_gray(pixels: bytes, w: int, h: int, quality: float,
     cfg.autofilter = 0
     cfg.method = method
     cfg.segments = segments
-    cfg.partitions = 0
+    cfg.partitions = partitions
     pic = WebPPicture()
     assert lib.WebPPictureInitInternal(ctypes.byref(pic), ver)
     pic.width = w
@@ -208,6 +208,16 @@ def main():
                 rw = libwebp_encode_gray(pixels, w, h, q, m, s, ver, fs, ft, sh)
                 out = os.path.join(d, f"r_{name}_q{q}m{m}s{s}f{fs}t{ft}x{sh}.webp")
                 open(out, "wb").write(rw)
+            # multi-token-partition encodes (partitions=log2(nParts) 1..3):
+            # certifies the parts(mby % nParts) row assignment and the
+            # legal-empty-trailing-partition case (mbh < nParts on the
+            # small fixtures) — the one accepted decode feature phase 2
+            # previously never externally certified (r17 ADVICE item 2)
+            for q, m, s, pt in ((75, 4, 4, 1), (50, 2, 2, 2), (95, 6, 1, 3)):
+                rw = libwebp_encode_gray(pixels, w, h, q, m, s, ver,
+                                         partitions=pt)
+                out = os.path.join(d, f"r_{name}_q{q}m{m}s{s}p{pt}.webp")
+                open(out, "wb").write(rw)
         print("phase-2 fixtures written; run Vp8Crosscheck dec, then --phase2")
     else:
         # phase 2: libwebp encoder -> repo decoder, byte-equal luma
@@ -218,8 +228,8 @@ def main():
             gray = os.path.join(d, name + ".gray")
             fc = os.path.join(d, name + ".failclosed")
             if os.path.exists(fc):
-                print(f"FAIL {name}: repo decoder failed closed on a "
-                      f"filter-free stream")
+                print(f"FAIL {name}: repo decoder failed closed on an "
+                      f"in-subset libwebp stream")
                 fails += 1
                 continue
             if not os.path.exists(gray):
