@@ -143,7 +143,8 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pngDecodeGray(corrupt) === None)
     assert(Multimodal.pngDecodeGray(png.dropRight(20)) === None)
     assert(Multimodal.pngDecodeGray("not a png at all".getBytes("US-ASCII")) === None)
-    // color type 2 (truecolor) is out of contract: rewrite IHDR byte + fix CRC
+    // lying colorType: a truecolor header over 1-byte/px gray data is a
+    // SHORT pixel stream for bpp=3 and must fail closed, not mis-decode
     val ihdrData = png.slice(16, 29)
     ihdrData(9) = 2 // IHDR data: w[0-3] h[4-7] depth[8] colorType[9]
     val crc = new java.util.zip.CRC32()
@@ -152,6 +153,63 @@ class MultimodalSpec extends SparkSpec {
       ((crc.getValue >> 24) & 0xff).toByte, ((crc.getValue >> 16) & 0xff).toByte,
       ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte) ++ png.drop(33)
     assert(Multimodal.pngDecodeGray(rgb) === None)
+    // interlaced: fail closed (rewrite the interlace byte + fix CRC)
+    val ihdrI = png.slice(16, 29)
+    ihdrI(12) = 1
+    val crcI = new java.util.zip.CRC32()
+    crcI.update("IHDR".getBytes("US-ASCII")); crcI.update(ihdrI)
+    val inter = png.take(16) ++ ihdrI ++ Array(
+      ((crcI.getValue >> 24) & 0xff).toByte, ((crcI.getValue >> 16) & 0xff).toByte,
+      ((crcI.getValue >> 8) & 0xff).toByte, (crcI.getValue & 0xff).toByte) ++ png.drop(33)
+    assert(Multimodal.pngDecodeGray(inter) === None)
+  }
+
+  test("color PNG/GIF/VP8L decode to the exact q225 luma; alpha fails closed") {
+    val w = 8; val h = 6
+    val gray = Array.tabulate(w * h)(k => (16 + 4 * k).toByte)
+    // truecolor PNG of the colorLift: luma(v+3, v, v-8) == v exactly
+    val rgb = new Array[Byte](w * h * 3)
+    gray.zipWithIndex.foreach { case (v, k) =>
+      val (r, g, b) = Multimodal.colorLift(v & 0xff)
+      rgb(3 * k) = r.toByte; rgb(3 * k + 1) = g.toByte; rgb(3 * k + 2) = b.toByte
+    }
+    val Some((pw, ph, py)) = Multimodal.pngDecodeGray(Multimodal.pngEncodeRgb(rgb, w, h))
+    assert((pw, ph) === ((w, h)) && py.toSeq === gray.toSeq)
+    // RGBA with full alpha decodes; one alpha byte < 255 fails closed
+    val rgba = new Array[Byte](w * h * 4)
+    gray.zipWithIndex.foreach { case (v, k) =>
+      val (r, g, b) = Multimodal.colorLift(v & 0xff)
+      rgba(4 * k) = r.toByte; rgba(4 * k + 1) = g.toByte
+      rgba(4 * k + 2) = b.toByte; rgba(4 * k + 3) = 255.toByte
+    }
+    val Some((_, _, ay)) = Multimodal.pngDecodeGray(Multimodal.pngEncodeRgba(rgba, w, h))
+    assert(ay.toSeq === gray.toSeq)
+    val translucent = rgba.clone(); translucent(4 * 5 + 3) = 254.toByte
+    assert(Multimodal.pngDecodeGray(Multimodal.pngEncodeRgba(translucent, w, h)) === None)
+    // palette PNG: indices through a colorLift PLTE
+    val plte = new Array[Byte](768)
+    (0 until 256).foreach { v =>
+      val (r, g, b) = Multimodal.colorLift(v)
+      plte(3 * v) = r.toByte; plte(3 * v + 1) = g.toByte; plte(3 * v + 2) = b.toByte
+    }
+    val Some((_, _, paly)) = Multimodal.pngDecodeGray(
+      Multimodal.pngEncodePalette(gray, plte, w, h))
+    assert(paly.toSeq === gray.toSeq)
+    // an index past the palette fails closed (PLTE cut to 64 entries)
+    assert(Multimodal.pngDecodeGray(
+      Multimodal.pngEncodePalette(gray, plte.take(192), w, h)) === None)
+    // color-palette GIF
+    val Some((gw, gh, gy)) = Multimodal.gifDecodeGray(
+      Multimodal.gifEncodeIndexed(gray, plte, w, h))
+    assert((gw, gh) === ((w, h)) && gy.toSeq === gray.toSeq)
+    // color VP8L; and gray input through the RGB encoder stays the old bytes
+    val Some((vw, vh, vy)) = Multimodal.webpDecodeGray(
+      Multimodal.webpEncodeRgbVp8l(rgb, w, h))
+    assert((vw, vh) === ((w, h)) && vy.toSeq === gray.toSeq)
+    // non-lifted genuine color: luma is the q225 fixed-point value
+    val one = Array[Byte](200.toByte, 30, 90)
+    val Some((_, _, oy)) = Multimodal.pngDecodeGray(Multimodal.pngEncodeRgb(one, 1, 1))
+    assert((oy(0) & 0xff) === ((19595 * 200 + 38470 * 30 + 7471 * 90 + 32768) >> 16))
   }
 
   test("mp4Info reads mvhd v0 and v1; lying box sizes and non-MP4 are None") {
