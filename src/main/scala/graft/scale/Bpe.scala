@@ -65,7 +65,11 @@ object Bpe {
     */
   private[scale] def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(explode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+      // Ws.segment: the unicode-script fallback (Han/Kana → one token per
+      // codepoint, Thai → one per run; identity on ASCII) — ONE site
+      // serves every trainer built on the word-count relation
+      .select(explode(filter(
+        split(graft.expressions.Ws.segment(col(textCol)), graft.expressions.Ws.Regex),
         w => w =!= "")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
 
@@ -433,6 +437,52 @@ FROM c GROUP BY 1 ORDER BY 1"""
       bpeMergesFromCounts(
         idx.served().select(col("w").as("__w"), col("cnt").as("__cnt")),
         NMerges, TopK)
+        .orderBy("rnk")
+    },
+
+    // Unicode-script segmentation fallback (r17 verdict item 3): the word
+    // model is no longer whitespace-only. Each doc gets a planted mixed-
+    // script suffix — two Han codepoints, one hiragana, a Latin word glued
+    // to a Thai run — and the corpus vocabulary through [[wordCounts]]
+    // (the ONE site all trainers/LMs consume) must contain the Han/Kana
+    // chars as single-codepoint tokens, the Thai run as one token, and
+    // the glued 'abc' split free of it. The oracle replays the SAME
+    // segmentation via [[graft.expressions.Ws.segmentSql]] (the Java and
+    // RE2 character classes are generated from one range list), so an
+    // engine/oracle drift in any range boundary hash-fails. On the ASCII
+    // corpus body the transform is the identity — which is the law that
+    // keeps every pre-existing tokenizer/LM oracle unchanged.
+    Q("q304_cjk_segmentation",
+      s"""WITH m AS (
+         |  SELECT doc_id, text || ' ' ||
+         |    chr(CAST(19968 + doc_id % 7 AS INTEGER)) || chr(CAST(19968 + (doc_id + 1) % 7 AS INTEGER)) ||
+         |    chr(CAST(12354 + doc_id % 5 AS INTEGER)) || 'abc' ||
+         |    chr(CAST(3585 + doc_id % 4 AS INTEGER)) || chr(CAST(3585 + (doc_id + 1) % 4 AS INTEGER)) AS t2
+         |  FROM documents),
+         | w AS (SELECT unnest(list_filter(string_split_regex(
+         |         ${graft.expressions.Ws.segmentSql("t2")},
+         |         '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS g
+         |       FROM m),
+         | v AS (SELECT g AS word, CAST(count(1) AS BIGINT) AS cnt FROM w GROUP BY 1),
+         | cut AS (SELECT word, cnt FROM v ORDER BY cnt DESC, word LIMIT 120)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rnk,
+         |       word, cnt
+         |FROM cut ORDER BY rnk""".stripMargin) { (s, d) =>
+      def pick(base: Int, n: Int, k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        element_at(array((0 until n).map(i =>
+          lit(new String(Character.toChars(base + i)))): _*),
+          (k % n).cast("int") + 1)
+      val mixed = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          pick(0x4E00, 7, col("doc_id")), pick(0x4E00, 7, col("doc_id") + 1),
+          pick(0x3042, 5, col("doc_id")), lit("abc"),
+          pick(0x0E01, 4, col("doc_id")), pick(0x0E01, 4, col("doc_id") + 1))
+          .as("text"))
+      graft.ops.TopK.rankedCut(
+          wordCounts(mixed, "text")
+            .select(col("__w").as("word"), col("__cnt").as("cnt")),
+          120, "rnk", col("cnt").desc, col("word"))
+        .select("rnk", "word", "cnt")
         .orderBy("rnk")
     },
   )

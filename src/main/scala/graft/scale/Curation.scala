@@ -1657,7 +1657,10 @@ object Curation {
     * argument).
     */
   def termCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(filter(split(col(textCol),
+    // Ws.segment: the unicode-script fallback (identity on ASCII) — the
+    // streaming count-monoid trainers must count the same words as
+    // Bpe.wordCounts, which carries the same transform
+    docs.select(explode(filter(split(graft.expressions.Ws.segment(col(textCol)),
         graft.expressions.Ws.Regex), w => w =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 

@@ -49,7 +49,10 @@ object KneserNey {
 
   /** The within-document transition stream (`idCol`, `__p`, `__c`). */
   private[scale] def transitions(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = filter(split(col(textCol), graft.expressions.Ws.Regex), w => w =!= "")
+    // Ws.segment: unicode-script fallback (identity on ASCII) — the LM's
+    // word model matches the trainers' (Bpe.wordCounts)
+    val toks = filter(split(graft.expressions.Ws.segment(col(textCol)),
+      graft.expressions.Ws.Regex), w => w =!= "")
     val nTrans = greatest(size(toks) - 1, lit(0))
     docs.select(col(idCol),
       explode(zip_with(
@@ -126,7 +129,10 @@ object KneserNey {
 
   /** The within-document TRIGRAM stream (`idCol`, `__p2`, `__p1`, `__c`). */
   private[scale] def transitions3(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = filter(split(col(textCol), graft.expressions.Ws.Regex), w => w =!= "")
+    // Ws.segment: unicode-script fallback (identity on ASCII) — the LM's
+    // word model matches the trainers' (Bpe.wordCounts)
+    val toks = filter(split(graft.expressions.Ws.segment(col(textCol)),
+      graft.expressions.Ws.Regex), w => w =!= "")
     val n3 = greatest(size(toks) - 2, lit(0))
     docs.select(col(idCol),
       explode(zip_with(
