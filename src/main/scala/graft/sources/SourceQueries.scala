@@ -121,5 +121,59 @@ object SourceQueries {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
     },
+
+    // WARC crawl-container scan (r17 verdict "what's missing" #4): the
+    // corpus re-containered as REAL multi-member .warc.gz files — one
+    // gzip member per WARC/1.0 response record, 4 files — read back
+    // through [[Warc.readWarc]]'s two-phase splittable scan (member-offset
+    // index, then range-pruned scan-local gunzip; the exchange-schema law
+    // that only (path, off, len) ever shuffles is WarcSpec territory) and
+    // fed to the existing [[graft.scale.Curation.extractText]] front end.
+    // The oracle recomputes every record field straight from the
+    // documents table, so a member boundary, header parse, or body-offset
+    // error anywhere lands wrong rows and hash-fails. The fixture WRITE is
+    // distributed too (one file per partition, FixtureCache-materialized).
+    Q("q305_warc_scan",
+      """WITH recs AS (
+        |  SELECT 'https://site' || (doc_id % 10) || '.com/page/' || doc_id AS url,
+        |         '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |           || 'T00:00:00Z' AS fetch_ts,
+        |         'text/html' AS content_type, text
+        |  FROM documents),
+        | cleaned AS (
+        |  SELECT url, fetch_ts, content_type,
+        |         trim(regexp_replace(text, '[ \t\r\f]+', ' ', 'g')) AS t
+        |  FROM recs)
+        |SELECT url, fetch_ts, content_type,
+        |  CASE WHEN t <> '' AND len(string_split(t, ' ')) >= 3 THEN t ELSE '' END AS text
+        |FROM cleaned ORDER BY url""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q305-warc@$d") { p =>
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .sortWithinPartitions("doc_id")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val rows = it.toVector
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val part = org.apache.spark.TaskContext.getPartitionId()
+              val recs = rows.map { case (id, text) =>
+                Warc.Rec(s"https://site${id % 10}.com/page/$id",
+                  f"2026-08-${id % 28 + 1}%02dT00:00:00Z",
+                  "text/html", s"<p>$text</p>")
+              }
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$p/part-$part.warc.gz"),
+                Warc.warcFileBytes(recs))
+              Iterator.single(1)
+            }
+          }.collect()
+        ()
+      }
+      graft.scale.Curation.extractText(Warc.readWarc(s, feed), "text")
+        .select("url", "fetch_ts", "content_type", "text")
+        .orderBy("url")
+    },
   )
 }

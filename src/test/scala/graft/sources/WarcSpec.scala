@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Laws of the splittable WARC source (q305's machinery). */
+class WarcSpec extends SparkSpec {
+
+  private val recs = Seq(
+    Warc.Rec("https://a.example/1", "2026-08-01T00:00:00Z", "text/html",
+      "<p>alpha beta gamma delta</p>"),
+    Warc.Rec("https://a.example/2", "2026-08-02T00:00:00Z", "text/plain",
+      "plain body text here"),
+    Warc.Rec("https://b.example/3", "2026-08-03T00:00:00Z", "text/html",
+      "<p>second page words</p>"))
+
+  test("member index + parse round-trips every record") {
+    val bytes = Warc.warcFileBytes(recs)
+    val idx = Warc.memberIndex(bytes)
+    assert(idx.length === recs.length)
+    // members tile the file exactly: no gaps, no overlaps
+    assert(idx.head._1 === 0L)
+    idx.sliding(2).foreach {
+      case Seq((o1, l1), (o2, _)) => assert(o1 + l1 === o2)
+      case _ => ()
+    }
+    assert(idx.last._1 + idx.last._2 === bytes.length)
+    val parsed = idx.map { case (off, len) =>
+      val m = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      Warc.parseRecord(Warc.gunzipMember(m))
+    }
+    assert(parsed === recs.map(r => (r.url, r.fetchTs, r.contentType, r.body)))
+  }
+
+  test("gzip header options (FNAME) are walked; truncation fails loud") {
+    // hand-build a member with an FNAME field around a raw deflate stream
+    val payload = Warc.recordBytes(recs.head)
+    val deflater = new java.util.zip.Deflater(-1, true)
+    deflater.setInput(payload); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val member = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0, 0) ++
+      "name.warc\u0000".getBytes("US-ASCII") ++ out.toByteArray ++
+      le32(crc.getValue) ++ le32(payload.length.toLong)
+    val idx = Warc.memberIndex(member)
+    assert(idx === Seq((0L, member.length.toLong)))
+    assert(Warc.parseRecord(Warc.gunzipMember(member))._1 === recs.head.url)
+    // truncated member: loud failure, never a partial record
+    intercept[IllegalArgumentException] {
+      Warc.memberIndex(member.dropRight(12))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.memberIndex("not a warc".getBytes("US-ASCII"))
+    }
+  }
+
+  test("readWarc: distributed scan returns every record; only the 3-column index shuffles") {
+    val dir = graft.core.Scratch.dir("warc-spec")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/a.warc.gz"),
+      Warc.warcFileBytes(recs.take(2)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b.warc.gz"),
+      Warc.warcFileBytes(recs.drop(2)))
+    val df = Warc.readWarc(spark, dir)
+    val rows = df.orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq === recs.map(r => (r.url, r.fetchTs, r.contentType, r.body)))
+    // the exchange-schema law: raw member bytes never shuffle — every
+    // exchange in the plan carries only the file list or the member index
+    // (sparkPlan: the pre-AQE physical plan, where exchanges are real
+    // nodes rather than opaque query stages)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    val allowed = Set("value", "path", "off", "len")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(names.subsetOf(allowed),
+        s"exchange carries non-index columns: $names")
+    }
+  }
+}
