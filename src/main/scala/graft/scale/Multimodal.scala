@@ -3924,45 +3924,7 @@ object Multimodal {
         |SELECT container, codec, status, n_assets FROM c
         |ORDER BY container, codec, status""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = fixtureIds(s, d)
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def b1(tag: String): Int = {
-            md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
-          }
-          def audio(src: Long): Array[Short] = Array.tabulate(1024)(t =>
-            (b1(s"${src}_b${t / 16}") * 100 + b1(s"${src}_j$t") % 50).toShort)
-          it.map { id =>
-            val px = synthPixels(id, pert = false)
-            val payload: Array[Byte] = (id % 8) match {
-              case 0 => mp4MjpegBytes(
-                Array.tabulate(2)(f => jpegEncodeGray(
-                  synthFramePixels(id, f, pert = false), 64, 64,
-                  JpegFlatQuant8)).toSeq, 64, 64)
-              case 1 => mp4AvcPcmBytes(
-                Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
-                64, 64, Some(audio(id)))
-              case 2 => mp4AvcPcmBytes(
-                Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
-                64, 64, None)
-              case 3 => gifEncodeGrayAnimated(
-                Array.tabulate(2)(f => synthFramePixels(id, f, pert = false)).toSeq,
-                64, 64)
-              case 4 => webpEncodeGrayVp8(px, 64, 64, 8)
-              case 5 => "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + 10) ++
-                "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
-                le32(10) ++ new Array[Byte](10)
-              // truecolor PNG: LIVE since the color→luma decoders (r18) —
-              // the coverage shift the r17 verdict asked this report to show
-              case 6 => pngEncodeRgb(colorLiftPixels(px), 64, 64)
-              // interlaced PNG: the remaining fail-closed PNG class
-              case _ => pngInterlacedBytes(px, 64, 64)
-            }
-            (id, payload)
-          }
-        }
-        .toDF("asset_id", "payload")
-      decodeCoverage(assets)
+      decodeCoverage(s.read.parquet(coverageAssetsDir(s, d)))
         .select("container", "codec", "status", "n_assets")
         .orderBy("container", "codec", "status")
     },
@@ -4072,6 +4034,59 @@ object Multimodal {
         .orderBy("asset_id")
     },
   )
+
+  /** The q298/q306 mixed-codec coverage fixture — one payload per doc in
+    * 8 residue classes — FixtureCache-materialized as THREE parquet files
+    * (pmod(asset_id, 3)) so the streaming twin (q306) drains the SAME
+    * bytes in 3 micro-batches while the batch report (q298) reads them in
+    * one pass.
+    */
+  private[graft] def coverageAssetsDir(s: SparkSession, d: String): String = {
+    val root = graft.core.FixtureCache.dir(s"q298-assets@$d") { p =>
+      import s.implicits._
+      fixtureIds(s, d)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def b1(tag: String): Int = {
+            md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+          }
+          def audio(src: Long): Array[Short] = Array.tabulate(1024)(t =>
+            (b1(s"${src}_b${t / 16}") * 100 + b1(s"${src}_j$t") % 50).toShort)
+          it.map { id =>
+            val px = synthPixels(id, pert = false)
+            val payload: Array[Byte] = (id % 8) match {
+              case 0 => mp4MjpegBytes(
+                Array.tabulate(2)(f => jpegEncodeGray(
+                  synthFramePixels(id, f, pert = false), 64, 64,
+                  JpegFlatQuant8)).toSeq, 64, 64)
+              case 1 => mp4AvcPcmBytes(
+                Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
+                64, 64, Some(audio(id)))
+              case 2 => mp4AvcPcmBytes(
+                Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
+                64, 64, None)
+              case 3 => gifEncodeGrayAnimated(
+                Array.tabulate(2)(f => synthFramePixels(id, f, pert = false)).toSeq,
+                64, 64)
+              case 4 => webpEncodeGrayVp8(px, 64, 64, 8)
+              case 5 => "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + 10) ++
+                "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+                le32(10) ++ new Array[Byte](10)
+              // truecolor PNG: LIVE since the color→luma decoders (r18) —
+              // the coverage shift the r17 verdict asked this report to show
+              case 6 => pngEncodeRgb(colorLiftPixels(px), 64, 64)
+              // interlaced PNG: the remaining fail-closed PNG class
+              case _ => pngInterlacedBytes(px, 64, 64)
+            }
+            (id, payload)
+          }
+        }
+        .toDF("asset_id", "payload")
+        .repartition(3, pmod(col("asset_id"), lit(3)))
+        .write.parquet(s"$p/assets")
+    }
+    s"$root/assets"
+  }
 
   /** [[colorLift]] applied per pixel: gray w·h → interleaved RGB 3·w·h. */
   private[graft] def colorLiftPixels(px: Array[Byte]): Array[Byte] = {

@@ -28,17 +28,26 @@ final class AnchorCountIndex(spark: SparkSession, root: String,
                              maxChainDepth: Int = 16,
                              build: DataFrame => DataFrame =
                                Curation.anchorTermCounts,
-                             keyCols: Seq[String] = Seq("domain", "term")) {
+                             keyCols: Seq[String] = Seq("domain", "term"),
+                             // every value column must be an additive
+                             // monoid under SUM (counts, byte masses) —
+                             // the decode-coverage drain (q306) carries two
+                             valueCols: Seq[String] = Seq("cnt"),
+                             // payload-shaped batches (q306) filter on
+                             // their own column; the default is the
+                             // text-crawl convention
+                             inputFilter: DataFrame => DataFrame =
+                               _.filter(col("text").isNotNull)) {
 
   val counts = new VersionedTable(spark, s"$root/counts")
 
-  /** Ingest one micro-batch of (doc_id, text): append the batch's count
-    * partial. Callable directly so specs drive controlled boundaries.
+  /** Ingest one micro-batch: append the batch's count partial. Callable
+    * directly so specs drive controlled boundaries.
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val tag = s"batch=$batchId"
     if (counts.exists && counts.currentTag.contains(tag)) return
-    val partial = build(batch.filter(col("text").isNotNull))
+    val partial = build(inputFilter(batch))
       .sortWithinPartitions(keyCols.head)
     if (counts.exists) counts.promote(counts.stageAppend(partial), Some(tag))
     else counts.promote(counts.stage(partial), Some(tag))
@@ -49,8 +58,10 @@ final class AnchorCountIndex(spark: SparkSession, root: String,
     * partials. Chain depth is bounded by the compaction policy, so the
     * re-aggregation cost is a small constant factor over one version.
     */
-  def served(): DataFrame =
-    counts.read().groupBy(keyCols.map(col): _*).agg(sum("cnt").as("cnt"))
+  def served(): DataFrame = {
+    val aggs = valueCols.map(c => sum(c).as(c))
+    counts.read().groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Collapse the partial chain into one self-contained version with one
     * row per key. Idempotent; serving is invariant (SUM of one total

@@ -2287,5 +2287,38 @@ object StreamingQueries {
         .awaitTermination()
       idx.served().orderBy("vec_id")
     },
+
+    // Streaming decode-coverage (r17 verdict item 6): decodeCoverage
+    // partials are an additive monoid — (container, codec, status) keyed
+    // asset counts and byte masses — so a continuous crawl can expose its
+    // blind-spot split LIVE through the AnchorCountIndex count protocol:
+    // each micro-batch contributes its own coverage partial (every
+    // payload decoded scan-locally, O(batch)), SUM is the merge, replay
+    // is absorbed by the stamped batch id, and chain depth 2 forces a
+    // mid-drain compaction. The fixture is q298's byte-identical cached
+    // asset relation drained in 3 micro-batches; the oracle IS q298's —
+    // drained coverage must equal the batch report exactly.
+    Q("q306_streaming_decode_coverage",
+      graft.scale.Multimodal.queries.find(_.name == "q298_decode_coverage")
+        .get.oracle.get) { (s, d) =>
+      import graft.scale.{Multimodal => M}
+      val wh = scratchDir("graft-q306")
+      val assetsDir = M.coverageAssetsDir(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val idx = new AnchorCountIndex(s2, s"$wh/cov", maxChainDepth = 2,
+        build = b => M.decodeCoverage(b),
+        keyCols = Seq("container", "codec", "status"),
+        valueCols = Seq("n_assets", "bytes"),
+        inputFilter = _.filter(col("payload").isNotNull))
+      val schema = s2.read.parquet(assetsDir).schema
+      val stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(assetsDir)
+      AnchorStream.anchorSink(stream, idx, s"$wh/ckpt").awaitTermination()
+      idx.served()
+        .select(col("container"), col("codec"), col("status"),
+          col("n_assets").cast("long").as("n_assets"))
+        .orderBy("container", "codec", "status")
+    },
   )
 }
