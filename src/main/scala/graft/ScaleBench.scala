@@ -183,10 +183,14 @@ object ScaleBench {
 
       // NN-descent k-NN-graph build, through the persistent NavIndex (same
       // descent work + two table stages; the loop checkpoints eagerly, so
-      // the call IS the work); one rep — the multi-round build dominates
+      // the call IS the work); one rep — the multi-round build dominates.
+      // metaCols: the lang tag rides the codes relation (one narrow string
+      // column) so the SAME build serves the filtered-probe row below.
       val navRoot = s"${graft.core.Scratch.dir(s"graft-scale-nav$k")}/nav"
-      val nav = new NnDescent.NavIndex(spark, navRoot)
-      val tNnd = timeMin(1) { nav.build(emb) }
+      val nav = new NnDescent.NavIndex(spark, navRoot, metaCols = Seq("lang"))
+      val embLang = emb.withColumn("lang",
+        when(col("vec_id") % 4 === 0, "en").otherwise("xx"))
+      val tNnd = timeMin(1) { nav.build(embLang) }
 
       // q218 core: a FIXED takedown batch (copy-0 ids only, distinct per
       // rep) against the ×k navigable index — an O(batch) tombstone append
@@ -194,6 +198,19 @@ object ScaleBench {
       val tNavDel = timeMin(reps) {
         nv += 1
         nav.delete(baseEmb.filter(col("vec_id") % 89 === nv).select("vec_id"))
+      }
+
+      // q300 core: predicate-filtered probes of the ×k navigable index at
+      // a FIXED 32-query panel. The walk itself is probe-bounded (seeds +
+      // rounds × beam × 2·graphK candidates per query), but each round's
+      // scorer equi-joins the ×k codes relation, so the HONEST bound is
+      // linear-with-a-small-constant, not flat — the scale fix for serving
+      // is the hierarchical upper layer (q233), not this flat walk.
+      val tNavFiltered = timeMin(reps) {
+        nav.probe(baseEmb.filter(col("vec_id") < 32), 10,
+            graft.scale.Recall.NavBeam, graft.scale.Recall.BeamRounds,
+            graft.scale.Recall.Seeds, pred = Some(col("lang") === "en"))
+          .queryExecution.toRdd.count()
       }
 
       // delete lifecycle: FIXED delete batches (distinct ids per rep — a
@@ -298,6 +315,76 @@ object ScaleBench {
           .filter(col("va") =!= col("vb"))
           .groupBy("va", "vb").count().filter(col("count") >= 2)
           .queryExecution.toRdd.count()
+      }
+
+      // q296 core: lossy-VP8 WebP encode → container walk → full VP8
+      // key-frame decode (bool coder, B_PRED, IDCT, deblock) → dHash →
+      // banded pairs, ×k distinct images — per-image constant work, LINEAR
+      val tWebpLossy = timeMin(reps) {
+        val wh = docs.select("doc_id").as[Long].mapPartitions(_.map { id =>
+          val px = Multimodal.synthPixels(id, pert = false)
+          val bytes = Multimodal.webpEncodeGrayVp8(px, 64, 64, 8)
+          val (w, h, dec) = Multimodal.webpDecodeGray(bytes).getOrElse(
+            throw new IllegalStateException(s"undecodable lossy webp $id"))
+          (id, Multimodal.dHash56(dec, w, h))
+        }).toDF("asset_id", "dhash")
+        Multimodal.phashPairs(wh).queryExecution.toRdd.count()
+      }
+
+      // q297 core: a FIXED avc1 (frame-opaque) two-track batch voted
+      // against the ×k video index via the AUDIO modality alone — the
+      // banded probe is O(batch), so the vote stays FLAT as the index
+      // grows. Setup (untimed): ×k synthetic frame+audio hash rows, plus
+      // the 64 match targets' true PCM envelopes.
+      val vpRoot = s"${graft.core.Scratch.dir(s"graft-scale-vp$k")}/vphi"
+      val vp = new graft.streaming.VideoPhashIndex(spark, vpRoot)
+      def q297Audio(md: java.security.MessageDigest)(src: Long): Array[Short] = {
+        def b1(tag: String): Int = {
+          md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+        }
+        Array.tabulate(1024)(t =>
+          (b1(s"${src}_b${t / 16}") * 100 + b1(s"${src}_j$t") % 50).toShort)
+      }
+      locally {
+        val bulk = docs.select(col("doc_id").as("asset_id")).as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def h8(tag: String): Long = {
+              md.reset()
+              java.nio.ByteBuffer.wrap(md.digest(tag.getBytes("UTF-8")))
+                .getLong & 0xffffffffffffffL // 56-bit, the dHash56 domain
+            }
+            it.flatMap { id =>
+              (0 until 4).iterator.map(f => (id, f, h8(s"${id}_f$f"))) ++
+                Iterator((id, -1, h8(s"${id}_a")))
+            }
+          }.toDF("asset_id", "f", "dhash")
+        vp.seed(bulk)
+        val targets = spark.range(64).as[Long].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { i =>
+            (70000000L + i, -1, Multimodal.dHash56(
+              Multimodal.audioEnvelope64(q297Audio(md)(i)), 8, 8))
+          }
+        }.toDF("asset_id", "f", "dhash")
+        vp.seed(targets)
+      }
+      var av = 0
+      val tAvcVote = timeMin(reps) {
+        av += 1
+        val batch = spark.range(64).as[Long].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def b1(tag: String): Int = {
+            md.reset(); md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
+          }
+          val mkAudio = q297Audio(md) _
+          it.map { i =>
+            (80000000L + av * 100000L + i, Multimodal.mp4AvcPcmBytes(
+              Seq(Array.tabulate(64)(j => b1(s"${i}_v$j").toByte)),
+              64, 64, Some(mkAudio(i)), videoFourcc = "avc1"))
+          }
+        }.toDF("asset_id", "payload")
+        vp.processBatch(batch, av.toLong)
       }
 
       // q220 core: WAV encode → PCM decode → envelope → dHash → banded
@@ -541,7 +628,9 @@ object ScaleBench {
         "kn_score" -> tKn, "wordpiece_segment" -> tWp,
         "hard_negatives" -> tHardNeg,
         "eval_scrub" -> tScrub, "dup_token_profile" -> tDupProfile,
-        "collocation_stream" -> tColloc, "bm25f_serve" -> tBmfServe))
+        "collocation_stream" -> tColloc, "bm25f_serve" -> tBmfServe,
+        "webp_lossy" -> tWebpLossy, "avc1_audio_vote" -> tAvcVote,
+        "nav_filtered" -> tNavFiltered))
     }
 
     val expectations = Map(
@@ -563,7 +652,10 @@ object ScaleBench {
       "kn_score" -> ("linear", 16.0), "wordpiece_segment" -> ("linear", 16.0),
       "hard_negatives" -> ("linear", 16.0),
       "eval_scrub" -> ("linear", 16.0), "dup_token_profile" -> ("linear", 16.0),
-      "collocation_stream" -> ("flat", 3.0), "bm25f_serve" -> ("flat", 3.0))
+      "collocation_stream" -> ("flat", 3.0), "bm25f_serve" -> ("flat", 3.0),
+      // r18 additions (r17 verdict item 5 — the three unpinned families)
+      "webp_lossy" -> ("linear", 16.0), "avc1_audio_vote" -> ("flat", 3.0),
+      "nav_filtered" -> ("linear", 16.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

@@ -296,7 +296,8 @@ object SuffixArray {
     Q("q253_repeated_spans",
       s"""WITH fix AS (SELECT doc_id,
          |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
-         |        ELSE text END AS text FROM documents),
+         |        ELSE text END AS text FROM documents
+         |   WHERE doc_id % 2 = 0),
          | tl AS (SELECT doc_id,
          |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
          | FROM fix),
@@ -315,7 +316,10 @@ object SuffixArray {
          |SELECT el.rank AS span_grp, el.doc_id, el.pos
          |FROM el JOIN g ON el.rank = g.rank
          |ORDER BY span_grp, doc_id, pos""".stripMargin) { (s, d) =>
-      val fixed = Tables.documents(s, d).select(col("doc_id"),
+      val fixed = Tables.documents(s, d)
+        // 1/2 corpus sample (oracle carries the predicate): four full-corpus
+        // doubling chains made this family ~90s of the r17 bench
+        .filter(col("doc_id") % 2 === 0).select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" " + PlantedPhrase)))
           .otherwise(col("text")).as("text"))
@@ -331,7 +335,8 @@ object SuffixArray {
     Q("q254_span_dedup_drops",
       s"""WITH fix AS (SELECT doc_id,
          |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
-         |        ELSE text END AS text FROM documents),
+         |        ELSE text END AS text FROM documents
+         |   WHERE doc_id % 2 = 0),
          | tl AS (SELECT doc_id,
          |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
          | FROM fix),
@@ -352,7 +357,10 @@ object SuffixArray {
          |FROM el JOIN keep ON el.rank = keep.rank
          |WHERE keep.c > 1 AND el.doc_id * 1000000 + el.pos <> keep.first_key
          |ORDER BY span_grp, doc_id, pos""".stripMargin) { (s, d) =>
-      val fixed = Tables.documents(s, d).select(col("doc_id"),
+      val fixed = Tables.documents(s, d)
+        // 1/2 corpus sample (oracle carries the predicate): four full-corpus
+        // doubling chains made this family ~90s of the r17 bench
+        .filter(col("doc_id") % 2 === 0).select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" " + PlantedPhrase)))
           .otherwise(col("text")).as("text"))
@@ -376,7 +384,8 @@ object SuffixArray {
     Q("q255_span_dedup_rewrite",
       s"""WITH fix AS (SELECT doc_id,
          |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
-         |        ELSE text END AS text FROM documents),
+         |        ELSE text END AS text FROM documents
+         |   WHERE doc_id % 2 = 0),
          | tl AS (SELECT doc_id,
          |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
          | FROM fix),
@@ -409,7 +418,10 @@ object SuffixArray {
          |SELECT f.doc_id, coalesce(c.clean_text, '') AS clean_text
          |FROM fix f LEFT JOIN clean c ON f.doc_id = c.doc_id
          |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
-      val fixed = Tables.documents(s, d).select(col("doc_id"),
+      val fixed = Tables.documents(s, d)
+        // 1/2 corpus sample (oracle carries the predicate): four full-corpus
+        // doubling chains made this family ~90s of the r17 bench
+        .filter(col("doc_id") % 2 === 0).select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" " + PlantedPhrase)))
           .otherwise(col("text")).as("text"))
@@ -426,7 +438,8 @@ object SuffixArray {
     Q("q269_dup_token_profile",
       s"""WITH fix AS (SELECT doc_id,
          |   CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedPhrase'
-         |        ELSE text END AS text FROM documents),
+         |        ELSE text END AS text FROM documents
+         |   WHERE doc_id % 2 = 0),
          | tl AS (SELECT doc_id,
          |   list_filter(string_split_regex(text, '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ts
          | FROM fix),
@@ -461,7 +474,10 @@ object SuffixArray {
          |  CAST(sum(dup) AS BIGINT) AS dup_tokens,
          |  CAST(sum(n) AS BIGINT) AS tokens
          |FROM perdoc GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
-      val fixed = Tables.documents(s, d).select(col("doc_id"),
+      val fixed = Tables.documents(s, d)
+        // 1/2 corpus sample (oracle carries the predicate): four full-corpus
+        // doubling chains made this family ~90s of the r17 bench
+        .filter(col("doc_id") % 2 === 0).select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" " + PlantedPhrase)))
           .otherwise(col("text")).as("text"))
