@@ -1080,7 +1080,8 @@ object Graph {
     // unrolled in the oracle; the FULL rank table hash-compares.
     Q("q240_personalized_pagerank",
       s"""WITH base AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-         |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |              WHERE o_custkey % 3 = 0),
          | e0 AS (SELECT c AS src, s AS dst FROM base
          |        UNION ALL SELECT s, c FROM base),
          | deg AS (SELECT src, CAST(count(1) AS BIGINT) AS outdeg FROM e0 GROUP BY 1),
@@ -1092,7 +1093,9 @@ object Graph {
          |        THEN $Scale ELSE 0 END AS BIGINT) AS rank FROM deg),
          |${(1 to 3).map(pprRoundSql).mkString(",\n")}
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr3 ORDER BY node""".stripMargin) { (s, d) =>
-      val edges = tradeEdges(s, d)
+      // the 1/3 lifecycle sample (see tradePairsSampled): the 3-round
+      // seed-restart recompute doesn't need the full graph either
+      val edges = undirected(tradePairsSampled(s, d))
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(expr("node % 2 = 1 AND (node div 2) % 29 = 0"))
       personalizedPageRank(edges, seeds, iters = 3)

@@ -1608,7 +1608,7 @@ object StreamingQueries {
         .orderBy("asset_id")
     },
 
-    // Streaming exact dedup with TTL state expiry: a crawl of 8 event days
+    // Streaming exact dedup with TTL state expiry: a crawl of 6 event days
     // drained day-by-day through a TtlDedupIndex(ttl=1). Content c (of 40
     // classes) is present on day d iff (d + c) % 4 < 2 — two-day runs of
     // sightings, two-day gaps — so each class is admitted at its first
@@ -1676,7 +1676,7 @@ object StreamingQueries {
     },
 
     // Streaming token-budget admission: the q226 mixture manifest as a
-    // continuous ingest. The 8-day crawl drains day-by-day through a
+    // continuous ingest. The 6-day crawl drains day-by-day through a
     // BudgetAdmitIndex whose budgets cross mid-stream (~day 4-5 at both
     // verify SFs), so the drain exercises open-budget batches, the
     // crossing batch (in-batch window + state offset), and fully-closed
