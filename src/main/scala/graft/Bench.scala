@@ -84,21 +84,24 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // Cold runs carry the byte attribution: warm reps re-execute the same
-    // physical plan, so one sample per query suffices and the drain cost
-    // (two listener-bus flushes) is paid once, outside the warm timings.
-    def timeOneWithBytes(q: graft.core.Q): (Option[Double], Long, Long) = {
-      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
-      val (s0, p0) = (shuffleAcc.get, spillAcc.get)
-      val t = timeOne(q)
-      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
-      (t, shuffleAcc.get - s0, spillAcc.get - p0)
-    }
+    // Byte attribution pays ONE listener-bus flush per query, not two:
+    // the snapshot window covers the query's cold run AND its warm reps
+    // (identical plans → identical bytes), closed by a single flush whose
+    // delta divides by the execution count. The previous query's closing
+    // flush doubles as this one's opening snapshot. Bracketing every cold
+    // run with its own flush pair cost ~0.3s × 299 of pure wall — part of
+    // what pushed the r17 driver bench past its budget.
+    org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
     val firstPass = selected.map { q =>
-      val (cold, shufB, spillB) = timeOneWithBytes(q)
+      val (s0, p0) = (shuffleAcc.get, spillAcc.get)
+      val cold = timeOne(q)
       if (cold.isEmpty) failed += q.name
       val warms = if (cold.isDefined) (1 to warmReps).flatMap(_ => timeOne(q)) else Nil
-      (q.name, cold, warms, (shufB, spillB))
+      org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+      val execs = (if (cold.isDefined) 1 else 0) + warms.size
+      val div = math.max(execs, 1).toLong
+      (q.name, cold, warms,
+        ((shuffleAcc.get - s0) / div, (spillAcc.get - p0) / div))
     }
     // Contention guard (r10 adjudication): the r10 suite reported q50 at
     // 6.49s warm while the same suite re-run reports 1.75s and an isolated
@@ -111,7 +114,14 @@ object Bench {
     // discards whichever half saw the noise.
     val recheckN = sys.env.get("SPARK_GRAFT_RECHECK").map(_.toInt).getOrElse(8)
     val queryBytes = firstPass.map { case (name, _, _, b) => name -> b }
-    val slowest = firstPass.filter(_._3.nonEmpty)
+    // r18: recheck only queries whose OWN rep spread shows contamination
+    // (max/min > 1.3) — a slow query whose three back-to-back reps agree
+    // was measured cleanly, and re-running it ×3 at the end of the suite
+    // was ~250s of wall on the top-8 alone (the r17 budget breaker). A
+    // poisoned contention phase inflates the spread of whatever ran inside
+    // it, so the trigger fires exactly when the distant re-sample helps.
+    val slowest = firstPass.filter { case (_, _, ws, _) =>
+        ws.nonEmpty && ws.min > 0 && ws.max / ws.min > 1.3 }
       .sortBy { case (_, _, ws, _) => -median(ws) }.take(recheckN).map(_._1).toSet
     val results = firstPass.map {
       case (name, cold, ws, _) if slowest.contains(name) && warmReps > 0 =>

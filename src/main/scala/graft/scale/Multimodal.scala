@@ -3549,24 +3549,31 @@ object Multimodal {
         |FROM vids v LEFT JOIN lbl l ON l.aid = v.aid
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = fixtureIds(s, d)
-        .mapPartitions { ids =>
-          ids.flatMap { id =>
-            val frames = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
-            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
-            out += ((id, gifEncodeGrayAnimated(frames.toSeq, 64, 64)))
-            if (id % 10 == 0)
-              out += ((id + 500000, gifEncodeGrayAnimated(
-                frames.map(fr => halfSize(fr, 64, 64)._3).toSeq, 32, 32)))
-            if (id % 10 == 5)
-              out += ((id + 600000,
-                gifEncodeGrayAnimated(Seq(frames(0), frames(2)), 64, 64)))
-            if (id % 10 == 7)
-              out += ((id + 700000, gifEncodeGrayAnimated(
-                Array.tabulate(4)(f => synthFramePixels(id, f, pert = true)).toSeq, 64, 64)))
-            out.iterator
+      // fixture ENCODE cached per JVM (graft.core.FixtureCache scaladoc) —
+      // the GIF container walk / LZW decode / frame vote still run every
+      // execution
+      val feed = graft.core.FixtureCache.dir(s"q221-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val frames = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+              out += ((id, gifEncodeGrayAnimated(frames.toSeq, 64, 64)))
+              if (id % 10 == 0)
+                out += ((id + 500000, gifEncodeGrayAnimated(
+                  frames.map(fr => halfSize(fr, 64, 64)._3).toSeq, 32, 32)))
+              if (id % 10 == 5)
+                out += ((id + 600000,
+                  gifEncodeGrayAnimated(Seq(frames(0), frames(2)), 64, 64)))
+              if (id % 10 == 7)
+                out += ((id + 700000, gifEncodeGrayAnimated(
+                  Array.tabulate(4)(f => synthFramePixels(id, f, pert = true)).toSeq, 64, 64)))
+              out.iterator
+            }
           }
-        }
+          .toDF("vid", "bytes").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
       // frame-hash relation keyed by a (video, frame) composite so the
       // banded pair machinery applies unchanged; 4 frames/video => *4.
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
@@ -3743,20 +3750,25 @@ object Multimodal {
         |FROM hsh h LEFT JOIN lbl l USING (aid)
         |ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val assets = fixtureIds(s, d)
-        .mapPartitions { ids =>
-          ids.flatMap { id =>
-            val base = synthPixels(id, pert = false)
-            val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
-            out += ((id, webpEncodeGrayVp8l(base, 64, 64), "webp"))
-            if (id % 10 == 2)
-              out += ((id + 800000, pngEncodeGray(base, 64, 64), "png"))
-            if (id % 10 == 7)
-              out += ((id + 900000,
-                webpEncodeGrayVp8l(synthPixels(id, pert = true), 64, 64), "webp"))
-            out.iterator
+      // fixture ENCODE cached per JVM (graft.core.FixtureCache scaladoc)
+      val feed = graft.core.FixtureCache.dir(s"q264-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val base = synthPixels(id, pert = false)
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              out += ((id, webpEncodeGrayVp8l(base, 64, 64), "webp"))
+              if (id % 10 == 2)
+                out += ((id + 800000, pngEncodeGray(base, 64, 64), "png"))
+              if (id % 10 == 7)
+                out += ((id + 900000,
+                  webpEncodeGrayVp8l(synthPixels(id, pert = true), 64, 64), "webp"))
+              out.iterator
+            }
           }
-        }
+          .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
