@@ -165,7 +165,10 @@ class NnDescentSpec extends SparkSpec {
       .select("family", "knob", "budget", "recall_bp")
       .as[(String, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
-    val knobs = Seq(2L, 4L, 8L)
+    // knobs come from the table (Recall.Beams moved to (2, 8) in r18 —
+    // hardcoding the panel here is what broke when the constant moved)
+    val knobs = table.keys.map(_._2).toSeq.distinct.sorted
+    assert(knobs.nonEmpty)
     // budget bookkeeping: hier = flat + one fixed upper-walk cost, per knob
     val extras = knobs.map(b => table(("graph_hier", b))._1 - table(("graph", b))._1)
     assert(extras.distinct.size === 1 && extras.head > 0)
@@ -217,7 +220,10 @@ class NnDescentSpec extends SparkSpec {
       .select("family", "knob", "budget")
       .as[(String, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    val extras = Seq(2L, 4L, 8L)
+    // knobs from the table (see the hier test's note on Recall.Beams)
+    val pqKnobs = table.keys.map(_._2).toSeq.distinct.sorted
+    assert(pqKnobs.nonEmpty)
+    val extras = pqKnobs
       .map(b => table(("graph_pq", b)) - table(("graph", b)))
     assert(extras.distinct === Seq(20L))
     val cz = NnDescent.codes(emb).localCheckpoint()
