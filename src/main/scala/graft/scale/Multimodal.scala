@@ -1338,7 +1338,9 @@ object Multimodal {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
     if (off != raw.length) return None
-    // in-place byte-granular reconstruction (all color types share it)
+    // in-place byte-granular reconstruction (all color types share it —
+    // for the gray/palette types bpp = 1 and `rec` IS the output base, so
+    // the dominant grayscale path pays no second buffer)
     val rec = new Array[Byte](h * rowBytes)
     var r = 0
     while (r < h) {
@@ -1362,27 +1364,37 @@ object Multimodal {
       }
       r += 1
     }
-    val out = new Array[Byte](w * h)
-    val nPal = if (plte == null) 0 else plte.length / 3
-    var p = 0
-    while (p < w * h) {
-      colorType match {
-        case 0 => out(p) = rec(p)
-        case 2 => out(p) = rgbLuma(rec(3 * p) & 0xff, rec(3 * p + 1) & 0xff,
-          rec(3 * p + 2) & 0xff).toByte
-        case 3 =>
+    colorType match {
+      case 0 => Some((w, h, rec)) // grayscale: the reconstruction IS the luma
+      case 3 =>
+        // palette: one 256-entry luma LUT, then an index map in place
+        val nPal = plte.length / 3
+        val lut = Array.tabulate(nPal)(ci => rgbLuma(plte(3 * ci) & 0xff,
+          plte(3 * ci + 1) & 0xff, plte(3 * ci + 2) & 0xff).toByte)
+        var p = 0
+        while (p < rec.length) {
           val ci = rec(p) & 0xff
           if (ci >= nPal) return None
-          out(p) = rgbLuma(plte(3 * ci) & 0xff, plte(3 * ci + 1) & 0xff,
-            plte(3 * ci + 2) & 0xff).toByte
-        case _ =>
-          if ((rec(4 * p + 3) & 0xff) != 255) return None // alpha: fail closed
-          out(p) = rgbLuma(rec(4 * p) & 0xff, rec(4 * p + 1) & 0xff,
-            rec(4 * p + 2) & 0xff).toByte
-      }
-      p += 1
+          rec(p) = lut(ci)
+          p += 1
+        }
+        Some((w, h, rec))
+      case _ =>
+        val out = new Array[Byte](w * h)
+        var p = 0
+        while (p < w * h) {
+          if (colorType == 2)
+            out(p) = rgbLuma(rec(3 * p) & 0xff, rec(3 * p + 1) & 0xff,
+              rec(3 * p + 2) & 0xff).toByte
+          else {
+            if ((rec(4 * p + 3) & 0xff) != 255) return None // alpha: fail closed
+            out(p) = rgbLuma(rec(4 * p) & 0xff, rec(4 * p + 1) & 0xff,
+              rec(4 * p + 2) & 0xff).toByte
+          }
+          p += 1
+        }
+        Some((w, h, out))
     }
-    Some((w, h, out))
   }
 
   /** Nearest-neighbor half-size downscale of a rectangular grayscale
@@ -1678,14 +1690,16 @@ object Multimodal {
           }
           val out = new Array[Byte](fw * fh)
           val nPal = pal.length / 3
+          // COLOR palettes map through the q225 fixed-point luma via a
+          // per-palette LUT — exact v on gray entries (gray fixtures
+          // unchanged), one luma per palette slot instead of per pixel
+          val lut = Array.tabulate(nPal)(ci => rgbLuma(pal(3 * ci) & 0xff,
+            pal(3 * ci + 1) & 0xff, pal(3 * ci + 2) & 0xff).toByte)
           var k = 0
           while (k < idx.length) {
             val ci = idx(k) & 0xff
             if (ci >= nPal) return None
-            // COLOR palettes map through the q225 fixed-point luma —
-            // exact v on gray entries, so gray fixtures are unchanged
-            out(k) = rgbLuma(pal(3 * ci) & 0xff, pal(3 * ci + 1) & 0xff,
-              pal(3 * ci + 2) & 0xff).toByte
+            out(k) = lut(ci)
             k += 1
           }
           frames += out
@@ -1753,14 +1767,14 @@ object Multimodal {
           }
           val out = new Array[Byte](fw * fh)
           val nPal = pal.length / 3
+          // per-palette luma LUT — see gifDecodeGrayFrames' note
+          val lut = Array.tabulate(nPal)(ci => rgbLuma(pal(3 * ci) & 0xff,
+            pal(3 * ci + 1) & 0xff, pal(3 * ci + 2) & 0xff).toByte)
           var k = 0
           while (k < idx.length) {
             val ci = idx(k) & 0xff
             if (ci >= nPal) return None
-            // COLOR palettes map through the q225 fixed-point luma —
-            // exact v on gray entries, so gray fixtures are unchanged
-            out(k) = rgbLuma(pal(3 * ci) & 0xff, pal(3 * ci + 1) & 0xff,
-              pal(3 * ci + 2) & 0xff).toByte
+            out(k) = lut(ci)
             k += 1
           }
           return Some((fw, fh, out))
