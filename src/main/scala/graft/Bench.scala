@@ -66,8 +66,14 @@ object Bench {
     // keeps cross-round comparability), then `warmReps` more times with the
     // median reported as the warm number: single warm runs on a shared VM
     // showed up to 5x run-to-run spread (q32: 0.93s vs 4.8s across r3 runs),
-    // so round-over-round warm deltas need a robust statistic.
-    val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS").map(_.toInt).getOrElse(3)
+    // so round-over-round warm deltas need a robust statistic. r19: 3 → 2
+    // warm reps — two consecutive driver benches died at the wall clock
+    // (rc=124, r17+r18) because the suite left no margin for the measured
+    // ~1.5x co-tenant load multiplier; the third back-to-back rep bought
+    // little (back-to-back reps share any contention phase anyway — the r10
+    // adjudication), while the baseline-relative recheck below restores the
+    // distant re-sample exactly where a deviation needs one.
+    val warmReps = sys.env.get("SPARK_GRAFT_WARM_REPS").map(_.toInt).getOrElse(2)
     def timeOne(q: graft.core.Q): Option[Double] =
       try {
         val t0 = System.nanoTime()
@@ -84,24 +90,67 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // The committed previous round's warm medians, read BEFORE this run
+    // overwrites the artifact: the recheck gate below compares against them
+    // (r18 ADVICE — intra-run spread alone misses a sustained contention
+    // phase that inflates all back-to-back reps uniformly).
+    val prevMed: Map[String, Double] = {
+      val f = new java.io.File("BENCH_DETAIL.json")
+      if (!f.exists) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val prevSf = "\"sf\":([0-9.]+)".r.findFirstMatchIn(txt).map(_.group(1))
+        val sfHere = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+        if (prevSf != sfHere) Map.empty
+        else "\"([^\"]+)\":\\{\"cold\":[^}]*\"med\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    // Wall-clock-kill insurance (r18 verdict task 1): two driver benches in
+    // a row hit rc=124 with NO parsed artifact because the only parseable
+    // line prints at the very end. A compact partial line every 20 queries
+    // keeps the driver's 2000-byte stdout tail parseable at any kill point —
+    // headline totals + progress, no per-query map (bounded size).
+    def partialLine(done: Int, coldSum: Double, warmSum: Double): String =
+      s"""{"metric":"total","value":${f"$warmSum%.3f"},"unit":"sec","total_cold":${f"$coldSum%.3f"},"reps":$warmReps,"partial":{"done":$done,"of":${selected.size}},"failed":${failed.size},"sf_dir":"$sfDir"}"""
     // Byte attribution pays ONE listener-bus flush per query, not two:
     // the snapshot window covers the query's cold run AND its warm reps
     // (identical plans → identical bytes), closed by a single flush whose
     // delta divides by the execution count. The previous query's closing
     // flush doubles as this one's opening snapshot. Bracketing every cold
     // run with its own flush pair cost ~0.3s × 299 of pure wall — part of
-    // what pushed the r17 driver bench past its budget.
+    // what pushed the r17 driver bench past its budget. EXCEPTION (r18
+    // ADVICE): a cold run that BUILT a FixtureCache entry pays one-time
+    // fixture-materialization shuffles that are not part of the steady-state
+    // plan — detected via the build counter, those queries pay an extra
+    // post-cold flush and attribute bytes from the warm reps only.
     org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
-    val firstPass = selected.map { q =>
+    var partialCold = 0d
+    var partialWarm = 0d
+    val firstPass = selected.zipWithIndex.map { case (q, qi) =>
       val (s0, p0) = (shuffleAcc.get, spillAcc.get)
+      val builds0 = graft.core.FixtureCache.buildCount
       val cold = timeOne(q)
       if (cold.isEmpty) failed += q.name
+      val snapped = graft.core.FixtureCache.buildCount != builds0 &&
+        cold.isDefined && warmReps > 0
+      val (s1, p1) =
+        if (snapped) {
+          org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
+          (shuffleAcc.get, spillAcc.get)
+        } else (s0, p0)
       val warms = if (cold.isDefined) (1 to warmReps).flatMap(_ => timeOne(q)) else Nil
       org.apache.spark.GraftListenerBridge.flushListeners(spark.sparkContext)
-      val execs = (if (cold.isDefined) 1 else 0) + warms.size
+      val execs =
+        if (snapped) warms.size
+        else (if (cold.isDefined) 1 else 0) + warms.size
       val div = math.max(execs, 1).toLong
+      partialCold += cold.getOrElse(0d)
+      partialWarm += (if (warms.nonEmpty) median(warms) else cold.getOrElse(0d))
+      if ((qi + 1) % 20 == 0 && qi + 1 < selected.size)
+        println(partialLine(qi + 1, partialCold, partialWarm))
       (q.name, cold, warms,
-        ((shuffleAcc.get - s0) / div, (spillAcc.get - p0) / div))
+        ((shuffleAcc.get - s1) / div, (spillAcc.get - p1) / div))
     }
     // Contention guard (r10 adjudication): the r10 suite reported q50 at
     // 6.49s warm while the same suite re-run reports 1.75s and an isolated
@@ -115,13 +164,20 @@ object Bench {
     val recheckN = sys.env.get("SPARK_GRAFT_RECHECK").map(_.toInt).getOrElse(8)
     val queryBytes = firstPass.map { case (name, _, _, b) => name -> b }
     // r18: recheck only queries whose OWN rep spread shows contamination
-    // (max/min > 1.3) — a slow query whose three back-to-back reps agree
+    // (max/min > 1.3) — a slow query whose back-to-back reps agree
     // was measured cleanly, and re-running it ×3 at the end of the suite
     // was ~250s of wall on the top-8 alone (the r17 budget breaker). A
     // poisoned contention phase inflates the spread of whatever ran inside
     // it, so the trigger fires exactly when the distant re-sample helps.
-    val slowest = firstPass.filter { case (_, _, ws, _) =>
-        ws.nonEmpty && ws.min > 0 && ws.max / ws.min > 1.3 }
+    // r19 (r18 ADVICE): ALSO fire when the warm median exceeds 1.5x the
+    // committed previous round's — a sustained contention phase inflates
+    // every back-to-back rep uniformly (spread ~1.0, median 2x wrong), and
+    // only a baseline deviation exposes it. Genuine regressions re-measure
+    // the same both times; poisoned ones recover at the distant re-sample.
+    val slowest = firstPass.filter { case (name, _, ws, _) =>
+        ws.nonEmpty && ws.min > 0 &&
+          (ws.max / ws.min > 1.3 ||
+            prevMed.get(name).exists(p => p > 0 && median(ws) > p * 1.5)) }
       .sortBy { case (_, _, ws, _) => -median(ws) }.take(recheckN).map(_._1).toSet
     val results = firstPass.map {
       case (name, cold, ws, _) if slowest.contains(name) && warmReps > 0 =>

@@ -1,6 +1,9 @@
 package graft.core
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-JVM materialization cache for synthetic fixture substrates.
   *
@@ -15,21 +18,104 @@ import java.util.concurrent.ConcurrentHashMap
   * walk, codec decode, banded vote, LSM lifecycle — fully exercised on
   * identical bytes while the fixture synthesis is paid once.
   *
+  * Round 19 extends the same economics to the ANN/graph index LIFECYCLE
+  * family (VERDICT r18 task 1): a lifecycle query's INPUT index build
+  * (buildIvfIndex / NavIndex.build / PageRankIndex.build / PostingsIndex
+  * seeding over the unchanged corpus+twins substrate) materializes once per
+  * JVM per (build, sfDir); each execution [[copied]]-clones the built
+  * directory tree into its own scratch root and re-runs the CERTIFIED
+  * mutation (append/delete/rebalance/compact) + probes on the clone. The
+  * cached artifact is only ever the deterministic input substrate — never a
+  * query's own certified output (a query whose certified op IS a build
+  * keeps building).
+  *
   * Keys must include the sf dir (fixtures differ per scale factor). The
   * scratch dirs are [[Scratch]]-registered, so they are removed at JVM
   * exit; nothing outlives the process.
   */
 object FixtureCache {
   private val built = new ConcurrentHashMap[String, String]()
+  // monotone count of builds actually RUN in this JVM — Bench uses the
+  // delta across a query's cold run to detect one-time fixture shuffles
+  // that must not be attributed to the steady-state plan (r18 ADVICE)
+  private val buildsRun = new java.util.concurrent.atomic.AtomicLong
+
+  def buildCount: Long = buildsRun.get
 
   /** Build-once directory: `build(dir)` materializes the fixture under a
     * fresh scratch `dir` on first call for `key`; later calls return the
-    * same dir. The caller reads it back (batch or readStream).
+    * same dir. The caller reads it back (batch or readStream). The build
+    * lands in a staging dir and is ATOMIC_MOVE-renamed into the registered
+    * path only after `build` returns (r18 ADVICE: a crash or exception
+    * mid-build must not leave a half-built dir that the per-JVM map then
+    * serves to every later rep); an empty result fails loudly rather than
+    * being registered.
     */
   def dir(key: String)(build: String => Unit): String =
     built.computeIfAbsent(key, _ => {
-      val p = Scratch.dir("graft-fx")
-      build(p)
-      p
+      val parent = Scratch.dir("graft-fx")
+      val stage = Paths.get(parent, "stage")
+      Files.createDirectories(stage)
+      build(stage.toString)
+      require(nonEmptyDir(stage), s"FixtureCache build for '$key' wrote nothing")
+      val fin = Paths.get(parent, "built")
+      Files.move(stage, fin, StandardCopyOption.ATOMIC_MOVE)
+      buildsRun.incrementAndGet()
+      fin.toString
     })
+
+  /** Build-once DataFrame: materialized as parquet under [[dir]] on first
+    * call, re-read on every call — the relation-shaped cache the recall
+    * harness's substrates (brute-force panel, NN-descent graph, int8
+    * codes) use. The parquet round-trip replaces the localCheckpoint the
+    * uncached path pins; values are identical because every substrate here
+    * is integer-exact and deterministic.
+    */
+  def table(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    spark.read.parquet(dir(key)(p => build.write.parquet(s"$p/t")) + "/t")
+
+  /** Build-once driver-side integer matrix (a trained codebook / centroid
+    * model), parquet-backed like [[table]] so the Lloyd rounds behind it
+    * run once per JVM.
+    */
+  def centroids(spark: SparkSession, key: String)
+               (build: => Array[Array[Long]]): Array[Array[Long]] = {
+    import spark.implicits._
+    val d = dir(key) { p =>
+      build.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cid", "cent").coalesce(1).write.parquet(s"$p/t")
+    }
+    spark.read.parquet(s"$d/t").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** Build-once directory, CLONED per call: ensures the cached build at its
+    * cache path, then deep-copies it under `dest` — the lifecycle pattern.
+    * The clone is private to the caller, so the certified mutation
+    * (append/delete/rebalance/compact) runs on it without contaminating
+    * the cache; [[graft.write.VersionedTable]] manifests hold root-relative
+    * paths, so a copied tree is fully self-contained.
+    */
+  def copied(key: String, dest: String)(build: String => Unit): Unit =
+    copyTree(Paths.get(dir(key)(build)), Paths.get(dest))
+
+  private def nonEmptyDir(p: Path): Boolean = {
+    val s = Files.list(p)
+    try s.iterator().hasNext finally s.close()
+  }
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst.getParent)
+    val s = Files.walk(src)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val from = it.next()
+        val to = dst.resolve(src.relativize(from))
+        if (Files.isDirectory(from)) Files.createDirectories(to)
+        else Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally s.close()
+  }
 }

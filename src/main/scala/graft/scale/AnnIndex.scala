@@ -669,8 +669,15 @@ object AnnIndex {
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(eps)).cast("array<float>"))
       val root = s"${graft.core.Scratch.dir("graft-q205")}/ivf"
-      buildIvfIndex(
-        emb.unionByName(twin(100000, 0.02f)).unionByName(twin(200000, 0.03f)), root)
+      // the INPUT build (corpus + both twin strata) is deterministic
+      // substrate, cached once per JVM and cloned per execution; the
+      // CERTIFIED lifecycle — both delete batches, both probes, the
+      // compaction — runs on the private clone every time (r18 task 1)
+      graft.core.FixtureCache.copied(s"ivf-q205@$d", root) { p =>
+        buildIvfIndex(
+          emb.unionByName(twin(100000, 0.02f)).unionByName(twin(200000, 0.03f)), p)
+        ()
+      }
       deleteFromIvfIndex(emb.select("vec_id").filter(col("vec_id") % 17 === 3), root)
       deleteFromIvfIndex(
         probes.select((col("vec_id") + 100000).as("vec_id")), root)
@@ -746,7 +753,12 @@ object AnnIndex {
             x => x + lit(0.003f) * pmod(col("r"), lit(7)).cast("float"))
             .cast("array<float>").as("embedding"))
       val root = s"${graft.core.Scratch.dir("graft-q228")}/ivf"
-      buildIvfIndex(emb.unionByName(twins), root)
+      // cached INPUT build, cloned per execution (r18 task 1); the clump
+      // append that CAUSES the skew, the rebalance, and all three serve
+      // phases are the certified lifecycle and re-run on the clone
+      graft.core.FixtureCache.copied(s"ivf-q228@$d", root) { p =>
+        buildIvfIndex(emb.unionByName(twins), p); ()
+      }
       appendToIvfIndex(clump, root)
       def serve(phase: String, nProbe: Int) =
         probeIvf(s, root, probes, k = 1, nProbe = nProbe)
@@ -813,8 +825,11 @@ object AnnIndex {
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
-      val root = s"${graft.core.Scratch.dir("graft-q292")}/ivf"
-      buildIvfIndex(emb.unionByName(twins), root)
+      // mining never mutates the index — serve straight from the cached
+      // INPUT build (no per-execution clone needed, r18 task 1)
+      val root = graft.core.FixtureCache.dir(s"ivf-q292@$d") { p =>
+        buildIvfIndex(emb.unionByName(twins), p); ()
+      }
       val anchors = emb.filter(col("vec_id") % 20 === 0)
       val labels = anchors
         .select(col("vec_id").as("qid"), (col("vec_id") + 100000).as("pos_id"))

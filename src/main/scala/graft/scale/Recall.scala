@@ -61,6 +61,27 @@ object Recall {
   // dot before the final top-k cut
   private val RerankN = 20
 
+  /** Substrate cache hook (r18 verdict task 1): with a `cacheKey` the
+    * recall harness's INPUT substrates — the brute-force ground-truth
+    * panel, the int8 code relation, the NN-descent graph, the IVF
+    * postings/routing, the PQ codebook — materialize once per JVM via
+    * [[graft.core.FixtureCache]] and are re-read on later executions;
+    * without one (the spec path) behavior is unchanged. The serve walks
+    * and recall measurements — the certified op — always re-run. Callers
+    * sharing a key MUST pass identical (corpus, queries, knobs); the four
+    * lifecycle queries (q206/q215/q233/q234) do, so one build serves all.
+    */
+  private def cachedT(ck: Option[String], spark: org.apache.spark.sql.SparkSession,
+                      part: String)(b: => DataFrame): DataFrame =
+    ck match {
+      case Some(k) => graft.core.FixtureCache.table(spark, s"$k/$part")(b)
+      case None => b.localCheckpoint()
+    }
+
+  private def cachedCents(ck: Option[String], spark: org.apache.spark.sql.SparkSession,
+                          part: String)(b: => Array[Array[Long]]): Array[Array[Long]] =
+    ck.fold(b)(k => graft.core.FixtureCache.centroids(spark, s"$k/$part")(b))
+
   /** Recall@`k` of int8-rerank IVF probing vs the int8 brute-force ranking,
     * one row per probe width: (n_probe, hits, possible, recall_bp) with
     * recall in integer basis points (hits·10000 div possible) — exact on
@@ -69,7 +90,7 @@ object Recall {
   def ivfRecallTable(corpus: DataFrame, queries: DataFrame, k: Int = TopK,
                      nProbes: Seq[Int] = Probes, nCells: Int = Cells,
                      iters: Int = Iters): DataFrame =
-    ivfRecallTable(corpus, queries, k, nProbes, nCells, iters, None)
+    ivfRecallTable(corpus, queries, k, nProbes, nCells, iters, None, None)
 
   /** [[ivfRecallTable]] with an optional precomputed brute-force (qid, nid)
     * ranking — [[familyRecallTable]] shares one brute pass between both
@@ -77,35 +98,41 @@ object Recall {
     */
   private def ivfRecallTable(corpus: DataFrame, queries: DataFrame, k: Int,
                              nProbes: Seq[Int], nCells: Int, iters: Int,
-                             bruteOpt: Option[DataFrame]): DataFrame = {
+                             bruteOpt: Option[DataFrame],
+                             cacheKey: Option[String]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val g = Kmeans.quantizeGrid(corpus).localCheckpoint()
-    val cents = Kmeans.lloyd(g, nCells, iters)
-    val post = Kmeans.assignNearest(g, cents)
-      .select(col("vec_id").cast("long").as("nid"), col("cid"))
-      .join(Similarity.quantizeInt8(corpus)
-        .select(col("vec_id").cast("long").as("nid"), col("qcode").as("cc")), "nid")
+    // lazy: when both the postings and routing relations come out of the
+    // substrate cache, the Lloyd training behind them never re-runs
+    lazy val g = Kmeans.quantizeGrid(corpus).localCheckpoint()
+    lazy val cents = Kmeans.lloyd(g, nCells, iters)
+    val post = cachedT(cacheKey, spark, "ivf-post") {
+      Kmeans.assignNearest(g, cents)
+        .select(col("vec_id").cast("long").as("nid"), col("cid"))
+        .join(Similarity.quantizeInt8(corpus)
+          .select(col("vec_id").cast("long").as("nid"), col("qcode").as("cc")), "nid")
+    }
     val qz = Similarity.quantizeInt8(queries)
       .select(col("vec_id").cast("long").as("qid"), col("qcode").as("qc"))
     // routing: exact integer L2 between the query's grid code and every
     // centroid — a |queries| × nCells cross against the broadcast k-row
     // centroid table, ranked (dist, cid)
-    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toSeq.toDF("cid", "cent")
-    val sq = aggregate(zip_with(col("gcode"), col("cent"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
-    val route = Kmeans.quantizeGrid(queries)
-      .select(col("vec_id").cast("long").as("qid"), col("gcode"))
-      .crossJoin(broadcast(centsDf))
-      .select(col("qid"), col("cid"), sq.as("dist"))
-      .withColumn("rrank",
-        row_number().over(Window.partitionBy("qid").orderBy(col("dist"), col("cid"))))
-      .select("qid", "cid", "rrank")
-      .localCheckpoint()
-    val brute = bruteOpt.getOrElse(
-      Similarity.quantizedTopK(corpus, queries, k)
-        .select("qid", "nid").localCheckpoint())
+    val route = cachedT(cacheKey, spark, "ivf-route") {
+      val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cid", "cent")
+      val sq = aggregate(zip_with(col("gcode"), col("cent"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      Kmeans.quantizeGrid(queries)
+        .select(col("vec_id").cast("long").as("qid"), col("gcode"))
+        .crossJoin(broadcast(centsDf))
+        .select(col("qid"), col("cid"), sq.as("dist"))
+        .withColumn("rrank",
+          row_number().over(Window.partitionBy("qid").orderBy(col("dist"), col("cid"))))
+        .select("qid", "cid", "rrank")
+    }
+    val brute = bruteOpt.getOrElse(cachedT(cacheKey, spark, "brute") {
+      Similarity.quantizedTopK(corpus, queries, k).select("qid", "nid")
+    })
     // per probe width: cell-pruned candidates → bounded-heap top-k →
     // intersection with the brute ranking. A global agg always yields its
     // row, so a zero-hit width still surfaces as hits=0, never a lost row.
@@ -199,16 +226,21 @@ object Recall {
                         nProbes: Seq[Int] = Probes, beams: Seq[Int] = Beams,
                         nCells: Int = Cells, iters: Int = Iters,
                         graphK: Int = GraphK, graphIters: Int = GraphIters,
-                        beamRounds: Int = BeamRounds, nSeeds: Int = Seeds): DataFrame = {
+                        beamRounds: Int = BeamRounds, nSeeds: Int = Seeds,
+                        cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
     val n = corpus.count()
-    val brute = Similarity.quantizedTopK(corpus, queries, k)
-      .select("qid", "nid").localCheckpoint()
-    val ivf = ivfRecallTable(corpus, queries, k, nProbes, nCells, iters, Some(brute))
+    val brute = cachedT(cacheKey, spark, "brute") {
+      Similarity.quantizedTopK(corpus, queries, k).select("qid", "nid")
+    }
+    val ivf = ivfRecallTable(corpus, queries, k, nProbes, nCells, iters,
+        Some(brute), cacheKey)
       .select(lit("ivf").as("family"), col("n_probe").as("knob"),
         (col("n_probe") * lit(n / nCells)).as("budget"),
         col("hits"), col("possible"), col("recall_bp"))
-    val cz = NnDescent.codes(corpus).localCheckpoint()
-    val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
+    val cz = cachedT(cacheKey, spark, "cz")(NnDescent.codes(corpus))
+    val g = cachedT(cacheKey, spark, "graph")(
+      NnDescent.buildKnnGraph(corpus, graphK, graphIters))
     val graphRows = beams.map { b =>
       NnDescent.beamProbe(g, cz, queries, k, b, beamRounds, graphK, nSeeds)
         .select("qid", "nid")
@@ -275,13 +307,17 @@ object Recall {
                                k: Int = TopK, beams: Seq[Int] = Beams,
                                graphK: Int = GraphK, graphIters: Int = GraphIters,
                                beamRounds: Int = BeamRounds, nSeeds: Int = Seeds,
-                               nCells: Int = Cells, iters: Int = Iters): DataFrame = {
-    val brute = Similarity.quantizedTopK(corpus, queries, k)
-      .select("qid", "nid").localCheckpoint()
-    val cz = NnDescent.codes(corpus).localCheckpoint()
-    val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
-    val seeds = ivfEntryPoints(corpus, queries, nSeeds, nCells, iters)
-      .localCheckpoint()
+                               nCells: Int = Cells, iters: Int = Iters,
+                               cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val brute = cachedT(cacheKey, spark, "brute") {
+      Similarity.quantizedTopK(corpus, queries, k).select("qid", "nid")
+    }
+    val cz = cachedT(cacheKey, spark, "cz")(NnDescent.codes(corpus))
+    val g = cachedT(cacheKey, spark, "graph")(
+      NnDescent.buildKnnGraph(corpus, graphK, graphIters))
+    val seeds = cachedT(cacheKey, spark, "seeds")(
+      ivfEntryPoints(corpus, queries, nSeeds, nCells, iters))
     def hitRow(family: String, b: Int, probe: DataFrame) = probe
       .select("qid", "nid").join(brute, Seq("qid", "nid"))
       .agg(count(lit(1)).as("hits"))
@@ -313,14 +349,19 @@ object Recall {
                       beams: Seq[Int] = Beams, sample: Int = HierSample,
                       upperBeam: Int = UpperBeam, graphK: Int = GraphK,
                       graphIters: Int = GraphIters,
-                      beamRounds: Int = BeamRounds, nSeeds: Int = Seeds): DataFrame = {
-    val brute = Similarity.quantizedTopK(corpus, queries, k)
-      .select("qid", "nid").localCheckpoint()
-    val cz = NnDescent.codes(corpus).localCheckpoint()
-    val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
-    val upper = corpus.filter(NnDescent.layerPredicate(col("vec_id"), sample))
-    val czU = NnDescent.codes(upper).localCheckpoint()
-    val gU = NnDescent.buildKnnGraph(upper, graphK, graphIters)
+                      beamRounds: Int = BeamRounds, nSeeds: Int = Seeds,
+                      cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val brute = cachedT(cacheKey, spark, "brute") {
+      Similarity.quantizedTopK(corpus, queries, k).select("qid", "nid")
+    }
+    val cz = cachedT(cacheKey, spark, "cz")(NnDescent.codes(corpus))
+    val g = cachedT(cacheKey, spark, "graph")(
+      NnDescent.buildKnnGraph(corpus, graphK, graphIters))
+    lazy val upper = corpus.filter(NnDescent.layerPredicate(col("vec_id"), sample))
+    val czU = cachedT(cacheKey, spark, "czU")(NnDescent.codes(upper))
+    val gU = cachedT(cacheKey, spark, "graphU")(
+      NnDescent.buildKnnGraph(upper, graphK, graphIters))
     val upperBudget = nSeeds + beamRounds * upperBeam * 2 * graphK
     def hitRow(family: String, b: Int, budget: Long, probe: DataFrame) = probe
       .select("qid", "nid").join(brute, Seq("qid", "nid"))
@@ -352,14 +393,18 @@ object Recall {
   def pqWalkTable(corpus: DataFrame, queries: DataFrame, k: Int = TopK,
                   beams: Seq[Int] = Beams, graphK: Int = GraphK,
                   graphIters: Int = GraphIters, beamRounds: Int = BeamRounds,
-                  nSeeds: Int = Seeds, rerankN: Int = RerankN): DataFrame = {
-    val brute = Similarity.quantizedTopK(corpus, queries, k)
-      .select("qid", "nid").localCheckpoint()
-    val cz = NnDescent.codes(corpus).localCheckpoint()
-    val g = NnDescent.buildKnnGraph(corpus, graphK, graphIters)
-    val subs = Pq.subvectors(corpus)
-    val cents = Pq.trainCodebook(subs)
-    val pqCodes = Pq.encode(subs, cents).localCheckpoint()
+                  nSeeds: Int = Seeds, rerankN: Int = RerankN,
+                  cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val brute = cachedT(cacheKey, spark, "brute") {
+      Similarity.quantizedTopK(corpus, queries, k).select("qid", "nid")
+    }
+    val cz = cachedT(cacheKey, spark, "cz")(NnDescent.codes(corpus))
+    val g = cachedT(cacheKey, spark, "graph")(
+      NnDescent.buildKnnGraph(corpus, graphK, graphIters))
+    lazy val subs = Pq.subvectors(corpus)
+    val cents = cachedCents(cacheKey, spark, "pq-cents")(Pq.trainCodebook(subs))
+    val pqCodes = cachedT(cacheKey, spark, "pq-codes")(Pq.encode(subs, cents))
     def hitRow(family: String, b: Int, budget: Long, probe: DataFrame) = probe
       .select("qid", "nid").join(brute, Seq("qid", "nid"))
       .agg(count(lit(1)).as("hits"))
@@ -1048,7 +1093,11 @@ ORDER BY family, knob"""
     // that before a serving rollout.
     Q("q206_ann_families", familyOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      familyRecallTable(emb, emb.filter(col("vec_id") < NQueries))
+      // "recall-core@d" is shared by q206/q215/q233/q234 — identical
+      // (corpus, query panel, knobs), so the brute ground truth, int8
+      // codes, NN-descent graph, and IVF postings build once per JVM
+      familyRecallTable(emb, emb.filter(col("vec_id") < NQueries),
+          cacheKey = Some(s"recall-core@$d"))
         .orderBy("family", "knob")
     },
 
@@ -1062,7 +1111,8 @@ ORDER BY family, knob"""
     // dominance law (routed >= fixed at every knob).
     Q("q215_ann_seeded", seededOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      graphSeedComparisonTable(emb, emb.filter(col("vec_id") < NQueries))
+      graphSeedComparisonTable(emb, emb.filter(col("vec_id") < NQueries),
+          cacheKey = Some(s"recall-core@$d"))
         .orderBy("family", "knob")
     },
 
@@ -1078,8 +1128,12 @@ ORDER BY family, knob"""
     Q("q218_ann_nav_delete", navDeleteOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val root = s"${graft.core.Scratch.dir("graft-q218")}/nav"
+      // cached INPUT build (shared with q232/q235 — same corpus, same
+      // knobs), cloned per execution; the delete lifecycle is certified
+      graft.core.FixtureCache.copied(s"nav-core@$d", root) { p =>
+        new NnDescent.NavIndex(s, p, GraphK, GraphIters).build(emb)
+      }
       val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters)
-      idx.build(emb)
       idx.delete(emb.select("vec_id").filter(col("vec_id") % 7 === 0))
       val qs = emb.filter(col("vec_id") < NQueries)
       def serve(phase: String) =
@@ -1107,10 +1161,14 @@ ORDER BY family, knob"""
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         .withColumn("lang", expr(
           "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
-      val root = s"${graft.core.Scratch.dir("graft-q300")}/nav"
+      // filtered probes never mutate — serve straight from the cached
+      // build (shared with q301: same corpus+lang metaCol, same knobs)
+      val root = graft.core.FixtureCache.dir(s"nav-lang@$d") { p =>
+        new NnDescent.NavIndex(s, p, GraphK, GraphIters,
+          metaCols = Seq("lang")).build(emb)
+      }
       val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters,
         metaCols = Seq("lang"))
-      idx.build(emb)
       idx.probe(emb.filter(col("vec_id") < NQueries), TopK, NavBeam,
           BeamRounds, Seeds, pred = Some(col("lang") === "en"))
         .select(col("qid").cast("long").as("qid"),
@@ -1129,13 +1187,16 @@ ORDER BY family, knob"""
         .withColumn("lang", expr(
           "CASE CAST(vec_id % 4 AS INT) WHEN 0 THEN 'en' ELSE 'xx' END"))
       val qs = emb.filter(col("vec_id") < NQueries)
-      val root = s"${graft.core.Scratch.dir("graft-q301")}/nav"
+      val root = graft.core.FixtureCache.dir(s"nav-lang@$d") { p =>
+        new NnDescent.NavIndex(s, p, GraphK, GraphIters,
+          metaCols = Seq("lang")).build(emb)
+      }
       val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters,
         metaCols = Seq("lang"))
-      idx.build(emb)
-      val brute = Similarity.quantizedTopK(
-          emb.filter(col("lang") === "en"), qs, TopK)
-        .select("qid", "nid").localCheckpoint()
+      val brute = cachedT(Some(s"nav-lang@$d"), s, "brute-en") {
+        Similarity.quantizedTopK(emb.filter(col("lang") === "en"), qs, TopK)
+          .select("qid", "nid")
+      }
       val rows = Beams.map { b =>
         idx.probe(qs, TopK, b, BeamRounds, Seeds,
             pred = Some(col("lang") === "en"))
@@ -1167,8 +1228,10 @@ ORDER BY family, knob"""
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
       val root = s"${graft.core.Scratch.dir("graft-q232")}/nav"
+      graft.core.FixtureCache.copied(s"nav-core@$d", root) { p =>
+        new NnDescent.NavIndex(s, p, GraphK, GraphIters).build(emb)
+      }
       val idx = new NnDescent.NavIndex(s, root, GraphK, GraphIters)
-      idx.build(emb)
       idx.append(twins, beam = NavBeam, rounds = BeamRounds, nSeeds = Seeds)
       val qs = emb.filter(col("vec_id") < NQueries)
       def serve(phase: String) =
@@ -1194,7 +1257,8 @@ ORDER BY family, knob"""
     // alternative that does).
     Q("q233_ann_hier", hierOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      hierRecallTable(emb, emb.filter(col("vec_id") < NQueries))
+      hierRecallTable(emb, emb.filter(col("vec_id") < NQueries),
+          cacheKey = Some(s"recall-core@$d"))
         .orderBy("family", "knob")
     },
 
@@ -1206,7 +1270,8 @@ ORDER BY family, knob"""
     // hit count and fails the hash.
     Q("q234_ann_pq_walk", pqWalkOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-      pqWalkTable(emb, emb.filter(col("vec_id") < NQueries))
+      pqWalkTable(emb, emb.filter(col("vec_id") < NQueries),
+          cacheKey = Some(s"recall-core@$d"))
         .orderBy("family", "knob")
     },
   )

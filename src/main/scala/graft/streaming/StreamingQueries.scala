@@ -832,19 +832,28 @@ object StreamingQueries {
       import graft.scale.Retrieval
       val wh = scratchDir("graft-q212")
       val terms = Seq("spark", "merge", "dup")
-      val lex = new PostingsIndex(s, s"$wh/lex")
-      // phrase serving never reads doc-length statistics — skip the
-      // per-batch sidecar promotes on the positional twin
-      val pos = new PostingsIndex(s, s"$wh/pos",
-        build = df => Retrieval.positionalIndex(df), maintainSidecars = false)
       // 1/2 corpus sample (oracle carries the same predicate) — two full
-      // postings builds made this the 5th-heaviest bench entry (r17)
+      // postings builds made this the 5th-heaviest bench entry (r17).
+      // r18 task 1: the two seeded index builds are the INPUT substrate,
+      // cached once per JVM and cloned per execution; the deletes, all
+      // three serving surfaces in both phases, and the compactions are
+      // the certified lifecycle and re-run on the clone.
       val docs = Tables.documents(s, d).select("doc_id", "text")
         .filter(col("doc_id") % 2 === 0)
-      for (i <- 0 until 3) {
-        val b = docs.filter(pmod(col("doc_id"), lit(3)) === i)
-        lex.processBatch(b, i); pos.processBatch(b, i)
+      def mkIndexes(base: String) = (
+        new PostingsIndex(s, s"$base/lex"),
+        // phrase serving never reads doc-length statistics — skip the
+        // per-batch sidecar promotes on the positional twin
+        new PostingsIndex(s, s"$base/pos",
+          build = df => Retrieval.positionalIndex(df), maintainSidecars = false))
+      graft.core.FixtureCache.copied(s"postings-q212@$d", wh) { p =>
+        val (l, po) = mkIndexes(p)
+        for (i <- 0 until 3) {
+          val b = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          l.processBatch(b, i); po.processBatch(b, i)
+        }
       }
+      val (lex, pos) = mkIndexes(wh)
       val dead = docs.select("doc_id").filter(col("doc_id") % 7 === 2)
       lex.delete(dead); pos.delete(dead)
       def serve(phase: String) = {
@@ -912,10 +921,14 @@ object StreamingQueries {
         |FROM outp CROSS JOIN (SELECT unnest(['served', 'compacted']) AS phase)
         |ORDER BY phase, doc_id""".stripMargin) { (s, d) =>
       val wh = scratchDir("graft-q213")
-      val index = new NearDupIndex(s, s"$wh/ndi", threshold = 0.8)
       val old = Tables.documents(s, d)
         .select(col("doc_id"), trim(col("text")).as("text"))
-      index.seed(old)
+      // cached INPUT seed (the full-corpus signature build), cloned per
+      // execution; the erase + re-crawl + both serve phases are certified
+      graft.core.FixtureCache.copied(s"ndi-q213@$d", s"$wh/ndi") { p =>
+        new NearDupIndex(s, p, threshold = 0.8).seed(old)
+      }
+      val index = new NearDupIndex(s, s"$wh/ndi", threshold = 0.8)
       index.delete(old.select("doc_id").filter(col("doc_id") % 10 === 0))
       val exactRecrawl = old.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 300000)
@@ -1764,8 +1777,13 @@ object StreamingQueries {
       import graft.scale.NnDescent
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val wh = scratchDir("graft-q235")
+      // cached INPUT build (the "nav-core" key q218/q232 share — same
+      // corpus, same knobs), cloned per execution; the streaming append
+      // drain + serves + compact are the certified lifecycle
+      graft.core.FixtureCache.copied(s"nav-core@$d", s"$wh/nav") { p =>
+        new NnDescent.NavIndex(s, p, 8, 2).build(emb)
+      }
       val idx = new NnDescent.NavIndex(s, s"$wh/nav", 8, 2)
-      idx.build(emb)
       val s2 = s.newSession()
       val twins = Streaming.embeddingsStream(s2, d)
         .filter(col("vec_id") < 5)
