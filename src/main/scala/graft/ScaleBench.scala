@@ -331,6 +331,56 @@ object ScaleBench {
         Multimodal.phashPairs(wh).queryExecution.toRdd.count()
       }
 
+      // q303/q308 core (r18 verdict item 6): COLOR + interlaced + tRNS
+      // PNG near-dup over ×k distinct images — encode → the real decoder
+      // (truecolor luma / Adam7 pass reconstruction / palette-tRNS LUT) →
+      // dHash → banded pairs. Per-image constant work → LINEAR.
+      val tColorNeardup = timeMin(reps) {
+        val ch = docs.select("doc_id").as[Long].mapPartitions(_.map { id =>
+          val px = Multimodal.synthPixels(id, pert = false)
+          val bytes = (id % 3) match {
+            case 0 => Multimodal.pngEncodeRgb(Multimodal.colorLiftPixels(px), 64, 64)
+            case 1 => Multimodal.pngEncodeGrayAdam7(px, 64, 64)
+            case _ => Multimodal.pngEncodePaletteTrns(px,
+              Multimodal.ColorLiftPalette, Array.fill(128)(255.toByte), 64, 64)
+          }
+          (id, Multimodal.decodeDhash(id, bytes, "png"))
+        }).toDF("asset_id", "dhash")
+        Multimodal.phashPairs(ch).queryExecution.toRdd.count()
+      }
+
+      // q305 core (r18 verdict item 6): the WARC two-phase scan over ×k
+      // archives — O(buffer) member-index skim (or its CDX sidecar), the
+      // 3-column index shuffle, ranged scan-local gunzip+parse. Per-byte
+      // constant work → LINEAR. Setup (untimed): the ×k corpus written as
+      // 8 multi-member .warc.gz files.
+      val warcDir = graft.core.Scratch.dir(s"graft-scale-warc$k")
+      locally {
+        docs.repartition(8, pmod(col("doc_id"), lit(8)))
+          .sortWithinPartitions("doc_id")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val rows = it.toVector
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val part = org.apache.spark.TaskContext.getPartitionId()
+              val recs = rows.map { case (id, text) =>
+                graft.sources.Warc.Rec(s"https://site${id % 10}.com/page/$id",
+                  f"2026-08-${id % 28 + 1}%02dT00:00:00Z",
+                  "text/html", s"<p>$text</p>")
+              }
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$warcDir/part-$part.warc.gz"),
+                graft.sources.Warc.warcFileBytes(recs))
+              Iterator.single(1)
+            }
+          }.collect()
+      }
+      val tWarcScan = timeMin(reps) {
+        graft.sources.Warc.readWarc(spark, warcDir)
+          .queryExecution.toRdd.count()
+      }
+
       // q297 core: a FIXED avc1 (frame-opaque) two-track batch voted
       // against the ×k video index via the AUDIO modality alone — the
       // banded probe is O(batch), so the vote stays FLAT as the index
@@ -630,7 +680,8 @@ object ScaleBench {
         "eval_scrub" -> tScrub, "dup_token_profile" -> tDupProfile,
         "collocation_stream" -> tColloc, "bm25f_serve" -> tBmfServe,
         "webp_lossy" -> tWebpLossy, "avc1_audio_vote" -> tAvcVote,
-        "nav_filtered" -> tNavFiltered))
+        "nav_filtered" -> tNavFiltered,
+        "color_neardup" -> tColorNeardup, "warc_scan" -> tWarcScan))
     }
 
     val expectations = Map(
@@ -655,7 +706,9 @@ object ScaleBench {
       "collocation_stream" -> ("flat", 3.0), "bm25f_serve" -> ("flat", 3.0),
       // r18 additions (r17 verdict item 5 — the three unpinned families)
       "webp_lossy" -> ("linear", 16.0), "avc1_audio_vote" -> ("flat", 3.0),
-      "nav_filtered" -> ("linear", 16.0))
+      "nav_filtered" -> ("linear", 16.0),
+      // r19 additions (r18 verdict item 6 — the two unpinned r18 families)
+      "color_neardup" -> ("linear", 16.0), "warc_scan" -> ("linear", 16.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

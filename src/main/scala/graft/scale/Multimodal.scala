@@ -1203,14 +1203,13 @@ object Multimodal {
       pngChunk("IEND", Array.emptyByteArray)
   }
 
-  /** Shared color-PNG emit: the [[pngEncodeGray]] adaptive-filter cycle
-    * generalized to `bpp`-byte pixels (the filter `left` operand is bpp
-    * bytes back, spec §9), one zlib IDAT, optional PLTE chunk.
+  /** The [[pngEncodeGray]] adaptive-filter cycle generalized to `bpp`-byte
+    * pixels (the filter `left` operand is bpp bytes back, spec §9) over one
+    * rectangular buffer — shared by the sequential emit and each Adam7
+    * pass (which is filtered as its own independent sub-image).
     */
-  private def pngEncodeRaw(data: Array[Byte], w: Int, h: Int, bpp: Int,
-                           colorType: Int, plte: Array[Byte]): Array[Byte] = {
-    require(data.length == w * h * bpp, s"buffer ${data.length} != $w x $h x $bpp")
-    val rowBytes = w * bpp
+  private def pngFilterRows(data: Array[Byte], rowBytes: Int, h: Int,
+                            bpp: Int): Array[Byte] = {
     val raw = new Array[Byte](h * (rowBytes + 1))
     var r = 0
     while (r < h) {
@@ -1234,20 +1233,104 @@ object Multimodal {
       }
       r += 1
     }
+    raw
+  }
+
+  private def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val buf = new Array[Byte](4096)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    val ihdr = be32s(w.toLong) ++ be32s(h.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0)
-    val chunks =
-      if (plte == null) pngChunk("IDAT", out.toByteArray)
-      else pngChunk("PLTE", plte) ++ pngChunk("IDAT", out.toByteArray)
-    PngSig ++ pngChunk("IHDR", ihdr) ++ chunks ++
-      pngChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
+
+  private def pngAssemble(w: Int, h: Int, colorType: Int, interlace: Int,
+                          plte: Array[Byte], trns: Array[Byte],
+                          idat: Array[Byte]): Array[Byte] = {
+    val ihdr = be32s(w.toLong) ++ be32s(h.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, interlace.toByte)
+    val pc = if (plte == null) Array.emptyByteArray else pngChunk("PLTE", plte)
+    val tc = if (trns == null) Array.emptyByteArray else pngChunk("tRNS", trns)
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pc ++ tc ++
+      pngChunk("IDAT", idat) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Shared color-PNG emit: per-row adaptive filters, one zlib IDAT,
+    * optional PLTE and tRNS chunks.
+    */
+  private def pngEncodeRaw(data: Array[Byte], w: Int, h: Int, bpp: Int,
+                           colorType: Int, plte: Array[Byte],
+                           trns: Array[Byte] = null): Array[Byte] = {
+    require(data.length == w * h * bpp, s"buffer ${data.length} != $w x $h x $bpp")
+    pngAssemble(w, h, colorType, 0, plte, trns,
+      zlibDeflate(pngFilterRows(data, w * bpp, h, bpp)))
+  }
+
+  /** REAL Adam7-interlaced PNG emit: the spec §8.2 pass grid extracted as
+    * seven sub-images, each filtered independently with the same adaptive
+    * cycle, concatenated into one zlib IDAT — a genuinely interlaced twin
+    * of [[pngEncodeRaw]] that [[pngDecodeGray]] must reconstruct to the
+    * identical pixels (q308's law).
+    */
+  private[graft] def pngEncodeRawAdam7(data: Array[Byte], w: Int, h: Int,
+                                       bpp: Int, colorType: Int,
+                                       plte: Array[Byte],
+                                       trns: Array[Byte] = null): Array[Byte] = {
+    require(data.length == w * h * bpp, s"buffer ${data.length} != $w x $h x $bpp")
+    val parts = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Byte](ph * pw * bpp)
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            var k = 0
+            while (k < bpp) {
+              sub((r * pw + c) * bpp + k) =
+                data(((y0 + r * dy) * w + (x0 + c * dx)) * bpp + k)
+              k += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+        parts.write(pngFilterRows(sub, pw * bpp, ph, bpp))
+      }
+    }
+    pngAssemble(w, h, colorType, 1, plte, trns, zlibDeflate(parts.toByteArray))
+  }
+
+  /** Genuinely Adam7-interlaced grayscale PNG. */
+  def pngEncodeGrayAdam7(px: Array[Byte], w: Int, h: Int): Array[Byte] =
+    pngEncodeRawAdam7(px, w, h, 1, 0, null)
+
+  /** Genuinely Adam7-interlaced truecolor PNG (type 2). */
+  def pngEncodeRgbAdam7(rgb: Array[Byte], w: Int, h: Int): Array[Byte] =
+    pngEncodeRawAdam7(rgb, w, h, 3, 2, null)
+
+  /** Palette PNG carrying a tRNS alpha table — opaque-in-practice
+    * transparency bytes (entries of 255, or non-255 entries no pixel
+    * uses) that the decoder must decode, not reject (r18 verdict task 4).
+    */
+  def pngEncodePaletteTrns(indices: Array[Byte], palette: Array[Byte],
+                           alpha: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length <= 768)
+    require(alpha.length <= palette.length / 3)
+    pngEncodeRaw(indices, w, h, 1, 3, palette, alpha)
+  }
+
+  /** Grayscale PNG carrying a 16-bit tRNS color key (decodes as long as no
+    * 8-bit pixel matches the key — an out-of-range or unused key is real
+    * web bytes, not poison).
+    */
+  def pngEncodeGrayTrnsKey(px: Array[Byte], w: Int, h: Int, key: Int): Array[Byte] =
+    pngEncodeRaw(px, w, h, 1, 0, null,
+      Array(((key >> 8) & 0xff).toByte, (key & 0xff).toByte))
 
   /** REAL truecolor PNG (color type 2, 3 bytes/pixel interleaved RGB). */
   def pngEncodeRgb(rgb: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -1274,6 +1357,10 @@ object Multimodal {
   private[graft] def colorLift(v: Int): (Int, Int, Int) =
     if (v < 8 || v > 252) (v, v, v) else (v + 3, v, v - 8)
 
+  /** Adam7 pass geometry (x0, y0, dx, dy), spec §8.2. */
+  private val Adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** REAL PNG pixel decode to LUMA for 8-bit color types 0 (gray),
     * 2 (truecolor), 3 (palette), and 6 (truecolor+alpha): chunk walk with
     * CRC verification, zlib-inflate of the concatenated IDAT stream
@@ -1281,10 +1368,19 @@ object Multimodal {
     * BYTE-granular scanline reconstruction inverting all five PNG filter
     * types (the `left` operand is bpp bytes back, spec §9), and the q225
     * fixed-point [[rgbLuma]] map for the color types (exact v on gray, so
-    * grayscale fixtures are bit-unchanged). Fails closed (None) on a bad
-    * signature/CRC, 16-bit depth, interlace, a tRNS chunk or alpha < 255
-    * (hashing invisible pixels would poison the near-dup vote), a palette
-    * index past PLTE, or a short pixel stream — never a partial buffer.
+    * grayscale fixtures are bit-unchanged). Adam7-INTERLACED images decode
+    * too (r18 verdict task 4): each of the 7 passes is an independently
+    * filtered sub-image, reconstructed then scattered onto the spec §8.2
+    * grid — values identical to the non-interlaced twin, so interlaced
+    * re-uploads cluster with their plain twins (q308). A tRNS chunk is
+    * honored, not rejected: transparency entries are decoded and only a
+    * pixel that is ACTUALLY non-opaque fails closed (hashing invisible
+    * pixels would poison the near-dup vote) — a fully-opaque-in-practice
+    * tRNS (alpha-255 entries, an unused color key) is real web bytes and
+    * decodes. Fails closed (None) on a bad signature/CRC, 16-bit depth,
+    * attacker-sized dimensions (> 16384 either axis, the webpEncode cap —
+    * r18 ADVICE), alpha < 255 on a USED pixel, a palette index past PLTE,
+    * or a short pixel stream — never a partial buffer.
     */
   def pngDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
@@ -1292,7 +1388,9 @@ object Multimodal {
       ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
         ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
     var w = -1; var h = -1; var colorType = -1
+    var interlaced = false
     var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     var ended = false
@@ -1309,12 +1407,18 @@ object Multimodal {
           colorType = b(i + 17) & 0xff
           if (colorType != 0 && colorType != 2 && colorType != 3 &&
             colorType != 6) return None
-          if (b(i + 20) != 0) return None // interlaced: fail closed
+          val il = b(i + 20) & 0xff
+          if (il > 1) return None
+          interlaced = il == 1
           w = u32(i + 8).toInt; h = u32(i + 12).toInt
+          // bound allocations by sane dimensions BEFORE any buffer is
+          // sized from attacker-controlled IHDR fields (r18 ADVICE)
+          if (w <= 0 || h <= 0 || w > 16384 || h > 16384) return None
         case "PLTE" =>
           if (len % 3 != 0 || len == 0 || len > 768) return None
           plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
-        case "tRNS" => return None // transparency: fail closed
+        case "tRNS" =>
+          trns = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
         case "IDAT" => idat.write(b, i + 8, len.toInt)
         case "IEND" => ended = true
         case _ => () // ancillary chunks skipped
@@ -1323,9 +1427,24 @@ object Multimodal {
     }
     if (w <= 0 || h <= 0 || idat.size == 0 || colorType < 0) return None
     if (colorType == 3 && plte == null) return None
+    // tRNS shape by color type (spec §11.3.2); forbidden with alpha
+    if (trns != null) colorType match {
+      case 0 => if (trns.length != 2) return None
+      case 2 => if (trns.length != 6) return None
+      case 3 => if (trns.length == 0 || trns.length > plte.length / 3) return None
+      case _ => return None // type 6 carries its own alpha channel
+    }
     val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
     val rowBytes = w * bpp
-    val raw = new Array[Byte](h * (rowBytes + 1))
+    val passes: Array[(Int, Int, Int, Int, Int, Int)] = // (x0,y0,dx,dy,pw,ph)
+      if (!interlaced) Array((0, 0, 1, 1, w, h))
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        (x0, y0, dx, dy,
+          if (w > x0) (w - x0 + dx - 1) / dx else 0,
+          if (h > y0) (h - y0 + dy - 1) / dy else 0)
+      }.filter(p => p._5 > 0 && p._6 > 0)
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph * (pw * bpp + 1) }.sum
+    val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var off = 0
@@ -1338,55 +1457,102 @@ object Multimodal {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
     if (off != raw.length) return None
-    // in-place byte-granular reconstruction (all color types share it —
-    // for the gray/palette types bpp = 1 and `rec` IS the output base, so
-    // the dominant grayscale path pays no second buffer)
+    // byte-granular reconstruction, per pass (one pass covering the whole
+    // grid when sequential — the dominant gray path still reconstructs
+    // in place into `rec`, no second buffer, and pays zero scatter)
     val rec = new Array[Byte](h * rowBytes)
-    var r = 0
-    while (r < h) {
-      val f = raw(r * (rowBytes + 1)) & 0xff
-      var x = 0
-      while (x < rowBytes) {
-        val v = raw(r * (rowBytes + 1) + 1 + x) & 0xff
-        val left = if (x >= bpp) rec(r * rowBytes + x - bpp) & 0xff else 0
-        val up = if (r > 0) rec((r - 1) * rowBytes + x) & 0xff else 0
-        val ul = if (x >= bpp && r > 0) rec((r - 1) * rowBytes + x - bpp) & 0xff else 0
-        val recon = f match {
-          case 0 => v
-          case 1 => v + left
-          case 2 => v + up
-          case 3 => v + (left + up) / 2
-          case 4 => v + paeth(left, up, ul)
-          case _ => return None // invalid filter type
+    var passBase = 0
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val prb = pw * bpp
+      val sequential = dx == 1 && dy == 1 && x0 == 0 && y0 == 0
+      val prec = if (sequential) rec else new Array[Byte](ph * prb)
+      var r = 0
+      while (r < ph) {
+        val f = raw(passBase + r * (prb + 1)) & 0xff
+        var x = 0
+        while (x < prb) {
+          val v = raw(passBase + r * (prb + 1) + 1 + x) & 0xff
+          val left = if (x >= bpp) prec(r * prb + x - bpp) & 0xff else 0
+          val up = if (r > 0) prec((r - 1) * prb + x) & 0xff else 0
+          val ul = if (x >= bpp && r > 0) prec((r - 1) * prb + x - bpp) & 0xff else 0
+          val recon = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 => v + paeth(left, up, ul)
+            case _ => return None // invalid filter type
+          }
+          prec(r * prb + x) = (recon & 0xff).toByte
+          x += 1
         }
-        rec(r * rowBytes + x) = (recon & 0xff).toByte
-        x += 1
+        r += 1
       }
-      r += 1
+      if (!sequential) {
+        // scatter the pass onto the spec §8.2 grid
+        var rr = 0
+        while (rr < ph) {
+          var cc = 0
+          while (cc < pw) {
+            var k = 0
+            while (k < bpp) {
+              rec(((y0 + rr * dy) * w + (x0 + cc * dx)) * bpp + k) =
+                prec(rr * prb + cc * bpp + k)
+              k += 1
+            }
+            cc += 1
+          }
+          rr += 1
+        }
+      }
+      passBase += ph * (prb + 1)
     }
     colorType match {
-      case 0 => Some((w, h, rec)) // grayscale: the reconstruction IS the luma
+      case 0 =>
+        if (trns != null) {
+          // 16-bit color key; at 8-bit depth only the low byte can match
+          val key = ((trns(0) & 0xff) << 8) | (trns(1) & 0xff)
+          if (key <= 255) {
+            var p = 0
+            while (p < rec.length) {
+              if ((rec(p) & 0xff) == key) return None // transparent pixel used
+              p += 1
+            }
+          }
+        }
+        Some((w, h, rec)) // grayscale: the reconstruction IS the luma
       case 3 =>
-        // palette: one 256-entry luma LUT, then an index map in place
+        // palette: one 256-entry luma LUT, then an index map in place;
+        // tRNS alpha rides the same LUT walk — a USED non-opaque index
+        // fails closed, unused ones are harmless
         val nPal = plte.length / 3
         val lut = Array.tabulate(nPal)(ci => rgbLuma(plte(3 * ci) & 0xff,
           plte(3 * ci + 1) & 0xff, plte(3 * ci + 2) & 0xff).toByte)
+        val opaque = Array.tabulate(nPal)(ci =>
+          trns == null || ci >= trns.length || (trns(ci) & 0xff) == 255)
         var p = 0
         while (p < rec.length) {
           val ci = rec(p) & 0xff
-          if (ci >= nPal) return None
+          if (ci >= nPal || !opaque(ci)) return None
           rec(p) = lut(ci)
           p += 1
         }
         Some((w, h, rec))
       case _ =>
+        val keyR = if (colorType == 2 && trns != null)
+          ((trns(0) & 0xff) << 8) | (trns(1) & 0xff) else -1
+        val keyG = if (keyR >= 0) ((trns(2) & 0xff) << 8) | (trns(3) & 0xff) else -1
+        val keyB = if (keyR >= 0) ((trns(4) & 0xff) << 8) | (trns(5) & 0xff) else -1
         val out = new Array[Byte](w * h)
         var p = 0
         while (p < w * h) {
-          if (colorType == 2)
-            out(p) = rgbLuma(rec(3 * p) & 0xff, rec(3 * p + 1) & 0xff,
-              rec(3 * p + 2) & 0xff).toByte
-          else {
+          if (colorType == 2) {
+            val r0 = rec(3 * p) & 0xff; val g0 = rec(3 * p + 1) & 0xff
+            val b0 = rec(3 * p + 2) & 0xff
+            if (r0 == keyR && g0 == keyG && b0 == keyB)
+              return None // transparent color key used
+            out(p) = rgbLuma(r0, g0, b0).toByte
+          } else {
             if ((rec(4 * p + 3) & 0xff) != 255) return None // alpha: fail closed
             out(p) = rgbLuma(rec(4 * p) & 0xff, rec(4 * p + 1) & 0xff,
               rec(4 * p + 2) & 0xff).toByte
@@ -2983,6 +3149,63 @@ object Multimodal {
                                   width: Option[Int], height: Option[Int],
                                   sample_rate: Option[Int], n_samples: Option[Long])
 
+  /** The q303/q308 shared oracle: the q216 md5 dHash replay over the same
+    * residue classes (+500000 for doc_id % 10 = 1, +600000 for % 10 = 4,
+    * +700000 for % 10 = 6, +800000 perturbed for % 10 = 7, +900000 new
+    * content for % 10 = 3), banded clustering at Hamming 6. Both fixture
+    * families — q303's color containers and q308's interlaced/tRNS PNGs —
+    * decode to the IDENTICAL luma planes, so one generated truth certifies
+    * both: a decoder that reconstructs an Adam7 pass or a tRNS palette
+    * entry differently moves a hash and fails it.
+    */
+  private val colorNeardupOracle: String =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      | gv AS (
+      |  SELECT aid, k,
+      |    CASE WHEN pert AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
+      |  FROM (
+      |    SELECT aid, k, pert,
+      |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
+      |    FROM (
+      |      SELECT doc_id AS aid, doc_id AS src, FALSE AS pert FROM ids
+      |      UNION ALL
+      |      SELECT doc_id + 500000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 1
+      |      UNION ALL
+      |      SELECT doc_id + 600000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 4
+      |      UNION ALL
+      |      SELECT doc_id + 700000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 6
+      |      UNION ALL
+      |      SELECT doc_id + 800000, doc_id, TRUE FROM ids WHERE doc_id % 10 = 7
+      |      UNION ALL
+      |      SELECT doc_id + 900000, doc_id + 900000, FALSE FROM ids WHERE doc_id % 10 = 3)
+      |    CROSS JOIN range(0, 64) t(k))),
+      | hsh AS (
+      |  SELECT aid,
+      |    CAST(COALESCE(SUM(CASE WHEN nxt > val
+      |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
+      |      ELSE 0 END), 0) AS BIGINT) AS h
+      |  FROM (SELECT aid, k, val, lead(val) OVER (PARTITION BY aid ORDER BY k) AS nxt
+      |        FROM gv)
+      |  WHERE k % 8 < 7 GROUP BY aid),
+      | pairs AS (
+      |  SELECT a.aid AS ia, b.aid AS ib
+      |  FROM hsh a JOIN hsh b ON a.aid < b.aid
+      |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+      | sym AS (SELECT ia AS a, ib AS b FROM pairs
+      |         UNION ALL SELECT ib, ia FROM pairs
+      |         UNION ALL SELECT ia, ia FROM pairs
+      |         UNION ALL SELECT ib, ib FROM pairs),
+      | reach AS (
+      |  WITH RECURSIVE r(s, t) AS (
+      |    SELECT a, b FROM sym
+      |    UNION
+      |    SELECT r.s, e.b FROM r JOIN sym e ON e.a = r.t)
+      |  SELECT s, t FROM r),
+      | lbl AS (SELECT s AS aid, MIN(t) AS cluster FROM reach GROUP BY s)
+      |SELECT h.aid AS asset_id, COALESCE(l.cluster, h.aid) AS cluster
+      |FROM hsh h LEFT JOIN lbl l USING (aid)
+      |ORDER BY asset_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Binary-column plumbing that IS oracle-checkable: payload byte length
@@ -3944,9 +4167,9 @@ object Multimodal {
         |  UNION ALL SELECT 'webp', 'vp8x', 'fail_closed', count(1)
         |    FROM documents WHERE doc_id % 8 = 5
         |  UNION ALL SELECT 'png', 'deflate', 'live', count(1)
-        |    FROM documents WHERE doc_id % 8 = 6
+        |    FROM documents WHERE doc_id % 8 = 6 OR doc_id % 16 = 7
         |  UNION ALL SELECT 'png', 'deflate', 'fail_closed', count(1)
-        |    FROM documents WHERE doc_id % 8 = 7)
+        |    FROM documents WHERE doc_id % 16 = 15)
         |SELECT container, codec, status, n_assets FROM c
         |ORDER BY container, codec, status""".stripMargin) { (s, d) =>
       import s.implicits._
@@ -3966,53 +4189,7 @@ object Multimodal {
     // content clusters with it across containers AND color spaces; the
     // perturbed truecolor class rides the standard Hamming-6 budget; the
     // RGBA class admits new content through the type-6 path.
-    Q("q303_color_neardup",
-      """WITH ids AS (SELECT doc_id FROM documents),
-        | gv AS (
-        |  SELECT aid, k,
-        |    CASE WHEN pert AND k % 5 = 0 THEN (val + 2) % 256 ELSE val END AS val
-        |  FROM (
-        |    SELECT aid, k, pert,
-        |      ('0x' || substr(md5(CAST(src AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 2))::BIGINT AS val
-        |    FROM (
-        |      SELECT doc_id AS aid, doc_id AS src, FALSE AS pert FROM ids
-        |      UNION ALL
-        |      SELECT doc_id + 500000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 1
-        |      UNION ALL
-        |      SELECT doc_id + 600000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 4
-        |      UNION ALL
-        |      SELECT doc_id + 700000, doc_id, FALSE FROM ids WHERE doc_id % 10 = 6
-        |      UNION ALL
-        |      SELECT doc_id + 800000, doc_id, TRUE FROM ids WHERE doc_id % 10 = 7
-        |      UNION ALL
-        |      SELECT doc_id + 900000, doc_id + 900000, FALSE FROM ids WHERE doc_id % 10 = 3)
-        |    CROSS JOIN range(0, 64) t(k))),
-        | hsh AS (
-        |  SELECT aid,
-        |    CAST(COALESCE(SUM(CASE WHEN nxt > val
-        |      THEN CAST(1 AS BIGINT) << CAST((k // 8) * 7 + (k % 8) AS INTEGER)
-        |      ELSE 0 END), 0) AS BIGINT) AS h
-        |  FROM (SELECT aid, k, val, lead(val) OVER (PARTITION BY aid ORDER BY k) AS nxt
-        |        FROM gv)
-        |  WHERE k % 8 < 7 GROUP BY aid),
-        | pairs AS (
-        |  SELECT a.aid AS ia, b.aid AS ib
-        |  FROM hsh a JOIN hsh b ON a.aid < b.aid
-        |  WHERE bit_count(xor(a.h, b.h)) <= 6),
-        | sym AS (SELECT ia AS a, ib AS b FROM pairs
-        |         UNION ALL SELECT ib, ia FROM pairs
-        |         UNION ALL SELECT ia, ia FROM pairs
-        |         UNION ALL SELECT ib, ib FROM pairs),
-        | reach AS (
-        |  WITH RECURSIVE r(s, t) AS (
-        |    SELECT a, b FROM sym
-        |    UNION
-        |    SELECT r.s, e.b FROM r JOIN sym e ON e.a = r.t)
-        |  SELECT s, t FROM r),
-        | lbl AS (SELECT s AS aid, MIN(t) AS cluster FROM reach GROUP BY s)
-        |SELECT h.aid AS asset_id, COALESCE(l.cluster, h.aid) AS cluster
-        |FROM hsh h LEFT JOIN lbl l USING (aid)
-        |ORDER BY asset_id""".stripMargin) { (s, d) =>
+    Q("q303_color_neardup", colorNeardupOracle) { (s, d) =>
       import s.implicits._
       val feed = graft.core.FixtureCache.dir(s"q303-assets@$d") { p =>
         fixtureIds(s, d)
@@ -4052,6 +4229,60 @@ object Multimodal {
       }.toDF("asset_id", "dhash").localCheckpoint()
       val pairs = phashPairs(hashes)
       val labels = graft.scale.Cluster.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // INTERLACED and tRNS-carrying PNGs join the near-dup path (r18
+    // verdict task 4): the q303 fixture scheme with the re-encodes stored
+    // as the PNG forms that used to fail closed — genuinely Adam7-
+    // interlaced gray and truecolor re-uploads (pass-reconstructed pixels
+    // are value-identical to their plain twins, so they cluster at
+    // Hamming 0), a palette PNG carrying an all-opaque tRNS alpha table
+    // (shorter than the palette: the tail defaults opaque), a perturbed
+    // interlaced class on the standard Hamming-6 budget, and new content
+    // under an out-of-range tRNS gray key (a 16-bit key no 8-bit pixel
+    // can match — real web bytes, not poison). Residue classes match
+    // q303's exactly, so the oracle IS q303's md5 replay, shared by
+    // reference — one generated truth for both the color and the
+    // interlace/tRNS families.
+    Q("q308_interlace_neardup", colorNeardupOracle) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q308-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val base = synthPixels(id, pert = false)
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              out += ((id, pngEncodeGray(base, 64, 64), "png"))
+              if (id % 10 == 1)
+                out += ((id + 500000, pngEncodeGrayAdam7(base, 64, 64), "png"))
+              if (id % 10 == 4)
+                out += ((id + 600000,
+                  pngEncodeRgbAdam7(colorLiftPixels(base), 64, 64), "png"))
+              if (id % 10 == 6)
+                out += ((id + 700000, pngEncodePaletteTrns(base,
+                  ColorLiftPalette, Array.fill(128)(255.toByte), 64, 64), "png"))
+              if (id % 10 == 7)
+                out += ((id + 800000,
+                  pngEncodeGrayAdam7(synthPixels(id, pert = true), 64, 64), "png"))
+              if (id % 10 == 3)
+                out += ((id + 900000, pngEncodeGrayTrnsKey(
+                  synthPixels(id + 900000, pert = false), 64, 64, 256), "png"))
+              out.iterator
+            }
+          }
+          .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
         .withColumnRenamed("doc_id", "asset_id")
       hashes.select("asset_id")
         .join(labels, Seq("asset_id"), "left")
@@ -4101,8 +4332,13 @@ object Multimodal {
               // truecolor PNG: LIVE since the color→luma decoders (r18) —
               // the coverage shift the r17 verdict asked this report to show
               case 6 => pngEncodeRgb(colorLiftPixels(px), 64, 64)
-              // interlaced PNG: the remaining fail-closed PNG class
-              case _ => pngInterlacedBytes(px, 64, 64)
+              // r19: Adam7 interlace decodes now — half this class is a
+              // REAL interlaced PNG (live; the q298 live-share rise the
+              // r18 verdict asked for), half a 16-bit-depth PNG (the
+              // remaining fail-closed witness)
+              case _ =>
+                if (id % 16 == 7) pngEncodeGrayAdam7(px, 64, 64)
+                else png16BitBytes(px, 64, 64)
             }
             (id, payload)
           }
@@ -4138,14 +4374,15 @@ object Multimodal {
     p
   }
 
-  /** A CRC-valid INTERLACED gray PNG (Adam7 flag set over the plain
-    * scanline payload) — the q298 fail-closed PNG fixture. The decoder
-    * must reject it on the interlace flag, before any pixel walk.
+  /** A 16-BIT-depth gray PNG (depth byte rewritten over the plain payload,
+    * CRC refreshed) — the q298 fail-closed PNG witness now that interlace
+    * decodes (r19). The decoder must reject it on the depth field, before
+    * any pixel walk.
     */
-  private[graft] def pngInterlacedBytes(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  private[graft] def png16BitBytes(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val png = pngEncodeGray(px, w, h)
     val ihdr = java.util.Arrays.copyOfRange(png, 16, 29)
-    ihdr(12) = 1
+    ihdr(8) = 16
     val crc = new java.util.zip.CRC32()
     crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdr)
     png.take(16) ++ ihdr ++ Array(

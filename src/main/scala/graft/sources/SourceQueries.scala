@@ -163,9 +163,17 @@ object SourceQueries {
                   f"2026-08-${id % 28 + 1}%02dT00:00:00Z",
                   "text/html", s"<p>$text</p>")
               }
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(s"$p/part-$part.warc.gz"),
-                Warc.warcFileBytes(recs))
+              // temp + ATOMIC_MOVE per task attempt: a retried/speculative
+              // duplicate attempt can write this path concurrently, and a
+              // torn plain write would be served to every later rep by the
+              // per-JVM fixture cache (r18 ADVICE)
+              val fin = java.nio.file.Paths.get(s"$p/part-$part.warc.gz")
+              val tmp = java.nio.file.Files.createTempFile(
+                java.nio.file.Paths.get(p), s"part-$part", ".tmp")
+              java.nio.file.Files.write(tmp, Warc.warcFileBytes(recs))
+              java.nio.file.Files.move(tmp, fin,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               Iterator.single(1)
             }
           }.collect()
@@ -174,6 +182,78 @@ object SourceQueries {
       graft.scale.Curation.extractText(Warc.readWarc(s, feed), "text")
         .select("url", "fetch_ts", "content_type", "text")
         .orderBy("url")
+    },
+
+    // WARC CDX-sidecar rescan (r18 verdict task 3): the same container
+    // shape as q305, but (a) every doc_id % 7 = 0 body legitimately ENDS
+    // with CRLFCRLF — the bytes the old suffix-scanning parse truncated
+    // (r18 ADVICE medium); Content-Length slicing must preserve them or
+    // the summed body lengths hash-fail — and (b) the query itself
+    // certifies the sidecar lifecycle: the member indexes are built once
+    // (persisting <archive>.cdx next to each file), and the served scan
+    // must then resolve every member range FROM the sidecars — a re-skim
+    // trips the fail-loud require below.
+    Q("q307_warc_cdx_rescan",
+      """WITH recs AS (
+        |  SELECT 'site' || (doc_id % 10) || '.com' AS site,
+        |         '<p>' || text || '</p>' ||
+        |           CASE WHEN doc_id % 7 = 0
+        |                THEN chr(13) || chr(10) || chr(13) || chr(10)
+        |                ELSE '' END AS body
+        |  FROM documents)
+        |SELECT site, CAST(count(1) AS BIGINT) AS n_pages,
+        |       CAST(sum(length(body)) AS BIGINT) AS body_len
+        |FROM recs GROUP BY site ORDER BY site""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q307-warc@$d") { p =>
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .sortWithinPartitions("doc_id")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val rows = it.toVector
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val part = org.apache.spark.TaskContext.getPartitionId()
+              val recs = rows.map { case (id, text) =>
+                val tail = if (id % 7 == 0) "\r\n\r\n" else ""
+                Warc.Rec(s"https://site${id % 10}.com/page/$id",
+                  f"2026-08-${id % 28 + 1}%02dT00:00:00Z",
+                  "text/html", s"<p>$text</p>$tail")
+              }
+              val fin = java.nio.file.Paths.get(s"$p/part-$part.warc.gz")
+              val tmp = java.nio.file.Files.createTempFile(
+                java.nio.file.Paths.get(p), s"part-$part", ".tmp")
+              java.nio.file.Files.write(tmp, Warc.warcFileBytes(recs))
+              java.nio.file.Files.move(tmp, fin,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              Iterator.single(1)
+            }
+          }.collect()
+        ()
+      }
+      // pass 1: ensure every archive's CDX sidecar exists (skims at most
+      // once per file per JVM; later executions find them on disk)
+      val fs = java.nio.file.Files.list(java.nio.file.Paths.get(feed))
+      try {
+        import scala.jdk.CollectionConverters._
+        fs.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".warc.gz")).foreach(Warc.memberIndexFor(_))
+      } finally fs.close()
+      // pass 2 (the served scan): must resolve member ranges from the
+      // sidecars — the skim counter pins it, fail-loud
+      val skims0 = Warc.skims.get
+      val out = Warc.readWarc(s, feed)
+        .groupBy(regexp_extract(col("url"), "https://(site[0-9]+\\.com)/", 1)
+          .as("site"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(length(col("text"))).as("body_len"))
+        .orderBy("site")
+        .localCheckpoint()
+      require(Warc.skims.get == skims0,
+        "q307 re-scan must serve the member index from CDX sidecars, not re-skim")
+      out
     },
   )
 }

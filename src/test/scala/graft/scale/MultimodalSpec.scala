@@ -153,7 +153,10 @@ class MultimodalSpec extends SparkSpec {
       ((crc.getValue >> 24) & 0xff).toByte, ((crc.getValue >> 16) & 0xff).toByte,
       ((crc.getValue >> 8) & 0xff).toByte, (crc.getValue & 0xff).toByte) ++ png.drop(33)
     assert(Multimodal.pngDecodeGray(rgb) === None)
-    // interlaced: fail closed (rewrite the interlace byte + fix CRC)
+    // interlace FLAG over sequential scanline data: the Adam7 pass layout
+    // needs more raw bytes than the sequential stream carries, so this is
+    // a short pixel stream — corrupt input, fail closed (genuine Adam7
+    // content decodes; see the interlace round-trip law below)
     val ihdrI = png.slice(16, 29)
     ihdrI(12) = 1
     val crcI = new java.util.zip.CRC32()
@@ -162,6 +165,70 @@ class MultimodalSpec extends SparkSpec {
       ((crcI.getValue >> 24) & 0xff).toByte, ((crcI.getValue >> 16) & 0xff).toByte,
       ((crcI.getValue >> 8) & 0xff).toByte, (crcI.getValue & 0xff).toByte) ++ png.drop(33)
     assert(Multimodal.pngDecodeGray(inter) === None)
+    // 16-bit depth: the remaining fail-closed PNG class (q298's witness)
+    assert(Multimodal.pngDecodeGray(
+      Multimodal.png16BitBytes(Array.tabulate(16)(_.toByte), 4, 4)) === None)
+    // attacker-sized IHDR dims must reject BEFORE allocation (r18 ADVICE)
+    val ihdrBig = png.slice(16, 29)
+    ihdrBig(0) = 0x7f; ihdrBig(1) = 0xff.toByte // w = huge
+    val crcB = new java.util.zip.CRC32()
+    crcB.update("IHDR".getBytes("US-ASCII")); crcB.update(ihdrBig)
+    val big = png.take(16) ++ ihdrBig ++ Array(
+      ((crcB.getValue >> 24) & 0xff).toByte, ((crcB.getValue >> 16) & 0xff).toByte,
+      ((crcB.getValue >> 8) & 0xff).toByte, (crcB.getValue & 0xff).toByte) ++ png.drop(33)
+    assert(Multimodal.pngDecodeGray(big) === None)
+  }
+
+  test("Adam7 interlaced PNG reconstructs the exact pixels (odd dims, gray + truecolor)") {
+    // odd dimensions exercise partial passes (some passes have ragged
+    // widths/heights; 13x11 leaves none empty, 3x2 skips most)
+    for ((w, h) <- Seq((13, 11), (8, 6), (3, 2), (16, 16))) {
+      val gray = Array.tabulate(w * h)(k => ((k * 53 + (k * k) % 241) % 256).toByte)
+      val Some((dw, dh, dec)) =
+        Multimodal.pngDecodeGray(Multimodal.pngEncodeGrayAdam7(gray, w, h))
+      assert((dw, dh) === ((w, h)))
+      assert(dec.toSeq === gray.toSeq, s"gray Adam7 mismatch at ${w}x$h")
+      // interlaced truecolor of the colorLift → exact luma
+      val rgb = new Array[Byte](w * h * 3)
+      gray.zipWithIndex.foreach { case (v, k) =>
+        val (r, g, b) = Multimodal.colorLift(v & 0xff)
+        rgb(3 * k) = r.toByte; rgb(3 * k + 1) = g.toByte; rgb(3 * k + 2) = b.toByte
+      }
+      val Some((_, _, cy)) =
+        Multimodal.pngDecodeGray(Multimodal.pngEncodeRgbAdam7(rgb, w, h))
+      assert(cy.toSeq === gray.toSeq, s"rgb Adam7 mismatch at ${w}x$h")
+    }
+  }
+
+  test("tRNS decodes when opaque in practice; an actually-transparent pixel fails closed") {
+    val w = 8; val h = 4
+    val gray = Array.tabulate(w * h)(k => (k * 7 % 250).toByte)
+    // palette + all-255 alpha table SHORTER than the palette (tail
+    // defaults opaque): decodes to the exact palette luma
+    val plte = Multimodal.ColorLiftPalette
+    val Some((_, _, py)) = Multimodal.pngDecodeGray(
+      Multimodal.pngEncodePaletteTrns(gray, plte, Array.fill(100)(255.toByte), w, h))
+    assert(py.toSeq === gray.toSeq)
+    // a non-opaque alpha on an index NO pixel uses is harmless...
+    val alphaUnused = Array.fill(256)(255.toByte)
+    alphaUnused(251) = 0 // 251 never appears (values are k*7 % 250)
+    val Some((_, _, pu)) = Multimodal.pngDecodeGray(
+      Multimodal.pngEncodePaletteTrns(gray, plte, alphaUnused, w, h))
+    assert(pu.toSeq === gray.toSeq)
+    // ...but on a USED index it fails closed
+    val alphaUsed = Array.fill(256)(255.toByte)
+    alphaUsed(gray(3) & 0xff) = 128.toByte
+    assert(Multimodal.pngDecodeGray(
+      Multimodal.pngEncodePaletteTrns(gray, plte, alphaUsed, w, h)) === None)
+    // gray color key out of 8-bit range (or unused): decodes; used: closed
+    val Some((_, _, ky)) = Multimodal.pngDecodeGray(
+      Multimodal.pngEncodeGrayTrnsKey(gray, w, h, 256))
+    assert(ky.toSeq === gray.toSeq)
+    val Some((_, _, ku)) = Multimodal.pngDecodeGray(
+      Multimodal.pngEncodeGrayTrnsKey(gray, w, h, 251))
+    assert(ku.toSeq === gray.toSeq)
+    assert(Multimodal.pngDecodeGray(
+      Multimodal.pngEncodeGrayTrnsKey(gray, w, h, gray(5) & 0xff)) === None)
   }
 
   test("color PNG/GIF/VP8L decode to the exact q225 luma; alpha fails closed") {
