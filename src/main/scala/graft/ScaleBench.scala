@@ -437,6 +437,25 @@ object ScaleBench {
         vp.processBatch(batch, av.toLong)
       }
 
+
+      // q309 core: avc1 re-encode -> from-scratch H.264 IDR decode ->
+      // frame dHash -> banded pairs over the ×k corpus. Encode+decode are
+      // per-asset scan-local work and the banded join is the q216 shape,
+      // so the family is LINEAR like color_neardup.
+      val tAvcNeardup = timeMin(reps) {
+        val ch = docs.select("doc_id").as[Long].mapPartitions(_.map { id =>
+          val px = Multimodal.synthPixels(id, pert = false)
+          val annexb = graft.scale.Avc.encodeGrayIdr(px, 64, 64, 6)
+          val (sp, pp, idr) = graft.scale.Avc.splitAnnexB(annexb)
+          val mp4 = Multimodal.mp4AvcPcmBytes(
+            Seq(graft.scale.Avc.toAvccSample(idr)), 64, 64, None, "avc1",
+            graft.scale.Avc.avccPayload(sp, pp))
+          val (w, h, frames) = Multimodal.mp4DecodeGrayFrames(mp4).get
+          (id, Multimodal.dHash56(frames.head, w, h))
+        }).toDF("asset_id", "dhash")
+        Multimodal.phashPairs(ch).queryExecution.toRdd.count()
+      }
+
       // q220 core: WAV encode → PCM decode → envelope → dHash → banded
       // pairs, ×k distinct clips
       val tAudioPipe = timeMin(reps) {
@@ -681,7 +700,8 @@ object ScaleBench {
         "collocation_stream" -> tColloc, "bm25f_serve" -> tBmfServe,
         "webp_lossy" -> tWebpLossy, "avc1_audio_vote" -> tAvcVote,
         "nav_filtered" -> tNavFiltered,
-        "color_neardup" -> tColorNeardup, "warc_scan" -> tWarcScan))
+        "color_neardup" -> tColorNeardup, "warc_scan" -> tWarcScan,
+        "avc1_neardup" -> tAvcNeardup))
     }
 
     val expectations = Map(
@@ -708,7 +728,8 @@ object ScaleBench {
       "webp_lossy" -> ("linear", 16.0), "avc1_audio_vote" -> ("flat", 3.0),
       "nav_filtered" -> ("linear", 16.0),
       // r19 additions (r18 verdict item 6 — the two unpinned r18 families)
-      "color_neardup" -> ("linear", 16.0), "warc_scan" -> ("linear", 16.0))
+      "color_neardup" -> ("linear", 16.0), "warc_scan" -> ("linear", 16.0),
+      "avc1_neardup" -> ("linear", 16.0))
     def f(v: Double) = f"$v%.3f"
     val byQ = results.head._4.keys.toSeq.sorted.map { q =>
       val times = results.map { case (k, _, _, m) => k -> m(q) }

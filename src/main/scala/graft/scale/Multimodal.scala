@@ -278,6 +278,10 @@ object Multimodal {
   private[scale] def mp4SampleTable(b: Array[Byte]): Option[(String, Seq[(Long, Int)])] =
     mp4SampleTable(b, c => c == "jpeg" || c == "mjpa")
 
+  private[scale] def mp4SampleTable(b: Array[Byte],
+      accept: String => Boolean): Option[(String, Seq[(Long, Int)])] =
+    mp4SampleTableEx(b, accept).map { case (fourcc, _, _, ranges) => (fourcc, ranges) }
+
   /** First track whose sample-description fourcc `accept`s: the full
     * stsd/stsz/stsc/stco walk, returning (fourcc, per-sample byte ranges)
     * in decode order. Fail-closed on fragmented files, lying tables, and
@@ -285,8 +289,8 @@ object Multimodal {
     * the audio fallback ([[mp4AudioPcmSamples]]) and the coverage report
     * ([[decodeCoverage]]) reuse one audited walk instead of three.
     */
-  private[scale] def mp4SampleTable(b: Array[Byte],
-      accept: String => Boolean): Option[(String, Seq[(Long, Int)])] = {
+  private[scale] def mp4SampleTableEx(b: Array[Byte],
+      accept: String => Boolean): Option[(String, Int, Int, Seq[(Long, Int)])] = {
     def u16be(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
     def u32be(i: Int): Long =
       ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
@@ -327,12 +331,13 @@ object Multimodal {
         boxes <- children(stblS + 8, stblE)
       } yield boxes
       stbl.foreach { boxes =>
-        val fourcc = (for {
+        val (fourcc, entryS, entryE) = (for {
           (s, e) <- child(boxes, "stsd")
           if s + 24 <= e && u32be(s + 12) >= 1 // entry_count
           esize = u32be(s + 16)
           if esize >= 16 && s + 16 + esize <= e
-        } yield new String(b, s + 20, 4, "US-ASCII")).getOrElse(return None)
+        } yield (new String(b, s + 20, 4, "US-ASCII"), s + 16,
+          s + 16 + esize.toInt)).getOrElse(return None)
         if (accept(fourcc)) {
           // stsz: fixed-or-per-sample sizes
           val sizes: Array[Int] = (for {
@@ -389,7 +394,7 @@ object Multimodal {
             ci += 1
           }
           if (si != sizes.length) return None // tables disagree: fail closed
-          return Some((fourcc, out.toSeq))
+          return Some((fourcc, entryS, entryE, out.toSeq))
         }
       }
     }
@@ -405,9 +410,29 @@ object Multimodal {
     * per-frame dHash → banded pairs → frame-vote machinery (q221/q263).
     */
   def mp4DecodeGrayFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
-    mp4SampleTable(b).flatMap { case (_, samples) =>
+    mp4SampleTableEx(b, c => c == "jpeg" || c == "mjpa" || c == "avc1")
+      .flatMap { case (fourcc, entryS, entryE, samples) =>
       if (samples.isEmpty) None
-      else {
+      else if (fourcc == "avc1") {
+        // the avc1 path (r18 verdict "next round" #5): the avcC codec
+        // config rides the sample entry; every sample must be a CAVLC
+        // IDR picture the [[Avc]] decoder proves — ANY out-of-subset
+        // sample (CABAC, P slices, missing avcC) fails the whole track
+        // closed, exactly like an undecodable JPEG sample would
+        mp4Avc1Config(b, entryS, entryE).flatMap { case (sps, pps, lenSize) =>
+          val decoded = samples.map { case (off, len) =>
+            graft.scale.Avc.decodeSampleGray(sps, pps, lenSize,
+              java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + len))
+          }
+          if (decoded.exists(_.isEmpty)) None
+          else {
+            val ds = decoded.map(_.get)
+            val (w, h, _) = ds.head
+            if (ds.exists(d => d._1 != w || d._2 != h)) None
+            else Some((w, h, ds.map(_._3)))
+          }
+        }
+      } else {
         val decoded = samples.map { case (off, len) =>
           jpegDecodeGray(java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + len))
         }
@@ -420,6 +445,25 @@ object Multimodal {
         }
       }
     }
+
+  /** The avcC configuration of an avc1 sample entry [entryS, entryE):
+    * extension boxes follow the 86-byte VisualSampleEntry header. None if
+    * absent or malformed (fail closed).
+    */
+  private[scale] def mp4Avc1Config(b: Array[Byte], entryS: Int, entryE: Int)
+      : Option[(Seq[Array[Byte]], Seq[Array[Byte]], Int)] = {
+    var i = entryS + 86
+    while (i + 8 <= entryE) {
+      val size = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      if (size < 8 || i + size > entryE) return None
+      if (b(i + 4) == 'a' && b(i + 5) == 'v' && b(i + 6) == 'c' && b(i + 7) == 'C')
+        return graft.scale.Avc.parseAvcc(
+          java.util.Arrays.copyOfRange(b, i + 8, i + size.toInt))
+      i += size.toInt
+    }
+    None
+  }
 
   /** Container-dispatching video frame decode — animated GIF (GIF89a
     * signature) or MJPEG MP4 (ftyp at offset 4) by the file's own magic,
@@ -1085,7 +1129,8 @@ object Multimodal {
     */
   private[graft] def mp4AvcPcmBytes(videoSamples: Seq[Array[Byte]], w: Int, h: Int,
                                     audioSamples: Option[Array[Short]],
-                                    videoFourcc: String = "avc1"): Array[Byte] = {
+                                    videoFourcc: String = "avc1",
+                                    avcc: Array[Byte] = null): Array[Byte] = {
     require(videoSamples.nonEmpty && videoFourcc.length == 4)
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
@@ -1097,14 +1142,17 @@ object Multimodal {
     val videoStart = 16L + 8L
     val audioStart = videoStart + videoBytes.length
 
-    val ventry = be32(86L) ++ videoFourcc.getBytes("US-ASCII") ++
+    val avccBox: Array[Byte] =
+      if (avcc == null) Array.empty[Byte]
+      else be32(8L + avcc.length) ++ "avcC".getBytes("US-ASCII") ++ avcc
+    val ventry = be32(86L + avccBox.length) ++ videoFourcc.getBytes("US-ASCII") ++
       new Array[Byte](6) ++ Array[Byte](0, 1) ++
       new Array[Byte](16) ++
       Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
         ((h >> 8) & 0xff).toByte, (h & 0xff).toByte) ++
       be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++
       Array[Byte](0, 1) ++ new Array[Byte](32) ++
-      Array[Byte](0, 0x18, -1, -1)
+      Array[Byte](0, 0x18, -1, -1) ++ avccBox
     val vOffs = videoSamples.scanLeft(videoStart)((o, s) => o + s.length).dropRight(1)
     val vtrak = box("trak", box("mdia", box("minf", box("stbl",
       box("stsd", full ++ be32(1) ++ ventry) ++
@@ -1703,6 +1751,31 @@ object Multimodal {
     * and the trailer — decodable by any conforming reader (the spec
     * cross-checks against the JDK's own ImageIO GIF reader).
     */
+  /** GIF interlace pass grid (GIF89a appendix E): rows emitted in pass
+    * order 0,8,16.. / 4,12.. / 2,6.. / 1,3,5.. Returns the row order.
+    */
+  private def gifInterlaceRows(fh: Int): Array[Int] = {
+    val rows = new Array[Int](fh)
+    var n = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < fh) { rows(n) = y; n += 1; y += step }
+    }
+    rows
+  }
+
+  /** Scatter pass-ordered interlaced rows back onto the display grid. */
+  private def gifDeinterlace(idx: Array[Byte], fw: Int, fh: Int): Array[Byte] = {
+    val out = new Array[Byte](idx.length)
+    val rows = gifInterlaceRows(fh)
+    var n = 0
+    while (n < fh) {
+      System.arraycopy(idx, n * fw, out, rows(n) * fw, fw)
+      n += 1
+    }
+    out
+  }
+
   def gifEncodeGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] =
     gifEncodeIndexed(pixels, Array.tabulate[Byte](768)(i => (i / 3).toByte), w, h)
 
@@ -1711,7 +1784,7 @@ object Multimodal {
     * i → (i,i,i)); fixture for the color-palette decode path.
     */
   def gifEncodeIndexed(pixels: Array[Byte], palette: Array[Byte],
-                       w: Int, h: Int): Array[Byte] = {
+                       w: Int, h: Int, interlaced: Boolean = false): Array[Byte] = {
     require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
     require(w > 0 && w <= 0xffff && h > 0 && h <= 0xffff, s"bad dims $w x $h")
     require(palette.length == 768, "256-entry RGB palette required")
@@ -1721,11 +1794,23 @@ object Multimodal {
     out.write(0xf7) // GCT present, 8-bit color resolution, 256-entry table
     out.write(0); out.write(0) // background index, aspect ratio
     out.write(palette, 0, 768)
-    out.write(0x2c) // image descriptor: full screen, no LCT, not interlaced
+    out.write(0x2c) // image descriptor: full screen, no LCT
     out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
-    out.write(0x00)
+    out.write(if (interlaced) 0x40 else 0x00)
     out.write(8) // min LZW code size for a 256-color stream
-    val lzw = gifLzwEncode(pixels, 8)
+    val ordered =
+      if (!interlaced) pixels
+      else { // emit rows in the appendix-E pass order
+        val o = new Array[Byte](pixels.length)
+        val rows = gifInterlaceRows(h)
+        var n = 0
+        while (n < h) {
+          System.arraycopy(pixels, rows(n) * w, o, n * w, w)
+          n += 1
+        }
+        o
+      }
+    val lzw = gifLzwEncode(ordered, 8)
     var off = 0
     while (off < lzw.length) {
       val n = math.min(255, lzw.length - off)
@@ -1737,12 +1822,12 @@ object Multimodal {
   }
 
   /** REAL GIF frame decode: LSD + color-table walk, extension skipping,
-    * then LZW decompression of the FIRST image descriptor's index stream,
-    * mapped to gray through the active palette. Fails closed (None) on a
-    * bad signature, truncation anywhere, an interlaced frame, a code
-    * stream that over/under-fills the frame, or a non-grayscale palette
-    * entry actually referenced — never a partial buffer. Returns
-    * (frame w, frame h, gray bytes).
+    * then LZW decompression of the FIRST image descriptor's index stream
+    * (interlaced frames deinterlaced through the appendix-E pass grid,
+    * r19), mapped to gray through the active palette's luma LUT. Fails
+    * closed (None) on a bad signature, truncation anywhere, a code
+    * stream that over/under-fills the frame, or an out-of-palette index —
+    * never a partial buffer. Returns (frame w, frame h, gray bytes).
     */
   /** Animated grayscale GIF89a: every frame a FULL-size image descriptor at
     * origin (disposal "do not dispose", `delayCs` centiseconds via a
@@ -1829,7 +1914,7 @@ object Multimodal {
           val fw = u16le(i + 5); val fh = u16le(i + 7)
           val iflags = b(i + 9) & 0xff
           i += 10
-          if ((iflags & 0x40) != 0) return None
+          val interlaced = (iflags & 0x40) != 0
           if (fx != 0 || fy != 0 || fw != sw || fh != sh) return None
           var pal = palette
           if ((iflags & 0x80) != 0) {
@@ -1850,10 +1935,11 @@ object Multimodal {
             sz = if (i < b.length) b(i) & 0xff else return None
           }
           i += 1
-          val idx = gifLzwDecode(lzw.toByteArray, minCode, fw * fh) match {
+          val idx0 = gifLzwDecode(lzw.toByteArray, minCode, fw * fh) match {
             case Some(a) => a
             case None => return None
           }
+          val idx = if (interlaced) gifDeinterlace(idx0, fw, fh) else idx0
           val out = new Array[Byte](fw * fh)
           val nPal = pal.length / 3
           // COLOR palettes map through the q225 fixed-point luma via a
@@ -1908,7 +1994,7 @@ object Multimodal {
           val fw = u16le(i + 5); val fh = u16le(i + 7)
           val iflags = b(i + 9) & 0xff
           i += 10
-          if ((iflags & 0x40) != 0) return None // interlaced: unsupported, fail closed
+          val interlaced = (iflags & 0x40) != 0 // appendix-E pass order
           var pal = palette
           if ((iflags & 0x80) != 0) {
             val n = 2 << (iflags & 7)
@@ -1927,10 +2013,11 @@ object Multimodal {
             i += 1 + sz
             sz = if (i < b.length) b(i) & 0xff else return None
           }
-          val idx = gifLzwDecode(lzw.toByteArray, minCode, fw * fh) match {
+          val idx0 = gifLzwDecode(lzw.toByteArray, minCode, fw * fh) match {
             case Some(a) => a
             case None => return None
           }
+          val idx = if (interlaced) gifDeinterlace(idx0, fw, fh) else idx0
           val out = new Array[Byte](fw * fh)
           val nPal = pal.length / 3
           // per-palette luma LUT — see gifDecodeGrayFrames' note
@@ -1958,9 +2045,14 @@ object Multimodal {
   // transform compression). Baseline sequential DCT, 8-bit, single
   // grayscale component (ITU-T T.81): marker walk, DQT/DHT/SOF0/SOS/DRI
   // parse, canonical Huffman decode with byte unstuffing and restart
-  // handling, dequantization, 2-D IDCT, level shift. Fails closed (None)
-  // on progressive or any non-SOF0 frame, non-grayscale, truncation, or a
-  // malformed table — never a partial buffer.
+  // handling, dequantization, 2-D IDCT, level shift. Grayscale
+  // PROGRESSIVE (SOF2) frames decode too (r19): the unified multi-scan
+  // walk accumulates raw coefficients across DC/AC first + refinement
+  // scans (spectral selection, successive approximation, EOB runs) and
+  // dequantizes once at EOI. Fails closed (None) on extended/lossless/
+  // arithmetic frames, non-grayscale (color progressive stays a measured
+  // blind spot), truncation, or a malformed table — never a partial
+  // buffer.
 
   /** JPEG natural-order index for each zigzag position (T.81 Figure A.6). */
   private val JZigZag: Array[Int] = Array(
@@ -2030,6 +2122,242 @@ object Multimodal {
     * [[JpegStdQuant]] it is genuinely lossy — MultimodalSpec pins both
     * against the JDK's own ImageIO JPEG codec.
     */
+  /** Forward path shared by the baseline and progressive encoders: level
+    * shift, 8x8 DCT, quantize — bw*bh blocks of 64 natural-order
+    * quantized coefficients (edge blocks pad by replication).
+    */
+  private def jpegForwardCoefs(pixels: Array[Byte], w: Int, h: Int,
+                               quant: Array[Int]): Array[Int] = {
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new Array[Int](bw * bh * 64)
+    val blk = new Array[Double](64)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var y = 0
+        while (y < 8) {
+          val py = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            val px = math.min(bx * 8 + x, w - 1)
+            blk(y * 8 + x) = (pixels(py * w + px) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val base = (by * bw + bx) * 64
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var sum = 0.0
+            var y2 = 0
+            while (y2 < 8) {
+              var x2 = 0
+              while (x2 < 8) {
+                sum += blk(y2 * 8 + x2) * CosTable(u * 8 + y2) * CosTable(v * 8 + x2)
+                x2 += 1
+              }
+              y2 += 1
+            }
+            val s = 0.25 * c0(u) * c0(v) * sum
+            out(base + u * 8 + v) = math.round(s / quant(u * 8 + v)).toInt
+            v += 1
+          }
+          u += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** REAL progressive grayscale JPEG (SOF2): the classic six-scan
+    * progression — DC first at Al=1, two AC spectral bands (1..5, 6..63)
+    * first at Al=1, then DC + both AC bands refined to Al=0. AC-first
+    * scans batch EOB runs (the decoder's EOBRUN>1 path), refinement scans
+    * carry correction bits; each AC scan ships its own flat canonical DHT
+    * built from the symbols it actually emits (tables legally redefine
+    * between scans). The successive approximation is EXACT: the refined
+    * coefficients equal the baseline encoder's, so
+    * decode(progressive(px)) == decode(baseline(px)) byte-for-byte — the
+    * law MultimodalSpec pins.
+    */
+  def jpegEncodeGrayProgressive(pixels: Array[Byte], w: Int, h: Int,
+                                quant: Array[Int] = JpegStdQuant): Array[Byte] = {
+    require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255))
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val nBlocks = bw * bh
+    val coefs = jpegForwardCoefs(pixels, w, h, quant)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(2 + 1 + 64); u8(0)
+    JZigZag.foreach(nat => u8(quant(nat)))
+    marker(0xc2); u16(2 + 6 + 3); u8(8); u16(h); u16(w); u8(1) // SOF2
+    u8(1); u8(0x11); u8(0)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    // bit emitter with byte stuffing, flushed (1-padded) per scan
+    var acc = 0L; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        u8(byte); if (byte == 0xff) u8(0x00)
+        nbits -= 8
+      }
+    }
+    def flushBits(): Unit = if (nbits > 0) { val p = 8 - nbits; putBits((1 << p) - 1, p) }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def sos(dcT: Int, acT: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(2 + 1 + 2 + 3); u8(1); u8(1); u8((dcT << 4) | acT)
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    // ---- DC first (Al = 1): diff coding over the shifted values --------
+    dht(0, 0, JDcBits, JDcVals)
+    val dcCodes = canonicalCodes(JDcBits, JDcVals)
+    sos(0, 0, 0, 0, 0, 1)
+    locally {
+      var pred = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val t = coefs(blk * 64) >> 1
+        val diff = t - pred; pred = t
+        val s = category(diff)
+        val (c, l) = dcCodes(s); putBits(c, l)
+        if (s > 0) putBits(if (diff >= 0) diff else diff - 1, s)
+        blk += 1
+      }
+      flushBits()
+    }
+    // ---- AC scans -------------------------------------------------------
+    /** Emit one AC scan (first pass when ah == 0, refinement otherwise).
+      * `emitSym` is resolved per pass: pass 1 collects the symbol set for
+      * the scan's DHT, pass 2 writes bits.
+      */
+    def acScan(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val symbols = scala.collection.mutable.LinkedHashSet.empty[Int]
+      var emitting = false
+      var codes: Map[Int, (Int, Int)] = null
+      def sym(rs: Int): Unit =
+        if (!emitting) symbols += rs
+        else { val (c, l) = codes(rs); putBits(c, l) }
+      def bits(v: Int, n: Int): Unit = if (emitting && n > 0) putBits(v, n)
+      def onePass(): Unit = {
+        if (ah == 0) { // AC first with batched EOB runs
+          var eobrun = 0
+          def flushEob(): Unit = if (eobrun > 0) {
+            val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+            sym(r << 4); bits(eobrun - (1 << r), r)
+            eobrun = 0
+          }
+          var blk = 0
+          while (blk < nBlocks) {
+            val base = blk * 64
+            var r = 0
+            var any = false
+            var k = ss
+            while (k <= se) {
+              val c = coefs(base + JZigZag(k))
+              val t = if (c >= 0) c >> al else -((-c) >> al)
+              if (t == 0) r += 1
+              else {
+                flushEob()
+                while (r > 15) { sym(0xf0); r -= 16 }
+                val s = category(t)
+                sym((r << 4) | s); bits(if (t >= 0) t else t - 1, s)
+                r = 0; any = true
+              }
+              k += 1
+            }
+            if (r > 0 || !any) {
+              eobrun += 1
+              if (eobrun == 0x7fff) flushEob()
+            }
+            blk += 1
+          }
+          flushEob()
+        } else { // AC refinement: per-block EOB, correction bits ride
+          val p1 = 1 << al
+          var blk = 0
+          while (blk < nBlocks) {
+            val base = blk * 64
+            // last newly-significant position at this level
+            var lastNew = ss - 1
+            var k = ss
+            while (k <= se) {
+              val c = coefs(base + JZigZag(k))
+              if (math.abs(c) >> al == 1) lastNew = k
+              k += 1
+            }
+            val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+            def flushBr(): Unit = { br.foreach(bit => bits(bit, 1)); br.clear() }
+            var r = 0
+            k = ss
+            while (k <= lastNew) {
+              val c = coefs(base + JZigZag(k))
+              val t = math.abs(c) >> al
+              if (t == 0) r += 1
+              else if (t > 1) br += ((math.abs(c) >> al) & 1)
+              else {
+                while (r > 15) { sym(0xf0); flushBr(); r -= 16 }
+                sym((r << 4) | 1); bits(if (c >= 0) 1 else 0, 1)
+                flushBr()
+                r = 0
+              }
+              k += 1
+            }
+            if (lastNew < se) { // EOB covers the tail; corrections follow
+              sym(0x00)
+              while (k <= se) {
+                val c = coefs(base + JZigZag(k))
+                if (math.abs(c) >> al > 1) bits((math.abs(c) >> al) & 1, 1)
+                k += 1
+              }
+            }
+            blk += 1
+          }
+        }
+      }
+      onePass() // collect symbols
+      // flat canonical table over the symbol set (all codes 8 bits:
+      // n <= 162 << 255, the all-ones code stays unused)
+      val vals = symbols.toArray.sorted
+      require(vals.nonEmpty && vals.length <= 255)
+      val bitsArr = Array.tabulate(16)(i => if (i == 7) vals.length else 0)
+      dht(1, 1, bitsArr, vals)
+      codes = vals.zipWithIndex.map { case (v, i) => v -> ((i, 8)) }.toMap
+      sos(0, 1, ss, se, ah, al)
+      emitting = true
+      onePass() // emit
+      flushBits()
+    }
+    acScan(1, 5, 0, 1)
+    acScan(6, 63, 0, 1)
+    // ---- DC refine (Ah=1, Al=0): one raw bit per block, no table -------
+    sos(0, 0, 0, 0, 1, 0)
+    locally {
+      var blk = 0
+      while (blk < nBlocks) {
+        putBits(coefs(blk * 64) & 1, 1)
+        blk += 1
+      }
+      flushBits()
+    }
+    acScan(1, 5, 1, 0)
+    acScan(6, 63, 1, 0)
+    marker(0xd9)
+    out.toByteArray
+  }
+
   def jpegEncodeGray(pixels: Array[Byte], w: Int, h: Int,
                      quant: Array[Int] = JpegStdQuant): Array[Byte] = {
     require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
@@ -2067,45 +2395,14 @@ object Multimodal {
     def putVal(v: Int, s: Int): Unit =
       if (s > 0) putBits(if (v >= 0) v else v - 1, s)
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val blk = new Array[Double](64); val coef = new Array[Int](64)
+    val allCoefs = jpegForwardCoefs(pixels, w, h, quant)
+    val coef = new Array[Int](64)
     var pred = 0
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
-        // load with edge replication, level-shifted
-        var y = 0
-        while (y < 8) {
-          val py = math.min(by * 8 + y, h - 1)
-          var x = 0
-          while (x < 8) {
-            val px = math.min(bx * 8 + x, w - 1)
-            blk(y * 8 + x) = (pixels(py * w + px) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // forward DCT + quantize, natural order
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var sum = 0.0
-            var y2 = 0
-            while (y2 < 8) {
-              var x2 = 0
-              while (x2 < 8) {
-                sum += blk(y2 * 8 + x2) * CosTable(u * 8 + y2) * CosTable(v * 8 + x2)
-                x2 += 1
-              }
-              y2 += 1
-            }
-            val s = 0.25 * c0(u) * c0(v) * sum
-            coef(u * 8 + v) = math.round(s / quant(u * 8 + v)).toInt
-            v += 1
-          }
-          u += 1
-        }
+        System.arraycopy(allCoefs, (by * bw + bx) * 64, coef, 0, 64)
         // DC difference
         val dc = coef(0); val diff = dc - pred; pred = dc
         val s0 = category(diff)
@@ -2138,12 +2435,14 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** REAL baseline JPEG pixel decode for 8-bit single-component grayscale.
-    * See the family comment above for what it parses and when it fails
-    * closed. Restart markers (DRI/RSTn) are honored; foreign Huffman and
-    * quantization tables (any spec-valid DHT/DQT, 8- or 16-bit precision)
-    * are accepted — MultimodalSpec decodes the JDK ImageIO writer's output
-    * through this path.
+  /** REAL JPEG pixel decode for 8-bit single-component grayscale —
+    * baseline (SOF0) and progressive (SOF2) through one multi-scan
+    * coefficient-domain walk. See the family comment above. Restart
+    * markers (DRI/RSTn) are honored; foreign Huffman and quantization
+    * tables (any spec-valid DHT/DQT, 8- or 16-bit precision, redefined
+    * between scans) are accepted — MultimodalSpec decodes the JDK ImageIO
+    * writer's output through this path and pins
+    * decode(progressive) == decode(baseline) byte-exactly.
     */
   def jpegDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -2151,74 +2450,16 @@ object Multimodal {
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     val quant = Array.ofDim[Int](4, 64)
     val quantSeen = new Array[Boolean](4)
-    // huffLens(cls)(id)(sym i) parallel to huffVals — canonical rebuild
+    // huffBits(cls)(id) parallel to huffVals — canonical rebuild; tables
+    // may be (re)defined BETWEEN scans, so they live across the walk
     val huffBits = Array.ofDim[Array[Int]](2, 4)
     val huffVals = Array.ofDim[Array[Int]](2, 4)
-    var w = -1; var h = -1; var dcTab = -1; var acTab = -1; var qTab = -1
+    var w = -1; var h = -1; var qTab = -1
+    var progressive = false
+    var frameSeen = false
     var restartInterval = 0
-    var i = 2
-    var scanAt = -1
-    while (scanAt < 0) {
-      if (i + 4 > b.length) return None
-      if (u8(i) != 0xff) return None
-      var m = u8(i + 1)
-      while (m == 0xff) { i += 1; if (i + 4 > b.length) return None; m = u8(i + 1) }
-      if (m == 0xd9) return None // EOI before any scan
-      val len = u16(i + 2)
-      if (len < 2 || i + 2 + len > b.length) return None
-      val seg = i + 4
-      m match {
-        case 0xc0 => // SOF0 baseline sequential
-          if (u8(seg) != 8) return None // 8-bit precision only
-          h = u16(seg + 1); w = u16(seg + 3)
-          if (u8(seg + 5) != 1) return None // grayscale only
-          if (u8(seg + 7) != 0x11) return None // 1x1 sampling
-          qTab = u8(seg + 8)
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive/extended/lossless frames: fail closed
-        case 0xc4 => // DHT: one or more tables
-          var p = seg
-          while (p < i + 2 + len) {
-            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
-            if (tc > 1 || th > 3 || p + 17 > i + 2 + len) return None
-            val bits = Array.tabulate(16)(j => u8(p + 1 + j))
-            val n = bits.sum
-            if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return None
-            huffBits(tc)(th) = bits
-            huffVals(tc)(th) = Array.tabulate(n)(j => u8(p + 17 + j))
-            p += 17 + n
-          }
-        case 0xdb => // DQT: one or more tables, Pq 0 (8-bit) or 1 (16-bit)
-          var p = seg
-          while (p < i + 2 + len) {
-            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
-            if (pq > 1 || tq > 3) return None
-            val step = if (pq == 0) 1 else 2
-            if (p + 1 + 64 * step > i + 2 + len) return None
-            var k = 0
-            while (k < 64) {
-              quant(tq)(JZigZag(k)) =
-                if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
-              k += 1
-            }
-            quantSeen(tq) = true
-            p += 1 + 64 * step
-          }
-        case 0xdd => // DRI
-          restartInterval = u16(seg)
-        case 0xda => // SOS
-          if (u8(seg) != 1) return None // single-component scan only
-          dcTab = u8(seg + 2) >> 4; acTab = u8(seg + 2) & 0x0f
-          if (u8(seg + 3) != 0 || u8(seg + 4) != 63) return None // full spectral
-          scanAt = i + 2 + len
-        case _ => () // APPn / COM / others: skip
-      }
-      i += 2 + len
-    }
-    if (w <= 0 || h <= 0 || qTab < 0 || !quantSeen(qTab)) return None
-    if (huffBits(0)(dcTab) == null || huffBits(1)(acTab) == null) return None
-    val qt = quant(qTab)
+    var bw = 0; var bh = 0
+    var coefs: Array[Int] = null // bw*bh*64 RAW coefficients, natural order
     // canonical Huffman decode tables: mincode/maxcode/valptr per length
     def decTables(bits: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
       val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
@@ -2235,11 +2476,9 @@ object Multimodal {
       }
       (mincode, maxcode, valptr)
     }
-    val (dcMin, dcMax, dcPtr) = decTables(huffBits(0)(dcTab))
-    val (acMin, acMax, acPtr) = decTables(huffBits(1)(acTab))
-    val dcV = huffVals(0)(dcTab); val acV = huffVals(1)(acTab)
-    // entropy-coded bit reader: byte unstuffing, restart-marker awareness
-    var pos = scanAt; var acc = 0; var nbits = 0; var hitMarker = false
+    // entropy-coded bit reader: byte unstuffing, restart-marker awareness;
+    // reset at each SOS, shared by every scan type
+    var pos = 0; var acc = 0; var nbits = 0; var hitMarker = false
     def fill(): Boolean = {
       while (nbits <= 24 && !hitMarker) {
         if (pos >= b.length) return nbits > 0
@@ -2288,42 +2527,256 @@ object Multimodal {
       pos += 2
       true
     }
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    /** One scan over all blocks (single-component => block raster order in
+      * both modes). Baseline: the full DC+AC block decode. Progressive
+      * (T.81 G.1.2): DC first/refine, AC first/refine with EOB runs.
+      * Coefficients accumulate RAW into `coefs`; dequantization happens
+      * once, after EOI.
+      */
+    def runScan(dcT: Int, acT: Int, ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+      val needDcTable = (ss == 0 && ah == 0) || !progressive
+      val needAcTable = ss > 0 || !progressive
+      if (needDcTable && huffBits(0)(dcT) == null) return false
+      if (needAcTable && huffBits(1)(acT) == null) return false
+      val (dcMin, dcMax, dcPtr) =
+        if (needDcTable) decTables(huffBits(0)(dcT)) else (null, null, null)
+      val (acMin, acMax, acPtr) =
+        if (needAcTable) decTables(huffBits(1)(acT)) else (null, null, null)
+      val dcV = if (needDcTable) huffVals(0)(dcT) else null
+      val acV = if (needAcTable) huffVals(1)(acT) else null
+      var pred = 0
+      var eobrun = 0
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var sinceRestart = 0
+      var blkIdx = 0
+      val totalBlocks = bw * bh
+      while (blkIdx < totalBlocks) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          if (!syncRestart()) return false
+          pred = 0; eobrun = 0; sinceRestart = 0
+        }
+        val base = blkIdx * 64
+        if (!progressive) {
+          // baseline: DC + full AC in one pass
+          val s0 = decodeSym(dcMin, dcMax, dcPtr, dcV)
+          if (s0 < 0 || s0 > 11) return false
+          val dbits = if (s0 == 0) 0 else readBits(s0)
+          if (dbits < 0) return false
+          pred += extend(dbits, s0)
+          coefs(base) = pred
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeSym(acMin, acMax, acPtr, acV)
+            if (rs < 0) return false
+            if (rs == 0x00) eob = true
+            else if (rs == 0xf0) k += 16
+            else {
+              k += rs >> 4
+              val s = rs & 0x0f
+              if (k > 63) return false
+              val vb = readBits(s); if (vb < 0) return false
+              coefs(base + JZigZag(k)) = extend(vb, s)
+              k += 1
+            }
+          }
+        } else if (ss == 0) {
+          if (ah == 0) { // DC first: diff coded at the point transform
+            val s0 = decodeSym(dcMin, dcMax, dcPtr, dcV)
+            if (s0 < 0 || s0 > 11) return false
+            val dbits = if (s0 == 0) 0 else readBits(s0)
+            if (dbits < 0) return false
+            pred += extend(dbits, s0)
+            coefs(base) = pred << al
+          } else { // DC refine: one raw bit per block
+            val bit = readBit(); if (bit < 0) return false
+            if (bit == 1) coefs(base) |= p1
+          }
+        } else if (ah == 0) { // AC first (G.1.2.2)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var blockDone = false
+            while (k <= se && !blockDone) {
+              val rs = decodeSym(acMin, acMax, acPtr, acV)
+              if (rs < 0) return false
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) {
+                    val ext = readBits(r); if (ext < 0) return false
+                    eobrun += ext
+                  }
+                  blockDone = true
+                }
+              } else {
+                k += r
+                if (k > se) return false
+                val vb = readBits(s); if (vb < 0) return false
+                coefs(base + JZigZag(k)) = extend(vb, s) << al
+                k += 1
+              }
+            }
+          }
+        } else { // AC refine (G.1.2.3): correction bits + new +-1 coefficients
+          var k = ss
+          if (eobrun == 0) {
+            var scanDone = false
+            while (k <= se && !scanDone) {
+              val rs = decodeSym(acMin, acMax, acPtr, acV)
+              if (rs < 0) return false
+              var r = rs >> 4; val s = rs & 15
+              var newval = 0
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = 1 << r
+                  if (r > 0) {
+                    val ext = readBits(r); if (ext < 0) return false
+                    eobrun += ext
+                  }
+                  scanDone = true
+                }
+                // r == 15: skip 16 zero-history positions (corrections ride)
+              } else {
+                if (s != 1) return false // refinement codes only +-1
+                val bit = readBit(); if (bit < 0) return false
+                newval = if (bit == 1) p1 else m1
+              }
+              if (!scanDone) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val p = base + JZigZag(k)
+                  if (coefs(p) != 0) {
+                    val bit = readBit(); if (bit < 0) return false
+                    if (bit == 1 && (coefs(p) & p1) == 0)
+                      coefs(p) += (if (coefs(p) >= 0) p1 else m1)
+                  } else {
+                    if (r == 0) {
+                      if (newval != 0) coefs(p) = newval
+                      placed = true
+                    } else r -= 1
+                  }
+                  k += 1
+                }
+                if (!placed && newval != 0) return false // ran off the band
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB run: corrections continue over nonzeros
+            while (k <= se) {
+              val p = base + JZigZag(k)
+              if (coefs(p) != 0) {
+                val bit = readBit(); if (bit < 0) return false
+                if (bit == 1 && (coefs(p) & p1) == 0)
+                  coefs(p) += (if (coefs(p) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        sinceRestart += 1
+        blkIdx += 1
+      }
+      true
+    }
+    // ---- marker walk: tables + frame, scans processed as encountered ----
+    var i = 2
+    var eoiSeen = false
+    var anyScan = false
+    while (!eoiSeen) {
+      if (i + 2 > b.length) return None
+      if (u8(i) != 0xff) return None
+      var m = u8(i + 1)
+      while (m == 0xff) { i += 1; if (i + 2 > b.length) return None; m = u8(i + 1) }
+      if (m == 0xd9) eoiSeen = true
+      else {
+        if (i + 4 > b.length) return None
+        val len = u16(i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        var nextI = i + 2 + len
+        m match {
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            if (frameSeen) return None
+            frameSeen = true
+            progressive = m == 0xc2
+            if (u8(seg) != 8) return None // 8-bit precision only
+            h = u16(seg + 1); w = u16(seg + 3)
+            if (u8(seg + 5) != 1) return None // grayscale only
+            if (u8(seg + 7) != 0x11) return None // 1x1 sampling
+            qTab = u8(seg + 8)
+            if (w <= 0 || h <= 0) return None
+            bw = (w + 7) / 8; bh = (h + 7) / 8
+            coefs = new Array[Int](bw * bh * 64)
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // extended/lossless/arithmetic frames: fail closed
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > i + 2 + len) return None
+              val bits = Array.tabulate(16)(j => u8(p + 1 + j))
+              val n = bits.sum
+              if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return None
+              huffBits(tc)(th) = bits
+              huffVals(tc)(th) = Array.tabulate(n)(j => u8(p + 17 + j))
+              p += 17 + n
+            }
+          case 0xdb => // DQT: one or more tables, Pq 0 (8-bit) or 1 (16-bit)
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+              if (pq > 1 || tq > 3) return None
+              val step = if (pq == 0) 1 else 2
+              if (p + 1 + 64 * step > i + 2 + len) return None
+              var k = 0
+              while (k < 64) {
+                quant(tq)(JZigZag(k)) =
+                  if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
+                k += 1
+              }
+              quantSeen(tq) = true
+              p += 1 + 64 * step
+            }
+          case 0xdd => // DRI
+            restartInterval = u16(seg)
+          case 0xda => // SOS: decode this scan in place
+            if (!frameSeen) return None
+            if (u8(seg) != 1) return None // single-component scan only
+            val dcT = u8(seg + 2) >> 4; val acT = u8(seg + 2) & 0x0f
+            val ss = u8(seg + 3); val se = u8(seg + 4)
+            val ah = u8(seg + 5) >> 4; val al = u8(seg + 5) & 0x0f
+            if (progressive) {
+              if (ss == 0 && se != 0) return None // DC scans carry only k=0
+              if (ss > 0 && (se < ss || se > 63)) return None
+              if (al > 13 || (ah != 0 && ah != al + 1)) return None
+            } else {
+              if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
+              if (anyScan) return None // baseline: exactly one scan
+            }
+            pos = i + 2 + len; acc = 0; nbits = 0; hitMarker = false
+            if (!runScan(dcT, acT, ss, se, ah, al)) return None
+            anyScan = true
+            nextI = pos // the reader stopped AT the next marker's 0xff
+          case _ => () // APPn / COM / others: skip
+        }
+        i = nextI
+      }
+    }
+    if (!frameSeen || !anyScan || qTab < 0 || !quantSeen(qTab)) return None
+    // ---- dequantize + IDCT every block ----
+    val qt = quant(qTab)
     val out = new Array[Byte](w * h)
-    val coef = new Array[Int](64); val px = new Array[Double](64)
-    var pred = 0
-    var sinceRestart = 0
+    val px = new Array[Double](64)
     var blkIdx = 0
     val totalBlocks = bw * bh
     while (blkIdx < totalBlocks) {
-      if (restartInterval > 0 && sinceRestart == restartInterval) {
-        if (!syncRestart()) return None
-        pred = 0; sinceRestart = 0
-      }
-      java.util.Arrays.fill(coef, 0)
-      val s0 = decodeSym(dcMin, dcMax, dcPtr, dcV)
-      if (s0 < 0 || s0 > 11) return None
-      val dbits = if (s0 == 0) 0 else readBits(s0)
-      if (dbits < 0) return None
-      pred += extend(dbits, s0)
-      coef(0) = pred * qt(0)
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val rs = decodeSym(acMin, acMax, acPtr, acV)
-        if (rs < 0) return None
-        if (rs == 0x00) eob = true
-        else if (rs == 0xf0) k += 16
-        else {
-          k += rs >> 4
-          val s = rs & 0x0f
-          if (k > 63) return None
-          val vb = readBits(s); if (vb < 0) return None
-          coef(JZigZag(k)) = extend(vb, s) * qt(JZigZag(k))
-          k += 1
-        }
-      }
-      // 2-D IDCT + level shift
+      val base = blkIdx * 64
       var y = 0
       while (y < 8) {
         var x = 0
@@ -2333,8 +2786,10 @@ object Multimodal {
           while (u < 8) {
             var v = 0
             while (v < 8) {
-              sum += c0(u) * c0(v) * coef(u * 8 + v) *
-                CosTable(u * 8 + y) * CosTable(v * 8 + x)
+              val c = coefs(base + u * 8 + v)
+              if (c != 0)
+                sum += c0(u) * c0(v) * c * qt(u * 8 + v) *
+                  CosTable(u * 8 + y) * CosTable(v * 8 + x)
               v += 1
             }
             u += 1
@@ -2361,7 +2816,6 @@ object Multimodal {
         }
         yy += 1
       }
-      sinceRestart += 1
       blkIdx += 1
     }
     Some((w, h, out))
@@ -4158,8 +4612,10 @@ object Multimodal {
         |    CAST(count(1) AS BIGINT) AS n_assets FROM documents WHERE doc_id % 8 = 0
         |  UNION ALL SELECT 'mp4', 'avc1', 'audio_fallback', count(1)
         |    FROM documents WHERE doc_id % 8 = 1
+        |  UNION ALL SELECT 'mp4', 'avc1', 'live', count(1)
+        |    FROM documents WHERE doc_id % 16 = 2
         |  UNION ALL SELECT 'mp4', 'avc1', 'fail_closed', count(1)
-        |    FROM documents WHERE doc_id % 8 = 2
+        |    FROM documents WHERE doc_id % 16 = 10
         |  UNION ALL SELECT 'gif', 'lzw', 'live', count(1)
         |    FROM documents WHERE doc_id % 8 = 3
         |  UNION ALL SELECT 'webp', 'vp8', 'live', count(1)
@@ -4290,6 +4746,201 @@ object Multimodal {
           coalesce(col("cluster"), col("asset_id")).as("cluster"))
         .orderBy("asset_id")
     },
+
+    // avc1 (H.264) keyframes join the video near-dup family (r18 verdict
+    // "next round" #5): the q263 frame-vote pipeline with re-encodes
+    // stored as REAL avc1 MP4s — avcC codec config in the sample entry,
+    // each sample a baseline CAVLC IDR picture decoded by the from-scratch
+    // [[graft.scale.Avc]] codec (intra 4x4/16x16/PCM, full deblocking;
+    // certified against the independent Python twin,
+    // tools/avc1_crosscheck.py). An avc1 re-encode of an MJPEG-MP4
+    // original — the dominant crawl video near-dup shape — now collects
+    // frame votes instead of falling back to its audio track: the engine
+    // decodes both containers to the SAME frame-key space, so the oracle
+    // is the q296-style cluster map (lossy decode is within the q216
+    // Hamming budget by construction — AvcSpec pins the error bound; the
+    // pipeline is deterministic, so the clustering is a fixed fact the
+    // residue classes state). One re-encode class is multi-slice
+    // (mbRowsPerSlice = 2), so slice-boundary prediction and the slice-
+    // gated deblocking paths run inside the certified query, not just in
+    // specs. Perturbed avc1 re-encodes split into their own cluster.
+    Q("q309_avc1_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | vids AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 6
+        |  UNION ALL SELECT doc_id + 800000, doc_id + 800000 FROM ids WHERE doc_id % 10 = 9)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM vids ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q309-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              import graft.scale.Avc
+              def mjpegOf(frames: Seq[Array[Byte]]) = mp4MjpegBytes(
+                frames.map(px => jpegEncodeGray(px, 64, 64, JpegFlatQuant8)),
+                64, 64)
+              def avc1Of(frames: Seq[Array[Byte]], rowsPerSlice: Int) = {
+                val streams = frames.map(px =>
+                  Avc.encodeGrayIdr(px, 64, 64, 6, mbRowsPerSlice = rowsPerSlice))
+                val (sps, pps, _) = Avc.splitAnnexB(streams.head)
+                mp4AvcPcmBytes(
+                  streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)),
+                  64, 64, None, "avc1", Avc.avccPayload(sps, pps))
+              }
+              val base = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+              out += ((id, mjpegOf(base.toSeq)))
+              if (id % 10 == 3) // single-slice avc1 re-encode
+                out += ((id + 600000, avc1Of(base.toSeq, 0)))
+              if (id % 10 == 6) // multi-slice avc1 re-encode
+                out += ((id + 700000, avc1Of(base.toSeq, 2)))
+              if (id % 10 == 9) { // strongly perturbed avc1: own cluster
+                // +64 on alternating 8x8 blocks — Hamming lands far past
+                // the vote budget on every frame, so the oracle's cluster
+                // split is structural, not a near-tie
+                def pert(px: Array[Byte]): Array[Byte] =
+                  Array.tabulate(64 * 64) { i =>
+                    val blk = (i / 64 / 8) * 8 + (i % 64) / 8
+                    if (blk % 2 == 0) ((px(i) & 0xff) + 64).toByte else px(i)
+                  }
+                out += ((id + 800000, avc1Of(base.map(pert).toSeq, 0)))
+              }
+              out.iterator
+            }
+          }
+          .toDF("vid", "bytes").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable mp4 $vid"))
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          (vid * 4 + f, dHash56(px, w, h))
+        }
+      }).toDF("asset_id", "dhash").localCheckpoint()
+      val framePairs = phashPairs(frameHashes)
+        .select(expr("doc_a div 4").as("va"), expr("doc_b div 4").as("vb"))
+        .filter(col("va") =!= col("vb"))
+      val videoEdges = framePairs.groupBy("va", "vb").count()
+        .filter(col("count") >= 2)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val labels = graft.scale.Cluster.connectedComponents(videoEdges)
+        .withColumnRenamed("doc_id", "asset_id")
+      frameHashes.select(expr("asset_id div 4").as("asset_id")).distinct()
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // INTERLACED GIFs join the near-dup path (the r18 verdict's "and
+    // interlaced GIF if cheap" rider on task 4): the appendix-E pass grid
+    // is a pure row permutation of the LZW index stream, so decode is the
+    // plain decoder plus one scatter — pixels identical to the
+    // non-interlaced twin, clusters at Hamming 0. Classes: interlaced
+    // gray GIF, interlaced COLOR GIF (the q303 colorLift palette, luma
+    // exactly v), and a dithered interlaced class riding the standard
+    // Hamming-6 budget. Oracle is the q296-style cluster map.
+    Q("q310_gif_interlace_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 8)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val grayPalette = Array.tabulate[Byte](768)(i => (i / 3).toByte)
+      val feed = graft.core.FixtureCache.dir(s"q310-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val base = synthPixels(id, pert = false)
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              out += ((id, pngEncodeGray(base, 64, 64), "png"))
+              if (id % 10 == 2)
+                out += ((id + 500000,
+                  gifEncodeIndexed(base, grayPalette, 64, 64, interlaced = true), "gif"))
+              if (id % 10 == 5)
+                out += ((id + 600000,
+                  gifEncodeIndexed(base, ColorLiftPalette, 64, 64, interlaced = true), "gif"))
+              if (id % 10 == 8)
+                out += ((id + 700000, gifEncodeIndexed(
+                  synthPixels(id, pert = true), grayPalette, 64, 64,
+                  interlaced = true), "gif"))
+              out.iterator
+            }
+          }
+          .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // PROGRESSIVE JPEGs join the near-dup path (r18 verdict "what's
+    // missing" #3's last image class): SOF2 re-encodes decode through the
+    // unified multi-scan walk — six scans, spectral selection, successive
+    // approximation, EOB runs — to the SAME pixels as a baseline twin
+    // (MultimodalSpec pins byte equality), so a progressive re-upload of
+    // known content clusters at Hamming 0 under flat quant, a dithered
+    // progressive copy rides the standard budget, and fresh progressive
+    // content stays its own cluster. Oracle is the q296-style cluster map.
+    Q("q311_progressive_jpeg_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 1
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 4
+        |  UNION ALL SELECT doc_id + 700000, doc_id + 700000 FROM ids WHERE doc_id % 10 = 7)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q311-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              val base = synthPixels(id, pert = false)
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              out += ((id, pngEncodeGray(base, 64, 64), "png"))
+              if (id % 10 == 1) // lossless progressive twin (flat quant)
+                out += ((id + 500000,
+                  jpegEncodeGrayProgressive(base, 64, 64, JpegFlatQuant8), "jpeg"))
+              if (id % 10 == 4) // dithered progressive: standard budget
+                out += ((id + 600000, jpegEncodeGrayProgressive(
+                  synthPixels(id, pert = true), 64, 64, JpegFlatQuant8), "jpeg"))
+              if (id % 10 == 7) // fresh progressive content: own cluster
+                out += ((id + 700000, jpegEncodeGrayProgressive(
+                  synthPixels(id + 700000, pert = false), 64, 64, JpegFlatQuant8), "jpeg"))
+              out.iterator
+            }
+          }
+          .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
   )
 
   /** The q298/q306 mixed-codec coverage fixture — one payload per doc in
@@ -4319,9 +4970,21 @@ object Multimodal {
               case 1 => mp4AvcPcmBytes(
                 Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
                 64, 64, Some(audio(id)))
-              case 2 => mp4AvcPcmBytes(
-                Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
-                64, 64, None)
+              // r19: the avc1 lift — half this class carries a REAL
+              // baseline CAVLC IDR bitstream behind an avcC config (live:
+              // the frame path decodes it through graft.scale.Avc), half
+              // a CABAC-configured avcC (the dominant real-web shape and
+              // the codec family's remaining measured blind spot)
+              case 2 =>
+                val annexb = graft.scale.Avc.encodeGrayIdr(px, 64, 64, 6)
+                val (sps, pps, idr) = graft.scale.Avc.splitAnnexB(annexb)
+                if (id % 16 == 2)
+                  mp4AvcPcmBytes(Seq(graft.scale.Avc.toAvccSample(idr)),
+                    64, 64, None, "avc1", graft.scale.Avc.avccPayload(sps, pps))
+                else
+                  mp4AvcPcmBytes(Seq(graft.scale.Avc.toAvccSample(idr)),
+                    64, 64, None, "avc1",
+                    graft.scale.Avc.avccPayload(sps, Seq(cabacPpsNal(6))))
               case 3 => gifEncodeGrayAnimated(
                 Array.tabulate(2)(f => synthFramePixels(id, f, pert = false)).toSeq,
                 64, 64)
@@ -4348,6 +5011,19 @@ object Multimodal {
         .write.parquet(s"$p/assets")
     }
     s"$root/assets"
+  }
+
+  /** A spec-valid PPS NAL with entropy_coding_mode_flag = 1 (CABAC) —
+    * the q298 avc1 fail-closed witness: real-web high/main-profile shape
+    * that [[graft.scale.Avc]] must refuse loudly rather than misparse.
+    */
+  private[scale] def cabacPpsNal(qp: Int): Array[Byte] = {
+    val w = new graft.scale.Avc.BitWriter
+    w.ue(0); w.ue(0); w.u1(1) // pps 0, sps 0, CABAC
+    w.u1(0); w.ue(0); w.ue(0); w.ue(0); w.u1(0); w.u(2, 0)
+    w.se(qp - 26); w.se(0); w.se(0); w.u1(0); w.u1(0); w.u1(0)
+    w.rbspTrailing()
+    Array[Byte](0x68) ++ graft.scale.Avc.antiEmulate(w.toBytes)
   }
 
   /** [[colorLift]] applied per pixel: gray w·h → interleaved RGB 3·w·h. */

@@ -324,19 +324,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("GIF decode fails closed: truncation, interlace, bad palette ref, garbage") {
+  test("GIF decode fails closed: truncation, bad palette ref, garbage; a lying interlace flag permutes rows deterministically") {
     val pixels = Array.tabulate(24)(_.toByte)
     val gif = Multimodal.gifEncodeGray(pixels, 6, 4)
     assert(Multimodal.gifDecodeGray(gif.dropRight(8)) === None)
     assert(Multimodal.gifDecodeGray("GIF89a".getBytes("US-ASCII")) === None)
     assert(Multimodal.gifDecodeGray("not a gif".getBytes("US-ASCII")) === None)
     // flip the interlace flag in the image descriptor (offset: 13 header +
-    // 768 GCT + 9 into the descriptor) — decoder must refuse, not garble
+    // 768 GCT + 9 into the descriptor). Since r19 the decoder HONORS the
+    // flag, so a lying flag yields exactly the appendix-E row scatter of
+    // the sequential data (h=4 passes: rows 0,2 then 1,3 -> scatter
+    // 0->0, 1->2, 2->1, 3->3) — deterministic, never None, never garbage
     val interlaced = gif.clone()
     val idOff = 13 + 768
     assert((interlaced(idOff) & 0xff) === 0x2c)
     interlaced(idOff + 9) = (interlaced(idOff + 9) | 0x40).toByte
-    assert(Multimodal.gifDecodeGray(interlaced) === None)
+    val scattered = Multimodal.gifDecodeGray(interlaced)
+    assert(scattered.isDefined)
+    val rowOf = Array(0, 2, 1, 3) // source row n lands on display row rowOf(n)
+    val expect = new Array[Byte](24)
+    for (n <- 0 until 4; x <- 0 until 6)
+      expect(rowOf(n) * 6 + x) = pixels(n * 6 + x)
+    assert(scattered.get._3.toSeq === expect.toSeq)
     // corrupt a byte mid-LZW-stream: either an invalid code or a frame
     // fill mismatch — never a silent wrong buffer... the stream may still
     // decode to DIFFERENT bytes of the right length for some corruptions,
@@ -910,5 +919,122 @@ class MultimodalSpec extends SparkSpec {
     assert(got(("mp4", "avc1", "fail_closed")) === ((1L, sizes(4L))))
     assert(got(("unknown", "unknown", "fail_closed")) === ((1L, 3L)))
     assert(got.size === 5)
+  }
+
+  test("avc1 with avcC decodes through the frame path; CABAC fails closed") {
+    import graft.scale.Avc
+    val frames = Array.tabulate(3)(f => Multimodal.synthFramePixels(21L, f, pert = false))
+    val streams = frames.map(px => Avc.encodeGrayIdr(px, 64, 64, 6))
+    val (sp, pp, _) = Avc.splitAnnexB(streams.head)
+    val mp4 = Multimodal.mp4AvcPcmBytes(
+      streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)).toSeq,
+      64, 64, None, "avc1", Avc.avccPayload(sp, pp))
+    val got = Multimodal.mp4DecodeGrayFrames(mp4)
+    assert(got.exists(g => g._1 == 64 && g._2 == 64 && g._3.length == 3))
+    // cross-container law: the avc1 decode hashes within the q216 budget
+    // of the source frames, so it votes against MJPEG/GIF re-encodes
+    got.get._3.zip(frames).zipWithIndex.foreach { case ((dec, src), f) =>
+      val hd = java.lang.Long.bitCount(
+        Multimodal.dHash56(dec, 64, 64) ^ Multimodal.dHash56(src, 64, 64))
+      assert(hd <= 2, s"frame $f drifted $hd bits")
+    }
+    // magic dispatch reaches it too
+    assert(Multimodal.videoDecodeGrayFrames(mp4).isDefined)
+    // CABAC config: refused loudly (the measured blind spot), never parsed
+    val cabac = Multimodal.mp4AvcPcmBytes(
+      streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)).toSeq,
+      64, 64, None, "avc1", Avc.avccPayload(sp, Seq(Multimodal.cabacPpsNal(6))))
+    assert(Multimodal.mp4DecodeGrayFrames(cabac) === None)
+    // one undecodable sample fails the whole track closed
+    val torn = Multimodal.mp4AvcPcmBytes(
+      (streams.dropRight(1).map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)) :+
+        Array.tabulate(40)(_.toByte)).toSeq,
+      64, 64, None, "avc1", Avc.avccPayload(sp, pp))
+    assert(Multimodal.mp4DecodeGrayFrames(torn) === None)
+  }
+
+  test("avcC build/parse roundtrip and fail-closed laws") {
+    import graft.scale.Avc
+    val annexb = Avc.encodeGrayIdr(Multimodal.synthPixels(9L, pert = false), 64, 64, 8)
+    val (sp, pp, idr) = Avc.splitAnnexB(annexb)
+    assert(sp.nonEmpty && pp.nonEmpty && idr.nonEmpty)
+    // a tiny high-QP picture keeps the IDR NAL under 256 bytes so even
+    // the 1-byte length prefix is exercised end to end
+    val tiny = Avc.encodeGrayIdr(Array.fill(16 * 16)(90.toByte), 16, 16, 30)
+    val (tsp, tpp, tidr) = Avc.splitAnnexB(tiny)
+    for (ls <- Seq(1, 2, 4)) {
+      val cfg = Avc.avccPayload(tsp, tpp, ls)
+      val parsed = Avc.parseAvcc(cfg)
+      assert(parsed.exists { case (s2, p2, l2) =>
+        l2 == ls && s2.map(_.toSeq) == tsp.map(_.toSeq) && p2.map(_.toSeq) == tpp.map(_.toSeq)
+      })
+      // the sample decodes under every declared length size
+      val sample = Avc.toAvccSample(tidr, ls)
+      assert(Avc.decodeSampleGray(tsp, tpp, ls, sample).isDefined)
+    }
+    // an oversized NAL must refuse the narrow prefix, not truncate it
+    assertThrows[IllegalArgumentException](Avc.toAvccSample(idr, 1))
+    assert(Avc.parseAvcc(Array[Byte](2, 0, 0, 0, -1, -31)) === None) // bad version
+    assert(Avc.parseAvcc(Avc.avccPayload(sp, pp).dropRight(3)) === None) // truncated
+  }
+
+  test("interlaced GIFs decode to the exact plain-twin pixels (both decoders)") {
+    val px = Multimodal.synthPixels(13L, pert = false)
+    val grayPal = Array.tabulate[Byte](768)(i => (i / 3).toByte)
+    val plain = Multimodal.gifEncodeIndexed(px, grayPal, 64, 64)
+    val inter = Multimodal.gifEncodeIndexed(px, grayPal, 64, 64, interlaced = true)
+    // 13-byte header+LSD, 768-byte palette, 0x2c + 8 descriptor bytes
+    assert(((inter(13 + 768 + 9): Int) & 0x40) != 0, "interlace flag set")
+    val a = Multimodal.gifDecodeGray(plain)
+    val b = Multimodal.gifDecodeGray(inter)
+    assert(a.isDefined && b.isDefined)
+    assert(a.get._3.toSeq == b.get._3.toSeq, "single-frame deinterlace")
+    assert(a.get._3.toSeq == px.toSeq)
+    val fa = Multimodal.gifDecodeGrayFrames(inter)
+    assert(fa.exists(_._3.head.toSeq == px.toSeq), "frames-path deinterlace")
+    // color interlaced: colorLift palette has luma exactly v
+    val ci = Multimodal.gifEncodeIndexed(px, Multimodal.ColorLiftPalette,
+      64, 64, interlaced = true)
+    assert(Multimodal.gifDecodeGray(ci).exists(_._3.toSeq == px.toSeq))
+    // odd heights hit every pass-grid edge case
+    for (h <- Seq(1, 2, 3, 5, 7, 9, 17)) {
+      val p2 = px.take(16 * h)
+      val e = Multimodal.gifEncodeIndexed(p2, grayPal, 16, h, interlaced = true)
+      assert(Multimodal.gifDecodeGray(e).exists(_._3.toSeq == p2.toSeq), s"h=$h")
+    }
+  }
+
+  test("progressive JPEG decodes byte-exactly to its baseline twin") {
+    for ((seed, w, h, quant) <- Seq(
+        (31L, 64, 64, Multimodal.JpegStdQuant),
+        (32L, 64, 64, Multimodal.JpegFlatQuant8),
+        (33L, 50, 34, Multimodal.JpegStdQuant),
+        (34L, 8, 8, Multimodal.JpegStdQuant),
+        (35L, 24, 80, Multimodal.JpegFlatQuant8))) {
+      val px = Array.tabulate(w * h) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"${seed}_$i".getBytes("UTF-8"))(0)
+      }
+      val base = Multimodal.jpegDecodeGray(Multimodal.jpegEncodeGray(px, w, h, quant))
+      val prog = Multimodal.jpegDecodeGray(
+        Multimodal.jpegEncodeGrayProgressive(px, w, h, quant))
+      assert(base.isDefined && prog.isDefined, s"seed=$seed")
+      // the 6-scan successive approximation reconstructs the SAME
+      // quantized coefficients, so the decodes are identical bytes
+      assert(base.get._3.toSeq == prog.get._3.toSeq, s"seed=$seed")
+    }
+    // flat-quant block-constant content: progressive is lossless too
+    val bc = Array.tabulate(64 * 64) { i =>
+      val blk = (i / 64 / 8) * 8 + (i % 64) / 8
+      (blk * 3 + 17).toByte
+    }
+    val dec = Multimodal.jpegDecodeGray(
+      Multimodal.jpegEncodeGrayProgressive(bc, 64, 64, Multimodal.JpegFlatQuant8))
+    assert(dec.exists(_._3.toSeq == bc.toSeq))
+    // fail-closed: truncated progressive stream, and a color SOF2 shape
+    val p = Multimodal.jpegEncodeGrayProgressive(bc, 64, 64)
+    assert(Multimodal.jpegDecodeGray(java.util.Arrays.copyOf(p, p.length / 3)) === None)
+    // coverageOf sees a progressive gray JPEG as live now
+    assert(Multimodal.jpegDecodeGray(p).isDefined)
   }
 }
