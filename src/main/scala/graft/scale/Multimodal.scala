@@ -284,10 +284,14 @@ object Multimodal {
 
   /** First track whose sample-description fourcc `accept`s: the full
     * stsd/stsz/stsc/stco walk, returning (fourcc, per-sample byte ranges)
-    * in decode order. Fail-closed on fragmented files, lying tables, and
-    * 64-bit sizes — the q263 subset. The `accept` parameter is what lets
-    * the audio fallback ([[mp4AudioPcmSamples]]) and the coverage report
-    * ([[decodeCoverage]]) reuse one audited walk instead of three.
+    * in decode order. FRAGMENTED (CMAF/DASH) files walk moof/traf/trun
+    * runs instead (r19): tfhd base-data-offset/default-size flags and
+    * explicit trun data offsets are honored, gated on the trak's tkhd
+    * track id; a file mixing progressive samples AND fragments, a trun
+    * without its data offset, or any range past the payload stays
+    * fail-closed. The `accept` parameter is what lets the audio fallback
+    * ([[mp4AudioPcmSamples]]) and the coverage report ([[decodeCoverage]])
+    * reuse one audited walk instead of three.
     */
   private[scale] def mp4SampleTableEx(b: Array[Byte],
       accept: String => Boolean): Option[(String, Int, Int, Seq[(Long, Int)])] = {
@@ -314,7 +318,10 @@ object Multimodal {
       cs.collectFirst { case (t, s, e) if t == typ => (s, e) }
     if (!(b.length >= 12 && ascii(4, "ftyp"))) return None
     val top = children(0, b.length).getOrElse(return None)
-    if (top.exists(_._1 == "moof")) return None // fragmented: fail closed
+    // fragmented (CMAF/DASH) files carry samples in moof/traf/trun runs;
+    // handled below IF the moov sample tables are empty (a file mixing
+    // progressive samples AND fragments stays fail-closed)
+    val moofs = top.filter(_._1 == "moof")
     val (moovS, moovE) = child(top, "moov").getOrElse(return None)
     val moov = children(moovS + 8, moovE).getOrElse(return None)
     // first track whose fourcc `accept`s wins; the frame path accepts
@@ -339,6 +346,77 @@ object Multimodal {
         } yield (new String(b, s + 20, 4, "US-ASCII"), s + 16,
           s + 16 + esize.toInt)).getOrElse(return None)
         if (accept(fourcc)) {
+          if (moofs.nonEmpty) {
+            // ---- fragmented: samples live in trun tables ----
+            // moov tables must be EMPTY (pure-fragmented subset)
+            val progressiveCount = (for {
+              (s, e) <- child(boxes, "stsz")
+              if s + 20 <= e
+            } yield u32be(s + 16)).getOrElse(0L)
+            if (progressiveCount != 0) return None
+            // this trak's track id gates the traf walk
+            val trackId = (for {
+              trak <- children(trakS + 8, trakE)
+              (ts, te) <- child(trak, "tkhd")
+              if ts + 12 <= te
+              ver = b(ts + 8) & 0xff
+              idOff = if (ver == 1) ts + 8 + 4 + 16 else ts + 8 + 4 + 8
+              if idOff + 4 <= te
+            } yield u32be(idOff)).getOrElse(return None)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+            moofs.foreach { case (_, moofS, moofE) =>
+              val mkids = children(moofS + 8, moofE).getOrElse(return None)
+              mkids.filter(_._1 == "traf").foreach { case (_, trafS, trafE) =>
+                val tkids = children(trafS + 8, trafE).getOrElse(return None)
+                val (tfS, tfE) = child(tkids, "tfhd").getOrElse(return None)
+                if (tfS + 16 > tfE) return None
+                val tfFlags = ((b(tfS + 9) & 0xff) << 16) |
+                  ((b(tfS + 10) & 0xff) << 8) | (b(tfS + 11) & 0xff)
+                val tfTrack = u32be(tfS + 12)
+                if (tfTrack == trackId) {
+                  var p = tfS + 16
+                  val baseOffset =
+                    if ((tfFlags & 1) != 0) { val v = u64be(p); p += 8; v }
+                    else moofS.toLong // spec default / default-base-is-moof
+                  if ((tfFlags & 2) != 0) p += 4
+                  if ((tfFlags & 8) != 0) p += 4
+                  val defaultSize =
+                    if ((tfFlags & 0x10) != 0) { val v = u32be(p); p += 4; v }
+                    else -1L
+                  tkids.filter(_._1 == "trun").foreach { case (_, trS, trE) =>
+                    if (trS + 16 > trE) return None
+                    val trFlags = ((b(trS + 9) & 0xff) << 16) |
+                      ((b(trS + 10) & 0xff) << 8) | (b(trS + 11) & 0xff)
+                    val n = u32be(trS + 12)
+                    if (n < 0 || n > Int.MaxValue) return None
+                    var q = trS + 16
+                    // a trun without an explicit data offset would chain
+                    // off the previous run's end: outside the subset
+                    if ((trFlags & 1) == 0) return None
+                    var off = baseOffset + u32be(q).toInt // s32 data offset
+                    q += 4
+                    if ((trFlags & 4) != 0) q += 4
+                    var s = 0L
+                    while (s < n) {
+                      if ((trFlags & 0x100) != 0) q += 4
+                      val size =
+                        if ((trFlags & 0x200) != 0) { val v = u32be(q); q += 4; v }
+                        else defaultSize
+                      if ((trFlags & 0x400) != 0) q += 4
+                      if ((trFlags & 0x800) != 0) q += 4
+                      if (q > trE || size <= 0 || off < 0 ||
+                        off + size > b.length) return None
+                      out += ((off, size.toInt))
+                      off += size
+                      s += 1
+                    }
+                  }
+                }
+              }
+            }
+            if (out.isEmpty) return None
+            return Some((fourcc, entryS, entryE, out.toSeq))
+          }
           // stsz: fixed-or-per-sample sizes
           val sizes: Array[Int] = (for {
             (s, e) <- child(boxes, "stsz")
@@ -1120,6 +1198,74 @@ object Multimodal {
       "isom".getBytes("US-ASCII") ++ be32(0) ++ mdat ++ moov
   }
 
+  /** A spec-valid FRAGMENTED MP4 (the CMAF/DASH shape): ftyp, a moov
+    * whose sample tables are empty (stsd carries the codec config, mvex/
+    * trex declares defaults), then one moof+mdat pair per `samplesPerFrag`
+    * group — tfhd with default-base-is-moof, trun with explicit data
+    * offset + per-sample sizes. The fragmented twin of
+    * [[mp4AvcPcmBytes]]'s progressive layout.
+    */
+  private[graft] def mp4FragmentedBytes(videoSamples: Seq[Array[Byte]],
+                                        w: Int, h: Int,
+                                        videoFourcc: String = "avc1",
+                                        avcc: Array[Byte] = null,
+                                        samplesPerFrag: Int = 2): Array[Byte] = {
+    require(videoSamples.nonEmpty && videoFourcc.length == 4 && samplesPerFrag > 0)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    val full = Array[Byte](0, 0, 0, 0)
+    val avccBox: Array[Byte] =
+      if (avcc == null) Array.empty[Byte]
+      else be32(8L + avcc.length) ++ "avcC".getBytes("US-ASCII") ++ avcc
+    val ventry = be32(86L + avccBox.length) ++ videoFourcc.getBytes("US-ASCII") ++
+      new Array[Byte](6) ++ Array[Byte](0, 1) ++
+      new Array[Byte](16) ++
+      Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte) ++
+      be32(0x00480000L) ++ be32(0x00480000L) ++ be32(0) ++
+      Array[Byte](0, 1) ++ new Array[Byte](32) ++
+      Array[Byte](0, 0x18, -1, -1) ++ avccBox
+    val tkhd = box("tkhd", full ++ be32(0) ++ be32(0) ++ be32(1) ++ // track id 1
+      new Array[Byte](72))
+    val stbl = box("stbl",
+      box("stsd", full ++ be32(1) ++ ventry) ++
+        box("stts", full ++ be32(0)) ++
+        box("stsc", full ++ be32(0)) ++
+        box("stsz", full ++ be32(0) ++ be32(0)) ++
+        box("stco", full ++ be32(0)))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", stbl)))
+    val mvhd = {
+      val body = full ++ be32(0) ++ be32(0) ++ be32(600L) ++ be32(0)
+      be32(108L) ++ "mvhd".getBytes("US-ASCII") ++ body ++
+        new Array[Byte](108 - 8 - body.length)
+    }
+    val trex = box("trex", full ++ be32(1) ++ be32(1) ++ be32(0) ++
+      be32(0) ++ be32(0))
+    val moov = box("moov", mvhd ++ trak ++ box("mvex", trex))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(be32(16L), 0, 4)
+    out.write("ftyp".getBytes("US-ASCII"), 0, 4)
+    out.write("isom".getBytes("US-ASCII"), 0, 4)
+    out.write(be32(0), 0, 4)
+    out.write(moov, 0, moov.length)
+    var seq = 1
+    videoSamples.grouped(samplesPerFrag).foreach { group =>
+      val n = group.length
+      val moofLen = 8 + 16 + (8 + 16 + (20 + 4 * n)) // moof(mfhd, traf(tfhd, trun))
+      val mfhd = box("mfhd", full ++ be32(seq.toLong))
+      val tfhd = box("tfhd", Array[Byte](0, 0x02, 0, 0) ++ be32(1)) // default-base-is-moof
+      val trun = box("trun", Array[Byte](0, 0, 0x02, 0x01) ++ be32(n.toLong) ++
+        be32(moofLen + 8L) ++ group.flatMap(s => be32(s.length.toLong)).toArray)
+      val moof = box("moof", mfhd ++ box("traf", tfhd ++ trun))
+      require(moof.length == moofLen, s"moof size ${moof.length} != $moofLen")
+      out.write(moof, 0, moof.length)
+      val mdat = box("mdat", group.flatten.toArray)
+      out.write(mdat, 0, mdat.length)
+      seq += 1
+    }
+    out.toByteArray
+  }
+
   /** A spec-valid two-track MP4: a video track of `videoFourcc` (e.g.
     * `avc1` — samples are opaque bytes the frame path must refuse) plus an
     * optional big-endian PCM audio track (`twos`, 16-bit mono, one chunk).
@@ -1296,9 +1442,9 @@ object Multimodal {
 
   private def pngAssemble(w: Int, h: Int, colorType: Int, interlace: Int,
                           plte: Array[Byte], trns: Array[Byte],
-                          idat: Array[Byte]): Array[Byte] = {
+                          idat: Array[Byte], depth: Int = 8): Array[Byte] = {
     val ihdr = be32s(w.toLong) ++ be32s(h.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, interlace.toByte)
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
     val pc = if (plte == null) Array.emptyByteArray else pngChunk("PLTE", plte)
     val tc = if (trns == null) Array.emptyByteArray else pngChunk("tRNS", trns)
     PngSig ++ pngChunk("IHDR", ihdr) ++ pc ++ tc ++
@@ -1310,10 +1456,42 @@ object Multimodal {
     */
   private def pngEncodeRaw(data: Array[Byte], w: Int, h: Int, bpp: Int,
                            colorType: Int, plte: Array[Byte],
-                           trns: Array[Byte] = null): Array[Byte] = {
+                           trns: Array[Byte] = null,
+                           depth: Int = 8): Array[Byte] = {
     require(data.length == w * h * bpp, s"buffer ${data.length} != $w x $h x $bpp")
     pngAssemble(w, h, colorType, 0, plte, trns,
-      zlibDeflate(pngFilterRows(data, w * bpp, h, bpp)))
+      zlibDeflate(pngFilterRows(data, w * bpp, h, bpp)), depth)
+  }
+
+  /** REAL 16-bit-depth grayscale PNG: each 8-bit pixel bit-replicated to
+    * the spec's canonical 16-bit widening (v*257 = v<<8|v), so the
+    * decoder's high-byte truncation returns the source exactly — the
+    * q312 Hamming-0 twin. `lowBytes` overrides the replication for
+    * genuinely-16-bit content fixtures.
+    */
+  def pngEncodeGray16(px: Array[Byte], w: Int, h: Int,
+                      lowBytes: Array[Byte] = null): Array[Byte] = {
+    require(px.length == w * h)
+    val data = new Array[Byte](w * h * 2)
+    var k = 0
+    while (k < px.length) {
+      data(2 * k) = px(k)
+      data(2 * k + 1) = if (lowBytes == null) px(k) else lowBytes(k)
+      k += 1
+    }
+    pngEncodeRaw(data, w, h, 2, 0, null, depth = 16)
+  }
+
+  /** REAL 16-bit truecolor PNG (type 2), channels bit-replicated. */
+  def pngEncodeRgb16(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3)
+    val data = new Array[Byte](w * h * 6)
+    var k = 0
+    while (k < rgb.length) {
+      data(2 * k) = rgb(k); data(2 * k + 1) = rgb(k)
+      k += 1
+    }
+    pngEncodeRaw(data, w, h, 6, 2, null, depth = 16)
   }
 
   /** REAL Adam7-interlaced PNG emit: the spec §8.2 pass grid extracted as
@@ -1380,6 +1558,64 @@ object Multimodal {
     pngEncodeRaw(px, w, h, 1, 0, null,
       Array(((key >> 8) & 0xff).toByte, (key & 0xff).toByte))
 
+
+  /** REAL packed-depth grayscale PNG (1/2/4-bit): pixels must already sit
+    * on the depth's exact 8-bit lattice (v divisible by 255/(2^d-1) — the
+    * posterized fixture shape), packed MSB-first with bit-padded rows, so
+    * the decoder's exact scale-up reproduces the source byte-for-byte.
+    */
+  def pngEncodeGrayPacked(px: Array[Byte], w: Int, h: Int, depth: Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"packed depth $depth")
+    require(px.length == w * h)
+    val scale = 255 / ((1 << depth) - 1)
+    val rowBytes = (w * depth + 7) / 8
+    val data = new Array[Byte](h * rowBytes)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x) & 0xff
+        require(v % scale == 0, s"pixel $v not on the $depth-bit lattice")
+        val bitPos = x * depth
+        data(y * rowBytes + (bitPos >> 3)) =
+          (data(y * rowBytes + (bitPos >> 3)) |
+            ((v / scale) << (8 - depth - (bitPos & 7)))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngAssemble(w, h, 0, 0, null, null,
+      zlibDeflate(pngFilterRows(data, rowBytes, h, 1)), depth)
+  }
+
+  /** REAL packed-depth palette PNG: indices into a <= 2^depth-entry RGB
+    * palette, packed MSB-first — the small-icon shape.
+    */
+  def pngEncodePalettePacked(indices: Array[Byte], palette: Array[Byte],
+                             w: Int, h: Int, depth: Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"packed depth $depth")
+    require(indices.length == w * h)
+    require(palette.length % 3 == 0 && palette.length / 3 <= (1 << depth))
+    val rowBytes = (w * depth + 7) / 8
+    val data = new Array[Byte](h * rowBytes)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val ci = indices(y * w + x) & 0xff
+        require(ci < palette.length / 3, s"index $ci past the palette")
+        val bitPos = x * depth
+        data(y * rowBytes + (bitPos >> 3)) =
+          (data(y * rowBytes + (bitPos >> 3)) |
+            (ci << (8 - depth - (bitPos & 7)))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngAssemble(w, h, 3, 0, palette, null,
+      zlibDeflate(pngFilterRows(data, rowBytes, h, 1)), depth)
+  }
+
   /** REAL truecolor PNG (color type 2, 3 bytes/pixel interleaved RGB). */
   def pngEncodeRgb(rgb: Array[Byte], w: Int, h: Int): Array[Byte] =
     pngEncodeRaw(rgb, w, h, 3, 2, null)
@@ -1425,17 +1661,23 @@ object Multimodal {
     * pixel that is ACTUALLY non-opaque fails closed (hashing invisible
     * pixels would poison the near-dup vote) — a fully-opaque-in-practice
     * tRNS (alpha-255 entries, an unused color key) is real web bytes and
-    * decodes. Fails closed (None) on a bad signature/CRC, 16-bit depth,
-    * attacker-sized dimensions (> 16384 either axis, the webpEncode cap —
-    * r18 ADVICE), alpha < 255 on a USED pixel, a palette index past PLTE,
-    * or a short pixel stream — never a partial buffer.
+    * decodes. 16-BIT depth decodes too (r19, types 0/2/6): filters run
+    * byte-granular at the doubled bpp, transparency keys and alpha decide
+    * at FULL 16-bit precision, then the canonical high-byte truncation
+    * maps to the 8-bit luma domain (a 16-bit re-encode of 8-bit content
+    * truncates back exactly — q312's Hamming-0 law). Fails closed (None)
+    * on a bad signature/CRC, packed 1/2/4-bit depths, a 16-bit palette
+    * (spec-invalid), attacker-sized dimensions (> 16384 either axis, the
+    * webpEncode cap — r18 ADVICE), alpha < 255 on a USED pixel, a palette
+    * index past PLTE, or a short pixel stream (which is exactly what the
+    * q298 lying-depth-header witness now trips) — never a partial buffer.
     */
   def pngDecodeGray(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
     def u32(i: Int): Long =
       ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
         ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-    var w = -1; var h = -1; var colorType = -1
+    var w = -1; var h = -1; var colorType = -1; var depth = 8
     var interlaced = false
     var plte: Array[Byte] = null
     var trns: Array[Byte] = null
@@ -1451,10 +1693,18 @@ object Multimodal {
       if (crc.getValue != u32(i + 8 + len.toInt)) return None
       tag match {
         case "IHDR" =>
-          if (len != 13 || b(i + 16) != 8) return None // 8-bit depth only
+          if (len != 13) return None
+          depth = b(i + 16) & 0xff
           colorType = b(i + 17) & 0xff
+          // 8-bit everywhere; 16-bit for the non-palette types (a 16-bit
+          // palette PNG is spec-invalid); packed 1/2/4 for gray + palette
+          // (the small-icon classes) — spec 11.2.2's exact legality table
+          if (depth != 1 && depth != 2 && depth != 4 && depth != 8 &&
+            depth != 16) return None
           if (colorType != 0 && colorType != 2 && colorType != 3 &&
             colorType != 6) return None
+          if (depth == 16 && colorType == 3) return None
+          if (depth < 8 && colorType != 0 && colorType != 3) return None
           val il = b(i + 20) & 0xff
           if (il > 1) return None
           interlaced = il == 1
@@ -1482,8 +1732,11 @@ object Multimodal {
       case 3 => if (trns.length == 0 || trns.length > plte.length / 3) return None
       case _ => return None // type 6 carries its own alpha channel
     }
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
-    val rowBytes = w * bpp
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => 4 }
+    // filter distance is in BYTES, floored at 1 for packed depths (9.2)
+    val bpp = math.max(1, channels * depth / 8)
+    val packed = depth < 8
+    val rowBytes = if (packed) (w * depth + 7) / 8 else w * bpp
     val passes: Array[(Int, Int, Int, Int, Int, Int)] = // (x0,y0,dx,dy,pw,ph)
       if (!interlaced) Array((0, 0, 1, 1, w, h))
       else Adam7.map { case (x0, y0, dx, dy) =>
@@ -1491,7 +1744,8 @@ object Multimodal {
           if (w > x0) (w - x0 + dx - 1) / dx else 0,
           if (h > y0) (h - y0 + dy - 1) / dy else 0)
       }.filter(p => p._5 > 0 && p._6 > 0)
-    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph * (pw * bpp + 1) }.sum
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+      ph * ((if (packed) (pw * depth + 7) / 8 else pw * bpp) + 1) }.sum
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -1508,11 +1762,13 @@ object Multimodal {
     // byte-granular reconstruction, per pass (one pass covering the whole
     // grid when sequential — the dominant gray path still reconstructs
     // in place into `rec`, no second buffer, and pays zero scatter)
-    val rec = new Array[Byte](h * rowBytes)
+    val rec =
+      if (packed) new Array[Byte](w * h) // one SAMPLE per byte after unpack
+      else new Array[Byte](h * rowBytes)
     var passBase = 0
     passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
-      val prb = pw * bpp
-      val sequential = dx == 1 && dy == 1 && x0 == 0 && y0 == 0
+      val prb = if (packed) (pw * depth + 7) / 8 else pw * bpp
+      val sequential = !packed && dx == 1 && dy == 1 && x0 == 0 && y0 == 0
       val prec = if (sequential) rec else new Array[Byte](ph * prb)
       var r = 0
       while (r < ph) {
@@ -1536,7 +1792,30 @@ object Multimodal {
         }
         r += 1
       }
-      if (!sequential) {
+      if (packed) {
+        // unpack MSB-first samples per row (rows are bit-padded), check
+        // a gray tRNS key at the RAW depth, scale gray to 8 bits exactly
+        // (x 255/(2^d-1)), and scatter onto the grid
+        val mask = (1 << depth) - 1
+        val grayKey =
+          if (colorType == 0 && trns != null)
+            ((trns(0) & 0xff) << 8) | (trns(1) & 0xff)
+          else -1
+        val scale = 255 / mask // 255, 85, 17 — exact for d = 1, 2, 4
+        var rr = 0
+        while (rr < ph) {
+          var cc = 0
+          while (cc < pw) {
+            val bitPos = cc * depth
+            val v = (prec(rr * prb + (bitPos >> 3)) >> (8 - depth - (bitPos & 7))) & mask
+            if (v == grayKey) return None // transparent pixel used
+            rec((y0 + rr * dy) * w + (x0 + cc * dx)) =
+              (if (colorType == 0) v * scale else v).toByte
+            cc += 1
+          }
+          rr += 1
+        }
+      } else if (!sequential) {
         // scatter the pass onto the spec §8.2 grid
         var rr = 0
         while (rr < ph) {
@@ -1555,20 +1834,61 @@ object Multimodal {
       }
       passBase += ph * (prb + 1)
     }
+    // 16-bit samples: transparency decides at FULL precision, then the
+    // canonical high-byte truncation maps to the 8-bit luma domain and
+    // the shared mapping below runs unchanged
+    val rec8 =
+      if (depth != 16) rec // 8-bit direct; packed already unpacked+scaled
+      else {
+        @inline def s16(sampleIdx: Int): Int =
+          ((rec(2 * sampleIdx) & 0xff) << 8) | (rec(2 * sampleIdx + 1) & 0xff)
+        if (colorType == 0 && trns != null) {
+          val key = ((trns(0) & 0xff) << 8) | (trns(1) & 0xff)
+          var p = 0
+          while (p < w * h) {
+            if (s16(p) == key) return None // transparent pixel used
+            p += 1
+          }
+        }
+        if (colorType == 2 && trns != null) {
+          val kr = ((trns(0) & 0xff) << 8) | (trns(1) & 0xff)
+          val kg = ((trns(2) & 0xff) << 8) | (trns(3) & 0xff)
+          val kb = ((trns(4) & 0xff) << 8) | (trns(5) & 0xff)
+          var p = 0
+          while (p < w * h) {
+            if (s16(3 * p) == kr && s16(3 * p + 1) == kg && s16(3 * p + 2) == kb)
+              return None
+            p += 1
+          }
+        }
+        if (colorType == 6) {
+          var p = 0
+          while (p < w * h) {
+            if (s16(4 * p + 3) != 0xffff) return None // non-opaque alpha
+            p += 1
+          }
+        }
+        val out8 = new Array[Byte](w * h * channels)
+        var k = 0
+        while (k < out8.length) { out8(k) = rec(2 * k); k += 1 }
+        out8
+      }
+    // 16-bit and packed-gray keys were already enforced at full precision
+    val trns8 = if (depth == 16 || (packed && colorType == 0)) null else trns
     colorType match {
       case 0 =>
-        if (trns != null) {
+        if (trns8 != null) {
           // 16-bit color key; at 8-bit depth only the low byte can match
-          val key = ((trns(0) & 0xff) << 8) | (trns(1) & 0xff)
+          val key = ((trns8(0) & 0xff) << 8) | (trns8(1) & 0xff)
           if (key <= 255) {
             var p = 0
-            while (p < rec.length) {
-              if ((rec(p) & 0xff) == key) return None // transparent pixel used
+            while (p < rec8.length) {
+              if ((rec8(p) & 0xff) == key) return None // transparent pixel used
               p += 1
             }
           }
         }
-        Some((w, h, rec)) // grayscale: the reconstruction IS the luma
+        Some((w, h, rec8)) // grayscale: the reconstruction IS the luma
       case 3 =>
         // palette: one 256-entry luma LUT, then an index map in place;
         // tRNS alpha rides the same LUT walk — a USED non-opaque index
@@ -1579,31 +1899,32 @@ object Multimodal {
         val opaque = Array.tabulate(nPal)(ci =>
           trns == null || ci >= trns.length || (trns(ci) & 0xff) == 255)
         var p = 0
-        while (p < rec.length) {
-          val ci = rec(p) & 0xff
+        while (p < rec8.length) {
+          val ci = rec8(p) & 0xff
           if (ci >= nPal || !opaque(ci)) return None
-          rec(p) = lut(ci)
+          rec8(p) = lut(ci)
           p += 1
         }
-        Some((w, h, rec))
+        Some((w, h, rec8))
       case _ =>
-        val keyR = if (colorType == 2 && trns != null)
-          ((trns(0) & 0xff) << 8) | (trns(1) & 0xff) else -1
-        val keyG = if (keyR >= 0) ((trns(2) & 0xff) << 8) | (trns(3) & 0xff) else -1
-        val keyB = if (keyR >= 0) ((trns(4) & 0xff) << 8) | (trns(5) & 0xff) else -1
+        val keyR = if (colorType == 2 && trns8 != null)
+          ((trns8(0) & 0xff) << 8) | (trns8(1) & 0xff) else -1
+        val keyG = if (keyR >= 0) ((trns8(2) & 0xff) << 8) | (trns8(3) & 0xff) else -1
+        val keyB = if (keyR >= 0) ((trns8(4) & 0xff) << 8) | (trns8(5) & 0xff) else -1
         val out = new Array[Byte](w * h)
         var p = 0
         while (p < w * h) {
           if (colorType == 2) {
-            val r0 = rec(3 * p) & 0xff; val g0 = rec(3 * p + 1) & 0xff
-            val b0 = rec(3 * p + 2) & 0xff
+            val r0 = rec8(3 * p) & 0xff; val g0 = rec8(3 * p + 1) & 0xff
+            val b0 = rec8(3 * p + 2) & 0xff
             if (r0 == keyR && g0 == keyG && b0 == keyB)
               return None // transparent color key used
             out(p) = rgbLuma(r0, g0, b0).toByte
           } else {
-            if ((rec(4 * p + 3) & 0xff) != 255) return None // alpha: fail closed
-            out(p) = rgbLuma(rec(4 * p) & 0xff, rec(4 * p + 1) & 0xff,
-              rec(4 * p + 2) & 0xff).toByte
+            if (depth == 8 && (rec8(4 * p + 3) & 0xff) != 255)
+              return None // alpha: fail closed (16-bit checked above)
+            out(p) = rgbLuma(rec8(4 * p) & 0xff, rec8(4 * p + 1) & 0xff,
+              rec8(4 * p + 2) & 0xff).toByte
           }
           p += 1
         }
@@ -4941,6 +5262,185 @@ object Multimodal {
           coalesce(col("cluster"), col("asset_id")).as("cluster"))
         .orderBy("asset_id")
     },
+
+    // 16-BIT PNGs join the near-dup path (the last non-packed PNG depth):
+    // real 16-bit gray and truecolor re-encodes — filters at the doubled
+    // byte distance, full-precision transparency, high-byte truncation —
+    // land exactly on their 8-bit twins (bit-replication widening), so
+    // they cluster at Hamming 0; a genuinely-16-bit class (non-replicated
+    // low bytes) truncates to the same high bytes and still clusters; a
+    // dithered 16-bit class rides the standard budget. The q298 PNG
+    // fail-closed witness is UNCHANGED: its 16-bit header lies about an
+    // 8-bit payload, which the real decoder rejects as a short stream.
+    Q("q312_png16_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 6
+        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 9)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q312-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            ids.flatMap { id =>
+              val base = synthPixels(id, pert = false)
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              out += ((id, pngEncodeGray(base, 64, 64), "png"))
+              if (id % 10 == 3) // 16-bit gray twin (bit-replicated)
+                out += ((id + 500000, pngEncodeGray16(base, 64, 64), "png"))
+              if (id % 10 == 6) // 16-bit truecolor twin of the colorLift
+                out += ((id + 600000,
+                  pngEncodeRgb16(colorLiftPixels(base), 64, 64), "png"))
+              if (id % 10 == 9) { // genuinely 16-bit: md5 low bytes
+                val lows = Array.tabulate[Byte](64 * 64) { k =>
+                  md.reset(); md.digest(s"${id}_lo$k".getBytes("UTF-8"))(0)
+                }
+                out += ((id + 700000, pngEncodeGray16(base, 64, 64, lows), "png"))
+              }
+              out.iterator
+            }
+          }
+          .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // PACKED-depth PNGs join the near-dup path (1/2/4-bit — the small-
+    // icon classes; spec-legal for gray and palette only): bits unpack
+    // MSB-first from bit-padded rows, gray scales by the exact
+    // 255/(2^d-1) lattice, palette indices walk the usual luma LUT. The
+    // corpus is 4-bit-posterized so the packed twins reproduce their
+    // 8-bit bases byte-for-byte (Hamming 0); the dithered class rides the
+    // standard budget (a +2 block dither usually stays inside its 16-wide
+    // posterization cell). Depths 1 and 2 are pinned by MultimodalSpec
+    // roundtrip laws.
+    Q("q313_packed_png_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 8)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // 16-entry gray palette on the 4-bit lattice: index i -> luma 17*i
+      val pal16 = Array.tabulate[Byte](48)(k => (17 * (k / 3)).toByte)
+      val feed = graft.core.FixtureCache.dir(s"q313-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            def post4(px: Array[Byte]): Array[Byte] =
+              px.map(v => (((v & 0xff) >> 4) * 17).toByte)
+            ids.flatMap { id =>
+              val base = post4(synthPixels(id, pert = false))
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]()
+              out += ((id, pngEncodeGray(base, 64, 64), "png"))
+              if (id % 10 == 2) // 4-bit packed gray twin
+                out += ((id + 500000, pngEncodeGrayPacked(base, 64, 64, 4), "png"))
+              if (id % 10 == 5) // 4-bit packed palette twin
+                out += ((id + 600000, pngEncodePalettePacked(
+                  base.map(v => ((v & 0xff) / 17).toByte), pal16, 64, 64, 4), "png"))
+              if (id % 10 == 8) // dithered packed: standard budget
+                out += ((id + 700000, pngEncodeGrayPacked(
+                  post4(synthPixels(id, pert = true)), 64, 64, 4), "png"))
+              out.iterator
+            }
+          }
+          .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val hashes = assets.mapPartitions { rows =>
+        rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
+      }.toDF("asset_id", "dhash").localCheckpoint()
+      val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
+        .withColumnRenamed("doc_id", "asset_id")
+      hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // FRAGMENTED MP4s join the near-dup path (the CMAF/DASH container
+    // shape that streaming video actually ships in — previously the
+    // loudest mp4 fail-closed class): the moof/traf/trun sample walk
+    // feeds the same frame pipeline, so an fMP4 avc1 re-encode of an
+    // MJPEG MP4 original collects frame votes across BOTH container
+    // layouts and the codec boundary at once. One class fragments every
+    // 2 samples, one ships a single fragment; both cluster to their
+    // bases. The q296-style cluster-map oracle.
+    Q("q314_fmp4_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 7)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q314-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            import graft.scale.Avc
+            ids.flatMap { id =>
+              def mjpegOf(frames: Seq[Array[Byte]]) = mp4MjpegBytes(
+                frames.map(px => jpegEncodeGray(px, 64, 64, JpegFlatQuant8)),
+                64, 64)
+              def fmp4Of(frames: Seq[Array[Byte]], perFrag: Int) = {
+                val streams = frames.map(px => Avc.encodeGrayIdr(px, 64, 64, 6))
+                val (sp, pp, _) = Avc.splitAnnexB(streams.head)
+                mp4FragmentedBytes(
+                  streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)),
+                  64, 64, "avc1", Avc.avccPayload(sp, pp), perFrag)
+              }
+              val base = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+              out += ((id, mjpegOf(base.toSeq)))
+              if (id % 10 == 2) // two samples per fragment (2 moofs)
+                out += ((id + 500000, fmp4Of(base.toSeq, 2)))
+              if (id % 10 == 7) // one fragment carrying all samples
+                out += ((id + 600000, fmp4Of(base.toSeq, 4)))
+              out.iterator
+            }
+          }
+          .toDF("vid", "bytes").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable mp4 $vid"))
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          (vid * 4 + f, dHash56(px, w, h))
+        }
+      }).toDF("asset_id", "dhash").localCheckpoint()
+      val framePairs = phashPairs(frameHashes)
+        .select(expr("doc_a div 4").as("va"), expr("doc_b div 4").as("vb"))
+        .filter(col("va") =!= col("vb"))
+      val videoEdges = framePairs.groupBy("va", "vb").count()
+        .filter(col("count") >= 2)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val labels = graft.scale.Cluster.connectedComponents(videoEdges)
+        .withColumnRenamed("doc_id", "asset_id")
+      frameHashes.select(expr("asset_id div 4").as("asset_id")).distinct()
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
   )
 
   /** The q298/q306 mixed-codec coverage fixture — one payload per doc in
@@ -5050,10 +5550,12 @@ object Multimodal {
     p
   }
 
-  /** A 16-BIT-depth gray PNG (depth byte rewritten over the plain payload,
-    * CRC refreshed) — the q298 fail-closed PNG witness now that interlace
-    * decodes (r19). The decoder must reject it on the depth field, before
-    * any pixel walk.
+  /** A LYING-16-BIT gray PNG: the depth byte rewritten to 16 over an
+    * 8-bit payload, CRC refreshed — the q298 fail-closed PNG witness.
+    * Real 16-bit decodes since r19, so the rejection moved from the depth
+    * field to the honest place: the declared geometry demands h*(2w+1)
+    * filtered bytes but the stream inflates to h*(w+1) — a short pixel
+    * stream, fail closed before any partial buffer escapes.
     */
   private[graft] def png16BitBytes(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val png = pngEncodeGray(px, w, h)

@@ -1037,4 +1037,143 @@ class MultimodalSpec extends SparkSpec {
     // coverageOf sees a progressive gray JPEG as live now
     assert(Multimodal.jpegDecodeGray(p).isDefined)
   }
+
+  test("16-bit PNGs decode: truncation law, full-precision transparency, lying header refused") {
+    val px = Multimodal.synthPixels(19L, pert = false)
+    // bit-replicated 16-bit gray truncates back exactly
+    assert(Multimodal.pngDecodeGray(Multimodal.pngEncodeGray16(px, 64, 64))
+      .exists(_._3.toSeq == px.toSeq))
+    // genuinely 16-bit content (arbitrary low bytes) maps to high bytes
+    val lows = Array.tabulate[Byte](64 * 64)(k => ((k * 37) % 256).toByte)
+    assert(Multimodal.pngDecodeGray(Multimodal.pngEncodeGray16(px, 64, 64, lows))
+      .exists(_._3.toSeq == px.toSeq))
+    // 16-bit truecolor of colorLift pixels lands on the exact luma
+    assert(Multimodal.pngDecodeGray(
+      Multimodal.pngEncodeRgb16(Multimodal.colorLiftPixels(px), 64, 64))
+      .exists(_._3.toSeq == px.toSeq))
+    // the q298 witness: a 16-bit header over an 8-bit payload is a SHORT
+    // stream to a real 16-bit decoder — still fail closed
+    assert(Multimodal.pngDecodeGray(Multimodal.png16BitBytes(px, 64, 64)) === None)
+  }
+
+  test("packed-depth PNGs (1/2/4-bit) roundtrip exactly; packed tRNS keys decide at raw depth") {
+    val px = Multimodal.synthPixels(23L, pert = false)
+    for (d <- Seq(1, 2, 4)) {
+      val scale = 255 / ((1 << d) - 1)
+      val lattice = px.map(v => (((v & 0xff) / scale) * scale).toByte)
+      val enc = Multimodal.pngEncodeGrayPacked(lattice, 64, 64, d)
+      assert(Multimodal.pngDecodeGray(enc).exists(_._3.toSeq == lattice.toSeq), s"d=$d")
+      // odd width exercises row bit-padding
+      val nw = 13
+      val small = lattice.take(nw * 5)
+      val e2 = Multimodal.pngEncodeGrayPacked(small, nw, 5, d)
+      assert(Multimodal.pngDecodeGray(e2).exists(_._3.toSeq == small.toSeq), s"d=$d w=13")
+    }
+    // 4-bit palette: 16-entry gray palette, exact roundtrip
+    val pal16 = Array.tabulate[Byte](48)(k => (17 * (k / 3)).toByte)
+    val post4 = px.map(v => (((v & 0xff) >> 4) * 17).toByte)
+    val encP = Multimodal.pngEncodePalettePacked(
+      post4.map(v => ((v & 0xff) / 17).toByte), pal16, 64, 64, 4)
+    assert(Multimodal.pngDecodeGray(encP).exists(_._3.toSeq == post4.toSeq))
+    // packed gray tRNS: a USED raw-depth key fails closed, an unused one decodes
+    def withKey(enc: Array[Byte], key: Int): Array[Byte] = {
+      // splice a tRNS chunk right before IDAT
+      val idatAt = {
+        var i = 8
+        var at = -1
+        while (at < 0) {
+          val len = ((enc(i) & 0xff) << 24) | ((enc(i + 1) & 0xff) << 16) |
+            ((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff)
+          if (new String(enc, i + 4, 4, "US-ASCII") == "IDAT") at = i
+          else i += 12 + len
+        }
+        at
+      }
+      val body = Array[Byte]((key >> 8).toByte, key.toByte)
+      val crc = new java.util.zip.CRC32()
+      crc.update("tRNS".getBytes("US-ASCII"))
+      crc.update(body)
+      val chunk = Array[Byte](0, 0, 0, 2) ++ "tRNS".getBytes("US-ASCII") ++ body ++
+        Array[Byte]((crc.getValue >> 24).toByte, (crc.getValue >> 16).toByte,
+          (crc.getValue >> 8).toByte, crc.getValue.toByte)
+      enc.take(idatAt) ++ chunk ++ enc.drop(idatAt)
+    }
+    val flat5 = Array.fill[Byte](16)(85) // raw 4-bit value 5 everywhere
+    val enc5 = Multimodal.pngEncodeGrayPacked(flat5, 4, 4, 4)
+    assert(Multimodal.pngDecodeGray(withKey(enc5, 5)) === None) // key used
+    assert(Multimodal.pngDecodeGray(withKey(enc5, 9)) // key unused
+      .exists(_._3.toSeq == flat5.toSeq))
+  }
+
+  test("APNG decodes as its default image (acTL/fcTL/fdAT are ancillary to the still walk)") {
+    // APNG is backward-compatible by design: the default image is a plain
+    // PNG stream; animation chunks are ancillary. The still decoder must
+    // return the default image, not fail closed and not touch fdAT.
+    val px = Multimodal.synthPixels(29L, pert = false)
+    val plain = Multimodal.pngEncodeGray(px, 64, 64)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      Array[Byte]((body.length >> 24).toByte, (body.length >> 16).toByte,
+        (body.length >> 8).toByte, body.length.toByte) ++
+        tag.getBytes("US-ASCII") ++ body ++
+        Array[Byte]((crc.getValue >> 24).toByte, (crc.getValue >> 16).toByte,
+          (crc.getValue >> 8).toByte, crc.getValue.toByte)
+    }
+    // splice acTL+fcTL before IDAT and an fdAT (second-frame data) after
+    def findChunk(b: Array[Byte], tag: String): Int = {
+      var i = 8
+      while (true) {
+        val len = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+          ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (new String(b, i + 4, 4, "US-ASCII") == tag) return i
+        i += 12 + len
+      }
+      -1
+    }
+    val idatAt = findChunk(plain, "IDAT")
+    val iendAt = findChunk(plain, "IEND")
+    val acTL = chunk("acTL", Array[Byte](0, 0, 0, 2, 0, 0, 0, 0)) // 2 frames, loop forever
+    val fcTL = chunk("fcTL", new Array[Byte](26))
+    val fdAT = chunk("fdAT", Array[Byte](0, 0, 0, 2) ++ Array.fill[Byte](20)(7))
+    val apng = plain.take(idatAt) ++ acTL ++ fcTL ++
+      plain.slice(idatAt, iendAt) ++ fdAT ++ plain.drop(iendAt)
+    assert(Multimodal.pngDecodeGray(apng).exists(_._3.toSeq == px.toSeq))
+  }
+
+  test("fragmented MP4: trun walk decodes identically to the progressive layout; fail-closed laws") {
+    import graft.scale.Avc
+    val frames = Array.tabulate(4)(f => Multimodal.synthFramePixels(37L, f, pert = false))
+    val streams = frames.map(px => Avc.encodeGrayIdr(px, 64, 64, 6))
+    val (sp, pp, _) = Avc.splitAnnexB(streams.head)
+    val samples = streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)).toSeq
+    val cfg = Avc.avccPayload(sp, pp)
+    val prog = Multimodal.mp4AvcPcmBytes(samples, 64, 64, None, "avc1", cfg)
+    for (perFrag <- Seq(1, 2, 4)) {
+      val frag = Multimodal.mp4FragmentedBytes(samples, 64, 64, "avc1", cfg, perFrag)
+      val a = Multimodal.mp4DecodeGrayFrames(prog)
+      val b2 = Multimodal.mp4DecodeGrayFrames(frag)
+      assert(a.isDefined && b2.isDefined, s"perFrag=$perFrag")
+      assert(a.get._3.map(_.toSeq) == b2.get._3.map(_.toSeq), s"perFrag=$perFrag")
+      // magic dispatch reaches the fragmented file too
+      assert(Multimodal.videoDecodeGrayFrames(frag).isDefined)
+    }
+    val frag2 = Multimodal.mp4FragmentedBytes(samples, 64, 64, "avc1", cfg, 2)
+    // truncating the last mdat puts a trun range past the payload: fail closed
+    assert(Multimodal.mp4DecodeGrayFrames(frag2.dropRight(40)) === None)
+    // a trun without its data offset is outside the subset: flip the flag
+    val noOff = frag2.clone()
+    val trunAt = {
+      var i = -1
+      var k = 0
+      while (i < 0 && k + 4 <= noOff.length) {
+        if (new String(noOff, k, 4, "US-ASCII") == "trun") i = k
+        k += 1
+      }
+      i
+    }
+    noOff(trunAt + 6) = 0x00 // clear flag byte carrying 0x02__
+    noOff(trunAt + 7) = 0x00 // and the 0x01 data-offset bit
+    assert(Multimodal.mp4DecodeGrayFrames(noOff) === None)
+  }
 }
