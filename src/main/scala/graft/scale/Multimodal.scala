@@ -2507,7 +2507,12 @@ object Multimodal {
     * law MultimodalSpec pins.
     */
   def jpegEncodeGrayProgressive(pixels: Array[Byte], w: Int, h: Int,
-                                quant: Array[Int] = JpegStdQuant): Array[Byte] = {
+                                quant: Array[Int] = JpegStdQuant): Array[Byte] =
+    jpegEncodeGrayProgressiveKnobs(pixels, w, h, quant, approx = true, bands = true)
+
+  private[scale] def jpegEncodeGrayProgressiveKnobs(
+      pixels: Array[Byte], w: Int, h: Int, quant: Array[Int],
+      approx: Boolean, bands: Boolean): Array[Byte] = {
     require(pixels.length == w * h, s"pixel buffer ${pixels.length} != $w x $h")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255))
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
@@ -2542,15 +2547,16 @@ object Multimodal {
       marker(0xda); u16(2 + 1 + 2 + 3); u8(1); u8(1); u8((dcT << 4) | acT)
       u8(ss); u8(se); u8((ah << 4) | al)
     }
-    // ---- DC first (Al = 1): diff coding over the shifted values --------
+    val dcAl = if (approx) 1 else 0
+    // ---- DC first: diff coding over the point-transformed values -------
     dht(0, 0, JDcBits, JDcVals)
     val dcCodes = canonicalCodes(JDcBits, JDcVals)
-    sos(0, 0, 0, 0, 0, 1)
+    sos(0, 0, 0, 0, 0, dcAl)
     locally {
       var pred = 0
       var blk = 0
       while (blk < nBlocks) {
-        val t = coefs(blk * 64) >> 1
+        val t = coefs(blk * 64) >> dcAl
         val diff = t - pred; pred = t
         val s = category(diff)
         val (c, l) = dcCodes(s); putBits(c, l)
@@ -2661,20 +2667,23 @@ object Multimodal {
       onePass() // emit
       flushBits()
     }
-    acScan(1, 5, 0, 1)
-    acScan(6, 63, 0, 1)
-    // ---- DC refine (Ah=1, Al=0): one raw bit per block, no table -------
-    sos(0, 0, 0, 0, 1, 0)
-    locally {
-      var blk = 0
-      while (blk < nBlocks) {
-        putBits(coefs(blk * 64) & 1, 1)
-        blk += 1
+    val acAl = if (approx) 1 else 0
+    if (bands) { acScan(1, 5, 0, acAl); acScan(6, 63, 0, acAl) }
+    else acScan(1, 63, 0, acAl)
+    if (approx) {
+      // ---- DC refine (Ah=1, Al=0): one raw bit per block, no table -----
+      sos(0, 0, 0, 0, 1, 0)
+      locally {
+        var blk = 0
+        while (blk < nBlocks) {
+          putBits(coefs(blk * 64) & 1, 1)
+          blk += 1
+        }
+        flushBits()
       }
-      flushBits()
+      if (bands) { acScan(1, 5, 1, 0); acScan(6, 63, 1, 0) }
+      else acScan(1, 63, 1, 0)
     }
-    acScan(1, 5, 1, 0)
-    acScan(6, 63, 1, 0)
     marker(0xd9)
     out.toByteArray
   }
@@ -3197,6 +3206,282 @@ object Multimodal {
     (r, g, b)
   }
 
+  /** REAL progressive color JPEG (SOF2, 4:2:0): the interleaved-DC +
+    * per-component-AC progression real encoders emit — one interleaved DC
+    * first scan at Al=1 (Y through the Annex-K luminance DC table, chroma
+    * through the chrominance one), three per-component AC first scans at
+    * Al=1 (each shipping its own flat canonical DHT, EOB runs batched),
+    * then the interleaved DC refinement and three AC refinement scans to
+    * Al=0. The successive approximation is exact, so
+    * jpegDecodeColor(progressive) == jpegDecodeColor(baseline) for the
+    * same source — the MultimodalSpec law.
+    */
+  def jpegEncodeColorProgressive(rgb: Array[Byte], w: Int, h: Int,
+                                 quantY: Array[Int] = JpegStdQuant,
+                                 quantC: Array[Int] = JpegStdQuant): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb buffer ${rgb.length} != 3*$w*$h")
+    require(w % 16 == 0 && h % 16 == 0, s"encoder needs full MCUs, got $w x $h")
+    // plane conversion + subsample: byte-identical to jpegEncodeColor420
+    val yP = new Array[Int](w * h)
+    val cbF = new Array[Int](w * h); val crF = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val (yy, cb, cr) = rgbToYcc(rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff,
+        rgb(3 * p + 2) & 0xff)
+      yP(p) = yy; cbF(p) = cb; crF(p) = cr
+      p += 1
+    }
+    val cw = w / 2; val ch = h / 2
+    val cbP = new Array[Int](cw * ch); val crP = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        def mean(srcA: Array[Int]): Int = {
+          val i0 = (2 * cy) * w + 2 * cx
+          (srcA(i0) + srcA(i0 + 1) + srcA(i0 + w) + srcA(i0 + w + 1) + 2) / 4
+        }
+        cbP(cy * cw + cx) = mean(cbF); crP(cy * cw + cx) = mean(crF)
+        cx += 1
+      }
+      cy += 1
+    }
+    // forward DCT + quant per component (full MCUs: no edge replication)
+    def fwd(plane: Array[Int], pw2: Int, ph2: Int, quant: Array[Int]): Array[Int] = {
+      val bw2 = pw2 / 8; val bh2 = ph2 / 8
+      val outC = new Array[Int](bw2 * bh2 * 64)
+      val blk = new Array[Double](64)
+      var by = 0
+      while (by < bh2) {
+        var bx = 0
+        while (bx < bw2) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              blk(y * 8 + x) = plane((by * 8 + y) * pw2 + bx * 8 + x) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          val base = (by * bw2 + bx) * 64
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var sum = 0.0
+              var y2 = 0
+              while (y2 < 8) {
+                var x2 = 0
+                while (x2 < 8) {
+                  sum += blk(y2 * 8 + x2) * CosTable(u * 8 + y2) * CosTable(v * 8 + x2)
+                  x2 += 1
+                }
+                y2 += 1
+              }
+              outC(base + u * 8 + v) =
+                math.round(0.25 * c0(u) * c0(v) * sum / quant(u * 8 + v)).toInt
+              v += 1
+            }
+            u += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      outC
+    }
+    val coefsC = Array(fwd(yP, w, h, quantY), fwd(cbP, cw, ch, quantC),
+      fwd(crP, cw, ch, quantC))
+    val bW = Array(w / 8, cw / 8, cw / 8)
+    val bH = Array(h / 8, ch / 8, ch / 8)
+    val mw = w / 16; val mh = h / 16
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xdb); u16(2 + 1 + 64); u8(id); JZigZag.foreach(nat => u8(q(nat)))
+    }
+    dqt(0, quantY); dqt(1, quantC)
+    marker(0xc2); u16(2 + 6 + 3 * 3); u8(8); u16(h); u16(w); u8(3) // SOF2
+    u8(1); u8(0x22); u8(0); u8(2); u8(0x11); u8(1); u8(3); u8(0x11); u8(1)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8((cls << 4) | id)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    var acc = 0L; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        u8(byte); if (byte == 0xff) u8(0x00)
+        nbits -= 8
+      }
+    }
+    def flushBits(): Unit = if (nbits > 0) { val pd = 8 - nbits; putBits((1 << pd) - 1, pd) }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    // ---- interleaved DC first (Al = 1) -------------------------------
+    dht(0, 0, JDcBits, JDcVals); dht(0, 1, JDcBitsC, JDcValsC)
+    marker(0xda); u16(2 + 1 + 2 * 3 + 3); u8(3)
+    u8(1); u8(0x00); u8(2); u8(0x10); u8(3); u8(0x10)
+    u8(0); u8(0); u8(0x01) // Ss=0 Se=0 Ah=0 Al=1
+    locally {
+      val dcCodesY = canonicalCodes(JDcBits, JDcVals)
+      val dcCodesC = canonicalCodes(JDcBitsC, JDcValsC)
+      val preds = new Array[Int](3)
+      var mi = 0
+      while (mi < mw * mh) {
+        val my = mi / mw; val mx = mi % mw
+        var c = 0
+        while (c < 3) {
+          val nBlk = if (c == 0) 4 else 1
+          var s = 0
+          while (s < nBlk) {
+            val bx = if (c == 0) 2 * mx + (s % 2) else mx
+            val by = if (c == 0) 2 * my + (s / 2) else my
+            val t = coefsC(c)((by * bW(c) + bx) * 64) >> 1
+            val diff = t - preds(c); preds(c) = t
+            val s0 = category(diff)
+            val (cd, cl) = (if (c == 0) dcCodesY else dcCodesC)(s0)
+            putBits(cd, cl)
+            if (s0 > 0) putBits(if (diff >= 0) diff else diff - 1, s0)
+            s += 1
+          }
+          c += 1
+        }
+        mi += 1
+      }
+      flushBits()
+    }
+    // ---- per-component AC scans (first at Al=1, refine at Al=0) -------
+    def acScan(c: Int, ah: Int, al: Int): Unit = {
+      val coefsG = coefsC(c)
+      val nBlocks = bW(c) * bH(c)
+      val symbols = scala.collection.mutable.LinkedHashSet.empty[Int]
+      var emitting = false
+      var codes: Map[Int, (Int, Int)] = null
+      def sym(rs: Int): Unit =
+        if (!emitting) symbols += rs
+        else { val (cd, cl) = codes(rs); putBits(cd, cl) }
+      def bits(v: Int, n: Int): Unit = if (emitting && n > 0) putBits(v, n)
+      def onePass(): Unit = {
+        if (ah == 0) {
+          var eobrun = 0
+          def flushEob(): Unit = if (eobrun > 0) {
+            val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+            sym(r << 4); bits(eobrun - (1 << r), r)
+            eobrun = 0
+          }
+          var blk = 0
+          while (blk < nBlocks) {
+            val base = blk * 64
+            var r = 0
+            var any = false
+            var k = 1
+            while (k <= 63) {
+              val cv = coefsG(base + JZigZag(k))
+              val t = if (cv >= 0) cv >> al else -((-cv) >> al)
+              if (t == 0) r += 1
+              else {
+                flushEob()
+                while (r > 15) { sym(0xf0); r -= 16 }
+                val s = category(t)
+                sym((r << 4) | s); bits(if (t >= 0) t else t - 1, s)
+                r = 0; any = true
+              }
+              k += 1
+            }
+            if (r > 0 || !any) {
+              eobrun += 1
+              if (eobrun == 0x7fff) flushEob()
+            }
+            blk += 1
+          }
+          flushEob()
+        } else {
+          val p1 = 1 << al
+          var blk = 0
+          while (blk < nBlocks) {
+            val base = blk * 64
+            var lastNew = 0
+            var k = 1
+            while (k <= 63) {
+              if (math.abs(coefsG(base + JZigZag(k))) >> al == 1) lastNew = k
+              k += 1
+            }
+            val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+            def flushBr(): Unit = { br.foreach(bit => bits(bit, 1)); br.clear() }
+            var r = 0
+            k = 1
+            while (k <= lastNew) {
+              val cv = coefsG(base + JZigZag(k))
+              val t = math.abs(cv) >> al
+              if (t == 0) r += 1
+              else if (t > 1) br += ((math.abs(cv) >> al) & 1)
+              else {
+                while (r > 15) { sym(0xf0); flushBr(); r -= 16 }
+                sym((r << 4) | 1); bits(if (cv >= 0) 1 else 0, 1)
+                flushBr()
+                r = 0
+              }
+              k += 1
+            }
+            if (lastNew < 63) {
+              sym(0x00)
+              while (k <= 63) {
+                val cv = coefsG(base + JZigZag(k))
+                if (math.abs(cv) >> al > 1) bits((math.abs(cv) >> al) & 1, 1)
+                k += 1
+              }
+            }
+            blk += 1
+          }
+        }
+      }
+      onePass()
+      val vals = symbols.toArray.sorted
+      require(vals.nonEmpty && vals.length <= 255)
+      val bitsArr = Array.tabulate(16)(i2 => if (i2 == 7) vals.length else 0)
+      dht(1, 1, bitsArr, vals)
+      codes = vals.zipWithIndex.map { case (v, i2) => v -> ((i2, 8)) }.toMap
+      marker(0xda); u16(2 + 1 + 2 + 3); u8(1); u8(c + 1); u8(0x01)
+      u8(1); u8(63); u8((ah << 4) | al)
+      emitting = true
+      onePass()
+      flushBits()
+    }
+    acScan(0, 0, 1); acScan(1, 0, 1); acScan(2, 0, 1)
+    // ---- interleaved DC refine (Ah=1, Al=0): raw bits -----------------
+    marker(0xda); u16(2 + 1 + 2 * 3 + 3); u8(3)
+    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(0); u8(0x10)
+    locally {
+      var mi = 0
+      while (mi < mw * mh) {
+        val my = mi / mw; val mx = mi % mw
+        var c = 0
+        while (c < 3) {
+          val nBlk = if (c == 0) 4 else 1
+          var s = 0
+          while (s < nBlk) {
+            val bx = if (c == 0) 2 * mx + (s % 2) else mx
+            val by = if (c == 0) 2 * my + (s / 2) else my
+            putBits(coefsC(c)((by * bW(c) + bx) * 64) & 1, 1)
+            s += 1
+          }
+          c += 1
+        }
+        mi += 1
+      }
+      flushBits()
+    }
+    acScan(0, 1, 0); acScan(1, 1, 0); acScan(2, 1, 0)
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Encode an interleaved RGB buffer (3 bytes per pixel) as a REAL
     * baseline 4:2:0 color JPEG: fixed-point YCbCr conversion, exact 2×2
     * chroma mean subsampling, per-component Annex-K luma/chroma tables,
@@ -3377,99 +3662,19 @@ object Multimodal {
     val huffBits = Array.ofDim[Array[Int]](2, 4)
     val huffVals = Array.ofDim[Array[Int]](2, 4)
     var w = -1; var h = -1
-    // per component (index by scan order): id, hSamp, vSamp, quant id
+    var progressive = false
+    var frameSeen = false
+    // per component (frame order): id, sampling, quant id
     var compId: Array[Int] = null; var compH: Array[Int] = null
     var compV: Array[Int] = null; var compQ: Array[Int] = null
-    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
     var restartInterval = 0
-    var i = 2
-    var scanAt = -1
-    while (scanAt < 0) {
-      if (i + 4 > b.length) return None
-      if (u8(i) != 0xff) return None
-      var m = u8(i + 1)
-      while (m == 0xff) { i += 1; if (i + 4 > b.length) return None; m = u8(i + 1) }
-      if (m == 0xd9) return None
-      val len = u16(i + 2)
-      if (len < 2 || i + 2 + len > b.length) return None
-      val seg = i + 4
-      m match {
-        case 0xc0 =>
-          if (u8(seg) != 8) return None
-          h = u16(seg + 1); w = u16(seg + 3)
-          if (u8(seg + 5) != 3) return None // color path: 3 components only
-          compId = new Array[Int](3); compH = new Array[Int](3)
-          compV = new Array[Int](3); compQ = new Array[Int](3)
-          var c = 0
-          while (c < 3) {
-            compId(c) = u8(seg + 6 + 3 * c)
-            compH(c) = u8(seg + 7 + 3 * c) >> 4
-            compV(c) = u8(seg + 7 + 3 * c) & 0x0f
-            compQ(c) = u8(seg + 8 + 3 * c)
-            c += 1
-          }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None
-        case 0xc4 =>
-          var p = seg
-          while (p < i + 2 + len) {
-            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
-            if (tc > 1 || th > 3 || p + 17 > i + 2 + len) return None
-            val bits = Array.tabulate(16)(j => u8(p + 1 + j))
-            val n = bits.sum
-            if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return None
-            huffBits(tc)(th) = bits
-            huffVals(tc)(th) = Array.tabulate(n)(j => u8(p + 17 + j))
-            p += 17 + n
-          }
-        case 0xdb =>
-          var p = seg
-          while (p < i + 2 + len) {
-            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
-            if (pq > 1 || tq > 3) return None
-            val step = if (pq == 0) 1 else 2
-            if (p + 1 + 64 * step > i + 2 + len) return None
-            var k = 0
-            while (k < 64) {
-              quant(tq)(JZigZag(k)) =
-                if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
-              k += 1
-            }
-            quantSeen(tq) = true
-            p += 1 + 64 * step
-          }
-        case 0xdd =>
-          restartInterval = u16(seg)
-        case 0xda =>
-          if (u8(seg) != 3 || compId == null) return None
-          var c = 0
-          while (c < 3) {
-            val sid = u8(seg + 1 + 2 * c)
-            val ci = compId.indexOf(sid)
-            if (ci < 0) return None
-            compDc(ci) = u8(seg + 2 + 2 * c) >> 4
-            compAc(ci) = u8(seg + 2 + 2 * c) & 0x0f
-            c += 1
-          }
-          if (u8(seg + 7) != 0 || u8(seg + 8) != 63) return None
-          scanAt = i + 2 + len
-        case _ => ()
-      }
-      i += 2 + len
-    }
-    if (w <= 0 || h <= 0 || compId == null) return None
-    // supported structures: 4:2:0 (2,2 / 1,1 / 1,1) and 4:4:4 (all 1,1)
-    val is420 = compH(0) == 2 && compV(0) == 2 &&
-      compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
-    val is444 = (0 until 3).forall(c => compH(c) == 1 && compV(c) == 1)
-    if (!is420 && !is444) return None
-    var c = 0
-    while (c < 3) {
-      if (!quantSeen(compQ(c))) return None
-      if (huffBits(0)(compDc(c)) == null || huffBits(1)(compAc(c)) == null) return None
-      c += 1
-    }
+    var is420 = false
+    var mw = 0; var mh = 0
+    // coefficient grids, MCU-padded; true block dims gate non-interleaved
+    // scans (spec A.2.2: they cover the component's own blocks only)
+    var coefs: Array[Array[Int]] = null
+    val blocksW = new Array[Int](3); val blocksH = new Array[Int](3)
+    val trueBW = new Array[Int](3); val trueBH = new Array[Int](3)
     def decTables(bits: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
       val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
       val valptr = new Array[Int](17)
@@ -3485,11 +3690,7 @@ object Multimodal {
       }
       (mincode, maxcode, valptr)
     }
-    val dcT = Array.tabulate(3)(c => decTables(huffBits(0)(compDc(c))))
-    val acT = Array.tabulate(3)(c => decTables(huffBits(1)(compAc(c))))
-    val dcVs = Array.tabulate(3)(c => huffVals(0)(compDc(c)))
-    val acVs = Array.tabulate(3)(c => huffVals(1)(compAc(c)))
-    var pos = scanAt; var acc = 0; var nbits = 0; var hitMarker = false
+    var pos = 0; var acc = 0; var nbits = 0; var hitMarker = false
     def fill(): Boolean = {
       while (nbits <= 24 && !hitMarker) {
         if (pos >= b.length) return nbits > 0
@@ -3537,125 +3738,399 @@ object Multimodal {
       pos += 2
       true
     }
-    // component planes at their own resolution
-    val pw = new Array[Int](3); val ph = new Array[Int](3)
-    val mcuW = if (is420) 16 else 8
-    val mcuH = if (is420) 16 else 8
-    val mw = (w + mcuW - 1) / mcuW; val mh = (h + mcuH - 1) / mcuH
-    var cpl = 0
-    while (cpl < 3) {
-      val sub = if (is420 && cpl > 0) 2 else 1
-      pw(cpl) = mw * (mcuW / sub)
-      ph(cpl) = mh * (mcuH / sub)
-      cpl += 1
-    }
-    // (block-aligned plane sizes: Y spans mw·mcuW, chroma half that in 4:2:0)
-    val planes = Array.tabulate(3)(c => new Array[Int](pw(c) * ph(c)))
-    val coef = new Array[Int](64); val px = new Array[Double](64)
-    def decodeBlock(c: Int, pred: Int): Int = {
-      java.util.Arrays.fill(coef, 0)
-      val s0 = decodeSym(dcT(c), dcVs(c))
-      if (s0 < 0 || s0 > 11) return Int.MinValue
-      val dbits = if (s0 == 0) 0 else readBits(s0)
-      if (dbits < 0) return Int.MinValue
-      val qt = quant(compQ(c))
-      val newPred = pred + extend(dbits, s0)
-      coef(0) = newPred * qt(0)
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val rs = decodeSym(acT(c), acVs(c))
-        if (rs < 0) return Int.MinValue
-        if (rs == 0x00) eob = true
-        else if (rs == 0xf0) k += 16
-        else {
-          k += rs >> 4
-          val s = rs & 0x0f
-          if (k > 63) return Int.MinValue
-          val vb = readBits(s); if (vb < 0) return Int.MinValue
-          coef(JZigZag(k)) = extend(vb, s) * qt(JZigZag(k))
-          k += 1
+    /** One scan. `comps` in scan order; interleaved scans walk MCUs over
+      * the padded grid, single-component scans walk the component's true
+      * block grid. Scan types exactly as the grayscale twin (the shared
+      * T.81 G.1.2 semantics), indexing each component's padded grid.
+      */
+    def runScan(comps: Array[Int], dcSel: Array[Int], acSel: Array[Int],
+                ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+      val needDc = !progressive || (ss == 0 && ah == 0)
+      val needAc = !progressive || ss > 0
+      val dcT = new Array[(Array[Int], Array[Int], Array[Int])](comps.length)
+      val acT = new Array[(Array[Int], Array[Int], Array[Int])](comps.length)
+      val dcV = new Array[Array[Int]](comps.length)
+      val acV = new Array[Array[Int]](comps.length)
+      var ci = 0
+      while (ci < comps.length) {
+        if (needDc) {
+          if (huffBits(0)(dcSel(ci)) == null) return false
+          dcT(ci) = decTables(huffBits(0)(dcSel(ci)))
+          dcV(ci) = huffVals(0)(dcSel(ci))
         }
+        if (needAc) {
+          if (huffBits(1)(acSel(ci)) == null) return false
+          acT(ci) = decTables(huffBits(1)(acSel(ci)))
+          acV(ci) = huffVals(1)(acSel(ci))
+        }
+        ci += 1
       }
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var sum = 0.0
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              sum += c0(u) * c0(v) * coef(u * 8 + v) *
-                CosTable(u * 8 + y) * CosTable(v * 8 + x)
-              v += 1
-            }
-            u += 1
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      val p1 = 1 << al
+      val m1 = -1 << al
+      // full-block baseline decode, raw coefficients
+      def baselineBlock(si: Int, base: Int): Boolean = {
+        val cgrid = coefs(comps(si))
+        val s0 = decodeSym(dcT(si), dcV(si))
+        if (s0 < 0 || s0 > 11) return false
+        val dbits = if (s0 == 0) 0 else readBits(s0)
+        if (dbits < 0) return false
+        preds(si) += extend(dbits, s0)
+        cgrid(base) = preds(si)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeSym(acT(si), acV(si))
+          if (rs < 0) return false
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16
+          else {
+            k += rs >> 4
+            val s = rs & 0x0f
+            if (k > 63) return false
+            val vb = readBits(s); if (vb < 0) return false
+            cgrid(base + JZigZag(k)) = extend(vb, s)
+            k += 1
           }
-          px(y * 8 + x) = 0.25 * sum + 128.0
-          x += 1
         }
-        y += 1
+        true
       }
-      newPred
+      def dcBlock(si: Int, base: Int): Boolean = {
+        val cgrid = coefs(comps(si))
+        if (ah == 0) {
+          val s0 = decodeSym(dcT(si), dcV(si))
+          if (s0 < 0 || s0 > 11) return false
+          val dbits = if (s0 == 0) 0 else readBits(s0)
+          if (dbits < 0) return false
+          preds(si) += extend(dbits, s0)
+          cgrid(base) = preds(si) << al
+        } else {
+          val bit = readBit(); if (bit < 0) return false
+          if (bit == 1) cgrid(base) |= p1
+        }
+        true
+      }
+      def acFirstBlock(si: Int, base: Int): Boolean = {
+        val cgrid = coefs(comps(si))
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        var blockDone = false
+        while (k <= se && !blockDone) {
+          val rs = decodeSym(acT(si), acV(si))
+          if (rs < 0) return false
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val ext = readBits(r); if (ext < 0) return false
+                eobrun += ext
+              }
+              blockDone = true
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            val vb = readBits(s); if (vb < 0) return false
+            cgrid(base + JZigZag(k)) = extend(vb, s) << al
+            k += 1
+          }
+        }
+        true
+      }
+      def acRefineBlock(si: Int, base: Int): Boolean = {
+        val cgrid = coefs(comps(si))
+        var k = ss
+        if (eobrun == 0) {
+          var scanDone = false
+          while (k <= se && !scanDone) {
+            val rs = decodeSym(acT(si), acV(si))
+            if (rs < 0) return false
+            var r = rs >> 4; val s = rs & 15
+            var newval = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val ext = readBits(r); if (ext < 0) return false
+                  eobrun += ext
+                }
+                scanDone = true
+              }
+            } else {
+              if (s != 1) return false
+              val bit = readBit(); if (bit < 0) return false
+              newval = if (bit == 1) p1 else m1
+            }
+            if (!scanDone) {
+              var placed = false
+              while (k <= se && !placed) {
+                val p = base + JZigZag(k)
+                if (cgrid(p) != 0) {
+                  val bit = readBit(); if (bit < 0) return false
+                  if (bit == 1 && (cgrid(p) & p1) == 0)
+                    cgrid(p) += (if (cgrid(p) >= 0) p1 else m1)
+                } else {
+                  if (r == 0) {
+                    if (newval != 0) cgrid(p) = newval
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              if (!placed && newval != 0) return false
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val p = base + JZigZag(k)
+            if (cgrid(p) != 0) {
+              val bit = readBit(); if (bit < 0) return false
+              if (bit == 1 && (cgrid(p) & p1) == 0)
+                cgrid(p) += (if (cgrid(p) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+      def oneBlock(si: Int, base: Int): Boolean =
+        if (!progressive) baselineBlock(si, base)
+        else if (ss == 0) dcBlock(si, base)
+        else if (ah == 0) acFirstBlock(si, base)
+        else acRefineBlock(si, base)
+      var sinceRestart = 0
+      if (comps.length > 1) { // interleaved: MCU walk over the padded grid
+        var mi = 0
+        val total = mw * mh
+        while (mi < total) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) {
+            if (!syncRestart()) return false
+            java.util.Arrays.fill(preds, 0); eobrun = 0; sinceRestart = 0
+          }
+          val my = mi / mw; val mx = mi % mw
+          var si = 0
+          while (si < comps.length) {
+            val c = comps(si)
+            var v2 = 0
+            while (v2 < compV(c)) {
+              var h2 = 0
+              while (h2 < compH(c)) {
+                val bx = mx * compH(c) + h2
+                val by = my * compV(c) + v2
+                if (!oneBlock(si, (by * blocksW(c) + bx) * 64)) return false
+                h2 += 1
+              }
+              v2 += 1
+            }
+            si += 1
+          }
+          sinceRestart += 1
+          mi += 1
+        }
+      } else { // single component: its true block grid
+        val c = comps(0)
+        var bi = 0
+        val total = trueBW(c) * trueBH(c)
+        while (bi < total) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) {
+            if (!syncRestart()) return false
+            java.util.Arrays.fill(preds, 0); eobrun = 0; sinceRestart = 0
+          }
+          val bx = bi % trueBW(c); val by = bi / trueBW(c)
+          if (!oneBlock(0, (by * blocksW(c) + bx) * 64)) return false
+          sinceRestart += 1
+          bi += 1
+        }
+      }
+      true
     }
-    def storeBlock(c: Int, bx: Int, by: Int): Unit = {
-      var yy = 0
-      while (yy < 8) {
-        val py = by * 8 + yy
-        if (py < ph(c)) {
+    // ---- marker walk ----
+    var i = 2
+    var eoiSeen = false
+    var anyScan = false
+    var baselineScanDone = false
+    while (!eoiSeen) {
+      if (i + 2 > b.length) return None
+      if (u8(i) != 0xff) return None
+      var m = u8(i + 1)
+      while (m == 0xff) { i += 1; if (i + 2 > b.length) return None; m = u8(i + 1) }
+      if (m == 0xd9) eoiSeen = true
+      else {
+        if (i + 4 > b.length) return None
+        val len = u16(i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        var nextI = i + 2 + len
+        m match {
+          case 0xc0 | 0xc2 =>
+            if (frameSeen) return None
+            frameSeen = true
+            progressive = m == 0xc2
+            if (u8(seg) != 8) return None
+            h = u16(seg + 1); w = u16(seg + 3)
+            if (u8(seg + 5) != 3) return None // color path: 3 components only
+            if (w <= 0 || h <= 0) return None
+            compId = new Array[Int](3); compH = new Array[Int](3)
+            compV = new Array[Int](3); compQ = new Array[Int](3)
+            var c = 0
+            while (c < 3) {
+              compId(c) = u8(seg + 6 + 3 * c)
+              compH(c) = u8(seg + 7 + 3 * c) >> 4
+              compV(c) = u8(seg + 7 + 3 * c) & 0x0f
+              compQ(c) = u8(seg + 8 + 3 * c)
+              c += 1
+            }
+            is420 = compH(0) == 2 && compV(0) == 2 &&
+              compH(1) == 1 && compV(1) == 1 && compH(2) == 1 && compV(2) == 1
+            val is444 = (0 until 3).forall(cc => compH(cc) == 1 && compV(cc) == 1)
+            if (!is420 && !is444) return None
+            val mcuPx = if (is420) 16 else 8
+            mw = (w + mcuPx - 1) / mcuPx; mh = (h + mcuPx - 1) / mcuPx
+            c = 0
+            while (c < 3) {
+              blocksW(c) = mw * compH(c); blocksH(c) = mh * compV(c)
+              // component pixel dims: ceil(w * Hc / Hmax), ceil(h * Vc / Vmax)
+              val hmax = if (is420) 2 else 1
+              val cpw = (w * compH(c) + hmax - 1) / hmax
+              val cph = (h * compV(c) + hmax - 1) / hmax
+              trueBW(c) = (cpw + 7) / 8; trueBH(c) = (cph + 7) / 8
+              c += 1
+            }
+            coefs = Array.tabulate(3)(cc => new Array[Int](blocksW(cc) * blocksH(cc) * 64))
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None
+          case 0xc4 =>
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+              if (tc > 1 || th > 3 || p + 17 > i + 2 + len) return None
+              val bits = Array.tabulate(16)(j => u8(p + 1 + j))
+              val n = bits.sum
+              if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return None
+              huffBits(tc)(th) = bits
+              huffVals(tc)(th) = Array.tabulate(n)(j => u8(p + 17 + j))
+              p += 17 + n
+            }
+          case 0xdb =>
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+              if (pq > 1 || tq > 3) return None
+              val step = if (pq == 0) 1 else 2
+              if (p + 1 + 64 * step > i + 2 + len) return None
+              var k = 0
+              while (k < 64) {
+                quant(tq)(JZigZag(k)) =
+                  if (pq == 0) u8(p + 1 + k) else u16(p + 1 + 2 * k)
+                k += 1
+              }
+              quantSeen(tq) = true
+              p += 1 + 64 * step
+            }
+          case 0xdd =>
+            restartInterval = u16(seg)
+          case 0xda =>
+            if (!frameSeen) return None
+            val ns = u8(seg)
+            if (ns < 1 || ns > 3) return None
+            val comps = new Array[Int](ns)
+            val dcSel = new Array[Int](ns)
+            val acSel = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val sid = u8(seg + 1 + 2 * c)
+              val ci = compId.indexOf(sid)
+              if (ci < 0) return None
+              comps(c) = ci
+              dcSel(c) = u8(seg + 2 + 2 * c) >> 4
+              acSel(c) = u8(seg + 2 + 2 * c) & 0x0f
+              c += 1
+            }
+            val ss = u8(seg + 1 + 2 * ns)
+            val se = u8(seg + 2 + 2 * ns)
+            val ahal = u8(seg + 3 + 2 * ns)
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            if (progressive) {
+              if (ss == 0 && se != 0) return None
+              if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None // AC: one component
+              if (al > 13 || (ah != 0 && ah != al + 1)) return None
+            } else {
+              if (ns != 3 || ss != 0 || se != 63 || ah != 0 || al != 0) return None
+              if (baselineScanDone) return None
+              baselineScanDone = true
+            }
+            pos = i + 2 + len; acc = 0; nbits = 0; hitMarker = false
+            if (!runScan(comps, dcSel, acSel, ss, se, ah, al)) return None
+            anyScan = true
+            nextI = pos
+          case _ => ()
+        }
+        i = nextI
+      }
+    }
+    if (!frameSeen || !anyScan) return None
+    var cchk = 0
+    while (cchk < 3) {
+      if (!quantSeen(compQ(cchk))) return None
+      cchk += 1
+    }
+    // ---- dequantize + IDCT every block of every component ----
+    val pw = new Array[Int](3); val ph = new Array[Int](3)
+    var cpl = 0
+    while (cpl < 3) { pw(cpl) = blocksW(cpl) * 8; ph(cpl) = blocksH(cpl) * 8; cpl += 1 }
+    val planes = Array.tabulate(3)(c => new Array[Int](pw(c) * ph(c)))
+    val px = new Array[Double](64)
+    var c2 = 0
+    while (c2 < 3) {
+      val qt = quant(compQ(c2))
+      val cgrid = coefs(c2)
+      var blk = 0
+      val total = blocksW(c2) * blocksH(c2)
+      while (blk < total) {
+        val base = blk * 64
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var sum = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val cv = cgrid(base + u * 8 + v)
+                if (cv != 0)
+                  sum += c0(u) * c0(v) * cv * qt(u * 8 + v) *
+                    CosTable(u * 8 + y) * CosTable(v * 8 + x)
+                v += 1
+              }
+              u += 1
+            }
+            px(y * 8 + x) = 0.25 * sum + 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val by = blk / blocksW(c2); val bx = blk % blocksW(c2)
+        var yy = 0
+        while (yy < 8) {
           var xx = 0
           while (xx < 8) {
-            val pxx = bx * 8 + xx
-            if (pxx < pw(c)) {
-              val v = math.round(px(yy * 8 + xx)).toInt
-              planes(c)(py * pw(c) + pxx) = math.max(0, math.min(255, v))
-            }
+            val v = math.round(px(yy * 8 + xx)).toInt
+            planes(c2)((by * 8 + yy) * pw(c2) + bx * 8 + xx) =
+              math.max(0, math.min(255, v))
             xx += 1
           }
+          yy += 1
         }
-        yy += 1
+        blk += 1
       }
-    }
-    val preds = new Array[Int](3)
-    var sinceRestart = 0
-    var mi = 0
-    val totalMcus = mw * mh
-    while (mi < totalMcus) {
-      if (restartInterval > 0 && sinceRestart == restartInterval) {
-        if (!syncRestart()) return None
-        preds(0) = 0; preds(1) = 0; preds(2) = 0; sinceRestart = 0
-      }
-      val my = mi / mw; val mx = mi % mw
-      if (is420) {
-        var sub = 0
-        while (sub < 4) {
-          val np = decodeBlock(0, preds(0))
-          if (np == Int.MinValue) return None
-          preds(0) = np
-          storeBlock(0, 2 * mx + (sub % 2), 2 * my + (sub / 2))
-          sub += 1
-        }
-        var cc = 1
-        while (cc < 3) {
-          val np = decodeBlock(cc, preds(cc))
-          if (np == Int.MinValue) return None
-          preds(cc) = np
-          storeBlock(cc, mx, my)
-          cc += 1
-        }
-      } else {
-        var cc = 0
-        while (cc < 3) {
-          val np = decodeBlock(cc, preds(cc))
-          if (np == Int.MinValue) return None
-          preds(cc) = np
-          storeBlock(cc, mx, my)
-          cc += 1
-        }
-      }
-      sinceRestart += 1
-      mi += 1
+      c2 += 1
     }
     // upsample chroma (box) + color convert
     val out = new Array[Byte](3 * w * h)
@@ -5440,6 +5915,79 @@ object Multimodal {
         .select(col("asset_id"),
           coalesce(col("cluster"), col("asset_id")).as("cluster"))
         .orderBy("asset_id")
+    },
+    // PROGRESSIVE COLOR JPEG (r19, the last JPEG class): q225's oracle —
+    // the full fixed-point YCC arithmetic replay over MB-constant colors —
+    // replayed VERBATIM over the SOF2 encoder: eight scans (interleaved DC
+    // first/refine, per-component AC first/refine with EOB runs) must
+    // reconstruct the exact coefficients of the baseline encoding, so
+    // every decoded sample still equals the DuckDB-recomputed value.
+    // Externally certified both directions against ImageIO's independent
+    // progressive codec (MultimodalSpec).
+Q("q315_jpeg_color_progressive",
+      """WITH dims AS (SELECT doc_id, CAST(16*(1+doc_id%3) AS INT) AS w,
+        |                CAST(16*(1+doc_id%2) AS INT) AS h FROM documents),
+        | mbs AS (
+        |  SELECT doc_id, w, h, CAST(m AS INT) AS mb
+        |  FROM dims CROSS JOIN range(0, 6) t(m)
+        |  WHERE m < (w // 16) * (h // 16)),
+        | colors AS (
+        |  SELECT doc_id, w, h, mb,
+        |    (doc_id*31 + mb*51 + 37) % 256 AS r0,
+        |    (doc_id*13 + mb*77 + 91) % 256 AS g0,
+        |    (doc_id*7 + mb*29 + 13) % 256 AS b0
+        |  FROM mbs),
+        | ycc AS (
+        |  SELECT doc_id, w, h, mb,
+        |    least(255, greatest(0, (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536)) AS y,
+        |    least(255, greatest(0, (-11059*r0 - 21709*g0 + 32768*b0 + 8421376) // 65536)) AS cb,
+        |    least(255, greatest(0, (32768*r0 - 27439*g0 - 5329*b0 + 8421376) // 65536)) AS cr
+        |  FROM colors),
+        | dec AS (
+        |  SELECT doc_id, w, h, mb,
+        |    CAST(least(255, greatest(0, (65536*y + 91881*(cr-128) + 11829248) // 65536 - 180)) AS INT) AS r,
+        |    CAST(least(255, greatest(0, (65536*y - 22554*(cb-128) - 46802*(cr-128) + 8880128) // 65536 - 135)) AS INT) AS g,
+        |    CAST(least(255, greatest(0, (65536*y + 116130*(cb-128) + 14909440) // 65536 - 227)) AS INT) AS b
+        |  FROM ycc),
+        | sums AS (SELECT doc_id, SUM(256*(r + 2*g + 3*b)) AS img_sum FROM dec GROUP BY doc_id)
+        |SELECT d.doc_id AS asset_id, d.w, d.h, d.mb, d.r, d.g, d.b,
+        |  CAST(s.img_sum AS BIGINT) AS img_sum
+        |FROM dec d JOIN sums s USING (doc_id)
+        |ORDER BY asset_id, mb""".stripMargin) { (s, d) =>
+      import s.implicits._
+      fixtureIds(s, d).mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w = (16 * (1 + id % 3)).toInt
+          val h = (16 * (1 + id % 2)).toInt
+          val mbCols = w / 16
+          val rgb = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < w * h) {
+            val mb = ((p / w) / 16) * mbCols + (p % w) / 16
+            rgb(3 * p) = ((id * 31 + mb * 51 + 37) % 256).toByte
+            rgb(3 * p + 1) = ((id * 13 + mb * 77 + 91) % 256).toByte
+            rgb(3 * p + 2) = ((id * 7 + mb * 29 + 13) % 256).toByte
+            p += 1
+          }
+          val jpg = jpegEncodeColorProgressive(rgb, w, h, JpegFlatQuant8, JpegFlatQuant8)
+          val (dw, dh, out) = jpegDecodeColor(jpg).getOrElse(
+            throw new IllegalStateException(s"undecodable progressive color JPEG for asset $id"))
+          var imgSum = 0L
+          var q = 0
+          while (q < dw * dh) {
+            imgSum += (out(3 * q) & 0xff) + 2 * (out(3 * q + 1) & 0xff) +
+              3 * (out(3 * q + 2) & 0xff)
+            q += 1
+          }
+          (0 until (w / 16) * (h / 16)).iterator.map { mb =>
+            val cy = (mb / mbCols) * 16 + 8; val cx = (mb % mbCols) * 16 + 8
+            val o = 3 * (cy * dw + cx)
+            (id, dw, dh, mb, out(o) & 0xff, out(o + 1) & 0xff, out(o + 2) & 0xff,
+              imgSum)
+          }
+        }
+      }.toDF("asset_id", "w", "h", "mb", "r", "g", "b", "img_sum")
+        .orderBy("asset_id", "mb")
     },
   )
 

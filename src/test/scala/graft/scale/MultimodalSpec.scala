@@ -1176,4 +1176,103 @@ class MultimodalSpec extends SparkSpec {
     noOff(trunAt + 7) = 0x00 // and the 0x01 data-offset bit
     assert(Multimodal.mp4DecodeGrayFrames(noOff) === None)
   }
+
+  test("every progressive scan-script shape reconstructs identical coefficients") {
+    // simple encoders emit progressions without successive approximation
+    // or band splits; all four shapes must decode to the SAME pixels
+    val px = Array.tabulate(48 * 32)(i => (((i % 48) * 3 + (i / 48) * 7) % 256).toByte)
+    val ref = Multimodal.jpegDecodeGray(
+      Multimodal.jpegEncodeGray(px, 48, 32)).get._3
+    for (approx <- Seq(false, true); bands <- Seq(false, true)) {
+      val enc = Multimodal.jpegEncodeGrayProgressiveKnobs(
+        px, 48, 32, Multimodal.JpegStdQuant, approx, bands)
+      val got = Multimodal.jpegDecodeGray(enc)
+      assert(got.exists(_._3.toSeq == ref.toSeq), s"approx=$approx bands=$bands")
+    }
+  }
+
+  test("progressive color JPEG decodes byte-exactly to its baseline twin") {
+    for ((seed, w, h) <- Seq((41L, 32, 32), (42L, 64, 48), (43L, 16, 16))) {
+      val rgb = Array.tabulate(3 * w * h) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"${seed}_$i".getBytes("UTF-8"))(0)
+      }
+      val base = Multimodal.jpegDecodeColor(Multimodal.jpegEncodeColor420(rgb, w, h))
+      val prog = Multimodal.jpegDecodeColor(
+        Multimodal.jpegEncodeColorProgressive(rgb, w, h))
+      assert(base.isDefined && prog.isDefined, s"seed=$seed")
+      assert(base.get._3.toSeq == prog.get._3.toSeq, s"seed=$seed")
+    }
+  }
+
+  test("progressive JPEG is EXTERNALLY certified: ImageIO reads our output, we read ImageIO's") {
+    // ImageIO carries an independent progressive JPEG codec — the same
+    // bidirectional certification pattern as VP8-vs-libwebp.
+    val w = 32; val h = 32
+    // 1. our GRAY progressive bitstream through ImageIO
+    val gpx = Array.tabulate(w * h)(i => (((i % w) * 7 + (i / w) * 5) % 256).toByte)
+    val gProg = Multimodal.jpegEncodeGrayProgressive(gpx, w, h)
+    val gIo = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gProg))
+    assert(gIo != null, "ImageIO rejected our gray progressive JPEG")
+    val gOurs = Multimodal.jpegDecodeGray(gProg).get._3
+    for (y <- 0 until h; x <- 0 until w) {
+      // raster samples, NOT getRGB — the latter gamma-converts gray to sRGB
+      val io = gIo.getRaster.getSample(x, y, 0)
+      val us = gOurs(y * w + x) & 0xff
+      assert(math.abs(io - us) <= 1, s"gray ($x,$y): ImageIO $io vs ours $us")
+    }
+    // 2. our COLOR progressive bitstream through ImageIO (r=g=b content so
+    //    chroma upsampling filter differences cannot contribute)
+    val rgb = new Array[Byte](3 * w * h)
+    for (p <- 0 until w * h) {
+      val v = ((p % w) * 5 + (p / w) * 11) % 256
+      rgb(3 * p) = v.toByte; rgb(3 * p + 1) = v.toByte; rgb(3 * p + 2) = v.toByte
+    }
+    val cProg = Multimodal.jpegEncodeColorProgressive(rgb, w, h)
+    val cIo = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cProg))
+    assert(cIo != null, "ImageIO rejected our color progressive JPEG")
+    val cOurs = Multimodal.jpegDecodeColor(cProg).get._3
+    for (y <- 0 until h; x <- 0 until w) {
+      val io = (cIo.getRGB(x, y) >> 16) & 0xff
+      val us = cOurs(3 * (y * w + x)) & 0xff
+      assert(math.abs(io - us) <= 1, s"color ($x,$y): ImageIO $io vs ours $us")
+    }
+    // 3. ImageIO's OWN progressive output through our decoder
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 8 + y * 3) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val prm = writer.getDefaultWriteParam
+    prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    writer.dispose(); ios.close()
+    val foreign = bos.toByteArray
+    // confirm it really is SOF2 (otherwise this law certifies nothing)
+    def hasMarker(mk: Int): Boolean = {
+      var i = 2
+      var found = false
+      while (!found && i + 4 <= foreign.length && (foreign(i) & 0xff) == 0xff) {
+        val m = foreign(i + 1) & 0xff
+        if (m == mk) found = true
+        else if (m == 0xda || m == 0xd9) return found
+        else i += 2 + (((foreign(i + 2) & 0xff) << 8) | (foreign(i + 3) & 0xff))
+      }
+      found
+    }
+    assert(hasMarker(0xc2), "ImageIO did not emit a progressive frame")
+    val ours = Multimodal.jpegDecodeColor(foreign)
+    assert(ours.isDefined, "our decoder rejected ImageIO's progressive output")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) {
+      val io = (ref.getRGB(x, y) >> (16 - 8 * ch)) & 0xff
+      val us = ours.get._3(3 * (y * w + x) + ch) & 0xff
+      assert(math.abs(io - us) <= 1, s"($x,$y) ch $ch: ImageIO $io vs ours $us")
+    }
+  }
 }
