@@ -1762,7 +1762,7 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
   private[scale] final case class Frame(width: Int, height: Int,
                                         y: Array[Byte], u: Array[Byte],
                                         v: Array[Byte], yStride: Int,
-                                        cStride: Int)
+                                        cStride: Int, sps: Sps)
 
   /** Decode one IDR access unit from a sequence of NAL units (each with
     * its 1-byte header at offset 0, emulation bytes still present).
@@ -1838,7 +1838,7 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       if (dec == null || mbCovered != dec.nMb) return None // partial picture
       dec.deblockPicture()
       Some(Frame(dec.sps.width, dec.sps.height, dec.yPlane, dec.uPlane,
-        dec.vPlane, dec.yStride, dec.cStride))
+        dec.vPlane, dec.yStride, dec.cStride, dec.sps))
     } catch {
       case _: IllegalStateException | _: ArrayIndexOutOfBoundsException |
            _: NegativeArraySizeException | _: NoSuchElementException => None
@@ -1846,13 +1846,17 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
   }
 
   /** Crop a decoded frame's luma to the display rectangle as 8-bit gray
-    * (the near-dup ingest shape shared with [[Vp8.decodeGray]]).
+    * (the near-dup ingest shape shared with [[Vp8.decodeGray]]). The crop
+    * window comes from the SPS the decoder actually selected for the
+    * slice (carried in [[Frame]]), never from a caller-supplied parse of
+    * the first config SPS — an avcC with two SPS of different geometry
+    * cannot misalign or overrun the plane.
     */
-  private[scale] def frameGray(f: Frame, sps: Sps): Array[Byte] = {
+  private[scale] def frameGray(f: Frame): Array[Byte] = {
     val out = new Array[Byte](f.width * f.height)
     var y = 0
     while (y < f.height) {
-      System.arraycopy(f.y, (y + 2 * sps.cropT) * f.yStride + 2 * sps.cropL,
+      System.arraycopy(f.y, (y + 2 * f.sps.cropT) * f.yStride + 2 * f.sps.cropL,
         out, y * f.width, f.width)
       y += 1
     }
@@ -1877,11 +1881,8 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       i += len.toInt
     }
     if (i != sample.length || nals.isEmpty) return None
-    val spsParsed = sps.headOption.flatMap(s =>
-      parseSps(new BitReader(rbsp(s, if ((s(0) & 0x1f) == 7) 1 else 0, s.length))))
-      .getOrElse(return None)
     decodeIdrNals(nals.toSeq, sps, pps).map(f =>
-      (f.width, f.height, frameGray(f, spsParsed)))
+      (f.width, f.height, frameGray(f)))
   }
 
   /** Decode an Annex-B byte stream containing SPS+PPS+IDR (the raw
@@ -1891,10 +1892,7 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
     val ranges = annexBNals(b)
     if (ranges.isEmpty) return None
     val nals = ranges.map { case (s, e) => java.util.Arrays.copyOfRange(b, s, e) }
-    val spsNal = nals.find(n => (n(0) & 0x1f) == 7).getOrElse(return None)
-    val spsParsed = parseSps(new BitReader(rbsp(spsNal, 1, spsNal.length)))
-      .getOrElse(return None)
-    decodeIdrNals(nals).map(f => (f.width, f.height, frameGray(f, spsParsed)))
+    decodeIdrNals(nals).map(f => (f.width, f.height, frameGray(f)))
   }
 
   // ------------------------------------------------------------------

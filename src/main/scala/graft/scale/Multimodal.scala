@@ -376,12 +376,18 @@ object Multimodal {
                 if (tfTrack == trackId) {
                   var p = tfS + 16
                   val baseOffset =
-                    if ((tfFlags & 1) != 0) { val v = u64be(p); p += 8; v }
+                    if ((tfFlags & 1) != 0) {
+                      if (p + 8 > tfE) return None
+                      val v = u64be(p); p += 8; v
+                    }
                     else moofS.toLong // spec default / default-base-is-moof
                   if ((tfFlags & 2) != 0) p += 4
                   if ((tfFlags & 8) != 0) p += 4
                   val defaultSize =
-                    if ((tfFlags & 0x10) != 0) { val v = u32be(p); p += 4; v }
+                    if ((tfFlags & 0x10) != 0) {
+                      if (p + 4 > tfE) return None
+                      val v = u32be(p); p += 4; v
+                    }
                     else -1L
                   tkids.filter(_._1 == "trun").foreach { case (_, trS, trE) =>
                     if (trS + 16 > trE) return None
@@ -393,6 +399,7 @@ object Multimodal {
                     // a trun without an explicit data offset would chain
                     // off the previous run's end: outside the subset
                     if ((trFlags & 1) == 0) return None
+                    if (q + 4 > trE) return None
                     var off = baseOffset + u32be(q).toInt // s32 data offset
                     q += 4
                     if ((trFlags & 4) != 0) q += 4
@@ -400,7 +407,10 @@ object Multimodal {
                     while (s < n) {
                       if ((trFlags & 0x100) != 0) q += 4
                       val size =
-                        if ((trFlags & 0x200) != 0) { val v = u32be(q); q += 4; v }
+                        if ((trFlags & 0x200) != 0) {
+                          if (q + 4 > trE) return None
+                          val v = u32be(q); q += 4; v
+                        }
                         else defaultSize
                       if ((trFlags & 0x400) != 0) q += 4
                       if ((trFlags & 0x800) != 0) q += 4
@@ -3017,6 +3027,13 @@ object Multimodal {
     var i = 2
     var eoiSeen = false
     var anyScan = false
+    // Per-band successive-approximation state across progressive scans
+    // (T.81 G.1.1.1.1): bandAl(k) is the Al the band was last coded at,
+    // -1 = untouched. A refinement whose Ah does not match the band's
+    // current Al, a duplicate first pass, or an AC scan before the DC
+    // first pass is a non-conforming scan script — fail closed instead of
+    // decoding garbage pixels.
+    val bandAl = Array.fill(64)(-1)
     while (!eoiSeen) {
       if (i + 2 > b.length) return None
       if (u8(i) != 0xff) return None
@@ -3079,12 +3096,22 @@ object Multimodal {
             if (!frameSeen) return None
             if (u8(seg) != 1) return None // single-component scan only
             val dcT = u8(seg + 2) >> 4; val acT = u8(seg + 2) & 0x0f
+            if (dcT > 3 || acT > 3) return None // selectors index 4 tables
             val ss = u8(seg + 3); val se = u8(seg + 4)
             val ah = u8(seg + 5) >> 4; val al = u8(seg + 5) & 0x0f
             if (progressive) {
               if (ss == 0 && se != 0) return None // DC scans carry only k=0
               if (ss > 0 && (se < ss || se > 63)) return None
               if (al > 13 || (ah != 0 && ah != al + 1)) return None
+              if (ss > 0 && bandAl(0) < 0) return None // AC before DC first pass
+              var k = if (ss == 0) 0 else ss
+              val kEnd = if (ss == 0) 0 else se
+              while (k <= kEnd) {
+                if (ah == 0) { if (bandAl(k) >= 0) return None } // duplicate first pass
+                else if (bandAl(k) != ah) return None // refinement out of sequence
+                bandAl(k) = al
+                k += 1
+              }
             } else {
               if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
               if (anyScan) return None // baseline: exactly one scan
@@ -3954,6 +3981,10 @@ object Multimodal {
     var eoiSeen = false
     var anyScan = false
     var baselineScanDone = false
+    // Per-component per-band successive-approximation state across
+    // progressive scans (T.81 G.1.1.1.1) — same fail-closed scan-script
+    // discipline as the gray path.
+    val bandAl = Array.fill(3, 64)(-1)
     while (!eoiSeen) {
       if (i + 2 > b.length) return None
       if (u8(i) != 0xff) return None
@@ -4050,6 +4081,7 @@ object Multimodal {
               comps(c) = ci
               dcSel(c) = u8(seg + 2 + 2 * c) >> 4
               acSel(c) = u8(seg + 2 + 2 * c) & 0x0f
+              if (dcSel(c) > 3 || acSel(c) > 3) return None // 4 tables per class
               c += 1
             }
             val ss = u8(seg + 1 + 2 * ns)
@@ -4060,6 +4092,20 @@ object Multimodal {
               if (ss == 0 && se != 0) return None
               if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None // AC: one component
               if (al > 13 || (ah != 0 && ah != al + 1)) return None
+              var sc = 0
+              while (sc < ns) {
+                val ci = comps(sc)
+                if (ss > 0 && bandAl(ci)(0) < 0) return None // AC before DC first pass
+                var k = if (ss == 0) 0 else ss
+                val kEnd = if (ss == 0) 0 else se
+                while (k <= kEnd) {
+                  if (ah == 0) { if (bandAl(ci)(k) >= 0) return None }
+                  else if (bandAl(ci)(k) != ah) return None
+                  bandAl(ci)(k) = al
+                  k += 1
+                }
+                sc += 1
+              }
             } else {
               if (ns != 3 || ss != 0 || se != 63 || ah != 0 || al != 0) return None
               if (baselineScanDone) return None

@@ -297,6 +297,38 @@ class AvcSpec extends AnyFunSuite {
     assert(Avc.decodeAnnexBGray(Array.empty[Byte]).isEmpty)
   }
 
+  test("crop comes from the SPS the slice selected, not the first config SPS") {
+    // avcC sets may carry several SPS; the decoder keys them by sps_id and
+    // the slice's PPS picks one. A foreign first SPS with a big top crop
+    // must not steer the crop window (pre-fix: frameGray read past the
+    // plane with the first SPS's offsets).
+    val px = noise(3, 64, 64)
+    val bits = Avc.encodeGrayIdr(px, 64, 64, 6)
+    val (sp, pp, idr) = Avc.splitAnnexB(bits)
+    val sample = Avc.toAvccSample(idr)
+    val base = Avc.decodeSampleGray(sp, pp, 4, sample)
+    assert(base.isDefined)
+    // hand-written SPS, same sps_id 0, geometry 64x40 via cropT=12
+    val w = new Avc.BitWriter
+    w.u(8, 66); w.u(8, 0); w.u(8, 30) // profile/constraints/level
+    w.ue(0) // sps_id 0 (collides with the real one; last writer wins)
+    w.ue(0); w.ue(0); w.ue(0) // log2_max_frame_num, poc_type 0, log2_max_poc
+    w.ue(0); w.u1(0) // max_num_ref_frames, gaps flag
+    w.ue(3); w.ue(3) // 4x4 MBs
+    w.u1(1); w.u1(0) // frame_mbs_only, direct_8x8
+    w.u1(1); w.ue(0); w.ue(0); w.ue(12); w.ue(0) // crop: top 12 -> 64x40
+    w.rbspTrailing()
+    val fakeSps = Array[Byte](0x67) ++ Avc.antiEmulate(w.toBytes)
+    assert(Avc.parseSps(new Avc.BitReader(Avc.rbsp(fakeSps, 1, fakeSps.length)))
+      .exists(s => s.cropT == 12 && s.height == 40))
+    // fake first, real second: the map keeps the real one (same id), and
+    // the crop must follow it — identical pixels, no out-of-bounds read
+    val got = Avc.decodeSampleGray(Seq(fakeSps) ++ sp, pp, 4, sample)
+    assert(got.isDefined)
+    assert(got.get._1 == base.get._1 && got.get._2 == base.get._2)
+    assert(got.get._3.toSeq == base.get._3.toSeq)
+  }
+
   test("fail closed: missing slices leave the picture partial") {
     val px = noise(2, 64, 64)
     val bits = Avc.encodeGrayIdr(px, 64, 64, 8, mbRowsPerSlice = 2)

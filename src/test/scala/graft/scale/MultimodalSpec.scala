@@ -1275,4 +1275,99 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(io - us) <= 1, s"($x,$y) ch $ch: ImageIO $io vs ours $us")
     }
   }
+
+  test("fMP4 tfhd/trun truncated at EOF fails closed, no crash") {
+    import graft.scale.Avc
+    val px = Multimodal.synthFramePixels(11L, 0, pert = false)
+    val stream = Avc.encodeGrayIdr(px, 64, 64, 6)
+    val (sp, pp, idr) = Avc.splitAnnexB(stream)
+    val sample = Avc.toAvccSample(idr)
+    val frag = Multimodal.mp4FragmentedBytes(Seq(sample), 64, 64, "avc1",
+      Avc.avccPayload(sp, pp), 1)
+    def find(tag: String): Int = {
+      var i = -1; var k = 0
+      while (i < 0 && k + 4 <= frag.length) {
+        if (new String(frag, k, 4, "US-ASCII") == tag) i = k
+        k += 1
+      }
+      assert(i > 0, tag); i - 4 // box start (size field)
+    }
+    def putBe32(a: Array[Byte], at: Int, v: Int): Unit = {
+      a(at) = (v >> 24).toByte; a(at + 1) = (v >> 16).toByte
+      a(at + 2) = (v >> 8).toByte; a(at + 3) = (v & 0xff).toByte
+    }
+    val moofS = find("moof"); val trafS = find("traf")
+    val tfhdS = find("tfhd"); val trunS = find("trun")
+    // 1. tfhd with base-data-offset flag, box (and file) ending before the
+    //    u64 field: the walk must bound-check, not read past EOF
+    val t1 = frag.take(tfhdS + 16)
+    putBe32(t1, moofS, 48); putBe32(t1, trafS, 24); putBe32(t1, tfhdS, 16)
+    t1(tfhdS + 11) = (t1(tfhdS + 11) | 0x01).toByte // base-data-offset present
+    assert(Multimodal.mp4SampleTable(t1, _ == "avc1") === None)
+    // 2. trun with data-offset flag, truncated at EOF before the field
+    val t2 = frag.take(trunS + 16)
+    putBe32(t2, moofS, 24 + (trunS + 16 - trafS)) // hdr + mfhd + traf
+    putBe32(t2, trafS, trunS + 16 - trafS)
+    putBe32(t2, trunS, 16)
+    assert(Multimodal.mp4SampleTable(t2, _ == "avc1") === None)
+    // 3. trun with per-sample sizes, sample count running past EOF: the
+    //    first size entry is benign (offset 0 into the file, 4 bytes) so
+    //    the walk reaches the second, truncated entry
+    val t3 = frag.take(trunS + 24) // header + count + data-offset + 1 size
+    putBe32(t3, moofS, 24 + (trunS + 24 - trafS))
+    putBe32(t3, trafS, trunS + 24 - trafS)
+    putBe32(t3, trunS, 24)
+    putBe32(t3, trunS + 12, 1000) // sample_count >> available size entries
+    putBe32(t3, trunS + 16, -moofS) // data offset: samples at file start
+    putBe32(t3, trunS + 20, 4) // first sample size: in bounds
+    assert(Multimodal.mp4SampleTable(t3, _ == "avc1") === None)
+  }
+
+  test("JPEG SOS with out-of-range Huffman table selectors fails closed") {
+    val px = Array.tabulate(32 * 32)(i => ((i * 7) % 256).toByte)
+    val enc = Multimodal.jpegEncodeGray(px, 32, 32)
+    def sosAt(b: Array[Byte]): Int = {
+      var i = 2
+      while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)) i += 1
+      i
+    }
+    val bad = enc.clone()
+    // gray SOS: FF DA len(2) ns(1) id(1) selectors(1) — selectors to 4/4
+    bad(sosAt(bad) + 6) = 0x44.toByte
+    assert(Multimodal.jpegDecodeGray(bad) === None)
+    val rgb = Array.tabulate(3 * 16 * 16)(i => ((i * 5) % 256).toByte)
+    val encC = Multimodal.jpegEncodeColor420(rgb, 16, 16)
+    val badC = encC.clone()
+    badC(sosAt(badC) + 6) = 0x44.toByte
+    assert(Multimodal.jpegDecodeColor(badC) === None)
+  }
+
+  test("progressive JPEG with a non-conforming scan script fails closed") {
+    val px = Array.tabulate(32 * 32)(i => ((i * 3) % 256).toByte)
+    val enc = Multimodal.jpegEncodeGrayProgressiveKnobs(
+      px, 32, 32, Multimodal.JpegStdQuant, approx = false, bands = true)
+    // scan segments: FF DA only appears at real markers (entropy data is
+    // byte-stuffed), so swapping the first two puts an AC scan before the
+    // DC first pass — a script T.81 G.1.1.1.1 forbids
+    val sos = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 2
+    while (i + 1 < enc.length) {
+      if ((enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda) sos += i
+      i += 1
+    }
+    assert(sos.length >= 2, "expected a multi-scan progressive stream")
+    val (s1, s2) = (sos(0), sos(1))
+    val e2 = if (sos.length > 2) sos(2) else {
+      // end of second scan: the EOI marker
+      var j = enc.length - 2
+      while (!((enc(j) & 0xff) == 0xff && (enc(j + 1) & 0xff) == 0xd9)) j -= 1
+      j
+    }
+    val swapped = enc.take(s1) ++
+      enc.slice(s2, e2) ++ enc.slice(s1, s2) ++ enc.drop(e2)
+    assert(Multimodal.jpegDecodeGray(swapped) === None)
+    // duplicate DC first pass is equally non-conforming
+    val dup = enc.take(s2) ++ enc.slice(s1, s2) ++ enc.drop(s2)
+    assert(Multimodal.jpegDecodeGray(dup) === None)
+  }
 }
