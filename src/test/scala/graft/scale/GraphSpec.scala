@@ -105,8 +105,10 @@ class GraphSpec extends SparkSpec {
     val batch = Graph.undirected(Seq((n - 1, n)).toDF("c", "s"))
     val root = s"${graft.core.Scratch.dir("graft-prspec2")}/pr"
     val idx = new Graph.PageRankIndex(spark, root, iters = 3)
+    idx.collectStats = true // the measured-footprint law needs the counts
     idx.build(base)
     val got = idx.append(batch)
+    assert(idx.lastAppendStats.dirtyPerRound.nonEmpty)
     idx.lastAppendStats.dirtyPerRound.foreach { case (round, dirty) =>
       assert(dirty <= round + 3,
         s"round $round recomputed $dirty nodes on a 1-edge batch over $n nodes")
@@ -152,8 +154,10 @@ class GraphSpec extends SparkSpec {
     val extra = Graph.undirected(Seq((1000L, 1001L)).toDF("c", "s"))
     val root = s"${graft.core.Scratch.dir("graft-prspec4")}/pr"
     val idx = new Graph.PageRankIndex(spark, root, iters = 3)
+    idx.collectStats = true // the measured-footprint law needs the counts
     idx.build(path.unionByName(extra))
     val got = idx.delete(Seq(n - 1, 1001L).toDF("node"))
+    assert(idx.lastDeleteStats.dirtyPerRound.nonEmpty)
     idx.lastDeleteStats.dirtyPerRound.foreach { case (round, dirty) =>
       assert(dirty <= round + 3,
         s"round $round recomputed $dirty nodes on a 2-node delete over $n nodes")
