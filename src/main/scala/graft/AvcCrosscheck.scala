@@ -29,7 +29,7 @@ object AvcCrosscheck {
     md.digest(tag.getBytes("UTF-8"))(0).toInt & 0xff
   }
 
-  private def cases: Seq[(String, Int, Int, Array[Byte], Int, Boolean, Int, Boolean)] = {
+  private def cases: Seq[(String, Int, Int, Array[Byte], Int, Boolean, Int, Boolean, Boolean)] = {
     def noise(seed: Long, w: Int, h: Int): Array[Byte] =
       Array.tabulate(w * h)(i => md5b(s"${seed}_$i").toByte)
     def gradient(w: Int, h: Int): Array[Byte] =
@@ -38,8 +38,8 @@ object AvcCrosscheck {
     def flat(v: Int, w: Int, h: Int): Array[Byte] =
       Array.fill(w * h)(v.toByte)
     val synth = Multimodal.synthPixels(7L, pert = false) // 64x64 md5 pixels
-    // (name, w, h, pixels, qp, realChroma, mbRowsPerSlice, deblock)
-    Seq(
+    // (name, w, h, pixels, qp, realChroma, mbRowsPerSlice, deblock, cabac)
+    val cav = Seq(
       ("flat128_q8", 64, 64, flat(128, 64, 64), 8, false, 0, true),
       ("flat7_q0", 32, 32, flat(7, 32, 32), 0, false, 0, true),
       ("grad_q8", 64, 64, gradient(64, 64), 8, true, 0, true),
@@ -62,6 +62,26 @@ object AvcCrosscheck {
       ("slices2_q20", 64, 64, gradient(64, 64), 20, true, 2, true),
       ("nodeblock_q10", 64, 64, noise(8, 64, 64), 10, true, 0, false),
       ("slices1_nodeblock_q4", 48, 48, noise(9, 48, 48), 4, true, 1, false))
+      .map { case (n, w, h, px, qp, c, r, d) => (n, w, h, px, qp, c, r, d, false) }
+    // CABAC twins of the structurally hardest shapes: every syntax element
+    // family (mb_type trees, chroma modes, cbp contexts, qp-delta chain,
+    // all five residual categories incl. the UEG0 escape at qp 0),
+    // multi-slice context re-init, odd crops, deblock idc variants
+    val cab = Seq(
+      ("cabac_flat128_q8", 64, 64, flat(128, 64, 64), 8, false, 0, true),
+      ("cabac_grad_q8", 64, 64, gradient(64, 64), 8, true, 0, true),
+      ("cabac_grad_q36", 64, 64, gradient(64, 64), 36, true, 0, true),
+      ("cabac_noise_q0", 64, 64, noise(12, 64, 64), 0, true, 0, true),
+      ("cabac_noise_q4", 64, 64, noise(11, 64, 64), 4, true, 0, true),
+      ("cabac_noise_q30", 64, 64, noise(13, 64, 64), 30, true, 0, true),
+      ("cabac_synth_q8", 64, 64, synth, 8, true, 0, true),
+      ("cabac_odd50x34_q8", 50, 34, noise(14, 50, 34), 8, true, 0, true),
+      ("cabac_wide130x20_q20", 130, 20, noise(16, 130, 20), 20, true, 0, true),
+      ("cabac_slices1_q8", 64, 64, noise(17, 64, 64), 8, true, 1, true),
+      ("cabac_slices2_q20", 64, 64, gradient(64, 64), 20, true, 2, true),
+      ("cabac_nodeblock_q10", 64, 64, noise(18, 64, 64), 10, true, 0, false))
+      .map { case (n, w, h, px, qp, c, r, d) => (n, w, h, px, qp, c, r, d, true) }
+    cav ++ cab
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,7 +92,7 @@ object AvcCrosscheck {
     mode match {
       case "gen" =>
         var fails = 0
-        cases.foreach { case (name, w, h, px, qp, chroma, rows, deblock) =>
+        cases.foreach { case (name, w, h, px, qp, chroma, rows, deblock, cabac) =>
           // real chroma exercises the chroma DC/AC paths: a shifted copy
           // of the luma is enough to produce nonzero residuals everywhere
           val cw = w / 2
@@ -85,7 +105,8 @@ object AvcCrosscheck {
             else Array.tabulate(cw * ch)(i => (255 - (pu(i) & 0xff)).toByte)
           val bits = Avc.encodeGrayIdr(px, w, h, qp, pu, pv, deblock = deblock,
             mbRowsPerSlice = rows,
-            deblockIdc = if (name.startsWith("slices2")) 2 else -1)
+            deblockIdc = if (name.contains("slices2")) 2 else -1,
+            cabac = cabac)
           Avc.decodeAnnexBGray(bits) match {
             case Some((dw, dh, gray)) if dw == w && dh == h =>
               java.nio.file.Files.write(dir.resolve(s"$name.264"), bits)

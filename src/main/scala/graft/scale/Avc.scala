@@ -9,15 +9,19 @@ package graft.scale
   *
   * Decode subset (everything else returns None — fail closed, measured by
   * the q298/q306 coverage report, never silent):
-  *   - CAVLC entropy coding (`entropy_coding_mode_flag == 0`). CABAC — the
-  *     default for main/high-profile web video — fails closed and is the
-  *     avc1 family's remaining measured blind spot.
+  *   - BOTH entropy coders: CAVLC (`entropy_coding_mode_flag == 0`) and,
+  *     since r20, CABAC (`== 1`, the default for main/high-profile web
+  *     video) — the arithmetic engine, I-slice context models, and
+  *     binarizations live in [[Cabac]]; see its scaladoc for the
+  *     context-init provenance caveat.
   *   - I slices only (IDR pictures); P/B slices fail closed. A crawl
   *     near-dup vote needs keyframes, not full GOP reconstruction.
   *   - 4:2:0, 8-bit, `frame_mbs_only_flag == 1`, one slice group.
   *     Multi-slice pictures are supported (neighbor availability is gated
   *     on slice identity per 8.3).
-  *   - Macroblock types I_4x4, I_16x16 (all 24 variants), I_PCM.
+  *   - Macroblock types I_4x4, I_16x16 (all 24 variants), I_PCM. In CABAC
+  *     slices I_PCM stays fail-closed (the engine re-initialization around
+  *     raw samples is out of subset; real-web encoders do not emit it).
   *   - The full in-loop deblocking filter (8.7). In an I-only picture the
   *     boundary strength is 4 on macroblock edges and 3 on internal edges,
   *     so only the intra rows of Table 8-17 are carried.
@@ -169,6 +173,8 @@ object Avc {
     def rbspTrailing(): Unit = { u1(1); while (nbits != 0) u1(0) }
     /** pcm_alignment_zero_bit padding (7.3.5). */
     def alignZero(): Unit = { while (nbits != 0) u1(0) }
+    /** cabac_alignment_one_bit padding (7.3.4). */
+    def alignOnes(): Unit = { while (nbits != 0) u1(1) }
     def toBytes: Array[Byte] = {
       require(nbits == 0, "unaligned bit writer")
       out.toByteArray
@@ -832,6 +838,15 @@ object Avc {
     val cbNz = new Array[Byte](nMb * 4)
     val crNz = new Array[Byte](nMb * 4)
     val i4Modes = Array.fill[Byte](nMb * 16)(-1)
+    // CABAC context-neighbor state (also kept by the CAVLC path so a
+    // picture's bookkeeping is uniform): per-MB chroma pred mode, coded
+    // block patterns, and the DC coded_block_flags per transform class
+    val mbChromaMode = new Array[Byte](nMb)
+    val mbCbpLuma = new Array[Byte](nMb)
+    val mbCbpChroma = new Array[Byte](nMb)
+    val lumaDcNz = new Array[Byte](nMb)
+    val cbDcNz = new Array[Byte](nMb)
+    val crDcNz = new Array[Byte](nMb)
     val sliceDeblock = scala.collection.mutable.ArrayBuffer.empty[SliceDeblock]
 
     @inline private def mbAt(mx: Int, my: Int): Int = my * wMb + mx
@@ -979,13 +994,17 @@ object Avc {
         qpY = (qpPrev + delta + 52) % 52
       }
       mbQp(addr) = qpY
+      mbChromaMode(addr) = chromaMode.toByte
+      mbCbpLuma(addr) = cbpLuma.toByte
+      mbCbpChroma(addr) = cbpChroma.toByte
       // ---- residuals (CAVLC)
       val lumaCoeffs = Array.ofDim[Int](16, 16) // per block, zig-zag order
       val dcCoeffs = new Array[Int](16)
       if (!isI4x4) {
         // Intra16x16DCLevel: nC from luma block 0's neighbors
-        val (dc, _) = readResidualBlock(r, lumaNc(mx * 4, my * 4, slice), 16)
+        val (dc, dcTc) = readResidualBlock(r, lumaNc(mx * 4, my * 4, slice), 16)
         System.arraycopy(dc, 0, dcCoeffs, 0, 16)
+        lumaDcNz(addr) = (if (dcTc != 0) 1 else 0).toByte
       }
       var i8 = 0
       while (i8 < 4) {
@@ -1014,10 +1033,12 @@ object Avc {
       val cbDc = new Array[Int](4)
       val crDc = new Array[Int](4)
       if (cbpChroma != 0) {
-        val (c0, _) = readResidualBlock(r, -1, 4)
+        val (c0, cbTc) = readResidualBlock(r, -1, 4)
         System.arraycopy(c0, 0, cbDc, 0, 4)
-        val (c1, _) = readResidualBlock(r, -1, 4)
+        val (c1, crTc) = readResidualBlock(r, -1, 4)
         System.arraycopy(c1, 0, crDc, 0, 4)
+        cbDcNz(addr) = (if (cbTc != 0) 1 else 0).toByte
+        crDcNz(addr) = (if (crTc != 0) 1 else 0).toByte
       }
       val cbAc = Array.ofDim[Int](4, 16)
       val crAc = Array.ofDim[Int](4, 16)
@@ -1047,6 +1068,378 @@ object Avc {
       else reconI16x16(mx, my, predMode16, dcCoeffs, lumaCoeffs, cbpLuma, qpY, slice)
       reconChroma(mx, my, chromaMode, cbDc, crDc, cbAc, crAc, cbpChroma, qpY, slice)
       qpY
+    }
+
+    // ---- CABAC slice decode (9.3) ------------------------------------
+
+    /** Decode one CABAC slice: alignment ones, context init at the slice
+      * QP, then macroblocks each followed by end_of_slice_flag. The
+      * decoded subset matches the CAVLC path except I_PCM (the engine
+      * re-initialization around raw samples is out of subset — real-web
+      * encoders do not emit I_PCM; terminate==1 on mb_type fails closed).
+      */
+    def decodeSliceCabac(r: BitReader, firstMb: Int, sliceQpY: Int,
+                         deblock: SliceDeblock): Unit = {
+      val sliceIdx = sliceDeblock.length
+      sliceDeblock += deblock
+      while (r.pos % 8 != 0)
+        if (r.u1() != 1) throw new IllegalStateException("cabac alignment")
+      val ctx = new Cabac.Contexts(sliceQpY)
+      val cd = new Cabac.Decoder(r, ctx)
+      var qpPrev = sliceQpY
+      var prevQpDelta = 0
+      var addr = firstMb
+      var more = true
+      while (more) {
+        if (addr >= nMb) throw new IllegalStateException("MB address overrun")
+        val (qpNew, deltaNew) = decodeMbCabac(cd, addr, qpPrev, sliceIdx, prevQpDelta)
+        qpPrev = qpNew
+        prevQpDelta = deltaNew
+        addr += 1
+        more = cd.terminate() == 0
+      }
+    }
+
+    /** condTermFlag sum for a luma 4x4 coded_block_flag (cats 1/2):
+      * condA + 2*condB over the left/above 4x4 blocks in absolute block
+      * coords. Unavailable neighbors count 1 (all MBs here are intra),
+      * I_PCM counts 1, an uncoded block counts 0.
+      */
+    private def cbfIncLuma(bx: Int, by: Int, slice: Int): Int = {
+      def cond(x: Int, y: Int): Int = {
+        if (x < 0 || y < 0) return 1
+        if (!mbAvail(x / 4, y / 4, slice)) return 1
+        val nmb = mbAt(x / 4, y / 4)
+        if (mbIsPcm(nmb)) 1
+        else if (lumaNz(nmb * 16 + Blk4x4Idx(x % 4)(y % 4)) != 0) 1
+        else 0
+      }
+      cond(bx - 1, by) + 2 * cond(bx, by - 1)
+    }
+
+    /** condTermFlag sum for MB-granular coded_block_flags: cat 0 (the
+      * Intra16x16 DC block — exists only in I_16x16 neighbors) and cat 3
+      * (the chroma DC block — decoded only when the neighbor's chroma
+      * cbp is nonzero; the flag arrays default to 0 otherwise).
+      */
+    private def cbfIncMb(mx: Int, my: Int, slice: Int,
+                         flagOf: Int => Int): Int = {
+      def cond(x: Int, y: Int): Int = {
+        if (x < 0 || y < 0) return 1
+        if (!mbAvail(x, y, slice)) return 1
+        val nmb = mbAt(x, y)
+        if (mbIsPcm(nmb)) 1 else flagOf(nmb)
+      }
+      cond(mx - 1, my) + 2 * cond(mx, my - 1)
+    }
+
+    private def cbfIncChromaAc(bx: Int, by: Int, cb: Boolean, slice: Int): Int = {
+      def cond(x: Int, y: Int): Int = {
+        if (x < 0 || y < 0) return 1
+        if (!mbAvail(x / 2, y / 2, slice)) return 1
+        val nmb = mbAt(x / 2, y / 2)
+        if (mbIsPcm(nmb)) 1
+        else {
+          val idx = (y % 2) * 2 + (x % 2)
+          if ((if (cb) cbNz(nmb * 4 + idx) else crNz(nmb * 4 + idx)) != 0) 1 else 0
+        }
+      }
+      cond(bx - 1, by) + 2 * cond(bx, by - 1)
+    }
+
+    /** residual_block_cabac (7.3.5.3.3): coded_block_flag, significance
+      * map, then levels in reverse scan order. Returns (coeffs in scan
+      * order, totalCoeff).
+      */
+    private def readResidualCabac(cd: Cabac.Decoder, cat: Int, cbfInc: Int,
+                                  maxCoeff: Int): (Array[Int], Int) = {
+      val coeffs = new Array[Int](maxCoeff)
+      val cbf = cd.decision(Cabac.CtxCbf + Cabac.CatOffCbf(cat) + cbfInc)
+      if (cbf == 0) return (coeffs, 0)
+      val sigBase = Cabac.CtxSig + Cabac.CatOffSig(cat)
+      val lastBase = Cabac.CtxLast + Cabac.CatOffSig(cat)
+      val sig = new Array[Boolean](maxCoeff)
+      var i = 0
+      var done = false
+      while (i < maxCoeff - 1 && !done) {
+        val inc = if (cat == 3) math.min(i, 2) else i
+        if (cd.decision(sigBase + inc) == 1) {
+          sig(i) = true
+          if (cd.decision(lastBase + inc) == 1) done = true
+        }
+        i += 1
+      }
+      if (!done) sig(maxCoeff - 1) = true
+      val absBase = Cabac.CtxAbs + Cabac.CatOffAbs(cat)
+      var numEq1 = 0
+      var numGt1 = 0
+      var tc = 0
+      var k = maxCoeff - 1
+      while (k >= 0) {
+        if (sig(k)) {
+          // UEG0 prefix: TU cMax 14 with contexts, suffix EG0 bypass
+          val inc0 = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
+          val incN = 5 + math.min(4 - (if (cat == 3) 1 else 0), numGt1)
+          var m = 0
+          if (cd.decision(absBase + inc0) == 1) {
+            m = 1
+            var cont = true
+            while (cont && m < 14) {
+              if (cd.decision(absBase + incN) == 1) m += 1 else cont = false
+            }
+            if (m == 14) {
+              // EG0 suffix, bypass
+              var kk = 0
+              while (cd.bypass() == 1) {
+                m += 1 << kk
+                kk += 1
+                if (kk > 30) throw new IllegalStateException("EG0 overrun")
+              }
+              while (kk > 0) { kk -= 1; m += cd.bypass() << kk }
+            }
+          }
+          val level = m + 1
+          val neg = cd.bypass() == 1
+          coeffs(k) = if (neg) -level else level
+          if (level == 1) numEq1 += 1 else numGt1 += 1
+          tc += 1
+        }
+        k -= 1
+      }
+      (coeffs, tc)
+    }
+
+    /** Decode one CABAC macroblock; returns (new qpPrev, this MB's
+      * mb_qp_delta — 0 when the syntax element was absent, feeding the
+      * next MB's bin-0 context).
+      */
+    private def decodeMbCabac(cd: Cabac.Decoder, addr: Int, qpPrev: Int,
+                              slice: Int, prevQpDelta: Int): (Int, Int) = {
+      val mx = addr % wMb
+      val my = addr / wMb
+      mbSlice(addr) = slice
+      // ---- mb_type (prefix ctx by I_NxN-ness of A/B)
+      def condNotI4(x: Int, y: Int): Int =
+        if (!mbAvail(x, y, slice)) 0
+        else if (!mbIsI4x4(mbAt(x, y))) 1
+        else 0
+      val mbTypeInc = condNotI4(mx - 1, my) + condNotI4(mx, my - 1)
+      var mbType = 0
+      if (cd.decision(Cabac.CtxMbTypeI + mbTypeInc) == 1) {
+        if (cd.terminate() == 1)
+          throw new IllegalStateException("I_PCM in CABAC slice: out of subset")
+        val lumaBit = cd.decision(Cabac.CtxMbTypeI + 3)
+        var ch = 0
+        if (cd.decision(Cabac.CtxMbTypeI + 4) == 1)
+          ch = if (cd.decision(Cabac.CtxMbTypeI + 5) == 1) 2 else 1
+        val pm = (cd.decision(Cabac.CtxMbTypeI + 6) << 1) |
+          cd.decision(Cabac.CtxMbTypeI + 7)
+        mbType = 1 + pm + 4 * ch + 12 * lumaBit
+      }
+      val isI4x4 = mbType == 0
+      mbIsI4x4(addr) = isI4x4
+      // ---- prediction modes
+      val i4 = new Array[Int](16)
+      if (isI4x4) {
+        var b = 0
+        while (b < 16) {
+          val (ox, oy) = Blk4x4Off(b)
+          val bx = mx * 4 + ox / 4
+          val by = my * 4 + oy / 4
+          def ctxMode(nx: Int, ny: Int): Int = {
+            if (nx < 0 || ny < 0) return -1
+            val nmb = mbAt(nx / 4, ny / 4)
+            if (!mbAvail(nx / 4, ny / 4, slice)) -1
+            else if (nmb == addr) i4(Blk4x4Idx((nx % 4))((ny % 4)))
+            else if (!mbIsI4x4(nmb)) 2
+            else i4Modes(nmb * 16 + Blk4x4Idx(nx % 4)(ny % 4))
+          }
+          val a = ctxMode(bx - 1, by)
+          val t = ctxMode(bx, by - 1)
+          val pred = if (a < 0 || t < 0) 2 else math.min(a, t)
+          val mode =
+            if (cd.decision(Cabac.CtxPrevI4Mode) == 1) pred
+            else {
+              // rem_intra4x4_pred_mode: FL, LSB first (9.3.2.4)
+              var rem = 0
+              var j = 0
+              while (j < 3) {
+                rem |= cd.decision(Cabac.CtxRemI4Mode) << j
+                j += 1
+              }
+              if (rem < pred) rem else rem + 1
+            }
+          i4(b) = mode
+          i4Modes(addr * 16 + b) = mode.toByte
+          b += 1
+        }
+      }
+      val predMode16 = if (isI4x4) -1 else (mbType - 1) % 4
+      // ---- intra_chroma_pred_mode (TU cMax 3; bin0 ctx by neighbors)
+      def condChroma(x: Int, y: Int): Int =
+        if (!mbAvail(x, y, slice)) 0
+        else {
+          val nmb = mbAt(x, y)
+          if (mbIsPcm(nmb) || mbChromaMode(nmb) == 0) 0 else 1
+        }
+      val chromaInc = condChroma(mx - 1, my) + condChroma(mx, my - 1)
+      var chromaMode = 0
+      if (cd.decision(Cabac.CtxIntraChroma + chromaInc) == 1) {
+        chromaMode = 1
+        if (cd.decision(Cabac.CtxIntraChroma + 3) == 1) {
+          chromaMode = 2
+          if (cd.decision(Cabac.CtxIntraChroma + 3) == 1) chromaMode = 3
+        }
+      }
+      // ---- coded block pattern + qp
+      var cbpLuma = 0
+      var cbpChroma = 0
+      if (isI4x4) {
+        // luma: 4 bins, one per 8x8; neighbor 8x8s with a ZERO bit raise
+        // the context (9.3.3.1.1.4); PCM counts as coded
+        var b8 = 0
+        while (b8 < 4) {
+          def cond(nmbOpt: Int, nb: Int, cur: Boolean): Int = {
+            if (cur) return if ((cbpLuma & (1 << nb)) != 0) 0 else 1
+            if (nmbOpt < 0) 0
+            else {
+              val nmb = nmbOpt
+              if (mbIsPcm(nmb)) 0
+              else if ((mbCbpLuma(nmb) & (1 << nb)) != 0) 0
+              else 1
+            }
+          }
+          val condA =
+            if (b8 % 2 == 1) cond(-1, b8 - 1, cur = true)
+            else if (mbAvail(mx - 1, my, slice)) cond(mbAt(mx - 1, my), b8 + 1, cur = false)
+            else 0
+          val condB =
+            if (b8 >= 2) cond(-1, b8 - 2, cur = true)
+            else if (mbAvail(mx, my - 1, slice)) cond(mbAt(mx, my - 1), b8 + 2, cur = false)
+            else 0
+          val bit = cd.decision(Cabac.CtxCbpLuma + condA + 2 * condB)
+          cbpLuma |= bit << b8
+          b8 += 1
+        }
+        // chroma: 2 bins (TU cMax 2); PCM neighbors count as cbp 2
+        def condC0(x: Int, y: Int): Int =
+          if (!mbAvail(x, y, slice)) 0
+          else {
+            val nmb = mbAt(x, y)
+            if (mbIsPcm(nmb) || mbCbpChroma(nmb) != 0) 1 else 0
+          }
+        def condC1(x: Int, y: Int): Int =
+          if (!mbAvail(x, y, slice)) 0
+          else {
+            val nmb = mbAt(x, y)
+            if (mbIsPcm(nmb) || mbCbpChroma(nmb) == 2) 1 else 0
+          }
+        val inc0 = condC0(mx - 1, my) + 2 * condC0(mx, my - 1)
+        if (cd.decision(Cabac.CtxCbpChroma + inc0) == 1) {
+          val inc1 = 4 + condC1(mx - 1, my) + 2 * condC1(mx, my - 1)
+          cbpChroma = if (cd.decision(Cabac.CtxCbpChroma + inc1) == 1) 2 else 1
+        }
+      } else {
+        val v = mbType - 1
+        cbpChroma = (v / 4) % 3
+        cbpLuma = if (v >= 12) 15 else 0
+      }
+      var qpY = qpPrev
+      var qpDelta = 0
+      if (cbpLuma != 0 || cbpChroma != 0 || !isI4x4) {
+        // mb_qp_delta: unary of the mapped value, ctx by prev MB's delta
+        var mapped = 0
+        if (cd.decision(Cabac.CtxMbQpDelta + (if (prevQpDelta != 0) 1 else 0)) == 1) {
+          mapped = 1
+          if (cd.decision(Cabac.CtxMbQpDelta + 2) == 1) {
+            mapped = 2
+            while (mapped <= 52 && cd.decision(Cabac.CtxMbQpDelta + 3) == 1)
+              mapped += 1
+            if (mapped > 52) throw new IllegalStateException("qp delta overrun")
+          }
+        }
+        qpDelta = if (mapped % 2 == 1) (mapped + 1) / 2 else -(mapped / 2)
+        if (qpDelta < -26 || qpDelta > 25) throw new IllegalStateException("bad qp delta")
+        qpY = (qpPrev + qpDelta + 52) % 52
+      }
+      mbQp(addr) = qpY
+      mbChromaMode(addr) = chromaMode.toByte
+      mbCbpLuma(addr) = cbpLuma.toByte
+      mbCbpChroma(addr) = cbpChroma.toByte
+      // ---- residuals
+      val lumaCoeffs = Array.ofDim[Int](16, 16)
+      val dcCoeffs = new Array[Int](16)
+      if (!isI4x4) {
+        val inc = cbfIncMb(mx, my, slice, nmb =>
+          if (!mbIsI4x4(nmb) && lumaDcNz(nmb) != 0) 1 else 0)
+        val (dc, dcTc) = readResidualCabac(cd, 0, inc, 16)
+        System.arraycopy(dc, 0, dcCoeffs, 0, 16)
+        lumaDcNz(addr) = (if (dcTc != 0) 1 else 0).toByte
+      }
+      var i8 = 0
+      while (i8 < 4) {
+        if ((cbpLuma & (1 << i8)) != 0) {
+          var j = 0
+          while (j < 4) {
+            val b = i8 * 4 + j
+            val (ox, oy) = Blk4x4Off(b)
+            val bx = mx * 4 + ox / 4
+            val by = my * 4 + oy / 4
+            val inc = cbfIncLuma(bx, by, slice)
+            if (isI4x4) {
+              val (c, tc) = readResidualCabac(cd, 2, inc, 16)
+              System.arraycopy(c, 0, lumaCoeffs(b), 0, 16)
+              lumaNz(addr * 16 + b) = tc.toByte
+            } else {
+              val (c, tc) = readResidualCabac(cd, 1, inc, 15)
+              System.arraycopy(c, 0, lumaCoeffs(b), 1, 15)
+              lumaNz(addr * 16 + b) = tc.toByte
+            }
+            j += 1
+          }
+        }
+        i8 += 1
+      }
+      val cbDc = new Array[Int](4)
+      val crDc = new Array[Int](4)
+      if (cbpChroma != 0) {
+        val incCb = cbfIncMb(mx, my, slice, nmb => cbDcNz(nmb).toInt)
+        val (c0, cbTc) = readResidualCabac(cd, 3, incCb, 4)
+        System.arraycopy(c0, 0, cbDc, 0, 4)
+        cbDcNz(addr) = (if (cbTc != 0) 1 else 0).toByte
+        val incCr = cbfIncMb(mx, my, slice, nmb => crDcNz(nmb).toInt)
+        val (c1, crTc) = readResidualCabac(cd, 3, incCr, 4)
+        System.arraycopy(c1, 0, crDc, 0, 4)
+        crDcNz(addr) = (if (crTc != 0) 1 else 0).toByte
+      }
+      val cbAc = Array.ofDim[Int](4, 16)
+      val crAc = Array.ofDim[Int](4, 16)
+      if (cbpChroma == 2) {
+        var comp = 0
+        while (comp < 2) {
+          var b = 0
+          while (b < 4) {
+            val bx = mx * 2 + b % 2
+            val by = my * 2 + b / 2
+            val inc = cbfIncChromaAc(bx, by, comp == 0, slice)
+            val (c, tc) = readResidualCabac(cd, 4, inc, 15)
+            if (comp == 0) {
+              System.arraycopy(c, 0, cbAc(b), 1, 15)
+              cbNz(addr * 4 + b) = tc.toByte
+            } else {
+              System.arraycopy(c, 0, crAc(b), 1, 15)
+              crNz(addr * 4 + b) = tc.toByte
+            }
+            b += 1
+          }
+          comp += 1
+        }
+      }
+      // ---- reconstruction (shared with the CAVLC path)
+      if (isI4x4) reconI4x4(mx, my, i4, lumaCoeffs, qpY, slice)
+      else reconI16x16(mx, my, predMode16, dcCoeffs, lumaCoeffs, cbpLuma, qpY, slice)
+      reconChroma(mx, my, chromaMode, cbDc, crDc, cbAc, crAc, cbpChroma, qpY, slice)
+      (qpY, if (cbpLuma != 0 || cbpChroma != 0 || !isI4x4) qpDelta else 0)
     }
 
     // ---- luma 4x4 intra prediction + reconstruction ------------------
@@ -1803,7 +2196,6 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
               if (sliceType != 2 && sliceType != 7) return None // I slices only
               val ppsId = r.ue()
               val pps = ppsMap.getOrElse(ppsId, return None)
-              if (pps.cabac) return None // CABAC: outside the subset
               val sps = spsMap.getOrElse(pps.spsId, return None)
               r.u(sps.log2MaxFrameNum) // frame_num
               r.ue() // idr_pic_id
@@ -1827,7 +2219,10 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
               if (dec == null) dec = new Decoder(sps, pps)
               else if (dec.sps != sps || dec.pps != pps) return None
               val before = dec.mbSlice.count(_ >= 0)
-              dec.decodeSlice(r, firstMb, sliceQp, SliceDeblock(disableIdc, aOff, bOff))
+              if (pps.cabac)
+                dec.decodeSliceCabac(r, firstMb, sliceQp, SliceDeblock(disableIdc, aOff, bOff))
+              else
+                dec.decodeSlice(r, firstMb, sliceQp, SliceDeblock(disableIdc, aOff, bOff))
               mbCovered = dec.mbSlice.count(_ >= 0)
               if (mbCovered == before) return None
             case 1 => return None // non-IDR slice: P/B content, fail closed
@@ -1975,6 +2370,13 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
     val isI4x4 = new Array[Boolean](wMb * hMb)
     val isPcm = new Array[Boolean](wMb * hMb)
     val sliceId = Array.fill(wMb * hMb)(-1)
+    // CABAC context-neighbor state, mirroring the decoder's arrays
+    val chromaModeE = new Array[Byte](wMb * hMb)
+    val cbpLumaE = new Array[Byte](wMb * hMb)
+    val cbpChromaE = new Array[Byte](wMb * hMb)
+    val lumaDcNzE = new Array[Byte](wMb * hMb)
+    val cbDcNzE = new Array[Byte](wMb * hMb)
+    val crDcNzE = new Array[Byte](wMb * hMb)
     /** nC for a luma block at absolute 4-pel coords, decoder-identical
       * (neighbors in another slice are unavailable, like the decoder).
       */
@@ -2008,6 +2410,295 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
     }
   }
 
+  // ------------------------------------------------------------------
+  // Entropy-layer sink: encodeMb emits macroblock syntax through this
+  // interface so one MB encoder drives both the CAVLC and CABAC
+  // backends (decode-side mirror: decodeMb / decodeMbCabac).
+  // ------------------------------------------------------------------
+  private trait MbSink {
+    def mbTypeI(v: Int, addr: Int): Unit
+    def pcmSamples(sy: Array[Int], su: Array[Int], sv: Array[Int]): Unit
+    def i4Mode(predFlag: Boolean, rem: Int): Unit
+    def chromaMode(mode: Int, addr: Int): Unit
+    def cbpI4(luma: Int, chroma: Int, addr: Int): Unit
+    def qpDelta(delta: Int): Unit
+    /** cat 0 I16DC / 1 I16AC / 2 Luma4x4 / 3 ChromaDC / 4 ChromaAC;
+      * `coeffs` in scan order sized maxNumCoeff (AC: 15).
+      */
+    def residual(cat: Int, coeffs: Array[Int], addr: Int, blk: Int, cb: Boolean): Unit
+    def endMb(last: Boolean): Unit
+    def finish(): Unit
+  }
+
+  private final class CavlcSink(w: BitWriter, st: EncState, slice: Int) extends MbSink {
+    def mbTypeI(v: Int, addr: Int): Unit = w.ue(v)
+    def pcmSamples(sy: Array[Int], su: Array[Int], sv: Array[Int]): Unit = {
+      w.alignZero()
+      sy.foreach(v => w.u(8, v))
+      su.foreach(v => w.u(8, v))
+      sv.foreach(v => w.u(8, v))
+    }
+    def i4Mode(predFlag: Boolean, rem: Int): Unit =
+      if (predFlag) w.u1(1) else { w.u1(0); w.u(3, rem) }
+    def chromaMode(mode: Int, addr: Int): Unit = w.ue(mode)
+    def cbpI4(luma: Int, chroma: Int, addr: Int): Unit =
+      w.ue(CbpIntraInv(luma | (chroma << 4)))
+    def qpDelta(delta: Int): Unit = w.se(delta)
+    def residual(cat: Int, coeffs: Array[Int], addr: Int, blk: Int, cb: Boolean): Unit = {
+      val mx = addr % st.wMb
+      val my = addr / st.wMb
+      val nC = cat match {
+        case 0 => st.lumaNc(mx * 4, my * 4, slice)
+        case 1 | 2 =>
+          val (ox, oy) = Blk4x4Off(blk)
+          st.lumaNc(mx * 4 + ox / 4, my * 4 + oy / 4, slice)
+        case 3 => -1
+        case _ => st.chromaNcE(mx * 2 + blk % 2, my * 2 + blk / 2, cb, slice)
+      }
+      writeResidualBlock(w, nC, coeffs)
+    }
+    def endMb(last: Boolean): Unit = ()
+    def finish(): Unit = w.rbspTrailing()
+  }
+
+  /** CABAC backend: context-increment derivations mirror the decoder's
+    * (decodeMbCabac and its cbfInc helpers) against the encoder state.
+    */
+  private final class CabacSink(w: BitWriter, st: EncState, slice: Int,
+                                sliceQp: Int) extends MbSink {
+    private val ctx = new Cabac.Contexts(sliceQp)
+    private val enc = new Cabac.Encoder(w, ctx)
+    private var prevQpDelta = 0
+    private var sawQpDelta = false
+
+    @inline private def availMb(mx: Int, my: Int): Boolean =
+      mx >= 0 && my >= 0 && mx < st.wMb &&
+        st.sliceId(my * st.wMb + mx) == slice
+
+    def mbTypeI(v: Int, addr: Int): Unit = {
+      val mx = addr % st.wMb
+      val my = addr / st.wMb
+      def cond(x: Int, y: Int): Int =
+        if (availMb(x, y) && !st.isI4x4(y * st.wMb + x)) 1 else 0
+      val inc = cond(mx - 1, my) + cond(mx, my - 1)
+      if (v == 0) enc.decision(Cabac.CtxMbTypeI + inc, 0)
+      else {
+        require(v != 25, "I_PCM is outside the CABAC subset")
+        enc.decision(Cabac.CtxMbTypeI + inc, 1)
+        enc.terminate(0)
+        val t = v - 1
+        enc.decision(Cabac.CtxMbTypeI + 3, if (t >= 12) 1 else 0)
+        val ch = (t / 4) % 3
+        if (ch == 0) enc.decision(Cabac.CtxMbTypeI + 4, 0)
+        else {
+          enc.decision(Cabac.CtxMbTypeI + 4, 1)
+          enc.decision(Cabac.CtxMbTypeI + 5, if (ch == 2) 1 else 0)
+        }
+        val pm = t % 4
+        enc.decision(Cabac.CtxMbTypeI + 6, pm >> 1)
+        enc.decision(Cabac.CtxMbTypeI + 7, pm & 1)
+      }
+    }
+
+    def pcmSamples(sy: Array[Int], su: Array[Int], sv: Array[Int]): Unit =
+      throw new IllegalStateException("I_PCM is outside the CABAC subset")
+
+    def i4Mode(predFlag: Boolean, rem: Int): Unit = {
+      enc.decision(Cabac.CtxPrevI4Mode, if (predFlag) 1 else 0)
+      if (!predFlag) {
+        var j = 0
+        while (j < 3) { // FL, LSB first (9.3.2.4)
+          enc.decision(Cabac.CtxRemI4Mode, (rem >> j) & 1)
+          j += 1
+        }
+      }
+    }
+
+    def chromaMode(mode: Int, addr: Int): Unit = {
+      val mx = addr % st.wMb
+      val my = addr / st.wMb
+      def cond(x: Int, y: Int): Int =
+        if (!availMb(x, y)) 0
+        else {
+          val nmb = y * st.wMb + x
+          if (st.isPcm(nmb) || st.chromaModeE(nmb) == 0) 0 else 1
+        }
+      val inc = cond(mx - 1, my) + cond(mx, my - 1)
+      if (mode == 0) enc.decision(Cabac.CtxIntraChroma + inc, 0)
+      else {
+        enc.decision(Cabac.CtxIntraChroma + inc, 1)
+        enc.decision(Cabac.CtxIntraChroma + 3, if (mode >= 2) 1 else 0)
+        if (mode >= 2)
+          enc.decision(Cabac.CtxIntraChroma + 3, if (mode == 3) 1 else 0)
+      }
+    }
+
+    def cbpI4(luma: Int, chroma: Int, addr: Int): Unit = {
+      val mx = addr % st.wMb
+      val my = addr / st.wMb
+      var b8 = 0
+      while (b8 < 4) {
+        val condA =
+          if (b8 % 2 == 1) { if (((luma >> (b8 - 1)) & 1) != 0) 0 else 1 }
+          else if (availMb(mx - 1, my)) {
+            val nmb = my * st.wMb + mx - 1
+            if (st.isPcm(nmb) || ((st.cbpLumaE(nmb) >> (b8 + 1)) & 1) != 0) 0 else 1
+          } else 0
+        val condB =
+          if (b8 >= 2) { if (((luma >> (b8 - 2)) & 1) != 0) 0 else 1 }
+          else if (availMb(mx, my - 1)) {
+            val nmb = (my - 1) * st.wMb + mx
+            if (st.isPcm(nmb) || ((st.cbpLumaE(nmb) >> (b8 + 2)) & 1) != 0) 0 else 1
+          } else 0
+        enc.decision(Cabac.CtxCbpLuma + condA + 2 * condB, (luma >> b8) & 1)
+        b8 += 1
+      }
+      def condC0(x: Int, y: Int): Int =
+        if (!availMb(x, y)) 0
+        else {
+          val nmb = y * st.wMb + x
+          if (st.isPcm(nmb) || st.cbpChromaE(nmb) != 0) 1 else 0
+        }
+      def condC1(x: Int, y: Int): Int =
+        if (!availMb(x, y)) 0
+        else {
+          val nmb = y * st.wMb + x
+          if (st.isPcm(nmb) || st.cbpChromaE(nmb) == 2) 1 else 0
+        }
+      val inc0 = condC0(mx - 1, my) + 2 * condC0(mx, my - 1)
+      enc.decision(Cabac.CtxCbpChroma + inc0, if (chroma != 0) 1 else 0)
+      if (chroma != 0) {
+        val inc1 = 4 + condC1(mx - 1, my) + 2 * condC1(mx, my - 1)
+        enc.decision(Cabac.CtxCbpChroma + inc1, if (chroma == 2) 1 else 0)
+      }
+    }
+
+    def qpDelta(delta: Int): Unit = {
+      sawQpDelta = true
+      val mapped = if (delta > 0) 2 * delta - 1 else -2 * delta
+      val inc0 = if (prevQpDelta != 0) 1 else 0
+      if (mapped == 0) enc.decision(Cabac.CtxMbQpDelta + inc0, 0)
+      else {
+        enc.decision(Cabac.CtxMbQpDelta + inc0, 1)
+        if (mapped == 1) enc.decision(Cabac.CtxMbQpDelta + 2, 0)
+        else {
+          enc.decision(Cabac.CtxMbQpDelta + 2, 1)
+          var j = 2
+          while (j < mapped) { enc.decision(Cabac.CtxMbQpDelta + 3, 1); j += 1 }
+          enc.decision(Cabac.CtxMbQpDelta + 3, 0)
+        }
+      }
+      prevQpDelta = delta
+    }
+
+    private def cbfIncLuma(bx: Int, by: Int): Int = {
+      def cond(x: Int, y: Int): Int = {
+        if (x < 0 || y < 0) return 1
+        if (!availMb(x / 4, y / 4)) return 1
+        val nmb = (y / 4) * st.wMb + x / 4
+        if (st.isPcm(nmb)) 1
+        else if (st.lumaNz(nmb * 16 + Blk4x4Idx(x % 4)(y % 4)) != 0) 1
+        else 0
+      }
+      cond(bx - 1, by) + 2 * cond(bx, by - 1)
+    }
+
+    private def cbfIncMb(mx: Int, my: Int, flagOf: Int => Int): Int = {
+      def cond(x: Int, y: Int): Int = {
+        if (x < 0 || y < 0) return 1
+        if (!availMb(x, y)) return 1
+        val nmb = y * st.wMb + x
+        if (st.isPcm(nmb)) 1 else flagOf(nmb)
+      }
+      cond(mx - 1, my) + 2 * cond(mx, my - 1)
+    }
+
+    private def cbfIncChromaAc(bx: Int, by: Int, cb: Boolean): Int = {
+      def cond(x: Int, y: Int): Int = {
+        if (x < 0 || y < 0) return 1
+        if (!availMb(x / 2, y / 2)) return 1
+        val nmb = (y / 2) * st.wMb + x / 2
+        if (st.isPcm(nmb)) 1
+        else {
+          val idx = (y % 2) * 2 + (x % 2)
+          if ((if (cb) st.cbNz(nmb * 4 + idx) else st.crNz(nmb * 4 + idx)) != 0) 1
+          else 0
+        }
+      }
+      cond(bx - 1, by) + 2 * cond(bx, by - 1)
+    }
+
+    def residual(cat: Int, coeffs: Array[Int], addr: Int, blk: Int, cb: Boolean): Unit = {
+      val mx = addr % st.wMb
+      val my = addr / st.wMb
+      val inc = cat match {
+        case 0 => cbfIncMb(mx, my, nmb =>
+          if (!st.isI4x4(nmb) && st.lumaDcNzE(nmb) != 0) 1 else 0)
+        case 1 | 2 =>
+          val (ox, oy) = Blk4x4Off(blk)
+          cbfIncLuma(mx * 4 + ox / 4, my * 4 + oy / 4)
+        case 3 => cbfIncMb(mx, my, nmb =>
+          (if (cb) st.cbDcNzE(nmb) else st.crDcNzE(nmb)).toInt)
+        case _ => cbfIncChromaAc(mx * 2 + blk % 2, my * 2 + blk / 2, cb)
+      }
+      val maxCoeff = coeffs.length
+      var lastNz = -1
+      var k = 0
+      while (k < maxCoeff) { if (coeffs(k) != 0) lastNz = k; k += 1 }
+      enc.decision(Cabac.CtxCbf + Cabac.CatOffCbf(cat) + inc,
+        if (lastNz >= 0) 1 else 0)
+      if (lastNz < 0) return
+      val sigBase = Cabac.CtxSig + Cabac.CatOffSig(cat)
+      val lastBase = Cabac.CtxLast + Cabac.CatOffSig(cat)
+      var i = 0
+      while (i < maxCoeff - 1 && i <= lastNz) {
+        val sInc = if (cat == 3) math.min(i, 2) else i
+        if (coeffs(i) != 0) {
+          enc.decision(sigBase + sInc, 1)
+          enc.decision(lastBase + sInc, if (i == lastNz) 1 else 0)
+        } else enc.decision(sigBase + sInc, 0)
+        i += 1
+      }
+      val absBase = Cabac.CtxAbs + Cabac.CatOffAbs(cat)
+      var numEq1 = 0
+      var numGt1 = 0
+      var k2 = lastNz
+      while (k2 >= 0) {
+        val c = coeffs(k2)
+        if (c != 0) {
+          val m = math.abs(c) - 1
+          val inc0 = if (numGt1 != 0) 0 else math.min(4, 1 + numEq1)
+          val incN = 5 + math.min(4 - (if (cat == 3) 1 else 0), numGt1)
+          if (m == 0) enc.decision(absBase + inc0, 0)
+          else {
+            enc.decision(absBase + inc0, 1)
+            var j = 1
+            while (j < math.min(m, 14)) { enc.decision(absBase + incN, 1); j += 1 }
+            if (m < 14) enc.decision(absBase + incN, 0)
+            else { // TU prefix saturated at 14 ones; EG0 suffix, bypass
+              var v = m - 14
+              var kk = 0
+              while (v >= (1 << kk)) { enc.bypass(1); v -= 1 << kk; kk += 1 }
+              enc.bypass(0)
+              while (kk > 0) { kk -= 1; enc.bypass((v >> kk) & 1) }
+            }
+          }
+          enc.bypass(if (c < 0) 1 else 0)
+          if (math.abs(c) == 1) numEq1 += 1 else numGt1 += 1
+        }
+        k2 -= 1
+      }
+    }
+
+    def endMb(last: Boolean): Unit = {
+      if (!sawQpDelta) prevQpDelta = 0
+      sawQpDelta = false
+      enc.terminate(if (last) 1 else 0)
+    }
+
+    def finish(): Unit = w.alignZero()
+  }
+
   /** Encode one IDR picture as an Annex-B stream (SPS + PPS + one IDR
     * slice). `py` is the full-resolution luma; `pu`/`pv` the 4:2:0 chroma
     * (pass null for neutral 128 gray). Dimensions may be any multiple the
@@ -2022,7 +2713,9 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
                     pu: Array[Byte] = null, pv: Array[Byte] = null,
                     deblock: Boolean = true,
                     mbRowsPerSlice: Int = 0,
-                    deblockIdc: Int = -1): Array[Byte] = {
+                    deblockIdc: Int = -1,
+                    cabac: Boolean = false,
+                    allowPcm: Boolean = true): Array[Byte] = {
     require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 && py.length == w * h)
     require(qp >= 0 && qp <= 51)
     val wMb = (w + 15) / 16
@@ -2081,7 +2774,7 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
     val ppsW = new BitWriter
     ppsW.ue(0) // pps id
     ppsW.ue(0) // sps id
-    ppsW.u1(0) // CAVLC
+    ppsW.u1(if (cabac) 1 else 0) // entropy_coding_mode_flag
     ppsW.u1(0) // pic_order_present
     ppsW.ue(0) // one slice group
     ppsW.ue(0); ppsW.ue(0) // ref idx defaults
@@ -2120,14 +2813,21 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       val idc = if (deblockIdc >= 0) deblockIdc else if (deblock) 0 else 1
       sw.ue(idc) // disable_deblocking_filter_idc
       if (idc != 1) { sw.se(0); sw.se(0) } // alpha/beta offsets
+      if (cabac) sw.alignOnes() // cabac_alignment_one_bit
+      val sink: MbSink =
+        if (cabac) new CabacSink(sw, st, sliceIdx, qp)
+        else new CavlcSink(sw, st, sliceIdx)
       var qpPrev = qp
       var addr = firstMb
       val endMb = firstMb + rows * wMb
       while (addr < endMb) {
-        qpPrev = encodeMb(sw, st, srcY, srcU, srcV, addr, qp, qpPrev, sliceIdx)
+        // I_PCM is outside the CABAC subset (see decodeSliceCabac)
+        qpPrev = encodeMb(sink, st, srcY, srcU, srcV, addr, qp, qpPrev,
+          sliceIdx, allowPcm && !cabac)
+        sink.endMb(addr == endMb - 1)
         addr += 1
       }
-      sw.rbspTrailing()
+      sink.finish()
       nal(3, 5, sw.toBytes)
       sliceIdx += 1
       row0 += rows
@@ -2136,9 +2836,10 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
   }
 
   /** Encode one macroblock; returns the updated qpPrev. */
-  private def encodeMb(w: BitWriter, st: EncState, srcY: Array[Int],
+  private def encodeMb(sink: MbSink, st: EncState, srcY: Array[Int],
                        srcU: Array[Int], srcV: Array[Int], addr: Int,
-                       qp: Int, qpPrev: Int, slice: Int): Int = {
+                       qp: Int, qpPrev: Int, slice: Int,
+                       allowPcm: Boolean): Int = {
     val wMb = st.wMb
     val mx = addr % wMb
     val my = addr / wMb
@@ -2146,28 +2847,26 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
     val leftAvail = mx > 0 && st.sliceId(addr - 1) == slice
     val aboveAvail = my > 0 && st.sliceId(addr - wMb) == slice
     val cornerAvail = mx > 0 && my > 0 && st.sliceId(addr - wMb - 1) == slice
-    if (addr % 23 == 7) { // I_PCM: raw samples, recon == source
-      w.ue(25)
-      w.alignZero()
+    if (allowPcm && addr % 23 == 7) { // I_PCM: raw samples, recon == source
       st.isPcm(addr) = true
+      val sy = new Array[Int](256)
+      val su = new Array[Int](64)
+      val sv = new Array[Int](64)
       var i = 0
       while (i < 256) {
         val p = (my * 16 + i / 16) * st.yStride + mx * 16 + i % 16
-        w.u(8, srcY(p)); st.y(p) = srcY(p).toByte
+        sy(i) = srcY(p); st.y(p) = srcY(p).toByte
         i += 1
       }
       i = 0
       while (i < 64) {
         val p = (my * 8 + i / 8) * st.cStride + mx * 8 + i % 8
-        w.u(8, srcU(p)); st.u(p) = srcU(p).toByte
+        su(i) = srcU(p); st.u(p) = srcU(p).toByte
+        sv(i) = srcV(p); st.v(p) = srcV(p).toByte
         i += 1
       }
-      i = 0
-      while (i < 64) {
-        val p = (my * 8 + i / 8) * st.cStride + mx * 8 + i % 8
-        w.u(8, srcV(p)); st.v(p) = srcV(p).toByte
-        i += 1
-      }
+      sink.mbTypeI(25, addr)
+      sink.pcmSamples(sy, su, sv)
       return qpPrev
     }
     val useI4 = (mx + my) % 3 == 1
@@ -2303,18 +3002,31 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       val (chromaMode, cbpChroma, chromaBits) =
         encodeChroma(st, srcU, srcV, addr, qp, aboveAvail, leftAvail,
           cornerAvail, slice)
+      // neighbor-context state must be decoder-final BEFORE emission:
+      // the decoder sees dropped 8x8s as uncoded (nz 0), and later-block
+      // contexts consult only left/above (already-coded) positions
+      i8 = 0
+      while (i8 < 4) {
+        if ((cbpLuma & (1 << i8)) == 0) {
+          var j = 0
+          while (j < 4) { st.lumaNz(addr * 16 + i8 * 4 + j) = 0; j += 1 }
+        }
+        i8 += 1
+      }
+      st.chromaModeE(addr) = chromaMode.toByte
+      st.cbpLumaE(addr) = cbpLuma.toByte
+      st.cbpChromaE(addr) = cbpChroma.toByte
       // ---- emit
-      w.ue(0) // mb_type I_NxN
+      sink.mbTypeI(0, addr) // mb_type I_NxN
       b = 0
       while (b < 16) {
-        if (predFlags(b)) w.u1(1)
-        else { w.u1(0); w.u(3, remBits(b)) }
+        sink.i4Mode(predFlags(b), remBits(b))
         b += 1
       }
-      w.ue(chromaMode)
-      w.ue(CbpIntraInv(cbpLuma | (cbpChroma << 4)))
+      sink.chromaMode(chromaMode, addr)
+      sink.cbpI4(cbpLuma, cbpChroma, addr)
       if (cbpLuma != 0 || cbpChroma != 0) {
-        w.se(qp - qpPrev) // mb_qp_delta (same qp each MB -> usually 0)
+        sink.qpDelta(qp - qpPrev) // mb_qp_delta (same qp each MB -> usually 0)
         qpOut = qp
       }
       i8 = 0
@@ -2323,18 +3035,13 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
           var j = 0
           while (j < 4) {
             val b2 = i8 * 4 + j
-            val (ox, oy) = Blk4x4Off(b2)
-            val nC = st.lumaNc(mx * 4 + ox / 4, my * 4 + oy / 4, slice)
-            writeResidualBlock(w, nC, blockCoefs(b2))
+            sink.residual(2, blockCoefs(b2), addr, b2, cb = false)
             j += 1
           }
-        } else {
-          var j = 0
-          while (j < 4) { st.lumaNz(addr * 16 + i8 * 4 + j) = 0; j += 1 }
         }
         i8 += 1
       }
-      chromaBits(w)
+      chromaBits(sink)
     } else {
       st.isI4x4(addr) = false
       // I_16x16: choose mode by availability, cycle V/H/DC/Plane
@@ -2388,13 +3095,26 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       val (chromaMode, cbpChroma, chromaBits) =
         encodeChroma(st, srcU, srcV, addr, qp, aboveAvail, leftAvail,
           cornerAvail, slice)
+      // neighbor-context state must be decoder-final BEFORE emission
+      st.chromaModeE(addr) = chromaMode.toByte
+      st.cbpLumaE(addr) = cbpLuma.toByte
+      st.cbpChromaE(addr) = cbpChroma.toByte
+      st.lumaDcNzE(addr) =
+        (if (dcScanLevels.exists(_ != 0)) 1 else 0).toByte
+      if (cbpLuma != 0) {
+        var bz = 0
+        while (bz < 16) {
+          st.lumaNz(addr * 16 + bz) = acTc(bz).toByte
+          bz += 1
+        }
+      }
       // mb_type for I_16x16: 1 + predMode + 4*cbpChroma + 12*(cbpLuma/15)
-      w.ue(1 + mode + 4 * cbpChroma + 12 * (cbpLuma / 15))
-      w.ue(chromaMode)
-      w.se(qp - qpPrev)
+      sink.mbTypeI(1 + mode + 4 * cbpChroma + 12 * (cbpLuma / 15), addr)
+      sink.chromaMode(chromaMode, addr)
+      sink.qpDelta(qp - qpPrev)
       qpOut = qp
       // DC block: nC from luma block 0 context
-      writeResidualBlock(w, st.lumaNc(mx * 4, my * 4, slice), dcScanLevels)
+      sink.residual(0, dcScanLevels, addr, 0, cb = false)
       // reconstruct luma decoder-identically (DC scatter + AC)
       val dcRaster = new Array[Int](16)
       k = 0
@@ -2406,12 +3126,9 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
           var j = 0
           while (j < 4) {
             val b2 = i8 * 4 + j
-            val (ox, oy) = Blk4x4Off(b2)
-            val nC = st.lumaNc(mx * 4 + ox / 4, my * 4 + oy / 4, slice)
             val full = new Array[Int](15)
             System.arraycopy(acScan(b2), 1, full, 0, 15)
-            val tc = writeResidualBlock(w, nC, full)
-            st.lumaNz(addr * 16 + b2) = tc.toByte
+            sink.residual(1, full, addr, b2, cb = false)
             j += 1
           }
         }
@@ -2445,7 +3162,7 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
         }
         b += 1
       }
-      chromaBits(w)
+      chromaBits(sink)
     }
     qpOut
   }
@@ -2490,7 +3207,7 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
   private def encodeChroma(st: EncState, srcU: Array[Int], srcV: Array[Int],
                            addr: Int, qpY: Int, aboveAvail: Boolean,
                            leftAvail: Boolean, cornerAvail: Boolean,
-                           slice: Int): (Int, Int, BitWriter => Unit) = {
+                           slice: Int): (Int, Int, MbSink => Unit) = {
     val wMb = st.wMb
     val mx = addr % wMb
     val my = addr / wMb
@@ -2602,20 +3319,24 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       }
       comp += 1
     }
-    val emit: BitWriter => Unit = { w =>
+    // neighbor-context state, decoder-final before any emission
+    if (cbpChroma != 0) {
+      st.cbDcNzE(addr) = (if (dcScan(0).exists(_ != 0)) 1 else 0).toByte
+      st.crDcNzE(addr) = (if (dcScan(1).exists(_ != 0)) 1 else 0).toByte
+    }
+    val emit: MbSink => Unit = { sink =>
       if (cbpChroma != 0) {
-        writeResidualBlock(w, -1, dcScan(0))
-        writeResidualBlock(w, -1, dcScan(1))
+        sink.residual(3, dcScan(0), addr, 0, cb = true)
+        sink.residual(3, dcScan(1), addr, 0, cb = false)
       }
       if (cbpChroma == 2) {
         var c2 = 0
         while (c2 < 2) {
           var b = 0
           while (b < 4) {
-            val nC = st.chromaNcE(mx * 2 + b % 2, my * 2 + b / 2, c2 == 0, slice)
             val full = new Array[Int](15)
             System.arraycopy(acScan(c2)(b), 1, full, 0, 15)
-            writeResidualBlock(w, nC, full)
+            sink.residual(4, full, addr, b, cb = c2 == 0)
             b += 1
           }
           c2 += 1

@@ -270,6 +270,112 @@ class AvcSpec extends AnyFunSuite {
 
   // ---- 7. fail-closed laws --------------------------------------------
 
+  // ---- CABAC -------------------------------------------------------
+
+  test("CABAC engine: encode/decode roundtrip over adversarial bin sequences") {
+    // deterministic pseudo-random mix of context decisions, bypass bins,
+    // and terminate(0) probes, closed by terminate(1) + flush — the
+    // decoder must reproduce every bin with an identically-evolving
+    // context bank (fresh init, same QP)
+    for (seed <- 1 to 8; qp <- Seq(0, 6, 26, 51)) {
+      def rnd(i: Int): Int = md5b(s"cab_${seed}_$i")
+      val n = 200 + rnd(0)
+      val kinds = Array.tabulate(n)(i => rnd(i) % 10) // 0-5 decision, 6-8 bypass, 9 terminate0
+      val ctxs = Array.tabulate(n)(i => Seq(3, 60, 68, 85, 105, 170, 230)(rnd(i + 7000) % 7) + rnd(i + 9000) % 3)
+      val bins = Array.tabulate(n)(i => rnd(i + 5000) & 1)
+      val w = new Avc.BitWriter
+      val enc = new Cabac.Encoder(w, new Cabac.Contexts(qp))
+      var i = 0
+      while (i < n) {
+        kinds(i) match {
+          case k if k <= 5 => enc.decision(ctxs(i), bins(i))
+          case k if k <= 8 => enc.bypass(bins(i))
+          case _ => enc.terminate(0)
+        }
+        i += 1
+      }
+      enc.terminate(1)
+      w.alignZero()
+      val r = new Avc.BitReader(w.toBytes)
+      val dec = new Cabac.Decoder(r, new Cabac.Contexts(qp))
+      i = 0
+      while (i < n) {
+        val got = kinds(i) match {
+          case k if k <= 5 => dec.decision(ctxs(i))
+          case k if k <= 8 => dec.bypass()
+          case _ => dec.terminate()
+        }
+        val want = if (kinds(i) == 9) 0 else bins(i)
+        assert(got == want, s"seed=$seed qp=$qp bin $i kind=${kinds(i)}")
+        i += 1
+      }
+      assert(dec.terminate() == 1, s"seed=$seed qp=$qp final terminate")
+    }
+  }
+
+  test("CABAC: level magnitudes across the UEG0 escape roundtrip in-picture") {
+    // a high-contrast 16x16 at QP 0 drives coeff_abs_level past the TU
+    // cutoff into the EG0 bypass suffix on both encode and decode
+    val px = Array.tabulate(16 * 16)(i => if ((i / 16 + i % 16) % 2 == 0) 0 else 255).map(_.toByte)
+    val cav = Avc.decodeAnnexBGray(Avc.encodeGrayIdr(px, 16, 16, 0, allowPcm = false))
+    val cab = Avc.decodeAnnexBGray(Avc.encodeGrayIdr(px, 16, 16, 0, cabac = true))
+    assert(cav.isDefined && cab.isDefined)
+    assert(cav.get._3.toSeq == cab.get._3.toSeq)
+  }
+
+  test("CABAC encode decodes pixel-identically to its CAVLC twin") {
+    // the entropy layer carries the SAME quantized coefficients and
+    // prediction decisions, so the reconstruction must match byte for
+    // byte (PCM disabled on both sides: it is outside the CABAC subset)
+    for ((wd, ht, qp, rows) <- Seq((64, 64, 6, 0), (64, 64, 28, 0),
+        (48, 32, 10, 0), (64, 64, 6, 2), (60, 44, 16, 0))) {
+      val px = Array.tabulate(wd * ht)(i => md5b(s"cabpix_${wd}_${ht}_$i").toByte)
+      val cav = Avc.decodeAnnexBGray(
+        Avc.encodeGrayIdr(px, wd, ht, qp, mbRowsPerSlice = rows, allowPcm = false))
+      val cab = Avc.decodeAnnexBGray(
+        Avc.encodeGrayIdr(px, wd, ht, qp, mbRowsPerSlice = rows, cabac = true))
+      assert(cav.isDefined, s"$wd x $ht qp=$qp rows=$rows CAVLC")
+      assert(cab.isDefined, s"$wd x $ht qp=$qp rows=$rows CABAC")
+      assert(cav.get._1 == cab.get._1 && cav.get._2 == cab.get._2)
+      assert(cav.get._3.toSeq == cab.get._3.toSeq, s"$wd x $ht qp=$qp rows=$rows")
+    }
+  }
+
+  test("CABAC: chroma content rides the same law through the mp4 sample path") {
+    val px = Array.tabulate(64 * 64)(i => md5b(s"cabc_$i").toByte)
+    val pu = Array.tabulate(32 * 32)(i => md5b(s"cabu_$i").toByte)
+    val pv = Array.tabulate(32 * 32)(i => md5b(s"cabv_$i").toByte)
+    val cav = Avc.encodeGrayIdr(px, 64, 64, 8, pu, pv, allowPcm = false)
+    val cab = Avc.encodeGrayIdr(px, 64, 64, 8, pu, pv, cabac = true)
+    val (spA, ppA, idrA) = Avc.splitAnnexB(cav)
+    val (spB, ppB, idrB) = Avc.splitAnnexB(cab)
+    val a = Avc.decodeSampleGray(spA, ppA, 4, Avc.toAvccSample(idrA))
+    val b = Avc.decodeSampleGray(spB, ppB, 4, Avc.toAvccSample(idrB))
+    assert(a.isDefined && b.isDefined)
+    assert(a.get._3.toSeq == b.get._3.toSeq)
+  }
+
+  test("CABAC fail-closed: truncation and partial pictures") {
+    val px = Array.tabulate(64 * 64)(i => md5b(s"cabf_$i").toByte)
+    val bits = Avc.encodeGrayIdr(px, 64, 64, 8, cabac = true)
+    assert(Avc.decodeAnnexBGray(bits).isDefined)
+    val nals = Avc.annexBNals(bits).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(bits, s, e)
+    }
+    // truncated CABAC slice: the engine reads zeros past the end and the
+    // picture never completes -> None, no crash
+    assert(Avc.decodeIdrNals(Seq(nals(0), nals(1),
+      java.util.Arrays.copyOf(nals(2), nals(2).length / 2))).isEmpty)
+    // multi-slice picture missing its second slice stays partial
+    val two = Avc.encodeGrayIdr(px, 64, 64, 8, mbRowsPerSlice = 2, cabac = true)
+    val tn = Avc.annexBNals(two).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(two, s, e)
+    }
+    assert(tn.count(n => (n(0) & 0x1f) == 5) == 2)
+    assert(Avc.decodeIdrNals(tn.dropRight(1)).isEmpty)
+    assert(Avc.decodeIdrNals(tn).isDefined)
+  }
+
   test("fail closed: CABAC, P slices, truncation, garbage") {
     val px = noise(1, 32, 32)
     val bits = Avc.encodeGrayIdr(px, 32, 32, 8)

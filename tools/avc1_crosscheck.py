@@ -832,6 +832,12 @@ class Picture:
         self.cb_nz = [0] * (n * 4)
         self.cr_nz = [0] * (n * 4)
         self.i4_modes = [-1] * (n * 16)
+        self.mb_chroma_mode = [0] * n
+        self.mb_cbp_luma = [0] * n
+        self.mb_cbp_chroma = [0] * n
+        self.luma_dc_nz = [0] * n
+        self.cb_dc_nz = [0] * n
+        self.cr_dc_nz = [0] * n
         self.slice_deblock = []
 
     def avail(self, mx, my, slc):
@@ -987,7 +993,238 @@ class Picture:
                           cbp_chroma, qp, slc)
         return qp
 
+
+    # ---- CABAC slice + macroblock layer
+
+    def decode_slice_cabac(self, r, first_mb, slice_qp, deblock):
+        slc = len(self.slice_deblock)
+        self.slice_deblock.append(deblock)
+        while r.p % 8:
+            assert r.bit() == 1, "cabac alignment"
+        cd = CabacDec(r, slice_qp)
+        qp_prev = slice_qp
+        prev_dqp = 0
+        addr = first_mb
+        while True:
+            assert addr < self.wmb * self.hmb, "MB address overrun"
+            qp_prev, prev_dqp = self.decode_mb_cabac(cd, addr, qp_prev,
+                                                     slc, prev_dqp)
+            addr += 1
+            if cd.terminate():
+                break
+
+    def _cbf_luma_inc(self, bx, by, slc):
+        def cond(x, y):
+            if x < 0 or y < 0:
+                return 1
+            if not self.avail(x // 4, y // 4, slc):
+                return 1
+            nmb = (y // 4) * self.wmb + x // 4
+            if self.mb_pcm[nmb]:
+                return 1
+            return 1 if self.luma_nz[nmb * 16 + BLK_IDX[(x % 4, y % 4)]] else 0
+        return cond(bx - 1, by) + 2 * cond(bx, by - 1)
+
+    def _cbf_mb_inc(self, mx, my, slc, flag_of):
+        def cond(x, y):
+            if x < 0 or y < 0 or not self.avail(x, y, slc):
+                return 1
+            nmb = y * self.wmb + x
+            if self.mb_pcm[nmb]:
+                return 1
+            return flag_of(nmb)
+        return cond(mx - 1, my) + 2 * cond(mx, my - 1)
+
+    def _cbf_chroma_ac_inc(self, bx, by, is_cb, slc):
+        def cond(x, y):
+            if x < 0 or y < 0:
+                return 1
+            if not self.avail(x // 2, y // 2, slc):
+                return 1
+            nmb = (y // 2) * self.wmb + x // 2
+            if self.mb_pcm[nmb]:
+                return 1
+            arr = self.cb_nz if is_cb else self.cr_nz
+            return 1 if arr[nmb * 4 + (y % 2) * 2 + x % 2] else 0
+        return cond(bx - 1, by) + 2 * cond(bx, by - 1)
+
+    def decode_mb_cabac(self, cd, addr, qp_prev, slc, prev_dqp):
+        wmb = self.wmb
+        mx, my = addr % wmb, addr // wmb
+        self.mb_slice[addr] = slc
+
+        def cond_not_i4(x, y):
+            return 1 if self.avail(x, y, slc) and \
+                not self.mb_i4[y * wmb + x] else 0
+
+        mb_type = 0
+        if cd.decision(3 + cond_not_i4(mx - 1, my) + cond_not_i4(mx, my - 1)):
+            assert not cd.terminate(), "I_PCM in CABAC slice: out of subset"
+            luma_bit = cd.decision(3 + 3)
+            ch = 0
+            if cd.decision(3 + 4):
+                ch = 2 if cd.decision(3 + 5) else 1
+            pm = (cd.decision(3 + 6) << 1) | cd.decision(3 + 7)
+            mb_type = 1 + pm + 4 * ch + 12 * luma_bit
+        is_i4 = mb_type == 0
+        self.mb_i4[addr] = is_i4
+        modes = [0] * 16
+        if is_i4:
+            for b in range(16):
+                ox, oy = BLK_XY[b]
+                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+
+                def ctx(nx, ny):
+                    if nx < 0 or ny < 0:
+                        return -1
+                    nmb = (ny // 4) * wmb + nx // 4
+                    if not self.avail(nx // 4, ny // 4, slc):
+                        return -1
+                    if nmb == addr:
+                        return modes[BLK_IDX[(nx % 4, ny % 4)]]
+                    if not self.mb_i4[nmb]:
+                        return 2
+                    return self.i4_modes[nmb * 16 + BLK_IDX[(nx % 4, ny % 4)]]
+
+                ma = ctx(bx - 1, by)
+                mb_ = ctx(bx, by - 1)
+                pred = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+                if cd.decision(68):
+                    mode = pred
+                else:
+                    rem = 0
+                    for j in range(3):  # FL, LSB first
+                        rem |= cd.decision(69) << j
+                    mode = rem if rem < pred else rem + 1
+                modes[b] = mode
+                self.i4_modes[addr * 16 + b] = mode
+
+        def cond_chroma(x, y):
+            if not self.avail(x, y, slc):
+                return 0
+            nmb = y * wmb + x
+            if self.mb_pcm[nmb] or self.mb_chroma_mode[nmb] == 0:
+                return 0
+            return 1
+
+        chroma_mode = 0
+        if cd.decision(64 + cond_chroma(mx - 1, my) + cond_chroma(mx, my - 1)):
+            chroma_mode = 1
+            if cd.decision(67):
+                chroma_mode = 3 if cd.decision(67) else 2
+        if is_i4:
+            cbp_luma = 0
+            for b8 in range(4):
+                if b8 % 2 == 1:
+                    cond_a = 0 if (cbp_luma >> (b8 - 1)) & 1 else 1
+                elif self.avail(mx - 1, my, slc):
+                    nmb = my * wmb + mx - 1
+                    cond_a = 0 if (self.mb_pcm[nmb] or
+                                   (self.mb_cbp_luma[nmb] >> (b8 + 1)) & 1) else 1
+                else:
+                    cond_a = 0
+                if b8 >= 2:
+                    cond_b = 0 if (cbp_luma >> (b8 - 2)) & 1 else 1
+                elif self.avail(mx, my - 1, slc):
+                    nmb = (my - 1) * wmb + mx
+                    cond_b = 0 if (self.mb_pcm[nmb] or
+                                   (self.mb_cbp_luma[nmb] >> (b8 + 2)) & 1) else 1
+                else:
+                    cond_b = 0
+                cbp_luma |= cd.decision(73 + cond_a + 2 * cond_b) << b8
+
+            def cond_c(x, y, want2):
+                if not self.avail(x, y, slc):
+                    return 0
+                nmb = y * wmb + x
+                if self.mb_pcm[nmb]:
+                    return 1
+                c = self.mb_cbp_chroma[nmb]
+                return 1 if (c == 2 if want2 else c != 0) else 0
+
+            cbp_chroma = 0
+            inc0 = cond_c(mx - 1, my, False) + 2 * cond_c(mx, my - 1, False)
+            if cd.decision(77 + inc0):
+                inc1 = 4 + cond_c(mx - 1, my, True) + 2 * cond_c(mx, my - 1, True)
+                cbp_chroma = 2 if cd.decision(77 + inc1) else 1
+        else:
+            v = mb_type - 1
+            pred16 = v % 4
+            cbp_chroma = (v // 4) % 3
+            cbp_luma = 15 if v >= 12 else 0
+        qp = qp_prev
+        dqp = 0
+        if cbp_luma or cbp_chroma or not is_i4:
+            mapped = 0
+            if cd.decision(60 + (1 if prev_dqp else 0)):
+                mapped = 1
+                if cd.decision(62):
+                    mapped = 2
+                    while mapped <= 52 and cd.decision(63):
+                        mapped += 1
+                    assert mapped <= 52, "qp delta overrun"
+            dqp = (mapped + 1) // 2 if mapped % 2 else -(mapped // 2)
+            assert -26 <= dqp <= 25, "bad qp delta"
+            qp = (qp_prev + dqp + 52) % 52
+        self.mb_qp[addr] = qp
+        self.mb_chroma_mode[addr] = chroma_mode
+        self.mb_cbp_luma[addr] = cbp_luma
+        self.mb_cbp_chroma[addr] = cbp_chroma
+        luma_coef = [[0] * 16 for _ in range(16)]
+        dc_coef = [0] * 16
+        if not is_i4:
+            inc = self._cbf_mb_inc(mx, my, slc, lambda nmb:
+                                   1 if (not self.mb_i4[nmb] and
+                                         self.luma_dc_nz[nmb]) else 0)
+            dc_coef, dc_tc = read_block_cabac(cd, 0, inc, 16)
+            self.luma_dc_nz[addr] = 1 if dc_tc else 0
+        for i8 in range(4):
+            if cbp_luma & (1 << i8):
+                for j in range(4):
+                    b = i8 * 4 + j
+                    ox, oy = BLK_XY[b]
+                    inc = self._cbf_luma_inc(mx * 4 + ox // 4,
+                                             my * 4 + oy // 4, slc)
+                    if is_i4:
+                        luma_coef[b], tc = read_block_cabac(cd, 2, inc, 16)
+                    else:
+                        ac, tc = read_block_cabac(cd, 1, inc, 15)
+                        luma_coef[b] = [0] + ac
+                    self.luma_nz[addr * 16 + b] = tc
+        cb_dc = [0] * 4
+        cr_dc = [0] * 4
+        if cbp_chroma:
+            inc = self._cbf_mb_inc(mx, my, slc, lambda nmb: self.cb_dc_nz[nmb])
+            cb_dc, cb_tc = read_block_cabac(cd, 3, inc, 4)
+            self.cb_dc_nz[addr] = 1 if cb_tc else 0
+            inc = self._cbf_mb_inc(mx, my, slc, lambda nmb: self.cr_dc_nz[nmb])
+            cr_dc, cr_tc = read_block_cabac(cd, 3, inc, 4)
+            self.cr_dc_nz[addr] = 1 if cr_tc else 0
+        cb_ac = [[0] * 16 for _ in range(4)]
+        cr_ac = [[0] * 16 for _ in range(4)]
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for b in range(4):
+                    inc = self._cbf_chroma_ac_inc(mx * 2 + b % 2,
+                                                  my * 2 + b // 2,
+                                                  comp == 0, slc)
+                    ac, tc = read_block_cabac(cd, 4, inc, 15)
+                    if comp == 0:
+                        cb_ac[b] = [0] + ac
+                        self.cb_nz[addr * 4 + b] = tc
+                    else:
+                        cr_ac[b] = [0] + ac
+                        self.cr_nz[addr * 4 + b] = tc
+        if is_i4:
+            self.recon_i4(mx, my, modes, luma_coef, qp, slc)
+        else:
+            self.recon_i16(mx, my, pred16, dc_coef, luma_coef, cbp_luma, qp, slc)
+        self.recon_chroma(mx, my, chroma_mode, cb_dc, cr_dc, cb_ac, cr_ac,
+                          cbp_chroma, qp, slc)
+        return qp, (dqp if (cbp_luma or cbp_chroma or not is_i4) else 0)
+
     # ---- reconstruction helpers
+
 
     def recon_i4(self, mx, my, modes, coefs, qp, slc):
         ys = self.ys
@@ -1210,6 +1447,220 @@ class Picture:
             px[base] = clip255(q0 - delta)
 
 
+
+# --------------------------------------------------------------------
+# CABAC (clause 9.3) — I-slice subset
+# --------------------------------------------------------------------
+# Engine tables (Tables 9-44 / 9-45). Shared published constants with
+# the Scala side, same caveat as the VLC tables above.
+
+RANGE_LPS = [
+    (128, 176, 208, 240), (128, 167, 197, 227), (128, 158, 187, 216),
+    (123, 150, 178, 205), (116, 142, 169, 195), (111, 135, 160, 185),
+    (105, 128, 152, 175), (100, 122, 144, 166), (95, 116, 137, 158),
+    (90, 110, 130, 150), (85, 104, 123, 142), (81, 99, 117, 135),
+    (77, 94, 111, 128), (73, 89, 105, 122), (69, 85, 100, 116),
+    (66, 80, 95, 110), (62, 76, 90, 104), (59, 72, 86, 99),
+    (56, 69, 81, 94), (53, 65, 77, 89), (51, 62, 73, 85),
+    (48, 59, 69, 80), (46, 56, 66, 76), (43, 53, 63, 72),
+    (41, 50, 59, 69), (39, 48, 56, 65), (37, 45, 54, 62),
+    (35, 43, 51, 59), (33, 41, 48, 56), (32, 39, 46, 53),
+    (30, 37, 43, 50), (29, 35, 41, 48), (27, 33, 39, 45),
+    (26, 31, 37, 43), (24, 30, 35, 41), (23, 28, 33, 39),
+    (22, 27, 32, 37), (21, 26, 30, 35), (20, 24, 29, 33),
+    (19, 23, 27, 31), (18, 22, 26, 30), (17, 21, 25, 28),
+    (16, 20, 23, 27), (15, 19, 22, 25), (14, 18, 21, 24),
+    (14, 17, 20, 23), (13, 16, 19, 22), (12, 15, 18, 21),
+    (12, 14, 17, 20), (11, 14, 16, 19), (11, 13, 15, 18),
+    (10, 12, 15, 17), (10, 12, 14, 16), (9, 11, 13, 15),
+    (9, 11, 12, 14), (8, 10, 12, 14), (8, 9, 11, 13),
+    (7, 9, 11, 12), (7, 9, 10, 12), (7, 8, 10, 11),
+    (6, 8, 9, 11), (6, 7, 9, 10), (6, 7, 8, 9), (2, 2, 2, 2),
+]
+
+TRANS_LPS = [0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
+             13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24,
+             24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
+             33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63]
+
+# I-slice (m, n) init pairs for the ctxIdx subset the I-frame syntax uses
+CTX_INIT_I = {}
+
+
+def _init_pairs(base, pairs):
+    for i, mn in enumerate(pairs):
+        CTX_INIT_I[base + i] = mn
+
+
+_init_pairs(0, [(20, -15), (2, 54), (3, 74), (20, -15), (2, 54), (3, 74),
+                (-28, 127), (-23, 104), (-6, 53), (-1, 54), (7, 51)])
+_init_pairs(60, [(0, 41), (0, 63), (0, 63), (0, 63)])
+_init_pairs(64, [(0, 45), (-4, 78), (-3, 96), (-27, 126)])
+_init_pairs(68, [(-28, 98), (-25, 101)])
+_init_pairs(73, [(-16, 83), (-22, 110), (-21, 91), (-18, 102)])
+_init_pairs(77, [(-13, 93), (-29, 127), (-7, 92), (-5, 89), (-7, 96),
+                 (-13, 108), (-3, 46), (-1, 65)])
+_init_pairs(85, [(-17, 123), (-12, 115), (-16, 122), (-11, 115),
+                 (-12, 63), (-2, 68), (-15, 84), (-13, 104),
+                 (-3, 70), (-8, 93), (-10, 90), (-30, 127),
+                 (-1, 74), (-6, 97), (-7, 91), (-20, 127),
+                 (-4, 56), (-5, 82), (-7, 76), (-22, 125)])
+_init_pairs(105, [(-7, 93), (-11, 87), (-3, 77), (-5, 71), (-4, 63),
+                  (-4, 68), (-12, 84), (-7, 62), (-7, 65), (8, 61),
+                  (5, 56), (-2, 66), (1, 64), (0, 61), (-2, 78),
+                  (1, 50), (7, 52), (10, 35), (0, 44), (11, 38),
+                  (1, 45), (0, 46), (5, 44), (31, 17), (1, 51),
+                  (7, 50), (28, 19), (16, 33), (14, 62), (-13, 108),
+                  (-15, 100), (-13, 101), (-13, 91), (-12, 94), (-10, 88),
+                  (-16, 84), (-10, 86), (-7, 83), (-13, 87), (-19, 94),
+                  (1, 70), (0, 72), (-5, 74), (18, 59), (-8, 102),
+                  (-15, 100), (0, 95), (-4, 75), (2, 72), (-11, 75),
+                  (-3, 71), (15, 46), (-13, 69), (0, 62), (0, 65),
+                  (21, 37), (-15, 72), (9, 57), (16, 54), (0, 62),
+                  (12, 72)])
+_init_pairs(166, [(24, 0), (15, 9), (8, 25), (13, 18), (15, 9),
+                  (13, 19), (10, 37), (12, 18), (6, 29), (20, 33),
+                  (15, 30), (4, 45), (1, 58), (0, 62), (7, 61),
+                  (12, 38), (11, 45), (15, 39), (11, 42), (13, 44),
+                  (16, 45), (12, 41), (10, 49), (30, 34), (18, 42),
+                  (10, 55), (17, 51), (17, 46), (0, 89), (26, -19),
+                  (22, -17), (26, -17), (30, -25), (28, -20), (33, -23),
+                  (37, -27), (33, -23), (40, -28), (38, -17), (33, -11),
+                  (40, -15), (41, -6), (38, 1), (41, 17), (30, -6),
+                  (27, 3), (26, 22), (37, -16), (35, -4), (38, -8),
+                  (38, -3), (37, 3), (38, 5), (42, 0), (35, 16),
+                  (39, 22), (14, 48), (27, 37), (21, 60), (12, 68),
+                  (2, 97)])
+_init_pairs(227, [(-3, 71), (-6, 42), (-5, 50), (-3, 54), (-2, 62),
+                  (0, 58), (1, 63), (-2, 72), (-1, 74), (-9, 91),
+                  (-5, 67), (-4, 76), (-4, 77), (-4, 65), (-9, 88),
+                  (-4, 66), (-3, 77), (-3, 76), (-6, 76), (10, 58),
+                  (-1, 76), (-1, 83), (-7, 99), (-14, 95), (2, 95),
+                  (0, 76), (-5, 74), (0, 70), (-11, 75), (1, 68),
+                  (0, 65), (-14, 73), (3, 62), (4, 62), (-1, 68),
+                  (-13, 75), (11, 55), (5, 64), (12, 70), (15, 6),
+                  (6, 19), (7, 16), (12, 14), (18, 13), (13, 11),
+                  (13, 15), (15, 16), (12, 23), (13, 23)])
+
+CAT_OFF_CBF = (0, 4, 8, 12, 16)
+CAT_OFF_SIG = (0, 15, 29, 44, 47)
+CAT_OFF_ABS = (0, 10, 20, 30, 39)
+
+
+class CabacDec:
+    """Arithmetic decoder (9.3.3.2) with per-slice context bank."""
+
+    def __init__(self, r, slice_qp):
+        self.r = r
+        qp = max(0, min(51, slice_qp))
+        self.state = [0] * 277
+        self.mps = [0] * 277
+        for idx, (m, n) in CTX_INIT_I.items():
+            pre = max(1, min(126, ((m * qp) >> 4) + n))
+            if pre <= 63:
+                self.state[idx], self.mps[idx] = 63 - pre, 0
+            else:
+                self.state[idx], self.mps[idx] = pre - 64, 1
+        self.range = 510
+        self.off = 0
+        for _ in range(9):
+            self.off = (self.off << 1) | self._bit()
+
+    def _bit(self):
+        # bits past the stream end read as 0 (trailing alignment supplies
+        # the legitimate tail; truncation then fails a syntax check)
+        if self.r.p < len(self.r.d) * 8:
+            return self.r.bit()
+        return 0
+
+    def decision(self, idx):
+        s = self.state[idx]
+        r_lps = RANGE_LPS[s][(self.range >> 6) & 3]
+        self.range -= r_lps
+        if self.off >= self.range:
+            bin_ = 1 - self.mps[idx]
+            self.off -= self.range
+            self.range = r_lps
+            if s == 0:
+                self.mps[idx] ^= 1
+            self.state[idx] = TRANS_LPS[s]
+        else:
+            bin_ = self.mps[idx]
+            if s < 62:
+                self.state[idx] = s + 1
+        while self.range < 256:
+            self.range <<= 1
+            self.off = (self.off << 1) | self._bit()
+        return bin_
+
+    def bypass(self):
+        self.off = (self.off << 1) | self._bit()
+        if self.off >= self.range:
+            self.off -= self.range
+            return 1
+        return 0
+
+    def terminate(self):
+        self.range -= 2
+        if self.off >= self.range:
+            return 1
+        while self.range < 256:
+            self.range <<= 1
+            self.off = (self.off << 1) | self._bit()
+        return 0
+
+
+def read_block_cabac(cd, cat, cbf_inc, max_coeff):
+    """residual_block_cabac -> (coeffs in scan order, total_coeff)."""
+    coeffs = [0] * max_coeff
+    if not cd.decision(85 + CAT_OFF_CBF[cat] + cbf_inc):
+        return coeffs, 0
+    sig_base = 105 + CAT_OFF_SIG[cat]
+    last_base = 166 + CAT_OFF_SIG[cat]
+    sig = [False] * max_coeff
+    done = False
+    i = 0
+    while i < max_coeff - 1 and not done:
+        inc = min(i, 2) if cat == 3 else i
+        if cd.decision(sig_base + inc):
+            sig[i] = True
+            if cd.decision(last_base + inc):
+                done = True
+        i += 1
+    if not done:
+        sig[max_coeff - 1] = True
+    abs_base = 227 + CAT_OFF_ABS[cat]
+    num_eq1 = num_gt1 = tc = 0
+    for k in range(max_coeff - 1, -1, -1):
+        if not sig[k]:
+            continue
+        inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+        inc_n = 5 + min(4 - (1 if cat == 3 else 0), num_gt1)
+        m = 0
+        if cd.decision(abs_base + inc0):
+            m = 1
+            while m < 14 and cd.decision(abs_base + inc_n):
+                m += 1
+            if m == 14:
+                kk = 0
+                while cd.bypass():
+                    m += 1 << kk
+                    kk += 1
+                    if kk > 30:
+                        raise ValueError("EG0 overrun")
+                while kk:
+                    kk -= 1
+                    m += cd.bypass() << kk
+        level = m + 1
+        coeffs[k] = -level if cd.bypass() else level
+        if level == 1:
+            num_eq1 += 1
+        else:
+            num_gt1 += 1
+        tc += 1
+    return coeffs, tc
+
+
 def decode(data):
     """Decode one Annex-B IDR access unit -> (w, h, luma bytes)."""
     sps_map = {}
@@ -1228,7 +1679,6 @@ def decode(data):
             slice_type = r.ue()
             assert slice_type in (2, 7), "I slices only"
             pps = pps_map[r.ue()]
-            assert not pps["cabac"]
             sps = sps_map[pps["sps"]]
             r.bits(sps["log2_max_frame_num"])
             r.ue()  # idr_pic_id
@@ -1249,7 +1699,10 @@ def decode(data):
                     db["b"] = 2 * r.se()
             if pic is None:
                 pic = Picture(sps, pps)
-            pic.decode_slice(r, first_mb, slice_qp, db)
+            if pps["cabac"]:
+                pic.decode_slice_cabac(r, first_mb, slice_qp, db)
+            else:
+                pic.decode_slice(r, first_mb, slice_qp, db)
     assert pic is not None and all(s >= 0 for s in pic.mb_slice), "partial picture"
     pic.deblock()
     cl, cr, ct, cb = pic.sps["crop"]
