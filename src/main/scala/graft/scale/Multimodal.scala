@@ -366,7 +366,10 @@ object Multimodal {
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
             moofs.foreach { case (_, moofS, moofE) =>
               val mkids = children(moofS + 8, moofE).getOrElse(return None)
+              var trafIdx = 0
               mkids.filter(_._1 == "traf").foreach { case (_, trafS, trafE) =>
+                val isFirstTraf = trafIdx == 0
+                trafIdx += 1
                 val tkids = children(trafS + 8, trafE).getOrElse(return None)
                 val (tfS, tfE) = child(tkids, "tfhd").getOrElse(return None)
                 if (tfS + 16 > tfE) return None
@@ -379,8 +382,15 @@ object Multimodal {
                     if ((tfFlags & 1) != 0) {
                       if (p + 8 > tfE) return None
                       val v = u64be(p); p += 8; v
+                    } else {
+                      // moof-start default: legitimate via the explicit
+                      // default-base-is-moof flag (0x020000) or, per ISO
+                      // 14496-12, for the moof's FIRST traf only — a later
+                      // traf relying on it could silently mis-address
+                      // another track's bytes, so fail closed instead
+                      if ((tfFlags & 0x20000) == 0 && !isFirstTraf) return None
+                      moofS.toLong
                     }
-                    else moofS.toLong // spec default / default-base-is-moof
                   if ((tfFlags & 2) != 0) p += 4
                   if ((tfFlags & 8) != 0) p += 4
                   val defaultSize =
@@ -389,6 +399,10 @@ object Multimodal {
                       val v = u32be(p); p += 4; v
                     }
                     else -1L
+                  // runs without an explicit data offset chain off the
+                  // previous run's end within the traf (first run: the
+                  // base data offset)
+                  var runOff = baseOffset
                   tkids.filter(_._1 == "trun").foreach { case (_, trS, trE) =>
                     if (trS + 16 > trE) return None
                     val trFlags = ((b(trS + 9) & 0xff) << 16) |
@@ -396,12 +410,13 @@ object Multimodal {
                     val n = u32be(trS + 12)
                     if (n < 0 || n > Int.MaxValue) return None
                     var q = trS + 16
-                    // a trun without an explicit data offset would chain
-                    // off the previous run's end: outside the subset
-                    if ((trFlags & 1) == 0) return None
-                    if (q + 4 > trE) return None
-                    var off = baseOffset + u32be(q).toInt // s32 data offset
-                    q += 4
+                    var off =
+                      if ((trFlags & 1) != 0) {
+                        if (q + 4 > trE) return None
+                        val v = baseOffset + u32be(q).toInt // s32 data offset
+                        q += 4
+                        v
+                      } else runOff
                     if ((trFlags & 4) != 0) q += 4
                     var s = 0L
                     while (s < n) {
@@ -420,6 +435,7 @@ object Multimodal {
                       off += size
                       s += 1
                     }
+                    runOff = off
                   }
                 }
               }
@@ -1219,7 +1235,8 @@ object Multimodal {
                                         w: Int, h: Int,
                                         videoFourcc: String = "avc1",
                                         avcc: Array[Byte] = null,
-                                        samplesPerFrag: Int = 2): Array[Byte] = {
+                                        samplesPerFrag: Int = 2,
+                                        chainedTruns: Boolean = false): Array[Byte] = {
     require(videoSamples.nonEmpty && videoFourcc.length == 4 && samplesPerFrag > 0)
     def box(typ: String, payload: Array[Byte]): Array[Byte] =
       be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
@@ -1259,18 +1276,39 @@ object Multimodal {
     out.write(be32(0), 0, 4)
     out.write(moov, 0, moov.length)
     var seq = 1
+    var filePos = out.size()
     videoSamples.grouped(samplesPerFrag).foreach { group =>
       val n = group.length
-      val moofLen = 8 + 16 + (8 + 16 + (20 + 4 * n)) // moof(mfhd, traf(tfhd, trun))
       val mfhd = box("mfhd", full ++ be32(seq.toLong))
-      val tfhd = box("tfhd", Array[Byte](0, 0x02, 0, 0) ++ be32(1)) // default-base-is-moof
-      val trun = box("trun", Array[Byte](0, 0, 0x02, 0x01) ++ be32(n.toLong) ++
-        be32(moofLen + 8L) ++ group.flatMap(s => be32(s.length.toLong)).toArray)
-      val moof = box("moof", mfhd ++ box("traf", tfhd ++ trun))
-      require(moof.length == moofLen, s"moof size ${moof.length} != $moofLen")
+      val moof: Array[Byte] =
+        if (!chainedTruns || n < 2) {
+          val moofLen = 8 + 16 + (8 + 16 + (20 + 4 * n)) // moof(mfhd, traf(tfhd, trun))
+          val tfhd = box("tfhd", Array[Byte](0, 0x02, 0, 0) ++ be32(1)) // default-base-is-moof
+          val trun = box("trun", Array[Byte](0, 0, 0x02, 0x01) ++ be32(n.toLong) ++
+            be32(moofLen + 8L) ++ group.flatMap(s => be32(s.length.toLong)).toArray)
+          val m = box("moof", mfhd ++ box("traf", tfhd ++ trun))
+          require(m.length == moofLen, s"moof size ${m.length} != $moofLen")
+          m
+        } else {
+          // the offset-less chained shape: tfhd carries an absolute
+          // base-data-offset (u64) and BOTH truns omit their data offset —
+          // the first starts at the base, the second chains off its end
+          val (g1, g2) = group.splitAt(n / 2)
+          val moofLen = 8 + 16 +
+            (8 + 24 + (16 + 4 * g1.length) + (16 + 4 * g2.length))
+          val tfhd = box("tfhd", Array[Byte](0, 0, 0, 0x01) ++ be32(1) ++
+            be32(0) ++ be32(filePos + moofLen + 8L)) // base-data-offset u64
+          def sizesTrun(g: Seq[Array[Byte]]) =
+            box("trun", Array[Byte](0, 0, 0x02, 0x00) ++ be32(g.length.toLong) ++
+              g.flatMap(s => be32(s.length.toLong)).toArray)
+          val m = box("moof", mfhd ++ box("traf", tfhd ++ sizesTrun(g1) ++ sizesTrun(g2)))
+          require(m.length == moofLen, s"chained moof size ${m.length} != $moofLen")
+          m
+        }
       out.write(moof, 0, moof.length)
       val mdat = box("mdat", group.flatten.toArray)
       out.write(mdat, 0, mdat.length)
+      filePos += moof.length + mdat.length
       seq += 1
     }
     out.toByteArray
@@ -5440,14 +5478,14 @@ object Multimodal {
     // Decode-coverage report (r16 verdict "what's missing" #1): per
     // (container, codec, status), how many assets — and the spec pins the
     // byte mass — are LIVE to near-dup vs fail-closed, on a planted
-    // mixed-codec corpus: MJPEG MP4s (live), avc1 MP4s with a PCM track
-    // (audio_fallback), avc1 without audio (fail_closed — invisible, the
-    // blind spot this report exists to expose), animated GIFs (live),
-    // lossy-VP8 WebP (live since the Vp8 codec), and VP8X containers
-    // (fail_closed). The oracle is residue-class counting; the engine's
-    // statuses come from actually RUNNING each modality's decode per
-    // asset, so a regression in any codec path moves a row between
-    // statuses and hash-fails.
+    // mixed-codec corpus: MJPEG MP4s (live), opaque avc1 with a PCM track
+    // (audio_fallback), CAVLC and — since r20 — CABAC avc1 IDR streams
+    // (live), P-slice avc1 (fail_closed — the family's remaining measured
+    // blind spot), animated GIFs (live), lossy-VP8 WebP (live since the
+    // Vp8 codec), and VP8X containers (fail_closed). The oracle is
+    // residue-class counting; the engine's statuses come from actually
+    // RUNNING each modality's decode per asset, so a regression in any
+    // codec path moves a row between statuses and hash-fails.
     Q("q298_decode_coverage",
       """WITH c AS (
         |  SELECT 'mp4' AS container, 'jpeg' AS codec, 'live' AS status,
@@ -5455,9 +5493,9 @@ object Multimodal {
         |  UNION ALL SELECT 'mp4', 'avc1', 'audio_fallback', count(1)
         |    FROM documents WHERE doc_id % 8 = 1
         |  UNION ALL SELECT 'mp4', 'avc1', 'live', count(1)
-        |    FROM documents WHERE doc_id % 16 = 2
+        |    FROM documents WHERE doc_id % 16 = 2 OR doc_id % 32 = 10
         |  UNION ALL SELECT 'mp4', 'avc1', 'fail_closed', count(1)
-        |    FROM documents WHERE doc_id % 16 = 10
+        |    FROM documents WHERE doc_id % 32 = 26
         |  UNION ALL SELECT 'gif', 'lzw', 'live', count(1)
         |    FROM documents WHERE doc_id % 8 = 3
         |  UNION ALL SELECT 'webp', 'vp8', 'live', count(1)
@@ -5909,7 +5947,8 @@ object Multimodal {
         | m AS (
         |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
         |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 2
-        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 7)
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 7
+        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 4)
         |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
         |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
@@ -5921,12 +5960,14 @@ object Multimodal {
               def mjpegOf(frames: Seq[Array[Byte]]) = mp4MjpegBytes(
                 frames.map(px => jpegEncodeGray(px, 64, 64, JpegFlatQuant8)),
                 64, 64)
-              def fmp4Of(frames: Seq[Array[Byte]], perFrag: Int) = {
+              def fmp4Of(frames: Seq[Array[Byte]], perFrag: Int,
+                         chained: Boolean = false) = {
                 val streams = frames.map(px => Avc.encodeGrayIdr(px, 64, 64, 6))
                 val (sp, pp, _) = Avc.splitAnnexB(streams.head)
                 mp4FragmentedBytes(
                   streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)),
-                  64, 64, "avc1", Avc.avccPayload(sp, pp), perFrag)
+                  64, 64, "avc1", Avc.avccPayload(sp, pp), perFrag,
+                  chainedTruns = chained)
               }
               val base = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
               val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
@@ -5935,6 +5976,9 @@ object Multimodal {
                 out += ((id + 500000, fmp4Of(base.toSeq, 2)))
               if (id % 10 == 7) // one fragment carrying all samples
                 out += ((id + 600000, fmp4Of(base.toSeq, 4)))
+              if (id % 10 == 4) // offset-less chained truns (r19 verdict
+                // task 5): tfhd base-data-offset, two data-offset-free runs
+                out += ((id + 700000, fmp4Of(base.toSeq, 4, chained = true)))
               out.iterator
             }
           }
@@ -6035,6 +6079,87 @@ Q("q315_jpeg_color_progressive",
       }.toDF("asset_id", "w", "h", "mb", "r", "g", "b", "img_sum")
         .orderBy("asset_id", "mb")
     },
+
+    // CABAC avc1 keyframes join the video near-dup family (r19 verdict
+    // "next round" #1): the q309 frame-vote pipeline with re-encodes
+    // entropy-coded by the r20 CABAC engine ([[graft.scale.Cabac]] —
+    // arithmetic decode certified against the independent Python twin,
+    // which reproduces every CABAC fixture byte-exactly). CABAC carries
+    // the SAME quantized coefficients as CAVLC, so a CABAC re-encode of
+    // an MJPEG-MP4 original — the dominant real-web H.264 shape — lands
+    // inside the q216 Hamming budget and clusters with it; one class is
+    // multi-slice (per-slice context re-initialization runs inside the
+    // certified query); a strongly perturbed CABAC class splits into its
+    // own cluster, so the oracle pins both joins AND splits.
+    Q("q316_avc1_cabac_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | vids AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 6
+        |  UNION ALL SELECT doc_id + 800000, doc_id + 800000 FROM ids WHERE doc_id % 10 = 9)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM vids ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q316-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              import graft.scale.Avc
+              def mjpegOf(frames: Seq[Array[Byte]]) = mp4MjpegBytes(
+                frames.map(px => jpegEncodeGray(px, 64, 64, JpegFlatQuant8)),
+                64, 64)
+              def cabacOf(frames: Seq[Array[Byte]], rowsPerSlice: Int) = {
+                val streams = frames.map(px => Avc.encodeGrayIdr(px, 64, 64, 6,
+                  mbRowsPerSlice = rowsPerSlice, cabac = true))
+                val (sps, pps, _) = Avc.splitAnnexB(streams.head)
+                mp4AvcPcmBytes(
+                  streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)),
+                  64, 64, None, "avc1", Avc.avccPayload(sps, pps))
+              }
+              val base = Array.tabulate(4)(f => synthFramePixels(id, f, pert = false))
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+              out += ((id, mjpegOf(base.toSeq)))
+              if (id % 10 == 3) // single-slice CABAC re-encode
+                out += ((id + 600000, cabacOf(base.toSeq, 0)))
+              if (id % 10 == 6) // multi-slice CABAC: per-slice ctx re-init
+                out += ((id + 700000, cabacOf(base.toSeq, 2)))
+              if (id % 10 == 9) { // strongly perturbed CABAC: own cluster
+                def pert(px: Array[Byte]): Array[Byte] =
+                  Array.tabulate(64 * 64) { i =>
+                    val blk = (i / 64 / 8) * 8 + (i % 64) / 8
+                    if (blk % 2 == 0) ((px(i) & 0xff) + 64).toByte else px(i)
+                  }
+                out += ((id + 800000, cabacOf(base.map(pert).toSeq, 0)))
+              }
+              out.iterator
+            }
+          }
+          .toDF("vid", "bytes").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable mp4 $vid"))
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          (vid * 4 + f, dHash56(px, w, h))
+        }
+      }).toDF("asset_id", "dhash").localCheckpoint()
+      val framePairs = phashPairs(frameHashes)
+        .select(expr("doc_a div 4").as("va"), expr("doc_b div 4").as("vb"))
+        .filter(col("va") =!= col("vb"))
+      val videoEdges = framePairs.groupBy("va", "vb").count()
+        .filter(col("count") >= 2)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val labels = graft.scale.Cluster.connectedComponents(videoEdges)
+        .withColumnRenamed("doc_id", "asset_id")
+      frameHashes.select(expr("asset_id div 4").as("asset_id")).distinct()
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
   )
 
   /** The q298/q306 mixed-codec coverage fixture — one payload per doc in
@@ -6064,21 +6189,32 @@ Q("q315_jpeg_color_progressive",
               case 1 => mp4AvcPcmBytes(
                 Seq(Array.tabulate(64)(i => b1(s"${id}_v$i").toByte)),
                 64, 64, Some(audio(id)))
-              // r19: the avc1 lift — half this class carries a REAL
-              // baseline CAVLC IDR bitstream behind an avcC config (live:
-              // the frame path decodes it through graft.scale.Avc), half
-              // a CABAC-configured avcC (the dominant real-web shape and
-              // the codec family's remaining measured blind spot)
+              // r19: the avc1 lift — CAVLC IDR bitstreams behind an avcC
+              // config decode through graft.scale.Avc. r20: CABAC streams
+              // (the dominant real-web shape) decode too, so that class
+              // flips live; the remaining measured avc1 blind spot is
+              // P-frame content (non-IDR slices), planted as the new
+              // fail-closed witness.
               case 2 =>
                 val annexb = graft.scale.Avc.encodeGrayIdr(px, 64, 64, 6)
                 val (sps, pps, idr) = graft.scale.Avc.splitAnnexB(annexb)
                 if (id % 16 == 2)
                   mp4AvcPcmBytes(Seq(graft.scale.Avc.toAvccSample(idr)),
                     64, 64, None, "avc1", graft.scale.Avc.avccPayload(sps, pps))
-                else
-                  mp4AvcPcmBytes(Seq(graft.scale.Avc.toAvccSample(idr)),
-                    64, 64, None, "avc1",
-                    graft.scale.Avc.avccPayload(sps, Seq(cabacPpsNal(6))))
+                else if (id % 32 == 10) { // REAL CABAC IDR: live since r20
+                  val cb = graft.scale.Avc.encodeGrayIdr(px, 64, 64, 6, cabac = true)
+                  val (s2, p2, i2) = graft.scale.Avc.splitAnnexB(cb)
+                  mp4AvcPcmBytes(Seq(graft.scale.Avc.toAvccSample(i2)),
+                    64, 64, None, "avc1", graft.scale.Avc.avccPayload(s2, p2))
+                } else { // P-slice (non-IDR) shape: fail-closed witness
+                  val pNals = idr.map { n =>
+                    val c = n.clone()
+                    c(0) = ((c(0) & 0xe0) | 1).toByte
+                    c
+                  }
+                  mp4AvcPcmBytes(Seq(graft.scale.Avc.toAvccSample(pNals)),
+                    64, 64, None, "avc1", graft.scale.Avc.avccPayload(sps, pps))
+                }
               case 3 => gifEncodeGrayAnimated(
                 Array.tabulate(2)(f => synthFramePixels(id, f, pert = false)).toSeq,
                 64, 64)
@@ -6105,19 +6241,6 @@ Q("q315_jpeg_color_progressive",
         .write.parquet(s"$p/assets")
     }
     s"$root/assets"
-  }
-
-  /** A spec-valid PPS NAL with entropy_coding_mode_flag = 1 (CABAC) —
-    * the q298 avc1 fail-closed witness: real-web high/main-profile shape
-    * that [[graft.scale.Avc]] must refuse loudly rather than misparse.
-    */
-  private[scale] def cabacPpsNal(qp: Int): Array[Byte] = {
-    val w = new graft.scale.Avc.BitWriter
-    w.ue(0); w.ue(0); w.u1(1) // pps 0, sps 0, CABAC
-    w.u1(0); w.ue(0); w.ue(0); w.ue(0); w.u1(0); w.u(2, 0)
-    w.se(qp - 26); w.se(0); w.se(0); w.u1(0); w.u1(0); w.u1(0)
-    w.rbspTrailing()
-    Array[Byte](0x68) ++ graft.scale.Avc.antiEmulate(w.toBytes)
   }
 
   /** [[colorLift]] applied per pixel: gray w·h → interleaved RGB 3·w·h. */

@@ -940,11 +940,22 @@ class MultimodalSpec extends SparkSpec {
     }
     // magic dispatch reaches it too
     assert(Multimodal.videoDecodeGrayFrames(mp4).isDefined)
-    // CABAC config: refused loudly (the measured blind spot), never parsed
+    // CABAC entropy coding decodes to the SAME frames (live since r20)
+    val cabStreams = frames.map(px => Avc.encodeGrayIdr(px, 64, 64, 6, cabac = true))
+    val (csp, cpp, _) = Avc.splitAnnexB(cabStreams.head)
     val cabac = Multimodal.mp4AvcPcmBytes(
-      streams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)).toSeq,
-      64, 64, None, "avc1", Avc.avccPayload(sp, Seq(Multimodal.cabacPpsNal(6))))
-    assert(Multimodal.mp4DecodeGrayFrames(cabac) === None)
+      cabStreams.map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)).toSeq,
+      64, 64, None, "avc1", Avc.avccPayload(csp, cpp))
+    val cgot = Multimodal.mp4DecodeGrayFrames(cabac)
+    assert(cgot.isDefined, "CABAC avc1 track must decode")
+    // CAVLC fixtures carry I_PCM MBs (outside the CABAC subset), so the
+    // cross-entropy law here is the q216 Hamming budget, not byte equality
+    // (AvcSpec pins byte equality with PCM disabled on both sides)
+    cgot.get._3.zip(frames).zipWithIndex.foreach { case ((dec, src), f) =>
+      val hd = java.lang.Long.bitCount(
+        Multimodal.dHash56(dec, 64, 64) ^ Multimodal.dHash56(src, 64, 64))
+      assert(hd <= 2, s"CABAC frame $f drifted $hd bits")
+    }
     // one undecodable sample fails the whole track closed
     val torn = Multimodal.mp4AvcPcmBytes(
       (streams.dropRight(1).map(b => Avc.toAvccSample(Avc.splitAnnexB(b)._3)) :+
@@ -1161,7 +1172,19 @@ class MultimodalSpec extends SparkSpec {
     val frag2 = Multimodal.mp4FragmentedBytes(samples, 64, 64, "avc1", cfg, 2)
     // truncating the last mdat puts a trun range past the payload: fail closed
     assert(Multimodal.mp4DecodeGrayFrames(frag2.dropRight(40)) === None)
-    // a trun without its data offset is outside the subset: flip the flag
+    // offset-less chained truns (tfhd base-data-offset + two runs without
+    // data offsets) decode identically to the explicit-offset layout
+    for (perFrag <- Seq(2, 4)) {
+      val chained = Multimodal.mp4FragmentedBytes(samples, 64, 64, "avc1", cfg,
+        perFrag, chainedTruns = true)
+      val a = Multimodal.mp4DecodeGrayFrames(
+        Multimodal.mp4FragmentedBytes(samples, 64, 64, "avc1", cfg, perFrag))
+      val c = Multimodal.mp4DecodeGrayFrames(chained)
+      assert(a.isDefined && c.isDefined, s"chained perFrag=$perFrag")
+      assert(a.get._3.map(_.toSeq) == c.get._3.map(_.toSeq), s"chained perFrag=$perFrag")
+    }
+    // clearing both the data-offset and sample-size flags leaves a run
+    // with no size source at all: fail closed
     val noOff = frag2.clone()
     val trunAt = {
       var i = -1
