@@ -585,6 +585,8 @@ object Multimodal {
         b(6) == 'y'.toByte && b(7) == 'p'.toByte) mp4DecodeGrayFrames(b)
     else if (b.length >= 16 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
         b(8) == 'W'.toByte && b(9) == 'E'.toByte) webpDecodeGrayFrames(b)
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte)
+      apngDecodeGrayFrames(b) // animated PNG; stills stay with pngDecodeGray
     else None
 
   /** Decode the first uncompressed-PCM audio track of an MP4 ('twos' =
@@ -1453,6 +1455,170 @@ object Multimodal {
     val ihdr = be32s(w.toLong) ++ be32s(h.toLong) ++ Array[Byte](8, 0, 0, 0, 0)
     PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
       pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Encode a frame sequence as a REAL animated PNG (APNG, RFC 9649's
+    * sibling registration / the W3C PNG-3 animation chunks): IHDR + acTL,
+    * frame 0 as fcTL + IDAT (part of the animation), later frames as
+    * fcTL + fdAT with the shared monotone sequence numbering. Every frame
+    * is full-canvas, blend SOURCE — the crawl re-upload shape. Per-frame
+    * pixel data reuses [[pngEncodeGray]]'s adaptive-filter emit, so each
+    * frame round-trips losslessly.
+    */
+  def apngEncodeGray(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h))
+    def idatOf(px: Array[Byte]): Array[Byte] = {
+      // extract the IDAT payload of the still encoder's output
+      val png = pngEncodeGray(px, w, h)
+      var i = 8
+      while (i + 12 <= png.length) {
+        val len = (((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+          ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff))
+        if (new String(png, i + 4, 4, "US-ASCII") == "IDAT")
+          return java.util.Arrays.copyOfRange(png, i + 8, i + 8 + len)
+        i += 12 + len
+      }
+      throw new IllegalStateException("pngEncodeGray emitted no IDAT")
+    }
+    def fcTL(seq: Int): Array[Byte] =
+      be32s(seq.toLong) ++ be32s(w.toLong) ++ be32s(h.toLong) ++
+        be32s(0) ++ be32s(0) ++ // x_offset, y_offset
+        Array[Byte](0, 1, 0, 10) ++ // delay 1/10 s
+        Array[Byte](0, 0) // dispose APNG_DISPOSE_OP_NONE, blend SOURCE
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, PngSig.length)
+    val ihdr = be32s(w.toLong) ++ be32s(h.toLong) ++ Array[Byte](8, 0, 0, 0, 0)
+    def put(c: Array[Byte]): Unit = out.write(c, 0, c.length)
+    put(pngChunk("IHDR", ihdr))
+    put(pngChunk("acTL", be32s(frames.length.toLong) ++ be32s(0))) // loop forever
+    var seq = 0
+    frames.zipWithIndex.foreach { case (px, fi) =>
+      put(pngChunk("fcTL", fcTL(seq))); seq += 1
+      if (fi == 0) put(pngChunk("IDAT", idatOf(px)))
+      else {
+        put(pngChunk("fdAT", be32s(seq.toLong) ++ idatOf(px)))
+        seq += 1
+      }
+    }
+    put(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Decode an animated PNG's frames to 8-bit gray — the APNG lift into
+    * the video frame-vote family (r19 verdict "next round" #4). Subset:
+    * 8-bit grayscale, non-interlaced, every frame full-canvas with blend
+    * SOURCE (each frame fully replaces the canvas, so dispose ops cannot
+    * matter) and consecutive sequence numbers; anything else fails
+    * closed. A PNG without acTL returns None here — it is a STILL and
+    * keeps decoding through [[pngDecodeGray]] (the stills law, unchanged).
+    */
+  def apngDecodeGrayFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+    def u32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    var w = -1
+    var h = -1
+    var numFrames = -1
+    var seqExpect = 0
+    var idatIsFrame0 = false
+    var sawFctlBeforeIdat = false
+    var sawIdat = false
+    val frameData = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
+    var i = 8
+    var ended = false
+    while (!ended && i + 12 <= b.length) {
+      val len = u32(i)
+      if (len > b.length - i - 12) return None
+      val tag = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len.toInt)
+      if (crc.getValue != u32(i + 8 + len.toInt)) return None
+      val d = i + 8
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = u32(d).toInt; h = u32(d + 4).toInt
+          if (w <= 0 || h <= 0 || w > 16384 || h > 16384) return None
+          // gray 8-bit, non-interlaced only in the animated subset
+          if ((b(d + 8) & 0xff) != 8 || (b(d + 9) & 0xff) != 0 ||
+            (b(d + 12) & 0xff) != 0) return None
+        case "acTL" =>
+          if (len != 8 || numFrames >= 0 || sawIdat) return None
+          numFrames = u32(d).toInt
+          if (numFrames <= 0 || numFrames > 4096) return None
+        case "fcTL" =>
+          if (len != 26 || numFrames < 0) return None
+          if (u32(d).toInt != seqExpect) return None
+          seqExpect += 1
+          // full-canvas SOURCE frames only
+          if (u32(d + 4).toInt != w || u32(d + 8).toInt != h ||
+            u32(d + 12) != 0 || u32(d + 16) != 0) return None
+          if ((b(d + 25) & 0xff) != 0) return None // blend must be SOURCE
+          if (!sawIdat) { sawFctlBeforeIdat = true; idatIsFrame0 = true }
+          frameData += new java.io.ByteArrayOutputStream()
+        case "IDAT" =>
+          sawIdat = true
+          if (idatIsFrame0) frameData.head.write(b, d, len.toInt)
+          // an IDAT without a preceding fcTL is the non-animated default
+          // image: skipped (not part of the animation)
+        case "fdAT" =>
+          if (len < 4 || frameData.isEmpty) return None
+          if (u32(d).toInt != seqExpect) return None
+          seqExpect += 1
+          frameData.last.write(b, d + 4, len.toInt - 4)
+        case "IEND" => ended = true
+        case _ => ()
+      }
+      i += 12 + len.toInt
+    }
+    if (!ended || numFrames < 0 || w <= 0) return None
+    if (frameData.length != numFrames) return None
+    if (!sawFctlBeforeIdat && frameData.isEmpty) return None
+    val frames = frameData.map { fd =>
+      if (fd.size == 0) return None
+      val raw = new Array[Byte](h * (w + 1))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(fd.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          if (n == 0 && inflater.needsInput()) return None
+          off += n
+        }
+        if (!inflater.finished() && inflater.inflate(new Array[Byte](1)) != 0)
+          return None // more pixel data than the geometry admits
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inflater.end()
+      if (off != raw.length) return None
+      // unfilter (gray: bpp 1)
+      val px = new Array[Byte](w * h)
+      var r = 0
+      while (r < h) {
+        val f = raw(r * (w + 1)) & 0xff
+        if (f > 4) return None
+        var x = 0
+        while (x < w) {
+          val v = raw(r * (w + 1) + 1 + x) & 0xff
+          val left = if (x > 0) px(r * w + x - 1) & 0xff else 0
+          val up = if (r > 0) px((r - 1) * w + x) & 0xff else 0
+          val ul = if (x > 0 && r > 0) px((r - 1) * w + x - 1) & 0xff else 0
+          val rec = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case _ => v + paeth(left, up, ul)
+          }
+          px(r * w + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      px
+    }
+    Some((w, h, frames.toSeq))
   }
 
   /** The [[pngEncodeGray]] adaptive-filter cycle generalized to `bpp`-byte
@@ -6253,6 +6419,67 @@ Q("q315_jpeg_color_progressive",
       val labels = graft.scale.Cluster.connectedComponents(phashPairs(hashes))
         .withColumnRenamed("doc_id", "asset_id")
       hashes.select("asset_id")
+        .join(labels, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("cluster"))
+        .orderBy("asset_id")
+    },
+
+    // ANIMATED PNG joins the video frame-vote family (r19 verdict "next
+    // round" #4): fcTL/fdAT frames decode through [[apngDecodeGrayFrames]]
+    // to the SAME container-invariant frame keys as GIF/MP4, so an APNG
+    // re-upload of an animated GIF — a common crawl shape for short
+    // clips — collects frame votes and clusters with the original. The
+    // stills law is untouched: a plain PNG has no acTL and keeps decoding
+    // as an image. Classes: APNG of the same frames (lossless both sides
+    // -> Hamming 0), APNG of per-block-dithered frames (rides the
+    // standard budget), APNG of fresh content (own cluster).
+    Q("q318_apng_neardup",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        | m AS (
+        |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
+        |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 2
+        |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT doc_id + 700000, doc_id + 700000 FROM ids WHERE doc_id % 10 = 8)
+        |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val feed = graft.core.FixtureCache.dir(s"q318-assets@$d") { p =>
+        fixtureIds(s, d)
+          .mapPartitions { ids =>
+            ids.flatMap { id =>
+              def framesOf(src: Long, pert: Boolean) =
+                Array.tabulate(4)(f => synthFramePixels(src, f, pert)).toSeq
+              val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+              out += ((id, gifEncodeGrayAnimated(framesOf(id, pert = false), 64, 64)))
+              if (id % 10 == 2)
+                out += ((id + 500000, apngEncodeGray(framesOf(id, pert = false), 64, 64)))
+              if (id % 10 == 5)
+                out += ((id + 600000, apngEncodeGray(framesOf(id, pert = true), 64, 64)))
+              if (id % 10 == 8)
+                out += ((id + 700000, apngEncodeGray(framesOf(id + 900000, pert = false), 64, 64)))
+              out.iterator
+            }
+          }
+          .toDF("vid", "bytes").write.parquet(s"$p/a")
+      }
+      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
+        val (w, h, frames) = videoDecodeGrayFrames(bytes).getOrElse(
+          throw new IllegalStateException(s"undecodable animation $vid"))
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          (vid * 4 + f, dHash56(px, w, h))
+        }
+      }).toDF("asset_id", "dhash").localCheckpoint()
+      val framePairs = phashPairs(frameHashes)
+        .select(expr("doc_a div 4").as("va"), expr("doc_b div 4").as("vb"))
+        .filter(col("va") =!= col("vb"))
+      val videoEdges = framePairs.groupBy("va", "vb").count()
+        .filter(col("count") >= 2)
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+      val labels = graft.scale.Cluster.connectedComponents(videoEdges)
+        .withColumnRenamed("doc_id", "asset_id")
+      frameHashes.select(expr("asset_id div 4").as("asset_id")).distinct()
         .join(labels, Seq("asset_id"), "left")
         .select(col("asset_id"),
           coalesce(col("cluster"), col("asset_id")).as("cluster"))

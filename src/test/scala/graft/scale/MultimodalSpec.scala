@@ -1299,6 +1299,77 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("APNG: fdAT frames decode losslessly; stills law unchanged; fail-closed") {
+    val frames = Array.tabulate(4)(f => Multimodal.synthFramePixels(21L, f, pert = false)).toSeq
+    val apng = Multimodal.apngEncodeGray(frames, 64, 64)
+    // the animation decodes frame-exactly (both codecs lossless)
+    val got = Multimodal.apngDecodeGrayFrames(apng)
+    assert(got.exists(g => g._1 == 64 && g._2 == 64 && g._3.length == 4))
+    got.get._3.zip(frames).zipWithIndex.foreach { case ((dec, src), f) =>
+      assert(dec.toSeq == src.toSeq, s"frame $f")
+    }
+    // magic dispatch reaches it; frame keys match the GIF twin exactly
+    assert(Multimodal.videoDecodeGrayFrames(apng).isDefined)
+    val gif = Multimodal.gifEncodeGrayAnimated(frames, 64, 64)
+    val gifFrames = Multimodal.gifDecodeGrayFrames(gif).get._3
+    got.get._3.zip(gifFrames).foreach { case (a, g) =>
+      assert(a.toSeq == g.toSeq, "APNG and GIF frames must be key-identical")
+    }
+    // STILLS LAW: the still decoder reads an APNG's default image
+    // (frame 0 here, fcTL-before-IDAT), and a plain PNG — no acTL —
+    // stays out of the animation path entirely
+    assert(Multimodal.pngDecodeGray(apng).exists(_._3.toSeq == frames.head.toSeq))
+    val still = Multimodal.pngEncodeGray(frames.head, 64, 64)
+    assert(Multimodal.apngDecodeGrayFrames(still) === None)
+    assert(Multimodal.videoDecodeGrayFrames(still) === None)
+    assert(Multimodal.pngDecodeGray(still).isDefined)
+    // fail-closed: out-of-order sequence numbers (swap the two fdAT
+    // sequence fields and refresh their CRCs)
+    def chunkAt(b: Array[Byte], tag: String, nth: Int): Int = {
+      var i = 8
+      var seen = 0
+      while (i + 12 <= b.length) {
+        val len = (((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+          ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+        if (new String(b, i + 4, 4, "US-ASCII") == tag) {
+          if (seen == nth) return i
+          seen += 1
+        }
+        i += 12 + len
+      }
+      -1
+    }
+    def refreshCrc(b: Array[Byte], at: Int): Unit = {
+      val len = (((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+        ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff))
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, at + 4, 4 + len)
+      val v = crc.getValue
+      b(at + 8 + len) = ((v >> 24) & 0xff).toByte
+      b(at + 9 + len) = ((v >> 16) & 0xff).toByte
+      b(at + 10 + len) = ((v >> 8) & 0xff).toByte
+      b(at + 11 + len) = (v & 0xff).toByte
+    }
+    val bad = apng.clone()
+    val f1 = chunkAt(bad, "fdAT", 0)
+    val f2 = chunkAt(bad, "fdAT", 1)
+    assert(f1 > 0 && f2 > 0)
+    val tmp = java.util.Arrays.copyOfRange(bad, f1 + 8, f1 + 12)
+    System.arraycopy(bad, f2 + 8, bad, f1 + 8, 4)
+    System.arraycopy(tmp, 0, bad, f2 + 8, 4)
+    refreshCrc(bad, f1); refreshCrc(bad, f2)
+    assert(Multimodal.apngDecodeGrayFrames(bad) === None)
+    // fail-closed: a non-full-canvas frame (fcTL width halved)
+    val crop = apng.clone()
+    val fc = chunkAt(crop, "fcTL", 1)
+    crop(fc + 8 + 7) = 32 // width 64 -> 32 (low byte)
+    refreshCrc(crop, fc)
+    assert(Multimodal.apngDecodeGrayFrames(crop) === None)
+    // fail-closed: truncated fdAT payload (declared frames missing data)
+    assert(Multimodal.apngDecodeGrayFrames(
+      apng.take(f2) ++ apng.takeRight(12)) === None)
+  }
+
   test("fMP4 tfhd/trun truncated at EOF fails closed, no crash") {
     import graft.scale.Avc
     val px = Multimodal.synthFramePixels(11L, 0, pert = false)
