@@ -1812,6 +1812,43 @@ object Multimodal {
       zlibDeflate(pngFilterRows(data, rowBytes, h, 1)), depth)
   }
 
+  /** Packed-depth (1/2/4-bit) grayscale PNG WITH Adam7 interlacing — the
+    * combined shape (tiny icons saved "progressive"; r19 verdict task 7):
+    * each pass's rows pack MSB-first at the depth with bit-padded PASS
+    * rows, then filter byte-granular at bpp 1 (spec 9.2's floor) — exactly
+    * the geometry the decoder's combined packed+interlaced path walks.
+    */
+  def pngEncodeGrayPackedAdam7(px: Array[Byte], w: Int, h: Int,
+                               depth: Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"packed depth $depth")
+    require(px.length == w * h)
+    val scale = 255 / ((1 << depth) - 1)
+    val parts = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val prb = (pw * depth + 7) / 8
+        val sub = new Array[Byte](ph * prb)
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            val v = px((y0 + r * dy) * w + (x0 + c * dx)) & 0xff
+            require(v % scale == 0, s"pixel $v not on the $depth-bit lattice")
+            val bitPos = c * depth
+            sub(r * prb + (bitPos >> 3)) = (sub(r * prb + (bitPos >> 3)) |
+              ((v / scale) << (8 - depth - (bitPos & 7)))).toByte
+            c += 1
+          }
+          r += 1
+        }
+        parts.write(pngFilterRows(sub, prb, ph, 1))
+      }
+    }
+    pngAssemble(w, h, 0, 1, null, null, zlibDeflate(parts.toByteArray), depth)
+  }
+
   /** REAL packed-depth palette PNG: indices into a <= 2^depth-entry RGB
     * palette, packed MSB-first — the small-icon shape.
     */
@@ -6069,7 +6106,8 @@ object Multimodal {
         |  SELECT doc_id AS aid, doc_id AS cluster FROM ids
         |  UNION ALL SELECT doc_id + 500000, doc_id FROM ids WHERE doc_id % 10 = 2
         |  UNION ALL SELECT doc_id + 600000, doc_id FROM ids WHERE doc_id % 10 = 5
-        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 8)
+        |  UNION ALL SELECT doc_id + 700000, doc_id FROM ids WHERE doc_id % 10 = 8
+        |  UNION ALL SELECT doc_id + 800000, doc_id FROM ids WHERE doc_id % 10 = 4)
         |SELECT aid AS asset_id, CAST(cluster AS BIGINT) AS cluster
         |FROM m ORDER BY asset_id""".stripMargin) { (s, d) =>
       import s.implicits._
@@ -6092,6 +6130,8 @@ object Multimodal {
               if (id % 10 == 8) // dithered packed: standard budget
                 out += ((id + 700000, pngEncodeGrayPacked(
                   post4(synthPixels(id, pert = true)), 64, 64, 4), "png"))
+              if (id % 10 == 4) // packed AND Adam7-interlaced (r19 task 7)
+                out += ((id + 800000, pngEncodeGrayPackedAdam7(base, 64, 64, 4), "png"))
               out.iterator
             }
           }

@@ -1079,6 +1079,14 @@ class MultimodalSpec extends SparkSpec {
       val small = lattice.take(nw * 5)
       val e2 = Multimodal.pngEncodeGrayPacked(small, nw, 5, d)
       assert(Multimodal.pngDecodeGray(e2).exists(_._3.toSeq == small.toSeq), s"d=$d w=13")
+      // packed AND Adam7-interlaced: per-pass bit-padded rows scatter back
+      // to the identical image (r19 verdict task 7 — the combined shape)
+      val eI = Multimodal.pngEncodeGrayPackedAdam7(lattice, 64, 64, d)
+      assert(Multimodal.pngDecodeGray(eI).exists(_._3.toSeq == lattice.toSeq),
+        s"adam7 d=$d")
+      val eI2 = Multimodal.pngEncodeGrayPackedAdam7(small, nw, 5, d)
+      assert(Multimodal.pngDecodeGray(eI2).exists(_._3.toSeq == small.toSeq),
+        s"adam7 d=$d w=13")
     }
     // 4-bit palette: 16-entry gray palette, exact roundtrip
     val pal16 = Array.tabulate[Byte](48)(k => (17 * (k / 3)).toByte)
