@@ -188,6 +188,7 @@ object Avc {
   private[scale] final case class Sps(
       profileIdc: Int, levelIdc: Int, spsId: Int,
       log2MaxFrameNum: Int, pocType: Int, log2MaxPocLsb: Int,
+      pocDeltaZero: Boolean,
       widthMbs: Int, heightMbs: Int,
       cropL: Int, cropR: Int, cropT: Int, cropB: Int) {
     def width: Int = widthMbs * 16 - 2 * (cropL + cropR)
@@ -197,7 +198,8 @@ object Avc {
   private[scale] final case class Pps(
       ppsId: Int, spsId: Int, cabac: Boolean, picInitQp: Int,
       chromaQpOffset: Int, deblockCtrl: Boolean, constrainedIntra: Boolean,
-      redundantPicCnt: Boolean, picOrderPresent: Boolean)
+      redundantPicCnt: Boolean, picOrderPresent: Boolean,
+      weightedPred: Boolean, numRefL0Default: Int)
 
   /** Parse a seq_parameter_set RBSP. None = outside the decoded subset
     * (chroma != 4:2:0, >8 bit, fields, separate planes, multiple slice
@@ -220,10 +222,12 @@ object Avc {
     }
     val log2MaxFrameNum = r.ue() + 4
     val pocType = r.ue()
+    var pocDeltaZero = true
     val log2MaxPocLsb =
       if (pocType == 0) r.ue() + 4
       else if (pocType == 1) {
-        r.flag(); r.se(); r.se()
+        pocDeltaZero = r.flag() // delta_pic_order_always_zero_flag
+        r.se(); r.se()
         val n = r.ue()
         var i = 0
         while (i < n) { r.se(); i += 1 }
@@ -242,7 +246,7 @@ object Avc {
     if (widthMbs <= 0 || heightMapUnits <= 0 || widthMbs > 1024 ||
         heightMapUnits > 1024) return None
     val sps = Sps(profile, level, spsId, log2MaxFrameNum, pocType,
-      log2MaxPocLsb, widthMbs, heightMapUnits, cl, cr, ct, cb)
+      log2MaxPocLsb, pocDeltaZero, widthMbs, heightMapUnits, cl, cr, ct, cb)
     if (sps.width <= 0 || sps.height <= 0) None else Some(sps)
   }
 
@@ -252,9 +256,9 @@ object Avc {
     val cabac = r.flag()
     val picOrderPresent = r.flag() // bottom_field_pic_order_in_frame_present
     if (r.ue() != 0) return None // num_slice_groups_minus1: FMO fails closed
-    r.ue() // num_ref_idx_l0_default_active_minus1
+    val numRefL0Default = r.ue() // num_ref_idx_l0_default_active_minus1
     r.ue() // num_ref_idx_l1_default_active_minus1
-    r.flag() // weighted_pred_flag
+    val weightedPred = r.flag() // weighted_pred_flag
     r.u(2) // weighted_bipred_idc
     val picInitQp = r.se() + 26
     r.se() // pic_init_qs
@@ -271,7 +275,8 @@ object Avc {
     }
     if (picInitQp < 0 || picInitQp > 51) return None
     Some(Pps(ppsId, spsId, cabac, picInitQp, chromaQpOffset, deblockCtrl,
-      constrainedIntra, redundant, picOrderPresent))
+      constrainedIntra, redundant, picOrderPresent, weightedPred,
+      numRefL0Default))
   }
 
   // ------------------------------------------------------------------
@@ -812,6 +817,239 @@ object Avc {
     m
   }
 
+  /** Table 9-4 inter column (codeNum -> cbp) for P-macroblock
+    * coded_block_pattern; the intra column is [[CbpIntra]] above.
+    */
+  private[scale] val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  private[scale] val CbpInterInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(CbpInter(i)) = i; i += 1 }
+    inv
+  }
+
+  // ------------------------------------------------------------------
+  // Inter prediction machinery (8.4), shared by the decoder and the
+  // fixture encoder so motion-vector prediction cannot diverge.
+  // ------------------------------------------------------------------
+
+  /** Per-4x4-block motion field of the picture being (de)coded.
+    * `blkRef`: -2 = block not yet coded (unavailable for prediction),
+    * -1 = coded intra/PCM (available, no motion), 0 = inter with the
+    * single reference picture of the decoded subset. Motion vectors are
+    * in quarter-luma-sample units.
+    */
+  private[scale] final class MotionField(val wMb: Int, val hMb: Int) {
+    val blkRef: Array[Byte] = Array.fill[Byte](wMb * hMb * 16)(-2)
+    val mvX = new Array[Short](wMb * hMb * 16)
+    val mvY = new Array[Short](wMb * hMb * 16)
+    /** Index of the 4x4 block at global block coords (raster in MB). */
+    @inline def idx(bx: Int, by: Int): Int =
+      ((by >> 2) * wMb + (bx >> 2)) * 16 + (by & 3) * 4 + (bx & 3)
+    /** Assign one partition's motion to every 4x4 block it covers
+      * (`x0`,`y0`,`w`,`h` in luma samples, picture-absolute).
+      */
+    def setBlocks(x0: Int, y0: Int, w: Int, h: Int, mvx: Int, mvy: Int): Unit = {
+      var by = y0 >> 2
+      while (by < ((y0 + h) >> 2)) {
+        var bx = x0 >> 2
+        while (bx < ((x0 + w) >> 2)) {
+          val i = idx(bx, by)
+          blkRef(i) = 0
+          mvX(i) = mvx.toShort
+          mvY(i) = mvy.toShort
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    /** Mark a whole macroblock intra-coded (no motion). */
+    def setIntraMb(addr: Int): Unit = {
+      var i = addr * 16
+      val e = i + 16
+      while (i < e) { blkRef(i) = -1; i += 1 }
+    }
+  }
+
+  /** Neighbor descriptor for MV prediction: `avail` per 6.4 (decoded, in
+    * picture, same slice, already coded in block decode order); `ref` is
+    * -1 for intra/unavailable, else the reference index (always 0 here).
+    */
+  private[scale] final case class MvN(avail: Boolean, ref: Int, mvx: Int, mvy: Int)
+
+  /** The motion info of the 4x4 block containing luma sample (xN, yN).
+    * `mbOk(addr)` answers MB-level availability (decoded + same slice).
+    */
+  private[scale] def mvNeighbor(mf: MotionField, mbOk: Int => Boolean,
+                                xN: Int, yN: Int): MvN = {
+    if (xN < 0 || yN < 0 || xN >= mf.wMb * 16 || yN >= mf.hMb * 16)
+      return MvN(avail = false, -1, 0, 0)
+    val mb = (yN >> 4) * mf.wMb + (xN >> 4)
+    if (!mbOk(mb)) return MvN(avail = false, -1, 0, 0)
+    val i = mf.idx(xN >> 2, yN >> 2)
+    val r = mf.blkRef(i)
+    if (r == -2) MvN(avail = false, -1, 0, 0) // not yet coded
+    else if (r < 0) MvN(avail = true, -1, 0, 0) // intra: no motion
+    else MvN(avail = true, r, mf.mvX(i), mf.mvY(i))
+  }
+
+  @inline private def med3(a: Int, b: Int, c: Int): Int =
+    math.max(math.min(a, b), math.min(math.max(a, b), c))
+
+  /** Luma motion-vector prediction (8.4.1.3) for the partition at
+    * (`x0`,`y0`) of size `w`x`h` (picture-absolute luma samples).
+    * `partKind`: 0 general median rule, 1 = 16x8 top, 2 = 16x8 bottom,
+    * 3 = 8x16 left, 4 = 8x16 right (the directional shortcuts apply to
+    * macroblock partitions only, never to 8x8 sub-partitions).
+    */
+  private[scale] def mvPredict(mf: MotionField, mbOk: Int => Boolean,
+                               x0: Int, y0: Int, w: Int, h: Int,
+                               partKind: Int): (Int, Int) = {
+    val a = mvNeighbor(mf, mbOk, x0 - 1, y0)
+    val b = mvNeighbor(mf, mbOk, x0, y0 - 1)
+    var c = mvNeighbor(mf, mbOk, x0 + w, y0 - 1)
+    if (!c.avail) c = mvNeighbor(mf, mbOk, x0 - 1, y0 - 1) // D substitutes
+    partKind match {
+      case 1 => if (b.ref == 0) return (b.mvx, b.mvy)
+      case 2 => if (a.ref == 0) return (a.mvx, a.mvy)
+      case 3 => if (a.ref == 0) return (a.mvx, a.mvy)
+      case 4 => if (c.ref == 0) return (c.mvx, c.mvy)
+      case _ => ()
+    }
+    if (!b.avail && !c.avail && a.avail) return (a.mvx, a.mvy)
+    val nMatch = (if (a.ref == 0) 1 else 0) + (if (b.ref == 0) 1 else 0) +
+      (if (c.ref == 0) 1 else 0)
+    if (nMatch == 1) {
+      if (a.ref == 0) (a.mvx, a.mvy)
+      else if (b.ref == 0) (b.mvx, b.mvy)
+      else (c.mvx, c.mvy)
+    } else
+      (med3(a.mvx, b.mvx, c.mvx), med3(a.mvy, b.mvy, c.mvy))
+  }
+
+  /** P_Skip motion vector (8.4.1.1): zero when either MB neighbor is
+    * outside the picture/slice or carries a zero vector with ref 0; the
+    * 16x16 median prediction otherwise.
+    */
+  private[scale] def mvSkip(mf: MotionField, mbOk: Int => Boolean,
+                            mx: Int, my: Int): (Int, Int) = {
+    val a = mvNeighbor(mf, mbOk, mx * 16 - 1, my * 16)
+    val b = mvNeighbor(mf, mbOk, mx * 16, my * 16 - 1)
+    if (!a.avail || !b.avail ||
+        (a.ref == 0 && a.mvx == 0 && a.mvy == 0) ||
+        (b.ref == 0 && b.mvx == 0 && b.mvy == 0)) (0, 0)
+    else mvPredict(mf, mbOk, mx * 16, my * 16, 16, 16, 0)
+  }
+
+  /** Quarter-sample luma motion compensation (8.4.2.2.1) of a `bw`x`bh`
+    * block at picture position (`x0`,`y0`) displaced by (`mvx`,`mvy`) in
+    * quarter samples. Out-of-picture reads clamp to the nearest edge
+    * sample. Output into `out` at `outOff` with row stride `outStride`.
+    */
+  private[scale] def interpLumaBlock(ref: Array[Byte], stride: Int, picH: Int,
+                                     x0: Int, y0: Int, bw: Int, bh: Int,
+                                     mvx: Int, mvy: Int, out: Array[Int],
+                                     outStride: Int, outOff: Int): Unit = {
+    val fx = mvx & 3
+    val fy = mvy & 3
+    val bx = x0 + (mvx >> 2)
+    val by = y0 + (mvy >> 2)
+    @inline def at(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= stride) stride - 1 else x
+      val cy = if (y < 0) 0 else if (y >= picH) picH - 1 else y
+      ref(cy * stride + cx) & 0xff
+    }
+    // 6-tap (1,-5,20,20,-5,1) intermediate sums; the half-sample between
+    // (x,y) and its right/below neighbor
+    @inline def hSum(x: Int, y: Int): Int =
+      at(x - 2, y) - 5 * at(x - 1, y) + 20 * at(x, y) + 20 * at(x + 1, y) -
+        5 * at(x + 2, y) + at(x + 3, y)
+    @inline def vSum(x: Int, y: Int): Int =
+      at(x, y - 2) - 5 * at(x, y - 1) + 20 * at(x, y) + 20 * at(x, y + 1) -
+        5 * at(x, y + 2) + at(x, y + 3)
+    @inline def hHalf(x: Int, y: Int): Int = clamp255((hSum(x, y) + 16) >> 5)
+    @inline def vHalf(x: Int, y: Int): Int = clamp255((vSum(x, y) + 16) >> 5)
+    /** Center half-sample j: 6-tap across the unrounded vertical sums. */
+    @inline def jHalf(x: Int, y: Int): Int =
+      clamp255((vSum(x - 2, y) - 5 * vSum(x - 1, y) + 20 * vSum(x, y) +
+        20 * vSum(x + 1, y) - 5 * vSum(x + 2, y) + vSum(x + 3, y) + 512) >> 10)
+    var j = 0
+    while (j < bh) {
+      val y = by + j
+      var i = 0
+      while (i < bw) {
+        val x = bx + i
+        val v = (fy * 4 + fx) match {
+          case 0  => at(x, y)                                    // G
+          case 1  => (at(x, y) + hHalf(x, y) + 1) >> 1           // a
+          case 2  => hHalf(x, y)                                 // b
+          case 3  => (at(x + 1, y) + hHalf(x, y) + 1) >> 1       // c
+          case 4  => (at(x, y) + vHalf(x, y) + 1) >> 1           // d
+          case 5  => (hHalf(x, y) + vHalf(x, y) + 1) >> 1        // e
+          case 6  => (hHalf(x, y) + jHalf(x, y) + 1) >> 1        // f
+          case 7  => (hHalf(x, y) + vHalf(x + 1, y) + 1) >> 1    // g
+          case 8  => vHalf(x, y)                                 // h
+          case 9  => (vHalf(x, y) + jHalf(x, y) + 1) >> 1        // i
+          case 10 => jHalf(x, y)                                 // j
+          case 11 => (jHalf(x, y) + vHalf(x + 1, y) + 1) >> 1    // k
+          case 12 => (at(x, y + 1) + vHalf(x, y) + 1) >> 1       // n
+          case 13 => (vHalf(x, y) + hHalf(x, y + 1) + 1) >> 1    // p
+          case 14 => (jHalf(x, y) + hHalf(x, y + 1) + 1) >> 1    // q
+          case _  => (vHalf(x + 1, y) + hHalf(x, y + 1) + 1) >> 1 // r
+        }
+        out(outOff + j * outStride + i) = v
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Eighth-sample chroma motion compensation (8.4.2.2.2): bilinear with
+    * 1/8 weights; `mvx`/`mvy` are the LUMA quarter-sample vectors.
+    */
+  private[scale] def interpChromaBlock(ref: Array[Byte], stride: Int, picH: Int,
+                                       x0: Int, y0: Int, bw: Int, bh: Int,
+                                       mvx: Int, mvy: Int, out: Array[Int],
+                                       outStride: Int, outOff: Int): Unit = {
+    val dx = mvx & 7
+    val dy = mvy & 7
+    val bx = x0 + (mvx >> 3)
+    val by = y0 + (mvy >> 3)
+    @inline def at(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= stride) stride - 1 else x
+      val cy = if (y < 0) 0 else if (y >= picH) picH - 1 else y
+      ref(cy * stride + cx) & 0xff
+    }
+    var j = 0
+    while (j < bh) {
+      var i = 0
+      while (i < bw) {
+        val x = bx + i
+        val y = by + j
+        out(outOff + j * outStride + i) =
+          ((8 - dx) * (8 - dy) * at(x, y) + dx * (8 - dy) * at(x + 1, y) +
+            (8 - dx) * dy * at(x, y + 1) + dx * dy * at(x + 1, y + 1) + 32) >> 6
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  /** P_8x8 sub-partition geometry by sub_mb_type (Table 7-17):
+    * (dx, dy, w, h) offsets inside the 8x8 block, in decode order.
+    */
+  private[scale] val SubMbParts: Array[Array[(Int, Int, Int, Int)]] = Array(
+    Array((0, 0, 8, 8)),
+    Array((0, 0, 8, 4), (0, 4, 8, 4)),
+    Array((0, 0, 4, 8), (4, 0, 4, 8)),
+    Array((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)))
+
+  /** Shared all-zero residual block (read-only). */
+  private val ZeroRes16 = new Array[Int](16)
+
   // ------------------------------------------------------------------
   // IDR picture decoder
   // ------------------------------------------------------------------
@@ -819,7 +1057,8 @@ object Avc {
   /** Per-slice deblocking controls. */
   private[scale] final case class SliceDeblock(disableIdc: Int, alphaOff: Int, betaOff: Int)
 
-  private[scale] final class Decoder(val sps: Sps, val pps: Pps) {
+  private[scale] final class Decoder(val sps: Sps, val pps: Pps,
+                                     val ref: Frame = null) {
     val wMb: Int = sps.widthMbs
     val hMb: Int = sps.heightMbs
     val yStride: Int = wMb * 16
@@ -832,7 +1071,10 @@ object Avc {
     val mbSlice = Array.fill(nMb)(-1) // slice index that decoded the MB
     val mbIsI4x4 = new Array[Boolean](nMb)
     val mbIsPcm = new Array[Boolean](nMb)
+    val mbIsInter = new Array[Boolean](nMb)
     val mbQp = new Array[Int](nMb)
+    // per-4x4 motion field (P slices; intra MBs mark themselves)
+    val mf = new MotionField(wMb, hMb)
     // per-4x4-block nonzero coeff counts (for nC) and I4x4 pred modes
     val lumaNz = new Array[Byte](nMb * 16)
     val cbNz = new Array[Byte](nMb * 4)
@@ -910,13 +1152,344 @@ object Avc {
       }
     }
 
-    /** Decode one macroblock; returns the updated QPy "previous" value. */
-    private def decodeMb(r: BitReader, addr: Int, qpPrev: Int, slice: Int): Int = {
+    // ---- P-slice decode (7.3.4 slice data, CAVLC) --------------------
+
+    /** Decode one P slice: mb_skip_run before every coded macroblock,
+      * P_Skip reconstruction for the run, inter/intra macroblocks via
+      * [[decodeMbP]]. The single reference picture is `ref` (the
+      * previously decoded, deblocked frame) — the decoded subset is
+      * one-reference baseline P, so ref_idx syntax never appears.
+      */
+    def decodeSliceP(r: BitReader, firstMb: Int, sliceQpY: Int,
+                     deblock: SliceDeblock): Unit = {
+      if (ref == null || ref.yStride != yStride ||
+          ref.y.length != yPlane.length)
+        throw new IllegalStateException("P slice without a matching reference")
+      val sliceIdx = sliceDeblock.length
+      sliceDeblock += deblock
+      var qpPrev = sliceQpY
+      var addr = firstMb
+      while (r.moreRbspData()) {
+        val skipRun = r.ue()
+        var k = 0
+        while (k < skipRun) {
+          if (addr >= nMb) throw new IllegalStateException("MB address overrun")
+          reconSkipMb(addr, qpPrev, sliceIdx)
+          addr += 1
+          k += 1
+        }
+        if (r.moreRbspData()) {
+          if (addr >= nMb) throw new IllegalStateException("MB address overrun")
+          qpPrev = decodeMbP(r, addr, qpPrev, sliceIdx)
+          addr += 1
+        }
+      }
+    }
+
+    /** Reconstruct a P_Skip macroblock: derived skip vector, motion
+      * compensation only, QPy unchanged.
+      */
+    private def reconSkipMb(addr: Int, qpPrev: Int, slice: Int): Unit = {
       val mx = addr % wMb
       val my = addr / wMb
       mbSlice(addr) = slice
+      mbIsInter(addr) = true
+      mbQp(addr) = qpPrev
+      val mbOk: Int => Boolean = a => mbSlice(a) == slice
+      val (mvx, mvy) = mvSkip(mf, mbOk, mx, my)
+      mf.setBlocks(mx * 16, my * 16, 16, 16, mvx, mvy)
+      val pred = new Array[Int](256)
+      interpLumaBlock(ref.y, yStride, hMb * 16, mx * 16, my * 16, 16, 16,
+        mvx, mvy, pred, 16, 0)
+      var yy = 0
+      while (yy < 16) {
+        var xx = 0
+        while (xx < 16) {
+          yPlane((my * 16 + yy) * yStride + mx * 16 + xx) = pred(yy * 16 + xx).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+      val cPred = new Array[Int](64)
+      var comp = 0
+      while (comp < 2) {
+        val rp = if (comp == 0) ref.u else ref.v
+        val plane = if (comp == 0) uPlane else vPlane
+        interpChromaBlock(rp, cStride, hMb * 8, mx * 8, my * 8, 8, 8,
+          mvx, mvy, cPred, 8, 0)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            plane((my * 8 + cy) * cStride + mx * 8 + cx) = cPred(cy * 8 + cx).toByte
+            cx += 1
+          }
+          cy += 1
+        }
+        comp += 1
+      }
+    }
+
+    /** Decode one P-slice macroblock (inter P_L0 partitions, P_8x8 sub
+      * partitions, or intra with mb_type offset 5); returns new qpPrev.
+      */
+    private def decodeMbP(r: BitReader, addr: Int, qpPrev: Int, slice: Int): Int = {
+      val mbType = r.ue()
+      if (mbType >= 5) { // intra in a P slice: types shift by 5 (7.4.5)
+        if (mbType > 30) throw new IllegalStateException(s"bad P mb_type $mbType")
+        return decodeIntraMbBody(r, addr, mbType - 5, qpPrev, slice)
+      }
+      val mx = addr % wMb
+      val my = addr / wMb
+      mbSlice(addr) = slice
+      mbIsInter(addr) = true
+      val mbOk: Int => Boolean = a => mbSlice(a) == slice
+      val x0 = mx * 16
+      val y0 = my * 16
+      // ---- partitions + motion vectors (ref_idx never coded: 1 ref)
+      mbType match {
+        case 0 =>
+          val p = mvPredict(mf, mbOk, x0, y0, 16, 16, 0)
+          val mvx = p._1 + r.se()
+          val mvy = p._2 + r.se()
+          mf.setBlocks(x0, y0, 16, 16, mvx, mvy)
+        case 1 =>
+          var part = 0
+          while (part < 2) {
+            val py0 = y0 + part * 8
+            val p = mvPredict(mf, mbOk, x0, py0, 16, 8, 1 + part)
+            val mvx = p._1 + r.se()
+            val mvy = p._2 + r.se()
+            mf.setBlocks(x0, py0, 16, 8, mvx, mvy)
+            part += 1
+          }
+        case 2 =>
+          var part = 0
+          while (part < 2) {
+            val px0 = x0 + part * 8
+            val p = mvPredict(mf, mbOk, px0, y0, 8, 16, 3 + part)
+            val mvx = p._1 + r.se()
+            val mvy = p._2 + r.se()
+            mf.setBlocks(px0, y0, 8, 16, mvx, mvy)
+            part += 1
+          }
+        case _ => // 3 = P_8x8, 4 = P_8x8ref0 (identical with one reference)
+          val subTypes = new Array[Int](4)
+          var b8 = 0
+          while (b8 < 4) {
+            val t = r.ue()
+            if (t > 3) throw new IllegalStateException(s"bad sub_mb_type $t")
+            subTypes(b8) = t
+            b8 += 1
+          }
+          b8 = 0
+          while (b8 < 4) {
+            val ox = x0 + (b8 % 2) * 8
+            val oy = y0 + (b8 / 2) * 8
+            val parts = SubMbParts(subTypes(b8))
+            var sp = 0
+            while (sp < parts.length) {
+              val (dx, dy, pw, ph) = parts(sp)
+              val p = mvPredict(mf, mbOk, ox + dx, oy + dy, pw, ph, 0)
+              val mvx = p._1 + r.se()
+              val mvy = p._2 + r.se()
+              mf.setBlocks(ox + dx, oy + dy, pw, ph, mvx, mvy)
+              sp += 1
+            }
+            b8 += 1
+          }
+      }
+      // ---- coded block pattern (inter me(v) column) + qp delta
+      val codeNum = r.ue()
+      if (codeNum > 47) throw new IllegalStateException("bad inter cbp")
+      val cbp = CbpInter(codeNum)
+      val cbpLuma = cbp & 15
+      val cbpChroma = cbp >> 4
+      var qpY = qpPrev
+      if (cbp != 0) {
+        val delta = r.se()
+        if (delta < -26 || delta > 25) throw new IllegalStateException("bad qp delta")
+        qpY = (qpPrev + delta + 52) % 52
+      }
+      mbQp(addr) = qpY
+      mbCbpLuma(addr) = cbpLuma.toByte
+      mbCbpChroma(addr) = cbpChroma.toByte
+      // ---- residuals (CAVLC; inter luma blocks carry all 16 coeffs)
+      val lumaCoeffs = Array.ofDim[Int](16, 16)
+      var i8 = 0
+      while (i8 < 4) {
+        if ((cbpLuma & (1 << i8)) != 0) {
+          var j = 0
+          while (j < 4) {
+            val b = i8 * 4 + j
+            val (ox, oy) = Blk4x4Off(b)
+            val nC = lumaNc(mx * 4 + ox / 4, my * 4 + oy / 4, slice)
+            val (c, tc) = readResidualBlock(r, nC, 16)
+            System.arraycopy(c, 0, lumaCoeffs(b), 0, 16)
+            lumaNz(addr * 16 + b) = tc.toByte
+            j += 1
+          }
+        }
+        i8 += 1
+      }
+      val cbDc = new Array[Int](4)
+      val crDc = new Array[Int](4)
+      if (cbpChroma != 0) {
+        val (c0, cbTc) = readResidualBlock(r, -1, 4)
+        System.arraycopy(c0, 0, cbDc, 0, 4)
+        val (c1, crTc) = readResidualBlock(r, -1, 4)
+        System.arraycopy(c1, 0, crDc, 0, 4)
+        cbDcNz(addr) = (if (cbTc != 0) 1 else 0).toByte
+        crDcNz(addr) = (if (crTc != 0) 1 else 0).toByte
+      }
+      val cbAc = Array.ofDim[Int](4, 16)
+      val crAc = Array.ofDim[Int](4, 16)
+      if (cbpChroma == 2) {
+        var comp = 0
+        while (comp < 2) {
+          var b = 0
+          while (b < 4) {
+            val bx = mx * 2 + b % 2
+            val by = my * 2 + b / 2
+            val nC = chromaNc(bx, by, comp == 0, slice)
+            val (c, tc) = readResidualBlock(r, nC, 15)
+            if (comp == 0) {
+              System.arraycopy(c, 0, cbAc(b), 1, 15)
+              cbNz(addr * 4 + b) = tc.toByte
+            } else {
+              System.arraycopy(c, 0, crAc(b), 1, 15)
+              crNz(addr * 4 + b) = tc.toByte
+            }
+            b += 1
+          }
+          comp += 1
+        }
+      }
+      reconInter(mx, my, lumaCoeffs, cbpLuma, cbDc, crDc, cbAc, crAc,
+        cbpChroma, qpY)
+      qpY
+    }
+
+    /** Reconstruct an inter macroblock: per-4x4 motion compensation from
+      * the stored motion field (pointwise MC makes per-block prediction
+      * identical to per-partition prediction) plus the coded residual.
+      */
+    private def reconInter(mx: Int, my: Int, lumaCoeffs: Array[Array[Int]],
+                           cbpLuma: Int, cbDc: Array[Int], crDc: Array[Int],
+                           cbAc: Array[Array[Int]], crAc: Array[Array[Int]],
+                           cbpChroma: Int, qpY: Int): Unit = {
+      val pred = new Array[Int](16)
+      var b4y = 0
+      while (b4y < 4) {
+        var b4x = 0
+        while (b4x < 4) {
+          val i = mf.idx(mx * 4 + b4x, my * 4 + b4y)
+          interpLumaBlock(ref.y, yStride, hMb * 16, mx * 16 + b4x * 4,
+            my * 16 + b4y * 4, 4, 4, mf.mvX(i), mf.mvY(i), pred, 4, 0)
+          val zIdx = Blk4x4Idx(b4x)(b4y)
+          val res =
+            if ((cbpLuma & (1 << (zIdx / 4))) != 0) {
+              val d = new Array[Int](16)
+              var k = 0
+              while (k < 16) {
+                val c = lumaCoeffs(zIdx)(k)
+                if (c != 0) {
+                  val rpos = Zigzag4x4(k)
+                  d(rpos) = dequant(c, qpY, rpos / 4, rpos % 4)
+                }
+                k += 1
+              }
+              itrans4x4(d)
+            } else ZeroRes16
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              yPlane((my * 16 + b4y * 4 + yy) * yStride + mx * 16 + b4x * 4 + xx) =
+                clamp255(pred(yy * 4 + xx) + res(yy * 4 + xx)).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          b4x += 1
+        }
+        b4y += 1
+      }
+      // chroma: MC per 2x2 sub-block from the co-located luma block's
+      // vector (the chroma partition grid is the luma grid at half size)
+      val qpC = chromaQp(qpY, pps.chromaQpOffset)
+      val cPred = new Array[Int](64) // 8x8 per component
+      var comp = 0
+      while (comp < 2) {
+        val rp = if (comp == 0) ref.u else ref.v
+        val plane = if (comp == 0) uPlane else vPlane
+        var b4y2 = 0
+        while (b4y2 < 4) {
+          var b4x2 = 0
+          while (b4x2 < 4) {
+            val i = mf.idx(mx * 4 + b4x2, my * 4 + b4y2)
+            interpChromaBlock(rp, cStride, hMb * 8, mx * 8 + b4x2 * 2,
+              my * 8 + b4y2 * 2, 2, 2, mf.mvX(i), mf.mvY(i), cPred, 8,
+              b4y2 * 2 * 8 + b4x2 * 2)
+            b4x2 += 1
+          }
+          b4y2 += 1
+        }
+        val dcIn = if (comp == 0) cbDc else crDc
+        val acIn = if (comp == 0) cbAc else crAc
+        val dcVals =
+          if (cbpChroma != 0) chromaDcDequant(dcIn, qpC) else new Array[Int](4)
+        var b = 0
+        while (b < 4) {
+          val ox = (b % 2) * 4
+          val oy = (b / 2) * 4
+          val d = new Array[Int](16)
+          d(0) = dcVals(b)
+          if (cbpChroma == 2) {
+            var k = 1
+            while (k < 16) {
+              val c = acIn(b)(k)
+              if (c != 0) {
+                val rpos = Zigzag4x4(k)
+                d(rpos) = dequant(c, qpC, rpos / 4, rpos % 4)
+              }
+              k += 1
+            }
+          }
+          val res = itrans4x4(d)
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              plane((my * 8 + oy + yy) * cStride + mx * 8 + ox + xx) =
+                clamp255(cPred((oy + yy) * 8 + ox + xx) + res(yy * 4 + xx)).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          b += 1
+        }
+        comp += 1
+      }
+    }
+
+    /** Decode one macroblock; returns the updated QPy "previous" value. */
+    private def decodeMb(r: BitReader, addr: Int, qpPrev: Int, slice: Int): Int = {
       val mbType = r.ue()
       if (mbType > 25) throw new IllegalStateException(s"bad I mb_type $mbType")
+      decodeIntraMbBody(r, addr, mbType, qpPrev, slice)
+    }
+
+    /** Body of an intra macroblock, `mbType` already mapped into the I
+      * range (0..25): shared by I-slice decode and intra MBs inside P
+      * slices (where mb_type arrives offset by 5).
+      */
+    private def decodeIntraMbBody(r: BitReader, addr: Int, mbType: Int,
+                                  qpPrev: Int, slice: Int): Int = {
+      val mx = addr % wMb
+      val my = addr / wMb
+      mbSlice(addr) = slice
+      mf.setIntraMb(addr)
       if (mbType == 25) { // I_PCM
         mbIsPcm(addr) = true
         mbQp(addr) = 0 // spec 8.7: QPy of an I_PCM MB is 0 for deblocking
@@ -1218,6 +1791,7 @@ object Avc {
       val mx = addr % wMb
       val my = addr / wMb
       mbSlice(addr) = slice
+      mf.setIntraMb(addr) // CABAC slices are I-only in the decoded subset
       // ---- mb_type (prefix ctx by I_NxN-ness of A/B)
       def condNotI4(x: Int, y: Int): Int =
         if (!mbAvail(x, y, slice)) 0
@@ -1681,11 +2255,20 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
               if (!isMbEdge || (mx > 0 && edgeAllowed(mx - 1, my))) {
                 val qpLeft = if (isMbEdge) mbQp(mbAt(mx - 1, my)) else qpCur
                 val qpAv = (qpLeft + qpCur + 1) >> 1
-                val bS = if (isMbEdge) 4 else 3
+                val qBx = mx * 4 + e
+                val bs4 = new Array[Int](4)
+                var g = 0
+                while (g < 4) {
+                  bs4(g) = boundaryStrength(qBx - 1, my * 4 + g, qBx,
+                    my * 4 + g, isMbEdge)
+                  g += 1
+                }
                 var row = 0
                 while (row < 16) {
-                  filterLumaLine(yPlane, (my * 16 + row) * yStride + mx * 16 + e * 4,
-                    1, bS, qpAv, db)
+                  val bS = bs4(row / 4)
+                  if (bS > 0)
+                    filterLumaLine(yPlane, (my * 16 + row) * yStride + mx * 16 + e * 4,
+                      1, bS, qpAv, db)
                   row += 1
                 }
                 if (e == 0 || e == 2) {
@@ -1694,10 +2277,13 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
                     chromaQp(qpCur, pps.chromaQpOffset) + 1) >> 1
                   var crow = 0
                   while (crow < 8) {
-                    filterChromaLine(uPlane, (my * 8 + crow) * cStride + mx * 8 + ce,
-                      1, bS, qpcAv, db)
-                    filterChromaLine(vPlane, (my * 8 + crow) * cStride + mx * 8 + ce,
-                      1, bS, qpcAv, db)
+                    val bS = bs4(crow / 2)
+                    if (bS > 0) {
+                      filterChromaLine(uPlane, (my * 8 + crow) * cStride + mx * 8 + ce,
+                        1, bS, qpcAv, db)
+                      filterChromaLine(vPlane, (my * 8 + crow) * cStride + mx * 8 + ce,
+                        1, bS, qpcAv, db)
+                    }
                     crow += 1
                   }
                 }
@@ -1711,11 +2297,20 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
               if (!isMbEdge || (my > 0 && edgeAllowed(mx, my - 1))) {
                 val qpTop = if (isMbEdge) mbQp(mbAt(mx, my - 1)) else qpCur
                 val qpAv = (qpTop + qpCur + 1) >> 1
-                val bS = if (isMbEdge) 4 else 3
+                val qBy = my * 4 + e
+                val bs4 = new Array[Int](4)
+                var g = 0
+                while (g < 4) {
+                  bs4(g) = boundaryStrength(mx * 4 + g, qBy - 1, mx * 4 + g,
+                    qBy, isMbEdge)
+                  g += 1
+                }
                 var colI = 0
                 while (colI < 16) {
-                  filterLumaLine(yPlane, (my * 16 + e * 4) * yStride + mx * 16 + colI,
-                    yStride, bS, qpAv, db)
+                  val bS = bs4(colI / 4)
+                  if (bS > 0)
+                    filterLumaLine(yPlane, (my * 16 + e * 4) * yStride + mx * 16 + colI,
+                      yStride, bS, qpAv, db)
                   colI += 1
                 }
                 if (e == 0 || e == 2) {
@@ -1724,10 +2319,13 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
                     chromaQp(qpCur, pps.chromaQpOffset) + 1) >> 1
                   var ccol = 0
                   while (ccol < 8) {
-                    filterChromaLine(uPlane, (my * 8 + ce) * cStride + mx * 8 + ccol,
-                      cStride, bS, qpcAv, db)
-                    filterChromaLine(vPlane, (my * 8 + ce) * cStride + mx * 8 + ccol,
-                      cStride, bS, qpcAv, db)
+                    val bS = bs4(ccol / 2)
+                    if (bS > 0) {
+                      filterChromaLine(uPlane, (my * 8 + ce) * cStride + mx * 8 + ccol,
+                        cStride, bS, qpcAv, db)
+                      filterChromaLine(vPlane, (my * 8 + ce) * cStride + mx * 8 + ccol,
+                        cStride, bS, qpcAv, db)
+                    }
                     ccol += 1
                   }
                 }
@@ -1738,6 +2336,33 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
           mx += 1
         }
         my += 1
+      }
+    }
+
+    /** Boundary strength (8.7.2.1, frame-picture subset): `q` is the 4x4
+      * block at global block coords (qBx,qBy), `p` its left (vertical
+      * edge) or upper (horizontal edge) neighbor. Either side intra
+      * (incl. I_PCM) gives the fixed 4/3 of an all-intra picture; both
+      * inter compares coded residual, then motion distance (the single
+      * reference picture of the decoded subset never differs).
+      */
+    private def boundaryStrength(pBx: Int, pBy: Int, qBx: Int, qBy: Int,
+                                 mbEdge: Boolean): Int = {
+      val pMb = (pBy / 4) * wMb + pBx / 4
+      val qMb = (qBy / 4) * wMb + qBx / 4
+      if (!mbIsInter(pMb) || !mbIsInter(qMb)) {
+        if (mbEdge) 4 else 3
+      } else {
+        val pNz = lumaNz(pMb * 16 + Blk4x4Idx(pBx % 4)(pBy % 4)) != 0
+        val qNz = lumaNz(qMb * 16 + Blk4x4Idx(qBx % 4)(qBy % 4)) != 0
+        if (pNz || qNz) 2
+        else {
+          val pi = mf.idx(pBx, pBy)
+          val qi = mf.idx(qBx, qBy)
+          if (math.abs(mf.mvX(pi) - mf.mvX(qi)) >= 4 ||
+              math.abs(mf.mvY(pi) - mf.mvY(qi)) >= 4) 1
+          else 0
+        }
       }
     }
 
@@ -2157,14 +2782,25 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
                                         v: Array[Byte], yStride: Int,
                                         cStride: Int, sps: Sps)
 
-  /** Decode one IDR access unit from a sequence of NAL units (each with
-    * its 1-byte header at offset 0, emulation bytes still present).
-    * SPS/PPS may arrive in-band or via `extraSps`/`extraPps` (the avcC
-    * path). None = outside the decoded subset or non-conforming.
+  /** Result of decoding one access unit: the picture, its frame_num (for
+    * reference-chain continuity checks), whether it was an IDR, and
+    * whether any slice was marked as a reference (nal_ref_idc != 0).
     */
-  private[scale] def decodeIdrNals(nals: Seq[Array[Byte]],
-                                   extraSps: Seq[Array[Byte]] = Nil,
-                                   extraPps: Seq[Array[Byte]] = Nil): Option[Frame] = {
+  private[scale] final case class AuResult(frame: Frame, frameNum: Int,
+                                           isIdr: Boolean, isRef: Boolean)
+
+  /** Decode one access unit from a sequence of NAL units (each with its
+    * 1-byte header at offset 0, emulation bytes still present). SPS/PPS
+    * may arrive in-band or via `extraSps`/`extraPps` (the avcC path).
+    * `ref` is the previously decoded reference picture — required by P
+    * slices, ignored by I slices. None = outside the decoded subset
+    * (CABAC P, B slices, weighted prediction, >1 active reference,
+    * reference-list modification, adaptive marking) or non-conforming.
+    */
+  private[scale] def decodeAuNals(nals: Seq[Array[Byte]],
+                                  extraSps: Seq[Array[Byte]] = Nil,
+                                  extraPps: Seq[Array[Byte]] = Nil,
+                                  ref: Frame = null): Option[AuResult] = {
     try {
       val spsMap = scala.collection.mutable.Map.empty[Int, Sps]
       val ppsMap = scala.collection.mutable.Map.empty[Int, Pps]
@@ -2182,30 +2818,64 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       extraPps.foreach(p => if (!addPps(p, if ((p(0) & 0x1f) == 8) 1 else 0)) return None)
       var dec: Decoder = null
       var mbCovered = 0
+      var auFrameNum = -1
+      var sawIdr = false
+      var sawNonIdr = false
+      var sawRef = false
       nals.foreach { nal =>
         if (nal.length >= 1) {
           if ((nal(0) & 0x80) != 0) return None // forbidden_zero_bit
           val nalType = nal(0) & 0x1f
+          val refIdc = (nal(0) >> 5) & 3
           nalType match {
             case 7 => if (!addSps(nal, 1)) return None
             case 8 => if (!addPps(nal, 1)) return None
-            case 5 => // IDR slice
+            case 5 | 1 => // coded slice (IDR / non-IDR)
+              val isIdr = nalType == 5
+              if (isIdr && refIdc == 0) return None // 7.4.1: IDR is a reference
+              if (isIdr) sawIdr = true else sawNonIdr = true
+              if (sawIdr && sawNonIdr) return None // mixed AU: non-conforming
+              if (refIdc != 0) sawRef = true
               val r = new BitReader(rbsp(nal, 1, nal.length))
               val firstMb = r.ue()
               val sliceType = r.ue()
-              if (sliceType != 2 && sliceType != 7) return None // I slices only
+              val isP = sliceType == 0 || sliceType == 5
+              val isI = sliceType == 2 || sliceType == 7
+              if (!isI && !isP) return None // B/SP/SI: out of subset
+              if (isIdr && !isI) return None
               val ppsId = r.ue()
               val pps = ppsMap.getOrElse(ppsId, return None)
               val sps = spsMap.getOrElse(pps.spsId, return None)
-              r.u(sps.log2MaxFrameNum) // frame_num
-              r.ue() // idr_pic_id
+              val frameNum = r.u(sps.log2MaxFrameNum)
+              if (auFrameNum >= 0 && frameNum != auFrameNum) return None
+              auFrameNum = frameNum
+              if (isIdr) r.ue() // idr_pic_id
               if (sps.pocType == 0) {
                 r.u(sps.log2MaxPocLsb)
                 if (pps.picOrderPresent) r.se()
+              } else if (sps.pocType == 1 && !sps.pocDeltaZero) {
+                r.se() // delta_pic_order_cnt[0]
+                if (pps.picOrderPresent) r.se() // delta_pic_order_cnt[1]
               }
               if (pps.redundantPicCnt && r.ue() != 0) return None
-              r.u1() // no_output_of_prior_pics
-              r.u1() // long_term_reference_flag
+              if (isP) {
+                if (pps.cabac) return None // CABAC P: out of subset
+                if (pps.weightedPred) return None
+                if (pps.constrainedIntra) return None
+                if (ref == null) return None
+                // one active reference only (the decoded subset)
+                val active =
+                  if (r.flag()) r.ue() + 1 // num_ref_idx_active_override
+                  else pps.numRefL0Default + 1
+                if (active != 1) return None
+                if (r.flag()) return None // ref_pic_list_modification_flag_l0
+              }
+              if (isIdr) {
+                r.u1() // no_output_of_prior_pics
+                r.u1() // long_term_reference_flag
+              } else if (refIdc != 0) {
+                if (r.flag()) return None // adaptive_ref_pic_marking: out of subset
+              }
               val sliceQp = pps.picInitQp + r.se()
               if (sliceQp < 0 || sliceQp > 51) return None
               var disableIdc = 0
@@ -2216,29 +2886,39 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
                 if (disableIdc > 2) return None
                 if (disableIdc != 1) { aOff = 2 * r.se(); bOff = 2 * r.se() }
               }
-              if (dec == null) dec = new Decoder(sps, pps)
+              if (dec == null) dec = new Decoder(sps, pps, ref)
               else if (dec.sps != sps || dec.pps != pps) return None
               val before = dec.mbSlice.count(_ >= 0)
-              if (pps.cabac)
-                dec.decodeSliceCabac(r, firstMb, sliceQp, SliceDeblock(disableIdc, aOff, bOff))
-              else
-                dec.decodeSlice(r, firstMb, sliceQp, SliceDeblock(disableIdc, aOff, bOff))
+              val db = SliceDeblock(disableIdc, aOff, bOff)
+              if (isP) dec.decodeSliceP(r, firstMb, sliceQp, db)
+              else if (pps.cabac) dec.decodeSliceCabac(r, firstMb, sliceQp, db)
+              else dec.decodeSlice(r, firstMb, sliceQp, db)
               mbCovered = dec.mbSlice.count(_ >= 0)
               if (mbCovered == before) return None
-            case 1 => return None // non-IDR slice: P/B content, fail closed
             case _ => () // SEI / AUD / filler: ignored
           }
         }
       }
       if (dec == null || mbCovered != dec.nMb) return None // partial picture
       dec.deblockPicture()
-      Some(Frame(dec.sps.width, dec.sps.height, dec.yPlane, dec.uPlane,
-        dec.vPlane, dec.yStride, dec.cStride, dec.sps))
+      Some(AuResult(Frame(dec.sps.width, dec.sps.height, dec.yPlane,
+        dec.uPlane, dec.vPlane, dec.yStride, dec.cStride, dec.sps),
+        auFrameNum, sawIdr, sawRef))
     } catch {
-      case _: IllegalStateException | _: ArrayIndexOutOfBoundsException |
-           _: NegativeArraySizeException | _: NoSuchElementException => None
+      case e @ (_: IllegalStateException | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException | _: NoSuchElementException) =>
+        if (sys.env.contains("AVC_DEBUG")) e.printStackTrace()
+        None
     }
   }
+
+  /** Decode one IDR access unit (the single-keyframe shape): rejects any
+    * AU that is not an IDR picture. See [[decodeAuNals]].
+    */
+  private[scale] def decodeIdrNals(nals: Seq[Array[Byte]],
+                                   extraSps: Seq[Array[Byte]] = Nil,
+                                   extraPps: Seq[Array[Byte]] = Nil): Option[Frame] =
+    decodeAuNals(nals, extraSps, extraPps, null).filter(_.isIdr).map(_.frame)
 
   /** Crop a decoded frame's luma to the display rectangle as 8-bit gray
     * (the near-dup ingest shape shared with [[Vp8.decodeGray]]). The crop
@@ -2258,11 +2938,11 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
     out
   }
 
-  /** Decode one AVCC-framed sample (length-prefixed NALs) using the
-    * codec-config SPS/PPS sets. Returns the cropped luma as 8-bit gray.
+  /** Split one AVCC-framed (length-prefixed) sample into NAL units, or
+    * None on malformed framing.
     */
-  def decodeSampleGray(sps: Seq[Array[Byte]], pps: Seq[Array[Byte]],
-                       lengthSize: Int, sample: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  private def avccSampleNals(lengthSize: Int,
+                             sample: Array[Byte]): Option[Seq[Array[Byte]]] = {
     if (lengthSize < 1 || lengthSize > 4) return None
     val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var i = 0
@@ -2275,9 +2955,49 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       nals += java.util.Arrays.copyOfRange(sample, i, i + len.toInt)
       i += len.toInt
     }
-    if (i != sample.length || nals.isEmpty) return None
-    decodeIdrNals(nals.toSeq, sps, pps).map(f =>
-      (f.width, f.height, frameGray(f)))
+    if (i != sample.length || nals.isEmpty) None else Some(nals.toSeq)
+  }
+
+  /** Decode one AVCC-framed sample (length-prefixed NALs) using the
+    * codec-config SPS/PPS sets. Returns the cropped luma as 8-bit gray.
+    * IDR pictures only — a sample sequence with P frames goes through
+    * [[decodeSamplesGray]], which carries the reference chain.
+    */
+  def decodeSampleGray(sps: Seq[Array[Byte]], pps: Seq[Array[Byte]],
+                       lengthSize: Int, sample: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    avccSampleNals(lengthSize, sample).flatMap(nals =>
+      decodeIdrNals(nals, sps, pps).map(f => (f.width, f.height, frameGray(f))))
+
+  /** Decode an ORDERED sequence of AVCC-framed samples with the
+    * single-reference P chain of the decoded subset: every non-IDR
+    * picture predicts from the previously decoded reference picture,
+    * frame_num must step by one between reference pictures (a gap means
+    * a lost reference — fail closed, never misdecode), and the first
+    * sample must be an IDR. Returns each frame's cropped luma. None if
+    * ANY sample falls outside the subset — a partially decodable track
+    * never votes.
+    */
+  def decodeSamplesGray(sps: Seq[Array[Byte]], pps: Seq[Array[Byte]],
+                        lengthSize: Int, samples: Seq[Array[Byte]])
+      : Option[Seq[(Int, Int, Array[Byte])]] = {
+    var prev: Frame = null
+    var prevFn = -1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Byte])]
+    samples.foreach { sample =>
+      val nals = avccSampleNals(lengthSize, sample).getOrElse(return None)
+      decodeAuNals(nals, sps, pps, prev) match {
+        case None => return None
+        case Some(res) =>
+          if (!res.isIdr) {
+            if (prev == null) return None // open-GOP start: out of subset
+            val m = 1 << res.frame.sps.log2MaxFrameNum
+            if (res.frameNum != (prevFn + 1) % m) return None
+          }
+          out += ((res.frame.width, res.frame.height, frameGray(res.frame)))
+          if (res.isIdr || res.isRef) { prev = res.frame; prevFn = res.frameNum }
+      }
+    }
+    Some(out.toSeq)
   }
 
   /** Decode an Annex-B byte stream containing SPS+PPS+IDR (the raw
@@ -2715,15 +3435,18 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
                     mbRowsPerSlice: Int = 0,
                     deblockIdc: Int = -1,
                     cabac: Boolean = false,
-                    allowPcm: Boolean = true): Array[Byte] = {
-    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 && py.length == w * h)
-    require(qp >= 0 && qp <= 51)
-    val wMb = (w + 15) / 16
-    val hMb = (h + 15) / 16
+                    allowPcm: Boolean = true): Array[Byte] =
+    encodeIdrFull(py, w, h, qp, pu, pv, deblock, mbRowsPerSlice,
+      deblockIdc, cabac, allowPcm)._1
+
+  /** Pad source planes to the MB grid by edge replication. */
+  private def padSources(py: Array[Byte], w: Int, h: Int,
+                         pu: Array[Byte], pv: Array[Byte],
+                         st: EncState): (Array[Int], Array[Int], Array[Int]) = {
+    val hMb = st.hMb
+    val wMb = st.wMb
     val cw = w / 2
     val ch = h / 2
-    val st = new EncState(wMb, hMb)
-    // source planes padded to MB grid by edge replication
     val srcY = new Array[Int](st.yStride * hMb * 16)
     val srcU = new Array[Int](st.cStride * hMb * 8)
     val srcV = new Array[Int](st.cStride * hMb * 8)
@@ -2750,6 +3473,22 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       }
       yy += 1
     }
+    (srcY, srcU, srcV)
+  }
+
+  private def encodeIdrFull(py: Array[Byte], w: Int, h: Int, qp: Int,
+                            pu: Array[Byte], pv: Array[Byte],
+                            deblock: Boolean,
+                            mbRowsPerSlice: Int,
+                            deblockIdc: Int,
+                            cabac: Boolean,
+                            allowPcm: Boolean): (Array[Byte], EncState) = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 && py.length == w * h)
+    require(qp >= 0 && qp <= 51)
+    val wMb = (w + 15) / 16
+    val hMb = (h + 15) / 16
+    val st = new EncState(wMb, hMb)
+    val (srcY, srcU, srcV) = padSources(py, w, h, pu, pv, st)
     // --- SPS / PPS
     val spsW = new BitWriter
     spsW.u(8, 66) // baseline profile
@@ -2832,7 +3571,495 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       sliceIdx += 1
       row0 += rows
     }
+    (out.toByteArray, st)
+  }
+
+  // ------------------------------------------------------------------
+  // P-frame fixture encoder
+  // ------------------------------------------------------------------
+
+  /** Encode a gray GOP: `frames.head` as an IDR picture (the
+    * [[encodeGrayIdr]] path), every later frame as a single-reference P
+    * picture predicting from the previously DECODED picture. Returns one
+    * Annex-B chunk per access unit (element 0 carries SPS+PPS+IDR).
+    *
+    * The reference chain is decoder-exact by construction: after each
+    * access unit the encoder decodes its own bytes through
+    * [[decodeAuNals]] and predicts the next frame from that (deblocked)
+    * reconstruction — at any qp, prediction drift is impossible.
+    *
+    * Macroblock policy (deterministic, exercising every P decode path):
+    * P_Skip wherever the derived skip vector predicts the source to zero
+    * coded residual, an intra lattice (mb_type offset 5), and otherwise
+    * inter MBs cycling 16x16 / 16x8 / 8x16 / P_8x8 (mixed sub-partition
+    * types) around a full-range integer motion search, with
+    * deterministic half/quarter-sample offset classes driving the 6-tap
+    * and bilinear interpolation paths.
+    */
+  def encodeGrayGop(frames: Seq[Array[Byte]], w: Int, h: Int, qp: Int,
+                    mbRowsPerSlice: Int = 0, searchRange: Int = 8,
+                    seed: Int = 0): Seq[Array[Byte]] = {
+    require(frames.nonEmpty)
+    val idr = encodeGrayIdr(frames.head, w, h, qp, allowPcm = false)
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]](idr)
+    val (spsNals, ppsNals, idrSlices) = splitAnnexB(idr)
+    var ref = decodeAuNals(idrSlices, spsNals, ppsNals, null).getOrElse(
+      throw new IllegalStateException("GOP IDR feedback decode failed")).frame
+    var frameNum = 0
+    var k = 1
+    while (k < frames.length) {
+      frameNum = (frameNum + 1) % 16 // encoder SPS: log2_max_frame_num = 4
+      val pBytes = encodePFrame(ref, frames(k), w, h, qp, frameNum,
+        mbRowsPerSlice, searchRange, seed * 31 + k)
+      val pNals = splitAnnexB(pBytes)._3
+      ref = decodeAuNals(pNals, spsNals, ppsNals, ref).getOrElse(
+        throw new IllegalStateException(s"GOP P[$k] feedback decode failed")).frame
+      out += pBytes
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** Delegating sink for intra macroblocks inside a P slice: mb_type
+    * arrives offset by 5 (7.4.5), everything else is the CAVLC backend.
+    */
+  private final class PIntraSink(inner: MbSink, w: BitWriter) extends MbSink {
+    def mbTypeI(v: Int, addr: Int): Unit = w.ue(v + 5)
+    def pcmSamples(sy: Array[Int], su: Array[Int], sv: Array[Int]): Unit =
+      inner.pcmSamples(sy, su, sv)
+    def i4Mode(predFlag: Boolean, rem: Int): Unit = inner.i4Mode(predFlag, rem)
+    def chromaMode(mode: Int, addr: Int): Unit = inner.chromaMode(mode, addr)
+    def cbpI4(luma: Int, chroma: Int, addr: Int): Unit =
+      inner.cbpI4(luma, chroma, addr)
+    def qpDelta(delta: Int): Unit = inner.qpDelta(delta)
+    def residual(cat: Int, coeffs: Array[Int], addr: Int, blk: Int, cb: Boolean): Unit =
+      inner.residual(cat, coeffs, addr, blk, cb)
+    def endMb(last: Boolean): Unit = inner.endMb(last)
+    def finish(): Unit = inner.finish()
+  }
+
+  /** Encode one P picture against `ref` (the decoded previous frame). */
+  private def encodePFrame(ref: Frame, py: Array[Byte], w: Int, h: Int,
+                           qp: Int, frameNum: Int, mbRowsPerSlice: Int,
+                           searchRange: Int, seed: Int): Array[Byte] = {
+    val wMb = (w + 15) / 16
+    val hMb = (h + 15) / 16
+    require(ref.yStride == wMb * 16 && ref.y.length == wMb * 16 * hMb * 16)
+    val st = new EncState(wMb, hMb)
+    val (srcY, srcU, srcV) = padSources(py, w, h, null, null, st)
+    val mfE = new MotionField(wMb, hMb)
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(refIdc: Int, typ: Int, payload: Array[Byte]): Unit = {
+      out.write(Array[Byte](0, 0, 0, 1), 0, 4)
+      out.write((refIdc << 5) | typ)
+      val g = antiEmulate(payload)
+      out.write(g, 0, g.length)
+    }
+    val rowsPerSlice = if (mbRowsPerSlice <= 0) hMb else mbRowsPerSlice
+    var sliceIdx = 0
+    var row0 = 0
+    while (row0 < hMb) {
+      val rows = math.min(rowsPerSlice, hMb - row0)
+      val firstMb = row0 * wMb
+      val endMb = firstMb + rows * wMb
+      val sw = new BitWriter
+      sw.ue(firstMb) // first_mb_in_slice
+      sw.ue(5) // slice_type P (all slices of the picture)
+      sw.ue(0) // pps id
+      sw.u(4, frameNum) // frame_num (log2_max_frame_num = 4)
+      sw.u1(0) // num_ref_idx_active_override_flag (PPS default: 1 active)
+      sw.u1(0) // ref_pic_list_modification_flag_l0
+      sw.u1(0) // dec_ref_pic_marking: sliding window (1-frame DPB)
+      sw.se(0) // slice_qp_delta
+      sw.ue(0) // disable_deblocking_filter_idc
+      sw.se(0); sw.se(0) // alpha/beta offsets
+      val sink = new CavlcSink(sw, st, sliceIdx)
+      val slice = sliceIdx
+      val mbOk: Int => Boolean = a => st.sliceId(a) == slice
+      var qpPrev = qp
+      var skipRun = 0
+      var addr = firstMb
+      while (addr < endMb) {
+        st.sliceId(addr) = slice
+        val (q2, s2) = encodePMb(sw, sink, st, mfE, mbOk, ref, srcY, srcU,
+          srcV, addr, qp, qpPrev, slice, searchRange, seed, skipRun)
+        qpPrev = q2
+        skipRun = s2
+        addr += 1
+      }
+      if (skipRun > 0) sw.ue(skipRun) // trailing skipped macroblocks
+      sw.rbspTrailing()
+      nal(2, 1, sw.toBytes)
+      sliceIdx += 1
+      row0 += rows
+    }
     out.toByteArray
+  }
+
+  /** Encode one P-slice macroblock; returns (new qpPrev, new skip run). */
+  private def encodePMb(w: BitWriter, sink: MbSink, st: EncState,
+                        mfE: MotionField, mbOk: Int => Boolean, ref: Frame,
+                        srcY: Array[Int], srcU: Array[Int], srcV: Array[Int],
+                        addr: Int, qp: Int, qpPrev: Int, slice: Int,
+                        searchRange: Int, seed: Int, skipRunIn: Int): (Int, Int) = {
+    val wMb = st.wMb
+    val mx = addr % wMb
+    val my = addr / wMb
+    val x0 = mx * 16
+    val y0 = my * 16
+    val picH = st.hMb * 16
+    val picHC = st.hMb * 8
+
+    def quantBlock(diff: Array[Int], q: Int): (Array[Int], Int) = {
+      val wc = ftrans4x4(diff)
+      val scan = new Array[Int](16)
+      var tc = 0
+      var kk = 0
+      while (kk < 16) {
+        val rpos = Zigzag4x4(kk)
+        val lev = quantLevel(wc(rpos), q, rpos / 4, rpos % 4)
+        scan(kk) = lev
+        if (lev != 0) tc += 1
+        kk += 1
+      }
+      (scan, tc)
+    }
+    // per-4x4 MC prediction over the MB (z-scan block index -> vector)
+    def lumaPredMb(mvOf: Int => (Int, Int)): Array[Int] = {
+      val pred = new Array[Int](256)
+      var b = 0
+      while (b < 16) {
+        val (ox, oy) = Blk4x4Off(b)
+        val (mvx, mvy) = mvOf(b)
+        interpLumaBlock(ref.y, st.yStride, picH, x0 + ox, y0 + oy, 4, 4,
+          mvx, mvy, pred, 16, oy * 16 + ox)
+        b += 1
+      }
+      pred
+    }
+    def chromaPredMb(mvOf: Int => (Int, Int)): Array[Array[Int]] = {
+      val preds = Array.ofDim[Int](2, 64)
+      var comp = 0
+      while (comp < 2) {
+        val rp = if (comp == 0) ref.u else ref.v
+        var b = 0
+        while (b < 16) {
+          val (ox, oy) = Blk4x4Off(b)
+          val (mvx, mvy) = mvOf(b)
+          interpChromaBlock(rp, st.cStride, picHC, mx * 8 + ox / 2,
+            my * 8 + oy / 2, 2, 2, mvx, mvy, preds(comp), 8,
+            (oy / 2) * 8 + ox / 2)
+          b += 1
+        }
+        comp += 1
+      }
+      preds
+    }
+    def lumaDiff(pred: Array[Int], b: Int): Array[Int] = {
+      val (ox, oy) = Blk4x4Off(b)
+      val diff = new Array[Int](16)
+      var kk = 0
+      while (kk < 16) {
+        diff(kk) = srcY((y0 + oy + kk / 4) * st.yStride + x0 + ox + kk % 4) -
+          pred((oy + kk / 4) * 16 + ox + kk % 4)
+        kk += 1
+      }
+      diff
+    }
+
+    val wantIntra = ((addr * 7) ^ seed) % 13 == 5
+    // ---- P_Skip probe: zero coded residual at the derived skip vector
+    if (!wantIntra) {
+      val (skx, sky) = mvSkip(mfE, mbOk, mx, my)
+      val skipPredY = lumaPredMb(_ => (skx, sky))
+      var skipOk = true
+      var b = 0
+      while (b < 16 && skipOk) {
+        if (quantBlock(lumaDiff(skipPredY, b), qp)._2 != 0) skipOk = false
+        b += 1
+      }
+      lazy val skipPredC = chromaPredMb(_ => (skx, sky))
+      if (skipOk)
+        skipOk = chromaResidualZero(st, srcU, srcV, addr, qp, skipPredC)
+      if (skipOk) {
+        mfE.setBlocks(x0, y0, 16, 16, skx, sky)
+        writeInterRecon(st, addr, skipPredY, skipPredC, null, 0, qp)
+        return (qpPrev, skipRunIn + 1)
+      }
+    }
+    w.ue(skipRunIn) // mb_skip_run before this coded macroblock
+    if (wantIntra) {
+      val qpOut = encodeMb(new PIntraSink(sink, w), st, srcY, srcU, srcV,
+        addr, qp, qpPrev, slice, allowPcm = false)
+      mfE.setIntraMb(addr)
+      return (qpOut, 0)
+    }
+    // ---- integer motion search (SAD, deterministic first-min)
+    @inline def refAt(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= st.yStride) st.yStride - 1 else x
+      val cy = if (y < 0) 0 else if (y >= picH) picH - 1 else y
+      ref.y(cy * st.yStride + cx) & 0xff
+    }
+    def sadInt(dx: Int, dy: Int): Int = {
+      var s = 0
+      var yy = 0
+      while (yy < 16) {
+        var xx = 0
+        while (xx < 16) {
+          s += math.abs(srcY((y0 + yy) * st.yStride + x0 + xx) -
+            refAt(x0 + xx + dx, y0 + yy + dy))
+          xx += 1
+        }
+        yy += 1
+      }
+      s
+    }
+    var bestDx = 0
+    var bestDy = 0
+    var bestSad = sadInt(0, 0)
+    var sdy = -searchRange
+    while (sdy <= searchRange) {
+      var sdx = -searchRange
+      while (sdx <= searchRange) {
+        if (sdx != 0 || sdy != 0) {
+          val s = sadInt(sdx, sdy)
+          if (s < bestSad) { bestSad = s; bestDx = sdx; bestDy = sdy }
+        }
+        sdx += 1
+      }
+      sdy += 1
+    }
+    val bmx = bestDx * 4
+    val bmy = bestDy * 4
+    // ---- deterministic partition/fraction class
+    val cls = ((addr * 5) ^ (seed * 3)) % 8
+    // (x, y, w, h, partKind, mvx, mvy) in picture-absolute luma samples
+    var mbTypeCode = 0
+    var subTypes: Array[Int] = null
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int, Int, Int)]
+    cls match {
+      case 0 | 1 => parts += ((x0, y0, 16, 16, 0, bmx, bmy))
+      case 2 => parts += ((x0, y0, 16, 16, 0, bmx + 2, bmy)) // half-sample
+      case 3 => parts += ((x0, y0, 16, 16, 0, bmx + 1, bmy + 3)) // quarter
+      case 4 =>
+        mbTypeCode = 1
+        parts += ((x0, y0, 16, 8, 1, bmx, bmy))
+        parts += ((x0, y0 + 8, 16, 8, 2, bmx, bmy + 2))
+      case 5 =>
+        mbTypeCode = 2
+        parts += ((x0, y0, 8, 16, 3, bmx, bmy))
+        parts += ((x0 + 8, y0, 8, 16, 4, bmx + 2, bmy + 2))
+      case _ =>
+        mbTypeCode = 3
+        subTypes = Array.tabulate(4)(b8 => (b8 + addr) % 4)
+        var b8 = 0
+        while (b8 < 4) {
+          val ox = x0 + (b8 % 2) * 8
+          val oy = y0 + (b8 / 2) * 8
+          val sub = SubMbParts(subTypes(b8))
+          var sp = 0
+          while (sp < sub.length) {
+            val (dx, dy, pw, ph) = sub(sp)
+            parts += ((ox + dx, oy + dy, pw, ph, 0,
+              bmx + ((b8 + sp) & 3), bmy + ((b8 ^ sp) & 3)))
+            sp += 1
+          }
+          b8 += 1
+        }
+    }
+    // ---- assign motion (prediction mirrors the decoder exactly)
+    val mvds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    parts.foreach { case (px, py2, pw, ph, kind, mvx, mvy) =>
+      val pr = mvPredict(mfE, mbOk, px, py2, pw, ph, kind)
+      mvds += ((mvx - pr._1, mvy - pr._2))
+      mfE.setBlocks(px, py2, pw, ph, mvx, mvy)
+    }
+    def mvOf(b: Int): (Int, Int) = {
+      val (ox, oy) = Blk4x4Off(b)
+      val i = mfE.idx((x0 + ox) >> 2, (y0 + oy) >> 2)
+      (mfE.mvX(i), mfE.mvY(i))
+    }
+    // ---- residuals
+    val predY = lumaPredMb(mvOf)
+    val blockCoefs = Array.ofDim[Int](16, 16)
+    val blockTc = new Array[Int](16)
+    var b = 0
+    while (b < 16) {
+      val (scan, tc) = quantBlock(lumaDiff(predY, b), qp)
+      blockCoefs(b) = scan
+      blockTc(b) = tc
+      b += 1
+    }
+    var cbpLuma = 0
+    var i8 = 0
+    while (i8 < 4) {
+      var any = false
+      var j = 0
+      while (j < 4) { if (blockTc(i8 * 4 + j) != 0) any = true; j += 1 }
+      if (any) cbpLuma |= 1 << i8
+      i8 += 1
+    }
+    // decoder-final nz state BEFORE emission (dropped 8x8s decode as 0)
+    b = 0
+    while (b < 16) {
+      st.lumaNz(addr * 16 + b) =
+        (if ((cbpLuma & (1 << (b / 4))) != 0) blockTc(b) else 0).toByte
+      b += 1
+    }
+    val cPreds = chromaPredMb(mvOf)
+    val (_, cbpChroma, chromaEmit) = encodeChroma(st, srcU, srcV, addr, qp,
+      aboveAvail = false, leftAvail = false, cornerAvail = false, slice,
+      interPred = cPreds)
+    st.cbpLumaE(addr) = cbpLuma.toByte
+    st.cbpChromaE(addr) = cbpChroma.toByte
+    val cbp = cbpLuma | (cbpChroma << 4)
+    // ---- emit
+    w.ue(mbTypeCode)
+    if (subTypes != null) subTypes.foreach(w.ue)
+    mvds.foreach { case (mdx, mdy) => w.se(mdx); w.se(mdy) }
+    w.ue(CbpInterInv(cbp))
+    var qpOut = qpPrev
+    if (cbp != 0) { w.se(qp - qpPrev); qpOut = qp }
+    i8 = 0
+    while (i8 < 4) {
+      if ((cbpLuma & (1 << i8)) != 0) {
+        var j = 0
+        while (j < 4) {
+          val b2 = i8 * 4 + j
+          sink.residual(2, blockCoefs(b2), addr, b2, cb = false)
+          j += 1
+        }
+      }
+      i8 += 1
+    }
+    chromaEmit(sink)
+    // ---- reconstruct luma decoder-identically (chroma reconstructed
+    // inside encodeChroma against the inter prediction)
+    writeInterRecon(st, addr, predY, null, blockCoefs, cbpLuma, qp)
+    (qpOut, 0)
+  }
+
+  /** Write an inter MB's reconstruction into the encoder state: luma
+    * pred + dequantized residual (skip: `coefs == null`, pure
+    * prediction); chroma pure prediction when `predC != null` (the coded
+    * chroma path reconstructs inside [[encodeChroma]]).
+    */
+  private def writeInterRecon(st: EncState, addr: Int, predY: Array[Int],
+                              predC: Array[Array[Int]],
+                              coefs: Array[Array[Int]], cbpLuma: Int,
+                              qp: Int): Unit = {
+    val mx = addr % st.wMb
+    val my = addr / st.wMb
+    var b = 0
+    while (b < 16) {
+      val (ox, oy) = Blk4x4Off(b)
+      if (coefs == null) {
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            st.y((my * 16 + oy + yy) * st.yStride + mx * 16 + ox + xx) =
+              predY((oy + yy) * 16 + ox + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+      } else {
+        val d = new Array[Int](16)
+        if ((cbpLuma & (1 << (b / 4))) != 0) {
+          var kk = 0
+          while (kk < 16) {
+            if (coefs(b)(kk) != 0) {
+              val rpos = Zigzag4x4(kk)
+              d(rpos) = dequant(coefs(b)(kk), qp, rpos / 4, rpos % 4)
+            }
+            kk += 1
+          }
+        }
+        val res = itrans4x4(d)
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            st.y((my * 16 + oy + yy) * st.yStride + mx * 16 + ox + xx) =
+              clamp255Pub(predY((oy + yy) * 16 + ox + xx) + res(yy * 4 + xx)).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      b += 1
+    }
+    if (predC != null) {
+      var comp = 0
+      while (comp < 2) {
+        val plane = if (comp == 0) st.u else st.v
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            plane((my * 8 + cy) * st.cStride + mx * 8 + cx) =
+              predC(comp)(cy * 8 + cx).toByte
+            cx += 1
+          }
+          cy += 1
+        }
+        comp += 1
+      }
+    }
+  }
+
+  /** Does the chroma residual against `preds` quantize to all-zero
+    * levels (DC Hadamard included)? The P_Skip eligibility check,
+    * mirroring [[encodeChroma]]'s quantization exactly.
+    */
+  private def chromaResidualZero(st: EncState, srcU: Array[Int],
+                                 srcV: Array[Int], addr: Int, qpY: Int,
+                                 preds: Array[Array[Int]]): Boolean = {
+    val mx = addr % st.wMb
+    val my = addr / st.wMb
+    val x0 = mx * 8
+    val y0 = my * 8
+    val qpC = chromaQp(qpY, 0)
+    var comp = 0
+    while (comp < 2) {
+      val srcP = if (comp == 0) srcU else srcV
+      val pred = preds(comp)
+      val dcW = new Array[Int](4)
+      var b = 0
+      while (b < 4) {
+        val ox = (b % 2) * 4
+        val oy = (b / 2) * 4
+        val diff = new Array[Int](16)
+        var kk = 0
+        while (kk < 16) {
+          diff(kk) = srcP((y0 + oy + kk / 4) * st.cStride + x0 + ox + kk % 4) -
+            pred((oy + kk / 4) * 8 + ox + kk % 4)
+          kk += 1
+        }
+        val wc = ftrans4x4(diff)
+        dcW(b) = wc(0)
+        kk = 1
+        while (kk < 16) {
+          val rpos = Zigzag4x4(kk)
+          if (quantLevel(wc(rpos), qpC, rpos / 4, rpos % 4) != 0) return false
+          kk += 1
+        }
+        b += 1
+      }
+      val vdc = NormAdjust(qpC % 6)(0).toDouble * (1L << (qpC / 6))
+      val hs = Array(dcW(0) + dcW(1) + dcW(2) + dcW(3),
+        dcW(0) - dcW(1) + dcW(2) - dcW(3),
+        dcW(0) + dcW(1) - dcW(2) - dcW(3),
+        dcW(0) - dcW(1) - dcW(2) + dcW(3))
+      var kk = 0
+      while (kk < 4) {
+        if (math.round(2.0 * hs(kk) / vdc).toInt != 0) return false
+        kk += 1
+      }
+      comp += 1
+    }
+    true
   }
 
   /** Encode one macroblock; returns the updated qpPrev. */
@@ -3207,14 +4434,16 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
   private def encodeChroma(st: EncState, srcU: Array[Int], srcV: Array[Int],
                            addr: Int, qpY: Int, aboveAvail: Boolean,
                            leftAvail: Boolean, cornerAvail: Boolean,
-                           slice: Int): (Int, Int, MbSink => Unit) = {
+                           slice: Int,
+                           interPred: Array[Array[Int]] = null): (Int, Int, MbSink => Unit) = {
     val wMb = st.wMb
     val mx = addr % wMb
     val my = addr / wMb
     val x0 = mx * 8
     val y0 = my * 8
     val qpC = chromaQp(qpY, 0) // encoder writes chroma_qp_index_offset = 0
-    val mode = pickI16Mode((mx + 3 * my) % 4, aboveAvail, leftAvail, cornerAvail) match {
+    val mode = if (interPred != null) -1
+    else pickI16Mode((mx + 3 * my) % 4, aboveAvail, leftAvail, cornerAvail) match {
       case 0 => 2 // chroma numbering: 2 = vertical
       case 1 => 1
       case 2 => 0 // 0 = DC
@@ -3231,12 +4460,15 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
       val plane = if (comp == 0) st.u else st.v
       val srcP = if (comp == 0) srcU else srcV
       @inline def cAt(x: Int, y: Int): Int = plane(y * st.cStride + x) & 0xff
-      val top = new Array[Int](8)
-      val left = new Array[Int](8)
-      if (aboveAvail) { var i = 0; while (i < 8) { top(i) = cAt(x0 + i, y0 - 1); i += 1 } }
-      if (leftAvail) { var i = 0; while (i < 8) { left(i) = cAt(x0 - 1, y0 + i); i += 1 } }
-      val corner = if (cornerAvail) cAt(x0 - 1, y0 - 1) else 0
-      val pred = predChroma(mode, top, left, corner, aboveAvail, leftAvail, cornerAvail)
+      val pred = if (interPred != null) interPred(comp)
+      else {
+        val top = new Array[Int](8)
+        val left = new Array[Int](8)
+        if (aboveAvail) { var i = 0; while (i < 8) { top(i) = cAt(x0 + i, y0 - 1); i += 1 } }
+        if (leftAvail) { var i = 0; while (i < 8) { left(i) = cAt(x0 - 1, y0 + i); i += 1 } }
+        val corner = if (cornerAvail) cAt(x0 - 1, y0 - 1) else 0
+        predChroma(mode, top, left, corner, aboveAvail, leftAvail, cornerAvail)
+      }
       preds(comp) = pred
       val dcW = new Array[Int](4)
       var b = 0
@@ -3409,7 +4641,7 @@ predI4(mode, pa, pl, pc, aboveAvail, leftAvail, cornerAvail)
     val nals = annexBNals(b).map { case (s, e) => java.util.Arrays.copyOfRange(b, s, e) }
     (nals.filter(n => (n(0) & 0x1f) == 7),
       nals.filter(n => (n(0) & 0x1f) == 8),
-      nals.filter(n => (n(0) & 0x1f) == 5))
+      nals.filter(n => { val t = n(0) & 0x1f; t == 5 || t == 1 })) // slices
   }
 
   /** Length-prefix a set of NALs as one AVCC sample. Fails loudly when a
