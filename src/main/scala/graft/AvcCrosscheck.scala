@@ -84,6 +84,49 @@ object AvcCrosscheck {
     cav ++ cab
   }
 
+  /** GOP fixtures (r20, the P-frame lift): multi-AU Annex-B streams —
+    * IDR + single-reference P pictures. `.264` concatenates the access
+    * units (the twin splits at first_mb_in_slice == 0), `.src`/`.gray`
+    * concatenate all frames' source/decoded luma. qp 20-30 entries run
+    * the inter deblocking strengths (bS 2/1/0) with real filtering; the
+    * multi-slice entry gates MV prediction and deblocking on slices.
+    */
+  private def gopCases: Seq[(String, Int, Int, Seq[Array[Byte]], Int, Int)] = {
+    def noise(seed: Long, w: Int, h: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => md5b(s"${seed}_$i").toByte)
+    def gradient(w: Int, h: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => (((i % w) * 255 / math.max(w - 1, 1) +
+        (i / w) * 128 / math.max(h - 1, 1)) % 256).toByte)
+    def shifted(px: Array[Byte], w: Int, h: Int, dx: Int, dy: Int): Array[Byte] =
+      Array.tabulate(w * h) { i =>
+        val x = math.max(0, math.min(w - 1, (i % w) + dx))
+        val y = math.max(0, math.min(h - 1, (i / w) + dy))
+        px(y * w + x)
+      }
+    val f0 = noise(21, 64, 64)
+    val synthFrames = Array.tabulate(4)(f =>
+      Multimodal.synthFramePixels(42L, f, pert = false)).toSeq
+    // (name, w, h, frames, qp, mbRowsPerSlice)
+    Seq(
+      ("gop_synth_q6", 64, 64, synthFrames, 6, 0),
+      ("gop_still_q8", 64, 64, Seq(f0, f0, f0), 8, 0),
+      ("gop_shift_q6", 64, 64,
+        Seq(f0, shifted(f0, 64, 64, 3, 2), shifted(f0, 64, 64, -2, 5)), 6, 0),
+      ("gop_gradient_q30", 64, 64,
+        Seq(gradient(64, 64), shifted(gradient(64, 64), 64, 64, 1, 0),
+          noise(22, 64, 64)), 30, 0),
+      ("gop_slices_q20", 64, 64,
+        Seq(noise(23, 64, 64), shifted(noise(23, 64, 64), 64, 64, 4, -3),
+          noise(24, 64, 64)), 20, 2),
+      ("gop_odd50x34_q12", 50, 34,
+        Seq(noise(25, 50, 34), shifted(noise(25, 50, 34), 50, 34, 2, 1)), 12, 0),
+      ("gop_noise_q0", 64, 64, Seq(noise(26, 64, 64), noise(27, 64, 64)), 0, 0),
+      ("gop_long_q10", 48, 48,
+        Array.tabulate(6)(k =>
+          if (k == 0) noise(28, 48, 48)
+          else shifted(noise(28, 48, 48), 48, 48, k, (k * 2) % 5)).toSeq, 10, 0))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("gen")
     val dir = java.nio.file.Paths.get(
@@ -116,6 +159,29 @@ object AvcCrosscheck {
             case other =>
               fails += 1
               println(s"[avc1check] FAIL $name: repo decode -> $other")
+          }
+        }
+        gopCases.foreach { case (name, w, h, frames, qp, rows) =>
+          val aus = Avc.encodeGrayGop(frames, w, h, qp,
+            mbRowsPerSlice = rows, seed = name.hashCode & 0xffff)
+          val (sps, pps, _) = Avc.splitAnnexB(aus.head)
+          val samples = aus.map(a => Avc.toAvccSample(Avc.splitAnnexB(a)._3))
+          Avc.decodeSamplesGray(sps, pps, 4, samples) match {
+            case Some(decoded)
+                if decoded.length == frames.length &&
+                  decoded.forall(d => d._1 == w && d._2 == h) =>
+              val bits = aus.reduce(_ ++ _)
+              java.nio.file.Files.write(dir.resolve(s"$name.264"), bits)
+              java.nio.file.Files.write(dir.resolve(s"$name.src"),
+                frames.reduce(_ ++ _))
+              java.nio.file.Files.write(dir.resolve(s"$name.gray"),
+                decoded.map(_._3).reduce(_ ++ _))
+              println(s"[avc1check] wrote $name (${bits.length} bytes, " +
+                s"${frames.length} frames)")
+            case other =>
+              fails += 1
+              println(s"[avc1check] FAIL $name: repo GOP decode -> " +
+                other.map(d => s"${d.length} frames"))
           }
         }
         if (fails > 0) { println(s"[avc1check] $fails FAILURES"); sys.exit(2) }

@@ -298,6 +298,11 @@ CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
              16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
              8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
 
+# Table 9-4 me(v) -> coded_block_pattern, Inter column (P macroblocks)
+CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+             14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+             17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41]
+
 ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
 
 # normAdjust4x4 columns by position class (even/even, odd/odd, mixed)
@@ -316,6 +321,14 @@ BETA = [0] * 16 + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9,
 TC0_BS3 = [0] * 16 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
                       3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14,
                       16, 18, 20, 23]
+# Table 8-17 rows for the inter boundary strengths (bS 1 and 2)
+TC0_BS1 = [0] * 16 + [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                      1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7,
+                      8, 9, 10, 11]
+TC0_BS2 = [0] * 16 + [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                      2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10,
+                      11, 12, 13, 15]
+TC0 = {1: TC0_BS1, 2: TC0_BS2, 3: TC0_BS3}
 
 # block index <-> position: z-scan of 4x4 blocks inside a macroblock
 BLK_XY = []
@@ -422,7 +435,7 @@ def nal_units(data):
         while e > s and data[e - 1] == 0:
             e -= 1
         hdr = data[s]
-        out.append((hdr & 0x1F, un_epb(data[s + 1:e])))
+        out.append((hdr & 0x1F, (hdr >> 5) & 3, un_epb(data[s + 1:e])))
     return out
 
 
@@ -443,10 +456,11 @@ def parse_sps(r):
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
     log2_max_poc = 0
+    poc_delta_zero = True
     if poc_type == 0:
         log2_max_poc = r.ue() + 4
     elif poc_type == 1:
-        r.bit()
+        poc_delta_zero = r.bit() == 1
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -462,7 +476,7 @@ def parse_sps(r):
         crop = (r.ue(), r.ue(), r.ue(), r.ue())
     return dict(id=sps_id, w_mbs=w_mbs, h_mbs=h_mbs, crop=crop,
                 log2_max_frame_num=log2_max_frame_num, poc_type=poc_type,
-                log2_max_poc=log2_max_poc)
+                log2_max_poc=log2_max_poc, poc_delta_zero=poc_delta_zero)
 
 
 def parse_pps(r):
@@ -471,9 +485,9 @@ def parse_pps(r):
     cabac = r.bit()
     pic_order_present = r.bit()
     assert r.ue() == 0  # one slice group
+    num_ref_l0 = r.ue()
     r.ue()
-    r.ue()
-    r.bit()
+    weighted = r.bit()
     r.bits(2)
     init_qp = r.se() + 26
     r.se()
@@ -484,7 +498,8 @@ def parse_pps(r):
     return dict(id=pps_id, sps=sps_id, cabac=cabac, init_qp=init_qp,
                 chroma_qp_off=chroma_qp_off, deblock_ctrl=deblock_ctrl,
                 constrained=constrained, redundant=redundant,
-                pic_order_present=pic_order_present)
+                pic_order_present=pic_order_present,
+                num_ref_l0=num_ref_l0, weighted=weighted)
 
 
 # --------------------------------------------------------------------
@@ -813,9 +828,10 @@ def pred_chroma(mode, top, left, corner, above_ok, left_ok, corner_ok):
 # --------------------------------------------------------------------
 
 class Picture:
-    def __init__(self, sps, pps):
+    def __init__(self, sps, pps, ref=None):
         self.sps = sps
         self.pps = pps
+        self.ref = ref  # previous decoded Picture (P-slice reference)
         self.wmb = sps["w_mbs"]
         self.hmb = sps["h_mbs"]
         self.ys = self.wmb * 16
@@ -827,7 +843,13 @@ class Picture:
         self.mb_slice = [-1] * n
         self.mb_i4 = [False] * n
         self.mb_pcm = [False] * n
+        self.mb_inter = [False] * n
         self.mb_qp = [0] * n
+        # per-4x4 motion field: ref -2 = not yet decoded, -1 = intra, 0 =
+        # inter (single reference); vectors in quarter luma samples
+        self.blk_ref = [-2] * (n * 16)
+        self.mv_x = [0] * (n * 16)
+        self.mv_y = [0] * (n * 16)
         self.luma_nz = [0] * (n * 16)
         self.cb_nz = [0] * (n * 4)
         self.cr_nz = [0] * (n * 4)
@@ -891,10 +913,13 @@ class Picture:
                 break
 
     def decode_mb(self, r, addr, qp_prev, slc):
+        return self.decode_mb_intra(r, addr, r.ue(), qp_prev, slc)
+
+    def decode_mb_intra(self, r, addr, mb_type, qp_prev, slc):
         wmb = self.wmb
         mx, my = addr % wmb, addr // wmb
         self.mb_slice[addr] = slc
-        mb_type = r.ue()
+        self.mark_intra(addr)
         if mb_type == 25:  # I_PCM
             self.mb_pcm[addr] = True
             self.mb_qp[addr] = 0
@@ -994,6 +1019,317 @@ class Picture:
         return qp
 
 
+    # ---- motion (clause 8.4): field, prediction, skip, interpolation
+
+    def mark_intra(self, addr):
+        for i in range(addr * 16, addr * 16 + 16):
+            self.blk_ref[i] = -1
+
+    def blk_at(self, bx, by):
+        return ((by // 4) * self.wmb + bx // 4) * 16 + (by % 4) * 4 + bx % 4
+
+    def set_motion(self, x0, y0, w, h, mvx, mvy):
+        for by in range(y0 // 4, (y0 + h) // 4):
+            for bx in range(x0 // 4, (x0 + w) // 4):
+                i = self.blk_at(bx, by)
+                self.blk_ref[i] = 0
+                self.mv_x[i] = mvx
+                self.mv_y[i] = mvy
+
+    def mv_neighbor(self, xn, yn, slc):
+        """(available, ref, mvx, mvy) for the block holding luma (xn, yn)."""
+        if xn < 0 or yn < 0 or xn >= self.wmb * 16 or yn >= self.hmb * 16:
+            return (False, -1, 0, 0)
+        if self.mb_slice[(yn // 16) * self.wmb + xn // 16] != slc:
+            return (False, -1, 0, 0)
+        i = self.blk_at(xn // 4, yn // 4)
+        rf = self.blk_ref[i]
+        if rf == -2:  # not yet decoded in block decode order
+            return (False, -1, 0, 0)
+        if rf < 0:  # intra: available, no motion
+            return (True, -1, 0, 0)
+        return (True, rf, self.mv_x[i], self.mv_y[i])
+
+    def mv_predict(self, x0, y0, w, h, kind, slc):
+        """8.4.1.3: median prediction with the directional MB-partition
+        shortcuts; C falls back to D when unavailable."""
+        a = self.mv_neighbor(x0 - 1, y0, slc)
+        b = self.mv_neighbor(x0, y0 - 1, slc)
+        c = self.mv_neighbor(x0 + w, y0 - 1, slc)
+        if not c[0]:
+            c = self.mv_neighbor(x0 - 1, y0 - 1, slc)
+        if kind == "16x8top" and b[1] == 0:
+            return (b[2], b[3])
+        if kind == "16x8bot" and a[1] == 0:
+            return (a[2], a[3])
+        if kind == "8x16left" and a[1] == 0:
+            return (a[2], a[3])
+        if kind == "8x16right" and c[1] == 0:
+            return (c[2], c[3])
+        if not b[0] and not c[0] and a[0]:
+            return (a[2], a[3])
+        match = [n for n in (a, b, c) if n[1] == 0]
+        if len(match) == 1:
+            return (match[0][2], match[0][3])
+        return (sorted([a[2], b[2], c[2]])[1], sorted([a[3], b[3], c[3]])[1])
+
+    def mv_skip(self, mx, my, slc):
+        """8.4.1.1: zero when a lateral neighbor is missing or still."""
+        a = self.mv_neighbor(mx * 16 - 1, my * 16, slc)
+        b = self.mv_neighbor(mx * 16, my * 16 - 1, slc)
+        if (not a[0] or not b[0] or
+                (a[1] == 0 and a[2] == 0 and a[3] == 0) or
+                (b[1] == 0 and b[2] == 0 and b[3] == 0)):
+            return (0, 0)
+        return self.mv_predict(mx * 16, my * 16, 16, 16, "", slc)
+
+    def interp_luma(self, x0, y0, w, h, mvx, mvy):
+        """8.4.2.2.1 quarter-sample MC: 6-tap halves, averaged quarters."""
+        ref = self.ref
+        rs, rh = ref.ys, ref.hmb * 16
+        fx, fy = mvx & 3, mvy & 3
+        ox, oy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+
+        def s(x, y):
+            x = 0 if x < 0 else (rs - 1 if x >= rs else x)
+            y = 0 if y < 0 else (rh - 1 if y >= rh else y)
+            return ref.y[y * rs + x]
+
+        def hsum(x, y):
+            return (s(x - 2, y) - 5 * s(x - 1, y) + 20 * s(x, y) +
+                    20 * s(x + 1, y) - 5 * s(x + 2, y) + s(x + 3, y))
+
+        def vsum(x, y):
+            return (s(x, y - 2) - 5 * s(x, y - 1) + 20 * s(x, y) +
+                    20 * s(x, y + 1) - 5 * s(x, y + 2) + s(x, y + 3))
+
+        def half_h(x, y):
+            return clip255((hsum(x, y) + 16) >> 5)
+
+        def half_v(x, y):
+            return clip255((vsum(x, y) + 16) >> 5)
+
+        def half_j(x, y):
+            acc = (vsum(x - 2, y) - 5 * vsum(x - 1, y) + 20 * vsum(x, y) +
+                   20 * vsum(x + 1, y) - 5 * vsum(x + 2, y) + vsum(x + 3, y))
+            return clip255((acc + 512) >> 10)
+
+        out = []
+        for j in range(h):
+            y = oy + j
+            row = []
+            for i in range(w):
+                x = ox + i
+                if fx == 0 and fy == 0:
+                    v = s(x, y)
+                elif fy == 0:  # a, b, c
+                    bb = half_h(x, y)
+                    v = bb if fx == 2 else \
+                        (bb + s(x + (1 if fx == 3 else 0), y) + 1) >> 1
+                elif fx == 0:  # d, h, n
+                    hh = half_v(x, y)
+                    v = hh if fy == 2 else \
+                        (hh + s(x, y + (1 if fy == 3 else 0)) + 1) >> 1
+                elif fx == 2 and fy == 2:  # j
+                    v = half_j(x, y)
+                elif fy == 2:  # i, k: j averaged with the nearer column half
+                    v = (half_j(x, y) + half_v(x + (1 if fx == 3 else 0), y) + 1) >> 1
+                elif fx == 2:  # f, q: j averaged with the nearer row half
+                    v = (half_j(x, y) + half_h(x, y + (1 if fy == 3 else 0)) + 1) >> 1
+                else:  # e, g, p, r: the two nearest halves
+                    v = (half_h(x, y + (1 if fy == 3 else 0)) +
+                         half_v(x + (1 if fx == 3 else 0), y) + 1) >> 1
+                row.append(v)
+            out.append(row)
+        return out
+
+    def interp_chroma(self, ref_plane, x0, y0, w, h, mvx, mvy):
+        """8.4.2.2.2 eighth-sample bilinear chroma MC."""
+        cs, ch = self.cs, self.hmb * 8
+        dx, dy = mvx & 7, mvy & 7
+        ox, oy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+
+        def s(x, y):
+            x = 0 if x < 0 else (cs - 1 if x >= cs else x)
+            y = 0 if y < 0 else (ch - 1 if y >= ch else y)
+            return ref_plane[y * cs + x]
+
+        out = []
+        for j in range(h):
+            row = []
+            for i in range(w):
+                x, y = ox + i, oy + j
+                row.append(((8 - dx) * (8 - dy) * s(x, y) +
+                            dx * (8 - dy) * s(x + 1, y) +
+                            (8 - dx) * dy * s(x, y + 1) +
+                            dx * dy * s(x + 1, y + 1) + 32) >> 6)
+            out.append(row)
+        return out
+
+    # ---- P slice (7.3.4 + 7.4.5): skip runs, inter partitions
+
+    SUB_PARTS = {0: [(0, 0, 8, 8)],
+                 1: [(0, 0, 8, 4), (0, 4, 8, 4)],
+                 2: [(0, 0, 4, 8), (4, 0, 4, 8)],
+                 3: [(0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)]}
+
+    def decode_slice_p(self, r, first_mb, slice_qp, deblock):
+        assert self.ref is not None, "P slice without reference"
+        slc = len(self.slice_deblock)
+        self.slice_deblock.append(deblock)
+        qp_prev = slice_qp
+        addr = first_mb
+        while r.more_rbsp():
+            for _ in range(r.ue()):  # mb_skip_run
+                self.recon_skip(addr, qp_prev, slc)
+                addr += 1
+            if r.more_rbsp():
+                qp_prev = self.decode_mb_p(r, addr, qp_prev, slc)
+                addr += 1
+
+    def recon_skip(self, addr, qp_prev, slc):
+        mx, my = addr % self.wmb, addr // self.wmb
+        self.mb_slice[addr] = slc
+        self.mb_inter[addr] = True
+        self.mb_qp[addr] = qp_prev
+        mvx, mvy = self.mv_skip(mx, my, slc)
+        self.set_motion(mx * 16, my * 16, 16, 16, mvx, mvy)
+        pred = self.interp_luma(mx * 16, my * 16, 16, 16, mvx, mvy)
+        for j in range(16):
+            for i in range(16):
+                self.y[(my * 16 + j) * self.ys + mx * 16 + i] = pred[j][i]
+        for plane, rp in ((self.u, self.ref.u), (self.v, self.ref.v)):
+            cp = self.interp_chroma(rp, mx * 8, my * 8, 8, 8, mvx, mvy)
+            for j in range(8):
+                for i in range(8):
+                    plane[(my * 8 + j) * self.cs + mx * 8 + i] = cp[j][i]
+
+    def decode_mb_p(self, r, addr, qp_prev, slc):
+        mb_type = r.ue()
+        if mb_type >= 5:  # intra in a P slice: types arrive offset by 5
+            assert mb_type <= 30, "bad P mb_type"
+            return self.decode_mb_intra(r, addr, mb_type - 5, qp_prev, slc)
+        mx, my = addr % self.wmb, addr // self.wmb
+        self.mb_slice[addr] = slc
+        self.mb_inter[addr] = True
+        x0, y0 = mx * 16, my * 16
+        if mb_type == 0:
+            px, py = self.mv_predict(x0, y0, 16, 16, "", slc)
+            self.set_motion(x0, y0, 16, 16, px + r.se(), py + r.se())
+        elif mb_type == 1:
+            for part, kind in ((0, "16x8top"), (1, "16x8bot")):
+                px, py = self.mv_predict(x0, y0 + part * 8, 16, 8, kind, slc)
+                self.set_motion(x0, y0 + part * 8, 16, 8,
+                                px + r.se(), py + r.se())
+        elif mb_type == 2:
+            for part, kind in ((0, "8x16left"), (1, "8x16right")):
+                px, py = self.mv_predict(x0 + part * 8, y0, 8, 16, kind, slc)
+                self.set_motion(x0 + part * 8, y0, 8, 16,
+                                px + r.se(), py + r.se())
+        else:  # 3 = P_8x8, 4 = P_8x8ref0 (identical with a single reference)
+            subs = [r.ue() for _ in range(4)]
+            assert all(t <= 3 for t in subs), "bad sub_mb_type"
+            for b8 in range(4):
+                ox, oy = x0 + (b8 % 2) * 8, y0 + (b8 // 2) * 8
+                for dx, dy, pw, ph in self.SUB_PARTS[subs[b8]]:
+                    px, py = self.mv_predict(ox + dx, oy + dy, pw, ph, "", slc)
+                    self.set_motion(ox + dx, oy + dy, pw, ph,
+                                    px + r.se(), py + r.se())
+        code = r.ue()
+        assert code <= 47, "bad inter cbp"
+        cbp = CBP_INTER[code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        qp = qp_prev
+        if cbp:
+            qp = (qp_prev + r.se() + 52) % 52
+        self.mb_qp[addr] = qp
+        luma_coef = [[0] * 16 for _ in range(16)]
+        for i8 in range(4):
+            if cbp_luma & (1 << i8):
+                for j in range(4):
+                    b = i8 * 4 + j
+                    ox, oy = BLK_XY[b]
+                    nc = self.luma_nc(mx * 4 + ox // 4, my * 4 + oy // 4, slc)
+                    luma_coef[b], tc = read_block(r, nc, 16)
+                    self.luma_nz[addr * 16 + b] = tc
+        cb_dc = [0] * 4
+        cr_dc = [0] * 4
+        if cbp_chroma:
+            cb_dc, _ = read_block(r, -1, 4)
+            cr_dc, _ = read_block(r, -1, 4)
+        cb_ac = [[0] * 16 for _ in range(4)]
+        cr_ac = [[0] * 16 for _ in range(4)]
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for b in range(4):
+                    nc = self.chroma_nc(mx * 2 + b % 2, my * 2 + b // 2,
+                                        comp == 0, slc)
+                    ac, tc = read_block(r, nc, 15)
+                    if comp == 0:
+                        cb_ac[b] = [0] + ac
+                        self.cb_nz[addr * 4 + b] = tc
+                    else:
+                        cr_ac[b] = [0] + ac
+                        self.cr_nz[addr * 4 + b] = tc
+        self.recon_inter(mx, my, luma_coef, cbp_luma, cb_dc, cr_dc,
+                         cb_ac, cr_ac, cbp_chroma, qp)
+        return qp
+
+    def recon_inter(self, mx, my, luma_coef, cbp_luma, cb_dc, cr_dc,
+                    cb_ac, cr_ac, cbp_chroma, qp):
+        for b4y in range(4):
+            for b4x in range(4):
+                i = self.blk_at(mx * 4 + b4x, my * 4 + b4y)
+                pred = self.interp_luma(mx * 16 + b4x * 4, my * 16 + b4y * 4,
+                                        4, 4, self.mv_x[i], self.mv_y[i])
+                z = BLK_IDX[(b4x, b4y)]
+                res = [0] * 16
+                if cbp_luma & (1 << (z // 4)):
+                    d = [0] * 16
+                    for k in range(16):
+                        if luma_coef[z][k]:
+                            rp = ZIGZAG[k]
+                            d[rp] = dequant(luma_coef[z][k], qp, rp // 4, rp % 4)
+                    res = itrans(d)
+                for j in range(4):
+                    for i2 in range(4):
+                        self.y[(my * 16 + b4y * 4 + j) * self.ys +
+                               mx * 16 + b4x * 4 + i2] = \
+                            clip255(pred[j][i2] + res[j * 4 + i2])
+        qpc = chroma_qp(qp, self.pps["chroma_qp_off"])
+        for comp in range(2):
+            plane = self.u if comp == 0 else self.v
+            ref_plane = self.ref.u if comp == 0 else self.ref.v
+            # MC per 2x2 chroma sub-block: the chroma partition grid is
+            # the luma grid at half size
+            cpred = [[0] * 8 for _ in range(8)]
+            for b4y in range(4):
+                for b4x in range(4):
+                    i = self.blk_at(mx * 4 + b4x, my * 4 + b4y)
+                    sub = self.interp_chroma(ref_plane, mx * 8 + b4x * 2,
+                                             my * 8 + b4y * 2, 2, 2,
+                                             self.mv_x[i], self.mv_y[i])
+                    for j in range(2):
+                        for i2 in range(2):
+                            cpred[b4y * 2 + j][b4x * 2 + i2] = sub[j][i2]
+            dc_in = cb_dc if comp == 0 else cr_dc
+            ac_in = cb_ac if comp == 0 else cr_ac
+            dcv = chroma_dc_dequant(dc_in, qpc) if cbp_chroma else [0] * 4
+            for b in range(4):
+                ox, oy = (b % 2) * 4, (b // 2) * 4
+                d = [0] * 16
+                d[0] = dcv[b]
+                if cbp_chroma == 2:
+                    for k in range(1, 16):
+                        if ac_in[b][k]:
+                            rp = ZIGZAG[k]
+                            d[rp] = dequant(ac_in[b][k], qpc, rp // 4, rp % 4)
+                flat = itrans(d)
+                for j in range(4):
+                    for i2 in range(4):
+                        plane[(my * 8 + oy + j) * self.cs + mx * 8 + ox + i2] = \
+                            clip255(cpred[oy + j][ox + i2] + flat[j * 4 + i2])
+
     # ---- CABAC slice + macroblock layer
 
     def decode_slice_cabac(self, r, first_mb, slice_qp, deblock):
@@ -1052,6 +1388,7 @@ class Picture:
         wmb = self.wmb
         mx, my = addr % wmb, addr // wmb
         self.mb_slice[addr] = slc
+        self.mark_intra(addr)
 
         def cond_not_i4(x, y):
             return 1 if self.avail(x, y, slc) and \
@@ -1336,6 +1673,25 @@ class Picture:
 
     # ---- deblocking
 
+    def boundary_strength(self, p_bx, p_by, q_bx, q_by, mb_edge):
+        """8.7.2.1 (frame pictures): intra sides keep the fixed 4/3; two
+        inter sides compare coded residual then motion distance (single
+        reference, so reference pictures never differ)."""
+        p_mb = (p_by // 4) * self.wmb + p_bx // 4
+        q_mb = (q_by // 4) * self.wmb + q_bx // 4
+        if not self.mb_inter[p_mb] or not self.mb_inter[q_mb]:
+            return 4 if mb_edge else 3
+        p_nz = self.luma_nz[p_mb * 16 + BLK_IDX[(p_bx % 4, p_by % 4)]]
+        q_nz = self.luma_nz[q_mb * 16 + BLK_IDX[(q_bx % 4, q_by % 4)]]
+        if p_nz or q_nz:
+            return 2
+        pi = self.blk_at(p_bx, p_by)
+        qi = self.blk_at(q_bx, q_by)
+        if (abs(self.mv_x[pi] - self.mv_x[qi]) >= 4 or
+                abs(self.mv_y[pi] - self.mv_y[qi]) >= 4):
+            return 1
+        return 0
+
     def deblock(self):
         for my in range(self.hmb):
             for mx in range(self.wmb):
@@ -1357,34 +1713,44 @@ class Picture:
                         continue
                     qp_n = self.mb_qp[addr - 1] if mb_edge else qp_cur
                     qav = (qp_n + qp_cur + 1) >> 1
-                    bs = 4 if mb_edge else 3
+                    qbx = mx * 4 + e
+                    bs4 = [self.boundary_strength(qbx - 1, my * 4 + g, qbx,
+                                                  my * 4 + g, mb_edge)
+                           for g in range(4)]
                     for row in range(16):
-                        self.filter_luma((my * 16 + row) * self.ys + mx * 16 + e * 4,
-                                         1, bs, qav, db)
+                        if bs4[row // 4]:
+                            self.filter_luma((my * 16 + row) * self.ys + mx * 16 + e * 4,
+                                             1, bs4[row // 4], qav, db)
                     if e in (0, 2):
                         qcav = (chroma_qp(qp_n, self.pps["chroma_qp_off"]) +
                                 chroma_qp(qp_cur, self.pps["chroma_qp_off"]) + 1) >> 1
                         for crow in range(8):
-                            base = (my * 8 + crow) * self.cs + mx * 8 + e * 2
-                            self.filter_chroma(self.u, base, 1, bs, qcav, db)
-                            self.filter_chroma(self.v, base, 1, bs, qcav, db)
+                            if bs4[crow // 2]:
+                                base = (my * 8 + crow) * self.cs + mx * 8 + e * 2
+                                self.filter_chroma(self.u, base, 1, bs4[crow // 2], qcav, db)
+                                self.filter_chroma(self.v, base, 1, bs4[crow // 2], qcav, db)
                 for e in range(4):
                     mb_edge = e == 0
                     if mb_edge and not (my > 0 and allowed(mx, my - 1)):
                         continue
                     qp_n = self.mb_qp[addr - self.wmb] if mb_edge else qp_cur
                     qav = (qp_n + qp_cur + 1) >> 1
-                    bs = 4 if mb_edge else 3
+                    qby = my * 4 + e
+                    bs4 = [self.boundary_strength(mx * 4 + g, qby - 1,
+                                                  mx * 4 + g, qby, mb_edge)
+                           for g in range(4)]
                     for col in range(16):
-                        self.filter_luma((my * 16 + e * 4) * self.ys + mx * 16 + col,
-                                         self.ys, bs, qav, db)
+                        if bs4[col // 4]:
+                            self.filter_luma((my * 16 + e * 4) * self.ys + mx * 16 + col,
+                                             self.ys, bs4[col // 4], qav, db)
                     if e in (0, 2):
                         qcav = (chroma_qp(qp_n, self.pps["chroma_qp_off"]) +
                                 chroma_qp(qp_cur, self.pps["chroma_qp_off"]) + 1) >> 1
                         for ccol in range(8):
-                            base = (my * 8 + e * 2) * self.cs + mx * 8 + ccol
-                            self.filter_chroma(self.u, base, self.cs, bs, qcav, db)
-                            self.filter_chroma(self.v, base, self.cs, bs, qcav, db)
+                            if bs4[ccol // 2]:
+                                base = (my * 8 + e * 2) * self.cs + mx * 8 + ccol
+                                self.filter_chroma(self.u, base, self.cs, bs4[ccol // 2], qcav, db)
+                                self.filter_chroma(self.v, base, self.cs, bs4[ccol // 2], qcav, db)
 
     def filter_luma(self, base, step, bs, qav, db):
         px = self.y
@@ -1415,7 +1781,7 @@ class Picture:
             else:
                 px[base] = (2 * q1 + q0 + p1 + 2) >> 2
         else:
-            tc0 = TC0_BS3[ia] if bs == 3 else 0
+            tc0 = TC0[bs][ia]
             tc = tc0 + (1 if ap else 0) + (1 if aq else 0)
             delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3
             delta = max(-tc, min(tc, delta))
@@ -1440,7 +1806,7 @@ class Picture:
             px[base - step] = (2 * p1 + p0 + q1 + 2) >> 2
             px[base] = (2 * q1 + q0 + p1 + 2) >> 2
         else:
-            tc = TC0_BS3[ia] + 1
+            tc = TC0[bs][ia] + 1
             delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3
             delta = max(-tc, min(tc, delta))
             px[base - step] = clip255(p0 + delta)
@@ -1661,50 +2027,7 @@ def read_block_cabac(cd, cat, cbf_inc, max_coeff):
     return coeffs, tc
 
 
-def decode(data):
-    """Decode one Annex-B IDR access unit -> (w, h, luma bytes)."""
-    sps_map = {}
-    pps_map = {}
-    pic = None
-    for typ, payload in nal_units(data):
-        r = Bits(payload)
-        if typ == 7:
-            s = parse_sps(r)
-            sps_map[s["id"]] = s
-        elif typ == 8:
-            p = parse_pps(r)
-            pps_map[p["id"]] = p
-        elif typ == 5:
-            first_mb = r.ue()
-            slice_type = r.ue()
-            assert slice_type in (2, 7), "I slices only"
-            pps = pps_map[r.ue()]
-            sps = sps_map[pps["sps"]]
-            r.bits(sps["log2_max_frame_num"])
-            r.ue()  # idr_pic_id
-            if sps["poc_type"] == 0:
-                r.bits(sps["log2_max_poc"])
-                if pps["pic_order_present"]:
-                    r.se()
-            if pps["redundant"]:
-                assert r.ue() == 0
-            r.bit()
-            r.bit()
-            slice_qp = pps["init_qp"] + r.se()
-            db = {"disable": 0, "a": 0, "b": 0}
-            if pps["deblock_ctrl"]:
-                db["disable"] = r.ue()
-                if db["disable"] != 1:
-                    db["a"] = 2 * r.se()
-                    db["b"] = 2 * r.se()
-            if pic is None:
-                pic = Picture(sps, pps)
-            if pps["cabac"]:
-                pic.decode_slice_cabac(r, first_mb, slice_qp, db)
-            else:
-                pic.decode_slice(r, first_mb, slice_qp, db)
-    assert pic is not None and all(s >= 0 for s in pic.mb_slice), "partial picture"
-    pic.deblock()
+def crop_luma(pic):
     cl, cr, ct, cb = pic.sps["crop"]
     w = pic.wmb * 16 - 2 * (cl + cr)
     h = pic.hmb * 16 - 2 * (ct + cb)
@@ -1713,6 +2036,95 @@ def decode(data):
         row = (y + 2 * ct) * pic.ys + 2 * cl
         out[y * w:(y + 1) * w] = pic.y[row:row + w]
     return w, h, bytes(out)
+
+
+def decode(data):
+    """Decode an Annex-B stream of one or more access units (an IDR
+    picture, then optionally single-reference P pictures) ->
+    (w, h, [luma frames]). A slice with first_mb_in_slice == 0 opens a
+    new picture; the previous picture becomes the P reference."""
+    sps_map = {}
+    pps_map = {}
+    frames = []
+    dims = None
+    pic = None
+    ref = None
+
+    def finish(p):
+        nonlocal dims, ref
+        assert all(s >= 0 for s in p.mb_slice), "partial picture"
+        p.deblock()
+        w, h, fr = crop_luma(p)
+        assert dims is None or dims == (w, h)
+        dims = (w, h)
+        frames.append(fr)
+        ref = p
+
+    for typ, ref_idc, payload in nal_units(data):
+        r = Bits(payload)
+        if typ == 7:
+            s = parse_sps(r)
+            sps_map[s["id"]] = s
+        elif typ == 8:
+            p = parse_pps(r)
+            pps_map[p["id"]] = p
+        elif typ in (1, 5):
+            first_mb = r.ue()
+            if first_mb == 0 and pic is not None:
+                finish(pic)
+                pic = None
+            slice_type = r.ue()
+            assert slice_type in (0, 2, 5, 7), "I/P slices only"
+            is_p = slice_type in (0, 5)
+            if typ == 5:
+                assert not is_p, "IDR pictures carry I slices"
+            pps = pps_map[r.ue()]
+            sps = sps_map[pps["sps"]]
+            r.bits(sps["log2_max_frame_num"])
+            if typ == 5:
+                r.ue()  # idr_pic_id
+            if sps["poc_type"] == 0:
+                r.bits(sps["log2_max_poc"])
+                if pps["pic_order_present"]:
+                    r.se()
+            elif sps["poc_type"] == 1 and not sps["poc_delta_zero"]:
+                r.se()
+                if pps["pic_order_present"]:
+                    r.se()
+            if pps["redundant"]:
+                assert r.ue() == 0
+            if is_p:
+                assert not pps["cabac"], "CABAC P out of subset"
+                assert not pps["weighted"], "weighted prediction out of subset"
+                assert ref is not None, "P picture without reference"
+                if r.bit():  # num_ref_idx_active_override_flag
+                    assert r.ue() == 0, "one active reference only"
+                else:
+                    assert pps["num_ref_l0"] == 0, "one active reference only"
+                assert r.bit() == 0, "ref list modification out of subset"
+            if typ == 5:
+                r.bit()  # no_output_of_prior_pics
+                r.bit()  # long_term_reference_flag
+            elif ref_idc != 0:
+                assert r.bit() == 0, "adaptive marking out of subset"
+            slice_qp = pps["init_qp"] + r.se()
+            db = {"disable": 0, "a": 0, "b": 0}
+            if pps["deblock_ctrl"]:
+                db["disable"] = r.ue()
+                if db["disable"] != 1:
+                    db["a"] = 2 * r.se()
+                    db["b"] = 2 * r.se()
+            if pic is None:
+                pic = Picture(sps, pps, ref if typ == 1 else None)
+            if is_p:
+                pic.decode_slice_p(r, first_mb, slice_qp, db)
+            elif pps["cabac"]:
+                pic.decode_slice_cabac(r, first_mb, slice_qp, db)
+            else:
+                pic.decode_slice(r, first_mb, slice_qp, db)
+    assert pic is not None
+    finish(pic)
+    return dims[0], dims[1], frames
 
 
 def main():
@@ -1727,7 +2139,8 @@ def main():
         data = open(f, "rb").read()
         want = open(os.path.join(d, name + ".gray"), "rb").read()
         try:
-            w, h, got = decode(data)
+            w, h, frames = decode(data)
+            got = b"".join(frames)
         except Exception as e:
             print(f"FAIL {name}: python decode raised {e!r}")
             fails += 1
@@ -1738,7 +2151,8 @@ def main():
             print(f"FAIL {name}: {diff}/{len(want)} bytes differ (max delta {mx})")
             fails += 1
         else:
-            print(f"OK   {name}: {w}x{h}, {len(data)} bytes, luma byte-exact")
+            print(f"OK   {name}: {w}x{h} x{len(frames)} frame(s), "
+                  f"{len(data)} bytes, luma byte-exact")
     if fails:
         print(f"{fails}/{len(files)} FAILED")
         sys.exit(1)
