@@ -1681,35 +1681,33 @@ object Curation {
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 8,
                          textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val toks = docs.select(col("doc_id"),
       posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
         t => t =!= "")).as(Seq("p", "t")))
     // gram hash at position p: md5 of the k tokens joined by one space
-    // (positions with fewer than k tokens left emit no gram)
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // (positions with fewer than k tokens left emit no gram). The per-doc
+    // token count rides the same doc_id partition as an unordered window
+    // count instead of a groupBy+re-join, so the whole fingerprint pass is
+    // ONE exchange: the gram count is n−k+1 by construction, and the
+    // rightmost-min selection below is an argmin inside the sliding window,
+    // not a re-join against the gram stream (plan: 22 Exchanges → 2).
     val grams = toks
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("g", concat_ws(" ", (0 until k).map(o =>
-        lead(col("t"), o).over(Window.partitionBy("doc_id").orderBy("p"))): _*))
-      .join(lens, "doc_id")
+        lead(col("t"), o).over(byDoc)): _*))
       .filter(col("p") + k <= col("n"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
-        md5(col("g")).as("h"))
-    // per window start i (only complete windows): the min hash
-    val m = grams.groupBy("doc_id").agg(count(lit(1)).as("m"))
-    val wins = grams
-      .withColumn("minh", min("h").over(Window.partitionBy("doc_id")
-        .orderBy("p").rowsBetween(Window.currentRow, w - 1)))
-      .join(m, "doc_id")
+        md5(col("g")).as("h"), (col("n") - (k - 1)).as("m"))
+    // per window start p (only complete windows): the min hash with ties to
+    // the RIGHTMOST position — min(struct(h, -p)) orders by hash then by
+    // descending position, which IS the paper's §4 selection rule
+    val sel = grams
+      .withColumn("sel", min(struct(col("h"), (-col("p")).as("np")))
+        .over(byDoc.rowsBetween(Window.currentRow, w - 1)))
       .filter(col("p") + w <= col("m"))
-      .select(col("doc_id"), col("p").as("i"), col("minh"))
-    // rightmost occurrence of the window min inside the window
-    val sel = wins.join(grams.select(col("doc_id").as("gd"),
-          col("p").as("j"), col("h")),
-        col("doc_id") === col("gd") && col("h") === col("minh") &&
-          col("j") >= col("i") && col("j") < col("i") + w)
-      .groupBy(col("doc_id"), col("i"))
-      .agg(max("j").as("pos"), min("minh").as("h"))
-    sel.select(col("doc_id"), col("pos"), col("h")).distinct()
+      .select(col("doc_id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
+    sel.distinct()
   }
 
   /** Term-distribution drift between two corpus snapshots — the "did the

@@ -66,6 +66,8 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
       if (growSpans) spans.exists && spans.currentTag.contains(tag)
       else admitted.exists && admitted.currentTag.contains(tag)
     if (done) return
+    val sc = spark.sparkContext
+    sc.setJobDescription(s"spanguard $tag: batch spans")
     val ds = docSpans(batch).localCheckpoint()
     val rejected =
       if (spans.exists) ds.join(spans.read(), Seq("h"), "left_semi")
@@ -79,6 +81,7 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
     val adm = if (admitted.exists)
       adm0.join(admitted.read(), Seq("doc_id"), "left_anti") else adm0
     val admTag = if (growSpans) None else Some(tag)
+    sc.setJobDescription(s"spanguard $tag: admitted append")
     if (admitted.exists) admitted.promote(admitted.stageAppend(adm), admTag)
     else admitted.promote(admitted.stage(adm), admTag)
     if (growSpans) {
@@ -88,11 +91,15 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
         if (spans.exists) ds.select("h").distinct()
           .join(spans.read(), Seq("h"), "left_anti")
         else ds.select("h").distinct()
+      sc.setJobDescription(s"spanguard $tag: spans append")
       if (spans.exists) spans.promote(spans.stageAppend(fresh), Some(tag))
       else spans.promote(spans.stage(fresh), Some(tag))
+      sc.setJobDescription(s"spanguard $tag: spans compact")
       if (spans.chainDepth > maxChainDepth) { spans.compact(); () }
     }
+    sc.setJobDescription(s"spanguard $tag: admitted compact")
     if (admitted.chainDepth > maxChainDepth) { admitted.compact(); () }
+    sc.setJobDescription(null)
   }
 }
 

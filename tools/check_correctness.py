@@ -57,6 +57,15 @@ def values_match(a, b):
                 return False, f"col {c} row {i}: {vx!r} vs {vy!r}"
     return True, ""
 
+# CHECK_ONLY=q26,q61 restricts to matching names (iteration aid, mirrors
+# Verify's SPARK_GRAFT_ONLY so a filtered Verify output checks cleanly)
+import os
+_only = os.environ.get("CHECK_ONLY")
+if _only:
+    pref = _only.split(",")
+    oracles = {k: v for k, v in oracles.items()
+               if any(k.startswith(p) for p in pref)}
+
 results = {}
 for name in sorted(oracles):
     path = f"{out_dir}/{name}.parquet"
