@@ -19,7 +19,10 @@ object ProfileQuery {
     val reps = if (args.length > 1) args(1).toInt else 2
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — extra session conf for A/B experiments
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split('=')).collect { case Array(k, v) => (k, v) }
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,7 +30,8 @@ object ProfileQuery {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config(graft.core.Tables.NanosConfKey, "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
+    if (extra.nonEmpty) println(s"[profile] extra conf: ${extra.mkString(", ")}")
     spark.sparkContext.setLogLevel("WARN")
     try {
       val w = spark.read.parquet(s"$sfDir/lineitem.parquet")

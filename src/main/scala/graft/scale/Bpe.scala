@@ -421,9 +421,7 @@ FROM c GROUP BY 1 ORDER BY 1"""
     Q("q294_streaming_bpe", mergesOracle) { (s, d) =>
       val wh = graft.core.Scratch.dir("graft-q294")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      graft.streaming.Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new graft.streaming.AnchorCountIndex(s2, s"$wh/words",

@@ -148,10 +148,12 @@ object Curation {
     val toks = df.select(col("doc_id"),
       posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
         w => w =!= "")).as(Seq("p", "t")))
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-    toks.withColumn("g", concat_ws(" ", (0 until n).map(o =>
+    // per-doc token count as an unordered window over the same doc_id
+    // partition the gram window establishes — no groupBy+re-join
+    toks
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("g", concat_ws(" ", (0 until n).map(o =>
         lead(col("t"), o).over(Window.partitionBy("doc_id").orderBy("p"))): _*))
-      .join(lens, "doc_id")
       .filter(col("p") + n <= col("__n"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         md5(col("g")).as("h"))
@@ -163,31 +165,39 @@ object Curation {
   def scrubAgainstGrams(corpus: DataFrame, evalGrams: DataFrame, n: Int = 8,
                         textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hits = posGrams(corpus, n, textCol)
-      .join(broadcast(evalGrams.select("h")), "h")
-      .select(col("doc_id"), col("p"))
-    val events = hits.select(col("doc_id"), col("p").as("pos"), lit(1L).as("ev"))
-      .unionByName(hits.select(col("doc_id"), (col("p") + n).as("pos"),
-        lit(-1L).as("ev")))
-      .groupBy("doc_id", "pos").agg(sum("ev").as("ev"))
+    // ONE tokenization pass, one doc_id exchange. A position's coverage —
+    // historically the running sum of ±1 events built from a separate gram
+    // stream and re-joined per (doc, pos) — equals the count of HIT gram
+    // starts inside the trailing window [pos−n+1, pos] (the prefix sum of
+    // +1@h/−1@(h+n) telescopes to exactly that), so it is a sliding window
+    // sum over hit markers computed in the same per-doc pass that hashes
+    // the grams. The per-doc rebuild then keeps cov = 0 tokens and counts
+    // everything in a single aggregation over the same partitioning (no
+    // lens re-join — a fully-scrubbed doc's length rides the aggregate).
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val toks = corpus.select(col("doc_id"),
-        posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
-          w => w =!= "")).as(Seq("p", "w")))
-      .select(col("doc_id"), col("p").cast("long").as("pos"), col("w"))
-    val covered = toks.join(events, Seq("doc_id", "pos"), "left")
-      .na.fill(0L, Seq("ev"))
-      .withColumn("cov", sum("ev").over(Window.partitionBy("doc_id")
-        .orderBy("pos").rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-    val kept = covered.filter(col("cov") === 0)
-      .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(
-          struct(col("pos"), col("w")))), s => s.getField("w")), " ")
-          .as("clean_text"),
-        count(lit(1)).as("__kept"))
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))
-    corpus.select(col("doc_id")).join(lens, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
+      posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
+        w => w =!= "")).as(Seq("p", "w")))
+    val marked = toks
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("__h", md5(concat_ws(" ", (0 until n).map(o =>
+        lead(col("w"), o).over(byDoc)): _*)))
+      // distinct defensively: the left join must never duplicate a token
+      // row (the historical event-sum form was insensitive to dup keys)
+      .join(broadcast(evalGrams.select(col("h").as("__h")).distinct()
+        .withColumn("__hit", lit(1))), Seq("__h"), "left")
+      .withColumn("__m",
+        when(col("p") + n <= col("__n") && col("__hit").isNotNull, 1L)
+          .otherwise(0L))
+    val covered = marked.withColumn("cov",
+      sum("__m").over(byDoc.rowsBetween(-(n - 1), Window.currentRow)))
+    val perDoc = covered.groupBy("doc_id").agg(
+      array_join(transform(array_sort(collect_list(
+          when(col("cov") === 0, struct(col("p"), col("w"))))),
+        s => s.getField("w")), " ").as("clean_text"),
+      count(lit(1)).as("__len"),
+      sum(when(col("cov") === 0, 1L).otherwise(0L)).as("__kept"))
+    corpus.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (coalesce(col("__len"), lit(0L)) - coalesce(col("__kept"), lit(0L)))

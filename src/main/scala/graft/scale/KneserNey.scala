@@ -400,9 +400,8 @@ WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
       val wh = graft.core.Scratch.dir("graft-q281")
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val train = docs.filter(col("doc_id") % 2 === 0)
-      for (i <- 0 until 3)
-        train.filter(pmod(col("doc_id"), lit(6)) === i * 2).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      graft.streaming.Feeds.write(train,
+        (pmod(col("doc_id"), lit(6)) / 2).cast("int"), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new graft.streaming.AnchorCountIndex(s2, s"$wh/bigrams",
@@ -439,9 +438,8 @@ WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
       val wh = graft.core.Scratch.dir("graft-q291")
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val train = docs.filter(col("doc_id") % 2 === 0)
-      for (i <- 0 until 3)
-        train.filter(pmod(col("doc_id"), lit(6)) === i * 2).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      graft.streaming.Feeds.write(train,
+        pmod(col("doc_id"), lit(6)) / 2, 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val biIdx = new graft.streaming.AnchorCountIndex(s2, s"$wh/bi",

@@ -157,12 +157,16 @@ object SuffixArray {
         col("r").as("rank")))
     var span = 1L
     for (_ <- 1 to rounds) {
-      val nxt = ranks.select(col("doc_id"),
-        (col("pos") - span).as("pos"), col("rank").as("r2"))
-      val paired = ranks.join(nxt, Seq("doc_id", "pos"), "left")
-        .na.fill(0L, Seq("r2")) // past end-of-doc: sentinel 0 < every rank
+      // rank at pos+span = lead(rank, span) over the per-doc position order
+      // (every position 0..n−1 is present exactly once per doc, invariant
+      // across rounds) — one doc_id exchange instead of the historical
+      // (doc_id, pos)-keyed self-join's two
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val paired = ranks
         .select(col("doc_id"), col("pos"), col("rank").as("k1"),
-          col("r2").as("k2"))
+          // past end-of-doc: sentinel 0 < every rank
+          coalesce(lead(col("rank"), span.toInt).over(byDoc), lit(0L)).as("k2"))
       ranks = denseRank(paired, policy)
       span *= 2
     }
@@ -180,15 +184,21 @@ object SuffixArray {
                            textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spanLen = 1L << rounds
-    val occ = repeatedSpans(docs, rounds, textCol)
-    val firsts = occ.groupBy("span_grp")
-      .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_key"))
-    val drops = occ.join(firsts, "span_grp")
-      .filter(col("doc_id") * 1000000L + col("pos") =!= col("first_key"))
+    // canonical occurrence = per-group min key, as a window min over the
+    // span_grp partition repeatedSpans already established (no agg+re-join);
+    // each drop then emits its +1/−1 interval events in the SAME pass (an
+    // explode instead of a union of two reads of the drop relation)
+    val drops = repeatedSpans(docs, rounds, textCol)
+      .withColumn("__fk",
+        min(col("doc_id") * 1000000L + col("pos"))
+          .over(Window.partitionBy("span_grp")))
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("__fk"))
       .select(col("doc_id"), col("pos"))
-    val events = drops.select(col("doc_id"), col("pos"), lit(1L).as("ev"))
-      .unionByName(drops.select(col("doc_id"),
-        (col("pos") + spanLen).as("pos"), lit(-1L).as("ev")))
+    val events = drops
+      .select(col("doc_id"), explode(array(
+        struct(col("pos").as("pos"), lit(1L).as("ev")),
+        struct((col("pos") + spanLen).as("pos"), lit(-1L).as("ev")))).as("__e"))
+      .select(col("doc_id"), col("__e.pos").as("pos"), col("__e.ev").as("ev"))
       .groupBy("doc_id", "pos").agg(sum("ev").as("ev"))
     val toks = docs.select(col("doc_id"),
       posexplode(filter(split(col(textCol), graft.expressions.Ws.Regex),
@@ -231,19 +241,19 @@ object SuffixArray {
     */
   def repeatedSpans(docs: DataFrame, rounds: Int,
                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spanLen = 1L << rounds
-    val lens = docs.select(col("doc_id"),
-        size(filter(split(col(textCol), graft.expressions.Ws.Regex),
-          w => w =!= "")).cast("long").as("n"))
+    // per-doc token count as a window count over the rank rows (one row per
+    // position by construction) — no re-tokenization scan, no lens re-join;
+    // group sizes as a window count over the rank partition — the >= 2
+    // filter without the count+re-join round trip
     val full = suffixRanks(docs, rounds, textCol)
-      .join(lens, "doc_id")
-      .filter(col("pos") + spanLen <= col("n"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") + spanLen <= col("__n"))
       .select(col("doc_id"), col("pos"), col("rank"))
-      .localCheckpoint()
-    val groups = full.groupBy("rank").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("rank"))
-    full.join(groups, "rank")
+    full
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("rank")))
+      .filter(col("__c") > 1)
       .select(col("rank").as("span_grp"), col("doc_id"), col("pos"))
   }
 
@@ -364,14 +374,15 @@ object SuffixArray {
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" " + PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      val occ = repeatedSpans(fixed, rounds = 4)
       // canonical occurrence per group: min (doc_id, pos) — encoded as
-      // one long (pos < 1e6 per doc by fixture construction) so the
-      // argmin is a plain per-group aggregate
-      val firsts = occ.groupBy("span_grp")
-        .agg(min(col("doc_id") * 1000000L + col("pos")).as("first_key"))
-      occ.join(firsts, "span_grp")
-        .filter(col("doc_id") * 1000000L + col("pos") =!= col("first_key"))
+      // one long (pos < 1e6 per doc by fixture construction), computed as
+      // a window min over the span_grp partition repeatedSpans already
+      // established (no agg+re-join)
+      repeatedSpans(fixed, rounds = 4)
+        .withColumn("__fk",
+          min(col("doc_id") * 1000000L + col("pos"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("span_grp")))
+        .filter(col("doc_id") * 1000000L + col("pos") =!= col("__fk"))
         .select(col("span_grp"), col("doc_id"), col("pos"))
         .orderBy("span_grp", "doc_id", "pos")
     },

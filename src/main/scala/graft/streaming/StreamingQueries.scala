@@ -568,9 +568,7 @@ object StreamingQueries {
         round(col("o_totalprice"), 2).as("c_acctbal"),
         col("o_orderkey").as("seq"),
         when(col("o_orderkey") % 13 === 0, "D").otherwise("U").as("op"))
-      for (i <- 0 until 3)
-        changes.filter(pmod(col("seq"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(changes, pmod(col("seq"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val schema = s2.read.parquet(s"$wh/feed").schema
@@ -725,9 +723,7 @@ object StreamingQueries {
       // per-batch delta cost tracks batch x degree, and the streaming
       // lifecycle doesn't need the denser fixture to prove the law
       val pairs = Graph.coSupplierPairs(s, d, minShared = 6L).localCheckpoint()
-      for (i <- 0 until 3)
-        pairs.filter(pmod(col("u") * 31 + col("v"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(pairs, pmod(col("u") * 31 + col("v"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val schema = s2.read.parquet(s"$wh/feed").schema
@@ -1668,9 +1664,7 @@ object StreamingQueries {
         .filter((col("day") + col("c")) % 4 < 2)
       // day-partitioned drop, drained oldest-first — the date-ordered
       // ingestion the sink's contract names
-      for (day <- 0L until 6L)
-        feed.filter(col("day") === day).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(feed, col("day"), 6, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val schema = s2.read.parquet(s"$wh/feed").schema
@@ -1732,9 +1726,7 @@ object StreamingQueries {
       val feed = Tables.documents(s, d).select(col("doc_id"), col("lang"),
           expr("CAST((doc_id div 20) % 6 AS BIGINT)").as("day"),
           nTok.as("n_tokens"))
-      for (day <- 0L until 6L)
-        feed.filter(col("day") === day).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(feed, col("day"), 6, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val schema = s2.read.parquet(s"$wh/feed").schema
@@ -1839,9 +1831,7 @@ object StreamingQueries {
       import graft.scale.{Curation, Graph}
       val wh = scratchDir("graft-q237")
       val docs = Tables.documents(s, d).select("doc_id")
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val idx = new Graph.PageRankIndex(s, s"$wh/pr", Graph.Iters, 16,
         c => abs(hash(c)).cast("long"))
       val edgesOut = new VersionedTable(s, s"$wh/pr/edges_out")
@@ -1906,9 +1896,7 @@ object StreamingQueries {
       import org.apache.spark.sql.expressions.Window
       val wh = scratchDir("graft-q247")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new AnchorCountIndex(s2, s"$wh/anchor", maxChainDepth = 2)
@@ -1955,9 +1943,7 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new SpanGuardIndex(s2, s"$wh/guard", maxChainDepth = 2)
@@ -2011,9 +1997,7 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new SpanGuardIndex(s2, s"$wh/guard", maxChainDepth = 2,
@@ -2085,9 +2069,7 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new ScrubIndex(s2, s"$wh/scrub", n = 8, maxChainDepth = 2)
@@ -2123,9 +2105,7 @@ object StreamingQueries {
       import graft.scale.Curation
       val wh = scratchDir("graft-q258")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new AnchorCountIndex(s2, s"$wh/terms", maxChainDepth = 2,
@@ -2167,9 +2147,7 @@ object StreamingQueries {
         |ORDER BY rnk""".stripMargin) { (s, d) =>
       val wh = scratchDir("graft-q276")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val uniIdx = new AnchorCountIndex(s2, s"$wh/uni", maxChainDepth = 2,
@@ -2235,9 +2213,7 @@ object StreamingQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"),
           lit(" " + graft.scale.SuffixArray.PlantedPhrase)))
           .otherwise(col("text")).as("text"))
-      for (i <- 0 until 3)
-        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(docs, pmod(col("doc_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new SpanGuardIndex(s2, s"$wh/guard", maxChainDepth = 2,
@@ -2297,9 +2273,7 @@ object StreamingQueries {
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(0.02f)).cast("array<float>"))
-      for (i <- 0 until 3)
-        emb.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
-          .write.mode("append").parquet(s"$wh/feed")
+      Feeds.write(emb, pmod(col("vec_id"), lit(3)), 3, s"$wh/feed")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       val idx = new EmbedGuardIndex(s2, s"$wh/guard", maxChainDepth = 2)
