@@ -455,7 +455,12 @@ WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
         .option("checkpointLocation", s"$wh/ckpt")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          biIdx.processBatch(b, id); triIdx.processBatch(b, id)
+          // the two count indexes are independent (separate tables, own
+          // replay gates) — overlap their batch passes (guide §2.6 shape)
+          val f = scala.concurrent.Future(biIdx.processBatch(b, id))(
+            scala.concurrent.ExecutionContext.global)
+          triIdx.processBatch(b, id)
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

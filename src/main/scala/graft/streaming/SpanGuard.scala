@@ -81,19 +81,32 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
     val adm = if (admitted.exists)
       adm0.join(admitted.read(), Seq("doc_id"), "left_anti") else adm0
     val admTag = if (growSpans) None else Some(tag)
-    sc.setJobDescription(s"spanguard $tag: admitted append")
-    if (admitted.exists) admitted.promote(admitted.stageAppend(adm), admTag)
-    else admitted.promote(admitted.stage(adm), admTag)
-    if (growSpans) {
-      // ALL batch spans enter the index (the re-crawl rule): admission
-      // never depends on earlier admissions, only on earlier batches
-      val fresh =
-        if (spans.exists) ds.select("h").distinct()
-          .join(spans.read(), Seq("h"), "left_anti")
-        else ds.select("h").distinct()
-      sc.setJobDescription(s"spanguard $tag: spans append")
-      if (spans.exists) spans.promote(spans.stageAppend(fresh), Some(tag))
-      else spans.promote(spans.stage(fresh), Some(tag))
+    // the two staging writes are independent of each other (both read only
+    // the checkpointed batch spans and the PRE-promote table states), so
+    // they run concurrently and back-fill each other's task tails; the
+    // PROMOTES stay strictly ordered (admitted, then spans) — the crash
+    // story below depends on that order, not on the stage order
+    val admStagedF = scala.concurrent.Future {
+      sc.setJobDescription(s"spanguard $tag: admitted append")
+      if (admitted.exists) admitted.stageAppend(adm) else admitted.stage(adm)
+    }(scala.concurrent.ExecutionContext.global)
+    val spansStaged =
+      if (!growSpans) None
+      else {
+        // ALL batch spans enter the index (the re-crawl rule): admission
+        // never depends on earlier admissions, only on earlier batches
+        val fresh =
+          if (spans.exists) ds.select("h").distinct()
+            .join(spans.read(), Seq("h"), "left_anti")
+          else ds.select("h").distinct()
+        sc.setJobDescription(s"spanguard $tag: spans append")
+        Some(if (spans.exists) spans.stageAppend(fresh) else spans.stage(fresh))
+      }
+    val admStaged = scala.concurrent.Await.result(
+      admStagedF, scala.concurrent.duration.Duration.Inf)
+    admitted.promote(admStaged, admTag)
+    spansStaged.foreach { v =>
+      spans.promote(v, Some(tag))
       sc.setJobDescription(s"spanguard $tag: spans compact")
       if (spans.chainDepth > maxChainDepth) { spans.compact(); () }
     }

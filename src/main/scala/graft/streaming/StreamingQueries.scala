@@ -2161,7 +2161,12 @@ object StreamingQueries {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
         .option("checkpointLocation", s"$wh/ckpt")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          uniIdx.processBatch(b, id); biIdx.processBatch(b, id)
+          // independent indexes (separate tables, own replay gates) —
+          // overlap their batch passes (guide §2.6 shape)
+          val f = scala.concurrent.Future(uniIdx.processBatch(b, id))(
+            scala.concurrent.ExecutionContext.global)
+          biIdx.processBatch(b, id)
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
