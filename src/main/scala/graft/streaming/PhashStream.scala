@@ -98,8 +98,14 @@ final class PhashIndex(spark: SparkSession, root: String,
     if (hashes.exists && hashes.currentTag.contains(tag)) return
     val ss = batch.sparkSession
     import ss.implicits._
-    val hashed = batch
-      .select(col("asset_id").cast("long"), col("payload"), col("fmt"))
+    // spread the decode (the batch's CPU cost) across the executor cores
+    // when the arriving files pack into fewer scan splits than cores —
+    // size-adaptive: a large well-partitioned batch skips the shuffle, so
+    // payload bytes never move unnecessarily (guide §8 discipline)
+    val par = ss.sparkContext.defaultParallelism
+    val src0 = batch.select(col("asset_id").cast("long"), col("payload"), col("fmt"))
+    val src = if (src0.rdd.getNumPartitions < par) src0.repartition(par) else src0
+    val hashed = src
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (aid, bytes, fmt) =>
         (aid, Multimodal.decodeDhash(aid, bytes, fmt))
@@ -259,8 +265,12 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
     if (frames.exists && frames.currentTag.contains(tag)) return
     val ss = batch.sparkSession
     import ss.implicits._
-    val hashed = batch
-      .select(col("asset_id").cast("long"), col("payload"))
+    // spread the decode across cores when the batch arrives in fewer scan
+    // splits than cores (size-adaptive, see [[PhashIndex.processBatch]])
+    val par = ss.sparkContext.defaultParallelism
+    val src0 = batch.select(col("asset_id").cast("long"), col("payload"))
+    val src = if (src0.rdd.getNumPartitions < par) src0.repartition(par) else src0
+    val hashed = src
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (vid, bytes) =>
         // every decodable modality hashes: frames when the codec is in the
