@@ -132,7 +132,9 @@ object AnnIndex {
       .withColumn("cid", element_at(
         Similarity.nearestCidsExpr(cents, col(vecCol).cast("array<double>"), 1), 1))
       .select(col(idCol).cast("long").as("nid"), col("qcode").as("code"), col("cid"))
-      .localCheckpoint()
+      // lazy checkpoint (r21): the touched-cid collect below materializes it
+      // — one job for quantize+assign+collect instead of two
+      .localCheckpoint(false)
     val touched = newPostings.select("cid").distinct().collect().map(_.getInt(0))
     val pt = postingsTable(spark, root)
     val existingTouched = pt.read()
@@ -151,9 +153,11 @@ object AnnIndex {
     // latest-op-wins to delete-wins.
     val tt = tombstonesTable(spark, root)
     if (tt.exists)
+      // no checkpoint needed: the stage write reads v{cur} while writing
+      // v{next} — distinct directories, and the batch side is already
+      // checkpointed, so the one stage job is the whole cost (r21)
       tt.promote(tt.stage(
-        tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")
-          .localCheckpoint()))
+        tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")))
     pt.promote(pt.stagePatch(merged, Seq("cid")))
     IvfIndex(root, cents.length)
   }
@@ -181,8 +185,11 @@ object AnnIndex {
     val ids = deletedIds.select(col(idCol).cast("long").as("nid")).distinct()
     val tt = tombstonesTable(spark, root)
     if (tt.exists) {
-      val fresh = ids.join(tt.read(), Seq("nid"), "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) {
+      // lazy checkpoint + count: one job answers emptiness AND materializes
+      // the blocks the append writes (r21)
+      val fresh = ids.join(tt.read(), Seq("nid"), "left_anti")
+        .localCheckpoint(false)
+      if (fresh.count() > 0) {
         tt.promote(tt.stageAppend(fresh))
         tt.compactIfNeeded(maxChainDepth)
       }
@@ -208,8 +215,11 @@ object AnnIndex {
   def compactIvfIndex(spark: SparkSession, root: String): Unit = {
     val pt = postingsTable(spark, root)
     val tt = tombstonesTable(spark, root)
-    val dead = if (tt.exists) Some(tt.read().localCheckpoint()) else None
-    if (dead.exists(!_.isEmpty)) {
+    // lazy checkpoint + count: ONE job answers emptiness and materializes
+    // the blocks the purge join reads (r21; was checkpoint + isEmpty = two)
+    val dead0 = if (tt.exists) Some(tt.read().localCheckpoint(false)) else None
+    val dead = dead0.filter(_.count() > 0)
+    if (dead.nonEmpty) {
       // physical delete: rewrite the postings without the tombstoned rows,
       // then truncate the tombstone set in a SECOND promote. Crash between
       // the two leaves stale tombstones over already-purged postings —
@@ -272,16 +282,30 @@ object AnnIndex {
       val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
       if (norm == 0d) fallback else c.map(_.toDouble / norm).toSeq
     }
-    hot.foreach { h =>
+    // Per-cell split work is INDEPENDENT across hot cells (each reads only
+    // its own directory-pruned partition), so the Lloyd rounds of different
+    // cells overlap via futures (r21, the SpanGuard pattern); the fresh-cid
+    // assignment below stays sequential in hot order, so minted cell ids —
+    // and with them the output — are bit-identical to the serial walk.
+    // Futures are read-only compute (no staged writes), so a failed cell
+    // rethrows at its Await with nothing to unwind.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val perCell = hot.map { h => h -> scala.concurrent.Future {
       val members = pt.read().filter(col("cid") === h)
         .withColumn("gcode", col("code").cast("array<bigint>"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val sub = Kmeans.lloyd(members, k = 2, iters = splitIters, idCol = "nid")
       val assigned = Kmeans.assignNearest(members, sub, codeCol = "gcode")
-        .localCheckpoint()
+        .localCheckpoint(false)
       // a degenerate cell (all codes identical) assigns everything to one
       // sub-centroid — leave it alone rather than minting an empty cell
-      if (assigned.select("cid").distinct().count() == 2) {
+      (sub, assigned, assigned.select("cid").distinct().count())
+    } }
+    perCell.foreach { case (h, f) =>
+      val (sub, assigned, nSub) = scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf)
+      if (nSub == 2) {
         val fresh = nextCid; nextCid += 1; split += h
         patches += assigned
           .withColumn("cid", when(col("cid") === 0, lit(h)).otherwise(lit(fresh)))
@@ -326,17 +350,17 @@ object AnnIndex {
                pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     Similarity.requireNumericId(queries, idCol, "probeIvf")
     val cents = readCentroids(spark, root)
-    // localCheckpoint: the quantize + centroid-assignment job runs ONCE —
-    // the probeCids collect below and the candidate join both read the
-    // materialized rows (a second evaluation would double the query-side
-    // work on the path built for probe-many serving); blocks free with the
-    // query's DataFrames
+    // LAZY localCheckpoint: the quantize + centroid-assignment job runs ONCE
+    // — the probeCids collect below materializes the blocks and the
+    // candidate join reuses them (a second evaluation would double the
+    // query-side work on the path built for probe-many serving); lazy, so
+    // the collect is the ONE job instead of checkpoint + collect (r21)
     val q = Similarity.quantizeInt8(queries, vecCol)
       .withColumn("cid", explode(
         Similarity.nearestCidsExpr(cents, col(vecCol).cast("array<double>"),
           math.min(nProbe, cents.length))))
       .select(col(idCol).cast("long").as("qid"), col("qcode").as("qc"), col("cid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val probeCids = q.select("cid").distinct().collect().map(_.getInt(0))
     // guard the broadcast-small-queries contract: a corpus-sized query table
     // would both blow the broadcast below and turn this IN list into a

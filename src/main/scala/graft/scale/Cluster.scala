@@ -54,12 +54,16 @@ object Cluster extends org.apache.spark.internal.Logging {
                                     bCol: String = "doc_b",
                                     maxIters: Int = 25): CCResult = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // lazy checkpoint + count (r21): ONE job materializes the symmetrized
+    // edge blocks AND answers the empty-graph fast path (was checkpoint +
+    // isEmpty — two jobs on every call, paid per micro-batch by the
+    // streaming near-dup/phash sinks)
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // empty graph: converged by definition — skip the loop's per-round jobs
     // (the streaming near-dup sink hits this on every clean crawl batch,
     // where the fixed cost of even one hop+double round is pure overhead)
-    if (edges.isEmpty)
+    if (edges.count() == 0)
       return CCResult(edges.select(col("src").as("doc_id"), col("dst").as("cluster")),
         converged = true, iters = 0)
     // no checkpoint here: round 1's checkpoint materializes the whole chain,
@@ -83,8 +87,12 @@ object Cluster extends org.apache.spark.internal.Logging {
         .select(col("u.id").as("id"), col("u.old").as("old"),
           least(col("u.lbl"), coalesce(col("p.plbl"), col("u.lbl"))).as("label"))
         .withColumn("__changed", col("label") =!= col("old"))
-        .localCheckpoint()
-      converged = compressed.filter(col("__changed")).limit(1).count() == 0
+        // lazy: the convergence count below is the round's ONE job — a full
+        // count (not limit(1), whose incremental execution would split the
+        // materialization into several jobs) both materializes the
+        // checkpoint the next round reads and answers convergence
+        .localCheckpoint(false)
+      converged = compressed.filter(col("__changed")).count() == 0
       labels = compressed.select("id", "label")
       it += 1
     }

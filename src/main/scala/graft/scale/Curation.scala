@@ -1595,14 +1595,30 @@ object Curation {
     * candidates plus the carve-out probes — the Spark side of
     * [[robotsVerdictCtes]], shared by q246/q248/q249.
     */
-  def robotsVerdicts(docs: DataFrame): DataFrame = {
-    val cand0 = docs
-      .select(explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
-      .filter(col("url").rlike("(?i)^https?://"))
+  def robotsVerdicts(docs: DataFrame): DataFrame =
+    robotsVerdictsFromLinks(crawlLinks(docs))
+
+  /** The (doc_id, url) absolute-link extraction every crawl-scheduler
+    * surface starts from (r21): factored out so q248/q249 can run the
+    * regex-heavy extraction ONCE (lazily checkpointed at the call site)
+    * and feed both the robots and the trust sides — it was the dominant
+    * compute of both, paid twice.
+    */
+  private[graft] def crawlLinks(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
+    .filter(col("url").rlike("(?i)^https?://"))
+
+  private[graft] def robotsVerdictsFromLinks(links: DataFrame): DataFrame = {
+    // lazy checkpoint: cand0 feeds BOTH the domain probe branch and the
+    // candidate union below — DataFrame reuse is not CSE'd by the
+    // optimizer, so without it the extraction chain runs twice (r21)
+    val cand0 = links
       .select(canonicalizeUrl(col("url")).as("cu"))
       .select(urlDomain(col("cu")).as("domain"),
         regexp_extract(col("cu"),
           "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?]*)", 1).as("path"))
+      .localCheckpoint(false)
     val doms = cand0.select("domain").distinct()
       .withColumn("k", regexp_extract(col("domain"), "^site([0-9])", 1))
       .filter(col("k") =!= "")
@@ -1630,16 +1646,17 @@ object Curation {
   /** (node, rank) TrustRank over the weighted crawl domain graph — the
     * Spark side of [[trustCtes]], shared by q244/q248.
     */
-  def crawlTrust(docs: DataFrame): DataFrame = {
-    val links = docs
-      .select(col("doc_id"),
-        explode(extractLinks(linkFixture(col("doc_id")))).as("url"))
-      .filter(col("url").rlike("(?i)^https?://"))
+  def crawlTrust(docs: DataFrame): DataFrame =
+    crawlTrustFromLinks(crawlLinks(docs))
+
+  private[graft] def crawlTrustFromLinks(links: DataFrame): DataFrame = {
     val dir = links.select(
         concat(lit("site"), col("doc_id") % 10, lit(".com")).as("src"),
         urlDomain(canonicalizeUrl(col("url"))).as("dst"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      // lazy checkpoint: dir feeds both orientations of the union (r21)
+      .localCheckpoint(false)
     val edges = dir.unionByName(
         dir.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum("w").as("w"))
@@ -2750,9 +2767,12 @@ object Curation {
         |ORDER BY trust DESC, domain, slot""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select("doc_id")
-      val allowed = robotsVerdicts(docs).filter(col("allowed"))
+      // ONE link extraction feeds both sides (r21): lazily checkpointed so
+      // the robots and trust branches read the same materialized blocks
+      val links = crawlLinks(docs).localCheckpoint(false)
+      val allowed = robotsVerdictsFromLinks(links).filter(col("allowed"))
         .select("domain", "path")
-      val trust = crawlTrust(docs)
+      val trust = crawlTrustFromLinks(links)
         .select(col("node"), col("rank").cast("long").as("trust"))
       allowed.join(trust, col("domain") === col("node"))
         .withColumn("slot", row_number().over(Window.partitionBy("domain")

@@ -800,12 +800,16 @@ object Graph {
     * the full recount on the union.
     */
   def triangleCountDelta(oldPairs: DataFrame, batch0: DataFrame): DataFrame = {
-    val batch = batch0.join(oldPairs, Seq("u", "v"), "left_anti").localCheckpoint()
+    // lazy checkpoints (r21): still dedup the double uses of each adjacency
+    // below, but materialize inside the caller's ONE consuming action
+    // instead of paying three eager jobs per call (guide §2.4)
+    val batch = batch0.join(oldPairs, Seq("u", "v"), "left_anti")
+      .localCheckpoint(false)
     def adj(p: DataFrame) =
       p.select(col("u").as("a"), col("v").as("b"))
         .unionByName(p.select(col("v").as("a"), col("u").as("b")))
-    val oldAdj = adj(oldPairs).localCheckpoint()
-    val newAdj = adj(batch).localCheckpoint()
+    val oldAdj = adj(oldPairs).localCheckpoint(false)
+    val newAdj = adj(batch).localCheckpoint(false)
     // exactly one new edge: common OLD neighbors of the new edge's endpoints
     val t1 = batch
       .join(oldAdj.select(col("a").as("u"), col("b").as("n")), "u")
@@ -966,11 +970,13 @@ object Graph {
     */
   def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     val strength = edges.groupBy("src").agg(sum("w").as("strength"))
+    // lazy checkpoints (r21): still dedup the per-round reuse of e/sd, but
+    // materialize inside the caller's one consuming action
     val e = edges.join(strength, "src")
       .select(col("src"), col("dst"), col("w"), col("strength"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
-      .withColumn("__s", lit(1L)).localCheckpoint()
+      .withColumn("__s", lit(1L)).localCheckpoint(false)
     def restart(nodes: DataFrame) = nodes
       .join(sd, Seq("node"), "left")
       .select(col("node"), when(col("__s").isNotNull, lit(Base))

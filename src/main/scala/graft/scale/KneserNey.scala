@@ -456,10 +456,14 @@ WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id"""
         .option("checkpointLocation", s"$wh/ckpt")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           // the two count indexes are independent (separate tables, own
-          // replay gates) — overlap their batch passes (guide §2.6 shape)
+          // replay gates) — overlap their batch passes (guide §2.6 shape);
+          // always settle the future before propagating a main-thread
+          // failure (the ADVICE r20 orphaned-future hazard)
           val f = scala.concurrent.Future(biIdx.processBatch(b, id))(
             scala.concurrent.ExecutionContext.global)
-          triIdx.processBatch(b, id)
+          val main = scala.util.Try(triIdx.processBatch(b, id))
+          scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+          main.get
           scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

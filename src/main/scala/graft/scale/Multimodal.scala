@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Spread a payload feed across cores for the decode mapPartitions that
+    * follows (r21): the cached fixture feeds land as one or two small
+    * parquet files, and the default scan packing (128 MB splits) hands the
+    * WHOLE feed to 1–2 tasks — serializing the decode, the query's actual
+    * CPU cost, while the other cores idle (the q264 profile: one 0.8 s
+    * single-task decode job). Target = one task per ~256 KiB of payload
+    * (software codec work per byte is high), capped at the core count,
+    * derived from the plan's own byte stats (driver-side, no job); a feed
+    * already split at least that finely moves nothing. One small shuffle
+    * per run against a parallel decode — guide §2.1/§6.
+    */
+  private def spreadDecode(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (bytes / (256L << 10)).min(BigInt(par)).toInt
+    if (target > df.rdd.getNumPartitions) df.repartition(target) else df
+  }
+
   final case class Asset(asset_id: Long, content: Array[Byte], format: String, n_bytes: Long)
   final case class AssetFeatures(asset_id: Long, format: String, n_bytes: Long,
                                  width: Int, height: Int, checksum: Long)
@@ -5357,7 +5375,7 @@ object Multimodal {
           }
           .toDF("vid", "bytes").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte])]
       // frame-hash relation keyed by a (video, frame) composite so the
       // banded pair machinery applies unchanged; 4 frames/video => *4.
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
@@ -5460,7 +5478,7 @@ object Multimodal {
           }
           .toDF("vid", "bytes").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte])]
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
         val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
           throw new IllegalStateException(s"undecodable mjpeg mp4 $vid"))
@@ -5552,7 +5570,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -5675,7 +5693,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -5772,7 +5790,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -5827,7 +5845,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -5906,7 +5924,7 @@ object Multimodal {
           }
           .toDF("vid", "bytes").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte])]
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
         val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
           throw new IllegalStateException(s"undecodable mp4 $vid"))
@@ -5970,7 +5988,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -6022,7 +6040,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -6078,7 +6096,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -6137,7 +6155,7 @@ object Multimodal {
           }
           .toDF("aid", "bytes", "fmt").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte], String)]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte], String)]
       val hashes = assets.mapPartitions { rows =>
         rows.map { case (aid, bytes, fmt) => (aid, decodeDhash(aid, bytes, fmt)) }
       }.toDF("asset_id", "dhash").localCheckpoint()
@@ -6200,7 +6218,7 @@ object Multimodal {
           }
           .toDF("vid", "bytes").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte])]
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
         val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
           throw new IllegalStateException(s"undecodable mp4 $vid"))
@@ -6353,7 +6371,7 @@ Q("q315_jpeg_color_progressive",
           }
           .toDF("vid", "bytes").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte])]
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
         val (w, h, frames) = mp4DecodeGrayFrames(bytes).getOrElse(
           throw new IllegalStateException(s"undecodable mp4 $vid"))
@@ -6503,7 +6521,7 @@ Q("q315_jpeg_color_progressive",
           }
           .toDF("vid", "bytes").write.parquet(s"$p/a")
       }
-      val assets = s.read.parquet(s"$feed/a").as[(Long, Array[Byte])]
+      val assets = spreadDecode(s.read.parquet(s"$feed/a")).as[(Long, Array[Byte])]
       val frameHashes = assets.mapPartitions(_.flatMap { case (vid, bytes) =>
         val (w, h, frames) = videoDecodeGrayFrames(bytes).getOrElse(
           throw new IllegalStateException(s"undecodable animation $vid"))

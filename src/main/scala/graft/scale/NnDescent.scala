@@ -30,6 +30,18 @@ object NnDescent {
 
   private def hh(c: Column): Column = md5(c.cast("string"))
 
+  /** Per-round lineage cut for this family's loops (r21): under the Local
+    * policy a LAZY localCheckpoint — the plan still truncates per round,
+    * but all rounds materialize inside the caller's one terminal action
+    * instead of one eager job each (guide §2.4; reuse within the action
+    * reads the persisted blocks). Reliable stays a durable checkpoint.
+    */
+  private def cut(df: DataFrame, policy: CheckpointPolicy): DataFrame =
+    policy match {
+      case CheckpointPolicy.Local => df.localCheckpoint(false)
+      case p => p.checkpoint(df)
+    }
+
   /** (nid, cc[, meta...]) int8 code relation for a corpus. `metaCols`
     * ride along for predicate-filtered probes (the AnnIndex payload
     * scheme) — the descent and the walk ignore them.
@@ -79,7 +91,7 @@ object NnDescent {
     */
   def descentRound(e: DataFrame, cz: DataFrame, k: Int,
                    policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
-    val und = policy.checkpoint(undirected(e, k))
+    val und = cut(undirected(e, k), policy)
     val pairs = und.select(col("u").as("w"), col("v").as("x1"))
       .join(und.select(col("u").as("w"), col("v").as("x2")), "w")
       .filter(col("x1") =!= col("x2"))
@@ -104,9 +116,9 @@ object NnDescent {
                     vecCol: String = "embedding",
                     policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(k >= 1 && iters >= 1)
-    val cz = policy.checkpoint(codes(corpus, idCol, vecCol))
-    var e = policy.checkpoint(initGraph(cz.select("nid"), k, buckets))
-    for (_ <- 1 to iters) e = policy.checkpoint(descentRound(e, cz, k, policy))
+    val cz = cut(codes(corpus, idCol, vecCol), policy)
+    var e = cut(initGraph(cz.select("nid"), k, buckets), policy)
+    for (_ <- 1 to iters) e = cut(descentRound(e, cz, k, policy), policy)
     e
   }
 
@@ -215,7 +227,7 @@ object NnDescent {
       .select(col(idCol).cast("long").as("qid"), col("m"), col("gcode"))
       .crossJoin(centsDf)
       .select(col("qid"), col("m"), col("cid"), sq.as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val adcScorer: DataFrame => DataFrame = cand => cand
       .filter(col("qid") =!= col("nid"))
       .join(pqCodes.select(col("vec_id").cast("long").as("nid"),
@@ -255,8 +267,15 @@ object NnDescent {
                        exclude: Option[DataFrame],
                        scorer: DataFrame => DataFrame,
                        allow: Option[DataFrame] = None): DataFrame = {
-    val und = undirected(graph, graphK).localCheckpoint()
-    var visited = scorer(seeds).localCheckpoint()
+    // LAZY checkpoints (r21): each round's truncation still caps the plan
+    // (the LogicalRDD lands at DataFrame-creation time), but materialization
+    // is deferred to the walk's one terminal action — the whole beam loop
+    // runs as ONE Spark job instead of 2+rounds, which is the fix for the
+    // lifecycle suites' per-action driver overhead (guide §2.4; the
+    // scaling block showed these queries bound by job count, not data).
+    // Reused rounds hit the persisted blocks, so nothing recomputes.
+    val und = undirected(graph, graphK).localCheckpoint(false)
+    var visited = scorer(seeds).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val beamDf = visited.withColumn("__rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
@@ -265,7 +284,7 @@ object NnDescent {
         .join(und.withColumnRenamed("u", "nid"), "nid")
         .select(col("qid"), col("v").as("nid")).distinct()
       val fresh = nbrs.join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-      visited = visited.unionByName(scorer(fresh)).localCheckpoint()
+      visited = visited.unionByName(scorer(fresh)).localCheckpoint(false)
     }
     val excluded = exclude.fold(visited)(d =>
       visited.join(d.select("nid"), Seq("nid"), "left_anti"))
@@ -309,11 +328,11 @@ object NnDescent {
 
     def build(corpus: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): Unit = {
-      val cz = policy.checkpoint(NnDescent.codes(corpus, idCol, vecCol, metaCols))
+      val cz = cut(NnDescent.codes(corpus, idCol, vecCol, metaCols), policy)
       codes.promote(codes.stage(cz))
-      var e = policy.checkpoint(initGraph(cz.select("nid"), graphK, buckets))
+      var e = cut(initGraph(cz.select("nid"), graphK, buckets), policy)
       for (_ <- 1 to iters)
-        e = policy.checkpoint(descentRound(e, cz, graphK, policy))
+        e = cut(descentRound(e, cz, graphK, policy), policy)
       graph.promote(graph.stage(e))
     }
 
@@ -358,18 +377,20 @@ object NnDescent {
                nSeeds: Int = 8, idCol: String = "vec_id",
                vecCol: String = "embedding"): Unit = {
       require(graph.exists, s"append needs a built index at $root")
+      // lazy checkpoints + one count (r21): ids/existing/fresh materialize
+      // inside the first consuming job instead of paying an eager job each
       val ids = batch.select(col(idCol).cast("long").as("nid")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // clear any tombstones on re-appended ids FIRST, in their own
       // promote, so a crash between the two converges on retry (the r14
       // ADVICE ordering)
       ts.remove(ids)
-      val existing = codes.read().localCheckpoint()
+      val existing = codes.read().localCheckpoint(false)
       val newIds = ids.join(existing.select("nid"), Seq("nid"), "left_anti")
       val fresh = batch.join(newIds,
         batch(idCol).cast("long") === newIds("nid")).drop("nid")
-        .localCheckpoint()
-      if (fresh.isEmpty) return
+        .localCheckpoint(false)
+      if (fresh.count() == 0) return
       val dead = ts.dead()
       // carry the probe's score: it is the SAME int8 dot descentRound
       // stages, so the appended rows match the (u, v, score) base schema
@@ -377,9 +398,29 @@ object NnDescent {
           rounds, graphK, nSeeds, idCol, vecCol, dead)
         .select(col("qid").as("u"), col("nid").as("v"), col("score"))
       val gNew = links.join(graph.read().select("u").distinct(),
-        Seq("u"), "left_anti").localCheckpoint()
-      if (!gNew.isEmpty) graph.promote(graph.stageAppend(gNew))
-      codes.promote(codes.stageAppend(NnDescent.codes(fresh, idCol, vecCol, metaCols)))
+        Seq("u"), "left_anti").localCheckpoint(false)
+      // stage the codes append CONCURRENTLY with the walk+graph stage (the
+      // SpanGuard overlap pattern): the two stage writes are independent —
+      // only the PROMOTE order (graph first, then codes) carries the crash
+      // argument above, and both promotes stay on this thread, in order.
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val codesStagedF = scala.concurrent.Future {
+        codes.stageAppend(NnDescent.codes(fresh, idCol, vecCol, metaCols))
+      }
+      try {
+        // the count is the walk's ONE action: seeds, rounds and the
+        // anti-join all materialize here through the lazy checkpoint chain
+        if (gNew.count() > 0) graph.promote(graph.stageAppend(gNew))
+      } finally {
+        // always await before propagating: an orphaned stage write racing a
+        // retry into the same version directory is the ADVICE r20 hazard
+        scala.concurrent.Await.ready(codesStagedF,
+          scala.concurrent.duration.Duration.Inf)
+        ()
+      }
+      codes.promote(scala.concurrent.Await.result(codesStagedF,
+        scala.concurrent.duration.Duration.Inf))
       graph.compactIfNeeded(maxChainDepth)
       codes.compactIfNeeded(maxChainDepth)
     }
@@ -393,10 +434,24 @@ object NnDescent {
     def compact(): Unit = {
       val dead = ts.dead()
       val cz = policy.checkpoint(ts.minus(codes.read()))
-      codes.promote(codes.stage(cz))
-      var e = policy.checkpoint(initGraph(cz.select("nid"), graphK, buckets))
-      for (_ <- 1 to iters)
-        e = policy.checkpoint(descentRound(e, cz, graphK, policy))
+      // stage the codes write CONCURRENTLY with the graph rebuild — both
+      // read only the checkpointed cz; promote order (codes, then graph)
+      // is unchanged and stays on this thread
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val codesStagedF = scala.concurrent.Future { codes.stage(cz) }
+      val e = try {
+        var g = cut(initGraph(cz.select("nid"), graphK, buckets), policy)
+        for (_ <- 1 to iters)
+          g = cut(descentRound(g, cz, graphK, policy), policy)
+        g
+      } finally {
+        scala.concurrent.Await.ready(codesStagedF,
+          scala.concurrent.duration.Duration.Inf)
+        ()
+      }
+      codes.promote(scala.concurrent.Await.result(codesStagedF,
+        scala.concurrent.duration.Duration.Inf))
       graph.promote(graph.stage(e))
       if (dead.nonEmpty) ts.truncate()
     }

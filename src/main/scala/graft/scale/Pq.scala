@@ -191,7 +191,8 @@ object Pq {
     val newPostings = Kmeans.assignNearest(Kmeans.quantizeGrid(newVectors), coarse)
       .select(col("vec_id").cast("long").as("nid"),
         pqCodesExpr(book, col("gcode")).as("codes"), col("cid"))
-      .localCheckpoint()
+      // lazy checkpoint (r21): the touched-cid collect materializes it
+      .localCheckpoint(false)
     val touched = newPostings.select("cid").distinct().collect().map(_.getInt(0))
     val pt = table(spark, root, "postings")
     if (assertNewIds) {
@@ -213,9 +214,10 @@ object Pq {
     // the fresh posting (delete-wins; see AnnIndex.appendToIvfIndex).
     val tt = table(spark, root, "tombstones")
     if (tt.exists)
+      // no checkpoint needed: the stage write reads v{cur} while writing
+      // v{next} — distinct directories (r21)
       tt.promote(tt.stage(
-        tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")
-          .localCheckpoint()))
+        tt.read().join(newPostings.select("nid"), Seq("nid"), "left_anti")))
     pt.promote(pt.stagePatch(merged, Seq("cid")))
     IvfPqIndex(root, coarse.length)
   }
@@ -235,8 +237,11 @@ object Pq {
     val ids = deletedIds.select(col(idCol).cast("long").as("nid")).distinct()
     val tt = table(spark, root, "tombstones")
     if (tt.exists) {
-      val fresh = ids.join(tt.read(), Seq("nid"), "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) {
+      // lazy checkpoint + count: one job answers emptiness AND
+      // materializes the blocks the append writes (r21)
+      val fresh = ids.join(tt.read(), Seq("nid"), "left_anti")
+        .localCheckpoint(false)
+      if (fresh.count() > 0) {
         tt.promote(tt.stageAppend(fresh))
         tt.compactIfNeeded(maxChainDepth)
       }
@@ -259,8 +264,11 @@ object Pq {
   def compactIvfPqIndex(spark: SparkSession, root: String): Unit = {
     val pt = table(spark, root, "postings")
     val tt = table(spark, root, "tombstones")
-    val dead = if (tt.exists) Some(tt.read().localCheckpoint()) else None
-    if (dead.exists(!_.isEmpty)) {
+    // lazy checkpoint + count: ONE job answers emptiness and materializes
+    // the blocks the purge join reads (r21)
+    val dead0 = if (tt.exists) Some(tt.read().localCheckpoint(false)) else None
+    val dead = dead0.filter(_.count() > 0)
+    if (dead.nonEmpty) {
       val purged = pt.read().join(dead.get, Seq("nid"), "left_anti")
       pt.promote(pt.stage(purged, Seq("cid")), pt.currentTag)
       tt.promote(tt.stage(dead.get.limit(0)))
@@ -283,7 +291,7 @@ object Pq {
     import spark.implicits._
     val coarse = readCents(spark, root, "coarse")
     val book = readCents(spark, root, "book")
-    val qg = Kmeans.quantizeGrid(queries).localCheckpoint()
+    val qg = Kmeans.quantizeGrid(queries).localCheckpoint(false)
     // routing: per (query, cell) exact distances over the tiny cross of
     // queries × nCells, ranked (dist, cid) — deterministic on any engine
     val coarseDf = coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("ccid", "ccent")
@@ -296,7 +304,8 @@ object Pq {
       .transform(graft.ops.TopK.topKPerKey(_, Seq("qid"),
         Seq(col("cdist").asc, col("ccid").asc), nProbe))
       .select(col("qid"), col("ccid").as("cid"))
-      .localCheckpoint()
+      // lazy: the probe-cid collect is the one materializing job (r21)
+      .localCheckpoint(false)
     val probeCids = route.select("cid").distinct().collect().map(_.getInt(0))
     require(probeCids.length <= 65536,
       "probeIvfPq routed too many cells — query table is not broadcast-small")
@@ -394,7 +403,7 @@ object Pq {
       .select(col("vec_id") +: col("cid") +:
         zip_with(col("gcode"), col("ccent"),
           (a, b) => a - b + lit(ResOffset)).as("rcode") +: metaCols.map(col): _*)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val subs = withRes.select(col("vec_id"),
         posexplode(array((0 until M).map(m =>
           slice(col("rcode"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
@@ -424,7 +433,7 @@ object Pq {
     val book = readCents(spark, root, "book")
     val coarseDf = coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("ccid", "ccent")
     val bookDf = book.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("bcid", "bcent")
-    val qg = Kmeans.quantizeGrid(queries).localCheckpoint()
+    val qg = Kmeans.quantizeGrid(queries).localCheckpoint(false)
     val cdist = aggregate(
       zip_with(col("gcode"), col("ccent"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
@@ -435,7 +444,7 @@ object Pq {
         Seq(col("cdist").asc, col("ccid").asc), nProbe))
       .select(col("qid"), col("ccid").as("cid"),
         zip_with(col("gcode"), col("ccent"), (a, b) => a - b + lit(ResOffset)).as("rq"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val probeCids = route.select("cid").distinct().collect().map(_.getInt(0))
     require(probeCids.length <= 65536,
       "probeIvfPqResidual routed too many cells — query table is not broadcast-small")

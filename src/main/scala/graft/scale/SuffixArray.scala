@@ -155,6 +155,9 @@ object SuffixArray {
     var ranks = policy.checkpoint(toks.join(vocabRank, "w")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("r").as("rank")))
+    // span doubles per round and feeds lead()'s Int offset below — guard the
+    // silent Long→Int truncation far before it could bite (rounds <= 4 today)
+    require(rounds < 31, s"suffixRanks: rounds=$rounds overflows the Int lead offset")
     var span = 1L
     for (_ <- 1 to rounds) {
       // rank at pos+span = lead(rank, span) over the per-doc position order

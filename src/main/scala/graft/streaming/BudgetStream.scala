@@ -70,20 +70,24 @@ final class BudgetAdmitIndex(
     val stateDone = state.exists && state.currentTag.contains(tag)
     if (admittedDone && stateDone) return
     val b = broadcast(budgets.toDF("stratum", "__budget"))
-    val st = stateDf().localCheckpoint()
+    // lazy checkpoints + ONE fused probe (r21): batch seq span and the
+    // state watermark land in a single cross-joined aggregate job that
+    // also materializes both checkpoints (guide §2.4)
+    val st = stateDf().localCheckpoint(false)
     val batch = batch0.select(col(idCol).cast("long").as("id"),
         col(stratumCol).cast("string").as("stratum"),
         col(nTokensCol).cast("long").as("n_tokens"),
         col(seqCol).cast("long").as("seq"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // fail closed on out-of-order feeds (the TtlDedupIndex guard):
     // admission is arrival-ordered, so a batch landing below the
     // already-folded seq watermark would admit docs the prefix-closed
     // oracle has already decided against
-    val span = batch.agg(min("seq"), max("seq")).head()
+    val span = batch.agg(min("seq"), max("seq"))
+      .crossJoin(st.agg(max("max_seq"))).head()
     val batchMax = if (span.isNullAt(1)) Long.MinValue else span.getLong(1)
     if (!span.isNullAt(0)) {
-      val seqPrev = st.agg(max("max_seq")).head().getLong(0)
+      val seqPrev = span.getLong(2)
       require(span.getLong(0) >= seqPrev,
         s"BudgetAdmitIndex: batch $batchId min seq ${span.getLong(0)} " +
           s"precedes the state watermark $seqPrev — the feed must be " +
@@ -98,19 +102,36 @@ final class BudgetAdmitIndex(
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("consumed") + col("__before") < col("__budget"))
       .select(col("id"), col("stratum"), col("n_tokens"), col("seq"))
-      .localCheckpoint()
-    if (!admittedDone) {
-      if (admitted.exists) admitted.promote(admitted.stageAppend(adm), Some(tag))
-      else admitted.promote(admitted.stage(adm), Some(tag))
-      admitted.compactIfNeeded(maxChainDepth)
+      .localCheckpoint(false)
+    // overlapped stage writes, ordered promotes (admitted first — its tag
+    // is the replay gate); the future settles before any promote or
+    // rethrow (ADVICE r20). Both stages read the checkpointed adm.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val admStagedF =
+      if (admittedDone) None
+      else Some(scala.concurrent.Future {
+        if (admitted.exists) admitted.stageAppend(adm) else admitted.stage(adm)
+      })
+    val stateStaged = try {
+      val newState = st
+        .join(adm.groupBy("stratum").agg(sum("n_tokens").as("__add")),
+          Seq("stratum"), "left")
+        .select(col("stratum"),
+          (col("consumed") + coalesce(col("__add"), lit(0L))).as("consumed"),
+          greatest(col("max_seq"), lit(batchMax)).as("max_seq"))
+      state.stage(newState)
+    } finally {
+      admStagedF.foreach(f => scala.concurrent.Await.ready(f,
+        scala.concurrent.duration.Duration.Inf))
     }
-    val newState = st
-      .join(adm.groupBy("stratum").agg(sum("n_tokens").as("__add")),
-        Seq("stratum"), "left")
-      .select(col("stratum"),
-        (col("consumed") + coalesce(col("__add"), lit(0L))).as("consumed"),
-        greatest(col("max_seq"), lit(batchMax)).as("max_seq"))
-    state.promote(state.stage(newState), Some(tag))
+    admStagedF.foreach { f =>
+      admitted.promote(scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf), Some(tag))
+      admitted.compactIfNeeded(maxChainDepth)
+      ()
+    }
+    state.promote(stateStaged, Some(tag))
     ()
   }
 }

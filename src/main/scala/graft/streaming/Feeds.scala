@@ -11,8 +11,9 @@ import java.nio.file.attribute.FileTime
   * sequential filter+coalesce(1) jobs — N full scans of the source and N
   * write ceremonies, relying on write-time ordering for the batch order
   * (FileStreamSource sorts by modification time). [[write]] produces the
-  * IDENTICAL feed — same rows per batch file, one file per non-empty
-  * batch, same batch order — in ONE job: a single scan, hash-repartitioned
+  * IDENTICAL feed for NON-EMPTY batches — same rows per batch file, one
+  * file per non-empty batch, same batch order — in ONE job: a single scan,
+  * hash-repartitioned
   * by the batch index (each index maps to exactly one task, so exactly one
   * file per batch), written with partitionBy, then the part files are
   * moved into the feed directory with EXPLICIT ascending modification
@@ -27,8 +28,15 @@ object Feeds {
 
   /** Write `df` as `n` micro-batch files under `dir`, batch index =
     * `batch` (values 0..n-1; rows with other values are dropped, matching
-    * the historical `filter(batch === i)` loop). Empty batches produce no
-    * file, exactly like a zero-row coalesce(1) append.
+    * the historical `filter(batch === i)` loop).
+    *
+    * EMPTY batches produce no file here, whereas the historical zero-row
+    * coalesce(1) append emitted an empty schema-bearing part file (its own
+    * micro-batch with its own batch id) — so an empty batch would SHIFT
+    * every later batch id relative to the N-pass form. Every current call
+    * site feeds provably non-empty batches; the mtime loop below asserts
+    * one file per expected index so a future empty-batch feed fails loudly
+    * instead of silently renumbering batches.
     */
   def write(df: DataFrame, batch: Column, n: Int, dir: String): Unit = {
     val stage = s"$dir/__stage"
@@ -43,6 +51,11 @@ object Feeds {
     val t0 = System.currentTimeMillis() - (n + 2) * 1000L
     for (i <- 0 until n) {
       val pdir = Paths.get(stage, s"__b=$i")
+      // an EMPTY batch cannot reproduce the historical feed (see scaladoc:
+      // the coalesce(1) form gave it an empty file and a batch id; dynamic
+      // partitionBy emits nothing, shifting every later id) — fail loudly
+      require(Files.isDirectory(pdir),
+        s"feed batch $i of $n is empty — batch ids would silently shift")
       if (Files.isDirectory(pdir)) {
         val parts = {
           val s = Files.list(pdir)

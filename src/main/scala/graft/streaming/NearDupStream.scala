@@ -139,9 +139,13 @@ final class NearDupIndex(spark: SparkSession, root: String,
     val signaturesDone = signatures.exists && signatures.currentTag.contains(tag)
     if (survivorsDone && signaturesDone) return
     // tombstoned ids are rejected while their tombstone lives (see [[delete]])
+    // lazy checkpoints (r21): the survivors stage write is the batch's ONE
+    // materializing action — b, sigs and kept land in it and the signatures
+    // stage reuses the blocks (guide §2.4)
     val b = minusTombstones(batch.select(col("doc_id"), col("text"))
-      .filter(col("text").isNotNull)).localCheckpoint()
-    val sigs = Dedup.minhashSignatures(b, numHashes, shingleSize).localCheckpoint()
+      .filter(col("text").isNotNull)).localCheckpoint(false)
+    val sigs = Dedup.minhashSignatures(b, numHashes, shingleSize)
+      .localCheckpoint(false)
     // 1. within-batch transitive reduction to cluster min-ids
     val pairs = Dedup.jaccardVerify(b,
       Dedup.minhashCandidates(sigs, bands, numHashes),
@@ -151,7 +155,7 @@ final class NearDupIndex(spark: SparkSession, root: String,
     val kept = (if (!signatures.exists) reps
                 else Curation.nearDupAgainstIndex(reps, servedSignatures(),
                   servedSurvivors(), threshold, numHashes, bands, shingleSize))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // 3. grow both tables with the accepted rows
     val keptSigs = sigs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
     if (!survivorsDone) {

@@ -98,19 +98,25 @@ final class PhashIndex(spark: SparkSession, root: String,
     if (hashes.exists && hashes.currentTag.contains(tag)) return
     val ss = batch.sparkSession
     import ss.implicits._
-    // spread the decode (the batch's CPU cost) across the executor cores
-    // when the arriving files pack into fewer scan splits than cores —
-    // size-adaptive: a large well-partitioned batch skips the shuffle, so
-    // payload bytes never move unnecessarily (guide §8 discipline)
-    val par = ss.sparkContext.defaultParallelism
+    // spread the decode (the batch's CPU cost) across cores ONLY when the
+    // batch carries enough payload bytes for the decode win to beat the
+    // shuffle cost (r21, VERDICT item 3: the unconditional shuffle-to-cores
+    // regressed the small-batch drain q219 — its per-batch shuffle + 32-task
+    // overhead exceeded the decode saved). The split count derives from the
+    // batch's OWN size (one decode task per ~MiB of payload, capped at the
+    // core count), so a tiny batch moves zero bytes and a heavy one still
+    // fans out — scale-adaptive in both directions (guide §2.1, §6).
     val src0 = batch.select(col("asset_id").cast("long"), col("payload"), col("fmt"))
-    val src = if (src0.rdd.getNumPartitions < par) src0.repartition(par) else src0
+    val src = PhashStream.decodeSpread(src0)
     val hashed = src
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (aid, bytes, fmt) =>
         (aid, Multimodal.decodeDhash(aid, bytes, fmt))
       })
-      .toDF("asset_id", "dhash").localCheckpoint()
+      // lazy (r21): the decode runs once, inside the first consuming job
+      // (the within-batch CC's edge count), and every later use reads the
+      // persisted blocks — no dedicated checkpoint job
+      .toDF("asset_id", "dhash").localCheckpoint(false)
     val pairs = Multimodal.phashPairs(hashed, "asset_id", "dhash",
       bands, bandBits, maxHamming)
     val labels = Cluster.connectedComponents(pairs)
@@ -134,7 +140,7 @@ final class PhashIndex(spark: SparkSession, root: String,
              bands, bandBits, maxHamming),
            Seq("asset_id"), "left_anti")
        })
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the stage write (r21)
     if (hashes.exists) hashes.promote(hashes.stageAppend(kept), Some(tag))
     else hashes.promote(hashes.stage(kept), Some(tag))
     // bound the append chain; a rewrite that's being paid anyway also
@@ -265,11 +271,10 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
     if (frames.exists && frames.currentTag.contains(tag)) return
     val ss = batch.sparkSession
     import ss.implicits._
-    // spread the decode across cores when the batch arrives in fewer scan
-    // splits than cores (size-adaptive, see [[PhashIndex.processBatch]])
-    val par = ss.sparkContext.defaultParallelism
+    // byte-gated decode spread (see [[PhashIndex.processBatch]] — video
+    // payloads are large, so heavy batches still fan out)
     val src0 = batch.select(col("asset_id").cast("long"), col("payload"))
-    val src = if (src0.rdd.getNumPartitions < par) src0.repartition(par) else src0
+    val src = PhashStream.decodeSpread(src0)
     val hashed = src
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (vid, bytes) =>
@@ -291,7 +296,8 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
               throw new IllegalStateException(s"undecodable video $vid"))
         }
       })
-      .toDF("asset_id", "f", "dhash").localCheckpoint()
+      // lazy decode checkpoint (see [[PhashIndex.processBatch]])
+      .toDF("asset_id", "f", "dhash").localCheckpoint(false)
     // within-batch: frame-banded pairs → >= minFrameVotes vote → components
     // (votePairs emits both orientations of each unordered pair; keep one)
     val videoPairs = votePairs(hashed, hashed)
@@ -315,7 +321,7 @@ final class VideoPhashIndex(spark: SparkSession, root: String,
            votePairs(fresh, served()).select(col("p_id").as("asset_id")).distinct(),
            Seq("asset_id"), "left_anti")
        })
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the stage write (r21)
     if (frames.exists) frames.promote(frames.stageAppend(kept), Some(tag))
     else frames.promote(frames.stage(kept), Some(tag))
     if (frames.chainDepth > maxChainDepth) compactPurge()
@@ -331,6 +337,25 @@ object VideoPhashIndex {
 }
 
 object PhashStream {
+
+  /** Per-decode-task payload granule: batches below it never shuffle. */
+  private val SpreadBytesPerTask: Long = 1L << 20
+
+  /** Repartition a payload batch for the decode mapPartitions, gated on the
+    * batch's OWN byte size (driver-side plan stats — no job): target splits
+    * = payload bytes / [[SpreadBytesPerTask]], capped at the core count,
+    * and the shuffle only happens when that target exceeds what the scan
+    * already provides. Small batches (the q219 regime) keep their 1–2
+    * scan splits and move zero bytes; payload-heavy batches (video, packed
+    * image feeds) fan out to one task per ~MiB — the decode is the batch's
+    * CPU cost, and 1–2 splits starved the other cores (r20 measurement).
+    */
+  private[streaming] def decodeSpread(src: DataFrame): DataFrame = {
+    val par = src.sparkSession.sparkContext.defaultParallelism
+    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (bytes / SpreadBytesPerTask).min(BigInt(par)).toInt
+    if (target > src.rdd.getNumPartitions) src.repartition(target) else src
+  }
 
   /** [[PhashIndex.processBatch]] as a streaming sink: drain an image
     * stream into the index; `index.accepted()` is the continuously-deduped

@@ -117,26 +117,36 @@ final class PostingsIndex(spark: SparkSession, root: String,
       .filter(col("text").isNotNull)
     // a tombstoned id stays deleted while its tombstone lives: admitting it
     // would append NEW rows next to its not-yet-purged old rows (see class
-    // scaladoc — the append-growth/upsert-growth asymmetry)
-    val live = ts.minus(incoming)
+    // scaladoc — the append-growth/upsert-growth asymmetry). Lazy
+    // checkpoint: the first stage write materializes the scan + anti-join
+    // once and the other two partials reuse the blocks (r21).
+    val live = ts.minus(incoming).localCheckpoint(false)
     val p = build(live).sortWithinPartitions("term")
-    if (!postingsDone) {
-      if (postings.exists) postings.promote(postings.stageAppend(p), Some(tag))
-      else postings.promote(postings.stage(p), Some(tag))
-    }
-    if (maintainSidecars) {
-      // both partials are narrow batch-text projections (lenPartial doc)
-      if (!lengthsDone) {
-        val lp = lenPartial(live)
-        if (lengths.exists) lengths.promote(lengths.stageAppend(lp), Some(tag))
-        else lengths.promote(lengths.stage(lp), Some(tag))
-      }
-      if (!statsDone) {
-        val sp = statsPartial(lenPartial(live))
-        if (stats.exists) stats.promote(stats.stageAppend(sp), Some(tag))
-        else stats.promote(stats.stage(sp), Some(tag))
-      }
-    }
+    val lp = lenPartial(live).localCheckpoint(false)
+    // the three stage WRITES are independent (three separate tables) and
+    // overlap via futures — the SpanGuard pattern; the tagged PROMOTES stay
+    // on this thread in the original order (postings, lengths, stats),
+    // which is the order the redelivery protocol's crash argument uses.
+    // Every future is awaited before any promote and before rethrowing (a
+    // failed/orphaned stage racing a retry into the same version directory
+    // is the ADVICE r20 hazard).
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def staged(t: VersionedTable, df: DataFrame) =
+      scala.concurrent.Future { if (t.exists) t.stageAppend(df) else t.stage(df) }
+    val pF = if (!postingsDone) Some(staged(postings, p)) else None
+    val lF = if (maintainSidecars && !lengthsDone) Some(staged(lengths, lp)) else None
+    val sF = if (maintainSidecars && !statsDone) Some(staged(stats, statsPartial(lp))) else None
+    val all = Seq(pF, lF, sF).flatten
+    val results = all.map(f => scala.util.Try(
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    results.foreach(_.get) // first stage failure rethrows AFTER all settled
+    pF.foreach(f => postings.promote(scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf), Some(tag)))
+    lF.foreach(f => lengths.promote(scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf), Some(tag)))
+    sF.foreach(f => stats.promote(scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf), Some(tag)))
     // chain-depth policy: bounded read cost for a continuous drain
     // (amortized rewrite — see VersionedTable.compactIfNeeded); routed
     // through the purge-aware compaction so pending tombstones clear too
@@ -284,24 +294,32 @@ final class FieldedPostingsIndex(spark: SparkSession, root: String,
     val lengthsDone = lengths.exists && lengths.currentTag.contains(tag)
     val statsDone = stats.exists && stats.currentTag.contains(tag)
     if (postingsDone && lengthsDone && statsDone) return
-    // reject-while-tombstoned (the PostingsIndex append-growth asymmetry)
-    val live = ts.minus(batch.filter(col("doc_id").isNotNull)).localCheckpoint()
-    if (!postingsDone) {
-      val partial = Retrieval.fieldedInvertedIndex(live, fields)
-        .sortWithinPartitions("term")
-      if (postings.exists) postings.promote(postings.stageAppend(partial), Some(tag))
-      else postings.promote(postings.stage(partial), Some(tag))
-    }
-    val lp = lenPartial(live).localCheckpoint()
-    if (!lengthsDone) {
-      if (lengths.exists) lengths.promote(lengths.stageAppend(lp), Some(tag))
-      else lengths.promote(lengths.stage(lp), Some(tag))
-    }
-    if (!statsDone) {
-      val sp = statsPartial(lp)
-      if (stats.exists) stats.promote(stats.stageAppend(sp), Some(tag))
-      else stats.promote(stats.stage(sp), Some(tag))
-    }
+    // reject-while-tombstoned (the PostingsIndex append-growth asymmetry);
+    // lazy checkpoints — the first stage write materializes them (r21)
+    val live = ts.minus(batch.filter(col("doc_id").isNotNull))
+      .localCheckpoint(false)
+    val lp = lenPartial(live).localCheckpoint(false)
+    // overlapped stage writes + ordered promotes: PostingsIndex.processBatch's
+    // protocol, verbatim (see its comment for the await/crash argument)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def staged(t: VersionedTable, df: DataFrame) =
+      scala.concurrent.Future { if (t.exists) t.stageAppend(df) else t.stage(df) }
+    val pF = if (!postingsDone) Some(staged(postings,
+      Retrieval.fieldedInvertedIndex(live, fields).sortWithinPartitions("term")))
+    else None
+    val lF = if (!lengthsDone) Some(staged(lengths, lp)) else None
+    val sF = if (!statsDone) Some(staged(stats, statsPartial(lp))) else None
+    val all = Seq(pF, lF, sF).flatten
+    val results = all.map(f => scala.util.Try(
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    results.foreach(_.get)
+    pF.foreach(f => postings.promote(scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf), Some(tag)))
+    lF.foreach(f => lengths.promote(scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf), Some(tag)))
+    sF.foreach(f => stats.promote(scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf), Some(tag)))
     if (postings.chainDepth > maxChainDepth) compact()
   }
 

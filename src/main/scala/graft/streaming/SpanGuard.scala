@@ -87,10 +87,13 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
     // PROMOTES stay strictly ordered (admitted, then spans) — the crash
     // story below depends on that order, not on the stage order
     val admStagedF = scala.concurrent.Future {
+      // the job description is a THREAD-LOCAL: set and clear it inside this
+      // pooled thread, or it leaks onto unrelated later jobs (ADVICE r20)
       sc.setJobDescription(s"spanguard $tag: admitted append")
-      if (admitted.exists) admitted.stageAppend(adm) else admitted.stage(adm)
+      try { if (admitted.exists) admitted.stageAppend(adm) else admitted.stage(adm) }
+      finally sc.setJobDescription(null)
     }(scala.concurrent.ExecutionContext.global)
-    val spansStaged =
+    val spansStaged = try {
       if (!growSpans) None
       else {
         // ALL batch spans enter the index (the re-crawl rule): admission
@@ -102,6 +105,13 @@ final class SpanGuardIndex(spark: SparkSession, root: String,
         sc.setJobDescription(s"spanguard $tag: spans append")
         Some(if (spans.exists) spans.stageAppend(fresh) else spans.stage(fresh))
       }
+    } finally {
+      // settle the staging future even when the spans path throws — an
+      // orphaned stage write racing a retried batch is the ADVICE r20 hazard
+      scala.concurrent.Await.ready(admStagedF,
+        scala.concurrent.duration.Duration.Inf)
+      ()
+    }
     val admStaged = scala.concurrent.Await.result(
       admStagedF, scala.concurrent.duration.Duration.Inf)
     admitted.promote(admStaged, admTag)

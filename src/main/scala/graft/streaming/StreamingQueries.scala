@@ -1857,12 +1857,14 @@ object StreamingQueries {
         .outputMode(OutputMode.Update())
         .option("checkpointLocation", s"$wh/ckpt")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val e = domainEdges(batch).localCheckpoint()
+          // lazy checkpoints + count (r21): extract, anti-join and the
+          // emptiness answer land in ONE job instead of three (guide §2.4)
+          val e = domainEdges(batch).localCheckpoint(false)
           if (!edgesOut.exists) { idx.build(e); () }
           else {
             val fresh = e.join(edgesOut.read().select("src", "dst"),
-              Seq("src", "dst"), "left_anti").localCheckpoint()
-            if (!fresh.isEmpty) { idx.append(fresh); () }
+              Seq("src", "dst"), "left_anti").localCheckpoint(false)
+            if (fresh.count() > 0) { idx.append(fresh); () }
           }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2162,10 +2164,15 @@ object StreamingQueries {
         .option("checkpointLocation", s"$wh/ckpt")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           // independent indexes (separate tables, own replay gates) —
-          // overlap their batch passes (guide §2.6 shape)
+          // overlap their batch passes (guide §2.6 shape). The future is
+          // ALWAYS awaited before any exception propagates: an orphaned
+          // pass racing a retried batch's writes into the same version
+          // directory is the ADVICE r20 hazard.
           val f = scala.concurrent.Future(uniIdx.processBatch(b, id))(
             scala.concurrent.ExecutionContext.global)
-          biIdx.processBatch(b, id)
+          val main = scala.util.Try(biIdx.processBatch(b, id))
+          scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+          main.get
           scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.scale.Graph
 import graft.write.VersionedTable
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming triangle maintenance over a growing edge table: each micro-batch
@@ -41,26 +41,48 @@ final class TriangleStream(
     val statsDone = stats.exists && stats.currentTag.contains(tag)
     val edgesDone = edges.exists && edges.currentTag.contains(tag)
     if (statsDone && edgesDone) return
-    val batch = batch0.localCheckpoint()
+    // lazy checkpoints (r21): batch and newEdges materialize inside the
+    // first consuming stage write and are reused by the second — per-batch
+    // jobs drop from ~6 to ~2 (guide §2.4)
+    val batch = batch0.localCheckpoint(false)
     val old = if (edges.exists) edges.read() else batch.limit(0)
     // arrivals can repeat edges already in the table (at-least-once feeds);
     // only genuinely new edges enter the count or the table
     val newEdges =
       (if (edges.exists) batch.join(old, Seq("u", "v"), "left_anti") else batch)
-        .localCheckpoint()
-    if (!statsDone) {
-      val delta = Graph.triangleCountDelta(old, newEdges)
-        .as[Long](Encoders.scalaLong).head()
-      val prev =
-        if (stats.exists) stats.read().as[Long](Encoders.scalaLong).head() else 0L
-      val spark = batch0.sparkSession
-      import spark.implicits._
-      stats.promote(stats.stage(Seq(prev + delta).toDF("n_triangles")), Some(tag))
+        .localCheckpoint(false)
+    // the two STAGE writes are independent (separate tables; the stats
+    // plan folds prev + delta as a 1-row cross join, so neither head()
+    // round-trips the driver) and overlap via a future; the PROMOTES stay
+    // ordered — stats FIRST (see class scaladoc: the reverse order double
+    // counts on replay) — and the future settles before any promote or
+    // rethrow (the ADVICE r20 orphaned-future hazard).
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val edgesStagedF =
+      if (edgesDone) None
+      else Some(scala.concurrent.Future {
+        if (edges.exists) edges.stageAppend(newEdges) else edges.stage(newEdges)
+      })
+    val statsStaged = try {
+      if (statsDone) None
+      else {
+        val spark = batch0.sparkSession
+        import spark.implicits._
+        val prevDf =
+          if (stats.exists) stats.read().select(col("n_triangles").as("__prev"))
+          else Seq(0L).toDF("__prev")
+        val next = Graph.triangleCountDelta(old, newEdges).crossJoin(prevDf)
+          .select((col("__prev") + col("delta_triangles")).as("n_triangles"))
+        Some(stats.stage(next))
+      }
+    } finally {
+      edgesStagedF.foreach(f => scala.concurrent.Await.ready(f,
+        scala.concurrent.duration.Duration.Inf))
     }
-    if (!edgesDone) {
-      if (edges.exists) edges.promote(edges.stageAppend(newEdges), Some(tag))
-      else edges.promote(edges.stage(newEdges), Some(tag))
-    }
+    statsStaged.foreach(v => stats.promote(v, Some(tag)))
+    edgesStagedF.foreach(f => edges.promote(scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf), Some(tag)))
     edges.compactIfNeeded(maxChainDepth)
   }
 }

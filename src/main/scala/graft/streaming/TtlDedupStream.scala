@@ -66,38 +66,62 @@ final class TtlDedupIndex(
     val admittedDone = admitted.exists && admitted.currentTag.contains(tag)
     val stateDone = state.exists && state.currentTag.contains(tag)
     if (admittedDone && stateDone) return
+    // lazy checkpoints + ONE fused probe (r21): batch size, batch min day
+    // and the state watermark land in a single 1×1 cross-joined aggregate
+    // job that also materializes both checkpoints — replacing the eager
+    // checkpoint, isEmpty and two head() jobs (guide §2.4)
     val batch = batch0.select(col(idCol).cast("long").as("id"),
       col(keyCol).cast("long").as("key"), col(dayCol).cast("long").as("day"))
-      .localCheckpoint()
-    if (batch.isEmpty) return
-    val st = windowState().localCheckpoint()
+      .localCheckpoint(false)
+    val st = windowState().localCheckpoint(false)
+    val probe = batch.agg(count(lit(1)).as("n"), min("day").as("bmin"))
+      .crossJoin(st.agg(max("last_seen").as("wm")))
+      .head()
+    if (probe.getLong(0) == 0) return
+    val batchMin = probe.getLong(1)
+    val wmPrev = if (state.exists && !probe.isNullAt(2)) probe.getLong(2)
+                 else Long.MinValue
     // fail closed on out-of-order feeds: suppression below the watermark
     // would have been decided differently had this batch arrived on time
-    val batchMin = batch.agg(min("day")).head().getLong(0)
-    val wmPrev = if (state.exists) st.agg(max("last_seen")).head().getLong(0)
-                 else Long.MinValue
     require(batchMin >= wmPrev,
       s"TtlDedupIndex: batch $batchId min day $batchMin precedes the " +
         s"state watermark $wmPrev — the feed must be day-ordered")
-    if (!admittedDone) {
-      val prevInBatch = lag("day", 1)
-        .over(Window.partitionBy("key").orderBy("day", "id"))
-      val adm = batch
-        .withColumn("__prev_b", prevInBatch)
-        .join(st.withColumnRenamed("last_seen", "__prev_s"), Seq("key"), "left")
-        .withColumn("__prev", coalesce(col("__prev_b"), col("__prev_s")))
-        .filter(col("__prev").isNull || col("day") - col("__prev") > ttlDays)
-        .select(col("id"), col("key"), col("day"))
-      if (admitted.exists) admitted.promote(admitted.stageAppend(adm), Some(tag))
-      else admitted.promote(admitted.stage(adm), Some(tag))
-      admitted.compactIfNeeded(maxChainDepth)
+    // the admitted STAGE overlaps the state fold (independent tables; both
+    // read only the checkpointed batch/state) — promotes stay on this
+    // thread; the scaladoc's crash argument holds on either promote order,
+    // and the future settles before any promote or rethrow (ADVICE r20)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val admStagedF =
+      if (admittedDone) None
+      else Some(scala.concurrent.Future {
+        val prevInBatch = lag("day", 1)
+          .over(Window.partitionBy("key").orderBy("day", "id"))
+        val adm = batch
+          .withColumn("__prev_b", prevInBatch)
+          .join(st.withColumnRenamed("last_seen", "__prev_s"), Seq("key"), "left")
+          .withColumn("__prev", coalesce(col("__prev_b"), col("__prev_s")))
+          .filter(col("__prev").isNull || col("day") - col("__prev") > ttlDays)
+          .select(col("id"), col("key"), col("day"))
+        if (admitted.exists) admitted.stageAppend(adm) else admitted.stage(adm)
+      })
+    val (wm, merged) = try {
+      // idempotent fold: max-merge last sightings, evict past the watermark
+      val m = st
+        .unionByName(batch.groupBy("key").agg(max("day").as("last_seen")))
+        .groupBy("key").agg(max("last_seen").as("last_seen"))
+        .localCheckpoint(false)
+      (m.agg(max("last_seen")).head().getLong(0), m)
+    } finally {
+      admStagedF.foreach(f => scala.concurrent.Await.ready(f,
+        scala.concurrent.duration.Duration.Inf))
     }
-    // idempotent fold: max-merge last sightings, evict past the watermark
-    val merged = st
-      .unionByName(batch.groupBy("key").agg(max("day").as("last_seen")))
-      .groupBy("key").agg(max("last_seen").as("last_seen"))
-      .localCheckpoint()
-    val wm = merged.agg(max("last_seen")).head().getLong(0)
+    admStagedF.foreach { f =>
+      admitted.promote(scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf), Some(tag))
+      admitted.compactIfNeeded(maxChainDepth)
+      ()
+    }
     val live = merged.filter(lit(wm) - col("last_seen") <= ttlDays)
     state.promote(state.stage(live), Some(tag))
     ()

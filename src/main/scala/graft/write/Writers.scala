@@ -228,7 +228,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // only its surviving units as if they were the complete table
     require(!Files.exists(Paths.get(root, s"v$version", "_VACUUMED")),
       s"version $version at $root was removed by vacuum")
-    if (!Files.exists(fileListPath(version))) spark.read.parquet(s"$root/v$version")
+    if (!Files.exists(fileListPath(version)))
+      reader(version).parquet(s"$root/v$version")
     else {
       val legs = entries(version).groupBy(_._1).toSeq.sortBy(_._1)
       legs.map { case (v, es) =>
@@ -236,13 +237,45 @@ final class VersionedTable(spark: SparkSession, root: String) {
         // partition-dir entries need the version dir as basePath so hive
         // discovery recovers the partition column; file entries read plainly
         if (es.exists(_._2.contains("=")))
-          spark.read.option("basePath", s"$root/v$v").parquet(paths: _*)
-        else spark.read.parquet(paths: _*)
+          reader(v).option("basePath", s"$root/v$v").parquet(paths: _*)
+        else reader(v).parquet(paths: _*)
       }.reduceLeft(_.unionByName(_))
     }
   }
 
   private def fileListPath(v: Int) = Paths.get(root, s"v$v", "_FILELIST")
+
+  private def schemaPath(v: Int) = Paths.get(root, s"v$v", "_SCHEMA")
+
+  /** Record the version's READ schema beside its data, once, at stage time:
+    * every later read supplies it explicitly, which spares the per-read
+    * schema-resolution Spark job a bare `spark.read.parquet` pays — the
+    * dominant fixed cost of the read-heavy index lifecycles (tens of reads
+    * per query at bench scale; the same manifest-carries-the-schema move
+    * Delta/Iceberg make at 100 TB). Captured by reading the STAGED files
+    * back (one job, off the serve path), so the stored schema — column
+    * order, partition-column placement and types, nullability — is exactly
+    * what inference would have produced; a version without the sidecar
+    * (pre-existing tables, vacuumed dirs) falls back to inference.
+    */
+  private def captureSchema(v: Int): Unit = {
+    scala.util.Try {
+      val sch = spark.read.parquet(s"$root/v$v").schema
+      Files.write(schemaPath(v), sch.json.getBytes(StandardCharsets.UTF_8))
+    }
+    ()
+  }
+
+  private def schemaOf(v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(v)
+    if (!Files.exists(p)) None
+    else scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+  }
+
+  private def reader(v: Int): org.apache.spark.sql.DataFrameReader =
+    schemaOf(v).fold(spark.read)(spark.read.schema)
 
   /** Hive partition directories (`col=value`) directly under version `v`. */
   private def partitionDirs(v: Int): Seq[String] = {
@@ -323,6 +356,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val next = base + 1
     touched.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(s"$root/v$next")
+    captureSchema(next)
     val newDirs = partitionDirs(next)
     val inherited = entries(base).filterNot { case (_, d) => newDirs.contains(d) }
     val all = (inherited ++ newDirs.map(d => (next, d))).sortBy(_._2)
@@ -482,6 +516,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$root/v$next")
+    captureSchema(next)
     next
   }
 
@@ -515,6 +550,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       s"stageAppend is for unpartitioned tables; $root/v$base has partition dirs")
     val next = base + 1
     df.write.mode("overwrite").parquet(s"$root/v$next")
+    captureSchema(next)
     val all = entries(base) ++ partFiles(next).map(f => (next, f))
     Files.write(fileListPath(next),
       all.map { case (v, d) => s"$v\t$d" }.mkString("\n").getBytes(StandardCharsets.UTF_8))

@@ -96,9 +96,12 @@ for name in sorted(oracles):
         entry["error"] = str(e)[:500]
     results[name] = entry
 
-# no-oracle queries: rows>0 check
+# no-oracle queries: rows>0 check (CHECK_ONLY filters this pass too, so a
+# filtered run against a full Verify output dir reports no extra queries)
 all_qs = sorted(set(x.split("/")[-1].removesuffix(".parquet")
                     for x in glob.glob(f"{out_dir}/q*.parquet")))
+if _only:
+    all_qs = [q for q in all_qs if any(q.startswith(p) for p in pref)]
 for name in all_qs:
     if name in results:
         continue
