@@ -16,21 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Spread a payload feed across cores for the decode mapPartitions that
-    * follows (r21): the cached fixture feeds land as one or two small
-    * parquet files, and the default scan packing (128 MB splits) hands the
-    * WHOLE feed to 1–2 tasks — serializing the decode, the query's actual
-    * CPU cost, while the other cores idle (the q264 profile: one 0.8 s
-    * single-task decode job). Target = one task per ~256 KiB of payload
-    * (software codec work per byte is high), capped at the core count,
-    * derived from the plan's own byte stats (driver-side, no job); a feed
-    * already split at least that finely moves nothing. One small shuffle
-    * per run against a parallel decode — guide §2.1/§6.
+  /** Decode-parallelism guard for the batch codec feed reads (r21): if a
+    * cached fixture feed ever lands as fewer scan splits than cores (a
+    * re-written fixture, a different writer parallelism), repartition it to
+    * one decode task per ~8 KiB of payload (capped at cores — software
+    * codec CPU per byte is enormous here) so the decode, each query's
+    * actual CPU cost, never serializes on a handful of tasks. MEASURED
+    * no-op today: the feeds already scan as one file per writer task
+    * (bytes≈5.3 MB, 32 splits at sf0.1), so nothing shuffles — this is the
+    * cheap invariant (one driver-side stats lookup), not a live win.
     */
   private def spreadDecode(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = (bytes / (256L << 10)).min(BigInt(par)).toInt
+    val target = (bytes / (8L << 10)).min(BigInt(par)).toInt
     if (target > df.rdd.getNumPartitions) df.repartition(target) else df
   }
 

@@ -30,17 +30,19 @@ object NnDescent {
 
   private def hh(c: Column): Column = md5(c.cast("string"))
 
-  /** Per-round lineage cut for this family's loops (r21): under the Local
-    * policy a LAZY localCheckpoint — the plan still truncates per round,
-    * but all rounds materialize inside the caller's one terminal action
-    * instead of one eager job each (guide §2.4; reuse within the action
-    * reads the persisted blocks). Reliable stays a durable checkpoint.
+  /** Per-round lineage cut for this family's loops. MEASURED both ways in
+    * r21: the lazy form (materialize all rounds inside one terminal
+    * action) looked right by the jobs-per-query argument but REGRESSED
+    * q232/q233 in-suite (+26%/+34%, q232 cold 8.9 s → 22 s) — a round's
+    * output is consumed by 2–3 stages of the SAME downstream job (the
+    * undirected self-join, the candidate union), and concurrent stages
+    * racing a not-yet-materialized persisted RDD duplicate the whole
+    * round's compute. Eager per-round checkpoints serialize that
+    * materialization exactly once, which is worth more than the saved
+    * job launches. Kept as the policy call it always was.
     */
   private def cut(df: DataFrame, policy: CheckpointPolicy): DataFrame =
-    policy match {
-      case CheckpointPolicy.Local => df.localCheckpoint(false)
-      case p => p.checkpoint(df)
-    }
+    policy.checkpoint(df)
 
   /** (nid, cc[, meta...]) int8 code relation for a corpus. `metaCols`
     * ride along for predicate-filtered probes (the AnnIndex payload
@@ -267,15 +269,14 @@ object NnDescent {
                        exclude: Option[DataFrame],
                        scorer: DataFrame => DataFrame,
                        allow: Option[DataFrame] = None): DataFrame = {
-    // LAZY checkpoints (r21): each round's truncation still caps the plan
-    // (the LogicalRDD lands at DataFrame-creation time), but materialization
-    // is deferred to the walk's one terminal action — the whole beam loop
-    // runs as ONE Spark job instead of 2+rounds, which is the fix for the
-    // lifecycle suites' per-action driver overhead (guide §2.4; the
-    // scaling block showed these queries bound by job count, not data).
-    // Reused rounds hit the persisted blocks, so nothing recomputes.
+    // visited stays EAGER per round: each round's set is consumed by
+    // THREE stages of the next round's job (beam rank, the anti-join, the
+    // union), and lazy materialization lets those stages race and
+    // recompute the walk (measured in-suite r21: q233 +34%). und is the
+    // single-consumer side, so its lazy checkpoint folds into round 1's
+    // eager job for free.
     val und = undirected(graph, graphK).localCheckpoint(false)
-    var visited = scorer(seeds).localCheckpoint(false)
+    var visited = scorer(seeds).localCheckpoint()
     for (_ <- 1 to rounds) {
       val beamDf = visited.withColumn("__rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))))
@@ -284,7 +285,7 @@ object NnDescent {
         .join(und.withColumnRenamed("u", "nid"), "nid")
         .select(col("qid"), col("v").as("nid")).distinct()
       val fresh = nbrs.join(visited.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-      visited = visited.unionByName(scorer(fresh)).localCheckpoint(false)
+      visited = visited.unionByName(scorer(fresh)).localCheckpoint()
     }
     val excluded = exclude.fold(visited)(d =>
       visited.join(d.select("nid"), Seq("nid"), "left_anti"))
