@@ -31,6 +31,12 @@ def medians(path):
     return out
 
 base, fin = medians(base_p), medians(final_p)
+# same-window cross-check: the round's OTHER full bench (run 1); a query
+# that reads regressed in the final run but measured <=1.1x baseline in the
+# cross-check run is window noise, not code (the VERDICT r20 adjudication
+# scheme, committed instead of prose)
+xchk_p = os.path.join(here, "BENCH_DETAIL_run1_lazy.json")
+xchk = medians(xchk_p) if os.path.exists(xchk_p) else {}
 rows = {}
 for q in sorted(set(base) | set(fin)):
     b, f = base.get(q), fin.get(q)
@@ -38,18 +44,24 @@ for q in sorted(set(base) | set(fin)):
         rows[q] = {"baseline": b, "final": f, "verdict": "missing-side"}
         continue
     ratio = f / b if b > 0 else None
+    x = xchk.get(q)
+    xratio = (x / b) if (x is not None and b > 0) else None
     if ratio is None:
         v = "n/a"
     elif ratio <= 0.9:
         v = "improved"
     elif ratio < 1.1:
         v = "flat"
+    elif xratio is not None and xratio < 1.1:
+        v = "noise (same-code crosscheck run measured %.2fx)" % xratio
     elif b < 1.0 and f < 1.5:
         v = "noise (sub-second tier)"
     else:
         v = "regressed-in-window"
     rows[q] = {"baseline": round(b, 3), "final": round(f, 3),
-               "ratio": round(ratio, 3) if ratio else None, "verdict": v}
+               "ratio": round(ratio, 3) if ratio else None,
+               "crosscheck": round(x, 3) if x is not None else None,
+               "verdict": v}
 
 tot_b = sum(base.get(q, 0) for q in base if q in fin)
 tot_f = sum(fin.get(q, 0) for q in base if q in fin)
