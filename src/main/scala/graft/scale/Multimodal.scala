@@ -26,10 +26,19 @@ object Multimodal {
     * (bytes≈5.3 MB, 32 splits at sf0.1), so nothing shuffles — this is the
     * cheap invariant (one driver-side stats lookup), not a live win.
     */
-  private def spreadDecode(df: DataFrame): DataFrame = {
+  private def spreadDecode(df: DataFrame): DataFrame =
+    spreadForDecode(df, 8L << 10)
+
+  /** The shared core of the two decode-spread guards (this file's batch
+    * feeds and [[graft.streaming.PhashStream]]'s byte-gated micro-batch
+    * form): target = payload bytes / `bytesPerTask`, capped at cores, from
+    * driver-side plan stats — shuffle only when the scan provides fewer
+    * splits than that.
+    */
+  private[graft] def spreadForDecode(df: DataFrame, bytesPerTask: Long): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = (bytes / (8L << 10)).min(BigInt(par)).toInt
+    val target = (bytes / bytesPerTask).min(BigInt(par)).toInt
     if (target > df.rdd.getNumPartitions) df.repartition(target) else df
   }
 

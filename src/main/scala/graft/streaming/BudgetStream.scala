@@ -105,7 +105,10 @@ final class BudgetAdmitIndex(
       .localCheckpoint(false)
     // overlapped stage writes, ordered promotes (admitted first — its tag
     // is the replay gate); the future settles before any promote or
-    // rethrow (ADVICE r20). Both stages read the checkpointed adm.
+    // rethrow (ADVICE r20). The two stages can race adm's lazy
+    // materialization and each compute the per-stratum window — accepted:
+    // it is one window over ONE micro-batch on otherwise-idle cores,
+    // cheaper than the extra serialized checkpoint job that would pin it.
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val admStagedF =

@@ -56,7 +56,7 @@ object Feeds {
       // partitionBy emits nothing, shifting every later id) — fail loudly
       require(Files.isDirectory(pdir),
         s"feed batch $i of $n is empty — batch ids would silently shift")
-      if (Files.isDirectory(pdir)) {
+      locally {
         val parts = {
           val s = Files.list(pdir)
           try {

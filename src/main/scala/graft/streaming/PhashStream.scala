@@ -350,12 +350,8 @@ object PhashStream {
     * image feeds) fan out to one task per ~MiB — the decode is the batch's
     * CPU cost, and 1–2 splits starved the other cores (r20 measurement).
     */
-  private[streaming] def decodeSpread(src: DataFrame): DataFrame = {
-    val par = src.sparkSession.sparkContext.defaultParallelism
-    val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = (bytes / SpreadBytesPerTask).min(BigInt(par)).toInt
-    if (target > src.rdd.getNumPartitions) src.repartition(target) else src
-  }
+  private[streaming] def decodeSpread(src: DataFrame): DataFrame =
+    graft.scale.Multimodal.spreadForDecode(src, SpreadBytesPerTask)
 
   /** [[PhashIndex.processBatch]] as a streaming sink: drain an image
     * stream into the index; `index.accepted()` is the continuously-deduped

@@ -118,8 +118,11 @@ final class PostingsIndex(spark: SparkSession, root: String,
     // a tombstoned id stays deleted while its tombstone lives: admitting it
     // would append NEW rows next to its not-yet-purged old rows (see class
     // scaladoc — the append-growth/upsert-growth asymmetry). Lazy
-    // checkpoint: the first stage write materializes the scan + anti-join
-    // once and the other two partials reuse the blocks (r21).
+    // checkpoint: the first stage write to touch it materializes the scan +
+    // anti-join; the concurrent stages below can race that materialization
+    // and rescan the batch (bounded at batch size, in otherwise-idle
+    // tasks) — still at-most what the OLD form paid, which recomputed the
+    // anti-join serially in all three stages (r21).
     val live = ts.minus(incoming).localCheckpoint(false)
     val p = build(live).sortWithinPartitions("term")
     val lp = lenPartial(live).localCheckpoint(false)
@@ -295,10 +298,15 @@ final class FieldedPostingsIndex(spark: SparkSession, root: String,
     val statsDone = stats.exists && stats.currentTag.contains(tag)
     if (postingsDone && lengthsDone && statsDone) return
     // reject-while-tombstoned (the PostingsIndex append-growth asymmetry);
-    // lazy checkpoints — the first stage write materializes them (r21)
+    // lazy checkpoints, materialized ONCE by the count below BEFORE the
+    // concurrent stage writes launch — three racing stages would otherwise
+    // each recompute the batch scan + anti-join + tokenize (the lazy-
+    // checkpoint race this round measured in NnDescent); one count job
+    // replaces the two eager checkpoint jobs the old form paid (r21)
     val live = ts.minus(batch.filter(col("doc_id").isNotNull))
       .localCheckpoint(false)
     val lp = lenPartial(live).localCheckpoint(false)
+    lp.count()
     // overlapped stage writes + ordered promotes: PostingsIndex.processBatch's
     // protocol, verbatim (see its comment for the await/crash argument)
     implicit val ec: scala.concurrent.ExecutionContext =

@@ -51,20 +51,16 @@ final class TriangleStream(
     val newEdges =
       (if (edges.exists) batch.join(old, Seq("u", "v"), "left_anti") else batch)
         .localCheckpoint(false)
-    // the two STAGE writes are independent (separate tables; the stats
-    // plan folds prev + delta as a 1-row cross join, so neither head()
-    // round-trips the driver) and overlap via a future; the PROMOTES stay
-    // ordered — stats FIRST (see class scaladoc: the reverse order double
-    // counts on replay) — and the future settles before any promote or
-    // rethrow (the ADVICE r20 orphaned-future hazard).
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    val edgesStagedF =
-      if (edgesDone) None
-      else Some(scala.concurrent.Future {
-        if (edges.exists) edges.stageAppend(newEdges) else edges.stage(newEdges)
-      })
-    val statsStaged = try {
+    // SEQUENTIAL stage writes: the stats stage's plan folds prev + delta as
+    // a 1-row cross join (no head() driver round-trips) and is the batch's
+    // one heavy job — it materializes the lazy batch/newEdges checkpoints;
+    // the edges stage then reuses the blocks. Overlapping the two in
+    // futures was measured against here: both would race the unmaterialized
+    // newEdges and duplicate the anti-join's table scan (the lazy-
+    // checkpoint race this round measured in NnDescent). Promote order
+    // unchanged — stats FIRST (see class scaladoc: the reverse order
+    // double counts on replay).
+    val statsStaged =
       if (statsDone) None
       else {
         val spark = batch0.sparkSession
@@ -76,13 +72,11 @@ final class TriangleStream(
           .select((col("__prev") + col("delta_triangles")).as("n_triangles"))
         Some(stats.stage(next))
       }
-    } finally {
-      edgesStagedF.foreach(f => scala.concurrent.Await.ready(f,
-        scala.concurrent.duration.Duration.Inf))
-    }
+    val edgesStaged =
+      if (edgesDone) None
+      else Some(if (edges.exists) edges.stageAppend(newEdges) else edges.stage(newEdges))
     statsStaged.foreach(v => stats.promote(v, Some(tag)))
-    edgesStagedF.foreach(f => edges.promote(scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf), Some(tag)))
+    edgesStaged.foreach(v => edges.promote(v, Some(tag)))
     edges.compactIfNeeded(maxChainDepth)
   }
 }

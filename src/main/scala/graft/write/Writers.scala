@@ -492,7 +492,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
           while (it.hasNext) {
             val p = it.next()
             val n = p.getFileName.toString
-            if (!kept.contains(n) && n != "_VACUUMED") extra += p
+            // _SCHEMA survives the sweep: retained versions' file lists
+            // still read this dir's kept units through reader(v), and
+            // deleting the sidecar would silently restore the per-read
+            // schema-inference job captureSchema exists to remove (r21)
+            if (!kept.contains(n) && n != "_VACUUMED" && n != "_SCHEMA") extra += p
           }
           extra.foreach(deleteRecursively)
         } finally stream.close()
